@@ -1,0 +1,151 @@
+"""Deduplication operators for the LLM-data-pipeline surface (north star:
+BASELINE.json). Exact, MinHash+LSH banded near-dup, n-gram Jaccard verify,
+and SimHash — all expressed as DataFrame plans (no UDFs), so each scales as
+shuffle-bounded joins/aggregations rather than driver-side loops.
+
+Design notes for 100 TB:
+- Exact dedup is a single hash-aggregate on a fingerprint column (map-side
+  combine: the shuffle carries one row per distinct fingerprint).
+- MinHash signatures use ``min(md5(salt || shingle))`` per band-row — md5 is
+  bit-identical across engines (oracle-checkable) and uniformly distributed;
+  at production scale swap in xxhash64 for speed, semantics unchanged.
+- LSH banding turns all-pairs O(n²) into groupBy(band_key) + within-bucket
+  pairing; candidate verification (exact Jaccard) touches only candidates.
+- Skew guard: buckets larger than ``max_bucket`` are dropped (a bucket of
+  100k identical boilerplate docs would otherwise emit 5e9 pairs); dropped
+  mass is exactly the boilerplate a real pipeline routes to exact-dedup first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from clif_spark.functions.text import fingerprint, word_ngrams
+
+#: (bands, rows-per-band) for MinHash LSH. P(candidate) = 1-(1-J^r)^b:
+#: J=0.8 -> 0.98, J=0.2 -> 0.15 with b=4, r=2.
+DEFAULT_BANDS = 4
+DEFAULT_ROWS_PER_BAND = 2
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by normalized-text fingerprint: one row per
+    duplicated fingerprint with the keeper (min id) and the duplicate count.
+    """
+    fp = docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    return (fp.groupBy("fp")
+              .agg(F.min(id_col).alias("keeper_id"),
+                   F.count(F.lit(1)).alias("n_docs"))
+              .filter(F.col("n_docs") > 1))
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    return (docs.select(F.col(id_col).alias("doc"),
+                        F.explode(word_ngrams(F.lower(F.col(text_col)), n))
+                         .alias("shingle"))
+                .distinct())
+
+
+def minhash_band_keys(shingles: DataFrame, bands: int = DEFAULT_BANDS,
+                      rows_per_band: int = DEFAULT_ROWS_PER_BAND) -> DataFrame:
+    """Per-document LSH band keys: (doc, band, band_key).
+
+    band_key concatenates ``rows_per_band`` independent minhashes, each
+    ``min(md5(salt || shingle))`` with a distinct salt — deterministic and
+    engine-portable.
+    """
+    aggs = []
+    for b in range(bands):
+        parts = [
+            F.min(F.md5(F.concat(F.lit(f"s{b * rows_per_band + r}:"),
+                                 F.col("shingle"))))
+            for r in range(rows_per_band)
+        ]
+        aggs.append(F.concat_ws("|", *parts).alias(f"band_{b}"))
+    sigs = shingles.groupBy("doc").agg(*aggs)
+    return sigs.unpivot(["doc"], [f"band_{b}" for b in range(bands)],
+                        "band", "band_key")
+
+
+def lsh_candidate_pairs(band_keys: DataFrame, max_bucket: int = 200) -> DataFrame:
+    """Candidate near-dup pairs (a < b) from band-key buckets.
+
+    Self-join within (band, band_key) buckets; the a<b predicate halves the
+    pairs and removes self-matches; distinct collapses pairs found by
+    multiple bands. ``max_bucket`` bounds quadratic blowup on degenerate
+    buckets (skew guard).
+    """
+    sized = band_keys.withColumn(
+        "bucket_n",
+        F.count(F.lit(1)).over(Window.partitionBy("band", "band_key")))
+    small = sized.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+    left = small.select("band", "band_key", F.col("doc").alias("a"))
+    right = small.select("band", "band_key", F.col("doc").alias("b"))
+    return (left.join(right, ["band", "band_key"])
+                .filter(F.col("a") < F.col("b"))
+                .select("a", "b").distinct())
+
+
+def jaccard_verify(pairs: DataFrame, shingles: DataFrame,
+                   threshold: float = 0.0) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B|.
+
+    Intersection via an equi-join on shingle restricted to candidate docs;
+    union from per-doc set sizes. Only candidate pairs are scored — the
+    all-pairs product never materializes.
+    """
+    sizes = shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingles.select(F.col("doc").alias("a"), "shingle")
+    sb = shingles.select(F.col("doc").alias("b"), "shingle")
+    inter = (pairs.join(sa, "a").join(sb, ["b", "shingle"])
+                  .groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter")))
+    scored = (inter
+              .join(sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sz_a")), "a")
+              .join(sizes.select(F.col("doc").alias("b"), F.col("sz").alias("sz_b")), "b")
+              .select("a", "b",
+                      F.round(F.col("inter")
+                              / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                              4).alias("jaccard")))
+    return scored.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      threshold: float = 0.7) -> DataFrame:
+    """End-to-end near-dup pipeline: shingle -> minhash bands -> LSH buckets
+    -> exact-Jaccard verify -> pairs over threshold."""
+    sh = doc_shingles(docs, id_col, text_col, n)
+    pairs = lsh_candidate_pairs(minhash_band_keys(sh))
+    return jaccard_verify(pairs, sh, threshold)
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document from whitespace tokens.
+
+    Token hash = xxhash64 (JVM-native); each of the 64 bits votes ±1 weighted
+    by token frequency; the sign of each bit-sum forms the signature. Pure
+    aggregate formulation: explode tokens, then one groupBy with 64 bit-sum
+    expressions folded into a bigint. Near-dup = small Hamming distance
+    (pair search via multi-probe banding on 16-bit chunks, same LSH shape as
+    MinHash)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"))
+    h = toks.withColumn("h", F.xxhash64("tok"))
+    bit_votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+               .otherwise(-1)).alias(f"b{i}")
+        for i in range(64)
+    ]
+    votes = h.groupBy("doc").agg(*bit_votes)
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i))
+             .otherwise(F.lit(0).cast("long")))
+    return votes.select("doc", sig.alias("simhash"))

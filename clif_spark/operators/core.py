@@ -1,0 +1,137 @@
+"""Core relational operators (SURVEY §2.2 P1-P11, §2.3 J1-J6).
+
+Thin, composable ``DataFrame -> DataFrame`` functions. Projections/filters are
+deliberately expressed through the stock DataFrame API so Catalyst's
+ColumnPruning / PushDownPredicates rules see them unchanged (SURVEY §4) — the
+value these wrappers add is the *engine idioms* the optimizer does not supply:
+broadcast hints for vocab dims, semi-join rewrites, regex-safe fuzzy matching.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --- projections ------------------------------------------------------------
+
+def project(df: DataFrame, cols: Sequence[str | Column]) -> DataFrame:
+    """P1: column projection (`select`, `code/RCLIF_vitals.Rmd:49`)."""
+    return df.select(*cols)
+
+
+def drop_cols(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """P2: column drop (`select(-c(...))`, `code/RCLIF_medications.Rmd:134`)."""
+    return df.drop(*cols)
+
+
+def rename(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """P3: rename old->new (`rename`, `code/RCLIF_medications.Rmd:43-48`)."""
+    return df.withColumnsRenamed(mapping)
+
+
+def rename_positional(df: DataFrame, names: Sequence[str]) -> DataFrame:
+    """P4: rename-by-position (`colnames(df) <- c(...)`,
+    `code/RCLIF_dialysis.Rmd:61`)."""
+    return df.toDF(*names)
+
+
+# --- predicates -------------------------------------------------------------
+
+def filter_not_null(df: DataFrame, *cols: str) -> DataFrame:
+    """P5/P6: drop rows with NULL in any listed column
+    (`filter(!is.na(x))`, `code/RCLIF_vitals.Rmd:42`; `drop_na`,
+    `code/RCLIF_demographics.Rmd:115`)."""
+    return df.dropna(subset=list(cols))
+
+
+def filter_in(df: DataFrame, col: str, values: Sequence) -> DataFrame:
+    """P7: IN-list predicate (`%in%`, `code/RCLIF_vitals.Rmd:109`)."""
+    return df.filter(F.col(col).isin(list(values)))
+
+
+def filter_castable(df: DataFrame, col: str, to: str = "double") -> DataFrame:
+    """P11: keep rows whose value casts cleanly — the reference's
+    warning-as-filter idiom (`as.numeric` drop at `code/RCLIF_adt.Rmd:33`).
+    Uses try_cast semantics so it is ANSI-mode safe."""
+    return df.filter(F.col(col).try_cast(to).isNotNull())
+
+
+def filter_time_range(df: DataFrame, col: str, start, end) -> DataFrame:
+    """P10: half-open time-range predicate (`code/RCLIF_vitals.Rmd:217-218`).
+    With date-partitioned layout this prunes partitions for free."""
+    return df.filter((F.col(col) >= F.lit(start)) & (F.col(col) < F.lit(end)))
+
+
+# --- joins ------------------------------------------------------------------
+
+def vocab_join(fact: DataFrame, vocab: DataFrame, on: str | list[str],
+               how: str = "left") -> DataFrame:
+    """J1/J3: fact ⟕ small controlled-vocabulary dim with an explicit
+    broadcast hint (`left_join(vocab)`, `code/RCLIF_vitals.Rmd:41`;
+    full join `:124`). Dims are ≤110 rows in the reference — broadcast keeps
+    the plan a narrow pipeline at any fact-side scale."""
+    return fact.join(F.broadcast(vocab), on=on, how=how)
+
+
+def composite_join(left: DataFrame, right: DataFrame, keys: Sequence[str],
+                   how: str = "left") -> DataFrame:
+    """J2/J5: big-big equi-join on an explicit composite key
+    (5-column key at `code/RCLIF_medications.Rmd:62-63`; the engine never
+    relies on implicit natural-join keys — SURVEY §7.4.7). Shuffles both
+    sides on the key; pre-bucketed layout makes it exchange-free."""
+    return left.join(right, on=list(keys), how=how)
+
+
+def semi_join(left: DataFrame, keys: DataFrame, on: str | list[str]) -> DataFrame:
+    """J4: left-semi filter (`semi_join`, `code/RCLIF_medications.Rmd:146`)."""
+    return left.join(keys, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, keys: DataFrame, on: str | list[str]) -> DataFrame:
+    """Complement of J4 — in the engine surface though absent from the
+    reference (SURVEY §2.3 'Absent')."""
+    return left.join(keys, on=on, how="left_anti")
+
+
+def fuzzy_vocab_match(names: DataFrame, name_col: str,
+                      vocab: DataFrame, term_col: str,
+                      n_words: int = 2) -> DataFrame:
+    """J6: the reference's rowwise regex med-match re-expressed as a join
+    (`match_meds`, `code/RCLIF_medications.Rmd:111-125`).
+
+    Semantics: a vocab term matches a name when the term appears,
+    case-insensitively, at a word boundary within the name's first
+    ``n_words`` words. Scale shape: callers pass *distinct* names (the
+    reference applies the same trick via A6 at `:98-100`), the vocab side is
+    broadcast, and the regex runs as the join condition — a broadcast
+    nested-loop over (distinct names × tiny vocab), then hash-join back to
+    facts. Terms are \\Q..\\E-quoted so regex metacharacters in vocab entries
+    cannot alter the pattern (SURVEY §7.4.6).
+    """
+    first_words = F.concat_ws(" ", F.slice(F.split(F.col(name_col), " "), 1, n_words))
+    pattern = F.concat(F.lit(r"(?i)\b\Q"), F.col(term_col), F.lit(r"\E\b"))
+    return (names.withColumn("__first_words", first_words)
+                 .join(F.broadcast(vocab),
+                       F.rlike(F.col("__first_words"), pattern))
+                 .drop("__first_words"))
+
+
+# --- sorts / limits ----------------------------------------------------------
+
+def sort(df: DataFrame, cols: Sequence[str | Column], ascending: bool = True) -> DataFrame:
+    """O1/O2: global sort (`arrange`, `code/RCLIF_vitals.Rmd:61`). A global
+    sort is a range exchange; for sink ordering prefer
+    io.write_table(sort_within_partitions=...) at scale (SURVEY §7.4.8)."""
+    if ascending:
+        return df.orderBy(*cols)
+    return df.orderBy(*[F.col(c).desc() if isinstance(c, str) else c.desc() for c in cols])
+
+
+def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
+    """Ordered LIMIT — Spark plans TakeOrderedAndProject: per-partition heap
+    + single driver merge; no global sort materialization. Callers must
+    include a tiebreaker column for deterministic results."""
+    return df.orderBy(*order).limit(k)

@@ -1,0 +1,114 @@
+"""Window operators (SURVEY §2.5 W1-W3 + engine-surface extensions).
+
+All per-entity, time-ordered computations. At 100 TB these are the operators
+whose shuffle matters most: every one partitions by the entity key
+(encounter_id / user_id), so a layout bucketed on that key (io.py) makes them
+exchange-free. Every ``orderBy`` carries an explicit tiebreaker column —
+R row order is positional and Spark has none (SURVEY §7.4.1/7.4.2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _w(partition: Sequence[str], order: Sequence[str | Column]):
+    return Window.partitionBy(*partition).orderBy(*order)
+
+
+def lead_episodes(df: DataFrame, partition: Sequence[str], ts_col: str,
+                  tiebreak: Sequence[str] = (),
+                  start_col: str = "start_time",
+                  stop_col: str = "stop_time") -> DataFrame:
+    """W1: point events -> [start, stop) episodes; stop = next event's time,
+    NULL at partition end (`lead(ts)` at `code/RCLIF_dialysis.Rmd:95-97,141-143`).
+    """
+    w = _w(partition, [ts_col, *tiebreak])
+    return (df.withColumn(start_col, F.col(ts_col))
+              .withColumn(stop_col, F.lead(ts_col).over(w)))
+
+
+def fill_downup(df: DataFrame, partition: Sequence[str],
+                order: Sequence[str | Column], cols: Sequence[str]) -> DataFrame:
+    """W2: per-entity LOCF then NOCB fill (`fill(.direction="downup")`,
+    `code/RCLIF_vitals.Rmd:161-162`).
+
+    Exactly two stacked window functions per column with the frame bounds the
+    semantics require: last-non-null over (unboundedPreceding, 0), then
+    first-non-null over (0, unboundedFollowing), coalesced in that order so
+    the downward pass wins where both apply (SURVEY §7.4.2). Callers must
+    include a tiebreaker in ``order`` for deterministic fills on equal
+    timestamps.
+    """
+    w = _w(partition, order)
+    down = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    up = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    out = df
+    for c in cols:
+        locf = F.last(c, ignorenulls=True).over(down)
+        nocb = F.first(c, ignorenulls=True).over(up)
+        out = out.withColumn(c, F.coalesce(locf, nocb))
+    return out
+
+
+def dedup_keep_last(df: DataFrame, keys: Sequence[str],
+                    order: Sequence[str | Column]) -> DataFrame:
+    """W3: one row per key, keeping the row that sorts *last* by ``order``
+    (`!duplicated(..., fromLast=TRUE)`, `code/RCLIF_disposition.Rmd:51`).
+
+    R's "last" is positional; the engine requires an explicit, deterministic
+    order (e.g. event time + unique id) and keeps the max (SURVEY §7.4.1).
+    """
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() if isinstance(c, str) else c.desc() for c in order])
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def rank_in_group(df: DataFrame, partition: Sequence[str],
+                  order: Sequence[str | Column], method: str = "rank",
+                  out_col: str = "rank") -> DataFrame:
+    """Engine-surface ranking (absent from the reference, SURVEY §2.5
+    'Absent'): rank / dense_rank / row_number within a partition."""
+    fns = {"rank": F.rank, "dense_rank": F.dense_rank, "row_number": F.row_number}
+    return df.withColumn(out_col, fns[method]().over(_w(partition, order)))
+
+
+def moving_agg(df: DataFrame, partition: Sequence[str],
+               order: Sequence[str | Column], value_col: str,
+               preceding: int, agg: str = "avg",
+               out_col: str = "moving") -> DataFrame:
+    """Engine-surface moving aggregate over a ROWS frame
+    (`rows between N preceding and current row`)."""
+    w = _w(partition, order).rowsBetween(-preceding, Window.currentRow)
+    fns = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+           "count": F.count}
+    return df.withColumn(out_col, fns[agg](value_col).over(w))
+
+
+def sessionize(df: DataFrame, partition: Sequence[str], ts_col: str,
+               gap_minutes: float, tiebreak: Sequence[str] = (),
+               session_col: str = "session_id") -> DataFrame:
+    """Gap-based sessionization — the batch generalization of the dialysis
+    episode derivation (W1 template, `code/RCLIF_dialysis.Rmd:87-100`) and
+    the exact batch analog of Structured Streaming's ``session_window``
+    (clif_spark.streaming).
+
+    A new session starts when the gap to the previous event exceeds
+    ``gap_minutes``; session_id is the running count of session starts within
+    the partition (two cumulative window passes, no UDF).
+    """
+    w = _w(partition, [ts_col, *tiebreak])
+    prev_ts = F.lag(ts_col).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts))
+           > int(gap_minutes * 60 * 1_000_000)),
+        F.lit(1)).otherwise(F.lit(0))
+    return (df.withColumn("__new", is_new)
+              .withColumn(session_col,
+                          F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+              .drop("__new"))

@@ -1,0 +1,364 @@
+"""LLM-data-pipeline queries (north star: BASELINE.json): dedup (exact,
+MinHash+LSH+Jaccard, SimHash), similarity search (brute-force + LSH-bucketed
+cosine), text analysis, and multimodal binary plumbing.
+
+The documents table has no natural duplicates, so the dedup queries plant
+copies/near-copies *inside the query* (both the Spark plan and the oracle SQL
+construct the identical augmented corpus) — the gate then verifies the full
+dedup pipeline end-to-end rather than trivially matching empty results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clif_spark import dedup, io, multimodal, similarity
+from clif_spark.functions import text as TX
+from clif_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle=r"""
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
+    )
+    SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+           MIN(doc_id) AS keeper_id, COUNT(*) AS n_docs
+    FROM docs2
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by normalized-text fingerprint: single hash-aggregate
+    (map-side combine) — the always-first pass of a training-data pipeline.
+    50 exact copies are planted; each must come back as a group of 2."""
+    d = io.load_table(spark, sf_dir, "documents")
+    planted = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    docs2 = d.select("doc_id", "text").unionByName(planted)
+    return dedup.exact_dedup_groups(docs2)
+
+
+def _minhash_oracle() -> str:
+    bands = dedup.DEFAULT_BANDS
+    rpb = dedup.DEFAULT_ROWS_PER_BAND
+    minhs = ",\n        ".join(
+        f"min(md5('s{i}:' || shingle)) AS h{i}" for i in range(bands * rpb))
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc, 'band_{b}' AS band, h{2*b} || '|' || h{2*b+1} AS band_key FROM sig"
+        for b in range(bands))
+    return rf"""
+    WITH docs2 AS (
+      SELECT doc_id AS doc, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text || ' extra trailing token'
+      FROM documents WHERE doc_id < 20
+    ),
+    words AS (
+      SELECT doc, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM docs2
+    ),
+    sh AS (
+      SELECT DISTINCT doc, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM words, unnest(range(1, greatest(len(w) - 1, 1))) t(i)
+    ),
+    sig AS (
+      SELECT doc,
+        {minhs}
+      FROM sh GROUP BY doc
+    ),
+    bands AS (
+      {band_rows}
+    ),
+    sized AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY band, band_key) AS bucket_n
+      FROM bands
+    ),
+    small AS (SELECT band, band_key, doc FROM sized WHERE bucket_n <= 200),
+    pairs AS (
+      SELECT DISTINCT l.doc AS a, r.doc AS b
+      FROM small l JOIN small r
+        ON l.band = r.band AND l.band_key = r.band_key
+      WHERE l.doc < r.doc
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+    inter AS (
+      SELECT p.a, p.b, COUNT(*) AS n_inter
+      FROM pairs p
+      JOIN sh sa ON sa.doc = p.a
+      JOIN sh sb ON sb.doc = p.b AND sb.shingle = sa.shingle
+      GROUP BY p.a, p.b
+    ),
+    scored AS (
+      SELECT i.a, i.b,
+             ROUND(CAST(i.n_inter AS DOUBLE)
+                   / (za.sz + zb.sz - i.n_inter), 4) AS jaccard
+      FROM inter i
+      JOIN sizes za ON za.doc = i.a
+      JOIN sizes zb ON zb.doc = i.b
+    )
+    SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.5
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle(), headline=True)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup detection, end-to-end: word-3-gram shingles ->
+    4 bands × 2 minhash rows (md5-salted, engine-portable) -> bucket
+    self-join for candidates (skew-guarded) -> exact-Jaccard verify >= 0.5.
+    20 near-copies (one appended token) are planted; each must surface.
+    All-pairs never materializes — candidate generation is groupBy(band_key).
+    """
+    d = io.load_table(spark, sf_dir, "documents")
+    planted = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" extra trailing token")).alias("text"))
+    docs2 = d.select("doc_id", "text").unionByName(planted)
+    return dedup.minhash_near_dups(docs2, threshold=0.5)
+
+
+@query("dedup_simhash64", oracle=None)
+def dedup_simhash64(spark, sf_dir):
+    """SimHash-64 signatures (rows-only check: xxhash64 has no DuckDB
+    equivalent). Deterministic given the input; near-dup = small Hamming
+    distance, searched with the same banding shape as MinHash."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return dedup.simhash64(d)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+         v AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS vv
+               FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+                  ROUND(list_cosine_similarity(qv, vv), 4) AS cos
+           FROM q, v
+           WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id, cos
+    FROM scored
+    QUALIFY row_number() OVER
+      (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10
+    """,
+    headline=True,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for 5 query vectors — the exact ANN
+    baseline. Query side broadcast; per-query ranking with id tiebreak.
+    Dot/norm are sequential array folds (zip_with + aggregate): JVM-native,
+    bit-deterministic, no Python in the loop."""
+    e = io.load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.cosine_topk(e, queries, k=10)
+
+
+_N_PLANES = 6
+_DIM = 64
+
+
+def _lsh_bucket_sql() -> str:
+    planes = similarity.deterministic_hyperplanes(_DIM, _N_PLANES)
+    bits = []
+    for row in planes:
+        dot = " + ".join(f"e[{i+1}] * ({c!r})" for i, c in enumerate(row))
+        bits.append(f"CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END")
+    bucket = " || ".join(bits)
+    return f"""
+    WITH vecs AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT {bucket} AS bucket, COUNT(*) AS n
+    FROM vecs
+    GROUP BY 1
+    """
+
+
+@query("ann_lsh_buckets", oracle=_lsh_bucket_sql())
+def ann_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucketing (the ANN scale path): sign bits
+    against 6 md5-derived deterministic hyperplanes -> bucket histogram.
+    Same-bucket vectors are the candidate set each query compares against
+    (~n/2^6 of the corpus) — similarity.lsh_cosine_topk composes this with
+    exact re-ranking."""
+    e = io.load_table(spark, sf_dir, "embeddings")
+    assigned = similarity.lsh_assign(e, n_planes=_N_PLANES, dim=_DIM)
+    return assigned.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOPS_SQL = ", ".join(f"'{s}'" for s in TX.STOPWORDS)
+
+@query(
+    "text_quality_metrics",
+    oracle=rf"""
+    WITH feat AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS toks,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks,
+             text
+      FROM documents
+    ), raw AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text,
+               '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS BIGINT) AS bpe_tokens,
+             CASE WHEN len(ltoks) > 0 THEN
+               CAST(len(list_filter(ltoks, t -> t IN ({_STOPS_SQL}))) AS DOUBLE)
+                 / len(ltoks) ELSE 0.0 END AS sw,
+             CASE WHEN len(text) > 0 THEN
+               CAST(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                 / len(text) ELSE 0.0 END AS pr,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum')
+                    AS DOUBLE) / len(toks) ELSE 0.0 END AS tl
+      FROM feat
+    )
+    SELECT doc_id, n_tokens, bpe_tokens,
+           ROUND(sw, 4) AS stop_ratio,
+           ROUND(pr, 4) AS punct_ratio,
+           ROUND(tl, 4) AS mean_token_len,
+           ROUND(0.4 * least(sw * 4, 1.0)
+                 + 0.3 * (1.0 - least(pr * 5, 1.0))
+                 + 0.3 * (CASE WHEN tl >= 3 AND tl <= 10 THEN 1.0 ELSE 0.0 END),
+                 4) AS quality
+    FROM raw
+    """,
+    headline=True,
+)
+def text_quality_metrics(spark, sf_dir):
+    """Per-document quality features + composite score (C4/Gopher-style
+    filtering): token counts (whitespace + BPE-ish regex), stopword ratio,
+    punctuation density, mean token length. Pure column expressions —
+    whole-stage codegen over the scan, zero shuffles."""
+    d = io.load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        TX.bpe_token_count(t).alias("bpe_tokens"),
+        F.round(TX.stopword_ratio(t), 4).alias("stop_ratio"),
+        F.round(TX.punct_ratio(t), 4).alias("punct_ratio"),
+        F.round(TX.mean_token_len(t), 4).alias("mean_token_len"),
+        TX.quality_score(t).alias("quality"))
+
+
+def _lang_oracle() -> str:
+    markers = {
+        "es": [" el ", " la ", " los ", " que ", " y "],
+        "de": [" der ", " die ", " das ", " und ", " ist "],
+        "fr": [" le ", " les ", " des ", " est ", " et "],
+        "en": [" the ", " a ", " of ", " and ", " is "],
+    }
+    scores = {
+        lang: " + ".join(
+            f"CASE WHEN contains(low, '{m}') THEN 1 ELSE 0 END" for m in ms)
+        for lang, ms in markers.items()
+    }
+    score_cols = ",\n             ".join(
+        f"({expr}) AS s_{lang}" for lang, expr in scores.items())
+    return f"""
+    WITH low AS (
+      SELECT doc_id, lang, ' ' || lower(text) || ' ' AS low FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             {score_cols}
+      FROM low
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                ELSE 'fr' END AS guess
+    FROM scored
+    """
+
+
+@query("text_lang_id", oracle=_lang_oracle())
+def text_lang_id(spark, sf_dir):
+    """Marker-word language ID (deterministic core of n-gram-profile LID;
+    model-based LID slots in as a pandas UDF without changing the plan).
+    Precedence on ties: en > es > de > fr; 'und' when no marker hits."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.col("lang").alias("labeled_lang"),
+                    TX.lang_guess(F.col("text")).alias("guess"))
+
+
+@query(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprint (md5 of whitespace-normalized lowercase text) —
+    the exact-dedup key, exposed standalone."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_decode_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0
+                THEN 'png' ELSE 'jpeg' END AS format,
+           CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+           CAST(ascii(substr(text, 1, 1)) % 480 + 1 AS BIGINT) AS height
+    FROM documents
+    """,
+)
+def mm_decode_meta(spark, sf_dir):
+    """Multimodal decode plumbing, verified end-to-end: opaque binary
+    payload -> Arrow-batched mapInPandas "decoder" -> typed metadata. The
+    decoder is the documented stub (multimodal._fake_decode) — deterministic
+    from the bytes, so the oracle can check the full Arrow round trip; a
+    real codec swaps in without touching the plan."""
+    d = io.load_table(spark, sf_dir, "documents")
+    payload = multimodal.attach_binary_payload(d)
+    return multimodal.decode_image_meta(payload)
+
+
+@query(
+    "mm_frame_offsets",
+    oracle="""
+    SELECT doc_id,
+           CAST((octet_length(encode(text)) - 1) // 64 + 1 AS BIGINT)
+             AS n_frames
+    FROM documents
+    """,
+)
+def mm_frame_offsets(spark, sf_dir):
+    """Frame-sampling shape (video -> frames, 1->N decode): explode a byte-
+    offset stride over each payload, count frames per document."""
+    d = io.load_table(spark, sf_dir, "documents")
+    payload = multimodal.attach_binary_payload(d)
+    frames = multimodal.frame_sample_stub(payload)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"))

@@ -1,0 +1,604 @@
+"""Relational operator queries (SURVEY §2.2 P*, §2.3 J*, §2.4 A*, §2.6 O*,
+§2.7 U*/R*, §2.8 F*) over the driver testdata, each with a DuckDB oracle.
+
+Query names carry the §2 operator ids they exercise so the coverage audit is
+line-by-line checkable against SURVEY.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clif_spark import io
+from clif_spark.functions import scalars
+from clif_spark.operators import core, profile, reshape
+from clif_spark.queries import dmean, dsum, query, sql_dmean, sql_dsum, us
+
+# ---------------------------------------------------------------------------
+# Projections / predicates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p1_p3_project_rename",
+    oracle="""
+    SELECT l_orderkey AS okey, l_linenumber AS lineno, l_quantity AS qty,
+           ROUND(l_extendedprice * (1 - l_discount), 4) AS net_price
+    FROM lineitem
+    """,
+)
+def p1_p3_project_rename(spark, sf_dir):
+    """P1 projection + P3 rename + derived column (`select`/`rename`,
+    `code/RCLIF_vitals.Rmd:49,58`). Column-pruned scan: ReadSchema carries
+    only the 5 referenced columns."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    return core.project(li, [
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lineno"),
+        F.col("l_quantity").alias("qty"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+         .alias("net_price"),
+    ])
+
+
+@query(
+    "p2_p4_drop_positional",
+    oracle="""
+    SELECT o_orderkey AS order_key, o_custkey AS cust_key,
+           o_orderstatus AS status, o_totalprice AS total
+    FROM orders
+    """,
+)
+def p2_p4_drop_positional(spark, sf_dir):
+    """P2 column drop + P4 positional rename (`select(-c(...))`,
+    `code/RCLIF_medications.Rmd:134`; `colnames<-`, `code/RCLIF_dialysis.Rmd:61`)."""
+    o = io.load_table(spark, sf_dir, "orders")
+    dropped = core.drop_cols(o, ["o_orderdate", "o_orderpriority"])
+    return core.rename_positional(dropped, ["order_key", "cust_key", "status", "total"])
+
+
+@query(
+    "p5_p6_null_handling",
+    oracle="""
+    SELECT event_id, user_id, value, props
+    FROM events
+    WHERE value IS NOT NULL AND props IS NOT NULL
+    """,
+)
+def p5_p6_null_handling(spark, sf_dir):
+    """P5 NULL predicates + P6 drop-NA (`filter(!is.na(x))`,
+    `code/RCLIF_vitals.Rmd:42`; `drop_na`, `code/RCLIF_demographics.Rmd:115`)."""
+    ev = io.load_table(spark, sf_dir, "events")
+    return core.filter_not_null(ev, "value", "props").select(
+        "event_id", "user_id", "value", "props")
+
+
+@query(
+    "p7_p8_in_comparison",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'R')
+      AND l_quantity >= 10 AND l_quantity <= 40
+      AND l_linestatus = 'F'
+    """,
+)
+def p7_p8_in_comparison(spark, sf_dir):
+    """P7 IN-list + P8 equality/range conjunction (`%in%`,
+    `code/RCLIF_vitals.Rmd:109`; comparisons `:47,261`). All three predicates
+    push to the parquet scan (PushedFilters)."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    li = core.filter_in(li, "l_returnflag", ["A", "R"])
+    li = li.filter((F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 40)
+                   & (F.col("l_linestatus") == "F"))
+    return li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+
+
+@query(
+    "p9_like_rlike",
+    oracle=r"""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_type LIKE '%ECO%'
+       OR regexp_matches(p_name, '(?i)^(red|blue)\b')
+    """,
+)
+def p9_like_rlike(spark, sf_dir):
+    """P9 pattern predicates: LIKE contains + anchored case-insensitive regex
+    (`%like%`, `code/RCLIF_dialysis.Rmd:39`; `grepl`,
+    `code/RCLIF_medications.Rmd:128`)."""
+    p = io.load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").like("%ECO%")
+        | F.col("p_name").rlike(r"(?i)^(red|blue)\b")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@query(
+    "p10_time_range",
+    oracle="""
+    SELECT event_id, event_type, epoch_us(ts) AS ts_us
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
+def p10_time_range(spark, sf_dir):
+    """P10 half-open time-range predicate (`code/RCLIF_vitals.Rmd:217-218`).
+    With the engine's date-partitioned layout this is partition pruning."""
+    ev = io.load_table(spark, sf_dir, "events")
+    ev = core.filter_time_range(ev, "ts", "2024-01-08 00:00:00", "2024-01-15 00:00:00")
+    return ev.select("event_id", "event_type", us("ts").alias("ts_us"))
+
+
+@query(
+    "p11_castability_extract",
+    oracle=r"""
+    SELECT event_id,
+           TRY_CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS BIGINT) AS k
+    FROM events
+    WHERE TRY_CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS BIGINT) IS NOT NULL
+      AND TRY_CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS BIGINT) % 7 = 0
+    """,
+)
+def p11_castability_extract(spark, sf_dir):
+    """P11 castability predicate — the reference's warning-as-filter idiom
+    (`as.numeric` drop, `code/RCLIF_adt.Rmd:33`) — over a semi-structured
+    props payload (regexp extract, F2/F4)."""
+    ev = io.load_table(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k":\s*([0-9]+)', 1).try_cast("bigint")
+    return (ev.select("event_id", k.alias("k"))
+              .filter(F.col("k").isNotNull() & (F.col("k") % 7 == 0)))
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_vocab_broadcast_star",
+    oracle=f"""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS total_spend
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    ORDER BY total_spend DESC, nation
+    """,
+    headline=True,
+)
+def j1_vocab_broadcast_star(spark, sf_dir):
+    """J1 fact ⟕ broadcast dims, star shape (`left_join(vocab)`,
+    `code/RCLIF_vitals.Rmd:41`; demographics star `code/RCLIF_demographics.Rmd:95-96`).
+    nation/region/customer all ride the broadcast side: one narrow pipeline,
+    single shuffle at the final aggregate."""
+    o = io.load_table(spark, sf_dir, "orders")
+    c = io.load_table(spark, sf_dir, "customer")
+    n = io.load_table(spark, sf_dir, "nation")
+    r = io.load_table(spark, sf_dir, "region")
+    joined = core.vocab_join(
+        core.vocab_join(
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+            n, on=F.col("c_nationkey") == F.col("n_nationkey"), how="inner"),
+        r, on=F.col("n_regionkey") == F.col("r_regionkey"), how="inner")
+    return (joined.groupBy(F.col("n_name").alias("nation"),
+                           F.col("r_name").alias("region"))
+                  .agg(F.count(F.lit(1)).alias("n_orders"),
+                       dsum("o_totalprice").alias("total_spend"))
+                  .orderBy(F.col("total_spend").desc(), "nation"))
+
+
+@query(
+    "j2_composite_key_join",
+    oracle=f"""
+    WITH grp AS (
+      SELECT l_orderkey, l_partkey,
+             {sql_dsum('l_quantity')} AS grp_qty,
+             COUNT(*) AS grp_lines
+      FROM lineitem GROUP BY l_orderkey, l_partkey
+    )
+    SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, g.grp_qty, g.grp_lines
+    FROM lineitem l
+    LEFT JOIN grp g ON l.l_orderkey = g.l_orderkey AND l.l_partkey = g.l_partkey
+    WHERE g.grp_qty > 45
+    """,
+)
+def j2_composite_key_join(spark, sf_dir):
+    """J2 big-big equi-join on a composite key (5-col key at
+    `code/RCLIF_medications.Rmd:62-63`; here 2-col). Both sides shuffle on
+    the same key — with bucketed layout this becomes exchange-free."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    grp = (li.groupBy("l_orderkey", "l_partkey")
+             .agg(dsum("l_quantity").alias("grp_qty"),
+                  F.count(F.lit(1)).alias("grp_lines")))
+    joined = core.composite_join(li, grp, ["l_orderkey", "l_partkey"], how="left")
+    return (joined.filter(F.col("grp_qty") > 45)
+                  .select("l_orderkey", "l_partkey", "l_linenumber",
+                          "grp_qty", "grp_lines"))
+
+
+@query(
+    "j3_full_outer_join",
+    oracle="""
+    WITH cc AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+                FROM customer GROUP BY c_nationkey),
+         ss AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+                FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(cc.nk, ss.nk) AS nationkey,
+           cc.n_customers, ss.n_suppliers
+    FROM cc FULL OUTER JOIN ss ON cc.nk = ss.nk
+    """,
+)
+def j3_full_outer_join(spark, sf_dir):
+    """J3 full outer join (`full_join(vocab_rs)`, `code/RCLIF_vitals.Rmd:124`):
+    nations having customers, suppliers, or both; unmatched sides NULL."""
+    c = io.load_table(spark, sf_dir, "customer")
+    s = io.load_table(spark, sf_dir, "supplier")
+    cc = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_customers"))
+    ss = s.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_suppliers"))
+    j = cc.withColumnRenamed("nk", "cnk").join(
+        ss.withColumnRenamed("nk", "snk"),
+        F.col("cnk") == F.col("snk"), "full")
+    return j.select(F.coalesce("cnk", "snk").alias("nationkey"),
+                    "n_customers", "n_suppliers")
+
+
+@query(
+    "j4_semi_anti_join",
+    oracle="""
+    SELECT 'semi' AS side, o_orderkey AS key
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    UNION ALL
+    SELECT 'anti' AS side, c_custkey AS key
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j4_semi_anti_join(spark, sf_dir):
+    """J4 left-semi (`semi_join`, `code/RCLIF_medications.Rmd:146`) + the
+    anti complement (engine surface): orders of negative-balance customers;
+    customers with no orders."""
+    o = io.load_table(spark, sf_dir, "orders")
+    c = io.load_table(spark, sf_dir, "customer")
+    debtors = c.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("o_custkey"))
+    semi = core.semi_join(o, debtors, "o_custkey").select(
+        F.lit("semi").alias("side"), F.col("o_orderkey").alias("key"))
+    anti = core.anti_join(
+        c, o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey"
+    ).select(F.lit("anti").alias("side"), F.col("c_custkey").alias("key"))
+    return semi.unionByName(anti)
+
+
+FUZZY_VOCAB = ["spark", "window", "merge sort", "hash join", "the fast"]
+
+@query(
+    "j6_fuzzy_vocab_match",
+    oracle=r"""
+    SELECT d.doc_id, v.term
+    FROM documents d
+    JOIN (VALUES {values}) v(term)
+      ON regexp_matches(
+           array_to_string(list_slice(str_split(d.text, ' '), 1, 2), ' '),
+           '(?i)\b\Q' || v.term || '\E\b')
+    """.replace("{values}", ", ".join(f"('{t}')" for t in FUZZY_VOCAB)),
+)
+def j6_fuzzy_vocab_match(spark, sf_dir):
+    """J6: the reference's rowwise regex med-name match as a broadcast join
+    (`match_meds`, `code/RCLIF_medications.Rmd:111-125`): vocab term matches
+    when it appears word-bounded, case-insensitively, within the name's
+    first two words. Terms regex-quoted via \\Q..\\E (SURVEY §7.4.6)."""
+    d = io.load_table(spark, sf_dir, "documents")
+    vocab = spark.createDataFrame([(t,) for t in FUZZY_VOCAB], ["term"])
+    matched = core.fuzzy_vocab_match(
+        d.select("doc_id", F.col("text").alias("name")), "name", vocab, "term")
+    return matched.select("doc_id", "term")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations / profiling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a1_group_count_histogram",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY n DESC, event_type
+    """,
+    headline=True,
+)
+def a1_group_count_histogram(spark, sf_dir):
+    """A1 histogram (`group_by %>% count %>% arrange(desc(n))`,
+    `code/RCLIF_vitals.Rmd:223`). Partial aggregation: the shuffle carries
+    ≤ (partitions × 5 event types) rows."""
+    ev = io.load_table(spark, sf_dir, "events")
+    return profile.group_count(ev, ["event_type"])
+
+
+@query(
+    "a2_multi_key_tally",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           o_orderstatus, COUNT(*) AS n
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def a2_multi_key_tally(spark, sf_dir):
+    """A2 multi-key tally (`group_by(year, type) %>% tally`,
+    `code/RCLIF_dialysis.Rmd:167-168`) + F9 date part."""
+    o = io.load_table(spark, sf_dir, "orders")
+    return (o.groupBy(F.year("o_orderdate").cast("long").alias("order_year"),
+                      "o_orderstatus")
+             .agg(F.count(F.lit(1)).alias("n")))
+
+
+_EV_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+@query(
+    "a3_missingness_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+               ROUND(CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS null_frac
+           FROM events"""
+        for c in _EV_COLS),
+)
+def a3_missingness_profile(spark, sf_dir):
+    """A3 missingness profile (`colSums(is.na(df))`,
+    `code/RCLIF_vitals.Rmd:236-249`): one single-pass aggregate over all
+    columns (not a job per column)."""
+    ev = io.load_table(spark, sf_dir, "events")
+    return profile.missingness_profile(ev, _EV_COLS)
+
+
+_CUST_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+@query(
+    "a4_duplicate_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name,
+               CAST(COUNT(*) - COUNT(DISTINCT {c})
+                    - (CASE WHEN COUNT(*) - COUNT({c}) > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS duplicate_count
+           FROM customer"""
+        for c in _CUST_COLS),
+)
+def a4_duplicate_profile(spark, sf_dir):
+    """A4 per-column duplicate counts (`sum(duplicated(.))`,
+    `code/RCLIF_disposition.Rmd:103-105`); R counts repeated NAs as
+    duplicates, mirrored exactly."""
+    c = io.load_table(spark, sf_dir, "customer")
+    return profile.duplicate_profile(c, _CUST_COLS)
+
+
+_LI_STATS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+@query(
+    "a5_summary_stats",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name, COUNT({c}) AS n,
+               ROUND(CAST(MIN({c}) AS DOUBLE), 6) AS min_value,
+               ROUND(CAST(MAX({c}) AS DOUBLE), 6) AS max_value,
+               {sql_dmean(c)} AS mean_value,
+               ROUND(quantile_cont({c}, 0.5), 6) AS median_value
+           FROM lineitem"""
+        for c in _LI_STATS),
+)
+def a5_summary_stats(spark, sf_dir):
+    """A5 descriptive stats (`summary(df)`, `code/RCLIF_vitals.Rmd:233`):
+    count/min/max/mean/median per column. Exact interpolated median here;
+    percentile_approx is the documented 100 TB swap (operators.profile)."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    return profile.summary_stats(li, _LI_STATS)
+
+
+@query(
+    "a6_distinct_dim_extract",
+    oracle="""
+    SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+    """,
+)
+def a6_distinct_dim_extract(spark, sf_dir):
+    """A6 distinct-values mini-dim (`select %>% distinct`,
+    `code/RCLIF_medications.Rmd:98-100`)."""
+    c = io.load_table(spark, sf_dir, "customer")
+    return reshape.distinct_rows(c, ["c_mktsegment", "c_nationkey"])
+
+
+@query(
+    "a7_rollup_revenue",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderstatus,
+           COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY ROLLUP (1, 2)
+    """,
+)
+def a7_rollup_revenue(spark, sf_dir):
+    """Grouping-sets surface (absent from the reference, SURVEY §2.4
+    'Absent'): ROLLUP of (year, status) with subtotal + grand-total rows."""
+    o = io.load_table(spark, sf_dir, "orders")
+    return (o.rollup(F.year("o_orderdate").cast("long").alias("order_year"),
+                     "o_orderstatus")
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  dsum("o_totalprice").alias("revenue")))
+
+
+@query(
+    "a8_cube_counts",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a8_cube_counts(spark, sf_dir):
+    """CUBE over (returnflag, linestatus) — all 2^2 grouping sets."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+              .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")))
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "o1_o2_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15
+    """,
+)
+def o1_o2_topk(spark, sf_dir):
+    """O1/O2 ordered limit (`arrange(desc(n))`, `code/RCLIF_vitals.Rmd:223`):
+    plans as TakeOrderedAndProject (per-partition heaps + driver merge, no
+    global sort materialization). o_orderkey tiebreaks for determinism."""
+    o = io.load_table(spark, sf_dir, "orders")
+    return core.top_k(
+        o.select("o_orderkey", "o_totalprice", "o_orderstatus"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")], 15)
+
+
+# ---------------------------------------------------------------------------
+# Set ops / reshape
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "u1_union_missing_cols",
+    oracle=r"""
+    SELECT event_id, event_type, value, NULL::BIGINT AS k
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT event_id, event_type, NULL::DOUBLE AS value,
+           TRY_CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS BIGINT) AS k
+    FROM events WHERE event_type = 'signup'
+    """,
+)
+def u1_union_missing_cols(spark, sf_dir):
+    """U1 union with missing columns NULL-filled (`bind_rows`,
+    `code/RCLIF_vitals.Rmd:59`; dialysis modality union with missing cols,
+    `code/RCLIF_dialysis.Rmd:156-157`)."""
+    ev = io.load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "event_type", "value")
+    b = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "event_type",
+        F.regexp_extract("props", r'"k":\s*([0-9]+)', 1).try_cast("bigint")
+         .alias("k"))
+    return reshape.union_by_name([a, b], allow_missing=True)
+
+
+@query(
+    "u2_u3_distinct_dedup",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate IS NOT NULL AS shipped
+    FROM lineitem
+    """,
+)
+def u2_u3_distinct_dedup(spark, sf_dir):
+    """U2/U3 whole-row distinct (`distinct()`, `code/RCLIF_dialysis.Rmd:40`;
+    `!duplicated`, `code/RCLIF_labs.Rmd:75`)."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    return reshape.distinct_rows(
+        li.select("l_returnflag", "l_linestatus",
+                  F.col("l_shipdate").isNotNull().alias("shipped")))
+
+
+@query(
+    "r1_unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS meas_value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def r1_unpivot_measures(spark, sf_dir):
+    """R1 wide -> long/EAV unpivot (`pivot_longer` of sbp/dbp,
+    `code/RCLIF_vitals.Rmd:50`) — the RCLIF event-table shape. Narrow
+    transform, no shuffle."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    return reshape.unpivot(li, ["l_orderkey", "l_linenumber"],
+                           ["l_quantity", "l_discount", "l_tax"],
+                           "measure", "meas_value")
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+@query(
+    "r2_pivot_wide",
+    oracle="SELECT user_id, "
+    + ", ".join(
+        f"""ROUND(CAST(SUM(CASE WHEN event_type = '{t}'
+                 THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE), 2) AS {t}"""
+        for t in _EVENT_TYPES)
+    + " FROM events GROUP BY user_id",
+)
+def r2_pivot_wide(spark, sf_dir):
+    """R2 long/EAV -> wide pivot (`pivot_wider`, `code/RCLIF_vitals.Rmd:108-113`)
+    with the explicit value list (avoids the extra distinct-names pass)."""
+    ev = io.load_table(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+              .pivot("event_type", _EVENT_TYPES)
+              .agg(dsum("value")))
+
+
+@query(
+    "r3_split_column",
+    oracle="""
+    SELECT doc_id,
+           str_split(text, ' ')[1] AS word1,
+           str_split(text, ' ')[2] AS word2,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def r3_split_column(spark, sf_dir):
+    """R3 column split (`separate` of "120/80" BP,
+    `code/RCLIF_vitals.Rmd:48`); missing parts -> NULL like R's NA fill."""
+    d = io.load_table(spark, sf_dir, "documents")
+    split = reshape.split_column(d.select("doc_id", "text"), "text", " ",
+                                 ["word1", "word2"])
+    return split.select(
+        "doc_id", "word1", "word2",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"))
+
+
+@query(
+    "r4_explode_top_tokens",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(str_split(lower(text), ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+    headline=True,
+)
+def r4_explode_top_tokens(spark, sf_dir):
+    """R4 explode (`unnest`, `code/RCLIF_medications.Rmd:125`) generalized to
+    corpus token counting; top-20 with deterministic tiebreak."""
+    d = io.load_table(spark, sf_dir, "documents")
+    toks = reshape.explode_tokens(
+        d.select(F.lower(F.col("text")).alias("text")), "text", "token", sep=" ")
+    return (toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.col("n").desc(), "token").limit(20))

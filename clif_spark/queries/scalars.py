@@ -1,0 +1,200 @@
+"""Scalar-function queries (SURVEY §2.8 F1-F13), each mirroring the R idiom
+it re-implements and its DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clif_spark import io
+from clif_spark.functions import scalars as S
+from clif_spark.queries import dsum, query, sql_dsum, us
+
+
+@query(
+    "f1_f2_classify_regex",
+    oracle=f"""
+    WITH classified AS (
+      SELECT CASE
+               WHEN regexp_matches(event_type, '(?i)^(sign|err)') THEN 'system'
+               WHEN value >= 100 THEN 'large'
+               WHEN value >= 10 THEN 'medium'
+               ELSE 'small'
+             END AS category,
+             value
+      FROM events
+    )
+    SELECT category, COUNT(*) AS n, {sql_dsum('value')} AS total_value
+    FROM classified GROUP BY category
+    """,
+)
+def f1_f2_classify_regex(spark, sf_dir):
+    """F1 case_when first-match-wins classification + F2 regex detect
+    (O2-device classify, `code/RCLIF_vitals.Rmd:125-135`; `grepl` families,
+    `code/RCLIF_adt.Rmd:35-86`)."""
+    ev = io.load_table(spark, sf_dir, "events")
+    category = S.classify(
+        [
+            (F.col("event_type").rlike(r"(?i)^(sign|err)"), "system"),
+            (F.col("value") >= 100, "large"),
+            (F.col("value") >= 10, "medium"),
+        ],
+        default="small",
+    )
+    return (ev.select(category.alias("category"), "value")
+              .groupBy("category")
+              .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value")))
+
+
+@query(
+    "f3_f4_f5_dose_parse",
+    oracle=r"""
+    WITH doses AS (
+      SELECT event_id,
+             CAST(value AS VARCHAR) || ' mg/' || event_type AS dose_str
+      FROM events
+    )
+    SELECT event_id,
+           trim(regexp_replace(dose_str, '[0-9.]+', '', 'g')) AS unit,
+           TRY_CAST(array_to_string(
+             regexp_extract_all(dose_str,
+               '([-+]?[0-9]*\.?[0-9]+([eE][-+]?[0-9]+)?)', 1), '')
+             AS DOUBLE) AS dose,
+           array_to_string(list_slice(str_split(dose_str, ' '), 1, 2), ' ')
+             AS first_two
+    FROM doses
+    """,
+)
+def f3_f4_f5_dose_parse(spark, sf_dir):
+    """F3 strip-digits unit derivation + F4 numeric-token extract-all + F5
+    first-two-words — the med-dose surgery (`code/RCLIF_medications.Rmd:138-140`)
+    run over synthesized '<value> mg/<type>' dose strings."""
+    ev = io.load_table(spark, sf_dir, "events")
+    doses = ev.select(
+        "event_id",
+        F.concat(F.col("value").cast("string"), F.lit(" mg/"),
+                 F.col("event_type")).alias("dose_str"))
+    return doses.select(
+        "event_id",
+        S.strip_digits(F.col("dose_str")).alias("unit"),
+        S.extract_dose(F.col("dose_str")).alias("dose"),
+        S.first_n_words(F.col("dose_str"), 2).alias("first_two"))
+
+
+@query(
+    "f6_coalesce_fallback",
+    oracle=r"""
+    WITH src AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v,
+             TRY_CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS DOUBLE) AS k
+      FROM events
+    )
+    SELECT event_id, ROUND(COALESCE(v, k, 0.0), 2) AS filled,
+           CASE WHEN COALESCE(v, k, 0.0) > 100 THEN 'high'
+                WHEN COALESCE(v, k, 0.0) > 50 THEN 'mid'
+                ELSE 'low' END AS band
+    FROM src
+    """,
+)
+def f6_coalesce_fallback(spark, sf_dir):
+    """F6 coalesce fallback chain (FiO2 3-way fallback,
+    `code/RCLIF_vitals.Rmd:154-157`; blank-unit default,
+    `code/RCLIF_medications.Rmd:138`)."""
+    ev = io.load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "click", None).otherwise(F.col("value"))
+    k = F.regexp_extract("props", r'"k":\s*([0-9]+)', 1).try_cast("double")
+    filled = F.coalesce(v, k, F.lit(0.0))
+    return ev.select(
+        "event_id",
+        F.round(filled, 2).alias("filled"),
+        S.classify([(filled > 100, "high"), (filled > 50, "mid")],
+                   default="low").alias("band"))
+
+
+@query(
+    "f7_f10_time_functions",
+    oracle=f"""
+    SELECT event_id,
+           epoch_us(ts) // 1000000 AS epoch_s,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           strftime(ts, '%Y-%m-%d') AS day_str,
+           CAST(year(ts) AS BIGINT) AS yr,
+           CAST(month(ts) AS BIGINT) AS mo,
+           epoch_us(ts - INTERVAL 1 HOUR) AS minus_1h_us,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+             AS days_since
+    FROM events
+    """,
+)
+def f7_f10_time_functions(spark, sf_dir):
+    """F7 epoch<->timestamp + format (`code/RCLIF_vitals.Rmd:60`), F8 parse,
+    F9 date parts (`code/RCLIF_dialysis.Rmd:164-167`), F10 interval
+    arithmetic (`ts - hours(1)`, `code/RCLIF_dialysis.Rmd:59`)."""
+    ev = io.load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        (us("ts") / F.lit(1_000_000)).cast("long").alias("epoch_s"),
+        S.ts_to_rclif_string(F.col("ts")).alias("ts_str"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+        F.year("ts").cast("long").alias("yr"),
+        F.month("ts").cast("long").alias("mo"),
+        us(F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("minus_1h_us"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+         .cast("long").alias("days_since"))
+
+
+@query(
+    "f8_parse_roundtrip",
+    oracle="""
+    SELECT event_id,
+           epoch_us(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                             '%Y-%m-%d %H:%M:%S')) AS reparsed_us
+    FROM events
+    """,
+)
+def f8_parse_roundtrip(spark, sf_dir):
+    """F8 string->timestamp parse (`ymd_hms`, `code/RCLIF_medications.Rmd:143`):
+    format to the RCLIF string form (second precision) and re-parse — the
+    fidelity boundary the reference's string-typed datetimes live behind."""
+    ev = io.load_table(spark, sf_dir, "events")
+    reparsed = S.parse_ts(S.ts_to_rclif_string(F.col("ts")))
+    return ev.select("event_id", us(reparsed).alias("reparsed_us"))
+
+
+@query(
+    "f11_cast_clamp",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           least(greatest(l_quantity, 5.0), 45.0) AS qty_clamped,
+           COALESCE(TRY_CAST(l_returnflag AS DOUBLE), -1.0) AS junk_cast
+    FROM lineitem
+    """,
+)
+def f11_cast_clamp(spark, sf_dir):
+    """F11 numeric cast with junk->NULL fidelity (`as.numeric`,
+    `code/RCLIF_vitals.Rmd:213-216`) + clamp (lpm cleaning `:146-148`)."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        S.clamp(F.col("l_quantity"), lo=5.0, hi=45.0).alias("qty_clamped"),
+        F.coalesce(F.col("l_returnflag").try_cast("double"), F.lit(-1.0))
+         .alias("junk_cast"))
+
+
+@query(
+    "f12_hash_pseudonymize",
+    oracle="""
+    SELECT c_custkey, sha256(c_name) AS sha, md5(c_name) AS md5_hash
+    FROM customer
+    """,
+)
+def f12_hash_pseudonymize(spark, sf_dir):
+    """F12 pseudonymization hash (`digest`, `code/RCLIF_disposition.Rmd:89-90`):
+    sha2-256 (engine default) + md5 (R digest's default), both bit-identical
+    across engines."""
+    c = io.load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        S.hash_id(F.col("c_name")).alias("sha"),
+        F.md5(F.col("c_name")).alias("md5_hash"))

@@ -1,0 +1,223 @@
+"""Window-operator queries (SURVEY §2.5 W1-W3 + engine surface: rank, moving
+aggregates, sessionization, native session/tumbling windows).
+
+These are the per-entity ordered computations at the heart of the RCLIF
+pipelines (episode derivation, downup fill, keep-last dedup). Every window
+partitions by the entity key and orders by (ts, unique id) — the explicit
+tiebreaker R's positional semantics silently relied on (SURVEY §7.4.1/2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from clif_spark import io
+from clif_spark.operators import windows as W
+from clif_spark.queries import dsum, query, sql_dsum, us
+
+
+@query(
+    "w1_lead_episodes",
+    oracle="""
+    SELECT user_id, event_id, epoch_us(ts) AS start_us,
+           lead(epoch_us(ts)) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS stop_us
+    FROM events
+    """,
+)
+def w1_lead_episodes(spark, sf_dir):
+    """W1 point events -> [start, stop) episodes; stop = next event's time,
+    NULL at partition end (`lead(ts)`, `code/RCLIF_dialysis.Rmd:95-97`)."""
+    ev = io.load_table(spark, sf_dir, "events")
+    eps = W.lead_episodes(ev, ["user_id"], "ts", tiebreak=["event_id"])
+    return eps.select("user_id", "event_id",
+                      us("start_time").alias("start_us"),
+                      us("stop_time").alias("stop_us"))
+
+
+@query(
+    "w2_downup_fill",
+    oracle="""
+    WITH sparse AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type IN ('click', 'view') THEN NULL
+                  ELSE value END AS v
+      FROM events
+    )
+    SELECT user_id, event_id,
+           COALESCE(
+             last_value(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             first_value(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           ) AS v_filled
+    FROM sparse
+    """,
+)
+def w2_downup_fill(spark, sf_dir):
+    """W2 per-entity LOCF+NOCB fill (`fill(.direction="downup")`,
+    `code/RCLIF_vitals.Rmd:161-162`): click/view rows are blanked to emulate
+    the sparse flowsheet columns, then filled down-then-up. Frame bounds per
+    SURVEY §7.4.2."""
+    ev = io.load_table(spark, sf_dir, "events")
+    sparse = ev.withColumn(
+        "v", F.when(F.col("event_type").isin("click", "view"), None)
+              .otherwise(F.col("value")))
+    filled = W.fill_downup(sparse, ["user_id"], ["ts", "event_id"], ["v"])
+    return filled.select("user_id", "event_id", F.col("v").alias("v_filled"))
+
+
+@query(
+    "w3_keep_last_dedup",
+    oracle="""
+    SELECT user_id, event_type, event_id, value
+    FROM events
+    QUALIFY row_number() OVER
+      (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def w3_keep_last_dedup(spark, sf_dir):
+    """W3 keep-last dedup (`!duplicated(..., fromLast=TRUE)`,
+    `code/RCLIF_disposition.Rmd:51`): latest event per (user, type) under the
+    explicit (ts, event_id) order — the determinism R leaves implicit."""
+    ev = io.load_table(spark, sf_dir, "events")
+    last = W.dedup_keep_last(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    return last.select("user_id", "event_type", "event_id", "value")
+
+
+@query(
+    "w4_rank_lag",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(rank() OVER w AS BIGINT) AS bal_rank,
+           ROUND(c_acctbal - lag(c_acctbal) OVER w, 2) AS gap_to_richer
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def w4_rank_lag(spark, sf_dir):
+    """Engine-surface ranking + lag (absent from the reference, SURVEY §2.5
+    'Absent'): per-nation account-balance rank and gap to the next richer."""
+    c = io.load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey", "c_nationkey",
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.round(F.col("c_acctbal") - F.lag("c_acctbal").over(w), 2)
+         .alias("gap_to_richer"))
+
+
+@query(
+    "w5_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(avg(value) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+    FROM events
+    """,
+)
+def w5_moving_avg(spark, sf_dir):
+    """Engine-surface moving aggregate over a 4-row frame."""
+    ev = io.load_table(spark, sf_dir, "events")
+    mv = W.moving_agg(ev, ["user_id"], ["ts", "event_id"], "value",
+                      preceding=3, agg="avg", out_col="mov_avg")
+    return mv.select("user_id", "event_id", F.round("mov_avg", 4).alias("mov_avg"))
+
+
+_GAP_MIN = 30
+
+@query(
+    "w6_sessionize_gap",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > {_GAP_MIN * 60 * 1_000_000} THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT *, SUM(is_new) OVER
+        (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us,
+           {sql_dsum('value')} AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def w6_sessionize_gap(spark, sf_dir):
+    """Gap-based sessionization — the dialysis episode template
+    (`code/RCLIF_dialysis.Rmd:87-100`) generalized: a 30-minute silence
+    starts a new session; per-session aggregates follow. Same partitioning
+    as W1/W2, so all three share one shuffle when composed."""
+    ev = io.load_table(spark, sf_dir, "events")
+    s = W.sessionize(ev, ["user_id"], "ts", _GAP_MIN, tiebreak=["event_id"])
+    return (s.groupBy("user_id", "session_id")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.min(us("ts")).alias("first_us"),
+                  F.max(us("ts")).alias("last_us"),
+                  dsum("value").alias("session_value")))
+
+
+@query(
+    "w7_session_window_native",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > {_GAP_MIN * 60 * 1_000_000} THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT *, SUM(is_new) OVER
+        (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(epoch_us(ts)) AS session_start_us,
+           MAX(epoch_us(ts)) + {_GAP_MIN * 60 * 1_000_000} AS session_end_us,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def w7_session_window_native(spark, sf_dir):
+    """Spark's native ``session_window`` in batch — identical semantics to
+    w6 (window end = last event + gap), and the same operator the streaming
+    surface uses incrementally (clif_spark.streaming; SURVEY §2.10)."""
+    ev = io.load_table(spark, sf_dir, "events")
+    return (ev.groupBy("user_id", F.session_window("ts", f"{_GAP_MIN} minutes"))
+              .agg(F.count(F.lit(1)).alias("n_events"))
+              .select("user_id",
+                      us(F.col("session_window.start")).alias("session_start_us"),
+                      us(F.col("session_window.end")).alias("session_end_us"),
+                      "n_events"))
+
+
+@query(
+    "w8_tumbling_window",
+    oracle=f"""
+    SELECT epoch_us(ts) - epoch_us(ts) % {6 * 3600 * 1_000_000} AS bucket_us,
+           event_type, COUNT(*) AS n, {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def w8_tumbling_window(spark, sf_dir):
+    """Tumbling time window (batch form of the streaming windowed agg,
+    SURVEY §2.10): 6-hour epoch-aligned buckets per event type."""
+    ev = io.load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+              .select(us(F.col("w.start")).alias("bucket_us"), "event_type",
+                      "n", "total_value"))

@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (north star: BASELINE.json).
+
+Brute-force cosine top-k as the exact baseline, plus a random-hyperplane LSH
+bucketing as the scale path (the IVF idea: only compare within a bucket).
+
+Engine-native math: dot products and norms are ``zip_with`` + ``aggregate``
+higher-order functions over array<double> — sequential left-folds, so results
+are bit-deterministic and whole-stage-codegen'd; no Python crosses the wire.
+
+Scale shape (100 TB / billions of vectors):
+- brute-force top-k broadcasts the (small) query set and computes per
+  partition; the only shuffle is the final per-query top-k (TakeOrdered-style
+  partial heaps via window over query_id).
+- LSH buckets: signature = sign bits against ``n_planes`` fixed hyperplanes;
+  candidate generation is a groupBy(bucket) — identical join geometry to the
+  MinHash text path (clif_spark.dedup). Recall is tuned by n_planes and
+  multi-probe; verification re-ranks with exact cosine inside the bucket.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<double> columns."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is (query_id, embedding) and is broadcast; self-matches
+    (same id) are excluded. Ties break on neighbor id for determinism.
+    Output: (query_id, neighbor_id, cos) with cos rounded to 4dp.
+    """
+    v = vectors.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).cast("array<double>").alias("__v"))
+    q = queries.select(F.col(query_id_col),
+                       F.col(vec_col).cast("array<double>").alias("__q"))
+    scored = (v.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col))
+                .select(query_id_col, "neighbor_id",
+                        F.round(cosine(F.col("__q"), F.col("__v")), 4).alias("cos")))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(),
+                                                 F.col("neighbor_id"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def deterministic_hyperplanes(dim: int, n_planes: int, seed: str = "clif") -> list[list[float]]:
+    """Pseudo-random unit-free hyperplanes derived from md5 — reproducible
+    across engines/sessions with no RNG state (each component is an md5 of
+    (seed, plane, coordinate) mapped into [-1, 1))."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()
+            (val,) = struct.unpack(">Q", h[:8])
+            row.append(val / float(2**63) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature of a vector against fixed hyperplanes, as a
+    bitstring column ('101…'). Vectors in the same bucket are ANN candidates."""
+    bits = []
+    for row in planes:
+        plane = F.array(*[F.lit(x) for x in row])
+        bits.append(F.when(dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_assign(vectors: DataFrame, n_planes: int = 8,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               dim: int = 64) -> DataFrame:
+    """Assign each vector to an LSH bucket: (id, bucket)."""
+    planes = deterministic_hyperplanes(dim, n_planes)
+    return vectors.select(
+        F.col(id_col),
+        lsh_bucket(F.col(vec_col).cast("array<double>"), planes).alias("bucket"))
+
+
+def lsh_cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+                    n_planes: int = 8, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    query_id_col: str = "query_id", dim: int = 64) -> DataFrame:
+    """ANN top-k: restrict exact cosine to same-bucket candidates.
+
+    Recall < 1 by construction (tune n_planes down / add multi-probe for
+    higher recall); the payoff is that each query touches ~n/2^planes vectors
+    instead of n."""
+    assigned = lsh_assign(vectors, n_planes, id_col, vec_col, dim).withColumnRenamed(id_col, "neighbor_id")
+    v = vectors.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).cast("array<double>").alias("__v"))
+    q_assigned = lsh_assign(queries.withColumnRenamed(query_id_col, id_col),
+                            n_planes, id_col, vec_col, dim).withColumnRenamed(id_col, query_id_col)
+    q = queries.select(query_id_col, F.col(vec_col).cast("array<double>").alias("__q"))
+    cand = (v.join(assigned, "neighbor_id")
+             .join(F.broadcast(q_assigned), "bucket")
+             .join(F.broadcast(q), query_id_col)
+             .filter(F.col("neighbor_id") != F.col(query_id_col)))
+    scored = cand.select(query_id_col, "neighbor_id",
+                         F.round(cosine(F.col("__q"), F.col("__v")), 4).alias("cos"))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(),
+                                                 F.col("neighbor_id"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") <= k).drop("__rn"))
