@@ -123,12 +123,17 @@ def to_double(col: Column) -> Column:
 
 
 def clamp(col: Column, lo: float | None = None, hi: float | None = None) -> Column:
-    """Range clamp (lpm cleaning `code/RCLIF_vitals.Rmd:146-148`)."""
+    """Range clamp (lpm cleaning `code/RCLIF_vitals.Rmd:146-148`).
+
+    NULL-preserving: Spark's least/greatest *skip* NULL arguments
+    (least(NULL, hi) -> hi), which would resurrect junk-cast NULLs, so the
+    bounds are applied with when() instead.
+    """
     out = col
     if hi is not None:
-        out = F.least(out, F.lit(hi))
+        out = F.when(out > F.lit(hi), F.lit(hi)).otherwise(out)
     if lo is not None:
-        out = F.greatest(out, F.lit(lo))
+        out = F.when(out < F.lit(lo), F.lit(lo)).otherwise(out)
     return out
 
 
