@@ -30,8 +30,16 @@ def main() -> None:
     spark = build_session(app_name="clif-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm-up: JVM classloading + codegen on a trivial job.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # Warm-up: JVM classloading + JIT for the physical operators the
+    # headliners use (shuffle, hash-agg, window, broadcast join, explode,
+    # hash functions) so per-query numbers reflect steady-state execution.
+    warm = spark.range(10000).selectExpr(
+        "id", "md5(cast(id as string)) AS h", "id % 7 AS k")
+    warm.groupBy("k").count().collect()
+    warm.selectExpr("*", "row_number() OVER (PARTITION BY k ORDER BY h) AS rn") \
+        .join(spark.range(7).selectExpr("id AS k"), "k").collect()
+    spark.range(100).selectExpr(
+        "explode(sequence(1, 10)) AS e").distinct().collect()
 
     timings: dict[str, float] = {}
     for q in headliners:

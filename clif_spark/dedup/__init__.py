@@ -20,8 +20,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from clif_spark.functions.text import fingerprint, word_ngrams
+from clif_spark.io import ensure_parallelism
 
 #: (bands, rows-per-band) for MinHash LSH. P(candidate) = 1-(1-J^r)^b:
 #: J=0.8 -> 0.98, J=0.2 -> 0.15 with b=4, r=2.
@@ -79,15 +81,21 @@ def lsh_candidate_pairs(band_keys: DataFrame, max_bucket: int = 200) -> DataFram
     multiple bands. ``max_bucket`` bounds quadratic blowup on degenerate
     buckets (skew guard).
     """
-    sized = band_keys.withColumn(
-        "bucket_n",
-        F.count(F.lit(1)).over(Window.partitionBy("band", "band_key")))
-    small = sized.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
-    left = small.select("band", "band_key", F.col("doc").alias("a"))
-    right = small.select("band", "band_key", F.col("doc").alias("b"))
-    return (left.join(right, ["band", "band_key"])
-                .filter(F.col("a") < F.col("b"))
-                .select("a", "b").distinct())
+    buckets = (band_keys.groupBy("band", "band_key")
+                        .agg(F.array_sort(F.collect_list("doc")).alias("docs"))
+                        .filter(F.size("docs").between(2, max_bucket)))
+    # In-bucket a<b pairs from the sorted doc array: one groupBy shuffle
+    # replaces the window-count + self-join formulation (two exchanges on
+    # the same key). Per-group state is bounded by max_bucket, so the
+    # collect_list is safe at any corpus size.
+    pairs = F.flatten(F.transform(
+        F.col("docs"),
+        lambda a, i: F.transform(
+            F.slice(F.col("docs"), i + F.lit(2),
+                    F.greatest(F.size(F.col("docs")) - i - 1, F.lit(0))),
+            lambda b: F.struct(a.alias("a"), b.alias("b")))))
+    return (buckets.select(F.explode(pairs).alias("p"))
+                   .select("p.a", "p.b").distinct())
 
 
 def jaccard_verify(pairs: DataFrame, shingles: DataFrame,
@@ -118,7 +126,13 @@ def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
                       threshold: float = 0.7) -> DataFrame:
     """End-to-end near-dup pipeline: shingle -> minhash bands -> LSH buckets
     -> exact-Jaccard verify -> pairs over threshold."""
-    sh = doc_shingles(docs, id_col, text_col, n)
+    # The distinct shingle set feeds four downstream plans (band signatures,
+    # both sides of the intersection join, set sizes); persist it once so the
+    # explode+distinct shuffle runs once, spilling to disk when it outgrows
+    # executor memory at scale. ensure_parallelism spreads the CPU-heavy
+    # shingling across cores when the scan produced few splits.
+    sh = doc_shingles(ensure_parallelism(docs), id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK)
     pairs = lsh_candidate_pairs(minhash_band_keys(sh))
     return jaccard_verify(pairs, sh, threshold)
 
@@ -133,7 +147,7 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     expressions folded into a bigint. Near-dup = small Hamming distance
     (pair search via multi-probe banding on 16-bit chunks, same LSH shape as
     MinHash)."""
-    toks = docs.select(
+    toks = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"))
     h = toks.withColumn("h", F.xxhash64("tok"))

@@ -43,13 +43,19 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
     start offsets, each slicing n words — no UDF, no explode until the caller
     wants rows. Documents shorter than n words yield an empty array.
     """
-    w = F.split(F.trim(col), r"\s+")
-    return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    def build(w: Column) -> Column:
+        return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            )
         )
-    )
+
+    # Bind the split result to a lambda variable so it is evaluated ONCE per
+    # row: referencing the raw split() expression inside the ngram lambda
+    # makes Catalyst re-split the string per offset — O(words²) work that
+    # showed up as ~8x on the dedup benchmark.
+    return F.transform(F.array(F.split(F.trim(col), r"\s+")), build)[0]
 
 
 def stopword_ratio(col: Column) -> Column:

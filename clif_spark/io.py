@@ -65,6 +65,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition only when the scan produced fewer splits than cores.
+
+    Small single-file inputs arrive as one partition, serializing every
+    narrow stage above the first shuffle onto one core. At production scale
+    the scan yields >= cores splits and this is a no-op — the repartition
+    shuffle is only paid exactly when the input is small enough for it to be
+    cheap. Used ahead of CPU-heavy narrow work (shingling, embedding math).
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every testdata table keyed by name."""
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}

@@ -247,8 +247,9 @@ def text_quality_metrics(spark, sf_dir):
     """Per-document quality features + composite score (C4/Gopher-style
     filtering): token counts (whitespace + BPE-ish regex), stopword ratio,
     punctuation density, mean token length. Pure column expressions —
-    whole-stage codegen over the scan, zero shuffles."""
-    d = io.load_table(spark, sf_dir, "documents")
+    whole-stage codegen over the scan, zero shuffles (the repartition only
+    fires on under-split local inputs)."""
+    d = io.ensure_parallelism(io.load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     return d.select(
         "doc_id",

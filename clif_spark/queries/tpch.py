@@ -37,8 +37,10 @@ from clif_spark.queries import dmean, dsum, query, sql_dmean, sql_dsum
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1: full-scan aggregate — partial aggregation collapses the
     shuffle to (partitions × 6 groups) rows; everything pre-shuffle is one
-    WholeStageCodegen span over the pruned 7-column scan."""
-    li = io.load_table(spark, sf_dir, "lineitem")
+    WholeStageCodegen span over the pruned 7-column scan. The decimal
+    accumulation dominates CPU, so under-split local inputs are repartitioned
+    to spread it (no-op at scale where the scan yields >= cores splits)."""
+    li = io.ensure_parallelism(io.load_table(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (li.filter(F.col("l_shipdate") <= F.lit("2001-08-06 00:00:00").cast("timestamp_ntz"))

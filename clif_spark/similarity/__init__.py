@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from clif_spark.io import ensure_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product of two array<double> columns."""
@@ -50,8 +52,9 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     (same id) are excluded. Ties break on neighbor id for determinism.
     Output: (query_id, neighbor_id, cos) with cos rounded to 4dp.
     """
-    v = vectors.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).cast("array<double>").alias("__v"))
+    v = ensure_parallelism(vectors).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__v"))
     q = queries.select(F.col(query_id_col),
                        F.col(vec_col).cast("array<double>").alias("__q"))
     scored = (v.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col))
