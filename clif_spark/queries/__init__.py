@@ -92,6 +92,7 @@ def collect_registry() -> dict[str, QueryDef]:
         llm,
         relational,
         scalars,
+        streaming,
         tpch,
         windows,
     )

@@ -1,0 +1,118 @@
+"""Streaming queries (SURVEY §2.10 / Phase 5), differentially tested.
+
+Each query executes a genuine Structured Streaming plan (file source ->
+watermark -> stateful op -> memory sink) to completion with an
+``availableNow`` trigger, then returns the settled result — which must equal
+the batch answer, so the ordinary DuckDB oracle applies. This is the
+streaming/batch unification Spark promises, used as a correctness gate.
+
+Window starts are returned as epoch micros (bigint) per registry policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clif_spark import streaming
+from clif_spark.queries import query, us
+
+
+@query(
+    "stream_tumbling_agg",
+    oracle="""
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS w_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 2)
+             AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_agg(spark, sf_dir):
+    """Watermarked 1h tumbling count+sum per event_type, run as a real
+    stream (availableNow) and settled — must equal the batch grouping."""
+    ev = streaming.read_events_stream(spark, sf_dir)
+    out = streaming.run_to_memory(streaming.tumbling_agg(ev))
+    return out.select(us(F.col("w.start")).alias("w_start"), "event_type",
+                      "n", "sum_value")
+
+
+@query(
+    "stream_sliding_agg",
+    oracle="""
+    WITH starts AS (
+      SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
+                     time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour'])
+               AS w_start,
+             event_type
+      FROM events
+    )
+    SELECT epoch_us(w_start) AS w_start, event_type, COUNT(*) AS n
+    FROM starts
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_agg(spark, sf_dir):
+    """2h windows sliding by 1h: every event lands in exactly two windows
+    (the batch mirror enumerates both starts per event)."""
+    ev = streaming.read_events_stream(spark, sf_dir)
+    out = streaming.run_to_memory(streaming.sliding_agg(ev))
+    return out.select(us(F.col("w.start")).alias("w_start"), "event_type", "n")
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_windows(spark, sf_dir):
+    """Per-user 30-minute-gap session windows computed incrementally —
+    the streaming twin of the dialysis episode derivation (W1). The oracle
+    is the classic gaps-and-islands SQL; session start identifies a session
+    (Spark's session end = last_ts + gap, an implementation representation,
+    is not compared)."""
+    ev = streaming.read_events_stream(spark, sf_dir)
+    out = streaming.run_to_memory(streaming.session_agg(ev))
+    return out.select("user_id", us(F.col("w.start")).alias("session_start"),
+                      "n_events")
+
+
+@query(
+    "stream_dedup_counts",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_counts(spark, sf_dir):
+    """Stateful streaming dedup on (user_id, event_type) — first arrival
+    wins — then a per-type count of the survivors, which must equal the
+    batch COUNT(DISTINCT user_id). Run as two chained availableNow passes
+    (dedup emits an append stream the aggregation consumes in batch)."""
+    ev = streaming.read_events_stream(spark, sf_dir)
+    deduped = streaming.run_to_memory(
+        streaming.stream_dedup(ev, ["user_id", "event_type"]),
+        output_mode="append")
+    return (deduped.groupBy("event_type")
+                   .agg(F.count(F.lit(1)).alias("n_users")))

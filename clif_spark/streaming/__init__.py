@@ -1,0 +1,139 @@
+"""Structured Streaming surface (SURVEY §2.10, build plan Phase 5).
+
+The reference is pure batch; streaming enters through the driver's ``events``
+table and the 100 TB north star. Everything here is the stock Structured
+Streaming API — the same DataFrame operators as batch (watermark + windowed
+aggregation, session windows, stateful dedup), so each streaming op has an
+exact batch/SQL equivalent and can be differentially tested: run the stream
+with an ``availableNow`` trigger into a memory sink, then compare the settled
+result against the DuckDB oracle on the same parquet.
+
+Semantics mapping back to the reference:
+- session windows  == the dialysis episode derivation (W1,
+  `code/RCLIF_dialysis.Rmd:87-100`) computed incrementally;
+- tumbling/sliding aggregates == the group-count profiles (A1/A2) per
+  time bucket;
+- stateful dedup == U3 whole-row dedup (`code/RCLIF_labs.Rmd:75`) with
+  bounded state via watermark.
+
+Scale notes: streaming state (windows, sessions, dedup keys) lives in the
+executor state store keyed by the groupBy key — the same partitioning story
+as batch windows (entity-keyed, skew-aware). Watermarks bound state growth;
+``complete`` output mode below is only for the bounded test corpus, real
+deployments use append + watermark.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of the events table (S1's streaming twin).
+
+    The file source needs an explicit schema (no inference mid-stream); we
+    take it from a batch read of the same path, including the
+    TIMESTAMP(NANOS) -> long -> micros normalization io.load_table applies.
+    ``maxFilesPerTrigger`` paces replay for multi-batch tests.
+    """
+    path = f"{sf_dir}/events.parquet"
+    batch_schema = spark.read.parquet(path).schema
+    # The file stream source requires a *directory* base path; select the
+    # single table file with a glob filter.
+    reader = (spark.readStream.schema(batch_schema)
+              .option("pathGlobFilter", "events.parquet"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def tumbling_agg(events: DataFrame, window: str = "1 hour",
+                 watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window count+sum per event_type.
+
+    Late data beyond ``watermark`` is dropped; state for closed windows is
+    evicted. Decimal-accumulated sum for cross-engine determinism.
+    """
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.col("value").cast("decimal(30,6)"))
+                          .cast("double"), 2).alias("sum_value")))
+
+
+def sliding_agg(events: DataFrame, window: str = "2 hours",
+                slide: str = "1 hour", watermark: str = "1 hour") -> DataFrame:
+    """Watermarked sliding-window count per event_type: each event lands in
+    window_duration/slide overlapping windows."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes",
+                watermark: str = "1 hour") -> DataFrame:
+    """Per-user session windows: a session extends while successive events
+    arrive within ``gap``. The incremental form of the dialysis episode
+    derivation (W1) / windows.sessionize."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events")))
+
+
+def stream_dedup(events: DataFrame, keys: list[str],
+                 watermark: str | None = None) -> DataFrame:
+    """Stateful streaming dedup: first arrival per key wins (U3's streaming
+    twin). With a watermark, state is bounded via
+    dropDuplicatesWithinWatermark (keys recur only within the lateness
+    horizon); without one, state grows with distinct keys (test corpora only).
+    """
+    if watermark:
+        return (events.withWatermark("ts", watermark)
+                      .dropDuplicatesWithinWatermark(keys))
+    return events.dropDuplicates(keys)
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str = "complete",
+                  name: str | None = None) -> DataFrame:
+    """Execute a streaming plan to completion on the available data and
+    return the settled result as a batch DataFrame.
+
+    ``availableNow`` processes everything currently in the source then stops
+    — the deterministic replay mode that makes streaming ops oracle-testable.
+    ``complete`` mode emits every window (append would hold back windows the
+    final watermark never passes); fine for bounded test data, not for
+    production sinks.
+    """
+    qname = name or f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="clif_stream_ckpt_")
+    q = (stream_df.writeStream.format("memory").queryName(qname)
+         .outputMode(output_mode)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return stream_df.sparkSession.table(qname)
+
+
+def write_stream_parquet(stream_df: DataFrame, path: str, checkpoint: str,
+                         output_mode: str = "append"):
+    """foreachBatch parquet sink: each micro-batch lands as a batch write,
+    giving exactly-once file output plus access to batch-only APIs inside
+    the writer (the standard production sink shape)."""
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    return (stream_df.writeStream.foreachBatch(_sink)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
