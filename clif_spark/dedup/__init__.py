@@ -18,7 +18,7 @@ Design notes for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -81,21 +81,32 @@ def lsh_candidate_pairs(band_keys: DataFrame, max_bucket: int = 200) -> DataFram
     multiple bands. ``max_bucket`` bounds quadratic blowup on degenerate
     buckets (skew guard).
     """
-    buckets = (band_keys.groupBy("band", "band_key")
-                        .agg(F.array_sort(F.collect_list("doc")).alias("docs"))
-                        .filter(F.size("docs").between(2, max_bucket)))
-    # In-bucket a<b pairs from the sorted doc array: one groupBy shuffle
-    # replaces the window-count + self-join formulation (two exchanges on
-    # the same key). Per-group state is bounded by max_bucket, so the
-    # collect_list is safe at any corpus size.
+    return pairs_from_buckets(band_keys, ["band", "band_key"], "doc",
+                              max_bucket=max_bucket)
+
+
+def pairs_from_buckets(df: DataFrame, group_cols: list[str], id_col: str,
+                       max_bucket: int = 200, a_col: str = "a",
+                       b_col: str = "b") -> DataFrame:
+    """Distinct (a < b) id pairs within each bucket group — the shared
+    candidate-generation core of MinHash text dedup and LSH embedding dedup.
+
+    One groupBy shuffle + in-array pair expansion replaces the window-count +
+    bucket self-join formulation (two exchanges on the same key). Per-group
+    state is bounded by ``max_bucket`` (buckets larger than it are dropped —
+    the skew guard), so the collect_list is safe at any corpus size.
+    """
+    buckets = (df.groupBy(*group_cols)
+                 .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+                 .filter(F.size("ids").between(2, max_bucket)))
     pairs = F.flatten(F.transform(
-        F.col("docs"),
+        F.col("ids"),
         lambda a, i: F.transform(
-            F.slice(F.col("docs"), i + F.lit(2),
-                    F.greatest(F.size(F.col("docs")) - i - 1, F.lit(0))),
-            lambda b: F.struct(a.alias("a"), b.alias("b")))))
+            F.slice(F.col("ids"), i + F.lit(2),
+                    F.greatest(F.size(F.col("ids")) - i - 1, F.lit(0))),
+            lambda b: F.struct(a.alias(a_col), b.alias(b_col)))))
     return (buckets.select(F.explode(pairs).alias("p"))
-                   .select("p.a", "p.b").distinct())
+                   .select(f"p.{a_col}", f"p.{b_col}").distinct())
 
 
 def jaccard_verify(pairs: DataFrame, shingles: DataFrame,

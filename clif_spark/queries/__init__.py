@@ -93,6 +93,7 @@ def collect_registry() -> dict[str, QueryDef]:
         relational,
         scalars,
         streaming,
+        temporal,
         tpch,
         windows,
     )

@@ -173,16 +173,20 @@ _N_PLANES = 6
 _DIM = 64
 
 
-def _lsh_bucket_sql() -> str:
+def _bucket_sql_expr(arr: str = "e") -> str:
+    """DuckDB mirror of similarity.lsh_bucket over an array column ``arr``."""
     planes = similarity.deterministic_hyperplanes(_DIM, _N_PLANES)
     bits = []
     for row in planes:
-        dot = " + ".join(f"e[{i+1}] * ({c!r})" for i, c in enumerate(row))
+        dot = " + ".join(f"{arr}[{i+1}] * ({c!r})" for i, c in enumerate(row))
         bits.append(f"CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END")
-    bucket = " || ".join(bits)
+    return " || ".join(bits)
+
+
+def _lsh_bucket_sql() -> str:
     return f"""
     WITH vecs AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
-    SELECT {bucket} AS bucket, COUNT(*) AS n
+    SELECT {_bucket_sql_expr()} AS bucket, COUNT(*) AS n
     FROM vecs
     GROUP BY 1
     """
@@ -198,6 +202,45 @@ def ann_lsh_buckets(spark, sf_dir):
     e = io.load_table(spark, sf_dir, "embeddings")
     assigned = similarity.lsh_assign(e, n_planes=_N_PLANES, dim=_DIM)
     return assigned.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _embed_dedup_oracle() -> str:
+    return f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> x * CAST(1.01 AS DOUBLE))
+      FROM embeddings WHERE vec_id < 10
+    ),
+    b AS (SELECT vec_id, e, {_bucket_sql_expr()} AS bucket FROM base),
+    pairs AS (
+      SELECT l.vec_id AS a, r.vec_id AS b, l.e AS ea, r.e AS eb
+      FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    )
+    SELECT a, b, ROUND(list_cosine_similarity(ea, eb), 4) AS cos
+    FROM pairs
+    WHERE ROUND(list_cosine_similarity(ea, eb), 4) >= 0.98
+    """
+
+
+@query("dedup_embedding_cosine", oracle=_embed_dedup_oracle())
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup (the modality-agnostic dedup pass): LSH
+    buckets -> in-bucket candidate pairs -> exact cosine >= 0.98. 10 planted
+    scaled copies (x1.01 — same direction, cosine 1.0) must surface; sign-bit
+    buckets are scale-invariant so planted copies always collide with their
+    originals."""
+    e = io.load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id",
+                    F.col("embedding").cast("array<double>").alias("embedding"))
+    planted = base.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.01)).alias("embedding"))
+    return similarity.cosine_near_dup_pairs(
+        base.unionByName(planted), threshold=0.98,
+        n_planes=_N_PLANES, dim=_DIM)
 
 
 # ---------------------------------------------------------------------------

@@ -101,6 +101,38 @@ def lsh_assign(vectors: DataFrame, n_planes: int = 8,
         lsh_bucket(F.col(vec_col).cast("array<double>"), planes).alias("bucket"))
 
 
+def cosine_near_dup_pairs(vectors: DataFrame, threshold: float = 0.98,
+                          n_planes: int = 6, id_col: str = "vec_id",
+                          vec_col: str = "embedding", dim: int = 64,
+                          max_bucket: int = 500) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+
+    The all-pairs product never materializes: vectors are LSH-bucketed
+    (identical-direction duplicates land in the same bucket by construction
+    — sign bits are scale-invariant), candidate pairs are generated within
+    buckets (same single-shuffle shape as MinHash text dedup), and exact
+    cosine verifies candidates. Recall for non-identical near-dups is the
+    standard LSH trade-off, tuned by n_planes.
+    """
+    from clif_spark.dedup import pairs_from_buckets
+
+    assigned = lsh_assign(ensure_parallelism(vectors), n_planes, id_col,
+                          vec_col, dim)
+    pairs = pairs_from_buckets(assigned, ["bucket"], id_col,
+                               max_bucket=max_bucket)
+    v = vectors.select(F.col(id_col),
+                       F.col(vec_col).cast("array<double>").alias("__v"))
+    return (pairs
+            .join(v.select(F.col(id_col).alias("a"),
+                           F.col("__v").alias("__va")), "a")
+            .join(v.select(F.col(id_col).alias("b"),
+                           F.col("__v").alias("__vb")), "b")
+            .select("a", "b",
+                    F.round(cosine(F.col("__va"), F.col("__vb")), 4)
+                     .alias("cos"))
+            .filter(F.col("cos") >= threshold))
+
+
 def lsh_cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                     n_planes: int = 8, id_col: str = "vec_id",
                     vec_col: str = "embedding",

@@ -1,0 +1,68 @@
+"""Unit tests for the temporal join operators: as-of boundary semantics
+(no prior match -> NULL, simultaneous right row matches, latest-wins) and
+interval containment edges (inclusive start, exclusive end)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from clif_spark.operators import temporal
+
+
+def ts(h, m=0):
+    return datetime(2020, 4, 1, h, m)
+
+
+def test_asof_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [("u1", ts(0, 30), "before_any"),
+         ("u1", ts(1), "exact_tie"),
+         ("u1", ts(2), "after_both"),
+         ("u2", ts(5), "other_key")],
+        ["user", "ts", "label"])
+    right = spark.createDataFrame(
+        [("u1", ts(1), 100.0),
+         ("u1", ts(1, 30), 200.0),
+         ("u3", ts(0), 999.0)],
+        ["user", "ts", "px"])
+    out = {r["label"]: r.asDict()
+           for r in temporal.asof_join(left, right, on="user",
+                                       value_cols=["px"],
+                                       matched_ts_col="mts").collect()}
+    assert out["before_any"]["px"] is None
+    assert out["before_any"]["mts"] is None
+    # a right row at exactly the left ts matches (>= semantics)
+    assert out["exact_tie"]["px"] == 100.0 and out["exact_tie"]["mts"] == ts(1)
+    # the greatest right ts <= left ts wins, not just any prior
+    assert out["after_both"]["px"] == 200.0
+    assert out["after_both"]["mts"] == ts(1, 30)
+    # keys with no right rows at all stay NULL
+    assert out["other_key"]["px"] is None
+
+
+def test_interval_join_half_open(spark):
+    points = spark.createDataFrame(
+        [("u1", ts(1)), ("u1", ts(2)), ("u1", ts(3)), ("u2", ts(1, 30))],
+        ["user", "ts"])
+    intervals = spark.createDataFrame(
+        [("u1", "i1", ts(1), ts(3))],  # [1:00, 3:00)
+        ["user", "iid", "start_ts", "end_ts"])
+    got = sorted(
+        r["ts"] for r in temporal.interval_join(
+            points, intervals, on="user", ts_col="ts",
+            start_col="start_ts", end_col="end_ts").collect())
+    # inclusive start, exclusive end; other keys never match
+    assert got == [ts(1), ts(2)]
+
+
+def test_asof_plan_is_single_exchange(spark):
+    """The as-of join must plan as one shuffle on the key (union + window),
+    not a range join: no Cartesian/BroadcastNestedLoop anywhere."""
+    left = spark.createDataFrame([("u1", ts(1))], ["user", "ts"])
+    right = spark.createDataFrame([("u1", ts(0), 1.0)], ["user", "ts", "px"])
+    plan = (temporal.asof_join(left, right, on="user", value_cols=["px"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
