@@ -1,0 +1,61 @@
+"""Physical-plan regression tests: the scale properties SURVEY §4 promises
+(pushdown, pruning, broadcast dims, partial aggregation, no row-Python in
+the hot path) asserted on the actual executed plans, so a refactor that
+silently de-optimizes a plan fails CI rather than only showing up at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("CLIF_TEST_SF_DIR", "/root/testdata/sf0.001")
+QUERIES = entry_mod.queries()
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushdown_pruning_partial_agg(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    # date predicate reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: 7 needed columns only — untouched wide columns absent
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_quantity" in read and "l_orderkey" not in read
+    # map-side combine before the exchange
+    assert "partial_sum" in plan
+
+
+def test_q6_all_predicates_pushed(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_vocab_joins_broadcast(spark):
+    for name in ("j1_vocab_broadcast_star", "q3_shipping_priority",
+                 "q5_local_supplier_volume"):
+        assert "BroadcastHashJoin" in plan_of(spark, name), name
+
+
+def test_fuzzy_match_broadcasts_vocab(spark):
+    # J6: the regex join must be broadcast nested-loop over *distinct* names
+    # x tiny vocab, never a shuffled cartesian
+    plan = plan_of(spark, "j6_fuzzy_vocab_match")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_row_python_udfs(spark, name):
+    """Builtin-first policy (SURVEY §2.9): no row-at-a-time Python UDF in any
+    registered query. Arrow-batched pandas paths (the documented multimodal
+    decode stubs) appear as MapInPandas/ArrowEvalPython and are allowed."""
+    assert "BatchEvalPython" not in plan_of(spark, name), name

@@ -1,0 +1,116 @@
+"""Property tests (SURVEY §5 item 4): algebraic invariants of the window and
+reshape operators on hypothesis-generated micro-tables. Few examples per
+property (each example runs Spark jobs), but each is adversarial: duplicate
+timestamps, all-null columns, single-row partitions.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from clif_spark.operators import reshape, windows
+
+PROP = settings(max_examples=8, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+# (entity, seq, maybe-null value) event rows; seq doubles as a unique
+# in-partition tiebreaker.
+events_strategy = st.lists(
+    st.tuples(st.sampled_from(["e1", "e2", "e3"]),
+              st.integers(min_value=0, max_value=20),
+              st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))),
+    min_size=1, max_size=25,
+).map(lambda rows: [(e, i, s, v) for i, (e, s, v) in enumerate(rows)])
+
+COLS = ["entity", "uid", "seq", "val"]
+SCHEMA = "entity string, uid long, seq long, val string"
+
+
+@PROP
+@given(events_strategy)
+def test_fill_downup_idempotent_and_null_complete(spark, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    once = windows.fill_downup(df, ["entity"], ["seq", "uid"], ["val"])
+    twice = windows.fill_downup(once, ["entity"], ["seq", "uid"], ["val"])
+    got_once = sorted(map(tuple, once.collect()))
+    got_twice = sorted(map(tuple, twice.collect()))
+    assert got_once == got_twice  # idempotent
+    # a row stays NULL iff its whole partition is NULL
+    all_null = {e for e, grp in _group(rows).items()
+                if all(v is None for (_, _, _, v) in grp)}
+    for ent, _uid, _seq, val in got_once:
+        assert (val is None) == (ent in all_null)
+
+
+@PROP
+@given(events_strategy)
+def test_dedup_keep_last_subset_and_max(spark, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = windows.dedup_keep_last(df, ["entity"], ["seq", "uid"])
+    got = sorted(map(tuple, out.collect()))
+    src = {tuple(r) for r in rows}
+    assert set(got) <= src  # output rows come from the input
+    by_ent = _group(rows)
+    assert len(got) == len(by_ent)  # exactly one per key
+    for ent, _uid, seq, _val in got:
+        assert (seq, _uid) == max((s, u) for (_, u, s, _) in by_ent[ent])
+
+
+@PROP
+@given(events_strategy)
+def test_lead_episodes_chain(spark, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = windows.lead_episodes(df, ["entity"], "seq", tiebreak=["uid"])
+    by_ent = _group(sorted(map(tuple, out.collect()),
+                           key=lambda r: (r[0], r[2], r[1])), key=0)
+    for grp in by_ent.values():
+        # stop of row i == start (seq) of row i+1; final stop is NULL
+        for cur, nxt in zip(grp, grp[1:]):
+            assert cur[-1] == nxt[-2]  # stop_time == next start_time
+        assert grp[-1][-1] is None
+
+
+@PROP
+@given(events_strategy)
+def test_pivot_unpivot_roundtrip(spark, rows):
+    # unique (entity, name) cells with non-null values: pivot then unpivot
+    # must reproduce the cell set exactly
+    cells = {}
+    for ent, uid, seq, val in rows:
+        if val is not None:
+            cells[(ent, f"n{seq % 3}")] = val
+    if not cells:
+        return
+    df = spark.createDataFrame(
+        [(e, n, v) for (e, n), v in cells.items()], ["entity", "name", "val"])
+    names = ["n0", "n1", "n2"]
+    wide = reshape.pivot_wide(df, ["entity"], "name", "val", names)
+    back = (reshape.unpivot(wide, ["entity"], names, "name", "val")
+            .filter(F.col("val").isNotNull()))
+    assert {((r[0], r[1]), r[2]) for r in back.collect()} == set(cells.items())
+
+
+@PROP
+@given(events_strategy, st.integers(min_value=1, max_value=5))
+def test_sessionize_gap_invariant(spark, rows, gap):
+    df = spark.createDataFrame(
+        [(e, u, s * 60) for e, u, s, _ in rows], "entity string, uid long, secs long")
+    df = df.withColumn("ts", F.timestamp_seconds("secs"))
+    out = windows.sessionize(df, ["entity"], "ts", gap_minutes=gap,
+                             tiebreak=["uid"])
+    per_ent = _group(sorted((r["entity"], r["uid"], r["secs"], r["session_id"])
+                            for r in out.collect()), key=0)
+    for grp in per_ent.values():
+        ordered = sorted(grp, key=lambda r: (r[2], r[1]))
+        for cur, nxt in zip(ordered, ordered[1:]):
+            within = (nxt[2] - cur[2]) <= gap * 60
+            assert (nxt[3] == cur[3]) == within  # same session iff gap ok
+
+
+def _group(rows, key=0):
+    out = {}
+    for r in rows:
+        out.setdefault(r[key], []).append(tuple(r))
+    return out
