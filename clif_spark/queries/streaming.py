@@ -98,6 +98,31 @@ def stream_session_windows(spark, sf_dir):
 
 
 @query(
+    "stream_stateful_user_stats",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(COALESCE(value, 0.0)) AS DOUBLE), 2) AS sum_value,
+           epoch_us(MAX(ts)) AS last_ts_us,
+           false AS closed
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_user_stats(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    count/sum/last-seen accumulators with processing-time timeout eviction.
+    On the bounded replay every user emits exactly one open-state update row,
+    which must equal the batch per-user aggregate."""
+    ev = streaming.read_events_stream(spark, sf_dir)
+    out = streaming.run_to_memory(streaming.running_user_stats(ev),
+                                  output_mode="update")
+    return out.select("user_id", "n_events",
+                      F.round("sum_value", 2).alias("sum_value"),
+                      "last_ts_us", "closed")
+
+
+@query(
     "stream_dedup_counts",
     oracle="""
     SELECT event_type, COUNT(DISTINCT user_id) AS n_users

@@ -124,6 +124,60 @@ def run_to_memory(stream_df: DataFrame, output_mode: str = "complete",
     return stream_df.sparkSession.table(qname)
 
 
+def running_user_stats(events: DataFrame,
+                       timeout_minutes: int | None = None) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count / value sum / last-seen, emitted on every update,
+    with optional processing-time-timeout eviction.
+
+    This is the escape hatch for stateful logic the built-in window/dedup
+    operators cannot express (per-key accumulators, custom eviction, model
+    state). State is one small tuple per user in the state store — the same
+    entity-keyed partitioning as every other per-user operator — and batches
+    cross the Python boundary through Arrow.
+
+    ``timeout_minutes``: production deployments pass a horizon so idle keys
+    emit a final ``closed`` row and free their state. Leave ``None`` for
+    bounded/availableNow replays — with a timeout armed, the runtime keeps
+    scheduling timeout-check batches and an availableNow query never
+    terminates.
+
+    Output: (user_id, n_events, sum_value, last_ts_us, closed).
+    """
+    import pandas as pd  # local import: only this operator needs pandas
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = ("user_id long, n_events long, sum_value double, "
+                  "last_ts_us long, closed boolean")
+    state_schema = "n long, s double, last long"
+
+    def update(key, pdf_iter, state):
+        if state.hasTimedOut:
+            n, s, last = state.get
+            state.remove()
+            yield pd.DataFrame([{"user_id": key[0], "n_events": n,
+                                 "sum_value": s, "last_ts_us": last,
+                                 "closed": True}])
+            return
+        n, s, last = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+            # datetime64[ns] -> epoch micros
+            last = max(last, int(pdf["ts"].astype("int64").max() // 1000))
+        state.update((n, s, last))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame([{"user_id": key[0], "n_events": n,
+                             "sum_value": s, "last_ts_us": last,
+                             "closed": False}])
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if timeout_minutes is not None else GroupStateTimeout.NoTimeout)
+    return (events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout))
+
+
 def write_stream_parquet(stream_df: DataFrame, path: str, checkpoint: str,
                          output_mode: str = "append"):
     """foreachBatch parquet sink: each micro-batch lands as a batch write,
