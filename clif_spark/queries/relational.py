@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from clif_spark import io
 from clif_spark.functions import scalars
 from clif_spark.operators import core, profile, reshape
-from clif_spark.queries import dmean, dsum, query, sql_dmean, sql_dsum, us
+from clif_spark.queries import dmean, dsum, pq, query, sql_dmean, sql_dsum, us
 
 # ---------------------------------------------------------------------------
 # Projections / predicates
@@ -175,21 +175,21 @@ def j1_vocab_broadcast_star(spark, sf_dir):
     """J1 fact ⟕ broadcast dims, star shape (`left_join(vocab)`,
     `code/RCLIF_vitals.Rmd:41`; demographics star `code/RCLIF_demographics.Rmd:95-96`).
     nation/region/customer all ride the broadcast side: one narrow pipeline,
-    single shuffle at the final aggregate."""
-    o = io.load_table(spark, sf_dir, "orders")
-    c = io.load_table(spark, sf_dir, "customer")
-    n = io.load_table(spark, sf_dir, "nation")
-    r = io.load_table(spark, sf_dir, "region")
-    joined = core.vocab_join(
-        core.vocab_join(
-            o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
-            n, on=F.col("c_nationkey") == F.col("n_nationkey"), how="inner"),
-        r, on=F.col("n_regionkey") == F.col("r_regionkey"), how="inner")
-    return (joined.groupBy(F.col("n_name").alias("nation"),
-                           F.col("r_name").alias("region"))
-                  .agg(F.count(F.lit(1)).alias("n_orders"),
-                       dsum("o_totalprice").alias("total_spend"))
-                  .orderBy(F.col("total_spend").desc(), "nation"))
+    single shuffle at the final aggregate. One-shot SQL (queries.pq);
+    the DataFrame composition of the same join lives in
+    ``operators.core.vocab_join`` (exercised by j3/j6 and every pipeline)."""
+    return spark.sql(f"""
+        SELECT /*+ BROADCAST(c), BROADCAST(n), BROADCAST(r) */
+               n.n_name AS nation, r.r_name AS region,
+               COUNT(*) AS n_orders,
+               {sql_dsum('o.o_totalprice')} AS total_spend
+        FROM {pq(sf_dir, 'orders')} o
+        JOIN {pq(sf_dir, 'customer')} c ON o.o_custkey = c.c_custkey
+        JOIN {pq(sf_dir, 'nation')} n ON c.c_nationkey = n.n_nationkey
+        JOIN {pq(sf_dir, 'region')} r ON n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name, r.r_name
+        ORDER BY total_spend DESC, nation
+    """)
 
 
 @query(
@@ -320,9 +320,14 @@ def j6_fuzzy_vocab_match(spark, sf_dir):
 def a1_group_count_histogram(spark, sf_dir):
     """A1 histogram (`group_by %>% count %>% arrange(desc(n))`,
     `code/RCLIF_vitals.Rmd:223`). Partial aggregation: the shuffle carries
-    ≤ (partitions × 5 event types) rows."""
-    ev = io.load_table(spark, sf_dir, "events")
-    return profile.group_count(ev, ["event_type"])
+    ≤ (partitions × 5 event types) rows. One-shot SQL; the operator form is
+    ``operators.profile.group_count`` (exercised by a2 and pipelines)."""
+    return spark.sql(f"""
+        SELECT event_type, COUNT(*) AS n
+        FROM {pq(sf_dir, 'events')}
+        GROUP BY event_type
+        ORDER BY n DESC, event_type
+    """)
 
 
 @query(
@@ -596,9 +601,14 @@ def r3_split_column(spark, sf_dir):
 )
 def r4_explode_top_tokens(spark, sf_dir):
     """R4 explode (`unnest`, `code/RCLIF_medications.Rmd:125`) generalized to
-    corpus token counting; top-20 with deterministic tiebreak."""
-    d = io.load_table(spark, sf_dir, "documents")
-    toks = reshape.explode_tokens(
-        d.select(F.lower(F.col("text")).alias("text")), "text", "token", sep=" ")
-    return (toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-                .orderBy(F.col("n").desc(), "token").limit(20))
+    corpus token counting; top-20 with deterministic tiebreak. One-shot SQL;
+    the operator form is ``operators.reshape.explode_tokens`` (exercised by
+    the dedup shingling path and r3)."""
+    return spark.sql(f"""
+        SELECT token, COUNT(*) AS n
+        FROM (SELECT explode(split(lower(text), ' ')) AS token
+              FROM {pq(sf_dir, 'documents')})
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 20
+    """)
