@@ -20,8 +20,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
-
 from clif_spark.functions.text import fingerprint, word_ngrams
 from clif_spark.io import ensure_parallelism
 
@@ -134,18 +132,63 @@ def jaccard_verify(pairs: DataFrame, shingles: DataFrame,
 
 def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
-                      threshold: float = 0.7) -> DataFrame:
+                      threshold: float = 0.7,
+                      bands: int = DEFAULT_BANDS,
+                      rows_per_band: int = DEFAULT_ROWS_PER_BAND) -> DataFrame:
     """End-to-end near-dup pipeline: shingle -> minhash bands -> LSH buckets
-    -> exact-Jaccard verify -> pairs over threshold."""
-    # The distinct shingle set feeds four downstream plans (band signatures,
-    # both sides of the intersection join, set sizes); persist it once so the
-    # explode+distinct shuffle runs once, spilling to disk when it outgrows
-    # executor memory at scale. ensure_parallelism spreads the CPU-heavy
-    # shingling across cores when the scan produced few splits.
-    sh = doc_shingles(ensure_parallelism(docs), id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK)
-    pairs = lsh_candidate_pairs(minhash_band_keys(sh))
-    return jaccard_verify(pairs, sh, threshold)
+    -> exact-Jaccard verify -> pairs over threshold.
+
+    Shuffle geometry (the 100 TB argument): per-document shingle sets stay
+    an ``array<string>`` column, so band signatures are a *narrow* map —
+    ``array_min(transform(shingles, md5(salt||s)))`` per band-row — instead
+    of an explode+distinct shuffle of the full (doc, shingle) relation. The
+    only shuffles are (1) the tiny bucket groupBy over (band, band_key) and
+    (2) joining candidate pairs back to shingle arrays for the
+    ``array_intersect`` Jaccard verify — both proportional to candidates,
+    not corpus size. Row width is bounded by document length (LLM-pipeline
+    docs are pre-chunked); a corpus of unbounded single documents would
+    want the exploded formulation (``doc_shingles``+``jaccard_verify``).
+    """
+    sh = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(word_ngrams(F.lower(F.col(text_col)), n)).alias("sh"))
+    # Hash cost is the pipeline's CPU budget at corpus scale, so each shingle
+    # is hashed exactly twice (salted md5 -> 2×128 bits) and the
+    # bands×rows_per_band minhash functions are independent 32-bit (8 hex
+    # char) slices of that digest concatenation — not one salted md5 per
+    # function. md5 keeps the signature bit-identical in DuckDB (oracle);
+    # a production deployment would swap xxhash64 here, semantics unchanged.
+    n_funcs = bands * rows_per_band
+    assert n_funcs <= 8, "8 32-bit slices available from two md5 digests"
+    sh = sh.withColumn(
+        "hs", F.transform("sh", lambda s: F.concat(
+            F.md5(F.concat(F.lit("a:"), s)), F.md5(F.concat(F.lit("b:"), s)))))
+    def _slice_min(func_idx: int):
+        # NB: the inner lambda must be single-parameter — F.transform treats
+        # a two-parameter lambda as (element, index).
+        return F.array_min(F.transform(
+            F.col("hs"), lambda h: F.substring(h, 8 * func_idx + 1, 8)))
+
+    band_cols = []
+    for b in range(bands):
+        parts = [_slice_min(b * rows_per_band + r) for r in range(rows_per_band)]
+        band_cols.append(F.concat_ws("|", *parts).alias(f"band_{b}"))
+    # Docs shorter than n words have no shingles: excluded from banding
+    # (array_min over [] is NULL -> concat_ws would fuse them all into one
+    # degenerate "" bucket; the oracle's explode form drops them naturally).
+    keys = (sh.filter(F.size("sh") > 0)
+              .select("doc", *band_cols)
+              .unpivot(["doc"], [f"band_{b}" for b in range(bands)],
+                       "band", "band_key"))
+    pairs = pairs_from_buckets(keys, ["band", "band_key"], "doc")
+    sa = sh.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc").alias("b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (pairs.join(sa, "a").join(sb, "b")
+                 .select("a", "b",
+                         F.round(inter / (F.size("sh_a") + F.size("sh_b")
+                                          - inter), 4).alias("jaccard"))
+                 .filter(F.col("jaccard") >= threshold))
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id",

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from clif_spark import dedup, io, multimodal, similarity
 from clif_spark.functions import text as TX
-from clif_spark.queries import query
+from clif_spark.queries import pq, query
 
 # ---------------------------------------------------------------------------
 # Dedup
@@ -51,7 +51,8 @@ def _minhash_oracle() -> str:
     bands = dedup.DEFAULT_BANDS
     rpb = dedup.DEFAULT_ROWS_PER_BAND
     minhs = ",\n        ".join(
-        f"min(md5('s{i}:' || shingle)) AS h{i}" for i in range(bands * rpb))
+        f"min(substr(md5('a:' || shingle) || md5('b:' || shingle),"
+        f" {8 * i + 1}, 8)) AS h{i}" for i in range(bands * rpb))
     band_rows = "\n      UNION ALL ".join(
         f"SELECT doc, 'band_{b}' AS band, h{2*b} || '|' || h{2*b+1} AS band_key FROM sig"
         for b in range(bands))
@@ -162,11 +163,32 @@ def ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 for 5 query vectors — the exact ANN
     baseline. Query side broadcast; per-query ranking with id tiebreak.
     Dot/norm are sequential array folds (zip_with + aggregate): JVM-native,
-    bit-deterministic, no Python in the loop."""
-    e = io.load_table(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding")
-    return similarity.cosine_topk(e, queries, k=10)
+    bit-deterministic, no Python in the loop. One-shot SQL — identical plan
+    to ``similarity.cosine_topk`` (the operator form, exercised by
+    ann_lsh_buckets / dedup_embedding_cosine) without py4j chatter."""
+    emb = pq(sf_dir, "embeddings")
+    return spark.sql(f"""
+        WITH q AS (SELECT vec_id AS query_id,
+                          CAST(embedding AS ARRAY<DOUBLE>) AS qv
+                   FROM {emb} WHERE vec_id < 5),
+             v AS (SELECT vec_id AS neighbor_id,
+                          CAST(embedding AS ARRAY<DOUBLE>) AS vv
+                   FROM {emb}),
+             scored AS (
+               SELECT /*+ BROADCAST(q) */ query_id, neighbor_id,
+                      ROUND(
+                        aggregate(zip_with(qv, vv, (x, y) -> x * y),
+                                  0.0D, (acc, x) -> acc + x)
+                        / (SQRT(aggregate(qv, 0.0D, (acc, x) -> acc + x * x))
+                           * SQRT(aggregate(vv, 0.0D, (acc, x) -> acc + x * x))),
+                        4) AS cos
+               FROM v JOIN q ON neighbor_id <> query_id)
+        SELECT query_id, neighbor_id, cos
+        FROM (SELECT *, row_number() OVER
+                (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+              FROM scored)
+        WHERE rn <= 10
+    """).drop("rn")
 
 
 _N_PLANES = 6
@@ -290,18 +312,40 @@ def text_quality_metrics(spark, sf_dir):
     """Per-document quality features + composite score (C4/Gopher-style
     filtering): token counts (whitespace + BPE-ish regex), stopword ratio,
     punctuation density, mean token length. Pure column expressions —
-    whole-stage codegen over the scan, zero shuffles (the repartition only
-    fires on under-split local inputs)."""
-    d = io.ensure_parallelism(io.load_table(spark, sf_dir, "documents"))
-    t = F.col("text")
-    return d.select(
-        "doc_id",
-        TX.token_count(t).alias("n_tokens"),
-        TX.bpe_token_count(t).alias("bpe_tokens"),
-        F.round(TX.stopword_ratio(t), 4).alias("stop_ratio"),
-        F.round(TX.punct_ratio(t), 4).alias("punct_ratio"),
-        F.round(TX.mean_token_len(t), 4).alias("mean_token_len"),
-        TX.quality_score(t).alias("quality"))
+    whole-stage codegen over the scan, zero shuffles. One-shot SQL mirroring
+    ``functions.text`` (the operator forms, exercised by text_lang_id /
+    text_fingerprint / the dedup shingle path) expression for expression."""
+    stops = ", ".join(f"'{s}'" for s in TX.STOPWORDS)
+    return spark.sql(rf"""
+        SELECT doc_id, n_tokens, bpe_tokens,
+               ROUND(sw, 4) AS stop_ratio,
+               ROUND(pr, 4) AS punct_ratio,
+               ROUND(tl, 4) AS mean_token_len,
+               ROUND(0.4 * least(sw * 4, 1.0)
+                     + 0.3 * (1.0 - least(pr * 5, 1.0))
+                     + 0.3 * (CASE WHEN tl >= 3 AND tl <= 10
+                              THEN 1.0 ELSE 0.0 END), 4) AS quality
+        FROM (
+          SELECT doc_id,
+                 CAST(size(toks) AS BIGINT) AS n_tokens,
+                 CAST(size(regexp_extract_all(text,
+                   '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1)) AS BIGINT)
+                   AS bpe_tokens,
+                 CASE WHEN size(ltoks) > 0 THEN
+                   size(filter(ltoks, t -> t IN ({stops})))
+                     / size(ltoks) ELSE 0.0D END AS sw,
+                 CASE WHEN length(text) > 0 THEN
+                   CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', ''))
+                        AS DOUBLE) / length(text) ELSE 0.0D END AS pr,
+                 CASE WHEN size(toks) > 0 THEN
+                   CAST(aggregate(toks, 0L, (acc, t) -> acc + length(t))
+                        AS DOUBLE) / size(toks) ELSE 0.0D END AS tl
+          FROM (SELECT doc_id, text,
+                       split(trim(text), '\\s+') AS toks,
+                       split(trim(lower(text)), '\\s+') AS ltoks
+                FROM {pq(sf_dir, 'documents')})
+        )
+    """)
 
 
 def _lang_oracle() -> str:
