@@ -126,6 +126,60 @@ def dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_near_dups(docs2, threshold=0.5)
 
 
+_NGRAM_JACCARD_ORACLE = r"""
+    WITH docs2 AS (
+      SELECT doc_id AS doc, text FROM documents WHERE doc_id < 50
+      UNION ALL
+      SELECT doc_id + 100000, text || ' extra tail tokens here'
+      FROM documents WHERE doc_id < 25
+    ),
+    words AS (
+      SELECT doc, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM docs2
+    ),
+    sh AS (
+      SELECT DISTINCT doc, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM words, unnest(range(1, greatest(len(w) - 1, 1))) t(i)
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+    inter AS (
+      SELECT sa.doc AS a, sb.doc AS b, COUNT(*) AS n_inter
+      FROM sh sa JOIN sh sb ON sb.shingle = sa.shingle AND sa.doc < sb.doc
+      GROUP BY 1, 2
+    )
+    SELECT i.a, i.b,
+           ROUND(CAST(i.n_inter AS DOUBLE)
+                 / (za.sz + zb.sz - i.n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc = i.a
+    JOIN sizes zb ON zb.doc = i.b
+    WHERE ROUND(CAST(i.n_inter AS DOUBLE)
+                / (za.sz + zb.sz - i.n_inter), 4) >= 0.3
+    """
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard over an all-pairs candidate set (bounded to
+    75 docs; 25 planted near-copies with four appended tokens must surface).
+    This is the *verification* operator: at corpus scale the candidate set
+    comes from LSH banding (dedup_minhash_lsh) — all-pairs here documents
+    the exact semantics the banded pipeline approximates, and exercises the
+    exploded (doc, shingle) formulation (``doc_shingles``+``jaccard_verify``)
+    that unbounded-length documents require."""
+    d = io.load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") < 50).select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" extra tail tokens here")).alias("text"))
+    docs2 = base.unionByName(planted)
+    ids = docs2.select(F.col("doc_id").alias("a"))
+    idsb = docs2.select(F.col("doc_id").alias("b"))
+    pairs = ids.join(idsb, F.col("a") < F.col("b"))
+    return dedup.jaccard_verify(pairs, dedup.doc_shingles(docs2),
+                                threshold=0.3)
+
+
 @query("dedup_simhash64", oracle=None)
 def dedup_simhash64(spark, sf_dir):
     """SimHash-64 signatures (rows-only check: xxhash64 has no DuckDB
