@@ -280,6 +280,52 @@ def ann_lsh_buckets(spark, sf_dir):
     return assigned.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
 
 
+_IVF_ORACLE = """
+    WITH cidx AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS cv,
+             row_number() OVER (ORDER BY vec_id) - 1 AS ci
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    vass AS (
+      SELECT vec_id, vv, ci AS cell
+      FROM v CROSS JOIN cidx
+      QUALIFY row_number() OVER
+        (PARTITION BY vec_id ORDER BY list_distance(vv, cv), ci) = 1
+    ),
+    qc AS (
+      SELECT q.vec_id AS query_id, q.vv AS qv, ci AS cell
+      FROM v q CROSS JOIN cidx
+      WHERE q.vec_id < 5
+      QUALIFY row_number() OVER
+        (PARTITION BY q.vec_id ORDER BY list_distance(q.vv, cv), ci) <= 2
+    ),
+    scored AS (
+      SELECT qc.query_id, va.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(qc.qv, va.vv), 4) AS cos
+      FROM qc JOIN vass va
+        ON va.cell = qc.cell AND va.vec_id <> qc.query_id)
+    SELECT query_id, neighbor_id, cos
+    FROM scored
+    QUALIFY row_number() OVER
+      (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10
+    """
+
+
+@query("ann_ivf_topk", oracle=_IVF_ORACLE)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (the second scale path beside LSH): 16 deterministic
+    centroids (lowest-id vectors — a k-means stand-in the oracle can
+    recompute), narrow-map cell assignment, nprobe=2 probing, exact-cosine
+    re-rank to top-10. Each query scans ~nprobe/n_cells of the corpus;
+    recall vs fan-out is the nprobe dial. Cell assignment ties break on
+    centroid index in both engines (struct ordering ↔ ORDER BY dist, ci)."""
+    e = io.load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.ivf_topk(e, queries, k=10, nprobe=2, n_cells=16)
+
+
 def _embed_dedup_oracle() -> str:
     return f"""
     WITH base AS (

@@ -158,3 +158,76 @@ def lsh_cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                                                  F.col("neighbor_id"))
     return (scored.withColumn("__rn", F.row_number().over(w))
                   .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+# --- IVF (inverted-file) ANN -------------------------------------------------
+
+def ivf_centroids(vectors: DataFrame, n_cells: int = 16,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic coarse quantizer for IVF: the ``n_cells`` lowest-id
+    vectors serve as fixed centroids (model-free, reproducible in any
+    engine — the oracle recomputes the identical set). A production
+    deployment trains k-means (``pyspark.ml.clustering.KMeans``) here;
+    assignment and search below are unchanged by the centroid source.
+    The driver-side collect is a dimension-table lookup (n_cells × dim
+    floats), the same footprint as a broadcast vocabulary."""
+    rows = (vectors.orderBy(id_col).limit(n_cells)
+                   .select(F.col(vec_col).cast("array<double>").alias("v"))
+                   .collect())
+    return [list(r.v) for r in rows]
+
+
+def _l2(vec: Column, cent: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in cent])
+    return F.sqrt(F.aggregate(F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def _cell_ranks(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of (distance, cell-index) structs sorted ascending — struct
+    ordering compares distance first, index as the deterministic tiebreak.
+    A pure narrow expression: no shuffle, no crossJoin blowup; the centroid
+    table is inlined as literals exactly like the LSH hyperplanes."""
+    return F.array_sort(F.array(*[
+        F.struct(_l2(vec, c).alias("d"), F.lit(i).alias("c"))
+        for i, c in enumerate(centroids)]))
+
+
+def ivf_assign(vectors: DataFrame, centroids: list[list[float]],
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid: (id, __v, cell)."""
+    v = vectors.select(F.col(id_col),
+                       F.col(vec_col).cast("array<double>").alias("__v"))
+    return v.withColumn("cell", _cell_ranks(F.col("__v"), centroids)[0]["c"])
+
+
+def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
+             nprobe: int = 2, n_cells: int = 16, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             query_id_col: str = "query_id") -> DataFrame:
+    """IVF ANN search: partition vectors into ``n_cells`` inverted lists,
+    probe the ``nprobe`` nearest cells per query, exact-cosine re-rank.
+
+    Scale shape: assignment is a narrow map (centroids inlined); the search
+    join broadcasts (query × probed cell) — each query touches ~nprobe/n_cells
+    of the corpus instead of all of it, the IVF trade: recall bounded by
+    nprobe, tuned against fan-out. Output: (query_id, neighbor_id, cos)."""
+    cents = ivf_centroids(vectors, n_cells, id_col, vec_col)
+    assigned = (ivf_assign(vectors, cents, id_col, vec_col)
+                .withColumnRenamed(id_col, "neighbor_id"))
+    q = queries.select(query_id_col,
+                       F.col(vec_col).cast("array<double>").alias("__q"))
+    probes = (q.withColumn("__cells", F.slice(
+                    _cell_ranks(F.col("__q"), cents), 1, nprobe))
+               .select(query_id_col, "__q",
+                       F.explode(F.col("__cells")["c"]).alias("cell")))
+    cand = (assigned.join(F.broadcast(probes), "cell")
+                    .filter(F.col("neighbor_id") != F.col(query_id_col)))
+    scored = cand.select(query_id_col, "neighbor_id",
+                         F.round(cosine(F.col("__q"), F.col("__v")), 4)
+                          .alias("cos"))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(),
+                                                 F.col("neighbor_id"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") <= k).drop("__rn"))
