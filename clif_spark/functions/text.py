@@ -130,3 +130,20 @@ def fingerprint(col: Column) -> Column:
     as the exact-dedup key."""
     norm = F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
     return F.md5(norm)
+
+
+def rolling_fingerprint(col: Column, base: int = 1000003,
+                        mod: int = 2147483647) -> Column:
+    """Rabin-Karp-style rolling hash over the whitespace token stream:
+    ``h = (h * base + hash32(token)) % mod`` folded left to right, with
+    hash32 = first 32 bits of md5 (engine-portable). Unlike ``fingerprint``
+    (one md5 over the whole normalized text) the rolling form is
+    *incrementally computable* — a streaming sink can extend it token by
+    token without re-reading the document, and equal prefixes share equal
+    intermediate states. Bounds: h < 2^31, hash32 < 2^32, so the fold stays
+    under 2^52 — no BIGINT overflow at any document length."""
+    toks = F.split(F.trim(F.lower(col)), r"\s+")
+    hashed = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    return F.aggregate(hashed, F.lit(0).cast("long"),
+                       lambda h, x: (h * F.lit(base) + x) % F.lit(mod))

@@ -505,6 +505,30 @@ def text_fingerprint(spark, sf_dir):
     return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
 
 
+@query(
+    "text_rolling_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 regexp_split_to_array(trim(lower(text)), '\s+'),
+                 t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+             (h, x) -> (h * 1000003 + x) % 2147483647) AS rfp
+    FROM documents
+    """,
+)
+def text_rolling_fingerprint(spark, sf_dir):
+    """Rolling (Rabin-Karp) token-stream fingerprint — the incrementally
+    computable sibling of text_fingerprint: a streaming sink extends it
+    token by token, equal prefixes share intermediate states. Same
+    left-fold, term for term, in both engines (functions.text cites the
+    bounds that keep the BIGINT fold overflow-free)."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    TX.rolling_fingerprint(F.col("text")).alias("rfp"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary plumbing
 # ---------------------------------------------------------------------------
