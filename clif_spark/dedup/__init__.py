@@ -134,7 +134,8 @@ def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       threshold: float = 0.7,
                       bands: int = DEFAULT_BANDS,
-                      rows_per_band: int = DEFAULT_ROWS_PER_BAND) -> DataFrame:
+                      rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+                      broadcast_pairs: bool = True) -> DataFrame:
     """End-to-end near-dup pipeline: shingle -> minhash bands -> LSH buckets
     -> exact-Jaccard verify -> pairs over threshold.
 
@@ -181,6 +182,14 @@ def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
               .unpivot(["doc"], [f"band_{b}" for b in range(bands)],
                        "band", "band_key"))
     pairs = pairs_from_buckets(keys, ["band", "band_key"], "doc")
+    # Candidate pairs are bounded by band selectivity × the max_bucket skew
+    # guard and are normally orders of magnitude smaller than the corpus, so
+    # the verify joins broadcast them (no shuffle of the shingle arrays —
+    # measured 2.1s -> 1.6s at sf0.1). For a corpus where candidates
+    # themselves are huge (dup-heavy crawls: >~10M pairs), pass
+    # broadcast_pairs=False to fall back to shuffle joins.
+    if broadcast_pairs:
+        pairs = F.broadcast(pairs)
     sa = sh.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc").alias("b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
