@@ -114,3 +114,38 @@ def _group(rows, key=0):
     for r in rows:
         out.setdefault(r[key], []).append(tuple(r))
     return out
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """IVF with nprobe = n_cells degrades to exact search: every cell is
+    probed, so the result must equal brute-force cosine top-k row for row.
+    Pins the IVF plumbing (assignment, probing, re-rank) to the exact
+    baseline it approximates."""
+    from pyspark.sql import functions as F
+
+    from clif_spark import io, similarity
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = io.load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    brute = similarity.cosine_topk(e, queries, k=5)
+    ivf = similarity.ivf_topk(e, queries, k=5, nprobe=8, n_cells=8)
+    assert sorted(map(tuple, brute.collect())) == sorted(map(tuple, ivf.collect()))
+
+
+def test_rolling_fingerprint_prefix_extension(spark):
+    """Appending a token changes the fingerprint exactly as one more fold
+    step — the incremental-computability contract."""
+    from pyspark.sql import functions as F
+
+    from clif_spark.functions.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [("alpha beta gamma", "alpha beta gamma delta")], ["t1", "t2"])
+    row = df.select(
+        rolling_fingerprint(F.col("t1")).alias("fp1"),
+        rolling_fingerprint(F.col("t2")).alias("fp2"),
+        F.conv(F.substring(F.md5(F.lit("delta")), 1, 8), 16, 10)
+         .cast("long").alias("h_delta")).collect()[0]
+    assert row.fp2 == (row.fp1 * 1000003 + row.h_delta) % 2147483647
