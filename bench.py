@@ -44,9 +44,13 @@ def main() -> None:
         # AQE's job is runtime re-planning of *large* shuffles (skew splits,
         # partition coalescing). Below ~1 GB of input with shuffle
         # parallelism already sized to the data and broadcasts hinted, its
-        # stage-by-stage materialization adds ~0.1-0.3 s per join query and
-        # can change nothing — measured 0.9 s vs 1.3 s on the Q5 six-table
-        # join at sf0.1. Production scale keeps it on (session.py default).
+        # stage-by-stage materialization only adds latency. Production
+        # scale keeps it on (session.py default). Mutate RUNTIME_CONFS —
+        # not just the session conf — because every registered query calls
+        # session.configure(), which would silently re-enable it.
+        from clif_spark import session as _session
+        _session.RUNTIME_CONFS = {**_session.RUNTIME_CONFS,
+                                  "spark.sql.adaptive.enabled": "false"}
         spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     # Warm-up: JVM classloading + JIT for the physical operators the
@@ -62,15 +66,15 @@ def main() -> None:
 
     # Steady-state protocol: one untimed warm run per query (absorbs
     # per-plan-shape codegen compilation and C2 JIT ramp, fixed local-JVM
-    # costs that do not scale with data), then time two fresh executions of
+    # costs that do not scale with data), then time three fresh executions of
     # freshly built plans — no DataFrame reuse, so shuffles and scans all
     # re-run — and report the min (the standard noise-rejecting estimator;
-    # this host's CPU is visibly bimodal under virtualization).
+    # this host's CPU is visibly bimodal ±40% under virtualization).
     timings: dict[str, float] = {}
     for q in headliners:
         q.fn(spark, sf_dir).collect()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)

@@ -6,7 +6,8 @@ shuffle-bounded joins/aggregations rather than driver-side loops.
 Design notes for 100 TB:
 - Exact dedup is a single hash-aggregate on a fingerprint column (map-side
   combine: the shuffle carries one row per distinct fingerprint).
-- MinHash signatures use ``min(md5(salt || shingle))`` per band-row — md5 is
+- MinHash signatures hash each shingle ONCE (``md5('m:' || shingle)``) and
+  slice the digest into bands×rows_per_band independent functions — md5 is
   bit-identical across engines (oracle-checkable) and uniformly distributed;
   at production scale swap in xxhash64 for speed, semantics unchanged.
 - LSH banding turns all-pairs O(n²) into groupBy(band_key) + within-bucket
@@ -27,6 +28,20 @@ from clif_spark.io import ensure_parallelism
 #: J=0.8 -> 0.98, J=0.2 -> 0.15 with b=4, r=2.
 DEFAULT_BANDS = 4
 DEFAULT_ROWS_PER_BAND = 2
+
+
+def _minhash_slice_width(n_funcs: int) -> int:
+    """Hex chars per minhash function sliced from one 32-hex md5 digest.
+    Explicit raise (not assert): the contract must hold under ``python -O``
+    too — past the digest ``substring`` returns '' and every band key
+    degenerates to the same bucket."""
+    if n_funcs <= 4:
+        return 8
+    if n_funcs <= 8:
+        return 4
+    raise ValueError(
+        f"bands*rows_per_band={n_funcs} exceeds the 8 slices one md5 digest"
+        " provides; reduce bands/rows_per_band or add salted digests")
 
 
 def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
@@ -52,17 +67,20 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
 
 def minhash_band_keys(shingles: DataFrame, bands: int = DEFAULT_BANDS,
                       rows_per_band: int = DEFAULT_ROWS_PER_BAND) -> DataFrame:
-    """Per-document LSH band keys: (doc, band, band_key).
+    """Per-document LSH band keys: (doc, band, band_key) — the exploded
+    (doc, shingle) formulation for unbounded-length documents.
 
-    band_key concatenates ``rows_per_band`` independent minhashes, each
-    ``min(md5(salt || shingle))`` with a distinct salt — deterministic and
-    engine-portable.
+    band_key concatenates ``rows_per_band`` independent minhashes, each a
+    disjoint hex slice of ONE ``md5('m:' || shingle)`` digest (same
+    single-hash budget and slicing as ``minhash_near_dups``) —
+    deterministic and engine-portable.
     """
+    w = _minhash_slice_width(bands * rows_per_band)
+    h = F.md5(F.concat(F.lit("m:"), F.col("shingle")))
     aggs = []
     for b in range(bands):
         parts = [
-            F.min(F.md5(F.concat(F.lit(f"s{b * rows_per_band + r}:"),
-                                 F.col("shingle"))))
+            F.min(F.substring(h, w * (b * rows_per_band + r) + 1, w))
             for r in range(rows_per_band)
         ]
         aggs.append(F.concat_ws("|", *parts).alias(f"band_{b}"))
@@ -135,59 +153,104 @@ def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
                       threshold: float = 0.7,
                       bands: int = DEFAULT_BANDS,
                       rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+                      verify: str = "carry",
+                      max_bucket: int = 200,
                       broadcast_pairs: bool = True) -> DataFrame:
     """End-to-end near-dup pipeline: shingle -> minhash bands -> LSH buckets
     -> exact-Jaccard verify -> pairs over threshold.
 
     Shuffle geometry (the 100 TB argument): per-document shingle sets stay
     an ``array<string>`` column, so band signatures are a *narrow* map —
-    ``array_min(transform(shingles, md5(salt||s)))`` per band-row — instead
-    of an explode+distinct shuffle of the full (doc, shingle) relation. The
-    only shuffles are (1) the tiny bucket groupBy over (band, band_key) and
-    (2) joining candidate pairs back to shingle arrays for the
-    ``array_intersect`` Jaccard verify — both proportional to candidates,
-    not corpus size. Row width is bounded by document length (LLM-pipeline
-    docs are pre-chunked); a corpus of unbounded single documents would
-    want the exploded formulation (``doc_shingles``+``jaccard_verify``).
+    ``array_min(transform(shingles, slice(md5(s))))`` per band-row — instead
+    of an explode+distinct shuffle of the full (doc, shingle) relation.
+    Verification then has two shapes, chosen by ``verify``:
+
+    - ``"carry"`` (default): shingle arrays ride along INTO the bucket
+      groupBy, pair expansion emits (a, b, sh_a, sh_b) directly, and exact
+      Jaccard + the threshold filter run before the final narrow distinct.
+      One scan of the corpus, two shuffles total, zero re-joins. The bucket
+      shuffle carries ``bands`` copies of each doc's shingle array — the
+      right trade for pre-chunked LLM-pipeline docs (bounded row width),
+      and per-bucket memory stays bounded by ``max_bucket`` × chunk size.
+    - ``"rejoin"``: buckets shuffle only (doc, band_key); candidate pairs
+      are broadcast back against the shingle relation for verification.
+      The corpus-wide shuffle stays narrow at the price of recomputing the
+      shingle arrays on the verify side — the shape for corpora with
+      unbounded document lengths (or pair it with a materialized staging
+      table for the shingle relation). For candidate sets too large to
+      broadcast (dup-heavy crawls: >~10M pairs) also pass
+      ``broadcast_pairs=False`` to fall back to shuffle joins.
     """
     sh = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc"),
         F.array_distinct(word_ngrams(F.lower(F.col(text_col)), n)).alias("sh"))
     # Hash cost is the pipeline's CPU budget at corpus scale, so each shingle
-    # is hashed exactly twice (salted md5 -> 2×128 bits) and the
-    # bands×rows_per_band minhash functions are independent 32-bit (8 hex
-    # char) slices of that digest concatenation — not one salted md5 per
-    # function. md5 keeps the signature bit-identical in DuckDB (oracle);
-    # a production deployment would swap xxhash64 here, semantics unchanged.
+    # is hashed exactly ONCE (md5 -> 128 bits) and the bands×rows_per_band
+    # minhash functions are disjoint hex slices of that one digest — 8-char
+    # (32-bit) slices up to 4 functions, 4-char (16-bit) slices up to 8.
+    # A 16-bit minhash is safe here: for shingle-set sizes m,n the spurious
+    # min-collision rate is ~mn/(65536(m+n)) ≈ 0.0015 at m=n=200 — noise an
+    # order below any Jaccard threshold, and false candidates are removed by
+    # the exact verify anyway. md5 keeps the signature bit-identical in
+    # DuckDB (oracle); a production deployment would swap xxhash64 here,
+    # semantics unchanged.
     n_funcs = bands * rows_per_band
-    assert n_funcs <= 8, "8 32-bit slices available from two md5 digests"
+    slice_w = _minhash_slice_width(n_funcs)
     sh = sh.withColumn(
-        "hs", F.transform("sh", lambda s: F.concat(
-            F.md5(F.concat(F.lit("a:"), s)), F.md5(F.concat(F.lit("b:"), s)))))
+        "hs", F.transform("sh", lambda s: F.md5(F.concat(F.lit("m:"), s))))
     def _slice_min(func_idx: int):
         # NB: the inner lambda must be single-parameter — F.transform treats
         # a two-parameter lambda as (element, index).
         return F.array_min(F.transform(
-            F.col("hs"), lambda h: F.substring(h, 8 * func_idx + 1, 8)))
+            F.col("hs"),
+            lambda h: F.substring(h, slice_w * func_idx + 1, slice_w)))
+
+    # Docs shorter than n words have no shingles: excluded from banding
+    # (array_min over [] is NULL -> concat_ws would fuse them all into one
+    # degenerate "" bucket; the oracle's explode form drops them naturally).
+    sh = sh.filter(F.size("sh") > 0)
+
+    if verify == "carry":
+        # Band index folded into the key: one explode + one groupBy, with
+        # the shingle arrays riding along in the bucket's collect_list.
+        bkeys = F.array(*[
+            F.concat_ws("|", F.lit(str(b)),
+                        *[_slice_min(b * rows_per_band + r)
+                          for r in range(rows_per_band)])
+            for b in range(bands)])
+        keyed = sh.select("doc", "sh", F.explode(bkeys).alias("bk"))
+        buckets = (keyed.groupBy("bk")
+                   .agg(F.array_sort(F.collect_list(F.struct("doc", "sh")))
+                         .alias("ds"))
+                   .filter(F.size("ds").between(2, max_bucket)))
+        pairs = F.flatten(F.transform(
+            F.col("ds"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ds"), i + F.lit(2),
+                        F.greatest(F.size(F.col("ds")) - i - 1, F.lit(0))),
+                lambda b: F.struct(a["doc"].alias("a"), b["doc"].alias("b"),
+                                   a["sh"].alias("sh_a"),
+                                   b["sh"].alias("sh_b")))))
+        ex = (buckets.select(F.explode(pairs).alias("p"))
+                     .select("p.a", "p.b", "p.sh_a", "p.sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        # Jaccard + threshold BEFORE the dedup shuffle: multi-band dupes
+        # score identically, so distinct on the narrow scored rows is exact.
+        return (ex.select("a", "b",
+                          F.round(inter / (F.size("sh_a") + F.size("sh_b")
+                                           - inter), 4).alias("jaccard"))
+                  .filter(F.col("jaccard") >= threshold)
+                  .distinct())
 
     band_cols = []
     for b in range(bands):
         parts = [_slice_min(b * rows_per_band + r) for r in range(rows_per_band)]
         band_cols.append(F.concat_ws("|", *parts).alias(f"band_{b}"))
-    # Docs shorter than n words have no shingles: excluded from banding
-    # (array_min over [] is NULL -> concat_ws would fuse them all into one
-    # degenerate "" bucket; the oracle's explode form drops them naturally).
-    keys = (sh.filter(F.size("sh") > 0)
-              .select("doc", *band_cols)
+    keys = (sh.select("doc", *band_cols)
               .unpivot(["doc"], [f"band_{b}" for b in range(bands)],
                        "band", "band_key"))
-    pairs = pairs_from_buckets(keys, ["band", "band_key"], "doc")
-    # Candidate pairs are bounded by band selectivity × the max_bucket skew
-    # guard and are normally orders of magnitude smaller than the corpus, so
-    # the verify joins broadcast them (no shuffle of the shingle arrays —
-    # measured 2.1s -> 1.6s at sf0.1). For a corpus where candidates
-    # themselves are huge (dup-heavy crawls: >~10M pairs), pass
-    # broadcast_pairs=False to fall back to shuffle joins.
+    pairs = pairs_from_buckets(keys, ["band", "band_key"], "doc",
+                               max_bucket=max_bucket)
     if broadcast_pairs:
         pairs = F.broadcast(pairs)
     sa = sh.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a"))

@@ -50,9 +50,10 @@ def dedup_exact(spark, sf_dir):
 def _minhash_oracle() -> str:
     bands = dedup.DEFAULT_BANDS
     rpb = dedup.DEFAULT_ROWS_PER_BAND
+    w = dedup._minhash_slice_width(bands * rpb)
     minhs = ",\n        ".join(
-        f"min(substr(md5('a:' || shingle) || md5('b:' || shingle),"
-        f" {8 * i + 1}, 8)) AS h{i}" for i in range(bands * rpb))
+        f"min(substr(md5('m:' || shingle),"
+        f" {w * i + 1}, {w})) AS h{i}" for i in range(bands * rpb))
     band_rows = "\n      UNION ALL ".join(
         f"SELECT doc, 'band_{b}' AS band, h{2*b} || '|' || h{2*b+1} AS band_key FROM sig"
         for b in range(bands))
@@ -113,17 +114,67 @@ def _minhash_oracle() -> str:
 @query("dedup_minhash_lsh", oracle=_minhash_oracle(), headline=True)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup detection, end-to-end: word-3-gram shingles ->
-    4 bands × 2 minhash rows (md5-salted, engine-portable) -> bucket
-    self-join for candidates (skew-guarded) -> exact-Jaccard verify >= 0.5.
-    20 near-copies (one appended token) are planted; each must surface.
-    All-pairs never materializes — candidate generation is groupBy(band_key).
-    """
-    d = io.load_table(spark, sf_dir, "documents")
-    planted = d.filter(F.col("doc_id") < 20).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat("text", F.lit(" extra trailing token")).alias("text"))
-    docs2 = d.select("doc_id", "text").unionByName(planted)
-    return dedup.minhash_near_dups(docs2, threshold=0.5)
+    4 bands × 2 minhash rows (slices of one md5, engine-portable) -> bucket
+    grouping for candidates (skew-guarded, shingle arrays carried through —
+    the ``verify="carry"`` single-scan shape of dedup.minhash_near_dups) ->
+    exact-Jaccard verify >= 0.5. 20 near-copies (one appended token) are
+    planted; each must surface. All-pairs never materializes — candidate
+    generation is groupBy(band_key). One-shot SQL, same plan as the operator
+    (tests pin their equality)."""
+    doc = pq(sf_dir, "documents")
+    bands, rpb, n, max_bucket, threshold = (
+        dedup.DEFAULT_BANDS, dedup.DEFAULT_ROWS_PER_BAND, 3, 200, 0.5)
+    w = dedup._minhash_slice_width(bands * rpb)
+    par = spark.sparkContext.defaultParallelism
+    smin = (lambda i:
+            f"array_min(transform(hs, h -> substring(h, {w*i + 1}, {w})))")
+    band_keys = ",\n          ".join(
+        f"concat_ws('|', '{b}', {smin(rpb*b)}, {smin(rpb*b + 1)})"
+        for b in range(bands))
+    return spark.sql(f"""
+        WITH docs2 AS (
+          SELECT doc_id, text FROM {doc}
+          UNION ALL
+          SELECT doc_id + 100000, concat(text, ' extra trailing token')
+          FROM {doc} WHERE doc_id < 20
+        ),
+        sh0 AS (
+          SELECT /*+ REPARTITION({par}) */ doc_id AS doc,
+            array_distinct(transform(array(split(trim(lower(text)), '\\\\s+')),
+              w -> CASE WHEN size(w) < {n} THEN cast(array() AS array<string>)
+                   ELSE transform(sequence(1, size(w) - {n - 1}),
+                                  i -> concat_ws(' ', slice(w, i, {n}))) END
+              )[0]) AS sh
+          FROM docs2
+        ),
+        keyed AS (
+          SELECT doc, sh, explode(array(
+          {band_keys})) AS bk
+          FROM (SELECT doc, sh,
+                       transform(sh, s -> md5(concat('m:', s))) AS hs
+                FROM sh0 WHERE size(sh) > 0)
+        ),
+        buckets AS (
+          SELECT ds FROM (
+            SELECT array_sort(collect_list(named_struct('doc', doc,
+                                                        'sh', sh))) AS ds
+            FROM keyed GROUP BY bk)
+          WHERE size(ds) BETWEEN 2 AND {max_bucket}
+        ),
+        cand AS (
+          SELECT inline(flatten(transform(ds, (x, i) ->
+            transform(slice(ds, i + 2, greatest(size(ds) - i - 1, 0)),
+                      y -> named_struct('a', x.doc, 'b', y.doc,
+                                        'sh_a', x.sh, 'sh_b', y.sh)))))
+          FROM buckets
+        )
+        SELECT DISTINCT a, b, jaccard FROM (
+          SELECT a, b, round(size(array_intersect(sh_a, sh_b))
+                 / (size(sh_a) + size(sh_b)
+                    - size(array_intersect(sh_a, sh_b))), 4) AS jaccard
+          FROM cand)
+        WHERE jaccard >= {threshold}
+    """)
 
 
 _NGRAM_JACCARD_ORACLE = r"""
@@ -194,6 +245,21 @@ def dedup_simhash64(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _sql_dot(a: str, b: str, dim: int) -> str:
+    """Unrolled dot product (0.0-seeded left fold — the bit pattern of the
+    HOF ``aggregate(zip_with(...))`` form, but whole-stage-codegen'd; Spark
+    SQL array subscripts are 0-based).
+
+    Elements are cast float->double individually (exact, bit-preserving):
+    casting the whole array once looks cheaper but CollapseProject inlines
+    the array cast into every one of the 2×dim subscript references, so the
+    array materializes ~128× per row — measured 2× slower than the HOF form
+    it was meant to beat."""
+    return "0.0D" + "".join(
+        f" + CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(dim))
+
+
 @query(
     "ann_cosine_topk",
     oracle="""
@@ -216,26 +282,36 @@ def dedup_simhash64(spark, sf_dir):
 def ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 for 5 query vectors — the exact ANN
     baseline. Query side broadcast; per-query ranking with id tiebreak.
-    Dot/norm are sequential array folds (zip_with + aggregate): JVM-native,
-    bit-deterministic, no Python in the loop. One-shot SQL — identical plan
-    to ``similarity.cosine_topk`` (the operator form, exercised by
-    ann_lsh_buckets / dedup_embedding_cosine) without py4j chatter."""
+
+    Formulation notes (both measured at sf0.1):
+    - each vector's norm is computed once in its CTE (per vector, not per
+      pair — the join boundary stops CollapseProject from inlining it);
+    - dot/norm use the ``aggregate``/``zip_with`` fold, NOT the unrolled
+      dim-known chain of ``similarity.dot``: a 64-term expression costs
+      ~0.35 s of Janino compilation per freshly built plan, which swamps
+      the interpreted-HOF overhead at any single-plan scale. The unrolled
+      path wins only when one compiled plan is amortized over many
+      executors/batches (cluster jobs) — see similarity module docstring.
+    One-shot SQL — same plan as ``similarity.cosine_topk`` (the operator
+    form, exercised by ann_lsh_buckets / dedup_embedding_cosine) without
+    py4j chatter."""
     emb = pq(sf_dir, "embeddings")
     return spark.sql(f"""
         WITH q AS (SELECT vec_id AS query_id,
-                          CAST(embedding AS ARRAY<DOUBLE>) AS qv
+                          CAST(embedding AS ARRAY<DOUBLE>) AS qv,
+                          SQRT(aggregate(CAST(embedding AS ARRAY<DOUBLE>),
+                               0.0D, (acc, x) -> acc + x * x)) AS nq
                    FROM {emb} WHERE vec_id < 5),
              v AS (SELECT vec_id AS neighbor_id,
-                          CAST(embedding AS ARRAY<DOUBLE>) AS vv
+                          CAST(embedding AS ARRAY<DOUBLE>) AS vv,
+                          SQRT(aggregate(CAST(embedding AS ARRAY<DOUBLE>),
+                               0.0D, (acc, x) -> acc + x * x)) AS nv
                    FROM {emb}),
              scored AS (
                SELECT /*+ BROADCAST(q) */ query_id, neighbor_id,
-                      ROUND(
-                        aggregate(zip_with(qv, vv, (x, y) -> x * y),
-                                  0.0D, (acc, x) -> acc + x)
-                        / (SQRT(aggregate(qv, 0.0D, (acc, x) -> acc + x * x))
-                           * SQRT(aggregate(vv, 0.0D, (acc, x) -> acc + x * x))),
-                        4) AS cos
+                      ROUND(aggregate(zip_with(qv, vv, (x, y) -> x * y),
+                                      0.0D, (acc, x) -> acc + x)
+                            / (nq * nv), 4) AS cos
                FROM v JOIN q ON neighbor_id <> query_id)
         SELECT query_id, neighbor_id, cos
         FROM (SELECT *, row_number() OVER

@@ -142,9 +142,11 @@ _GAP_MIN = 30
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
-      SELECT *, SUM(is_new) OVER
+      -- CAST: DuckDB's windowed SUM(int) yields HUGEINT; Spark emits BIGINT.
+      SELECT *, CAST(SUM(is_new) OVER
         (PARTITION BY user_id ORDER BY ts, event_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,

@@ -3,9 +3,19 @@
 Brute-force cosine top-k as the exact baseline, plus a random-hyperplane LSH
 bucketing as the scale path (the IVF idea: only compare within a bucket).
 
-Engine-native math: dot products and norms are ``zip_with`` + ``aggregate``
-higher-order functions over array<double> — sequential left-folds, so results
-are bit-deterministic and whole-stage-codegen'd; no Python crosses the wire.
+Engine-native math: dot products and norms are sequential left-folds over
+array<double>, in one of two JVM-side forms with bit-identical results
+(same left-to-right fold order, so either can face the oracle):
+- ``dim=None`` (default): ``zip_with`` + ``aggregate`` higher-order
+  functions. Lambda bodies run in the interpreted expression evaluator
+  (HOFs do not participate in whole-stage codegen), but the plan is small
+  and compiles instantly — the right choice for ad-hoc/one-shot plans.
+- ``dim`` given: the fold is UNROLLED into a chain of ``a[i]*b[i]`` adds
+  that codegen compiles to primitive-double arithmetic — much cheaper per
+  row, but the ~2×dim-term generated source costs ~0.35 s (dim=64) of
+  Janino compilation per freshly built plan. Worth it exactly when one
+  compiled plan is amortized across a cluster job's executors/batches;
+  a loss for single-shot local plans (measured both ways at sf0.1).
 
 Scale shape (100 TB / billions of vectors):
 - brute-force top-k broadcasts the (small) query set and computes per
@@ -29,23 +39,45 @@ from pyspark.sql import Window
 from clif_spark.io import ensure_parallelism
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product of two array<double> columns."""
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, v: acc + v)
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sequential-fold dot product of two array<double> columns (unrolled
+    codegen chain when ``dim`` is known; see module docstring)."""
+    if dim is not None:
+        # Seed with 0.0 like the HOF fold so -0.0 products accumulate
+        # identically (0.0 + -0.0 = 0.0): both forms emit the same bits.
+        # Per-element double casts (exact for float inputs): casting the
+        # whole array instead gets inlined by CollapseProject into every
+        # subscript reference and re-materializes the array ~2×dim per row.
+        acc: Column = F.lit(0.0)
+        for i in range(dim):
+            acc = acc + (a.getItem(i).cast("double")
+                         * b.getItem(i).cast("double"))
+        return acc
+    return F.aggregate(
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"),
+                   lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v)
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+def norm(a: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        acc: Column = F.lit(0.0)
+        for i in range(dim):
+            e = a.getItem(i).cast("double")
+            acc = acc + e * e
+        return F.sqrt(acc)
+    return F.sqrt(F.aggregate(a.cast("array<double>"), F.lit(0.0),
+                              lambda acc, v: acc + v * v))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                query_id_col: str = "query_id") -> DataFrame:
+                query_id_col: str = "query_id",
+                dim: int | None = None) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     ``queries`` is (query_id, embedding) and is broadcast; self-matches
@@ -53,13 +85,12 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     Output: (query_id, neighbor_id, cos) with cos rounded to 4dp.
     """
     v = ensure_parallelism(vectors).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("__v"))
-    q = queries.select(F.col(query_id_col),
-                       F.col(vec_col).cast("array<double>").alias("__q"))
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v"))
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__q"))
     scored = (v.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col))
                 .select(query_id_col, "neighbor_id",
-                        F.round(cosine(F.col("__q"), F.col("__v")), 4).alias("cos")))
+                        F.round(cosine(F.col("__q"), F.col("__v"), dim), 4)
+                         .alias("cos")))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(),
                                                  F.col("neighbor_id"))
     return (scored.withColumn("__rn", F.row_number().over(w))
@@ -87,7 +118,8 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     bits = []
     for row in planes:
         plane = F.array(*[F.lit(x) for x in row])
-        bits.append(F.when(dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+        bits.append(F.when(dot(vec, plane, dim=len(row)) >= 0,
+                           F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
 
@@ -98,7 +130,7 @@ def lsh_assign(vectors: DataFrame, n_planes: int = 8,
     planes = deterministic_hyperplanes(dim, n_planes)
     return vectors.select(
         F.col(id_col),
-        lsh_bucket(F.col(vec_col).cast("array<double>"), planes).alias("bucket"))
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"))
 
 
 def cosine_near_dup_pairs(vectors: DataFrame, threshold: float = 0.98,
@@ -120,15 +152,14 @@ def cosine_near_dup_pairs(vectors: DataFrame, threshold: float = 0.98,
                           vec_col, dim)
     pairs = pairs_from_buckets(assigned, ["bucket"], id_col,
                                max_bucket=max_bucket)
-    v = vectors.select(F.col(id_col),
-                       F.col(vec_col).cast("array<double>").alias("__v"))
+    v = vectors.select(F.col(id_col), F.col(vec_col).alias("__v"))
     return (pairs
             .join(v.select(F.col(id_col).alias("a"),
                            F.col("__v").alias("__va")), "a")
             .join(v.select(F.col(id_col).alias("b"),
                            F.col("__v").alias("__vb")), "b")
             .select("a", "b",
-                    F.round(cosine(F.col("__va"), F.col("__vb")), 4)
+                    F.round(cosine(F.col("__va"), F.col("__vb"), dim), 4)
                      .alias("cos"))
             .filter(F.col("cos") >= threshold))
 
@@ -144,16 +175,17 @@ def lsh_cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     instead of n."""
     assigned = lsh_assign(vectors, n_planes, id_col, vec_col, dim).withColumnRenamed(id_col, "neighbor_id")
     v = vectors.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).cast("array<double>").alias("__v"))
+                       F.col(vec_col).alias("__v"))
     q_assigned = lsh_assign(queries.withColumnRenamed(query_id_col, id_col),
                             n_planes, id_col, vec_col, dim).withColumnRenamed(id_col, query_id_col)
-    q = queries.select(query_id_col, F.col(vec_col).cast("array<double>").alias("__q"))
+    q = queries.select(query_id_col, F.col(vec_col).alias("__q"))
     cand = (v.join(assigned, "neighbor_id")
              .join(F.broadcast(q_assigned), "bucket")
              .join(F.broadcast(q), query_id_col)
              .filter(F.col("neighbor_id") != F.col(query_id_col)))
     scored = cand.select(query_id_col, "neighbor_id",
-                         F.round(cosine(F.col("__q"), F.col("__v")), 4).alias("cos"))
+                         F.round(cosine(F.col("__q"), F.col("__v"), dim), 4)
+                          .alias("cos"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(),
                                                  F.col("neighbor_id"))
     return (scored.withColumn("__rn", F.row_number().over(w))
@@ -179,9 +211,13 @@ def ivf_centroids(vectors: DataFrame, n_cells: int = 16,
 
 
 def _l2(vec: Column, cent: list[float]) -> Column:
-    c = F.array(*[F.lit(float(x)) for x in cent])
-    return F.sqrt(F.aggregate(F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
-                              F.lit(0.0), lambda acc, v: acc + v))
+    # Unrolled codegen chain (centroid width is known); same left fold as
+    # the HOF form, so distances are bit-identical to the oracle's.
+    acc: Column = F.lit(0.0)
+    for i, x in enumerate(cent):
+        d = vec.getItem(i).cast("double") - F.lit(float(x))
+        acc = acc + d * d
+    return F.sqrt(acc)
 
 
 def _cell_ranks(vec: Column, centroids: list[list[float]]) -> Column:
@@ -197,8 +233,7 @@ def _cell_ranks(vec: Column, centroids: list[list[float]]) -> Column:
 def ivf_assign(vectors: DataFrame, centroids: list[list[float]],
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its nearest centroid: (id, __v, cell)."""
-    v = vectors.select(F.col(id_col),
-                       F.col(vec_col).cast("array<double>").alias("__v"))
+    v = vectors.select(F.col(id_col), F.col(vec_col).alias("__v"))
     return v.withColumn("cell", _cell_ranks(F.col("__v"), centroids)[0]["c"])
 
 
@@ -216,8 +251,7 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     cents = ivf_centroids(vectors, n_cells, id_col, vec_col)
     assigned = (ivf_assign(vectors, cents, id_col, vec_col)
                 .withColumnRenamed(id_col, "neighbor_id"))
-    q = queries.select(query_id_col,
-                       F.col(vec_col).cast("array<double>").alias("__q"))
+    q = queries.select(query_id_col, F.col(vec_col).alias("__q"))
     probes = (q.withColumn("__cells", F.slice(
                     _cell_ranks(F.col("__q"), cents), 1, nprobe))
                .select(query_id_col, "__q",
@@ -225,8 +259,9 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     cand = (assigned.join(F.broadcast(probes), "cell")
                     .filter(F.col("neighbor_id") != F.col(query_id_col)))
     scored = cand.select(query_id_col, "neighbor_id",
-                         F.round(cosine(F.col("__q"), F.col("__v")), 4)
-                          .alias("cos"))
+                         F.round(cosine(F.col("__q"), F.col("__v"),
+                                        dim=len(cents[0]) if cents else None),
+                                 4).alias("cos"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(),
                                                  F.col("neighbor_id"))
     return (scored.withColumn("__rn", F.row_number().over(w))

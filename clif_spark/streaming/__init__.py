@@ -103,7 +103,8 @@ def stream_dedup(events: DataFrame, keys: list[str],
 
 
 def run_to_memory(stream_df: DataFrame, output_mode: str = "complete",
-                  name: str | None = None) -> DataFrame:
+                  name: str | None = None,
+                  state_partitions: int | None = 4) -> DataFrame:
     """Execute a streaming plan to completion on the available data and
     return the settled result as a batch DataFrame.
 
@@ -112,16 +113,32 @@ def run_to_memory(stream_df: DataFrame, output_mode: str = "complete",
     ``complete`` mode emits every window (append would hold back windows the
     final watermark never passes); fine for bounded test data, not for
     production sinks.
+
+    ``state_partitions`` bounds ``spark.sql.shuffle.partitions`` for the
+    stream's lifetime (restored after): every stateful operator materializes
+    one state-store instance — checkpoint directory, delta files, commit —
+    per shuffle partition, so a 32-partition default pays 32 store setups to
+    process a test corpus. The partition count is captured in the checkpoint
+    at first start, so this only shapes queries launched here; production
+    jobs (durable checkpoints, real key cardinality) size it to the cluster.
     """
+    spark = stream_df.sparkSession
     qname = name or f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="clif_stream_ckpt_")
-    q = (stream_df.writeStream.format("memory").queryName(qname)
-         .outputMode(output_mode)
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
-    return stream_df.sparkSession.table(qname)
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (stream_df.writeStream.format("memory").queryName(qname)
+             .outputMode(output_mode)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None and prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(qname)
 
 
 def running_user_stats(events: DataFrame,
