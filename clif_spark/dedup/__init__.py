@@ -263,29 +263,102 @@ def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
                  .filter(F.col("jaccard") >= threshold))
 
 
+#: SimHash geometry: 64 bits = 4 chunks × 16 bits = 16 md5 hex chars × 4
+#: nibble bits. Chunked output keeps every value inside signed 16-bit range
+#: (engine-portable: no unsigned-64 overflow in either Spark or DuckDB) and
+#: the chunks double as the LSH bands for Hamming pair search (pigeonhole:
+#: Hamming <= 3 over 64 bits guarantees at least one of 4 chunks is equal).
+SIMHASH_CHUNKS = 4
+_HEX_PER_CHUNK = 4
+
+
 def simhash64(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document from whitespace tokens.
+    """64-bit SimHash per document from whitespace tokens, as 4×16-bit
+    chunks (c0..c3, c0 = most-significant) plus the concatenated hex form.
 
-    Token hash = xxhash64 (JVM-native); each of the 64 bits votes ±1 weighted
-    by token frequency; the sign of each bit-sum forms the signature. Pure
-    aggregate formulation: explode tokens, then one groupBy with 64 bit-sum
-    expressions folded into a bigint. Near-dup = small Hamming distance
-    (pair search via multi-probe banding on 16-bit chunks, same LSH shape as
-    MinHash)."""
+    Token hash = first 16 hex chars of ``md5(token)`` — bit-identical in
+    DuckDB (oracle-checkable; swap xxhash64 at production scale, semantics
+    unchanged). Each of the 64 bits votes ±1 weighted by token frequency;
+    the sign of each bit-sum forms the signature. Pure aggregate
+    formulation: explode tokens, project 16 nibble values per token, one
+    groupBy with 64 bit-sum expressions folded into the chunk ints.
+    Near-dup = small Hamming distance; ``simhash_pairs`` searches via
+    banding on the chunks (same LSH shape as MinHash)."""
     toks = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"))
-    h = toks.withColumn("h", F.xxhash64("tok"))
-    bit_votes = [
-        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-               .otherwise(-1)).alias(f"b{i}")
-        for i in range(64)
-    ]
-    votes = h.groupBy("doc").agg(*bit_votes)
-    sig = F.lit(0).cast("long")
-    for i in range(64):
-        sig = sig.bitwiseOR(
-            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i))
-             .otherwise(F.lit(0).cast("long")))
-    return votes.select("doc", sig.alias("simhash"))
+    h = toks.withColumn("h", F.md5("tok"))
+    # nibble value of hex char j (0..15): conv is codegen-native; the
+    # oracle mirrors it with strpos('0123456789abcdef', c) - 1.
+    nibbles = h.select("doc", *[
+        F.conv(F.substring("h", j + 1, 1), 16, 10).cast("int").alias(f"v{j}")
+        for j in range(16)])
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for j in range(16):
+        for b in range(4):  # b = bit index within the nibble, LSB first
+            aggs.append(F.sum(F.shiftright(F.col(f"v{j}"), b)
+                               .bitwiseAND(F.lit(1))).alias(f"s{j}_{b}"))
+    votes = nibbles.groupBy("doc").agg(*aggs)
+    chunk_cols = []
+    for m in range(SIMHASH_CHUNKS):
+        chunk = F.lit(0).cast("long")
+        for jj in range(_HEX_PER_CHUNK):   # jj-th hex char inside chunk m
+            j = m * _HEX_PER_CHUNK + jj
+            for b in range(4):
+                pos = (_HEX_PER_CHUNK - 1 - jj) * 4 + b
+                # majority vote: bit set iff ones outnumber zeros
+                chunk = chunk + F.when(
+                    F.col(f"s{j}_{b}") * 2 > F.col("n"),
+                    F.lit(1 << pos).cast("long")).otherwise(F.lit(0).cast("long"))
+        chunk_cols.append(chunk.alias(f"c{m}"))
+    out = votes.select("doc", *chunk_cols)
+    return out.withColumn(
+        "simhash_hex",
+        F.format_string("%04x" * SIMHASH_CHUNKS,
+                        *[F.col(f"c{m}") for m in range(SIMHASH_CHUNKS)]))
+
+
+def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", max_hamming: int = 10,
+                  max_bucket: int = 200) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded on the 16-bit
+    chunks (multi-probe LSH promised by ``simhash64``): candidates share at
+    least one exact chunk (guaranteed complete for Hamming <= 3 by
+    pigeonhole; pairs further apart surface only if some chunk still
+    matches), verified with ``bit_count(a XOR b)`` summed over chunks.
+
+    Carry-style single scan (the MinHash ``verify="carry"`` shape): chunk
+    values ride into the band groupBy, pair expansion emits both signatures,
+    Hamming + threshold filter run before the final narrow distinct.
+    ``max_bucket`` is the usual skew guard. Output: (a, b, hamming).
+    """
+    sig = simhash64(docs, id_col, text_col)
+    chunks = [f"c{m}" for m in range(SIMHASH_CHUNKS)]
+    keyed = sig.select(
+        "doc", *chunks,
+        F.explode(F.array(*[
+            F.struct(F.lit(m).alias("band"), F.col(f"c{m}").alias("val"))
+            for m in range(SIMHASH_CHUNKS)])).alias("bk")
+    ).select("doc", *chunks, "bk.band", "bk.val")
+    buckets = (keyed.groupBy("band", "val")
+               .agg(F.array_sort(
+                   F.collect_list(F.struct("doc", *chunks))).alias("ds"))
+               .filter(F.size("ds").between(2, max_bucket)))
+    pairs = F.flatten(F.transform(
+        F.col("ds"),
+        lambda a, i: F.transform(
+            F.slice(F.col("ds"), i + F.lit(2),
+                    F.greatest(F.size(F.col("ds")) - i - 1, F.lit(0))),
+            lambda b: F.struct(
+                a["doc"].alias("a"), b["doc"].alias("b"),
+                *[a[c].alias(f"{c}a") for c in chunks],
+                *[b[c].alias(f"{c}b") for c in chunks]))))
+    ex = (buckets.select(F.explode(pairs).alias("p")).select("p.*"))
+    hamming = sum(
+        (F.bit_count(F.col(f"{c}a").bitwiseXOR(F.col(f"{c}b")))
+         for c in chunks),
+        F.lit(0).cast("long")).cast("long")
+    return (ex.select("a", "b", hamming.alias("hamming"))
+              .filter(F.col("hamming") <= max_hamming)
+              .distinct())

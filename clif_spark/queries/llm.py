@@ -239,13 +239,109 @@ def dedup_ngram_jaccard(spark, sf_dir):
                                 threshold=0.3)
 
 
-@query("dedup_simhash64", oracle=None)
+def _simhash_sig_ctes(docs_src: str) -> str:
+    """DuckDB CTE chain computing dedup.simhash64 term for term: md5 hex
+    nibbles (strpos mirror of Spark's conv), 64 frequency-weighted bit
+    votes, majority sign folded into 4×16-bit chunks."""
+    vjs = ",\n        ".join(
+        f"strpos('0123456789abcdef', substr(md5(tok), {j + 1}, 1)) - 1 AS v{j}"
+        for j in range(16))
+    sums = ",\n        ".join(
+        f"SUM((v{j} >> {b}) & 1) AS s{j}_{b}"
+        for j in range(16) for b in range(4))
+    chunks = []
+    for m in range(dedup.SIMHASH_CHUNKS):
+        terms = []
+        for jj in range(4):
+            j = m * 4 + jj
+            for b in range(4):
+                pos = (3 - jj) * 4 + b
+                terms.append(
+                    f"CASE WHEN 2*s{j}_{b} > n THEN {1 << pos} ELSE 0 END")
+        chunks.append("CAST(" + " + ".join(terms) + f" AS BIGINT) AS c{m}")
+    chunks_sql = ",\n        ".join(chunks)
+    return f"""
+    toks AS (
+      SELECT doc, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM {docs_src}
+    ),
+    nib AS (
+      SELECT doc,
+        {vjs}
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc, COUNT(*) AS n,
+        {sums}
+      FROM nib GROUP BY doc
+    ),
+    sig AS (
+      SELECT doc, c0, c1, c2, c3,
+             printf('%04x%04x%04x%04x', c0, c1, c2, c3) AS simhash_hex
+      FROM (SELECT doc,
+        {chunks_sql}
+      FROM votes)
+    )"""
+
+
+@query(
+    "dedup_simhash64",
+    oracle=f"""
+    WITH docs2 AS (SELECT doc_id AS doc, text FROM documents),
+    {_simhash_sig_ctes('docs2')}
+    SELECT * FROM sig
+    """,
+)
 def dedup_simhash64(spark, sf_dir):
-    """SimHash-64 signatures (rows-only check: xxhash64 has no DuckDB
-    equivalent). Deterministic given the input; near-dup = small Hamming
-    distance, searched with the same banding shape as MinHash."""
+    """SimHash-64 signatures as 4×16-bit chunks + hex form, oracle-gated
+    (md5-nibble token hash is DuckDB-computable; see dedup.simhash64).
+    Near-dup = small Hamming distance — dedup_simhash_pairs searches it."""
     d = io.load_table(spark, sf_dir, "documents")
     return dedup.simhash64(d)
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH docs2 AS (
+      SELECT doc_id AS doc, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text || ' extra trailing token'
+      FROM documents WHERE doc_id < 20
+    ),
+    {_simhash_sig_ctes('docs2')},
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc, {m} AS band, c{m} AS val, c0, c1, c2, c3 FROM sig"
+          for m in range(dedup.SIMHASH_CHUNKS))}
+    ),
+    sized AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY band, val) AS bucket_n FROM bands
+    ),
+    small AS (SELECT * FROM sized WHERE bucket_n BETWEEN 2 AND 200),
+    pairs AS (
+      SELECT DISTINCT l.doc AS a, r.doc AS b,
+             CAST(bit_count(xor(l.c0, r.c0)) + bit_count(xor(l.c1, r.c1))
+                + bit_count(xor(l.c2, r.c2)) + bit_count(xor(l.c3, r.c3))
+               AS BIGINT) AS hamming
+      FROM small l JOIN small r
+        ON l.band = r.band AND l.val = r.val AND l.doc < r.doc
+    )
+    SELECT a, b, hamming FROM pairs WHERE hamming <= 10
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash Hamming pair search: 16-bit-chunk banding for candidates
+    (complete for Hamming <= 3 by pigeonhole), bit_count(XOR) verify
+    <= 10. The 20 planted one-token-appended near-copies must surface
+    wherever a chunk survives the edit — same carry-style single-scan
+    shape as the MinHash pipeline (dedup.simhash_pairs)."""
+    d = io.load_table(spark, sf_dir, "documents")
+    planted = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" extra trailing token")).alias("text"))
+    docs2 = d.select("doc_id", "text").unionByName(planted)
+    return dedup.simhash_pairs(docs2)
 
 
 # ---------------------------------------------------------------------------
