@@ -118,7 +118,7 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     bits = []
     for row in planes:
         plane = F.array(*[F.lit(x) for x in row])
-        bits.append(F.when(dot(vec, plane, dim=len(row)) >= 0,
+        bits.append(F.when(dot(vec, plane) >= 0,
                            F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
@@ -131,6 +131,33 @@ def lsh_assign(vectors: DataFrame, n_planes: int = 8,
     return vectors.select(
         F.col(id_col),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+
+
+def table_seed(t: int, seed: str = "clif") -> str:
+    """Hyperplane seed for LSH table ``t``: table 0 keeps the bare seed so
+    single-table behavior (and its oracles) are unchanged."""
+    return seed if t == 0 else f"{seed}:t{t}"
+
+
+def lsh_assign_tables(vectors: DataFrame, n_planes: int, n_tables: int,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      dim: int = 64) -> DataFrame:
+    """Multi-table LSH assignment: (id, tbl, bucket), one row per table.
+
+    L independent tables of k planes each trade fan-out for recall —
+    P(candidate) = 1-(1-p^k)^L per neighbor vs the k-planes-only p^k. The
+    assignment is a narrow map (explode of L in-row signatures); candidate
+    generation joins on (tbl, bucket), so the geometry stays the bucketed
+    groupBy/join shape that scales."""
+    entries = [
+        F.struct(F.lit(t).alias("tbl"),
+                 lsh_bucket(F.col(vec_col),
+                            deterministic_hyperplanes(
+                                dim, n_planes, table_seed(t))).alias("bucket"))
+        for t in range(n_tables)]
+    return (vectors.select(F.col(id_col), F.explode(F.array(*entries))
+                           .alias("e"))
+                   .select(id_col, "e.tbl", "e.bucket"))
 
 
 def cosine_near_dup_pairs(vectors: DataFrame, threshold: float = 0.98,
@@ -159,32 +186,39 @@ def cosine_near_dup_pairs(vectors: DataFrame, threshold: float = 0.98,
             .join(v.select(F.col(id_col).alias("b"),
                            F.col("__v").alias("__vb")), "b")
             .select("a", "b",
-                    F.round(cosine(F.col("__va"), F.col("__vb"), dim), 4)
+                    F.round(cosine(F.col("__va"), F.col("__vb")), 4)
                      .alias("cos"))
             .filter(F.col("cos") >= threshold))
 
 
 def lsh_cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
-                    n_planes: int = 8, id_col: str = "vec_id",
-                    vec_col: str = "embedding",
+                    n_planes: int = 8, n_tables: int = 1,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
                     query_id_col: str = "query_id", dim: int = 64) -> DataFrame:
-    """ANN top-k: restrict exact cosine to same-bucket candidates.
+    """ANN top-k: restrict exact cosine to candidates sharing a bucket in
+    at least one of ``n_tables`` independent LSH tables.
 
-    Recall < 1 by construction (tune n_planes down / add multi-probe for
-    higher recall); the payoff is that each query touches ~n/2^planes vectors
-    instead of n."""
-    assigned = lsh_assign(vectors, n_planes, id_col, vec_col, dim).withColumnRenamed(id_col, "neighbor_id")
+    Recall < 1 by construction — per true neighbor with per-plane agreement
+    p, P(candidate) = 1-(1-p^n_planes)^n_tables; fan-out per query is
+    ~n_tables×n/2^n_planes vectors instead of n. ``ann_recall_at_k``
+    measures the dial positions. Candidates found by several tables are
+    deduplicated before scoring, so exact cosine runs once per pair."""
+    assigned = lsh_assign_tables(vectors, n_planes, n_tables, id_col,
+                                 vec_col, dim).withColumnRenamed(
+                                     id_col, "neighbor_id")
+    q_assigned = lsh_assign_tables(
+        queries.withColumnRenamed(query_id_col, id_col),
+        n_planes, n_tables, id_col, vec_col, dim).withColumnRenamed(
+            id_col, query_id_col)
+    cand_ids = (assigned.join(F.broadcast(q_assigned), ["tbl", "bucket"])
+                .filter(F.col("neighbor_id") != F.col(query_id_col))
+                .select(query_id_col, "neighbor_id").distinct())
     v = vectors.select(F.col(id_col).alias("neighbor_id"),
                        F.col(vec_col).alias("__v"))
-    q_assigned = lsh_assign(queries.withColumnRenamed(query_id_col, id_col),
-                            n_planes, id_col, vec_col, dim).withColumnRenamed(id_col, query_id_col)
     q = queries.select(query_id_col, F.col(vec_col).alias("__q"))
-    cand = (v.join(assigned, "neighbor_id")
-             .join(F.broadcast(q_assigned), "bucket")
-             .join(F.broadcast(q), query_id_col)
-             .filter(F.col("neighbor_id") != F.col(query_id_col)))
+    cand = (cand_ids.join(v, "neighbor_id").join(F.broadcast(q), query_id_col))
     scored = cand.select(query_id_col, "neighbor_id",
-                         F.round(cosine(F.col("__q"), F.col("__v"), dim), 4)
+                         F.round(cosine(F.col("__q"), F.col("__v")), 4)
                           .alias("cos"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(),
                                                  F.col("neighbor_id"))
@@ -211,13 +245,11 @@ def ivf_centroids(vectors: DataFrame, n_cells: int = 16,
 
 
 def _l2(vec: Column, cent: list[float]) -> Column:
-    # Unrolled codegen chain (centroid width is known); same left fold as
-    # the HOF form, so distances are bit-identical to the oracle's.
-    acc: Column = F.lit(0.0)
-    for i, x in enumerate(cent):
-        d = vec.getItem(i).cast("double") - F.lit(float(x))
-        acc = acc + d * d
-    return F.sqrt(acc)
+    c = F.array(*[F.lit(float(x)) for x in cent])
+    return F.sqrt(F.aggregate(
+        F.zip_with(vec.cast("array<double>"), c,
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v))
 
 
 def _cell_ranks(vec: Column, centroids: list[list[float]]) -> Column:
@@ -259,9 +291,8 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     cand = (assigned.join(F.broadcast(probes), "cell")
                     .filter(F.col("neighbor_id") != F.col(query_id_col)))
     scored = cand.select(query_id_col, "neighbor_id",
-                         F.round(cosine(F.col("__q"), F.col("__v"),
-                                        dim=len(cents[0]) if cents else None),
-                                 4).alias("cos"))
+                         F.round(cosine(F.col("__q"), F.col("__v")), 4)
+                          .alias("cos"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(),
                                                  F.col("neighbor_id"))
     return (scored.withColumn("__rn", F.row_number().over(w))
