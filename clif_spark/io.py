@@ -150,8 +150,113 @@ def read_vocab(spark: SparkSession, rows: list[tuple], columns: list[str]) -> Da
     The reference loads these from xlsx (≤110 rows,
     `rclif_data/lab_name_lab_group_units.xlsx`); at any scale they are
     driver-side literals and must be broadcast in joins (SURVEY §4).
+    ``read_vocab_xlsx`` loads the actual spreadsheets.
     """
     return spark.createDataFrame(rows, columns)
+
+
+def read_xlsx_rows(path: str, sheet: int = 1) -> list[list[str | None]]:
+    """Parse one worksheet of an .xlsx file into rows of cell strings.
+
+    Stdlib-only (zipfile + ElementTree — xlsx is zipped SpreadsheetML), so
+    the engine has no optional-dependency gate around its vocabulary
+    ingest. Handles shared strings (t="s"), inline strings (t="inlineStr"),
+    formula strings (t="str"), booleans (t="b") and numbers; skipped cells
+    inside a row come back as None; trailing all-empty cells are ragged
+    (caller pads). Numbers keep their literal lexical form (vocab sheets
+    are string-typed; cast downstream if needed).
+    """
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{ns}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{ns}t")))
+        sheet_xml = z.read(f"xl/worksheets/sheet{sheet}.xml")
+    root = ET.fromstring(sheet_xml)
+    rows: list[list[str | None]] = []
+    for row_el in root.iter(f"{ns}row"):
+        cells: list[str | None] = []
+        for c in row_el.findall(f"{ns}c"):
+            ref = c.get("r", "")
+            col_idx = 0
+            for ch in ref:
+                if ch.isalpha():
+                    col_idx = col_idx * 26 + (ord(ch.upper()) - 64)
+                else:
+                    break
+            while len(cells) < col_idx - 1:   # fill skipped cells
+                cells.append(None)
+            ctype = c.get("t", "n")
+            if ctype == "inlineStr":
+                is_el = c.find(f"{ns}is")
+                val = ("".join(t.text or "" for t in is_el.iter(f"{ns}t"))
+                       if is_el is not None else None)
+            else:
+                v = c.find(f"{ns}v")
+                raw = v.text if v is not None else None
+                if raw is None:
+                    val = None
+                elif ctype == "s":
+                    val = shared[int(raw)]
+                elif ctype == "b":
+                    val = "true" if raw == "1" else "false"
+                else:
+                    val = raw
+            cells.append(val)
+        rows.append(cells)
+    return rows
+
+
+def read_vocab_xlsx(spark: SparkSession, path: str, sheet: int = 1,
+                    header: bool = True,
+                    columns: list[str] | None = None,
+                    strip_invisible: bool = True) -> DataFrame:
+    """S2: load a controlled-vocabulary dimension from a real spreadsheet
+    (the reference's `read_excel` at `code/RCLIF_labs.Rmd:38`,
+    `code/RCLIF_vitals.Rmd:33,93`, `code/RCLIF_medications.Rmd:34,94`;
+    data shape: `rclif_data/lab_name_lab_group_units.xlsx`).
+
+    Driver-side parse is the correct scale story: vocab sheets are ≤ a few
+    hundred rows, the resulting DataFrame is a broadcast dimension (J1) —
+    the same footprint as ``read_vocab`` literals. Column names come from
+    the header row (sanitized); all columns are nullable strings.
+
+    ``strip_invisible`` (default on) removes Unicode format characters
+    (category Cf: BOM, zero-width marks) from cell values: the reference's
+    actual sheets carry them — ``lab_name`` values arrive as e.g.
+    '\\ufeff\\ufeff\\ufeffpao2' — and a vocab key that LOOKS like 'pao2'
+    but never equi-joins is a silent-empty-join trap. Pass False for
+    byte-faithful values.
+    """
+    import unicodedata
+
+    rows = read_xlsx_rows(path, sheet)
+    if strip_invisible:
+        rows = [[("".join(ch for ch in c
+                          if unicodedata.category(ch) != "Cf")
+                  if isinstance(c, str) else c) for c in r]
+                for r in rows]
+    if not rows:
+        raise ValueError(f"no rows in {path} sheet {sheet}")
+    if columns is None:
+        if header:
+            columns = [
+                "".join(ch for ch in (c or "").strip()
+                        if ch.isprintable()).strip() or f"col_{i}"
+                for i, c in enumerate(rows[0])]
+            rows = rows[1:]
+        else:
+            columns = [f"col_{i}" for i in range(max(map(len, rows)))]
+    width = len(columns)
+    padded = [tuple((r + [None] * width)[:width]) for r in rows]
+    schema = T.StructType(
+        [T.StructField(c, T.StringType(), True) for c in columns])
+    return spark.createDataFrame(padded, schema)
 
 
 def write_table(

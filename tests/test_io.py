@@ -70,3 +70,86 @@ def test_salted_join_and_count_equivalence(spark):
     counts = {r["k"]: r["n"]
               for r in skew.salted_count(df, ["k"], salt_buckets=4).collect()}
     assert counts == {"hot": 200, "cold": 1}
+
+
+def _make_xlsx(path: str) -> None:
+    """Minimal SpreadsheetML fixture: shared strings, an inline string,
+    a number, a skipped cell, a short row."""
+    import zipfile
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    shared = (f'<?xml version="1.0"?><sst {ns} count="4" uniqueCount="4">'
+              '<si><t>lab_name</t></si><si><t>lab_group</t></si>'
+              '<si><t>sodium</t></si><si><t>BMP</t></si></sst>')
+    sheet = (f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+             '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+             '<c r="B1" t="s"><v>1</v></c>'
+             '<c r="C1" t="inlineStr"><is><t>units</t></is></c></row>'
+             '<row r="2"><c r="A2" t="s"><v>2</v></c>'
+             '<c r="B2" t="s"><v>3</v></c>'
+             '<c r="C2"><v>140</v></c></row>'
+             # row 3: B skipped entirely, short row
+             '<row r="3"><c r="A3" t="inlineStr"><is><t>potassium</t></is></c>'
+             '<c r="C3"><v>4.5</v></c></row>'
+             '</sheetData></worksheet>')
+    ct = ('<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.'
+          'org/package/2006/content-types"/>')
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("xl/sharedStrings.xml", shared)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_read_vocab_xlsx_fixture(spark):
+    base = tempfile.mkdtemp(prefix="clif_xlsx_")
+    path = f"{base}/vocab.xlsx"
+    _make_xlsx(path)
+    dim = io.read_vocab_xlsx(spark, path)
+    assert dim.columns == ["lab_name", "lab_group", "units"]
+    rows = {tuple(r) for r in dim.collect()}
+    assert rows == {("sodium", "BMP", "140"), ("potassium", None, "4.5")}
+
+
+def test_read_vocab_xlsx_broadcast_join(spark):
+    """The loaded dim drives a J1 broadcast vocab join (plan-asserted)."""
+    base = tempfile.mkdtemp(prefix="clif_xlsx_")
+    path = f"{base}/vocab.xlsx"
+    _make_xlsx(path)
+    dim = io.read_vocab_xlsx(spark, path)
+    facts = spark.createDataFrame(
+        [("sodium", 139.0), ("potassium", 4.1), ("unknown", 1.0)],
+        "lab_name string, value double")
+    from clif_spark.operators import core
+    joined = core.vocab_join(facts, dim, on="lab_name", how="left")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    got = {(r.lab_name, r.lab_group) for r in joined.collect()}
+    assert got == {("sodium", "BMP"), ("potassium", None), ("unknown", None)}
+
+
+def test_read_vocab_xlsx_reference_sheet(spark):
+    """The actual reference spreadsheet loads with its documented header
+    (SURVEY §1.1; skipped when the reference checkout is absent)."""
+    import pytest as _pytest
+    ref = "/root/reference/rclif_data/lab_name_lab_group_units.xlsx"
+    if not os.path.exists(ref):
+        _pytest.skip("reference data not present")
+    dim = io.read_vocab_xlsx(spark, ref)
+    assert "lab_name" in dim.columns and "lab_group" in dim.columns
+    assert dim.count() > 20
+    names = [r.lab_name for r in dim.select("lab_name").collect()]
+    assert any(n and "sodium" in n.lower() for n in names)
+
+
+def test_read_vocab_xlsx_strips_bom_keys(spark):
+    """Reference sheets carry U+FEFF-polluted vocab keys; default load
+    makes them joinable (strip_invisible=False keeps raw bytes)."""
+    import pytest as _pytest
+    ref = "/root/reference/rclif_data/lab_name_lab_group_units.xlsx"
+    if not os.path.exists(ref):
+        _pytest.skip("reference data not present")
+    dim = io.read_vocab_xlsx(spark, ref)
+    names = {r.lab_name for r in dim.select("lab_name").collect()}
+    assert "pao2" in names            # stripped -> joinable
+    raw = io.read_vocab_xlsx(spark, ref, strip_invisible=False)
+    raw_names = {r.lab_name for r in raw.select("lab_name").collect()}
+    assert "﻿﻿﻿pao2" in raw_names

@@ -323,3 +323,26 @@ def test_demographics_tables(spark):
     # keep-last dedup ordered by discharge_dispo -> "Expired" sorts last
     assert dispo[0]["disposition"] == "Expired"
     assert len(dispo[0]["patient_id_hash"]) == 64
+
+
+# --- admission diagnosis ----------------------------------------------------
+
+def test_admission_diagnosis_projection(spark):
+    from clif_spark.pipelines import admission_diagnosis as adx
+
+    dx = spark.createDataFrame(
+        [("6914", "100234", "Sepsis", "A41.9", "Y", "extra"),
+         ("6914", "100235", "COVID-19", "U07.1", "N", "extra"),
+         ("7001", "100500", "Pneumonia", "J18.9", None, "extra")],
+        "C19_PATIENT_ID string, C19_HAR_ID string, dx_name string,"
+        " icd10_code string, poa string, untouched string")
+    out = adx.sorted_for_publication(adx.build_admission_diagnosis(dx))
+    # published schema: renamed columns (typo'd dianosis_code preserved,
+    # RCLIF_admission_diagnosis.Rmd:33), extra raw columns dropped
+    assert out.columns == ["C19_PATIENT_ID", "C19_HAR_ID", "diagnosis_name",
+                           "dianosis_code", "pta"]
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [
+        ("6914", "100234", "Sepsis", "A41.9", "Y"),
+        ("6914", "100235", "COVID-19", "U07.1", "N"),
+        ("7001", "100500", "Pneumonia", "J18.9", None)]
