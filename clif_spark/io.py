@@ -65,17 +65,43 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _parse_bytes(conf_val: str) -> int | None:
+    """Parse a Spark byte-size conf value ('134217728', '128m', '1g',
+    '134217728b') the way JavaUtils.byteStringAsBytes does. Returns None on
+    anything unrecognized so callers can fall back to a JVM probe —
+    filtering to digit characters (the old behavior) silently read '128m'
+    as 128 *bytes* and exploded the partition estimate."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", conf_val or "")
+    if not m:
+        return None
+    mult = {"": 1, "b": 1,
+            "k": 1 << 10, "kb": 1 << 10,
+            "m": 1 << 20, "mb": 1 << 20,
+            "g": 1 << 30, "gb": 1 << 30,
+            "t": 1 << 40, "tb": 1 << 40}.get(m.group(2).lower())
+    return int(m.group(1)) * mult if mult else None
+
+
 def _approx_scan_partitions(df: DataFrame) -> int | None:
     """Estimate how many splits the file scan under ``df`` yields, from file
-    sizes alone — the same ``maxPartitionBytes`` arithmetic Spark's
-    FilePartition planner applies. Returns None when the plan has no file
-    source or sizes are unavailable (non-local FS), so callers can fall back.
+    sizes alone — mirroring Spark's FilePartitions planning: splits are cut
+    at ``maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    totalBytes / defaultParallelism))`` and bin-packed greedily with each
+    file padded by ``openCostInBytes`` (FilePartition.maxSplitBytes /
+    getFilePartitions in Spark's datasource code). Without the
+    defaultParallelism term, one 400 MB file on 32 cores would be estimated
+    at 4 splits while the scan actually yields ~32, triggering a pointless
+    repartition in ensure_parallelism; without open-cost padding, many-small-
+    file scans are undercounted. Returns None when the plan has no file
+    source, sizes are unavailable (non-local FS), or a size conf does not
+    parse, so callers can fall back to the JVM probe.
 
     Rationale: the obvious probe, ``df.rdd.getNumPartitions()``, converts the
     whole plan to an RDD through py4j and costs ~0.9 s per call — more than
     many small queries take end-to-end. File metadata costs ~10 ms.
     """
-    import math
     import os
     from urllib.parse import urlparse
 
@@ -83,15 +109,42 @@ def _approx_scan_partitions(df: DataFrame) -> int | None:
         files = df.inputFiles()
         if not files:
             return None
-        conf_val = df.sparkSession.conf.get(
-            "spark.sql.files.maxPartitionBytes", "134217728b")
-        max_bytes = int("".join(ch for ch in conf_val if ch.isdigit()) or "134217728")
-        parts = 0
+        spark = df.sparkSession
+        max_part = _parse_bytes(spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728b"))
+        open_cost = _parse_bytes(spark.conf.get(
+            "spark.sql.files.openCostInBytes", "4194304b"))
+        if max_part is None or open_cost is None:
+            return None
+        sizes = []
         for f in files:
             parsed = urlparse(f)
             if parsed.scheme not in ("", "file"):
                 return None
-            parts += max(1, math.ceil(os.path.getsize(parsed.path) / max_bytes))
+            sizes.append(os.path.getsize(parsed.path))
+        total = sum(sizes) + open_cost * len(sizes)
+        parallelism = spark.sparkContext.defaultParallelism
+        max_split = min(max_part, max(open_cost, total // max(parallelism, 1)))
+        # FilePartitions packing, mirrored: clip files into <= max_split
+        # chunks, sort all chunks descending, close a partition when the
+        # next chunk would overflow, and account each placed chunk at
+        # (length + openCost).
+        chunks: list[int] = []
+        for size in sizes:
+            while size > max_split:
+                chunks.append(max_split)
+                size -= max_split
+            if size > 0:
+                chunks.append(size)
+        parts, current, occupied = 0, 0, False
+        for c in sorted(chunks, reverse=True):
+            if occupied and current + c > max_split:
+                parts += 1
+                current, occupied = 0, False
+            current += c + open_cost
+            occupied = True
+        if occupied:
+            parts += 1
         return parts
     except Exception:
         return None

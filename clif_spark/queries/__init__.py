@@ -93,7 +93,18 @@ def _digit_round(micros: Column, scale: int) -> Column:
 
 def dsum(col: Column | str, scale: int = 2) -> Column:
     """Order-independent sum of a double column via integer-micros fixed
-    point; see module comment for determinism + domain-bound rationale."""
+    point; see module comment for determinism + domain-bound rationale.
+
+    Loss characteristics (both deliberate, neither checked at runtime):
+    - values are quantized to 1e-6 per ROW before summing — a value with
+      |x| < 0.5e-6 contributes exactly zero (acceptable for money/measure
+      domains; not for accumulating physical micro-quantities);
+    - the accumulator is a plain BIGINT: per-group Σ|x| beyond ~9.2e12
+      wraps silently under Spark's non-ANSI SUM (DuckDB's promotes to
+      HUGEINT, so the oracle gate catches it in tested domains — production
+      users beyond the bound should use dsum_exact, or ANSI/try_sum for a
+      loud failure instead of a wrong answer). tests/test_properties.py
+      pins dsum == dsum_exact at the largest shipped SF."""
     col = F.col(col) if isinstance(col, str) else col
     return _digit_round(_micros_sum(col), scale)
 

@@ -153,3 +153,23 @@ def test_read_vocab_xlsx_strips_bom_keys(spark):
     raw = io.read_vocab_xlsx(spark, ref, strip_invisible=False)
     raw_names = {r.lab_name for r in raw.select("lab_name").collect()}
     assert "﻿﻿﻿pao2" in raw_names
+
+
+def test_parse_bytes_and_partition_estimate(spark):
+    from clif_spark.io import _approx_scan_partitions, _parse_bytes
+
+    assert _parse_bytes("128m") == 128 << 20
+    assert _parse_bytes("1g") == 1 << 30
+    assert _parse_bytes("134217728b") == 134217728
+    assert _parse_bytes("134217728") == 134217728
+    assert _parse_bytes("64k") == 64 << 10
+    assert _parse_bytes("oops") is None  # caller falls back to JVM probe
+
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        for conf in ["128m", "64k"]:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", conf)
+            df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+            assert _approx_scan_partitions(df) == df.rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)

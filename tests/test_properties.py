@@ -176,3 +176,26 @@ def test_minhash_sql_headline_equals_operator_forms(spark):
     assert sql_rows == carry
     assert carry == rejoin
     assert len(carry) > 0  # planted near-dups must surface
+
+
+def test_dsum_matches_exact_at_largest_sf(spark):
+    """dsum's BIGINT-micros accumulator is in-domain at the largest shipped
+    SF: every TPC-H Q1-style per-group sum equals the decimal-exact form
+    (overflow would wrap silently — this is the canary)."""
+    from pyspark.sql import functions as F
+
+    from clif_spark.queries import dsum, dsum_exact
+
+    li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    got = (li.groupBy("l_returnflag", "l_linestatus")
+             .agg(dsum("l_extendedprice").alias("a"),
+                  dsum_exact("l_extendedprice").alias("b"),
+                  dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .alias("c"),
+                  dsum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .alias("d"))
+             .collect())
+    assert len(got) > 0
+    for r in got:
+        assert abs(r.a - r.b) < 1e-9, r
+        assert abs(r.c - r.d) < 1e-9, r
