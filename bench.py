@@ -22,8 +22,11 @@ from clif_spark.session import build_session
 
 
 def main() -> None:
+    import re
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    m = re.search(r"(\d+(?:\.\d+)?)", os.path.basename(sf_dir.rstrip("/")))
+    sf = m.group(1) if m else "0"
     registry = collect_registry()
     headliners = [q for q in registry.values() if q.headline]
 
