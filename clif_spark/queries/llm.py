@@ -55,7 +55,17 @@ def _ngram_concat(n: int) -> str:
                      for j in range(n))
 
 
-def _minhash_oracle() -> str:
+_MINHASH_DOCS2 = """
+      SELECT doc_id AS doc, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text || ' extra trailing token'
+      FROM documents WHERE doc_id < 20
+    """
+
+
+def _minhash_pair_ctes(docs2_sql: str) -> str:
+    """CTE chain from a (doc, text) corpus to scored candidate pairs —
+    shared by the pair query and the cluster query's oracle."""
     bands = dedup.DEFAULT_BANDS
     rpb = dedup.DEFAULT_ROWS_PER_BAND
     w = dedup._minhash_slice_width(bands * rpb)
@@ -66,12 +76,7 @@ def _minhash_oracle() -> str:
         f"SELECT doc, 'band_{b}' AS band, h{2*b} || '|' || h{2*b+1} AS band_key FROM sig"
         for b in range(bands))
     return rf"""
-    WITH docs2 AS (
-      SELECT doc_id AS doc, text FROM documents
-      UNION ALL
-      SELECT doc_id + 100000, text || ' extra trailing token'
-      FROM documents WHERE doc_id < 20
-    ),
+    docs2 AS ({docs2_sql}),
     words AS (
       SELECT doc, regexp_split_to_array(trim(lower(text)), '\s+') AS w
       FROM docs2
@@ -114,9 +119,12 @@ def _minhash_oracle() -> str:
       FROM inter i
       JOIN sizes za ON za.doc = i.a
       JOIN sizes zb ON zb.doc = i.b
-    )
-    SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.5
-    """
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return (f"WITH {_minhash_pair_ctes(_MINHASH_DOCS2)}\n"
+            "    SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.5")
 
 
 @query("dedup_minhash_lsh", oracle=_minhash_oracle(), headline=True)
@@ -183,6 +191,49 @@ def dedup_minhash_lsh(spark, sf_dir):
           FROM cand)
         WHERE jaccard >= {threshold}
     """)
+
+
+_CLUSTER_DOCS2 = _MINHASH_DOCS2 + """
+      UNION ALL
+      SELECT doc_id + 200000, text || ' extra trailing token two'
+      FROM documents WHERE doc_id < 8
+    """
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_pair_ctes(_CLUSTER_DOCS2)},
+    edges AS (SELECT a, b FROM scored WHERE jaccard >= 0.5),
+    sym AS (SELECT a AS src, b AS dst FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    reach(doc, seed) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.dst, r.seed FROM reach r JOIN sym s ON s.src = r.doc
+    )
+    SELECT doc, MIN(seed) AS cluster_id FROM reach GROUP BY doc
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: MinHash pairs -> connected components ->
+    (doc, cluster_id = min doc id in the component) — the keep-one-per-
+    cluster grouping a dedup pipeline actually acts on, and the registry's
+    iterative-algorithm representative (driver-coordinated min-label
+    propagation with localCheckpoint lineage truncation; the oracle is the
+    equivalent recursive CTE). Two plants (20 one-token copies, 8
+    two-token copies) force multi-node components so transitivity is
+    exercised, not just pair mirroring."""
+    d = io.load_table(spark, sf_dir, "documents")
+    p1 = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" extra trailing token")).alias("text"))
+    p2 = d.filter(F.col("doc_id") < 8).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" extra trailing token two")).alias("text"))
+    docs2 = d.select("doc_id", "text").unionByName(p1).unionByName(p2)
+    pairs = dedup.minhash_near_dups(docs2, threshold=0.5)
+    return dedup.connected_components(pairs)
 
 
 _NGRAM_JACCARD_ORACLE = r"""
