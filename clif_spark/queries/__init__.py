@@ -189,11 +189,12 @@ def us(col: Column | str) -> Column:
     return F.unix_micros(col)
 
 
-# Names the round-1 driver gate never reached (it stopped at registry entry
-# 50): these register FIRST so a budget-bounded verifier reaches them. The
-# expensive-to-start streaming queries sit at the END of each block — of the
-# whole registry for already-verified ones — so the cheap batch checks are
-# never starved by multi-second stream startups.
+# Names with no CORRECTNESS row yet (the round-1 gate stopped at registry
+# entry 50; round-2 additions have never been gated): these register FIRST
+# so a budget-bounded verifier reaches them. Cheap batch checks lead;
+# expensive iterative/stream-startup queries sit at the end of the block —
+# and already-verified streaming queries at the END of the whole registry —
+# so cheap checks are never starved by multi-second startups.
 _VERIFY_FIRST = [
     # windows (w1-w8)
     "w1_lead_episodes", "w2_downup_fill", "w3_keep_last_dedup", "w4_rank_lag",
@@ -204,9 +205,11 @@ _VERIFY_FIRST = [
     # TPC-H derived
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    # streaming queries with no round-1 row (cheap batch ones above go first)
+    # round-2 additions, cheap-first
+    "dedup_simhash_pairs", "ann_recall_at_k", "dedup_clusters",
+    # streaming queries with no row yet (stream startup is multi-second)
     "stream_session_windows", "stream_stateful_user_stats",
-    "stream_dedup_counts",
+    "stream_dedup_counts", "stream_click_to_buy",
 ]
 
 _VERIFY_LAST = ["stream_tumbling_agg", "stream_sliding_agg"]

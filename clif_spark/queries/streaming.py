@@ -123,6 +123,41 @@ def stream_stateful_user_stats(spark, sf_dir):
 
 
 @query(
+    "stream_click_to_buy",
+    oracle="""
+    SELECT b.user_id,
+           COUNT(*) AS n_attributed,
+           COUNT(DISTINCT b.event_id) AS n_buys
+    FROM events c
+    JOIN events b
+      ON b.user_id = c.user_id
+     AND b.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= b.ts - INTERVAL '1 hour' AND c.ts <= b.ts
+    GROUP BY b.user_id
+    """,
+)
+def stream_click_to_buy(spark, sf_dir):
+    """Stream-stream interval join (J8's streaming twin): clicks joined to
+    purchases of the same user within a 1-hour attribution window, both
+    sides watermarked so buffered join state is evictable. Run as a real
+    availableNow stream into memory, then aggregated per user (join runs
+    in the stream; the count is batch, like stream_dedup_counts)."""
+    ev = streaming.read_events_stream(spark, sf_dir)
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", F.col("ts").alias("click_ts"),
+                        F.col("event_id").alias("click_id")))
+    buys = (ev.filter(F.col("event_type") == "purchase")
+              .select(F.col("user_id"), F.col("ts").alias("buy_ts"),
+                      F.col("event_id").alias("buy_id")))
+    joined = streaming.stream_stream_join(
+        clicks, buys, key="user_id", left_ts="click_ts", right_ts="buy_ts")
+    settled = streaming.run_to_memory(joined, output_mode="append")
+    return (settled.groupBy("user_id")
+                   .agg(F.count(F.lit(1)).alias("n_attributed"),
+                        F.countDistinct("buy_id").alias("n_buys")))
+
+
+@query(
     "stream_dedup_counts",
     oracle="""
     SELECT event_type, COUNT(DISTINCT user_id) AS n_users

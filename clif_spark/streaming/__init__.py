@@ -102,6 +102,28 @@ def stream_dedup(events: DataFrame, keys: list[str],
     return events.dropDuplicates(keys)
 
 
+def stream_stream_join(left: DataFrame, right: DataFrame, key: str,
+                       left_ts: str, right_ts: str,
+                       lookback: str = "1 hour",
+                       watermark: str = "1 hour") -> DataFrame:
+    """Watermarked stream-stream inner join: a right-stream row matches
+    left-stream rows with the same key whose timestamp falls in
+    ``[right_ts - lookback, right_ts]`` (the attribution-window shape:
+    clicks preceding a purchase).
+
+    Both sides carry watermarks and the join condition bounds event time in
+    BOTH directions, which is what lets Spark evict buffered state — an
+    unbounded condition would grow the state store forever. On a bounded
+    availableNow replay the settled result equals the batch interval join
+    (J8's streaming twin), which is the differential gate."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = ((lw[key] == rw[key])
+            & (lw[left_ts] >= rw[right_ts] - F.expr(f"INTERVAL {lookback}"))
+            & (lw[left_ts] <= rw[right_ts]))
+    return lw.join(rw, cond, "inner").drop(rw[key])
+
+
 def run_to_memory(stream_df: DataFrame, output_mode: str = "complete",
                   name: str | None = None,
                   state_partitions: int | None = 4) -> DataFrame:
