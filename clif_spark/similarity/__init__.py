@@ -39,6 +39,16 @@ from pyspark.sql import Window
 from clif_spark.io import ensure_parallelism
 
 
+def _lit_vec(values: list[float]) -> Column:
+    """array<double> literal in ONE py4j round trip via a SQL string:
+    ``F.array(*[F.lit(x) ...])`` and even ``F.lit(list)`` cost ~40 ms of
+    driver chatter per 64-element vector (measured), which multiplied by
+    8 tables x 4 planes made plan construction the dominant cost of the
+    multi-table LSH queries. repr() round-trips doubles exactly."""
+    return F.expr("array(" + ",".join(repr(float(x)) + "D" for x in values)
+                  + ")")
+
+
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Sequential-fold dot product of two array<double> columns (unrolled
     codegen chain when ``dim`` is known; see module docstring)."""
@@ -112,13 +122,27 @@ def deterministic_hyperplanes(dim: int, n_planes: int, seed: str = "clif") -> li
     return planes
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+def lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
     """Sign-bit signature of a vector against fixed hyperplanes, as a
-    bitstring column ('101…'). Vectors in the same bucket are ANN candidates."""
+    bitstring column ('101…'). Vectors in the same bucket are ANN candidates.
+
+    Pass the COLUMN NAME (str) on hot plan-construction paths: the whole
+    signature then becomes one ``F.expr`` SQL string — a single py4j round
+    trip — where the Column form pays ~0.15 s of driver chatter per plane
+    (each ``zip_with``/``aggregate`` lambda is its own JVM call), which
+    dominated multi-table assignment (8 tables × 4 planes × 2 sides ≈ 10 s
+    of pure plan building, measured)."""
+    if isinstance(vec, str):
+        cases = []
+        for row in planes:
+            arr = "array(" + ",".join(repr(float(x)) + "D" for x in row) + ")"
+            d = (f"aggregate(zip_with(CAST({vec} AS ARRAY<DOUBLE>), {arr},"
+                 " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
+            cases.append(f"CASE WHEN {d} >= 0 THEN '1' ELSE '0' END")
+        return F.expr("concat(" + ", ".join(cases) + ")")
     bits = []
     for row in planes:
-        plane = F.array(*[F.lit(x) for x in row])
-        bits.append(F.when(dot(vec, plane) >= 0,
+        bits.append(F.when(dot(vec, _lit_vec(row)) >= 0,
                            F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
@@ -130,7 +154,7 @@ def lsh_assign(vectors: DataFrame, n_planes: int = 8,
     planes = deterministic_hyperplanes(dim, n_planes)
     return vectors.select(
         F.col(id_col),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+        lsh_bucket(vec_col, planes).alias("bucket"))
 
 
 def table_seed(t: int, seed: str = "clif") -> str:
@@ -151,7 +175,7 @@ def lsh_assign_tables(vectors: DataFrame, n_planes: int, n_tables: int,
     groupBy/join shape that scales."""
     entries = [
         F.struct(F.lit(t).alias("tbl"),
-                 lsh_bucket(F.col(vec_col),
+                 lsh_bucket(vec_col,
                             deterministic_hyperplanes(
                                 dim, n_planes, table_seed(t))).alias("bucket"))
         for t in range(n_tables)]
@@ -245,7 +269,7 @@ def ivf_centroids(vectors: DataFrame, n_cells: int = 16,
 
 
 def _l2(vec: Column, cent: list[float]) -> Column:
-    c = F.array(*[F.lit(float(x)) for x in cent])
+    c = _lit_vec(cent)
     return F.sqrt(F.aggregate(
         F.zip_with(vec.cast("array<double>"), c,
                    lambda x, y: (x - y) * (x - y)),
