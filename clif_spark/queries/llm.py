@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from clif_spark import dedup, io, multimodal, similarity
+from clif_spark import dedup, io, multimodal, sampling, similarity
 from clif_spark.functions import text as TX
 from clif_spark.queries import pq, query
 
@@ -798,6 +798,121 @@ def text_quality_metrics(spark, sf_dir):
                 FROM {pq(sf_dir, 'documents')})
         )
     """)
+
+
+def _quality_sql(src: str, engine: str) -> str:
+    """The text_quality_metrics composite as a (doc_id, text, n_tokens,
+    quality) relation over ``src`` — shared by the curation query. The
+    Spark and DuckDB variants are the same expressions modulo function
+    spellings (size/len, filter/list_filter, aggregate/list_aggregate)."""
+    stops = ", ".join(f"'{s}'" for s in TX.STOPWORDS)
+    if engine == "spark":
+        return rf"""
+        SELECT doc_id, text, CAST(size(toks) AS BIGINT) AS n_tokens,
+               ROUND(0.4 * least((CASE WHEN size(ltoks) > 0 THEN
+                       size(filter(ltoks, t -> t IN ({stops})))
+                         / size(ltoks) ELSE 0.0D END) * 4, 1.0)
+                   + 0.3 * (1.0 - least((CASE WHEN length(text) > 0 THEN
+                       CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', ''))
+                            AS DOUBLE) / length(text) ELSE 0.0D END) * 5, 1.0))
+                   + 0.3 * (CASE WHEN (CASE WHEN size(toks) > 0 THEN
+                       CAST(aggregate(toks, 0L, (acc, t) -> acc + length(t))
+                            AS DOUBLE) / size(toks) ELSE 0.0D END)
+                       BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END), 4) AS quality
+        FROM (SELECT doc_id, text,
+                     split(trim(text), '\\s+') AS toks,
+                     split(trim(lower(text)), '\\s+') AS ltoks
+              FROM {src})"""
+    return rf"""
+        SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+               ROUND(0.4 * least((CASE WHEN len(ltoks) > 0 THEN
+                       CAST(len(list_filter(ltoks, t -> t IN ({stops})))
+                            AS DOUBLE) / len(ltoks) ELSE 0.0 END) * 4, 1.0)
+                   + 0.3 * (1.0 - least((CASE WHEN len(text) > 0 THEN
+                       CAST(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                            AS DOUBLE) / len(text) ELSE 0.0 END) * 5, 1.0))
+                   + 0.3 * (CASE WHEN (CASE WHEN len(toks) > 0 THEN
+                       CAST(list_aggregate(list_transform(toks, t -> len(t)),
+                            'sum') AS DOUBLE) / len(toks) ELSE 0.0 END)
+                       BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END), 4) AS quality
+        FROM (SELECT doc_id, text,
+                     regexp_split_to_array(trim(text), '\s+') AS toks,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks
+              FROM {src})"""
+
+
+@query(
+    "sample_split_assign",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {sampling.sql_u01('doc_id')} < 0.8 THEN 'train'
+                WHEN {sampling.sql_u01('doc_id')} < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def sample_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment per document — reproducible
+    membership is a training-pipeline primitive (same key -> same split on
+    any engine/run/parallelism; sampling.u01 is a 16-bit md5 slice, the
+    engine's standard portable-hash trick). Row-level gated: every doc's
+    label must match the oracle, not just the split sizes."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return sampling.deterministic_split(d.select("doc_id"), "doc_id")
+
+
+@query(
+    "corpus_curation",
+    oracle=f"""
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
+    ),
+    keepers AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                     AS fp
+            FROM docs2)
+      GROUP BY fp
+    ),
+    kept AS (SELECT d.doc_id, d.text FROM docs2 d
+             JOIN keepers k ON k.doc_id = d.doc_id),
+    feats AS ({_quality_sql('kept', 'duck')}),
+    curated AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN {sampling.sql_u01('doc_id')} < 0.8 THEN 'train'
+                  WHEN {sampling.sql_u01('doc_id')} < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM feats WHERE quality >= 0.7
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM curated GROUP BY split
+    """,
+)
+def corpus_curation(spark, sf_dir):
+    """End-to-end training-corpus materialization — the composition a real
+    LLM-data pipeline runs nightly: exact-dedup to keepers (50 planted
+    copies must collapse), C4/Gopher-style quality filter (>= 0.7 on the
+    text_quality_metrics composite), deterministic train/val/test split,
+    per-split document and token budget. Narrow except the dedup keeper
+    aggregate and the final 3-group count."""
+    d = io.load_table(spark, sf_dir, "documents")
+    planted = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    docs2 = d.select("doc_id", "text").unionByName(planted)
+    fp = docs2.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+    keepers = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = docs2.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    kept.createOrReplaceTempView("__curation_kept")
+    feats = spark.sql(_quality_sql("__curation_kept", "spark"))
+    curated = sampling.deterministic_split(
+        feats.filter(F.col("quality") >= 0.7), "doc_id")
+    return (curated.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("sum_tokens")))
 
 
 def _lang_oracle() -> str:
