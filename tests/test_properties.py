@@ -215,3 +215,28 @@ def test_connected_components_chain_and_star(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1,
                    10: 10, 11: 10, 12: 10, 13: 10,
                    20: 20, 21: 20}
+
+
+def test_deterministic_split_and_hash_sample(spark):
+    """Split/sample laws: stable across recomputation, honors custom
+    weights within hash granularity, subsample is a strict key-subset."""
+    from clif_spark import sampling
+
+    df = spark.range(4000).withColumnRenamed("id", "k")
+    s1 = {(r.k, r.split) for r in
+          sampling.deterministic_split(df, "k").collect()}
+    s2 = {(r.k, r.split) for r in
+          sampling.deterministic_split(df, "k").collect()}
+    assert s1 == s2
+    from collections import Counter
+    frac = Counter(lbl for _, lbl in s1)
+    assert abs(frac["train"] / 4000 - 0.8) < 0.03
+    w = {"a": 0.5, "b": 0.5}
+    sw = Counter(r.split for r in
+                 sampling.deterministic_split(df, "k", weights=w).collect())
+    assert abs(sw["a"] / 4000 - 0.5) < 0.03
+    kept = {r.k for r in sampling.hash_sample(df, "k", 0.25).collect()}
+    again = {r.k for r in sampling.hash_sample(df, "k", 0.25).collect()}
+    assert kept == again and abs(len(kept) / 4000 - 0.25) < 0.03
+    smaller = {r.k for r in sampling.hash_sample(df, "k", 0.10).collect()}
+    assert smaller <= kept  # thresholding the same u01 nests samples
