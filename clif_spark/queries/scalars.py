@@ -198,3 +198,29 @@ def f12_hash_pseudonymize(spark, sf_dir):
         "c_custkey",
         S.hash_id(F.col("c_name")).alias("sha"),
         F.md5(F.col("c_name")).alias("md5_hash"))
+
+
+@query(
+    "f14_from_json_typed",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS first_event
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def f14_from_json_typed(spark, sf_dir):
+    """Schema-driven JSON parsing (engine surface the reference lacks, the
+    semi-structured twin of P11's regex extraction): ``from_json`` with an
+    explicit schema turns the props payload into a typed struct inside
+    codegen — the scalable path for JSON columns (one parse per row, typed
+    downstream; regex re-extracts per field). Malformed rows yield NULL
+    fields, the same junk->NULL policy as F11 casts."""
+    ev = io.load_table(spark, sf_dir, "events")
+    j = ev.withColumn("j", F.from_json("props", "k BIGINT"))
+    return (j.filter(F.col("j.k").isNotNull())
+             .groupBy((F.col("j.k") % 10).alias("k_bucket"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.min("event_id").cast("bigint").alias("first_event")))
