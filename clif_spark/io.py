@@ -181,14 +181,33 @@ def read_delimited(
     sep: str = "|",
     schema: T.StructType | None = None,
     header: bool = True,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """S1/S7: delimited text scan replacing big_fread1 chunked ingest.
 
     Spark parallelizes by input split (``maxPartitionBytes``); schemas should be
     explicit (`clif_spark.schemas`) — ``inferSchema`` costs an extra full pass
     over 100 TB of text and is only acceptable for exploration.
-    """
-    reader = spark.read.option("header", str(header).lower()).option("sep", sep)
+
+    Malformed-row policy (raw EHR dumps are messy; at 100 TB a single bad
+    line must not kill a 6-hour job, and silently dropping it must not be
+    the only alternative): ``mode`` is Spark's PERMISSIVE / DROPMALFORMED /
+    FAILFAST. Pass ``corrupt_col`` (with an explicit ``schema``) to retain
+    each unparseable line verbatim in that column — rows parse to NULLs +
+    raw text, so the pipeline can count, quarantine, or re-parse them
+    (the engine's junk->NULL cast policy, applied at row granularity)."""
+    reader = (spark.read.option("header", str(header).lower())
+              .option("sep", sep).option("mode", mode))
+    if corrupt_col is not None:
+        if schema is None:
+            raise ValueError("corrupt_col requires an explicit schema")
+        if corrupt_col not in schema.fieldNames():
+            # copy first: StructType.add MUTATES in place, and silently
+            # growing the caller's schema object corrupts their later reads
+            schema = T.StructType(list(schema.fields)).add(
+                corrupt_col, T.StringType(), True)
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     if schema is not None:
         reader = reader.schema(schema)
     else:
@@ -337,6 +356,28 @@ def write_table(
     if fmt == "csv":
         writer = writer.option("header", "true")
     writer.format(fmt).save(path)
+
+
+def write_bucketed_table(df: DataFrame, table: str, bucket_col: str,
+                         buckets: int = 64,
+                         sort_cols: list[str] | None = None,
+                         mode: str = "overwrite") -> None:
+    """Metastore-backed bucketed layout — the shuffle-free-join half of the
+    100 TB story: two tables bucketed by the same key into the same bucket
+    count join with NO exchange on either side, and aggregations keyed on
+    the bucket column skip their shuffle too (`tests/test_plans.py` asserts
+    both on actual plans). ``sort_cols`` adds within-bucket ordering
+    (SortMergeJoin then skips its sorts as well).
+
+    This is the publish-side complement of ``write_events_partitioned``'s
+    pure-path approximation: bucketing metadata only lives in a metastore,
+    so this writer requires ``saveAsTable``; readers use
+    ``spark.table(name)``."""
+    writer = (df.write.mode(mode).format("parquet")
+                .bucketBy(buckets, bucket_col))
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
 
 
 def write_events_partitioned(df: DataFrame, path: str, ts_col: str = "ts",

@@ -173,3 +173,32 @@ def test_parse_bytes_and_partition_estimate(spark):
             assert _approx_scan_partitions(df) == df.rdd.getNumPartitions()
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def test_read_delimited_corrupt_record_quarantine(spark):
+    """Malformed lines survive as quarantinable rows (PERMISSIVE +
+    corrupt column), are droppable (DROPMALFORMED), and FAILFAST raises."""
+    from pyspark.sql import types as T
+
+    base = tempfile.mkdtemp(prefix="clif_corrupt_")
+    path = f"{base}/raw.psv"
+    with open(path, "w") as fh:
+        fh.write("id|qty\n1|10\nnot-a-number-row-with|too|many|fields\n3|30\n")
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("qty", T.LongType())])
+
+    kept = io.read_delimited(spark, path, sep="|", schema=schema,
+                             corrupt_col="_bad")
+    rows = {r.id: (r.qty, r._bad) for r in kept.collect()}
+    assert rows[1] == (10, None) and rows[3] == (30, None)
+    bad = [r for r in kept.collect() if r._bad is not None]
+    assert len(bad) == 1 and "too|many|fields" in bad[0]._bad
+
+    dropped = io.read_delimited(spark, path, sep="|", schema=schema,
+                                mode="DROPMALFORMED")
+    assert {r.id for r in dropped.collect()} == {1, 3}
+
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        io.read_delimited(spark, path, sep="|", schema=schema,
+                          mode="FAILFAST").collect()

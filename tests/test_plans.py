@@ -59,3 +59,45 @@ def test_no_row_python_udfs(spark, name):
     registered query. Arrow-batched pandas paths (the documented multimodal
     decode stubs) appear as MapInPandas/ArrowEvalPython and are allowed."""
     assert "BatchEvalPython" not in plan_of(spark, name), name
+
+
+def test_bucketed_join_and_agg_skip_shuffle(spark):
+    """The bucketing claim on real plans: same-key same-count bucketed
+    tables join with no Exchange on either side, and a groupBy on the
+    bucket key aggregates without a shuffle."""
+    from clif_spark import io
+
+    users = spark.range(0, 1000).selectExpr("id AS user_id",
+                                            "id % 7 AS segment")
+    facts = spark.range(0, 5000).selectExpr("id AS event_id",
+                                            "id % 1000 AS user_id",
+                                            "cast(id % 97 as double) AS v")
+    io.write_bucketed_table(users, "tb_users", "user_id", buckets=8)
+    io.write_bucketed_table(facts, "tb_facts", "user_id", buckets=8)
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path: at test sizes the planner would rather
+        # broadcast (and mark the scan "Bucketed: false"); at the 100 TB
+        # scale this layout targets, neither side is broadcastable.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        u, f = spark.table("tb_users"), spark.table("tb_facts")
+
+        joined = f.join(u, "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 5000
+
+        agg = f.groupBy("user_id").count()
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in aplan, aplan
+        assert agg.count() == 1000
+
+        # control: the same join from unbucketed data DOES shuffle, so the
+        # assertion above is meaningful
+        plain = (facts.join(users, "user_id")
+                 ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" in plain or "Broadcast" in plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS tb_users")
+        spark.sql("DROP TABLE IF EXISTS tb_facts")
