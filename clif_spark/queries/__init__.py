@@ -206,7 +206,8 @@ _VERIFY_FIRST = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue",
     # round-2 additions, cheap-first
-    "sample_split_assign", "f14_from_json_typed", "corpus_curation",
+    "sample_split_assign", "f14_from_json_typed", "w9_ntile_percent_rank",
+    "a9_grouping_sets", "corpus_curation",
     "dedup_simhash_pairs", "ann_recall_at_k", "dedup_clusters",
     # streaming queries with no row yet (stream startup is multi-second)
     "stream_session_windows", "stream_stateful_user_stats",

@@ -457,6 +457,34 @@ def a8_cube_counts(spark, sf_dir):
               .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")))
 
 
+@query(
+    "a9_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           COUNT(*) AS n, {sql_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def a9_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the generalization A7 rollup / A8 cube are
+    sugar for) with GROUPING() flags disambiguating real NULLs from
+    grouping NULLs — one pass over the fact table produces every requested
+    marginal (one shuffle, expand-node fan-out; at scale this replaces N
+    separate aggregation jobs)."""
+    li = pq(sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                    AS BIGINT) AS gid,
+               COUNT(*) AS n, {sql_dsum('l_extendedprice')} AS sum_price
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
 # ---------------------------------------------------------------------------
 # Sorts / limits
 # ---------------------------------------------------------------------------

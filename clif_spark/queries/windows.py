@@ -223,3 +223,29 @@ def w8_tumbling_window(spark, sf_dir):
               .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
               .select(us(F.col("w.start")).alias("bucket_us"), "event_type",
                       "n", "total_value"))
+
+
+@query(
+    "w9_ntile_percent_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS bal_quartile,
+           ROUND(percent_rank() OVER w, 6) AS bal_pct_rank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def w9_ntile_percent_rank(spark, sf_dir):
+    """Quantile bucketing + relative rank per partition (engine surface):
+    ntile(4) account-balance quartiles and percent_rank within each
+    nation — the per-group normalization primitives mix/stratification
+    logic is built from. Same entity-keyed window shape (and tiebreaker
+    discipline) as W4."""
+    c = io.load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey", "c_nationkey",
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"))
