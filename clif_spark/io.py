@@ -151,15 +151,24 @@ def _approx_scan_partitions(df: DataFrame) -> int | None:
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition only when the scan produced fewer splits than cores.
+    """Repartition only when the scan produced fewer splits than the
+    session's parallelism width.
 
     Small single-file inputs arrive as one partition, serializing every
     narrow stage above the first shuffle onto one core. At production scale
     the scan yields >= cores splits and this is a no-op — the repartition
     shuffle is only paid exactly when the input is small enough for it to be
     cheap. Used ahead of CPU-heavy narrow work (shingling, embedding math).
-    """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+
+    Width = min(defaultParallelism, shuffle.partitions): shuffle.partitions
+    is the session owner's data-sized parallelism declaration — repartition
+    wider than it buys nothing on small inputs and pays real per-task
+    scheduler cost; on clusters shuffle.partitions >= cores, so the min()
+    resolves to core count there (queries.narrow_width rationale)."""
+    spark = df.sparkSession
+    target = min_partitions or min(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")))
     current = _approx_scan_partitions(df)
     if current is None:
         # Non-file source (in-memory fixture, stream) — JVM-side probe; still

@@ -183,6 +183,24 @@ def pq(sf_dir: str, table: str) -> str:
     return name
 
 
+def narrow_width(spark: SparkSession) -> int:
+    """Partition width for CPU-heavy *narrow* work (shingling, hashing,
+    per-doc regex): ``min(defaultParallelism, spark.sql.shuffle.partitions)``.
+
+    Rationale: shuffle.partitions is the session owner's data-sized
+    parallelism declaration (bench sizes it to input bytes; production sizes
+    it to the cluster), while defaultParallelism is the raw core count. A
+    repartition wider than the declared width buys no throughput on small
+    inputs and pays real scheduler cost — measured on this host, an empty
+    32-task stage costs ~400 ms wall while an 8-task one costs ~100 ms; at
+    cluster scale the min() keeps narrow work at core-count width, since
+    shuffle.partitions is sized >= cores there."""
+    return min(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+
+
 def us(col: Column | str) -> Column:
     """Timestamp -> epoch microseconds (bigint); DuckDB mirror is epoch_us()."""
     col = F.col(col) if isinstance(col, str) else col

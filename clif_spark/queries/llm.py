@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from clif_spark import dedup, io, multimodal, sampling, similarity
 from clif_spark.functions import text as TX
-from clif_spark.queries import pq, query
+from clif_spark.queries import narrow_width, pq, query
 
 # ---------------------------------------------------------------------------
 # Dedup
@@ -141,7 +141,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     bands, rpb, n, max_bucket, threshold = (
         dedup.DEFAULT_BANDS, dedup.DEFAULT_ROWS_PER_BAND, 3, 200, 0.5)
     w = dedup._minhash_slice_width(bands * rpb)
-    par = spark.sparkContext.defaultParallelism
+    par = narrow_width(spark)
     smin = (lambda i:
             f"array_min(transform(hs, h -> substring(h, {w*i + 1}, {w})))")
     band_keys = ",\n          ".join(
@@ -457,7 +457,8 @@ def ann_cosine_topk(spark, sf_dir):
                           SQRT(aggregate(CAST(embedding AS ARRAY<DOUBLE>),
                                0.0D, (acc, x) -> acc + x * x)) AS nq
                    FROM {emb} WHERE vec_id < 5),
-             v AS (SELECT vec_id AS neighbor_id,
+             v AS (SELECT /*+ REPARTITION({narrow_width(spark)}) */
+                          vec_id AS neighbor_id,
                           CAST(embedding AS ARRAY<DOUBLE>) AS vv,
                           SQRT(aggregate(CAST(embedding AS ARRAY<DOUBLE>),
                                0.0D, (acc, x) -> acc + x * x)) AS nv
@@ -764,10 +765,18 @@ def text_quality_metrics(spark, sf_dir):
     """Per-document quality features + composite score (C4/Gopher-style
     filtering): token counts (whitespace + BPE-ish regex), stopword ratio,
     punctuation density, mean token length. Pure column expressions —
-    whole-stage codegen over the scan, zero shuffles. One-shot SQL mirroring
-    ``functions.text`` (the operator forms, exercised by text_lang_id /
-    text_fingerprint / the dedup shingle path) expression for expression."""
+    whole-stage codegen over the scan, zero *data-shaped* shuffles. One-shot
+    SQL mirroring ``functions.text`` (the operator forms, exercised by
+    text_lang_id / text_fingerprint / the dedup shingle path) expression for
+    expression.
+
+    The REPARTITION hint spreads the regex/HOF compute across the session
+    width when the input arrives as one split (small single-file scan —
+    serializing ~0.4 s of per-doc regex onto one core at sf0.1); at
+    production scale the scan already yields >= width splits and AQE
+    coalesces the no-op exchange."""
     stops = ", ".join(f"'{s}'" for s in TX.STOPWORDS)
+    width = narrow_width(spark)
     return spark.sql(rf"""
         SELECT doc_id, n_tokens, bpe_tokens,
                ROUND(sw, 4) AS stop_ratio,
@@ -792,7 +801,7 @@ def text_quality_metrics(spark, sf_dir):
                  CASE WHEN size(toks) > 0 THEN
                    CAST(aggregate(toks, 0L, (acc, t) -> acc + length(t))
                         AS DOUBLE) / size(toks) ELSE 0.0D END AS tl
-          FROM (SELECT doc_id, text,
+          FROM (SELECT /*+ REPARTITION({width}) */ doc_id, text,
                        split(trim(text), '\\s+') AS toks,
                        split(trim(lower(text)), '\\s+') AS ltoks
                 FROM {pq(sf_dir, 'documents')})
