@@ -1,0 +1,176 @@
+"""Corpus-curation operators for training-data pipelines (north star:
+BASELINE.json): PII redaction, TF-IDF salient terms, benchmark
+decontamination, token-budget sequence packing, and embedding int8
+quantization.
+
+Everything is Catalyst-native column expressions or shuffle-bounded
+DataFrame plans — no Python UDFs — so each operator scales with input
+splits. Scale notes per operator:
+
+- PII redaction is a pure narrow projection (regexp_count/regexp_replace
+  inside whole-stage codegen): zero shuffles at any corpus size.
+- TF-IDF shuffles twice, both on the term key with map-side combine
+  (document frequency, then per-doc ranking window keyed on the doc) —
+  the vocabulary relation is orders of magnitude smaller than the corpus.
+- Decontamination broadcasts the EVAL-side shingle set: benchmark suites
+  are fixed-size (thousands of docs) regardless of corpus scale, so the
+  corpus side streams map-only against a broadcast hash set — the only
+  formulation that survives 100 TB.
+- Sequence packing partitions by a shard key and packs within shards
+  (window cumulative sum): packing parallelism = shard count, and no
+  global coordination — the trade every distributed packer makes.
+- Quantization is per-row HOF arithmetic: narrow, embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clif_spark.functions.text import tokens
+
+#: PII patterns shared by the Spark and oracle forms. Kept RE2-compatible
+#: (no lookaround/backreferences) so Java regex (Spark) and RE2 (DuckDB)
+#: match identically.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{2,6}"
+
+
+def pii_counts(col: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) match counts for a text column."""
+    return (F.regexp_count(col, F.lit(PII_EMAIL_RE)).cast("long"),
+            F.regexp_count(col, F.lit(PII_PHONE_RE)).cast("long"))
+
+
+def redact_pii(col: Column) -> Column:
+    """Mask emails then phone numbers with typed placeholder tokens."""
+    return F.regexp_replace(
+        F.regexp_replace(col, PII_EMAIL_RE, "[EMAIL]"),
+        PII_PHONE_RE, "[PHONE]")
+
+
+def tfidf_top_terms(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 3) -> DataFrame:
+    """Top-k salient terms per document by TF-IDF.
+
+    idf uses the log-free ratio form ``(N + 1) / (df + 1)``: the ranking is
+    identical to the log form (log is monotone) and the score stays exact
+    rational double arithmetic — no cross-engine libm (ln) last-ulp
+    divergence to flip a rounded digit or a rank tie.
+
+    Output: (doc_id, term, rank, tfidf) with rank 1..k, ties broken by
+    term. Shuffle geometry: one term-keyed aggregate for document
+    frequency (map-side combined), one term-keyed join back, one doc-keyed
+    window — every stage keyed, nothing driver-side.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+    # Corpus size as a broadcast 1-row relation, not a driver-side action:
+    # the plan stays lazy and the count rides the same job.
+    nd = docs.agg(F.countDistinct(id_col).cast("double").alias("n_corpus"))
+    tf = (toks.groupBy("doc", "term")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .withColumn("doc_len",
+                          F.sum("n").over(Window.partitionBy("doc"))))
+    df_ = (toks.distinct().groupBy("term")
+               .agg(F.count(F.lit(1)).alias("df")))
+    scored = (tf.join(df_, "term")
+                .crossJoin(F.broadcast(nd))
+                .select("doc", "term",
+                        F.round((F.col("n") / F.col("doc_len"))
+                                * ((F.col("n_corpus") + F.lit(1.0))
+                                   / (F.col("df") + F.lit(1))), 6)
+                         .alias("tfidf")))
+    w = Window.partitionBy("doc").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .filter(F.col("rank") <= k)
+                  .select(F.col("doc").alias(id_col), "term", "rank", "tfidf"))
+
+
+def contamination_overlap(corpus: DataFrame, eval_df: DataFrame,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          n: int = 5) -> DataFrame:
+    """Benchmark-decontamination check: per corpus document, the number of
+    distinct word n-grams it shares with ANY eval-set document.
+
+    The eval side is reduced to a distinct-shingle set and broadcast —
+    benchmark suites stay benchmark-sized however large the corpus grows,
+    so the corpus side is a map-only probe (no corpus-wide shuffle until
+    the per-doc count, which is keyed and map-side combined).
+
+    Output: (doc_id, n_shared) for documents with at least one collision.
+    """
+    from clif_spark.functions.text import word_ngrams
+
+    def shingles(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.array_distinct(
+                word_ngrams(F.lower(F.col(text_col)), n))).alias("sh"))
+
+    eval_sh = shingles(eval_df).select("sh").distinct()
+    return (shingles(corpus)
+            .join(F.broadcast(eval_sh), "sh")
+            .groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .select(F.col("doc").alias(id_col), "n_shared"))
+
+
+def pack_sequences(docs: DataFrame, budget: int, shards: int,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Token-budget sequence packing: assign documents to training-sequence
+    bins of ``budget`` tokens, packing greedily in id order within
+    ``shards`` parallel lanes (shard = id % shards).
+
+    Chunk-straddle semantics (the concat-then-split layout LLM training
+    uses): the running token total within a shard is cut every ``budget``
+    tokens, so a document may straddle two bins and is assigned to the bin
+    its first token lands in. One window over (shard, id) — packing is
+    deterministic, embarrassingly parallel across shards, and needs no
+    driver-side loop; shard count is the packing-parallelism dial at scale.
+
+    Output per bin: (shard, bin, n_docs, bin_tokens).
+    """
+    did = F.col(id_col)
+    w = (Window.partitionBy("shard").orderBy(id_col)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    toks = docs.select(
+        did.alias(id_col),
+        (did % shards).cast("long").alias("shard"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"))
+    binned = toks.withColumn(
+        "bin", F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                       / F.lit(budget)).cast("long"))
+    return (binned.groupBy("shard", "bin")
+                  .agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.sum("n_tokens").alias("bin_tokens")))
+
+
+def quantize_int8(emb: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization with reconstruction error.
+
+    scale = amax / 127; q_i = floor(x_i / scale + 0.5) (half-up, identical
+    IEEE ops both engines). Output per vector: amax (round 6), checksum =
+    Σ q_i (exact integer — the cross-engine bit-identity witness), and
+    max_err = max |x_i - q_i * scale| (round 6). Pure narrow HOF
+    arithmetic; zero-vector guard emits amax 0 / checksum 0 / err 0.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+    scale = amax / F.lit(127.0)
+    q = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)))
+    err = F.round(F.aggregate(
+        F.zip_with(v, q, lambda x, qq: F.abs(x - qq * scale)),
+        F.lit(0.0), lambda a, e: F.greatest(a, e)), 6)
+    out = (emb.select(
+        F.col(id_col),
+        F.round(amax, 6).alias("amax"),
+        F.when(amax == 0, F.lit(0)).otherwise(
+            F.aggregate(q, F.lit(0).cast("long"),
+                        lambda a, x: a + x.cast("long"))).alias("checksum"),
+        F.when(amax == 0, F.lit(0.0)).otherwise(err).alias("max_err")))
+    return out

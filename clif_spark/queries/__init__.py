@@ -226,6 +226,8 @@ _VERIFY_FIRST = [
     # round-2 additions, cheap-first
     "sample_split_assign", "f14_from_json_typed", "w9_ntile_percent_rank",
     "a9_grouping_sets", "corpus_curation",
+    "pii_redact", "tfidf_top_terms", "contamination_check",
+    "seq_pack_bins", "emb_quantize_int8",
     "dedup_simhash_pairs", "ann_recall_at_k", "dedup_clusters",
     # streaming queries with no row yet (stream startup is multi-second)
     "stream_session_windows", "stream_stateful_user_stats",
@@ -240,6 +242,7 @@ def collect_registry() -> dict[str, QueryDef]:
     verification-first: previously-unverified queries lead, already-green
     streaming queries (multi-second stream startup each) trail."""
     from clif_spark.queries import (  # noqa: F401
+        curation,
         llm,
         relational,
         scalars,

@@ -1,0 +1,226 @@
+"""Corpus-curation queries (clif_spark.curation operators, oracle-gated):
+PII redaction, TF-IDF salient terms, benchmark decontamination,
+token-budget sequence packing, embedding int8 quantization.
+
+The documents/embeddings testdata carries no natural PII or benchmark
+contamination, so those two queries plant it inside the query — both the
+Spark plan and the oracle construct the identical augmented corpus, and the
+gate verifies the full operator end-to-end (the dedup-query pattern,
+queries/llm.py module docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clif_spark import curation, io
+from clif_spark.queries import query
+
+_PII_DOCS2_SQL = """
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN
+               text || ' contact user' || doc_id || '@example.com or +1-555-'
+                    || (doc_id % 9973) || ' now'
+             ELSE text END AS text
+      FROM documents
+"""
+
+
+@query(
+    "pii_redact",
+    oracle=rf"""
+    WITH docs2 AS ({_PII_DOCS2_SQL})
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '{curation.PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '{curation.PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(text,
+             '{curation.PII_EMAIL_RE}', '[EMAIL]', 'g'),
+             '{curation.PII_PHONE_RE}', '[PHONE]', 'g')) AS redacted_fp
+    FROM docs2
+    """,
+)
+def pii_redact(spark, sf_dir):
+    """PII detection + redaction (curation.redact_pii): per-doc email/phone
+    match counts and the md5 of the masked text. Pure narrow regex
+    projection — whole-stage codegen, zero shuffles at any corpus size.
+    Every 7th document gets a planted email+phone; its counts must read
+    (1, 1) and the masked fingerprint must match the oracle's."""
+    d = io.load_table(spark, sf_dir, "documents")
+    docs2 = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"),
+                        F.lit(" contact user"), F.col("doc_id"),
+                        F.lit("@example.com or +1-555-"),
+                        (F.col("doc_id") % 9973).cast("long"),
+                        F.lit(" now")))
+         .otherwise(F.col("text")).alias("text"))
+    n_emails, n_phones = curation.pii_counts(F.col("text"))
+    return docs2.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(curation.redact_pii(F.col("text"))).alias("redacted_fp"))
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc, term, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc, SUM(n) AS doc_len FROM tf GROUP BY 1),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc) AS df FROM toks GROUP BY 1),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_corpus
+           FROM documents),
+    scored AS (
+      SELECT tf.doc, tf.term,
+             ROUND((CAST(tf.n AS DOUBLE) / dl.doc_len)
+                   * ((nd.n_corpus + 1.0) / (dfreq.df + 1)), 6) AS tfidf
+      FROM tf JOIN dl USING (doc) JOIN dfreq USING (term) CROSS JOIN nd
+    )
+    SELECT doc AS doc_id, term, CAST(rank AS BIGINT) AS rank, tfidf
+    FROM (SELECT *, row_number() OVER
+            (PARTITION BY doc ORDER BY tfidf DESC, term) AS rank
+          FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 salient terms per document by TF-IDF
+    (curation.tfidf_top_terms). Ratio-form idf (N+1)/(df+1): same ranking
+    as the log form with no cross-engine libm divergence — every score is
+    exact rational double arithmetic, bit-identical in both engines."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return curation.tfidf_top_terms(d, k=3)
+
+
+_CONTAM_EVAL_SQL = "SELECT doc_id, text FROM documents WHERE doc_id < 10"
+
+
+@query(
+    "contamination_check",
+    oracle=rf"""
+    WITH eval_docs AS ({_CONTAM_EVAL_SQL}),
+    first8 AS (
+      SELECT doc_id,
+             array_to_string(list_slice(
+               regexp_split_to_array(trim(text), '\s+'), 1, 8), ' ') AS snippet
+      FROM eval_docs
+    ),
+    corpus AS (
+      SELECT c.doc_id,
+             c.text || COALESCE(' ' || f.snippet, '') AS text
+      FROM documents c
+      LEFT JOIN first8 f ON f.doc_id = c.doc_id - 10 AND c.doc_id < 20
+      WHERE c.doc_id >= 10
+    ),
+    eval_sh AS (
+      SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+               || w[i+3] || ' ' || w[i+4] AS sh
+      FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS w
+            FROM eval_docs) t,
+           unnest(range(1, greatest(len(w) - 3, 1))) u(i)
+    ),
+    corpus_sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+               || w[i+3] || ' ' || w[i+4] AS sh
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS w
+            FROM corpus) t,
+           unnest(range(1, greatest(len(w) - 3, 1))) u(i)
+    )
+    SELECT c.doc_id, COUNT(*) AS n_shared
+    FROM corpus_sh c JOIN eval_sh e ON c.sh = e.sh
+    GROUP BY c.doc_id
+    """,
+)
+def contamination_check(spark, sf_dir):
+    """Benchmark decontamination (curation.contamination_overlap): count of
+    distinct 5-gram collisions between each corpus doc and a broadcast
+    eval-set shingle dictionary. Docs 10-14 get the first 8 words of an
+    eval doc planted (>= 4 guaranteed collisions each); chance collisions
+    from the shared vocabulary surface too — both engines agree exactly."""
+    d = io.load_table(spark, sf_dir, "documents")
+    eval_df = d.filter(F.col("doc_id") < 10).select("doc_id", "text")
+    first8 = eval_df.select(
+        (F.col("doc_id") + 10).alias("pid"),
+        F.array_join(F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8),
+                     " ").alias("snippet"))
+    corpus = (d.filter(F.col("doc_id") >= 10)
+               .join(first8, (F.col("doc_id") == F.col("pid"))
+                             & (F.col("doc_id") < 20), "left")
+               .select("doc_id",
+                       F.concat(F.col("text"),
+                                F.coalesce(F.concat(F.lit(" "),
+                                                    F.col("snippet")),
+                                           F.lit(""))).alias("text")))
+    return curation.contamination_overlap(corpus, eval_df, n=5)
+
+
+@query(
+    "seq_pack_bins",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS shard,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    binned AS (
+      SELECT shard, n_tokens,
+             CAST(FLOOR(CAST(SUM(n_tokens) OVER
+                    (PARTITION BY shard ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens AS DOUBLE)
+                  / 256) AS BIGINT) AS bin
+      FROM toks
+    )
+    SELECT shard, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM binned GROUP BY shard, bin
+    """,
+)
+def seq_pack_bins(spark, sf_dir):
+    """Token-budget sequence packing (curation.pack_sequences): documents
+    packed greedily in id order into 256-token bins within 4 parallel
+    shards (chunk-straddle semantics — the concat-then-split layout LLM
+    training uses). One keyed window, no driver loop; shard count is the
+    packing-parallelism dial at scale."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return curation.pack_sequences(d, budget=256, shards=4)
+
+
+@query(
+    "emb_quantize_int8",
+    oracle=r"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+               FROM embeddings),
+    m AS (SELECT vec_id, x,
+                 list_aggregate(list_transform(x, e -> abs(e)), 'max') AS amax
+          FROM v)
+    SELECT vec_id,
+           ROUND(amax, 6) AS amax,
+           CASE WHEN amax = 0 THEN 0 ELSE
+             CAST(list_aggregate(list_transform(x,
+               e -> FLOOR(e / (amax / 127.0) + 0.5)), 'sum') AS BIGINT)
+           END AS checksum,
+           CASE WHEN amax = 0 THEN 0.0 ELSE
+             ROUND(list_aggregate(list_transform(x,
+               e -> abs(e - FLOOR(e / (amax / 127.0) + 0.5)
+                            * (amax / 127.0))), 'max'), 6)
+           END AS max_err
+    FROM m
+    """,
+)
+def emb_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization (curation.quantize_int8):
+    amax scale, integer checksum (the cross-engine bit-identity witness —
+    Σ q_i is exact in 64-bit), and max reconstruction error. Narrow HOF
+    arithmetic, embarrassingly parallel."""
+    e = io.load_table(spark, sf_dir, "embeddings")
+    return curation.quantize_int8(e)
