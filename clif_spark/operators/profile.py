@@ -61,6 +61,97 @@ def duplicate_profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataF
                 .select("column_name", "duplicate_count"))
 
 
+def moment_corr(df: DataFrame, keys: Sequence[str], x: str, y: str,
+                x_scale: float = 1.0, y_scale: float = 1.0) -> DataFrame:
+    """Deterministic Pearson correlation / sample covariance / OLS slope via
+    exact integer second moments (engine extension of A5; the reference's
+    analyses stop at `summary()`, `code/RCLIF_vitals.Rmd:233`).
+
+    Distributed-determinism contract: naive FLOAT moment sums are
+    order-dependent under parallel partial aggregation, so the statistic is
+    *defined* over quantized inputs ``round(x * x_scale)`` — the six moments
+    (n, Σx, Σy, Σx², Σy², Σxy) are then exact BIGINT sums (associative,
+    map-side combinable, one pass). Each moment is cast to DOUBLE *before*
+    any arithmetic; from there every step is the same IEEE expression tree
+    in Spark and the DuckDB oracle, so results are bit-identical.
+
+    Bounds: each scaled value must satisfy |x·x_scale| < ~3e9 so per-term
+    squares stay inside BIGINT, and per-group moment sums should stay below
+    2^53 (~9e15) so the BIGINT→DOUBLE conversion is exact in any engine —
+    pick x_scale/y_scale accordingly (e.g. tens of dollars, not micro-cents,
+    for TPC-H price domains at SF ≥ 1).
+
+    At 100 TB this is the *right* shape: a single hash-aggregate whose
+    shuffle carries six longs per group — no second pass, no global sort,
+    no float nondeterminism across retries/speculative tasks.
+    """
+    qx = F.floor(F.col(x) * F.lit(x_scale) + F.lit(0.5)).cast("long")
+    qy = F.floor(F.col(y) * F.lit(y_scale) + F.lit(0.5)).cast("long")
+    m = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(qx).cast("double").alias("_sx"),
+        F.sum(qy).cast("double").alias("_sy"),
+        F.sum(qx * qx).cast("double").alias("_sxx"),
+        F.sum(qy * qy).cast("double").alias("_syy"),
+        F.sum(qx * qy).cast("double").alias("_sxy"),
+    )
+    n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    sxx, syy, sxy = F.col("_sxx"), F.col("_syy"), F.col("_sxy")
+    cov_num = n * sxy - sx * sy          # n²·cov, in scaled units
+    varx_num = n * sxx - sx * sx
+    vary_num = n * syy - sy * sy
+    unscale = F.lit(float(x_scale) * float(y_scale))
+    return m.select(
+        *keys,
+        n.cast("long").alias("n_rows"),
+        (cov_num / F.sqrt(varx_num * vary_num)).alias("corr"),
+        (cov_num / (n * (n - F.lit(1.0))) / unscale).alias("covar_samp"),
+        (cov_num / varx_num * F.lit(float(x_scale) / float(y_scale))
+         ).alias("beta"),
+        (F.sqrt(varx_num / (n * (n - F.lit(1.0)))) / F.lit(float(x_scale))
+         ).alias("sd_x"),
+        (F.sqrt(vary_num / (n * (n - F.lit(1.0)))) / F.lit(float(y_scale))
+         ).alias("sd_y"),
+    )
+
+
+def exact_percentiles(df: DataFrame, keys: Sequence[str], value: str,
+                      ps: Sequence[float],
+                      tiebreakers: Sequence[str] = ()) -> DataFrame:
+    """Exact nearest-rank percentiles per group (engine extension of A5's
+    median; `summary()` quartiles, `code/RCLIF_vitals.Rmd:233`).
+
+    Nearest-rank definition: p-th percentile = value at row ceil(p·n) of the
+    group sorted ascending — always an actual data value, no interpolation,
+    hence bit-identical across engines with no float arithmetic on values.
+    The selected value is deterministic even under value ties (the k-th
+    element of the sorted multiset doesn't depend on tie order); the
+    tiebreakers only make the physical row_number assignment reproducible
+    per the engine's window policy (SURVEY §7.4.1).
+
+    Cost: one shuffle on the group key + per-group sort — the exact-answer
+    scale path. At 100 TB prefer two-pass histogram refinement or
+    `percentile_approx` (documented error) when groups exceed executor
+    partitions; this operator is for grouped domains where each group fits
+    a partition (AQE skew-split handles stragglers).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(value, *tiebreakers)
+    wn = Window.partitionBy(*keys)
+    ranked = df.select(*keys, value, *tiebreakers).select(
+        *keys, value,
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    aggs = [
+        F.max(F.when(F.col("_rn") == F.ceil(F.lit(p) * F.col("_n")),
+                     F.col(value))).alias(f"p{int(round(p * 100)):02d}")
+        for p in ps
+    ]
+    return ranked.groupBy(*keys).agg(*aggs)
+
+
 def summary_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """A5: per-column descriptive stats (`summary(df)`,
     `code/RCLIF_vitals.Rmd:233`): count/min/max/mean/median.

@@ -229,6 +229,7 @@ _VERIFY_FIRST = [
     "pii_redact", "tfidf_top_terms", "contamination_check",
     "seq_pack_bins", "emb_quantize_int8",
     "dedup_simhash_pairs", "ann_recall_at_k", "dedup_clusters",
+    "a10_moment_corr", "a11_exact_percentiles",
     # streaming queries with no row yet (stream startup is multi-second)
     "stream_session_windows", "stream_stateful_user_stats",
     "stream_dedup_counts", "stream_click_to_buy",
@@ -246,6 +247,7 @@ def collect_registry() -> dict[str, QueryDef]:
         llm,
         relational,
         scalars,
+        stats,
         streaming,
         temporal,
         tpch,
