@@ -105,7 +105,8 @@ def sessionize(df: DataFrame, partition: Sequence[str], ts_col: str,
     prev_ts = F.lag(ts_col).over(w)
     is_new = F.when(
         prev_ts.isNull()
-        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts))
+        | ((F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.unix_micros(prev_ts.cast("timestamp")))
            > int(gap_minutes * 60 * 1_000_000)),
         F.lit(1)).otherwise(F.lit(0))
     return (df.withColumn("__new", is_new)

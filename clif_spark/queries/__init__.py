@@ -202,40 +202,52 @@ def narrow_width(spark: SparkSession) -> int:
 
 
 def us(col: Column | str) -> Column:
-    """Timestamp -> epoch microseconds (bigint); DuckDB mirror is epoch_us()."""
+    """Timestamp -> epoch microseconds (bigint); DuckDB mirror is epoch_us().
+
+    The cast makes this total over both timestamp flavors: parquet wall-clock
+    timestamps (isAdjustedToUTC=false) arrive as TIMESTAMP_NTZ, which
+    ``unix_micros`` rejects. Under the session's pinned UTC timezone
+    (session.py) the NTZ->LTZ cast reinterprets the same wall-clock instant,
+    so the result equals DuckDB's epoch_us() bit for bit; for LTZ inputs the
+    cast is a no-op."""
     col = F.col(col) if isinstance(col, str) else col
-    return F.unix_micros(col)
+    return F.unix_micros(col.cast("timestamp"))
 
 
-# Names with no CORRECTNESS row yet (the round-1 gate stopped at registry
-# entry 50; round-2 additions have never been gated): these register FIRST
-# so a budget-bounded verifier reaches them. Cheap batch checks lead;
-# expensive iterative/stream-startup queries sit at the end of the block —
-# and already-verified streaming queries at the END of the whole registry —
-# so cheap checks are never starved by multi-second startups.
+# The driver's correctness gate verifies the first ~50 registry entries per
+# round. Rotation policy: queries whose most recent green CORRECTNESS row is
+# OLDEST register first, then queries added this round (never gated), then
+# the rest (freshly re-verified last round). Every query keeps at least one
+# green row across rounds, and no row goes stale for more than two rounds.
+# Cheap batch checks lead; multi-second stream-startup queries trail their
+# block so they never starve cheap checks.
 _VERIFY_FIRST = [
-    # windows (w1-w8)
-    "w1_lead_episodes", "w2_downup_fill", "w3_keep_last_dedup", "w4_rank_lag",
-    "w5_moving_avg", "w6_sessionize_gap", "w7_session_window_native",
-    "w8_tumbling_window",
-    # temporal joins
-    "j7_asof_join", "j8_interval_join",
-    # TPC-H derived
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    # round-2 additions, cheap-first
-    "sample_split_assign", "f14_from_json_typed", "w9_ntile_percent_rank",
-    "a9_grouping_sets", "corpus_curation",
-    "pii_redact", "tfidf_top_terms", "contamination_check",
-    "seq_pack_bins", "emb_quantize_int8",
-    "dedup_simhash_pairs", "ann_recall_at_k", "dedup_clusters",
-    "a10_moment_corr", "a11_exact_percentiles",
-    # streaming queries with no row yet (stream startup is multi-second)
+    # --- last verified in round 1 (33) ---
+    "p7_p8_in_comparison", "p9_like_rlike", "p10_time_range",
+    "p11_castability_extract", "j1_vocab_broadcast_star",
+    "j2_composite_key_join", "j3_full_outer_join", "j4_semi_anti_join",
+    "j6_fuzzy_vocab_match", "a1_group_count_histogram", "a2_multi_key_tally",
+    "a3_missingness_profile", "a4_duplicate_profile", "a5_summary_stats",
+    "a6_distinct_dim_extract", "a7_rollup_revenue", "a8_cube_counts",
+    "o1_o2_topk", "u1_union_missing_cols", "u2_u3_distinct_dedup",
+    "r1_unpivot_measures", "r2_pivot_wide", "r3_split_column",
+    "r4_explode_top_tokens", "f1_f2_classify_regex", "f3_f4_f5_dose_parse",
+    "f6_coalesce_fallback", "f7_f10_time_functions", "f8_parse_roundtrip",
+    "f11_cast_clamp", "f12_hash_pseudonymize",
+    # --- round-3 additions, never gated ---
+    "q7_nation_volume", "q8_market_share", "q10_returned_items",
+    "q13_order_count_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_qty_revenue", "q18_large_volume_customer",
+    "q19_disjunctive_filter", "q22_global_sales_opportunity",
+    # --- round-1-verified streaming (multi-second startup, end of block) ---
+    "stream_tumbling_agg", "stream_sliding_agg",
+]
+
+# Freshly verified in round 2 — tail of the registry; streaming last.
+_VERIFY_LAST = [
     "stream_session_windows", "stream_stateful_user_stats",
     "stream_dedup_counts", "stream_click_to_buy",
 ]
-
-_VERIFY_LAST = ["stream_tumbling_agg", "stream_sliding_agg"]
 
 
 def collect_registry() -> dict[str, QueryDef]:

@@ -53,6 +53,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     df = reader.parquet(sf_dir)
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        # Wall-clock (isAdjustedToUTC=false) parquet timestamps arrive as
+        # TIMESTAMP_NTZ, which event-time watermarks reject. Under the
+        # session's pinned UTC zone (session.py) the cast reinterprets the
+        # same wall-clock instant, so windows/watermarks line up exactly
+        # with the batch oracles.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
