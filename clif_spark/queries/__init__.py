@@ -239,6 +239,7 @@ _VERIFY_FIRST = [
     "q13_order_count_distribution", "q14_promo_revenue", "q15_top_supplier",
     "q17_small_qty_revenue", "q18_large_volume_customer",
     "q19_disjunctive_filter", "q22_global_sales_opportunity",
+    "gopher_repetition_filter",
     # --- round-1-verified streaming (multi-second startup, end of block) ---
     "stream_tumbling_agg", "stream_sliding_agg",
 ]

@@ -224,3 +224,95 @@ def emb_quantize_int8(spark, sf_dir):
     arithmetic, embarrassingly parallel."""
     e = io.load_table(spark, sf_dir, "embeddings")
     return curation.quantize_int8(e)
+
+
+def _gopher_sql(engine: str) -> str:
+    """Gopher-style repetition/diversity profile, one relation per engine.
+
+    Every ratio divides two EXACT integers (token counts, max count, sum of
+    squared counts, distinct bigram count) cast to double at the very end, so
+    both engines produce bit-identical doubles with no accumulation-order
+    dependence; Simpson diversity (1 - Σc²/n²) replaces Shannon entropy
+    precisely because it needs no log() — libm log differs in the last ulp
+    across engines, a hash-mismatch waiting to happen.
+    """
+    if engine == "spark":
+        toks = r"split(trim(lower(text)), '\\s+')"
+        bg = ("CASE WHEN size(t) < 2 THEN cast(array() AS array<string>) "
+              "ELSE transform(sequence(0, size(t) - 2), "
+              "i -> concat(t[i], ' ', t[i + 1])) END")
+        unnest = "LATERAL VIEW explode(t) u AS tok"
+        sz, dedup = "size", "array_distinct"
+    else:
+        toks = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+        bg = ("CASE WHEN len(t) < 2 THEN [] "
+              "ELSE list_transform(range(len(t) - 1), "
+              "i -> t[i + 1] || ' ' || t[i + 2]) END")
+        unnest = ", unnest(t) AS u(tok)"
+        sz, dedup = "len", "list_distinct"
+    return f"""
+    tokd AS (
+      SELECT doc_id, {toks} AS t FROM documents
+    ),
+    bigs AS (
+      SELECT doc_id, {sz}(bg) AS n_bigrams,
+             {sz}({dedup}(bg)) AS n_distinct_bigrams
+      FROM (SELECT doc_id, {bg} AS bg FROM (SELECT doc_id, t FROM tokd))
+    ),
+    uni AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM tokd {unnest}
+      GROUP BY doc_id, tok
+    ),
+    unistats AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(MAX(c) AS BIGINT) AS top_c,
+             CAST(SUM(c * c) AS BIGINT) AS sq
+      FROM uni GROUP BY doc_id
+    ),
+    profile AS (
+      SELECT u.doc_id, u.n_tokens,
+             ROUND(CAST(u.top_c AS DOUBLE) / u.n_tokens, 4) AS top_tok_frac,
+             CASE WHEN b.n_bigrams > 0 THEN
+               ROUND(1.0 - CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams, 4)
+             ELSE 0.0 END AS dup_bigram_frac,
+             ROUND(1.0 - CAST(u.sq AS DOUBLE) / (u.n_tokens * u.n_tokens), 4)
+               AS simpson_diversity
+      FROM unistats u JOIN bigs b ON b.doc_id = u.doc_id
+    )
+    """
+
+
+@query(
+    "gopher_repetition_filter",
+    oracle=f"""
+    WITH {_gopher_sql('duck')}
+    SELECT doc_id, n_tokens, top_tok_frac, dup_bigram_frac, simpson_diversity,
+           (n_tokens BETWEEN 30 AND 1000
+            AND top_tok_frac <= 0.2
+            AND dup_bigram_frac <= 0.6) AS keep
+    FROM profile
+    """,
+)
+def gopher_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition filtering (the quality-rule family of
+    Rae et al. 2021, restated for this corpus): per-document top-unigram
+    fraction, duplicate-bigram fraction, and Simpson lexical diversity,
+    plus the keep/drop verdict. Unigram stats flow through one explode +
+    two hash aggregates (map-side combined — the shuffle carries one row
+    per (doc, token), then one per doc); bigram duplication never leaves
+    the row (array HOFs). At corpus scale this is the same shuffle
+    geometry as a word-count — the canonical linearly-scaling job."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+         .createOrReplaceTempView("gq_documents")
+    body = _gopher_sql("spark").replace("FROM documents", "FROM gq_documents")
+    return spark.sql(f"""
+        WITH {body}
+        SELECT doc_id, n_tokens, top_tok_frac, dup_bigram_frac,
+               simpson_diversity,
+               (n_tokens BETWEEN 30 AND 1000
+                AND top_tok_frac <= 0.2
+                AND dup_bigram_frac <= 0.6) AS keep
+        FROM profile
+    """)
