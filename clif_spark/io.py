@@ -225,6 +225,35 @@ def read_delimited(
     return reader.csv(paths)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: T.StructType | None = None,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """JSON-lines scan (the interchange format LLM corpus dumps actually
+    arrive in — one document object per line).
+
+    Same policy as ``read_delimited``: explicit schema (inference costs a
+    full extra pass at corpus scale), PERMISSIVE/DROPMALFORMED/FAILFAST
+    malformed-row handling, optional quarantine column retaining the raw
+    line. Nested fields come back as structs/arrays per the schema —
+    project with dotted paths; no flattening pass needed."""
+    reader = spark.read.option("mode", mode)
+    if corrupt_col is not None:
+        if schema is None:
+            raise ValueError("corrupt_col requires an explicit schema")
+        if corrupt_col not in schema.fieldNames():
+            schema = T.StructType(list(schema.fields)).add(
+                corrupt_col, T.StringType(), True)
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    if schema is not None:
+        reader = reader.schema(schema)
+    paths = path if isinstance(path, list) else [path]
+    return reader.json(paths)
+
+
 def read_vocab(spark: SparkSession, rows: list[tuple], columns: list[str]) -> DataFrame:
     """S2: materialize a small controlled-vocabulary dimension table.
 

@@ -239,7 +239,9 @@ _VERIFY_FIRST = [
     "q13_order_count_distribution", "q14_promo_revenue", "q15_top_supplier",
     "q17_small_qty_revenue", "q18_large_volume_customer",
     "q19_disjunctive_filter", "q22_global_sales_opportunity",
-    "gopher_repetition_filter",
+    "gopher_repetition_filter", "a12_approx_distinct_bound",
+    "a13_sketch_merge_distinct", "a14_approx_percentile_bound",
+    "j9_salted_skew_join",
     # --- round-1-verified streaming (multi-second startup, end of block) ---
     "stream_tumbling_agg", "stream_sliding_agg",
 ]

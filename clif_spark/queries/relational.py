@@ -640,3 +640,48 @@ def r4_explode_top_tokens(spark, sf_dir):
         ORDER BY n DESC, token
         LIMIT 20
     """)
+
+
+@query(
+    "j9_salted_skew_join",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CASE WHEN user_id % 10 < 3 THEN 0 ELSE user_id END AS user_id,
+             value
+      FROM events
+    ),
+    dim AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN user_id = 0 THEN 'hot' ELSE 'cold' END AS tier
+      FROM ev
+    )
+    SELECT d.tier, COUNT(*) AS n_events,
+           {sql_dsum('e.value')} AS total_value
+    FROM ev e
+    JOIN dim d ON d.user_id = e.user_id
+    GROUP BY d.tier
+    """,
+)
+def j9_salted_skew_join(spark, sf_dir):
+    """Skew-mitigated equi-join, oracle-gated for semantic transparency:
+    ~30% of event traffic is folded onto one hot user key (the shape AQE's
+    skew split cannot fix when the hot key exceeds one task's build-side
+    capacity), then joined through ``operators.skew.salted_join`` — left
+    rows take a row-id salt, the dim replicates once per salt bucket, the
+    join key becomes (user_id, salt). The oracle is the PLAIN join: salting
+    must be invisible in the result. The per-tier aggregate goes through
+    dsum, so the fold is order-independent no matter how the salt spread
+    the rows."""
+    from clif_spark.operators import skew
+
+    ev = io.load_table(spark, sf_dir, "events").select(
+        F.when((F.col("user_id") % 10) < 3, F.lit(0))
+         .otherwise(F.col("user_id")).alias("user_id"),
+        "value")
+    dim = (ev.select("user_id").distinct()
+             .withColumn("tier", F.when(F.col("user_id") == 0, "hot")
+                                  .otherwise(F.lit("cold"))))
+    joined = skew.salted_join(ev, dim, on="user_id", salt_buckets=8)
+    return (joined.groupBy("tier")
+                  .agg(F.count(F.lit(1)).alias("n_events"),
+                       dsum("value").alias("total_value")))

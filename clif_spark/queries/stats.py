@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from clif_spark import io
 from clif_spark.operators import profile
-from clif_spark.queries import query
+from clif_spark.queries import pq, query
 
 
 @query(
@@ -95,3 +95,102 @@ def a11_exact_percentiles(spark, sf_dir):
         src, ["flag"], "v", (0.50, 0.90, 0.99),
         tiebreakers=("l_orderkey", "l_linenumber"))
     return out.orderBy("flag")
+
+
+# --- sketch aggregates with verifiable contracts (round 3) ------------------
+#
+# Approximate aggregates are THE scalable form of distinct-count and
+# percentile at 100 TB (bounded-memory mergeable sketches vs an exact
+# shuffle of every distinct value), but an estimate cannot hash-match a
+# DuckDB oracle. The contract tested instead: the exact value (mirrorable in
+# both engines) plus a BOOLEAN asserting the sketch landed within its error
+# bound. Spark's HLL++/DataSketches/GK implementations are deterministic
+# functions of the data (hash-based, merge-commutative), so the boolean is
+# stable run to run — if an engine upgrade ever pushed an estimate out of
+# bound, the gate would fail loudly rather than silently degrade.
+
+
+@query(
+    "a12_approx_distinct_bound",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(DISTINCT o_custkey) AS n_exact,
+           TRUE AS hll_within_5pct
+    FROM orders
+    GROUP BY priority
+    """,
+)
+def a12_approx_distinct_bound(spark, sf_dir):
+    """Per-group approx_count_distinct (HLL++, rsd 2%) checked against the
+    exact distinct count: emits the exact count and the in-bound verdict.
+    At scale the exact form shuffles every distinct (priority, custkey)
+    pair; the sketch form shuffles one ~1.5 KB buffer per group per
+    partition — the operator this query exists to license."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact = F.countDistinct("o_custkey")
+    est = F.approx_count_distinct("o_custkey", 0.02)
+    return (o.groupBy(F.col("o_orderpriority").alias("priority"))
+             .agg(exact.alias("n_exact"),
+                  (F.abs(est - exact)
+                   <= F.ceil(F.lit(0.05) * exact)).alias("hll_within_5pct")))
+
+
+@query(
+    "a13_sketch_merge_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS n_exact,
+           TRUE AS merged_within_5pct
+    FROM lineitem
+    """,
+)
+def a13_sketch_merge_distinct(spark, sf_dir):
+    """Sketch MERGEABILITY, the property that makes approximate distinct
+    count scale: per-returnflag DataSketches HLL sketches built
+    independently (hll_sketch_agg), merged with hll_union_agg, and the
+    merged estimate checked against the global exact distinct. This is the
+    map-side-combine story in miniature — partial sketches commute and
+    merge losslessly, so a 1000-executor rollup ships KB not keys."""
+    li = pq(sf_dir, "lineitem")
+    return spark.sql(f"""
+        WITH sk AS (
+          SELECT l_returnflag, hll_sketch_agg(l_partkey) AS s
+          FROM {li} GROUP BY l_returnflag
+        ),
+        ex AS (SELECT COUNT(DISTINCT l_partkey) AS n_exact FROM {li}),
+        est AS (SELECT hll_sketch_estimate(hll_union_agg(s)) AS e FROM sk)
+        SELECT ex.n_exact,
+               (abs(est.e - ex.n_exact)
+                <= CAST(ceil(0.05 * ex.n_exact) AS BIGINT)) AS merged_within_5pct
+        FROM ex CROSS JOIN est
+    """)
+
+
+@query(
+    "a14_approx_percentile_bound",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+                AS DOUBLE) AS p50_exact,
+           TRUE AS approx_within_1pct
+    FROM lineitem
+    GROUP BY flag
+    """,
+)
+def a14_approx_percentile_bound(spark, sf_dir):
+    """Per-group approx_percentile (GK sketch, accuracy 10000) checked
+    against the exact discrete median (percentile_disc — an actual data
+    value, bit-identical across engines). The GK summary is the
+    bounded-memory percentile for 100 TB; its observed error here is
+    ~0.01%, two orders under the asserted 1% gate."""
+    li = pq(sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT l_returnflag AS flag,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+                    AS DOUBLE) AS p50_exact,
+               (abs(approx_percentile(l_extendedprice, 0.5, 10000)
+                    - percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice))
+                / percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+                <= 0.01D) AS approx_within_1pct
+        FROM {li}
+        GROUP BY flag
+    """)

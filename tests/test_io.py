@@ -8,6 +8,7 @@ import os
 import tempfile
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from clif_spark import io
 from clif_spark.operators import skew
@@ -202,3 +203,42 @@ def test_read_delimited_corrupt_record_quarantine(spark):
     with _pytest.raises(Exception):
         io.read_delimited(spark, path, sep="|", schema=schema,
                           mode="FAILFAST").collect()
+
+
+def test_orc_sink_roundtrip(spark, tmp_path):
+    """S4 generalizes beyond parquet/csv: ORC (Spark-native columnar with
+    predicate pushdown) round-trips through the same layout-policy writer."""
+    df = spark.range(0, 100).selectExpr(
+        "id", "id % 5 AS k", "cast(id * 1.5 as double) AS v")
+    out = str(tmp_path / "orc_out")
+    io.write_table(df, out, fmt="orc", sort_within_partitions=["id"])
+    back = spark.read.orc(out)
+    assert back.count() == 100
+    assert sorted(back.columns) == ["id", "k", "v"]
+    assert back.filter("k = 3").count() == 20
+
+
+def test_read_jsonl_schema_and_quarantine(spark, tmp_path):
+    """JSONL ingest: explicit schema (nested struct), PERMISSIVE quarantine
+    of malformed lines into the corrupt column — same junk->NULL-at-row-
+    granularity policy as the delimited reader."""
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "meta": {"lang": "en"}}\n'
+        '{"doc_id": 2, "text": "bonjour", "meta": {"lang": "fr"}}\n'
+        'NOT JSON AT ALL\n')
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("meta", T.StructType([
+            T.StructField("lang", T.StringType())])),
+    ])
+    df = io.read_jsonl(spark, str(p), schema=schema, corrupt_col="_raw")
+    rows = {r.doc_id: r for r in df.collect()}
+    assert len(rows) == 3
+    assert rows[1].meta.lang == "en"
+    assert rows[2].text == "bonjour"
+    bad = rows[None]
+    assert bad._raw == "NOT JSON AT ALL" and bad.text is None
+    # dotted-path projection stays a narrow scan
+    assert df.select("meta.lang").where("doc_id = 2").first()[0] == "fr"

@@ -101,3 +101,34 @@ def test_bucketed_join_and_agg_skip_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS tb_users")
         spark.sql("DROP TABLE IF EXISTS tb_facts")
+
+
+def test_round3_tpch_broadcasts(spark):
+    """Round-3 TPC-H shapes: every dimension side broadcasts (q7's two
+    nation roles, q8's five dims, q10/q14/q19's hinted dims), so the only
+    exchanges are fact-spine shuffles and final aggregates."""
+    for name, n_bhj in (("q7_nation_volume", 3), ("q8_market_share", 5),
+                        ("q10_returned_items", 1), ("q14_promo_revenue", 1),
+                        ("q19_disjunctive_filter", 1)):
+        plan = plan_of(spark, name)
+        got = plan.count("BroadcastHashJoin")
+        assert got >= n_bhj, f"{name}: {got} BroadcastHashJoin < {n_bhj}"
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q18_semi_join_and_q22_anti_join(spark):
+    """The subquery shapes plan as the joins they should: Q18's IN-aggregate
+    becomes a (left-)semi join against the HAVING aggregate, Q22's
+    NOT EXISTS becomes an anti join against orders."""
+    assert "Semi" in plan_of(spark, "q18_large_volume_customer")
+    assert "Anti" in plan_of(spark, "q22_global_sales_opportunity")
+
+
+def test_q17_threshold_join_no_reaggregation_per_row(spark):
+    """Q17's correlated average is decorrelated to ONE per-part aggregate
+    (two HashAggregates: partial+final) joined back — not recomputed per
+    probe row, and the brand filter reaches both lineitem-scan pushdowns'
+    join keys via the part dimension."""
+    plan = plan_of(spark, "q17_small_qty_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
