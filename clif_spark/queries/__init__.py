@@ -241,8 +241,10 @@ _VERIFY_FIRST = [
     "q19_disjunctive_filter", "q22_global_sales_opportunity",
     "gopher_repetition_filter", "a12_approx_distinct_bound",
     "a13_sketch_merge_distinct", "a14_approx_percentile_bound",
-    "j9_salted_skew_join",
-    # --- round-1-verified streaming (multi-second startup, end of block) ---
+    "j9_salted_skew_join", "stream_static_enrich",
+    # --- round-1-verified streaming (multi-second startup, end of block;
+    # 33 stale + 16 new = 49, so only one fits under a 50-row gate — the
+    # other holds its round-1 row and leads the next rotation) ---
     "stream_tumbling_agg", "stream_sliding_agg",
 ]
 

@@ -176,3 +176,36 @@ def stream_dedup_counts(spark, sf_dir):
         output_mode="append")
     return (deduped.groupBy("event_type")
                    .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS w_start,
+           CAST(user_id % 5 AS BIGINT) AS tier,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark, sf_dir):
+    """Stream-static broadcast enrichment — the lookup-join every streaming
+    pipeline starts with: the event stream joins a STATIC dimension (no
+    watermark needed on the static side; it broadcasts into every
+    micro-batch), then a watermarked tumbling aggregate per enriched
+    attribute. The oracle derives the same tier arithmetically — the join
+    must be semantically invisible. At scale the static side refreshes by
+    swapping the broadcast per batch; state is bounded by the window
+    aggregate alone."""
+    from clif_spark import io
+
+    ev = streaming.read_events_stream(spark, sf_dir)
+    dim = (io.load_table(spark, sf_dir, "events")
+           .select("user_id").distinct()
+           .withColumn("tier", (F.col("user_id") % 5).cast("long")))
+    joined = ev.join(F.broadcast(dim), "user_id")
+    agg = (joined.withWatermark("ts", "1 hour")
+                 .groupBy(F.window("ts", "1 hour").alias("w"), "tier")
+                 .agg(F.count(F.lit(1)).alias("n")))
+    out = streaming.run_to_memory(agg)
+    return out.select(us(F.col("w.start")).alias("w_start"), "tier", "n")
