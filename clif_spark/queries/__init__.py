@@ -241,15 +241,17 @@ _VERIFY_FIRST = [
     "q19_disjunctive_filter", "q22_global_sales_opportunity",
     "gopher_repetition_filter", "a12_approx_distinct_bound",
     "a13_sketch_merge_distinct", "a14_approx_percentile_bound",
-    "j9_salted_skew_join", "stream_static_enrich",
-    # --- round-1-verified streaming (multi-second startup, end of block;
-    # 33 stale + 16 new = 49, so only one fits under a 50-row gate — the
-    # other holds its round-1 row and leads the next rotation) ---
-    "stream_tumbling_agg", "stream_sliding_agg",
+    "j9_salted_skew_join", "j10_levenshtein_vocab_match",
+    "stream_static_enrich",
 ]
+# 33 stale + 17 new = exactly 50 — a 50-row gate refreshes every stale row
+# and gates every round-3 addition.
 
-# Freshly verified in round 2 — tail of the registry; streaming last.
+# Round-1/2-verified queries with multi-second stream startup: pinned to the
+# registry tail so they never starve cheap checks; they hold their existing
+# green rows and lead the next rotation.
 _VERIFY_LAST = [
+    "stream_tumbling_agg", "stream_sliding_agg",
     "stream_session_windows", "stream_stateful_user_stats",
     "stream_dedup_counts", "stream_click_to_buy",
 ]

@@ -685,3 +685,57 @@ def j9_salted_skew_join(spark, sf_dir):
     return (joined.groupBy("tier")
                   .agg(F.count(F.lit(1)).alias("n_events"),
                        dsum("value").alias("total_value")))
+
+
+@query(
+    "j10_levenshtein_vocab_match",
+    oracle="""
+    WITH corrupted AS (
+      SELECT s_suppkey,
+             CASE WHEN s_suppkey % 2 = 0
+                  THEN substr(s_name, 1, 9) || substr(s_name, 11)
+                  ELSE s_name END AS qname
+      FROM supplier
+    ),
+    cand AS (
+      SELECT c.s_suppkey, c.qname, v.s_name,
+             levenshtein(c.qname, v.s_name) AS d
+      FROM corrupted c
+      JOIN supplier v ON levenshtein(c.qname, v.s_name) <= 1
+    )
+    SELECT s_suppkey, qname,
+           first(s_name ORDER BY d, s_name) AS best_match,
+           CAST(MIN(d) AS BIGINT) AS best_d
+    FROM cand
+    GROUP BY s_suppkey, qname
+    """,
+)
+def j10_levenshtein_vocab_match(spark, sf_dir):
+    """Edit-distance vocabulary matching — the typo-tolerant sibling of J6's
+    regex fuzzy match (`grepl` vocab mapping, `code/RCLIF_labs.Rmd:47-58`):
+    half the supplier names get one character deleted in-query, then each is
+    matched back against the clean vocab via levenshtein <= 1 over a
+    broadcast nested-loop join, keeping the (min distance, min name) best
+    match per query string. Exactly the J6 plan shape (broadcast NLJ over a
+    dim-sized vocab, never a shuffled cartesian); at corpus scale the
+    standard blocking key (length band + prefix class) turns the NLJ into an
+    equi-join + per-block verify, the same bucket-then-verify geometry as
+    MinHash LSH. Levenshtein is a pure integer function with one standard
+    definition, so every distance is bit-identical across engines."""
+    sup = io.load_table(spark, sf_dir, "supplier")
+    corrupted = sup.select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 2 == 0,
+               F.concat(F.substring("s_name", 1, 9),
+                        F.expr("substr(s_name, 11)")))
+         .otherwise(F.col("s_name")).alias("qname"))
+    vocab = sup.select("s_name")
+    cand = corrupted.join(
+        F.broadcast(vocab),
+        F.levenshtein(F.col("qname"), F.col("s_name")) <= 1)
+    d = F.levenshtein(F.col("qname"), F.col("s_name"))
+    return (cand.select("s_suppkey", "qname", "s_name", d.alias("d"))
+                .groupBy("s_suppkey", "qname")
+                .agg(F.min_by(F.col("s_name"), F.struct("d", "s_name"))
+                      .alias("best_match"),
+                     F.min("d").cast("long").alias("best_d")))
