@@ -1050,3 +1050,47 @@ def mm_frame_offsets(spark, sf_dir):
     frames = multimodal.frame_sample_stub(payload)
     return frames.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_frames"))
+
+
+@query(
+    "emb_label_centroids",
+    oracle="""
+    WITH ev AS (
+      SELECT label, t.pos,
+             CAST(FLOOR(CAST(embedding[t.pos + 1] AS DOUBLE) * 1000000.0
+                        + 0.5) AS BIGINT) AS vm
+      FROM embeddings, unnest(range(len(embedding))) AS t(pos)
+    )
+    SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+           COUNT(*) AS n_vectors,
+           CAST(FLOOR(SUM(vm) / COUNT(*) + 0.5) / 1000000.0 AS DOUBLE)
+             AS centroid_val
+    FROM ev
+    GROUP BY label, pos
+    """,
+)
+def emb_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids — the grouped elementwise vector mean
+    behind class prototypes, IVF coarse quantizers, and k-means steps. The
+    vector dimension is exploded to (label, pos, value) rows so the mean is
+    one hash aggregate with MAP-SIDE COMBINE: the shuffle carries
+    labels × dim partial sums, never vectors — at a billion vectors that is
+    a few KB per partition. Values accumulate in integer micros (dsum
+    discipline) so the fold is order-independent and bit-identical to the
+    oracle; output stays exploded (label, pos, centroid_val) because scalar
+    rows hash-compare across engines where nested float arrays would not."""
+    emb = pq(sf_dir, "embeddings")
+    return spark.sql(f"""
+        SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+               COUNT(*) AS n_vectors,
+               CAST(FLOOR(SUM(vm) / COUNT(*) + 0.5) / 1000000.0 AS DOUBLE)
+                 AS centroid_val
+        FROM (
+          SELECT label, pos,
+                 CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS vm
+          FROM {emb}
+          LATERAL VIEW posexplode(embedding) u AS pos, v
+        )
+        GROUP BY label, pos
+    """)
