@@ -242,11 +242,12 @@ _VERIFY_FIRST = [
     "gopher_repetition_filter", "a12_approx_distinct_bound",
     "a13_sketch_merge_distinct", "a14_approx_percentile_bound",
     "j9_salted_skew_join", "j10_levenshtein_vocab_match",
-    "emb_label_centroids", "stream_static_enrich",
+    "emb_label_centroids", "w10_funnel_conversion",
+    "stream_static_enrich",
 ]
-# 31 stale + 18 new = 49 head entries — a 50-row gate refreshes every stale
+# 31 stale + 19 new = 50 head entries — a 50-row gate refreshes every stale
 # row (the two stream_* r01 rows sit at the tail by design) and gates every
-# round-3 addition, with one slot left for the next mid entry.
+# round-3 addition exactly.
 
 # Round-1/2-verified queries with multi-second stream startup: pinned to the
 # registry tail so they never starve cheap checks; they hold their existing

@@ -249,3 +249,49 @@ def w9_ntile_percent_rank(spark, sf_dir):
         "c_custkey", "c_nationkey",
         F.ntile(4).over(w).cast("long").alias("bal_quartile"),
         F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"))
+
+
+@query(
+    "w10_funnel_conversion",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, MIN(ts) AS fc
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    b AS (
+      SELECT e.user_id, MIN(e.ts) AS fb
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.fc
+      GROUP BY e.user_id
+    )
+    SELECT c.user_id,
+           epoch_us(c.fc) AS first_click_us,
+           epoch_us(b.fb) AS first_buy_after_us,
+           (b.fb IS NOT NULL) AS converted,
+           CAST(epoch_us(b.fb) - epoch_us(c.fc) AS BIGINT) AS micros_to_convert
+    FROM c LEFT JOIN b ON b.user_id = c.user_id
+    """,
+)
+def w10_funnel_conversion(spark, sf_dir):
+    """Two-step funnel (click -> later purchase) per user: first-click time,
+    first qualifying purchase, conversion verdict, time-to-convert. The
+    ordered-step constraint (purchase AFTER first click) is what separates a
+    funnel from a plain join — here one aggregate per step with the step-2
+    aggregate range-restricted by step 1. Both aggregates shuffle on
+    user_id, so at scale the second reuses the first's partitioning; the
+    left join keeps non-converting users in the output (the funnel's whole
+    point is the drop-off denominator)."""
+    ev = io.load_table(spark, sf_dir, "events")
+    c = (ev.filter(F.col("event_type") == "click")
+           .groupBy("user_id").agg(F.min("ts").alias("fc")))
+    b = (ev.filter(F.col("event_type") == "purchase")
+           .join(c, "user_id")
+           .filter(F.col("ts") >= F.col("fc"))
+           .groupBy("user_id").agg(F.min("ts").alias("fb")))
+    return (c.join(b, "user_id", "left")
+             .select("user_id",
+                     us("fc").alias("first_click_us"),
+                     us("fb").alias("first_buy_after_us"),
+                     F.col("fb").isNotNull().alias("converted"),
+                     (us("fb") - us("fc")).cast("long")
+                      .alias("micros_to_convert")))
