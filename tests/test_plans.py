@@ -132,3 +132,20 @@ def test_q17_threshold_join_no_reaggregation_per_row(spark):
     plan = plan_of(spark, "q17_small_qty_revenue")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_j10_levenshtein_broadcast_nlj(spark):
+    """J10: the edit-distance vocab match must be a broadcast nested-loop
+    over the dim-sized vocab — same contract as J6, never a shuffled
+    cartesian."""
+    plan = plan_of(spark, "j10_levenshtein_vocab_match")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_j9_salted_join_no_broadcast_of_fact(spark):
+    """J9: the salted join is a real shuffle join on (key, salt) — salting
+    exists precisely for the case broadcast can't handle, so the fact side
+    must not be broadcast, and no cartesian may appear."""
+    plan = plan_of(spark, "j9_salted_skew_join")
+    assert "CartesianProduct" not in plan
