@@ -257,9 +257,11 @@ def ivf_centroids(vectors: DataFrame, n_cells: int = 16,
                   vec_col: str = "embedding") -> list[list[float]]:
     """Deterministic coarse quantizer for IVF: the ``n_cells`` lowest-id
     vectors serve as fixed centroids (model-free, reproducible in any
-    engine — the oracle recomputes the identical set). A production
-    deployment trains k-means (``pyspark.ml.clustering.KMeans``) here;
-    assignment and search below are unchanged by the centroid source.
+    engine — the oracle recomputes the identical set). The trained
+    alternative is ``kmeans`` below (distributed Lloyd's, deterministic
+    md5 init, convergence-tracked) — assignment and search are unchanged
+    by the centroid source, so swapping is
+    ``centroids, _, _ = kmeans(vectors, k=n_cells)``.
     The driver-side collect is a dimension-table lookup (n_cells × dim
     floats), the same footprint as a broadcast vocabulary."""
     rows = (vectors.orderBy(id_col).limit(n_cells)
@@ -321,3 +323,74 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
                                                  F.col("neighbor_id"))
     return (scored.withColumn("__rn", F.row_number().over(w))
                   .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+# --- distributed k-means (Lloyd's) -------------------------------------------
+
+def kmeans(vectors: DataFrame, k: int = 8, max_iter: int = 10,
+           tol: float = 1e-6, id_col: str = "vec_id",
+           vec_col: str = "embedding",
+           seed: str = "km") -> tuple[list[list[float]], DataFrame, list[float]]:
+    """Distributed Lloyd's k-means over an embedding column — the trained
+    coarse quantizer ``ivf_centroids`` documents as the production swap-in.
+
+    Returns ``(centroids, assignments, inertia_history)``: k×dim centroid
+    list, an (id, cell) DataFrame for the final assignment, and per-
+    iteration inertia (sum of squared assigned distances) so callers can
+    see convergence instead of trusting it.
+
+    Execution shape (the 100 TB story, same discipline as
+    ``dedup.connected_components``):
+    - ASSIGN is a pure narrow expression — centroids inline as literals
+      (``_cell_ranks``, the same mechanism as the LSH hyperplanes), so each
+      iteration's assignment costs one scan, zero shuffles.
+    - UPDATE is posexplode + groupBy(cell, pos) average: map-side combine
+      reduces the shuffle to k×dim partial sums per partition — KBs at any
+      corpus size. The k×dim result collects to the driver (dimension-table
+      scale, the footprint ``ivf_centroids`` already documents).
+    - The driver-side loop is control flow only; per-round lineage is cut
+      by ``localCheckpoint`` on the input, not by recursive plan growth
+      (each round's plan references the checkpointed base, not the prior
+      round).
+    - Init is deterministic: the k vectors with the smallest
+      ``md5(seed || id)`` — a reproducible pseudo-random spread with no
+      RNG state (k-means++ would need a sequential scan per seed; the
+      md5 pick is the scale-friendly compromise).
+    - Empty cells keep their previous centroid (the standard Lloyd's
+      degeneracy guard).
+    Convergence: stops early when inertia improves by less than ``tol``
+    relative, else after ``max_iter`` rounds.
+    """
+    v = (ensure_parallelism(vectors)
+         .select(F.col(id_col).alias("__id"),
+                 F.col(vec_col).cast("array<double>").alias("__v"))
+         .localCheckpoint(eager=True))
+    init = (v.orderBy(F.md5(F.concat(F.lit(seed + ":"),
+                                     F.col("__id").cast("string"))), "__id")
+             .limit(k).select("__v").collect())
+    cents = [list(r["__v"]) for r in init]
+    history: list[float] = []
+    assigned = None
+    for _ in range(max_iter):
+        best = _cell_ranks(F.col("__v"), cents)[0]
+        assigned = v.select("__id", "__v", best["c"].alias("cell"),
+                            (best["d"] * best["d"]).alias("__sq"))
+        stats = (assigned
+                 .select("cell", F.posexplode("__v").alias("pos", "val"))
+                 .groupBy("cell", "pos")
+                 .agg(F.avg("val").alias("m"))
+                 .collect())
+        inertia = assigned.agg(F.sum("__sq")).first()[0] or 0.0
+        history.append(float(inertia))
+        new_cents = [list(c) for c in cents]  # empty cells keep position
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in stats:
+            by_cell.setdefault(r.cell, {})[r.pos] = r.m
+        for cell, dims in by_cell.items():
+            new_cents[cell] = [dims[p] for p in sorted(dims)]
+        if len(history) >= 2 and history[-2] > 0 and \
+                (history[-2] - history[-1]) / history[-2] < tol:
+            cents = new_cents
+            break
+        cents = new_cents
+    return cents, assigned.select(F.col("__id").alias(id_col), "cell"), history
