@@ -232,7 +232,7 @@ _VERIFY_FIRST = [
     "o1_o2_topk", "u1_union_missing_cols", "u2_u3_distinct_dedup",
     "r1_unpivot_measures", "r2_pivot_wide", "r3_split_column",
     "r4_explode_top_tokens", "f1_f2_classify_regex", "f3_f4_f5_dose_parse",
-    "f6_coalesce_fallback", "f7_f10_time_functions", "f8_parse_roundtrip",
+    "f7_f10_time_functions", "f8_parse_roundtrip",
     "f11_cast_clamp", "f12_hash_pseudonymize",
     # --- round-3 additions, never gated ---
     "q7_nation_volume", "q8_market_share", "q10_returned_items",
@@ -242,10 +242,11 @@ _VERIFY_FIRST = [
     "gopher_repetition_filter", "a12_approx_distinct_bound",
     "a13_sketch_merge_distinct", "a14_approx_percentile_bound",
     "j9_salted_skew_join", "j10_levenshtein_vocab_match",
-    "emb_label_centroids", "w10_funnel_conversion",
+    "emb_label_centroids", "w10_funnel_conversion", "u4_intersect_except",
     "stream_static_enrich",
 ]
-# 31 stale + 19 new = 50 head entries — a 50-row gate refreshes every stale
+# 30 stale + 20 new = 50 head entries (f6_coalesce_fallback cedes its
+# refresh slot to the new u4 query and keeps its round-1 green row) — a 50-row gate refreshes every stale
 # row (the two stream_* r01 rows sit at the tail by design) and gates every
 # round-3 addition exactly.
 

@@ -739,3 +739,54 @@ def j10_levenshtein_vocab_match(spark, sf_dir):
                 .agg(F.min_by(F.col("s_name"), F.struct("d", "s_name"))
                       .alias("best_match"),
                      F.min("d").cast("long").alias("best_d")))
+
+
+@query(
+    "u4_intersect_except",
+    oracle="""
+    WITH y96 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    ),
+    y97 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT 'retained' AS cohort, COUNT(*) AS n_customers
+    FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97) t
+    UNION ALL
+    SELECT 'churned', COUNT(*)
+    FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97) t
+    UNION ALL
+    SELECT 'new', COUNT(*)
+    FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y96) t
+    """,
+)
+def u4_intersect_except(spark, sf_dir):
+    """U4 (engine surface): INTERSECT / EXCEPT set semantics — year-over-
+    year customer retention cohorts (retained = both years, churned = 1996
+    only, new = 1997 only). Spark plans INTERSECT as a left-semi and EXCEPT
+    as a left-anti join over pre-aggregated distinct keys, so each cohort
+    is two hash aggregates + one join shuffle on o_custkey — the same
+    geometry three hand-written semi/anti joins would cost, written in four
+    lines of SQL instead."""
+    o = pq(sf_dir, "orders")
+
+    def year(y):
+        return (f"SELECT DISTINCT o_custkey FROM {o} "
+                f"WHERE o_orderdate >= TIMESTAMP_NTZ '{y}-01-01 00:00:00' "
+                f"AND o_orderdate < TIMESTAMP_NTZ '{y + 1}-01-01 00:00:00'")
+
+    return spark.sql(f"""
+        WITH y96 AS ({year(1996)}), y97 AS ({year(1997)})
+        SELECT 'retained' AS cohort, COUNT(*) AS n_customers
+        FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97) t
+        UNION ALL
+        SELECT 'churned', COUNT(*)
+        FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97) t
+        UNION ALL
+        SELECT 'new', COUNT(*)
+        FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y96) t
+    """)
