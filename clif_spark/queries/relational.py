@@ -790,3 +790,32 @@ def u4_intersect_except(spark, sf_dir):
         SELECT 'new', COUNT(*)
         FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y96) t
     """)
+
+
+@query(
+    "a15_ordered_string_agg",
+    oracle="""
+    SELECT n.n_name AS nation,
+           string_agg(s.s_name, ',' ORDER BY s.s_name) AS suppliers,
+           COUNT(*) AS n_suppliers
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY nation
+    """,
+)
+def a15_ordered_string_agg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG / string_agg — the report-
+    friendly inverse of R3's column split): per-nation supplier roster as
+    one sorted CSV string. Spark's collect_list is arrival-ordered
+    (nondeterministic under parallelism), so determinism comes from
+    array_sort BEFORE array_join — the engine-portable restatement of
+    DuckDB's `ORDER BY` aggregate modifier. Bounded group width is the
+    caller's contract (a roster column, not an event log)."""
+    s = io.load_table(spark, sf_dir, "supplier")
+    n = io.load_table(spark, sf_dir, "nation")
+    return (s.join(F.broadcast(n),
+                   n.n_nationkey == s.s_nationkey)
+             .groupBy(F.col("n_name").alias("nation"))
+             .agg(F.array_join(F.array_sort(F.collect_list("s_name")), ",")
+                   .alias("suppliers"),
+                  F.count(F.lit(1)).alias("n_suppliers")))
