@@ -65,10 +65,23 @@ def decode_image_meta(df: DataFrame, id_col: str = "doc_id",
         raise NotImplementedError(
             "real image decode not wired in this build; see _fake_decode")
     except ImportError:
-        decode = _fake_decode
+        pass
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
+
+        # Self-contained copy of _fake_decode: defining it INSIDE the
+        # closure makes cloudpickle serialize it by value, so executor
+        # Python workers need no clif_spark on their PYTHONPATH (a
+        # module-level reference would import-fail on any worker whose
+        # environment lacks the repo — e.g. a driver loading
+        # __spark_entry__ by file path from a foreign cwd).
+        def decode(payload: bytes) -> tuple[str, int, int]:
+            n = len(payload)
+            first = payload[0] if n else 0
+            return ("png" if first % 2 == 0 else "jpeg",
+                    (n % 640) + 1, (first % 480) + 1)
+
         for pdf in batches:
             metas = [decode(b if b is not None else b"") for b in pdf[payload_col]]
             yield pd.DataFrame({
@@ -97,3 +110,59 @@ def frame_sample_stub(df: DataFrame, id_col: str = "doc_id",
               .select(id_col, "frame_offset",
                       F.substring(F.col(payload_col),
                                   F.col("frame_offset") + 1, 16).alias("frame_bytes")))
+
+
+#: Schema for resize_image_meta (the resize stage's metadata contract).
+RESIZE_META_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("out_width", T.LongType()),
+    T.StructField("out_height", T.LongType()),
+    T.StructField("scale_pct", T.LongType()),
+])
+
+
+def resize_image_meta(df: DataFrame, max_side: int = 256,
+                      id_col: str = "doc_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """Resize planning via Arrow-batched mapInPandas: decode (stub) ->
+    aspect-preserving fit inside a ``max_side`` square -> typed metadata.
+
+    The geometry is integer-exact (floor of width*max_side/long_side with
+    the long side pinned to max_side), so the DuckDB oracle can mirror it
+    bit-for-bit; a real implementation adds the pixel transform
+    (``PIL.Image.resize``) next to the arithmetic without touching the
+    plan, schema, or batch flow. Images already inside the square pass
+    through unscaled (scale_pct = 100)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        # By-value decode copy — see decode_image_meta for why the closure
+        # must not reference module-level clif_spark symbols.
+        def decode(payload: bytes) -> tuple[str, int, int]:
+            n = len(payload)
+            first = payload[0] if n else 0
+            return ("png" if first % 2 == 0 else "jpeg",
+                    (n % 640) + 1, (first % 480) + 1)
+
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                _, w, h = decode(b if b is not None else b"")
+                long_side = max(w, h)
+                if long_side <= max_side:
+                    ow, oh = w, h
+                else:
+                    if w >= h:
+                        ow, oh = max_side, (h * max_side) // w
+                    else:
+                        ow, oh = (w * max_side) // h, max_side
+                rows.append((int(did), w, h, ow, oh,
+                             (ow * 100) // max(w, 1)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "out_width", "out_height",
+                "scale_pct"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZE_META_SCHEMA)

@@ -1094,3 +1094,37 @@ def emb_label_centroids(spark, sf_dir):
         )
         GROUP BY label, pos
     """)
+
+
+@query(
+    "mm_resize_meta",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+             CAST(ascii(substr(text, 1, 1)) % 480 + 1 AS BIGINT) AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           CASE WHEN greatest(width, height) <= 256 THEN width
+                WHEN width >= height THEN 256
+                ELSE (width * 256) // height END AS out_width,
+           CASE WHEN greatest(width, height) <= 256 THEN height
+                WHEN width >= height THEN (height * 256) // width
+                ELSE 256 END AS out_height,
+           (CASE WHEN greatest(width, height) <= 256 THEN width
+                 WHEN width >= height THEN 256
+                 ELSE (width * 256) // height END) * 100
+             // greatest(width, 1) AS scale_pct
+    FROM meta
+    """,
+)
+def mm_resize_meta(spark, sf_dir):
+    """Multimodal resize plumbing (decode -> aspect-preserving fit in a
+    256px square -> typed metadata) through Arrow-batched mapInPandas —
+    integer-exact geometry the oracle mirrors, so the full Python batch
+    round trip is value-verified; a real codec adds the pixel transform
+    beside the arithmetic without touching plan or schema."""
+    d = io.load_table(spark, sf_dir, "documents")
+    payload = multimodal.attach_binary_payload(d)
+    return multimodal.resize_image_meta(payload)
