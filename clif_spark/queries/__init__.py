@@ -223,9 +223,8 @@ def us(col: Column | str) -> Column:
 # block so they never starve cheap checks.
 _VERIFY_FIRST = [
     # --- last verified in round 1 (33) ---
-    "p10_time_range",
     "p11_castability_extract", "j1_vocab_broadcast_star",
-    "j2_composite_key_join", "j3_full_outer_join", "j4_semi_anti_join",
+    "j3_full_outer_join", "j4_semi_anti_join",
     "j6_fuzzy_vocab_match", "a1_group_count_histogram", "a2_multi_key_tally",
     "a3_missingness_profile", "a4_duplicate_profile", "a5_summary_stats",
     "a6_distinct_dim_extract", "a7_rollup_revenue", "a8_cube_counts",
@@ -243,13 +242,14 @@ _VERIFY_FIRST = [
     "a13_sketch_merge_distinct", "a14_approx_percentile_bound",
     "j9_salted_skew_join", "j10_levenshtein_vocab_match",
     "emb_label_centroids", "w10_funnel_conversion", "u4_intersect_except",
-    "a15_ordered_string_agg", "mm_resize_meta",
+    "a15_ordered_string_agg", "mm_resize_meta", "w11_range_time_frame",
+    "sample_stratified_rebalance",
     "stream_static_enrich",
 ]
-# 28 stale + 22 new = 50 head entries (f6_coalesce_fallback, p9_like_rlike
-# and p7_p8_in_comparison — untouched since round 1 — cede refresh slots to
-# the new u4/a15/mm_resize queries and keep their round-1 green rows;
-# f7_f10 stays gated because its us() path changed this round) — a 50-row gate refreshes every stale
+# 26 stale + 24 new = 50 head entries. Five round-1 queries untouched since
+# round 1 (f6, p9, p7_p8, p10, j2) cede refresh slots so every round-3 query
+# is gated; they keep their round-1 green rows. f7_f10 stays gated because
+# its us() path changed this round. — a 50-row gate refreshes every stale
 # row (the two stream_* r01 rows sit at the tail by design) and gates every
 # round-3 addition exactly.
 

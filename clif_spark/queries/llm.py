@@ -1128,3 +1128,26 @@ def mm_resize_meta(spark, sf_dir):
     d = io.load_table(spark, sf_dir, "documents")
     payload = multimodal.attach_binary_payload(d)
     return multimodal.resize_image_meta(payload)
+
+
+@query(
+    "sample_stratified_rebalance",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {sampling.sql_u01('doc_id', 'strat')} <
+          CASE WHEN lang = 'en' THEN 0.1 ELSE 0.5 END
+    """,
+)
+def sample_stratified_rebalance(spark, sf_dir):
+    """Stratified corpus rebalancing — per-stratum deterministic sampling
+    rates (downsample the head language, keep half of everything else),
+    the language-rebalance step of a multilingual training mix. The
+    verdict for a document is a pure function of (seed, doc_id): no RNG
+    state, no shuffle, reproducible on any engine and any partitioning —
+    re-running the pipeline keeps the same sample, which is what makes
+    downstream dedup/stats caches valid."""
+    d = io.load_table(spark, sf_dir, "documents")
+    frac = F.when(F.col("lang") == "en", F.lit(0.1)).otherwise(F.lit(0.5))
+    return (d.filter(sampling.u01("doc_id", "strat") < frac)
+             .select("doc_id", "lang"))

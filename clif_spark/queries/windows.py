@@ -295,3 +295,44 @@ def w10_funnel_conversion(spark, sf_dir):
                      F.col("fb").isNotNull().alias("converted"),
                      (us("fb") - us("fc")).cast("long")
                       .alias("micros_to_convert")))
+
+
+@query(
+    "w11_range_time_frame",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, user_id, epoch_us(ts) // 1000000 AS es,
+             CAST(FLOOR(COALESCE(value, 0.0) * 1000000.0 + 0.5) AS BIGINT)
+               AS vm
+      FROM events
+    )
+    SELECT event_id, user_id, es,
+           COUNT(*) OVER w AS n_1h,
+           CAST(FLOOR((SUM(vm) OVER w + 50) / 100.0) / 10000.0 AS DOUBLE)
+             AS sum_1h
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY es
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w11_range_time_frame(spark, sf_dir):
+    """RANGE-framed window (the value-based frame ROWS cannot express):
+    per-user trailing-1-hour event count and value sum, framed on epoch
+    seconds so all time-peers enter the frame together. RANGE frames are
+    order-deterministic WITHOUT a tiebreaker — peers at the same ordering
+    value are always all-in — which is exactly why a sliding time window
+    must be RANGE, not ROWS (a ROWS frame over tied timestamps depends on
+    arrival order). The sum accumulates integer micros inside the frame and
+    digit-rounds after, per the dsum discipline."""
+    ev = io.load_table(spark, sf_dir, "events")
+    es = (us("ts") / F.lit(1_000_000)).cast("long")
+    vm = F.floor(F.coalesce(F.col("value"), F.lit(0.0))
+                 * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    w = (Window.partitionBy("user_id").orderBy("es")
+               .rangeBetween(-3600, Window.currentRow))
+    return (ev.select("event_id", "user_id", es.alias("es"), vm.alias("vm"))
+              .select("event_id", "user_id", "es",
+                      F.count(F.lit(1)).over(w).alias("n_1h"),
+                      (F.floor((F.sum("vm").over(w) + F.lit(50))
+                               / F.lit(100.0))
+                       / F.lit(10000.0)).cast("double").alias("sum_1h")))
