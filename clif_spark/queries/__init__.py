@@ -224,7 +224,7 @@ def us(col: Column | str) -> Column:
 _VERIFY_FIRST = [
     # --- last verified in round 1 (33) ---
     "p11_castability_extract", "j1_vocab_broadcast_star",
-    "j3_full_outer_join", "j4_semi_anti_join",
+    "j3_full_outer_join",
     "j6_fuzzy_vocab_match", "a1_group_count_histogram", "a2_multi_key_tally",
     "a3_missingness_profile", "a4_duplicate_profile", "a5_summary_stats",
     "a6_distinct_dim_extract", "a7_rollup_revenue", "a8_cube_counts",
@@ -244,12 +244,13 @@ _VERIFY_FIRST = [
     "emb_label_centroids", "w10_funnel_conversion", "u4_intersect_except",
     "a15_ordered_string_agg", "mm_resize_meta", "w11_range_time_frame",
     "sample_stratified_rebalance",
-    "stream_static_enrich",
+    "stream_static_enrich", "stream_dedup_bounded_state",
 ]
-# 26 stale + 24 new = 50 head entries. Five round-1 queries untouched since
-# round 1 (f6, p9, p7_p8, p10, j2) cede refresh slots so every round-3 query
-# is gated; they keep their round-1 green rows. f7_f10 stays gated because
-# its us() path changed this round. — a 50-row gate refreshes every stale
+# 25 stale + 25 new = 50 head entries. Six round-1 queries untouched since
+# round 1 (f6, p9, p7_p8, p10, j2, j4 — j4's semi/anti shapes are freshly
+# exercised by the gated q18/q22 anyway) cede refresh slots so every round-3
+# query is gated; they keep their round-1 green rows. f7_f10 stays gated
+# because its us() path changed this round. — a 50-row gate refreshes every stale
 # row (the two stream_* r01 rows sit at the tail by design) and gates every
 # round-3 addition exactly.
 

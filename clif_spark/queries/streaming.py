@@ -209,3 +209,29 @@ def stream_static_enrich(spark, sf_dir):
                  .agg(F.count(F.lit(1)).alias("n")))
     out = streaming.run_to_memory(agg)
     return out.select(us(F.col("w.start")).alias("w_start"), "tier", "n")
+
+
+@query(
+    "stream_dedup_bounded_state",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_bounded_state(spark, sf_dir):
+    """Bounded-state streaming dedup (dropDuplicatesWithinWatermark — the
+    production form of stream_dedup_counts): duplicate suppression is only
+    guaranteed within the watermark horizon, which is exactly what lets the
+    state store EVICT keys older than the horizon instead of growing with
+    every distinct key forever. The replay's horizon (365d) covers the whole
+    bounded corpus, so the settled result must still equal the batch
+    COUNT(DISTINCT) — the gate proves the bounded API drops no in-horizon
+    duplicates and loses no firsts."""
+    ev = streaming.read_events_stream(spark, sf_dir)
+    deduped = streaming.run_to_memory(
+        streaming.stream_dedup(ev, ["user_id", "event_type"],
+                               watermark="365 days"),
+        output_mode="append")
+    return (deduped.groupBy("event_type")
+                   .agg(F.count(F.lit(1)).alias("n_users")))
