@@ -411,7 +411,7 @@ def q17_small_qty_revenue(spark, sf_dir):
 def _q18_sql(t):
     return f"""
         SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice,
-               SUM(CAST(l.l_quantity AS BIGINT)) AS sum_qty
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         FROM {t('customer')} c
         JOIN {t('orders')} o ON o.o_custkey = c.c_custkey
         JOIN {t('lineitem')} l ON l.l_orderkey = o.o_orderkey
@@ -431,7 +431,10 @@ def q18_large_volume_customer(spark, sf_dir):
     """TPC-H Q18 (large-volume customer): the IN-aggregate subquery plans as
     a left-semi join against a HAVING-filtered re-aggregation of lineitem.
     Quantities are integral doubles ≤ 50, so the BIGINT cast makes the
-    per-order sums exact in any accumulation order — no fixed-point needed."""
+    per-order sums exact in any accumulation order — no fixed-point needed.
+    The outer CAST pins the aggregate back to BIGINT: DuckDB's SUM(BIGINT)
+    yields HUGEINT, which materializes as float64 through arrow/pandas and
+    hash-mismatches Spark's BIGINT (same rule as windows.py w4)."""
     return spark.sql(_q18_sql(lambda n: pq(sf_dir, n)))
 
 

@@ -40,7 +40,10 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
+        # Keep the float marker: int 402 vs float 402.0 must NOT collide,
+        # or the local gate misses oracle type artifacts (DuckDB HUGEINT →
+        # float64 through arrow) that the driver's stricter hash catches.
+        return f"f:{v:.10g}"
     return str(v)
 
 
