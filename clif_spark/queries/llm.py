@@ -1013,13 +1013,22 @@ def text_rolling_fingerprint(spark, sf_dir):
 @query(
     "mm_decode_meta",
     oracle="""
+    -- byte1 is the first UTF-8 BYTE of the blob (via hex slice), matching
+    -- the stub's payload[0] — ascii(substr(text,1,1)) would read the first
+    -- CODEPOINT and diverge on any non-ASCII leading character.
+    WITH m AS (
+      SELECT doc_id, octet_length(encode(text)) AS n,
+             CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                  ELSE CAST('0x' || substr(hex(encode(text)), 1, 2) AS BIGINT)
+             END AS byte1
+      FROM documents
+    )
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0
-                THEN 'png' ELSE 'jpeg' END AS format,
-           CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
-           CAST(ascii(substr(text, 1, 1)) % 480 + 1 AS BIGINT) AS height
-    FROM documents
+           CAST(n AS BIGINT) AS n_bytes,
+           CASE WHEN byte1 % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+           CAST(n % 640 + 1 AS BIGINT) AS width,
+           CAST(byte1 % 480 + 1 AS BIGINT) AS height
+    FROM m
     """,
 )
 def mm_decode_meta(spark, sf_dir):
@@ -1099,10 +1108,15 @@ def emb_label_centroids(spark, sf_dir):
 @query(
     "mm_resize_meta",
     oracle="""
+    -- height keys off the first UTF-8 BYTE (hex slice), matching the
+    -- stub's payload[0]; see mm_decode_meta for the codepoint-vs-byte trap.
     WITH meta AS (
       SELECT doc_id,
              CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
-             CAST(ascii(substr(text, 1, 1)) % 480 + 1 AS BIGINT) AS height
+             CAST((CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                        ELSE CAST('0x' || substr(hex(encode(text)), 1, 2)
+                                  AS BIGINT)
+                   END) % 480 + 1 AS BIGINT) AS height
       FROM documents
     )
     SELECT doc_id, width, height,

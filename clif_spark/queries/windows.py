@@ -325,7 +325,12 @@ def w11_range_time_frame(spark, sf_dir):
     arrival order). The sum accumulates integer micros inside the frame and
     digit-rounds after, per the dsum discipline."""
     ev = io.load_table(spark, sf_dir, "events")
-    es = (us("ts") / F.lit(1_000_000)).cast("long")
+    # Floor division toward -inf (matches the oracle's `//`): subtracting the
+    # non-negative pmod makes the numerator an exact multiple of 1e6, so the
+    # double division is exact and pre-1970 (negative-micros) timestamps
+    # floor instead of truncating toward zero.
+    usc = us("ts")
+    es = ((usc - F.pmod(usc, F.lit(1_000_000))) / F.lit(1_000_000)).cast("long")
     vm = F.floor(F.coalesce(F.col("value"), F.lit(0.0))
                  * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
     w = (Window.partitionBy("user_id").orderBy("es")

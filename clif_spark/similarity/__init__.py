@@ -361,6 +361,8 @@ def kmeans(vectors: DataFrame, k: int = 8, max_iter: int = 10,
     Convergence: stops early when inertia improves by less than ``tol``
     relative, else after ``max_iter`` rounds.
     """
+    if max_iter < 1:
+        raise ValueError("kmeans requires max_iter >= 1")
     v = (ensure_parallelism(vectors)
          .select(F.col(id_col).alias("__id"),
                  F.col(vec_col).cast("array<double>").alias("__v"))
@@ -370,7 +372,6 @@ def kmeans(vectors: DataFrame, k: int = 8, max_iter: int = 10,
              .limit(k).select("__v").collect())
     cents = [list(r["__v"]) for r in init]
     history: list[float] = []
-    assigned = None
     for _ in range(max_iter):
         best = _cell_ranks(F.col("__v"), cents)[0]
         assigned = v.select("__id", "__v", best["c"].alias("cell"),
@@ -393,4 +394,10 @@ def kmeans(vectors: DataFrame, k: int = 8, max_iter: int = 10,
             cents = new_cents
             break
         cents = new_cents
-    return cents, assigned.select(F.col("__id").alias(id_col), "cell"), history
+    # Re-assign against the returned (post-update) centroids so the
+    # (centroids, assignments) pair is self-consistent rather than a half
+    # Lloyd's step apart — one extra narrow literal-centroid pass, no shuffle.
+    final_best = _cell_ranks(F.col("__v"), cents)[0]
+    final = v.select(F.col("__id").alias(id_col),
+                     final_best["c"].alias("cell"))
+    return cents, final, history

@@ -32,6 +32,28 @@ def test_kmeans_inertia_monotone_and_recovers_separated_clusters(spark):
     assert len(cents) == 3 and all(len(c) == 4 for c in cents)
 
 
+def test_kmeans_assignment_matches_returned_centroids(spark):
+    """The returned (centroids, assignments) pair is self-consistent: every
+    point's cell is the argmin distance to the RETURNED centroids — not the
+    half-Lloyd's-step-earlier ones — even when max_iter stops early."""
+    rows = [(i, [float(i % 7), float((3 * i) % 11)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents, assigned, _ = similarity.kmeans(df, k=4, max_iter=1)
+    by_id = dict(rows)
+    for r in assigned.collect():
+        v = by_id[r.vec_id]
+        dists = [sum((a - b) ** 2 for a, b in zip(v, c)) for c in cents]
+        assert dists[r.cell] <= min(dists) + 1e-9, (r.vec_id, r.cell, dists)
+
+
+def test_kmeans_rejects_zero_iterations(spark):
+    import pytest
+
+    df = spark.createDataFrame([(0, [0.0, 1.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        similarity.kmeans(df, k=1, max_iter=0)
+
+
 def test_kmeans_k1_is_global_mean(spark):
     """k=1 degenerates to the global mean vector (one Lloyd's update)."""
     df = spark.createDataFrame(
