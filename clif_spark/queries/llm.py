@@ -141,7 +141,13 @@ def dedup_minhash_lsh(spark, sf_dir):
     bands, rpb, n, max_bucket, threshold = (
         dedup.DEFAULT_BANDS, dedup.DEFAULT_ROWS_PER_BAND, 3, 200, 0.5)
     w = dedup._minhash_slice_width(bands * rpb)
-    par = narrow_width(spark)
+    # The pre-shuffle REPARTITION parallelizes the narrow shingle/hash
+    # compute when the scan yields fewer splits than cores: A/B'd at sf0.1,
+    # dropping it costs ~0.6 s (the interpreted-HOF shingle work serializes
+    # onto the single scan task), so it stays unconditional; at cluster
+    # scale the scan provides the splits and it degenerates to a cheap
+    # width normalization.
+    hint = f"/*+ REPARTITION({narrow_width(spark)}) */ "
     smin = (lambda i:
             f"array_min(transform(hs, h -> substring(h, {w*i + 1}, {w})))")
     band_keys = ",\n          ".join(
@@ -155,7 +161,7 @@ def dedup_minhash_lsh(spark, sf_dir):
           FROM {doc} WHERE doc_id < 20
         ),
         sh0 AS (
-          SELECT /*+ REPARTITION({par}) */ doc_id AS doc,
+          SELECT {hint}doc_id AS doc,
             array_distinct(transform(array(split(trim(lower(text)), '\\\\s+')),
               w -> CASE WHEN size(w) < {n} THEN cast(array() AS array<string>)
                    ELSE transform(sequence(0, size(w) - {n}),

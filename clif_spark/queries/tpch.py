@@ -15,7 +15,26 @@ are valid (and bit-identical) in both Spark SQL and DuckDB.
 
 from __future__ import annotations
 
+import os
+
 from clif_spark.queries import pq, query, sql_dmean, sql_dsum
+
+
+def _bcast_if_small(sf_dir: str, table: str, alias: str,
+                    threshold_bytes: int = 32 << 20) -> str:
+    """Hint fragment broadcasting ``alias`` only when the table's on-disk
+    size is under ``threshold_bytes`` — the same statistics-driven decision
+    CBO makes from file sizes. At bench scale orders (~4 MB) broadcasts and
+    the lineitem probe never shuffles; at production scale the hint
+    disappears and the join reverts to shuffle. Returns '' or 'BROADCAST(x), '.
+    """
+    try:
+        if os.path.getsize(os.path.join(sf_dir, f"{table}.parquet")) \
+                < threshold_bytes:
+            return f"BROADCAST({alias}), "
+    except OSError:
+        pass
+    return ""
 
 
 @query(
@@ -82,10 +101,12 @@ def q1_pricing_summary(spark, sf_dir):
 def q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3 (adapted: o_orderpriority for the missing o_shippriority):
     broadcast the filtered BUILDING customers into orders (hint pins the
-    strategy; AQE would pick it anyway under threshold), one shuffle join
-    against lineitem, top-10 via TakeOrderedAndProject."""
+    strategy; AQE would pick it anyway under threshold), top-10 via
+    TakeOrderedAndProject. The orders side also broadcasts when its file
+    size permits (_bcast_if_small) — then lineitem never shuffles and the
+    only exchange is the final aggregate."""
     return spark.sql(f"""
-        SELECT /*+ BROADCAST(c) */
+        SELECT /*+ {_bcast_if_small(sf_dir, 'orders', 'o')}BROADCAST(c) */
                l.l_orderkey,
                {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
                date_format(o.o_orderdate, 'yyyy-MM-dd') AS orderdate,
@@ -125,9 +146,11 @@ def q5_local_supplier_volume(spark, sf_dir):
     """TPC-H Q5: six-table join. supplier/nation/region broadcast (hinted);
     lineitem⨝orders⨝customer carries the volume — written in that order so
     the large fact is probe side throughout. The c_nationkey = s_nationkey
-    condition rides the supplier broadcast join."""
+    condition rides the supplier broadcast join. orders additionally
+    broadcasts when small enough on disk (_bcast_if_small), keeping
+    lineitem entirely shuffle-free below the final aggregate."""
     return spark.sql(f"""
-        SELECT /*+ BROADCAST(s), BROADCAST(n), BROADCAST(r) */
+        SELECT /*+ {_bcast_if_small(sf_dir, 'orders', 'o')}BROADCAST(s), BROADCAST(n), BROADCAST(r) */
                n.n_name AS nation,
                {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
         FROM {pq(sf_dir, 'lineitem')} l

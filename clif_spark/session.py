@@ -62,11 +62,14 @@ def build_session(
     app_name: str = "clif-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build a local session sized for this container (tests/bench).
 
     On a real cluster the caller owns master/resources; only the SQL confs in
-    ``RUNTIME_CONFS`` matter there.
+    ``RUNTIME_CONFS`` matter there. ``extra_confs`` lets a harness (bench.py)
+    layer static confs that must be set before the JVM starts — they are NOT
+    part of the engine's semantic surface.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
@@ -80,6 +83,8 @@ def build_session(
         .config("spark.ui.enabled", "false")
     )
     for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     return configure(spark)
