@@ -43,3 +43,53 @@ def test_resize_meta_stub_matches_oracle_on_non_ascii(spark):
     got = sorted(tuple(r) for r in out.collect())
     want = _oracle_rows(collect_registry()["mm_resize_meta"].oracle, DOCS)
     assert got == want
+
+
+def _make_png(w: int, h: int) -> bytes:
+    """A real, spec-valid PNG built with stdlib only (zlib + byte packing):
+    signature, IHDR, one scanline-filtered IDAT, IEND — openable by any
+    viewer, no imaging library involved."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + b"\x10\x20\x30" * w for _ in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _make_jpeg(w: int, h: int) -> bytes:
+    """Minimal JPEG marker stream: SOI, an APP0 the parser must skip, then
+    SOF0 carrying the dimensions (big-endian height-then-width)."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", h, w) + b"\x01\x11\x00")
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_decode_meta_parses_real_image_headers(spark):
+    import pandas as pd
+
+    payloads = [
+        (1, _make_png(640, 360), "png", 640, 360),
+        (2, _make_jpeg(123, 45), "jpeg", 123, 45),
+        (3, b"GIF89a" + (320).to_bytes(2, "little")
+            + (200).to_bytes(2, "little") + b"\x00" * 3, "gif", 320, 200),
+        (4, b"not an image at all", None, None, None),  # falls to the stub
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p, *_ in payloads], ["doc_id", "payload"])
+    out = {r.doc_id: r for r in multimodal.decode_image_meta(df).collect()}
+    for i, p, fmt, w, h in payloads:
+        assert out[i].n_bytes == len(p)
+        if fmt is not None:
+            assert (out[i].format, out[i].width, out[i].height) == (fmt, w, h)
+        else:  # stub fallback keeps the oracle-checkable formula
+            assert (out[i].width, out[i].height) == (
+                len(p) % 640 + 1, p[0] % 480 + 1)
