@@ -418,6 +418,65 @@ def write_bucketed_table(df: DataFrame, table: str, bucket_col: str,
     writer.saveAsTable(table)
 
 
+def read_jdbc(spark: SparkSession, url: str, table: str,
+              partition_column: str | None = None,
+              lower_bound: int | None = None,
+              upper_bound: int | None = None,
+              num_partitions: int | None = None,
+              predicates: list[str] | None = None,
+              properties: dict[str, str] | None = None) -> DataFrame:
+    """Relational source over JDBC (the "Spark SQL + JDBC for analytics"
+    contract in BASELINE.json; the reference's equivalent surface is its
+    DBI/ODBC extract step feeding `code/RCLIF_*.Rmd`).
+
+    Scale shape: a bare JDBC read is ONE connection streaming the whole
+    table through a single task — at warehouse scale always pass either
+    ``partition_column`` + bounds (numeric/date column; Spark issues
+    ``num_partitions`` bounded range queries in parallel) or explicit
+    ``predicates`` (one partition per predicate, e.g. hash buckets or date
+    ranges). Bounds are *partitioning* hints, not filters — rows outside
+    them still arrive, skewed into the edge partitions. Catalyst pushes
+    projections and filters into the remote query either way.
+    """
+    reader = spark.read.format("jdbc").option("url", url) \
+        .option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if predicates:
+        # DataFrameReader.jdbc exposes predicate partitioning directly.
+        return spark.read.jdbc(url, table, predicates=predicates,
+                               properties=properties or {})
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None or num_partitions is None:
+            raise ValueError(
+                "partition_column requires lower_bound, upper_bound and "
+                "num_partitions")
+        reader = (reader.option("partitionColumn", partition_column)
+                        .option("lowerBound", str(lower_bound))
+                        .option("upperBound", str(upper_bound))
+                        .option("numPartitions", str(num_partitions)))
+    return reader.load()
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
+               batch_size: int = 10_000,
+               num_partitions: int | None = None,
+               properties: dict[str, str] | None = None) -> None:
+    """Relational sink over JDBC. One connection per partition, rows
+    batched ``batch_size`` at a time; ``num_partitions`` caps the writer's
+    connection fan-out (coalesce, not repartition — no shuffle just to
+    write). Idempotency belongs to the destination (staging table +
+    MERGE, or a transactional overwrite) — 'append' retried after a
+    partial failure duplicates rows, same as any parallel JDBC loader."""
+    out = df.coalesce(num_partitions) if num_partitions else df
+    writer = (out.write.format("jdbc").mode(mode)
+                 .option("url", url).option("dbtable", table)
+                 .option("batchsize", str(batch_size)))
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
 def write_events_partitioned(df: DataFrame, path: str, ts_col: str = "ts",
                              entity_col: str | None = None,
                              buckets: int = 64) -> None:

@@ -75,6 +75,27 @@ RCLIF_SCHEMAS: dict[str, T.StructType] = {
         ("patient_id", S), ("encounter_id", S), ("dialysis_type", S),
         ("start_time", TS), ("stop_time", TS),
         ("dialysate_flow_amount", D), ("ultrafiltration_amount", D)),
+    # --- ERD-only tables (figures/RCLIF_ERD_09142023.pdf; SURVEY §1.2 rows
+    # 9, 11, 12, 17, 19): no reference pipeline builds them, but the data
+    # model declares them, so the registry carries their StructTypes —
+    # a consumer switching engines can create/validate all 19 tables.
+    "microbiology": _struct(
+        ("patient_id", S), ("encounter_id", S), ("collect_time", TS),
+        ("fluid_name", S), ("organism_name", S)),
+    "ventilation_settings": _struct(
+        ("patient_id", S), ("encounter_id", S), ("start_time", TS),
+        ("end_time", TS), ("mode_name", S), ("set_volume", D),
+        ("pressure_support", D)),
+    "ecmo_mcs": _struct(
+        ("patient_id", S), ("encounter_id", S), ("start_time", TS),
+        ("end_time", TS), ("device_name", S), ("sweep", D), ("flow", D),
+        ("device_work_metric", S), ("device_work_rate", D)),
+    "intake_output": _struct(
+        ("patient_id", S), ("encounter_id", S), ("time", TS),
+        ("fluid_name", S), ("amount", D), ("in_out_flag", S)),
+    "procedures": _struct(
+        ("patient_id", S), ("encounter_id", S), ("start_time", TS),
+        ("procedure_name", S), ("diagnosis", S)),
 }
 
 #: Raw EHR extract schemas (FIXTURES.md §A; column usage cited per pipeline).

@@ -242,3 +242,40 @@ def test_read_jsonl_schema_and_quarantine(spark, tmp_path):
     assert bad._raw == "NOT JSON AT ALL" and bad.text is None
     # dotted-path projection stays a narrow scan
     assert df.select("meta.lang").where("doc_id = 2").first()[0] == "fr"
+
+
+def test_jdbc_roundtrip_derby(spark, tmp_path):
+    """JDBC source/sink against the Derby engine Spark itself bundles
+    (derby-*.jar ships in pyspark/jars for the metastore): write a table
+    over JDBC, read it back plain and partitioned, and check the
+    partitioned read really splits the key range."""
+    url = f"jdbc:derby:{tmp_path}/jdbcdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    # Uppercase aliases: Derby folds unquoted identifiers (in predicates
+    # and partition clauses) to uppercase, while Spark always quotes the
+    # written column names — uppercase on both sides keeps them aligned.
+    src = spark.range(100).selectExpr("id AS ID", "id % 7 AS K",
+                                     "cast(id * 1.5 as double) AS V")
+    io.write_jdbc(src, url, "t_roundtrip", mode="overwrite",
+                  num_partitions=1, properties=props)
+    back = io.read_jdbc(spark, url, "t_roundtrip", properties=props)
+    assert back.count() == 100
+    assert {c.lower() for c in back.columns} == {"id", "k", "v"}
+
+    ranged = io.read_jdbc(spark, url, "t_roundtrip",
+                          partition_column="ID", lower_bound=0,
+                          upper_bound=100, num_partitions=4,
+                          properties=props)
+    assert ranged.rdd.getNumPartitions() == 4
+    assert ranged.count() == 100
+    assert ranged.agg(F.sum("ID")).first()[0] == 4950
+
+    pred = io.read_jdbc(spark, url, "t_roundtrip",
+                        predicates=["K < 3", "K >= 3"], properties=props)
+    assert pred.rdd.getNumPartitions() == 2
+    assert pred.count() == 100
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        io.read_jdbc(spark, url, "t_roundtrip", partition_column="ID")
