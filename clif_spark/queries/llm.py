@@ -567,12 +567,37 @@ def ann_ivf_topk(spark, sf_dir):
 
 _RECALL_LSH_PLANES = 4
 _RECALL_LSH_TABLES = 8
+#: Multi-probe config: ONE stored table of 5 planes, probing all buckets
+#: within Hamming distance 2 (1+5+10 = 16 probes). Measured at sf0.01 it
+#: matches the 8-table recall (0.72) with an 8x smaller stored index —
+#: the trade multiprobe exists for.
+_RECALL_MP_PLANES = 5
+_RECALL_MP_DIST = 2
+
+
+def _sql_flip(expr: str, i: int) -> str:
+    """DuckDB mirror of one bit flip in a bucket bitstring (0-based i)."""
+    return (f"(substr({expr}, 1, {i}) || (CASE WHEN substr({expr}, {i + 1},"
+            f" 1) = '1' THEN '0' ELSE '1' END) || substr({expr}, {i + 2}))")
+
+
+def _sql_probe_list(expr: str, n_planes: int, dist: int) -> str:
+    """DuckDB list literal of all probe buckets within Hamming ``dist`` —
+    mirror of similarity.probe_buckets."""
+    probes = [expr]
+    if dist >= 1:
+        probes += [_sql_flip(expr, i) for i in range(n_planes)]
+    if dist >= 2:
+        probes += [_sql_flip(_sql_flip(expr, i), j)
+                   for i in range(n_planes) for j in range(i + 1, n_planes)]
+    return "[" + ", ".join(probes) + "]"
 
 
 def _ann_recall_oracle() -> str:
-    """Recall@10 of the two approximate paths against brute force, per
-    query: truth/lsh/ivf top-10 CTEs (each the proven formulation from its
-    own gated query; LSH in its multi-table form), intersect with truth,
+    """Recall@10 of the three approximate paths against brute force, per
+    query: truth/lsh/lsh_multiprobe/ivf top-10 CTEs (each the proven
+    formulation from its own gated query; LSH in its multi-table form,
+    multiprobe in the single-table Hamming-2 form), intersect with truth,
     divide."""
     table_planes = [
         similarity.deterministic_hyperplanes(
@@ -584,6 +609,9 @@ def _ann_recall_oracle() -> str:
     qbands = " UNION ALL ".join(
         f"SELECT query_id, {t} AS tbl, {_bucket_sql_expr('qv', p)} AS bucket"
         f" FROM q" for t, p in enumerate(table_planes))
+    mp_planes = similarity.deterministic_hyperplanes(_DIM, _RECALL_MP_PLANES)
+    mp_probe_list = _sql_probe_list("qmp0.bucket", _RECALL_MP_PLANES,
+                                    _RECALL_MP_DIST)
     return f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
                FROM embeddings),
@@ -605,6 +633,25 @@ def _ann_recall_oracle() -> str:
     lsh AS (
       SELECT c.query_id, c.neighbor_id
       FROM cand c JOIN v ON v.vec_id = c.neighbor_id
+      JOIN q ON q.query_id = c.query_id
+      QUALIFY row_number() OVER (PARTITION BY c.query_id
+        ORDER BY ROUND(list_cosine_similarity(qv, vv), 4) DESC,
+                 c.neighbor_id) <= 10
+    ),
+    vmp AS (SELECT vec_id, {_bucket_sql_expr('vv', mp_planes)} AS bucket
+            FROM v),
+    qmp0 AS (SELECT query_id, {_bucket_sql_expr('qv', mp_planes)} AS bucket
+             FROM q),
+    qmp AS (SELECT query_id, probe AS bucket
+            FROM qmp0, UNNEST({mp_probe_list}) AS t(probe)),
+    candmp AS (
+      SELECT DISTINCT qmp.query_id, vmp.vec_id AS neighbor_id
+      FROM qmp JOIN vmp ON vmp.bucket = qmp.bucket
+      WHERE vmp.vec_id <> qmp.query_id
+    ),
+    lshmp AS (
+      SELECT c.query_id, c.neighbor_id
+      FROM candmp c JOIN v ON v.vec_id = c.neighbor_id
       JOIN q ON q.query_id = c.query_id
       QUALIFY row_number() OVER (PARTITION BY c.query_id
         ORDER BY ROUND(list_cosine_similarity(qv, vv), 4) DESC,
@@ -637,6 +684,8 @@ def _ann_recall_oracle() -> str:
     tn AS (SELECT query_id, COUNT(*) AS n FROM truth GROUP BY 1),
     lm AS (SELECT t.query_id, COUNT(*) AS m FROM truth t
            JOIN lsh USING (query_id, neighbor_id) GROUP BY 1),
+    lmp AS (SELECT t.query_id, COUNT(*) AS m FROM truth t
+            JOIN lshmp USING (query_id, neighbor_id) GROUP BY 1),
     im AS (SELECT t.query_id, COUNT(*) AS m FROM truth t
            JOIN ivf USING (query_id, neighbor_id) GROUP BY 1)
     SELECT query_id, method,
@@ -646,6 +695,9 @@ def _ann_recall_oracle() -> str:
       SELECT tn.query_id, 'lsh' AS method, n, m FROM tn
         LEFT JOIN lm ON lm.query_id = tn.query_id
       UNION ALL
+      SELECT tn.query_id, 'lsh_multiprobe' AS method, n, m FROM tn
+        LEFT JOIN lmp ON lmp.query_id = tn.query_id
+      UNION ALL
       SELECT tn.query_id, 'ivf' AS method, n, m FROM tn
         LEFT JOIN im ON im.query_id = tn.query_id)
     """
@@ -653,15 +705,21 @@ def _ann_recall_oracle() -> str:
 
 @query("ann_recall_at_k", oracle=_ann_recall_oracle())
 def ann_recall_at_k(spark, sf_dir):
-    """Recall@10 of both approximate ANN paths against the brute-force
+    """Recall@10 of the three approximate ANN paths against the brute-force
     ground truth, per query vector — the number that makes the 100 TB
-    recall/fan-out trade measurable instead of asserted. LSH runs in its
-    multi-table form (4 planes × 8 tables; a single 6-plane table measured
-    recall 0.0-0.2 on these near-uniform synthetic embeddings — real
-    clustered corpora fare far better, but the dial had to be priced);
-    IVF uses nprobe=2 of 16 cells. Measured at sf0.01: IVF 0.7-1.0,
-    LSH ~0.7 at ~40% fan-out. Raise n_tables/nprobe to trade fan-out for
-    recall; re-run this query to price the move.
+    recall/fan-out trade measurable instead of asserted.
+
+    - ``lsh``: multi-table (4 planes × 8 tables) — recall ~0.72 at ~42%
+      fan-out, but stores 8 index entries per vector.
+    - ``lsh_multiprobe``: ONE 5-plane table probed to Hamming distance 2
+      (16 probes) — measured the SAME ~0.72 recall at sf0.01 with an 8×
+      smaller stored index (~50% fan-out): multiprobe converts index
+      memory into query probes. (A bare single 6-plane table measured
+      0.06 — unusable, which is why the multiprobe dial exists.)
+    - ``ivf``: nprobe=2 of 16 cells — 0.7-1.0.
+    These synthetic embeddings are near-uniform (worst case for LSH; real
+    clustered corpora fare far better). Raise n_tables/multiprobe/nprobe
+    to trade fan-out for recall; re-run this query to price the move.
     Output: (query_id, method, recall)."""
     e = io.load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).select(
@@ -670,6 +728,10 @@ def ann_recall_at_k(spark, sf_dir):
     lsh = similarity.lsh_cosine_topk(e, queries, k=10,
                                      n_planes=_RECALL_LSH_PLANES,
                                      n_tables=_RECALL_LSH_TABLES, dim=_DIM)
+    lsh_mp = similarity.lsh_cosine_topk(e, queries, k=10,
+                                        n_planes=_RECALL_MP_PLANES,
+                                        n_tables=1,
+                                        multiprobe=_RECALL_MP_DIST, dim=_DIM)
     ivf = similarity.ivf_topk(e, queries, k=10, nprobe=2, n_cells=16)
     tn = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
 
@@ -682,7 +744,9 @@ def ann_recall_at_k(spark, sf_dir):
                                   .cast("double") / F.col("n").cast("double"),
                                   4).alias("recall")))
 
-    return recall_of(lsh, "lsh").unionByName(recall_of(ivf, "ivf"))
+    return (recall_of(lsh, "lsh")
+            .unionByName(recall_of(lsh_mp, "lsh_multiprobe"))
+            .unionByName(recall_of(ivf, "ivf")))
 
 
 def _embed_dedup_oracle() -> str:

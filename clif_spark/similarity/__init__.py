@@ -184,6 +184,32 @@ def lsh_assign_tables(vectors: DataFrame, n_planes: int, n_tables: int,
                    .select(id_col, "e.tbl", "e.bucket"))
 
 
+def probe_buckets(bucket: Column, n_planes: int, multiprobe: int) -> Column:
+    """Multi-probe LSH bucket expansion: the exact signature plus every
+    bucket within Hamming distance ``multiprobe`` (0, 1 or 2 bit flips).
+
+    Rationale: a true neighbor that disagrees with the query on ONE plane
+    lands one bit away — probing those buckets recovers it without paying
+    for another whole table. Probe count is 1, 1+k, or 1+k+k(k-1)/2 for
+    multiprobe 0/1/2 (k = n_planes): fan-out grows linearly-ish while an
+    extra table multiplies the stored index. Query-side only — the vector
+    index keeps one bucket per vector per table."""
+    if multiprobe not in (0, 1, 2):
+        raise ValueError("multiprobe must be 0, 1 or 2")
+    def flip(col: Column, i: int) -> Column:
+        bit = F.when(F.substring(col, i + 1, 1) == "1",
+                     F.lit("0")).otherwise(F.lit("1"))
+        return F.concat(F.substring(col, 1, i), bit,
+                        F.substring(col, i + 2, n_planes - i - 1))
+    probes = [bucket]
+    if multiprobe >= 1:
+        probes += [flip(bucket, i) for i in range(n_planes)]
+    if multiprobe >= 2:
+        probes += [flip(flip(bucket, i), j)
+                   for i in range(n_planes) for j in range(i + 1, n_planes)]
+    return F.array(*probes)
+
+
 def cosine_near_dup_pairs(vectors: DataFrame, threshold: float = 0.98,
                           n_planes: int = 6, id_col: str = "vec_id",
                           vec_col: str = "embedding", dim: int = 64,
@@ -218,15 +244,20 @@ def cosine_near_dup_pairs(vectors: DataFrame, threshold: float = 0.98,
 def lsh_cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                     n_planes: int = 8, n_tables: int = 1,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    query_id_col: str = "query_id", dim: int = 64) -> DataFrame:
+                    query_id_col: str = "query_id", dim: int = 64,
+                    multiprobe: int = 0) -> DataFrame:
     """ANN top-k: restrict exact cosine to candidates sharing a bucket in
     at least one of ``n_tables`` independent LSH tables.
 
     Recall < 1 by construction — per true neighbor with per-plane agreement
     p, P(candidate) = 1-(1-p^n_planes)^n_tables; fan-out per query is
-    ~n_tables×n/2^n_planes vectors instead of n. ``ann_recall_at_k``
-    measures the dial positions. Candidates found by several tables are
-    deduplicated before scoring, so exact cosine runs once per pair."""
+    ~n_tables×n/2^n_planes vectors instead of n. ``multiprobe`` expands the
+    QUERY side to all buckets within that Hamming distance
+    (``probe_buckets``), lifting per-table recall to P(Hamming(sig_q,
+    sig_v) <= multiprobe) at linear probe cost — the usable single-table
+    configuration. ``ann_recall_at_k`` measures the dial positions.
+    Candidates found by several tables/probes are deduplicated before
+    scoring, so exact cosine runs once per pair."""
     assigned = lsh_assign_tables(vectors, n_planes, n_tables, id_col,
                                  vec_col, dim).withColumnRenamed(
                                      id_col, "neighbor_id")
@@ -234,6 +265,11 @@ def lsh_cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
         queries.withColumnRenamed(query_id_col, id_col),
         n_planes, n_tables, id_col, vec_col, dim).withColumnRenamed(
             id_col, query_id_col)
+    if multiprobe:
+        q_assigned = q_assigned.select(
+            query_id_col, "tbl",
+            F.explode(probe_buckets(F.col("bucket"), n_planes, multiprobe))
+             .alias("bucket"))
     cand_ids = (assigned.join(F.broadcast(q_assigned), ["tbl", "bucket"])
                 .filter(F.col("neighbor_id") != F.col(query_id_col))
                 .select(query_id_col, "neighbor_id").distinct())

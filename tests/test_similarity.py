@@ -62,3 +62,43 @@ def test_kmeans_k1_is_global_mean(spark):
     cents, _, _ = similarity.kmeans(df, k=1, max_iter=2)
     assert abs(cents[0][0] - 4.5) < 1e-9
     assert abs(cents[0][1] - 9.0) < 1e-9
+
+
+def test_probe_buckets_enumerates_hamming_ball(spark):
+    """probe_buckets('101', mp=2) = the 1+3+3 distinct signatures within
+    Hamming distance 2, each still n_planes long."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("101",)], ["b"])
+    got = df.select(similarity.probe_buckets(
+        F.col("b"), 3, 2).alias("p")).first().p
+    assert len(got) == 7 and len(set(got)) == 7
+    assert got[0] == "101" and all(len(p) == 3 for p in got)
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+    assert {ham("101", p) for p in got[1:4]} == {1}
+    assert {ham("101", p) for p in got[4:]} == {2}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        similarity.probe_buckets(F.col("b"), 3, 3)
+
+
+def test_lsh_multiprobe_recall_dominates_bare_table(spark):
+    """On the sf0.001 corpus the Hamming-2 single-table config must find a
+    strict superset of the bare single-table candidates (probing the exact
+    bucket is probe 0), so its recall can only be >= the bare table's."""
+    from clif_spark import io as cio
+    from pyspark.sql import functions as F
+
+    e = cio.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    bare = {(r.query_id, r.neighbor_id) for r in similarity.lsh_cosine_topk(
+        e, qs, k=10, n_planes=5, n_tables=1).collect()}
+    mp = {(r.query_id, r.neighbor_id) for r in similarity.lsh_cosine_topk(
+        e, qs, k=10, n_planes=5, n_tables=1, multiprobe=2).collect()}
+    truth = {(r.query_id, r.neighbor_id)
+             for r in similarity.cosine_topk(e, qs, k=10).collect()}
+    assert len(mp & truth) >= len(bare & truth)
