@@ -224,16 +224,56 @@ def running_user_stats(events: DataFrame,
         update, out_schema, state_schema, "update", timeout))
 
 
-def write_stream_parquet(stream_df: DataFrame, path: str, checkpoint: str,
-                         output_mode: str = "append"):
-    """foreachBatch parquet sink: each micro-batch lands as a batch write,
-    giving exactly-once file output plus access to batch-only APIs inside
-    the writer (the standard production sink shape)."""
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(path)
+def idempotent_parquet_sink(path: str):
+    """Replay-safe foreachBatch body: exactly-once FILE output on top of
+    Structured Streaming's at-least-once batch delivery.
 
-    return (stream_df.writeStream.foreachBatch(_sink)
-            .outputMode(output_mode)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start())
+    The contract: the checkpoint guarantees each micro-batch is delivered
+    with a stable ``batch_id``, but a crash between the sink write and the
+    commit re-delivers the SAME batch — a bare append would duplicate it.
+    Writing each batch into its own ``__batch_id=N`` partition with dynamic
+    partition overwrite makes re-delivery REPLACE that batch's own output
+    and touch nothing else: f(batch, id) is idempotent, so
+    at-least-once delivery × idempotent sink = exactly-once files. This is
+    the standard production recipe wherever the destination lacks
+    transactions (plain parquet/object storage); transactional sinks
+    (Delta, JDBC upsert on batch_id) achieve the same with a MERGE.
+    """
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.withColumn("__batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("__batch_id")
+         .parquet(path))
+
+    return _sink
+
+
+def write_stream_parquet(stream_df: DataFrame, path: str, checkpoint: str,
+                         output_mode: str = "append",
+                         idempotent: bool = False,
+                         processing_time: str | None = None):
+    """foreachBatch parquet sink: each micro-batch lands as a batch write,
+    giving access to batch-only APIs inside the writer (the standard
+    production sink shape).
+
+    ``idempotent=True`` routes through ``idempotent_parquet_sink`` (replay
+    -safe, exactly-once files). ``processing_time`` selects a continuous
+    processing-time trigger (e.g. ``"1 second"``) instead of the default
+    drain-and-stop ``availableNow`` — the long-running-service mode; the
+    checkpoint carries source offsets so a restart resumes, not rereads.
+    """
+    if idempotent:
+        sink = idempotent_parquet_sink(path)
+    else:
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(path)
+
+    writer = (stream_df.writeStream.foreachBatch(sink)
+              .outputMode(output_mode)
+              .option("checkpointLocation", checkpoint))
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
