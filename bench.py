@@ -91,14 +91,19 @@ def main() -> None:
     for _ in range(2):
         for q in headliners:
             q.fn(spark, sf_dir).collect()
-    timings: dict[str, float] = {}
-    for q in headliners:
-        best = float("inf")
-        for _ in range(3):
+    # Timed reps are INTERLEAVED (3 full passes over the suite, min per
+    # query across passes) rather than 3 consecutive runs per query: this
+    # host's slow-CPU phases last minutes, so consecutive reps all land in
+    # the same phase while pass-interleaving gives each query three shots
+    # spread across the whole measurement window — same work, strictly
+    # better min-estimator under phase noise.
+    best: dict[str, float] = {q.name: float("inf") for q in headliners}
+    for _ in range(3):
+        for q in headliners:
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[q.name] = round(best, 3)
+            best[q.name] = min(best[q.name], time.perf_counter() - t0)
+    timings = {name: round(v, 3) for name, v in best.items()}
 
     total = round(sum(timings.values()), 3)
     # Host-state calibration: a fixed pure-CPU loop (200k chained md5).
