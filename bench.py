@@ -80,15 +80,16 @@ def main() -> None:
     spark.range(100).selectExpr(
         "explode(sequence(1, 10)) AS e").distinct().collect()
 
-    # Steady-state protocol: two untimed warm rounds over the FULL headliner
-    # set (C2 JIT keeps compiling generated code across the whole suite —
-    # measured ~15% total drift between a first and third full round, so
-    # per-query-only warm-up under-warms the later queries' shared operator
-    # code paths), then per query time three fresh executions of freshly
-    # built plans — no DataFrame reuse, so planning, shuffles and scans all
-    # re-run — and report the min (the standard noise-rejecting estimator;
-    # this host's CPU is visibly bimodal ±40% under virtualization).
-    for _ in range(2):
+    # Steady-state protocol: four untimed warm rounds over the FULL
+    # headliner set — C2 keeps compiling shared operator code across the
+    # whole suite, and the measured warm-curve (per-round suite totals in
+    # a fresh JVM: 14.4, 5.5, 5.6, 5.9, 4.6, 4.7, 5.2, 4.5 s) only
+    # plateaus around round 4 — then per query time three fresh executions
+    # of freshly built plans — no DataFrame reuse, so planning, shuffles
+    # and scans all re-run — and report the min (the standard
+    # noise-rejecting estimator; this host's CPU is visibly bimodal ±40%
+    # under virtualization).
+    for _ in range(4):
         for q in headliners:
             q.fn(spark, sf_dir).collect()
     # Timed reps are INTERLEAVED (3 full passes over the suite, min per
