@@ -300,8 +300,13 @@ def w10_funnel_conversion(spark, sf_dir):
 @query(
     "w11_range_time_frame",
     oracle=f"""
+    -- es floors toward -inf on BOTH engines. NB: DuckDB's integer // is
+    -- TRUNCATION toward zero (-5 // 2 = -2), so the floor must be spelled
+    -- out; plain // would put all of (-1s, 1s) in one double-width bucket
+    -- at the epoch origin. Exact for |us| < 2^53 (year ~2255).
     WITH ev AS (
-      SELECT event_id, user_id, epoch_us(ts) // 1000000 AS es,
+      SELECT event_id, user_id,
+             CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT) AS es,
              CAST(FLOOR(COALESCE(value, 0.0) * 1000000.0 + 0.5) AS BIGINT)
                AS vm
       FROM events
@@ -325,7 +330,8 @@ def w11_range_time_frame(spark, sf_dir):
     arrival order). The sum accumulates integer micros inside the frame and
     digit-rounds after, per the dsum discipline."""
     ev = io.load_table(spark, sf_dir, "events")
-    # Floor division toward -inf (matches the oracle's `//`): subtracting the
+    # Floor division toward -inf (the oracle spells out floor() because
+    # DuckDB's integer // truncates toward zero): subtracting the
     # non-negative pmod makes the numerator an exact multiple of 1e6, so the
     # double division is exact and pre-1970 (negative-micros) timestamps
     # floor instead of truncating toward zero.

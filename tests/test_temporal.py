@@ -66,3 +66,41 @@ def test_asof_plan_is_single_exchange(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_epoch_second_floor_matches_duckdb_for_pre_1970(spark):
+    """w11's epoch-second expression must FLOOR toward -inf like the
+    oracle's `//`, not truncate toward zero — divergence only shows on
+    pre-1970 (negative-micros) timestamps, which the driver corpus never
+    contains, so it is pinned here cross-engine."""
+    import datetime as dt
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+    from clif_spark.queries import us
+
+    stamps = [dt.datetime(1969, 12, 31, 23, 59, 59, 500000),
+              dt.datetime(1969, 12, 31, 23, 59, 58, 1),
+              dt.datetime(1970, 1, 1, 0, 0, 0, 0),
+              dt.datetime(1970, 1, 1, 0, 0, 1, 999999),
+              dt.datetime(1901, 6, 15, 12, 0, 0, 250000)]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(stamps)],
+                               ["i", "ts"])
+    usc = us("ts")
+    es = ((usc - F.pmod(usc, F.lit(1_000_000))) / F.lit(1_000_000)) \
+        .cast("long")
+    got = {r.i: r.es for r in df.select("i", es.alias("es")).collect()}
+
+    con = duckdb.connect()
+    want = {}
+    for i, s in enumerate(stamps):
+        # the oracle's expression — explicit floor, because DuckDB's
+        # integer // TRUNCATES toward zero (-5 // 2 = -2)
+        want[i] = con.execute(
+            "SELECT CAST(floor(epoch_us(?::TIMESTAMP) / 1000000.0)"
+            " AS BIGINT)", [s]).fetchone()[0]
+    con.close()
+    assert got == want
+    # spot-check the sign-sensitive case: -0.5 s floors to -1, not 0
+    assert got[0] == -1
