@@ -115,8 +115,11 @@ def f6_coalesce_fallback(spark, sf_dir):
 @query(
     "f7_f10_time_functions",
     oracle=f"""
+    -- epoch_s floors toward -inf on both engines (DuckDB integer //
+    -- truncates toward zero, so the floor is spelled out; same convention
+    -- as w11_range_time_frame).
     SELECT event_id,
-           epoch_us(ts) // 1000000 AS epoch_s,
+           CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT) AS epoch_s,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
            strftime(ts, '%Y-%m-%d') AS day_str,
            CAST(year(ts) AS BIGINT) AS yr,
@@ -132,9 +135,12 @@ def f7_f10_time_functions(spark, sf_dir):
     F9 date parts (`code/RCLIF_dialysis.Rmd:164-167`), F10 interval
     arithmetic (`ts - hours(1)`, `code/RCLIF_dialysis.Rmd:59`)."""
     ev = io.load_table(spark, sf_dir, "events")
+    usc = us("ts")
+    epoch_s = ((usc - F.pmod(usc, F.lit(1_000_000))) / F.lit(1_000_000)) \
+        .cast("long")
     return ev.select(
         "event_id",
-        (us("ts") / F.lit(1_000_000)).cast("long").alias("epoch_s"),
+        epoch_s.alias("epoch_s"),
         S.ts_to_rclif_string(F.col("ts")).alias("ts_str"),
         F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
         F.year("ts").cast("long").alias("yr"),
