@@ -240,3 +240,27 @@ def test_deterministic_split_and_hash_sample(spark):
     assert kept == again and abs(len(kept) / 4000 - 0.25) < 0.03
     smaller = {r.k for r in sampling.hash_sample(df, "k", 0.10).collect()}
     assert smaller <= kept  # thresholding the same u01 nests samples
+
+
+def test_minhash_handles_shingleless_docs(spark):
+    """Docs shorter than the shingle width must vanish from banding WITHOUT
+    fusing into a degenerate bucket — the carry path encodes this as
+    NULL-propagating band keys filtered post-explode, so it is pinned
+    explicitly (the driver corpus has no sub-3-word documents). Two
+    identical long docs still pair; the 1-2-word docs pair with nothing,
+    including each other."""
+    from clif_spark import dedup
+    long_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, long_text),
+         (3, "short"), (4, "short"), (5, "two words"), (6, "")],
+        ["doc_id", "text"])
+    got = {(r.a, r.b) for r in
+           dedup.minhash_near_dups(docs, threshold=0.5,
+                                   verify="carry").collect()}
+    assert got == {(1, 2)}
+    # rejoin path agrees (it keeps the pre-filter formulation)
+    got_r = {(r.a, r.b) for r in
+             dedup.minhash_near_dups(docs, threshold=0.5,
+                                     verify="rejoin").collect()}
+    assert got_r == {(1, 2)}
