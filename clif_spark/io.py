@@ -438,14 +438,18 @@ def read_jdbc(spark: SparkSession, url: str, table: str,
     them still arrive, skewed into the edge partitions. Catalyst pushes
     projections and filters into the remote query either way.
     """
-    reader = spark.read.format("jdbc").option("url", url) \
-        .option("dbtable", table)
-    for k, v in (properties or {}).items():
-        reader = reader.option(k, v)
+    if predicates and partition_column is not None:
+        raise ValueError(
+            "predicates and partition_column are mutually exclusive "
+            "partitioning schemes — pass one or the other")
     if predicates:
         # DataFrameReader.jdbc exposes predicate partitioning directly.
         return spark.read.jdbc(url, table, predicates=predicates,
                                properties=properties or {})
+    reader = spark.read.format("jdbc").option("url", url) \
+        .option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
     if partition_column is not None:
         if lower_bound is None or upper_bound is None or num_partitions is None:
             raise ValueError(

@@ -67,6 +67,12 @@ def _header_decode(payload: bytes) -> tuple[str, int, int] | None:
       (excluding DHT/JPG/DAC at C4/C8/CC); height/width are big-endian
       u16 at offsets +5/+7 inside the segment.
     - GIF87a/89a: logical-screen width/height, little-endian u16 at 6/8.
+      Unlike the PNG/JPEG magic bytes (invalid UTF-8, so unreachable from
+      text), ``GIF87a`` is plain ASCII — a text document can start with it.
+      A payload that decodes as UTF-8 end-to-end is treated as text and
+      skipped (a real GIF's LZW-compressed body virtually never survives a
+      full UTF-8 decode; an all-ASCII sub-1KB GIF could in principle slip
+      to the stub, which is the safe direction for the oracle corpus).
     """
     if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
         w = int.from_bytes(payload[16:20], "big")
@@ -89,6 +95,11 @@ def _header_decode(payload: bytes) -> tuple[str, int, int] | None:
             i += 2 + seg_len
         return None
     if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            payload.decode("utf-8")
+            return None  # ASCII-prefixed text, not a GIF
+        except UnicodeDecodeError:
+            pass
         w = int.from_bytes(payload[6:8], "little")
         h = int.from_bytes(payload[8:10], "little")
         return ("gif", w, h)
@@ -136,8 +147,12 @@ def decode_image_meta(df: DataFrame, id_col: str = "doc_id",
                     i += 2 + seg_len
                 return None
             if len(p) >= 10 and p[:6] in (b"GIF87a", b"GIF89a"):
-                return ("gif", int.from_bytes(p[6:8], "little"),
-                        int.from_bytes(p[8:10], "little"))
+                try:
+                    p.decode("utf-8")
+                    return None  # ASCII-prefixed text, not a GIF
+                except UnicodeDecodeError:
+                    return ("gif", int.from_bytes(p[6:8], "little"),
+                            int.from_bytes(p[8:10], "little"))
             return None
 
         def decode(payload: bytes) -> tuple[str, int, int]:

@@ -222,37 +222,39 @@ def us(col: Column | str) -> Column:
 # Cheap batch checks lead; multi-second stream-startup queries trail their
 # block so they never starve cheap checks.
 _VERIFY_FIRST = [
-    # --- last verified in round 1 (33) ---
-    "p11_castability_extract", "j1_vocab_broadcast_star",
-    "j3_full_outer_join",
-    "j6_fuzzy_vocab_match", "a1_group_count_histogram", "a2_multi_key_tally",
-    "a3_missingness_profile", "a4_duplicate_profile", "a5_summary_stats",
-    "a6_distinct_dim_extract", "a7_rollup_revenue", "a8_cube_counts",
-    "o1_o2_topk", "u1_union_missing_cols", "u2_u3_distinct_dedup",
-    "r1_unpivot_measures", "r2_pivot_wide", "r3_split_column",
-    "r4_explode_top_tokens", "f1_f2_classify_regex", "f3_f4_f5_dose_parse",
-    "f7_f10_time_functions", "f8_parse_roundtrip",
-    "f11_cast_clamp", "f12_hash_pseudonymize",
-    # --- round-3 additions, never gated ---
-    "q7_nation_volume", "q8_market_share", "q10_returned_items",
-    "q13_order_count_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q17_small_qty_revenue", "q18_large_volume_customer",
-    "q19_disjunctive_filter", "q22_global_sales_opportunity",
-    "gopher_repetition_filter", "a12_approx_distinct_bound",
-    "a13_sketch_merge_distinct", "a14_approx_percentile_bound",
-    "j9_salted_skew_join", "j10_levenshtein_vocab_match",
-    "emb_label_centroids", "w10_funnel_conversion", "u4_intersect_except",
-    "a15_ordered_string_agg", "mm_resize_meta", "w11_range_time_frame",
-    "sample_stratified_rebalance",
-    "stream_static_enrich", "stream_dedup_bounded_state",
+    # --- code changed in round 4 but most recent driver row is r2 (the
+    # verdict's #1 re-gate list): these lead unconditionally ---
+    "dedup_minhash_lsh", "ann_lsh_buckets", "ann_ivf_topk",
+    "ann_recall_at_k", "mm_decode_meta", "text_quality_metrics",
+    # --- code (to be) changed in round 5: q3/q5 agg-below-join,
+    # ann_cosine unrolled switch, media-decode rework, new registrations ---
+    "q3_shipping_priority", "q5_local_supplier_volume", "ann_cosine_topk",
+    "mm_frame_offsets", "pipeline_vitals", "mm_media_meta",
+    # --- round-1 rows never refreshed (batch) ---
+    "p7_p8_in_comparison", "p9_like_rlike", "p10_time_range",
+    "j2_composite_key_join", "j4_semi_anti_join", "f6_coalesce_fallback",
+    # --- round-2 rows, now 3 rounds stale: refresh as many as fit ---
+    "a10_moment_corr", "a11_exact_percentiles", "contamination_check",
+    "corpus_curation", "dedup_clusters", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash64",
+    "dedup_simhash_pairs", "emb_quantize_int8", "f14_from_json_typed",
+    "j7_asof_join", "j8_interval_join", "pii_redact",
+    "q1_pricing_summary", "q6_forecast_revenue", "sample_split_assign",
+    "seq_pack_bins", "text_fingerprint", "text_lang_id",
+    "text_rolling_fingerprint", "tfidf_top_terms", "w1_lead_episodes",
+    "w2_downup_fill", "w3_keep_last_dedup", "w6_sessionize_gap",
+    "w7_session_window_native", "w8_tumbling_window",
+    "w9_ntile_percent_rank",
+    # --- round-1-row streams (multi-second startup, tail of the block) ---
+    "stream_tumbling_agg", "stream_sliding_agg",
 ]
-# 25 stale + 25 new = 50 head entries. Six round-1 queries untouched since
-# round 1 (f6, p9, p7_p8, p10, j2, j4 — j4's semi/anti shapes are freshly
-# exercised by the gated q18/q22 anyway) cede refresh slots so every round-3
-# query is gated; they keep their round-1 green rows. f7_f10 stays gated
-# because its us() path changed this round. — a 50-row gate refreshes every stale
-# row (the two stream_* r01 rows sit at the tail by design) and gates every
-# round-3 addition exactly.
+# 50 head entries: 6 r4-code-touched + 6 round-5-touched/new + 6 r1-row
+# stragglers + 30 r2-row refreshes + the 2 r1-row streams. Six r2-row batch
+# queries cede their slot this round and lead round 6 (p1_p3, p2_p4, p5_p6 —
+# trivial projections exercised by nearly every gated query — plus
+# w4_rank_lag, w5_moving_avg, a9_grouping_sets, whose window/grouping
+# machinery is covered by the r4-green w6-w11/a7/a8 rows). The four r2-row
+# streams stay in _VERIFY_LAST as before.
 
 # Round-1/2-verified queries with multi-second stream startup: pinned to the
 # registry tail so they never starve cheap checks; they hold their existing

@@ -27,10 +27,22 @@ def _bcast_if_small(sf_dir: str, table: str, alias: str,
     CBO makes from file sizes. At bench scale orders (~4 MB) broadcasts and
     the lineitem probe never shuffles; at production scale the hint
     disappears and the join reverts to shuffle. Returns '' or 'BROADCAST(x), '.
+
+    A table may be a single parquet file or a directory of part-files (the
+    standard layout a multi-executor writer produces); for directories the
+    directory inode's own st_size is meaningless, so sum the contained
+    files instead — otherwise a fact-sized table would always "fit".
     """
+    path = os.path.join(sf_dir, f"{table}.parquet")
     try:
-        if os.path.getsize(os.path.join(sf_dir, f"{table}.parquet")) \
-                < threshold_bytes:
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(path) for f in files
+            )
+        else:
+            size = os.path.getsize(path)
+        if size < threshold_bytes:
             return f"BROADCAST({alias}), "
     except OSError:
         pass

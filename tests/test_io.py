@@ -280,6 +280,14 @@ def test_jdbc_roundtrip_derby(spark, tmp_path):
     with pytest.raises(ValueError):
         io.read_jdbc(spark, url, "t_roundtrip", partition_column="ID")
 
+    # predicates and partition bounds are mutually exclusive partitioning
+    # schemes; silently preferring one would drop the caller's other intent
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        io.read_jdbc(spark, url, "t_roundtrip",
+                     partition_column="ID", lower_bound=0, upper_bound=100,
+                     num_partitions=4, predicates=["K < 3", "K >= 3"],
+                     properties=props)
+
 
 def test_uri_scheme_passthrough_file(spark):
     """S3 (cloud object-store scan): the engine passes hadoop-compatible

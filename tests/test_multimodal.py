@@ -93,3 +93,24 @@ def test_decode_meta_parses_real_image_headers(spark):
         else:  # stub fallback keeps the oracle-checkable formula
             assert (out[i].width, out[i].height) == (
                 len(p) % 640 + 1, p[0] % 480 + 1)
+
+
+def test_gif_ascii_prefix_text_takes_stub_path(spark):
+    """'GIF87a' is plain ASCII, so a text document can legitimately start
+    with it; such a payload must take the stub path (matching the oracle
+    formula), while a real GIF — whose body never survives a full UTF-8
+    decode — still header-decodes."""
+    text = b"GIF87a is one of two versions of the GIF standard."
+    assert text.decode("utf-8")  # precondition: genuinely text
+    real_gif = (b"GIF87a" + (64).to_bytes(2, "little")
+                + (48).to_bytes(2, "little") + b"\x91\xff\x00")
+    df = spark.createDataFrame(
+        [(1, text), (2, real_gif)], ["doc_id", "payload"])
+    out = {r.doc_id: r for r in multimodal.decode_image_meta(df).collect()}
+    assert out[1].format in ("png", "jpeg")  # stub, not "gif"
+    assert (out[1].width, out[1].height) == (
+        len(text) % 640 + 1, text[0] % 480 + 1)
+    assert (out[2].format, out[2].width, out[2].height) == ("gif", 64, 48)
+    # module-level helper agrees with the closure copy
+    assert multimodal._header_decode(text) is None
+    assert multimodal._header_decode(real_gif) == ("gif", 64, 48)

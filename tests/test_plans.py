@@ -182,3 +182,22 @@ def test_orders_broadcast_is_statistics_gated(spark, monkeypatch):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert ("SortMergeJoin" in plan_big) or ("ShuffledHashJoin" in plan_big)
     assert "BroadcastHashJoin" in plan_big  # the hinted dims still ride one
+
+
+def test_bcast_gate_sums_directory_part_files(tmp_path):
+    """A table written by a multi-executor job is a DIRECTORY of part
+    files; the gate must sum the parts, not read the directory inode's
+    ~4KB st_size (which would broadcast a fact-sized table)."""
+    from clif_spark.queries import tpch
+
+    big = tmp_path / "orders.parquet"
+    nested = big / "shipdate=1995"          # partitioned layout
+    nested.mkdir(parents=True)
+    (big / "part-00000.parquet").write_bytes(b"x" * (20 << 20))
+    (nested / "part-00001.parquet").write_bytes(b"x" * (20 << 20))
+    assert tpch._bcast_if_small(str(tmp_path), "orders", "o") == ""
+
+    small = tmp_path / "nation.parquet"
+    small.mkdir()
+    (small / "part-00000.parquet").write_bytes(b"x" * 1024)
+    assert tpch._bcast_if_small(str(tmp_path), "nation", "n") == "BROADCAST(n), "
