@@ -107,6 +107,39 @@ def main() -> None:
     timings = {name: round(v, 3) for name, v in best.items()}
 
     total = round(sum(timings.values()), 3)
+
+    # DuckDB reference side, run in the SAME process right after the Spark
+    # reps: every recorded bench is a same-phase ratio by construction (this
+    # host's CPU is bimodal with minutes-long phases — BASELINE.md — so
+    # totals recorded in different runs are not comparable, but a ratio
+    # taken seconds apart is). Protocol mirrors the Spark side: one warm
+    # pass, then 3 interleaved timed passes, min per query.
+    duck = {}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(f"PRAGMA threads={cpus}")
+        for f in os.listdir(sf_dir):
+            if f.endswith(".parquet"):
+                t = f[:-len(".parquet")]
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                            f"read_parquet('{os.path.join(sf_dir, f)}')")
+        oracled = [q for q in headliners if q.oracle]
+        for q in oracled:
+            con.execute(q.oracle).fetchall()
+        duck = {q.name: float("inf") for q in oracled}
+        for _ in range(3):
+            for q in oracled:
+                t0 = time.perf_counter()
+                con.execute(q.oracle).fetchall()
+                duck[q.name] = min(duck[q.name], time.perf_counter() - t0)
+        duck = {name: round(v, 3) for name, v in duck.items()}
+    except Exception as exc:  # reference side must never fail the bench
+        print(f"duckdb reference side skipped: {exc}", file=sys.stderr)
+        duck = {}
+    duckdb_total = round(sum(duck.values()), 3) if duck else None
+
     # Host-state calibration: a fixed pure-CPU loop (200k chained md5).
     # This VM's CPU is bimodal (±40% minutes apart, BASELINE.md); the
     # constant lets a reader normalize a recorded total against the mode
@@ -117,14 +150,19 @@ def main() -> None:
     for _ in range(200000):
         h = hashlib.md5(h).digest()
     calib_ms = round((time.perf_counter() - t0) * 1000, 1)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
         "calib_ms": calib_ms,
-    }))
+    }
+    if duckdb_total is not None:
+        out["duckdb_total"] = duckdb_total
+        out["duckdb_queries"] = duck
+        out["ratio_vs_duckdb"] = round(total / duckdb_total, 2)
+    print(json.dumps(out))
     spark.stop()
 
 
