@@ -458,11 +458,15 @@ def ann_cosine_topk(spark, sf_dir):
     - each vector's norm is computed once in its CTE (per vector, not per
       pair — the join boundary stops CollapseProject from inlining it);
     - dot/norm use the ``aggregate``/``zip_with`` fold, NOT the unrolled
-      dim-known chain of ``similarity.dot``: a 64-term expression costs
-      ~0.35 s of Janino compilation per freshly built plan, which swamps
-      the interpreted-HOF overhead at any single-plan scale. The unrolled
-      path wins only when one compiled plan is amortized over many
-      executors/batches (cluster jobs) — see similarity module docstring.
+      dim-known chain of ``similarity.dot``. Round-5 same-session A/B
+      (BASELINE.md) re-tested the unrolled form with a WARM codegen cache
+      (so Janino compile cost was excluded) and it still lost ~2× at both
+      sf0.1 (0.224 vs 0.392 s) and sf1 (0.669 vs 1.247 s): a 64-term
+      scalar add-chain defeats codegen's common-subexpression layout and
+      JIT vectorization, while the HOF fold runs a tight loop over the
+      primitive array. The unrolled form remains available in
+      ``similarity.dot(dim=...)`` for narrow dims (<= ~16) where the
+      chain is short enough to win.
     One-shot SQL — same plan as ``similarity.cosine_topk`` (the operator
     form, exercised by ann_lsh_buckets / dedup_embedding_cosine) without
     py4j chatter."""

@@ -20,6 +20,25 @@ import os
 from clif_spark.queries import pq, query, sql_dmean, sql_dsum
 
 
+def _table_bytes(sf_dir: str, table: str) -> int:
+    """On-disk size of a table: a single parquet file, or the summed
+    part-files when the table is a directory (the standard layout a
+    multi-executor writer produces — the directory inode's own st_size is
+    ~4KB, which would make a fact-sized table look broadcastable).
+    Unreadable paths count as huge so statistics-gated fast paths never
+    fire on unknown data."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(path) for f in files
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 1 << 62
+
+
 def _bcast_if_small(sf_dir: str, table: str, alias: str,
                     threshold_bytes: int = 32 << 20) -> str:
     """Hint fragment broadcasting ``alias`` only when the table's on-disk
@@ -27,25 +46,9 @@ def _bcast_if_small(sf_dir: str, table: str, alias: str,
     CBO makes from file sizes. At bench scale orders (~4 MB) broadcasts and
     the lineitem probe never shuffles; at production scale the hint
     disappears and the join reverts to shuffle. Returns '' or 'BROADCAST(x), '.
-
-    A table may be a single parquet file or a directory of part-files (the
-    standard layout a multi-executor writer produces); for directories the
-    directory inode's own st_size is meaningless, so sum the contained
-    files instead — otherwise a fact-sized table would always "fit".
     """
-    path = os.path.join(sf_dir, f"{table}.parquet")
-    try:
-        if os.path.isdir(path):
-            size = sum(
-                os.path.getsize(os.path.join(root, f))
-                for root, _dirs, files in os.walk(path) for f in files
-            )
-        else:
-            size = os.path.getsize(path)
-        if size < threshold_bytes:
-            return f"BROADCAST({alias}), "
-    except OSError:
-        pass
+    if _table_bytes(sf_dir, table) < threshold_bytes:
+        return f"BROADCAST({alias}), "
     return ""
 
 
@@ -111,25 +114,62 @@ def q1_pricing_summary(spark, sf_dir):
     headline=True,
 )
 def q3_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 (adapted: o_orderpriority for the missing o_shippriority):
-    broadcast the filtered BUILDING customers into orders (hint pins the
-    strategy; AQE would pick it anyway under threshold), top-10 via
-    TakeOrderedAndProject. The orders side also broadcasts when its file
-    size permits (_bcast_if_small) — then lineitem never shuffles and the
-    only exchange is the final aggregate."""
+    """TPC-H Q3 (adapted: o_orderpriority for the missing o_shippriority),
+    with a statistics-gated choice between two plan shapes (the grouping
+    key l_orderkey functionally determines orderdate/o_orderpriority, so
+    both compute the identical result — tests/test_oracle.py pins the
+    pre-agg shape against the DuckDB oracle too):
+
+    - orders small enough to broadcast (< 16 MB on disk): broadcast star
+      with the aggregate on top — lineitem never shuffles; the one
+      exchange carries the already-partially-aggregated groups.
+    - orders fact-sized: pre-aggregate lineitem revenue by l_orderkey
+      BELOW the join (integer-micros partial, the dsum internals), then
+      shuffle-join the narrow (l_orderkey, rev_micros) pairs to orders.
+      The exchange shrinks from joined-width rows to 16-byte pairs, and
+      no fact-sized broadcast hash relation is ever built.
+
+    Crossover measured by same-session interleaved A/B (BASELINE.md round
+    5): at sf0.1 (2.7 MB orders) broadcast-star wins by 12%; at sf1
+    (27 MB orders) pre-agg+shuffle wins by 11% — the 16 MB bar sits
+    between the two measured points and errs toward the scale-safe shape."""
+    if _table_bytes(sf_dir, "orders") < (16 << 20):
+        return spark.sql(f"""
+            SELECT /*+ {_bcast_if_small(sf_dir, 'orders', 'o')}BROADCAST(c) */
+                   l.l_orderkey,
+                   {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+                   date_format(o.o_orderdate, 'yyyy-MM-dd') AS orderdate,
+                   o.o_orderpriority
+            FROM {pq(sf_dir, 'lineitem')} l
+            JOIN {pq(sf_dir, 'orders')} o ON l.l_orderkey = o.o_orderkey
+            JOIN {pq(sf_dir, 'customer')} c ON c.c_custkey = o.o_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'
+              AND l.l_shipdate > TIMESTAMP_NTZ '1998-01-01 00:00:00'
+            GROUP BY l.l_orderkey, orderdate, o.o_orderpriority
+            ORDER BY revenue DESC, l.l_orderkey
+            LIMIT 10
+        """)
     return spark.sql(f"""
-        SELECT /*+ {_bcast_if_small(sf_dir, 'orders', 'o')}BROADCAST(c) */
+        WITH lrev AS (
+            SELECT l_orderkey,
+                   SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount))
+                       * 1000000.0 + 0.5) AS BIGINT)) AS rev_micros
+            FROM {pq(sf_dir, 'lineitem')}
+            WHERE l_shipdate > TIMESTAMP_NTZ '1998-01-01 00:00:00'
+            GROUP BY l_orderkey
+        )
+        SELECT /*+ BROADCAST(c) */
                l.l_orderkey,
-               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+               CAST(FLOOR((l.rev_micros + 5000) / 10000.0) / 100.0
+                    AS DOUBLE) AS revenue,
                date_format(o.o_orderdate, 'yyyy-MM-dd') AS orderdate,
                o.o_orderpriority
-        FROM {pq(sf_dir, 'lineitem')} l
+        FROM lrev l
         JOIN {pq(sf_dir, 'orders')} o ON l.l_orderkey = o.o_orderkey
         JOIN {pq(sf_dir, 'customer')} c ON c.c_custkey = o.o_custkey
         WHERE c.c_mktsegment = 'BUILDING'
           AND o.o_orderdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'
-          AND l.l_shipdate > TIMESTAMP_NTZ '1998-01-01 00:00:00'
-        GROUP BY l.l_orderkey, orderdate, o.o_orderpriority
         ORDER BY revenue DESC, l.l_orderkey
         LIMIT 10
     """)
@@ -160,7 +200,17 @@ def q5_local_supplier_volume(spark, sf_dir):
     the large fact is probe side throughout. The c_nationkey = s_nationkey
     condition rides the supplier broadcast join. orders additionally
     broadcasts when small enough on disk (_bcast_if_small), keeping
-    lineitem entirely shuffle-free below the final aggregate."""
+    lineitem entirely shuffle-free below the final aggregate.
+
+    A q3-style pre-aggregation below the join does NOT apply here: the
+    supplier join needs l_suppkey at lineitem grain (and the nation match
+    needs the customer reached through orders), so revenue cannot be
+    reduced to per-orderkey pairs first — grouping by (l_orderkey,
+    l_suppkey) is ~lineitem cardinality, a no-op reduction. Dropping the
+    orders broadcast instead was A/B'd at sf1 and LOST (0.855 vs 0.786 s,
+    same-session interleaved, BASELINE.md round 5); the final groupBy
+    shuffles only ~25 nation-keyed partial rows, so the exchange above
+    the joins is already negligible at any scale."""
     return spark.sql(f"""
         SELECT /*+ {_bcast_if_small(sf_dir, 'orders', 'o')}BROADCAST(s), BROADCAST(n), BROADCAST(r) */
                n.n_name AS nation,

@@ -11,11 +11,12 @@ array<double>, in one of two JVM-side forms with bit-identical results
   (HOFs do not participate in whole-stage codegen), but the plan is small
   and compiles instantly — the right choice for ad-hoc/one-shot plans.
 - ``dim`` given: the fold is UNROLLED into a chain of ``a[i]*b[i]`` adds
-  that codegen compiles to primitive-double arithmetic — much cheaper per
-  row, but the ~2×dim-term generated source costs ~0.35 s (dim=64) of
-  Janino compilation per freshly built plan. Worth it exactly when one
-  compiled plan is amortized across a cluster job's executors/batches;
-  a loss for single-shot local plans (measured both ways at sf0.1).
+  compiled by whole-stage codegen. Measured verdict (round-5 interleaved
+  A/B with a WARM codegen cache, BASELINE.md): at dim=64 the unrolled
+  chain loses ~2× to the HOF fold at BOTH sf0.1 and sf1 — per-element
+  ``getItem`` null checks and a 64-term scalar add chain beat neither the
+  HOF evaluator's tight primitive-array loop nor the JIT. Use it only for
+  narrow dims (<= ~16); the HOF form is the default and the headliner.
 
 Scale shape (100 TB / billions of vectors):
 - brute-force top-k broadcasts the (small) query set and computes per

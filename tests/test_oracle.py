@@ -82,3 +82,26 @@ def test_query_matches_oracle(spark, duck, name):
     sset, dset = _rowset(srows, scols), _rowset(drows, dcols)
     mismatches = [(a, b) for a, b in zip(sset, dset) if a != b]
     assert not mismatches, f"{name}: first diffs {mismatches[:3]}"
+
+
+def test_q3_preagg_shape_matches_oracle(spark, duck, monkeypatch):
+    """The driver only ever gates q3's small-orders (broadcast star) shape;
+    the fact-sized shape — revenue pre-aggregated by l_orderkey below a
+    shuffle join — must face the same oracle here. Forcing the gate's
+    statistic makes the pre-agg shape run at test SF."""
+    real_getsize = os.path.getsize
+    monkeypatch.setattr(
+        "clif_spark.queries.tpch.os.path.getsize",
+        lambda p: (99 << 30) if p.endswith("orders.parquet")
+        else real_getsize(p))
+    name = "q3_shipping_priority"
+    sdf = QUERIES[name](spark, SF_DIR)
+    plan = sdf._jdf.queryExecution().optimizedPlan().toString()
+    assert "rev_micros" in plan  # precondition: gate really switched shapes
+    srows, scols = sdf.collect(), list(sdf.columns)
+    res = duck.execute(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert _rowset(srows, scols) == _rowset(drows, dcols)

@@ -184,6 +184,33 @@ def test_orders_broadcast_is_statistics_gated(spark, monkeypatch):
     assert "BroadcastHashJoin" in plan_big  # the hinted dims still ride one
 
 
+def test_q3_preagg_shape_is_statistics_gated(spark, monkeypatch):
+    """q3 has two statistics-gated shapes: broadcast star with the agg on
+    top (small orders) and lineitem revenue pre-aggregated by l_orderkey
+    BELOW a shuffle join (fact-sized orders). The pre-agg shape is the one
+    that survives 100 TB — the exchange carries 16-byte (key, micros)
+    pairs instead of joined-width rows and no fact-sized broadcast hash
+    relation is built — so pin that the gate actually switches to it."""
+    plan_small = plan_of(spark, "q3_shipping_priority")
+    assert "rev_micros" not in plan_small  # agg-on-top shape at test SF
+
+    real_getsize = os.path.getsize
+    monkeypatch.setattr(
+        "clif_spark.queries.tpch.os.path.getsize",
+        lambda p: (99 << 30) if p.endswith("orders.parquet")
+        else real_getsize(p))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan_big = plan_of(spark, "q3_shipping_priority")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # pre-agg below the join: the micros partial exists, and the orders
+    # join runs as a shuffle join (either scale-sane physical choice)
+    assert "rev_micros" in plan_big
+    assert ("SortMergeJoin" in plan_big) or ("ShuffledHashJoin" in plan_big)
+
+
 def test_bcast_gate_sums_directory_part_files(tmp_path):
     """A table written by a multi-executor job is a DIRECTORY of part
     files; the gate must sum the parts, not read the directory inode's
