@@ -194,6 +194,351 @@ def frame_sample_stub(df: DataFrame, id_col: str = "doc_id",
                                   F.col("frame_offset") + 1, 16).alias("frame_bytes")))
 
 
+#: Metadata contract for audio/video/image container decode: one row per
+#: document, NULLs where a field does not apply to the container kind.
+MEDIA_META_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("container", T.StringType()),
+    T.StructField("sample_rate", T.LongType()),
+    T.StructField("channels", T.LongType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("first_frame_offset", T.LongType()),
+])
+
+
+def _wav_decode(p: bytes) -> tuple[int, int, int] | None:
+    """(sample_rate, channels, duration_ms) from a RIFF/WAVE header —
+    stdlib byte slicing, same zero-dependency discipline as
+    ``_header_decode``. Walks the chunk list (chunks are word-aligned) for
+    ``fmt `` (channels u16 LE @2, sample rate u32 LE @4, byte rate u32 LE
+    @8 within the chunk body) and ``data`` (payload size -> duration =
+    size / byte_rate). Returns None unless a well-formed fmt chunk with a
+    positive byte rate is found."""
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    sr = ch = brate = None
+    data_size = 0
+    i = 12
+    while i + 8 <= len(p):
+        cid = p[i:i + 4]
+        csz = int.from_bytes(p[i + 4:i + 8], "little")
+        body = p[i + 8:i + 8 + csz]
+        if cid == b"fmt " and len(body) >= 16:
+            ch = int.from_bytes(body[2:4], "little")
+            sr = int.from_bytes(body[4:8], "little")
+            brate = int.from_bytes(body[8:12], "little")
+        elif cid == b"data":
+            data_size = csz
+        i += 8 + csz + (csz & 1)
+    if sr is None or not brate:
+        return None
+    return (sr, ch, data_size * 1000 // brate)
+
+
+def _mp4_decode(p: bytes) -> tuple[int, int | None, int | None] | None:
+    """(duration_ms, n_frames, first_frame_offset) from an ISO BMFF (MP4)
+    box tree — stdlib byte walking. Boxes are (size u32 BE, fourcc);
+    ``mvhd`` (under ``moov``) carries timescale/duration (v0: u32s at body
+    offsets 12/16; v1: u32 at 20, u64 at 24); ``stco`` (under
+    moov/trak/mdia/minf/stbl) lists chunk offsets, the per-chunk frame
+    anchor points a sampler would seek to. Requires the ``ftyp`` brand box
+    first — a text payload cannot satisfy that, so no UTF-8 guard is
+    needed (cf. the GIF ASCII-prefix trap)."""
+    if len(p) < 12 or p[4:8] != b"ftyp":
+        return None
+    found: dict = {}
+
+    def walk(start: int, end: int) -> None:
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(p[i:i + 4], "big")
+            typ = p[i + 4:i + 8]
+            if size < 8:
+                return
+            body, body_end = i + 8, min(i + size, end)
+            if typ == b"mvhd" and body + 24 <= end:
+                if p[body] == 1:  # version 1: 64-bit times
+                    ts = int.from_bytes(p[body + 20:body + 24], "big")
+                    dur = int.from_bytes(p[body + 24:body + 32], "big")
+                else:
+                    ts = int.from_bytes(p[body + 12:body + 16], "big")
+                    dur = int.from_bytes(p[body + 16:body + 20], "big")
+                found["mvhd"] = (ts, dur)
+            elif typ == b"stco" and body + 8 <= end:
+                n = int.from_bytes(p[body + 4:body + 8], "big")
+                found["stco"] = [
+                    int.from_bytes(p[body + 8 + 4 * k:body + 12 + 4 * k], "big")
+                    for k in range(n) if body + 12 + 4 * k <= end]
+            elif typ in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                walk(body, body_end)
+            i += size
+
+    walk(0, len(p))
+    if "mvhd" not in found:
+        return None
+    ts, dur = found["mvhd"]
+    if not ts:
+        return None
+    offs = found.get("stco") or []
+    return (dur * 1000 // ts, len(offs) or None, offs[0] if offs else None)
+
+
+def build_wav_bytes(sample_rate: int, channels: int, n_samples: int) -> bytes:
+    """Minimal but spec-valid 16-bit PCM WAV (silence payload) — the
+    deterministic fixture generator for the synthetic corpus; tests
+    cross-check the parser against the stdlib ``wave`` writer too."""
+    import struct
+
+    block = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block, block, 16)
+    data = bytes(n_samples * block)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def build_mp4_bytes(timescale: int, duration: int,
+                    frame_offsets: list[int]) -> bytes:
+    """Minimal ISO BMFF tree: ftyp + moov{mvhd(v0), trak{mdia{minf{stbl{
+    stco}}}}} — just enough real structure to exercise the recursive box
+    walk end-to-end."""
+    import struct
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    mvhd = box(b"mvhd", bytes(4)  # version 0 + flags
+               + struct.pack(">IIII", 0, 0, timescale, duration)
+               + bytes(80))       # rate/volume/matrix/next_track_id
+    stco = box(b"stco", struct.pack(">II", 0, len(frame_offsets))
+               + b"".join(struct.pack(">I", o) for o in frame_offsets))
+    trak = box(b"trak", box(b"mdia", box(b"minf", box(b"stbl", stco))))
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + box(b"moov", mvhd + trak)
+
+
+def synth_media_payload(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        out_col: str = "payload") -> DataFrame:
+    """Deterministic media-container fixture generator for the synthetic
+    corpus (testdata ships no real media): by ``doc_id % 4`` each document
+    becomes a spec-valid WAV (0), MP4 (1), PNG (2), or stays raw utf-8
+    text (3). All container parameters are closed-form functions of
+    doc_id, so a SQL oracle can state the expected decode output without
+    parsing — the builder and the real parser in ``decode_media_meta``
+    then face each other end-to-end: a parser offset bug shows up as a
+    mismatch against the formula, not as a cancelled round trip."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField(out_col, T.BinaryType()),
+    ])
+
+    def run(batches: Iterator) -> Iterator:
+        import struct
+
+        import pandas as pd
+
+        # by-value builder copies (see decode_image_meta on closures)
+        def wav(sample_rate, channels, n_samples):
+            block = channels * 2
+            fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                              sample_rate * block, block, 16)
+            data = bytes(n_samples * block)
+            body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data)
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        def box(typ, body):
+            return struct.pack(">I", 8 + len(body)) + typ + body
+
+        def mp4(timescale, duration, offsets):
+            mvhd = box(b"mvhd", bytes(4)
+                       + struct.pack(">IIII", 0, 0, timescale, duration)
+                       + bytes(80))
+            stco = box(b"stco", struct.pack(">II", 0, len(offsets))
+                       + b"".join(struct.pack(">I", o) for o in offsets))
+            trak = box(b"trak", box(b"mdia", box(b"minf",
+                                                 box(b"stbl", stco))))
+            ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+            return ftyp + box(b"moov", mvhd + trak)
+
+        def png(w, h):
+            import zlib
+            ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                    + b"\x08\x02\x00\x00\x00")
+            chunk = (len(ihdr).to_bytes(4, "big") + b"IHDR" + ihdr
+                     + zlib.crc32(b"IHDR" + ihdr).to_bytes(4, "big"))
+            end = (0).to_bytes(4, "big") + b"IEND" \
+                + zlib.crc32(b"IEND").to_bytes(4, "big")
+            return b"\x89PNG\r\n\x1a\n" + chunk + end
+
+        def build(doc_id: int, text: str) -> bytes:
+            kind = doc_id % 4
+            if kind == 0:
+                return wav(8000 + (doc_id % 5) * 4000, 1 + (doc_id % 2),
+                           100 + (doc_id % 50))
+            if kind == 1:
+                ts = 600 * (1 + doc_id % 3)
+                dur = (10 + doc_id % 20) * ts + (doc_id % 600)
+                nf = 3 + doc_id % 5
+                first = 40 + (doc_id % 7) * 16
+                return mp4(ts, dur, [first + 64 * k for k in range(nf)])
+            if kind == 2:
+                return png(16 + doc_id % 100, 16 + doc_id % 80)
+            return (text or "").encode("utf-8")
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                out_col: [build(int(i), t) for i, t in
+                          zip(pdf[id_col], pdf[text_col])],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def decode_media_meta(df: DataFrame, id_col: str = "doc_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """Container-dispatching media metadata decode over Arrow-batched
+    mapInPandas: WAV (RIFF fmt/data chunks) and MP4 (mvhd + stco box walk)
+    are parsed for REAL with stdlib byte slicing, images fall through to
+    the PNG/JPEG/GIF header decode, and anything else is 'unknown' with
+    NULL metadata. Pixel/sample decode still needs a codec library; the
+    metadata layer — the part schema inference, routing, and partitioning
+    decisions actually consume — is complete without one."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        # Self-contained parser copies (cloudpickle-by-value; see
+        # decode_image_meta for why closures must not reference
+        # module-level clif_spark symbols).
+        def wav_decode(p: bytes):
+            if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+                return None
+            sr = ch = brate = None
+            data_size = 0
+            i = 12
+            while i + 8 <= len(p):
+                cid = p[i:i + 4]
+                csz = int.from_bytes(p[i + 4:i + 8], "little")
+                body = p[i + 8:i + 8 + csz]
+                if cid == b"fmt " and len(body) >= 16:
+                    ch = int.from_bytes(body[2:4], "little")
+                    sr = int.from_bytes(body[4:8], "little")
+                    brate = int.from_bytes(body[8:12], "little")
+                elif cid == b"data":
+                    data_size = csz
+                i += 8 + csz + (csz & 1)
+            if sr is None or not brate:
+                return None
+            return (sr, ch, data_size * 1000 // brate)
+
+        def mp4_decode(p: bytes):
+            if len(p) < 12 or p[4:8] != b"ftyp":
+                return None
+            found: dict = {}
+
+            def walk(start: int, end: int) -> None:
+                i = start
+                while i + 8 <= end:
+                    size = int.from_bytes(p[i:i + 4], "big")
+                    typ = p[i + 4:i + 8]
+                    if size < 8:
+                        return
+                    body, body_end = i + 8, min(i + size, end)
+                    if typ == b"mvhd" and body + 24 <= end:
+                        if p[body] == 1:
+                            ts = int.from_bytes(p[body + 20:body + 24], "big")
+                            dur = int.from_bytes(p[body + 24:body + 32], "big")
+                        else:
+                            ts = int.from_bytes(p[body + 12:body + 16], "big")
+                            dur = int.from_bytes(p[body + 16:body + 20], "big")
+                        found["mvhd"] = (ts, dur)
+                    elif typ == b"stco" and body + 8 <= end:
+                        n = int.from_bytes(p[body + 4:body + 8], "big")
+                        found["stco"] = [
+                            int.from_bytes(p[body + 8 + 4 * k:
+                                             body + 12 + 4 * k], "big")
+                            for k in range(n) if body + 12 + 4 * k <= end]
+                    elif typ in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                        walk(body, body_end)
+                    i += size
+
+            walk(0, len(p))
+            if "mvhd" not in found:
+                return None
+            ts, dur = found["mvhd"]
+            if not ts:
+                return None
+            offs = found.get("stco") or []
+            return (dur * 1000 // ts, len(offs) or None,
+                    offs[0] if offs else None)
+
+        def image_decode(p: bytes):
+            if len(p) >= 24 and p[:8] == b"\x89PNG\r\n\x1a\n":
+                return ("png", int.from_bytes(p[16:20], "big"),
+                        int.from_bytes(p[20:24], "big"))
+            if len(p) >= 4 and p[:2] == b"\xff\xd8":
+                i = 2
+                while i + 9 <= len(p):
+                    if p[i] != 0xFF:
+                        break
+                    m = p[i + 1]
+                    if m == 0xD8 or 0xD0 <= m <= 0xD7 or m == 0x01:
+                        i += 2
+                        continue
+                    seg_len = int.from_bytes(p[i + 2:i + 4], "big")
+                    if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+                        return ("jpeg",
+                                int.from_bytes(p[i + 7:i + 9], "big"),
+                                int.from_bytes(p[i + 5:i + 7], "big"))
+                    i += 2 + seg_len
+                return None
+            if len(p) >= 10 and p[:6] in (b"GIF87a", b"GIF89a"):
+                try:
+                    p.decode("utf-8")
+                    return None
+                except UnicodeDecodeError:
+                    return ("gif", int.from_bytes(p[6:8], "little"),
+                            int.from_bytes(p[8:10], "little"))
+            return None
+
+        cols = ["container", "sample_rate", "channels", "duration_ms",
+                "width", "height", "n_frames", "first_frame_offset"]
+
+        def decode(p: bytes) -> tuple:
+            wav = wav_decode(p)
+            if wav is not None:
+                sr, ch, dur = wav
+                return ("wav", sr, ch, dur, None, None, None, None)
+            mp4 = mp4_decode(p)
+            if mp4 is not None:
+                dur, nf, off0 = mp4
+                return ("mp4", None, None, dur, None, None, nf, off0)
+            img = image_decode(p)
+            if img is not None:
+                fmt, w, h = img
+                return (fmt, None, None, None, w, h, None, None)
+            return ("unknown",) + (None,) * 7
+
+        for pdf in batches:
+            metas = [decode(b if b is not None else b"")
+                     for b in pdf[payload_col]]
+            out = {"doc_id": pdf[id_col].astype("int64")}
+            for j, c in enumerate(cols):
+                out[c] = pd.array([m[j] for m in metas],
+                                  dtype="string" if c == "container"
+                                  else "Int64")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, MEDIA_META_SCHEMA)
+
+
 #: Schema for resize_image_meta (the resize stage's metadata contract).
 RESIZE_META_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),

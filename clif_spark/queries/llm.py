@@ -1146,6 +1146,56 @@ def mm_frame_offsets(spark, sf_dir):
 
 
 @query(
+    "mm_media_meta",
+    oracle="""
+    -- Mirrors the closed-form parameters of multimodal.synth_media_payload;
+    -- the Spark side must RE-DERIVE them by parsing the WAV/MP4/PNG bytes
+    -- the generator built, so builder and parser face each other and an
+    -- offset bug cannot cancel out. `//` on positives == floor == Python //.
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'mp4'
+                WHEN 2 THEN 'png' ELSE 'unknown' END AS container,
+           CASE WHEN doc_id % 4 = 0
+                THEN CAST(8000 + (doc_id % 5) * 4000 AS BIGINT)
+           END AS sample_rate,
+           CASE WHEN doc_id % 4 = 0
+                THEN CAST(1 + doc_id % 2 AS BIGINT)
+           END AS channels,
+           CASE WHEN doc_id % 4 = 0
+                THEN CAST((100 + doc_id % 50) * 1000
+                          // (8000 + (doc_id % 5) * 4000) AS BIGINT)
+                WHEN doc_id % 4 = 1
+                THEN CAST(((10 + doc_id % 20) * (600 * (1 + doc_id % 3))
+                           + (doc_id % 600)) * 1000
+                          // (600 * (1 + doc_id % 3)) AS BIGINT)
+           END AS duration_ms,
+           CASE WHEN doc_id % 4 = 2
+                THEN CAST(16 + doc_id % 100 AS BIGINT) END AS width,
+           CASE WHEN doc_id % 4 = 2
+                THEN CAST(16 + doc_id % 80 AS BIGINT) END AS height,
+           CASE WHEN doc_id % 4 = 1
+                THEN CAST(3 + doc_id % 5 AS BIGINT) END AS n_frames,
+           CASE WHEN doc_id % 4 = 1
+                THEN CAST(40 + (doc_id % 7) * 16 AS BIGINT)
+           END AS first_frame_offset
+    FROM documents
+    """,
+)
+def mm_media_meta(spark, sf_dir):
+    """Audio/video/image metadata decode, end-to-end REAL: a deterministic
+    generator turns each document into a spec-valid WAV / MP4 / PNG (or
+    raw text) by doc_id, and ``multimodal.decode_media_meta`` parses the
+    containers back with stdlib byte walking — RIFF fmt/data chunks for
+    sample rate/channels/duration, the ISO BMFF moov/mvhd + stbl/stco box
+    tree for duration and frame anchors, PNG IHDR for dimensions. The
+    oracle states the generator's closed forms, so every parsed field is
+    value-checked against what the bytes were built to contain."""
+    d = io.load_table(spark, sf_dir, "documents")
+    payload = multimodal.synth_media_payload(d)
+    return multimodal.decode_media_meta(payload)
+
+
+@query(
     "emb_label_centroids",
     oracle="""
     WITH ev AS (

@@ -95,6 +95,78 @@ def test_decode_meta_parses_real_image_headers(spark):
                 len(p) % 640 + 1, p[0] % 480 + 1)
 
 
+def test_wav_decode_matches_stdlib_wave_writer(tmp_path):
+    """The RIFF parser must agree with a CANONICAL writer, not just our own
+    builder: write a WAV with the stdlib ``wave`` module and parse it."""
+    import wave
+
+    path = tmp_path / "t.wav"
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(22050)
+        w.writeframes(b"\x00\x00" * 2 * 44100)  # 2 s of stereo silence
+    parsed = multimodal._wav_decode(path.read_bytes())
+    assert parsed == (22050, 2, 44100 * 1000 // 22050)  # exactly 2000 ms
+    # our own builder agrees with the canonical writer's layout
+    ours = multimodal.build_wav_bytes(22050, 2, 44100)
+    assert multimodal._wav_decode(ours) == parsed
+
+
+def test_mp4_decode_box_walk_and_v1_mvhd():
+    p = multimodal.build_mp4_bytes(600, 3615, [48, 112, 176])
+    assert multimodal._mp4_decode(p) == (3615 * 1000 // 600, 3, 48)
+
+    # version-1 mvhd (64-bit times): timescale u32 at body+20, duration
+    # u64 at body+24 — built by hand since the builder emits v0
+    import struct
+
+    def box(typ, body):
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    mvhd_v1 = box(b"mvhd", b"\x01" + bytes(3) + bytes(16)
+                  + struct.pack(">I", 1000) + struct.pack(">Q", 7250)
+                  + bytes(80))
+    p1 = box(b"ftyp", b"isom") + box(b"moov", mvhd_v1)
+    assert multimodal._mp4_decode(p1) == (7250, None, None)
+
+    assert multimodal._mp4_decode(b"not a box tree") is None
+    assert multimodal._wav_decode(b"RIFF\x00\x00\x00\x00JUNK") is None
+
+
+def test_media_meta_query_round_trip(spark):
+    """synth (struct.pack builders) -> decode (byte-walk parsers) across a
+    real Spark mapInPandas pipeline; parsed values must equal the
+    generator's closed forms for every container kind."""
+    df = spark.createDataFrame(
+        [(i, f"document {i}") for i in range(8)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in multimodal.decode_media_meta(
+        multimodal.synth_media_payload(df)).collect()}
+    assert len(out) == 8
+    for i in range(8):
+        r = out[i]
+        kind = i % 4
+        if kind == 0:
+            sr = 8000 + (i % 5) * 4000
+            assert (r.container, r.sample_rate, r.channels) == ("wav", sr, 1 + i % 2)
+            assert r.duration_ms == (100 + i % 50) * 1000 // sr
+            assert r.width is None and r.n_frames is None
+        elif kind == 1:
+            ts = 600 * (1 + i % 3)
+            dur = (10 + i % 20) * ts + (i % 600)
+            assert (r.container, r.duration_ms) == ("mp4", dur * 1000 // ts)
+            assert (r.n_frames, r.first_frame_offset) == (3 + i % 5, 40 + (i % 7) * 16)
+            assert r.sample_rate is None
+        elif kind == 2:
+            assert (r.container, r.width, r.height) == ("png", 16 + i % 100, 16 + i % 80)
+            assert r.duration_ms is None
+        else:
+            assert r.container == "unknown"
+            assert all(v is None for v in
+                       (r.sample_rate, r.channels, r.duration_ms, r.width,
+                        r.height, r.n_frames, r.first_frame_offset))
+
+
 def test_gif_ascii_prefix_text_takes_stub_path(spark):
     """'GIF87a' is plain ASCII, so a text document can legitimately start
     with it; such a payload must take the stub path (matching the oracle
