@@ -273,6 +273,7 @@ def collect_registry() -> dict[str, QueryDef]:
     from clif_spark.queries import (  # noqa: F401
         curation,
         llm,
+        pipelines,
         relational,
         scalars,
         stats,
