@@ -229,7 +229,8 @@ _VERIFY_FIRST = [
     # --- code (to be) changed in round 5: q3/q5 agg-below-join,
     # ann_cosine unrolled switch, media-decode rework, new registrations ---
     "q3_shipping_priority", "q5_local_supplier_volume", "ann_cosine_topk",
-    "mm_frame_offsets", "pipeline_vitals", "mm_media_meta",
+    "mm_frame_offsets", "pipeline_vitals", "pipeline_resp_support",
+    "mm_media_meta",
     # --- round-1 rows never refreshed (batch) ---
     "p7_p8_in_comparison", "p9_like_rlike", "p10_time_range",
     "j2_composite_key_join", "j4_semi_anti_join", "f6_coalesce_fallback",
@@ -244,17 +245,16 @@ _VERIFY_FIRST = [
     "text_rolling_fingerprint", "tfidf_top_terms", "w1_lead_episodes",
     "w2_downup_fill", "w3_keep_last_dedup", "w6_sessionize_gap",
     "w7_session_window_native", "w8_tumbling_window",
-    "w9_ntile_percent_rank",
     # --- round-1-row streams (multi-second startup, tail of the block) ---
     "stream_tumbling_agg", "stream_sliding_agg",
 ]
-# 50 head entries: 6 r4-code-touched + 6 round-5-touched/new + 6 r1-row
-# stragglers + 30 r2-row refreshes + the 2 r1-row streams. Six r2-row batch
-# queries cede their slot this round and lead round 6 (p1_p3, p2_p4, p5_p6 —
-# trivial projections exercised by nearly every gated query — plus
-# w4_rank_lag, w5_moving_avg, a9_grouping_sets, whose window/grouping
-# machinery is covered by the r4-green w6-w11/a7/a8 rows). The four r2-row
-# streams stay in _VERIFY_LAST as before.
+# 50 head entries: 6 r4-code-touched + 7 round-5-touched/new + 6 r1-row
+# stragglers + 29 r2-row refreshes + the 2 r1-row streams. Seven r2-row
+# batch queries cede their slot this round and lead round 6 (p1_p3, p2_p4,
+# p5_p6 — trivial projections exercised by nearly every gated query — plus
+# w4_rank_lag, w5_moving_avg, w9_ntile_percent_rank, a9_grouping_sets,
+# whose window/grouping machinery is covered by the r4-green w6-w11/a7/a8
+# rows). The four r2-row streams stay in _VERIFY_LAST as before.
 
 # Round-1/2-verified queries with multi-second stream startup: pinned to the
 # registry tail so they never starve cheap checks; they hold their existing

@@ -104,3 +104,158 @@ def pipeline_vitals(spark, sf_dir):
         "patient_id", "encounter_id",
         F.unix_micros("recorded_time").alias("recorded_us"),
         "vital_name", "vital_value", "meas_site_name")
+
+
+#: Respiratory-support flowsheet synthesis: event_id % 10 picks one of the
+#: ten RT RS names; values are closed-form integer strings with planted
+#: corner cases — junk lpm ('junk'), negative lpm ('-5'), above-clamp lpm
+#: ('80' -> 60), and a junk primary FiO2 that must BLOCK the fallback
+#: (the reference coalesces the raw strings before casting).
+_RESP_SYNTH = """
+    SELECT CAST(user_id AS STRING) AS C19_PATIENT_ID,
+           CAST(user_id * 10 + event_id % 3 AS STRING) AS C19_HAR_ID,
+           CAST(1700000000
+                + CAST(FLOOR(event_id / 50.0) AS BIGINT) * 3600 AS BIGINT)
+             AS recorded_time,
+           CASE CAST(event_id % 10 AS INT)
+                WHEN 0 THEN 'RT RS OXYGEN DEVICE' WHEN 1 THEN 'RT RS MODE'
+                WHEN 2 THEN 'RT RS VENT SET VOLUME'
+                WHEN 3 THEN 'RT RS PRESSURE SUPPORT'
+                WHEN 4 THEN 'RT RS SET RESP RATE' WHEN 5 THEN 'RT RS LPM'
+                WHEN 6 THEN 'RT RS FIO2' WHEN 7 THEN 'RT RS VENT FIO2'
+                WHEN 8 THEN 'RT RS NI FIO2' ELSE 'RT RS PEEP' END
+             AS flo_meas_name,
+           CASE CAST(event_id % 10 AS INT)
+                WHEN 0 THEN CASE CAST(event_id % 4 AS INT)
+                     WHEN 0 THEN 'High Flow Nasal Cannula'
+                     WHEN 1 THEN 'Ventilator' WHEN 2 THEN 'BiPap'
+                     ELSE 'Room Air' END
+                WHEN 1 THEN CASE CAST(event_id % 3 AS INT)
+                     WHEN 0 THEN 'SIMV' WHEN 1 THEN 'AC/VC'
+                     ELSE 'PRVC' END
+                WHEN 2 THEN CAST(300 + event_id % 200 AS STRING)
+                WHEN 3 THEN CAST(5 + event_id % 15 AS STRING)
+                WHEN 4 THEN CAST(12 + event_id % 16 AS STRING)
+                WHEN 5 THEN CASE CAST(event_id % 7 AS INT)
+                     WHEN 0 THEN 'junk' WHEN 1 THEN '-5' WHEN 2 THEN '80'
+                     ELSE CAST(event_id % 60 AS STRING) END
+                WHEN 6 THEN CASE WHEN event_id % 6 = 0 THEN 'junk'
+                     ELSE CAST(21 + event_id % 80 AS STRING) END
+                WHEN 7 THEN CAST(30 + event_id % 70 AS STRING)
+                WHEN 8 THEN CAST(25 + event_id % 75 AS STRING)
+                ELSE CAST(event_id % 20 AS STRING) END AS meas_value
+    FROM {table}
+"""
+
+_MODE_VOCAB = [("SIMV", "simv"), ("AC/VC", "assist_control"),
+               ("PRVC", "prvc"), ("CPAP", "cpap_vocab_only")]
+
+#: DuckDB mirror of windows.fill_downup: LOCF coalesced with NOCB.
+_FILL = ("COALESCE("
+         "last_value({c} IGNORE NULLS) OVER (PARTITION BY C19_PATIENT_ID, "
+         "C19_HAR_ID ORDER BY recorded_time "
+         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+         "first_value({c} IGNORE NULLS) OVER (PARTITION BY C19_PATIENT_ID, "
+         "C19_HAR_ID ORDER BY recorded_time "
+         "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))")
+
+
+@query(
+    "pipeline_resp_support",
+    oracle=f"""
+    WITH flow AS ({_RESP_SYNTH.format(table='events')}),
+    wide AS (
+      SELECT C19_PATIENT_ID, C19_HAR_ID, recorded_time,
+             MIN(CASE WHEN flo_meas_name = 'RT RS OXYGEN DEVICE'
+                      THEN meas_value END) AS device_name,
+             MIN(CASE WHEN flo_meas_name = 'RT RS MODE'
+                      THEN meas_value END) AS mode_name,
+             MIN(CASE WHEN flo_meas_name = 'RT RS VENT SET VOLUME'
+                      THEN meas_value END) AS set_volume,
+             MIN(CASE WHEN flo_meas_name = 'RT RS PRESSURE SUPPORT'
+                      THEN meas_value END) AS pressure_support,
+             MIN(CASE WHEN flo_meas_name = 'RT RS SET RESP RATE'
+                      THEN meas_value END) AS set_resp_rate,
+             MIN(CASE WHEN flo_meas_name = 'RT RS LPM'
+                      THEN meas_value END) AS lpm_raw,
+             MIN(CASE WHEN flo_meas_name = 'RT RS FIO2'
+                      THEN meas_value END) AS fio2_a,
+             MIN(CASE WHEN flo_meas_name = 'RT RS VENT FIO2'
+                      THEN meas_value END) AS fio2_b,
+             MIN(CASE WHEN flo_meas_name = 'RT RS NI FIO2'
+                      THEN meas_value END) AS fio2_c,
+             MIN(CASE WHEN flo_meas_name = 'RT RS PEEP'
+                      THEN meas_value END) AS peep
+      FROM flow
+      GROUP BY C19_PATIENT_ID, C19_HAR_ID, recorded_time
+    ),
+    merged AS (
+      SELECT w.C19_PATIENT_ID, w.C19_HAR_ID, w.recorded_time,
+             w.device_name,
+             COALESCE(w.mode_name, v.mode_name) AS mode_name,
+             v.mode_category, w.set_volume, w.pressure_support,
+             w.set_resp_rate, w.lpm_raw, w.fio2_a, w.fio2_b, w.fio2_c,
+             w.peep
+      FROM wide w
+      FULL JOIN (VALUES {', '.join(repr(t) for t in _MODE_VOCAB)})
+           AS v(mode_name, mode_category)
+        ON w.mode_name = v.mode_name
+    ),
+    derived AS (
+      SELECT *,
+             CASE WHEN regexp_matches(device_name, '(?i)high flow')
+                    THEN 'High Flow NC'
+                  WHEN regexp_matches(device_name, '(?i)vent') THEN 'Vent'
+                  WHEN regexp_matches(device_name, '(?i)bipap|cpap')
+                    THEN 'NIPPV'
+                  WHEN regexp_matches(device_name, '(?i)nasal cannula')
+                    THEN 'Nasal Cannula'
+                  WHEN regexp_matches(device_name, '(?i)room air')
+                    THEN 'Room Air'
+                  WHEN device_name IS NOT NULL THEN 'Other'
+             END AS device_category,
+             CASE WHEN TRY_CAST(lpm_raw AS DOUBLE) < 0 THEN NULL
+                  ELSE CASE WHEN TRY_CAST(lpm_raw AS DOUBLE) > 60 THEN 60
+                            ELSE TRY_CAST(lpm_raw AS DOUBLE) END
+             END AS lpm,
+             TRY_CAST(COALESCE(fio2_a, fio2_b, fio2_c) AS DOUBLE) / 100.0
+               AS fio2
+      FROM merged
+    ),
+    filled AS (
+      SELECT C19_PATIENT_ID, C19_HAR_ID, recorded_time,
+             {_FILL.format(c='device_name')} AS device_name,
+             {_FILL.format(c='mode_name')} AS mode_name,
+             {_FILL.format(c='mode_category')} AS mode_category,
+             {_FILL.format(c='device_category')} AS device_category,
+             set_volume, pressure_support, set_resp_rate, lpm, fio2, peep
+      FROM derived
+    )
+    SELECT C19_PATIENT_ID AS patient_id, C19_HAR_ID AS encounter_id,
+           CAST(recorded_time * 1000000 AS BIGINT) AS recorded_us,
+           device_name, device_category, mode_name, mode_category,
+           TRY_CAST(set_volume AS DOUBLE) AS set_volume,
+           TRY_CAST(pressure_support AS DOUBLE) AS pressure_support,
+           TRY_CAST(set_resp_rate AS DOUBLE) AS set_resp_rate,
+           lpm, fio2, TRY_CAST(peep AS DOUBLE) AS peep,
+           regexp_matches(device_name, '(?i)high flow') AS high_flow
+    FROM filled
+    """,
+)
+def pipeline_resp_support(spark, sf_dir):
+    """§3.1's second output — the wide respiratory-support table — through
+    the real ``build_respiratory_support`` composition: IN-filter, pivot
+    wide with deterministic min_by cells, FULL vocab join (vocab-only
+    modes survive with coalesced keys), first-match-wins device classify,
+    junk/negative/clamp lpm cleaning, coalesce-then-cast FiO2 fallback,
+    per-encounter downup fill, post-fill high_flow flag. The oracle
+    replays every step in DuckDB over the identical synthesized flowsheet."""
+    flow = spark.sql(_RESP_SYNTH.format(table=pq(sf_dir, "events")))
+    vocab = spark.createDataFrame(_MODE_VOCAB, ["mode_name", "mode_category"])
+    out = vitals_pipeline.build_respiratory_support(flow, vocab)
+    return out.select(
+        "patient_id", "encounter_id",
+        F.unix_micros("recorded_time").alias("recorded_us"),
+        "device_name", "device_category", "mode_name", "mode_category",
+        "set_volume", "pressure_support", "set_resp_rate",
+        "lpm", "fio2", "peep", "high_flow")
