@@ -230,7 +230,8 @@ _VERIFY_FIRST = [
     # ann_cosine unrolled switch, media-decode rework, new registrations ---
     "q3_shipping_priority", "q5_local_supplier_volume", "ann_cosine_topk",
     "mm_frame_offsets", "pipeline_vitals", "pipeline_resp_support",
-    "mm_media_meta",
+    "mm_media_meta", "pipeline_admission_diagnosis", "pipeline_scores",
+    "pipeline_adt",
     # --- round-1 rows never refreshed (batch) ---
     "p7_p8_in_comparison", "p9_like_rlike", "p10_time_range",
     "j2_composite_key_join", "j4_semi_anti_join", "f6_coalesce_fallback",
@@ -243,16 +244,16 @@ _VERIFY_FIRST = [
     "q1_pricing_summary", "q6_forecast_revenue", "sample_split_assign",
     "seq_pack_bins", "text_fingerprint", "text_lang_id",
     "text_rolling_fingerprint", "tfidf_top_terms", "w1_lead_episodes",
-    "w2_downup_fill", "w3_keep_last_dedup", "w6_sessionize_gap",
-    "w7_session_window_native", "w8_tumbling_window",
+    "w2_downup_fill", "w3_keep_last_dedup",
     # --- round-1-row streams (multi-second startup, tail of the block) ---
     "stream_tumbling_agg", "stream_sliding_agg",
 ]
-# 50 head entries: 6 r4-code-touched + 7 round-5-touched/new + 6 r1-row
-# stragglers + 29 r2-row refreshes + the 2 r1-row streams. Seven r2-row
+# 50 head entries: 6 r4-code-touched + 10 round-5-touched/new + 6 r1-row
+# stragglers + 26 r2-row refreshes + the 2 r1-row streams. Ten r2-row
 # batch queries cede their slot this round and lead round 6 (p1_p3, p2_p4,
 # p5_p6 — trivial projections exercised by nearly every gated query — plus
-# w4_rank_lag, w5_moving_avg, w9_ntile_percent_rank, a9_grouping_sets,
+# w4_rank_lag, w5_moving_avg, w6_sessionize_gap, w7_session_window_native,
+# w8_tumbling_window, w9_ntile_percent_rank, a9_grouping_sets,
 # whose window/grouping machinery is covered by the r4-green w6-w11/a7/a8
 # rows). The four r2-row streams stay in _VERIFY_LAST as before.
 

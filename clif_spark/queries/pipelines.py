@@ -259,3 +259,189 @@ def pipeline_resp_support(spark, sf_dir):
         "device_name", "device_category", "mode_name", "mode_category",
         "set_volume", "pressure_support", "set_resp_rate",
         "lpm", "fio2", "peep", "high_flow")
+
+
+# --- round-5 widening: the remaining §3 lifecycles through the gate ---------
+
+#: Admission-diagnosis raw dump synthesis: the published-vocabulary rename
+#: targets plus a noise column that the projection must drop.
+_DX_SYNTH = """
+    SELECT CAST(user_id AS STRING) AS C19_PATIENT_ID,
+           CAST(user_id * 10 + event_id % 3 AS STRING) AS C19_HAR_ID,
+           CONCAT('Diagnosis ', CAST(event_id % 25 AS STRING)) AS dx_name,
+           CONCAT('I', LPAD(CAST(event_id % 100 AS STRING), 2, '0'), '.',
+                  CAST(event_id % 10 AS STRING)) AS icd10_code,
+           CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'Y' WHEN 1 THEN 'N'
+                ELSE 'U' END AS poa,
+           CAST(event_id AS STRING) AS chart_noise_col
+    FROM {table}
+"""
+
+
+@query(
+    "pipeline_admission_diagnosis",
+    oracle=f"""
+    WITH dx AS ({_DX_SYNTH.format(table='events')})
+    SELECT C19_PATIENT_ID, C19_HAR_ID,
+           dx_name AS diagnosis_name,
+           icd10_code AS dianosis_code,
+           poa AS pta
+    FROM dx
+    """,
+)
+def pipeline_admission_diagnosis(spark, sf_dir):
+    """§3 smallest lifecycle (`code/RCLIF_admission_diagnosis.Rmd:29-35`)
+    end-to-end: project (chart_noise_col must vanish) + publish renames —
+    including the reference's preserved ``dianosis_code`` (sic) and
+    poa->pta quirks — + the publication sort."""
+    from clif_spark.pipelines import admission_diagnosis as dx_pipeline
+    dx = spark.sql(_DX_SYNTH.format(table=pq(sf_dir, "events")))
+    return dx_pipeline.sorted_for_publication(
+        dx_pipeline.build_admission_diagnosis(dx))
+
+
+#: Scores flowsheet synthesis. event_id%6 picks the row kind: the four
+#: in-list score names, a GLASGOW-regex decoy that is NOT in the in-list
+#: (so the IN-filter's effect is observable through the downstream rlike),
+#: and an unrelated row. Every 13th GCS is the non-numeric 'unable'
+#: (as.numeric -> NULL -> NULL band).
+_SCORE_SYNTH = """
+    SELECT CAST(user_id AS STRING) AS C19_PATIENT_ID,
+           CAST(user_id * 10 + event_id % 3 AS STRING) AS C19_HAR_ID,
+           CAST(1700000000 + event_id * 45 AS BIGINT) AS recorded_time,
+           CASE CAST(event_id % 6 AS INT)
+                WHEN 0 THEN 'NUR RA GLASGOW ADULT SCORING'
+                WHEN 1 THEN 'NUR RA RASS SCORE'
+                WHEN 2 THEN 'NUR RA CAM ICU'
+                WHEN 3 THEN 'R NUR BRADEN SCORE'
+                WHEN 4 THEN 'GLASGOW COMA FAKE'
+                ELSE 'SOME OTHER ROW' END AS flo_meas_name,
+           CASE CAST(event_id % 6 AS INT)
+                WHEN 0 THEN CASE WHEN event_id % 13 = 0 THEN 'unable'
+                     ELSE CAST(3 + event_id % 13 AS STRING) END
+                WHEN 1 THEN CAST(event_id % 10 - 5 AS STRING)
+                WHEN 2 THEN CASE WHEN event_id % 2 = 0 THEN 'Positive'
+                     ELSE 'Negative' END
+                ELSE CAST(6 + event_id % 17 AS STRING) END AS meas_value
+    FROM {table}
+"""
+
+_SCORE_GCS = "TRY_CAST(score_value AS DOUBLE)"
+
+
+@query(
+    "pipeline_scores",
+    oracle=f"""
+    WITH flow AS ({_SCORE_SYNTH.format(table='events')}),
+    scores AS (
+      SELECT C19_PATIENT_ID AS patient_id, C19_HAR_ID AS encounter_id,
+             recorded_time, flo_meas_name AS score_name,
+             meas_value AS score_value
+      FROM flow
+      WHERE flo_meas_name IN ('NUR RA GLASGOW ADULT SCORING',
+                              'NUR RA RASS SCORE', 'NUR RA CAM ICU',
+                              'R NUR BRADEN SCORE')
+    )
+    SELECT patient_id, encounter_id,
+           CAST(recorded_time * 1000000 AS BIGINT) AS score_us,
+           score_name, score_value,
+           CAST(CASE WHEN {_SCORE_GCS} >= 15 THEN 0.0
+                WHEN {_SCORE_GCS} >= 13 THEN 1.0
+                WHEN {_SCORE_GCS} >= 10 THEN 2.0
+                WHEN {_SCORE_GCS} >= 6 THEN 3.0
+                WHEN {_SCORE_GCS} IS NOT NULL THEN 4.0
+           END AS DOUBLE) AS sofa_neuro
+    FROM scores
+    WHERE regexp_matches(score_name, '(?i)glasgow')
+    """,
+)
+def pipeline_scores(spark, sf_dir):
+    """§3 scores lifecycle (`code/RCLIF_scores.Rmd:42-92`): in-list score
+    filter (the GLASGOW-regex decoy outside the list proves the IN ran),
+    rename + epoch->ts, then SOFA-neuro banding — junk GCS casts to NULL
+    and must band to NULL, band edges are first-match-wins."""
+    from clif_spark.pipelines import scores as scores_pipeline
+    flow = spark.sql(_SCORE_SYNTH.format(table=pq(sf_dir, "events")))
+    out = scores_pipeline.sofa_neuro_band(scores_pipeline.build_scores(flow))
+    return out.select(
+        "patient_id", "encounter_id",
+        F.unix_micros("score_time").alias("score_us"),
+        "score_name", "score_value", "sofa_neuro")
+
+
+#: ADT stay synthesis: the reference's mixed time encodings (in_time is a
+#: datetime STRING, out_time epoch seconds), a non-castable patient id every
+#: 9th row (the warning-as-filter drop), and department/room names chosen to
+#: exercise every classify branch INCLUDING first-match-wins shadowing
+#: ('MAIN OR 2' hits Procedural via or\\b before Ward could see it).
+_ADT_SYNTH = """
+    SELECT CASE WHEN event_id % 9 = 0
+                THEN CONCAT('P', CAST(user_id AS STRING))
+                ELSE CAST(user_id AS STRING) END AS C19_PATIENT_ID,
+           CAST(user_id * 10 + event_id % 3 AS STRING) AS C19_HAR_ID,
+           CONCAT('2023-', LPAD(CAST(1 + event_id % 12 AS STRING), 2, '0'),
+                  '-', LPAD(CAST(1 + event_id % 28 AS STRING), 2, '0'),
+                  ' ', LPAD(CAST(event_id % 24 AS STRING), 2, '0'),
+                  ':', LPAD(CAST(event_id % 60 AS STRING), 2, '0'),
+                  ':00') AS in_time,
+           CAST(1672531200 + event_id * 1800 AS BIGINT) AS out_time,
+           CASE CAST(event_id % 5 AS INT)
+                WHEN 0 THEN 'MICU 4' WHEN 1 THEN 'ED TRIAGE'
+                WHEN 2 THEN 'MAIN OR 2' WHEN 3 THEN 'N3 MED WING'
+                ELSE 'OUTPATIENT CLINIC' END AS adt_department_name,
+           CASE CAST(event_id % 4 AS INT)
+                WHEN 0 THEN 'TRAUMA 1'
+                WHEN 1 THEN CAST(100 + event_id % 50 AS STRING)
+                WHEN 2 THEN CONCAT('B', CAST(event_id % 9 AS STRING))
+                ELSE 'HALLWAY' END AS adt_room_nm_wid
+    FROM {table}
+"""
+
+
+@query(
+    "pipeline_adt",
+    oracle=r"""
+    WITH adt AS (%s),
+    valid AS (
+      SELECT * FROM adt WHERE TRY_CAST(C19_PATIENT_ID AS DOUBLE) IS NOT NULL
+    )
+    SELECT C19_PATIENT_ID AS patient_id, C19_HAR_ID AS encounter_id,
+           CAST(epoch(strptime(in_time, '%%Y-%%m-%%d %%H:%%M:%%S'))
+                * 1000000 AS BIGINT) AS start_us,
+           CAST(out_time * 1000000 AS BIGINT) AS end_us,
+           adt_department_name,
+           CASE WHEN regexp_matches(adt_department_name, '(?i)icu|ccu|d2')
+                  THEN 'ICU'
+                WHEN regexp_matches(adt_department_name, '(?i)^ed|emergency')
+                  THEN 'ED'
+                WHEN regexp_matches(adt_department_name, '(?i)or\b|surg|pacu')
+                  THEN 'Procedural'
+                WHEN regexp_matches(adt_department_name, '(?i)n\d|med|floor')
+                  THEN 'Ward'
+                ELSE 'Other' END AS dept_name,
+           adt_room_nm_wid,
+           CASE WHEN regexp_matches(adt_room_nm_wid, '(?i)trauma')
+                  THEN 'trauma'
+                WHEN regexp_matches(adt_room_nm_wid, '^[0-9]+$')
+                  THEN 'standard'
+                WHEN regexp_matches(adt_room_nm_wid, '(?i)^[a-z]\d')
+                  THEN 'unit_bed'
+                ELSE 'other' END AS room_name
+    FROM valid
+    """ % _ADT_SYNTH.format(table='events'),
+)
+def pipeline_adt(spark, sf_dir):
+    """§3 ADT lifecycle (`code/RCLIF_adt.Rmd:32-89`): non-castable patient
+    ids dropped (P11 warning-as-filter), the string in_time parsed vs the
+    epoch out_time converted (the reference's mixed encodings preserved),
+    and both regex classify ladders — the oracle replays the same branch
+    order so first-match-wins shadowing must agree."""
+    from clif_spark.pipelines import adt as adt_pipeline
+    stays = spark.sql(_ADT_SYNTH.format(table=pq(sf_dir, "events")))
+    out = adt_pipeline.build_adt(stays)
+    return out.select(
+        "patient_id", "encounter_id",
+        F.unix_micros("start_time").alias("start_us"),
+        F.unix_micros("end_time").alias("end_us"),
+        "adt_department_name", "dept_name",
+        "adt_room_nm_wid", "room_name")
