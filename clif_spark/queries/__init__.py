@@ -231,7 +231,8 @@ _VERIFY_FIRST = [
     "q3_shipping_priority", "q5_local_supplier_volume", "ann_cosine_topk",
     "mm_frame_offsets", "pipeline_vitals", "pipeline_resp_support",
     "mm_media_meta", "pipeline_admission_diagnosis", "pipeline_scores",
-    "pipeline_adt",
+    "pipeline_adt", "pipeline_labs", "pipeline_demographics",
+    "pipeline_encounter_dispo",
     # --- round-1 rows never refreshed (batch) ---
     "p7_p8_in_comparison", "p9_like_rlike", "p10_time_range",
     "j2_composite_key_join", "j4_semi_anti_join", "f6_coalesce_fallback",
@@ -243,19 +244,20 @@ _VERIFY_FIRST = [
     "j7_asof_join", "j8_interval_join", "pii_redact",
     "q1_pricing_summary", "q6_forecast_revenue", "sample_split_assign",
     "seq_pack_bins", "text_fingerprint", "text_lang_id",
-    "text_rolling_fingerprint", "tfidf_top_terms", "w1_lead_episodes",
-    "w2_downup_fill", "w3_keep_last_dedup",
+    "text_rolling_fingerprint", "tfidf_top_terms",
     # --- round-1-row streams (multi-second startup, tail of the block) ---
     "stream_tumbling_agg", "stream_sliding_agg",
 ]
-# 50 head entries: 6 r4-code-touched + 10 round-5-touched/new + 6 r1-row
-# stragglers + 26 r2-row refreshes + the 2 r1-row streams. Ten r2-row
+# 50 head entries: 6 r4-code-touched + 13 round-5-touched/new + 6 r1-row
+# stragglers + 23 r2-row refreshes + the 2 r1-row streams. Thirteen r2-row
 # batch queries cede their slot this round and lead round 6 (p1_p3, p2_p4,
 # p5_p6 — trivial projections exercised by nearly every gated query — plus
-# w4_rank_lag, w5_moving_avg, w6_sessionize_gap, w7_session_window_native,
-# w8_tumbling_window, w9_ntile_percent_rank, a9_grouping_sets,
-# whose window/grouping machinery is covered by the r4-green w6-w11/a7/a8
-# rows). The four r2-row streams stay in _VERIFY_LAST as before.
+# w1_lead_episodes, w2_downup_fill, w3_keep_last_dedup (all three exercised
+# inside the round-5 pipeline_* gates), w4_rank_lag, w5_moving_avg,
+# w6_sessionize_gap, w7_session_window_native, w8_tumbling_window,
+# w9_ntile_percent_rank, a9_grouping_sets, whose window/grouping machinery
+# is covered by the r4-green w6-w11/a7/a8 rows). The four r2-row streams
+# stay in _VERIFY_LAST as before.
 
 # Round-1/2-verified queries with multi-second stream startup: pinned to the
 # registry tail so they never starve cheap checks; they hold their existing

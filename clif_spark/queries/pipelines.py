@@ -445,3 +445,254 @@ def pipeline_adt(spark, sf_dir):
         F.unix_micros("end_time").alias("end_us"),
         "adt_department_name", "dept_name",
         "adt_room_nm_wid", "room_name")
+
+
+#: Labs extract synthesis. Every derived column is a closed form of
+#: event_id % 400 ONLY (user_id deliberately unused), so the ~1000-row
+#: events table yields guaranteed exact-duplicate extract rows — the
+#: pipeline's whole-row dedup (`code/RCLIF_labs.Rmd:75`) must collapse
+#: them identically on both engines. Decimal lab values are built by string
+#: CONCAT of integer parts (never float formatting). Every 11th value is
+#: the assay-limit string '<0.5' (as.numeric -> NULL fidelity).
+_LAB_SYNTH = """
+    SELECT CAST(event_id % 400 % 37 AS STRING) AS C19_PATIENT_ID,
+           CAST((event_id % 400 % 37) * 10 + event_id % 400 % 3 AS STRING)
+             AS C19_HAR_ID,
+           CAST(1700000000 + (event_id % 400) * 120 AS BIGINT) AS order_time,
+           CAST(1700001800 + (event_id % 400) * 120 AS BIGINT) AS result_time,
+           CASE CAST(event_id % 400 % 5 AS INT)
+                WHEN 0 THEN 'SODIUM' WHEN 1 THEN 'CREATININE'
+                WHEN 2 THEN 'WBC' WHEN 3 THEN 'UNMAPPED ASSAY'
+                ELSE 'RANDOM PANEL' END AS component_name,
+           CASE WHEN event_id % 400 % 11 = 0 THEN '<0.5'
+                ELSE CONCAT(CAST(event_id % 400 % 90 AS STRING), '.',
+                            CAST(event_id % 400 % 10 AS STRING)) END
+             AS ord_value,
+           CASE CAST(event_id % 400 % 5 AS INT)
+                WHEN 0 THEN 'mmol/L' WHEN 1 THEN 'mg/dL' WHEN 2 THEN 'K/uL'
+                ELSE '' END AS reference_unit
+    FROM {table}
+"""
+
+_LAB_VOCAB = [("SODIUM", "sodium", "electrolytes", "chemistry"),
+              ("CREATININE", "creatinine", "renal", "chemistry"),
+              ("WBC", "wbc", "cbc", "hematology")]
+
+
+@query(
+    "pipeline_labs",
+    oracle=f"""
+    WITH labs AS ({_LAB_SYNTH.format(table='events')}),
+    mapped AS (
+      SELECT l.*, v.lab_name, v.lab_group, v.lab_type_name
+      FROM labs l
+      JOIN (VALUES {', '.join(repr(t) for t in _LAB_VOCAB)})
+           AS v(component_name, lab_name, lab_group, lab_type_name)
+        ON l.component_name = v.component_name
+    ),
+    pub AS (
+      SELECT DISTINCT
+             C19_PATIENT_ID AS patient_id, C19_HAR_ID AS encounter_id,
+             CAST(order_time * 1000000 AS BIGINT) AS order_us,
+             CAST(result_time * 1000000 AS BIGINT) AS result_us,
+             lab_group, lab_name, ord_value AS lab_value,
+             reference_unit, lab_type_name
+      FROM mapped
+    )
+    SELECT pub.*, TRY_CAST(lab_value AS DOUBLE) AS lab_value_numeric
+    FROM pub
+    """,
+)
+def pipeline_labs(spark, sf_dir):
+    """§3 labs lifecycle (`code/RCLIF_labs.Rmd:46-75`) end-to-end: broadcast
+    component-vocab join with unmapped components dropped, whole-row dedup
+    over planted exact duplicates, epoch->ts for order/result times, plus
+    the downstream as.numeric value cast ('<0.5' -> NULL on both engines)."""
+    from clif_spark.pipelines import labs as labs_pipeline
+    raw = spark.sql(_LAB_SYNTH.format(table=pq(sf_dir, "events")))
+    vocab = spark.createDataFrame(
+        _LAB_VOCAB, ["component_name", "lab_name", "lab_group", "lab_type_name"])
+    out = labs_pipeline.numeric_lab_values(labs_pipeline.build_labs(raw, vocab))
+    return out.select(
+        "patient_id", "encounter_id",
+        F.unix_micros("lab_order_time").alias("order_us"),
+        F.unix_micros("lab_result_time").alias("result_us"),
+        "lab_group", "lab_name", "lab_value", "reference_unit",
+        "lab_type_name", "lab_value_numeric")
+
+
+#: Demographics synthesis: race/ethnicity raw strings covering every
+#: classify branch plus both fall-through defaults; 'American Indian or
+#: Alaska Native' doubles as a substring trap for the earlier
+#: 'asian indian|asian' branch (it must NOT match).
+_DEMO_SYNTH = """
+    SELECT CAST(user_id AS STRING) AS C19_PATIENT_ID,
+           CASE CAST(user_id % 8 AS INT)
+                WHEN 0 THEN 'Black or African American'
+                WHEN 1 THEN 'White' WHEN 2 THEN 'Asian'
+                WHEN 3 THEN 'American Indian or Alaska Native'
+                WHEN 4 THEN 'Native Hawaiian or Other Pacific Islander'
+                WHEN 5 THEN 'Patient Declined' WHEN 6 THEN 'Some Other Race'
+                ELSE 'Unknown' END AS race,
+           CASE CAST(user_id % 3 AS INT)
+                WHEN 0 THEN 'Not Hispanic or Latino'
+                WHEN 1 THEN 'Hispanic or Latino'
+                ELSE 'Declined' END AS ethnic,
+           CASE WHEN user_id % 2 = 0 THEN 'F' ELSE 'M' END AS sex
+    FROM {table}
+"""
+
+
+@query(
+    "pipeline_demographics",
+    oracle=f"""
+    WITH demo AS ({_DEMO_SYNTH.format(table='events')})
+    SELECT C19_PATIENT_ID AS patient_id,
+           CASE WHEN regexp_matches(race, '(?i)black|african') THEN 'Black'
+                WHEN regexp_matches(race, '(?i)white') THEN 'White'
+                WHEN regexp_matches(race, '(?i)asian indian|asian')
+                  THEN 'Asian'
+                WHEN regexp_matches(race, '(?i)american indian|alaska')
+                  THEN 'American Indian'
+                WHEN regexp_matches(race, '(?i)hawaiian|pacific')
+                  THEN 'Pacific Islander'
+                WHEN regexp_matches(race, '(?i)declin|unknown')
+                  THEN 'Unknown'
+                ELSE 'Other' END AS race,
+           CASE WHEN regexp_matches(ethnic, '(?i)not hispanic')
+                  THEN 'Not Hispanic'
+                WHEN regexp_matches(ethnic, '(?i)hispanic|latino')
+                  THEN 'Hispanic'
+                ELSE 'Other' END AS ethnicity,
+           sex
+    FROM demo
+    """,
+)
+def pipeline_demographics(spark, sf_dir):
+    """§3 demographics lifecycle (`code/RCLIF_demographics.Rmd:53-86`): the
+    race/ethnicity first-match-wins regex ladders — including the
+    'Not Hispanic' before 'hispanic|latino' ordering trap — replayed
+    branch-for-branch by the oracle."""
+    from clif_spark.pipelines import demographics as demo_pipeline
+    demo = spark.sql(_DEMO_SYNTH.format(table=pq(sf_dir, "events")))
+    return demo_pipeline.build_patient_demographics(demo)
+
+
+#: Encounter spine synthesis: hb/pb record types (pb must vanish), an
+#: admission epoch that is NULL every 13th row (drop_na path), and
+#: midnight-aligned day-grain epochs so the age computation sees clean
+#: calendar dates.
+_ENC_SYNTH = """
+    SELECT CAST(user_id AS STRING) AS C19_PATIENT_ID,
+           CAST(user_id * 10 + event_id % 3 AS STRING) AS C19_HAR_ID,
+           CASE WHEN event_id % 4 = 0 THEN 'pb' ELSE 'hb' END
+             AS record_type,
+           CASE WHEN event_id % 13 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(86400 * (18500 + event_id % 300) AS BIGINT) END
+             AS adm_date,
+           CAST(86400 * (18505 + event_id % 300) AS BIGINT) AS disc_date
+    FROM {table}
+"""
+
+#: Per-patient birth dates: closed form of user_id only, then DISTINCT —
+#: one row per patient, 1970-2010 era, midnight-aligned.
+_BIRTH_SYNTH = """
+    SELECT DISTINCT CAST(user_id AS STRING) AS C19_PATIENT_ID,
+           CAST(86400 * ((user_id % 40) * 365 + user_id % 300 + 120)
+                AS BIGINT) AS birth_date
+    FROM {table}
+"""
+
+#: Disposition extract: repeated rows per encounter with hb/pb types; the
+#: keep-last dedup resolves repeats by max(discharge_dispo).
+_XTRA_SYNTH = """
+    SELECT CAST(user_id AS STRING) AS C19_PATIENT_ID,
+           CAST(user_id * 10 + event_id % 3 AS STRING) AS C19_HAR_ID,
+           CASE WHEN event_id % 5 = 0 THEN 'pb' ELSE 'hb' END
+             AS record_type,
+           CASE CAST(event_id % 7 AS INT)
+                WHEN 0 THEN 'Expired'
+                WHEN 1 THEN 'Discharged to Hospice Care'
+                WHEN 2 THEN 'Discharged to Home or Self Care'
+                WHEN 3 THEN 'Skilled Nursing Facility'
+                WHEN 4 THEN 'Acute Rehab Unit'
+                WHEN 5 THEN 'Discharged/Transferred to Another Facility'
+                ELSE 'Left Against Medical Advice' END AS discharge_dispo
+    FROM {table}
+"""
+
+#: DuckDB mirror of Spark's months_between(a, b) for midnight timestamps:
+#: whole calendar months, plus (day(a)-day(b))/31 unless the days match or
+#: both dates are month-ends (org.apache.spark.sql.catalyst.util.
+#: DateTimeUtils.monthsBetween semantics).
+_MONTHS_BETWEEN = """
+    ((YEAR({a}) - YEAR({b})) * 12 + (MONTH({a}) - MONTH({b}))
+     + CASE WHEN DAY({a}) = DAY({b})
+                 OR (CAST({a} AS DATE) = last_day(CAST({a} AS DATE))
+                     AND CAST({b} AS DATE) = last_day(CAST({b} AS DATE)))
+            THEN 0.0 ELSE (DAY({a}) - DAY({b})) / 31.0 END)
+"""
+
+
+@query(
+    "pipeline_encounter_dispo",
+    oracle=f"""
+    WITH enc AS ({_ENC_SYNTH.format(table='events')}),
+    demo AS ({_BIRTH_SYNTH.format(table='events')}),
+    xtra AS ({_XTRA_SYNTH.format(table='events')}),
+    hb AS (
+      SELECT * FROM enc WHERE record_type = 'hb' AND adm_date IS NOT NULL
+    ),
+    aged AS (
+      SELECT h.C19_PATIENT_ID, h.C19_HAR_ID,
+             CAST(FLOOR({_MONTHS_BETWEEN.format(
+                 a="make_timestamp(h.adm_date * 1000000)",
+                 b="make_timestamp(d.birth_date * 1000000)")} / 12.0)
+               AS BIGINT) AS age_at_admission
+      FROM hb h
+      JOIN demo d ON h.C19_PATIENT_ID = d.C19_PATIENT_ID
+    ),
+    last_dispo AS (
+      SELECT C19_PATIENT_ID, C19_HAR_ID, discharge_dispo
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY C19_PATIENT_ID, C19_HAR_ID
+                 ORDER BY discharge_dispo DESC) AS rn
+        FROM xtra WHERE record_type = 'hb'
+      ) WHERE rn = 1
+    )
+    SELECT a.C19_PATIENT_ID AS patient_id, a.C19_HAR_ID AS encounter_id,
+           a.age_at_admission,
+           CASE WHEN regexp_matches(l.discharge_dispo,
+                                    '(?i)expired|death|died') THEN 'Expired'
+                WHEN regexp_matches(l.discharge_dispo, '(?i)hospice')
+                  THEN 'Hospice'
+                WHEN regexp_matches(l.discharge_dispo, '(?i)home')
+                  THEN 'Home'
+                WHEN regexp_matches(l.discharge_dispo,
+                                    '(?i)skilled nursing|snf') THEN 'SNF'
+                WHEN regexp_matches(l.discharge_dispo, '(?i)rehab')
+                  THEN 'Rehab'
+                WHEN regexp_matches(l.discharge_dispo,
+                                    '(?i)discharged/transferred|another')
+                  THEN 'Transferred'
+                ELSE 'Other' END AS disposition,
+           sha256(a.C19_PATIENT_ID) AS patient_id_hash
+    FROM aged a
+    LEFT JOIN last_dispo l
+      ON a.C19_PATIENT_ID = l.C19_PATIENT_ID
+     AND a.C19_HAR_ID = l.C19_HAR_ID
+    """,
+)
+def pipeline_encounter_dispo(spark, sf_dir):
+    """§3 disposition lifecycle (`code/RCLIF_demographics.Rmd:93-118` +
+    `code/RCLIF_disposition.Rmd:51-90`): hb-spine filter + drop_na, calendar
+    age at admission (the oracle replays Spark's months_between day-of-month
+    rules), keep-last disposition dedup with an explicit deterministic
+    order, the disposition classify ladder, and the sha-256 pseudonymized
+    patient id."""
+    from clif_spark.pipelines import demographics as demo_pipeline
+    enc = spark.sql(_ENC_SYNTH.format(table=pq(sf_dir, "events")))
+    demo = spark.sql(_BIRTH_SYNTH.format(table=pq(sf_dir, "events")))
+    xtra = spark.sql(_XTRA_SYNTH.format(table=pq(sf_dir, "events")))
+    return demo_pipeline.build_encounter_dispo(enc, demo, xtra)
