@@ -232,7 +232,8 @@ _VERIFY_FIRST = [
     "mm_frame_offsets", "pipeline_vitals", "pipeline_resp_support",
     "mm_media_meta", "pipeline_admission_diagnosis", "pipeline_scores",
     "pipeline_adt", "pipeline_labs", "pipeline_demographics",
-    "pipeline_encounter_dispo",
+    "pipeline_encounter_dispo", "pipeline_med_admin_continuous",
+    "pipeline_dialysis",
     # --- round-1 rows never refreshed (batch) ---
     "p7_p8_in_comparison", "p9_like_rlike", "p10_time_range",
     "j2_composite_key_join", "j4_semi_anti_join", "f6_coalesce_fallback",
@@ -244,15 +245,15 @@ _VERIFY_FIRST = [
     "j7_asof_join", "j8_interval_join", "pii_redact",
     "q1_pricing_summary", "q6_forecast_revenue", "sample_split_assign",
     "seq_pack_bins", "text_fingerprint", "text_lang_id",
-    "text_rolling_fingerprint", "tfidf_top_terms",
     # --- round-1-row streams (multi-second startup, tail of the block) ---
     "stream_tumbling_agg", "stream_sliding_agg",
 ]
-# 50 head entries: 6 r4-code-touched + 13 round-5-touched/new + 6 r1-row
-# stragglers + 23 r2-row refreshes + the 2 r1-row streams. Thirteen r2-row
+# 50 head entries: 6 r4-code-touched + 15 round-5-touched/new + 6 r1-row
+# stragglers + 21 r2-row refreshes + the 2 r1-row streams. Fifteen r2-row
 # batch queries cede their slot this round and lead round 6 (p1_p3, p2_p4,
 # p5_p6 — trivial projections exercised by nearly every gated query — plus
-# w1_lead_episodes, w2_downup_fill, w3_keep_last_dedup (all three exercised
+# w1_lead_episodes, w2_downup_fill, w3_keep_last_dedup,
+# text_rolling_fingerprint, tfidf_top_terms (the first three exercised
 # inside the round-5 pipeline_* gates), w4_rank_lag, w5_moving_avg,
 # w6_sessionize_gap, w7_session_window_native, w8_tumbling_window,
 # w9_ntile_percent_rank, a9_grouping_sets, whose window/grouping machinery

@@ -696,3 +696,267 @@ def pipeline_encounter_dispo(spark, sf_dir):
     demo = spark.sql(_BIRTH_SYNTH.format(table=pq(sf_dir, "events")))
     xtra = spark.sql(_XTRA_SYNTH.format(table=pq(sf_dir, "events")))
     return demo_pipeline.build_encounter_dispo(enc, demo, xtra)
+
+
+#: Medication-administration synthesis (`code/RCLIF_medications.Rmd`):
+#: six med names — four fuzzy-matchable in their first two words, one
+#: real-but-unvocabed (ACETAMINOPHEN), one junk; dose strings with planted
+#: no-token junk; blank AND NULL dose_units (both take the derived unit);
+#: CONTINUOUS / CONTINUOUS PRN / scheduled frequencies.
+_MED_ADMIN_SYNTH = """
+    SELECT CAST(user_id AS STRING) AS C19_PATIENT_ID,
+           CAST(user_id * 10 + event_id % 3 AS STRING) AS C19_HAR_ID,
+           CAST(event_id % 50 AS BIGINT) AS medication_id,
+           CAST(86400 * (19000 + event_id % 100) AS BIGINT)
+             AS order_start_time,
+           CASE CAST(event_id % 6 AS INT)
+                WHEN 0 THEN 'NOREPINEPHRINE 8 MG/250 ML NS'
+                WHEN 1 THEN 'FENTANYL CITRATE 2500 MCG/250ML'
+                WHEN 2 THEN 'PROPOFOL 1000 MG/100 ML'
+                WHEN 3 THEN 'VANCOMYCIN 1 G IVPB'
+                WHEN 4 THEN 'ACETAMINOPHEN 500 MG TAB'
+                ELSE 'MYSTERY COMPOUND 5 ML' END AS medication_name,
+           CAST(1700000000 + event_id * 90 AS BIGINT) AS take_med_dttm,
+           CASE CAST(event_id % 5 AS INT)
+                WHEN 0 THEN '8.5 mcg/kg/min' WHEN 1 THEN '12 mL/hr'
+                WHEN 2 THEN '50' WHEN 3 THEN 'junk dose'
+                ELSE '100 mg' END AS take_med_dose,
+           CASE CAST(event_id % 4 AS INT)
+                WHEN 0 THEN '' WHEN 1 THEN 'mcg/kg/min'
+                WHEN 2 THEN 'mL/hr'
+                ELSE CAST(NULL AS STRING) END AS dose_units,
+           CASE CAST(event_id % 3 AS INT)
+                WHEN 0 THEN 'CONTINUOUS' WHEN 1 THEN 'Q4H SCHEDULED'
+                ELSE 'CONTINUOUS PRN' END AS order_med_freq
+    FROM {table}
+"""
+
+#: med_out route enrichment: DISTINCT over the 5-column composite key with
+#: a key-dependent route (so DISTINCT is well-defined); every 7th
+#: medication_id is withheld -> those admins keep a NULL med_route through
+#: the left join.
+_MED_OUT_SYNTH = """
+    SELECT DISTINCT CAST(user_id AS STRING) AS C19_PATIENT_ID,
+           CAST(user_id * 10 + event_id % 3 AS STRING) AS C19_HAR_ID,
+           CAST(event_id % 50 AS BIGINT) AS MED_ID,
+           CAST(86400 * (19000 + event_id % 100) AS BIGINT)
+             AS ORDER_START_TIME,
+           CASE CAST(event_id % 6 AS INT)
+                WHEN 0 THEN 'NOREPINEPHRINE 8 MG/250 ML NS'
+                WHEN 1 THEN 'FENTANYL CITRATE 2500 MCG/250ML'
+                WHEN 2 THEN 'PROPOFOL 1000 MG/100 ML'
+                WHEN 3 THEN 'VANCOMYCIN 1 G IVPB'
+                WHEN 4 THEN 'ACETAMINOPHEN 500 MG TAB'
+                ELSE 'MYSTERY COMPOUND 5 ML' END AS MEDICATION,
+           CASE CAST(event_id % 50 % 3 AS INT)
+                WHEN 0 THEN 'IV' WHEN 1 THEN 'PO' ELSE 'IM' END AS MED_ROUTE
+    FROM {table} WHERE event_id % 50 % 7 <> 0
+"""
+
+_MED_VOCAB = [("norepinephrine", "vasopressor"), ("fentanyl", "opioid"),
+              ("propofol", "sedative"), ("vancomycin", "antibiotic")]
+
+#: DuckDB mirror of scalars.extract_dose: concatenated numeric tokens,
+#: NULL when none, junk-safe cast.
+_DOSE_EXTRACT = (r"TRY_CAST(NULLIF(array_to_string(regexp_extract_all("
+                 r"take_med_dose, '([-+]?[0-9]*\.?[0-9]+([eE][-+]?[0-9]+)?)',"
+                 r" 1), ''), '') AS DOUBLE)")
+
+
+@query(
+    "pipeline_med_admin_continuous",
+    oracle=f"""
+    WITH admins AS ({_MED_ADMIN_SYNTH.format(table='events')}),
+    med_out AS ({_MED_OUT_SYNTH.format(table='events')}),
+    matches AS (
+      SELECT DISTINCT n.medication_name, v.med_name, v.med_category
+      FROM (SELECT DISTINCT medication_name FROM admins) n
+      JOIN (VALUES {', '.join(repr(t) for t in _MED_VOCAB)})
+           AS v(med_name, med_category)
+        ON regexp_matches(
+             array_to_string(list_slice(
+                 string_split(n.medication_name, ' '), 1, 2), ' '),
+             '(?i)\\b' || v.med_name || '\\b')
+    ),
+    base AS (
+      SELECT a.*,
+             CAST(a.take_med_dttm * 1000000 AS BIGINT) AS admin_us,
+             CASE WHEN a.dose_units IS NULL OR TRIM(a.dose_units) = ''
+                  THEN TRIM(regexp_replace(a.take_med_dose, '[0-9.]+', '',
+                                           'g'))
+                  ELSE a.dose_units END AS med_dose_unit,
+             {_DOSE_EXTRACT} AS med_dose,
+             m.MED_ROUTE AS med_route
+      FROM admins a
+      LEFT JOIN med_out m
+        ON a.C19_PATIENT_ID = m.C19_PATIENT_ID
+       AND a.C19_HAR_ID = m.C19_HAR_ID
+       AND a.medication_id = m.MED_ID
+       AND a.order_start_time = m.ORDER_START_TIME
+       AND a.medication_name = m.MEDICATION
+    )
+    SELECT b.C19_PATIENT_ID AS patient_id, b.C19_HAR_ID AS encounter_id,
+           b.admin_us, b.medication_name AS med_name, b.med_route,
+           c.med_category, b.med_dose, b.med_dose_unit
+    FROM base b
+    JOIN (SELECT DISTINCT medication_name, med_category FROM matches) c
+      ON b.medication_name = c.medication_name
+    WHERE regexp_matches(b.order_med_freq, '(?i)CONTINUOUS')
+      AND regexp_matches(b.med_dose_unit, '(?i)(min|hr|day)')
+    """,
+)
+def pipeline_med_admin_continuous(spark, sf_dir):
+    """§3.2 continuous-administration lifecycle
+    (`code/RCLIF_medications.Rmd:98-170`) end-to-end: the distinct-names
+    fuzzy vocab regex join (J6), unit derivation by digit-stripping with
+    blank/NULL fallback (F3/F6), concatenated-token dose extraction (F4,
+    'junk dose' -> NULL), the CONTINUOUS × rate-unit filter pair, the
+    5-column composite route join (J2, every 7th med withheld -> NULL
+    route), semi-join to matched names (J4), and the category vocab join.
+    The oracle replays each stage in DuckDB over identical synthesis."""
+    from clif_spark.pipelines import medications as med_pipeline
+    admins = spark.sql(_MED_ADMIN_SYNTH.format(table=pq(sf_dir, "events")))
+    med_out = spark.sql(_MED_OUT_SYNTH.format(table=pq(sf_dir, "events")))
+    vocab = spark.createDataFrame(_MED_VOCAB, ["med_name", "med_category"])
+    out = med_pipeline.build_admin_continuous(admins, med_out, vocab)
+    return out.select(
+        "patient_id", "encounter_id",
+        F.unix_micros("admin_dttm").alias("admin_us"),
+        "med_name", "med_route", "med_category", "med_dose",
+        "med_dose_unit")
+
+
+#: Dialysis flowsheet synthesis (`code/RCLIF_dialysis.Rmd`): every 11th row
+#: fails the %like% DIALYSIS prefilter; flo_group_name cycles through all
+#: seven modality groups; meas_value plants zeros (the PD nonzero filter)
+#: and junk (as.numeric -> NULL); the coarse 48-hour time grid guarantees
+#: (encounter, time) collisions so the distinct/lead tie behavior is
+#: actually exercised.
+_DIALYSIS_SYNTH = """
+    SELECT CAST(user_id AS STRING) AS C19_PATIENT_ID,
+           CAST(user_id * 10 + event_id % 3 AS STRING) AS C19_HAR_ID,
+           CAST(1700000000 + (event_id % 48) * 3600 AS BIGINT)
+             AS recorded_time,
+           CASE WHEN event_id % 11 = 0 THEN 'OTHER FLOWSHEET ROW'
+                ELSE CONCAT('DIALYSIS ROW ', CAST(event_id % 4 AS STRING))
+           END AS flo_meas_name,
+           CASE CAST(event_id % 7 AS INT)
+                WHEN 0 THEN 'Fluid Delivered (L/Hr)'
+                WHEN 1 THEN 'Actual Fluid Removed (mL)'
+                WHEN 2 THEN 'Machine Number'
+                WHEN 3 THEN 'aUltra Filtration Net Loss'
+                WHEN 4 THEN 'Initial Drain' WHEN 5 THEN 'Fill Volume'
+                ELSE 'Total Ultrafiltration' END AS flo_group_name,
+           CASE WHEN event_id % 9 = 0 THEN '0'
+                WHEN event_id % 9 = 1 THEN 'junk'
+                ELSE CAST(event_id % 70 AS STRING) END AS meas_value
+    FROM {table}
+"""
+
+
+@query(
+    "pipeline_dialysis",
+    oracle=f"""
+    WITH flowio AS ({_DIALYSIS_SYNTH.format(table='events')}),
+    drows AS (
+      SELECT DISTINCT C19_PATIENT_ID AS patient_id,
+             C19_HAR_ID AS encounter_id, recorded_time, flo_group_name,
+             meas_value
+      FROM flowio WHERE flo_meas_name LIKE '%DIALYSIS%'
+    ),
+    crrt_times AS (
+      SELECT DISTINCT patient_id, encounter_id, recorded_time
+      FROM drows WHERE flo_group_name IN ('Fluid Delivered (L/Hr)',
+                                          'Actual Fluid Removed (mL)')
+    ),
+    crrt_flow AS (
+      SELECT DISTINCT encounter_id, recorded_time AS stop_t,
+             TRY_CAST(meas_value AS DOUBLE) AS dialysate_flow_amount
+      FROM drows WHERE flo_group_name = 'Fluid Delivered (L/Hr)'
+    ),
+    crrt_removal AS (
+      SELECT DISTINCT encounter_id, recorded_time AS stop_t,
+             TRY_CAST(meas_value AS DOUBLE) AS ultrafiltration_amount
+      FROM drows WHERE flo_group_name = 'Actual Fluid Removed (mL)'
+    ),
+    crrt AS (
+      SELECT t.patient_id, t.encounter_id, 'crrt' AS dialysis_type,
+             t.recorded_time - 3600 AS start_t, t.recorded_time AS stop_t,
+             f.dialysate_flow_amount, r.ultrafiltration_amount
+      FROM crrt_times t
+      LEFT JOIN crrt_flow f ON t.encounter_id = f.encounter_id
+                           AND t.recorded_time = f.stop_t
+      LEFT JOIN crrt_removal r ON t.encounter_id = r.encounter_id
+                              AND t.recorded_time = r.stop_t
+    ),
+    ihd_eps AS (
+      SELECT patient_id, encounter_id, flo_group_name,
+             recorded_time AS start_t,
+             LEAD(recorded_time) OVER (PARTITION BY encounter_id
+                 ORDER BY recorded_time, flo_group_name) AS stop_t
+      FROM drows WHERE flo_group_name IN ('Machine Number',
+                                          'aUltra Filtration Net Loss')
+    ),
+    ihd AS (
+      SELECT e.patient_id, e.encounter_id, 'ihd' AS dialysis_type,
+             e.start_t, e.stop_t,
+             CAST(NULL AS DOUBLE) AS dialysate_flow_amount,
+             r.ultrafiltration_amount
+      FROM ihd_eps e
+      JOIN (SELECT DISTINCT encounter_id, recorded_time AS stop_t,
+                   TRY_CAST(meas_value AS DOUBLE) AS ultrafiltration_amount
+            FROM drows
+            WHERE flo_group_name = 'aUltra Filtration Net Loss') r
+        ON e.encounter_id = r.encounter_id AND e.stop_t = r.stop_t
+      WHERE e.flo_group_name = 'Machine Number'
+        AND r.ultrafiltration_amount IS NOT NULL
+    ),
+    pd_eps AS (
+      SELECT patient_id, encounter_id, flo_group_name,
+             recorded_time AS start_t,
+             LEAD(recorded_time) OVER (PARTITION BY encounter_id
+                 ORDER BY recorded_time, flo_group_name) AS stop_t
+      FROM drows
+      WHERE flo_group_name IN ('Initial Drain', 'Fill Volume',
+                               'Total Ultrafiltration')
+        AND TRY_CAST(meas_value AS DOUBLE) <> 0
+    ),
+    pd AS (
+      SELECT e.patient_id, e.encounter_id, 'pd' AS dialysis_type,
+             e.start_t, e.stop_t,
+             CAST(NULL AS DOUBLE) AS dialysate_flow_amount,
+             r.ultrafiltration_amount
+      FROM pd_eps e
+      JOIN (SELECT DISTINCT encounter_id, recorded_time AS stop_t,
+                   TRY_CAST(meas_value AS DOUBLE) AS ultrafiltration_amount
+            FROM drows
+            WHERE flo_group_name = 'Total Ultrafiltration') r
+        ON e.encounter_id = r.encounter_id AND e.stop_t = r.stop_t
+      WHERE e.flo_group_name = 'Fill Volume'
+        AND r.ultrafiltration_amount IS NOT NULL
+    )
+    SELECT patient_id, encounter_id, dialysis_type,
+           CAST(start_t * 1000000 AS BIGINT) AS start_us,
+           CAST(stop_t * 1000000 AS BIGINT) AS stop_us,
+           dialysate_flow_amount, ultrafiltration_amount
+    FROM (SELECT * FROM crrt UNION ALL SELECT * FROM ihd
+          UNION ALL SELECT * FROM pd)
+    """,
+)
+def pipeline_dialysis(spark, sf_dir):
+    """§3.3 dialysis lifecycle (`code/RCLIF_dialysis.Rmd:32-157`) — the
+    reference's most engine-like computation — end-to-end: %like% prefilter
+    + row distinct, CRRT stop-minus-1h episodes with value joins on the
+    (encounter, stop) key, iHD/PD lead(ts) episodes (the oracle replays the
+    same explicit tiebreak; equal-timestamp ties are provably
+    order-insensitive because lead only reads ts), the PD nonzero filter
+    (junk -> NULL -> dropped), and the 3-modality union with NULL-filled
+    missing columns."""
+    from clif_spark.pipelines import dialysis as dialysis_pipeline
+    flow = spark.sql(_DIALYSIS_SYNTH.format(table=pq(sf_dir, "events")))
+    out = dialysis_pipeline.build_dialysis(flow)
+    return out.select(
+        "patient_id", "encounter_id", "dialysis_type",
+        F.unix_micros("start_time").alias("start_us"),
+        F.unix_micros("stop_time").alias("stop_us"),
+        "dialysate_flow_amount", "ultrafiltration_amount")
