@@ -593,3 +593,302 @@ def resize_image_meta(df: DataFrame, max_side: int = 256,
                 "scale_pct"])
 
     return df.select(id_col, payload_col).mapInPandas(run, RESIZE_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Pixel/sample-level decode (beyond metadata): PNG pixels via stdlib zlib,
+# WAV PCM samples via struct. This closes the "pixel decode is stubbed"
+# gap for the one image container whose codec IS the stdlib: PNG is
+# zlib-compressed filtered scanlines, so inflate + unfilter (the five
+# spec filters) recovers exact pixel values with zero dependencies.
+# JPEG/GIF pixel decode still needs a codec library and stays out.
+# ---------------------------------------------------------------------------
+
+#: One row per document: sample-level statistics, NULL where the payload
+#: has no decodable samples (MP4/text — sample decode needs a codec).
+SAMPLE_STATS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("n_values", T.LongType()),
+    T.StructField("mean_value", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.LongType()),
+])
+
+
+def _sample_codecs():
+    """Factory for the pixel/sample codec functions. Callers bind the
+    returned functions into mapInPandas closures: nested functions are
+    cloudpickled BY VALUE, so executor workers need no clif_spark import
+    (same constraint as decode_image_meta, without the copy-paste)."""
+    import struct
+    import zlib
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    def png_filter_line(line: bytes, prev: bytes, ft: int, bpp: int) -> bytearray:
+        """Encoder side: apply spec filter ``ft`` to a raw scanline."""
+        out = bytearray(len(line))
+        for i in range(len(line)):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            pred = (0 if ft == 0 else a if ft == 1 else b if ft == 2
+                    else (a + b) >> 1 if ft == 3 else paeth(a, b, c))
+            out[i] = (line[i] - pred) & 0xFF
+        return out
+
+    def png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> bytearray:
+        """Decoder side: reverse the per-scanline filters (0-4)."""
+        stride = w * bpp
+        out = bytearray()
+        prev = bytearray(stride)
+        pos = 0
+        for _ in range(h):
+            ft = raw[pos]
+            line = bytearray(raw[pos + 1:pos + 1 + stride])
+            pos += 1 + stride
+            if ft == 1:
+                for i in range(bpp, stride):
+                    line[i] = (line[i] + line[i - bpp]) & 0xFF
+            elif ft == 2:
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ft == 3:
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif ft == 4:
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    c = prev[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + paeth(a, prev[i], c)) & 0xFF
+            out += line
+            prev = line
+        return out
+
+    def build_png_rich(width: int, height: int, pixel) -> bytes:
+        """Spec-valid RGB8 PNG whose pixel (x, y, channel) values come from
+        ``pixel(x, y, c)``; scanline y uses filter y % 5, so a decoder must
+        implement ALL five unfilters to recover the pattern."""
+        bpp = 3
+        raw = bytearray()
+        prev = bytes(width * bpp)
+        for y in range(height):
+            line = bytes(pixel(x, y, c) & 0xFF
+                         for x in range(width) for c in range(bpp))
+            ft = y % 5
+            raw.append(ft)
+            raw += png_filter_line(line, prev, ft, bpp)
+            prev = line
+
+        def chunk(typ: bytes, body: bytes) -> bytes:
+            return (len(body).to_bytes(4, "big") + typ + body
+                    + zlib.crc32(typ + body).to_bytes(4, "big"))
+
+        ihdr = (width.to_bytes(4, "big") + height.to_bytes(4, "big")
+                + bytes([8, 2, 0, 0, 0]))  # depth 8, RGB, default methods
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    def png_pixel_values(p: bytes) -> list[int] | None:
+        """Full PNG pixel decode: chunk walk -> IDAT inflate -> unfilter.
+        Handles 8-bit RGB (color type 2) and grayscale (0), the
+        non-interlaced case; returns channel values row-major or None."""
+        if len(p) < 33 or p[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        w = h = depth = ctype = None
+        interlace = 0
+        idat = bytearray()
+        i = 8
+        while i + 8 <= len(p):
+            clen = int.from_bytes(p[i:i + 4], "big")
+            typ = p[i + 4:i + 8]
+            body = p[i + 8:i + 8 + clen]
+            if typ == b"IHDR":
+                w = int.from_bytes(body[0:4], "big")
+                h = int.from_bytes(body[4:8], "big")
+                depth, ctype = body[8], body[9]
+                interlace = body[12]
+            elif typ == b"IDAT":
+                idat += body
+            elif typ == b"IEND":
+                break
+            i += 12 + clen
+        if not w or not h or depth != 8 or ctype not in (0, 2) or interlace:
+            return None
+        bpp = 3 if ctype == 2 else 1
+        try:
+            raw = zlib.decompress(bytes(idat))
+        except zlib.error:
+            return None
+        if len(raw) != h * (1 + w * bpp):
+            return None
+        return list(png_unfilter(raw, w, h, bpp))
+
+    def wav_pcm_values(p: bytes) -> list[int] | None:
+        """16-bit PCM sample decode from a RIFF/WAVE payload: fmt chunk
+        must declare PCM (tag 1) at 16 bits; returns interleaved
+        per-channel sample values."""
+        if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+            return None
+        fmt_ok = False
+        data = None
+        i = 12
+        while i + 8 <= len(p):
+            cid = p[i:i + 4]
+            csz = int.from_bytes(p[i + 4:i + 8], "little")
+            body = p[i + 8:i + 8 + csz]
+            if cid == b"fmt " and len(body) >= 16:
+                tag = int.from_bytes(body[0:2], "little")
+                bits = int.from_bytes(body[14:16], "little")
+                fmt_ok = (tag == 1 and bits == 16)
+            elif cid == b"data":
+                data = body
+            i += 8 + csz + (csz & 1)
+        if not fmt_ok or data is None:
+            return None
+        n = len(data) // 2
+        return list(struct.unpack(f"<{n}h", data[:2 * n]))
+
+    return build_png_rich, png_pixel_values, wav_pcm_values
+
+
+#: Module-level bindings for direct unit testing.
+(build_png_rich, png_pixel_values, wav_pcm_values) = _sample_codecs()
+
+
+def synth_rich_media_payload(df: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             out_col: str = "payload") -> DataFrame:
+    """Like synth_media_payload, but the WAV carries a patterned PCM signal
+    and the PNG patterned, per-scanline-filtered pixels — closed forms of
+    doc_id, so a SQL oracle can state the exact sample statistics the
+    decoder must recover THROUGH the codec (zlib inflate + all five
+    unfilters / PCM frames), not just from the headers:
+
+    - wav (doc_id%4==0): channels 1+doc_id%2, 100+doc_id%50 frames,
+      value_k = ((doc_id*31 + k*7) % 2048) - 1024 over interleaved k;
+    - mp4 (1): unchanged metadata-only tree (no sample decode w/o codec);
+    - png (2): 16+doc_id%40 × 16+doc_id%30 RGB, value(x,y,c) =
+      (doc_id + x + y + c) % 256, scanline filter y%5;
+    - text (3): raw utf-8.
+    """
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField(out_col, T.BinaryType()),
+    ])
+    build_png, _, _ = _sample_codecs()
+
+    def run(batches: Iterator) -> Iterator:
+        import struct
+
+        import pandas as pd
+
+        def wav(doc_id: int) -> bytes:
+            ch = 1 + doc_id % 2
+            nv = (100 + doc_id % 50) * ch
+            block = ch * 2
+            sr = 8000 + (doc_id % 5) * 4000
+            fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * block, block, 16)
+            data = b"".join(
+                struct.pack("<h", ((doc_id * 31 + k * 7) % 2048) - 1024)
+                for k in range(nv))
+            body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data)
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        def box(typ, body):
+            return struct.pack(">I", 8 + len(body)) + typ + body
+
+        def mp4(doc_id: int) -> bytes:
+            ts = 600 * (1 + doc_id % 3)
+            dur = (10 + doc_id % 20) * ts + (doc_id % 600)
+            offs = [40 + (doc_id % 7) * 16 + 64 * k
+                    for k in range(3 + doc_id % 5)]
+            mvhd = box(b"mvhd", bytes(4)
+                       + struct.pack(">IIII", 0, 0, ts, dur) + bytes(80))
+            stco = box(b"stco", struct.pack(">II", 0, len(offs))
+                       + b"".join(struct.pack(">I", o) for o in offs))
+            trak = box(b"trak", box(b"mdia", box(b"minf",
+                                                 box(b"stbl", stco))))
+            return (box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+                    + box(b"moov", mvhd + trak))
+
+        def build(doc_id: int, text: str) -> bytes:
+            kind = doc_id % 4
+            if kind == 0:
+                return wav(doc_id)
+            if kind == 1:
+                return mp4(doc_id)
+            if kind == 2:
+                return build_png(16 + doc_id % 40, 16 + doc_id % 30,
+                                 lambda x, y, c: (doc_id + x + y + c) % 256)
+            return (text or "").encode("utf-8")
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                out_col: [build(int(i), t)
+                          for i, t in zip(pdf[id_col], pdf[text_col])],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def media_sample_features(df: DataFrame, id_col: str = "doc_id",
+                          payload_col: str = "payload") -> DataFrame:
+    """Sample-level feature extraction over Arrow-batched mapInPandas:
+    REAL pixel decode for PNG (zlib inflate + the five spec unfilters) and
+    REAL 16-bit PCM decode for WAV, reduced per document to
+    (n_values, mean, rms, peak) — the normalization statistics an
+    image/audio training pipeline computes in its preprocessing pass.
+    Payloads without a stdlib-decodable sample body (MP4, text, JPEG/GIF)
+    yield kind='other' with NULL stats rather than fabricated numbers.
+
+    Determinism contract: stats accumulate in exact integer arithmetic
+    (values are 8/16-bit ints; squares sum < 2^53) before one float
+    division/sqrt at the end, so results are bit-identical to a SQL oracle
+    computing the same closed forms — summation order cannot matter."""
+    _, png_values, wav_values = _sample_codecs()
+
+    def run(batches: Iterator) -> Iterator:
+        import math
+
+        import pandas as pd
+
+        def stats(payload: bytes):
+            vals = wav_values(payload)
+            kind = "wav_pcm"
+            if vals is None:
+                vals = png_values(payload)
+                kind = "png_pixels"
+            if vals is None or not vals:
+                return ("other", None, None, None, None)
+            n = len(vals)
+            s = sum(vals)
+            s2 = sum(v * v for v in vals)
+            return (kind, n, s / n, math.sqrt(s2 / n),
+                    max(abs(v) for v in vals))
+
+        for pdf in batches:
+            rows = [stats(b if b is not None else b"")
+                    for b in pdf[payload_col]]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "kind": [r[0] for r in rows],
+                "n_values": pd.array([r[1] for r in rows], dtype="Int64"),
+                "mean_value": pd.array([r[2] for r in rows],
+                                       dtype="float64"),
+                "rms": pd.array([r[3] for r in rows], dtype="float64"),
+                "peak": pd.array([r[4] for r in rows], dtype="Int64"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, SAMPLE_STATS_SCHEMA)

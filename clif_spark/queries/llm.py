@@ -1299,3 +1299,71 @@ def sample_stratified_rebalance(spark, sf_dir):
     frac = F.when(F.col("lang") == "en", F.lit(0.1)).otherwise(F.lit(0.5))
     return (d.filter(sampling.u01("doc_id", "strat") < frac)
              .select("doc_id", "lang"))
+
+
+@query(
+    "mm_sample_stats",
+    oracle="""
+    -- Mirrors synth_rich_media_payload's closed-form signals: the Spark
+    -- side must recover them THROUGH the codec (zlib inflate + the five
+    -- PNG unfilters / PCM frame decode), so a filter-reconstruction or
+    -- byte-order bug breaks value equality, not just metadata. Exact
+    -- integer accumulation on both sides (sums < 2^53) makes the float
+    -- mean/rms bit-comparable. generate_series is uncorrelated (DuckDB
+    -- lateral limitation) and trimmed by WHERE to each doc's true extent.
+    WITH wav AS (
+      SELECT doc_id, (100 + doc_id % 50) * (1 + doc_id % 2) AS nv
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    wav_stats AS (
+      SELECT w.doc_id, 'wav_pcm' AS kind, CAST(w.nv AS BIGINT) AS n_values,
+             AVG(((w.doc_id*31 + t.k*7) % 2048) - 1024) AS mean_value,
+             SQRT(AVG(CAST((((w.doc_id*31 + t.k*7) % 2048) - 1024)
+                           * (((w.doc_id*31 + t.k*7) % 2048) - 1024)
+                           AS DOUBLE))) AS rms,
+             CAST(MAX(ABS(((w.doc_id*31 + t.k*7) % 2048) - 1024))
+                  AS BIGINT) AS peak
+      FROM wav w, generate_series(0, 297) AS t(k)
+      WHERE t.k < w.nv
+      GROUP BY w.doc_id, w.nv
+    ),
+    png AS (
+      SELECT doc_id, 16 + doc_id % 40 AS w, 16 + doc_id % 30 AS h
+      FROM documents WHERE doc_id % 4 = 2
+    ),
+    png_stats AS (
+      SELECT p.doc_id, 'png_pixels' AS kind,
+             CAST(p.w * p.h * 3 AS BIGINT) AS n_values,
+             AVG((p.doc_id + tx.x + ty.y + tc.c) % 256) AS mean_value,
+             SQRT(AVG(CAST(((p.doc_id + tx.x + ty.y + tc.c) % 256)
+                           * ((p.doc_id + tx.x + ty.y + tc.c) % 256)
+                           AS DOUBLE))) AS rms,
+             CAST(MAX((p.doc_id + tx.x + ty.y + tc.c) % 256) AS BIGINT)
+               AS peak
+      FROM png p, generate_series(0, 54) AS tx(x),
+           generate_series(0, 44) AS ty(y), generate_series(0, 2) AS tc(c)
+      WHERE tx.x < p.w AND ty.y < p.h
+      GROUP BY p.doc_id, p.w, p.h
+    )
+    SELECT * FROM wav_stats
+    UNION ALL SELECT * FROM png_stats
+    UNION ALL
+    SELECT doc_id, 'other', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+    FROM documents WHERE doc_id % 4 IN (1, 3)
+    """,
+)
+def mm_sample_stats(spark, sf_dir):
+    """PIXEL/SAMPLE-level media decode, end-to-end real for the stdlib
+    codecs: each document becomes a spec-valid PNG (patterned RGB pixels,
+    scanline filter y%5) or 16-bit PCM WAV (patterned signal), and
+    ``multimodal.media_sample_features`` decodes the actual samples back —
+    PNG via zlib inflate + all five spec unfilters, WAV via PCM frame
+    unpacking — reducing to the (n, mean, rms, peak) normalization stats a
+    training-data preprocessing pass computes. MP4/text payloads yield
+    NULL stats (sample decode needs a codec library; metadata for those is
+    covered by mm_media_meta). Scale shape: one streaming Arrow batch per
+    task, stats fold per document, nothing driver-side."""
+    d = io.load_table(spark, sf_dir, "documents")
+    payload = multimodal.synth_rich_media_payload(d)
+    return multimodal.media_sample_features(payload)

@@ -186,3 +186,73 @@ def test_gif_ascii_prefix_text_takes_stub_path(spark):
     # module-level helper agrees with the closure copy
     assert multimodal._header_decode(text) is None
     assert multimodal._header_decode(real_gif) == ("gif", 64, 48)
+
+
+def test_png_pixel_roundtrip_exercises_all_five_filters():
+    """build_png_rich filters scanline y with y%5, so a 10-row image passes
+    every spec filter (None/Sub/Up/Average/Paeth) through the encoder and
+    the decoder must reverse each exactly."""
+    pattern = lambda x, y, c: (3 * x + 5 * y + 11 * c + 7) % 256
+    png = multimodal.build_png_rich(13, 10, pattern)
+    vals = multimodal.png_pixel_values(png)
+    expect = [pattern(x, y, c) % 256
+              for y in range(10) for x in range(13) for c in range(3)]
+    assert vals == expect
+
+
+def test_wav_pcm_decode_matches_stdlib_wave_reader():
+    """The PCM parser is cross-checked against a file written by the
+    stdlib ``wave`` module — an independent writer, not our own builder."""
+    import io as _io
+    import struct
+    import wave
+
+    samples = [((k * 37) % 2000) - 1000 for k in range(300)]
+    buf = _io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(b"".join(struct.pack("<h", v) for v in samples))
+    assert multimodal.wav_pcm_values(buf.getvalue()) == samples
+
+
+def test_sample_codecs_reject_malformed_payloads():
+    assert multimodal.png_pixel_values(b"not a png") is None
+    assert multimodal.wav_pcm_values(b"RIFFxxxxWAVE") is None
+    # truncated IDAT: inflate fails -> None, not garbage stats
+    png = multimodal.build_png_rich(8, 8, lambda x, y, c: x + y)
+    assert multimodal.png_pixel_values(png[:40] + png[60:]) is None
+    # float/compressed WAV (format tag != 1) refuses sample decode
+    import struct
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + bytes(4))
+    assert multimodal.wav_pcm_values(
+        b"RIFF" + struct.pack("<I", len(body)) + body) is None
+
+
+def test_media_sample_features_end_to_end(spark):
+    """Patterned synth -> real decode -> stats, checked against directly
+    computed expectations for one wav doc and one png doc."""
+    import math
+
+    df = spark.createDataFrame([(4, "x"), (6, "y"), (5, "z")],
+                               ["doc_id", "text"])
+    payload = multimodal.synth_rich_media_payload(df)
+    out = {r.doc_id: r for r in
+           multimodal.media_sample_features(payload).collect()}
+    # doc 4: wav, ch=1, nv=104
+    vals = [((4 * 31 + k * 7) % 2048) - 1024 for k in range(104)]
+    assert out[4].kind == "wav_pcm" and out[4].n_values == 104
+    assert out[4].mean_value == sum(vals) / 104
+    assert out[4].rms == math.sqrt(sum(v * v for v in vals) / 104)
+    assert out[4].peak == max(abs(v) for v in vals)
+    # doc 6: png 22x22 RGB
+    pvals = [(6 + x + y + c) % 256
+             for y in range(22) for x in range(22) for c in range(3)]
+    assert out[6].kind == "png_pixels" and out[6].n_values == len(pvals)
+    assert out[6].mean_value == sum(pvals) / len(pvals)
+    assert out[6].peak == max(pvals)
+    # doc 5: mp4 -> no sample decode, NULL stats
+    assert out[5].kind == "other" and out[5].n_values is None
