@@ -176,3 +176,40 @@ def summary_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def numeric_histogram(df: DataFrame, value: str, keys: Sequence[str] = (),
+                      n_bins: int = 30, lo: float | None = None,
+                      hi: float | None = None) -> DataFrame:
+    """A16 (engine ext.): equal-width histogram binning — the DATA behind
+    the reference's exploratory ggplot histograms
+    (`code/RCLIF_vitals.Rmd:259-278`), which the engine re-expresses as a
+    relation instead of a plot: (keys..., bin, bin_start, bin_end, n).
+
+    With ``lo``/``hi`` omitted they are computed in a first single-row
+    aggregate and broadcast back over the scan (a 2-pass plan, exactly what
+    ggplot's range computation does); bin index is
+    ``least(n_bins-1, floor((v - lo) / width))`` so the max value lands in
+    the last bin rather than one past it. All arithmetic is IEEE-double
+    Catalyst expressions — one shuffle carrying (keys × bins) partial
+    counts, any table size."""
+    col = F.col(value).cast("double")
+    if lo is None or hi is None:
+        bounds = df.agg(F.min(col).alias("__lo"), F.max(col).alias("__hi"))
+        src = df.crossJoin(F.broadcast(bounds))
+        lo_c, hi_c = F.col("__lo"), F.col("__hi")
+    else:
+        src = df
+        lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+    width = (hi_c - lo_c) / F.lit(float(n_bins))
+    idx = F.when(hi_c == lo_c, F.lit(0).cast("long")).otherwise(
+        F.least(F.lit(n_bins - 1).cast("long"),
+                F.floor((col - lo_c) / width)))
+    bin_start = lo_c + idx.cast("double") * width
+    bin_end = F.when(idx == n_bins - 1, hi_c).otherwise(
+        lo_c + (idx + F.lit(1)).cast("double") * width)
+    return (src.filter(col.isNotNull())
+               .groupBy(*keys, idx.alias("bin"),
+                        bin_start.alias("bin_start"),
+                        bin_end.alias("bin_end"))
+               .agg(F.count(F.lit(1)).alias("n")))

@@ -233,7 +233,7 @@ _VERIFY_FIRST = [
     "mm_media_meta", "pipeline_admission_diagnosis", "pipeline_scores",
     "pipeline_adt", "pipeline_labs", "pipeline_demographics",
     "pipeline_encounter_dispo", "pipeline_med_admin_continuous",
-    "pipeline_dialysis", "mm_sample_stats",
+    "pipeline_dialysis", "mm_sample_stats", "a16_numeric_histogram",
     # --- round-1 rows never refreshed (batch) ---
     "p7_p8_in_comparison", "p9_like_rlike", "p10_time_range",
     "j2_composite_key_join", "j4_semi_anti_join", "f6_coalesce_fallback",
@@ -244,7 +244,7 @@ _VERIFY_FIRST = [
     "dedup_simhash_pairs", "emb_quantize_int8", "f14_from_json_typed",
     "j7_asof_join", "j8_interval_join", "pii_redact",
     "q1_pricing_summary", "q6_forecast_revenue", "sample_split_assign",
-    "seq_pack_bins", "text_fingerprint",
+    "seq_pack_bins",
     # --- round-1-row streams (multi-second startup, tail of the block) ---
     "stream_tumbling_agg", "stream_sliding_agg",
 ]
@@ -253,7 +253,8 @@ _VERIFY_FIRST = [
 # batch queries cede their slot this round and lead round 6 (p1_p3, p2_p4,
 # p5_p6 — trivial projections exercised by nearly every gated query — plus
 # w1_lead_episodes, w2_downup_fill, w3_keep_last_dedup,
-# text_rolling_fingerprint, tfidf_top_terms, text_lang_id (the first
+# text_rolling_fingerprint, tfidf_top_terms, text_lang_id,
+# text_fingerprint (the first
 # three exercised inside the round-5 pipeline_* gates), w4_rank_lag,
 # w5_moving_avg, w6_sessionize_gap, w7_session_window_native,
 # w8_tumbling_window, w9_ntile_percent_rank, a9_grouping_sets, whose

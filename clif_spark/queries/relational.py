@@ -819,3 +819,46 @@ def a15_ordered_string_agg(spark, sf_dir):
              .agg(F.array_join(F.array_sort(F.collect_list("s_name")), ",")
                    .alias("suppliers"),
                   F.count(F.lit(1)).alias("n_suppliers")))
+
+
+@query(
+    "a16_numeric_histogram",
+    oracle="""
+    -- Equal-width binning mirror of operators.profile.numeric_histogram:
+    -- identical IEEE-double expression shapes ((v-lo)/((hi-lo)/20.0),
+    -- floor, least, lo + i*w) so bin indices AND float bin edges are
+    -- bit-comparable across engines.
+    WITH b AS (
+      SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lo,
+             MAX(CAST(l_extendedprice AS DOUBLE)) AS hi
+      FROM lineitem
+    ),
+    binned AS (
+      SELECT l_returnflag,
+             LEAST(CAST(19 AS BIGINT),
+                   CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - b.lo)
+                              / ((b.hi - b.lo) / 20.0)) AS BIGINT)) AS bin,
+             b.lo AS lo, b.hi AS hi
+      FROM lineitem, b
+      WHERE l_extendedprice IS NOT NULL
+    )
+    SELECT l_returnflag, bin,
+           lo + CAST(bin AS DOUBLE) * ((hi - lo) / 20.0) AS bin_start,
+           CASE WHEN bin = 19 THEN hi
+                ELSE lo + CAST(bin + 1 AS DOUBLE) * ((hi - lo) / 20.0)
+           END AS bin_end,
+           COUNT(*) AS n
+    FROM binned
+    GROUP BY l_returnflag, bin, lo, hi
+    """,
+)
+def a16_numeric_histogram(spark, sf_dir):
+    """A16: per-group equal-width numeric histogram — the reference's
+    exploratory ggplot histogram (`code/RCLIF_vitals.Rmd:259-278`)
+    re-expressed as a relation: l_extendedprice over 20 bins per return
+    flag, bounds discovered in a broadcast 1-row pre-aggregate. The plan
+    is two scans + one (flag × bin) partial-count shuffle — no per-bin
+    jobs, no driver-side data."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    return profile.numeric_histogram(
+        li, "l_extendedprice", keys=["l_returnflag"], n_bins=20)

@@ -264,3 +264,27 @@ def test_minhash_handles_shingleless_docs(spark):
              dedup.minhash_near_dups(docs, threshold=0.5,
                                      verify="rejoin").collect()}
     assert got_r == {(1, 2)}
+
+
+def test_numeric_histogram_bins(spark):
+    """Equal-width binning: counts conserve rows, the max value lands in
+    the LAST bin (not past it), explicit bounds skip the bounds pass, and
+    a degenerate all-equal column collapses to a single bin."""
+    from clif_spark.operators import profile
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(0, 100)], ["x"])
+    out = profile.numeric_histogram(df, "x", n_bins=10).collect()
+    assert sum(r.n for r in out) == 100
+    by_bin = {r.bin: r for r in out}
+    assert set(by_bin) == set(range(10))
+    # v=99.0 is the max: bin floor((99-0)/9.9) = 10 -> clamped to 9
+    assert by_bin[9].bin_end == 99.0
+    assert by_bin[0].bin_start == 0.0
+    # explicit bounds: value above hi clamps into the last bin
+    out2 = profile.numeric_histogram(df, "x", n_bins=5, lo=0.0, hi=50.0)
+    rows2 = {r.bin: r.n for r in out2.collect()}
+    assert rows2[4] == 100 - 40  # bins 0-3 hold 10 each, the rest clamp
+    # degenerate range
+    one = spark.createDataFrame([(7.0,), (7.0,)], ["x"])
+    deg = profile.numeric_histogram(one, "x", n_bins=8).collect()
+    assert len(deg) == 1 and deg[0].n == 2 and deg[0].bin == 0
