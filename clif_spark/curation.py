@@ -174,3 +174,99 @@ def quantize_int8(emb: DataFrame, id_col: str = "vec_id",
                         lambda a, x: a + x.cast("long"))).alias("checksum"),
         F.when(amax == 0, F.lit(0.0)).otherwise(err).alias("max_err")))
     return out
+
+
+def c4_line_filter(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_words: int = 3) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2 heuristics,
+    re-expressed as Catalyst HOFs): keep only lines that end in terminal
+    punctuation and carry at least ``min_words`` words; drop whole
+    documents that contain code braces or the 'lorem ipsum' placeholder.
+
+    Output: (doc_id, n_lines, n_kept, clean_text). Pure narrow projection
+    — split/filter/join run inside the JVM per row, zero shuffles at any
+    corpus size; the dropped-document predicate pushes into the scan."""
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    keep = F.filter(
+        lines,
+        lambda x: (F.size(F.split(F.trim(x), " +")) >= min_words)
+        & F.trim(x).rlike('[.!?"]$'))
+    return (docs.filter(~F.lower(text).contains("lorem ipsum")
+                        & ~text.contains("{"))
+                .select(F.col(id_col),
+                        F.size(lines).cast("long").alias("n_lines"),
+                        F.size(keep).cast("long").alias("n_kept"),
+                        F.array_join(keep, "\n").alias("clean_text")))
+
+
+def repeated_ngram_profile(docs: DataFrame, n: int = 8,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Corpus-level repeated n-gram profiling — the candidate-generation
+    half of exact-substring training-data dedup (Lee et al. 2022): every
+    word-position n-gram is checked for repetition ANYWHERE in the corpus
+    (intra- or cross-document), and each document reports how much of it
+    is duplicated text.
+
+    Output: (doc_id, n_grams, n_repeated). Documents shorter than ``n``
+    words produce no grams and are absent.
+
+    Scale shape: explode to a (doc_id, pos, gram) relation, count
+    occurrences per gram with one map-side-combined shuffle, shuffle-join
+    the counts back on the gram key, re-aggregate per document — the same
+    two-exchange MapReduce plan at any corpus size, with no broadcast of
+    anything corpus-sized. A full span-remover would extend the join with
+    pos to merge overlapping repeated grams into spans per document."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    gram_idx = F.when(
+        F.size(words) >= n,
+        F.sequence(F.lit(0), F.size(words) - n)).otherwise(
+        F.array().cast("array<int>"))
+    grams = (docs.select(
+                 F.col(id_col),
+                 F.explode(F.transform(
+                     gram_idx,
+                     lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))))
+                 .alias("gram")))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__c"))
+    return (grams.join(counts, "gram")
+                 .groupBy(id_col)
+                 .agg(F.count(F.lit(1)).alias("n_grams"),
+                      F.sum((F.col("__c") > 1).cast("long"))
+                       .alias("n_repeated")))
+
+
+def temperature_mix(docs: DataFrame, source_col: str = "source",
+                    key_col: str = "doc_id",
+                    temperature: float = 2.0,
+                    seed: str = "mix") -> DataFrame:
+    """Temperature-flattened source mixing — the multilingual/multi-source
+    rebalance step of an LLM data recipe: keep fraction
+    ``(n_min / n_source) ** (1/T)`` of each source, so kept counts scale
+    as ``n_source ** (1 - 1/T)`` (T=1 no-op, T→∞ uniform across sources)
+    with the smallest source always kept whole. Membership is the
+    deterministic hash of (seed, key): reproducible at any parallelism.
+
+    T=2 uses SQRT, which IEEE-754 requires to be correctly rounded — the
+    fraction is bit-identical across engines, so the hash threshold
+    cannot flip a document near the boundary (POWER for general T carries
+    no such guarantee; oracle-gate only the sqrt form).
+
+    Scale shape: per-source counts are a dimension-sized aggregate
+    (sources, not documents), broadcast back over the scan; the filter
+    itself is a narrow expression."""
+    from clif_spark import sampling
+
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    n_min = counts.agg(F.min("__n").alias("__n_min"))
+    enriched = (docs.join(F.broadcast(counts), source_col)
+                    .crossJoin(F.broadcast(n_min)))
+    if temperature == 2.0:
+        frac = F.sqrt(F.col("__n_min").cast("double") / F.col("__n"))
+    else:
+        frac = F.pow(F.col("__n_min").cast("double") / F.col("__n"),
+                     1.0 / temperature)
+    return (enriched.filter(sampling.u01(key_col, seed) < frac)
+                    .drop("__n", "__n_min"))

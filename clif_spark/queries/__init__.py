@@ -234,6 +234,8 @@ _VERIFY_FIRST = [
     "pipeline_adt", "pipeline_labs", "pipeline_demographics",
     "pipeline_encounter_dispo", "pipeline_med_admin_continuous",
     "pipeline_dialysis", "mm_sample_stats", "a16_numeric_histogram",
+    "corpus_c4_line_filter", "dedup_repeated_ngrams",
+    "sample_temperature_mix",
     # --- round-1 rows never refreshed (batch) ---
     "p7_p8_in_comparison", "p9_like_rlike", "p10_time_range",
     "j2_composite_key_join", "j4_semi_anti_join", "f6_coalesce_fallback",
@@ -241,25 +243,24 @@ _VERIFY_FIRST = [
     "a10_moment_corr", "a11_exact_percentiles", "contamination_check",
     "corpus_curation", "dedup_clusters", "dedup_embedding_cosine",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash64",
-    "dedup_simhash_pairs", "emb_quantize_int8", "f14_from_json_typed",
+    "emb_quantize_int8", "f14_from_json_typed",
     "j7_asof_join", "j8_interval_join", "pii_redact",
-    "q1_pricing_summary", "q6_forecast_revenue", "sample_split_assign",
-    "seq_pack_bins",
+    "q1_pricing_summary", "q6_forecast_revenue",
     # --- round-1-row streams (multi-second startup, tail of the block) ---
     "stream_tumbling_agg", "stream_sliding_agg",
 ]
-# 50 head entries: 6 r4-code-touched + 16 round-5-touched/new + 6 r1-row
-# stragglers + 20 r2-row refreshes + the 2 r1-row streams. Sixteen r2-row
-# batch queries cede their slot this round and lead round 6 (p1_p3, p2_p4,
-# p5_p6 — trivial projections exercised by nearly every gated query — plus
-# w1_lead_episodes, w2_downup_fill, w3_keep_last_dedup,
-# text_rolling_fingerprint, tfidf_top_terms, text_lang_id,
-# text_fingerprint (the first
-# three exercised inside the round-5 pipeline_* gates), w4_rank_lag,
-# w5_moving_avg, w6_sessionize_gap, w7_session_window_native,
-# w8_tumbling_window, w9_ntile_percent_rank, a9_grouping_sets, whose
-# window/grouping machinery is covered by the r4-green w6-w11/a7/a8 rows).
-# The four r2-row streams stay in _VERIFY_LAST as before.
+# 50 head entries: 6 r4-code-touched + 19 round-5-touched/new + 6 r1-row
+# stragglers + 17 r2-row refreshes + the 2 r1-row streams. Nineteen r2-row
+# batch queries cede their slot this round and lead round 6: p1_p3, p2_p4,
+# p5_p6 (trivial projections exercised by nearly every gated query),
+# w1_lead_episodes, w2_downup_fill, w3_keep_last_dedup (exercised inside
+# the round-5 pipeline_* gates), w4_rank_lag, w5_moving_avg,
+# w6_sessionize_gap, w7_session_window_native, w8_tumbling_window,
+# w9_ntile_percent_rank, a9_grouping_sets (window/grouping machinery
+# covered by the r4-green w6-w11/a7/a8 rows), text_rolling_fingerprint,
+# tfidf_top_terms, text_lang_id, text_fingerprint, dedup_simhash_pairs,
+# sample_split_assign, seq_pack_bins. The four r2-row streams stay in
+# _VERIFY_LAST as before.
 
 # Round-1/2-verified queries with multi-second stream startup: pinned to the
 # registry tail so they never starve cheap checks; they hold their existing

@@ -13,8 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from clif_spark import curation, io
-from clif_spark.queries import query
+from clif_spark import curation, io, sampling
+from clif_spark.queries import pq, query
 
 _PII_DOCS2_SQL = """
       SELECT doc_id,
@@ -316,3 +316,129 @@ def gopher_repetition_filter(spark, sf_dir):
                 AND dup_bigram_frac <= 0.6) AS keep
         FROM profile
     """)
+
+
+#: Line-structure synthesis shared by both engines: the single-line corpus
+#: text becomes multi-line prose (every ' data ' token starts a new
+#: sentence/line; the tail line keeps no terminal punctuation), with code
+#: braces planted every 17th doc and a lorem-ipsum banner every 23rd.
+_C4_SYNTH = """
+    SELECT doc_id,
+           CONCAT(
+             CASE WHEN doc_id % 23 = 0 THEN 'Lorem ipsum dolor sit. '
+                  ELSE '' END,
+             REPLACE(text, ' data ', CONCAT('.', CHR(10), 'Data ')),
+             CASE WHEN doc_id % 17 = 0
+                  THEN CONCAT(CHR(10), 'function() SYMBOL_OPEN')
+                  ELSE '' END) AS text
+    FROM {table}
+"""
+
+
+_C4_ORACLE = """
+    WITH lined AS (%s)
+    SELECT doc_id,
+           CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(string_split(text, chr(10)),
+                x -> len(regexp_split_to_array(trim(x), ' +')) >= 3
+                     AND regexp_matches(trim(x), '[.!?\"]$')))
+                AS BIGINT) AS n_kept,
+           COALESCE(array_to_string(list_filter(
+                string_split(text, chr(10)),
+                x -> len(regexp_split_to_array(trim(x), ' +')) >= 3
+                     AND regexp_matches(trim(x), '[.!?\"]$')), chr(10)), '')
+             AS clean_text  -- DuckDB: empty-list join is NULL, Spark: ''
+    FROM lined
+    WHERE NOT (LOWER(text) LIKE '%%lorem ipsum%%')
+      AND NOT (text LIKE '%%{%%')
+""" % _C4_SYNTH.format(table="documents").replace("SYMBOL_OPEN", "{")
+
+
+@query(
+    "corpus_c4_line_filter",
+    oracle=_C4_ORACLE,
+)
+def corpus_c4_line_filter(spark, sf_dir):
+    """C4-style line-level corpus cleaning (Raffel et al. 2020 §2.2) over
+    synthesized multi-line prose: terminal-punctuation + min-word line
+    keeps, whole-document drops for code braces and lorem-ipsum
+    boilerplate. The oracle replays the same HOF lambda in DuckDB
+    (list_filter) so kept-line sets, counts, and the rejoined clean text
+    all hash-match."""
+    lined = spark.sql(
+        _C4_SYNTH.format(table=pq(sf_dir, "documents"))
+        .replace("SYMBOL_OPEN", "{"))
+    return curation.c4_line_filter(lined)
+
+
+@query(
+    "dedup_repeated_ngrams",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             array_to_string(w[t.k + 1 : t.k + 8], ' ') AS gram
+      FROM words, unnest(range(greatest(len(w) - 7, 0))) AS t(k)
+    ),
+    counted AS (
+      SELECT doc_id, COUNT(*) OVER (PARTITION BY gram) AS c
+      FROM grams
+    )
+    SELECT doc_id, COUNT(*) AS n_grams,
+           SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_repeated
+    FROM counted
+    GROUP BY doc_id
+    """,
+)
+def dedup_repeated_ngrams(spark, sf_dir):
+    """Corpus-level repeated 8-gram profiling — the candidate half of
+    exact-substring dedup (Lee et al. 2022): per document, how many of its
+    word-position 8-grams occur more than once anywhere in the corpus.
+    Two map-side-combined exchanges on the gram key (count, join back),
+    nothing broadcast at corpus scale; the oracle counts the same grams
+    with a DuckDB window."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return curation.repeated_ngram_profile(d, n=8)
+
+
+#: Skewed-source synthesis: the driver corpus is source-uniform (fraction
+#: would be 1.0 everywhere, a vacuous gate), so the mix is exercised over
+#: a planted 60/30/10 head/mid/tail skew instead.
+_MIX_SYNTH = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 < 6 THEN 'head'
+                WHEN doc_id % 10 < 9 THEN 'mid'
+                ELSE 'tail' END AS source
+    FROM {table}
+"""
+
+
+@query(
+    "sample_temperature_mix",
+    oracle=f"""
+    WITH docs AS ({_MIX_SYNTH.format(table='documents')}),
+    c AS (SELECT source, COUNT(*) AS n FROM docs GROUP BY source),
+    m AS (SELECT MIN(n) AS n_min FROM c)
+    SELECT d.doc_id, d.source
+    FROM docs d JOIN c USING (source), m
+    WHERE {sampling.sql_u01('d.doc_id', 'mix')}
+          < SQRT(CAST(m.n_min AS DOUBLE) / c.n)
+    """,
+)
+def sample_temperature_mix(spark, sf_dir):
+    """Temperature-flattened source mixing (T=2): keep
+    sqrt(n_min/n_source) of every source so kept counts scale as
+    sqrt(n_source) — the data-recipe rebalance between
+    proportional (T=1) and uniform (T=inf) mixing, exercised over a
+    planted 60/30/10 source skew (the driver corpus is uniform). SQRT is
+    IEEE correctly-rounded on both engines, so the per-source fraction is
+    bit-identical and the deterministic u01 membership threshold cannot
+    flip at the boundary. Per-source counts broadcast (dimension-sized);
+    the membership filter is a narrow expression over the scan."""
+    docs = spark.sql(_MIX_SYNTH.format(table=pq(sf_dir, "documents")))
+    return curation.temperature_mix(docs, "source", "doc_id",
+                                    temperature=2.0).select(
+        "doc_id", "source")
