@@ -228,3 +228,48 @@ def test_bcast_gate_sums_directory_part_files(tmp_path):
     small.mkdir()
     (small / "part-00000.parquet").write_bytes(b"x" * 1024)
     assert tpch._bcast_if_small(str(tmp_path), "nation", "n") == "BROADCAST(n), "
+
+
+def test_temperature_mix_broadcasts_dimension_sides(spark):
+    """sample_temperature_mix: the per-source counts and the 1-row minimum
+    must ride broadcast joins; the corpus is never shuffled."""
+    plan = plan_of(spark, "sample_temperature_mix")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row n_min cross join
+    assert "SortMergeJoin" not in plan
+
+
+def test_repeated_ngrams_degrades_to_shuffle_join_at_scale(spark):
+    """dedup_repeated_ngrams: the gram-counts relation is corpus-sized, so
+    the join back must be ABLE to run as a shuffle join — at sf0.001 CBO
+    rightly broadcasts the tiny counts side, but with the broadcast
+    threshold off (standing in for a 100 TB size estimate) the plan must
+    degrade to a shuffled join on the gram key, never a cartesian."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(spark, "dedup_repeated_ngrams")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "partial_count" in plan  # map-side combine on the gram count
+    assert "BroadcastHashJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_histogram_bounds_broadcast_and_partial_agg(spark):
+    """a16: the 1-row min/max bounds broadcast back over the scan; the
+    bin counting is a partial+final hash aggregate pair."""
+    plan = plan_of(spark, "a16_numeric_histogram")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_count" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_pipeline_gates_keep_vocab_joins_broadcast(spark):
+    """The round-5 pipeline gates run the real §3 compositions: their
+    controlled-vocabulary joins must stay broadcast at any fact scale."""
+    for name in ("pipeline_vitals", "pipeline_labs",
+                 "pipeline_med_admin_continuous"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
