@@ -177,18 +177,21 @@ def j1_vocab_broadcast_star(spark, sf_dir):
     nation/region/customer all ride the broadcast side: one narrow pipeline,
     single shuffle at the final aggregate. One-shot SQL (queries.pq);
     the DataFrame composition of the same join lives in
-    ``operators.core.vocab_join`` (exercised by j3/j6 and every pipeline)."""
+    ``operators.core.vocab_join`` (exercised by j3/j6 and every pipeline).
+    Final sort: single-partition (nation×region ≤ 25 rows at any scale
+    — the range-sort sampling job is structural waste; see q1)."""
     return spark.sql(f"""
-        SELECT /*+ BROADCAST(c), BROADCAST(n), BROADCAST(r) */
-               n.n_name AS nation, r.r_name AS region,
-               COUNT(*) AS n_orders,
-               {sql_dsum('o.o_totalprice')} AS total_spend
-        FROM {pq(sf_dir, 'orders')} o
-        JOIN {pq(sf_dir, 'customer')} c ON o.o_custkey = c.c_custkey
-        JOIN {pq(sf_dir, 'nation')} n ON c.c_nationkey = n.n_nationkey
-        JOIN {pq(sf_dir, 'region')} r ON n.n_regionkey = r.r_regionkey
-        GROUP BY n.n_name, r.r_name
-        ORDER BY total_spend DESC, nation
+        SELECT * FROM (
+          SELECT /*+ REPARTITION(1), BROADCAST(c), BROADCAST(n), BROADCAST(r) */
+                 n.n_name AS nation, r.r_name AS region,
+                 COUNT(*) AS n_orders,
+                 {sql_dsum('o.o_totalprice')} AS total_spend
+          FROM {pq(sf_dir, 'orders')} o
+          JOIN {pq(sf_dir, 'customer')} c ON o.o_custkey = c.c_custkey
+          JOIN {pq(sf_dir, 'nation')} n ON c.c_nationkey = n.n_nationkey
+          JOIN {pq(sf_dir, 'region')} r ON n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name, r.r_name
+        ) ORDER BY total_spend DESC, nation
     """)
 
 
@@ -321,12 +324,14 @@ def a1_group_count_histogram(spark, sf_dir):
     """A1 histogram (`group_by %>% count %>% arrange(desc(n))`,
     `code/RCLIF_vitals.Rmd:223`). Partial aggregation: the shuffle carries
     ≤ (partitions × 5 event types) rows. One-shot SQL; the operator form is
-    ``operators.profile.group_count`` (exercised by a2 and pipelines)."""
+    ``operators.profile.group_count`` (exercised by a2 and pipelines).
+    Final sort: single-partition (5-row domain-bounded output; see q1)."""
     return spark.sql(f"""
-        SELECT event_type, COUNT(*) AS n
-        FROM {pq(sf_dir, 'events')}
-        GROUP BY event_type
-        ORDER BY n DESC, event_type
+        SELECT * FROM (
+          SELECT /*+ REPARTITION(1) */ event_type, COUNT(*) AS n
+          FROM {pq(sf_dir, 'events')}
+          GROUP BY event_type
+        ) ORDER BY n DESC, event_type
     """)
 
 

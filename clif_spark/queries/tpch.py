@@ -76,21 +76,27 @@ def q1_pricing_summary(spark, sf_dir):
     shuffle to (partitions × 6 groups) rows; everything pre-shuffle is one
     WholeStageCodegen span over the pruned 7-column scan. Measure sums are
     fixed-point long-micros (see queries.dsum): native 64-bit accumulation,
-    4× faster than DECIMAL(30,6) and still order-independent."""
+    4× faster than DECIMAL(30,6) and still order-independent.
+    The final sort runs on ONE partition (REPARTITION(1) under it):
+    output cardinality is bounded by the 6-value flag×status domain at
+    ANY input scale, so a range-partitioned sort — whose sampling pass
+    costs a whole extra job — can never pay for itself here."""
     return spark.sql(f"""
-        SELECT l_returnflag, l_linestatus,
-               {sql_dsum('l_quantity')} AS sum_qty,
-               {sql_dsum('l_extendedprice')} AS sum_base_price,
-               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-               {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
-               {sql_dmean('l_quantity')} AS avg_qty,
-               {sql_dmean('l_extendedprice')} AS avg_price,
-               {sql_dmean('l_discount')} AS avg_disc,
-               COUNT(*) AS count_order
-        FROM {pq(sf_dir, 'lineitem')}
-        WHERE l_shipdate <= TIMESTAMP_NTZ '2001-08-06 00:00:00'
-        GROUP BY l_returnflag, l_linestatus
-        ORDER BY l_returnflag, l_linestatus
+        SELECT * FROM (
+          SELECT /*+ REPARTITION(1) */
+                 l_returnflag, l_linestatus,
+                 {sql_dsum('l_quantity')} AS sum_qty,
+                 {sql_dsum('l_extendedprice')} AS sum_base_price,
+                 {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+                 {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+                 {sql_dmean('l_quantity')} AS avg_qty,
+                 {sql_dmean('l_extendedprice')} AS avg_price,
+                 {sql_dmean('l_discount')} AS avg_disc,
+                 COUNT(*) AS count_order
+          FROM {pq(sf_dir, 'lineitem')}
+          WHERE l_shipdate <= TIMESTAMP_NTZ '2001-08-06 00:00:00'
+          GROUP BY l_returnflag, l_linestatus
+        ) ORDER BY l_returnflag, l_linestatus
     """)
 
 
@@ -210,23 +216,25 @@ def q5_local_supplier_volume(spark, sf_dir):
     orders broadcast instead was A/B'd at sf1 and LOST (0.855 vs 0.786 s,
     same-session interleaved, BASELINE.md round 5); the final groupBy
     shuffles only ~25 nation-keyed partial rows, so the exchange above
-    the joins is already negligible at any scale."""
+    the joins is already negligible at any scale. Final sort:
+    single-partition (≤25 nations at any scale; see q1)."""
     return spark.sql(f"""
-        SELECT /*+ {_bcast_if_small(sf_dir, 'orders', 'o')}BROADCAST(s), BROADCAST(n), BROADCAST(r) */
-               n.n_name AS nation,
-               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
-        FROM {pq(sf_dir, 'lineitem')} l
-        JOIN {pq(sf_dir, 'orders')} o ON l.l_orderkey = o.o_orderkey
-        JOIN {pq(sf_dir, 'customer')} c ON o.o_custkey = c.c_custkey
-        JOIN {pq(sf_dir, 'supplier')} s
-          ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
-        JOIN {pq(sf_dir, 'nation')} n ON s.s_nationkey = n.n_nationkey
-        JOIN {pq(sf_dir, 'region')} r ON n.n_regionkey = r.r_regionkey
-        WHERE r.r_name = 'ASIA'
-          AND o.o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
-          AND o.o_orderdate <  TIMESTAMP_NTZ '1998-01-01 00:00:00'
-        GROUP BY n.n_name
-        ORDER BY revenue DESC, nation
+        SELECT * FROM (
+          SELECT /*+ REPARTITION(1), {_bcast_if_small(sf_dir, 'orders', 'o')}BROADCAST(s), BROADCAST(n), BROADCAST(r) */
+                 n.n_name AS nation,
+                 {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+          FROM {pq(sf_dir, 'lineitem')} l
+          JOIN {pq(sf_dir, 'orders')} o ON l.l_orderkey = o.o_orderkey
+          JOIN {pq(sf_dir, 'customer')} c ON o.o_custkey = c.c_custkey
+          JOIN {pq(sf_dir, 'supplier')} s
+            ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+          JOIN {pq(sf_dir, 'nation')} n ON s.s_nationkey = n.n_nationkey
+          JOIN {pq(sf_dir, 'region')} r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'ASIA'
+            AND o.o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+            AND o.o_orderdate <  TIMESTAMP_NTZ '1998-01-01 00:00:00'
+          GROUP BY n.n_name
+        ) ORDER BY revenue DESC, nation
     """)
 
 

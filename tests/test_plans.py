@@ -273,3 +273,19 @@ def test_pipeline_gates_keep_vocab_joins_broadcast(spark):
                  "pipeline_med_admin_continuous"):
         plan = plan_of(spark, name)
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
+
+
+def test_bounded_domain_sorts_are_single_partition(spark):
+    """q1/q5/j1/a1 end in sorts whose input cardinality is bounded by a
+    tiny key domain at ANY scale: the plan must sort one partition
+    (Exchange SinglePartition) instead of range-partitioning — the range
+    sort's sampling pass costs a whole extra job to order a handful of
+    rows. q3's output is orderkey-grain (unbounded) but carries LIMIT 10,
+    so it must plan TakeOrderedAndProject (per-partition heaps + driver
+    merge) — neither a global range sort nor a single-partition one."""
+    for name in ("q1_pricing_summary", "q5_local_supplier_volume",
+                 "j1_vocab_broadcast_star", "a1_group_count_histogram"):
+        plan = plan_of(spark, name)
+        assert "rangepartitioning" not in plan.lower(), name
+        assert "SinglePartition" in plan, name
+    assert "TakeOrderedAndProject" in plan_of(spark, "q3_shipping_priority")
