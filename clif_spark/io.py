@@ -497,3 +497,28 @@ def write_events_partitioned(df: DataFrame, path: str, ts_col: str = "ts",
         out = out.repartition(buckets, F.col(entity_col))
     (out.sortWithinPartitions(*(c for c in (entity_col, ts_col) if c))
         .write.mode("overwrite").partitionBy("event_date").parquet(path))
+
+
+def read_binary_files(spark: SparkSession, path: str,
+                      glob: str | None = None,
+                      recursive: bool = False) -> DataFrame:
+    """S8 (engine ext.): opaque file ingestion via Spark's built-in
+    ``binaryFile`` source — (path, modificationTime, length, content) with
+    content as a BinaryType column, the input path for the multimodal
+    layer (clif_spark.multimodal decodes `content` without the file ever
+    touching the driver).
+
+    Scale notes: the source splits by FILE (one row per file, never
+    splitting a blob), so partition sizing follows
+    ``spark.sql.files.maxPartitionBytes`` over whole files and a
+    pathological single-huge-file input is one task by construction —
+    chunk media at the storage layer, not in the reader. Pushdown: only
+    ``length``/``modificationTime``/``path`` filters prune at the listing
+    (content predicates cannot); project `content` away when only
+    metadata is needed and the files are never opened."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)

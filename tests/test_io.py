@@ -304,3 +304,44 @@ def test_uri_scheme_passthrough_file(spark):
     multi = io.read_parquet(spark, [f"file://{os.path.abspath(bare)}",
                                     f"file://{os.path.abspath(bare)}"])
     assert multi.count() == via_uri.count() * 2
+
+
+def test_binary_file_ingest_feeds_media_decode(spark, tmp_path):
+    """The binaryFile source is the real ingestion path for the multimodal
+    layer: write actual PNG/WAV files to disk, read them back as binary
+    rows, and run the sample-stats decoder on the content column."""
+    import math
+
+    from clif_spark import io, multimodal
+
+    png = multimodal.build_png_rich(9, 7, lambda x, y, c: (x + 2 * y + c) % 256)
+    (tmp_path / "img_1.png").write_bytes(png)
+    wav_samples = [((k * 13) % 600) - 300 for k in range(50)]
+    import struct
+    data = b"".join(struct.pack("<h", v) for v in wav_samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    (tmp_path / "clip_2.wav").write_bytes(
+        b"RIFF" + struct.pack("<I", len(body)) + body)
+    (tmp_path / "notes.txt").write_text("not media")
+
+    df = io.read_binary_files(spark, str(tmp_path))
+    assert set(df.columns) == {"path", "modificationTime", "length",
+                               "content"}
+    assert df.count() == 3
+    # glob filter prunes at listing
+    assert io.read_binary_files(spark, str(tmp_path), glob="*.png").count() == 1
+
+    binary = df.selectExpr(
+        "cast(regexp_extract(path, '_([0-9]+)\\\\.', 1) as long) AS doc_id",
+        "content AS payload").filter("doc_id IS NOT NULL")
+    out = {r.doc_id: r for r in
+           multimodal.media_sample_features(binary).collect()}
+    pvals = [(x + 2 * y + c) % 256
+             for y in range(7) for x in range(9) for c in range(3)]
+    assert out[1].kind == "png_pixels"
+    assert out[1].mean_value == sum(pvals) / len(pvals)
+    assert out[2].kind == "wav_pcm"
+    assert out[2].rms == math.sqrt(
+        sum(v * v for v in wav_samples) / len(wav_samples))
