@@ -347,3 +347,30 @@ def w11_range_time_frame(spark, sf_dir):
                       (F.floor((F.sum("vm").over(w) + F.lit(50))
                                / F.lit(100.0))
                        / F.lit(10000.0)).cast("double").alias("sum_1h")))
+
+
+@query(
+    "o3_topk_per_group",
+    oracle="""
+    SELECT user_id, event_id, value, rn FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def o3_topk_per_group(spark, sf_dir):
+    """Top-k per group — the grouped LIMIT the reference approximates with
+    arrange+head per entity: each user's 3 highest-value events via
+    ``operators.windows.rank_in_group`` + filter. One hash exchange on the
+    entity key and a per-partition sort; with entity-bucketed layout
+    (io.write_bucketed_table) the exchange disappears. event_id tiebreak
+    keeps equal-value rows deterministic (SURVEY §7.4.1)."""
+    ev = io.load_table(spark, sf_dir, "events")
+    ranked = W.rank_in_group(
+        ev.select("user_id", "event_id", "value"),
+        ["user_id"], [F.col("value").desc(), F.col("event_id")],
+        method="row_number", out_col="rn")
+    return (ranked.filter(F.col("rn") <= 3)
+                  .withColumn("rn", F.col("rn").cast("long")))

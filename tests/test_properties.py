@@ -288,3 +288,18 @@ def test_numeric_histogram_bins(spark):
     one = spark.createDataFrame([(7.0,), (7.0,)], ["x"])
     deg = profile.numeric_histogram(one, "x", n_bins=8).collect()
     assert len(deg) == 1 and deg[0].n == 2 and deg[0].bin == 0
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(w=st.integers(1, 24), h=st.integers(1, 16), seed=st.integers(0, 10**6))
+def test_png_codec_roundtrip_property(w, h, seed):
+    """Property: ANY image dimensions and pixel pattern survive the
+    filter-encode -> zlib -> inflate -> unfilter round trip exactly
+    (every scanline filter 0-4 participates once h >= 5)."""
+    from clif_spark import multimodal
+    pattern = lambda x, y, c: (seed + 7 * x + 13 * y + 29 * c) % 256
+    png = multimodal.build_png_rich(w, h, pattern)
+    vals = multimodal.png_pixel_values(png)
+    assert vals == [pattern(x, y, c)
+                    for y in range(h) for x in range(w) for c in range(3)]
