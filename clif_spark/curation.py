@@ -203,7 +203,8 @@ def c4_line_filter(docs: DataFrame, id_col: str = "doc_id",
 
 def repeated_ngram_profile(docs: DataFrame, n: int = 8,
                            id_col: str = "doc_id",
-                           text_col: str = "text") -> DataFrame:
+                           text_col: str = "text",
+                           shape: str = "window") -> DataFrame:
     """Corpus-level repeated n-gram profiling — the candidate-generation
     half of exact-substring training-data dedup (Lee et al. 2022): every
     word-position n-gram is checked for repetition ANYWHERE in the corpus
@@ -213,12 +214,21 @@ def repeated_ngram_profile(docs: DataFrame, n: int = 8,
     Output: (doc_id, n_grams, n_repeated). Documents shorter than ``n``
     words produce no grams and are absent.
 
-    Scale shape: explode to a (doc_id, pos, gram) relation, count
-    occurrences per gram with one map-side-combined shuffle, shuffle-join
-    the counts back on the gram key, re-aggregate per document — the same
-    two-exchange MapReduce plan at any corpus size, with no broadcast of
-    anything corpus-sized. A full span-remover would extend the join with
-    pos to merge overlapping repeated grams into spans per document."""
+    Two scale shapes (A/B'd at sf1, BASELINE.md round 5):
+
+    - ``"window"`` (default, 2.1x faster: 25.9 vs 55.1 s): derive the
+      (doc, gram) relation ONCE, count occurrences with an unbounded
+      window over the gram partition, re-aggregate per document. One
+      corpus scan and two exchanges; the gram exchange carries every row
+      (no map-side combine), and a pathologically hot gram lands its
+      copies on one reducer — acceptable for natural-text corpora where
+      gram frequency is Zipfian but bounded.
+    - ``"join"``: count per gram with a map-side-combined aggregate, then
+      shuffle-join the counts back. Derives the gram relation twice (two
+      corpus scans) but the combiner collapses hot grams to one row per
+      partition — the shape for corpora with adversarially repeated
+      content (boilerplate-dominated crawls).
+    """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     gram_idx = F.when(
         F.size(words) >= n,
@@ -230,12 +240,16 @@ def repeated_ngram_profile(docs: DataFrame, n: int = 8,
                      gram_idx,
                      lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))))
                  .alias("gram")))
-    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__c"))
-    return (grams.join(counts, "gram")
-                 .groupBy(id_col)
-                 .agg(F.count(F.lit(1)).alias("n_grams"),
-                      F.sum((F.col("__c") > 1).cast("long"))
-                       .alias("n_repeated")))
+    if shape == "window":
+        counted = grams.withColumn(
+            "__c", F.count(F.lit(1)).over(Window.partitionBy("gram")))
+    else:
+        counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__c"))
+        counted = grams.join(counts, "gram")
+    return (counted.groupBy(id_col)
+                   .agg(F.count(F.lit(1)).alias("n_grams"),
+                        F.sum((F.col("__c") > 1).cast("long"))
+                         .alias("n_repeated")))
 
 
 def temperature_mix(docs: DataFrame, source_col: str = "source",

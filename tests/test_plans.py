@@ -239,22 +239,35 @@ def test_temperature_mix_broadcasts_dimension_sides(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_repeated_ngrams_degrades_to_shuffle_join_at_scale(spark):
-    """dedup_repeated_ngrams: the gram-counts relation is corpus-sized, so
-    the join back must be ABLE to run as a shuffle join — at sf0.001 CBO
-    rightly broadcasts the tiny counts side, but with the broadcast
-    threshold off (standing in for a 100 TB size estimate) the plan must
-    degrade to a shuffled join on the gram key, never a cartesian."""
+def test_repeated_ngrams_shapes(spark):
+    """dedup_repeated_ngrams: the default window shape derives the gram
+    relation ONCE (single documents scan, no join — the 2.1x sf1 winner);
+    the skew-safe join shape must still exist and must degrade to a
+    shuffled join (map-side-combined counts) when the broadcast threshold
+    is off, never a cartesian."""
+    from clif_spark import curation, io
+
+    plan = plan_of(spark, "dedup_repeated_ngrams")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert "window" in plan.lower()
+
+    d = io.load_table(spark, SF_DIR, "documents")
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        plan = plan_of(spark, "dedup_repeated_ngrams")
+        jp = (curation.repeated_ngram_profile(d, shape="join")
+              ._jdf.queryExecution().executedPlan().toString())
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    assert "partial_count" in plan  # map-side combine on the gram count
-    assert "BroadcastHashJoin" not in plan
-    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
-    assert "CartesianProduct" not in plan
+    assert "partial_count" in jp
+    assert ("SortMergeJoin" in jp) or ("ShuffledHashJoin" in jp)
+    assert "CartesianProduct" not in jp
+    # both shapes agree on results
+    a = sorted(map(tuple, curation.repeated_ngram_profile(d).collect()))
+    b = sorted(map(tuple,
+                   curation.repeated_ngram_profile(d, shape="join").collect()))
+    assert a == b
 
 
 def test_histogram_bounds_broadcast_and_partial_agg(spark):
