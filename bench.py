@@ -123,8 +123,11 @@ def main() -> None:
         for f in os.listdir(sf_dir):
             if f.endswith(".parquet"):
                 t = f[:-len(".parquet")]
+                path = os.path.join(sf_dir, f)
+                if os.path.isdir(path):  # multi-executor part-file layout
+                    path = os.path.join(path, "*.parquet")
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                            f"read_parquet('{os.path.join(sf_dir, f)}')")
+                            f"read_parquet('{path}')")
         oracled = [q for q in headliners if q.oracle]
         for q in oracled:
             con.execute(q.oracle).fetchall()
@@ -161,7 +164,8 @@ def main() -> None:
     if duckdb_total is not None:
         out["duckdb_total"] = duckdb_total
         out["duckdb_queries"] = duck
-        out["ratio_vs_duckdb"] = round(total / duckdb_total, 2)
+        if duckdb_total > 0:  # sub-ms oracles can round to 0.0 at tiny SFs
+            out["ratio_vs_duckdb"] = round(total / duckdb_total, 2)
     print(json.dumps(out))
     spark.stop()
 

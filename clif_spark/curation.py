@@ -257,11 +257,13 @@ def temperature_mix(docs: DataFrame, source_col: str = "source",
                     temperature: float = 2.0,
                     seed: str = "mix") -> DataFrame:
     """Temperature-flattened source mixing — the multilingual/multi-source
-    rebalance step of an LLM data recipe: keep fraction
-    ``(n_min / n_source) ** (1/T)`` of each source, so kept counts scale
-    as ``n_source ** (1 - 1/T)`` (T=1 no-op, T→∞ uniform across sources)
-    with the smallest source always kept whole. Membership is the
-    deterministic hash of (seed, key): reproducible at any parallelism.
+    rebalance step of an LLM data recipe (the alpha = 1/T convention of
+    multilingual-pretraining sampling): keep fraction
+    ``(n_min / n_source) ** (1 - 1/T)`` of each source, so kept counts
+    scale as ``n_source ** (1/T)`` — T=1 keeps everything (proportional),
+    T→∞ keeps n_min of every source (uniform) — with the smallest source
+    always kept whole. Membership is the deterministic hash of
+    (seed, key): reproducible at any parallelism.
 
     T=2 uses SQRT, which IEEE-754 requires to be correctly rounded — the
     fraction is bit-identical across engines, so the hash threshold
@@ -281,6 +283,6 @@ def temperature_mix(docs: DataFrame, source_col: str = "source",
         frac = F.sqrt(F.col("__n_min").cast("double") / F.col("__n"))
     else:
         frac = F.pow(F.col("__n_min").cast("double") / F.col("__n"),
-                     1.0 / temperature)
+                     1.0 - 1.0 / temperature)
     return (enriched.filter(sampling.u01(key_col, seed) < frac)
                     .drop("__n", "__n_min"))

@@ -54,58 +54,6 @@ def _fake_decode(payload: bytes) -> tuple[str, int, int]:
     return ("png" if first % 2 == 0 else "jpeg", (n % 640) + 1, (first % 480) + 1)
 
 
-def _header_decode(payload: bytes) -> tuple[str, int, int] | None:
-    """Real image metadata from container headers, stdlib-only — no codec
-    library needed because width/height live in the first bytes of every
-    common container. Returns None when the payload is not a recognized
-    image, so callers can fall back to the deterministic stub (which is
-    what the synthetic text-as-bytes oracle corpus exercises).
-
-    - PNG: 8-byte signature, then the IHDR chunk is mandatory-first —
-      width/height are big-endian u32 at offsets 16 and 20.
-    - JPEG: walk the marker stream to the first SOF0-SOF15 frame header
-      (excluding DHT/JPG/DAC at C4/C8/CC); height/width are big-endian
-      u16 at offsets +5/+7 inside the segment.
-    - GIF87a/89a: logical-screen width/height, little-endian u16 at 6/8.
-      Unlike the PNG/JPEG magic bytes (invalid UTF-8, so unreachable from
-      text), ``GIF87a`` is plain ASCII — a text document can start with it.
-      A payload that decodes as UTF-8 end-to-end is treated as text and
-      skipped (a real GIF's LZW-compressed body virtually never survives a
-      full UTF-8 decode; an all-ASCII sub-1KB GIF could in principle slip
-      to the stub, which is the safe direction for the oracle corpus).
-    """
-    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
-        w = int.from_bytes(payload[16:20], "big")
-        h = int.from_bytes(payload[20:24], "big")
-        return ("png", w, h)
-    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
-        i = 2
-        while i + 9 <= len(payload):
-            if payload[i] != 0xFF:
-                break
-            marker = payload[i + 1]
-            if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
-                i += 2  # standalone markers carry no length
-                continue
-            seg_len = int.from_bytes(payload[i + 2:i + 4], "big")
-            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                h = int.from_bytes(payload[i + 5:i + 7], "big")
-                w = int.from_bytes(payload[i + 7:i + 9], "big")
-                return ("jpeg", w, h)
-            i += 2 + seg_len
-        return None
-    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
-        try:
-            payload.decode("utf-8")
-            return None  # ASCII-prefixed text, not a GIF
-        except UnicodeDecodeError:
-            pass
-        w = int.from_bytes(payload[6:8], "little")
-        h = int.from_bytes(payload[8:10], "little")
-        return ("gif", w, h)
-    return None
-
-
 def decode_image_meta(df: DataFrame, id_col: str = "doc_id",
                       payload_col: str = "payload") -> DataFrame:
     """Decode metadata from a binary column via Arrow-batched mapInPandas.
@@ -118,42 +66,16 @@ def decode_image_meta(df: DataFrame, id_col: str = "doc_id",
     without touching the plan, schema or batch flow.
     """
 
+    # Bind the parser as a LOCAL so the run closure captures it by value
+    # (cloudpickle serializes nested/factory functions whole — executor
+    # Python workers need no clif_spark on their PYTHONPATH; a module-level
+    # reference would import-fail on any worker whose environment lacks the
+    # repo, e.g. a driver loading __spark_entry__ by path from a foreign
+    # cwd). The stub fallback is small enough to keep inline.
+    _, _, header_decode = _media_codecs()
+
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
-
-        # Self-contained copies of _header_decode/_fake_decode: defining
-        # them INSIDE the closure makes cloudpickle serialize them by
-        # value, so executor Python workers need no clif_spark on their
-        # PYTHONPATH (a module-level reference would import-fail on any
-        # worker whose environment lacks the repo — e.g. a driver loading
-        # __spark_entry__ by file path from a foreign cwd).
-        def header_decode(p: bytes):
-            if len(p) >= 24 and p[:8] == b"\x89PNG\r\n\x1a\n":
-                return ("png", int.from_bytes(p[16:20], "big"),
-                        int.from_bytes(p[20:24], "big"))
-            if len(p) >= 4 and p[:2] == b"\xff\xd8":
-                i = 2
-                while i + 9 <= len(p):
-                    if p[i] != 0xFF:
-                        break
-                    m = p[i + 1]
-                    if m == 0xD8 or 0xD0 <= m <= 0xD7 or m == 0x01:
-                        i += 2
-                        continue
-                    seg_len = int.from_bytes(p[i + 2:i + 4], "big")
-                    if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
-                        return ("jpeg", int.from_bytes(p[i + 7:i + 9], "big"),
-                                int.from_bytes(p[i + 5:i + 7], "big"))
-                    i += 2 + seg_len
-                return None
-            if len(p) >= 10 and p[:6] in (b"GIF87a", b"GIF89a"):
-                try:
-                    p.decode("utf-8")
-                    return None  # ASCII-prefixed text, not a GIF
-                except UnicodeDecodeError:
-                    return ("gif", int.from_bytes(p[6:8], "little"),
-                            int.from_bytes(p[8:10], "little"))
-            return None
 
         def decode(payload: bytes) -> tuple[str, int, int]:
             real = header_decode(payload)
@@ -209,81 +131,127 @@ MEDIA_META_SCHEMA = T.StructType([
 ])
 
 
-def _wav_decode(p: bytes) -> tuple[int, int, int] | None:
-    """(sample_rate, channels, duration_ms) from a RIFF/WAVE header —
-    stdlib byte slicing, same zero-dependency discipline as
-    ``_header_decode``. Walks the chunk list (chunks are word-aligned) for
-    ``fmt `` (channels u16 LE @2, sample rate u32 LE @4, byte rate u32 LE
-    @8 within the chunk body) and ``data`` (payload size -> duration =
-    size / byte_rate). Returns None unless a well-formed fmt chunk with a
-    positive byte rate is found."""
-    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+def _media_codecs():
+    """Factory for the container-header parsers. Callers bind the returned
+    functions into mapInPandas closures: nested functions are cloudpickled
+    BY VALUE, so executor workers need no clif_spark import — ONE
+    definition serves the module-level API, decode_image_meta, and
+    decode_media_meta (previously three hand-kept copies; a bounds fix
+    applied to one copy silently missed the others)."""
+
+    def wav_decode(p: bytes):
+        """(sample_rate, channels, duration_ms) from a RIFF/WAVE header —
+        stdlib byte slicing. Walks the word-aligned chunk list for
+        ``fmt `` (channels u16 LE @2, sample rate u32 LE @4, byte rate
+        u32 LE @8) and ``data`` (payload size -> duration). None unless a
+        well-formed fmt chunk with a positive byte rate is found."""
+        if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+            return None
+        sr = ch = brate = None
+        data_size = 0
+        i = 12
+        while i + 8 <= len(p):
+            cid = p[i:i + 4]
+            csz = int.from_bytes(p[i + 4:i + 8], "little")
+            body = p[i + 8:i + 8 + csz]
+            if cid == b"fmt " and len(body) >= 16:
+                ch = int.from_bytes(body[2:4], "little")
+                sr = int.from_bytes(body[4:8], "little")
+                brate = int.from_bytes(body[8:12], "little")
+            elif cid == b"data":
+                data_size = csz
+            i += 8 + csz + (csz & 1)
+        if sr is None or not brate:
+            return None
+        return (sr, ch, data_size * 1000 // brate)
+
+    def mp4_decode(p: bytes):
+        """(duration_ms, n_frames, first_frame_offset) from an ISO BMFF
+        box tree. ``mvhd`` carries timescale/duration (v0: u32s at body
+        offsets 12/16, needs body+20; v1: u32 at 20 + u64 at 24, needs
+        body+32 — a truncated v1 box returns None, never a partial
+        big-endian read); ``stco`` lists per-chunk frame anchors. Requires
+        the ``ftyp`` brand box first, so no UTF-8 text guard is needed."""
+        if len(p) < 12 or p[4:8] != b"ftyp":
+            return None
+        found: dict = {}
+
+        def walk(start: int, end: int) -> None:
+            i = start
+            while i + 8 <= end:
+                size = int.from_bytes(p[i:i + 4], "big")
+                typ = p[i + 4:i + 8]
+                if size < 8:
+                    return
+                body, body_end = i + 8, min(i + size, end)
+                if typ == b"mvhd" and body + 20 <= end:
+                    if p[body] == 1:  # version 1: 64-bit times
+                        if body + 32 <= end:
+                            ts = int.from_bytes(p[body + 20:body + 24], "big")
+                            dur = int.from_bytes(p[body + 24:body + 32], "big")
+                            found["mvhd"] = (ts, dur)
+                    else:
+                        ts = int.from_bytes(p[body + 12:body + 16], "big")
+                        dur = int.from_bytes(p[body + 16:body + 20], "big")
+                        found["mvhd"] = (ts, dur)
+                elif typ == b"stco" and body + 8 <= end:
+                    n = int.from_bytes(p[body + 4:body + 8], "big")
+                    found["stco"] = [
+                        int.from_bytes(p[body + 8 + 4 * k:body + 12 + 4 * k],
+                                       "big")
+                        for k in range(n) if body + 12 + 4 * k <= end]
+                elif typ in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                    walk(body, body_end)
+                i += size
+
+        walk(0, len(p))
+        if "mvhd" not in found:
+            return None
+        ts, dur = found["mvhd"]
+        if not ts:
+            return None
+        offs = found.get("stco") or []
+        return (dur * 1000 // ts, len(offs) or None, offs[0] if offs else None)
+
+    def header_decode(p: bytes):
+        """Real image metadata from container headers (PNG IHDR, JPEG SOF
+        marker walk, GIF logical screen). ``GIF87a`` is plain ASCII, so a
+        payload that decodes as UTF-8 end-to-end is treated as text and
+        skipped (the PNG/JPEG magics are invalid UTF-8 — unreachable from
+        text). None when not a recognized image."""
+        if len(p) >= 24 and p[:8] == b"\x89PNG\r\n\x1a\n":
+            return ("png", int.from_bytes(p[16:20], "big"),
+                    int.from_bytes(p[20:24], "big"))
+        if len(p) >= 4 and p[:2] == b"\xff\xd8":
+            i = 2
+            while i + 9 <= len(p):
+                if p[i] != 0xFF:
+                    break
+                m = p[i + 1]
+                if m == 0xD8 or 0xD0 <= m <= 0xD7 or m == 0x01:
+                    i += 2  # standalone markers carry no length
+                    continue
+                seg_len = int.from_bytes(p[i + 2:i + 4], "big")
+                if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+                    return ("jpeg", int.from_bytes(p[i + 7:i + 9], "big"),
+                            int.from_bytes(p[i + 5:i + 7], "big"))
+                i += 2 + seg_len
+            return None
+        if len(p) >= 10 and p[:6] in (b"GIF87a", b"GIF89a"):
+            try:
+                p.decode("utf-8")
+                return None  # ASCII-prefixed text, not a GIF
+            except UnicodeDecodeError:
+                pass
+            return ("gif", int.from_bytes(p[6:8], "little"),
+                    int.from_bytes(p[8:10], "little"))
         return None
-    sr = ch = brate = None
-    data_size = 0
-    i = 12
-    while i + 8 <= len(p):
-        cid = p[i:i + 4]
-        csz = int.from_bytes(p[i + 4:i + 8], "little")
-        body = p[i + 8:i + 8 + csz]
-        if cid == b"fmt " and len(body) >= 16:
-            ch = int.from_bytes(body[2:4], "little")
-            sr = int.from_bytes(body[4:8], "little")
-            brate = int.from_bytes(body[8:12], "little")
-        elif cid == b"data":
-            data_size = csz
-        i += 8 + csz + (csz & 1)
-    if sr is None or not brate:
-        return None
-    return (sr, ch, data_size * 1000 // brate)
+
+    return wav_decode, mp4_decode, header_decode
 
 
-def _mp4_decode(p: bytes) -> tuple[int, int | None, int | None] | None:
-    """(duration_ms, n_frames, first_frame_offset) from an ISO BMFF (MP4)
-    box tree — stdlib byte walking. Boxes are (size u32 BE, fourcc);
-    ``mvhd`` (under ``moov``) carries timescale/duration (v0: u32s at body
-    offsets 12/16; v1: u32 at 20, u64 at 24); ``stco`` (under
-    moov/trak/mdia/minf/stbl) lists chunk offsets, the per-chunk frame
-    anchor points a sampler would seek to. Requires the ``ftyp`` brand box
-    first — a text payload cannot satisfy that, so no UTF-8 guard is
-    needed (cf. the GIF ASCII-prefix trap)."""
-    if len(p) < 12 or p[4:8] != b"ftyp":
-        return None
-    found: dict = {}
-
-    def walk(start: int, end: int) -> None:
-        i = start
-        while i + 8 <= end:
-            size = int.from_bytes(p[i:i + 4], "big")
-            typ = p[i + 4:i + 8]
-            if size < 8:
-                return
-            body, body_end = i + 8, min(i + size, end)
-            if typ == b"mvhd" and body + 24 <= end:
-                if p[body] == 1:  # version 1: 64-bit times
-                    ts = int.from_bytes(p[body + 20:body + 24], "big")
-                    dur = int.from_bytes(p[body + 24:body + 32], "big")
-                else:
-                    ts = int.from_bytes(p[body + 12:body + 16], "big")
-                    dur = int.from_bytes(p[body + 16:body + 20], "big")
-                found["mvhd"] = (ts, dur)
-            elif typ == b"stco" and body + 8 <= end:
-                n = int.from_bytes(p[body + 4:body + 8], "big")
-                found["stco"] = [
-                    int.from_bytes(p[body + 8 + 4 * k:body + 12 + 4 * k], "big")
-                    for k in range(n) if body + 12 + 4 * k <= end]
-            elif typ in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
-                walk(body, body_end)
-            i += size
-
-    walk(0, len(p))
-    if "mvhd" not in found:
-        return None
-    ts, dur = found["mvhd"]
-    if not ts:
-        return None
-    offs = found.get("stco") or []
-    return (dur * 1000 // ts, len(offs) or None, offs[0] if offs else None)
+#: Module-level bindings (tests and non-closure callers).
+(_wav_decode, _mp4_decode, _header_decode) = _media_codecs()
 
 
 def build_wav_bytes(sample_rate: int, channels: int, n_samples: int) -> bytes:
@@ -379,7 +347,8 @@ def synth_media_payload(df: DataFrame, id_col: str = "doc_id",
         def build(doc_id: int, text: str) -> bytes:
             kind = doc_id % 4
             if kind == 0:
-                return wav(8000 + (doc_id % 5) * 4000, 1 + (doc_id % 2),
+                return wav(8000 + (doc_id % 5) * 4000,
+                           1 + (doc_id // 4) % 2,
                            100 + (doc_id % 50))
             if kind == 1:
                 ts = 600 * (1 + doc_id % 3)
@@ -411,102 +380,12 @@ def decode_media_meta(df: DataFrame, id_col: str = "doc_id",
     metadata layer — the part schema inference, routing, and partitioning
     decisions actually consume — is complete without one."""
 
+    # One parser definition for all consumers: bound as locals so the run
+    # closure pickles them by value (see decode_image_meta).
+    wav_decode, mp4_decode, image_decode = _media_codecs()
+
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
-
-        # Self-contained parser copies (cloudpickle-by-value; see
-        # decode_image_meta for why closures must not reference
-        # module-level clif_spark symbols).
-        def wav_decode(p: bytes):
-            if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
-                return None
-            sr = ch = brate = None
-            data_size = 0
-            i = 12
-            while i + 8 <= len(p):
-                cid = p[i:i + 4]
-                csz = int.from_bytes(p[i + 4:i + 8], "little")
-                body = p[i + 8:i + 8 + csz]
-                if cid == b"fmt " and len(body) >= 16:
-                    ch = int.from_bytes(body[2:4], "little")
-                    sr = int.from_bytes(body[4:8], "little")
-                    brate = int.from_bytes(body[8:12], "little")
-                elif cid == b"data":
-                    data_size = csz
-                i += 8 + csz + (csz & 1)
-            if sr is None or not brate:
-                return None
-            return (sr, ch, data_size * 1000 // brate)
-
-        def mp4_decode(p: bytes):
-            if len(p) < 12 or p[4:8] != b"ftyp":
-                return None
-            found: dict = {}
-
-            def walk(start: int, end: int) -> None:
-                i = start
-                while i + 8 <= end:
-                    size = int.from_bytes(p[i:i + 4], "big")
-                    typ = p[i + 4:i + 8]
-                    if size < 8:
-                        return
-                    body, body_end = i + 8, min(i + size, end)
-                    if typ == b"mvhd" and body + 24 <= end:
-                        if p[body] == 1:
-                            ts = int.from_bytes(p[body + 20:body + 24], "big")
-                            dur = int.from_bytes(p[body + 24:body + 32], "big")
-                        else:
-                            ts = int.from_bytes(p[body + 12:body + 16], "big")
-                            dur = int.from_bytes(p[body + 16:body + 20], "big")
-                        found["mvhd"] = (ts, dur)
-                    elif typ == b"stco" and body + 8 <= end:
-                        n = int.from_bytes(p[body + 4:body + 8], "big")
-                        found["stco"] = [
-                            int.from_bytes(p[body + 8 + 4 * k:
-                                             body + 12 + 4 * k], "big")
-                            for k in range(n) if body + 12 + 4 * k <= end]
-                    elif typ in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
-                        walk(body, body_end)
-                    i += size
-
-            walk(0, len(p))
-            if "mvhd" not in found:
-                return None
-            ts, dur = found["mvhd"]
-            if not ts:
-                return None
-            offs = found.get("stco") or []
-            return (dur * 1000 // ts, len(offs) or None,
-                    offs[0] if offs else None)
-
-        def image_decode(p: bytes):
-            if len(p) >= 24 and p[:8] == b"\x89PNG\r\n\x1a\n":
-                return ("png", int.from_bytes(p[16:20], "big"),
-                        int.from_bytes(p[20:24], "big"))
-            if len(p) >= 4 and p[:2] == b"\xff\xd8":
-                i = 2
-                while i + 9 <= len(p):
-                    if p[i] != 0xFF:
-                        break
-                    m = p[i + 1]
-                    if m == 0xD8 or 0xD0 <= m <= 0xD7 or m == 0x01:
-                        i += 2
-                        continue
-                    seg_len = int.from_bytes(p[i + 2:i + 4], "big")
-                    if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
-                        return ("jpeg",
-                                int.from_bytes(p[i + 7:i + 9], "big"),
-                                int.from_bytes(p[i + 5:i + 7], "big"))
-                    i += 2 + seg_len
-                return None
-            if len(p) >= 10 and p[:6] in (b"GIF87a", b"GIF89a"):
-                try:
-                    p.decode("utf-8")
-                    return None
-                except UnicodeDecodeError:
-                    return ("gif", int.from_bytes(p[6:8], "little"),
-                            int.from_bytes(p[8:10], "little"))
-            return None
 
         cols = ["container", "sample_rate", "channels", "duration_ms",
                 "width", "height", "n_frames", "first_frame_offset"]
@@ -773,7 +652,10 @@ def synth_rich_media_payload(df: DataFrame, id_col: str = "doc_id",
     decoder must recover THROUGH the codec (zlib inflate + all five
     unfilters / PCM frames), not just from the headers:
 
-    - wav (doc_id%4==0): channels 1+doc_id%2, 100+doc_id%50 frames,
+    - wav (doc_id%4==0): channels 1+(doc_id//4)%2 - keyed off the
+      container selector quotient, NOT doc_id%2 (always even for wav
+      docs, which would pin every payload to mono), 100+doc_id%50
+      frames,
       value_k = ((doc_id*31 + k*7) % 2048) - 1024 over interleaved k;
     - mp4 (1): unchanged metadata-only tree (no sample decode w/o codec);
     - png (2): 16+doc_id%40 × 16+doc_id%30 RGB, value(x,y,c) =
@@ -792,7 +674,7 @@ def synth_rich_media_payload(df: DataFrame, id_col: str = "doc_id",
         import pandas as pd
 
         def wav(doc_id: int) -> bytes:
-            ch = 1 + doc_id % 2
+            ch = 1 + (doc_id // 4) % 2
             nv = (100 + doc_id % 50) * ch
             block = ch * 2
             sr = 8000 + (doc_id % 5) * 4000

@@ -189,10 +189,12 @@ def numeric_histogram(df: DataFrame, value: str, keys: Sequence[str] = (),
     With ``lo``/``hi`` omitted they are computed in a first single-row
     aggregate and broadcast back over the scan (a 2-pass plan, exactly what
     ggplot's range computation does); bin index is
-    ``least(n_bins-1, floor((v - lo) / width))`` so the max value lands in
-    the last bin rather than one past it. All arithmetic is IEEE-double
-    Catalyst expressions — one shuffle carrying (keys × bins) partial
-    counts, any table size."""
+    ``greatest(0, least(n_bins-1, floor((v - lo) / width)))`` — the max
+    value lands in the last bin rather than one past it, and with EXPLICIT
+    bounds, out-of-range values clamp symmetrically into the edge bins
+    (never negative bins with edges outside [lo, hi]). All arithmetic is
+    IEEE-double Catalyst expressions — one shuffle carrying (keys × bins)
+    partial counts, any table size."""
     col = F.col(value).cast("double")
     if lo is None or hi is None:
         bounds = df.agg(F.min(col).alias("__lo"), F.max(col).alias("__hi"))
@@ -203,8 +205,9 @@ def numeric_histogram(df: DataFrame, value: str, keys: Sequence[str] = (),
         lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
     width = (hi_c - lo_c) / F.lit(float(n_bins))
     idx = F.when(hi_c == lo_c, F.lit(0).cast("long")).otherwise(
-        F.least(F.lit(n_bins - 1).cast("long"),
-                F.floor((col - lo_c) / width)))
+        F.greatest(F.lit(0).cast("long"),
+                   F.least(F.lit(n_bins - 1).cast("long"),
+                           F.floor((col - lo_c) / width))))
     bin_start = lo_c + idx.cast("double") * width
     bin_end = F.when(idx == n_bins - 1, hi_c).otherwise(
         lo_c + (idx + F.lit(1)).cast("double") * width)

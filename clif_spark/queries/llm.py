@@ -1159,7 +1159,7 @@ def mm_frame_offsets(spark, sf_dir):
                 THEN CAST(8000 + (doc_id % 5) * 4000 AS BIGINT)
            END AS sample_rate,
            CASE WHEN doc_id % 4 = 0
-                THEN CAST(1 + doc_id % 2 AS BIGINT)
+                THEN CAST(1 + (doc_id // 4) % 2 AS BIGINT)
            END AS channels,
            CASE WHEN doc_id % 4 = 0
                 THEN CAST((100 + doc_id % 50) * 1000
@@ -1312,7 +1312,7 @@ def sample_stratified_rebalance(spark, sf_dir):
     -- mean/rms bit-comparable. generate_series is uncorrelated (DuckDB
     -- lateral limitation) and trimmed by WHERE to each doc's true extent.
     WITH wav AS (
-      SELECT doc_id, (100 + doc_id % 50) * (1 + doc_id % 2) AS nv
+      SELECT doc_id, (100 + doc_id % 50) * (1 + (doc_id // 4) % 2) AS nv
       FROM documents WHERE doc_id % 4 = 0
     ),
     wav_stats AS (

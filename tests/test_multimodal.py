@@ -148,7 +148,8 @@ def test_media_meta_query_round_trip(spark):
         kind = i % 4
         if kind == 0:
             sr = 8000 + (i % 5) * 4000
-            assert (r.container, r.sample_rate, r.channels) == ("wav", sr, 1 + i % 2)
+            assert (r.container, r.sample_rate, r.channels) == (
+                "wav", sr, 1 + (i // 4) % 2)
             assert r.duration_ms == (100 + i % 50) * 1000 // sr
             assert r.width is None and r.n_frames is None
         elif kind == 1:
@@ -242,11 +243,11 @@ def test_media_sample_features_end_to_end(spark):
     payload = multimodal.synth_rich_media_payload(df)
     out = {r.doc_id: r for r in
            multimodal.media_sample_features(payload).collect()}
-    # doc 4: wav, ch=1, nv=104
-    vals = [((4 * 31 + k * 7) % 2048) - 1024 for k in range(104)]
-    assert out[4].kind == "wav_pcm" and out[4].n_values == 104
-    assert out[4].mean_value == sum(vals) / 104
-    assert out[4].rms == math.sqrt(sum(v * v for v in vals) / 104)
+    # doc 4: wav, STEREO (ch = 1 + (4//4)%2 = 2), nv = 104*2 = 208
+    vals = [((4 * 31 + k * 7) % 2048) - 1024 for k in range(208)]
+    assert out[4].kind == "wav_pcm" and out[4].n_values == 208
+    assert out[4].mean_value == sum(vals) / 208
+    assert out[4].rms == math.sqrt(sum(v * v for v in vals) / 208)
     assert out[4].peak == max(abs(v) for v in vals)
     # doc 6: png 22x22 RGB
     pvals = [(6 + x + y + c) % 256
@@ -256,3 +257,24 @@ def test_media_sample_features_end_to_end(spark):
     assert out[6].peak == max(pvals)
     # doc 5: mp4 -> no sample decode, NULL stats
     assert out[5].kind == "other" and out[5].n_values is None
+
+
+def test_truncated_v1_mvhd_returns_none_not_garbage():
+    """A version-1 mvhd cut off before its 64-bit duration must yield no
+    metadata (None) rather than a partial big-endian read."""
+    import struct
+
+    def box(typ, body):
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    # v1 mvhd body: version=1 + flags, then 64-bit ctimes... truncate at
+    # body+26 — past the v0 guard (body+20) but inside the v1 duration.
+    v1_body = bytes([1, 0, 0, 0]) + bytes(22)
+    bad = ftyp + box(b"moov", box(b"mvhd", v1_body))
+    assert multimodal._mp4_decode(bad) is None
+    # an intact v1 mvhd still parses
+    good_body = (bytes([1, 0, 0, 0]) + bytes(16)
+                 + struct.pack(">I", 600) + struct.pack(">Q", 3000))
+    good = ftyp + box(b"moov", box(b"mvhd", good_body))
+    assert multimodal._mp4_decode(good) == (5000, None, None)

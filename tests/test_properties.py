@@ -284,6 +284,12 @@ def test_numeric_histogram_bins(spark):
     out2 = profile.numeric_histogram(df, "x", n_bins=5, lo=0.0, hi=50.0)
     rows2 = {r.bin: r.n for r in out2.collect()}
     assert rows2[4] == 100 - 40  # bins 0-3 hold 10 each, the rest clamp
+    # explicit bounds clamp BELOW lo as well (no negative bins)
+    out3 = profile.numeric_histogram(df, "x", n_bins=5, lo=50.0, hi=100.0)
+    rows3 = {r.bin: r.n for r in out3.collect()}
+    assert set(rows3) == {0, 1, 2, 3, 4}
+    assert rows3[0] == 50 + 10  # 0..49 clamp into bin 0 alongside 50..59
+    assert sum(rows3.values()) == 100
     # degenerate range
     one = spark.createDataFrame([(7.0,), (7.0,)], ["x"])
     deg = profile.numeric_histogram(one, "x", n_bins=8).collect()
@@ -303,3 +309,22 @@ def test_png_codec_roundtrip_property(w, h, seed):
     vals = multimodal.png_pixel_values(png)
     assert vals == [pattern(x, y, c)
                     for y in range(h) for x in range(w) for c in range(3)]
+
+
+def test_temperature_mix_semantics(spark):
+    """alpha = 1/T convention: T=1 is a no-op (proportional), T=2 keeps
+    ~sqrt(n_min*n) per source, large T approaches uniform n_min each."""
+    from clif_spark import curation
+    rows = ([(i, "head") for i in range(600)]
+            + [(i + 1000, "tail") for i in range(100)])
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    t1 = curation.temperature_mix(df, "source", "doc_id", temperature=1.0)
+    assert t1.count() == 700  # frac = (n_min/n)^0 = 1 everywhere
+    t_inf = curation.temperature_mix(df, "source", "doc_id",
+                                     temperature=1e9)
+    by_src = {r["source"]: r["n"] for r in
+              t_inf.groupBy("source").count()
+                   .withColumnRenamed("count", "n").collect()}
+    assert by_src["tail"] == 100  # smallest source always kept whole
+    # head keeps ~ n_min = 100 of its 600 (hash noise around 100)
+    assert 70 <= by_src["head"] <= 130
