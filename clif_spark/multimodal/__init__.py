@@ -254,39 +254,59 @@ def _media_codecs():
 (_wav_decode, _mp4_decode, _header_decode) = _media_codecs()
 
 
-def build_wav_bytes(sample_rate: int, channels: int, n_samples: int) -> bytes:
-    """Minimal but spec-valid 16-bit PCM WAV (silence payload) — the
-    deterministic fixture generator for the synthetic corpus; tests
-    cross-check the parser against the stdlib ``wave`` writer too."""
+def _media_builders():
+    """Factory for the container-fixture builders (same by-value closure
+    discipline as _media_codecs — one definition serves the module API and
+    both synth generators' mapInPandas closures)."""
     import struct
 
-    block = channels * 2
-    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
-                      sample_rate * block, block, 16)
-    data = bytes(n_samples * block)
-    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            + b"data" + struct.pack("<I", len(data)) + data)
-    return b"RIFF" + struct.pack("<I", len(body)) + body
-
-
-def build_mp4_bytes(timescale: int, duration: int,
-                    frame_offsets: list[int]) -> bytes:
-    """Minimal ISO BMFF tree: ftyp + moov{mvhd(v0), trak{mdia{minf{stbl{
-    stco}}}}} — just enough real structure to exercise the recursive box
-    walk end-to-end."""
-    import struct
+    def build_wav(sample_rate: int, channels: int, n_frames: int,
+                  data: bytes | None = None) -> bytes:
+        """Spec-valid 16-bit PCM WAV; ``data`` defaults to silence of
+        n_frames interleaved frames."""
+        block = channels * 2
+        fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                          sample_rate * block, block, 16)
+        if data is None:
+            data = bytes(n_frames * block)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
 
     def box(typ: bytes, body: bytes) -> bytes:
         return struct.pack(">I", 8 + len(body)) + typ + body
 
-    mvhd = box(b"mvhd", bytes(4)  # version 0 + flags
-               + struct.pack(">IIII", 0, 0, timescale, duration)
-               + bytes(80))       # rate/volume/matrix/next_track_id
-    stco = box(b"stco", struct.pack(">II", 0, len(frame_offsets))
-               + b"".join(struct.pack(">I", o) for o in frame_offsets))
-    trak = box(b"trak", box(b"mdia", box(b"minf", box(b"stbl", stco))))
-    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
-    return ftyp + box(b"moov", mvhd + trak)
+    def build_mp4(timescale: int, duration: int,
+                  frame_offsets: list) -> bytes:
+        """Minimal ISO BMFF tree: ftyp + moov{mvhd(v0), trak{mdia{minf{
+        stbl{stco}}}}} — just enough real structure to exercise the
+        recursive box walk end-to-end."""
+        mvhd = box(b"mvhd", bytes(4)  # version 0 + flags
+                   + struct.pack(">IIII", 0, 0, timescale, duration)
+                   + bytes(80))       # rate/volume/matrix/next_track_id
+        stco = box(b"stco", struct.pack(">II", 0, len(frame_offsets))
+                   + b"".join(struct.pack(">I", o) for o in frame_offsets))
+        trak = box(b"trak", box(b"mdia", box(b"minf", box(b"stbl", stco))))
+        ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        return ftyp + box(b"moov", mvhd + trak)
+
+    def build_png_header(w: int, h: int) -> bytes:
+        """Header-only PNG (IHDR + empty IEND): valid for metadata decode;
+        build_png_rich adds real pixel data."""
+        import zlib
+        ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                + b"\x08\x02\x00\x00\x00")
+        chunk = (len(ihdr).to_bytes(4, "big") + b"IHDR" + ihdr
+                 + zlib.crc32(b"IHDR" + ihdr).to_bytes(4, "big"))
+        end = (0).to_bytes(4, "big") + b"IEND" \
+            + zlib.crc32(b"IEND").to_bytes(4, "big")
+        return b"\x89PNG\r\n\x1a\n" + chunk + end
+
+    return build_wav, build_mp4, build_png_header
+
+
+#: Module-level bindings (tests and fixture writers).
+(build_wav_bytes, build_mp4_bytes, build_png_header) = _media_builders()
 
 
 def synth_media_payload(df: DataFrame, id_col: str = "doc_id",
@@ -305,44 +325,10 @@ def synth_media_payload(df: DataFrame, id_col: str = "doc_id",
         T.StructField(out_col, T.BinaryType()),
     ])
 
+    wav, mp4, png = _media_builders()  # by-value closure capture
+
     def run(batches: Iterator) -> Iterator:
-        import struct
-
         import pandas as pd
-
-        # by-value builder copies (see decode_image_meta on closures)
-        def wav(sample_rate, channels, n_samples):
-            block = channels * 2
-            fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
-                              sample_rate * block, block, 16)
-            data = bytes(n_samples * block)
-            body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-                    + b"data" + struct.pack("<I", len(data)) + data)
-            return b"RIFF" + struct.pack("<I", len(body)) + body
-
-        def box(typ, body):
-            return struct.pack(">I", 8 + len(body)) + typ + body
-
-        def mp4(timescale, duration, offsets):
-            mvhd = box(b"mvhd", bytes(4)
-                       + struct.pack(">IIII", 0, 0, timescale, duration)
-                       + bytes(80))
-            stco = box(b"stco", struct.pack(">II", 0, len(offsets))
-                       + b"".join(struct.pack(">I", o) for o in offsets))
-            trak = box(b"trak", box(b"mdia", box(b"minf",
-                                                 box(b"stbl", stco))))
-            ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
-            return ftyp + box(b"moov", mvhd + trak)
-
-        def png(w, h):
-            import zlib
-            ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
-                    + b"\x08\x02\x00\x00\x00")
-            chunk = (len(ihdr).to_bytes(4, "big") + b"IHDR" + ihdr
-                     + zlib.crc32(b"IHDR" + ihdr).to_bytes(4, "big"))
-            end = (0).to_bytes(4, "big") + b"IEND" \
-                + zlib.crc32(b"IEND").to_bytes(4, "big")
-            return b"\x89PNG\r\n\x1a\n" + chunk + end
 
         def build(doc_id: int, text: str) -> bytes:
             kind = doc_id % 4
@@ -667,6 +653,7 @@ def synth_rich_media_payload(df: DataFrame, id_col: str = "doc_id",
         T.StructField(out_col, T.BinaryType()),
     ])
     build_png, _, _ = _sample_codecs()
+    build_wav, build_mp4, _ = _media_builders()
 
     def run(batches: Iterator) -> Iterator:
         import struct
@@ -676,32 +663,18 @@ def synth_rich_media_payload(df: DataFrame, id_col: str = "doc_id",
         def wav(doc_id: int) -> bytes:
             ch = 1 + (doc_id // 4) % 2
             nv = (100 + doc_id % 50) * ch
-            block = ch * 2
             sr = 8000 + (doc_id % 5) * 4000
-            fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * block, block, 16)
             data = b"".join(
                 struct.pack("<h", ((doc_id * 31 + k * 7) % 2048) - 1024)
                 for k in range(nv))
-            body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-                    + b"data" + struct.pack("<I", len(data)) + data)
-            return b"RIFF" + struct.pack("<I", len(body)) + body
-
-        def box(typ, body):
-            return struct.pack(">I", 8 + len(body)) + typ + body
+            return build_wav(sr, ch, nv // ch, data=data)
 
         def mp4(doc_id: int) -> bytes:
             ts = 600 * (1 + doc_id % 3)
             dur = (10 + doc_id % 20) * ts + (doc_id % 600)
             offs = [40 + (doc_id % 7) * 16 + 64 * k
                     for k in range(3 + doc_id % 5)]
-            mvhd = box(b"mvhd", bytes(4)
-                       + struct.pack(">IIII", 0, 0, ts, dur) + bytes(80))
-            stco = box(b"stco", struct.pack(">II", 0, len(offs))
-                       + b"".join(struct.pack(">I", o) for o in offs))
-            trak = box(b"trak", box(b"mdia", box(b"minf",
-                                                 box(b"stbl", stco))))
-            return (box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
-                    + box(b"moov", mvhd + trak))
+            return build_mp4(ts, dur, offs)
 
         def build(doc_id: int, text: str) -> bytes:
             kind = doc_id % 4
