@@ -286,3 +286,82 @@ def temperature_mix(docs: DataFrame, source_col: str = "source",
                      1.0 - 1.0 / temperature)
     return (enriched.filter(sampling.u01(key_col, seed) < frac)
                     .drop("__n", "__n_min"))
+
+
+def remove_repeated_ngram_spans(docs: DataFrame, n: int = 8,
+                                id_col: str = "doc_id",
+                                text_col: str = "text") -> DataFrame:
+    """The second half of exact-substring dedup (Lee et al. 2022):
+    corpus-repeated word n-grams are merged into maximal overlapping SPANS
+    per document, and the covered words are cut out of the text.
+
+    Output: (doc_id, n_words, n_removed, clean_text) — clean_text is the
+    original word sequence minus every span, '' when the whole document is
+    repeated text. Docs shorter than ``n`` words carry no spans.
+
+    All DataFrame algebra, no UDFs:
+      1. gram occurrences counted with a window over the gram partition
+         (the shape A/B'd in repeated_ngram_profile);
+      2. repeated positions interval-merged per document with the classic
+         gap-merge pair of windows (running max-end lagged one row ->
+         new-span flag -> running sum = span id);
+      3. spans exploded back to covered word indexes (bounded by document
+         length), anti-joined against the positioned word relation;
+      4. surviving words re-joined in order via sort_array(collect_list(
+         struct(idx, word))) — the deterministic ordered-agg idiom (A15).
+    Every shuffle is keyed on doc_id (or gram) — bucket the corpus by
+    doc_id and stages 2-4 are exchange-free."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       words.alias("w"))
+    gram_idx = F.when(
+        F.size("w") >= n,
+        F.sequence(F.lit(0), F.size("w") - n)).otherwise(
+        F.array().cast("array<int>"))
+    grams = base.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            gram_idx, lambda i: F.concat_ws(" ", F.slice("w", i + 1, n))))
+        .alias("pos", "gram"))
+    rep = (grams
+           .withColumn("__c", F.count(F.lit(1)).over(
+               Window.partitionBy("gram")))
+           .filter(F.col("__c") > 1)
+           .select("doc_id", "pos"))
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + n).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = rep.withColumn(
+        "__new", (F.col("pos") > F.coalesce(prev_max_end, F.lit(-1)))
+        .cast("long"))
+    spans = (flagged
+             .withColumn("__sid", F.sum("__new").over(
+                 w_doc.rowsBetween(Window.unboundedPreceding, 0)))
+             .groupBy("doc_id", "__sid")
+             .agg(F.min("pos").alias("s"),
+                  F.max(F.col("pos") + n).alias("e")))
+    covered = (spans.select(
+                   "doc_id",
+                   F.explode(F.sequence(F.col("s"), F.col("e") - 1))
+                   .alias("idx"))
+               .distinct())
+    wordidx = base.select(
+        "doc_id", F.size("w").alias("n_words"),
+        F.posexplode("w").alias("idx", "word"))
+    kept = wordidx.join(covered, ["doc_id", "idx"], "left_anti")
+    kept_agg = (kept.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("__kept"),
+                     F.array_join(
+                         F.transform(
+                             F.array_sort(F.collect_list(
+                                 F.struct("idx", "word"))),
+                             lambda x: x["word"]), " ").alias("clean_text")))
+    return (base.select("doc_id", F.size("w").cast("long").alias("n_words"))
+                .join(kept_agg, "doc_id", "left")
+                .select(
+                    "doc_id", "n_words",
+                    (F.col("n_words")
+                     - F.coalesce(F.col("__kept"), F.lit(0))).cast("long")
+                    .alias("n_removed"),
+                    F.coalesce(F.col("clean_text"), F.lit(""))
+                    .alias("clean_text")))

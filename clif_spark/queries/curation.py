@@ -442,3 +442,71 @@ def sample_temperature_mix(spark, sf_dir):
     return curation.temperature_mix(docs, "source", "doc_id",
                                     temperature=2.0).select(
         "doc_id", "source")
+
+
+@query(
+    "dedup_remove_repeated_spans",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, t.k AS pos,
+             array_to_string(w[t.k + 1 : t.k + 8], ' ') AS gram
+      FROM words, unnest(range(greatest(len(w) - 7, 0))) AS t(k)
+    ),
+    rep AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gram) AS c
+        FROM grams
+      ) WHERE c > 1
+    ),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + 8) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1) THEN 1 ELSE 0 END AS is_new
+      FROM rep
+    ),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos + 8) AS e
+      FROM (SELECT doc_id, pos,
+                   SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged)
+      GROUP BY doc_id, sid
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, t.k AS idx
+      FROM spans, unnest(range(s, e)) AS t(k)
+    ),
+    wordidx AS (
+      SELECT doc_id, t.k AS idx, w[t.k + 1] AS word
+      FROM words, unnest(range(len(w))) AS t(k)
+    ),
+    kept AS (
+      SELECT wi.doc_id, wi.idx, wi.word
+      FROM wordidx wi
+      LEFT JOIN covered c ON wi.doc_id = c.doc_id AND wi.idx = c.idx
+      WHERE c.idx IS NULL
+    )
+    SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_words,
+           CAST(len(w.w) - COUNT(k.word) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(k.word, ' ' ORDER BY k.idx), '')
+             AS clean_text
+    FROM words w LEFT JOIN kept k ON w.doc_id = k.doc_id
+    GROUP BY w.doc_id, len(w.w)
+    """,
+)
+def dedup_remove_repeated_spans(spark, sf_dir):
+    """Exact-substring dedup, span-removal half (Lee et al. 2022): merge
+    corpus-repeated 8-grams into maximal spans per document and cut the
+    covered words out, returning the cleaned text with removal counts.
+    Pure DataFrame algebra (window count -> gap-merge windows -> explode
+    to covered indexes -> anti-join -> deterministic ordered re-join);
+    the oracle replays every stage in DuckDB including the ORDER BY
+    string_agg."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return curation.remove_repeated_ngram_spans(d, n=8)

@@ -89,3 +89,31 @@ def test_quantize_int8_error_bound(spark):
         assert abs(r["checksum"]) <= 128 * 64
         # half-step reconstruction bound: err <= scale/2 (+ rounding slack)
         assert r["max_err"] <= r["amax"] / 127.0 * 0.5 + 1e-6
+
+
+def test_remove_repeated_ngram_spans_semantics(spark):
+    """Hand-built corpus: a shared 8-gram between docs 1/2 is cut from
+    both; overlapping repeats merge into ONE maximal span; a sub-8-word
+    doc and a unique doc pass through untouched."""
+    from clif_spark import curation
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"          # the repeated 8-gram
+    docs = spark.createDataFrame([
+        (1, f"alpha beta {shared} gamma"),       # span covers words 2..9
+        (2, f"{shared} tail1 tail2"),            # span at the front
+        # overlapping repeats: words 0..8 shared with doc 4 -> grams at
+        # pos 0 and 1 both repeat -> ONE merged span 0..9
+        (3, "o1 o2 o3 o4 o5 o6 o7 o8 o9 only3"),
+        (4, "o1 o2 o3 o4 o5 o6 o7 o8 o9 only4"),
+        (5, "too short to have grams"),
+        (6, "entirely unique words that repeat nowhere at all ok"),
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           curation.remove_repeated_ngram_spans(docs, n=8).collect()}
+    assert out[1].clean_text == "alpha beta gamma" and out[1].n_removed == 8
+    assert out[2].clean_text == "tail1 tail2"
+    assert out[3].clean_text == "only3" and out[3].n_removed == 9
+    assert out[4].clean_text == "only4"
+    assert out[5].n_removed == 0 and out[5].clean_text == out[5].clean_text
+    assert out[6].n_removed == 0
+    assert out[6].clean_text == "entirely unique words that repeat nowhere at all ok"
