@@ -25,39 +25,65 @@ from pyspark.sql import functions as F
 def asof_join(left: DataFrame, right: DataFrame, on: str | Sequence[str],
               left_ts: str = "ts", right_ts: str = "ts",
               value_cols: Sequence[str] | None = None,
-              matched_ts_col: str | None = None) -> DataFrame:
-    """Backward as-of join: for each left row, attach ``value_cols`` from the
-    right row with the greatest ``right_ts`` <= ``left_ts`` within the same
-    key group (NULLs when no prior right row exists).
+              matched_ts_col: str | None = None,
+              direction: str = "backward",
+              tolerance_seconds: float | None = None) -> DataFrame:
+    """As-of join: for each left row, attach ``value_cols`` from the
+    nearest right row within the same key group — the greatest
+    ``right_ts`` <= ``left_ts`` (``direction="backward"``, default) or the
+    smallest ``right_ts`` >= ``left_ts`` (``"forward"``); NULLs when no
+    such row exists. ``tolerance_seconds`` bounds the match distance
+    (pandas merge_asof semantics): a match farther than the tolerance is
+    nulled out, not substituted.
 
-    Implementation: tag sides, union, and take ``last(value, ignorenulls)``
-    over a (key, ts, side)-ordered running window — right rows sort before
-    left rows at equal timestamps, so an exactly-simultaneous right row
-    matches (DuckDB ASOF `>=` semantics).
+    Implementation: tag sides, union, and run last/first(ignorenulls) over
+    a (key, ts, order)-ordered window. The side order flips with the
+    direction so an exactly-simultaneous right row matches either way
+    (DuckDB ASOF `>=`/`<=` semantics): backward sorts right rows BEFORE
+    left at equal ts (running frame looks back), forward sorts them AFTER
+    (frame looks ahead).
 
     Caller contract (documented, mirrors SURVEY §7.4.1 determinism rules):
     right rows must be unique per (key, right_ts) — pre-aggregate otherwise —
     and ``value_cols`` must be non-null and must not collide with left column
     names.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     keys = [on] if isinstance(on, str) else list(on)
     value_cols = list(value_cols) if value_cols is not None else [
         c for c in right.columns if c not in keys and c != right_ts]
+    back = direction == "backward"
     l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
     r = (right.select(*keys, F.col(right_ts).alias("__ts"), *value_cols)
-              .withColumn("__side", F.lit(0)))
+              .withColumn("__side", F.lit(0 if back else 2)))
     merged = l.unionByName(r, allowMissingColumns=True)
-    w = (Window.partitionBy(*keys).orderBy("__ts", "__side")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base = Window.partitionBy(*keys).orderBy("__ts", "__side")
+    if back:
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)
     out = merged
     for c in value_cols:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    if matched_ts_col:
+        out = out.withColumn(c, pick(c))
+    need_matched = matched_ts_col or tolerance_seconds is not None
+    mcol = matched_ts_col or "__matched"
+    if need_matched:
         out = (out.withColumn("__rts",
-                              F.when(F.col("__side") == 0, F.col("__ts")))
-                  .withColumn(matched_ts_col,
-                              F.last("__rts", ignorenulls=True).over(w))
+                              F.when(F.col("__side") != 1, F.col("__ts")))
+                  .withColumn(mcol, pick("__rts"))
                   .drop("__rts"))
+    if tolerance_seconds is not None:
+        delta = F.abs(F.unix_micros(F.col(mcol).cast("timestamp"))
+                      - F.unix_micros(F.col("__ts").cast("timestamp")))
+        ok = delta <= int(tolerance_seconds * 1_000_000)
+        for c in value_cols:
+            out = out.withColumn(c, F.when(ok, F.col(c)))
+        out = out.withColumn(mcol, F.when(ok, F.col(mcol)))
+    if not matched_ts_col and tolerance_seconds is not None:
+        out = out.drop("__matched")
     return out.filter(F.col("__side") == 1).drop("__ts", "__side")
 
 

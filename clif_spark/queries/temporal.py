@@ -88,3 +88,55 @@ def j8_interval_join(spark, sf_dir):
                                     end_col="end_ts")
     return (joined.groupBy("purchase_id")
                   .agg(F.count(F.lit(1)).alias("n_clicks")))
+
+
+@query(
+    "j11_asof_forward_tolerance",
+    oracle="""
+    -- Forward as-of with a 1-hour tolerance: DuckDB's native ASOF with
+    -- `<=` finds the nearest FOLLOWING error per click; the tolerance is
+    -- applied as value-nulling (pandas merge_asof semantics), not row
+    -- filtering, so the left row count is preserved.
+    WITH errs AS (
+      SELECT user_id, ts, MAX(value) AS error_value
+      FROM events
+      WHERE event_type = 'error' AND value IS NOT NULL
+      GROUP BY user_id, ts
+    ),
+    clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id,
+           epoch_us(c.ts) AS ts_us,
+           CASE WHEN e.ts <= c.ts + INTERVAL '1 hour'
+                THEN epoch_us(e.ts) END AS error_ts_us,
+           CASE WHEN e.ts <= c.ts + INTERVAL '1 hour'
+                THEN e.error_value END AS error_value
+    FROM clicks c
+    ASOF LEFT JOIN errs e ON c.user_id = e.user_id AND c.ts <= e.ts
+    """,
+)
+def j11_asof_forward_tolerance(spark, sf_dir):
+    """Forward as-of join with tolerance (J7's time-reversed sibling —
+    pandas merge_asof(direction='forward', tolerance=1h)): each click is
+    annotated with the user's NEXT error within an hour, NULL when the
+    nearest following error is farther away. Same union + ordered-window
+    plan as backward (one shuffle on user_id, no range join), with the
+    frame flipped to look ahead; checked against DuckDB's native `<=`
+    ASOF plus a CASE-applied tolerance."""
+    ev = io.load_table(spark, sf_dir, "events")
+    errs = (ev.filter((F.col("event_type") == "error")
+                      & F.col("value").isNotNull())
+              .groupBy("user_id", "ts")
+              .agg(F.max("value").alias("error_value")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("event_id", "user_id", "ts"))
+    out = temporal.asof_join(clicks, errs, on="user_id",
+                             left_ts="ts", right_ts="ts",
+                             value_cols=["error_value"],
+                             matched_ts_col="error_ts",
+                             direction="forward",
+                             tolerance_seconds=3600)
+    return out.select("event_id", us("ts").alias("ts_us"),
+                      us("error_ts").alias("error_ts_us"),
+                      "error_value")

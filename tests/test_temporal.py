@@ -104,3 +104,30 @@ def test_epoch_second_floor_matches_duckdb_for_pre_1970(spark):
     assert got == want
     # spot-check the sign-sensitive case: -0.5 s floors to -1, not 0
     assert got[0] == -1
+
+
+def test_asof_forward_and_tolerance(spark):
+    """Forward direction picks the nearest FOLLOWING right row (equal ts
+    matches); tolerance nulls matches beyond the bound without dropping
+    left rows; backward on the same data stays the prior row."""
+    from clif_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 205), (3, "u", 900)],
+        ["id", "k", "sec"]).selectExpr(
+        "id", "k", "timestamp_seconds(sec) AS ts")
+    right = spark.createDataFrame(
+        [("u", 100, 1.0), ("u", 210, 2.0), ("u", 2000, 3.0)],
+        ["k", "sec", "v"]).selectExpr(
+        "k", "timestamp_seconds(sec) AS ts", "v")
+    fwd = {r.id: r.v for r in temporal.asof_join(
+        left, right, on="k", value_cols=["v"],
+        direction="forward").collect()}
+    assert fwd == {1: 1.0, 2: 2.0, 3: 3.0}  # equal-ts matches; else next
+    tol = {r.id: r.v for r in temporal.asof_join(
+        left, right, on="k", value_cols=["v"], direction="forward",
+        tolerance_seconds=60).collect()}
+    assert tol == {1: 1.0, 2: 2.0, 3: None}  # 2000-900 > 60s -> nulled
+    back = {r.id: r.v for r in temporal.asof_join(
+        left, right, on="k", value_cols=["v"]).collect()}
+    assert back == {1: 1.0, 2: 1.0, 3: 2.0}
