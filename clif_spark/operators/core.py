@@ -135,3 +135,26 @@ def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
     + single driver merge; no global sort materialization. Callers must
     include a tiebreaker column for deterministic results."""
     return df.orderBy(*order).limit(k)
+
+
+def upsert_keep_latest(base: DataFrame, updates: DataFrame,
+                       keys: Sequence[str],
+                       order: Sequence[str | Column]) -> DataFrame:
+    """U5 (engine ext.): incremental refresh as a relation — MERGE's
+    insert-or-replace semantics without a transactional table format:
+    union the incoming batch with the current snapshot and keep, per key,
+    the row that sorts LAST by ``order`` (a version/extract timestamp the
+    caller must provide — SURVEY §7.4.1's explicit-order rule; ties must
+    be broken by a unique column).
+
+    This is the engine's answer to the reference's month-over-month
+    re-extract workflow (full recompute there; here the new extract folds
+    into the standing table). Scale shape: one hash exchange on the key —
+    with both sides bucketed by ``keys`` (io.write_bucketed_table) the
+    merge is exchange-free; at 100 TB prefer partition-pruned updates
+    (write only touched date partitions) over whole-table merges.
+    """
+    from clif_spark.operators import windows as _w
+
+    merged = base.unionByName(updates, allowMissingColumns=True)
+    return _w.dedup_keep_last(merged, keys, order)

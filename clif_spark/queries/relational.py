@@ -867,3 +867,45 @@ def a16_numeric_histogram(spark, sf_dir):
     li = io.load_table(spark, sf_dir, "lineitem")
     return profile.numeric_histogram(
         li, "l_extendedprice", keys=["l_returnflag"], n_bins=20)
+
+
+@query(
+    "u5_upsert_keep_latest",
+    oracle="""
+    -- Base snapshot (extract v1) + an update batch (v2 for every 3rd key,
+    -- with a planted value change) merged by keep-latest-per-key.
+    WITH base AS (
+      SELECT event_id, CAST(1 AS BIGINT) AS version, user_id,
+             event_type, value
+      FROM events
+    ),
+    updates AS (
+      SELECT event_id, CAST(2 AS BIGINT) AS version, user_id,
+             event_type, value * 2 AS value
+      FROM events WHERE event_id % 3 = 0
+    ),
+    merged AS (
+      SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY event_id
+                 ORDER BY version DESC) AS rn
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM updates)
+    )
+    SELECT event_id, version, user_id, event_type, value
+    FROM merged WHERE rn = 1
+    """,
+)
+def u5_upsert_keep_latest(spark, sf_dir):
+    """U5 incremental upsert: fold an update batch into a snapshot,
+    keeping the highest-version row per key — MERGE insert-or-replace as
+    a pure relation (operators.core.upsert_keep_latest = union +
+    keep-last dedup). Every 3rd event gets a v2 row with a doubled value;
+    the survivors must carry exactly those. Version is a unique-per-key
+    total order here, satisfying the operator's determinism contract."""
+    ev = io.load_table(spark, sf_dir, "events")
+    base = ev.select("event_id", F.lit(1).cast("long").alias("version"),
+                     "user_id", "event_type", "value")
+    updates = (ev.filter(F.col("event_id") % 3 == 0)
+                 .select("event_id", F.lit(2).cast("long").alias("version"),
+                         "user_id", "event_type",
+                         (F.col("value") * 2).alias("value")))
+    return core.upsert_keep_latest(base, updates, ["event_id"], ["version"])
