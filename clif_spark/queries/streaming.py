@@ -235,3 +235,121 @@ def stream_dedup_bounded_state(spark, sf_dir):
         output_mode="append")
     return (deduped.groupBy("event_type")
                    .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+#: Streaming flowsheet synthesis exprs (the §3.1 shapes over the events
+#: STREAM — integer-closed-form, mirrored verbatim by the oracle).
+_SFLOW_NAME = """
+    CASE WHEN event_id % 5 IN (0, 4) THEN 'BLOOD PRESSURE'
+         WHEN event_id % 5 = 1 THEN 'PULSE'
+         WHEN event_id % 5 = 2 THEN 'RESP RATE'
+         ELSE 'UNMAPPED THING' END
+"""
+_SFLOW_VALUE = """
+    CASE WHEN event_id % 5 IN (0, 4) THEN
+           CONCAT(CAST(100 + event_id % 60 AS STRING), '/',
+                  CAST(60 + event_id % 40 AS STRING))
+         WHEN event_id % 5 = 1 THEN
+           CASE WHEN event_id % 7 = 0 THEN 'junk'
+                ELSE CAST(60 + event_id % 100 AS STRING) END
+         ELSE CAST(10 + event_id % 20 AS STRING) END
+"""
+
+
+@query(
+    "stream_vitals_hourly",
+    oracle="""
+    -- Batch mirror of the STREAMING vitals recomposition: synth flowsheet
+    -- -> vocab map -> BP split into sbp/dbp rows -> hourly per-vital agg.
+    -- Window starts as pure integer epoch buckets (positive epochs).
+    WITH flow AS (
+      SELECT CAST(1700000000 + event_id * 60 AS BIGINT) AS rec,
+           CASE WHEN event_id % 5 IN (0, 4) THEN 'BLOOD PRESSURE'
+                WHEN event_id % 5 = 1 THEN 'PULSE'
+                WHEN event_id % 5 = 2 THEN 'RESP RATE'
+                ELSE 'UNMAPPED THING' END AS flo_meas_name,
+           CASE WHEN event_id % 5 IN (0, 4) THEN
+                  CONCAT(CAST(100 + event_id % 60 AS VARCHAR), '/',
+                         CAST(60 + event_id % 40 AS VARCHAR))
+                WHEN event_id % 5 = 1 THEN
+                  CASE WHEN event_id % 7 = 0 THEN 'junk'
+                       ELSE CAST(60 + event_id % 100 AS VARCHAR) END
+                ELSE CAST(10 + event_id % 20 AS VARCHAR) END AS meas_value
+      FROM events
+    ),
+    mapped AS (
+      SELECT f.*, v.vital_name
+      FROM flow f
+      JOIN (VALUES ('BLOOD PRESSURE', 'blood_pressure'),
+                   ('PULSE', 'heart_rate'), ('RESP RATE', 'resp_rate'))
+           AS v(flo_meas_name, vital_name)
+        ON f.flo_meas_name = v.flo_meas_name
+    ),
+    longform AS (
+      SELECT rec, 'sbp' AS vital_name,
+             TRY_CAST(str_split(meas_value, '/')[1] AS DOUBLE) AS vv
+      FROM mapped WHERE vital_name = 'blood_pressure'
+      UNION ALL
+      SELECT rec, 'dbp',
+             TRY_CAST(str_split(meas_value, '/')[2] AS DOUBLE)
+      FROM mapped WHERE vital_name = 'blood_pressure'
+      UNION ALL
+      SELECT rec, vital_name, TRY_CAST(meas_value AS DOUBLE)
+      FROM mapped WHERE vital_name <> 'blood_pressure'
+    )
+    SELECT CAST((rec // 3600) * 3600 * 1000000 AS BIGINT) AS w_start,
+           vital_name, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(vv AS DECIMAL(30,6))) AS DOUBLE), 2)
+             AS sum_value
+    FROM longform
+    GROUP BY 1, 2
+    """,
+)
+def stream_vitals_hourly(spark, sf_dir):
+    """The §3.1 vitals flow AS A STREAM (SURVEY §2.10 meets §3): the
+    events stream is projected into a flowsheet (closed-form synth),
+    vocab-mapped via a stream-static broadcast join, blood-pressure
+    readings explode into sbp/dbp rows (1->N on a stream), junk casts to
+    NULL, and a watermarked 1h tumbling aggregate counts and sums each
+    vital — run to completion with availableNow and settled against the
+    batch mirror. Stateful pieces: the window aggregate's state is
+    bounded by the watermark; the vocab side is a broadcast dimension."""
+    ev = streaming.read_events_stream(spark, sf_dir)
+    flow = ev.selectExpr(
+        "timestamp_seconds(1700000000 + event_id * 60) AS rec",
+        f"({_SFLOW_NAME}) AS flo_meas_name",
+        f"({_SFLOW_VALUE}) AS meas_value")
+    vocab = spark.createDataFrame(
+        [("BLOOD PRESSURE", "blood_pressure"), ("PULSE", "heart_rate"),
+         ("RESP RATE", "resp_rate")], ["flo_meas_name", "vital_name"])
+    mapped = flow.join(F.broadcast(vocab), "flo_meas_name")
+    longform = mapped.select(
+        "rec",
+        F.explode(
+            F.when(
+                F.col("vital_name") == "blood_pressure",
+                F.array(
+                    F.struct(
+                        F.lit("sbp").alias("vital_name"),
+                        F.split("meas_value", "/").getItem(0)
+                        .cast("double").alias("vv")),
+                    F.struct(
+                        F.lit("dbp").alias("vital_name"),
+                        F.split("meas_value", "/").getItem(1)
+                        .cast("double").alias("vv")))
+            ).otherwise(
+                F.array(F.struct(
+                    F.col("vital_name").alias("vital_name"),
+                    F.col("meas_value").cast("double").alias("vv"))))
+        ).alias("e"))
+    agg = (longform
+           .select("rec", F.col("e.vital_name").alias("vital_name"),
+                   F.col("e.vv").alias("vv"))
+           .withWatermark("rec", "2 hours")
+           .groupBy(F.window("rec", "1 hour"), "vital_name")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(F.col("vv").cast("decimal(30,6)"))
+                        .cast("double"), 2).alias("sum_value")))
+    out = streaming.run_to_memory(agg)
+    return out.select(us(F.col("window.start")).alias("w_start"),
+                      "vital_name", "n", "sum_value")
