@@ -194,3 +194,52 @@ def a14_approx_percentile_bound(spark, sf_dir):
         FROM {li}
         GROUP BY flag
     """)
+
+
+@query(
+    "a17_iqr_outliers",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value AS v,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL),
+    pct AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN v END)
+               AS p25,
+             MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN v END)
+               AS p75
+      FROM ranked GROUP BY event_type)
+    SELECT e.event_type, p.p25, p.p75,
+           COUNT(*) AS n,
+           SUM(CASE WHEN e.value < p.p25 - 1.5 * (p.p75 - p.p25)
+                      OR e.value > p.p75 + 1.5 * (p.p75 - p.p25)
+                    THEN 1 ELSE 0 END) AS n_outliers
+    FROM events e JOIN pct p USING (event_type)
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type, p.p25, p.p75
+    """,
+)
+def a17_iqr_outliers(spark, sf_dir):
+    """Tukey-fence outlier profiling per group — the sanity check behind
+    the reference's eyeballed range inspections, as a relation: exact
+    nearest-rank quartiles (actual data values, so no interpolation can
+    diverge between engines), 1.5×IQR fences in plain IEEE arithmetic,
+    and a second pass counting violations. The quartile relation is
+    dimension-sized (one row per event_type) and broadcasts back over the
+    scan; both passes are single exchanges."""
+    ev = io.load_table(spark, sf_dir, "events")
+    src = (ev.filter(F.col("value").isNotNull())
+             .select("event_type", F.col("value").alias("v"), "event_id"))
+    pct = profile.exact_percentiles(
+        src, ["event_type"], "v", (0.25, 0.75), tiebreakers=("event_id",))
+    iqr = F.col("p75") - F.col("p25")
+    lo = F.col("p25") - 1.5 * iqr
+    hi = F.col("p75") + 1.5 * iqr
+    return (src.join(F.broadcast(pct), "event_type")
+               .groupBy("event_type", "p25", "p75")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(((F.col("v") < lo) | (F.col("v") > hi))
+                          .cast("long")).alias("n_outliers")))
