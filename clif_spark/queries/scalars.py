@@ -230,3 +230,36 @@ def f14_from_json_typed(spark, sf_dir):
              .groupBy((F.col("j.k") % 10).alias("k_bucket"))
              .agg(F.count(F.lit(1)).alias("n"),
                   F.min("event_id").cast("bigint").alias("first_event")))
+
+
+@query(
+    "f15_minmax_normalize",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CASE WHEN b.hi > b.lo THEN (e.value - b.lo) / (b.hi - b.lo)
+           END AS v_norm
+    FROM events e JOIN b USING (event_type)
+    WHERE e.value IS NOT NULL
+    """,
+)
+def f15_minmax_normalize(spark, sf_dir):
+    """Per-group min-max feature scaling — the normalization pass a model
+    pipeline applies before training: group bounds in a dimension-sized
+    aggregate broadcast back over the scan, then one IEEE-exact
+    (v - lo) / (hi - lo) per row (identical operand order on both
+    engines, so bit-comparable); degenerate constant groups normalize to
+    NULL, not a fabricated midpoint."""
+    ev = io.load_table(spark, sf_dir, "events")
+    src = ev.filter(F.col("value").isNotNull())
+    bounds = (src.groupBy("event_type")
+                 .agg(F.min("value").alias("lo"), F.max("value").alias("hi")))
+    return (src.join(F.broadcast(bounds), "event_type")
+               .select("event_id", "event_type",
+                       F.when(F.col("hi") > F.col("lo"),
+                              (F.col("value") - F.col("lo"))
+                              / (F.col("hi") - F.col("lo")))
+                       .alias("v_norm")))

@@ -374,3 +374,40 @@ def o3_topk_per_group(spark, sf_dir):
         method="row_number", out_col="rn")
     return (ranked.filter(F.col("rn") <= 3)
                   .withColumn("rn", F.col("rn").cast("long")))
+
+
+@query(
+    "w12_rate_of_change",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           epoch_us(ts) AS ts_us,
+           CASE WHEN epoch_us(ts) > epoch_us(lag(ts) OVER w)
+                THEN (value - lag(value) OVER w)
+                     / ((epoch_us(ts) - epoch_us(lag(ts) OVER w))
+                        / 1000000.0)
+           END AS rate_per_sec
+    FROM events
+    WHERE value IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w12_rate_of_change(spark, sf_dir):
+    """Per-entity rate of change — the discrete derivative behind vitals
+    trend alarms (delta value / delta seconds vs the previous
+    observation): lag pairs over a (ts, event_id)-tiebroken window, NULL
+    at series start and for simultaneous observations (no division by
+    zero row). Time deltas computed in integer micros, then one IEEE
+    division — bit-identical across engines. One exchange on the entity
+    key; entity-bucketed layout makes it exchange-free."""
+    ev = io.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = us("ts")
+    prev_t = F.lag(t_us).over(w)
+    prev_v = F.lag("value").over(w)
+    return (ev.filter(F.col("value").isNotNull())
+              .select("event_id", "user_id", t_us.alias("ts_us"),
+                      F.when(t_us > prev_t,
+                             (F.col("value") - prev_v)
+                             / ((t_us - prev_t) / F.lit(1000000.0)))
+                      .alias("rate_per_sec")))
