@@ -909,3 +909,42 @@ def u5_upsert_keep_latest(spark, sf_dir):
                          "user_id", "event_type",
                          (F.col("value") * 2).alias("value")))
     return core.upsert_keep_latest(base, updates, ["event_id"], ["version"])
+
+
+@query(
+    "a18_key_skew_profile",
+    oracle="""
+    -- Top-5 hottest join keys with corpus-level skew statistics attached:
+    -- the diagnostic that decides when a join needs the j9 salting path.
+    WITH per_key AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_keys, SUM(n) AS total, MAX(n) AS max_n
+      FROM per_key
+    )
+    SELECT p.user_id, p.n, s.n_keys, s.total,
+           p.n / (CAST(s.total AS DOUBLE) / s.n_keys) AS skew_vs_mean
+    FROM per_key p, stats s
+    ORDER BY p.n DESC, p.user_id
+    LIMIT 5
+    """,
+)
+def a18_key_skew_profile(spark, sf_dir):
+    """Join-key skew diagnostic — the measurement that decides when a
+    pipeline reaches for the salted join (operators/skew.py, j9): per-key
+    cardinalities (map-side-combined count), global key stats as a
+    broadcast 1-row aggregate, and each hot key's multiple of the mean.
+    Top-5 via TakeOrderedAndProject (per-partition heaps, no global
+    sort); the mean division is a single IEEE op on exact integers, so
+    the ratio is bit-comparable."""
+    ev = io.load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    stats = per_key.agg(F.count(F.lit(1)).alias("n_keys"),
+                        F.sum("n").alias("total"),
+                        F.max("n").alias("max_n"))
+    return (per_key.crossJoin(F.broadcast(stats))
+            .select("user_id", "n", "n_keys", "total",
+                    (F.col("n") / (F.col("total").cast("double")
+                                   / F.col("n_keys"))).alias("skew_vs_mean"))
+            .orderBy(F.col("n").desc(), "user_id").limit(5))
