@@ -41,11 +41,20 @@ TESTDATA_TABLES = (
 )
 
 
-def read_parquet(spark: SparkSession, path: str | list[str]) -> DataFrame:
-    """S6/S7: parquet scan; pass a list of paths for union-of-part-files."""
+def read_parquet(spark: SparkSession, path: str | list[str],
+                 merge_schema: bool = False) -> DataFrame:
+    """S6/S7: parquet scan; pass a list of paths for union-of-part-files.
+
+    ``merge_schema=True`` reconciles evolved footers across files (a month
+    that gained a column reads alongside older extracts, missing columns
+    NULL-filled) — pay the footer-union cost only when asked; Spark's
+    default takes one file's schema, which silently DROPS late-added
+    columns from a mixed directory."""
+    reader = spark.read.option("mergeSchema", "true") if merge_schema \
+        else spark.read
     if isinstance(path, list):
-        return spark.read.parquet(*path)
-    return spark.read.parquet(path)
+        return reader.parquet(*path)
+    return reader.parquet(path)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -345,3 +345,21 @@ def test_binary_file_ingest_feeds_media_decode(spark, tmp_path):
     assert out[2].kind == "wav_pcm"
     assert out[2].rms == math.sqrt(
         sum(v * v for v in wav_samples) / len(wav_samples))
+
+
+def test_merge_schema_reads_evolved_extracts(spark, tmp_path):
+    """A later extract gains a column: mergeSchema unions the footers
+    (old rows NULL-filled); the default single-footer read documents the
+    hazard this flag exists for."""
+    from clif_spark import io
+
+    d = str(tmp_path / "evolved")
+    spark.createDataFrame([(1, "a")], ["id", "v1"]) \
+        .write.parquet(d + "/m1")
+    spark.createDataFrame([(2, "b", 9.5)], ["id", "v1", "v2_added"]) \
+        .write.parquet(d + "/m2")
+    merged = io.read_parquet(spark, [d + "/m1", d + "/m2"],
+                             merge_schema=True)
+    assert set(merged.columns) == {"id", "v1", "v2_added"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].v2_added is None and rows[2].v2_added == 9.5
