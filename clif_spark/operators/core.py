@@ -139,7 +139,8 @@ def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
 
 def upsert_keep_latest(base: DataFrame, updates: DataFrame,
                        keys: Sequence[str],
-                       order: Sequence[str | Column]) -> DataFrame:
+                       order: Sequence[str | Column],
+                       allow_missing_columns: bool = False) -> DataFrame:
     """U5 (engine ext.): incremental refresh as a relation — MERGE's
     insert-or-replace semantics without a transactional table format:
     union the incoming batch with the current snapshot and keep, per key,
@@ -156,5 +157,11 @@ def upsert_keep_latest(base: DataFrame, updates: DataFrame,
     """
     from clif_spark.operators import windows as _w
 
-    merged = base.unionByName(updates, allowMissingColumns=True)
+    # Strict schemas by default: a schema-drifted batch missing a column
+    # would otherwise win the keep-latest dedup and permanently NULL that
+    # column for every updated key — silent data destruction where a loud
+    # unionByName mismatch catches the drift. Opt in explicitly for
+    # genuine additive evolution (pair with io.read_parquet merge_schema).
+    merged = base.unionByName(updates,
+                              allowMissingColumns=allow_missing_columns)
     return _w.dedup_keep_last(merged, keys, order)

@@ -20,6 +20,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str | Sequence[str],
@@ -50,6 +51,17 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | Sequence[str],
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
+    if tolerance_seconds is not None:
+        # The ordering logic is type-agnostic, but the tolerance delta is
+        # computed in epoch micros via a timestamp cast — a NUMERIC ts
+        # column (e.g. this repo's epoch-micros bigints) would be
+        # reinterpreted as epoch SECONDS and silently null every match.
+        for df, c in ((left, left_ts), (right, right_ts)):
+            if not isinstance(df.schema[c].dataType,
+                              (T.TimestampType, T.TimestampNTZType)):
+                raise TypeError(
+                    f"tolerance_seconds requires timestamp-typed ts "
+                    f"columns; {c} is {df.schema[c].dataType}")
     keys = [on] if isinstance(on, str) else list(on)
     value_cols = list(value_cols) if value_cols is not None else [
         c for c in right.columns if c not in keys and c != right_ts]

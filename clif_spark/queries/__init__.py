@@ -251,8 +251,8 @@ _VERIFY_FIRST = [
     # --- round-1-row streams (multi-second startup, tail of the block) ---
     "stream_tumbling_agg", "stream_sliding_agg",
 ]
-# 50 head entries: 6 r4-code-touched + 28 round-5-touched/new + 6 r1-row
-# stragglers + 8 r2-row refreshes + the 2 r1-row streams. Twenty-eight r2-row
+# 50 head entries: 6 r4-code-touched + 29 round-5-touched/new + 6 r1-row
+# stragglers + 7 r2-row refreshes + the 2 r1-row streams. Twenty-nine r2-row
 # batch queries cede their slot this round and lead round 6: p1_p3, p2_p4,
 # p5_p6 (trivial projections exercised by nearly every gated query),
 # w1_lead_episodes, w2_downup_fill, w3_keep_last_dedup (exercised inside

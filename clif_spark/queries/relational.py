@@ -920,7 +920,7 @@ def u5_upsert_keep_latest(spark, sf_dir):
       SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
     ),
     stats AS (
-      SELECT COUNT(*) AS n_keys, SUM(n) AS total, MAX(n) AS max_n
+      SELECT COUNT(*) AS n_keys, SUM(n) AS total
       FROM per_key
     )
     SELECT p.user_id, p.n, s.n_keys, s.total,
@@ -941,8 +941,7 @@ def a18_key_skew_profile(spark, sf_dir):
     ev = io.load_table(spark, sf_dir, "events")
     per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     stats = per_key.agg(F.count(F.lit(1)).alias("n_keys"),
-                        F.sum("n").alias("total"),
-                        F.max("n").alias("max_n"))
+                        F.sum("n").alias("total"))
     return (per_key.crossJoin(F.broadcast(stats))
             .select("user_id", "n", "n_keys", "total",
                     (F.col("n") / (F.col("total").cast("double")

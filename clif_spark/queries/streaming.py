@@ -258,23 +258,14 @@ _SFLOW_VALUE = """
 
 @query(
     "stream_vitals_hourly",
-    oracle="""
+    oracle=f"""
     -- Batch mirror of the STREAMING vitals recomposition: synth flowsheet
     -- -> vocab map -> BP split into sbp/dbp rows -> hourly per-vital agg.
     -- Window starts as pure integer epoch buckets (positive epochs).
     WITH flow AS (
       SELECT CAST(1700000000 + event_id * 60 AS BIGINT) AS rec,
-           CASE WHEN event_id % 5 IN (0, 4) THEN 'BLOOD PRESSURE'
-                WHEN event_id % 5 = 1 THEN 'PULSE'
-                WHEN event_id % 5 = 2 THEN 'RESP RATE'
-                ELSE 'UNMAPPED THING' END AS flo_meas_name,
-           CASE WHEN event_id % 5 IN (0, 4) THEN
-                  CONCAT(CAST(100 + event_id % 60 AS VARCHAR), '/',
-                         CAST(60 + event_id % 40 AS VARCHAR))
-                WHEN event_id % 5 = 1 THEN
-                  CASE WHEN event_id % 7 = 0 THEN 'junk'
-                       ELSE CAST(60 + event_id % 100 AS VARCHAR) END
-                ELSE CAST(10 + event_id % 20 AS VARCHAR) END AS meas_value
+           ({_SFLOW_NAME}) AS flo_meas_name,
+           ({_SFLOW_VALUE}) AS meas_value
       FROM events
     ),
     mapped AS (

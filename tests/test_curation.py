@@ -114,6 +114,7 @@ def test_remove_repeated_ngram_spans_semantics(spark):
     assert out[2].clean_text == "tail1 tail2"
     assert out[3].clean_text == "only3" and out[3].n_removed == 9
     assert out[4].clean_text == "only4"
-    assert out[5].n_removed == 0 and out[5].clean_text == out[5].clean_text
+    assert out[5].n_removed == 0
+    assert out[5].clean_text == "too short to have grams"
     assert out[6].n_removed == 0
     assert out[6].clean_text == "entirely unique words that repeat nowhere at all ok"
