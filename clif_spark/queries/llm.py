@@ -1367,3 +1367,23 @@ def mm_sample_stats(spark, sf_dir):
     d = io.load_table(spark, sf_dir, "documents")
     payload = multimodal.synth_rich_media_payload(d)
     return multimodal.media_sample_features(payload)
+
+
+@query("ann_ivf_trained_topk")  # rows-only: iterative training step
+def ann_ivf_trained_topk(spark, sf_dir):
+    """IVF ANN with a TRAINED coarse quantizer: distributed Lloyd's
+    k-means (deterministic md5 init, integer-micros centroid folds,
+    bounded iterations) learns 8 cells, then the same assignment/probe/
+    re-rank machinery as ann_ivf_topk searches them. The k-means step is
+    the registry's sanctioned no-oracle case (iterative algorithm — a
+    SQL mirror would be a recursive re-implementation, not an independent
+    check); the result is still DETERMINISTIC (pure hash init + exact
+    integer accumulation), and tests/test_similarity.py pins that the
+    trained quantizer's recall vs brute-force cosine meets the untrained
+    path's floor. Driver records the rows-only check."""
+    e = io.load_table(spark, sf_dir, "embeddings")
+    cents, _assign, _hist = similarity.kmeans(e, k=8, max_iter=5)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.ivf_topk(e, queries, k=10, nprobe=2, n_cells=8,
+                               centroids=cents)

@@ -335,15 +335,22 @@ def ivf_assign(vectors: DataFrame, centroids: list[list[float]],
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
              nprobe: int = 2, n_cells: int = 16, id_col: str = "vec_id",
              vec_col: str = "embedding",
-             query_id_col: str = "query_id") -> DataFrame:
+             query_id_col: str = "query_id",
+             centroids: list | None = None) -> DataFrame:
     """IVF ANN search: partition vectors into ``n_cells`` inverted lists,
     probe the ``nprobe`` nearest cells per query, exact-cosine re-rank.
+
+    ``centroids`` plugs in a trained coarse quantizer (``kmeans`` output);
+    by default the deterministic lowest-id quantizer is used (the form the
+    SQL oracle can recompute). Assignment and search are identical either
+    way — only the cell geometry changes.
 
     Scale shape: assignment is a narrow map (centroids inlined); the search
     join broadcasts (query × probed cell) — each query touches ~nprobe/n_cells
     of the corpus instead of all of it, the IVF trade: recall bounded by
     nprobe, tuned against fan-out. Output: (query_id, neighbor_id, cos)."""
-    cents = ivf_centroids(vectors, n_cells, id_col, vec_col)
+    cents = (centroids if centroids is not None
+             else ivf_centroids(vectors, n_cells, id_col, vec_col))
     assigned = (ivf_assign(vectors, cents, id_col, vec_col)
                 .withColumnRenamed(id_col, "neighbor_id"))
     q = queries.select(query_id_col, F.col(vec_col).alias("__q"))

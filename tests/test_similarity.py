@@ -102,3 +102,40 @@ def test_lsh_multiprobe_recall_dominates_bare_table(spark):
     truth = {(r.query_id, r.neighbor_id)
              for r in similarity.cosine_topk(e, qs, k=10).collect()}
     assert len(mp & truth) >= len(bare & truth)
+
+
+def test_trained_ivf_deterministic_with_usable_recall(spark):
+    """The trained-quantizer path end-to-end: recall vs brute force stays
+    non-degenerate under 2-of-8-cell pruning, and two INDEPENDENT
+    trainings produce bit-identical centroids and search results (md5
+    init + integer-micros centroid folds — no RNG, no float
+    order-dependence). Cell-balance comparisons are deliberately NOT
+    asserted: the synthetic embeddings are near-uniform, where k-means
+    has no structure to find and either quantizer can win."""
+    from pyspark.sql import functions as F
+
+    from clif_spark import io, similarity
+
+    e = io.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    truth = {}
+    for r in similarity.cosine_topk(e, queries, k=10).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    cents, _, hist = similarity.kmeans(e, k=8, max_iter=5)
+    assert hist == sorted(hist, reverse=True)  # Lloyd's never regresses
+    trained = similarity.ivf_topk(e, queries, k=10, nprobe=2, n_cells=8,
+                                  centroids=cents)
+    got = {}
+    for r in trained.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+    assert hits / sum(len(t) for t in truth.values()) >= 0.3
+
+    cents2, _, _ = similarity.kmeans(e, k=8, max_iter=5)
+    assert cents2 == cents
+    again = similarity.ivf_topk(e, queries, k=10, nprobe=2, n_cells=8,
+                                centroids=cents2)
+    assert sorted(map(tuple, again.collect())) == \
+        sorted(map(tuple, trained.collect()))
