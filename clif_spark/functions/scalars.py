@@ -146,3 +146,17 @@ def hash_id(col: Column) -> Column:
     sha2-256 chosen over R digest's md5 default — any stable hash satisfies
     the de-identification intent, SURVEY §2.8 F12)."""
     return F.sha2(col.cast("string"), 256)
+
+
+#: Accent-fold mapping (Latin-1/Latin-Extended vowels + c/n/y): a pure
+#: codepoint translate — no ICU dependency, identical semantics in DuckDB's
+#: translate(), so oracle-checkable (full Unicode normalization would need
+#: an NFD pass; this covers the Western-European fold vocab pipelines use).
+ACCENTED = "áàâäéèêëíìîïóòôöúùûüçñýÁÀÂÄÉÈÊËÍÌÎÏÓÒÔÖÚÙÛÜÇÑÝ"
+FOLDED = "aaaaeeeeiiiioooouuuucnyAAAAEEEEIIIIOOOOUUUUCNY"
+
+
+def fold_accents(col: Column) -> Column:
+    """F16: accent folding for match keys (vocab joins, dedup shingles,
+    fuzzy med match) — 'Café' and 'Cafe' must hash/join identically."""
+    return F.translate(col, ACCENTED, FOLDED)

@@ -240,18 +240,18 @@ _VERIFY_FIRST = [
     "u5_upsert_keep_latest", "stream_vitals_hourly",
     "a17_iqr_outliers", "w12_rate_of_change", "f15_minmax_normalize",
     "a18_key_skew_profile", "ann_ivf_trained_topk",
+    "a19_cooccurrence_pairs", "f16_accent_fold",
     # --- round-1 rows never refreshed (batch) ---
     "p7_p8_in_comparison", "p9_like_rlike", "p10_time_range",
     "j2_composite_key_join", "j4_semi_anti_join", "f6_coalesce_fallback",
     # --- round-2 rows, now 3 rounds stale: refresh as many as fit ---
-    "a10_moment_corr", "a11_exact_percentiles",
     "j8_interval_join", "pii_redact",
     "q1_pricing_summary", "q6_forecast_revenue",
     # --- round-1-row streams (multi-second startup, tail of the block) ---
     "stream_tumbling_agg", "stream_sliding_agg",
 ]
-# 50 head entries: 6 r4-code-touched + 30 round-5-touched/new + 6 r1-row
-# stragglers + 6 r2-row refreshes + the 2 r1-row streams. Thirty r2-row
+# 50 head entries: 6 r4-code-touched + 32 round-5-touched/new + 6 r1-row
+# stragglers + 4 r2-row refreshes + the 2 r1-row streams. Thirty-two r2-row
 # batch queries cede their slot this round and lead round 6: p1_p3, p2_p4,
 # p5_p6 (trivial projections exercised by nearly every gated query),
 # w1_lead_episodes, w2_downup_fill, w3_keep_last_dedup (exercised inside
@@ -267,7 +267,9 @@ _VERIFY_FIRST = [
 # through the round-5 minhash/repeated-ngram rows), corpus_curation,
 # dedup_exact (hash-groupBy shape exercised by nearly every gated agg),
 # dedup_embedding_cosine (vector machinery re-gated through the round-5
-# trained-IVF row and the r4-green ann family). The four r2-row streams stay in
+# trained-IVF row and the r4-green ann family), a10_moment_corr,
+# a11_exact_percentiles (percentile machinery re-gated through the
+# round-5 a17 quartile-fence row). The four r2-row streams stay in
 # _VERIFY_LAST as before.
 
 # Round-1/2-verified queries with multi-second stream startup: pinned to the

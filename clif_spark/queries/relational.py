@@ -947,3 +947,33 @@ def a18_key_skew_profile(spark, sf_dir):
                     (F.col("n") / (F.col("total").cast("double")
                                    / F.col("n_keys"))).alias("skew_vs_mean"))
             .orderBy(F.col("n").desc(), "user_id").limit(5))
+
+
+@query(
+    "a19_cooccurrence_pairs",
+    oracle="""
+    -- Market-basket pair counts: how many users exhibit BOTH event types.
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_users
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def a19_cooccurrence_pairs(spark, sf_dir):
+    """Co-occurrence (market-basket) pair counts — per unordered pair of
+    event types, the number of users exhibiting both. Plan: distinct
+    (user, type) with map-side combine, self-join on the user key with
+    the a<b ordering predicate (each pair counted once), pair-keyed
+    count. The self-join is keyed — never cartesian — and each user
+    contributes at most C(|types|, 2) rows, bounded by the small type
+    domain at any user count."""
+    ev = io.load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    return (a.join(b, "user_id")
+             .filter(F.col("type_a") < F.col("type_b"))
+             .groupBy("type_a", "type_b")
+             .agg(F.count(F.lit(1)).alias("n_users")))

@@ -263,3 +263,35 @@ def f15_minmax_normalize(spark, sf_dir):
                               (F.col("value") - F.col("lo"))
                               / (F.col("hi") - F.col("lo")))
                        .alias("v_norm")))
+
+
+@query(
+    "f16_accent_fold",
+    oracle=f"""
+    -- The ASCII corpus gets accents PLANTED (a->á etc.) then folded back:
+    -- a full round trip through both engines' codepoint translate.
+    WITH accented AS (
+      SELECT doc_id, translate(text, 'aeion', 'áéíóñ') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           translate(t, '{S.ACCENTED}', '{S.FOLDED}') AS folded,
+           CAST(length(t) - length(translate(t, '{S.ACCENTED}', ''))
+                AS BIGINT) AS n_accented
+    FROM accented
+    """,
+)
+def f16_accent_fold(spark, sf_dir):
+    """F16 accent folding (match-key normalization for vocab joins and
+    dedup): accents planted on the ASCII corpus, folded back with the
+    engine's codepoint translate, plus the accented-char count via the
+    delete-form of translate (a shorter 'to' string deletes — same rule
+    both engines). Pure narrow codegen expressions, zero shuffle."""
+    d = io.load_table(spark, sf_dir, "documents")
+    accented = d.select(
+        "doc_id", F.translate("text", "aeion", "áéíóñ").alias("t"))
+    return accented.select(
+        "doc_id",
+        S.fold_accents(F.col("t")).alias("folded"),
+        (F.length("t") - F.length(F.translate("t", S.ACCENTED, "")))
+        .cast("long").alias("n_accented"))
