@@ -113,3 +113,28 @@ def sessionize(df: DataFrame, partition: Sequence[str], ts_col: str,
               .withColumn(session_col,
                           F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
               .drop("__new"))
+
+
+def cumulative_distinct(df: DataFrame, partition: Sequence[str],
+                        value_col: str, order: Sequence[str],
+                        out_col: str = "cum_distinct") -> DataFrame:
+    """Running count of distinct ``value_col`` values seen so far per
+    partition — the novelty curve behind engagement breadth / coverage
+    monitors. ``COUNT(DISTINCT x) OVER`` is unsupported by Spark (and
+    needs O(n) state per frame where engines do support it); the
+    equivalent streaming-friendly form marks each value's FIRST occurrence
+    (row_number over (partition + value) == 1) and takes a running sum of
+    the marks over the entity window.
+
+    Two window passes on different keys = two exchanges in general; with
+    the entity-bucketed layout (io.write_bucketed) the second pass reuses
+    the entity clustering and only the (entity, value) pass shuffles.
+    State per row is O(1) — nothing accumulates a distinct set.
+    """
+    w_first = _w([*partition, value_col], list(order))
+    w_run = _w(partition, list(order)).rowsBetween(
+        Window.unboundedPreceding, 0)
+    is_first = (F.row_number().over(w_first) == 1).cast("long")
+    return (df.withColumn("__first", is_first)
+              .withColumn(out_col, F.sum("__first").over(w_run))
+              .drop("__first"))

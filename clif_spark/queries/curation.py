@@ -510,3 +510,32 @@ def dedup_remove_repeated_spans(spark, sf_dir):
     string_agg."""
     d = io.load_table(spark, sf_dir, "documents")
     return curation.remove_repeated_ngram_spans(d, n=8)
+
+
+@query(
+    "sample_reservoir_per_key",
+    oracle="""
+    SELECT doc_id, lang, sample_rank FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('perkey:' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS sample_rank
+        FROM documents)
+    WHERE sample_rank <= 3
+    """,
+)
+def sample_reservoir_per_key(spark, sf_dir):
+    """Deterministic k-per-stratum subsample (k=3 docs per language) — the
+    batch form of per-key reservoir sampling used to cap dominant strata
+    before mixing a training corpus. Rows rank by full-md5 of the key, so
+    the kept set is a uniform k-subset, identical across runs/engines/
+    parallelism, and rank<=j prefixes are themselves uniform j-subsets
+    (sampling.per_key_sample). One exchange on the stratum key; the rank
+    window is the same shape as o3_topk_per_group so the bucketed layout
+    collapses it."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return (sampling.per_key_sample(d.select("doc_id", "lang"),
+                                    partition=["lang"], key_col="doc_id",
+                                    k=3, seed="perkey")
+            .select("doc_id", "lang", "sample_rank"))

@@ -411,3 +411,37 @@ def w12_rate_of_change(spark, sf_dir):
                              (F.col("value") - prev_v)
                              / ((t_us - prev_t) / F.lit(1000000.0)))
                       .alias("rate_per_sec")))
+
+
+@query(
+    "w13_cumulative_distinct",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+               FROM events),
+    f AS (SELECT *,
+                 CASE WHEN row_number() OVER
+                          (PARTITION BY user_id, event_type
+                           ORDER BY ts_us, event_id) = 1
+                      THEN 1 ELSE 0 END AS is_first
+          FROM e)
+    SELECT user_id, event_id, ts_us,
+           sum(is_first) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING)
+               AS cum_distinct_types
+    FROM f
+    """,
+)
+def w13_cumulative_distinct(spark, sf_dir):
+    """Running distinct-event-type count per user (novelty / engagement
+    breadth curve). COUNT(DISTINCT) OVER is unsupported by Spark and
+    O(frame) state where engines do support it; the first-occurrence-mark
+    + running-sum recomposition (operators/windows.py:cumulative_distinct)
+    is O(1) state per row and expressible on any engine — the same trick
+    both the oracle and a warehouse user would need. (ts, event_id)
+    tiebreak keeps simultaneous events deterministic (SURVEY §7.4.1)."""
+    ev = io.load_table(spark, sf_dir, "events")
+    out = W.cumulative_distinct(
+        ev.select("event_id", "user_id", "event_type", us("ts").alias("ts_us")),
+        partition=["user_id"], value_col="event_type",
+        order=["ts_us", "event_id"], out_col="cum_distinct_types")
+    return out.select("user_id", "event_id", "ts_us", "cum_distinct_types")

@@ -21,7 +21,7 @@ dedup + incremental pipelines need).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -68,3 +68,28 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float,
     """Reproducible subsample: keep rows whose hashed key falls below
     ``fraction``. Same key -> same verdict across runs/engines."""
     return df.filter(u01(key_col, seed) < F.lit(fraction))
+
+
+def per_key_sample(df: DataFrame, partition: list[str], key_col: str,
+                   k: int, seed: str = "perkey",
+                   rank_col: str = "sample_rank") -> DataFrame:
+    """Deterministic k-per-group subsample — the batch form of per-stratum
+    reservoir sampling (cap each stratum at k documents before mixing).
+
+    Rank rows inside each group by the FULL md5 of the key (not u01's
+    16-bit slice: at k close to the group size a 1/65536 collision would
+    make the kept set depend on the tiebreaker, and the full 128-bit hex
+    string is just as engine-portable — lowercase hex compares bytewise
+    identically everywhere) and keep the first ``k``. The hash gives every
+    row an i.i.d. uniform draw, so the kept rows are a uniform k-subset,
+    reproducible across runs/engines/parallelism with no RNG state.
+
+    One exchange on the group key; ``rank_col`` (1..k) is emitted so a
+    downstream consumer can take a nested prefix (rank <= j, j < k) that is
+    itself a uniform j-subset — the property that makes this a reservoir
+    analog rather than a one-off filter.
+    """
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(*partition).orderBy(h, F.col(key_col))
+    return (df.withColumn(rank_col, F.row_number().over(w))
+              .filter(F.col(rank_col) <= k))

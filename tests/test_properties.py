@@ -328,3 +328,40 @@ def test_temperature_mix_semantics(spark):
     assert by_src["tail"] == 100  # smallest source always kept whole
     # head keeps ~ n_min = 100 of its 600 (hash noise around 100)
     assert 70 <= by_src["head"] <= 130
+
+
+def test_per_key_sample_uniform_prefix_property(spark):
+    """per_key_sample laws: exactly k per group (or the whole group when
+    smaller), stable across recomputation, and rank<=j is a prefix of
+    rank<=k drawn from the SAME ordering (nested uniform subsets)."""
+    from clif_spark import sampling
+
+    df = spark.range(900).selectExpr("id AS k", "id % 3 AS g")
+    k5 = sampling.per_key_sample(df, ["g"], "k", 5).collect()
+    from collections import Counter
+    per_g = Counter(r.g for r in k5)
+    assert set(per_g.values()) == {5}
+    assert sorted(r.sample_rank for r in k5 if r.g == 0) == [1, 2, 3, 4, 5]
+    again = {(r.g, r.k, r.sample_rank) for r in
+             sampling.per_key_sample(df, ["g"], "k", 5).collect()}
+    assert again == {(r.g, r.k, r.sample_rank) for r in k5}
+    k2 = {(r.g, r.k) for r in
+          sampling.per_key_sample(df, ["g"], "k", 2).collect()}
+    assert k2 == {(r.g, r.k) for r in k5 if r.sample_rank <= 2}
+    # tiny groups survive whole
+    tiny = spark.range(2).selectExpr("id AS k", "0 AS g")
+    assert len(sampling.per_key_sample(tiny, ["g"], "k", 5).collect()) == 2
+
+
+def test_cumulative_distinct_counts_first_occurrences(spark):
+    """cumulative_distinct equals the brute-force running |set| per
+    partition, including re-occurrences and cross-user isolation."""
+    from clif_spark.operators.windows import cumulative_distinct
+
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "c"), (1, 5, "b"),
+            (2, 1, "a"), (2, 2, "a")]
+    df = spark.createDataFrame(rows, "u long, t long, v string")
+    got = {(r.u, r.t): r.cum_distinct for r in
+           cumulative_distinct(df, ["u"], "v", ["t"]).collect()}
+    assert got == {(1, 1): 1, (1, 2): 2, (1, 3): 2, (1, 4): 3, (1, 5): 3,
+                   (2, 1): 1, (2, 2): 1}
