@@ -201,6 +201,49 @@ def c4_line_filter(docs: DataFrame, id_col: str = "doc_id",
                         F.array_join(keep, "\n").alias("clean_text")))
 
 
+def rare_bigram_score(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      rare_denom: int = 2000) -> DataFrame:
+    """Corpus-trained character-bigram rarity score — the deterministic
+    core of a perplexity-style quality filter (CCNet/KenLM's "does this
+    text look like the corpus?" signal, without the float log-likelihoods
+    that cannot hash-match across engines' libm builds).
+
+    Two-pass distributed LM shape: pass 1 aggregates the corpus-wide
+    bigram frequency table (the "model" — vocabulary is bounded by
+    |alphabet|^2, so it broadcasts by construction at ANY corpus size);
+    pass 2 re-derives each document's bigrams and joins them against the
+    broadcast model. A bigram is "rare" when its corpus frequency is
+    below 1/``rare_denom``; the score is the rare fraction in exact
+    integer ppm (floor-division — no float in the data path at all, so
+    a production run can threshold on it reproducibly).
+
+    Output: (id, total_bigrams, rare_bigrams, rare_ppm). Plan: one
+    shuffle to build the model, a broadcast join + one keyed aggregate to
+    score — the same shape a real n-gram LM scorer needs at 100 TB.
+    """
+    bigrams = F.expr(
+        f"transform(sequence(1, length({text_col}) - 1),"
+        f" i -> substring({text_col}, i, 2))")
+    # length<2 guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0],
+    # not an empty array — short docs must be excluded, as they are in the
+    # oracle (DuckDB's range(1, 1) is empty, so they emit no bigrams).
+    bg = (docs.filter(F.length(text_col) >= 2)
+              .select(id_col, F.explode(bigrams).alias("bg")))
+    cnt = bg.groupBy("bg").agg(F.count("*").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("t"))
+    model = cnt.crossJoin(F.broadcast(tot)).select(
+        "bg",
+        (F.col("c") * rare_denom < F.col("t")).cast("long").alias("rare"))
+    return (bg.join(F.broadcast(model), "bg")
+              .groupBy(id_col)
+              .agg(F.count("*").alias("total_bigrams"),
+                   F.sum("rare").alias("rare_bigrams"))
+              .withColumn("rare_ppm",
+                          F.expr("div(rare_bigrams * 1000000,"
+                                 " total_bigrams)")))
+
+
 def repeated_ngram_profile(docs: DataFrame, n: int = 8,
                            id_col: str = "doc_id",
                            text_col: str = "text",

@@ -19,7 +19,7 @@ Design notes for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from clif_spark.functions.text import fingerprint, word_ngrams
 from clif_spark.io import ensure_parallelism
@@ -54,6 +54,44 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
               .agg(F.min(id_col).alias("keeper_id"),
                    F.count(F.lit(1)).alias("n_docs"))
               .filter(F.col("n_docs") > 1))
+
+
+def chunk_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", chunk_tokens: int = 10) -> DataFrame:
+    """Sub-document exact dedup at chunk grain — the paragraph-level
+    dedup of C4/Dolma ("remove any paragraph seen before, keep the first
+    occurrence"), generalized to fixed ``chunk_tokens``-token chunks so it
+    also covers single-line corpora with no paragraph breaks.
+
+    Shape: tokenize (narrow) -> posexplode chunks -> ONE global window on
+    the chunk value marks the first occurrence by (id, chunk_idx) order
+    (the exchange partitions by chunk text: boilerplate concentrates but
+    per-group state is one counter, not a collected set) -> re-aggregate
+    per document, reassembling the surviving text in chunk order.
+
+    Output: (id, n_chunks, n_kept, kept_text) — n_chunks > n_kept flags
+    documents that lost boilerplate; kept_text == '' means the whole
+    document was seen before (the exact-dedup degenerate case).
+    """
+    k = chunk_tokens
+    chunks = F.expr(
+        f"transform(sequence(0, cast(ceil(size(split({text_col}, ' '))"
+        f" / {k}.0) as int) - 1),"
+        f" i -> array_join(slice(split({text_col}, ' '), i * {k} + 1, {k}),"
+        f" ' '))")
+    ch = (docs.select(id_col, F.posexplode(chunks).alias("idx", "chunk")))
+    w = Window.partitionBy("chunk").orderBy(id_col, "idx")
+    marked = ch.withColumn(
+        "keep", (F.row_number().over(w) == 1).cast("long"))
+    kept_structs = F.array_sort(
+        F.collect_list(F.when(F.col("keep") == 1,
+                              F.struct("idx", "chunk"))))
+    return (marked.groupBy(id_col)
+                  .agg(F.count("*").alias("n_chunks"),
+                       F.sum("keep").alias("n_kept"),
+                       F.array_join(
+                           F.transform(kept_structs, lambda s: s["chunk"]),
+                           " ").alias("kept_text")))
 
 
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id",

@@ -539,3 +539,79 @@ def sample_reservoir_per_key(spark, sf_dir):
                                     partition=["lang"], key_col="doc_id",
                                     k=3, seed="perkey")
             .select("doc_id", "lang", "sample_rank"))
+
+
+@query(
+    "text_rare_bigram_score",
+    oracle="""
+    WITH bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, length(text)),
+                                     i -> substring(text, i, 2))) AS bg
+        FROM documents WHERE length(text) >= 2),
+    cnt AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg),
+    tot AS (SELECT sum(c) AS t FROM cnt),
+    flag AS (SELECT bg, CASE WHEN c * 2000 < (SELECT t FROM tot)
+                             THEN 1 ELSE 0 END AS rare
+             FROM cnt)
+    SELECT b.doc_id,
+           count(*) AS total_bigrams,
+           CAST(sum(f.rare) AS BIGINT) AS rare_bigrams,
+           (CAST(sum(f.rare) AS BIGINT) * 1000000) // count(*) AS rare_ppm
+    FROM bg b JOIN flag f USING (bg)
+    GROUP BY b.doc_id
+    """,
+)
+def text_rare_bigram_score(spark, sf_dir):
+    """Perplexity-proxy quality scoring: train a corpus-wide char-bigram
+    frequency model (one shuffle; vocabulary bounded by |alphabet|^2 so
+    the model broadcasts at any corpus size), then score every document
+    by its fraction of rare bigrams in exact integer ppm
+    (curation.rare_bigram_score). The distributed shape of a KenLM-style
+    quality filter with a hash-matchable score (no libm in the data
+    path). Non-Latin scripts in the corpus (zh/hi docs) surface as
+    high-rarity outliers — the filter signal."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return curation.rare_bigram_score(d)
+
+
+@query(
+    "dedup_chunk_paragraphs",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    lst AS (SELECT doc_id,
+                   unnest(list_transform(
+                       range(0, CAST(ceil(len(toks) / 10.0) AS INT)),
+                       i -> struct_pack(
+                           idx := i,
+                           chunk := array_to_string(
+                               toks[i * 10 + 1 : i * 10 + 10], ' ')))) AS s
+            FROM t),
+    ch AS (SELECT doc_id, s.idx AS idx, s.chunk AS chunk FROM lst),
+    marked AS (SELECT doc_id, idx, chunk,
+                      CASE WHEN row_number() OVER
+                               (PARTITION BY chunk ORDER BY doc_id, idx) = 1
+                           THEN 1 ELSE 0 END AS keep
+               FROM ch)
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(keep) AS BIGINT) AS n_kept,
+           COALESCE(array_to_string(list(chunk ORDER BY idx)
+                                    FILTER (keep = 1), ' '), '') AS kept_text
+    FROM marked
+    GROUP BY doc_id
+    """,
+)
+def dedup_chunk_paragraphs(spark, sf_dir):
+    """Sub-document exact dedup at 10-token-chunk grain — the C4/Dolma
+    paragraph dedup ("drop any paragraph seen before, keep first
+    occurrence") generalized to fixed-size chunks for single-line corpora
+    (dedup.chunk_dedup). One exchange on the chunk value marks global
+    first occurrences; re-aggregation reassembles surviving text in chunk
+    order. The word-soup corpus collides naturally at this grain, so the
+    gate exercises real cross-document chunk drops (no planted dups
+    needed)."""
+    d = io.load_table(spark, sf_dir, "documents")
+    from clif_spark import dedup
+    return dedup.chunk_dedup(d)

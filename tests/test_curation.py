@@ -118,3 +118,37 @@ def test_remove_repeated_ngram_spans_semantics(spark):
     assert out[5].clean_text == "too short to have grams"
     assert out[6].n_removed == 0
     assert out[6].clean_text == "entirely unique words that repeat nowhere at all ok"
+
+
+def test_chunk_dedup_semantics(spark):
+    """Chunk dedup: whole-dup doc empties (first occurrence wins by id),
+    partial overlap drops only the shared chunk, unique docs intact."""
+    from clif_spark.dedup import chunk_dedup
+
+    a = "a b c"                     # 1 chunk (k=3)
+    rows = [(1, a), (2, a),          # doc 2 fully deduped away
+            (3, "a b c x y z"),      # first chunk dups doc 1's
+            (4, "p q r")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in chunk_dedup(df, chunk_tokens=3).collect()}
+    assert (out[1].n_chunks, out[1].n_kept, out[1].kept_text) == (1, 1, a)
+    assert (out[2].n_kept, out[2].kept_text) == (0, "")
+    assert (out[3].n_chunks, out[3].n_kept, out[3].kept_text) == (2, 1, "x y z")
+    assert out[4].kept_text == "p q r"
+
+
+def test_rare_bigram_score_short_doc_guard_and_flagging(spark):
+    """Docs under 2 chars are excluded (Spark's sequence(1,0) descends);
+    a bigram occurring once in a large corpus flags as rare, dominant
+    bigrams do not."""
+    from clif_spark.curation import rare_bigram_score
+
+    rows = [(1, "aaaaaaaaaa"), (2, "aaaaaaaaaZ"), (3, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           rare_bigram_score(df, rare_denom=10).collect()}
+    assert 3 not in out
+    assert out[1].rare_bigrams == 0
+    # doc 2: bigrams aa*8 + aZ*1; aZ count=1, total=18, 1*10 < 18 -> rare
+    assert out[2].rare_bigrams == 1 and out[2].total_bigrams == 9
+    assert out[2].rare_ppm == 1000000 // 9
