@@ -1387,3 +1387,20 @@ def ann_ivf_trained_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding")
     return similarity.ivf_topk(e, queries, k=10, nprobe=2, n_cells=8,
                                centroids=cents)
+
+
+@query("ann_cosine_topk_arrow", oracle=None)
+def ann_cosine_topk_arrow(spark, sf_dir):
+    """The Arrow/BLAS formulation of ann_cosine_topk (same 5 queries,
+    k=10): one numpy matmul per Arrow batch with per-batch top-k
+    pre-reduction, so the exchange carries O(queries x k x batches) rows
+    at any corpus size (similarity.cosine_topk_arrow). Registered
+    rows-only: the 4dp-rounded scores match the HOF fold on real data
+    (tests pin equality vs the oracle-gated query), but a last-ulp
+    accumulation-order flip at a rounding boundary cannot be RULED OUT
+    the way the fold's fixed evaluation order can, so the hash gate stays
+    on the fold formulation."""
+    e = io.load_table(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return similarity.cosine_topk_arrow(e, q, k=10)

@@ -108,6 +108,80 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                   .filter(F.col("__rn") <= k).drop("__rn"))
 
 
+def cosine_topk_arrow(vectors: DataFrame, queries: DataFrame, k: int = 5,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k cosine neighbors via Arrow-batched numpy matmul — the
+    throughput path for brute-force scoring when vectors × queries is
+    large enough that per-row expression evaluation (``cosine_topk``'s
+    HOF fold) leaves BLAS-level speed on the table.
+
+    Shape (the part that matters at billions of vectors):
+    - the QUERY matrix is collected and broadcast — query sets are
+      dimension-sized by contract (same budget as the k-means centroid
+      pull), never the corpus;
+    - each Arrow batch of vectors is ONE normalized matmul
+      (batch × dim) @ (dim × queries) inside numpy/BLAS — no per-row
+      Python, no per-element py4j;
+    - per-batch top-k pre-reduction: only k rows per (query, batch) leave
+      the task, so the final exchange carries O(queries × k × batches)
+      rows regardless of corpus size; a final window merges the partial
+      heaps exactly.
+
+    Scores are rounded half-up to 4dp INSIDE the batch (floor(x*1e4+0.5),
+    matching Spark's ROUND for the positive/negative-non-half cases that
+    occur in practice) and batch selection tie-breaks on neighbor id via
+    lexsort — the same total order as the merge window, so the partial
+    top-k is a true prefix and results match ``cosine_topk`` bit-for-bit
+    on non-pathological data (tests pin the equivalence; last-ulp
+    accumulation-order drift vs the sequential fold is absorbed by the
+    4dp rounding, which is why the ORACLE-gated query keeps the fold).
+
+    Output: (query_id, neighbor_id, cos) — same surface as cosine_topk.
+    """
+    import numpy as np
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    qids_np = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    bq = vectors.sparkSession.sparkContext.broadcast((qids_np, qm))
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+        qids, qn = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            s = np.floor((v @ qn.T) * 1e4 + 0.5) / 1e4
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(qids)):
+                keep = ids != qids[j]
+                cand_ids, cand_s = ids[keep], s[keep, j]
+                if cand_ids.size == 0:
+                    continue
+                order = np.lexsort((cand_ids, -cand_s))[:k]
+                out_q.append(np.full(order.size, qids[j]))
+                out_n.append(cand_ids[order])
+                out_c.append(cand_s[order])
+            if out_q:
+                yield pd.DataFrame({query_id_col: np.concatenate(out_q),
+                                    "neighbor_id": np.concatenate(out_n),
+                                    "cos": np.concatenate(out_c)})
+
+    scored = ensure_parallelism(vectors).select(
+        F.col(id_col), F.col(vec_col)).mapInPandas(
+        score, f"{query_id_col} long, neighbor_id long, cos double")
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(),
+                                                 F.col("neighbor_id"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") <= k).drop("__rn"))
+
+
 def deterministic_hyperplanes(dim: int, n_planes: int, seed: str = "clif") -> list[list[float]]:
     """Pseudo-random unit-free hyperplanes derived from md5 — reproducible
     across engines/sessions with no RNG state (each component is an md5 of

@@ -139,3 +139,16 @@ def test_trained_ivf_deterministic_with_usable_recall(spark):
                                 centroids=cents2)
     assert sorted(map(tuple, again.collect())) == \
         sorted(map(tuple, trained.collect()))
+
+
+def test_cosine_topk_arrow_matches_hof_fold(spark):
+    """The BLAS path returns the identical (query, neighbor, 4dp-cos)
+    result set as the oracle-gated HOF formulation at sf0.001."""
+    from clif_spark.queries import collect_registry
+
+    reg = collect_registry()
+    sf = "/root/testdata/sf0.001"
+    hof = {tuple(r) for r in reg["ann_cosine_topk"].fn(spark, sf).collect()}
+    arrow = {tuple(r) for r in
+             reg["ann_cosine_topk_arrow"].fn(spark, sf).collect()}
+    assert arrow == hof
