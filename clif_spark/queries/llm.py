@@ -1404,3 +1404,20 @@ def ann_cosine_topk_arrow(spark, sf_dir):
     q = (e.filter(F.col("vec_id") < 5)
           .select(F.col("vec_id").alias("query_id"), "embedding"))
     return similarity.cosine_topk_arrow(e, q, k=10)
+
+
+from clif_spark.similarity import pq as PQ
+
+
+@query("emb_pq_encode", oracle=PQ.pq_oracle_sql("embeddings"))
+def emb_pq_encode(spark, sf_dir):
+    """Product-quantization encode (FAISS PQ's memory side, next to the
+    IVF/LSH candidate paths): each 64-dim vector becomes 4 block codes
+    (argmin-L2 over an md5-derived 8-code-per-block codebook — a trained
+    codebook plugs into the same [m][ks][sub_dim] table, like ivf_topk's
+    k-means quantizer) plus the exact reconstruction error. All distances
+    in integer micros^2 (similarity.pq) so the argmin cannot flip across
+    engines; the encode is a pure narrow projection — zero shuffles at
+    any corpus size."""
+    e = io.load_table(spark, sf_dir, "embeddings")
+    return PQ.pq_encode(e)

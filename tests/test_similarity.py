@@ -152,3 +152,19 @@ def test_cosine_topk_arrow_matches_hof_fold(spark):
     arrow = {tuple(r) for r in
              reg["ann_cosine_topk_arrow"].fn(spark, sf).collect()}
     assert arrow == hof
+
+
+def test_pq_encode_recovers_codebook_vectors(spark):
+    """A vector built FROM codebook entries must encode to exactly those
+    codes with zero reconstruction error (micros quantization is exact on
+    codebook points), pinning argmin orientation and block offsets."""
+    from clif_spark.similarity import pq as PQ
+
+    cb = PQ.pq_codebook()
+    # vector = block0 code 2 | block1 code 5 | block2 code 0 | block3 code 7
+    picks = [2, 5, 0, 7]
+    vec = [c / 1e6 for b, j in enumerate(picks) for c in cb[b][j]]
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<double>")
+    row = PQ.pq_encode(df, cb).collect()[0]
+    assert [row.code0, row.code1, row.code2, row.code3] == picks
+    assert row.err == 0
