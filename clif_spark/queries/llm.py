@@ -1421,3 +1421,18 @@ def emb_pq_encode(spark, sf_dir):
     any corpus size."""
     e = io.load_table(spark, sf_dir, "embeddings")
     return PQ.pq_encode(e)
+
+
+@query("ann_pq_adc_topk", oracle=PQ.pq_adc_oracle_sql("embeddings"))
+def ann_pq_adc_topk(spark, sf_dir):
+    """PQ + asymmetric distance computation: approximate top-10 for 3
+    queries over CODES, never raw vectors — the per-query distance table
+    (queries x m x ks rows, dimension-sized by construction) broadcasts,
+    each vector's m codes join it, and the ADC score is a keyed integer
+    sum (similarity.pq.pq_adc_topk). Completes the FAISS-shaped trio
+    next to ivf_topk (coarse partition) and pq_encode (compression);
+    ranking is BIGINT-exact so the gate hash-matches."""
+    e = io.load_table(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return PQ.pq_adc_topk(e, q, k=10)

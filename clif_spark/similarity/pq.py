@@ -28,7 +28,7 @@ from __future__ import annotations
 import hashlib
 import struct
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -82,6 +82,93 @@ def pq_encode(df: DataFrame, codebook: list | None = None,
         id_col,
         *[F.col(f"__b{b}")["j"].alias(f"code{b}") for b in range(m)],
         sum(F.col(f"__b{b}")["d"] for b in range(m)).cast("long").alias("err"))
+
+
+def pq_adc_topk(vectors: DataFrame, queries: DataFrame,
+                codebook: list | None = None, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id") -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC) over PQ
+    codes — FAISS's search side, as pure relational algebra:
+
+    1. encode the corpus (narrow, zero-shuffle — pq_encode);
+    2. build the query-side DISTANCE TABLE in-engine: for each query,
+       the exact integer distance from its quantized sub-vector to every
+       (block, code) codebook entry — queries x m x ks rows, dimension-
+       sized by construction, BROADCAST;
+    3. unpivot each vector's codes to (block, code) rows and join the
+       broadcast table: ADC distance = sum of its m block lookups.
+
+    The join geometry is the scale story: the corpus side only ever
+    touches its m-byte codes (never raw vectors), the per-query work is a
+    broadcast hash lookup + keyed sum, and the final per-query top-k is a
+    bounded window. All arithmetic BIGINT (micros^2), so ranking is
+    engine-exact and ADC error vs brute force comes only from
+    quantization — measurable via pq_encode's err column.
+
+    Output: (query_id, neighbor_id, adc) with adc ascending = nearest.
+    """
+    cb = codebook or pq_codebook()
+    m, ks, sub_dim = len(cb), len(cb[0]), len(cb[0][0])
+    enc = pq_encode(vectors, cb, id_col=id_col, vec_col=vec_col)
+    code_pairs = ", ".join(
+        f"CAST({b} AS BIGINT), code{b}" for b in range(m))
+    enc_long = enc.selectExpr(
+        f"{id_col} AS neighbor_id",
+        f"stack({m}, {code_pairs}) AS (b, j)")
+    qv = (f"transform(CAST({vec_col} AS ARRAY<DOUBLE>),"
+          " x -> CAST(floor(x * 1000000.0D + 0.5D) AS BIGINT))")
+    quant = queries.select(F.col(query_id_col), F.expr(qv).alias("__qv"))
+    structs = ",".join(
+        f"named_struct('b', CAST({b} AS BIGINT), 'j', CAST({j} AS BIGINT),"
+        f" 'd', {_dist_terms(cb[b][j], b * sub_dim, '__qv', False)})"
+        for b in range(m) for j in range(ks))
+    dist_table = quant.select(
+        query_id_col, F.expr(f"explode(array({structs}))").alias("s")
+    ).select(query_id_col, "s.b", "s.j", "s.d")
+    w = Window.partitionBy(query_id_col).orderBy("adc", "neighbor_id")
+    return (enc_long.join(F.broadcast(dist_table), ["b", "j"])
+            .filter(F.col("neighbor_id") != F.col(query_id_col))
+            .groupBy(query_id_col, "neighbor_id")
+            .agg(F.sum("d").alias("adc"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def pq_adc_oracle_sql(table_expr: str, n_queries: int = 3,
+                      codebook: list | None = None, k: int = 10,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> str:
+    """DuckDB mirror of pq_adc_topk for queries ``vec_id < n_queries``,
+    generated from the same codebook (1-based indexing)."""
+    cb = codebook or pq_codebook()
+    m, ks, sub_dim = len(cb), len(cb[0]), len(cb[0][0])
+    enc = pq_oracle_sql(table_expr, cb, id_col=id_col, vec_col=vec_col)
+    unpivot = " UNION ALL ".join(
+        f"SELECT {id_col} AS neighbor_id, CAST({b} AS BIGINT) AS b,"
+        f" code{b} AS j FROM enc" for b in range(m))
+    structs = ",".join(
+        f"struct_pack(b := CAST({b} AS BIGINT), j := CAST({j} AS BIGINT),"
+        f" d := {_dist_terms(cb[b][j], b * sub_dim, 'qv', True)})"
+        for b in range(m) for j in range(ks))
+    return f"""
+    WITH enc AS ({enc}),
+    enc_long AS ({unpivot}),
+    qq AS (SELECT {id_col} AS query_id,
+                  list_transform(CAST({vec_col} AS DOUBLE[]),
+                      x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS qv
+           FROM {table_expr} WHERE {id_col} < {n_queries}),
+    dt AS (SELECT query_id, s.b AS b, s.j AS j, s.d AS d
+           FROM (SELECT query_id, unnest([{structs}]) AS s FROM qq)),
+    scored AS (SELECT query_id, neighbor_id, sum(d) AS adc
+               FROM enc_long JOIN dt USING (b, j)
+               WHERE neighbor_id <> query_id
+               GROUP BY query_id, neighbor_id)
+    SELECT query_id, neighbor_id, CAST(adc AS BIGINT) AS adc
+    FROM scored
+    QUALIFY row_number() OVER
+        (PARTITION BY query_id ORDER BY adc, neighbor_id) <= {k}
+    """
 
 
 def pq_oracle_sql(table_expr: str, codebook: list | None = None,
