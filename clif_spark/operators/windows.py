@@ -115,6 +115,48 @@ def sessionize(df: DataFrame, partition: Sequence[str], ts_col: str,
               .drop("__new"))
 
 
+def interpolate_linear(df: DataFrame, partition: Sequence[str],
+                       ts_us_col: str, value_col: str,
+                       tiebreak: Sequence[str] = (),
+                       out_col: str = "v_interp") -> DataFrame:
+    """Per-entity linear interpolation of interior nulls — the resampling
+    step between W2's step-function fills (LOCF/NOCB) and a true
+    continuous signal (pandas ``interpolate(limit_area='inside')``):
+    v = v_prev + (v_next - v_prev) * (t - t_prev) / (t_next - t_prev).
+
+    Determinism contract: ``ts_us_col`` must be integer micros. The
+    weight is one double division of two exact integer deltas, then one
+    multiply and one add — a fixed IEEE sequence, bit-identical on any
+    engine. Boundary nulls (no non-null neighbor on one side) stay null;
+    a zero time span (simultaneous observations) degrades to LOCF rather
+    than dividing by zero.
+
+    Two frame scans over one entity window (backward for the last
+    non-null value/time, forward for the first) — same exchange geometry
+    as fill_downup: one shuffle on the entity key, none when the layout
+    is entity-bucketed.
+    """
+    wb = _w(partition, [ts_us_col, *tiebreak]).rowsBetween(
+        Window.unboundedPreceding, 0)
+    wf = _w(partition, [ts_us_col, *tiebreak]).rowsBetween(
+        0, Window.unboundedFollowing)
+    v = F.col(value_col)
+    t = F.col(ts_us_col)
+    t_of_v = F.when(v.isNotNull(), t)
+    prev_v = F.last(v, ignorenulls=True).over(wb)
+    prev_t = F.last(t_of_v, ignorenulls=True).over(wb)
+    next_v = F.first(v, ignorenulls=True).over(wf)
+    next_t = F.first(t_of_v, ignorenulls=True).over(wf)
+    ratio = ((t - prev_t).cast("double")
+             / (next_t - prev_t).cast("double"))
+    interp = (F.when(v.isNotNull(), v)
+               .when(prev_v.isNotNull() & next_v.isNotNull(),
+                     F.when(next_t > prev_t,
+                            prev_v + (next_v - prev_v) * ratio)
+                      .otherwise(prev_v)))
+    return df.withColumn(out_col, interp)
+
+
 def cumulative_distinct(df: DataFrame, partition: Sequence[str],
                         value_col: str, order: Sequence[str],
                         out_col: str = "cum_distinct") -> DataFrame:

@@ -445,3 +445,56 @@ def w13_cumulative_distinct(spark, sf_dir):
         partition=["user_id"], value_col="event_type",
         order=["ts_us", "event_id"], out_col="cum_distinct_types")
     return out.select("user_id", "event_id", "ts_us", "cum_distinct_types")
+
+
+@query(
+    "w14_interpolate_linear",
+    oracle="""
+    WITH sparse AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN event_type IN ('click', 'view') THEN NULL
+                  ELSE value END AS v
+      FROM events
+    ),
+    nbr AS (
+      SELECT user_id, event_id, ts_us, v,
+             last_value(v IGNORE NULLS) OVER wb AS prev_v,
+             last_value(CASE WHEN v IS NOT NULL THEN ts_us END IGNORE NULLS)
+                 OVER wb AS prev_t,
+             first_value(v IGNORE NULLS) OVER wf AS next_v,
+             first_value(CASE WHEN v IS NOT NULL THEN ts_us END IGNORE NULLS)
+                 OVER wf AS next_t
+      FROM sparse
+      WINDOW wb AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_id, ts_us,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                    CASE WHEN next_t > prev_t
+                         THEN prev_v + (next_v - prev_v)
+                              * (CAST(ts_us - prev_t AS DOUBLE)
+                                 / CAST(next_t - prev_t AS DOUBLE))
+                         ELSE prev_v END
+           END AS v_interp
+    FROM nbr
+    """,
+)
+def w14_interpolate_linear(spark, sf_dir):
+    """Per-entity linear interpolation of interior gaps — the continuous
+    upgrade of W2's step fills for vitals resampling (click/view rows
+    blanked to emulate the sparse flowsheet, like w2_downup_fill). The
+    weight is one double division of exact integer-micros deltas then one
+    multiply + add (fixed IEEE sequence -> hash-matchable); boundary
+    nulls stay null, zero-span ties degrade to LOCF instead of dividing
+    by zero (operators/windows.py:interpolate_linear)."""
+    ev = io.load_table(spark, sf_dir, "events")
+    sparse = ev.select(
+        "user_id", "event_id", us("ts").alias("ts_us"),
+        F.when(F.col("event_type").isin("click", "view"), None)
+         .otherwise(F.col("value")).alias("v"))
+    out = W.interpolate_linear(sparse, ["user_id"], "ts_us", "v",
+                               tiebreak=["event_id"])
+    return out.select("user_id", "event_id", "ts_us", "v_interp")

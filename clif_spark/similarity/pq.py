@@ -119,12 +119,26 @@ def pq_adc_topk(vectors: DataFrame, queries: DataFrame,
     qv = (f"transform(CAST({vec_col} AS ARRAY<DOUBLE>),"
           " x -> CAST(floor(x * 1000000.0D + 0.5D) AS BIGINT))")
     quant = queries.select(F.col(query_id_col), F.expr(qv).alias("__qv"))
-    structs = ",".join(
-        f"named_struct('b', CAST({b} AS BIGINT), 'j', CAST({j} AS BIGINT),"
-        f" 'd', {_dist_terms(cb[b][j], b * sub_dim, '__qv', False)})"
-        for b in range(m) for j in range(ks))
+    # HOF formulation, not m*ks unrolled structs: the unrolled explode put
+    # ~m*ks*sub_dim arithmetic terms into ONE codegen method and blew
+    # Janino's method-size limit (observed: CodeGenerator ERROR + fallback
+    # to interpreted). HOF lambdas are interpreted by design — fine here,
+    # the query side is dimension-sized.
+    cb_lit = ("array(" + ",".join(
+        "array(" + ",".join(f"{c}L" for c in cb[b][j]) + ")"
+        for b in range(m) for j in range(ks)) + ")")
     dist_table = quant.select(
-        query_id_col, F.expr(f"explode(array({structs}))").alias("s")
+        query_id_col,
+        F.expr(f"""
+        explode(transform(sequence(0, {m * ks - 1}), i -> named_struct(
+            'b', CAST(i div {ks} AS BIGINT),
+            'j', CAST(i % {ks} AS BIGINT),
+            'd', aggregate(
+                zip_with(slice(__qv, (i div {ks}) * {sub_dim} + 1, {sub_dim}),
+                         element_at({cb_lit}, i + 1),
+                         (x, c) -> (x - c) * (x - c)),
+                CAST(0 AS BIGINT), (acc, v) -> acc + v))))
+        """).alias("s")
     ).select(query_id_col, "s.b", "s.j", "s.d")
     w = Window.partitionBy(query_id_col).orderBy("adc", "neighbor_id")
     return (enc_long.join(F.broadcast(dist_table), ["b", "j"])

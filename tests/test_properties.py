@@ -365,3 +365,23 @@ def test_cumulative_distinct_counts_first_occurrences(spark):
            cumulative_distinct(df, ["u"], "v", ["t"]).collect()}
     assert got == {(1, 1): 1, (1, 2): 2, (1, 3): 2, (1, 4): 3, (1, 5): 3,
                    (2, 1): 1, (2, 2): 1}
+
+
+def test_interpolate_linear_semantics(spark):
+    """Interior nulls take the time-weighted value, boundary nulls stay
+    null, zero-span ties degrade to LOCF, non-nulls pass through."""
+    from clif_spark.operators.windows import interpolate_linear
+
+    rows = [(1, 0, None), (1, 10, 1.0), (1, 20, None), (1, 40, 4.0),
+            (1, 50, None),
+            (2, 10, 2.0), (2, 10, None), (2, 10, 8.0)]
+    df = spark.createDataFrame(
+        [(u, t, v, i) for i, (u, t, v) in enumerate(rows)],
+        "u long, t long, v double, id long")
+    got = {r.id: r.v_interp for r in
+           interpolate_linear(df, ["u"], "t", "v", tiebreak=["id"]).collect()}
+    assert got[0] is None                      # leading boundary
+    assert got[1] == 1.0                       # passthrough
+    assert got[2] == 1.0 + 3.0 * (10.0 / 30.0)  # interior: 2.0
+    assert got[4] is None                      # trailing boundary
+    assert got[6] == 2.0                       # zero-span tie -> LOCF
