@@ -1436,3 +1436,18 @@ def ann_pq_adc_topk(spark, sf_dir):
     q = (e.filter(F.col("vec_id") < 3)
           .select(F.col("vec_id").alias("query_id"), "embedding"))
     return PQ.pq_adc_topk(e, q, k=10)
+
+
+@query("ann_ivf_pq_topk", oracle=PQ.ivfpq_oracle_sql("embeddings"))
+def ann_ivf_pq_topk(spark, sf_dir):
+    """The combined IVFPQ index (FAISS's workhorse): coarse IVF cells
+    bound the candidate set (nprobe=2 of 16 cells per query), PQ/ADC
+    ranks candidates over 4-byte codes instead of raw vectors
+    (similarity.pq.ivfpq_topk). Cell assignment and code encode run in
+    ONE narrow projection over the scan; probes and the per-query
+    distance table are dimension-sized broadcasts; scoring is a keyed
+    BIGINT sum, so the composed index still hash-matches the oracle."""
+    e = io.load_table(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return PQ.ivfpq_topk(e, q, k=10, nprobe=2, n_cells=16)

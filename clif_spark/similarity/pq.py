@@ -58,9 +58,12 @@ def _dist_terms(cb_row: list[int], base: int, qv: str, one_based: bool) -> str:
 
 
 def pq_encode(df: DataFrame, codebook: list | None = None,
-              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              extra_cols: tuple = ()) -> DataFrame:
     """Encode each vector as m block codes + total reconstruction error
-    (in micros^2). Output: (id, code0..code{m-1} bigint, err bigint).
+    (in micros^2). Output: (id, *extra_cols, code0..code{m-1} bigint,
+    err bigint) — ``extra_cols`` are carried through untouched (e.g. the
+    IVF cell for a combined IVFPQ index).
 
     One narrow selectExpr: quantize to integer micros, then per block sort
     an m*ks literal array of (distance, code) structs — argmin with a
@@ -69,7 +72,8 @@ def pq_encode(df: DataFrame, codebook: list | None = None,
     m, sub_dim = len(cb), len(cb[0][0])
     qv = (f"transform(CAST({vec_col} AS ARRAY<DOUBLE>),"
           " x -> CAST(floor(x * 1000000.0D + 0.5D) AS BIGINT))")
-    quant = df.select(F.col(id_col), F.expr(qv).alias("__qv"))
+    quant = df.select(F.col(id_col), *[F.col(c) for c in extra_cols],
+                      F.expr(qv).alias("__qv"))
     blocks = []
     for b in range(m):
         structs = ",".join(
@@ -77,11 +81,43 @@ def pq_encode(df: DataFrame, codebook: list | None = None,
             f" 'j', CAST({j} AS BIGINT))"
             for j in range(len(cb[b])))
         blocks.append(F.expr(f"array_sort(array({structs}))[0]").alias(f"__b{b}"))
-    sel = quant.select(id_col, *blocks)
+    sel = quant.select(id_col, *extra_cols, *blocks)
     return sel.select(
-        id_col,
+        id_col, *extra_cols,
         *[F.col(f"__b{b}")["j"].alias(f"code{b}") for b in range(m)],
         sum(F.col(f"__b{b}")["d"] for b in range(m)).cast("long").alias("err"))
+
+
+def _query_dist_table(queries: DataFrame, cb: list, query_id_col: str,
+                      vec_col: str) -> DataFrame:
+    """(query_id, b, j, d): exact integer distance from each query's
+    quantized sub-vector to every (block, code) codebook entry.
+
+    HOF formulation, not m*ks unrolled structs: the unrolled explode put
+    ~m*ks*sub_dim arithmetic terms into ONE codegen method and blew
+    Janino's method-size limit (observed: CodeGenerator ERROR + fallback
+    to interpreted). HOF lambdas are interpreted by design — fine here,
+    the query side is dimension-sized."""
+    m, ks, sub_dim = len(cb), len(cb[0]), len(cb[0][0])
+    qv = (f"transform(CAST({vec_col} AS ARRAY<DOUBLE>),"
+          " x -> CAST(floor(x * 1000000.0D + 0.5D) AS BIGINT))")
+    quant = queries.select(F.col(query_id_col), F.expr(qv).alias("__qv"))
+    cb_lit = ("array(" + ",".join(
+        "array(" + ",".join(f"{c}L" for c in cb[b][j]) + ")"
+        for b in range(m) for j in range(ks)) + ")")
+    return quant.select(
+        query_id_col,
+        F.expr(f"""
+        explode(transform(sequence(0, {m * ks - 1}), i -> named_struct(
+            'b', CAST(i div {ks} AS BIGINT),
+            'j', CAST(i % {ks} AS BIGINT),
+            'd', aggregate(
+                zip_with(slice(__qv, (i div {ks}) * {sub_dim} + 1, {sub_dim}),
+                         element_at({cb_lit}, i + 1),
+                         (x, c) -> (x - c) * (x - c)),
+                CAST(0 AS BIGINT), (acc, v) -> acc + v))))
+        """).alias("s")
+    ).select(query_id_col, "s.b", "s.j", "s.d")
 
 
 def pq_adc_topk(vectors: DataFrame, queries: DataFrame,
@@ -116,30 +152,7 @@ def pq_adc_topk(vectors: DataFrame, queries: DataFrame,
     enc_long = enc.selectExpr(
         f"{id_col} AS neighbor_id",
         f"stack({m}, {code_pairs}) AS (b, j)")
-    qv = (f"transform(CAST({vec_col} AS ARRAY<DOUBLE>),"
-          " x -> CAST(floor(x * 1000000.0D + 0.5D) AS BIGINT))")
-    quant = queries.select(F.col(query_id_col), F.expr(qv).alias("__qv"))
-    # HOF formulation, not m*ks unrolled structs: the unrolled explode put
-    # ~m*ks*sub_dim arithmetic terms into ONE codegen method and blew
-    # Janino's method-size limit (observed: CodeGenerator ERROR + fallback
-    # to interpreted). HOF lambdas are interpreted by design — fine here,
-    # the query side is dimension-sized.
-    cb_lit = ("array(" + ",".join(
-        "array(" + ",".join(f"{c}L" for c in cb[b][j]) + ")"
-        for b in range(m) for j in range(ks)) + ")")
-    dist_table = quant.select(
-        query_id_col,
-        F.expr(f"""
-        explode(transform(sequence(0, {m * ks - 1}), i -> named_struct(
-            'b', CAST(i div {ks} AS BIGINT),
-            'j', CAST(i % {ks} AS BIGINT),
-            'd', aggregate(
-                zip_with(slice(__qv, (i div {ks}) * {sub_dim} + 1, {sub_dim}),
-                         element_at({cb_lit}, i + 1),
-                         (x, c) -> (x - c) * (x - c)),
-                CAST(0 AS BIGINT), (acc, v) -> acc + v))))
-        """).alias("s")
-    ).select(query_id_col, "s.b", "s.j", "s.d")
+    dist_table = _query_dist_table(queries, cb, query_id_col, vec_col)
     w = Window.partitionBy(query_id_col).orderBy("adc", "neighbor_id")
     return (enc_long.join(F.broadcast(dist_table), ["b", "j"])
             .filter(F.col("neighbor_id") != F.col(query_id_col))
@@ -147,6 +160,117 @@ def pq_adc_topk(vectors: DataFrame, queries: DataFrame,
             .agg(F.sum("d").alias("adc"))
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def ivfpq_topk(vectors: DataFrame, queries: DataFrame,
+               codebook: list | None = None, k: int = 10, nprobe: int = 2,
+               n_cells: int = 16, centroids: list | None = None,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               query_id_col: str = "query_id") -> DataFrame:
+    """The combined FAISS-style IVFPQ index: coarse IVF cells bound the
+    candidate set (each query touches ~nprobe/n_cells of the corpus),
+    PQ/ADC scores the candidates over codes instead of raw vectors.
+
+    Composition of the two gated halves: cell assignment + code encode
+    happen in ONE narrow projection over the scan (extra_cols carries the
+    cell through pq_encode — no corpus self-join); the probe list and the
+    distance table are both dimension-sized broadcasts. Join geometry:
+    codes ⋈ probes on cell (broadcast) ⋈ distance table on (query, b, j)
+    (broadcast) → keyed BIGINT sum → bounded per-query top-k window.
+    Both quantizers are pluggable (kmeans centroids, trained codebook).
+
+    Output: (query_id, neighbor_id, adc) ascending = nearest.
+    """
+    from clif_spark import similarity as S
+
+    cb = codebook or pq_codebook()
+    m = len(cb)
+    cents = (centroids if centroids is not None
+             else S.ivf_centroids(vectors, n_cells, id_col, vec_col))
+    assigned = S.ivf_assign(vectors, cents, id_col, vec_col)
+    enc = pq_encode(assigned, cb, id_col=id_col, vec_col="__v",
+                    extra_cols=("cell",))
+    code_pairs = ", ".join(f"CAST({b} AS BIGINT), code{b}" for b in range(m))
+    enc_long = enc.selectExpr(f"{id_col} AS neighbor_id", "cell",
+                              f"stack({m}, {code_pairs}) AS (b, j)")
+    q = queries.select(query_id_col, F.col(vec_col).alias("__q"))
+    probes = (q.withColumn("__cells", F.slice(
+                  S._cell_ranks(F.col("__q"), cents), 1, nprobe))
+               .select(query_id_col, F.explode(F.col("__cells")["c"])
+                        .alias("cell")))
+    dist_table = _query_dist_table(queries, cb, query_id_col, vec_col)
+    w = Window.partitionBy(query_id_col).orderBy("adc", "neighbor_id")
+    return (enc_long.join(F.broadcast(probes), "cell")
+            .filter(F.col("neighbor_id") != F.col(query_id_col))
+            .join(F.broadcast(dist_table), [query_id_col, "b", "j"])
+            .groupBy(query_id_col, "neighbor_id")
+            .agg(F.sum("d").alias("adc"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def ivfpq_oracle_sql(table_expr: str, n_queries: int = 5,
+                     codebook: list | None = None, k: int = 10,
+                     nprobe: int = 2, n_cells: int = 16,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> str:
+    """DuckDB mirror of ivfpq_topk (lowest-id coarse quantizer, queries
+    ``{id} < n_queries``) — cell CTEs shared with the IVF oracle shape,
+    code/distance CTEs generated from the same codebook."""
+    cb = codebook or pq_codebook()
+    m, ks, sub_dim = len(cb), len(cb[0]), len(cb[0][0])
+    enc = pq_oracle_sql(table_expr, cb, id_col=id_col, vec_col=vec_col)
+    unpivot = " UNION ALL ".join(
+        f"SELECT neighbor_id, cell, CAST({b} AS BIGINT) AS b,"
+        f" code{b} AS j FROM encc" for b in range(m))
+    structs = ",".join(
+        f"struct_pack(b := CAST({b} AS BIGINT), j := CAST({j} AS BIGINT),"
+        f" d := {_dist_terms(cb[b][j], b * sub_dim, 'qv', True)})"
+        for b in range(m) for j in range(ks))
+    return f"""
+    WITH cidx AS (
+      SELECT CAST({vec_col} AS DOUBLE[]) AS cv,
+             row_number() OVER (ORDER BY {id_col}) - 1 AS ci
+      FROM {table_expr} ORDER BY {id_col} LIMIT {n_cells}
+    ),
+    v AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS vv
+          FROM {table_expr}),
+    vass AS (
+      SELECT {id_col}, ci AS cell
+      FROM v CROSS JOIN cidx
+      QUALIFY row_number() OVER
+        (PARTITION BY {id_col} ORDER BY list_distance(vv, cv), ci) = 1
+    ),
+    enc AS ({enc}),
+    encc AS (SELECT e.{id_col} AS neighbor_id,
+                    {", ".join(f"e.code{b}" for b in range(m))}, va.cell
+             FROM enc e JOIN vass va USING ({id_col})),
+    enc_long AS ({unpivot}),
+    qc AS (
+      SELECT q.{id_col} AS query_id, ci AS cell
+      FROM v q CROSS JOIN cidx
+      WHERE q.{id_col} < {n_queries}
+      QUALIFY row_number() OVER
+        (PARTITION BY q.{id_col} ORDER BY list_distance(q.vv, cv), ci)
+        <= {nprobe}
+    ),
+    qq AS (SELECT {id_col} AS query_id,
+                  list_transform(CAST({vec_col} AS DOUBLE[]),
+                      x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS qv
+           FROM {table_expr} WHERE {id_col} < {n_queries}),
+    dt AS (SELECT query_id, s.b AS b, s.j AS j, s.d AS d
+           FROM (SELECT query_id, unnest([{structs}]) AS s FROM qq)),
+    scored AS (SELECT el.query_id, el.neighbor_id, sum(dt.d) AS adc
+               FROM (SELECT qc.query_id, e.neighbor_id, e.b, e.j
+                     FROM enc_long e JOIN qc USING (cell)
+                     WHERE e.neighbor_id <> qc.query_id) el
+               JOIN dt USING (query_id, b, j)
+               GROUP BY el.query_id, el.neighbor_id)
+    SELECT query_id, neighbor_id, CAST(adc AS BIGINT) AS adc
+    FROM scored
+    QUALIFY row_number() OVER
+        (PARTITION BY query_id ORDER BY adc, neighbor_id) <= {k}
+    """
 
 
 def pq_adc_oracle_sql(table_expr: str, n_queries: int = 3,
