@@ -222,18 +222,14 @@ def us(col: Column | str) -> Column:
 # Cheap batch checks lead; multi-second stream-startup queries trail their
 # block so they never starve cheap checks.
 _VERIFY_FIRST = [
-    # --- code changed in round 4 but most recent driver row is r2 (the
-    # verdict's #1 re-gate list): these lead unconditionally ---
-    "dedup_minhash_lsh", "ann_lsh_buckets", "ann_ivf_topk",
-    "ann_recall_at_k", "mm_decode_meta", "text_quality_metrics",
-    # --- code (to be) changed in round 5: q3/q5 agg-below-join,
-    # ann_cosine unrolled switch, media-decode rework, new registrations ---
-    "q3_shipping_priority", "q5_local_supplier_volume", "ann_cosine_topk",
-    "mm_frame_offsets", "pipeline_vitals", "pipeline_resp_support",
-    "mm_media_meta", "pipeline_admission_diagnosis", "pipeline_scores",
-    "pipeline_adt", "pipeline_labs", "pipeline_demographics",
-    "pipeline_encounter_dispo", "pipeline_med_admin_continuous",
-    "pipeline_dialysis", "mm_sample_stats", "a16_numeric_histogram",
+    # --- never driver-gated: registered in round 5 (both waves). These
+    # are non-negotiable — every new query gets a driver row before any
+    # refresh does. ---
+    "pipeline_vitals", "pipeline_resp_support", "pipeline_labs",
+    "pipeline_scores", "pipeline_adt", "pipeline_dialysis",
+    "pipeline_med_admin_continuous", "pipeline_demographics",
+    "pipeline_encounter_dispo", "pipeline_admission_diagnosis",
+    "mm_media_meta", "mm_sample_stats", "a16_numeric_histogram",
     "corpus_c4_line_filter", "dedup_repeated_ngrams",
     "sample_temperature_mix", "o3_topk_per_group",
     "dedup_remove_repeated_spans", "j11_asof_forward_tolerance",
@@ -241,36 +237,33 @@ _VERIFY_FIRST = [
     "a17_iqr_outliers", "w12_rate_of_change", "f15_minmax_normalize",
     "a18_key_skew_profile", "ann_ivf_trained_topk",
     "a19_cooccurrence_pairs", "f16_accent_fold",
-    # --- round-1 rows never refreshed (batch) ---
+    # round-5 continuation wave:
+    "sample_reservoir_per_key", "w13_cumulative_distinct",
+    "text_rare_bigram_score", "dedup_chunk_paragraphs",
+    "ann_cosine_topk_arrow", "emb_pq_encode", "ann_pq_adc_topk",
+    "ann_ivf_pq_topk", "w14_interpolate_linear",
+    # --- code changed in round 4 but most recent driver row is r2 (the
+    # r4 verdict's #1 re-gate list) ---
+    "dedup_minhash_lsh", "ann_lsh_buckets", "ann_ivf_topk",
+    "ann_recall_at_k", "mm_decode_meta", "text_quality_metrics",
+    # --- code changed in round 5 (statistics-gated pre-agg shape) ---
+    "q3_shipping_priority",
+    # --- round-1 rows never refreshed ---
     "p7_p8_in_comparison", "p9_like_rlike", "p10_time_range",
     "j2_composite_key_join", "j4_semi_anti_join", "f6_coalesce_fallback",
-    # --- round-2 rows, now 3 rounds stale: refresh as many as fit ---
-    "j8_interval_join", "pii_redact",
-    "q1_pricing_summary", "q6_forecast_revenue",
-    # --- round-1-row streams (multi-second startup, tail of the block) ---
-    "stream_tumbling_agg", "stream_sliding_agg",
 ]
-# 50 head entries: 6 r4-code-touched + 32 round-5-touched/new + 6 r1-row
-# stragglers + 4 r2-row refreshes + the 2 r1-row streams. Thirty-two r2-row
-# batch queries cede their slot this round and lead round 6: p1_p3, p2_p4,
-# p5_p6 (trivial projections exercised by nearly every gated query),
-# w1_lead_episodes, w2_downup_fill, w3_keep_last_dedup (exercised inside
-# the round-5 pipeline_* gates), w4_rank_lag, w5_moving_avg,
-# w6_sessionize_gap, w7_session_window_native, w8_tumbling_window,
-# w9_ntile_percent_rank, a9_grouping_sets (window/grouping machinery
-# covered by the r4-green w6-w11/a7/a8 rows), text_rolling_fingerprint,
-# tfidf_top_terms, text_lang_id, text_fingerprint, dedup_simhash_pairs,
-# sample_split_assign, seq_pack_bins, emb_quantize_int8,
-# f14_from_json_typed, j7_asof_join (machinery re-gated through the
-# round-5 j11 forward sibling), contamination_check, dedup_clusters,
-# dedup_ngram_jaccard, dedup_simhash64 (shingle/hash machinery re-gated
-# through the round-5 minhash/repeated-ngram rows), corpus_curation,
-# dedup_exact (hash-groupBy shape exercised by nearly every gated agg),
-# dedup_embedding_cosine (vector machinery re-gated through the round-5
-# trained-IVF row and the r4-green ann family), a10_moment_corr,
-# a11_exact_percentiles (percentile machinery re-gated through the
-# round-5 a17 quartile-fence row). The four r2-row streams stay in
-# _VERIFY_LAST as before.
+# Exactly 50 head entries: 37 never-gated round-5 registrations + 6
+# r4-code-touched re-gates + q3 (round-5 shape change) + the 6 r1-row
+# stragglers. Ceding their slot to round 6 (all code-unchanged with green
+# rows): q5_local_supplier_volume / ann_cosine_topk / mm_frame_offsets
+# (listed speculatively last rotation as "to be changed"; the A/Bs kept
+# their shapes, so their r2 rows still describe the shipped code — and
+# ann_cosine_topk is re-exercised indirectly by the arrow-path equality
+# gate), the two r1-row streams (stream_tumbling_agg / stream_sliding_agg
+# — still pinned in _VERIFY_LAST; their machinery is re-gated through the
+# new stream_vitals_hourly row), the r2-row refresh batch (j8, pii, q1,
+# q6), and the thirty-two r2-row batch queries enumerated in the previous
+# rotation's comment (git log for the list) — those now lead round 6.
 
 # Round-1/2-verified queries with multi-second stream startup: pinned to the
 # registry tail so they never starve cheap checks; they hold their existing
