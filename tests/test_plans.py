@@ -302,3 +302,34 @@ def test_bounded_domain_sorts_are_single_partition(spark):
         assert "rangepartitioning" not in plan.lower(), name
         assert "SinglePartition" in plan, name
     assert "TakeOrderedAndProject" in plan_of(spark, "q3_shipping_priority")
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_fact_side(spark):
+    """100 TB shuffle-join story: when a selective dim side can't
+    broadcast, Spark's runtime bloom-filter injection pre-filters the
+    fact side before the exchange (rows that can't join never shuffle).
+    Pinned here so a session-conf change that silently disables runtime
+    filtering fails CI. Thresholds are lowered because the creation-side
+    heuristic is sized for cluster-scale inputs, not test fixtures."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = (spark.read.parquet(f"{SF_DIR}/orders.parquet")
+                  .filter("o_orderpriority = '1-URGENT'"))
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+               .groupBy("o_orderpriority").count())
+        phys = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in phys.lower(), phys[:2000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
