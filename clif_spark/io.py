@@ -57,6 +57,12 @@ def read_parquet(spark: SparkSession, path: str | list[str],
     return reader.parquet(path)
 
 
+#: (session id, path) -> (session, DataFrame). The session object is held
+#: in the value so its id() can never be recycled while the memo lives —
+#: the same lifetime trick as queries._REGISTERED_VIEWS.
+_TABLE_MEMO: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table, normalizing types to engine conventions.
 
@@ -65,13 +71,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanoseconds, which we floor-truncate to microseconds and expose as a real
     TimestampType — same truncation DuckDB applies reading TIMESTAMP_NS into its
     micro-resolution TIMESTAMP, so oracle comparisons agree exactly.
-    """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    The resolved DataFrame is memoized per (session, path): a parquet PATH
+    reference re-lists the directory and re-reads footers during analysis
+    of every freshly built plan (measured ~100 ms per reference at sf0.1 —
+    the dominant per-query driver cost once plans are JVM-built), while the
+    memoized logical plan resolves once, exactly like the temp-view cache
+    ``queries.pq`` keeps for SQL-string queries. Scans still re-read files
+    each execution; only the RESOLUTION is cached. Freshness caveat, by
+    design: new part-files appearing under an already-memoized path are not
+    picked up by this session — these fixture dirs are immutable, and
+    production tables belong in a catalog (whose relation cache makes the
+    same trade, with REFRESH TABLE as the escape hatch; ours is
+    ``invalidate_table_memo``)."""
+    path = f"{sf_dir}/{name}.parquet"
+    key = (id(spark), path)
+    hit = _TABLE_MEMO.get(key)
+    if hit is not None:
+        return hit[1]
+    df = spark.read.parquet(path)
     if name == "events":
         ts_field = df.schema["ts"]
         if isinstance(ts_field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _TABLE_MEMO[key] = (spark, df)
     return df
+
+
+def invalidate_table_memo() -> None:
+    """Drop every memoized table resolution (the REFRESH TABLE analog)."""
+    _TABLE_MEMO.clear()
 
 
 def _parse_bytes(conf_val: str) -> int | None:
