@@ -241,7 +241,7 @@ _VERIFY_FIRST = [
     "sample_reservoir_per_key", "w13_cumulative_distinct",
     "text_rare_bigram_score", "dedup_chunk_paragraphs",
     "ann_cosine_topk_arrow", "emb_pq_encode", "ann_pq_adc_topk",
-    "ann_ivf_pq_topk", "w14_interpolate_linear",
+    "ann_ivf_pq_topk", "w14_interpolate_linear", "text_bpe_tokenize",
     # --- code changed in round 4 but most recent driver row is r2 (the
     # r4 verdict's #1 re-gate list) ---
     "dedup_minhash_lsh", "ann_lsh_buckets", "ann_ivf_topk",
@@ -250,11 +250,12 @@ _VERIFY_FIRST = [
     "q3_shipping_priority",
     # --- round-1 rows never refreshed ---
     "p7_p8_in_comparison", "p9_like_rlike", "p10_time_range",
-    "j2_composite_key_join", "j4_semi_anti_join", "f6_coalesce_fallback",
+    "j2_composite_key_join", "j4_semi_anti_join",
 ]
-# Exactly 50 head entries: 37 never-gated round-5 registrations + 6
-# r4-code-touched re-gates + q3 (round-5 shape change) + the 6 r1-row
-# stragglers. Ceding their slot to round 6 (all code-unchanged with green
+# Exactly 50 head entries: 38 never-gated round-5 registrations + 6
+# r4-code-touched re-gates + q3 (round-5 shape change) + 5 r1-row
+# stragglers (f6_coalesce_fallback cedes its refresh to round 6 — its
+# coalesce shape is exercised inside w2/f-family gated queries). Ceding their slot to round 6 (all code-unchanged with green
 # rows): q5_local_supplier_volume / ann_cosine_topk / mm_frame_offsets
 # (listed speculatively last rotation as "to be changed"; the A/Bs kept
 # their shapes, so their r2 rows still describe the shipped code — and

@@ -615,3 +615,19 @@ def dedup_chunk_paragraphs(spark, sf_dir):
     d = io.load_table(spark, sf_dir, "documents")
     from clif_spark import dedup
     return dedup.chunk_dedup(d)
+
+
+@query("text_bpe_tokenize", oracle=None)
+def text_bpe_tokenize(spark, sf_dir):
+    """Distributed BPE: learn 8 merges from the corpus (vocab-sized
+    rounds — pair explode, map-side-combined count, ONE argmax row to the
+    driver per round, kmeans discipline), then tokenize every document
+    through a broadcast word->tokens vocabulary join
+    (functions/bpe.py). Rows-only like ann_ivf_trained_topk: the
+    training loop is the sanctioned iterative-algorithm case — exactness
+    is pinned instead by unit tests proving merge-sequence and token-
+    count parity with a pure-Python reference BPE on real documents."""
+    from clif_spark.functions import bpe
+    d = io.load_table(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(d, n_merges=8)
+    return bpe.bpe_tokenize(d, merges)

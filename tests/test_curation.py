@@ -152,3 +152,76 @@ def test_rare_bigram_score_short_doc_guard_and_flagging(spark):
     # doc 2: bigrams aa*8 + aZ*1; aZ count=1, total=18, 1*10 < 18 -> rare
     assert out[2].rare_bigrams == 1 and out[2].total_bigrams == 9
     assert out[2].rare_ppm == 1000000 // 9
+
+
+# --- distributed BPE (functions/bpe.py) -------------------------------------
+
+def _ref_bpe_train(word_counts, n_merges, min_pair_count=2):
+    """Pure-Python reference BPE (Sennrich alg. 1) for parity checks."""
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for w, n in word_counts.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = \
+                    pairs.get((syms[i], syms[i + 1]), 0) + n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        (a, b) = best[0]
+        merges.append((a, b))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_train_matches_reference_on_classic_corpus(spark):
+    """Exact merge-sequence and tokenization parity with the textbook BPE
+    on the Sennrich 'low/lower/newest/widest' corpus."""
+    from clif_spark.functions import bpe
+
+    counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    docs = spark.createDataFrame(
+        [(i, " ".join([w] * n)) for i, (w, n) in enumerate(counts.items())],
+        "doc_id long, text string")
+    merges = bpe.bpe_train(docs, n_merges=6)
+    ref_merges, ref_vocab = _ref_bpe_train(counts, 6)
+    assert merges == ref_merges
+    got = {r.word: list(r.bpe_tokens) for r in bpe.bpe_apply_vocab(
+        spark.createDataFrame([(w,) for w in counts], "word string"),
+        merges).collect()}
+    assert got == ref_vocab
+
+
+def test_bpe_train_matches_reference_on_real_docs(spark):
+    """Parity on the sf0.001 documents corpus: same merges, same per-doc
+    BPE token counts as the reference implementation."""
+    from collections import Counter
+
+    from clif_spark import io
+    from clif_spark.functions import bpe
+
+    sf = "/root/testdata/sf0.001"
+    d = io.load_table(spark, sf, "documents").limit(50)
+    rows = [(r.doc_id, r.text) for r in d.collect()]
+    wc = Counter(w for _, t in rows for w in t.lower().split() if w)
+    merges = bpe.bpe_train(d, n_merges=8)
+    ref_merges, ref_vocab = _ref_bpe_train(dict(wc), 8)
+    assert merges == ref_merges
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+           for r in bpe.bpe_tokenize(d, merges).collect()}
+    for doc_id, text in rows:
+        words = [w for w in text.lower().split() if w]
+        exp = sum(len(ref_vocab[w]) for w in words)
+        assert got[doc_id] == (len(words), exp), doc_id
