@@ -152,6 +152,34 @@ def exact_percentiles(df: DataFrame, keys: Sequence[str], value: str,
     return ranked.groupBy(*keys).agg(*aggs)
 
 
+def winsorize(df: DataFrame, keys: Sequence[str], value: str,
+              lo: float = 0.05, hi: float = 0.95,
+              tiebreakers: Sequence[str] = (),
+              out_col: str | None = None) -> DataFrame:
+    """Per-group winsorization: clamp ``value`` into its group's exact
+    nearest-rank [lo, hi] percentile band — the outlier-clipping step a
+    normalization pipeline runs BEFORE min-max/z-scaling so a single
+    artifact row can't compress the whole scale (the robust sibling of
+    f15's min-max).
+
+    Bounds are actual data values (exact_percentiles semantics: value at
+    ceil(p*n), no interpolation, no float arithmetic on values), so the
+    clamp is bit-identical across engines. Plan: the bounds aggregate is
+    dimension-sized (one row per group) and broadcast back onto the rows;
+    the clamp itself is a narrow least/greatest. Cost = one shuffle +
+    per-group sort for the bounds, same budget as exact_percentiles.
+    """
+    bounds = exact_percentiles(df, keys, value, (lo, hi), tiebreakers)
+    lo_c = f"p{int(round(lo * 100)):02d}"
+    hi_c = f"p{int(round(hi * 100)):02d}"
+    out = out_col or f"{value}_winsor"
+    return (df.join(F.broadcast(bounds), list(keys))
+              .withColumn(out, F.least(F.greatest(F.col(value),
+                                                  F.col(lo_c)),
+                                       F.col(hi_c)))
+              .drop(lo_c, hi_c))
+
+
 def summary_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """A5: per-column descriptive stats (`summary(df)`,
     `code/RCLIF_vitals.Rmd:233`): count/min/max/mean/median.

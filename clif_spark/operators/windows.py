@@ -13,6 +13,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _w(partition: Sequence[str], order: Sequence[str | Column]):
@@ -155,6 +156,37 @@ def interpolate_linear(df: DataFrame, partition: Sequence[str],
                             prev_v + (next_v - prev_v) * ratio)
                       .otherwise(prev_v)))
     return df.withColumn(out_col, interp)
+
+
+def ewma(df: DataFrame, partition: Sequence[str], value_col: str,
+         order: Sequence[str], alpha: float = 0.3,
+         out_col: str = "ewma") -> DataFrame:
+    """Per-entity exponentially weighted moving average — the recursive
+    smoother behind trend displays (s_t = a*v_t + (1-a)*s_{t-1}).
+
+    The recursion cannot be a SQL window frame (each output depends on
+    the PREVIOUS OUTPUT, not on a frame of inputs), so this is the
+    sanctioned ``applyInPandas`` escape hatch for custom per-entity
+    stateful operators (SURVEY §2.9: Arrow-batched, never row-Python):
+    one exchange on the entity key, each group streams through pandas
+    ``ewm(adjust=False)`` with O(1) recursion state. Entity-bounded
+    groups are the memory contract — the same one every per-entity window
+    in the engine already carries.
+
+    NULLs propagate pandas-style: they take the running state without
+    updating it (``ewm(ignore_na=False)`` semantics on a masked series).
+    """
+    schema = T.StructType(df.schema.fields
+                          + [T.StructField(out_col, T.DoubleType())])
+    cols = list(df.columns)
+    order_cols = list(order)
+
+    def smooth(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf[cols + [out_col]]
+
+    return df.groupBy(*partition).applyInPandas(smooth, schema)
 
 
 def cumulative_distinct(df: DataFrame, partition: Sequence[str],

@@ -243,3 +243,41 @@ def a17_iqr_outliers(spark, sf_dir):
                .agg(F.count(F.lit(1)).alias("n"),
                     F.sum(((F.col("v") < lo) | (F.col("v") > hi))
                           .cast("long")).alias("n_outliers")))
+
+
+@query(
+    "a20_winsorize_clamp",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_id, user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL),
+    bounds AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT)
+                      THEN value END) AS p05,
+             MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+                      THEN value END) AS p95
+      FROM ranked GROUP BY event_type)
+    SELECT e.event_id, e.user_id, e.event_type, e.value,
+           LEAST(GREATEST(e.value, b.p05), b.p95) AS value_winsor
+    FROM events e JOIN bounds b USING (event_type)
+    WHERE e.value IS NOT NULL
+    """,
+)
+def a20_winsorize_clamp(spark, sf_dir):
+    """Per-group winsorization at the exact nearest-rank [p05, p95] band
+    (operators/profile.py:winsorize) — the outlier clipping a
+    normalization pipeline runs before min-max/z scaling (f15's robust
+    sibling). Bounds are actual data values, so the clamp is
+    bit-identical across engines; the bounds relation is one row per
+    group and broadcast, the clamp a narrow least/greatest."""
+    ev = (io.load_table(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull())
+            .select("event_id", "user_id", "event_type", "value"))
+    out = profile.winsorize(ev, ["event_type"], "value",
+                            tiebreakers=["event_id"])
+    return out.select("event_id", "user_id", "event_type", "value",
+                      F.col("value_winsor"))

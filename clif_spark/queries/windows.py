@@ -498,3 +498,20 @@ def w14_interpolate_linear(spark, sf_dir):
     out = W.interpolate_linear(sparse, ["user_id"], "ts_us", "v",
                                tiebreak=["event_id"])
     return out.select("user_id", "event_id", "ts_us", "v_interp")
+
+
+@query("w15_ewma_smooth", oracle=None)
+def w15_ewma_smooth(spark, sf_dir):
+    """Per-entity exponential smoothing (alpha=0.3) of the event value
+    stream — the recursive trend smoother a SQL window frame cannot
+    express (each output depends on the previous OUTPUT), run through
+    the sanctioned applyInPandas escape hatch: one exchange on the
+    entity key, Arrow-batched pandas ewm per group, O(1) recursion
+    state (operators/windows.py:ewma). Rows-only: the recursion has no
+    SQL oracle; exactness is pinned by a unit test against the closed
+    form instead."""
+    ev = (io.load_table(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull())
+            .select("event_id", "user_id", us("ts").alias("ts_us"), "value"))
+    out = W.ewma(ev, ["user_id"], "value", ["ts_us", "event_id"])
+    return out.select("user_id", "event_id", "ts_us", "value", "ewma")

@@ -385,3 +385,20 @@ def test_interpolate_linear_semantics(spark):
     assert got[2] == 1.0 + 3.0 * (10.0 / 30.0)  # interior: 2.0
     assert got[4] is None                      # trailing boundary
     assert got[6] == 2.0                       # zero-span tie -> LOCF
+
+
+def test_ewma_matches_closed_form(spark):
+    """applyInPandas EWMA equals the closed-form recursion per entity and
+    is independent of input row order (the operator sorts in-group)."""
+    from clif_spark.operators.windows import ewma
+
+    rows = [(1, 3, 4.0), (1, 1, 1.0), (1, 2, 2.0),   # shuffled on purpose
+            (2, 1, 10.0), (2, 2, 10.0)]
+    df = spark.createDataFrame(rows, "u long, t long, v double")
+    got = {(r.u, r.t): r.ewma
+           for r in ewma(df, ["u"], "v", ["t"], alpha=0.5).collect()}
+    # u=1 ordered values 1,2,4: s1=1, s2=1.5, s3=2.75
+    assert got[(1, 1)] == 1.0
+    assert got[(1, 2)] == 1.5
+    assert got[(1, 3)] == 2.75
+    assert got[(2, 2)] == 10.0
