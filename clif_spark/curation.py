@@ -295,6 +295,47 @@ def repeated_ngram_profile(docs: DataFrame, n: int = 8,
                          .alias("n_repeated")))
 
 
+def mix_epochs(docs: DataFrame, epochs: dict[str, float],
+               source_col: str = "source", key_col: str = "doc_id",
+               seed: str = "epoch", default: float = 1.0) -> DataFrame:
+    """Fractional-epoch dataset mixing — the execution half of a data
+    recipe (temperature_mix chooses the per-source rates; this MATERIALIZES
+    them): every document of source s appears floor(e_s) times, plus one
+    more copy iff its deterministic hash-draw falls below frac(e_s). So
+    epochs=2.5 repeats the whole source twice and a uniform half of it a
+    third time — expected copy count exactly e_s, zero RNG state, and the
+    same documents get the extra copy on every run/engine/partitioning
+    (the property that keeps downstream packing and dedup reproducible).
+
+    Output adds an ``epoch`` column (1..reps) so downstream shuffling/
+    packing can interleave copies instead of emitting them adjacent.
+
+    Scale shape: the epochs table folds into a CASE literal (recipe-sized),
+    the draw is a narrow hash, and the repeat is a per-row explode of at
+    most ceil(max epochs) elements — no join, no shuffle, output size
+    sum(e_s * n_s) by construction."""
+    from clif_spark import sampling
+
+    expr_whole, expr_frac = None, None
+    for s, e in epochs.items():
+        w, fr = int(e), round(e - int(e), 6)
+        cond = F.col(source_col) == s
+        expr_whole = (F.when(cond, w) if expr_whole is None
+                      else expr_whole.when(cond, w))
+        expr_frac = (F.when(cond, fr) if expr_frac is None
+                     else expr_frac.when(cond, fr))
+    expr_whole = expr_whole.otherwise(int(default))
+    expr_frac = expr_frac.otherwise(round(default - int(default), 6))
+    reps = (expr_whole
+            + (sampling.u01(key_col, seed) < expr_frac).cast("int"))
+    return (docs.withColumn("__reps", reps)
+                .withColumn("epoch", F.explode(F.expr(
+                    "CASE WHEN __reps >= 1 THEN sequence(1, __reps)"
+                    " ELSE CAST(array() AS ARRAY<INT>) END")))
+                .withColumn("epoch", F.col("epoch").cast("long"))
+                .drop("__reps"))
+
+
 def temperature_mix(docs: DataFrame, source_col: str = "source",
                     key_col: str = "doc_id",
                     temperature: float = 2.0,

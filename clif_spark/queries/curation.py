@@ -631,3 +631,32 @@ def text_bpe_tokenize(spark, sf_dir):
     d = io.load_table(spark, sf_dir, "documents")
     merges = bpe.bpe_train(d, n_merges=8)
     return bpe.bpe_tokenize(d, merges)
+
+
+@query(
+    "sample_mix_epochs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             (CASE WHEN source = 'src0' THEN 2
+                   WHEN source = 'src1' THEN 0 ELSE 1 END)
+             + (CASE WHEN {sampling.sql_u01('doc_id', 'epoch')} <
+                     (CASE WHEN source = 'src0' THEN 0.5
+                           WHEN source = 'src1' THEN 0.5 ELSE 0.0 END)
+                THEN 1 ELSE 0 END) AS reps
+      FROM documents)
+    SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
+    FROM (SELECT doc_id, source, unnest(range(1, reps + 1)) AS e FROM d)
+    """,
+)
+def sample_mix_epochs(spark, sf_dir):
+    """Fractional-epoch mixing (curation.mix_epochs): materialize a data
+    recipe where src0 runs 2.5 epochs (twice + a deterministic uniform
+    half a third time), src1 runs 0.5 (a uniform half once), everything
+    else 1.0 — expected copy counts exact, the SAME documents get the
+    extra copy on every run/engine/partitioning, and the emitted epoch
+    index lets packing interleave copies. Recipe folds into a CASE
+    literal; the repeat is a per-row explode — no join, no shuffle."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return (curation.mix_epochs(d, {"src0": 2.5, "src1": 0.5})
+            .select("doc_id", "source", "epoch"))

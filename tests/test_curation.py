@@ -225,3 +225,29 @@ def test_bpe_train_matches_reference_on_real_docs(spark):
         words = [w for w in text.lower().split() if w]
         exp = sum(len(ref_vocab[w]) for w in words)
         assert got[doc_id] == (len(words), exp), doc_id
+
+
+def test_mix_epochs_copy_semantics(spark):
+    """Epoch materialization: floor copies for everyone, the fractional
+    extra goes to a stable hash-subset, 0.x sources keep only that
+    subset, and copy counts are reproducible across invocations."""
+    from clif_spark.curation import mix_epochs
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 200 else "b") for i in range(400)],
+        "doc_id long, source string")
+    out = mix_epochs(df, {"a": 2.5, "b": 0.5}).collect()
+    from collections import Counter
+    per_doc = Counter((r.doc_id) for r in out)
+    a_counts = {per_doc.get(i, 0) for i in range(200)}
+    b_counts = {per_doc.get(i, 0) for i in range(200, 400)}
+    assert a_counts == {2, 3}          # everyone twice, some thrice
+    assert b_counts == {0, 1}          # only the hash-subset survives
+    n_a = sum(per_doc.get(i, 0) for i in range(200))
+    assert 400 < n_a < 600             # ~2.5 * 200 within hash tolerance
+    again = Counter(r.doc_id for r in
+                    mix_epochs(df, {"a": 2.5, "b": 0.5}).collect())
+    assert again == per_doc
+    # epoch index is 1..reps per doc
+    epochs = sorted(r.epoch for r in out if r.doc_id == 0)
+    assert epochs == list(range(1, len(epochs) + 1))
