@@ -324,8 +324,12 @@ def mix_epochs(docs: DataFrame, epochs: dict[str, float],
                       else expr_whole.when(cond, w))
         expr_frac = (F.when(cond, fr) if expr_frac is None
                      else expr_frac.when(cond, fr))
-    expr_whole = expr_whole.otherwise(int(default))
-    expr_frac = expr_frac.otherwise(round(default - int(default), 6))
+    if expr_whole is None:  # empty recipe: every source at `default`
+        expr_whole = F.lit(int(default))
+        expr_frac = F.lit(round(default - int(default), 6))
+    else:
+        expr_whole = expr_whole.otherwise(int(default))
+        expr_frac = expr_frac.otherwise(round(default - int(default), 6))
     reps = (expr_whole
             + (sampling.u01(key_col, seed) < expr_frac).cast("int"))
     return (docs.withColumn("__reps", reps)

@@ -79,7 +79,11 @@ def chunk_dedup(docs: DataFrame, id_col: str = "doc_id",
         f" / {k}.0) as int) - 1),"
         f" i -> array_join(slice(split({text_col}, ' '), i * {k} + 1, {k}),"
         f" ' '))")
-    ch = (docs.select(id_col, F.posexplode(chunks).alias("idx", "chunk")))
+    # NULL-text guard: size(split(NULL)) is -1, so the sequence would run
+    # DESCENDING [0, -1] and emit two bogus NULL-chunk rows; the oracle's
+    # range(NULL) emits none. Dropping NULL docs mirrors the oracle.
+    ch = (docs.filter(F.col(text_col).isNotNull())
+              .select(id_col, F.posexplode(chunks).alias("idx", "chunk")))
     w = Window.partitionBy("chunk").orderBy(id_col, "idx")
     marked = ch.withColumn(
         "keep", (F.row_number().over(w) == 1).cast("long"))

@@ -168,15 +168,26 @@ def winsorize(df: DataFrame, keys: Sequence[str], value: str,
     dimension-sized (one row per group) and broadcast back onto the rows;
     the clamp itself is a narrow least/greatest. Cost = one shuffle +
     per-group sort for the bounds, same budget as exact_percentiles.
+
+    NULL semantics (the pandas/scipy convention): NULL values are
+    excluded from the bound computation — Spark's window would otherwise
+    rank them FIRST and shift every percentile rank — and pass through
+    unclamped (out = NULL). An all-NULL group has no bounds row; the
+    left join keeps its rows, out stays NULL.
     """
-    bounds = exact_percentiles(df, keys, value, (lo, hi), tiebreakers)
+    bounds = exact_percentiles(df.filter(F.col(value).isNotNull()),
+                               keys, value, (lo, hi), tiebreakers)
     lo_c = f"p{int(round(lo * 100)):02d}"
     hi_c = f"p{int(round(hi * 100)):02d}"
     out = out_col or f"{value}_winsor"
-    return (df.join(F.broadcast(bounds), list(keys))
-              .withColumn(out, F.least(F.greatest(F.col(value),
-                                                  F.col(lo_c)),
-                                       F.col(hi_c)))
+    # Explicit isNotNull guard: least/greatest IGNORE null operands in
+    # both Spark and DuckDB, so without it a NULL value would silently
+    # "clamp" to the lower bound instead of passing through.
+    return (df.join(F.broadcast(bounds), list(keys), "left")
+              .withColumn(out, F.when(
+                  F.col(value).isNotNull(),
+                  F.least(F.greatest(F.col(value), F.col(lo_c)),
+                          F.col(hi_c))))
               .drop(lo_c, hi_c))
 
 

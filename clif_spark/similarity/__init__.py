@@ -144,7 +144,8 @@ def cosine_topk_arrow(vectors: DataFrame, queries: DataFrame, k: int = 5,
     q_rows = queries.select(query_id_col, vec_col).collect()
     qids_np = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
-    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     bq = vectors.sparkSession.sparkContext.broadcast((qids_np, qm))
 
     def score(batches):
@@ -156,15 +157,22 @@ def cosine_topk_arrow(vectors: DataFrame, queries: DataFrame, k: int = 5,
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            v = v / np.linalg.norm(v, axis=1, keepdims=True)
-            s = np.floor((v @ qn.T) * 1e4 + 0.5) / 1e4
+            with np.errstate(divide="ignore", invalid="ignore"):
+                v = v / np.linalg.norm(v, axis=1, keepdims=True)
+                s = np.floor((v @ qn.T) * 1e4 + 0.5) / 1e4
             out_q, out_n, out_c = [], [], []
             for j in range(len(qids)):
                 keep = ids != qids[j]
                 cand_ids, cand_s = ids[keep], s[keep, j]
                 if cand_ids.size == 0:
                     continue
-                order = np.lexsort((cand_ids, -cand_s))[:k]
+                # Zero-norm vectors score NaN here, but the HOF fold gets
+                # NULL (Spark SQL division returns NULL on 0.0/0.0), and
+                # NULLs sort LAST under DESC — so NaN must rank lowest in
+                # the batch cut (-inf key) and is converted to NULL after
+                # the mapInPandas boundary to match the fold bit-for-bit.
+                rank_s = np.where(np.isnan(cand_s), -np.inf, cand_s)
+                order = np.lexsort((cand_ids, -rank_s))[:k]
                 out_q.append(np.full(order.size, qids[j]))
                 out_n.append(cand_ids[order])
                 out_c.append(cand_s[order])
@@ -176,6 +184,10 @@ def cosine_topk_arrow(vectors: DataFrame, queries: DataFrame, k: int = 5,
     scored = ensure_parallelism(vectors).select(
         F.col(id_col), F.col(vec_col)).mapInPandas(
         score, f"{query_id_col} long, neighbor_id long, cos double")
+    # NaN -> NULL (see ranking comment): Arrow ships NaN as a double, but
+    # the fold's zero-norm result is SQL NULL.
+    scored = scored.withColumn(
+        "cos", F.when(F.isnan("cos"), F.lit(None)).otherwise(F.col("cos")))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(),
                                                  F.col("neighbor_id"))
     return (scored.withColumn("__rn", F.row_number().over(w))

@@ -213,7 +213,9 @@ def test_bpe_train_matches_reference_on_real_docs(spark):
     from clif_spark.functions import bpe
 
     sf = "/root/testdata/sf0.001"
-    d = io.load_table(spark, sf, "documents").limit(50)
+    # doc_id < 50, not limit(50): an un-ordered limit may pick different
+    # rows across the three plan executions below (collect / train / apply)
+    d = io.load_table(spark, sf, "documents").filter("doc_id < 50")
     rows = [(r.doc_id, r.text) for r in d.collect()]
     wc = Counter(w for _, t in rows for w in t.lower().split() if w)
     merges = bpe.bpe_train(d, n_merges=8)
@@ -251,3 +253,22 @@ def test_mix_epochs_copy_semantics(spark):
     # epoch index is 1..reps per doc
     epochs = sorted(r.epoch for r in out if r.doc_id == 0)
     assert epochs == list(range(1, len(epochs) + 1))
+
+
+def test_winsorize_null_and_empty_recipe_edges(spark):
+    """Review-pinned edges: NULLs are excluded from winsorize bounds and
+    pass through unclamped; mix_epochs with an empty recipe applies the
+    default to every source."""
+    from clif_spark.curation import mix_epochs
+    from clif_spark.operators.profile import winsorize
+
+    rows = [("g", float(v), i) for i, v in enumerate(range(1, 11))]
+    rows += [("g", None, 99), ("h", None, 100)]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+    out = {r.id: r.v_winsor
+           for r in winsorize(df, ["g"], "v", tiebreakers=["id"]).collect()}
+    assert out[0] == 1.0 and out[9] == 10.0   # p05=1, p95=10 over non-nulls
+    assert out[99] is None and out[100] is None
+    d2 = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, source string")
+    got = mix_epochs(d2, {}).collect()
+    assert sorted((r.doc_id, r.epoch) for r in got) == [(1, 1), (2, 1)]

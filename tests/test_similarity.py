@@ -183,3 +183,29 @@ def test_pq_train_beats_random_codebook(spark):
     assert len(cb) == 4 and len(cb[0]) == 8 and len(cb[0][0]) == 16
     trained = PQ.pq_encode(e, cb).agg({"err": "avg"}).collect()[0][0]
     assert trained < base * 0.8, (trained, base)
+
+
+def test_cosine_topk_arrow_nan_matches_fold_null_semantics(spark):
+    """A zero-norm vector's cosine is SQL NULL in the fold (Spark returns
+    NULL for 0.0/0.0) and ranks LAST under DESC; the arrow path's NaN is
+    ranked -inf in the batch cut and converted to NULL afterward, so both
+    paths agree bit-for-bit including the degenerate row."""
+    from clif_spark import similarity
+    from pyspark.sql import functions as F
+
+    rows = [(i, [float(i + 1)] * 4) for i in range(6)] + [(9, [0.0] * 4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = (df.filter(F.col("vec_id") == 0)
+           .select(F.col("vec_id").alias("query_id"), "embedding"))
+    hof = [(r.neighbor_id, r.cos) for r in
+           similarity.cosine_topk(df, q, k=7)
+           .orderBy(F.desc("cos"), "neighbor_id").collect()]
+    arrow = [(r.neighbor_id, r.cos) for r in
+             similarity.cosine_topk_arrow(df, q, k=7)
+             .orderBy(F.desc("cos"), "neighbor_id").collect()]
+    assert hof == arrow
+    assert hof[-1] == (9, None)  # degenerate row present, NULL, ranked last
+    # and with k smaller than the finite candidate count it drops entirely
+    k3 = {r.neighbor_id for r in
+          similarity.cosine_topk_arrow(df, q, k=3).collect()}
+    assert 9 not in k3 and len(k3) == 3
