@@ -1451,3 +1451,20 @@ def ann_ivf_pq_topk(spark, sf_dir):
     q = (e.filter(F.col("vec_id") < 5)
           .select(F.col("vec_id").alias("query_id"), "embedding"))
     return PQ.ivfpq_topk(e, q, k=10, nprobe=2, n_cells=16)
+
+
+@query("ann_ivf_pq_residual_topk",
+       oracle=PQ.ivfpq_oracle_sql("embeddings", residual=True))
+def ann_ivf_pq_residual_topk(spark, sf_dir):
+    """Residual IVFPQ — the FAISS-faithful variant: PQ encodes
+    (vector - cell centroid), concentrating the codebook's dynamic range
+    on within-cell variation, and each probe builds its own distance
+    table from the per-cell query residual (still dimension-sized:
+    queries x nprobe x m x ks broadcast rows). One elementwise IEEE
+    subtraction before micros quantization keeps the whole rank
+    BIGINT-exact, so even this composed two-quantizer index hash-matches
+    the oracle."""
+    e = io.load_table(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return PQ.ivfpq_topk(e, q, k=10, nprobe=2, n_cells=16, residual=True)

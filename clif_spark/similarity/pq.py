@@ -120,25 +120,30 @@ def pq_train(vectors: DataFrame, m: int = 4, ks: int = 8,
     return cb
 
 
-def _query_dist_table(queries: DataFrame, cb: list, query_id_col: str,
+def _query_dist_table(queries: DataFrame, cb: list,
+                      key_cols: list[str] | str,
                       vec_col: str) -> DataFrame:
-    """(query_id, b, j, d): exact integer distance from each query's
-    quantized sub-vector to every (block, code) codebook entry.
+    """(*key_cols, b, j, d): exact integer distance from each key row's
+    quantized vector to every (block, code) codebook entry. ``key_cols``
+    is (query_id,) for flat ADC and (query_id, cell) for residual IVFPQ
+    where the query vector differs per probed cell.
 
     HOF formulation, not m*ks unrolled structs: the unrolled explode put
     ~m*ks*sub_dim arithmetic terms into ONE codegen method and blew
     Janino's method-size limit (observed: CodeGenerator ERROR + fallback
     to interpreted). HOF lambdas are interpreted by design — fine here,
     the query side is dimension-sized."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     m, ks, sub_dim = len(cb), len(cb[0]), len(cb[0][0])
     qv = (f"transform(CAST({vec_col} AS ARRAY<DOUBLE>),"
           " x -> CAST(floor(x * 1000000.0D + 0.5D) AS BIGINT))")
-    quant = queries.select(F.col(query_id_col), F.expr(qv).alias("__qv"))
+    quant = queries.select(*[F.col(c) for c in keys],
+                           F.expr(qv).alias("__qv"))
     cb_lit = ("array(" + ",".join(
         "array(" + ",".join(f"{c}L" for c in cb[b][j]) + ")"
         for b in range(m) for j in range(ks)) + ")")
     return quant.select(
-        query_id_col,
+        *keys,
         F.expr(f"""
         explode(transform(sequence(0, {m * ks - 1}), i -> named_struct(
             'b', CAST(i div {ks} AS BIGINT),
@@ -149,7 +154,7 @@ def _query_dist_table(queries: DataFrame, cb: list, query_id_col: str,
                          (x, c) -> (x - c) * (x - c)),
                 CAST(0 AS BIGINT), (acc, v) -> acc + v))))
         """).alias("s")
-    ).select(query_id_col, "s.b", "s.j", "s.d")
+    ).select(*keys, "s.b", "s.j", "s.d")
 
 
 def pq_adc_topk(vectors: DataFrame, queries: DataFrame,
@@ -194,9 +199,18 @@ def pq_adc_topk(vectors: DataFrame, queries: DataFrame,
             .filter(F.col("__rn") <= k).drop("__rn"))
 
 
+def _cents_lit(cents: list[list[float]]) -> str:
+    """Centroid table as a SQL array-of-arrays literal (repr round-trips
+    doubles exactly; one py4j trip — the _lit_vec rationale)."""
+    return ("array(" + ",".join(
+        "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+        for c in cents) + ")")
+
+
 def ivfpq_topk(vectors: DataFrame, queries: DataFrame,
                codebook: list | None = None, k: int = 10, nprobe: int = 2,
                n_cells: int = 16, centroids: list | None = None,
+               residual: bool = False,
                id_col: str = "vec_id", vec_col: str = "embedding",
                query_id_col: str = "query_id") -> DataFrame:
     """The combined FAISS-style IVFPQ index: coarse IVF cells bound the
@@ -220,21 +234,51 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame,
     cents = (centroids if centroids is not None
              else S.ivf_centroids(vectors, n_cells, id_col, vec_col))
     assigned = S.ivf_assign(vectors, cents, id_col, vec_col)
+    if residual:
+        # FAISS-faithful IVFPQ: PQ encodes (v - centroid[cell]). The
+        # payoff requires clustered data AND a codebook trained on the
+        # residuals (pq_train over residual vectors) — pinned by test on
+        # clustered synthetic data; on structure-free corpora or with a
+        # range-matched random codebook residuals cannot win. Elementwise subtraction is one IEEE op per
+        # coordinate — deterministic before micros quantization. The
+        # query side must then build ONE distance table per probed cell
+        # (the query residual differs per cell), still dimension-sized:
+        # queries x nprobe x m x ks rows.
+        cl = _cents_lit(cents)
+        assigned = assigned.withColumn("__v", F.expr(
+            f"zip_with(CAST(__v AS ARRAY<DOUBLE>),"
+            f" element_at({cl}, cell + 1), (x, c) -> x - c)"))
     enc = pq_encode(assigned, cb, id_col=id_col, vec_col="__v",
                     extra_cols=("cell",))
     code_pairs = ", ".join(f"CAST({b} AS BIGINT), code{b}" for b in range(m))
     enc_long = enc.selectExpr(f"{id_col} AS neighbor_id", "cell",
                               f"stack({m}, {code_pairs}) AS (b, j)")
-    q = queries.select(query_id_col, F.col(vec_col).alias("__q"))
-    probes = (q.withColumn("__cells", F.slice(
-                  S._cell_ranks(F.col("__q"), cents), 1, nprobe))
-               .select(query_id_col, F.explode(F.col("__cells")["c"])
-                        .alias("cell")))
-    dist_table = _query_dist_table(queries, cb, query_id_col, vec_col)
     w = Window.partitionBy(query_id_col).orderBy("adc", "neighbor_id")
-    return (enc_long.join(F.broadcast(probes), "cell")
-            .filter(F.col("neighbor_id") != F.col(query_id_col))
-            .join(F.broadcast(dist_table), [query_id_col, "b", "j"])
+    if residual:
+        q = queries.select(query_id_col, F.col(vec_col).alias("__q"))
+        cl = _cents_lit(cents)
+        probes = (q.withColumn("__cells", F.slice(
+                      S._cell_ranks(F.col("__q"), cents), 1, nprobe))
+                   .select(query_id_col, "__q",
+                           F.explode(F.col("__cells")["c"]).alias("cell"))
+                   .withColumn("__rq", F.expr(
+                       f"zip_with(CAST(__q AS ARRAY<DOUBLE>),"
+                       f" element_at({cl}, cell + 1), (x, c) -> x - c)")))
+        dist_table = _query_dist_table(probes, cb,
+                                       [query_id_col, "cell"], "__rq")
+        joined = (enc_long.join(F.broadcast(dist_table), ["cell", "b", "j"])
+                  .filter(F.col("neighbor_id") != F.col(query_id_col)))
+    else:
+        q = queries.select(query_id_col, F.col(vec_col).alias("__q"))
+        probes = (q.withColumn("__cells", F.slice(
+                      S._cell_ranks(F.col("__q"), cents), 1, nprobe))
+                   .select(query_id_col, F.explode(F.col("__cells")["c"])
+                            .alias("cell")))
+        dist_table = _query_dist_table(queries, cb, query_id_col, vec_col)
+        joined = (enc_long.join(F.broadcast(probes), "cell")
+                  .filter(F.col("neighbor_id") != F.col(query_id_col))
+                  .join(F.broadcast(dist_table), [query_id_col, "b", "j"]))
+    return (joined
             .groupBy(query_id_col, "neighbor_id")
             .agg(F.sum("d").alias("adc"))
             .withColumn("__rn", F.row_number().over(w))
@@ -244,13 +288,18 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame,
 def ivfpq_oracle_sql(table_expr: str, n_queries: int = 5,
                      codebook: list | None = None, k: int = 10,
                      nprobe: int = 2, n_cells: int = 16,
+                     residual: bool = False,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> str:
     """DuckDB mirror of ivfpq_topk (lowest-id coarse quantizer, queries
     ``{id} < n_queries``) — cell CTEs shared with the IVF oracle shape,
-    code/distance CTEs generated from the same codebook."""
+    code/distance CTEs generated from the same codebook; with
+    ``residual`` both sides encode/probe (vector - cell centroid)."""
     cb = codebook or pq_codebook()
     m, ks, sub_dim = len(cb), len(cb[0]), len(cb[0][0])
+    if residual:
+        return _ivfpq_residual_oracle_sql(table_expr, n_queries, cb, k,
+                                          nprobe, n_cells, id_col, vec_col)
     enc = pq_oracle_sql(table_expr, cb, id_col=id_col, vec_col=vec_col)
     unpivot = " UNION ALL ".join(
         f"SELECT neighbor_id, cell, CAST({b} AS BIGINT) AS b,"
@@ -334,6 +383,71 @@ def pq_adc_oracle_sql(table_expr: str, n_queries: int = 3,
                FROM enc_long JOIN dt USING (b, j)
                WHERE neighbor_id <> query_id
                GROUP BY query_id, neighbor_id)
+    SELECT query_id, neighbor_id, CAST(adc AS BIGINT) AS adc
+    FROM scored
+    QUALIFY row_number() OVER
+        (PARTITION BY query_id ORDER BY adc, neighbor_id) <= {k}
+    """
+
+
+def _ivfpq_residual_oracle_sql(table_expr: str, n_queries: int, cb: list,
+                               k: int, nprobe: int, n_cells: int,
+                               id_col: str, vec_col: str) -> str:
+    """Residual-IVFPQ oracle: encode (v - centroid[cell]), probe with the
+    per-cell query residual — the dt relation is keyed (query, cell)."""
+    m, ks, sub_dim = len(cb), len(cb[0]), len(cb[0][0])
+    dim = m * sub_dim
+    enc = pq_oracle_sql("res", cb, id_col=id_col, vec_col="embedding")
+    unpivot = " UNION ALL ".join(
+        f"SELECT neighbor_id, cell, CAST({b} AS BIGINT) AS b,"
+        f" code{b} AS j FROM encc" for b in range(m))
+    structs = ",".join(
+        f"struct_pack(b := CAST({b} AS BIGINT), j := CAST({j} AS BIGINT),"
+        f" d := {_dist_terms(cb[b][j], b * sub_dim, 'qv', True)})"
+        for b in range(m) for j in range(ks))
+    return f"""
+    WITH cidx AS (
+      SELECT CAST({vec_col} AS DOUBLE[]) AS cv,
+             row_number() OVER (ORDER BY {id_col}) - 1 AS ci
+      FROM {table_expr} ORDER BY {id_col} LIMIT {n_cells}
+    ),
+    v AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS vv
+          FROM {table_expr}),
+    vass AS (
+      SELECT {id_col}, vv, cv, ci AS cell
+      FROM v CROSS JOIN cidx
+      QUALIFY row_number() OVER
+        (PARTITION BY {id_col} ORDER BY list_distance(vv, cv), ci) = 1
+    ),
+    res AS (SELECT {id_col}, cell,
+                   list_transform(range(1, {dim + 1}),
+                                  i -> vv[i] - cv[i]) AS embedding
+            FROM vass),
+    enc AS ({enc}),
+    encc AS (SELECT e.{id_col} AS neighbor_id,
+                    {", ".join(f"e.code{b}" for b in range(m))}, r.cell
+             FROM enc e JOIN res r USING ({id_col})),
+    enc_long AS ({unpivot}),
+    qc AS (
+      SELECT q.{id_col} AS query_id, ci AS cell,
+             list_transform(range(1, {dim + 1}),
+                            i -> q.vv[i] - cv[i]) AS rv
+      FROM v q CROSS JOIN cidx
+      WHERE q.{id_col} < {n_queries}
+      QUALIFY row_number() OVER
+        (PARTITION BY q.{id_col} ORDER BY list_distance(q.vv, cv), ci)
+        <= {nprobe}
+    ),
+    qq AS (SELECT query_id, cell,
+                  list_transform(rv,
+                      x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS qv
+           FROM qc),
+    dt AS (SELECT query_id, cell, s.b AS b, s.j AS j, s.d AS d
+           FROM (SELECT query_id, cell, unnest([{structs}]) AS s FROM qq)),
+    scored AS (SELECT dt.query_id, el.neighbor_id, sum(dt.d) AS adc
+               FROM enc_long el JOIN dt USING (cell, b, j)
+               WHERE el.neighbor_id <> dt.query_id
+               GROUP BY dt.query_id, el.neighbor_id)
     SELECT query_id, neighbor_id, CAST(adc AS BIGINT) AS adc
     FROM scored
     QUALIFY row_number() OVER
