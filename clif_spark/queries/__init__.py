@@ -243,22 +243,20 @@ _VERIFY_FIRST = [
     "ann_cosine_topk_arrow", "emb_pq_encode", "ann_pq_adc_topk",
     "ann_ivf_pq_topk", "w14_interpolate_linear", "text_bpe_tokenize",
     "a20_winsorize_clamp", "w15_ewma_smooth", "sample_mix_epochs",
-    "ann_ivf_pq_residual_topk",
+    "ann_ivf_pq_residual_topk", "a21_countmin_heavy",
     # --- code changed in round 4 but most recent driver row is r2 (the
     # r4 verdict's #1 re-gate list) ---
     "dedup_minhash_lsh", "ann_lsh_buckets", "ann_ivf_topk",
     "ann_recall_at_k", "mm_decode_meta", "text_quality_metrics",
     # --- code changed in round 5 (statistics-gated pre-agg shape) ---
     "q3_shipping_priority",
-    # --- round-1 rows never refreshed ---
-    "p7_p8_in_comparison",
 ]
-# Exactly 50 head entries: all 42 never-gated round-5 registrations + 6
-# r4-code-touched re-gates + q3 (round-5 shape change) + 1 r1-row
-# straggler representative (p7_p8). The other five r1 stragglers
-# cede their refresh to round 6: never-gated beats 4-round-stale-green
-# for trivially-shaped queries whose machinery (LIKE/rlike, time-range
-# filters, multi-key equi/semi/anti joins, coalesce) is exercised inside many gated
+# Exactly 50 head entries: all 43 never-gated round-5 registrations + 6
+# r4-code-touched re-gates + q3 (round-5 shape change). The six r1-row
+# stragglers cede their refresh to round 6: never-gated beats
+# 4-round-stale-green for trivially-shaped queries whose machinery
+# (IN-list/comparison, LIKE/rlike, time-range filters, multi-key
+# equi/semi/anti joins, coalesce) is exercised inside many gated
 # queries — they lead the round-6 rotation with the r2 batch. Ceding their slot to round 6 (all code-unchanged with green
 # rows): q5_local_supplier_volume / ann_cosine_topk / mm_frame_offsets
 # (listed speculatively last rotation as "to be changed"; the A/Bs kept

@@ -281,3 +281,84 @@ def a20_winsorize_clamp(spark, sf_dir):
                             tiebreakers=["event_id"])
     return out.select("event_id", "user_id", "event_type", "value",
                       F.col("value_winsor"))
+
+
+def _cms_bucket_sql(key: str, width: int) -> str:
+    """DuckDB 16-bit md5 slice % width for CMS row r (column ``r`` in
+    scope) — the sampling.sql_u01 nibble trick, mod instead of divide."""
+    h = f"md5('cms' || CAST(r AS VARCHAR) || ':' || CAST({key} AS VARCHAR))"
+    nibble = (lambda i, w:
+              f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1) * {w}")
+    v = " + ".join(nibble(i + 1, 16 ** (3 - i)) for i in range(4))
+    return f"(({v}) % {width})"
+
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 64
+
+
+def _cms_bucket_spark(key: str, width: int):
+    h = F.md5(F.concat(F.lit("cms"), F.col("r").cast("string"),
+                       F.lit(":"), F.col(key).cast("string")))
+    return (F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+            % F.lit(width)).alias("bucket")
+
+
+@query(
+    "a21_countmin_heavy",
+    oracle=f"""
+    WITH rows_ AS (SELECT unnest(range({_CMS_DEPTH})) AS r),
+    s AS (SELECT r, {_cms_bucket_sql('user_id', _CMS_WIDTH)} AS bucket,
+                 count(*) AS c
+          FROM events CROSS JOIN rows_
+          GROUP BY 1, 2),
+    probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
+    pb AS (SELECT user_id, r, {_cms_bucket_sql('user_id', _CMS_WIDTH)} AS bucket
+           FROM probes CROSS JOIN rows_),
+    est AS (SELECT user_id, MIN(COALESCE(s.c, 0)) AS n_est
+            FROM pb LEFT JOIN s USING (r, bucket)
+            GROUP BY user_id),
+    exact AS (SELECT user_id, count(*) AS n_exact FROM events
+              WHERE user_id < 10 GROUP BY user_id),
+    tot AS (SELECT count(*) AS n FROM events)
+    SELECT e.user_id AS key, x.n_exact, e.n_est,
+           e.n_est - x.n_exact AS overcount,
+           (e.n_est >= x.n_exact AND
+            e.n_est <= x.n_exact
+                + CAST(CEIL(2.72 * t.n / {_CMS_WIDTH}) AS BIGINT))
+               AS within_bound
+    FROM est e JOIN exact x USING (user_id), tot t
+    """,
+)
+def a21_countmin_heavy(spark, sf_dir):
+    """Count-Min sketch with a verifiable contract (the frequency sibling
+    of the a12-a14 distinct/percentile sketches): depth 4 x width 64
+    md5-bucketed counters built as ONE keyed aggregate whose map-side
+    combine IS the sketch merge (d x w = 256 bounded rows per partition
+    shuffle at ANY corpus size), probed for ten keys by broadcast join +
+    MIN over rows. Emits exact count, estimate, the overcount (the CMS
+    one-sided error, >= 0 by construction), and the e/w bound verdict —
+    the whole sketch is recomputed identically by the oracle, so the
+    gate checks the SKETCH, not just a TRUE literal."""
+    ev = io.load_table(spark, sf_dir, "events")
+    rows_ = F.explode(F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))).alias("r")
+    s = (ev.select(rows_, "user_id")
+           .select("r", _cms_bucket_spark("user_id", _CMS_WIDTH))
+           .groupBy("r", "bucket").agg(F.count("*").alias("c")))
+    probes = (ev.filter(F.col("user_id") < 10).select("user_id").distinct()
+                .select(rows_, "user_id")
+                .select("user_id", "r",
+                        _cms_bucket_spark("user_id", _CMS_WIDTH)))
+    est = (probes.join(F.broadcast(s), ["r", "bucket"], "left")
+                 .groupBy("user_id")
+                 .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("n_est")))
+    exact = (ev.filter(F.col("user_id") < 10).groupBy("user_id")
+               .agg(F.count("*").alias("n_exact")))
+    tot = ev.agg(F.count("*").alias("n"))
+    return (est.join(exact, "user_id").crossJoin(F.broadcast(tot))
+            .select(F.col("user_id").alias("key"), "n_exact", "n_est",
+                    (F.col("n_est") - F.col("n_exact")).alias("overcount"),
+                    ((F.col("n_est") >= F.col("n_exact"))
+                     & (F.col("n_est") <= F.col("n_exact")
+                        + F.ceil(F.lit(2.72) * F.col("n")
+                                 / F.lit(_CMS_WIDTH)).cast("long")))
+                    .alias("within_bound")))
