@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from clif_spark import io
-from clif_spark.operators import profile
+from clif_spark.operators import layout, profile
 from clif_spark.queries import pq, query
 
 
@@ -362,3 +362,39 @@ def a21_countmin_heavy(spark, sf_dir):
                         + F.ceil(F.lit(2.72) * F.col("n")
                                  / F.lit(_CMS_WIDTH)).cast("long")))
                     .alias("within_bound")))
+
+
+@query(
+    "o4_zorder_key",
+    oracle=f"""
+    WITH b AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax
+               FROM events WHERE value IS NOT NULL),
+    q AS (SELECT event_id,
+                 CAST(user_id % 65536 AS INT) AS ua,
+                 {layout.sql_quantize16('value', 'b.vmin', 'b.vmax')} AS vq
+          FROM events, b WHERE value IS NOT NULL)
+    SELECT event_id, ua, vq,
+           {layout.sql_morton_key('ua', 'vq')} AS zkey
+    FROM q
+    """,
+)
+def o4_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering key over (user_id, quantized value) —
+    the Delta/Iceberg OPTIMIZE ZORDER layout trick as a pure column
+    expression (operators/layout.py): bit-interleave two 16-bit dims so
+    a sort by the key gives row-group min/max locality in BOTH, and a
+    range predicate on either column prunes most groups. All integer
+    bit arithmetic + one broadcast-bounds rescale, so the key
+    hash-matches across engines; the locality payoff itself is pinned by
+    a pyarrow row-group-statistics test."""
+    from clif_spark.operators import layout as L
+    ev = (io.load_table(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull()))
+    b = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    q = (ev.crossJoin(F.broadcast(b))
+           .select("event_id",
+                   (F.col("user_id") % 65536).cast("int").alias("ua"),
+                   L.quantize16(F.col("value"), F.col("vmin"),
+                                F.col("vmax")).alias("vq")))
+    return q.select("event_id", "ua", "vq",
+                    L.morton_key(F.col("ua"), F.col("vq")).alias("zkey"))

@@ -333,3 +333,45 @@ def test_runtime_bloom_filter_prunes_shuffle_join_fact_side(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_zorder_layout_tightens_rowgroup_stats(spark, tmp_path):
+    """The point of z-ordering, measured on the actual files: after
+    sorting by the Morton key and writing with small row groups, the
+    mean per-row-group min/max span of BOTH dimensions is far tighter
+    than under a single-column sort — the statistic parquet scans prune
+    by. (A u-sort gives perfect u spans but random v spans; z-order
+    must beat it on v while keeping u far below random.)"""
+    import pyarrow.parquet as pq_
+
+    from clif_spark.operators import layout as L
+
+    n = 4096
+    df = spark.createDataFrame(
+        [(i, (i * 2654435761) % 256, (i * 40503) % 256) for i in range(n)],
+        "i long, u int, v int")
+
+    def spans(path, col):
+        f = pq_.ParquetFile(str(path))
+        sp = []
+        for g in range(f.metadata.num_row_groups):
+            c = {f.metadata.row_group(g).column(ci).path_in_schema:
+                 f.metadata.row_group(g).column(ci).statistics
+                 for ci in range(f.metadata.row_group(g).num_columns)}
+            sp.append(c[col].max - c[col].min)
+        return sum(sp) / len(sp)
+
+    z = tmp_path / "z"
+    u = tmp_path / "u"
+    (L.zorder_by(df, "u", "v").coalesce(1).write
+     .option("parquet.block.size", 4 * 1024).parquet(str(z)))
+    (df.orderBy("u").coalesce(1).write
+     .option("parquet.block.size", 4 * 1024).parquet(str(u)))
+    zf = next(z.glob("*.parquet")); uf = next(u.glob("*.parquet"))
+    groups = pq_.ParquetFile(str(zf)).metadata.num_row_groups
+    assert groups >= 8, groups
+    # ~G row groups tile the 256x256 space: z-span/dim ~ 256/sqrt(G),
+    # far under the ~255 a random (u-sorted) layout leaves on v.
+    assert spans(zf, "v") < spans(uf, "v") * 0.5, (
+        spans(zf, "v"), spans(uf, "v"))
+    assert spans(zf, "u") < 255 * 0.5
