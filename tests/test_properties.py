@@ -402,3 +402,28 @@ def test_ewma_matches_closed_form(spark):
     assert got[(1, 2)] == 1.5
     assert got[(1, 3)] == 2.75
     assert got[(2, 2)] == 10.0
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.sampled_from("ab c"), min_size=0, max_size=12),
+       st.sampled_from(["a", "b", "c", " ", "ab"]),
+       st.sampled_from(["a", "b", "c", " "]))
+def test_bpe_merge_pair_fuzz_matches_reference(spark, syms, a, b):
+    """merge_pair's SQL fold == the textbook greedy leftmost merge on
+    arbitrary symbol streams (overlaps, repeats, merged-token symbols)."""
+    from clif_spark.functions.bpe import merge_pair
+
+    def ref(symbols):
+        out, i = [], 0
+        while i < len(symbols):
+            if (i + 1 < len(symbols) and symbols[i] == a
+                    and symbols[i + 1] == b):
+                out.append(a + b); i += 2
+            else:
+                out.append(symbols[i]); i += 1
+        return out
+
+    df = spark.createDataFrame([(syms,)], "syms array<string>")
+    got = df.select(merge_pair("syms", a, b).alias("m")).collect()[0].m
+    assert list(got) == ref(syms)
