@@ -453,3 +453,34 @@ def remove_repeated_ngram_spans(docs: DataFrame, n: int = 8,
                     .alias("n_removed"),
                     F.coalesce(F.col("clean_text"), F.lit(""))
                     .alias("clean_text")))
+
+
+def chunk_windows(docs: DataFrame, size: int = 20, stride: int = 15,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Overlapping token-window chunking — the retrieval-corpus prep step
+    (RAG indexing) that cuts each document into ``size``-token windows
+    every ``stride`` tokens, so no sentence is lost at a hard boundary
+    (the chunk_dedup/pack_sequences grain is disjoint; this one overlaps
+    by design, overlap = size - stride).
+
+    Chunk count: 1 for docs of <= ``size`` tokens, else
+    1 + ceil((n - size) / stride) — the last window may be short, never
+    empty. Pure narrow HOF projection over the scan: zero shuffles at
+    any corpus size; emitted token counts are the index's length column.
+
+    Output: (id, chunk_id, n_tokens, chunk_text).
+    """
+    toks = f"split({text_col}, ' ')"
+    n_chunks = (f"CASE WHEN size({toks}) <= {size} THEN 1"
+                f" ELSE cast(ceil((size({toks}) - {size}) / {stride}.0)"
+                f" as int) + 1 END")
+    windows = F.expr(
+        f"transform(sequence(0, {n_chunks} - 1),"
+        f" i -> slice({toks}, i * {stride} + 1, {size}))")
+    return (docs.filter(F.col(text_col).isNotNull())
+                .select(id_col, F.posexplode(windows).alias("chunk_id",
+                                                            "__w"))
+                .select(id_col, F.col("chunk_id").cast("long"),
+                        F.size("__w").cast("long").alias("n_tokens"),
+                        F.array_join("__w", " ").alias("chunk_text")))

@@ -165,3 +165,38 @@ def upsert_keep_latest(base: DataFrame, updates: DataFrame,
     merged = base.unionByName(updates,
                               allowMissingColumns=allow_missing_columns)
     return _w.dedup_keep_last(merged, keys, order)
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
+                  compare: list[str]) -> DataFrame:
+    """Classify every key between two table snapshots: 'added' (key only
+    in new), 'removed' (only in old), 'changed' (present in both with
+    any compared column differing, NULL-safely), or 'unchanged' — the
+    regression-diff / CDC-audit primitive behind incremental-pipeline
+    validation (the read-side complement of the upsert writer).
+
+    One full outer join on the key; the change predicate uses
+    null-safe equality (eqNullSafe) so NULL -> value and value -> NULL
+    transitions count as changes instead of vanishing into SQL
+    three-valued logic. Output: (*keys, change, old/new compare cols).
+    At scale this is the canonical co-partitionable join — bucket both
+    snapshots by the key and the exchange disappears.
+    """
+    # presence is tracked with explicit marker columns: a NULL compare
+    # column in a present row would otherwise read as "absent"
+    o = old.select(*keys, *[F.col(c).alias(f"old_{c}") for c in compare],
+                   F.lit(True).alias("__in_old"))
+    n = new.select(*keys, *[F.col(c).alias(f"new_{c}") for c in compare],
+                   F.lit(True).alias("__in_new"))
+    j = o.join(n, keys, "full_outer")
+    same = None
+    for c in compare:
+        eq = F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        same = eq if same is None else same & eq
+    change = (F.when(F.col("__in_old").isNull(), "added")
+               .when(F.col("__in_new").isNull(), "removed")
+               .when(same if same is not None else F.lit(True),
+                     "unchanged")
+               .otherwise("changed"))
+    return (j.withColumn("change", change)
+             .drop("__in_old", "__in_new"))

@@ -244,19 +244,21 @@ _VERIFY_FIRST = [
     "ann_ivf_pq_topk", "w14_interpolate_linear", "text_bpe_tokenize",
     "a20_winsorize_clamp", "w15_ewma_smooth", "sample_mix_epochs",
     "ann_ivf_pq_residual_topk", "a21_countmin_heavy", "o4_zorder_key",
+    "u6_snapshot_diff", "text_chunk_windows",
     # --- code changed in round 4 but most recent driver row is r2 (the
     # r4 verdict's #1 re-gate list) ---
-    "dedup_minhash_lsh", "ann_lsh_buckets", "ann_ivf_topk",
-    "ann_recall_at_k", "mm_decode_meta",
+    "dedup_minhash_lsh", "ann_lsh_buckets", "mm_decode_meta",
     # --- code changed in round 5 (statistics-gated pre-agg shape) ---
     "q3_shipping_priority",
 ]
-# Exactly 50 head entries: all 44 never-gated round-5 registrations + 5
-# r4-code-touched re-gates + q3 (round-5 shape change).
-# text_quality_metrics (r4-touched, r2 row) cedes: it is a bench
-# headliner, so its Spark/oracle agreement is ALSO exercised by every
-# same-phase bench ratio run, and the local differential covers it at
-# two SFs. The six r1-row
+# Exactly 50 head entries: all 46 never-gated round-5 registrations + 3
+# r4-code-touched re-gates (minhash — the headliner whose plan changed;
+# ann_lsh_buckets; mm_decode_meta) + q3 (round-5 shape change). Ceding
+# from the r4 re-gate list: text_quality_metrics (bench headliner — its
+# oracle agreement is also exercised by every same-phase ratio run),
+# ann_ivf_topk and ann_recall_at_k (their ivf_assign / cell-probe /
+# multiprobe machinery is exercised by the never-gated IVFPQ rows and
+# the r2-green rows still describe unchanged code). The six r1-row
 # stragglers cede their refresh to round 6: never-gated beats
 # 4-round-stale-green for trivially-shaped queries whose machinery
 # (IN-list/comparison, LIKE/rlike, time-range filters, multi-key

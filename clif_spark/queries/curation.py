@@ -660,3 +660,34 @@ def sample_mix_epochs(spark, sf_dir):
     d = io.load_table(spark, sf_dir, "documents")
     return (curation.mix_epochs(d, {"src0": 2.5, "src1": 0.5})
             .select("doc_id", "source", "epoch"))
+
+
+@query(
+    "text_chunk_windows",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE text IS NOT NULL),
+    d AS (SELECT doc_id, toks,
+                 CASE WHEN len(toks) <= 20 THEN 1
+                      ELSE CAST(ceil((len(toks) - 20) / 15.0) AS INT) + 1
+                 END AS nch
+          FROM t),
+    w AS (SELECT doc_id,
+                 unnest(list_transform(range(0, nch),
+                     i -> struct_pack(cid := i,
+                                      w := toks[i*15+1 : i*15+20]))) AS s
+          FROM d)
+    SELECT doc_id, CAST(s.cid AS BIGINT) AS chunk_id,
+           CAST(len(s.w) AS BIGINT) AS n_tokens,
+           array_to_string(s.w, ' ') AS chunk_text
+    FROM w
+    """,
+)
+def text_chunk_windows(spark, sf_dir):
+    """Overlapping token-window chunking (size 20, stride 15 — 5-token
+    overlap) for retrieval indexing: every document becomes 1 +
+    ceil((n-20)/15) windows, the last possibly short, none lost at a
+    boundary (curation.chunk_windows). Pure narrow HOF projection, zero
+    shuffles at any corpus size."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return curation.chunk_windows(d, size=20, stride=15)

@@ -977,3 +977,49 @@ def a19_cooccurrence_pairs(spark, sf_dir):
              .filter(F.col("type_a") < F.col("type_b"))
              .groupBy("type_a", "type_b")
              .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+@query(
+    "u6_snapshot_diff",
+    oracle="""
+    WITH old_ AS (SELECT event_id, user_id, value FROM events
+                  WHERE event_id % 5 <> 0),
+    new_ AS (SELECT event_id, user_id,
+                    CASE WHEN event_id % 7 = 0 THEN NULL
+                         WHEN event_id % 3 = 0 THEN value * 2
+                         ELSE value END AS value
+             FROM events WHERE event_id % 5 <> 1),
+    j AS (SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+                 o.value AS old_value, n.value AS new_value,
+                 o.event_id IS NOT NULL AS in_old,
+                 n.event_id IS NOT NULL AS in_new
+          FROM old_ o FULL OUTER JOIN new_ n USING (event_id))
+    SELECT event_id, old_value, new_value,
+           CASE WHEN NOT in_old THEN 'added'
+                WHEN NOT in_new THEN 'removed'
+                WHEN old_value IS NOT DISTINCT FROM new_value
+                     THEN 'unchanged'
+                ELSE 'changed' END AS change
+    FROM j
+    """,
+)
+def u6_snapshot_diff(spark, sf_dir):
+    """Snapshot diff — the regression-audit / CDC primitive (the read
+    side of u5's upsert): classify every key across two table versions
+    as added / removed / changed / unchanged, with NULL-SAFE value
+    comparison so NULL->value transitions count as changes instead of
+    vanishing into three-valued logic (operators/core.py:snapshot_diff).
+    The synthetic second snapshot drops some keys, adds others, doubles
+    every third value and nulls every seventh. One full outer join on
+    the key — co-partitionable, exchange-free under bucketed layout."""
+    from clif_spark.operators.core import snapshot_diff
+    ev = io.load_table(spark, sf_dir, "events")
+    old = ev.filter(F.col("event_id") % 5 != 0).select(
+        "event_id", "user_id", "value")
+    new = (ev.filter(F.col("event_id") % 5 != 1)
+             .select("event_id", "user_id",
+                     F.when(F.col("event_id") % 7 == 0, None)
+                      .when(F.col("event_id") % 3 == 0, F.col("value") * 2)
+                      .otherwise(F.col("value")).alias("value")))
+    return (snapshot_diff(old, new, ["event_id"], ["value"])
+            .select("event_id", "old_value", "new_value", "change"))
