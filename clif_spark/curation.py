@@ -484,3 +484,64 @@ def chunk_windows(docs: DataFrame, size: int = 20, stride: int = 15,
                 .select(id_col, F.col("chunk_id").cast("long"),
                         F.size("__w").cast("long").alias("n_tokens"),
                         F.array_join("__w", " ").alias("chunk_text")))
+
+
+def bm25_rational_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
+                       k1: float = 1.2, b: float = 0.75,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """BM25-shaped ranked retrieval with fully rational arithmetic — the
+    batch scoring half of a search index (the chunk_windows output is
+    the natural input corpus).
+
+    Two documented deviations from textbook BM25, both forced by the
+    engine-exactness contract (the tfidf_top_terms rationale):
+    - idf is the log-FREE ratio (N - df + 0.5)/(df + 0.5) + 1. Unlike
+      tfidf's per-term ranking, BM25 SUMS contributions, so this is not
+      ranking-equivalent to log idf — it up-weights rare terms more
+      aggressively. It remains a coherent, monotone-in-rarity scorer.
+    - per-(doc, term) contributions are rounded to integer micros and
+      summed as BIGINT (the dsum trick), so the per-doc total is
+      order-independent and bit-identical across engines.
+    The length normalization dl/avgdl is computed as the exact rational
+    dl * N / total_tokens (no pre-divided average), keeping one fixed
+    IEEE op sequence.
+
+    Shuffle geometry: the query-term filter prunes the explode to
+    matching postings, the per-term df and corpus totals are
+    dimension-sized broadcasts, and the final per-doc sum is one keyed
+    aggregate. Output: (id, score_micros, rank), rank 1..k.
+    """
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+    dl = docs.select(
+        F.col(id_col).alias("doc"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("dl"))
+    corpus = docs.agg(
+        F.countDistinct(id_col).cast("double").alias("n_docs"))
+    total = dl.agg(F.sum("dl").cast("double").alias("total_tokens"))
+    tf = (toks.filter(F.array_contains(terms, F.col("term")))
+              .groupBy("doc", "term").agg(F.count("*").alias("tf")))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (tf.join(F.broadcast(df_), "term")
+                .join(dl, "doc")
+                .crossJoin(F.broadcast(corpus))
+                .crossJoin(F.broadcast(total)))
+    idf = ((F.col("n_docs") - F.col("df") + F.lit(0.5))
+           / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
+    norm = (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+            + F.lit(b) * F.col("dl") * F.col("n_docs")
+            / F.col("total_tokens")))
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / norm
+    per_doc = (scored
+               .select("doc", F.floor(contrib * F.lit(1000000.0)
+                                      + F.lit(0.5)).cast("long")
+                       .alias("c"))
+               .groupBy("doc").agg(F.sum("c").alias("score_micros")))
+    w = Window.orderBy(F.col("score_micros").desc(), F.col("doc"))
+    return (per_doc.withColumn("rank", F.row_number().over(w).cast("long"))
+                   .filter(F.col("rank") <= k)
+                   .select(F.col("doc").alias(id_col),
+                           "score_micros", "rank"))

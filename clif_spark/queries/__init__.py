@@ -244,18 +244,19 @@ _VERIFY_FIRST = [
     "ann_ivf_pq_topk", "w14_interpolate_linear", "text_bpe_tokenize",
     "a20_winsorize_clamp", "w15_ewma_smooth", "sample_mix_epochs",
     "ann_ivf_pq_residual_topk", "a21_countmin_heavy", "o4_zorder_key",
-    "u6_snapshot_diff", "text_chunk_windows",
+    "u6_snapshot_diff", "text_chunk_windows", "text_bm25_topk",
     # --- code changed in round 4 but most recent driver row is r2 (the
     # r4 verdict's #1 re-gate list) ---
     "dedup_minhash_lsh", "ann_lsh_buckets", "mm_decode_meta",
-    # --- code changed in round 5 (statistics-gated pre-agg shape) ---
-    "q3_shipping_priority",
 ]
-# Exactly 50 head entries: all 46 never-gated round-5 registrations + 3
+# Exactly 50 head entries: all 47 never-gated round-5 registrations + 3
 # r4-code-touched re-gates (minhash — the headliner whose plan changed;
-# ann_lsh_buckets; mm_decode_meta) + q3 (round-5 shape change). Ceding
-# from the r4 re-gate list: text_quality_metrics (bench headliner — its
-# oracle agreement is also exercised by every same-phase ratio run),
+# ann_lsh_buckets; mm_decode_meta). Ceding: q3_shipping_priority
+# (round-5 shape change, but it is a bench headliner whose oracle
+# agreement every same-phase ratio run exercises, plus the local
+# two-SF differential and a dedicated pre-agg-shape oracle test);
+# from the r4 re-gate list: text_quality_metrics (same headliner
+# rationale),
 # ann_ivf_topk and ann_recall_at_k (their ivf_assign / cell-probe /
 # multiprobe machinery is exercised by the never-gated IVFPQ rows and
 # the r2-green rows still describe unchanged code). The six r1-row

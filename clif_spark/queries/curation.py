@@ -691,3 +691,50 @@ def text_chunk_windows(spark, sf_dir):
     shuffles at any corpus size."""
     d = io.load_table(spark, sf_dir, "documents")
     return curation.chunk_windows(d, size=20, stride=15)
+
+
+@query(
+    "text_bm25_topk",
+    oracle="""
+    WITH toks AS (SELECT doc_id AS doc,
+                         unnest(string_split(lower(text), ' ')) AS term
+                  FROM documents),
+    dl AS (SELECT doc_id AS doc,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           FROM documents),
+    corpus AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs
+               FROM documents),
+    total AS (SELECT CAST(SUM(dl) AS DOUBLE) AS total_tokens FROM dl),
+    tf AS (SELECT doc, term, COUNT(*) AS tf FROM toks
+           WHERE term IN ('spark', 'join', 'window')
+           GROUP BY doc, term),
+    df_ AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc,
+             FLOOR((((c.n_docs - df_.df + 0.5) / (df_.df + 0.5) + 1.0)
+                    * (tf.tf * 2.2)
+                    / (tf.tf + 1.2 * (0.25
+                       + 0.75 * dl.dl * c.n_docs / t.total_tokens)))
+                   * 1000000.0 + 0.5) AS c_micros
+      FROM tf JOIN df_ USING (term) JOIN dl USING (doc),
+           corpus c, total t),
+    per_doc AS (SELECT doc, CAST(SUM(CAST(c_micros AS BIGINT)) AS BIGINT)
+                       AS score_micros
+                FROM scored GROUP BY doc)
+    SELECT doc AS doc_id, score_micros, rank FROM (
+      SELECT doc, score_micros,
+             row_number() OVER (ORDER BY score_micros DESC, doc) AS rank
+      FROM per_doc)
+    WHERE rank <= 10
+    """,
+)
+def text_bm25_topk(spark, sf_dir):
+    """BM25-shaped ranked retrieval for the query {spark, join, window}
+    (curation.bm25_rational_topk): log-free rational idf and
+    integer-micros contribution sums keep the per-doc score
+    order-independent and bit-identical across engines (deviations
+    documented on the operator). Posting-list explode pruned by the
+    query terms; df/corpus stats are dimension-sized broadcasts; one
+    keyed sum + a bounded top-k window."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return curation.bm25_rational_topk(d, ["spark", "join", "window"], k=10)
