@@ -471,6 +471,11 @@ def chunk_windows(docs: DataFrame, size: int = 20, stride: int = 15,
 
     Output: (id, chunk_id, n_tokens, chunk_text).
     """
+    if not 0 < stride <= size:
+        raise ValueError(
+            f"stride must be in (0, size]: stride={stride} size={size} "
+            "(stride > size would silently drop the tokens between "
+            "windows and emit empty trailing chunks)")
     toks = f"split({text_col}, ' ')"
     n_chunks = (f"CASE WHEN size({toks}) <= {size} THEN 1"
                 f" ELSE cast(ceil((size({toks}) - {size}) / {stride}.0)"
@@ -513,12 +518,17 @@ def bm25_rational_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
     aggregate. Output: (id, score_micros, rank), rank 1..k.
     """
     terms = F.array(*[F.lit(t) for t in query_terms])
+    # Literal single-space split, NOT the \s+ tokens() helper: this is
+    # the token grain chunk_windows uses and the one the oracle mirrors
+    # (string_split) — mixing grains would make dl disagree with the
+    # chunk lengths on whitespace-irregular text. Normalize whitespace
+    # upstream (c4_line_filter territory) before scoring.
     toks = docs.select(
         F.col(id_col).alias("doc"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"))
     dl = docs.select(
         F.col(id_col).alias("doc"),
-        F.size(tokens(F.col(text_col))).cast("long").alias("dl"))
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("dl"))
     corpus = docs.agg(
         F.countDistinct(id_col).cast("double").alias("n_docs"))
     total = dl.agg(F.sum("dl").cast("double").alias("total_tokens"))

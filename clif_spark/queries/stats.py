@@ -387,14 +387,14 @@ def o4_zorder_key(spark, sf_dir):
     bit arithmetic + one broadcast-bounds rescale, so the key
     hash-matches across engines; the locality payoff itself is pinned by
     a pyarrow row-group-statistics test."""
-    from clif_spark.operators import layout as L
     ev = (io.load_table(spark, sf_dir, "events")
             .filter(F.col("value").isNotNull()))
     b = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
     q = (ev.crossJoin(F.broadcast(b))
            .select("event_id",
                    (F.col("user_id") % 65536).cast("int").alias("ua"),
-                   L.quantize16(F.col("value"), F.col("vmin"),
-                                F.col("vmax")).alias("vq")))
+                   layout.quantize16(F.col("value"), F.col("vmin"),
+                                     F.col("vmax")).alias("vq")))
     return q.select("event_id", "ua", "vq",
-                    L.morton_key(F.col("ua"), F.col("vq")).alias("zkey"))
+                    layout.morton_key(F.col("ua"),
+                                      F.col("vq")).alias("zkey"))

@@ -218,6 +218,17 @@ def _cents_lit(cents: list[list[float]]) -> str:
         for c in cents) + ")")
 
 
+def _residualize(df: DataFrame, cents: list, vec_col: str) -> DataFrame:
+    """Replace ``vec_col`` with (vector - centroid[cell]) — one IEEE
+    subtraction per coordinate against the inlined centroid table,
+    deterministic before micros quantization; the single definition all
+    residual paths (corpus, probe, tests) share."""
+    cl = _cents_lit(cents)
+    return df.withColumn(vec_col, F.expr(
+        f"zip_with(CAST({vec_col} AS ARRAY<DOUBLE>),"
+        f" element_at({cl}, cell + 1), (x, c) -> x - c)"))
+
+
 def ivfpq_topk(vectors: DataFrame, queries: DataFrame,
                codebook: list | None = None, k: int = 10, nprobe: int = 2,
                n_cells: int = 16, centroids: list | None = None,
@@ -250,43 +261,31 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame,
         # payoff requires clustered data AND a codebook trained on the
         # residuals (pq_train over residual vectors) — pinned by test on
         # clustered synthetic data; on structure-free corpora or with a
-        # range-matched random codebook residuals cannot win. Elementwise subtraction is one IEEE op per
-        # coordinate — deterministic before micros quantization. The
-        # query side must then build ONE distance table per probed cell
-        # (the query residual differs per cell), still dimension-sized:
+        # range-matched random codebook residuals cannot win. The query
+        # side must then build ONE distance table per probed cell (the
+        # query residual differs per cell), still dimension-sized:
         # queries x nprobe x m x ks rows.
-        cl = _cents_lit(cents)
-        assigned = assigned.withColumn("__v", F.expr(
-            f"zip_with(CAST(__v AS ARRAY<DOUBLE>),"
-            f" element_at({cl}, cell + 1), (x, c) -> x - c)"))
+        assigned = _residualize(assigned, cents, "__v")
     enc = pq_encode(assigned, cb, id_col=id_col, vec_col="__v",
                     extra_cols=("cell",))
     code_pairs = ", ".join(f"CAST({b} AS BIGINT), code{b}" for b in range(m))
     enc_long = enc.selectExpr(f"{id_col} AS neighbor_id", "cell",
                               f"stack({m}, {code_pairs}) AS (b, j)")
     w = Window.partitionBy(query_id_col).orderBy("adc", "neighbor_id")
+    q = queries.select(query_id_col, F.col(vec_col).alias("__q"))
+    probes = (q.withColumn("__cells", F.slice(
+                  S._cell_ranks(F.col("__q"), cents), 1, nprobe))
+               .select(query_id_col, "__q",
+                       F.explode(F.col("__cells")["c"]).alias("cell")))
     if residual:
-        q = queries.select(query_id_col, F.col(vec_col).alias("__q"))
-        cl = _cents_lit(cents)
-        probes = (q.withColumn("__cells", F.slice(
-                      S._cell_ranks(F.col("__q"), cents), 1, nprobe))
-                   .select(query_id_col, "__q",
-                           F.explode(F.col("__cells")["c"]).alias("cell"))
-                   .withColumn("__rq", F.expr(
-                       f"zip_with(CAST(__q AS ARRAY<DOUBLE>),"
-                       f" element_at({cl}, cell + 1), (x, c) -> x - c)")))
+        probes = _residualize(probes, cents, "__q")
         dist_table = _query_dist_table(probes, cb,
-                                       [query_id_col, "cell"], "__rq")
+                                       [query_id_col, "cell"], "__q")
         joined = (enc_long.join(F.broadcast(dist_table), ["cell", "b", "j"])
                   .filter(F.col("neighbor_id") != F.col(query_id_col)))
     else:
-        q = queries.select(query_id_col, F.col(vec_col).alias("__q"))
-        probes = (q.withColumn("__cells", F.slice(
-                      S._cell_ranks(F.col("__q"), cents), 1, nprobe))
-                   .select(query_id_col, F.explode(F.col("__cells")["c"])
-                            .alias("cell")))
         dist_table = _query_dist_table(queries, cb, query_id_col, vec_col)
-        joined = (enc_long.join(F.broadcast(probes), "cell")
+        joined = (enc_long.join(F.broadcast(probes.drop("__q")), "cell")
                   .filter(F.col("neighbor_id") != F.col(query_id_col))
                   .join(F.broadcast(dist_table), [query_id_col, "b", "j"]))
     return (joined

@@ -272,3 +272,17 @@ def test_winsorize_null_and_empty_recipe_edges(spark):
     d2 = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, source string")
     got = mix_epochs(d2, {}).collect()
     assert sorted((r.doc_id, r.epoch) for r in got) == [(1, 1), (2, 1)]
+
+
+def test_chunk_windows_rejects_lossy_stride(spark):
+    """stride > size would silently drop inter-window tokens and emit
+    empty trailing chunks — loud ValueError instead."""
+    import pytest as _pt
+
+    from clif_spark.curation import chunk_windows
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pt.raises(ValueError, match="stride"):
+        chunk_windows(df, size=20, stride=30)
+    with _pt.raises(ValueError, match="stride"):
+        chunk_windows(df, size=20, stride=0)

@@ -238,9 +238,7 @@ def test_residual_ivfpq_cuts_trained_reconstruction_error(spark):
     raw_cb = PQ.pq_train(assigned, max_iter=2, vec_col="__v")
     raw = (PQ.pq_encode(assigned, raw_cb, id_col="vec_id", vec_col="__v")
              .agg(F.avg("err")).collect()[0][0])
-    res_vec = assigned.withColumn("__v", F.expr(
-        f"zip_with(CAST(__v AS ARRAY<DOUBLE>),"
-        f" element_at({PQ._cents_lit(cents)}, cell + 1), (x, c) -> x - c)"))
+    res_vec = PQ._residualize(assigned, cents, "__v")
     res_cb = PQ.pq_train(res_vec, max_iter=2, vec_col="__v")
     res = (PQ.pq_encode(res_vec, res_cb, id_col="vec_id", vec_col="__v")
              .agg(F.avg("err")).collect()[0][0])
