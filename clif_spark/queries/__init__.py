@@ -245,18 +245,20 @@ _VERIFY_FIRST = [
     "a20_winsorize_clamp", "w15_ewma_smooth", "sample_mix_epochs",
     "ann_ivf_pq_residual_topk", "a21_countmin_heavy", "o4_zorder_key",
     "u6_snapshot_diff", "text_chunk_windows", "text_bm25_topk",
+    "stream_countmin_merge",
     # --- code changed in round 4 but most recent driver row is r2 (the
     # r4 verdict's #1 re-gate list) ---
-    "dedup_minhash_lsh", "ann_lsh_buckets", "mm_decode_meta",
+    "dedup_minhash_lsh", "mm_decode_meta",
 ]
-# Exactly 50 head entries: all 47 never-gated round-5 registrations + 3
-# r4-code-touched re-gates (minhash — the headliner whose plan changed;
-# ann_lsh_buckets; mm_decode_meta). Ceding: q3_shipping_priority
-# (round-5 shape change, but it is a bench headliner whose oracle
-# agreement every same-phase ratio run exercises, plus the local
-# two-SF differential and a dedicated pre-agg-shape oracle test);
-# from the r4 re-gate list: text_quality_metrics (same headliner
-# rationale),
+# Exactly 50 head entries: all 48 never-gated round-5 registrations + 2
+# r4-code-touched re-gates (minhash — the headliner whose plan changed —
+# and mm_decode_meta). Every ceded query is still covered by the LOCAL
+# two-SF DuckDB differential (tests/test_oracle.py, run green this
+# round at sf0.001 and the driver's own sf0.01); ceding specifically:
+# q3_shipping_priority (round-5 shape change has a dedicated
+# pre-agg-shape oracle test on top of the differential),
+# ann_lsh_buckets (bucket machinery shared with the gated minhash row),
+# text_quality_metrics,
 # ann_ivf_topk and ann_recall_at_k (their ivf_assign / cell-probe /
 # multiprobe machinery is exercised by the never-gated IVFPQ rows and
 # the r2-green rows still describe unchanged code). The six r1-row

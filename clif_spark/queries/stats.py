@@ -303,9 +303,36 @@ def _cms_bucket_spark(key: str, width: int):
             % F.lit(width)).alias("bucket")
 
 
-@query(
-    "a21_countmin_heavy",
-    oracle=f"""
+def _cms_rows():
+    return F.explode(F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))).alias("r")
+
+
+def _cms_probe_report(ev, sketch):
+    """Probe keys user_id < 10 against a (r, bucket, c) CMS relation and
+    emit the exact/estimate/overcount/bound columns both CMS queries
+    share (the sketch may come from a batch aggregate or a settled
+    stream — the report is the same)."""
+    probes = (ev.filter(F.col("user_id") < 10).select("user_id").distinct()
+                .select(_cms_rows(), "user_id")
+                .select("user_id", "r",
+                        _cms_bucket_spark("user_id", _CMS_WIDTH)))
+    est = (probes.join(F.broadcast(sketch), ["r", "bucket"], "left")
+                 .groupBy("user_id")
+                 .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("n_est")))
+    exact = (ev.filter(F.col("user_id") < 10).groupBy("user_id")
+               .agg(F.count("*").alias("n_exact")))
+    tot = ev.agg(F.count("*").alias("n"))
+    return (est.join(exact, "user_id").crossJoin(F.broadcast(tot))
+            .select(F.col("user_id").alias("key"), "n_exact", "n_est",
+                    (F.col("n_est") - F.col("n_exact")).alias("overcount"),
+                    ((F.col("n_est") >= F.col("n_exact"))
+                     & (F.col("n_est") <= F.col("n_exact")
+                        + F.ceil(F.lit(2.72) * F.col("n")
+                                 / F.lit(_CMS_WIDTH)).cast("long")))
+                    .alias("within_bound")))
+
+
+_CMS_ORACLE = f"""
     WITH rows_ AS (SELECT unnest(range({_CMS_DEPTH})) AS r),
     s AS (SELECT r, {_cms_bucket_sql('user_id', _CMS_WIDTH)} AS bucket,
                  count(*) AS c
@@ -327,8 +354,10 @@ def _cms_bucket_spark(key: str, width: int):
                 + CAST(CEIL(2.72 * t.n / {_CMS_WIDTH}) AS BIGINT))
                AS within_bound
     FROM est e JOIN exact x USING (user_id), tot t
-    """,
-)
+    """
+
+
+@query("a21_countmin_heavy", oracle=_CMS_ORACLE)
 def a21_countmin_heavy(spark, sf_dir):
     """Count-Min sketch with a verifiable contract (the frequency sibling
     of the a12-a14 distinct/percentile sketches): depth 4 x width 64
@@ -340,28 +369,10 @@ def a21_countmin_heavy(spark, sf_dir):
     the whole sketch is recomputed identically by the oracle, so the
     gate checks the SKETCH, not just a TRUE literal."""
     ev = io.load_table(spark, sf_dir, "events")
-    rows_ = F.explode(F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))).alias("r")
-    s = (ev.select(rows_, "user_id")
-           .select("r", _cms_bucket_spark("user_id", _CMS_WIDTH))
-           .groupBy("r", "bucket").agg(F.count("*").alias("c")))
-    probes = (ev.filter(F.col("user_id") < 10).select("user_id").distinct()
-                .select(rows_, "user_id")
-                .select("user_id", "r",
-                        _cms_bucket_spark("user_id", _CMS_WIDTH)))
-    est = (probes.join(F.broadcast(s), ["r", "bucket"], "left")
-                 .groupBy("user_id")
-                 .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("n_est")))
-    exact = (ev.filter(F.col("user_id") < 10).groupBy("user_id")
-               .agg(F.count("*").alias("n_exact")))
-    tot = ev.agg(F.count("*").alias("n"))
-    return (est.join(exact, "user_id").crossJoin(F.broadcast(tot))
-            .select(F.col("user_id").alias("key"), "n_exact", "n_est",
-                    (F.col("n_est") - F.col("n_exact")).alias("overcount"),
-                    ((F.col("n_est") >= F.col("n_exact"))
-                     & (F.col("n_est") <= F.col("n_exact")
-                        + F.ceil(F.lit(2.72) * F.col("n")
-                                 / F.lit(_CMS_WIDTH)).cast("long")))
-                    .alias("within_bound")))
+    sketch = (ev.select(_cms_rows(), "user_id")
+                .select("r", _cms_bucket_spark("user_id", _CMS_WIDTH))
+                .groupBy("r", "bucket").agg(F.count("*").alias("c")))
+    return _cms_probe_report(ev, sketch)
 
 
 @query(

@@ -13,8 +13,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from clif_spark import streaming
+from clif_spark import io, streaming
 from clif_spark.queries import query, us
+from clif_spark.queries import stats
 
 
 @query(
@@ -344,3 +345,24 @@ def stream_vitals_hourly(spark, sf_dir):
     out = streaming.run_to_memory(agg)
     return out.select(us(F.col("window.start")).alias("w_start"),
                       "vital_name", "n", "sum_value")
+
+
+@query("stream_countmin_merge", oracle=stats._CMS_ORACLE)
+def stream_countmin_merge(spark, sf_dir):
+    """Count-Min over a STREAM: the (r, bucket) counters build as a
+    streaming aggregation whose state store merges each micro-batch's
+    partial sketch — sketch mergeability under incremental processing,
+    the property that lets a production pipeline keep a live frequency
+    sketch without reprocessing history. maxFilesPerTrigger paces the
+    replay; the settled sketch must equal the batch-built one, so the
+    probe report (shared helper) faces the SAME oracle as
+    a21_countmin_heavy."""
+    S = stats
+    ev = streaming.read_events_stream(spark, sf_dir,
+                                      max_files_per_trigger=1)
+    sk = (ev.select(S._cms_rows(), "user_id")
+            .select("r", S._cms_bucket_spark("user_id", S._CMS_WIDTH))
+            .groupBy("r", "bucket").agg(F.count("*").alias("c")))
+    settled = streaming.run_to_memory(sk, output_mode="complete")
+    return S._cms_probe_report(io.load_table(spark, sf_dir, "events"),
+                               settled)
