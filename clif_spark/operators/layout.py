@@ -55,6 +55,21 @@ def sql_morton_key(a: str, b: str, bits: int = MORTON_BITS) -> str:
     return "CAST((" + " | ".join(terms) + ") AS BIGINT)"
 
 
+def morton_decode(key: Column, bits: int = MORTON_BITS) -> Column:
+    """Inverse of morton_key: (a, b) struct recovered from the
+    interleaved key — the debugging/repartitioning companion (e.g. route
+    a z-range scan back to its rectangle). Same unrolled shift chain."""
+    k = key.cast("long")
+    a: Column = F.lit(0).cast("long")
+    b: Column = F.lit(0).cast("long")
+    for i in range(bits):
+        a = a.bitwiseOR(F.shiftleft(
+            F.shiftright(k, 2 * i).bitwiseAND(F.lit(1)), i))
+        b = b.bitwiseOR(F.shiftleft(
+            F.shiftright(k, 2 * i + 1).bitwiseAND(F.lit(1)), i))
+    return F.struct(a.cast("int").alias("a"), b.cast("int").alias("b"))
+
+
 def quantize16(value: Column, vmin: Column, vmax: Column) -> Column:
     """Map a double into [0, 65535] by linear rescale against broadcast
     group bounds (one IEEE divide + multiply + floor — engine-identical);

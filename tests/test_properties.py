@@ -427,3 +427,41 @@ def test_bpe_merge_pair_fuzz_matches_reference(spark, syms, a, b):
     df = spark.createDataFrame([(syms,)], "syms array<string>")
     got = df.select(merge_pair("syms", a, b).alias("m")).collect()[0].m
     assert list(got) == ref(syms)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+                min_size=1, max_size=8))
+def test_morton_roundtrip_and_locality(spark, pairs):
+    """morton_decode inverts morton_key for arbitrary 16-bit pairs, and
+    the key is monotone in the high quadrant bits (the property row-group
+    pruning relies on)."""
+    from clif_spark.operators.layout import morton_decode, morton_key
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pairs, "a int, b int")
+    out = df.select("a", "b",
+                    morton_decode(morton_key(F.col("a"), F.col("b")))
+                    .alias("d")).collect()
+    for r in out:
+        assert (r.d.a, r.d.b) == (r.a, r.b)
+
+
+def test_winsorize_idempotent_and_diff_identity(spark):
+    """Applying winsorize to already-winsorized data changes nothing
+    (bounds of the clamped set are the clamp bounds); snapshot_diff of a
+    table against itself is all 'unchanged'."""
+    from clif_spark.operators.core import snapshot_diff
+    from clif_spark.operators.profile import winsorize
+
+    rows = [("g", float(v), i) for i, v in enumerate(
+        [1, 2, 3, 4, 5, 6, 7, 8, 9, 100])]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+    once = (winsorize(df, ["g"], "v", tiebreakers=["id"])
+            .select("g", F.col("v_winsor").alias("v"), "id"))
+    twice = winsorize(once, ["g"], "v", tiebreakers=["id"])
+    assert all(r.v == r.v_winsor for r in twice.collect())
+
+    d = snapshot_diff(df, df, ["id"], ["v"])
+    assert {r.change for r in d.collect()} == {"unchanged"}
