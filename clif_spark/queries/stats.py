@@ -307,6 +307,16 @@ def _cms_rows():
     return F.explode(F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))).alias("r")
 
 
+def _cms_sketch(ev):
+    """(r, bucket, c) Count-Min counters for the events user_id stream —
+    the ONE sketch-build definition the batch and streaming variants
+    share (drift between them would silently void the settled-equals-
+    batch premise)."""
+    return (ev.select(_cms_rows(), "user_id")
+              .select("r", _cms_bucket_spark("user_id", _CMS_WIDTH))
+              .groupBy("r", "bucket").agg(F.count("*").alias("c")))
+
+
 def _cms_probe_report(ev, sketch):
     """Probe keys user_id < 10 against a (r, bucket, c) CMS relation and
     emit the exact/estimate/overcount/bound columns both CMS queries
@@ -369,10 +379,7 @@ def a21_countmin_heavy(spark, sf_dir):
     the whole sketch is recomputed identically by the oracle, so the
     gate checks the SKETCH, not just a TRUE literal."""
     ev = io.load_table(spark, sf_dir, "events")
-    sketch = (ev.select(_cms_rows(), "user_id")
-                .select("r", _cms_bucket_spark("user_id", _CMS_WIDTH))
-                .groupBy("r", "bucket").agg(F.count("*").alias("c")))
-    return _cms_probe_report(ev, sketch)
+    return _cms_probe_report(ev, _cms_sketch(ev))
 
 
 @query(

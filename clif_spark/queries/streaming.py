@@ -198,7 +198,6 @@ def stream_static_enrich(spark, sf_dir):
     must be semantically invisible. At scale the static side refreshes by
     swapping the broadcast per batch; state is bounded by the window
     aggregate alone."""
-    from clif_spark import io
 
     ev = streaming.read_events_stream(spark, sf_dir)
     dim = (io.load_table(spark, sf_dir, "events")
@@ -353,16 +352,24 @@ def stream_countmin_merge(spark, sf_dir):
     streaming aggregation whose state store merges each micro-batch's
     partial sketch — sketch mergeability under incremental processing,
     the property that lets a production pipeline keep a live frequency
-    sketch without reprocessing history. maxFilesPerTrigger paces the
-    replay; the settled sketch must equal the batch-built one, so the
-    probe report (shared helper) faces the SAME oracle as
-    a21_countmin_heavy."""
-    S = stats
-    ev = streaming.read_events_stream(spark, sf_dir,
-                                      max_files_per_trigger=1)
-    sk = (ev.select(S._cms_rows(), "user_id")
-            .select("r", S._cms_bucket_spark("user_id", S._CMS_WIDTH))
-            .groupBy("r", "bucket").agg(F.count("*").alias("c")))
-    settled = streaming.run_to_memory(sk, output_mode="complete")
-    return S._cms_probe_report(io.load_table(spark, sf_dir, "events"),
-                               settled)
+    sketch without reprocessing history.
+
+    The source table ships as ONE parquet file, under which
+    maxFilesPerTrigger=1 would degenerate to a single trigger and never
+    exercise the merge — so the query first splits the table into four
+    part-files in a scratch dir; availableNow + maxFilesPerTrigger=1
+    then replays them as four micro-batches whose partials MUST merge
+    in state. The settled sketch must equal the batch-built one, so the
+    shared probe report faces the SAME oracle as a21_countmin_heavy."""
+    import hashlib as _h
+    import tempfile
+
+    batch_ev = io.load_table(spark, sf_dir, "events")
+    scratch = (f"{tempfile.gettempdir()}/clif_stream_cms_"
+               f"{_h.md5(sf_dir.encode()).hexdigest()[:8]}")
+    (batch_ev.repartition(4)
+             .write.mode("overwrite").parquet(scratch))
+    ev = (spark.readStream.schema(batch_ev.schema)
+               .option("maxFilesPerTrigger", 1).parquet(scratch))
+    settled = streaming.run_to_memory(stats._cms_sketch(ev))
+    return stats._cms_probe_report(batch_ev, settled)

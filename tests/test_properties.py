@@ -442,24 +442,40 @@ def test_morton_roundtrip_and_locality(spark, pairs):
 
     df = spark.createDataFrame(pairs, "a int, b int")
     out = df.select("a", "b",
+                    morton_key(F.col("a"), F.col("b")).alias("k"),
                     morton_decode(morton_key(F.col("a"), F.col("b")))
                     .alias("d")).collect()
     for r in out:
         assert (r.d.a, r.d.b) == (r.a, r.b)
+    # dominance monotonicity — the ordering row-group pruning relies on:
+    # bit-spreading is order-preserving per dimension, so a1<=a2 and
+    # b1<=b2 must imply k1<=k2 (a bit-placement swap that stays
+    # invertible would break this while passing the roundtrip).
+    for r1 in out:
+        for r2 in out:
+            if r1.a <= r2.a and r1.b <= r2.b:
+                assert r1.k <= r2.k, ((r1.a, r1.b), (r2.a, r2.b))
 
 
 def test_winsorize_idempotent_and_diff_identity(spark):
     """Applying winsorize to already-winsorized data changes nothing
     (bounds of the clamped set are the clamp bounds); snapshot_diff of a
-    table against itself is all 'unchanged'."""
+    table against itself is all 'unchanged'. 25 rows, NOT 10: with n=10
+    the nearest-rank p05/p95 are the min and max, the clamp never fires
+    and idempotence would hold vacuously — here ceil(.05*25)=2 and
+    ceil(.95*25)=24, so both extremes actually clamp in pass one."""
     from clif_spark.operators.core import snapshot_diff
     from clif_spark.operators.profile import winsorize
 
-    rows = [("g", float(v), i) for i, v in enumerate(
-        [1, 2, 3, 4, 5, 6, 7, 8, 9, 100])]
+    vals = [-50.0] + [float(v) for v in range(2, 25)] + [1000.0]
+    rows = [("g", v, i) for i, v in enumerate(vals)]
     df = spark.createDataFrame(rows, "g string, v double, id long")
-    once = (winsorize(df, ["g"], "v", tiebreakers=["id"])
-            .select("g", F.col("v_winsor").alias("v"), "id"))
+    first = winsorize(df, ["g"], "v", tiebreakers=["id"]).collect()
+    clamped = {r.id: r.v_winsor for r in first}
+    assert clamped[0] == 2.0 and clamped[24] == 24.0  # clamp DID fire
+    once = spark.createDataFrame(
+        [("g", clamped[i], i) for i in range(25)],
+        "g string, v double, id long")
     twice = winsorize(once, ["g"], "v", tiebreakers=["id"])
     assert all(r.v == r.v_winsor for r in twice.collect())
 
