@@ -167,6 +167,43 @@ def upsert_keep_latest(base: DataFrame, updates: DataFrame,
     return _w.dedup_keep_last(merged, keys, order)
 
 
+def merge_with_deletes(base: DataFrame, updates: DataFrame,
+                       keys: Sequence[str],
+                       order: Sequence[str | Column],
+                       tombstone_col: str = "is_delete") -> DataFrame:
+    """U7 (engine ext.): full MERGE semantics — insert, replace, AND
+    delete — without a transactional table format. ``updates`` carries a
+    boolean ``tombstone_col``; the winner per key is still the row that
+    sorts last by ``order`` (upsert_keep_latest's contract), and a key
+    whose WINNING row is a tombstone leaves the snapshot entirely. A
+    tombstone only deletes if nothing newer resurrects the key — i.e.
+    delete-then-reinsert in one batch resolves by ``order``, exactly the
+    CDC replay rule.
+
+    ``base`` needs no tombstone column (a standing snapshot has no
+    deletes by construction); it is stamped FALSE before the union. A
+    NULL tombstone in ``updates`` means upsert (COALESCE to FALSE) so
+    sparse CDC feeds don't delete by accident.
+
+    Scale shape: identical to upsert_keep_latest — one hash exchange on
+    the key (none when both sides are bucketed by ``keys``); the
+    tombstone filter is a post-dedup narrow predicate, so deletes cost
+    nothing beyond the merge itself. At 100 TB the same
+    partition-pruned-updates advice applies.
+    """
+    from clif_spark.operators import windows as _w
+
+    if tombstone_col not in updates.columns:
+        raise ValueError(
+            f"updates must carry a boolean {tombstone_col!r} column")
+    stamped_base = base.withColumn(tombstone_col, F.lit(False))
+    stamped_updates = updates.withColumn(
+        tombstone_col, F.coalesce(F.col(tombstone_col), F.lit(False)))
+    merged = _w.dedup_keep_last(
+        stamped_base.unionByName(stamped_updates), keys, order)
+    return merged.filter(~F.col(tombstone_col)).drop(tombstone_col)
+
+
 def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
                   compare: list[str]) -> DataFrame:
     """Classify every key between two table snapshots: 'added' (key only

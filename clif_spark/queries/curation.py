@@ -388,7 +388,7 @@ def corpus_c4_line_filter(spark, sf_dir):
       FROM grams
     )
     SELECT doc_id, COUNT(*) AS n_grams,
-           SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_repeated
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated
     FROM counted
     GROUP BY doc_id
     """,

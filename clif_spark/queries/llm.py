@@ -1406,6 +1406,58 @@ def ann_cosine_topk_arrow(spark, sf_dir):
     return similarity.cosine_topk_arrow(e, q, k=10)
 
 
+@query(
+    "ann_arrow_fold_equality",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+         v AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS vv
+               FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+                  ROUND(list_cosine_similarity(qv, vv), 4) AS cos
+           FROM q, v
+           WHERE neighbor_id <> query_id),
+         topk AS (
+           SELECT query_id, neighbor_id, cos
+           FROM scored
+           QUALIFY row_number() OVER
+             (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10)
+    SELECT query_id, COUNT(*) AS k_returned, TRUE AS arrow_matches
+    FROM topk GROUP BY query_id
+    """,
+)
+def ann_arrow_fold_equality(spark, sf_dir):
+    """The Arrow/BLAS ANN path's equality contract as a DRIVER-GATED
+    relation (the a12-a14 bound-contract pattern): run BOTH brute-force
+    formulations — the oracle-gated HOF fold (similarity.cosine_topk)
+    and the numpy-matmul Arrow path (cosine_topk_arrow) — rank each by
+    the shared (cos DESC, neighbor_id) total order, join rank-to-rank,
+    and emit one row per query with ``arrow_matches`` = every rank
+    agreeing on (neighbor_id, cos) null-safely. The oracle recomputes
+    the fold side in DuckDB and asserts TRUE, so an Arrow-side rounding
+    or ordering divergence flips a value the hash gate sees — this is
+    the driver row the rows-only ann_cosine_topk_arrow could not get."""
+    from pyspark.sql import Window
+
+    e = io.load_table(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id"))
+    fold = (similarity.cosine_topk(e, q, k=10)
+            .withColumn("rn", F.row_number().over(w)))
+    arrow = (similarity.cosine_topk_arrow(e, q, k=10)
+             .withColumn("rn", F.row_number().over(w)))
+    j = fold.alias("f").join(arrow.alias("a"), ["query_id", "rn"],
+                             "full_outer")
+    agree = (F.col("f.neighbor_id").eqNullSafe(F.col("a.neighbor_id"))
+             & F.col("f.cos").eqNullSafe(F.col("a.cos")))
+    return (j.groupBy("query_id")
+             .agg(F.count(F.col("f.neighbor_id")).alias("k_returned"),
+                  F.bool_and(agree).alias("arrow_matches")))
+
+
 from clif_spark.similarity import pq as PQ
 
 

@@ -912,6 +912,62 @@ def u5_upsert_keep_latest(spark, sf_dir):
 
 
 @query(
+    "u7_merge_with_deletes",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, CAST(1 AS BIGINT) AS version, user_id,
+             event_type, value, FALSE AS is_delete
+      FROM events
+    ),
+    upd AS (
+      SELECT event_id, CAST(2 AS BIGINT) AS version, user_id,
+             event_type, value * 2 AS value, FALSE AS is_delete
+      FROM events WHERE event_id % 3 = 0
+    ),
+    del AS (
+      SELECT event_id, CAST(3 AS BIGINT) AS version, user_id,
+             event_type, value, TRUE AS is_delete
+      FROM events WHERE event_id % 7 = 0
+    ),
+    merged AS (
+      SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY event_id
+                 ORDER BY version DESC) AS rn
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM upd
+            UNION ALL SELECT * FROM del)
+    )
+    SELECT event_id, version, user_id, event_type, value
+    FROM merged WHERE rn = 1 AND NOT is_delete
+    """,
+)
+def u7_merge_with_deletes(spark, sf_dir):
+    """U7 full MERGE with delete tombstones — the operation a warehouse
+    user reaches for right after u5's insert-or-replace: a CDC batch
+    carrying updates (every 3rd key, v2, doubled value) AND deletes
+    (every 7th key, v3 tombstones). Keys hit by both (multiples of 21)
+    must DELETE — the tombstone is newer — and every other %7 key must
+    vanish while %3 keys keep their doubled v2 row
+    (operators.core.merge_with_deletes = stamp + union + keep-last dedup
+    + winning-tombstone filter). Planted deletes make the oracle sharp:
+    the survivor count drops by exactly |%7 keys| and no tombstone column
+    may leak into the output."""
+    ev = io.load_table(spark, sf_dir, "events")
+    base = ev.select("event_id", F.lit(1).cast("long").alias("version"),
+                     "user_id", "event_type", "value")
+    upd = (ev.filter(F.col("event_id") % 3 == 0)
+             .select("event_id", F.lit(2).cast("long").alias("version"),
+                     "user_id", "event_type",
+                     (F.col("value") * 2).alias("value"),
+                     F.lit(False).alias("is_delete")))
+    dele = (ev.filter(F.col("event_id") % 7 == 0)
+              .select("event_id", F.lit(3).cast("long").alias("version"),
+                      "user_id", "event_type", "value",
+                      F.lit(True).alias("is_delete")))
+    return core.merge_with_deletes(base, upd.unionByName(dele),
+                                   ["event_id"], ["version"])
+
+
+@query(
     "a18_key_skew_profile",
     oracle="""
     -- Top-5 hottest join keys with corpus-level skew statistics attached:
@@ -920,7 +976,7 @@ def u5_upsert_keep_latest(spark, sf_dir):
       SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
     ),
     stats AS (
-      SELECT COUNT(*) AS n_keys, SUM(n) AS total
+      SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS total
       FROM per_key
     )
     SELECT p.user_id, p.n, s.n_keys, s.total,

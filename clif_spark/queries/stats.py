@@ -214,9 +214,9 @@ def a14_approx_percentile_bound(spark, sf_dir):
       FROM ranked GROUP BY event_type)
     SELECT e.event_type, p.p25, p.p75,
            COUNT(*) AS n,
-           SUM(CASE WHEN e.value < p.p25 - 1.5 * (p.p75 - p.p25)
-                      OR e.value > p.p75 + 1.5 * (p.p75 - p.p25)
-                    THEN 1 ELSE 0 END) AS n_outliers
+           CAST(SUM(CASE WHEN e.value < p.p25 - 1.5 * (p.p75 - p.p25)
+                           OR e.value > p.p75 + 1.5 * (p.p75 - p.p25)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM events e JOIN pct p USING (event_type)
     WHERE e.value IS NOT NULL
     GROUP BY e.event_type, p.p25, p.p75

@@ -425,8 +425,9 @@ def w12_rate_of_change(spark, sf_dir):
                       THEN 1 ELSE 0 END AS is_first
           FROM e)
     SELECT user_id, event_id, ts_us,
-           sum(is_first) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                               ROWS UNBOUNDED PRECEDING)
+           CAST(sum(is_first) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
                AS cum_distinct_types
     FROM f
     """,
