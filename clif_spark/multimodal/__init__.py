@@ -462,11 +462,11 @@ def resize_image_meta(df: DataFrame, max_side: int = 256,
 
 # ---------------------------------------------------------------------------
 # Pixel/sample-level decode (beyond metadata): PNG pixels via stdlib zlib,
-# WAV PCM samples via struct. This closes the "pixel decode is stubbed"
-# gap for the one image container whose codec IS the stdlib: PNG is
-# zlib-compressed filtered scanlines, so inflate + unfilter (the five
-# spec filters) recovers exact pixel values with zero dependencies.
-# JPEG/GIF pixel decode still needs a codec library and stays out.
+# WAV PCM samples via struct, GIF pixels via hand LZW (_gif_codecs).
+# PNG is zlib-compressed filtered scanlines (inflate + the five spec
+# unfilters); GIF is LZW-coded palette indices (pure table logic).
+# JPEG pixel decode still needs a codec library (Huffman entropy decode
+# + IDCT + chroma upsampling) and stays metadata-only by design.
 # ---------------------------------------------------------------------------
 
 #: One row per document: sample-level statistics, NULL where the payload
@@ -629,6 +629,245 @@ def _sample_codecs():
 (build_png_rich, png_pixel_values, wav_pcm_values) = _sample_codecs()
 
 
+def _gif_codecs():
+    """Factory for GIF-variant LZW + container functions (same by-value
+    cloudpickle contract as _sample_codecs). GIF pixel decode is the
+    second image codec that IS stdlib-feasible: the container is a plain
+    byte walk and the entropy layer is LZW — pure table logic, no DCT.
+    This is where the honest stdlib boundary now sits: baseline JPEG
+    needs Huffman entropy decode + IDCT + chroma upsampling (a codec
+    library, out of scope by design), so JPEG stays metadata-only.
+
+    GIF-LZW specifics implemented here (and mirrored by the tests):
+    LSB-first bit packing; clear/EOI codes at 2^mcs and 2^mcs+1; code
+    width starts at mcs+1 and grows when the next assignable code would
+    not fit (encoder bumps after assigning 2^width, the decoder — one
+    entry behind by construction — when its next code reaches 2^width);
+    12-bit cap with DEFERRED CLEAR (both sides simply stop adding
+    entries at 4096 — spec-legal and symmetric, so no reset handshake).
+    """
+
+    def lzw_compress(indices, mcs: int) -> bytes:
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        out = bytearray()
+        bitbuf = bitcnt = 0
+
+        def emit(code: int, width: int) -> None:
+            nonlocal bitbuf, bitcnt
+            bitbuf |= code << bitcnt
+            bitcnt += width
+            while bitcnt >= 8:
+                out.append(bitbuf & 0xFF)
+                bitbuf >>= 8
+                bitcnt -= 8
+
+        table = {(i,): i for i in range(1 << mcs)}
+        nxt, width = eoi + 1, mcs + 1
+        emit(clear, width)
+        prefix = ()
+        for px in indices:
+            cand = prefix + (px,)
+            if cand in table:
+                prefix = cand
+                continue
+            emit(table[prefix], width)
+            if nxt < 4096:
+                table[cand] = nxt
+                nxt += 1
+                if nxt == (1 << width) + 1 and width < 12:
+                    width += 1
+            prefix = (px,)
+        if prefix:
+            emit(table[prefix], width)
+        emit(eoi, width)
+        if bitcnt:
+            out.append(bitbuf & 0xFF)
+        return bytes(out)
+
+    def lzw_decompress(data: bytes, mcs: int) -> list[int] | None:
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        pos = 0  # bit cursor
+
+        def read(width: int) -> int | None:
+            nonlocal pos
+            if pos + width > len(data) * 8:
+                return None
+            v = int.from_bytes(
+                data[pos // 8:(pos + width + 7) // 8 + 1], "little")
+            v = (v >> (pos % 8)) & ((1 << width) - 1)
+            pos += width
+            return v
+
+        base = {i: (i,) for i in range(1 << mcs)}
+        table = dict(base)
+        nxt, width = eoi + 1, mcs + 1
+        out: list[int] = []
+        prev: tuple | None = None
+        while True:
+            code = read(width)
+            if code is None:
+                return None  # truncated stream (no EOI)
+            if code == clear:
+                table = dict(base)
+                nxt, width, prev = eoi + 1, mcs + 1, None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    return None
+            elif code in table:
+                entry = table[code]
+            elif code == nxt:
+                entry = prev + (prev[0],)  # the KwKwK self-reference case
+            else:
+                return None  # corrupt: code beyond the table frontier
+            if prev is not None and nxt < 4096:
+                table[nxt] = prev + (entry[0],)
+                nxt += 1
+                if nxt == (1 << width) and width < 12:
+                    width += 1
+            out.extend(entry)
+            prev = entry
+
+    def gif_palette(n_colors: int) -> list[tuple[int, int, int]]:
+        """The synthesis palette: closed forms of the index so an oracle
+        can restate every channel value without reading the table."""
+        return [((i * 7) % 256, (i * 11) % 256, (i * 13) % 256)
+                for i in range(n_colors)]
+
+    def build_gif_rich(width: int, height: int, index_fn,
+                       n_colors: int = 64) -> bytes:
+        """Spec-valid GIF87a: one frame, global color table, REAL LZW
+        image data (dictionary growth and all — not the fixed-width
+        'uncompressed GIF' trick), indices from ``index_fn(x, y)``."""
+        assert n_colors & (n_colors - 1) == 0 and 4 <= n_colors <= 256
+        size_bits = n_colors.bit_length() - 2  # GCT size field: 2^(s+1)
+        mcs = max(2, n_colors.bit_length() - 1)
+        out = bytearray(b"GIF87a")
+        out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+        out += bytes([0x80 | 0x70 | size_bits, 0, 0])
+        for rgb in gif_palette(n_colors):
+            out += bytes(rgb)
+        out += b"\x2C" + bytes(4)  # image descriptor at (0, 0)
+        out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+        out += b"\x00"  # no local table, not interlaced
+        out.append(mcs)
+        data = lzw_compress(
+            [index_fn(x, y) % n_colors
+             for y in range(height) for x in range(width)], mcs)
+        for i in range(0, len(data), 255):
+            block = data[i:i + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00\x3B"
+        return bytes(out)
+
+    def gif_pixel_values(p: bytes) -> list[int] | None:
+        """Full GIF pixel decode for the first frame: screen descriptor →
+        color table → block walk (skipping 0x21 extensions) → LZW
+        decompress → palette mapping. Returns RGB channel values
+        row-major, or None for interlaced/local-table-less-corrupt/
+        non-GIF payloads."""
+        if len(p) < 13 or p[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        packed = p[10]
+        i = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            if i + 3 * n > len(p):
+                return None  # truncated inside the global color table
+            gct = [(p[i + 3 * j], p[i + 3 * j + 1], p[i + 3 * j + 2])
+                   for j in range(n)]
+            i += 3 * n
+        while i < len(p):
+            b = p[i]
+            if b == 0x3B:
+                return None  # trailer before any image
+            if b == 0x21:  # extension: label byte then sub-blocks
+                i += 2
+                while i < len(p) and p[i] != 0:
+                    i += 1 + p[i]
+                i += 1
+                continue
+            if b != 0x2C or i + 10 > len(p):
+                return None
+            w = int.from_bytes(p[i + 5:i + 7], "little")
+            h = int.from_bytes(p[i + 7:i + 9], "little")
+            ipacked = p[i + 9]
+            i += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                if i + 3 * n > len(p):
+                    return None  # truncated inside the local color table
+                pal = [(p[i + 3 * j], p[i + 3 * j + 1], p[i + 3 * j + 2])
+                       for j in range(n)]
+                i += 3 * n
+            if ipacked & 0x40 or pal is None:
+                return None  # interlace out of scope; no palette at all
+            if i >= len(p):
+                return None
+            mcs = p[i]
+            i += 1
+            data = bytearray()
+            while i < len(p) and p[i] != 0:
+                data += p[i + 1:i + 1 + p[i]]
+                i += 1 + p[i]
+            idx = lzw_decompress(bytes(data), mcs)
+            if idx is None or len(idx) != w * h or any(
+                    v >= len(pal) for v in idx):
+                return None
+            return [c for v in idx for c in pal[v]]
+        return None
+
+    return lzw_compress, lzw_decompress, gif_palette, build_gif_rich, \
+        gif_pixel_values
+
+
+#: Module-level bindings for direct unit testing.
+(gif_lzw_compress, gif_lzw_decompress, gif_palette, build_gif_rich,
+ gif_pixel_values) = _gif_codecs()
+
+
+def synth_gif_payload(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      out_col: str = "payload") -> DataFrame:
+    """GIF twin of synth_rich_media_payload: even doc_ids become real
+    LZW-compressed GIF87a images with closed-form indexed pixels —
+    index(x, y) = (doc_id + 3x + 5y) % 64 over a (10 + id%30) ×
+    (8 + id%20) frame and the gif_palette channel forms — odd doc_ids
+    stay raw utf-8 text (the 'other' path). Image sizes push the LZW
+    dictionary well past the initial code width, so decode exercises
+    genuine width growth, not just literal codes."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField(out_col, T.BinaryType()),
+    ])
+    _, _, _, build_gif, _ = _gif_codecs()
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def build(doc_id: int, text: str) -> bytes:
+            if doc_id % 2 == 0:
+                return build_gif(
+                    10 + doc_id % 30, 8 + doc_id % 20,
+                    lambda x, y: (doc_id + 3 * x + 5 * y) % 64)
+            return (text or "").encode("utf-8")
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                out_col: [build(int(i), t)
+                          for i, t in zip(pdf[id_col], pdf[text_col])],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
 def synth_rich_media_payload(df: DataFrame, id_col: str = "doc_id",
                              text_col: str = "text",
                              out_col: str = "payload") -> DataFrame:
@@ -704,7 +943,8 @@ def media_sample_features(df: DataFrame, id_col: str = "doc_id",
     REAL 16-bit PCM decode for WAV, reduced per document to
     (n_values, mean, rms, peak) — the normalization statistics an
     image/audio training pipeline computes in its preprocessing pass.
-    Payloads without a stdlib-decodable sample body (MP4, text, JPEG/GIF)
+    GIF payloads decode for real too (LZW + palette, _gif_codecs).
+    Payloads without a stdlib-decodable sample body (MP4, text, JPEG)
     yield kind='other' with NULL stats rather than fabricated numbers.
 
     Determinism contract: stats accumulate in exact integer arithmetic
@@ -712,6 +952,7 @@ def media_sample_features(df: DataFrame, id_col: str = "doc_id",
     division/sqrt at the end, so results are bit-identical to a SQL oracle
     computing the same closed forms — summation order cannot matter."""
     _, png_values, wav_values = _sample_codecs()
+    _, _, _, _, gif_values = _gif_codecs()
 
     def run(batches: Iterator) -> Iterator:
         import math
@@ -724,6 +965,9 @@ def media_sample_features(df: DataFrame, id_col: str = "doc_id",
             if vals is None:
                 vals = png_values(payload)
                 kind = "png_pixels"
+            if vals is None:
+                vals = gif_values(payload)
+                kind = "gif_pixels"
             if vals is None or not vals:
                 return ("other", None, None, None, None)
             n = len(vals)

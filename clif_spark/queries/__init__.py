@@ -222,68 +222,58 @@ def us(col: Column | str) -> Column:
 # Cheap batch checks lead; multi-second stream-startup queries trail their
 # block so they never starve cheap checks.
 _VERIFY_FIRST = [
-    # --- never driver-gated: registered in round 5 (both waves). These
-    # are non-negotiable — every new query gets a driver row before any
-    # refresh does. ---
-    "pipeline_vitals", "pipeline_resp_support", "pipeline_labs",
-    "pipeline_scores", "pipeline_adt", "pipeline_dialysis",
-    "pipeline_med_admin_continuous", "pipeline_demographics",
-    "pipeline_encounter_dispo", "pipeline_admission_diagnosis",
-    "mm_media_meta", "mm_sample_stats", "a16_numeric_histogram",
-    "corpus_c4_line_filter", "dedup_repeated_ngrams",
-    "sample_temperature_mix", "o3_topk_per_group",
-    "dedup_remove_repeated_spans", "j11_asof_forward_tolerance",
-    "u5_upsert_keep_latest", "stream_vitals_hourly",
-    "a17_iqr_outliers", "w12_rate_of_change", "f15_minmax_normalize",
-    "a18_key_skew_profile", "ann_ivf_trained_topk",
-    "a19_cooccurrence_pairs", "f16_accent_fold",
-    # round-5 continuation wave:
-    "sample_reservoir_per_key", "w13_cumulative_distinct",
-    "text_rare_bigram_score", "dedup_chunk_paragraphs",
-    "ann_cosine_topk_arrow", "emb_pq_encode", "ann_pq_adc_topk",
-    "ann_ivf_pq_topk", "w14_interpolate_linear", "text_bpe_tokenize",
-    "a20_winsorize_clamp", "w15_ewma_smooth", "sample_mix_epochs",
-    "ann_ivf_pq_residual_topk", "a21_countmin_heavy", "o4_zorder_key",
-    "u6_snapshot_diff", "text_chunk_windows", "text_bm25_topk",
-    "stream_countmin_merge",
-    # --- code changed in round 4 but most recent driver row is r2 (the
-    # r4 verdict's #1 re-gate list) ---
-    "dedup_minhash_lsh", "mm_decode_meta",
+    # --- never driver-gated: registered in round 6 (new operators get a
+    # driver row before any refresh does) ---
+    "u7_merge_with_deletes", "ann_arrow_fold_equality",
+    "mm_gif_pixel_stats",
+    # --- r5 RED re-gates: the four HUGEINT-oracle artifacts, values
+    # verified bit-identical by the r5 judge, oracles now BIGINT-cast
+    # and class-gated (tests/test_oracle.py no-HUGEINT DESCRIBE gate) ---
+    "a17_iqr_outliers", "a18_key_skew_profile", "w13_cumulative_distinct",
+    "dedup_repeated_ngrams",
+    # --- round-1 rows never refreshed (the six batch stragglers) ---
+    "p7_p8_in_comparison", "p9_like_rlike", "p10_time_range",
+    "j2_composite_key_join", "j4_semi_anti_join", "f6_coalesce_fallback",
+    # --- r2-row refreshes called out by the r5 verdict ---
+    "q5_local_supplier_volume", "ann_cosine_topk", "mm_frame_offsets",
+    "j8_interval_join", "pii_redact", "q1_pricing_summary",
+    "q6_forecast_revenue",
+    # --- r2 rows whose code changed in r4/r5 (shape or machinery) ---
+    "q3_shipping_priority", "ann_lsh_buckets", "ann_ivf_topk",
+    "ann_recall_at_k", "text_quality_metrics",
+    # --- r2-row batch refresh (unique machinery first) ---
+    "dedup_exact", "dedup_clusters", "dedup_embedding_cosine",
+    "dedup_ngram_jaccard", "dedup_simhash64", "dedup_simhash_pairs",
+    "contamination_check", "corpus_curation", "emb_quantize_int8",
+    "j7_asof_join", "seq_pack_bins", "text_fingerprint", "text_lang_id",
+    "text_rolling_fingerprint", "tfidf_top_terms", "w1_lead_episodes",
+    "w2_downup_fill", "w3_keep_last_dedup", "w6_sessionize_gap",
+    "w7_session_window_native",
+    # --- streams at the tail of the 50 (multi-second startup each):
+    # the two r1-row streams, two r2-row streams, and the new r6
+    # session-episode stream ---
+    "stream_tumbling_agg", "stream_sliding_agg", "stream_click_to_buy",
+    "stream_dedup_counts", "stream_session_episodes",
 ]
-# Exactly 50 head entries: all 48 never-gated round-5 registrations + 2
-# r4-code-touched re-gates (minhash — the headliner whose plan changed —
-# and mm_decode_meta). Every ceded query is still covered by the LOCAL
-# two-SF DuckDB differential (tests/test_oracle.py, run green this
-# round at sf0.001 and the driver's own sf0.01); ceding specifically:
-# q3_shipping_priority (round-5 shape change has a dedicated
-# pre-agg-shape oracle test on top of the differential),
-# ann_lsh_buckets (bucket machinery shared with the gated minhash row),
-# text_quality_metrics,
-# ann_ivf_topk and ann_recall_at_k (their ivf_assign / cell-probe /
-# multiprobe machinery is exercised by the never-gated IVFPQ rows and
-# the r2-green rows still describe unchanged code). The six r1-row
-# stragglers cede their refresh to round 6: never-gated beats
-# 4-round-stale-green for trivially-shaped queries whose machinery
-# (IN-list/comparison, LIKE/rlike, time-range filters, multi-key
-# equi/semi/anti joins, coalesce) is exercised inside many gated
-# queries — they lead the round-6 rotation with the r2 batch. Ceding their slot to round 6 (all code-unchanged with green
-# rows): q5_local_supplier_volume / ann_cosine_topk / mm_frame_offsets
-# (listed speculatively last rotation as "to be changed"; the A/Bs kept
-# their shapes, so their r2 rows still describe the shipped code — and
-# ann_cosine_topk is re-exercised indirectly by the arrow-path equality
-# gate), the two r1-row streams (stream_tumbling_agg / stream_sliding_agg
-# — still pinned in _VERIFY_LAST; their machinery is re-gated through the
-# new stream_vitals_hourly row), the r2-row refresh batch (j8, pii, q1,
-# q6), and the thirty-two r2-row batch queries enumerated in the previous
-# rotation's comment (git log for the list) — those now lead round 6.
+# Exactly 50 head entries: 3 never-gated r6 batch registrations + the
+# new r6 stream + 4 r5-red re-gates + the 6 r1-row batch stragglers +
+# 2 r1-row streams + 34 r2-row refreshes (incl. 2 streams). Ceded to
+# round 7 (all code-unchanged, green r2 rows, machinery re-exercised by
+# fresher green rows): p1_p3 / p2_p4 / p5_p6 (projection machinery
+# inside every gated query), a9/a10/a11 (rollup + profile machinery in
+# r4-green a5/a7/a8), w4/w5/w8/w9 (window machinery in r4/r5-green
+# w10-w15), f14_from_json_typed (struct parse inside r4-green f1_f2),
+# sample_split_assign (hash-membership machinery in three r5-green
+# sample_* rows), and the two heavy r2-row streams
+# stream_session_windows / stream_stateful_user_stats (session + state
+# machinery re-exercised through r5-green stream_vitals_hourly and the
+# r6 stream_session_episodes row). Those fourteen lead round 7.
 
-# Round-1/2-verified queries with multi-second stream startup: pinned to the
-# registry tail so they never starve cheap checks; they hold their existing
-# green rows and lead the next rotation.
+# Ceded r2-row streams and any future multi-second stragglers: pinned to
+# the registry tail so they never starve cheap checks; they hold their
+# existing green rows and lead the next rotation.
 _VERIFY_LAST = [
-    "stream_tumbling_agg", "stream_sliding_agg",
     "stream_session_windows", "stream_stateful_user_stats",
-    "stream_dedup_counts", "stream_click_to_buy",
 ]
 
 

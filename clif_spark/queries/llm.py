@@ -1369,6 +1369,58 @@ def mm_sample_stats(spark, sf_dir):
     return multimodal.media_sample_features(payload)
 
 
+@query(
+    "mm_gif_pixel_stats",
+    oracle="""
+    -- GIF pixel decode THROUGH the codec: even docs are LZW-compressed
+    -- GIF87a frames with index(x,y) = (doc_id + 3x + 5y) % 64 mapped
+    -- through the (7i, 11i, 13i) % 256 palette; the decoder must walk
+    -- the container, LZW-decompress (real dictionary growth), and map
+    -- the palette to reproduce these closed-form channel statistics.
+    WITH gif AS (
+      SELECT doc_id, 10 + doc_id % 30 AS w, 8 + doc_id % 20 AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    px AS (
+      SELECT g.doc_id, ((g.doc_id + 3 * tx.x + 5 * ty.y) % 64) AS idx
+      FROM gif g, generate_series(0, 39) AS tx(x),
+           generate_series(0, 27) AS ty(y)
+      WHERE tx.x < g.w AND ty.y < g.h
+    ),
+    vals AS (
+      SELECT doc_id, (idx * m.mult) % 256 AS v
+      FROM px, (VALUES (7), (11), (13)) AS m(mult)
+    )
+    SELECT doc_id, 'gif_pixels' AS kind,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_value,
+           SQRT(CAST(SUM(CAST(v AS BIGINT) * v) AS DOUBLE) / COUNT(*))
+             AS rms,
+           CAST(MAX(v) AS BIGINT) AS peak
+    FROM vals GROUP BY doc_id
+    UNION ALL
+    SELECT doc_id, 'other', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def mm_gif_pixel_stats(spark, sf_dir):
+    """GIF joins PNG/WAV as a REAL sample-level codec: even documents
+    become spec-valid GIF87a payloads (indexed pixels, 64-color global
+    table, genuine LZW with dictionary growth past the initial code
+    width — multimodal._gif_codecs), and media_sample_features decodes
+    the actual palette-mapped channel values back through container walk
+    + LZW + palette, reducing to the (n, mean, rms, peak) stats. Odd
+    documents stay text → 'other' with NULL stats. This closes the r5
+    'JPEG/GIF pixels are stubs' gap on the GIF side; JPEG remains
+    metadata-only (entropy decode is out of stdlib scope, documented at
+    the codec boundary). Scale shape: one streaming Arrow batch per
+    task, integer-exact stat folds, nothing driver-side."""
+    d = io.load_table(spark, sf_dir, "documents")
+    payload = multimodal.synth_gif_payload(d)
+    return multimodal.media_sample_features(payload)
+
+
 @query("ann_ivf_trained_topk")  # rows-only: iterative training step
 def ann_ivf_trained_topk(spark, sf_dir):
     """IVF ANN with a TRAINED coarse quantizer: distributed Lloyd's

@@ -346,6 +346,73 @@ def stream_vitals_hourly(spark, sf_dir):
                       "vital_name", "n", "sum_value")
 
 
+@query(
+    "stream_session_episodes",
+    oracle="""
+    -- Batch mirror of the STREAMING dialysis-episode derivation (§3.3 as
+    -- a stream): synth flowsheet -> vocab-keep CRRT rows -> per-user
+    -- 30-min-gap sessions via gaps-and-islands. Spark's session_window
+    -- merges an event landing EXACTLY at gap distance (empirically
+    -- pinned: [t, t+1800] extends), so a new episode starts strictly
+    -- beyond 1800 s. Episode end = last event + gap (Spark's window.end
+    -- representation), emitted so the interval-table shape [start, end]
+    -- is what the gate hashes.
+    WITH flow AS (
+      SELECT user_id, CAST(1700000000 + event_id * 60 AS BIGINT) AS rec
+      FROM events WHERE event_id % 4 = 1
+    ),
+    flagged AS (
+      SELECT user_id, rec,
+             CASE WHEN lag(rec) OVER w IS NULL
+                  OR rec - lag(rec) OVER w > 1800 THEN 1 ELSE 0 END
+               AS is_new
+      FROM flow WINDOW w AS (PARTITION BY user_id ORDER BY rec)
+    ),
+    sess AS (
+      SELECT user_id, rec,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY rec
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, 'crrt' AS therapy,
+           CAST(MIN(rec) * 1000000 AS BIGINT) AS w_start,
+           CAST((MAX(rec) + 1800) * 1000000 AS BIGINT) AS w_end,
+           COUNT(*) AS n
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session_episodes(spark, sf_dir):
+    """The §3.3 dialysis episode derivation AS A STREAM: the events
+    stream becomes a synthesized therapy flowsheet (closed-form rec
+    timestamps, 60 s grid), a stream-static broadcast vocab join keeps
+    only the CRRT rows (the reference's flo_meas_name filter), and a
+    watermarked per-user session_window(30 min) folds point readings
+    into [start, end] episode intervals — the native incremental form of
+    the batch gaps-and-islands derivation, with session state evicted
+    once the watermark passes a session's close. Settled availableNow
+    result must equal the batch mirror; the exact-gap boundary (readings
+    1800 s apart MERGE) is the deliberately sharp edge: the 60 s grid
+    makes exact-1800 diffs common, so a half-open-vs-closed divergence
+    between engines flips rows the hash gate sees."""
+    ev = streaming.read_events_stream(spark, sf_dir)
+    flow = ev.selectExpr(
+        "user_id",
+        "timestamp_seconds(1700000000 + event_id * 60) AS rec",
+        "CASE WHEN event_id % 4 = 1 THEN 'CRRT BLOOD FLOW' "
+        "ELSE 'SOME OTHER THING' END AS flo_meas_name")
+    vocab = spark.createDataFrame([("CRRT BLOOD FLOW", "crrt")],
+                                  ["flo_meas_name", "therapy"])
+    mapped = flow.join(F.broadcast(vocab), "flo_meas_name")
+    agg = (mapped.withWatermark("rec", "2 hours")
+           .groupBy(F.session_window("rec", "30 minutes").alias("w"),
+                    "user_id", "therapy")
+           .agg(F.count(F.lit(1)).alias("n")))
+    out = streaming.run_to_memory(agg)
+    return out.select("user_id", "therapy",
+                      us(F.col("w.start")).alias("w_start"),
+                      us(F.col("w.end")).alias("w_end"), "n")
+
+
 @query("stream_countmin_merge", oracle=stats._CMS_ORACLE)
 def stream_countmin_merge(spark, sf_dir):
     """Count-Min over a STREAM: the (r, bucket) counters build as a

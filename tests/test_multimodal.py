@@ -278,3 +278,60 @@ def test_truncated_v1_mvhd_returns_none_not_garbage():
                  + struct.pack(">I", 600) + struct.pack(">Q", 3000))
     good = ftyp + box(b"moov", box(b"mvhd", good_body))
     assert multimodal._mp4_decode(good) == (5000, None, None)
+
+
+def test_gif_lzw_roundtrip_shapes():
+    """Encoder↔decoder roundtrip across code sizes and stream shapes:
+    empty, single symbol, long run (KwKwK self-reference case), cycling
+    pattern (dictionary growth through several width bumps), and a long
+    pseudo-random stream that fills the 12-bit table and exercises the
+    deferred-clear regime on both sides."""
+    import random
+
+    rng = random.Random(7)
+    for mcs in (2, 4, 6, 8):
+        n_sym = 1 << mcs
+        for case in ([], [0], [1] * 500,
+                     [i % n_sym for i in range(5000)],
+                     [rng.randrange(n_sym) for _ in range(20000)]):
+            packed = multimodal.gif_lzw_compress(case, mcs)
+            assert multimodal.gif_lzw_decompress(packed, mcs) == case
+
+
+def test_gif_container_roundtrip_matches_closed_form():
+    """build_gif_rich → gif_pixel_values recovers exactly the closed-form
+    palette-mapped channel values the mm_gif_pixel_stats oracle states,
+    including a frame large enough (38×26) for real LZW width growth."""
+    pal = multimodal.gif_palette(64)
+    for d in (0, 2, 44, 128, 498):
+        w, h = 10 + d % 30, 8 + d % 20
+        payload = multimodal.build_gif_rich(
+            w, h, lambda x, y, d=d: (d + 3 * x + 5 * y) % 64)
+        want = [c for y in range(h) for x in range(w)
+                for c in pal[(d + 3 * x + 5 * y) % 64]]
+        assert multimodal.gif_pixel_values(payload) == want
+
+
+def test_gif_pixel_decode_rejects_malformed():
+    """Non-GIF, truncated-LZW, interlaced, and wrong-pixel-count payloads
+    must all yield None — never partial pixels."""
+    good = multimodal.build_gif_rich(12, 9, lambda x, y: (x + y) % 64)
+    assert multimodal.gif_pixel_values(b"not a gif") is None
+    assert multimodal.gif_pixel_values(good[:40]) is None
+    # flip the interlace bit in the image descriptor's packed byte (the
+    # descriptor sits right after header+LSD (13) + 64-entry GCT; a byte
+    # SEARCH for 0x2C would false-hit palette bytes)
+    idesc = 13 + 64 * 3
+    assert good[idesc] == 0x2C
+    interlaced = good[:idesc + 9] + bytes([good[idesc + 9] | 0x40]) \
+        + good[idesc + 10:]
+    assert multimodal.gif_pixel_values(interlaced) is None
+    # truncate the LZW data stream mid-sub-block (no EOI reachable)
+    assert multimodal.gif_pixel_values(good[:-12]) is None
+    # decode skips a 0x21 extension block before the image descriptor
+    ext = good[:13 + 64 * 3] + b"\x21\xF9\x04\x00\x00\x00\x00\x00" \
+        + good[13 + 64 * 3:]
+    pal = multimodal.gif_palette(64)
+    want = [c for y in range(9) for x in range(12)
+            for c in pal[(x + y) % 64]]
+    assert multimodal.gif_pixel_values(ext) == want
