@@ -517,7 +517,10 @@ def bm25_rational_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
     dimension-sized broadcasts, and the final per-doc sum is one keyed
     aggregate. Output: (id, score_micros, rank), rank 1..k.
     """
-    terms = F.array(*[F.lit(t) for t in query_terms])
+    # Document tokens are lowercased below, so mixed-case query terms
+    # would silently match zero postings — fold them here instead of
+    # making every caller remember the casing contract.
+    terms = F.array(*[F.lit(t.lower()) for t in query_terms])
     # Literal single-space split, NOT the \s+ tokens() helper: this is
     # the token grain chunk_windows uses and the one the oracle mirrors
     # (string_split) — mixing grains would make dl disagree with the

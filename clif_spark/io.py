@@ -59,8 +59,21 @@ def read_parquet(spark: SparkSession, path: str | list[str],
 
 #: (session id, path) -> (session, DataFrame). The session object is held
 #: in the value so its id() can never be recycled while the memo lives —
-#: the same lifetime trick as queries._REGISTERED_VIEWS.
+#: the same lifetime trick as queries._REGISTERED_VIEWS. Mutations hold
+#: _TABLE_MEMO_LOCK (a caller may resolve tables from multiple threads —
+#: e.g. concurrent streaming queries); stopped sessions are swept on
+#: insert so the memo cannot pin dead JVM-side plans for the process
+#: lifetime. The documented immutable-fixture caveat stands:
+#: invalidate_table_memo() is the REFRESH TABLE analog.
 _TABLE_MEMO: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
+_TABLE_MEMO_LOCK = __import__("threading").Lock()
+
+
+def _session_stopped(s: SparkSession) -> bool:
+    try:
+        return s.sparkContext._jsc is None or s.sparkContext._jsc.sc().isStopped()
+    except Exception:
+        return True  # unreachable JVM == dead for caching purposes
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -86,7 +99,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``invalidate_table_memo``)."""
     path = f"{sf_dir}/{name}.parquet"
     key = (id(spark), path)
-    hit = _TABLE_MEMO.get(key)
+    with _TABLE_MEMO_LOCK:
+        hit = _TABLE_MEMO.get(key)
     if hit is not None:
         return hit[1]
     df = spark.read.parquet(path)
@@ -94,13 +108,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ts_field = df.schema["ts"]
         if isinstance(ts_field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    _TABLE_MEMO[key] = (spark, df)
+    with _TABLE_MEMO_LOCK:
+        for k in [k for k, (s, _) in _TABLE_MEMO.items()
+                  if _session_stopped(s)]:
+            del _TABLE_MEMO[k]
+        _TABLE_MEMO[key] = (spark, df)
     return df
 
 
 def invalidate_table_memo() -> None:
     """Drop every memoized table resolution (the REFRESH TABLE analog)."""
-    _TABLE_MEMO.clear()
+    with _TABLE_MEMO_LOCK:
+        _TABLE_MEMO.clear()
 
 
 def _parse_bytes(conf_val: str) -> int | None:

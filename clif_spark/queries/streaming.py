@@ -382,10 +382,12 @@ def stream_vitals_hourly(spark, sf_dir):
     """,
 )
 def stream_session_episodes(spark, sf_dir):
-    """The §3.3 dialysis episode derivation AS A STREAM: the events
-    stream becomes a synthesized therapy flowsheet (closed-form rec
-    timestamps, 60 s grid), a stream-static broadcast vocab join keeps
-    only the CRRT rows (the reference's flo_meas_name filter), and a
+    """The §3.3 dialysis episode derivation AS A STREAM (reference batch
+    form: `code/RCLIF_dialysis.Rmd:54-61,90-100` — point flowsheet rows
+    folded into [start, stop] treatment episodes): the events stream
+    becomes a synthesized therapy flowsheet (closed-form rec timestamps,
+    60 s grid), a stream-static broadcast vocab join keeps only the CRRT
+    rows (the reference's flo_meas_name filter), and a
     watermarked per-user session_window(30 min) folds point readings
     into [start, end] episode intervals — the native incremental form of
     the batch gaps-and-islands derivation, with session state evicted

@@ -44,6 +44,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: |coordinate| bound for exact BIGINT distances: 64 terms of
+#: (2 * MAX_ABS * 1e6)^2 must stay under 2^63 → MAX_ABS ≈ 190.
+_PQ_MAX_ABS = 190
+
+
 def pq_codebook(m: int = 4, ks: int = 8, sub_dim: int = 16,
                 seed: str = "pq", scale: int = 500000) -> list:
     """[m][ks][sub_dim] integer-micros codebook, uniform in [-scale, scale)
@@ -79,11 +84,23 @@ def pq_encode(df: DataFrame, codebook: list | None = None,
 
     One narrow selectExpr: quantize to integer micros, then per block sort
     an m*ks literal array of (distance, code) structs — argmin with a
-    deterministic code tiebreak, all BIGINT."""
+    deterministic code tiebreak, all BIGINT.
+
+    Magnitude precondition (fail-loud, not silent): the BIGINT-exact
+    distance bound in the module docstring assumes |coordinate| ≤ ~190
+    (64 squared diffs of 2·190e6 micros stay under 2^63). Real embedding
+    models emit unit-ish coordinates, but an unnormalized outlier (|x| ~
+    1e3) would silently wrap the distance sum and corrupt codes/err — so
+    the quantize expression raises on any out-of-range coordinate instead
+    of encoding garbage. Scale or normalize inputs first if they exceed
+    the bound."""
     cb = codebook or pq_codebook()
     m, sub_dim = len(cb), len(cb[0][0])
-    qv = (f"transform(CAST({vec_col} AS ARRAY<DOUBLE>),"
-          " x -> CAST(floor(x * 1000000.0D + 0.5D) AS BIGINT))")
+    qv = (f"transform(CAST({vec_col} AS ARRAY<DOUBLE>), x -> "
+          f"CAST(floor(IF(abs(x) > {_PQ_MAX_ABS}D, "
+          f"raise_error('pq_encode: |coordinate| > {_PQ_MAX_ABS} would "
+          f"overflow the BIGINT micros^2 distance — normalize or scale "
+          f"embeddings first'), x) * 1000000.0D + 0.5D) AS BIGINT))")
     quant = df.select(F.col(id_col), *[F.col(c) for c in extra_cols],
                       F.expr(qv).alias("__qv"))
     blocks = []
@@ -116,6 +133,12 @@ def pq_train(vectors: DataFrame, m: int = 4, ks: int = 8,
     reconstruction error vs the md5 codebook on real data."""
     from clif_spark import similarity as S
 
+    if m <= 0 or dim % m != 0:
+        raise ValueError(
+            f"pq_train: dim={dim} must divide evenly into m={m} blocks — "
+            f"a remainder would silently leave the trailing {dim % m} "
+            f"dimensions un-encoded (and a wrong dim mis-slices every "
+            f"block)")
     sub_dim = dim // m
     cb = []
     for b in range(m):
@@ -146,8 +169,13 @@ def _query_dist_table(queries: DataFrame, cb: list,
     the query side is dimension-sized."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     m, ks, sub_dim = len(cb), len(cb[0]), len(cb[0][0])
-    qv = (f"transform(CAST({vec_col} AS ARRAY<DOUBLE>),"
-          " x -> CAST(floor(x * 1000000.0D + 0.5D) AS BIGINT))")
+    # Same fail-loud magnitude guard as pq_encode: a query coordinate
+    # beyond the BIGINT-exact bound must raise, not wrap the ADC table.
+    qv = (f"transform(CAST({vec_col} AS ARRAY<DOUBLE>), x -> "
+          f"CAST(floor(IF(abs(x) > {_PQ_MAX_ABS}D, "
+          f"raise_error('pq query: |coordinate| > {_PQ_MAX_ABS} would "
+          f"overflow the BIGINT micros^2 distance — normalize or scale "
+          f"embeddings first'), x) * 1000000.0D + 0.5D) AS BIGINT))")
     quant = queries.select(*[F.col(c) for c in keys],
                            F.expr(qv).alias("__qv"))
     cb_lit = ("array(" + ",".join(

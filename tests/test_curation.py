@@ -286,3 +286,17 @@ def test_chunk_windows_rejects_lossy_stride(spark):
         chunk_windows(df, size=20, stride=30)
     with _pt.raises(ValueError, match="stride"):
         chunk_windows(df, size=20, stride=0)
+
+
+def test_bm25_query_terms_case_folded(spark):
+    """Mixed-case query terms must match the lowercased postings — the
+    casing contract lives inside bm25_rational_topk, not with callers."""
+    from clif_spark import curation
+
+    docs = spark.createDataFrame(
+        [(1, "Spark shuffles data"), (2, "duck walks on data")],
+        ["doc_id", "text"])
+    upper = curation.bm25_rational_topk(docs, ["SPARK", "Data"], k=2).collect()
+    lower = curation.bm25_rational_topk(docs, ["spark", "data"], k=2).collect()
+    assert [tuple(r) for r in upper] == [tuple(r) for r in lower]
+    assert len(upper) == 2

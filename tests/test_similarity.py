@@ -243,3 +243,32 @@ def test_residual_ivfpq_cuts_trained_reconstruction_error(spark):
     res = (PQ.pq_encode(res_vec, res_cb, id_col="vec_id", vec_col="__v")
              .agg(F.avg("err")).collect()[0][0])
     assert res < raw * 0.5, (res, raw)
+
+
+def test_pq_magnitude_guard_raises_not_wraps(spark):
+    """A coordinate beyond the BIGINT-exact bound (|x| > 190) must raise
+    loudly from pq_encode rather than silently overflowing the squared
+    distance sum; in-range vectors still encode."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from clif_spark.similarity import pq as PQ
+
+    ok = spark.createDataFrame(
+        [(1, [1.0] * 64)], ["vec_id", "embedding"])
+    assert PQ.pq_encode(ok).count() == 1
+    bad = spark.createDataFrame(
+        [(1, [1.0] * 63 + [1e3])], ["vec_id", "embedding"])
+    with pytest.raises(SparkRuntimeException, match="overflow"):
+        PQ.pq_encode(bad).collect()
+
+
+def test_pq_train_rejects_indivisible_dim():
+    """dim % m != 0 would silently drop trailing dimensions from every
+    code — pq_train must refuse up front."""
+    import pytest
+
+    from clif_spark.similarity import pq as PQ
+
+    with pytest.raises(ValueError, match="divide evenly"):
+        PQ.pq_train(None, m=5, dim=64)
