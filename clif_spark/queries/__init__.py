@@ -225,7 +225,8 @@ _VERIFY_FIRST = [
     # --- never driver-gated: registered in round 6 (new operators get a
     # driver row before any refresh does) ---
     "u7_merge_with_deletes", "ann_arrow_fold_equality",
-    "mm_gif_pixel_stats",
+    "mm_gif_pixel_stats", "w16_ewma_agreement",
+    "ann_ivf_trained_recall_bound", "text_bpe_roundtrip",
     # --- r5 RED re-gates: the four HUGEINT-oracle artifacts, values
     # verified bit-identical by the r5 judge, oracles now BIGINT-cast
     # and class-gated (tests/test_oracle.py no-HUGEINT DESCRIBE gate) ---
@@ -243,21 +244,22 @@ _VERIFY_FIRST = [
     "ann_recall_at_k", "text_quality_metrics",
     # --- r2-row batch refresh (unique machinery first) ---
     "dedup_exact", "dedup_clusters", "dedup_embedding_cosine",
-    "dedup_ngram_jaccard", "dedup_simhash64", "dedup_simhash_pairs",
+    "dedup_ngram_jaccard", "dedup_simhash_pairs",
     "contamination_check", "corpus_curation", "emb_quantize_int8",
     "j7_asof_join", "seq_pack_bins", "text_fingerprint", "text_lang_id",
     "text_rolling_fingerprint", "tfidf_top_terms", "w1_lead_episodes",
-    "w2_downup_fill", "w3_keep_last_dedup", "w6_sessionize_gap",
-    "w7_session_window_native",
+    "w2_downup_fill", "w3_keep_last_dedup",
     # --- streams at the tail of the 50 (multi-second startup each):
     # the two r1-row streams, two r2-row streams, and the new r6
     # session-episode stream ---
     "stream_tumbling_agg", "stream_sliding_agg", "stream_click_to_buy",
     "stream_dedup_counts", "stream_session_episodes",
 ]
-# Exactly 50 head entries: 3 never-gated r6 batch registrations + the
+# Exactly 50 head entries: 6 never-gated r6 batch registrations (incl.
+# the three contract rows that give the formerly rows-only paths —
+# arrow ANN, trained IVF, BPE, EWMA — real driver-gated hashes) + the
 # new r6 stream + 4 r5-red re-gates + the 6 r1-row batch stragglers +
-# 2 r1-row streams + 34 r2-row refreshes (incl. 2 streams). Ceded to
+# 2 r1-row streams + 31 r2-row refreshes (incl. 2 streams). Ceded to
 # round 7 (all code-unchanged, green r2 rows, machinery re-exercised by
 # fresher green rows): p1_p3 / p2_p4 / p5_p6 (projection machinery
 # inside every gated query), a9/a10/a11 (rollup + profile machinery in
@@ -267,7 +269,11 @@ _VERIFY_FIRST = [
 # sample_* rows), and the two heavy r2-row streams
 # stream_session_windows / stream_stateful_user_stats (session + state
 # machinery re-exercised through r5-green stream_vitals_hourly and the
-# r6 stream_session_episodes row). Those fourteen lead round 7.
+# r6 stream_session_episodes row); w6_sessionize_gap /
+# w7_session_window_native (same session machinery, same fresher
+# coverage) and dedup_simhash64 (its 64-bit signature machinery runs
+# inside the gated dedup_simhash_pairs row). Those seventeen lead
+# round 7.
 
 # Ceded r2-row streams and any future multi-second stragglers: pinned to
 # the registry tail so they never starve cheap checks; they hold their

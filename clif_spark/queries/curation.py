@@ -634,6 +634,47 @@ def text_bpe_tokenize(spark, sf_dir):
 
 
 @query(
+    "text_bpe_roundtrip",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '\s+')) AS word
+      FROM documents),
+    nz AS (SELECT doc_id, word FROM w WHERE word <> '')
+    SELECT doc_id, COUNT(*) AS n_words, TRUE AS tokens_lossless
+    FROM nz GROUP BY doc_id
+    """,
+)
+def text_bpe_roundtrip(spark, sf_dir):
+    """BPE's driver row via the contract pattern: train 8 merges on the
+    corpus, tokenize the distinct-word vocabulary, and assert the
+    LOSSLESSNESS invariant — concatenating a word's BPE tokens must
+    reproduce the word exactly (merges only fuse adjacent symbols; any
+    split/merge bookkeeping bug breaks the identity). Per document the
+    gate emits the whitespace-token count (oracle-recomputable) plus a
+    bool_and of per-word losslessness; the iterative TRAINING stays
+    un-oracled (sanctioned), but a tokenizer that corrupts words now
+    flips a hash the driver sees. Word grain mirrors bpe_tokenize:
+    lower + \\s+ split, empty tokens dropped."""
+    from clif_spark.functions import bpe
+    d = io.load_table(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(d, n_merges=8)
+    dw = (d.select("doc_id",
+                   F.explode(F.split(F.lower(F.col("text")), r"\s+"))
+                    .alias("word"))
+           .filter(F.col("word") != ""))
+    vocab = bpe.bpe_apply_vocab(dw.select("word").distinct(), merges)
+    check = vocab.select(
+        "word",
+        (F.concat_ws("", F.col("bpe_tokens")) == F.col("word"))
+        .alias("lossless"))
+    return (dw.join(F.broadcast(check), "word")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_words"),
+                   F.bool_and("lossless").alias("tokens_lossless")))
+
+
+@query(
     "sample_mix_epochs",
     oracle=f"""
     WITH d AS (

@@ -1441,6 +1441,58 @@ def ann_ivf_trained_topk(spark, sf_dir):
                                centroids=cents)
 
 
+@query(
+    "ann_ivf_trained_recall_bound",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+         v AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS vv
+               FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+                  ROUND(list_cosine_similarity(qv, vv), 4) AS cos
+           FROM q, v
+           WHERE neighbor_id <> query_id),
+         topk AS (
+           SELECT query_id, neighbor_id FROM scored
+           QUALIFY row_number() OVER
+             (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10)
+    SELECT query_id, COUNT(*) AS k_true, TRUE AS recall_floor_met
+    FROM topk GROUP BY query_id
+    """,
+)
+def ann_ivf_trained_recall_bound(spark, sf_dir):
+    """The trained-IVF path's driver row via the bound-contract pattern
+    (a12-a14): the rows-only ann_ivf_trained_topk cannot face a SQL
+    oracle (k-means is iterative), but its QUALITY CONTRACT can — run
+    the trained search AND the oracle-recomputable brute-force cosine
+    baseline, and emit per query the baseline's k plus a boolean:
+    overall recall of the 2-of-8-cell trained search vs brute force
+    >= 0.3 (the same floor tests/test_similarity.py pins; global, not
+    per-query — a single query may legitimately land in unprobed
+    cells). A quantizer regression (bad init, centroid drift, probe
+    bug) flips the flag and the hash gate sees it."""
+    e = io.load_table(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    truth = similarity.cosine_topk(e, q, k=10).select(
+        "query_id", "neighbor_id")
+    cents, _assign, _hist = similarity.kmeans(e, k=8, max_iter=5)
+    trained = similarity.ivf_topk(e, q, k=10, nprobe=2, n_cells=8,
+                                  centroids=cents).select(
+        "query_id", F.col("neighbor_id").alias("t_neighbor"))
+    hits = truth.join(
+        trained, (truth.query_id == trained.query_id)
+        & (truth.neighbor_id == trained.t_neighbor), "left_semi")
+    per_q = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("k_true"))
+    totals = (per_q.agg(F.sum("k_true").alias("total_true"))
+              .crossJoin(hits.agg(F.count(F.lit(1)).alias("total_hits"))))
+    return (per_q.crossJoin(F.broadcast(totals))
+            .select("query_id", "k_true",
+                    (F.col("total_hits")
+                     >= 0.3 * F.col("total_true")).alias("recall_floor_met")))
+
+
 @query("ann_cosine_topk_arrow", oracle=None)
 def ann_cosine_topk_arrow(spark, sf_dir):
     """The Arrow/BLAS formulation of ann_cosine_topk (same 5 queries,

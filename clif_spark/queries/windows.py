@@ -516,3 +516,51 @@ def w15_ewma_smooth(spark, sf_dir):
             .select("event_id", "user_id", us("ts").alias("ts_us"), "value"))
     out = W.ewma(ev, ["user_id"], "value", ["ts_us", "event_id"])
     return out.select("user_id", "event_id", "ts_us", "value", "ewma")
+
+
+@query(
+    "w16_ewma_agreement",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n, TRUE AS ewma_consistent
+    FROM events WHERE value IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def w16_ewma_agreement(spark, sf_dir):
+    """w15's recursion gets a DRIVER-GATED row via the two-formulation
+    contract pattern (a12/ann_arrow_fold_equality): the applyInPandas
+    smoother and an INDEPENDENT Catalyst formulation — per-user ordered
+    array + ``aggregate`` left fold carrying the running outputs
+    (s_1 = x_1; s_i = 0.3 x_i + 0.7 s_{i-1}) — must agree within 1e-9
+    relative on every row. The fold IS the recursion expressed as a HOF
+    (SQL window frames can't reference previous OUTPUTS; a sequential
+    fold can), so the two paths share no code: pandas C ewm vs Catalyst
+    expression eval. The oracle pins per-user row counts and asserts the
+    agreement flag TRUE — a pandas-side semantics drift (alpha handling,
+    ordering, NULL policy) flips the hash. Tolerance, not equality:
+    pandas computes (1-a)*s + a*x in its own op order; last-ulp drift is
+    not a defect. Array-fold cost is per-user-bounded (the engine's
+    standard entity-window memory contract)."""
+    ev = (io.load_table(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull())
+            .select("event_id", "user_id", us("ts").alias("ts_us"), "value"))
+    rec = W.ewma(ev, ["user_id"], "value", ["ts_us", "event_id"])
+    fold = (ev.groupBy("user_id")
+              .agg(F.expr("array_sort(collect_list("
+                          "struct(ts_us, event_id, value)))").alias("a"))
+              .withColumn("s", F.expr(
+                  "aggregate(a, CAST(array() AS ARRAY<DOUBLE>),"
+                  " (acc, x) -> CASE WHEN size(acc) = 0"
+                  " THEN array(CAST(x.value AS DOUBLE))"
+                  " ELSE concat(acc, array(0.3D * x.value"
+                  " + 0.7D * element_at(acc, -1))) END)"))
+              .select("user_id",
+                      F.expr("explode(arrays_zip(a, s))").alias("z"))
+              .select("user_id", F.col("z.a.event_id").alias("event_id"),
+                      F.col("z.s").alias("ewma_fold")))
+    j = rec.join(fold, ["user_id", "event_id"])
+    close = (F.abs(F.col("ewma") - F.col("ewma_fold"))
+             <= F.lit(1e-9) * F.greatest(F.lit(1.0), F.abs(F.col("ewma"))))
+    return (j.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.bool_and(close).alias("ewma_consistent")))
