@@ -131,3 +131,32 @@ def test_asof_forward_and_tolerance(spark):
     back = {r.id: r.v for r in temporal.asof_join(
         left, right, on="k", value_cols=["v"]).collect()}
     assert back == {1: 1.0, 2: 1.0, 3: 2.0}
+
+
+def test_merge_with_deletes_cdc_replay_rules(spark):
+    """The three MERGE outcomes in one batch, resolved strictly by version
+    order: plain upsert survives, a winning tombstone deletes, and a
+    tombstone followed by a NEWER reinsert resurrects the key (the CDC
+    replay rule). NULL tombstones mean upsert; the tombstone column never
+    leaks into the output."""
+    from clif_spark.operators import core
+
+    base = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b"), (3, 1, "c"), (4, 1, "d")],
+        ["k", "version", "val"])
+    updates = spark.createDataFrame(
+        [(2, 2, "b2", False),   # plain upsert
+         (3, 2, "c", True),     # delete wins (newest for key 3)
+         (4, 2, "d", True),     # tombstone...
+         (4, 3, "d3", None),    # ...overridden by newer reinsert (NULL
+                                #    tombstone = upsert)
+         (5, 1, "e", False)],   # pure insert
+        "k long, version long, val string, is_delete boolean")
+    out = core.merge_with_deletes(base, updates, ["k"], ["version"])
+    assert "is_delete" not in out.columns
+    got = {r.k: (r.version, r.val) for r in out.collect()}
+    assert got == {1: (1, "a"), 2: (2, "b2"), 4: (3, "d3"), 5: (1, "e")}
+
+    import pytest
+    with pytest.raises(ValueError, match="is_delete"):
+        core.merge_with_deletes(base, base, ["k"], ["version"])
