@@ -227,6 +227,7 @@ _VERIFY_FIRST = [
     "u7_merge_with_deletes", "ann_arrow_fold_equality",
     "mm_gif_pixel_stats", "w16_ewma_agreement",
     "ann_ivf_trained_recall_bound", "text_bpe_roundtrip",
+    "stream_cdc_apply",
     # --- r5 RED re-gates: the four HUGEINT-oracle artifacts, values
     # verified bit-identical by the r5 judge, oracles now BIGINT-cast
     # and class-gated (tests/test_oracle.py no-HUGEINT DESCRIBE gate) ---
@@ -245,7 +246,7 @@ _VERIFY_FIRST = [
     # --- r2-row batch refresh (unique machinery first) ---
     "dedup_exact", "dedup_clusters", "dedup_embedding_cosine",
     "dedup_ngram_jaccard", "dedup_simhash_pairs",
-    "contamination_check", "corpus_curation", "emb_quantize_int8",
+    "contamination_check", "emb_quantize_int8",
     "j7_asof_join", "seq_pack_bins", "text_fingerprint", "text_lang_id",
     "text_rolling_fingerprint", "tfidf_top_terms", "w1_lead_episodes",
     "w2_downup_fill", "w3_keep_last_dedup",
@@ -255,11 +256,12 @@ _VERIFY_FIRST = [
     "stream_tumbling_agg", "stream_sliding_agg", "stream_click_to_buy",
     "stream_dedup_counts", "stream_session_episodes",
 ]
-# Exactly 50 head entries: 6 never-gated r6 batch registrations (incl.
-# the three contract rows that give the formerly rows-only paths —
-# arrow ANN, trained IVF, BPE, EWMA — real driver-gated hashes) + the
-# new r6 stream + 4 r5-red re-gates + the 6 r1-row batch stragglers +
-# 2 r1-row streams + 31 r2-row refreshes (incl. 2 streams). Ceded to
+# Exactly 50 head entries: 7 never-gated r6 registrations (incl. the
+# three contract rows that give the formerly rows-only paths — arrow
+# ANN, trained IVF, BPE, EWMA — real driver-gated hashes, and the
+# streaming CDC apply) + the new r6 stream + 4 r5-red re-gates + the 6
+# r1-row batch stragglers + 2 r1-row streams + 30 r2-row refreshes
+# (incl. 2 streams). Ceded to
 # round 7 (all code-unchanged, green r2 rows, machinery re-exercised by
 # fresher green rows): p1_p3 / p2_p4 / p5_p6 (projection machinery
 # inside every gated query), a9/a10/a11 (rollup + profile machinery in
@@ -272,8 +274,10 @@ _VERIFY_FIRST = [
 # r6 stream_session_episodes row); w6_sessionize_gap /
 # w7_session_window_native (same session machinery, same fresher
 # coverage) and dedup_simhash64 (its 64-bit signature machinery runs
-# inside the gated dedup_simhash_pairs row). Those seventeen lead
-# round 7.
+# inside the gated dedup_simhash_pairs row); corpus_curation (a
+# composite whose pieces — PII redaction, packing, int8 quantize,
+# split assignment — each hold their own gated rows). Those eighteen
+# lead round 7.
 
 # Ceded r2-row streams and any future multi-second stragglers: pinned to
 # the registry tail so they never starve cheap checks; they hold their

@@ -415,6 +415,81 @@ def stream_session_episodes(spark, sf_dir):
                       us(F.col("w.end")).alias("w_end"), "n")
 
 
+@query(
+    "stream_cdc_apply",
+    oracle="""
+    -- Same planted semantics as u7_merge_with_deletes: the standing
+    -- snapshot a CDC stream of inserts (v1, every key), updates (v2,
+    -- every 3rd key, doubled value) and tombstones (v3, every 7th key)
+    -- must converge to, regardless of which micro-batch each record
+    -- arrives in.
+    WITH cdc AS (
+      SELECT event_id, CAST(1 AS BIGINT) AS version, user_id,
+             event_type, value, FALSE AS is_delete
+      FROM events
+      UNION ALL
+      SELECT event_id, CAST(2 AS BIGINT), user_id,
+             event_type, value * 2, FALSE
+      FROM events WHERE event_id % 3 = 0
+      UNION ALL
+      SELECT event_id, CAST(3 AS BIGINT), user_id,
+             event_type, value, TRUE
+      FROM events WHERE event_id % 7 = 0
+    ),
+    merged AS (
+      SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY event_id
+                 ORDER BY version DESC) AS rn
+      FROM cdc
+    )
+    SELECT event_id, version, user_id, event_type, value
+    FROM merged WHERE rn = 1 AND NOT is_delete
+    """,
+)
+def stream_cdc_apply(spark, sf_dir):
+    """The u7 MERGE as a CONTINUOUSLY MAINTAINED TABLE
+    (streaming.apply_cdc_stream): every event expands into its CDC
+    records (v1 insert, v2 update for %3 keys, v3 tombstone for %7),
+    hash-scattered across four part-files and replayed as four
+    micro-batches (availableNow + maxFilesPerTrigger=1) — so records
+    for the same key arrive across batches OUT of version order. Each
+    batch folds into a copy-on-write snapshot version + atomic pointer
+    flip; tombstones are retained (logical delete) so a batch-1 delete
+    still suppresses a batch-3 late update, and the read view filters
+    them. The settled table must equal the batch MERGE bit-for-bit —
+    the convergence property that makes CDC apply safe to run
+    incrementally at all."""
+    import hashlib as _h
+    import tempfile
+
+    ev = io.load_table(spark, sf_dir, "events")
+    recs = (ev.selectExpr(
+        "event_id", "user_id", "event_type", "value",
+        """explode(filter(array(
+             named_struct('version', CAST(1 AS BIGINT),
+                          'v', value, 'del', false, 'keep', true),
+             named_struct('version', CAST(2 AS BIGINT),
+                          'v', value * 2, 'del', false,
+                          'keep', event_id % 3 = 0),
+             named_struct('version', CAST(3 AS BIGINT),
+                          'v', value, 'del', true,
+                          'keep', event_id % 7 = 0)
+           ), x -> x.keep)) AS r""")
+        .select("event_id", F.col("r.version").alias("version"),
+                "user_id", "event_type", F.col("r.v").alias("value"),
+                F.col("r.del").alias("is_delete")))
+    scratch = (f"{tempfile.gettempdir()}/clif_stream_cdc_src_"
+               f"{_h.md5(sf_dir.encode()).hexdigest()[:8]}")
+    recs.repartition(4).write.mode("overwrite").parquet(scratch)
+    stream = (spark.readStream.schema(recs.schema)
+                   .option("maxFilesPerTrigger", 1).parquet(scratch))
+    root = tempfile.mkdtemp(prefix="clif_cdc_tbl_")
+    streaming.apply_cdc_stream(stream, root, ["event_id"], ["version"])
+    return (streaming.read_cdc_snapshot(spark, root)
+            .select("event_id", "version", "user_id", "event_type",
+                    "value"))
+
+
 @query("stream_countmin_merge", oracle=stats._CMS_ORACLE)
 def stream_countmin_merge(spark, sf_dir):
     """Count-Min over a STREAM: the (r, bucket) counters build as a

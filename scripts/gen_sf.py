@@ -38,8 +38,17 @@ def _ts_col(us: np.ndarray) -> pa.Array:
 
 
 def write(out: str, name: str, table: pa.Table) -> None:
-    pq.write_table(table, f"{out}/{name}.parquet")
-    print(name, table.num_rows)
+    # Target ~32 MB row groups (by in-memory size estimate): a 100 TB
+    # corpus arrives as many splittable files/groups, and a single giant
+    # row group caps BOTH engines' scan parallelism at one task (the
+    # driver's own sf0.1 fixtures have exactly this shape; our scale
+    # datapoints should not inherit it). pyarrow's default 1M-row groups
+    # left sf10 documents as ONE 58 MB group.
+    rows = table.num_rows
+    bpr = max(1, table.nbytes // max(1, rows))
+    rg = max(10_000, min(1_000_000, (32 << 20) // bpr))
+    pq.write_table(table, f"{out}/{name}.parquet", row_group_size=rg)
+    print(name, rows, "rg_rows", rg)
 
 
 def main(sf: float, out: str) -> None:

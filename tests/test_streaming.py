@@ -86,3 +86,45 @@ def test_processing_time_trigger_with_idempotent_sink(spark):
     written = spark.read.parquet(out)
     assert written.count() == expected
     assert written.select("event_id").distinct().count() == expected
+
+
+def test_cdc_apply_replay_and_convergence(spark):
+    """apply_cdc_stream end-to-end: out-of-version-order cross-batch
+    arrival converges to the keep-latest MERGE, tombstones retained in
+    storage suppress LATER-arriving older updates, and a full re-run
+    against the same table root (fresh checkpoint, so every batch is
+    redelivered) is a no-op thanks to the pointer's batch-id guard."""
+    import tempfile
+
+    from clif_spark import streaming
+
+    recs = spark.createDataFrame(
+        # key 1: delete (v3) arrives in an EARLIER batch than the v2
+        # update — the update must stay suppressed. key 2 plain upsert.
+        [(1, 1, "a", False), (1, 3, "a", True), (2, 1, "b", False),
+         (1, 2, "a2", False), (2, 2, "b2", False), (3, 1, "c", False)],
+        "k long, version long, val string, is_delete boolean")
+    src = tempfile.mkdtemp(prefix="cdc_src_")
+    # two part-files -> two micro-batches; DESCENDING range partition on
+    # version puts the v3 tombstone in part-00000 (the FIRST replayed
+    # batch) and the older v2 update in the second — the arrival order
+    # that breaks physical-delete implementations.
+    from pyspark.sql import functions as F
+    (recs.repartitionByRange(2, F.col("version").desc())
+         .write.mode("overwrite").parquet(src))
+    stream = (spark.readStream.schema(recs.schema)
+                   .option("maxFilesPerTrigger", 1).parquet(src))
+    root = tempfile.mkdtemp(prefix="cdc_tbl_")
+    streaming.apply_cdc_stream(stream, root, ["k"], ["version"])
+    snap = {r.k: (r.version, r.val)
+            for r in streaming.read_cdc_snapshot(spark, root).collect()}
+    assert snap == {2: (2, "b2"), 3: (1, "c")}  # key 1 deleted at v3
+
+    # full redelivery (fresh checkpoint, same root): batch ids repeat,
+    # the pointer guard skips them all, snapshot unchanged
+    stream2 = (spark.readStream.schema(recs.schema)
+                    .option("maxFilesPerTrigger", 1).parquet(src))
+    streaming.apply_cdc_stream(stream2, root, ["k"], ["version"])
+    snap2 = {r.k: (r.version, r.val)
+             for r in streaming.read_cdc_snapshot(spark, root).collect()}
+    assert snap2 == snap
