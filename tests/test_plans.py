@@ -375,3 +375,22 @@ def test_zorder_layout_tightens_rowgroup_stats(spark, tmp_path):
     assert spans(zf, "v") < spans(uf, "v") * 0.5, (
         spans(zf, "v"), spans(uf, "v"))
     assert spans(zf, "u") < 255 * 0.5
+
+
+def test_merge_with_deletes_is_single_exchange(spark):
+    """The MERGE scale shape: stamp + union + keep-last + tombstone
+    filter must cost exactly ONE hash exchange on the key (the window's
+    partitioning); the delete filter is a narrow post-dedup predicate.
+    A second exchange would mean the union or the filter broke the
+    partitioning reuse."""
+    from clif_spark.operators import core
+
+    base = spark.range(0, 1000).selectExpr(
+        "id AS k", "CAST(1 AS BIGINT) AS version", "id * 2 AS v")
+    upd = spark.range(0, 200).selectExpr(
+        "id AS k", "CAST(2 AS BIGINT) AS version", "id * 3 AS v",
+        "id % 5 = 0 AS is_delete")
+    out = core.merge_with_deletes(base, upd, ["k"], ["version"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert out.count() == 960  # 40 of the 200 updated keys tombstoned
