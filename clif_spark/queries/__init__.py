@@ -227,7 +227,7 @@ _VERIFY_FIRST = [
     "u7_merge_with_deletes", "ann_arrow_fold_equality",
     "mm_gif_pixel_stats", "w16_ewma_agreement",
     "ann_ivf_trained_recall_bound", "text_bpe_roundtrip",
-    "stream_cdc_apply",
+    "stream_cdc_apply", "pipeline_llm_curation",
     # --- r5 RED re-gates: the four HUGEINT-oracle artifacts, values
     # verified bit-identical by the r5 judge, oracles now BIGINT-cast
     # and class-gated (tests/test_oracle.py no-HUGEINT DESCRIBE gate) ---
@@ -244,7 +244,7 @@ _VERIFY_FIRST = [
     "q3_shipping_priority", "ann_lsh_buckets", "ann_ivf_topk",
     "ann_recall_at_k", "text_quality_metrics",
     # --- r2-row batch refresh (unique machinery first) ---
-    "dedup_exact", "dedup_clusters", "dedup_embedding_cosine",
+    "dedup_clusters", "dedup_embedding_cosine",
     "dedup_ngram_jaccard", "dedup_simhash_pairs",
     "contamination_check", "emb_quantize_int8",
     "j7_asof_join", "seq_pack_bins", "text_fingerprint", "text_lang_id",
@@ -256,11 +256,11 @@ _VERIFY_FIRST = [
     "stream_tumbling_agg", "stream_sliding_agg", "stream_click_to_buy",
     "stream_dedup_counts", "stream_session_episodes",
 ]
-# Exactly 50 head entries: 7 never-gated r6 registrations (incl. the
+# Exactly 50 head entries: 8 never-gated r6 registrations (incl. the
 # three contract rows that give the formerly rows-only paths — arrow
 # ANN, trained IVF, BPE, EWMA — real driver-gated hashes, and the
 # streaming CDC apply) + the new r6 stream + 4 r5-red re-gates + the 6
-# r1-row batch stragglers + 2 r1-row streams + 30 r2-row refreshes
+# r1-row batch stragglers + 2 r1-row streams + 29 r2-row refreshes
 # (incl. 2 streams). Ceded to
 # round 7 (all code-unchanged, green r2 rows, machinery re-exercised by
 # fresher green rows): p1_p3 / p2_p4 / p5_p6 (projection machinery
@@ -276,8 +276,9 @@ _VERIFY_FIRST = [
 # coverage) and dedup_simhash64 (its 64-bit signature machinery runs
 # inside the gated dedup_simhash_pairs row); corpus_curation (a
 # composite whose pieces — PII redaction, packing, int8 quantize,
-# split assignment — each hold their own gated rows). Those eighteen
-# lead round 7.
+# split assignment — each hold their own gated rows); dedup_exact
+# (its hash-agg fingerprint machinery runs inside the gated
+# pipeline_llm_curation row). Those nineteen lead round 7.
 
 # Ceded r2-row streams and any future multi-second stragglers: pinned to
 # the registry tail so they never starve cheap checks; they hold their

@@ -127,6 +127,90 @@ def _minhash_oracle() -> str:
             "    SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.5")
 
 
+_LLM_CURATION_ORACLE = rf"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id < 10
+      UNION ALL
+      SELECT doc_id + 200000, text || ' extra trailing token'
+      FROM documents WHERE doc_id >= 10 AND doc_id < 30
+    ),
+    tok AS (
+      SELECT doc_id, text,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)),
+                                                     '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM corpus),
+    q AS (SELECT *, n_tokens BETWEEN 20 AND 90 AS q_ok FROM tok),
+    fp AS (SELECT doc_id, text,
+                  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                    AS f
+           FROM q WHERE q_ok),
+    e AS (SELECT *, MIN(doc_id) OVER (PARTITION BY f) AS keeper FROM fp),
+    esurv AS (SELECT doc_id AS doc, text FROM e WHERE doc_id = keeper),
+    {_minhash_pair_ctes("SELECT doc, text FROM esurv")},
+    nd AS (SELECT DISTINCT b AS doc FROM scored WHERE jaccard >= 0.5)
+    SELECT t.doc_id, t.n_tokens,
+           CASE WHEN NOT t.q_ok THEN 'quality'
+                WHEN t.doc_id <> e.keeper THEN 'exact_dup'
+                WHEN nd.doc IS NOT NULL THEN 'near_dup'
+                ELSE 'kept' END AS status
+    FROM q t
+    LEFT JOIN e ON e.doc_id = t.doc_id
+    LEFT JOIN nd ON nd.doc = t.doc_id
+"""
+
+
+@query("pipeline_llm_curation", oracle=_LLM_CURATION_ORACLE)
+def pipeline_llm_curation(spark, sf_dir):
+    """The LLM side's §3 analog — a full pretraining-curation pipeline as
+    ONE audited relation, composed from the engine operators the
+    individual gates exercise separately: token-count quality gate
+    (20..90), exact dedup by normalized-text fingerprint (keeper =
+    min doc_id per group), then MinHash-LSH near-dup removal over the
+    exact survivors (dedup.minhash_near_dups, carry shape, drop the
+    larger id of every >= 0.5-Jaccard pair). Planted data makes every
+    stage fire: 10 exact copies (+100000) and 20 appended-token
+    near-dups (+200000). Output is the per-document AUDIT relation
+    (doc_id, n_tokens, status in quality|exact_dup|near_dup|kept) —
+    what a curation run must log to be debuggable. Scale shape: each
+    stage is the already-profiled operator (hash-agg fingerprints,
+    banded LSH candidates — never all-pairs); the status assembly is
+    two left joins against dimension-sized drop lists."""
+    from pyspark.sql import Window
+
+    d = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact_copies = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    near_copies = (d.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 30))
+                   .select((F.col("doc_id") + 200000).alias("doc_id"),
+                           F.concat(F.col("text"),
+                                    F.lit(" extra trailing token"))
+                           .alias("text")))
+    corpus = d.unionByName(exact_copies).unionByName(near_copies)
+    toks = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                    lambda x: x != "")
+    q = (corpus.withColumn("n_tokens", F.size(toks).cast("long"))
+               .withColumn("q_ok", F.col("n_tokens").between(20, 90)))
+    fp = q.filter("q_ok").withColumn(
+        "f", F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))))
+    e = fp.withColumn("keeper", F.min("doc_id").over(Window.partitionBy("f")))
+    esurv = (e.filter(F.col("doc_id") == F.col("keeper"))
+              .select("doc_id", "text"))
+    pairs = dedup.minhash_near_dups(esurv, threshold=0.5)
+    nd = (pairs.select(F.col("b").alias("doc_id")).distinct()
+               .withColumn("is_nd", F.lit(True)))
+    return (q.select("doc_id", "n_tokens", "q_ok")
+             .join(e.select("doc_id", "keeper"), "doc_id", "left")
+             .join(F.broadcast(nd), "doc_id", "left")
+             .select("doc_id", "n_tokens",
+                     F.when(~F.col("q_ok"), "quality")
+                      .when(F.col("doc_id") != F.col("keeper"), "exact_dup")
+                      .when(F.col("is_nd"), "near_dup")
+                      .otherwise("kept").alias("status")))
+
+
 @query("dedup_minhash_lsh", oracle=_minhash_oracle(), headline=True)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup detection, end-to-end: word-3-gram shingles ->
