@@ -481,3 +481,39 @@ def test_winsorize_idempotent_and_diff_identity(spark):
 
     d = snapshot_diff(df, df, ["id"], ["v"])
     assert {r.change for r in d.collect()} == {"unchanged"}
+
+
+@given(
+    st.integers(min_value=2, max_value=8).flatmap(
+        lambda mcs: st.tuples(
+            st.just(mcs),
+            st.lists(st.integers(min_value=0, max_value=(1 << mcs) - 1),
+                     max_size=4000))))
+@settings(max_examples=40, deadline=None)
+def test_gif_lzw_roundtrip_fuzz(case):
+    """Property: GIF-variant LZW decompress(compress(x)) == x for any
+    symbol stream at any code size — including streams long enough to
+    grow the code width several times and hit the KwKwK case by chance."""
+    from clif_spark import multimodal
+
+    mcs, syms = case
+    packed = multimodal.gif_lzw_compress(syms, mcs)
+    assert multimodal.gif_lzw_decompress(packed, mcs) == syms
+
+
+@given(st.integers(min_value=1, max_value=40),
+       st.integers(min_value=1, max_value=30),
+       st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=25, deadline=None)
+def test_gif_container_roundtrip_fuzz(w, h, seed):
+    """Property: build_gif_rich -> gif_pixel_values is the identity on
+    palette-mapped channel values for arbitrary dimensions and pixel
+    patterns (seeded closed form, no RNG state)."""
+    from clif_spark import multimodal
+
+    pal = multimodal.gif_palette(64)
+    payload = multimodal.build_gif_rich(
+        w, h, lambda x, y: (seed + 3 * x + 5 * y) % 64)
+    want = [c for y in range(h) for x in range(w)
+            for c in pal[(seed + 3 * x + 5 * y) % 64]]
+    assert multimodal.gif_pixel_values(payload) == want
