@@ -684,7 +684,13 @@ def _gif_codecs():
             out.append(bitbuf & 0xFF)
         return bytes(out)
 
-    def lzw_decompress(data: bytes, mcs: int) -> list[int] | None:
+    def lzw_decompress(data: bytes, mcs: int,
+                       max_out: int | None = None) -> list[int] | None:
+        # mcs is payload-controlled: GIF caps LZW codes at 12 bits, so a
+        # valid min code size is 2..11 — anything else must return None,
+        # not build a 2^mcs base table (a crafted 0xFF byte would OOM).
+        if not 2 <= mcs <= 11:
+            return None
         clear, eoi = 1 << mcs, (1 << mcs) + 1
         pos = 0  # bit cursor
 
@@ -729,6 +735,8 @@ def _gif_codecs():
                 if nxt == (1 << width) and width < 12:
                     width += 1
             out.extend(entry)
+            if max_out is not None and len(out) > max_out:
+                return None  # stream longer than the frame — corrupt
             prev = entry
 
     def gif_palette(n_colors: int) -> list[tuple[int, int, int]]:
@@ -816,7 +824,7 @@ def _gif_codecs():
             while i < len(p) and p[i] != 0:
                 data += p[i + 1:i + 1 + p[i]]
                 i += 1 + p[i]
-            idx = lzw_decompress(bytes(data), mcs)
+            idx = lzw_decompress(bytes(data), mcs, max_out=w * h)
             if idx is None or len(idx) != w * h or any(
                     v >= len(pal) for v in idx):
                 return None

@@ -196,6 +196,15 @@ def merge_with_deletes(base: DataFrame, updates: DataFrame,
     if tombstone_col not in updates.columns:
         raise ValueError(
             f"updates must carry a boolean {tombstone_col!r} column")
+    if tombstone_col in base.columns:
+        # A base that still carries tombstones is a RAW retained-delete
+        # snapshot (apply_cdc_stream stores those); silently stamping it
+        # FALSE would resurrect every deleted key with stale data. Make
+        # the caller filter first (streaming.read_cdc_snapshot does).
+        raise ValueError(
+            f"base already has a {tombstone_col!r} column — filter its "
+            f"retained tombstones out first (read_cdc_snapshot), or pass "
+            f"a different tombstone_col")
     stamped_base = base.withColumn(tombstone_col, F.lit(False))
     stamped_updates = updates.withColumn(
         tombstone_col, F.coalesce(F.col(tombstone_col), F.lit(False)))

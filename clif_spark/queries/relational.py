@@ -911,35 +911,37 @@ def u5_upsert_keep_latest(spark, sf_dir):
     return core.upsert_keep_latest(base, updates, ["event_id"], ["version"])
 
 
-@query(
-    "u7_merge_with_deletes",
-    oracle="""
-    WITH base AS (
+#: The planted-CDC MERGE semantics, shared verbatim by the batch gate
+#: (u7_merge_with_deletes) and the streaming gate
+#: (queries.streaming.stream_cdc_apply): both must converge to THIS
+#: relation or the batch/streaming convergence contract silently splits
+#: into two unrelated tests.
+CDC_PLANTED_MERGE_ORACLE = """
+    WITH cdc AS (
       SELECT event_id, CAST(1 AS BIGINT) AS version, user_id,
              event_type, value, FALSE AS is_delete
       FROM events
-    ),
-    upd AS (
-      SELECT event_id, CAST(2 AS BIGINT) AS version, user_id,
-             event_type, value * 2 AS value, FALSE AS is_delete
+      UNION ALL
+      SELECT event_id, CAST(2 AS BIGINT), user_id,
+             event_type, value * 2, FALSE
       FROM events WHERE event_id % 3 = 0
-    ),
-    del AS (
-      SELECT event_id, CAST(3 AS BIGINT) AS version, user_id,
-             event_type, value, TRUE AS is_delete
+      UNION ALL
+      SELECT event_id, CAST(3 AS BIGINT), user_id,
+             event_type, value, TRUE
       FROM events WHERE event_id % 7 = 0
     ),
     merged AS (
       SELECT *, ROW_NUMBER() OVER (
                  PARTITION BY event_id
                  ORDER BY version DESC) AS rn
-      FROM (SELECT * FROM base UNION ALL SELECT * FROM upd
-            UNION ALL SELECT * FROM del)
+      FROM cdc
     )
     SELECT event_id, version, user_id, event_type, value
     FROM merged WHERE rn = 1 AND NOT is_delete
-    """,
-)
+    """
+
+
+@query("u7_merge_with_deletes", oracle=CDC_PLANTED_MERGE_ORACLE)
 def u7_merge_with_deletes(spark, sf_dir):
     """U7 full MERGE with delete tombstones — the operation a warehouse
     user reaches for right after u5's insert-or-replace: a CDC batch

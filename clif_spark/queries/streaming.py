@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from clif_spark import io, streaming
 from clif_spark.queries import query, us
+from clif_spark.queries import relational as _rel
 from clif_spark.queries import stats
 
 
@@ -359,7 +360,7 @@ def stream_vitals_hourly(spark, sf_dir):
     -- is what the gate hashes.
     WITH flow AS (
       SELECT user_id, CAST(1700000000 + event_id * 60 AS BIGINT) AS rec
-      FROM events WHERE event_id % 4 = 1
+      FROM events WHERE event_id % 2 = 1
     ),
     flagged AS (
       SELECT user_id, rec,
@@ -393,14 +394,16 @@ def stream_session_episodes(spark, sf_dir):
     the batch gaps-and-islands derivation, with session state evicted
     once the watermark passes a session's close. Settled availableNow
     result must equal the batch mirror; the exact-gap boundary (readings
-    1800 s apart MERGE) is the deliberately sharp edge: the 60 s grid
-    makes exact-1800 diffs common, so a half-open-vs-closed divergence
+    1800 s apart MERGE) is the deliberately sharp edge: CRRT rows are
+    odd event_ids on a 60 s grid, so same-user diffs are multiples of
+    120 s and exact-1800 pairs occur in the shipped data (measured: 10
+    at sf0.001, 28 at sf0.01) — a half-open-vs-closed divergence
     between engines flips rows the hash gate sees."""
     ev = streaming.read_events_stream(spark, sf_dir)
     flow = ev.selectExpr(
         "user_id",
         "timestamp_seconds(1700000000 + event_id * 60) AS rec",
-        "CASE WHEN event_id % 4 = 1 THEN 'CRRT BLOOD FLOW' "
+        "CASE WHEN event_id % 2 = 1 THEN 'CRRT BLOOD FLOW' "
         "ELSE 'SOME OTHER THING' END AS flo_meas_name")
     vocab = spark.createDataFrame([("CRRT BLOOD FLOW", "crrt")],
                                   ["flo_meas_name", "therapy"])
@@ -415,37 +418,10 @@ def stream_session_episodes(spark, sf_dir):
                       us(F.col("w.end")).alias("w_end"), "n")
 
 
-@query(
-    "stream_cdc_apply",
-    oracle="""
-    -- Same planted semantics as u7_merge_with_deletes: the standing
-    -- snapshot a CDC stream of inserts (v1, every key), updates (v2,
-    -- every 3rd key, doubled value) and tombstones (v3, every 7th key)
-    -- must converge to, regardless of which micro-batch each record
-    -- arrives in.
-    WITH cdc AS (
-      SELECT event_id, CAST(1 AS BIGINT) AS version, user_id,
-             event_type, value, FALSE AS is_delete
-      FROM events
-      UNION ALL
-      SELECT event_id, CAST(2 AS BIGINT), user_id,
-             event_type, value * 2, FALSE
-      FROM events WHERE event_id % 3 = 0
-      UNION ALL
-      SELECT event_id, CAST(3 AS BIGINT), user_id,
-             event_type, value, TRUE
-      FROM events WHERE event_id % 7 = 0
-    ),
-    merged AS (
-      SELECT *, ROW_NUMBER() OVER (
-                 PARTITION BY event_id
-                 ORDER BY version DESC) AS rn
-      FROM cdc
-    )
-    SELECT event_id, version, user_id, event_type, value
-    FROM merged WHERE rn = 1 AND NOT is_delete
-    """,
-)
+# Oracle SHARED with u7_merge_with_deletes: batch and streaming gates
+# must converge to the same relation by construction, not by parallel
+# maintenance of two SQL strings.
+@query("stream_cdc_apply", oracle=_rel.CDC_PLANTED_MERGE_ORACLE)
 def stream_cdc_apply(spark, sf_dir):
     """The u7 MERGE as a CONTINUOUSLY MAINTAINED TABLE
     (streaming.apply_cdc_stream): every event expands into its CDC

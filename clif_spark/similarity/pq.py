@@ -45,8 +45,9 @@ from pyspark.sql import functions as F
 
 
 #: |coordinate| bound for exact BIGINT distances: 64 terms of
-#: (2 * MAX_ABS * 1e6)^2 must stay under 2^63 → MAX_ABS ≈ 190.
-_PQ_MAX_ABS = 190
+#: (2 * MAX_ABS * 1e6)^2 must stay under 2^63. 190 NARROWLY violates it
+#: (64·(380e6)² = 9.2416e18 > 2^63 = 9.2234e18); 189 gives 9.1446e18.
+_PQ_MAX_ABS = 189
 
 
 def pq_codebook(m: int = 4, ks: int = 8, sub_dim: int = 16,

@@ -335,3 +335,22 @@ def test_gif_pixel_decode_rejects_malformed():
     want = [c for y in range(9) for x in range(12)
             for c in pal[(x + y) % 64]]
     assert multimodal.gif_pixel_values(ext) == want
+
+
+def test_gif_rejects_hostile_min_code_size():
+    """A payload-controlled LZW min-code-size byte outside GIF's 2..11
+    range (12-bit code cap) must yield None — not build a 2^mcs base
+    table (a crafted 0xFF would otherwise attempt a 2^255-entry dict).
+    Also: an LZW stream longer than the declared frame must abort at
+    the w*h bound, not decode unboundedly."""
+    good = multimodal.build_gif_rich(12, 9, lambda x, y: (x + y) % 64)
+    idesc = 13 + 64 * 3
+    mcs_at = idesc + 10
+    assert good[mcs_at] == 6  # precondition: this IS the mcs byte
+    for bad_mcs in (0, 1, 12, 0x80, 0xFF):
+        crafted = good[:mcs_at] + bytes([bad_mcs]) + good[mcs_at + 1:]
+        assert multimodal.gif_pixel_values(crafted) is None
+    # oversized stream: declare a 1x1 frame, keep the 12x9 LZW data
+    shrunk = (good[:idesc + 5] + (1).to_bytes(2, "little")
+              + (1).to_bytes(2, "little") + good[idesc + 9:])
+    assert multimodal.gif_pixel_values(shrunk) is None
