@@ -160,6 +160,13 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "calib_ms": calib_ms,
+        # Scale context for readers of a single-SF record: the same-phase
+        # ratio falls with scale because the per-query scheduling floor is
+        # fixed while useful work grows (BASELINE.md round 6: 3.7x at
+        # sf0.1, 1.7x at sf1, 0.52x at sf10 — Spark wins outright at sf10).
+        "scale_note": "ratio is floor-dominated at small SF; see "
+                      "BASELINE.md round-6 curve (sf10 same-phase: 0.52x, "
+                      "Spark wins)",
     }
     if duckdb_total is not None:
         out["duckdb_total"] = duckdb_total
