@@ -281,27 +281,35 @@ def write_stream_parquet(stream_df: DataFrame, path: str, checkpoint: str,
 
 # --- streaming CDC apply (the u7 MERGE as a continuously maintained table) ---
 
-def _cdc_pointer_read(root: str) -> tuple[int, str] | None:
-    """(last applied batch_id, snapshot dir) from root/_LATEST, or None."""
+def _cdc_pointer_read(root: str) -> tuple[int, str, str] | None:
+    """(last applied batch_id, snapshot dir, checkpoint id) from
+    root/_LATEST, or None."""
     import os
 
     ptr = os.path.join(root, "_LATEST")
     if not os.path.exists(ptr):
         return None
     with open(ptr, encoding="utf-8") as fh:
-        bid, vdir = fh.read().splitlines()[:2]
-    return int(bid), vdir
+        lines = fh.read().splitlines()
+    bid, vdir = lines[0], lines[1]
+    ckpt_id = lines[2] if len(lines) > 2 else ""
+    return int(bid), vdir, ckpt_id
 
 
-def _cdc_pointer_write(root: str, batch_id: int, vdir: str) -> None:
+def _cdc_pointer_write(root: str, batch_id: int, vdir: str,
+                       ckpt_id: str) -> None:
     """Atomic pointer update: write a temp file, then os.replace — readers
     always see a complete pointer (POSIX rename atomicity), never a torn
-    one. The pointer is the ONLY mutable object in the format."""
+    one. The pointer is the ONLY mutable object in the format. It records
+    the CHECKPOINT IDENTITY alongside the batch id because batch ids are
+    only monotone within one checkpoint lineage — a fresh feed attached
+    to an existing table restarts at 0 and must NOT be skipped as a
+    redelivery."""
     import os
 
     tmp = os.path.join(root, f"_LATEST.tmp.{batch_id}")
     with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(f"{batch_id}\n{vdir}\n")
+        fh.write(f"{batch_id}\n{vdir}\n{ckpt_id}\n")
     os.replace(tmp, os.path.join(root, "_LATEST"))
 
 
@@ -338,14 +346,23 @@ def apply_cdc_stream(cdc_stream: DataFrame, root: str,
 
     from clif_spark.operators import core as _core
 
+    import hashlib
+
     os.makedirs(root, exist_ok=True)
     ckpt = checkpoint or tempfile.mkdtemp(prefix="clif_cdc_ckpt_")
+    ckpt_id = hashlib.md5(ckpt.encode()).hexdigest()[:16]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         meta = _cdc_pointer_read(root)
-        if meta is not None and batch_id <= meta[0]:
-            return  # redelivered batch — already folded in
+        if (meta is not None and meta[2] == ckpt_id
+                and batch_id <= meta[0]):
+            # Redelivered batch (crash between sink and checkpoint
+            # commit) — already folded in. Only SAME-checkpoint ids are
+            # comparable: a fresh feed attached to an existing table
+            # restarts at 0 and must apply (keep-latest-by-version makes
+            # re-merging identical records a no-op anyway).
+            return
         stamped = batch_df.withColumn(
             tombstone_col,
             F.coalesce(F.col(tombstone_col), F.lit(False)))
@@ -353,8 +370,11 @@ def apply_cdc_stream(cdc_stream: DataFrame, root: str,
                 else stamped.limit(0))
         merged = _core.upsert_keep_latest(base, stamped, keys, order)
         vdir = os.path.join(root, f"v{batch_id}")
+        if meta is not None and meta[2] != ckpt_id:
+            # new feed lineage reusing old batch ids: keep versions unique
+            vdir = os.path.join(root, f"v{batch_id}_{ckpt_id[:6]}")
         merged.write.mode("overwrite").parquet(vdir)
-        _cdc_pointer_write(root, batch_id, vdir)
+        _cdc_pointer_write(root, batch_id, vdir, ckpt_id)
 
     q = (cdc_stream.writeStream.foreachBatch(_sink)
          .option("checkpointLocation", ckpt)
@@ -364,11 +384,59 @@ def apply_cdc_stream(cdc_stream: DataFrame, root: str,
 
 
 def read_cdc_snapshot(spark: SparkSession, root: str,
-                      tombstone_col: str = "is_delete") -> DataFrame:
-    """Current live rows of an apply_cdc_stream table: resolve the atomic
-    pointer, read that immutable version, filter out logical deletes."""
+                      tombstone_col: str = "is_delete",
+                      version: int | None = None) -> DataFrame:
+    """Live rows of an apply_cdc_stream table: resolve the atomic pointer
+    (or a pinned ``version`` — TIME TRAVEL, since every applied batch
+    leaves an immutable ``v{batch_id}`` directory until compaction), read
+    that version, filter out logical deletes."""
+    import os
+
+    if version is not None:
+        vdir = os.path.join(root, f"v{version}")
+        if not os.path.exists(vdir):
+            raise FileNotFoundError(
+                f"no version v{version} under {root} (compacted away, or "
+                f"that batch was skipped as a redelivery)")
+    else:
+        meta = _cdc_pointer_read(root)
+        if meta is None:
+            raise FileNotFoundError(f"no CDC snapshot pointer under {root}")
+        vdir = meta[1]
+    return (spark.read.parquet(vdir)
+            .filter(~F.col(tombstone_col)).drop(tombstone_col))
+
+
+def compact_cdc_snapshot(spark: SparkSession, root: str,
+                         tombstone_col: str = "is_delete") -> int:
+    """Drop retained tombstones and expire history: rewrite the CURRENT
+    version with its tombstone rows physically removed (they have served
+    their suppression purpose once the feed is known to have delivered
+    everything up to this point — the caller asserts that by invoking
+    compaction, exactly the contract of a log-compaction retention
+    horizon), flip the pointer to the compacted version, and delete the
+    older version directories. Time travel before the compaction point is
+    gone afterwards — the storage-reclaim trade every table format makes.
+
+    Returns the number of tombstone rows removed. CAUTION (documented,
+    not enforced): compacting while the CDC feed can still deliver a
+    record OLDER than a dropped tombstone's version re-opens the
+    resurrection window that retained tombstones exist to close.
+    """
+    import os
+    import shutil
+
     meta = _cdc_pointer_read(root)
     if meta is None:
         raise FileNotFoundError(f"no CDC snapshot pointer under {root}")
-    return (spark.read.parquet(meta[1])
-            .filter(~F.col(tombstone_col)).drop(tombstone_col))
+    last_bid, vdir, ckpt_id = meta
+    snap = spark.read.parquet(vdir)
+    n_tomb = snap.filter(F.col(tombstone_col)).count()
+    cdir = os.path.join(root, f"v{last_bid}_compacted")
+    snap.filter(~F.col(tombstone_col)).write.mode("overwrite").parquet(cdir)
+    _cdc_pointer_write(root, last_bid, cdir, ckpt_id)
+    for name in os.listdir(root):
+        p = os.path.join(root, name)
+        if (name.startswith("v") and p != cdir and os.path.isdir(p)):
+            shutil.rmtree(p)
+    return n_tomb

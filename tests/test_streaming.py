@@ -91,9 +91,14 @@ def test_processing_time_trigger_with_idempotent_sink(spark):
 def test_cdc_apply_replay_and_convergence(spark):
     """apply_cdc_stream end-to-end: out-of-version-order cross-batch
     arrival converges to the keep-latest MERGE, tombstones retained in
-    storage suppress LATER-arriving older updates, and a full re-run
-    against the same table root (fresh checkpoint, so every batch is
-    redelivered) is a no-op thanks to the pointer's batch-id guard."""
+    storage suppress LATER-arriving older updates, and a full re-run of
+    the same feed against the same table (a FRESH checkpoint, so batch
+    ids restart at 0 — a new lineage, deliberately NOT skipped by the
+    pointer guard, which only covers same-checkpoint crash redelivery)
+    leaves the snapshot unchanged because keep-latest-by-version makes
+    re-merging identical records a no-op; a SAME-checkpoint restart is
+    a source-level no-op (Spark's own checkpoint has all batches
+    committed)."""
     import tempfile
 
     from clif_spark import streaming
@@ -120,11 +125,88 @@ def test_cdc_apply_replay_and_convergence(spark):
             for r in streaming.read_cdc_snapshot(spark, root).collect()}
     assert snap == {2: (2, "b2"), 3: (1, "c")}  # key 1 deleted at v3
 
-    # full redelivery (fresh checkpoint, same root): batch ids repeat,
-    # the pointer guard skips them all, snapshot unchanged
+    # full re-run, NEW lineage (fresh checkpoint, same root): batch ids
+    # restart at 0 and genuinely re-apply; keep-latest re-merge of
+    # identical records leaves the snapshot unchanged
     stream2 = (spark.readStream.schema(recs.schema)
                     .option("maxFilesPerTrigger", 1).parquet(src))
     streaming.apply_cdc_stream(stream2, root, ["k"], ["version"])
     snap2 = {r.k: (r.version, r.val)
              for r in streaming.read_cdc_snapshot(spark, root).collect()}
     assert snap2 == snap
+
+    # SAME-checkpoint restart: Spark's checkpoint has every batch
+    # committed, so nothing is redelivered and the snapshot is untouched
+    ckpt = tempfile.mkdtemp(prefix="cdc_ckpt_pin_")
+    stream3 = (spark.readStream.schema(recs.schema)
+                    .option("maxFilesPerTrigger", 1).parquet(src))
+    streaming.apply_cdc_stream(stream3, root, ["k"], ["version"],
+                               checkpoint=ckpt)
+    stream4 = (spark.readStream.schema(recs.schema)
+                    .option("maxFilesPerTrigger", 1).parquet(src))
+    streaming.apply_cdc_stream(stream4, root, ["k"], ["version"],
+                               checkpoint=ckpt)
+    snap3 = {r.k: (r.version, r.val)
+             for r in streaming.read_cdc_snapshot(spark, root).collect()}
+    assert snap3 == snap
+
+
+def test_cdc_time_travel_and_compaction(spark):
+    """Every applied batch leaves an immutable version: a pinned read
+    reproduces the snapshot as of that batch (time travel), compaction
+    physically drops retained tombstones + old versions (returning the
+    count), the live view is unchanged by compaction, and further CDC
+    batches keep applying on top of the compacted version."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clif_spark import streaming
+
+    recs = spark.createDataFrame(
+        [(1, 1, "a", False), (2, 1, "b", False),   # batch of v1 inserts
+         (1, 2, "a2", False), (2, 2, "b", True)],  # batch: update + delete
+        "k long, version long, val string, is_delete boolean")
+    src = tempfile.mkdtemp(prefix="cdc_tt_src_")
+    (recs.repartitionByRange(2, "version").write.mode("overwrite")
+         .parquet(src))
+    stream = (spark.readStream.schema(recs.schema)
+                   .option("maxFilesPerTrigger", 1).parquet(src))
+    root = tempfile.mkdtemp(prefix="cdc_tt_tbl_")
+    streaming.apply_cdc_stream(stream, root, ["k"], ["version"])
+
+    # time travel: as of batch 0 the table holds exactly ONE source
+    # file's merge (file replay order is mtime/path-dependent, so it may
+    # be either the v1 batch or the v2 batch — both are valid histories)
+    asof0 = {r.k: (r.version, r.val) for r in
+             streaming.read_cdc_snapshot(spark, root, version=0).collect()}
+    assert asof0 in (
+        {1: (1, "a"), 2: (1, "b")},   # v1 inserts applied first
+        {1: (2, "a2")},               # v2 batch first (2's delete retained)
+    )
+    live = {r.k: (r.version, r.val) for r in
+            streaming.read_cdc_snapshot(spark, root).collect()}
+    assert live == {1: (2, "a2")}  # key 2 deleted at v2
+
+    removed = streaming.compact_cdc_snapshot(spark, root)
+    assert removed == 1  # key 2's retained tombstone
+    after = {r.k: (r.version, r.val) for r in
+             streaming.read_cdc_snapshot(spark, root).collect()}
+    assert after == live  # compaction never changes the live view
+    import pytest
+    with pytest.raises(FileNotFoundError):  # history expired
+        streaming.read_cdc_snapshot(spark, root, version=0)
+
+    # the table keeps working: apply one more batch on the compacted base
+    more = spark.createDataFrame([(3, 1, "c", False)],
+                                 "k long, version long, val string, "
+                                 "is_delete boolean")
+    src2 = tempfile.mkdtemp(prefix="cdc_tt_src2_")
+    more.coalesce(1).write.mode("overwrite").parquet(src2)
+    stream2 = (spark.readStream.schema(more.schema)
+                    .option("maxFilesPerTrigger", 1).parquet(src2))
+    streaming.apply_cdc_stream(stream2, root, ["k"], ["version"])
+    final = {r.k: (r.version, r.val) for r in
+             streaming.read_cdc_snapshot(spark, root).collect()}
+    assert final == {1: (2, "a2"), 3: (1, "c")}
