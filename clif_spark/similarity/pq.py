@@ -6,9 +6,11 @@ Exact-integer formulation (why no floats): assignment = argmin of L2
 distance over a small codebook. Computed in doubles, the argmin could flip
 across engines on a last-ulp tie; so coordinates are quantized to integer
 micros first (floor(x*1e6 + 0.5) — the dsum trick) and every distance is
-exact BIGINT arithmetic. Bound: coords are |x| < ~1e6 micros, so a
-sub-distance is <= sub_dim * (2e6)^2 ~= 6.4e13 << 2^63 — no overflow at
-any real embedding scale.
+exact BIGINT arithmetic. Bound: unit-ish coords are |x| ~ 1e6 micros, so
+a sub-distance is <= sub_dim * (2e6)^2 ~= 6.4e13 << 2^63; the fail-loud
+ceiling is |x| <= 189 (_PQ_MAX_ABS — 64 squared diffs of 2*189e6 micros
+stay under 2^63, 190 does not), enforced by raise_error in the quantize
+expressions.
 
 The codebook is md5-derived (deterministic, engine-portable, no RNG
 state) — the role of a trained codebook is pluggable exactly like the
@@ -88,8 +90,9 @@ def pq_encode(df: DataFrame, codebook: list | None = None,
     deterministic code tiebreak, all BIGINT.
 
     Magnitude precondition (fail-loud, not silent): the BIGINT-exact
-    distance bound in the module docstring assumes |coordinate| ≤ ~190
-    (64 squared diffs of 2·190e6 micros stay under 2^63). Real embedding
+    distance bound in the module docstring assumes |coordinate| ≤ 189
+    (64 squared diffs of 2·189e6 micros stay under 2^63; 190 narrowly
+    does NOT — see _PQ_MAX_ABS). Real embedding
     models emit unit-ish coordinates, but an unnormalized outlier (|x| ~
     1e3) would silently wrap the distance sum and corrupt codes/err — so
     the quantize expression raises on any out-of-range coordinate instead

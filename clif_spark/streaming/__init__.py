@@ -369,10 +369,11 @@ def apply_cdc_stream(cdc_stream: DataFrame, root: str,
         base = (spark.read.parquet(meta[1]) if meta is not None
                 else stamped.limit(0))
         merged = _core.upsert_keep_latest(base, stamped, keys, order)
-        vdir = os.path.join(root, f"v{batch_id}")
-        if meta is not None and meta[2] != ckpt_id:
-            # new feed lineage reusing old batch ids: keep versions unique
-            vdir = os.path.join(root, f"v{batch_id}_{ckpt_id[:6]}")
+        # EVERY version dir carries the lineage suffix (not just the
+        # first batch of a new lineage): (batch_id, lineage) is the only
+        # globally unique version key, so an unsuffixed v{id} from feed B
+        # would OVERWRITE feed A's immutable v{id} history.
+        vdir = os.path.join(root, f"v{batch_id}_{ckpt_id[:6]}")
         merged.write.mode("overwrite").parquet(vdir)
         _cdc_pointer_write(root, batch_id, vdir, ckpt_id)
 
@@ -392,16 +393,24 @@ def read_cdc_snapshot(spark: SparkSession, root: str,
     that version, filter out logical deletes."""
     import os
 
+    meta = _cdc_pointer_read(root)
+    if meta is None:
+        raise FileNotFoundError(f"no CDC snapshot pointer under {root}")
     if version is not None:
-        vdir = os.path.join(root, f"v{version}")
+        # Versions resolve within the CURRENT lineage only (the pointer's
+        # checkpoint id) — serving another lineage's v{N} would silently
+        # time-travel a DIFFERENT history. Older lineages' dirs may still
+        # exist on disk but are not addressable here by design.
+        sfx = meta[2][:6]
+        vdir = os.path.join(root, f"v{version}_{sfx}")
+        if not os.path.exists(vdir):
+            vdir = os.path.join(root, f"v{version}_{sfx}_compacted")
         if not os.path.exists(vdir):
             raise FileNotFoundError(
-                f"no version v{version} under {root} (compacted away, or "
-                f"that batch was skipped as a redelivery)")
+                f"no version v{version} in the current lineage under "
+                f"{root} (compacted away, skipped as a redelivery, or "
+                f"written by an earlier feed lineage)")
     else:
-        meta = _cdc_pointer_read(root)
-        if meta is None:
-            raise FileNotFoundError(f"no CDC snapshot pointer under {root}")
         vdir = meta[1]
     return (spark.read.parquet(vdir)
             .filter(~F.col(tombstone_col)).drop(tombstone_col))
@@ -418,10 +427,14 @@ def compact_cdc_snapshot(spark: SparkSession, root: str,
     older version directories. Time travel before the compaction point is
     gone afterwards — the storage-reclaim trade every table format makes.
 
-    Returns the number of tombstone rows removed. CAUTION (documented,
+    Returns the number of tombstone rows removed. CAUTIONS (documented,
     not enforced): compacting while the CDC feed can still deliver a
     record OLDER than a dropped tombstone's version re-opens the
-    resurrection window that retained tombstones exist to close.
+    resurrection window that retained tombstones exist to close; and the
+    pre-compaction version dir is removed with NO retention grace, so an
+    in-flight reader holding a lazy DataFrame bound to it will fail on
+    collect — single-writer, re-resolve-before-read discipline (a real
+    table format keeps a retention window for exactly this).
     """
     import os
     import shutil
@@ -430,10 +443,15 @@ def compact_cdc_snapshot(spark: SparkSession, root: str,
     if meta is None:
         raise FileNotFoundError(f"no CDC snapshot pointer under {root}")
     last_bid, vdir, ckpt_id = meta
+    if vdir.endswith("_compacted"):
+        return 0  # idempotent: already compacted, no new batches since
     snap = spark.read.parquet(vdir)
-    n_tomb = snap.filter(F.col(tombstone_col)).count()
-    cdir = os.path.join(root, f"v{last_bid}_compacted")
+    cdir = f"{vdir}_compacted"
+    # ONE full scan: write the filtered output first, then derive the
+    # tombstone count from the two row counts (parquet counts are
+    # footer-metadata jobs, not data reads).
     snap.filter(~F.col(tombstone_col)).write.mode("overwrite").parquet(cdir)
+    n_tomb = snap.count() - spark.read.parquet(cdir).count()
     _cdc_pointer_write(root, last_bid, cdir, ckpt_id)
     for name in os.listdir(root):
         p = os.path.join(root, name)
