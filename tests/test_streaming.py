@@ -134,6 +134,13 @@ def test_cdc_apply_replay_and_convergence(spark):
     snap2 = {r.k: (r.version, r.val)
              for r in streaming.read_cdc_snapshot(spark, root).collect()}
     assert snap2 == snap
+    # versions are (batch_id, lineage)-unique: the second feed must NOT
+    # have overwritten the first feed's immutable history — two distinct
+    # lineage suffixes coexist on disk
+    import os
+    suffixes = {d.split("_", 1)[1] for d in os.listdir(root)
+                if d.startswith("v") and "_" in d}
+    assert len(suffixes) == 2, sorted(os.listdir(root))
 
     # SAME-checkpoint restart: Spark's checkpoint has every batch
     # committed, so nothing is redelivered and the snapshot is untouched
