@@ -679,6 +679,17 @@ def _gif_codecs():
             prefix = (px,)
         if prefix:
             emit(table[prefix], width)
+            # The decoder adds a table entry for this FINAL code too (it
+            # cannot know no more data follows), catching its next-code
+            # counter up to ours — so if that counter now sits exactly at
+            # 2^width, the decoder bumps its width before reading EOI and
+            # we must emit EOI at the bumped width. In-loop emissions are
+            # immune (we assign + check after every one); only the flush,
+            # which assigns nothing, can desync. Found by the hypothesis
+            # container-roundtrip fuzz at 13x27 (the in-repo tests and
+            # 250 driver-gated GIFs all happened to miss the crossing).
+            if nxt < 4096 and nxt == (1 << width) and width < 12:
+                width += 1
         emit(eoi, width)
         if bitcnt:
             out.append(bitbuf & 0xFF)
