@@ -108,10 +108,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ts_field = df.schema["ts"]
         if isinstance(ts_field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Probe session liveness OUTSIDE the lock: _session_stopped is a py4j
+    # round trip, and a slow or hung JVM call while holding the lock
+    # would block every concurrent load_table in the process. Snapshot
+    # under the lock, probe unlocked, then re-check membership before
+    # deleting (an entry may have been legitimately replaced meanwhile).
     with _TABLE_MEMO_LOCK:
-        for k in [k for k, (s, _) in _TABLE_MEMO.items()
-                  if _session_stopped(s)]:
-            del _TABLE_MEMO[k]
+        snapshot = dict(_TABLE_MEMO)
+    dead = [k for k, (s, _) in snapshot.items() if _session_stopped(s)]
+    with _TABLE_MEMO_LOCK:
+        for k in dead:
+            cur = _TABLE_MEMO.get(k)
+            if cur is not None and cur[0] is snapshot[k][0]:
+                del _TABLE_MEMO[k]
         _TABLE_MEMO[key] = (spark, df)
     return df
 

@@ -435,7 +435,6 @@ def stream_cdc_apply(spark, sf_dir):
     them. The settled table must equal the batch MERGE bit-for-bit —
     the convergence property that makes CDC apply safe to run
     incrementally at all."""
-    import hashlib as _h
     import tempfile
 
     ev = io.load_table(spark, sf_dir, "events")
@@ -454,8 +453,11 @@ def stream_cdc_apply(spark, sf_dir):
         .select("event_id", F.col("r.version").alias("version"),
                 "user_id", "event_type", F.col("r.v").alias("value"),
                 F.col("r.del").alias("is_delete")))
-    scratch = (f"{tempfile.gettempdir()}/clif_stream_cdc_src_"
-               f"{_h.md5(sf_dir.encode()).hexdigest()[:8]}")
+    # Per-invocation scratch, like the table root below: a deterministic
+    # shared path let two concurrent runs against the same sf_dir
+    # overwrite each other's part-files mid-replay (missing-file or
+    # mixed-generation batches under maxFilesPerTrigger).
+    scratch = tempfile.mkdtemp(prefix="clif_stream_cdc_src_")
     recs.repartition(4).write.mode("overwrite").parquet(scratch)
     stream = (spark.readStream.schema(recs.schema)
                    .option("maxFilesPerTrigger", 1).parquet(scratch))
@@ -481,12 +483,12 @@ def stream_countmin_merge(spark, sf_dir):
     then replays them as four micro-batches whose partials MUST merge
     in state. The settled sketch must equal the batch-built one, so the
     shared probe report faces the SAME oracle as a21_countmin_heavy."""
-    import hashlib as _h
     import tempfile
 
     batch_ev = io.load_table(spark, sf_dir, "events")
-    scratch = (f"{tempfile.gettempdir()}/clif_stream_cms_"
-               f"{_h.md5(sf_dir.encode()).hexdigest()[:8]}")
+    # Per-invocation scratch (same concurrent-overwrite race as the CDC
+    # source fixed above — shared md5-of-sf_dir paths are an anti-class).
+    scratch = tempfile.mkdtemp(prefix="clif_stream_cms_")
     (batch_ev.repartition(4)
              .write.mode("overwrite").parquet(scratch))
     ev = (spark.readStream.schema(batch_ev.schema)

@@ -46,10 +46,27 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-#: |coordinate| bound for exact BIGINT distances: 64 terms of
-#: (2 * MAX_ABS * 1e6)^2 must stay under 2^63. 190 NARROWLY violates it
-#: (64·(380e6)² = 9.2416e18 > 2^63 = 9.2234e18); 189 gives 9.1446e18.
+#: |coordinate| bound for exact BIGINT distances at the DEFAULT geometry
+#: (m=4 × sub_dim=16 = 64 terms): 64 terms of (2 * MAX_ABS * 1e6)^2 must
+#: stay under 2^63. 190 NARROWLY violates it (64·(380e6)² = 9.2416e18 >
+#: 2^63 = 9.2234e18); 189 gives 9.1446e18. Non-default geometries derive
+#: their own bound via _pq_max_abs — a hardcoded 189 would silently
+#: reopen the overflow for caller-supplied codebooks with dim > 64.
 _PQ_MAX_ABS = 189
+
+
+def _pq_max_abs(dim: int) -> int:
+    """Largest |coordinate| whose full ``dim``-term BIGINT distance sum is
+    exact: dim squared diffs of (2·B·1e6) micros must stay under 2^63,
+    so B = floor(sqrt(2^63 / dim) / 2e6). dim=64 → 189 (the historical
+    _PQ_MAX_ABS); dim=256 → 94. Raises if the geometry is so wide no
+    integer bound survives (dim > ~2.3e6 — nothing real gets there)."""
+    b = math.isqrt((2 ** 63) // dim) // 2_000_000
+    if b < 1:
+        raise ValueError(
+            f"PQ geometry dim={dim} leaves no BIGINT-exact coordinate "
+            f"bound — reduce dimensionality or rescale to fewer micros")
+    return b
 
 
 def pq_codebook(m: int = 4, ks: int = 8, sub_dim: int = 16,
@@ -90,19 +107,20 @@ def pq_encode(df: DataFrame, codebook: list | None = None,
     deterministic code tiebreak, all BIGINT.
 
     Magnitude precondition (fail-loud, not silent): the BIGINT-exact
-    distance bound in the module docstring assumes |coordinate| ≤ 189
-    (64 squared diffs of 2·189e6 micros stay under 2^63; 190 narrowly
-    does NOT — see _PQ_MAX_ABS). Real embedding
-    models emit unit-ish coordinates, but an unnormalized outlier (|x| ~
-    1e3) would silently wrap the distance sum and corrupt codes/err — so
-    the quantize expression raises on any out-of-range coordinate instead
-    of encoding garbage. Scale or normalize inputs first if they exceed
-    the bound."""
+    distance bound is derived from THIS codebook's geometry (_pq_max_abs
+    over m·sub_dim terms — 189 at the default 64-dim layout; wider
+    caller-supplied codebooks get a proportionally tighter bound). Real
+    embedding models emit unit-ish coordinates, but an unnormalized
+    outlier (|x| ~ 1e3) would silently wrap the distance sum and corrupt
+    codes/err — so the quantize expression raises on any out-of-range
+    coordinate instead of encoding garbage. Scale or normalize inputs
+    first if they exceed the bound."""
     cb = codebook or pq_codebook()
     m, sub_dim = len(cb), len(cb[0][0])
+    bound = _pq_max_abs(m * sub_dim)
     qv = (f"transform(CAST({vec_col} AS ARRAY<DOUBLE>), x -> "
-          f"CAST(floor(IF(abs(x) > {_PQ_MAX_ABS}D, "
-          f"raise_error('pq_encode: |coordinate| > {_PQ_MAX_ABS} would "
+          f"CAST(floor(IF(abs(x) > {bound}D, "
+          f"raise_error('pq_encode: |coordinate| > {bound} would "
           f"overflow the BIGINT micros^2 distance — normalize or scale "
           f"embeddings first'), x) * 1000000.0D + 0.5D) AS BIGINT))")
     quant = df.select(F.col(id_col), *[F.col(c) for c in extra_cols],
@@ -173,11 +191,13 @@ def _query_dist_table(queries: DataFrame, cb: list,
     the query side is dimension-sized."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     m, ks, sub_dim = len(cb), len(cb[0]), len(cb[0][0])
-    # Same fail-loud magnitude guard as pq_encode: a query coordinate
-    # beyond the BIGINT-exact bound must raise, not wrap the ADC table.
+    # Same fail-loud magnitude guard as pq_encode, derived from THIS
+    # codebook's geometry: a query coordinate beyond the BIGINT-exact
+    # bound must raise, not wrap the ADC table.
+    bound = _pq_max_abs(m * sub_dim)
     qv = (f"transform(CAST({vec_col} AS ARRAY<DOUBLE>), x -> "
-          f"CAST(floor(IF(abs(x) > {_PQ_MAX_ABS}D, "
-          f"raise_error('pq query: |coordinate| > {_PQ_MAX_ABS} would "
+          f"CAST(floor(IF(abs(x) > {bound}D, "
+          f"raise_error('pq query: |coordinate| > {bound} would "
           f"overflow the BIGINT micros^2 distance — normalize or scale "
           f"embeddings first'), x) * 1000000.0D + 0.5D) AS BIGINT))")
     quant = queries.select(*[F.col(c) for c in keys],

@@ -439,12 +439,23 @@ def compact_cdc_snapshot(spark: SparkSession, root: str,
     import os
     import shutil
 
+    def _sweep(keep: str) -> None:
+        for name in os.listdir(root):
+            p = os.path.join(root, name)
+            if (name.startswith("v") and p != keep and os.path.isdir(p)):
+                shutil.rmtree(p)
+
     meta = _cdc_pointer_read(root)
     if meta is None:
         raise FileNotFoundError(f"no CDC snapshot pointer under {root}")
     last_bid, vdir, ckpt_id = meta
     if vdir.endswith("_compacted"):
-        return 0  # idempotent: already compacted, no new batches since
+        # Idempotent: already compacted, no new batches since. Still run
+        # the stale-dir sweep — a prior compaction that crashed after the
+        # pointer flip but before deletion would otherwise leak its old
+        # version dirs forever; re-invocation completes the cleanup.
+        _sweep(vdir)
+        return 0
     snap = spark.read.parquet(vdir)
     cdir = f"{vdir}_compacted"
     # ONE full scan: write the filtered output first, then derive the
@@ -453,8 +464,5 @@ def compact_cdc_snapshot(spark: SparkSession, root: str,
     snap.filter(~F.col(tombstone_col)).write.mode("overwrite").parquet(cdir)
     n_tomb = snap.count() - spark.read.parquet(cdir).count()
     _cdc_pointer_write(root, last_bid, cdir, ckpt_id)
-    for name in os.listdir(root):
-        p = os.path.join(root, name)
-        if (name.startswith("v") and p != cdir and os.path.isdir(p)):
-            shutil.rmtree(p)
+    _sweep(cdir)
     return n_tomb

@@ -272,3 +272,30 @@ def test_pq_train_rejects_indivisible_dim():
 
     with pytest.raises(ValueError, match="divide evenly"):
         PQ.pq_train(None, m=5, dim=64)
+
+
+def test_pq_bound_derives_from_codebook_geometry(spark):
+    """The BIGINT-overflow guard must track the ACTUAL geometry: a wider
+    codebook (dim > 64) gets a proportionally tighter coordinate bound,
+    so a coordinate that is safe at the default 64-dim layout raises at
+    256 dims instead of silently wrapping the distance sum (r6 advisory:
+    the hardcoded 64-term bound reopened the overflow for caller
+    codebooks with sub_dim > 64)."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from clif_spark.similarity import pq as PQ
+
+    assert PQ._pq_max_abs(64) == PQ._PQ_MAX_ABS == 189
+    assert PQ._pq_max_abs(256) == 94
+    # 256 total dims: m=4 blocks of sub_dim=64 — |x|=150 is fine at the
+    # default geometry but must raise here (150 > 94).
+    cb = PQ.pq_codebook(m=4, ks=2, sub_dim=64)
+    ok = spark.createDataFrame([(1, [90.0] * 256)], ["vec_id", "embedding"])
+    assert PQ.pq_encode(ok, cb).count() == 1
+    bad = spark.createDataFrame([(1, [150.0] * 256)], ["vec_id", "embedding"])
+    with pytest.raises(SparkRuntimeException, match="overflow"):
+        PQ.pq_encode(bad, cb).collect()
+    # geometry so wide no integer bound survives must refuse up front
+    with pytest.raises(ValueError, match="no BIGINT-exact"):
+        PQ._pq_max_abs(10_000_000)

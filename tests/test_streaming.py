@@ -217,3 +217,38 @@ def test_cdc_time_travel_and_compaction(spark):
     final = {r.k: (r.version, r.val) for r in
              streaming.read_cdc_snapshot(spark, root).collect()}
     assert final == {1: (2, "a2"), 3: (1, "c")}
+
+
+def test_cdc_compaction_rerun_completes_crashed_sweep(spark):
+    """A compaction that crashed after the pointer flip but before the
+    old-version deletion leaves stale v* dirs; the idempotence early
+    return must still sweep them (r6 advisory: skipping the sweep leaked
+    those dirs permanently) while leaving the live view untouched."""
+    import os
+    import tempfile
+
+    from clif_spark import streaming
+
+    recs = spark.createDataFrame(
+        [(1, 1, "a", False), (2, 1, "b", True)],
+        "k long, version long, val string, is_delete boolean")
+    src = tempfile.mkdtemp(prefix="cdc_sweep_src_")
+    recs.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(recs.schema)
+                   .option("maxFilesPerTrigger", 1).parquet(src))
+    root = tempfile.mkdtemp(prefix="cdc_sweep_tbl_")
+    streaming.apply_cdc_stream(stream, root, ["k"], ["version"])
+    assert streaming.compact_cdc_snapshot(spark, root) == 1
+
+    # simulate the crash: resurrect a pre-compaction version dir that the
+    # (hypothetically interrupted) sweep failed to delete
+    stale = os.path.join(root, "v000000")
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "part-crashed.parquet"), "wb") as f:
+        f.write(b"not really parquet")
+
+    assert streaming.compact_cdc_snapshot(spark, root) == 0  # idempotent
+    assert not os.path.exists(stale)  # re-run completed the cleanup
+    live = {r.k: (r.version, r.val) for r in
+            streaming.read_cdc_snapshot(spark, root).collect()}
+    assert live == {1: (1, "a")}
