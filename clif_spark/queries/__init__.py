@@ -222,69 +222,56 @@ def us(col: Column | str) -> Column:
 # Cheap batch checks lead; multi-second stream-startup queries trail their
 # block so they never starve cheap checks.
 _VERIFY_FIRST = [
-    # --- never driver-gated: registered in round 6 (new operators get a
-    # driver row before any refresh does) ---
-    "u7_merge_with_deletes", "ann_arrow_fold_equality",
-    "mm_gif_pixel_stats", "w16_ewma_agreement",
-    "ann_ivf_trained_recall_bound", "text_bpe_roundtrip",
-    "stream_cdc_apply", "pipeline_llm_curation",
-    # --- r5 RED re-gates: the four HUGEINT-oracle artifacts, values
-    # verified bit-identical by the r5 judge, oracles now BIGINT-cast
-    # and class-gated (tests/test_oracle.py no-HUGEINT DESCRIBE gate) ---
-    "a17_iqr_outliers", "a18_key_skew_profile", "w13_cumulative_distinct",
-    "dedup_repeated_ngrams",
-    # --- round-1 rows never refreshed (the six batch stragglers) ---
-    "p7_p8_in_comparison", "p9_like_rlike", "p10_time_range",
-    "j2_composite_key_join", "j4_semi_anti_join", "f6_coalesce_fallback",
-    # --- r2-row refreshes called out by the r5 verdict ---
-    "q5_local_supplier_volume", "ann_cosine_topk", "mm_frame_offsets",
-    "j8_interval_join", "pii_redact", "q1_pricing_summary",
-    "q6_forecast_revenue",
-    # --- r2 rows whose code changed in r4/r5 (shape or machinery) ---
-    "q3_shipping_priority", "ann_lsh_buckets", "ann_ivf_topk",
-    "ann_recall_at_k", "text_quality_metrics",
-    # --- r2-row batch refresh (unique machinery first) ---
-    "dedup_clusters", "dedup_embedding_cosine",
-    "dedup_ngram_jaccard", "dedup_simhash_pairs",
-    "contamination_check", "emb_quantize_int8",
-    "j7_asof_join", "seq_pack_bins", "text_fingerprint", "text_lang_id",
-    "text_rolling_fingerprint", "tfidf_top_terms", "w1_lead_episodes",
-    "w2_downup_fill", "w3_keep_last_dedup",
+    # --- never driver-gated: registered in round 7 (new operators get a
+    # driver row before any refresh does) — prepended as they land ---
+    # --- r2-row refreshes ceded from the r6 rotation (code unchanged,
+    # machinery re-exercised by fresher green rows, now due): projection
+    # trio, rollup/profile trio, window quartet + session pair, struct
+    # parse, split assignment, composite curation, exact dedup, simhash64 ---
+    "p1_p3_project_rename", "p2_p4_drop_positional", "p5_p6_null_handling",
+    "a9_grouping_sets", "a10_moment_corr", "a11_exact_percentiles",
+    "w4_rank_lag", "w5_moving_avg", "w8_tumbling_window",
+    "w9_ntile_percent_rank", "w6_sessionize_gap", "w7_session_window_native",
+    "f14_from_json_typed", "sample_split_assign", "corpus_curation",
+    "dedup_exact", "dedup_simhash64",
+    # --- r4-row backlog, oldest-unique-machinery first: TPC-H set, join
+    # variants, reshape quartet, approx-sketch trio, then the profile /
+    # scalar rows whose machinery also runs inside fresher green rows ---
+    "q7_nation_volume", "q8_market_share", "q10_returned_items",
+    "q13_order_count_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_qty_revenue", "q18_large_volume_customer",
+    "q19_disjunctive_filter", "q22_global_sales_opportunity",
+    "j1_vocab_broadcast_star", "j3_full_outer_join", "j6_fuzzy_vocab_match",
+    "j9_salted_skew_join", "j10_levenshtein_vocab_match",
+    "r1_unpivot_measures", "r2_pivot_wide", "r3_split_column",
+    "r4_explode_top_tokens",
+    "a12_approx_distinct_bound", "a13_sketch_merge_distinct",
+    "a14_approx_percentile_bound", "a15_ordered_string_agg",
+    "u1_union_missing_cols", "u2_u3_distinct_dedup", "u4_intersect_except",
+    "w10_funnel_conversion", "w11_range_time_frame",
+    "o1_o2_topk", "p11_castability_extract",
     # --- streams at the tail of the 50 (multi-second startup each):
-    # the two r1-row streams, two r2-row streams, and the new r6
-    # session-episode stream ---
-    "stream_tumbling_agg", "stream_sliding_agg", "stream_click_to_buy",
-    "stream_dedup_counts", "stream_session_episodes",
-]
-# Exactly 50 head entries: 8 never-gated r6 registrations (incl. the
-# three contract rows that give the formerly rows-only paths — arrow
-# ANN, trained IVF, BPE, EWMA — real driver-gated hashes, and the
-# streaming CDC apply) + the new r6 stream + 4 r5-red re-gates + the 6
-# r1-row batch stragglers + 2 r1-row streams + 29 r2-row refreshes
-# (incl. 2 streams). Ceded to
-# round 7 (all code-unchanged, green r2 rows, machinery re-exercised by
-# fresher green rows): p1_p3 / p2_p4 / p5_p6 (projection machinery
-# inside every gated query), a9/a10/a11 (rollup + profile machinery in
-# r4-green a5/a7/a8), w4/w5/w8/w9 (window machinery in r4/r5-green
-# w10-w15), f14_from_json_typed (struct parse inside r4-green f1_f2),
-# sample_split_assign (hash-membership machinery in three r5-green
-# sample_* rows), and the two heavy r2-row streams
-# stream_session_windows / stream_stateful_user_stats (session + state
-# machinery re-exercised through r5-green stream_vitals_hourly and the
-# r6 stream_session_episodes row); w6_sessionize_gap /
-# w7_session_window_native (same session machinery, same fresher
-# coverage) and dedup_simhash64 (its 64-bit signature machinery runs
-# inside the gated dedup_simhash_pairs row); corpus_curation (a
-# composite whose pieces — PII redaction, packing, int8 quantize,
-# split assignment — each hold their own gated rows); dedup_exact
-# (its hash-agg fingerprint machinery runs inside the gated
-# pipeline_llm_curation row). Those nineteen lead round 7.
-
-# Ceded r2-row streams and any future multi-second stragglers: pinned to
-# the registry tail so they never starve cheap checks; they hold their
-# existing green rows and lead the next rotation.
-_VERIFY_LAST = [
+    # the two r2-row session/state streams ceded from r6, then the two
+    # r4-row streams ---
     "stream_session_windows", "stream_stateful_user_stats",
+    "stream_dedup_bounded_state", "stream_static_enrich",
+]
+# 50 head entries, zero remaining r1/r2 rows after this round: all 19
+# r2-latest rows (17 batch + 2 streams) plus 31 of the 50 r4-latest rows.
+# Ceded to round 8 (r4-green rows whose machinery is also re-exercised
+# inside r5/r6-green rows): a1-a8 (group/profile machinery inside the
+# r6-green a16-a21 and pipeline rows), f1_f2/f3_f4_f5/f7_f10/f8/f11/f12
+# (scalar machinery inside the ten r5-green pipelines),
+# emb_label_centroids (centroid machinery inside r6-green
+# ann_ivf_trained_recall_bound), gopher_repetition_filter +
+# sample_stratified_rebalance (r5-green curation siblings), and
+# mm_resize_meta (decode plumbing re-exercised by the r6-green
+# mm_gif_pixel_stats row). Those nineteen lead round 8 behind any new
+# registrations; new r7 queries hold driver rows from this round.
+
+_VERIFY_LAST = [
+    # (empty this round: the two heavy r2-row streams are due for their
+    # refresh, so they sit at the tail of the head-50 instead)
 ]
 
 
