@@ -1,0 +1,674 @@
+"""Baseline JPEG (ITU T.81 sequential DCT, 8-bit) — pure-stdlib codec.
+
+This closes the repo's last honest media-codec boundary: PNG pixels (zlib
+inflate + unfilters), GIF pixels (hand LZW), and WAV PCM were already real;
+JPEG was metadata-only because entropy decode needs Huffman + IDCT + chroma
+handling. All of that is plain table logic and arithmetic — no codec
+library required — so here it is: a spec-shaped encoder/decoder pair over
+``bytes``, used by the multimodal layer's Arrow-batched ``mapInPandas``
+feature extractors (clif_spark.multimodal.media_sample_features).
+
+Supported surface (decode): baseline SOF0, 8-bit precision, 1 or 3
+components, sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0), interleaved
+scan, restart intervals (DRI + RSTn), byte stuffing, APPn/COM skip,
+Huffman tables parsed from DHT (canonical construction — any spec-valid
+table decodes, not just ours). Progressive (SOF2), arithmetic coding and
+12-bit precision raise loudly instead of decoding garbage.
+
+Encode writes what decode reads: grayscale or YCbCr 4:4:4 / 4:2:0, with
+caller-chosen quant tables. The Huffman tables it EMITS are deliberately
+non-standard-but-valid canonical codes (all 12 DC categories at 4 bits,
+all 162 AC run/size symbols at 8 bits — Kraft-satisfying, written to DHT):
+the decoder must honor DHT rather than bake in Annex K, which keeps the
+pair an honest two-sided test of the table machinery.
+
+Exactness contract the oracle-gated query leans on: an image that is
+CONSTANT within each 8x8 block, encoded with an all-ones quant table,
+roundtrips BIT-EXACTLY — such a block quantizes to a lone DC coefficient
+8*(v-128) (all AC are exactly zero under the FDCT), and the IDCT of a
+DC-only block is the constant DC/8 whose float error (~1e-13) vanishes
+under the final round-to-int. That makes decoded pixel statistics
+closed-form SQL-predictable while still forcing the full real pipeline:
+marker walk, DQT/DHT parse, Huffman DC decode with cross-block
+prediction, AC EOB decode, dequantize, IDCT, clamp, crop.
+
+Reference parity note: the reference (kaveriC/CLIF) carries no media
+handling at all; this module exists for the LLM-pipeline multimodal
+requirement (binary payload columns + real decode feature extraction).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+import sys
+
+# ---------------------------------------------------------------------------
+# Shared tables
+# ---------------------------------------------------------------------------
+
+#: JPEG zigzag order: ZIGZAG[k] = raster index of the k-th zigzag element.
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: 1D DCT basis: _COS[u][x] = C(u) * cos((2x+1) u pi / 16) / 2, so a 1D
+#: 8-point IDCT is out[x] = sum_u coef[u] * _COS[u][x] and the forward
+#: transform is F[u] = sum_x s[x] * _COS[u][x] (the matrix is orthogonal).
+_COS = [
+    [
+        (math.sqrt(0.5) if u == 0 else 1.0)
+        * math.cos((2 * x + 1) * u * math.pi / 16.0) / 2.0
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+
+def _fdct2d(block: list[float]) -> list[float]:
+    """8x8 forward DCT-II (separable, float) of a level-shifted block."""
+    tmp = [0.0] * 64
+    for y in range(8):
+        row = block[y * 8:y * 8 + 8]
+        for u in range(8):
+            cu = _COS[u]
+            tmp[y * 8 + u] = (row[0] * cu[0] + row[1] * cu[1]
+                              + row[2] * cu[2] + row[3] * cu[3]
+                              + row[4] * cu[4] + row[5] * cu[5]
+                              + row[6] * cu[6] + row[7] * cu[7])
+    out = [0.0] * 64
+    for u in range(8):
+        for v in range(8):
+            cv = _COS[v]
+            out[v * 8 + u] = (tmp[u] * cv[0] + tmp[8 + u] * cv[1]
+                              + tmp[16 + u] * cv[2] + tmp[24 + u] * cv[3]
+                              + tmp[32 + u] * cv[4] + tmp[40 + u] * cv[5]
+                              + tmp[48 + u] * cv[6] + tmp[56 + u] * cv[7])
+    return out
+
+
+def _idct2d(coef: list[int | float]) -> list[int]:
+    """8x8 inverse DCT (DCT-III) -> clamped 0..255 samples.
+
+    DC-only fast path: mathematically the IDCT of a lone DC coefficient
+    is the constant DC/8; computing it directly (instead of 1024 basis
+    mults) keeps the oracle-gated block-constant fixtures cheap AND makes
+    their exactness trivially auditable. The general path's float error
+    (~1e-13) rounds to the same integer, pinned by tests.
+    """
+    if not any(coef[1:]):
+        v = int(round(coef[0] / 8.0)) + 128
+        v = 0 if v < 0 else (255 if v > 255 else v)
+        return [v] * 64
+    tmp = [0.0] * 64
+    for v in range(8):
+        row = coef[v * 8:v * 8 + 8]
+        for x in range(8):
+            acc = 0.0
+            for u in range(8):
+                c = row[u]
+                if c:
+                    acc += c * _COS[u][x]
+            tmp[v * 8 + x] = acc
+    out = [0] * 64
+    for x in range(8):
+        col = [tmp[v * 8 + x] for v in range(8)]
+        for y in range(8):
+            acc = 0.0
+            for v in range(8):
+                c = col[v]
+                if c:
+                    acc += c * _COS[v][y]
+            s = int(round(acc)) + 128
+            out[y * 8 + x] = 0 if s < 0 else (255 if s > 255 else s)
+    return out
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict:
+    """DHT (BITS, HUFFVAL) -> {(length, code): symbol}, per T.81 C.2."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+# Emitted tables: every DC category (0..11) at 4 bits (Kraft 12/16), every
+# AC run/size symbol at 8 bits (Kraft 162/256). Valid canonical codes that
+# are deliberately NOT Annex K — see module docstring.
+_ENC_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_ENC_DC_VALS = list(range(12))
+_ENC_AC_BITS = [0] * 7 + [162] + [0] * 8
+_ENC_AC_VALS = (
+    [0x00, 0xF0]
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+)
+
+
+def _enc_code_map(bits: list[int], vals: list[int]) -> dict:
+    return {sym: (length, code)
+            for (length, code), sym in _canonical_codes(bits, vals).items()}
+
+
+_ENC_DC_MAP = _enc_code_map(_ENC_DC_BITS, _ENC_DC_VALS)
+_ENC_AC_MAP = _enc_code_map(_ENC_AC_BITS, _ENC_AC_VALS)
+
+
+# ---------------------------------------------------------------------------
+# Bit I/O
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG byte stuffing (FF -> FF 00)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, value: int, width: int) -> None:
+        self._acc = (self._acc << width) | (value & ((1 << width) - 1))
+        self._n += width
+        while self._n >= 8:
+            b = (self._acc >> (self._n - 8)) & 0xFF
+            self._n -= 8
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+
+    def align_ones(self) -> None:
+        if self._n:
+            self.put((1 << (8 - self._n)) - 1, 8 - self._n)
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data: unstuffs FF 00 and
+    stops (returning the marker) at any other FF xx marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> bool:
+        d = self.data
+        if self.pos >= len(d):
+            return False
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                self.marker = nxt
+                return False  # real marker: stop feeding bits
+        else:
+            self.pos += 1
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+        return True
+
+    def bit(self) -> int | None:
+        if self._n == 0 and not self._fill():
+            return None
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, width: int) -> int | None:
+        v = 0
+        for _ in range(width):
+            b = self.bit()
+            if b is None:
+                return None
+            v = (v << 1) | b
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker."""
+        self._acc = 0
+        self._n = 0
+        d = self.data
+        p = self.pos
+        while p + 1 < len(d) and not (d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7):
+            p += 1
+        self.pos = p + 2
+        self.marker = None
+
+
+def _huff_decode(br: _BitReader, table: dict) -> int | None:
+    length, code = 0, 0
+    while length < 16:
+        b = br.bit()
+        if b is None:
+            return None
+        code = (code << 1) | b
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid Huffman code (corrupt entropy data)")
+
+
+def _extend(value: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map ``size`` received bits to a signed coeff."""
+    if size == 0:
+        return 0
+    return value if value >= (1 << (size - 1)) else value - (1 << size) + 1
+
+
+def _category(value: int) -> int:
+    return value.bit_length() if value >= 0 else (-value).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def _quant_tables(quality: int | None) -> tuple[list[int], list[int]]:
+    """(luma, chroma) quant tables in raster order. ``quality=None`` means
+    ALL-ONES (mathematically lossless for block-constant content — the
+    exactness contract); otherwise a flat table of the given step."""
+    step = 1 if quality is None else max(1, min(255, quality))
+    t = [step] * 64
+    return t, list(t)
+
+
+def _encode_block(samples: list[int], qt: list[int], pred: int,
+                  bw: _BitWriter) -> int:
+    """FDCT + quantize + Huffman-encode one block; returns the new DC
+    predictor. ``samples`` is a raster 8x8 list of 0..255 ints."""
+    shifted = [float(s - 128) for s in samples]
+    coef = _fdct2d(shifted)
+    q = [int(round(coef[i] / qt[i])) for i in range(64)]
+    zz = [q[ZIGZAG[k]] for k in range(64)]
+    diff = zz[0] - pred
+    size = _category(diff)
+    length, code = _ENC_DC_MAP[size]
+    bw.put(code, length)
+    if size:
+        bw.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            lz, cz = _ENC_AC_MAP[0xF0]
+            bw.put(cz, lz)
+            run -= 16
+        s = _category(zz[k])
+        if s > 10:
+            raise ValueError("jpeg encode: AC coefficient category > 10 "
+                             "(raise the quant step)")
+        la, ca = _ENC_AC_MAP[(run << 4) | s]
+        bw.put(ca, la)
+        bw.put(zz[k] if zz[k] > 0 else zz[k] + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        le, ce = _ENC_AC_MAP[0x00]
+        bw.put(ce, le)
+    return zz[0]
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _dht_seg(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
+    return _seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+
+
+def _plane_block(plane: list[int], pw: int, ph: int, bx: int,
+                 by: int) -> list[int]:
+    """Extract the 8x8 block at block coords (bx, by) from a w*h raster
+    plane, edge-replicating past the right/bottom borders (T.81 A.2.4
+    recommends replication so partial blocks stay smooth — and for
+    block-constant content it keeps them constant, hence exact)."""
+    out = []
+    for y in range(8):
+        sy = min(by * 8 + y, ph - 1)
+        row = plane[sy * pw:sy * pw + pw]
+        for x in range(8):
+            out.append(row[min(bx * 8 + x, pw - 1)])
+    return out
+
+
+def jpeg_encode_gray(width: int, height: int, pixel, *,
+                     quality: int | None = None,
+                     restart_interval: int = 0) -> bytes:
+    """Encode a grayscale baseline JPEG. ``pixel(x, y) -> 0..255``.
+
+    ``quality=None`` writes all-ones quant tables (block-constant content
+    then roundtrips exactly); an int is a flat quant step. A nonzero
+    ``restart_interval`` (in MCUs) emits DRI + RSTn markers so the decoder's
+    restart path is honestly testable."""
+    plane = [pixel(x, y) & 0xFF for y in range(height) for x in range(width)]
+    return _encode_planes(width, height, [(plane, width, height, 1, 1)],
+                          quality=quality, restart_interval=restart_interval)
+
+
+def jpeg_encode_rgb(width: int, height: int, pixel, *,
+                    quality: int | None = None, subsample: bool = False,
+                    restart_interval: int = 0) -> bytes:
+    """Encode a color baseline JPEG (YCbCr; 4:4:4, or 4:2:0 when
+    ``subsample``). ``pixel(x, y) -> (r, g, b)``."""
+    ys, cbs, crs = [], [], []
+    for yy in range(height):
+        for xx in range(width):
+            r, g, b = pixel(xx, yy)
+            ys.append(max(0, min(255, int(round(
+                0.299 * r + 0.587 * g + 0.114 * b)))))
+            cbs.append(max(0, min(255, int(round(
+                128 - 0.168736 * r - 0.331264 * g + 0.5 * b)))))
+            crs.append(max(0, min(255, int(round(
+                128 + 0.5 * r - 0.418688 * g - 0.081312 * b)))))
+    if subsample:
+        cw, ch = (width + 1) // 2, (height + 1) // 2
+        def shrink(p):
+            out = []
+            for y in range(ch):
+                for x in range(cw):
+                    acc = n = 0
+                    for dy in range(2):
+                        for dx in range(2):
+                            sy, sx = 2 * y + dy, 2 * x + dx
+                            if sy < height and sx < width:
+                                acc += p[sy * width + sx]
+                                n += 1
+                    out.append((acc + n // 2) // n)
+            return out
+        planes = [(ys, width, height, 2, 2),
+                  (shrink(cbs), cw, ch, 1, 1), (shrink(crs), cw, ch, 1, 1)]
+    else:
+        planes = [(ys, width, height, 1, 1), (cbs, width, height, 1, 1),
+                  (crs, width, height, 1, 1)]
+    return _encode_planes(width, height, planes, quality=quality,
+                          restart_interval=restart_interval)
+
+
+def _encode_planes(width: int, height: int, planes: list,
+                   *, quality: int | None,
+                   restart_interval: int) -> bytes:
+    """Shared marker/scan writer. ``planes`` is a list of
+    (raster, pw, ph, h_factor, v_factor); one entry = grayscale,
+    three = YCbCr."""
+    lq, cq = _quant_tables(quality)
+    ncomp = len(planes)
+    hmax = max(p[3] for p in planes)
+    vmax = max(p[4] for p in planes)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xDB, b"\x00" + bytes(lq[ZIGZAG[k]] for k in range(64)))
+    if ncomp == 3:
+        out += _seg(0xDB, b"\x01" + bytes(cq[ZIGZAG[k]] for k in range(64)))
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for ci, (_, _, _, hf, vf) in enumerate(planes):
+        sof += bytes([ci + 1, (hf << 4) | vf, 0 if ci == 0 else 1])
+    out += _seg(0xC0, sof)
+    out += _dht_seg(0x00, _ENC_DC_BITS, _ENC_DC_VALS)
+    out += _dht_seg(0x10, _ENC_AC_BITS, _ENC_AC_VALS)
+    if ncomp == 3:
+        out += _dht_seg(0x01, _ENC_DC_BITS, _ENC_DC_VALS)
+        out += _dht_seg(0x11, _ENC_AC_BITS, _ENC_AC_VALS)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += _seg(0xDA, sos)
+
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                bw.align_ones()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * ncomp
+            for ci, (plane, pw, ph, hf, vf) in enumerate(planes):
+                qt = lq if ci == 0 else cq
+                for by in range(vf):
+                    for bx in range(hf):
+                        blk = _plane_block(plane, pw, ph,
+                                           mx * hf + bx, my * vf + by)
+                        preds[ci] = _encode_block(blk, qt, preds[ci], bw)
+            mcu_count += 1
+    bw.align_ones()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def jpeg_decode(data: bytes):
+    """Decode a baseline JPEG. Returns (width, height, planes) where
+    ``planes`` is a list of per-component w*h rasters of 0..255 ints —
+    one plane for grayscale, (Y, Cb, Cr) upsampled to full resolution for
+    color. Returns None when the payload is not a JPEG at all; raises
+    ValueError on JPEG features outside the baseline surface (progressive,
+    12-bit, arithmetic coding) rather than decoding garbage."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        return None
+    pos = 2
+    qts: dict[int, list[int]] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    comps = None  # [(id, hf, vf, tq)]
+    width = height = 0
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: expected marker")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = data[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("jpeg: 16-bit quant tables unsupported")
+                zz = list(body[i + 1:i + 65])
+                t = [0] * 64
+                for k in range(64):
+                    t[ZIGZAG[k]] = zz[k]
+                qts[tq] = t
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17:i + 17 + n])
+                (ac_tabs if tc else dc_tabs)[th] = _canonical_codes(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (both baseline-ish)
+            prec, height, width, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("jpeg: only 8-bit precision supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
+                hf, vf = hv >> 4, hv & 0x0F
+                if not (1 <= hf <= 2 and 1 <= vf <= 2):
+                    raise ValueError("jpeg: sampling factors beyond 2 "
+                                     "unsupported")
+                comps.append((cid, hf, vf, tq))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: non-baseline SOF (progressive/"
+                             "arithmetic/lossless) unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            if comps is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs, tt = body[1 + 2 * si], body[2 + 2 * si]
+                (cid, hf, vf, tq) = next(c for c in comps if c[0] == cs)
+                scan.append((cid, hf, vf, qts[tq],
+                             dc_tabs[tt >> 4], ac_tabs[tt & 0x0F]))
+            return _decode_scan(data, pos, width, height, scan,
+                                restart_interval)
+        # APPn / COM / anything else: skipped
+    raise ValueError("jpeg: no SOS marker found")
+
+
+def _decode_scan(data: bytes, pos: int, width: int, height: int,
+                 scan: list, restart_interval: int):
+    hmax = max(s[1] for s in scan)
+    vmax = max(s[2] for s in scan)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    # per-component padded plane dims (in blocks)
+    planes = []
+    for (_, hf, vf, _, _, _) in scan:
+        planes.append([0] * (mcux * hf * 8 * mcuy * vf * 8))
+    br = _BitReader(data, pos)
+    preds = [0] * len(scan)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                br.restart()
+                preds = [0] * len(scan)
+            for ci, (_, hf, vf, qt, dct, act) in enumerate(scan):
+                for by in range(vf):
+                    for bx in range(hf):
+                        coef = [0] * 64
+                        size = _huff_decode(br, dct)
+                        if size is None:
+                            raise ValueError("jpeg: truncated entropy data")
+                        bits = br.bits(size) if size else 0
+                        if bits is None:
+                            raise ValueError("jpeg: truncated entropy data")
+                        preds[ci] += _extend(bits, size)
+                        coef[0] = preds[ci] * qt[0]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(br, act)
+                            if rs is None:
+                                raise ValueError("jpeg: truncated entropy "
+                                                 "data")
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            s = rs & 0x0F
+                            if k > 63:
+                                raise ValueError("jpeg: AC index overflow")
+                            bits = br.bits(s)
+                            if bits is None:
+                                raise ValueError("jpeg: truncated entropy "
+                                                 "data")
+                            coef[ZIGZAG[k]] = _extend(bits, s) * qt[ZIGZAG[k]]
+                            k += 1
+                        samples = _idct2d(coef)
+                        pw = mcux * hf * 8
+                        ox = (mx * hf + bx) * 8
+                        oy = (my * vf + by) * 8
+                        plane = planes[ci]
+                        for yy in range(8):
+                            row = oy + yy
+                            plane[row * pw + ox:row * pw + ox + 8] = \
+                                samples[yy * 8:yy * 8 + 8]
+            mcu_count += 1
+    # crop + upsample each component to full (width, height)
+    out = []
+    for ci, (_, hf, vf, _, _, _) in enumerate(scan):
+        pw = mcux * hf * 8
+        sx, sy = hmax // hf, vmax // vf  # 1 or 2 (nearest replication)
+        plane = planes[ci]
+        full = [0] * (width * height)
+        for y in range(height):
+            src_row = (y // sy) * pw
+            frow = y * width
+            for x in range(width):
+                full[frow + x] = plane[src_row + x // sx]
+        out.append(full)
+    return (width, height, out)
+
+
+def jpeg_gray_values(data: bytes) -> list[int] | None:
+    """Luma/grayscale channel values of a baseline JPEG payload, or None
+    when the payload is not a JPEG (the codec-chain contract shared with
+    png_pixel_values / gif_pixel_values / wav_pcm_values)."""
+    try:
+        decoded = jpeg_decode(data)
+    except (ValueError, IndexError, struct.error):
+        # real JPEG magic but outside the baseline surface, or truncated
+        return None
+    if decoded is None:
+        return None
+    _, _, planes = decoded
+    return planes[0]
+
+
+def jpeg_rgb_values(data: bytes) -> list[int] | None:
+    """Interleaved (r, g, b, r, g, b, ...) values for a 3-component JPEG,
+    grayscale replicated to three channels for 1-component payloads."""
+    try:
+        decoded = jpeg_decode(data)
+    except (ValueError, IndexError, struct.error):
+        return None
+    if decoded is None:
+        return None
+    _, _, planes = decoded
+    if len(planes) == 1:
+        return [v for v in planes[0] for _ in range(3)]
+    yp, cb, cr = planes
+    out = []
+    for i in range(len(yp)):
+        y, b, r = yp[i], cb[i] - 128, cr[i] - 128
+        out.append(max(0, min(255, int(round(y + 1.402 * r)))))
+        out.append(max(0, min(255, int(round(y - 0.344136 * b
+                                             - 0.714136 * r)))))
+        out.append(max(0, min(255, int(round(y + 1.772 * b)))))
+    return out
+
+
+# Executor-side import contract: every other codec in this package is a
+# factory of NESTED functions precisely so mapInPandas closures cloudpickle
+# them by value (workers have no clif_spark on sys.path — the driver loads
+# __spark_entry__ by file path from a foreign cwd). This module's
+# encoder/decoder pair is too interconnected (shared tables, bit I/O
+# classes, mutual calls) for the nested-factory shape to stay readable, so
+# it uses cloudpickle's sanctioned alternative: registering the whole
+# module for BY-VALUE serialization. Any closure that captures a function
+# from here then ships the code itself, not an import reference.
+try:  # pragma: no cover - absent only outside a pyspark environment
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # noqa: BLE001 - plain-python use needs no registration
+    pass

@@ -224,6 +224,7 @@ def us(col: Column | str) -> Column:
 _VERIFY_FIRST = [
     # --- never driver-gated: registered in round 7 (new operators get a
     # driver row before any refresh does) — prepended as they land ---
+    "mm_jpeg_pixel_stats", "mm_video_frame_stats",
     # --- r2-row refreshes ceded from the r6 rotation (code unchanged,
     # machinery re-exercised by fresher green rows, now due): projection
     # trio, rollup/profile trio, window quartet + session pair, struct

@@ -1495,14 +1495,119 @@ def mm_gif_pixel_stats(spark, sf_dir):
     width — multimodal._gif_codecs), and media_sample_features decodes
     the actual palette-mapped channel values back through container walk
     + LZW + palette, reducing to the (n, mean, rms, peak) stats. Odd
-    documents stay text → 'other' with NULL stats. This closes the r5
-    'JPEG/GIF pixels are stubs' gap on the GIF side; JPEG remains
-    metadata-only (entropy decode is out of stdlib scope, documented at
-    the codec boundary). Scale shape: one streaming Arrow batch per
+    documents stay text → 'other' with NULL stats. This closed the r5
+    'JPEG/GIF pixels are stubs' gap on the GIF side; mm_jpeg_pixel_stats
+    (r7) closes the JPEG side. Scale shape: one streaming Arrow batch per
     task, integer-exact stat folds, nothing driver-side."""
     d = io.load_table(spark, sf_dir, "documents")
     payload = multimodal.synth_gif_payload(d)
     return multimodal.media_sample_features(payload)
+
+
+@query(
+    "mm_jpeg_pixel_stats",
+    oracle="""
+    -- Baseline JPEG pixel decode THROUGH the codec: even docs are real
+    -- Huffman-coded DCT JPEGs, constant within each 8x8 block with
+    -- value(x,y) = (3*doc_id + 7*(x//8) + 11*(y//8)) % 256, all-ones
+    -- quant tables (DC-only blocks => bit-exact decode); the decoder
+    -- must walk the markers, parse DQT/DHT, Huffman-decode with DC
+    -- prediction and restart intervals, dequantize, IDCT, clamp and
+    -- crop to reproduce these closed-form luma statistics.
+    WITH jpg AS (
+      SELECT doc_id, 9 + doc_id % 38 AS w, 7 + doc_id % 26 AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    px AS (
+      SELECT j.doc_id,
+             (3 * j.doc_id + 7 * (tx.x // 8) + 11 * (ty.y // 8)) % 256 AS v
+      FROM jpg j, generate_series(0, 46) AS tx(x),
+           generate_series(0, 32) AS ty(y)
+      WHERE tx.x < j.w AND ty.y < j.h
+    )
+    SELECT doc_id, 'jpeg_pixels' AS kind,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_value,
+           SQRT(CAST(SUM(CAST(v AS BIGINT) * v) AS DOUBLE) / COUNT(*))
+             AS rms,
+           CAST(MAX(v) AS BIGINT) AS peak
+    FROM px GROUP BY doc_id
+    UNION ALL
+    SELECT doc_id, 'other', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def mm_jpeg_pixel_stats(spark, sf_dir):
+    """JPEG completes the sample-level codec set (PNG, WAV, GIF, now
+    baseline JPEG): even documents become real baseline JPEGs — marker
+    stream, canonical Huffman tables read from DHT (deliberately
+    non-Annex-K codes, so the table machinery is honestly two-sided),
+    DC-predicted entropy coding, rotating DRI/RSTn restart intervals,
+    partial-block padding on every frame — and media_sample_features
+    decodes the actual luma values back through Huffman + dequantize +
+    IDCT + crop (multimodal/jpeg.py). The fixtures are block-constant
+    under all-ones quant tables, the one regime where the lossy codec is
+    bit-exact (jpeg.py docstring derivation), which is what makes a SQL
+    oracle possible at all; the AC/color/subsampling paths are pinned by
+    roundtrip + numpy-IDCT cross-checks in tests/test_multimodal.py.
+    Odd documents stay text -> 'other' with NULL stats. Scale shape: one
+    streaming Arrow batch per task, integer-exact stat folds, nothing
+    driver-side."""
+    d = io.load_table(spark, sf_dir, "documents")
+    payload = multimodal.synth_jpeg_payload(d)
+    return multimodal.media_sample_features(payload)
+
+
+@query(
+    "mm_video_frame_stats",
+    oracle="""
+    -- REAL MP4 demux: doc_id % 3 == 0 docs are ISO BMFF containers whose
+    -- mdat holds n = 3 + id%6 deterministic frames (frame k: 16 or
+    -- 16 + (id+k)%32 bytes, byte i = (7id + 13k + i) % 256); the
+    -- extractor must parse stsz/stsc/stco/stts, expand the run-length
+    -- chunk map, slice mdat, and stride-sample every SECOND frame to
+    -- reproduce these closed-form per-frame stats.
+    WITH vids AS (
+      SELECT doc_id AS d, 3 + doc_id % 6 AS n,
+             (doc_id % 15 = 0) AS uni
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    frames AS (
+      SELECT d, k.k AS frame_idx,
+             CASE WHEN uni THEN 16 ELSE 16 + (d + k.k) % 32 END AS sz
+      FROM vids, generate_series(0, 8) AS k(k)
+      WHERE k.k < n AND k.k % 2 = 0
+    ),
+    fbytes AS (
+      SELECT d, frame_idx, sz,
+             (7 * d + 13 * frame_idx + i.i) % 256 AS v
+      FROM frames, generate_series(0, 46) AS i(i) WHERE i.i < sz
+    )
+    SELECT d AS doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST((40 * frame_idx) // (1 + d % 3) AS BIGINT) AS pts_ms,
+           CAST(sz AS BIGINT) AS n_bytes,
+           CAST(SUM(v) AS BIGINT) AS byte_sum
+    FROM fbytes GROUP BY d, frame_idx, sz
+    """,
+)
+def mm_video_frame_stats(spark, sf_dir):
+    """Video joins the real-decode set at the DEMUX grain: synthetic but
+    spec-shaped MP4 containers carry actual frame bytes in mdat behind a
+    full sample table (stsz per-sample AND uniform branches, stsc
+    run-length chunk maps in both [2,3,3,...] and one-per-chunk layouts,
+    stco anchors, stts timing), and extract_video_frames reconstructs
+    every sample's byte range, slices the frames, and stride-samples
+    every second one with its pts — the 1->N demux a video training
+    pipeline runs before any codec. Frame PAYLOADS stay opaque by design
+    (H.264 entropy decode is out of honest hand-rolling scope —
+    multimodal codec-boundary note); everything a pipeline does BEFORE
+    the codec is real and oracle-checked here. Scale shape: bounded
+    fan-out per doc, exact integer stat folds, one streaming Arrow batch
+    per task."""
+    d = io.load_table(spark, sf_dir, "documents")
+    payload = multimodal.synth_video_payload(d)
+    return multimodal.extract_video_frames(payload, stride=2)
 
 
 @query("ann_ivf_trained_topk")  # rows-only: iterative training step

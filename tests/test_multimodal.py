@@ -354,3 +354,217 @@ def test_gif_rejects_hostile_min_code_size():
     shrunk = (good[:idesc + 5] + (1).to_bytes(2, "little")
               + (1).to_bytes(2, "little") + good[idesc + 9:])
     assert multimodal.gif_pixel_values(shrunk) is None
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec (multimodal/jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_block_constant_roundtrip_is_exact():
+    """The oracle-gated exactness contract: block-constant content under
+    all-ones quant tables decodes bit-identically (DC-only blocks), across
+    non-multiple-of-8 frames and restart intervals."""
+    from clif_spark.multimodal import jpeg as J
+
+    for w, h, ri in [(43, 22, 0), (9, 7, 1), (46, 32, 3), (8, 8, 0)]:
+        def px(x, y):
+            return (5 + 7 * (x // 8) + 11 * (y // 8)) % 256
+
+        data = J.jpeg_encode_gray(w, h, px, restart_interval=ri)
+        W, H, planes = J.jpeg_decode(data)
+        assert (W, H) == (w, h)
+        assert all(planes[0][y * w + x] == px(x, y)
+                   for y in range(h) for x in range(w))
+
+
+def test_jpeg_random_content_roundtrip_near_lossless():
+    """Arbitrary 8-bit content through the FULL pipeline (nonzero AC
+    coefficients, ZRL runs, EOB) with unit quant steps: per-pixel error is
+    bounded by the coefficient rounding alone (each of 64 coefficients
+    rounds by <=0.5; the IDCT basis rows have L1 norm ~1), so maxerr must
+    stay tiny — a Huffman/zigzag/dequant bug produces errors of tens."""
+    import random
+
+    from clif_spark.multimodal import jpeg as J
+
+    rng = random.Random(7)
+    img = [[rng.randrange(256) for _ in range(29)] for _ in range(21)]
+    data = J.jpeg_encode_gray(29, 21, lambda x, y: img[y][x])
+    _, _, planes = J.jpeg_decode(data)
+    maxerr = max(abs(planes[0][y * 29 + x] - img[y][x])
+                 for y in range(21) for x in range(29))
+    assert maxerr <= 2
+
+
+def test_jpeg_idct_matches_numpy_reference():
+    """Independent check of the hand-rolled transform pair: numpy builds
+    the orthonormal 8-point DCT-II matrix from the textbook definition and
+    applies it as matrix algebra; our separable FDCT must agree to float
+    precision, and IDCT(FDCT(x)) must reproduce x."""
+    import numpy as np
+
+    from clif_spark.multimodal import jpeg as J
+
+    # textbook orthonormal DCT-II matrix, scaled to T.81's convention
+    # (T.81 F(u) = 2 * C(u)/2 * sum ... -> our _COS is exactly M/2 rows)
+    M = np.zeros((8, 8))
+    for u in range(8):
+        for x in range(8):
+            cu = np.sqrt(0.5) if u == 0 else 1.0
+            M[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16)
+    rng = np.random.default_rng(3)
+    blk = rng.integers(0, 256, size=(8, 8)).astype(float) - 128.0
+    ref = M @ blk @ M.T
+    ours = np.array(J._fdct2d(list(blk.flatten()))).reshape(8, 8)
+    assert np.max(np.abs(ours - ref)) < 1e-9
+    back = J._idct2d(list(ref.flatten()))
+    assert np.max(np.abs(np.array(back).reshape(8, 8)
+                         - (blk + 128.0))) <= 0.5 + 1e-9
+
+
+def test_jpeg_color_roundtrip_within_ycbcr_budget():
+    """4:4:4 and 4:2:0 color: on a per-8x8-block-constant RGB image the
+    only loss is YCbCr forward/inverse rounding (and chroma averaging for
+    4:2:0, zero for block-constant content), so each channel must come
+    back within a few counts."""
+    from clif_spark.multimodal import jpeg as J
+
+    def cpx(x, y):
+        bx, by = x // 8, y // 8
+        return ((40 + 30 * bx) % 256, (90 + 50 * by) % 256,
+                (10 + 60 * (bx + by)) % 256)
+
+    for sub in (False, True):
+        data = J.jpeg_encode_rgb(24, 16, cpx, subsample=sub)
+        rgb = J.jpeg_rgb_values(data)
+        assert len(rgb) == 24 * 16 * 3
+        maxerr = 0
+        for y in range(16):
+            for x in range(24):
+                want = cpx(x, y)
+                got = rgb[3 * (y * 24 + x):3 * (y * 24 + x) + 3]
+                maxerr = max(maxerr, *(abs(a - b)
+                                       for a, b in zip(got, want)))
+        assert maxerr <= 3, (sub, maxerr)
+
+
+def test_jpeg_rejects_non_baseline_and_malformed():
+    """Contract edges: non-JPEG payloads -> None from the chain helper;
+    progressive SOF2 raises (not garbage) and the helper maps it to None;
+    truncated entropy data -> None; the other codecs' magics are not
+    claimed by the JPEG path."""
+    import pytest
+
+    from clif_spark.multimodal import jpeg as J
+
+    assert J.jpeg_gray_values(b"") is None
+    assert J.jpeg_gray_values(b"GIF87a\x01\x00\x01\x00") is None
+    assert J.jpeg_gray_values(b"\x89PNG\r\n\x1a\n") is None
+    assert J.jpeg_gray_values(b"RIFF....WAVE") is None
+    good = J.jpeg_encode_gray(10, 9, lambda x, y: (x * y) % 256)
+    assert J.jpeg_gray_values(good) is not None
+    # flip SOF0 -> SOF2 (progressive): decode must raise, helper -> None
+    sof = good.index(b"\xff\xc0")
+    prog = good[:sof] + b"\xff\xc2" + good[sof + 2:]
+    with pytest.raises(ValueError, match="non-baseline"):
+        J.jpeg_decode(prog)
+    assert J.jpeg_gray_values(prog) is None
+    assert J.jpeg_gray_values(good[:40]) is None  # truncated mid-header
+
+
+def test_jpeg_payload_query_matches_duckdb_oracle(spark):
+    """mm_jpeg_pixel_stats end-to-end at sf0.001 against its closed-form
+    DuckDB oracle through the SAME pandas materialization the driver
+    uses (int-vs-float representation drift must fail here if it would
+    fail there)."""
+    import pandas as pd
+
+    sf_dir = "/root/testdata/sf0.001"
+    reg = collect_registry()
+    qd = reg["mm_jpeg_pixel_stats"]
+    sdf = (qd.fn(spark, sf_dir).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    odf = (con.execute(qd.oracle).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(sdf) == len(odf) and len(sdf) > 0
+    sdf, odf = sdf[sorted(sdf.columns)], odf[sorted(odf.columns)]
+    for c in sdf.columns:
+        a = sdf[c].astype(object).where(~pd.isna(sdf[c]), None)
+        b = odf[c].astype(object).where(~pd.isna(odf[c]), None)
+        assert list(a) == list(b), c
+    # and the decode is genuinely exercised: both kinds present
+    assert set(sdf["kind"]) == {"jpeg_pixels", "other"}
+
+
+# ---------------------------------------------------------------------------
+# MP4 sample extraction (real demux grain)
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_sample_table_roundtrip_all_chunk_shapes():
+    """Builder/extractor pair across the sample-table variants: run-length
+    stsc ([2,3,3,...]), single-sample chunks, per-sample and uniform stsz
+    — every frame must come back byte-identical with its cumulative stts
+    pts."""
+    from clif_spark.multimodal import _mp4_sample_codecs
+
+    build, extract = _mp4_sample_codecs()
+    for uniform, single in [(False, False), (False, True),
+                            (True, False), (True, True)]:
+        frames = [bytes((37 * k + i) % 256
+                        for i in range(16 if uniform else 10 + 3 * k))
+                  for k in range(7)]
+        p = build(3000, 125, frames, uniform=uniform,
+                  single_sample_chunks=single)
+        ts, got = extract(p)
+        assert ts == 3000
+        assert [f for f, _ in got] == frames, (uniform, single)
+        assert [pts for _, pts in got] == [125 * k for k in range(7)]
+
+
+def test_mp4_sample_extraction_rejects_malformed():
+    """Demux contract: no fabricated frames. Non-MP4 payloads, tables
+    pointing past EOF, and chunk layouts that do not cover every sample
+    all return None."""
+    from clif_spark.multimodal import _mp4_sample_codecs
+
+    build, extract = _mp4_sample_codecs()
+    assert extract(b"") is None
+    assert extract(b"plain text payload") is None
+    p = build(1000, 40, [b"abcdef", b"ghijkl"])
+    assert extract(p[:40]) is None  # truncated: table points past EOF
+    # corrupt stco count to zero chunks: samples uncovered -> None
+    import struct
+    stco_at = p.index(b"stco")
+    broken = bytearray(p)
+    struct.pack_into(">I", broken, stco_at + 8, 0)
+    assert extract(bytes(broken)) is None
+
+
+def test_extract_video_frames_strides_and_skips(spark):
+    """The 1->N demux operator: MP4 docs explode into every-second-frame
+    rows with exact (pts_ms, n_bytes, byte_sum); text docs produce no
+    rows; all stats match hand-computed values."""
+    from clif_spark import multimodal
+
+    df = spark.createDataFrame(
+        [(0, "ignored"), (1, "plain text"), (3, "also ignored")],
+        ["doc_id", "text"])
+    payload = multimodal.synth_video_payload(df)
+    rows = {(r.doc_id, r.frame_idx): r for r in
+            multimodal.extract_video_frames(payload, stride=2).collect()}
+    # doc 0: n=3, uniform (0%15==0), single-sample chunks; doc 3: n=6
+    assert {d for d, _ in rows} == {0, 3}
+    assert {k for d, k in rows if d == 0} == {0, 2}
+    assert {k for d, k in rows if d == 3} == {0, 2, 4}
+    for (d, k), r in rows.items():
+        uni = d % 15 == 0
+        sz = 16 if uni else 16 + (d + k) % 32
+        assert r.n_bytes == sz
+        assert r.byte_sum == sum((7 * d + 13 * k + i) % 256
+                                 for i in range(sz))
+        assert r.pts_ms == (40 * k * 1000) // (1000 * (1 + d % 3))
