@@ -456,3 +456,56 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
     return (ex.select("a", "b", hamming.alias("hamming"))
               .filter(F.col("hamming") <= max_hamming)
               .distinct())
+
+
+def doc_tokens(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Distinct word unigrams per document: (doc, tok). Whitespace-split
+    of the trimmed lowered text — exactly the regexp_split_to_array
+    convention every SQL oracle in this repo mirrors."""
+    return (docs.select(
+                F.col(id_col).alias("doc"),
+                F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                  r"\s+")).alias("tok"))
+                .filter(F.col("tok") != "")
+                .distinct())
+
+
+def prefix_filter_pairs(docs: DataFrame, threshold: float = 0.6,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        max_bucket: int = 2000) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    PPJoin/AllPairs family): all document pairs whose token-set Jaccard
+    >= ``threshold``, with NO false negatives — the candidate-generation
+    counterpoint to MinHash banding, which trades recall for fewer
+    candidates. The prefix-filter principle: order every document's
+    tokens by ascending global document frequency (rarest first, token
+    as tiebreak); if J(A, B) >= t then A and B must share at least one
+    token among each one's first |T| - ceil(t*|T|) + 1 tokens — so
+    bucketing on PREFIX tokens only (the rare ones, whose buckets are
+    small by construction) generates a complete candidate set without
+    the all-pairs product.
+
+    Plan shape, scale-first: one groupBy(token) for global frequencies,
+    one shuffle join to attach them, a per-document window (entity-
+    bounded: state is one doc's token list) to rank + cut the prefix,
+    then the shared pairs_from_buckets bucket expansion and the exact
+    jaccard_verify join — every stage keyed, no driver traffic, no
+    all-pairs anywhere. ``max_bucket`` is the shared skew guard; prefix
+    tokens are the globally RAREST, so a bucket that overflows it means
+    the frequency join itself was wrong, not the data skewed.
+    """
+    toks = doc_tokens(docs, id_col, text_col)
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc")
+    ranked = (toks.join(freq, "tok")
+                  .withColumn("rnk", F.row_number().over(
+                      w_doc.orderBy(F.col("df").asc(), F.col("tok").asc())))
+                  .withColumn("sz", F.count(F.lit(1)).over(w_doc)))
+    prefix = ranked.filter(
+        F.col("rnk") <= F.col("sz")
+        - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1)
+    cands = pairs_from_buckets(prefix.select("tok", "doc"), ["tok"],
+                               "doc", max_bucket=max_bucket)
+    return jaccard_verify(cands, toks.withColumnRenamed("tok", "shingle"),
+                          threshold=threshold)

@@ -390,6 +390,67 @@ def dedup_ngram_jaccard(spark, sf_dir):
                                 threshold=0.3)
 
 
+_PREFIX_FILTER_ORACLE = r"""
+    -- Brute-force token-set Jaccard >= 0.95 over the planted corpus:
+    -- the prefix-filtered join must reproduce the ALL-PAIRS answer
+    -- exactly (prefix filtering is complete — no false negatives —
+    -- unlike LSH). 0.95 keeps the answer the near-duplicate tail: the
+    -- synthetic corpus is template-generated and over a third of ALL
+    -- pairs clear 0.6, which would make the join a de-facto cross
+    -- product rather than a pruned one.
+    WITH docs2 AS (
+      SELECT doc_id AS doc, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text || ' zzplantedup'
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    toks AS (
+      SELECT DISTINCT doc,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM docs2
+    ),
+    toks2 AS (SELECT doc, tok FROM toks WHERE tok <> ''),
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM toks2 GROUP BY doc),
+    inter AS (
+      SELECT sa.doc AS a, sb.doc AS b, COUNT(*) AS n_inter
+      FROM toks2 sa JOIN toks2 sb ON sb.tok = sa.tok AND sa.doc < sb.doc
+      GROUP BY 1, 2
+    )
+    SELECT i.a, i.b,
+           ROUND(CAST(i.n_inter AS DOUBLE)
+                 / (za.sz + zb.sz - i.n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc = i.a
+    JOIN sizes zb ON zb.doc = i.b
+    WHERE ROUND(CAST(i.n_inter AS DOUBLE)
+                / (za.sz + zb.sz - i.n_inter), 4) >= 0.95
+    """
+
+
+@query("dedup_prefix_filter_join", oracle=_PREFIX_FILTER_ORACLE)
+def dedup_prefix_filter_join(spark, sf_dir):
+    """EXACT set-similarity self-join via prefix filtering (PPJoin/
+    AllPairs family) over the WHOLE corpus plus planted near-copies
+    (every tenth doc duplicated with one appended rare token): candidates
+    come only from buckets of each document's globally-rarest tokens
+    (the completeness-preserving prefix cut), then exact Jaccard
+    verification — same answer as the all-pairs oracle, a fraction of
+    the pairs. This is the exact counterpart to dedup_minhash_lsh's
+    approximate banding: prefix filtering guarantees NO false negatives
+    at any threshold, while the bucket keys stay rare by construction
+    (a document's prefix is its lowest-document-frequency tokens).
+    Scale shape: groupBy(token) frequency pass, entity-bounded ranking
+    window, bucket pair expansion with the shared skew cap — no
+    all-pairs product at any stage (dedup.prefix_filter_pairs)."""
+    d = io.load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" zzplantedup")).alias("text"))
+    return dedup.prefix_filter_pairs(base.unionByName(planted),
+                                     threshold=0.95)
+
+
 def _simhash_sig_ctes(docs_src: str) -> str:
     """DuckDB CTE chain computing dedup.simhash64 term for term: md5 hex
     nibbles (strpos mirror of Spark's conv), 64 frequency-weighted bit
