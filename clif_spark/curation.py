@@ -558,3 +558,68 @@ def bm25_rational_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
                    .filter(F.col("rank") <= k)
                    .select(F.col("doc").alias(id_col),
                            "score_micros", "rank"))
+
+
+def dsir_importance(docs: DataFrame, target: Column,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    n_buckets: int = 128) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document by how much its hashed n-gram feature profile
+    looks like a TARGET sample relative to the raw corpus, so a trainer
+    can importance-resample the raw pool toward the target domain without
+    labels. Features are word unigrams + bigrams hashed into
+    ``n_buckets`` buckets (the DSIR trick that keeps the estimator a
+    fixed-width multinomial whatever the vocabulary size); ``target`` is
+    a boolean Column marking the target-sample rows.
+
+    Determinism contract (why no log-likelihood floats): the paper's
+    log(p_target/p_raw) sum is order-sensitive float addition, which can
+    hash-diverge across engines; an equivalent-for-ranking exact form is
+    used instead — each feature contributes
+    floor(1e6 * (n_target_f + 1) / (n_raw_f + 1)) (add-one-smoothed
+    frequency ratio in integer micros), and a document's importance is
+    the SUM over its distinct features, all BIGINT. One float division
+    at the end (mean per feature) is deterministic.
+
+    Scale shape: tokenize narrow; ONE groupBy(bucket) pass builds both
+    the raw and target histograms (conditional count, no second scan);
+    the histogram is n_buckets rows — broadcast back to the exploded
+    features; per-doc aggregation is the only data-sized shuffle. The
+    target predicate rides along as a column, so the target sample never
+    materializes separately.
+    """
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    unigrams = F.filter(w, lambda t: t != "")
+    # guard: sequence(0, -1) would DESCEND ([0, -1]) on single-token docs
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(w, i + 1),
+                                  F.element_at(w, i + 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    feats = (docs.select(F.col(id_col).alias("doc"),
+                         target.alias("is_target"),
+                         F.explode(F.array_distinct(
+                             F.concat(unigrams, bigrams))).alias("f"))
+                 .filter(F.col("f") != "")
+                 .withColumn("bucket",
+                             (F.conv(F.substring(
+                                 F.md5(F.concat(F.lit("dsir:"),
+                                                F.col("f"))), 1, 4),
+                                 16, 10).cast("long") % n_buckets))
+                 .select("doc", "is_target", "bucket").distinct())
+    hist = (feats.groupBy("bucket")
+                 .agg(F.count(F.lit(1)).alias("n_raw"),
+                      F.count_if(F.col("is_target")).alias("n_tgt")))
+    scored = (feats.join(F.broadcast(hist), "bucket")
+                   .groupBy("doc")
+                   .agg(F.count(F.lit(1)).alias("n_feats"),
+                        F.sum(F.expr(
+                            "(n_tgt + 1) * 1000000 DIV (n_raw + 1)"))
+                         .alias("importance_micros")))
+    return scored.select(
+        F.col("doc").alias(id_col), "n_feats", "importance_micros",
+        F.round(F.col("importance_micros")
+                / F.col("n_feats") / 1e6, 6).alias("mean_ratio"))

@@ -225,6 +225,7 @@ _VERIFY_FIRST = [
     # --- never driver-gated: registered in round 7 (new operators get a
     # driver row before any refresh does) — prepended as they land ---
     "mm_jpeg_pixel_stats", "mm_video_frame_stats",
+    "dedup_prefix_filter_join", "curation_dsir_importance",
     # --- r2-row refreshes ceded from the r6 rotation (code unchanged,
     # machinery re-exercised by fresher green rows, now due): projection
     # trio, rollup/profile trio, window quartet + session pair, struct

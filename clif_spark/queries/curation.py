@@ -779,3 +779,69 @@ def text_bm25_topk(spark, sf_dir):
     keyed sum + a bounded top-k window."""
     d = io.load_table(spark, sf_dir, "documents")
     return curation.bm25_rational_topk(d, ["spark", "join", "window"], k=10)
+
+
+def _dsir_bucket_sql(expr: str, n_buckets: int) -> str:
+    """DuckDB mirror of the Spark-side feature hash: integer value of the
+    first 4 hex chars of md5('dsir:' || f), mod n_buckets (strpos nibbles
+    stand in for conv, same trick as sampling.sql_u01)."""
+    h = f"md5('dsir:' || {expr})"
+    nib = (lambda i, w: f"(strpos('0123456789abcdef',"
+           f" substr({h}, {i}, 1)) - 1) * {w}")
+    return (f"(({nib(1, 4096)} + {nib(2, 256)} + {nib(3, 16)}"
+            f" + {nib(4, 1)}) % {n_buckets})")
+
+
+@query(
+    "curation_dsir_importance",
+    oracle=rf"""
+    -- DSIR-style importance weights: hashed unigram+bigram features
+    -- (128 buckets), add-one-smoothed target/raw frequency ratio per
+    -- bucket in integer micros, summed per doc — the exact-arithmetic
+    -- form of the paper's log-ratio score (see curation.dsir_importance
+    -- determinism contract). Target sample: doc_id % 5 = 0.
+    WITH w AS (
+      SELECT doc_id AS doc, doc_id % 5 = 0 AS is_target,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    uni AS (SELECT doc, is_target, unnest(w) AS f FROM w),
+    bi AS (
+      SELECT doc, is_target, w[i] || ' ' || w[i + 1] AS f
+      FROM w, unnest(range(1, greatest(len(w), 1))) t(i)
+    ),
+    feats AS (
+      SELECT DISTINCT doc, is_target,
+             CAST({_dsir_bucket_sql('f', 128)} AS BIGINT) AS bucket
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+      WHERE f <> ''
+    ),
+    hist AS (
+      SELECT bucket, COUNT(*) AS n_raw,
+             COUNT(*) FILTER (is_target) AS n_tgt
+      FROM feats GROUP BY bucket
+    )
+    SELECT f.doc AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_feats,
+           CAST(SUM((h.n_tgt + 1) * 1000000 // (h.n_raw + 1)) AS BIGINT)
+             AS importance_micros,
+           ROUND(CAST(SUM((h.n_tgt + 1) * 1000000 // (h.n_raw + 1))
+                      AS DOUBLE) / COUNT(*) / 1e6, 6) AS mean_ratio
+    FROM feats f JOIN hist h USING (bucket)
+    GROUP BY f.doc
+    """,
+)
+def curation_dsir_importance(spark, sf_dir):
+    """Data-selection importance resampling weights (DSIR, Xie et al.
+    2023) over the documents corpus, target sample = every fifth doc
+    standing in for a practitioner's curated seed set: hashed n-gram
+    features keep the estimator fixed-width at any vocabulary, the
+    128-row bucket histogram broadcasts back to the exploded features,
+    and the add-one-smoothed frequency ratio accumulates in integer
+    micros so the score is order-independent and engine-exact (the
+    BM25 rational-arithmetic discipline applied to the DSIR estimator).
+    A trainer feeds importance_micros into weighted/temperature
+    sampling (sample_temperature_mix) to tilt the corpus toward the
+    target domain."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return curation.dsir_importance(d, F.col("doc_id") % 5 == 0)

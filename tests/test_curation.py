@@ -300,3 +300,77 @@ def test_bm25_query_terms_case_folded(spark):
     lower = curation.bm25_rational_topk(docs, ["spark", "data"], k=2).collect()
     assert [tuple(r) for r in upper] == [tuple(r) for r in lower]
     assert len(upper) == 2
+
+
+def test_prefix_filter_join_equals_brute_force(spark):
+    """Completeness of the prefix filter (its whole point): on a corpus
+    with pairs straddling the threshold, prefix_filter_pairs must equal
+    the all-pairs answer exactly — no false negatives from the prefix
+    cut, no false positives from bucketing."""
+    from clif_spark import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta epsilon zeta"),   # J(1,2) = 5/6
+         (3, "alpha beta gamma delta EPSILON prime"),  # case-folds to near 1
+         (4, "totally different tokens entirely here"),
+         (5, "alpha omega psi chi phi")],              # shares 1 with doc 1
+        ["doc_id", "text"])
+    got = {(r.a, r.b): r.jaccard
+           for r in dedup.prefix_filter_pairs(docs, threshold=0.5).collect()}
+    # brute force over token sets
+    toks = {r.doc: set()
+            for r in dedup.doc_tokens(docs).collect()}
+    for r in dedup.doc_tokens(docs).collect():
+        toks[r.doc].add(r.tok)
+    want = {}
+    ids = sorted(toks)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            j = len(toks[a] & toks[b]) / len(toks[a] | toks[b])
+            if round(j, 4) >= 0.5:
+                want[(a, b)] = round(j, 4)
+    assert got == want and (1, 2) in got and (4, 5) not in got
+
+
+def test_dsir_importance_orders_target_like_content(spark):
+    """The estimator must rank a document made of target-sample n-grams
+    above one made of raw-only n-grams: target docs (doc_id % 5 == 0
+    here) speak 'quant finance'; probe docs 11/12 copy the two registers
+    without being in the target sample themselves."""
+    from clif_spark import curation
+    from pyspark.sql import functions as F
+
+    rows = [(0, "alpha signal risk premium decay"),
+            (5, "risk premium alpha signal carry"),
+            (10, "signal decay risk carry premium"),
+            (1, "bananas are yellow fruit snacks"),
+            (2, "yellow fruit snacks taste great"),
+            (11, "alpha signal risk premium carry"),   # target-like probe
+            (12, "bananas yellow fruit taste snacks")]  # raw-only probe
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in curation.dsir_importance(
+        docs, F.col("doc_id") % 5 == 0).collect()}
+    assert len(out) == len(rows)
+    assert out[11].mean_ratio > out[12].mean_ratio
+    # exact-arithmetic invariants: micros sum is an integer multiple of
+    # nothing float; every doc's mean_ratio = micros / n_feats / 1e6
+    for r in out.values():
+        assert r.importance_micros > 0
+        assert abs(r.mean_ratio
+                   - round(r.importance_micros / r.n_feats / 1e6, 6)) == 0
+
+
+def test_dsir_single_token_doc_has_no_bigram_artifacts(spark):
+    """Regression for the sequence(0, -1) descending-range trap: a
+    single-token document must contribute exactly one feature (its
+    unigram), not phantom bigrams from a [0, -1] index sequence."""
+    from clif_spark import curation
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(0, "lonetoken"), (1, "two tokens")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in curation.dsir_importance(
+        docs, F.lit(False)).collect()}
+    assert out[0].n_feats == 1       # 1 unigram, 0 bigrams
+    assert out[1].n_feats == 3       # 2 unigrams + 1 bigram
