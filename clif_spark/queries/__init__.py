@@ -245,31 +245,35 @@ _VERIFY_FIRST = [
     "q19_disjunctive_filter", "q22_global_sales_opportunity",
     "j1_vocab_broadcast_star", "j3_full_outer_join", "j6_fuzzy_vocab_match",
     "j9_salted_skew_join", "j10_levenshtein_vocab_match",
-    "r1_unpivot_measures", "r2_pivot_wide", "r3_split_column",
-    "r4_explode_top_tokens",
+    "r2_pivot_wide", "r4_explode_top_tokens",
     "a12_approx_distinct_bound", "a13_sketch_merge_distinct",
     "a14_approx_percentile_bound", "a15_ordered_string_agg",
-    "u1_union_missing_cols", "u2_u3_distinct_dedup", "u4_intersect_except",
+    "u2_u3_distinct_dedup", "u4_intersect_except",
     "w10_funnel_conversion", "w11_range_time_frame",
-    "o1_o2_topk", "p11_castability_extract",
     # --- streams at the tail of the 50 (multi-second startup each):
     # the two r2-row session/state streams ceded from r6, then the two
     # r4-row streams ---
     "stream_session_windows", "stream_stateful_user_stats",
     "stream_dedup_bounded_state", "stream_static_enrich",
 ]
-# 50 head entries, zero remaining r1/r2 rows after this round: all 19
-# r2-latest rows (17 batch + 2 streams) plus 31 of the 50 r4-latest rows.
+# Exactly 50 head entries: 4 never-gated r7 registrations + all 19
+# r2-latest rows (17 batch + 2 streams) + 27 of the 50 r4-latest rows.
 # Ceded to round 8 (r4-green rows whose machinery is also re-exercised
 # inside r5/r6-green rows): a1-a8 (group/profile machinery inside the
 # r6-green a16-a21 and pipeline rows), f1_f2/f3_f4_f5/f7_f10/f8/f11/f12
 # (scalar machinery inside the ten r5-green pipelines),
 # emb_label_centroids (centroid machinery inside r6-green
 # ann_ivf_trained_recall_bound), gopher_repetition_filter +
-# sample_stratified_rebalance (r5-green curation siblings), and
+# sample_stratified_rebalance (r5-green curation siblings),
 # mm_resize_meta (decode plumbing re-exercised by the r6-green
-# mm_gif_pixel_stats row). Those nineteen lead round 8 behind any new
-# registrations; new r7 queries hold driver rows from this round.
+# mm_gif_pixel_stats row), r1_unpivot_measures + r3_split_column
+# (unpivot/split fire inside the r5-green pipeline_vitals BP reshape),
+# u1_union_missing_cols (allowMissingColumns union inside r5-green
+# pipeline_dialysis), o1_o2_topk (sort/top-k inside r5-green
+# o3_topk_per_group and the bounded-domain sorts), and
+# p11_castability_extract (castability parse inside the r5-green
+# pipeline_med_admin_continuous dose parse). Those lead round 8 behind
+# any new registrations.
 
 _VERIFY_LAST = [
     # (empty this round: the two heavy r2-row streams are due for their
