@@ -517,3 +517,63 @@ def test_gif_container_roundtrip_fuzz(w, h, seed):
     want = [c for y in range(h) for x in range(w)
             for c in pal[(seed + 3 * x + 5 * y) % 64]]
     assert multimodal.gif_pixel_values(payload) == want
+
+
+@given(st.integers(min_value=1, max_value=40),
+       st.integers(min_value=1, max_value=30),
+       st.integers(min_value=0, max_value=2**31 - 1),
+       st.integers(min_value=0, max_value=3))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_block_constant_roundtrip_fuzz(w, h, seed, restart):
+    """Property: the JPEG exactness contract holds for ARBITRARY
+    dimensions, block-value patterns and restart intervals — encode of a
+    per-8x8-block-constant image under all-ones quant decodes to the
+    identical pixels (jpeg.py docstring derivation; the oracle-gated
+    query leans on exactly this)."""
+    from clif_spark.multimodal import jpeg as J
+
+    def px(x, y):
+        return (seed + 7 * (x // 8) + 11 * (y // 8)) % 256
+
+    data = J.jpeg_encode_gray(w, h, px, restart_interval=restart)
+    W, H, planes = J.jpeg_decode(data)
+    assert (W, H) == (w, h)
+    assert planes[0] == [px(x, y) for y in range(h) for x in range(w)]
+
+
+@given(st.integers(min_value=8, max_value=33),
+       st.integers(min_value=8, max_value=25),
+       st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=15, deadline=None)
+def test_jpeg_arbitrary_content_roundtrip_fuzz(w, h, seed):
+    """Property: arbitrary (non-block-constant) content through the full
+    AC pipeline stays within the coefficient-rounding error budget — a
+    Huffman/zigzag/dequant/IDCT defect shows up as errors of tens, not
+    <=2."""
+    from clif_spark.multimodal import jpeg as J
+
+    def px(x, y):
+        return (seed ^ (x * 31 + y * 137 + (x * y) % 97)) % 256
+
+    data = J.jpeg_encode_gray(w, h, px)
+    _, _, planes = J.jpeg_decode(data)
+    assert max(abs(planes[0][y * w + x] - px(x, y))
+               for y in range(h) for x in range(w)) <= 2
+
+
+@given(st.binary(min_size=0, max_size=400),
+       st.integers(min_value=0, max_value=120))
+@settings(max_examples=80, deadline=None)
+def test_jpeg_decoder_never_crashes_on_garbage(blob, cut):
+    """Robustness: the decoder chain helper must return a list or None on
+    ANY byte string — raw garbage, garbage wearing the SOI magic, and
+    truncated prefixes of a valid stream — never raise through, never
+    loop, never fabricate pixels from a stream that failed mid-decode."""
+    from clif_spark.multimodal import jpeg as J
+
+    for payload in (blob, b"\xff\xd8" + blob):
+        got = J.jpeg_gray_values(payload)
+        assert got is None or isinstance(got, list)
+    valid = J.jpeg_encode_gray(9, 7, lambda x, y: (x + y) % 256)
+    got = J.jpeg_gray_values(valid[:min(cut, len(valid))])
+    assert got is None  # any strict prefix is incomplete
