@@ -226,6 +226,7 @@ _VERIFY_FIRST = [
     # driver row before any refresh does) — prepended as they land ---
     "mm_jpeg_pixel_stats", "mm_video_frame_stats",
     "dedup_prefix_filter_join", "curation_dsir_importance",
+    "dedup_semantic_contract", "dedup_semantic",
     # --- r2-row refreshes ceded from the r6 rotation (code unchanged,
     # machinery re-exercised by fresher green rows, now due): projection
     # trio, rollup/profile trio, window quartet + session pair, struct
@@ -249,7 +250,6 @@ _VERIFY_FIRST = [
     "a12_approx_distinct_bound", "a13_sketch_merge_distinct",
     "a14_approx_percentile_bound", "a15_ordered_string_agg",
     "u2_u3_distinct_dedup", "u4_intersect_except",
-    "w10_funnel_conversion", "w11_range_time_frame",
     # --- streams at the tail of the 50 (multi-second startup each):
     # the two r2-row session/state streams ceded from r6, then the two
     # r4-row streams ---
@@ -272,8 +272,11 @@ _VERIFY_FIRST = [
 # pipeline_dialysis), o1_o2_topk (sort/top-k inside r5-green
 # o3_topk_per_group and the bounded-domain sorts), and
 # p11_castability_extract (castability parse inside the r5-green
-# pipeline_med_admin_continuous dose parse). Those lead round 8 behind
-# any new registrations.
+# pipeline_med_admin_continuous dose parse), and w10_funnel_conversion
+# + w11_range_time_frame (ceded when the two r7 semantic-dedup rows
+# took their slots; their window machinery also runs inside the
+# r5-green w12-w15 rows). Those lead round 8 behind any new
+# registrations.
 
 _VERIFY_LAST = [
     # (empty this round: the two heavy r2-row streams are due for their

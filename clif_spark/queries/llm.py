@@ -451,6 +451,92 @@ def dedup_prefix_filter_join(spark, sf_dir):
                                      threshold=0.95)
 
 
+@query("dedup_semantic")  # rows-only: k-means step is iterative
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (similarity.semantic_dedup):
+    k-means clusters bound the candidate space, exact cosine verifies
+    within-cluster pairs, connected components pick one representative
+    per near-dup group — the embedding-space analog of MinHash removal,
+    catching paraphrases that share no tokens. Ten exact duplicates are
+    planted (vec 0..9 re-inserted at id+100000); they always share their
+    source's cell (identical vectors assign identically), so the relation
+    deterministically drops all ten with dup_of = the original. Rows-only
+    here (k-means is the sanctioned iterative case);
+    dedup_semantic_contract holds the driver-hashable invariants."""
+    e = io.load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    plant = e.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    return similarity.semantic_dedup(e.unionByName(plant),
+                                     threshold=0.9999)
+
+
+@query(
+    "dedup_semantic_contract",
+    oracle="""
+    -- Bound-contract row for the iterative semantic-dedup path (same
+    -- pattern as ann_ivf_trained_recall_bound / w16): the oracle states
+    -- the invariants that must hold for EVERY vector; the Spark side
+    -- computes them from the actual dedup output. appears_once: the
+    -- relation partitions the input. rep_kept: a dropped row's
+    -- representative is itself kept (never dangling). planted_dropped:
+    -- re-inserted exact copies (id >= 100000) are always dropped —
+    -- identical vectors share a cell, cosine 1.0 edges always verify,
+    -- and the copy's id can never be the component min. near_ok: every
+    -- dropped vector really has a >=threshold neighbor in the corpus.
+    SELECT vec_id, TRUE AS appears_once, TRUE AS rep_kept,
+           TRUE AS planted_dropped, TRUE AS near_ok
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000, TRUE, TRUE, TRUE, TRUE
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def dedup_semantic_contract(spark, sf_dir):
+    """Driver-hashable invariants of dedup_semantic, computed from the
+    real output (not asserted): partition property, kept-representative
+    property, deterministic fate of planted exact copies, and a
+    brute-force near-neighbor witness for every dropped row (dropped
+    rows are few, so the witness join is dropped x corpus, not
+    all-pairs)."""
+    e = io.load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    plant = e.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    corpus = e.unionByName(plant)
+    sem = similarity.semantic_dedup(corpus, threshold=0.9999)
+    counts = sem.groupBy("vec_id").agg(F.count(F.lit(1)).alias("__n"))
+    kept = sem.filter(F.col("status") == "kept")               .select(F.col("vec_id").alias("__kid"))
+    dropped = sem.filter(F.col("status") == "dropped")
+    # near_ok witness: exists x != v with cosine(v, x) >= threshold —
+    # a dropped x corpus join (dropped rows are few), never all-pairs
+    dv = dropped.select(F.col("vec_id").alias("__dv"),
+                        F.col("dup_of"))
+    dvv = dv.join(corpus.select(F.col("vec_id").alias("__dv"),
+                                F.col("embedding").alias("__dve")), "__dv")
+    hits = (dvv.join(corpus.select(F.col("vec_id").alias("__x"),
+                                   F.col("embedding").alias("__xe")),
+                     F.col("__dv") != F.col("__x"))
+            .filter(F.round(similarity.cosine(F.col("__dve"),
+                                              F.col("__xe")), 4) >= 0.9999)
+            .select(F.col("__dv")).distinct())
+    return (sem
+            .join(counts, "vec_id")
+            .join(kept, sem.dup_of == F.col("__kid"), "left")
+            .join(hits.withColumnRenamed("__dv", "__hit"),
+                  sem.vec_id == F.col("__hit"), "left")
+            .select(
+                "vec_id",
+                (F.col("__n") == 1).alias("appears_once"),
+                ((F.col("status") == "kept")
+                 | F.col("__kid").isNotNull()).alias("rep_kept"),
+                ((F.col("vec_id") < 100000)
+                 | (F.col("status") == "dropped"))
+                 .alias("planted_dropped"),
+                ((F.col("status") == "kept")
+                 | F.col("__hit").isNotNull()).alias("near_ok")))
+
+
 def _simhash_sig_ctes(docs_src: str) -> str:
     """DuckDB CTE chain computing dedup.simhash64 term for term: md5 hex
     nibbles (strpos mirror of Spark's conv), 64 frequency-weighted bit

@@ -531,3 +531,63 @@ def kmeans(vectors: DataFrame, k: int = 8, max_iter: int = 10,
     final = v.select(F.col("__id").alias(id_col),
                      final_best["c"].alias("cell"))
     return cents, final, history
+
+
+def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
+                   k: int = 8, max_iter: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   dim: int = 64,
+                   max_bucket: int = 2000) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space with k-means, generate candidate pairs only WITHIN
+    clusters, verify with exact cosine >= ``threshold``, connect verified
+    pairs into components, and keep one representative (the min id) per
+    component — the embedding-space analog of MinHash near-dup removal,
+    catching paraphrases and re-encodings that share no tokens.
+
+    Output: (id, cell, status 'kept'|'dropped', dup_of) — one row per
+    input vector; ``dup_of`` is the kept representative for dropped rows,
+    NULL for kept rows. Invariants (driver-gated by
+    dedup_semantic_contract): every input appears exactly once; every
+    dropped row's representative is itself kept; every dropped row earned
+    its verdict through a verified >=threshold edge.
+
+    Scale shape: k-means is the existing dimension-scale implementation
+    (literal-centroid narrow assign, k×dim driver traffic only);
+    candidate generation is the shared bucketed pair expansion keyed by
+    cell (never all-pairs; ``max_bucket`` is the same skew guard as
+    MinHash/LSH); cosine verification joins only candidate pairs; the
+    component step is the existing edge-relation min-label propagation.
+    The cluster count k trades candidate completeness against bucket
+    size — SemDeDup's own dial.
+    """
+    from clif_spark.dedup import connected_components, pairs_from_buckets
+
+    _, assign, _ = kmeans(vectors, k=k, max_iter=max_iter,
+                          id_col=id_col, vec_col=vec_col)
+    cands = pairs_from_buckets(assign.select("cell", F.col(id_col)),
+                               ["cell"], id_col, max_bucket=max_bucket)
+    v = vectors.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    edges = (cands
+             .join(v.select(F.col(id_col).alias("a"),
+                            F.col("__v").alias("__va")), "a")
+             .join(v.select(F.col(id_col).alias("b"),
+                            F.col("__v").alias("__vb")), "b")
+             .select("a", "b",
+                     F.round(cosine(F.col("__va"), F.col("__vb"), dim), 4)
+                      .alias("cos"))
+             .filter(F.col("cos") >= threshold))
+    comp = connected_components(edges)
+    return (vectors.select(F.col(id_col))
+            .join(assign.withColumnRenamed(id_col, "__aid"),
+                  F.col(id_col) == F.col("__aid"))
+            .join(comp.withColumnRenamed("doc", "__cid"),
+                  F.col(id_col) == F.col("__cid"), "left")
+            .select(
+                F.col(id_col), "cell",
+                F.when(F.col("cluster_id").isNull()
+                       | (F.col("cluster_id") == F.col(id_col)),
+                       F.lit("kept")).otherwise(F.lit("dropped"))
+                 .alias("status"),
+                F.when(F.col("cluster_id") != F.col(id_col),
+                       F.col("cluster_id")).alias("dup_of")))

@@ -299,3 +299,29 @@ def test_pq_bound_derives_from_codebook_geometry(spark):
     # geometry so wide no integer bound survives must refuse up front
     with pytest.raises(ValueError, match="no BIGINT-exact"):
         PQ._pq_max_abs(10_000_000)
+
+
+def test_semantic_dedup_drops_near_identical_keeps_distinct(spark):
+    """SemDeDup composition on constructed geometry: two tight direction
+    clusters plus exact/near copies — copies drop with kept
+    representatives, distinct directions all survive, and the output
+    partitions the input exactly once per id."""
+    import math
+
+    def vec(angle, scale=1.0):
+        # 64-dim embedding living in a 2-plane: rotation by `angle`
+        return [scale * math.cos(angle), scale * math.sin(angle)] + [0.0] * 62
+
+    rows = [
+        (0, vec(0.0)), (1, vec(0.001)),      # near-identical pair -> dedup
+        (2, vec(1.5)), (3, vec(1.5, 2.0)),   # same direction, diff scale
+        (4, vec(3.0)), (5, vec(-1.2)),       # distinct directions
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in similarity.semantic_dedup(
+        df, threshold=0.999, k=2, max_iter=3).collect()}
+    assert len(out) == 6                         # partition property
+    assert out[1].status == "dropped" and out[1].dup_of == 0
+    assert out[3].status == "dropped" and out[3].dup_of == 2  # cosine is scale-free
+    for i in (0, 2, 4, 5):
+        assert out[i].status == "kept" and out[i].dup_of is None
