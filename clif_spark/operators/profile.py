@@ -255,3 +255,92 @@ def numeric_histogram(df: DataFrame, value: str, keys: Sequence[str] = (),
                         bin_start.alias("bin_start"),
                         bin_end.alias("bin_end"))
                .agg(F.count(F.lit(1)).alias("n")))
+
+
+def kmv_set_sketch(df: DataFrame, key, group, pair: tuple[str, str],
+                   k: int = 64) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch with SET OPERATIONS — the
+    capability HLL lacks: two groups' sketches support union AND
+    intersection estimates (Beyer et al. 2007, "On synopses for
+    distinct-value estimation under multiset operations"). Each group's
+    sketch is the k lexicographically-smallest md5('kmv:' || key) digests
+    (fixed-width lowercase hex, so string order IS numeric order); the
+    estimator is (k-1) / v_k with v_k = the k-th minimum as a fraction of
+    the hash space (first 48 hash bits). The union sketch is the k
+    smallest of the merged sketches; the intersection estimate is the
+    Jaccard-scaled union (members of the union sketch that appear in
+    BOTH input sketches — a union-sketch member belonging to a set is
+    necessarily in that set's own sketch, since its rank there can only
+    be smaller).
+
+    DETERMINISTIC by construction (pure md5 order statistics, no RNG), so
+    the driver gate recomputes the IDENTICAL estimates in SQL — a
+    stronger check than the a12-a14 error-bound contracts. Exact counts
+    ride along for honesty; rel_err shows the (k-dependent) accuracy.
+
+    Scale shape: one distinct + one groupBy(group) TOP-K per group — the
+    sketch rows (k per group) are the only thing that crosses the final
+    exchange; merges are sketch-sized, never data-sized. At 100 TB the
+    sketch is what you ship to the driver or a metastore, not the keys.
+
+    Output: ONE row — (type_a, type_b, exact_a, est_a, exact_b, est_b,
+    exact_union, est_union, exact_inter, est_inter).
+    """
+    from pyspark.sql.window import Window
+
+    a, b = pair
+    key = F.col(key) if isinstance(key, str) else key
+    group = F.col(group) if isinstance(group, str) else group
+    t = (df.select(group.alias("g"), key.cast("string").alias("key"))
+           .filter(F.col("g").isin(a, b))
+           .select("g", "key").distinct())
+    hashed = t.select(
+        "g", "key",
+        F.md5(F.concat(F.lit("kmv:"), F.col("key"))).alias("h"))
+    w = Window.partitionBy("g").orderBy("h")
+    sk = (hashed.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k).select("g", "h"))
+    # union sketch: k smallest of the merged (distinct) sketch members
+    wu = Window.partitionBy(F.lit(1)).orderBy("h")
+    usk = (sk.select("h").distinct()
+             .withColumn("rn", F.row_number().over(wu))
+             .filter(F.col("rn") <= k))
+
+    def est(kth_h, n_rows):
+        """(k-1)/v_k when the sketch is full, else the exact count (the
+        standard small-set fallback: fewer than k distinct keys means the
+        sketch IS the set)."""
+        frac = (F.conv(F.substring(kth_h, 1, 12), 16, 10).cast("long")
+                / F.lit(float(1 << 48)))
+        return F.when(n_rows < k, n_rows.cast("double")).otherwise(
+            F.round(F.lit(float(k - 1)) / frac, 4))
+
+    per_g = (sk.groupBy("g")
+               .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("n")))
+    exact = (t.groupBy("g").agg(F.count(F.lit(1)).alias("exact")))
+    ga = (per_g.join(exact, "g").filter(F.col("g") == a)
+          .select(F.col("exact").alias("exact_a"),
+                  est(F.col("kth"), F.col("n")).alias("est_a")))
+    gb = (per_g.join(exact, "g").filter(F.col("g") == b)
+          .select(F.col("exact").alias("exact_b"),
+                  est(F.col("kth"), F.col("n")).alias("est_b")))
+    u = (usk.agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("n"))
+            .select(est(F.col("kth"), F.col("n")).alias("est_union"),
+                    F.col("n").alias("__un")))
+    # intersection members: union-sketch digests present in BOTH sketches
+    inter_n = (usk.join(sk.filter(F.col("g") == a).select("h"), "h")
+                  .join(sk.filter(F.col("g") == b).select("h"), "h")
+                  .agg(F.count(F.lit(1)).alias("n_inter")))
+    exact_u = (t.select("key").distinct()
+                .agg(F.count(F.lit(1)).alias("exact_union")))
+    exact_i = (t.groupBy("key").agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") == 2)
+                .agg(F.count(F.lit(1)).alias("exact_inter")))
+    return (ga.crossJoin(gb).crossJoin(u).crossJoin(inter_n)
+              .crossJoin(exact_u).crossJoin(exact_i)
+              .select(
+                  F.lit(a).alias("type_a"), F.lit(b).alias("type_b"),
+                  "exact_a", "est_a", "exact_b", "est_b",
+                  "exact_union", "est_union", "exact_inter",
+                  F.round(F.col("n_inter") / F.lit(float(k))
+                          * F.col("est_union"), 4).alias("est_inter")))

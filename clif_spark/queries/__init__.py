@@ -226,7 +226,7 @@ _VERIFY_FIRST = [
     # driver row before any refresh does) — prepended as they land ---
     "mm_jpeg_pixel_stats", "mm_video_frame_stats",
     "dedup_prefix_filter_join", "curation_dsir_importance",
-    "dedup_semantic_contract", "dedup_semantic",
+    "dedup_semantic_contract", "dedup_semantic", "a23_kmv_set_sketch",
     # --- r2-row refreshes ceded from the r6 rotation (code unchanged,
     # machinery re-exercised by fresher green rows, now due): projection
     # trio, rollup/profile trio, window quartet + session pair, struct
@@ -249,7 +249,7 @@ _VERIFY_FIRST = [
     "r2_pivot_wide", "r4_explode_top_tokens",
     "a12_approx_distinct_bound", "a13_sketch_merge_distinct",
     "a14_approx_percentile_bound", "a15_ordered_string_agg",
-    "u2_u3_distinct_dedup", "u4_intersect_except",
+    "u2_u3_distinct_dedup",
     # --- streams at the tail of the 50 (multi-second startup each):
     # the two r2-row session/state streams ceded from r6, then the two
     # r4-row streams ---
@@ -275,8 +275,9 @@ _VERIFY_FIRST = [
 # pipeline_med_admin_continuous dose parse), and w10_funnel_conversion
 # + w11_range_time_frame (ceded when the two r7 semantic-dedup rows
 # took their slots; their window machinery also runs inside the
-# r5-green w12-w15 rows). Those lead round 8 behind any new
-# registrations.
+# r5-green w12-w15 rows), and u4_intersect_except (set-op machinery
+# also inside the r5-green u5/u6/u7 rows; ceded for the a23 KMV slot).
+# Those lead round 8 behind any new registrations.
 
 _VERIFY_LAST = [
     # (empty this round: the two heavy r2-row streams are due for their

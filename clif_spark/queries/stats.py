@@ -416,3 +416,90 @@ def o4_zorder_key(spark, sf_dir):
     return q.select("event_id", "ua", "vq",
                     layout.morton_key(F.col("ua"),
                                       F.col("vq")).alias("zkey"))
+
+
+def _hex12_sql(expr: str) -> str:
+    """DuckDB mirror of Spark's conv(substr(h, 1, 12), 16, 10): integer
+    value of the first 12 hex chars (48 bits — fits BIGINT), built from
+    strpos nibbles (the repo's standard engine-portable hex trick)."""
+    terms = []
+    for i in range(12):
+        w = 1 << (4 * (11 - i))
+        terms.append(f"(strpos('0123456789abcdef',"
+                     f" substr({expr}, {i + 1}, 1)) - 1) * {w}::BIGINT")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "a23_kmv_set_sketch",
+    oracle=f"""
+    -- KMV distinct sketch with set operations, recomputed IDENTICALLY:
+    -- the sketch is deterministic (k smallest md5 digests), so the
+    -- oracle mirrors the estimator itself, not just an error bound —
+    -- stronger than the a12-a14 contracts. k = 64, key = floor(value
+    -- * 100), groups 'click' vs 'view'.
+    WITH t AS (
+      SELECT DISTINCT event_type AS g,
+             CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR) AS key
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    h AS (SELECT g, md5('kmv:' || key) AS h FROM t),
+    sk AS (
+      SELECT g, h FROM (
+        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+        FROM h) WHERE rn <= 64
+    ),
+    usk AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM sk)) WHERE rn <= 64
+    ),
+    perg AS (SELECT g, MAX(h) AS kth, COUNT(*) AS n FROM sk GROUP BY g),
+    ex AS (SELECT g, COUNT(*) AS exact FROM t GROUP BY g),
+    est_g AS (
+      SELECT g,
+             CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                  ELSE ROUND(63.0 / ({_hex12_sql('kth')}
+                             / 281474976710656.0), 4) END AS est
+      FROM perg
+    ),
+    uagg AS (SELECT MAX(h) AS kth, COUNT(*) AS n FROM usk),
+    est_u AS (
+      SELECT CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                  ELSE ROUND(63.0 / ({_hex12_sql('kth')}
+                             / 281474976710656.0), 4) END AS est_union
+      FROM uagg
+    ),
+    ninter AS (
+      SELECT COUNT(*) AS n_inter FROM usk
+      WHERE h IN (SELECT h FROM sk WHERE g = 'click')
+        AND h IN (SELECT h FROM sk WHERE g = 'view')
+    ),
+    exu AS (SELECT COUNT(DISTINCT key) AS exact_union FROM t),
+    exi AS (
+      SELECT COUNT(*) AS exact_inter FROM (
+        SELECT key FROM t GROUP BY key HAVING COUNT(*) = 2)
+    )
+    SELECT 'click' AS type_a, 'view' AS type_b,
+           (SELECT exact FROM ex WHERE g = 'click') AS exact_a,
+           (SELECT est FROM est_g WHERE g = 'click') AS est_a,
+           (SELECT exact FROM ex WHERE g = 'view') AS exact_b,
+           (SELECT est FROM est_g WHERE g = 'view') AS est_b,
+           exu.exact_union, est_u.est_union, exi.exact_inter,
+           ROUND(ninter.n_inter / 64.0 * est_u.est_union, 4) AS est_inter
+    FROM exu, est_u, exi, ninter
+    """,
+)
+def a23_kmv_set_sketch(spark, sf_dir):
+    """KMV sketch set algebra over events: distinct floor(value*100)
+    keys per event type, k = 64 minimum md5 digests per group, union
+    sketch by re-ranking the merged members, intersection by
+    Jaccard-scaling the union estimate — the multiset synopsis HLL
+    cannot provide (operators/profile.py:kmv_set_sketch). Deterministic
+    order statistics make the ESTIMATES themselves oracle-checkable,
+    exact counts ride along for honesty. One sketch-sized exchange per
+    group; nothing data-sized crosses the final join."""
+    ev = io.load_table(spark, sf_dir, "events")
+    return profile.kmv_set_sketch(
+        ev, F.floor(F.col("value") * 100).cast("long"),
+        "event_type", ("click", "view"), k=64)

@@ -577,3 +577,32 @@ def test_jpeg_decoder_never_crashes_on_garbage(blob, cut):
     valid = J.jpeg_encode_gray(9, 7, lambda x, y: (x + y) % 256)
     got = J.jpeg_gray_values(valid[:min(cut, len(valid))])
     assert got is None  # any strict prefix is incomplete
+
+
+def test_kmv_sketch_estimator_properties(spark):
+    """KMV on constructed sets: small-set fallback is EXACT (sketch holds
+    everything below k), and on sets well above k the estimates land
+    within the ~1/sqrt(k) band while union/intersection stay consistent
+    with the true set algebra."""
+    from clif_spark.operators.profile import kmv_set_sketch
+    from pyspark.sql import functions as F
+
+    # A = 0..599, B = 400..999 -> |A|=600, |B|=600, |A∪B|=1000, |A∩B|=200
+    rows = ([("a", i) for i in range(600)]
+            + [("b", i) for i in range(400, 1000)])
+    df = spark.createDataFrame(rows, ["g", "k"])
+    r = kmv_set_sketch(df, F.col("k"), F.col("g"), ("a", "b"), k=64).first()
+    assert (r.exact_a, r.exact_b) == (600, 600)
+    assert (r.exact_union, r.exact_inter) == (1000, 200)
+    for est, exact in [(r.est_a, 600), (r.est_b, 600),
+                       (r.est_union, 1000)]:
+        assert abs(est - exact) / exact < 0.5  # ~4 sigma at k=64
+    assert 0 < r.est_inter < 600  # rough but sane at rho=0.2
+
+    # small sets: sketch IS the set, estimates exactly equal the counts
+    tiny = spark.createDataFrame(
+        [("a", i) for i in range(10)] + [("b", i) for i in range(5, 20)],
+        ["g", "k"])
+    rt = kmv_set_sketch(tiny, F.col("k"), F.col("g"), ("a", "b"),
+                        k=64).first()
+    assert (rt.est_a, rt.est_b, rt.est_union) == (10.0, 15.0, 20.0)
