@@ -246,3 +246,31 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
                .otherwise("changed"))
     return (j.withColumn("change", change)
              .drop("__in_old", "__in_new"))
+
+
+def with_audit(df: DataFrame, name: str, **metrics: Column):
+    """Attach pipeline audit counters that ride the SAME action — the
+    production alternative to sprinkling ``count()`` calls (each of which
+    is a full extra pass; at 100 TB a three-stage pipeline with per-stage
+    counts would quadruple the I/O). ``df.observe`` evaluates the metric
+    expressions inside the existing plan; the values materialize when the
+    caller's one action runs and are read from the returned Observation
+    handle afterwards.
+
+    Returns (df, observation). Metrics must be aggregates over the rows
+    flowing PAST this point (count/sum/min/max/count_if — anything
+    Catalyst can fold into an AggregatingAccumulator); defaults to a bare
+    row count when none are given.
+
+    Contract note: metrics reflect the rows the plan ACTUALLY processed —
+    under limit pushdown or pruned scans that can legitimately be fewer
+    than a standalone count() of the same relation would report. That is
+    the audit you want (what this run saw), not corpus cardinality.
+    """
+    from pyspark.sql import Observation
+
+    if not metrics:
+        metrics = {"n_rows": F.count(F.lit(1))}
+    obs = Observation(name)
+    exprs = [v.alias(k) for k, v in metrics.items()]
+    return df.observe(obs, *exprs), obs

@@ -346,3 +346,39 @@ def test_admission_diagnosis_projection(spark):
         ("6914", "100234", "Sepsis", "A41.9", "Y"),
         ("6914", "100235", "COVID-19", "U07.1", "N"),
         ("7001", "100500", "Pneumonia", "J18.9", None)]
+
+
+def test_with_audit_counters_ride_the_single_action(spark):
+    """operators.core.with_audit: per-stage audit metrics must (a) equal
+    independently recomputed values, and (b) cost ZERO extra Spark jobs —
+    the observation piggybacks on the one collect, which is the entire
+    point at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from clif_spark.operators import core
+
+    df = spark.range(10_000).selectExpr(
+        "id", "id % 7 AS k", "CAST(id % 100 AS DOUBLE) AS v")
+    staged, obs_in = core.with_audit(
+        df, "ingest", n=F.count(F.lit(1)), v_sum=F.sum("v"))
+    filtered = staged.filter(F.col("k") < 3)
+    out, obs_flt = core.with_audit(
+        filtered, "filtered", n=F.count(F.lit(1)),
+        k_max=F.max("k"))
+    sc = spark.sparkContext
+
+    def jobs_for(action):
+        before = max(sc.statusTracker().getJobIdsForGroup() or [-1])
+        result = action()
+        return result, max(sc.statusTracker().getJobIdsForGroup()
+                           or [-1]) - before
+
+    # baseline: the identical aggregation without any observation
+    _, base_jobs = jobs_for(
+        lambda: df.filter(F.col("k") < 3).groupBy("k").count().collect())
+    rows, obs_jobs = jobs_for(lambda: out.groupBy("k").count().collect())
+    assert obs_jobs == base_jobs  # metrics rode along: zero extra jobs
+    assert obs_in.get == {"n": 10_000, "v_sum": sum((i % 100) for i in range(10_000))}
+    exp_flt = sum(1 for i in range(10_000) if i % 7 < 3)
+    assert obs_flt.get == {"n": exp_flt, "k_max": 2}
+    assert sum(r["count"] for r in rows) == exp_flt
