@@ -344,3 +344,74 @@ def kmv_set_sketch(df: DataFrame, key, group, pair: tuple[str, str],
                   "exact_union", "est_union", "exact_inter",
                   F.round(F.col("n_inter") / F.lit(float(k))
                           * F.col("est_union"), 4).alias("est_inter")))
+
+
+def chisq_association(df: DataFrame, a: str, b, n_b_buckets: int = 0
+                      ) -> DataFrame:
+    """Chi-square test of association between two categorical columns —
+    the profiling step that answers "is this dimension informative about
+    that one" before a pipeline conditions on it. ``b`` may be a Column
+    expression (e.g. a bucketed measure). Emits one row:
+    (n, df_degrees, chi2) with chi2 computed from the contingency table
+    against independence expectations.
+
+    Determinism: observed counts are integers; expected = row_total *
+    col_total / n evaluates in DOUBLE with one fixed expression order, and
+    the chi2 sum accumulates in integer NANOS of each cell's contribution
+    (floor(x*1e9 + 0.5)) so parallel summation order cannot change the
+    result — the dsum discipline applied to a statistic.
+
+    Scale shape: ONE groupBy(a, b) over the data (the contingency table —
+    cells-sized, not data-sized), then broadcast-sized row/column margins
+    joined back to cells. Nothing data-sized after the first aggregate.
+    """
+    bcol = F.col(b) if isinstance(b, str) else b
+    cells = (df.select(F.col(a).alias("ka"), bcol.alias("kb"))
+               .groupBy("ka", "kb").agg(F.count(F.lit(1)).alias("o")))
+    rows_m = cells.groupBy("ka").agg(F.sum("o").alias("ra"))
+    cols_m = cells.groupBy("kb").agg(F.sum("o").alias("cb"))
+    tot = cells.agg(F.sum("o").alias("n"),
+                    F.count_distinct("ka").alias("nr"),
+                    F.count_distinct("kb").alias("nc"))
+    joined = (cells.join(F.broadcast(rows_m), "ka")
+                   .join(F.broadcast(cols_m), "kb")
+                   .crossJoin(F.broadcast(tot)))
+    # plain multiply, NOT pow(x, 2): POWER may route through exp/log in
+    # some engines and drift a ULP — d*d is the same IEEE op everywhere
+    dev = F.col("o") - F.col("ra") * F.col("cb") / F.col("n")
+    contrib = dev * dev / (F.col("ra") * F.col("cb") / F.col("n"))
+    return (joined
+            .agg(F.max("n").alias("n"),
+                 ((F.max("nr") - 1) * (F.max("nc") - 1)).alias("df_degrees"),
+                 (F.sum(F.floor(contrib * F.lit(1e9) + F.lit(0.5))
+                        .cast("long")) / F.lit(1e9)).alias("chi2")))
+
+
+def equi_depth_histogram(df: DataFrame, value: str, n_buckets: int = 10,
+                         keys: Sequence[str] = (),
+                         tiebreakers: Sequence[str] = ()) -> DataFrame:
+    """Equal-DEPTH histogram (quantile buckets): boundaries are the
+    nearest-rank k/n_buckets percentiles, so every bucket holds ~the same
+    row count — the complement of a16's equal-width binning and the shape
+    optimizers use for selectivity estimation on skewed columns (a
+    uniform-width histogram of a zipfian column wastes most buckets on
+    the tail). Emits (keys..., bucket, lo, hi, n_rows): lo/hi are ACTUAL
+    data values (nearest-rank — no float interpolation, bit-identical
+    across engines); bucket membership is by rank, so duplicate-heavy
+    boundaries resolve deterministically.
+
+    Cost: same single shuffle + per-group sort as exact_percentiles (the
+    ntile window rides the same ordering), with the same documented scale
+    stance: exact answers for grouped domains; at corpus scale switch to
+    percentile_approx boundaries.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(value, *tiebreakers)
+    ranked = df.select(*keys, value, *tiebreakers).select(
+        *keys, F.col(value),
+        F.ntile(n_buckets).over(w).alias("bucket"))
+    return (ranked.groupBy(*keys, "bucket")
+                  .agg(F.min(value).alias("lo"),
+                       F.max(value).alias("hi"),
+                       F.count(F.lit(1)).alias("n_rows")))

@@ -227,6 +227,7 @@ _VERIFY_FIRST = [
     "mm_jpeg_pixel_stats", "mm_video_frame_stats",
     "dedup_prefix_filter_join", "curation_dsir_importance",
     "dedup_semantic_contract", "dedup_semantic", "a23_kmv_set_sketch",
+    "a24_chisq_association", "a25_equi_depth_histogram",
     # --- r2-row refreshes ceded from the r6 rotation (code unchanged,
     # machinery re-exercised by fresher green rows, now due): projection
     # trio, rollup/profile trio, window quartet + session pair, struct
@@ -247,7 +248,6 @@ _VERIFY_FIRST = [
     "j1_vocab_broadcast_star", "j3_full_outer_join", "j6_fuzzy_vocab_match",
     "j9_salted_skew_join", "j10_levenshtein_vocab_match",
     "r2_pivot_wide", "r4_explode_top_tokens",
-    "a12_approx_distinct_bound", "a13_sketch_merge_distinct",
     "a14_approx_percentile_bound", "a15_ordered_string_agg",
     "u2_u3_distinct_dedup",
     # --- streams at the tail of the 50 (multi-second startup each):
@@ -276,8 +276,10 @@ _VERIFY_FIRST = [
 # + w11_range_time_frame (ceded when the two r7 semantic-dedup rows
 # took their slots; their window machinery also runs inside the
 # r5-green w12-w15 rows), and u4_intersect_except (set-op machinery
-# also inside the r5-green u5/u6/u7 rows; ceded for the a23 KMV slot).
-# Those lead round 8 behind any new registrations.
+# also inside the r5-green u5/u6/u7 rows; ceded for the a23 KMV slot),
+# and a12/a13 (HLL bound-contract machinery re-exercised by the
+# r5-green a21 + r6-green stream CMS rows; ceded for the a24/a25
+# slots). Those lead round 8 behind any new registrations.
 
 _VERIFY_LAST = [
     # (empty this round: the two heavy r2-row streams are due for their

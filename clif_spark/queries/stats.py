@@ -503,3 +503,78 @@ def a23_kmv_set_sketch(spark, sf_dir):
     return profile.kmv_set_sketch(
         ev, F.floor(F.col("value") * 100).cast("long"),
         "event_type", ("click", "view"), k=64)
+
+
+@query(
+    "a24_chisq_association",
+    oracle="""
+    -- Chi-square association between event_type and the value decile
+    -- bucket, mirrored cell for cell: integer observed counts, expected
+    -- in DOUBLE with one fixed expression order, per-cell contributions
+    -- folded in integer NANOS (the dsum discipline on a statistic) so
+    -- neither engine's summation order can flip a bit. d*d, not
+    -- POWER(d, 2) — pow may route through exp/log and drift a ULP.
+    WITH cells AS (
+      SELECT event_type AS ka, CAST(FLOOR(value / 50) AS BIGINT) AS kb,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    ra AS (SELECT ka, SUM(o) AS ra FROM cells GROUP BY ka),
+    cb AS (SELECT kb, SUM(o) AS cb FROM cells GROUP BY kb),
+    tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT ka) AS nr,
+                   COUNT(DISTINCT kb) AS nc FROM cells),
+    j AS (
+      SELECT o, ra.ra, cb.cb, tot.n, tot.nr, tot.nc,
+             (o - ra.ra * cb.cb / tot.n) AS dev
+      FROM cells JOIN ra USING (ka) JOIN cb USING (kb), tot
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST((MAX(nr) - 1) * (MAX(nc) - 1) AS BIGINT) AS df_degrees,
+           SUM(CAST(FLOOR(dev * dev / (ra * cb / n) * 1000000000.0 + 0.5)
+                    AS BIGINT)) / 1000000000.0 AS chi2
+    FROM j
+    """,
+)
+def a24_chisq_association(spark, sf_dir):
+    """Association profiling (operators/profile.py:chisq_association):
+    is event_type informative about the value decile? One contingency
+    groupBy over the data, broadcast margins joined back to the
+    cells-sized table, chi2 folded order-independently in integer nanos.
+    The profiling complement to a10's moments/correlation for
+    categorical×categorical structure."""
+    ev = io.load_table(spark, sf_dir, "events")
+    return profile.chisq_association(
+        ev, "event_type", F.floor(F.col("value") / 50).cast("long"))
+
+
+@query(
+    "a25_equi_depth_histogram",
+    oracle="""
+    -- Equal-DEPTH histogram: ntile(8) quantile buckets of value per
+    -- event_type with (value, event_id) total order — both engines'
+    -- standard ntile fills early buckets first, so identical ordering
+    -- means identical membership, and lo/hi are actual data values
+    -- (nearest-rank discipline: no float interpolation anywhere).
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           MIN(value) AS lo, MAX(value) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM (
+      SELECT event_type, value,
+             ntile(8) OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS bucket
+      FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def a25_equi_depth_histogram(spark, sf_dir):
+    """Equal-depth (quantile) histogram of value per event_type
+    (operators/profile.py:equi_depth_histogram) — the selectivity-
+    estimation shape for skewed columns, complementing a16's equal-width
+    bins: every bucket holds ~n/8 rows and the boundaries are actual
+    data values. Same one-shuffle cost envelope as exact_percentiles."""
+    ev = io.load_table(spark, sf_dir, "events")
+    out = profile.equi_depth_histogram(
+        ev, "value", n_buckets=8, keys=("event_type",),
+        tiebreakers=("event_id",))
+    return out.select("event_type", F.col("bucket").cast("long"),
+                      "lo", "hi", F.col("n_rows").cast("long"))
