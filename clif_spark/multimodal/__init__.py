@@ -1350,3 +1350,117 @@ def extract_video_frames(df: DataFrame, stride: int = 1,
 
     return df.select(id_col, payload_col).mapInPandas(
         run, VIDEO_FRAME_SCHEMA)
+
+
+#: Real-resize contract: geometry + decoded-resample statistics per doc.
+RESIZE_PIXELS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("out_width", T.LongType()),
+    T.StructField("out_height", T.LongType()),
+    T.StructField("n_values", T.LongType()),
+    T.StructField("mean_value", T.DoubleType()),
+    T.StructField("peak", T.LongType()),
+])
+
+
+def synth_png_payload(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      out_col: str = "payload") -> DataFrame:
+    """PNG twin of synth_gif_payload for the real-resize path: even
+    doc_ids become real RGB PNGs (zlib scanlines, filter rotation) with
+    closed-form pixels value(x, y, c) = (doc_id + 2x + 3y + 5c) % 256
+    over a (10 + id%30) × (8 + id%22) frame; odd doc_ids stay text."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField(out_col, T.BinaryType()),
+    ])
+    build_png, _, _ = _sample_codecs()
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def build(doc_id: int, text: str) -> bytes:
+            if doc_id % 2 == 0:
+                return build_png(
+                    10 + doc_id % 30, 8 + doc_id % 22,
+                    lambda x, y, c: (doc_id + 2 * x + 3 * y + 5 * c) % 256)
+            return (text or "").encode("utf-8")
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                out_col: [build(int(i), t)
+                          for i, t in zip(pdf[id_col], pdf[text_col])],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def resize_image_pixels(df: DataFrame, max_side: int = 16,
+                        id_col: str = "doc_id",
+                        payload_col: str = "payload") -> DataFrame:
+    """REAL image resize — the operation resize_image_meta only PLANNED:
+    decode actual PNG pixels (zlib inflate + unfilters), nearest-neighbor
+    resample into the aspect-preserving ``max_side`` fit (source index =
+    floor(dst * src_side / dst_side), the standard box-free NN mapping,
+    all integer arithmetic), and reduce the resampled channels to
+    (n, mean, peak). The geometry formula is bit-identical to
+    resize_image_meta's; the pixel transform is what a training
+    preprocessing pass actually runs before feature extraction.
+    Non-PNG payloads yield NULL stats (kind discipline of
+    media_sample_features). Scale shape: one streaming Arrow batch per
+    task; per-image work is bounded by max_side^2."""
+    _, png_values, _ = _sample_codecs()
+    _, _, header = _media_codecs()
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def one(payload: bytes):
+            vals = png_values(payload)
+            meta = header(payload)
+            if vals is None or meta is None or meta[0] != "png":
+                return (None,) * 7
+            _, w, h = meta
+            long_side = max(w, h)
+            if long_side <= max_side:
+                rw, rh = w, h
+            elif w >= h:
+                rw, rh = max_side, (h * max_side) // w
+            else:
+                rw, rh = (w * max_side) // h, max_side
+            rw, rh = max(rw, 1), max(rh, 1)
+            s = peak = n = 0
+            for y2 in range(rh):
+                sy = y2 * h // rh
+                row = sy * w
+                for x2 in range(rw):
+                    base = (row + x2 * w // rw) * 3
+                    for c in range(3):
+                        v = vals[base + c]
+                        s += v
+                        if v > peak:
+                            peak = v
+                        n += 1
+            return (w, h, rw, rh, n, s / n, peak)
+
+        for pdf in batches:
+            rows = [one(b if b is not None else b"")
+                    for b in pdf[payload_col]]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "width": pd.array([r[0] for r in rows], dtype="Int64"),
+                "height": pd.array([r[1] for r in rows], dtype="Int64"),
+                "out_width": pd.array([r[2] for r in rows], dtype="Int64"),
+                "out_height": pd.array([r[3] for r in rows],
+                                       dtype="Int64"),
+                "n_values": pd.array([r[4] for r in rows], dtype="Int64"),
+                "mean_value": pd.array([r[5] for r in rows],
+                                       dtype="float64"),
+                "peak": pd.array([r[6] for r in rows], dtype="Int64"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, RESIZE_PIXELS_SCHEMA)

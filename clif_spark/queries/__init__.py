@@ -228,6 +228,7 @@ _VERIFY_FIRST = [
     "dedup_prefix_filter_join", "curation_dsir_importance",
     "dedup_semantic_contract", "dedup_semantic", "a23_kmv_set_sketch",
     "a24_chisq_association", "a25_equi_depth_histogram",
+    "mm_resize_pixels",
     # --- r2-row refreshes ceded from the r6 rotation (code unchanged,
     # machinery re-exercised by fresher green rows, now due): projection
     # trio, rollup/profile trio, window quartet + session pair, struct
@@ -248,7 +249,7 @@ _VERIFY_FIRST = [
     "j1_vocab_broadcast_star", "j3_full_outer_join", "j6_fuzzy_vocab_match",
     "j9_salted_skew_join", "j10_levenshtein_vocab_match",
     "r2_pivot_wide", "r4_explode_top_tokens",
-    "a14_approx_percentile_bound", "a15_ordered_string_agg",
+    "a15_ordered_string_agg",
     "u2_u3_distinct_dedup",
     # --- streams at the tail of the 50 (multi-second startup each):
     # the two r2-row session/state streams ceded from r6, then the two
@@ -279,7 +280,10 @@ _VERIFY_FIRST = [
 # also inside the r5-green u5/u6/u7 rows; ceded for the a23 KMV slot),
 # and a12/a13 (HLL bound-contract machinery re-exercised by the
 # r5-green a21 + r6-green stream CMS rows; ceded for the a24/a25
-# slots). Those lead round 8 behind any new registrations.
+# slots), and a14 (GK percentile bound contract; its exact-percentile
+# counterpart machinery holds fresh rows via a17/a20/a25 — ceded for
+# the mm_resize_pixels slot). Those lead round 8 behind any new
+# registrations.
 
 _VERIFY_LAST = [
     # (empty this round: the two heavy r2-row streams are due for their

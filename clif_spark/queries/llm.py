@@ -537,6 +537,67 @@ def dedup_semantic_contract(spark, sf_dir):
                  | F.col("__hit").isNotNull()).alias("near_ok")))
 
 
+@query(
+    "mm_resize_pixels",
+    oracle="""
+    -- REAL resize: even docs are RGB PNGs with value(x,y,c) =
+    -- (doc_id + 2x + 3y + 5c) % 256; the operator must decode actual
+    -- pixels, nearest-neighbor resample into the aspect-preserving
+    -- 16-square (source index = dst * src // dstside, all integer), and
+    -- reduce — so the oracle predicts the RESAMPLED statistics, not the
+    -- originals: value at (x2,y2,c) = closed form at (x2*w//rw,
+    -- y2*h//rh).
+    WITH png AS (
+      SELECT doc_id, 10 + doc_id % 30 AS w, 8 + doc_id % 22 AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    geom AS (
+      SELECT doc_id, w, h,
+             CASE WHEN greatest(w, h) <= 16 THEN w
+                  WHEN w >= h THEN 16 ELSE (w * 16) // h END AS rw,
+             CASE WHEN greatest(w, h) <= 16 THEN h
+                  WHEN w >= h THEN (h * 16) // w ELSE 16 END AS rh
+      FROM png
+    ),
+    px AS (
+      SELECT g.doc_id, g.w, g.h, g.rw, g.rh,
+             (g.doc_id + 2 * ((tx.x * g.w) // g.rw)
+              + 3 * ((ty.y * g.h) // g.rh) + 5 * tc.c) % 256 AS v
+      FROM geom g, generate_series(0, 15) AS tx(x),
+           generate_series(0, 15) AS ty(y),
+           generate_series(0, 2) AS tc(c)
+      WHERE tx.x < g.rw AND ty.y < g.rh
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(rw AS BIGINT) AS out_width, CAST(rh AS BIGINT) AS out_height,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_value,
+           CAST(MAX(v) AS BIGINT) AS peak
+    FROM px GROUP BY doc_id, w, h, rw, rh
+    UNION ALL
+    SELECT doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def mm_resize_pixels(spark, sf_dir):
+    """The resize stub closes: resize_image_meta planned the geometry in
+    r3; this runs the actual pixel transform — decode real PNG scanlines,
+    nearest-neighbor resample into the aspect-preserving 16-square
+    (integer source mapping, no float resampling kernels to drift), and
+    reduce the RESAMPLED channels, gated against an oracle that predicts
+    the post-resize statistics from the fixture's closed form. Together
+    with mm_sample_stats (decode), mm_jpeg/gif_pixel_stats (codecs) and
+    mm_video_frame_stats (demux), every stage a multimodal preprocessing
+    pipeline runs before a learned model is now real and oracle-checked.
+    Scale shape: streaming Arrow batches, bounded per-image work
+    (max_side^2), nothing driver-side."""
+    d = io.load_table(spark, sf_dir, "documents")
+    payload = multimodal.synth_png_payload(d)
+    return multimodal.resize_image_pixels(payload, max_side=16)
+
+
 def _simhash_sig_ctes(docs_src: str) -> str:
     """DuckDB CTE chain computing dedup.simhash64 term for term: md5 hex
     nibbles (strpos mirror of Spark's conv), 64 frequency-weighted bit

@@ -568,3 +568,33 @@ def test_extract_video_frames_strides_and_skips(spark):
         assert r.byte_sum == sum((7 * d + 13 * k + i) % 256
                                  for i in range(sz))
         assert r.pts_ms == (40 * k * 1000) // (1000 * (1 + d % 3))
+
+
+def test_resize_image_pixels_exact_mapping(spark):
+    """Real resize: identity below max_side, exact nearest-neighbor
+    source mapping above it, NULL stats for non-PNG payloads."""
+    import pandas as pd
+
+    build_png, png_vals, _ = multimodal._sample_codecs()
+
+    def pix(x, y, c):
+        return (7 * x + 11 * y + 3 * c) % 256
+
+    small = build_png(6, 4, pix)           # fits: passes through
+    big = build_png(32, 8, pix)            # resizes to 16 x 4
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, b"not a png")], ["doc_id", "payload"])
+    out = {r.doc_id: r for r in
+           multimodal.resize_image_pixels(df, max_side=16).collect()}
+    r1 = out[1]
+    assert (r1.out_width, r1.out_height, r1.n_values) == (6, 4, 6 * 4 * 3)
+    exp1 = [pix(x, y, c) for y in range(4) for x in range(6)
+            for c in range(3)]
+    assert r1.mean_value == sum(exp1) / len(exp1)
+    r2 = out[2]
+    assert (r2.width, r2.height, r2.out_width, r2.out_height) == (32, 8, 16, 4)
+    exp2 = [pix((x * 32) // 16, (y * 8) // 4, c)
+            for y in range(4) for x in range(16) for c in range(3)]
+    assert (r2.n_values, r2.peak) == (len(exp2), max(exp2))
+    assert r2.mean_value == sum(exp2) / len(exp2)
+    assert out[3].n_values is None and out[3].mean_value is None
