@@ -1464,3 +1464,81 @@ def resize_image_pixels(df: DataFrame, max_side: int = 16,
 
     return df.select(id_col, payload_col).mapInPandas(
         run, RESIZE_PIXELS_SCHEMA)
+
+
+#: Audio decimation contract: geometry + decimated-sample statistics.
+AUDIO_RESAMPLE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("sample_rate_in", T.LongType()),
+    T.StructField("sample_rate_out", T.LongType()),
+    T.StructField("channels", T.LongType()),
+    T.StructField("n_frames_out", T.LongType()),
+    T.StructField("n_values", T.LongType()),
+    T.StructField("mean_value", T.DoubleType()),
+    T.StructField("peak", T.LongType()),
+])
+
+
+def resample_audio_pcm(df: DataFrame, stride: int = 3,
+                       id_col: str = "doc_id",
+                       payload_col: str = "payload") -> DataFrame:
+    """REAL audio resample (integer decimation): decode actual 16-bit PCM
+    frames, keep every ``stride``-th FRAME (all channels of it — frame
+    grain, not flat sample grain, or stereo would desync), and reduce the
+    decimated samples — the audio analog of resize_image_pixels, and the
+    rate-normalization step an audio training pipeline runs before
+    feature extraction. Plain decimation (no anti-alias filter) is the
+    deliberate scope: it is exactly reproducible in integer arithmetic
+    and therefore oracle-checkable; a production low-pass would be a
+    float kernel with engine-specific rounding. Non-WAV payloads yield
+    NULL stats. Scale shape: streaming Arrow batches, per-doc work
+    linear in kept samples, nothing driver-side."""
+    _, _, wav_values = _sample_codecs()
+    wav_meta, _, _ = _media_codecs()
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def one(payload: bytes):
+            vals = wav_values(payload)
+            meta = wav_meta(payload)
+            if vals is None or meta is None:
+                return (None,) * 7
+            sr, ch, _ = meta
+            ch = max(ch or 1, 1)
+            nf = len(vals) // ch
+            s = peak = n = 0
+            for f in range(0, nf, stride):
+                base = f * ch
+                for c in range(ch):
+                    v = vals[base + c]
+                    s += v
+                    a = v if v >= 0 else -v
+                    if a > peak:
+                        peak = a
+                    n += 1
+            if n == 0:
+                return (sr, sr // stride, ch, 0, 0, None, None)
+            return (sr, sr // stride, ch, (nf + stride - 1) // stride,
+                    n, s / n, peak)
+
+        for pdf in batches:
+            rows = [one(b if b is not None else b"")
+                    for b in pdf[payload_col]]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "sample_rate_in": pd.array([r[0] for r in rows],
+                                           dtype="Int64"),
+                "sample_rate_out": pd.array([r[1] for r in rows],
+                                            dtype="Int64"),
+                "channels": pd.array([r[2] for r in rows], dtype="Int64"),
+                "n_frames_out": pd.array([r[3] for r in rows],
+                                         dtype="Int64"),
+                "n_values": pd.array([r[4] for r in rows], dtype="Int64"),
+                "mean_value": pd.array([r[5] for r in rows],
+                                       dtype="float64"),
+                "peak": pd.array([r[6] for r in rows], dtype="Int64"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, AUDIO_RESAMPLE_SCHEMA)

@@ -228,7 +228,7 @@ _VERIFY_FIRST = [
     "dedup_prefix_filter_join", "curation_dsir_importance",
     "dedup_semantic_contract", "dedup_semantic", "a23_kmv_set_sketch",
     "a24_chisq_association", "a25_equi_depth_histogram",
-    "mm_resize_pixels",
+    "mm_resize_pixels", "mm_audio_resample",
     # --- r2-row refreshes ceded from the r6 rotation (code unchanged,
     # machinery re-exercised by fresher green rows, now due): projection
     # trio, rollup/profile trio, window quartet + session pair, struct
@@ -249,7 +249,6 @@ _VERIFY_FIRST = [
     "j1_vocab_broadcast_star", "j3_full_outer_join", "j6_fuzzy_vocab_match",
     "j9_salted_skew_join", "j10_levenshtein_vocab_match",
     "r2_pivot_wide", "r4_explode_top_tokens",
-    "a15_ordered_string_agg",
     "u2_u3_distinct_dedup",
     # --- streams at the tail of the 50 (multi-second startup each):
     # the two r2-row session/state streams ceded from r6, then the two
@@ -282,8 +281,9 @@ _VERIFY_FIRST = [
 # r5-green a21 + r6-green stream CMS rows; ceded for the a24/a25
 # slots), and a14 (GK percentile bound contract; its exact-percentile
 # counterpart machinery holds fresh rows via a17/a20/a25 — ceded for
-# the mm_resize_pixels slot). Those lead round 8 behind any new
-# registrations.
+# the mm_resize_pixels slot), and a15_ordered_string_agg (ordered
+# collect_list machinery also in the r5-green pipeline rows; ceded for
+# mm_audio_resample). Those lead round 8 behind any new registrations.
 
 _VERIFY_LAST = [
     # (empty this round: the two heavy r2-row streams are due for their

@@ -598,6 +598,56 @@ def mm_resize_pixels(spark, sf_dir):
     return multimodal.resize_image_pixels(payload, max_side=16)
 
 
+@query(
+    "mm_audio_resample",
+    oracle="""
+    -- REAL audio decimation over the rich-media corpus (same fixture as
+    -- mm_sample_stats): wav docs (doc_id % 4 = 0) carry interleaved PCM
+    -- value_k = ((id*31 + 7k) % 2048) - 1024 over nf = 100 + id%50
+    -- frames x ch = 1 + (id//4)%2 channels; the operator keeps every
+    -- 3rd FRAME (all its channels), so the oracle predicts the
+    -- DECIMATED statistics. Non-wav docs (mp4/png/text) -> NULL stats.
+    WITH wav AS (
+      SELECT doc_id, 1 + (doc_id // 4) % 2 AS ch, 100 + doc_id % 50 AS nf,
+             8000 + (doc_id % 5) * 4000 AS sr
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    v AS (
+      SELECT w.doc_id, w.ch, w.nf, w.sr,
+             ((w.doc_id * 31 + (f.f * w.ch + c.c) * 7) % 2048) - 1024 AS v
+      FROM wav w, generate_series(0, 149) AS f(f),
+           generate_series(0, 1) AS c(c)
+      WHERE f.f < w.nf AND f.f % 3 = 0 AND c.c < w.ch
+    )
+    SELECT doc_id, CAST(sr AS BIGINT) AS sample_rate_in,
+           CAST(sr // 3 AS BIGINT) AS sample_rate_out,
+           CAST(ch AS BIGINT) AS channels,
+           CAST((nf + 2) // 3 AS BIGINT) AS n_frames_out,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_value,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak
+    FROM v GROUP BY doc_id, sr, ch, nf
+    UNION ALL
+    SELECT doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+    FROM documents WHERE doc_id % 4 <> 0
+    """,
+)
+def mm_audio_resample(spark, sf_dir):
+    """Audio joins the transform set (multimodal.resample_audio_pcm):
+    decode real PCM, decimate at FRAME grain (stereo stays in sync),
+    reduce the kept samples — gated against post-decimation closed-form
+    statistics. Plain decimation rather than filtered resampling is the
+    documented scope line: integer-exact, hence oracle-checkable. The
+    multimodal transform story is now symmetric: images resize
+    (mm_resize_pixels), audio resamples, video demuxes+strides
+    (mm_video_frame_stats)."""
+    d = io.load_table(spark, sf_dir, "documents")
+    payload = multimodal.synth_rich_media_payload(d)
+    return multimodal.resample_audio_pcm(payload, stride=3)
+
+
 def _simhash_sig_ctes(docs_src: str) -> str:
     """DuckDB CTE chain computing dedup.simhash64 term for term: md5 hex
     nibbles (strpos mirror of Spark's conv), 64 frequency-weighted bit

@@ -598,3 +598,28 @@ def test_resize_image_pixels_exact_mapping(spark):
     assert (r2.n_values, r2.peak) == (len(exp2), max(exp2))
     assert r2.mean_value == sum(exp2) / len(exp2)
     assert out[3].n_values is None and out[3].mean_value is None
+
+
+def test_resample_audio_pcm_frame_grain_decimation(spark):
+    """Frame-grain decimation keeps stereo in sync: both channels of a
+    kept frame survive together, counts/stats match hand computation,
+    and non-WAV payloads yield NULL stats."""
+    import struct
+
+    build_wav = multimodal.build_wav_bytes
+    # stereo: frame f carries samples (10f, -10f); 7 frames, stride 3
+    data = b"".join(struct.pack("<h", v)
+                    for f in range(7) for v in (10 * f, -10 * f))
+    wav = build_wav(24000, 2, 7, data=data)
+    df = spark.createDataFrame(
+        [(1, wav), (2, b"definitely not audio")], ["doc_id", "payload"])
+    out = {r.doc_id: r for r in
+           multimodal.resample_audio_pcm(df, stride=3).collect()}
+    r = out[1]
+    kept = [(10 * f, -10 * f) for f in (0, 3, 6)]
+    flat = [v for fr in kept for v in fr]
+    assert (r.sample_rate_in, r.sample_rate_out, r.channels) == (24000, 8000, 2)
+    assert (r.n_frames_out, r.n_values) == (3, 6)
+    assert r.mean_value == sum(flat) / len(flat)
+    assert r.peak == max(abs(v) for v in flat)
+    assert out[2].n_values is None
