@@ -1402,28 +1402,37 @@ def resize_image_pixels(df: DataFrame, max_side: int = 16,
                         id_col: str = "doc_id",
                         payload_col: str = "payload") -> DataFrame:
     """REAL image resize — the operation resize_image_meta only PLANNED:
-    decode actual PNG pixels (zlib inflate + unfilters), nearest-neighbor
-    resample into the aspect-preserving ``max_side`` fit (source index =
-    floor(dst * src_side / dst_side), the standard box-free NN mapping,
-    all integer arithmetic), and reduce the resampled channels to
-    (n, mean, peak). The geometry formula is bit-identical to
-    resize_image_meta's; the pixel transform is what a training
-    preprocessing pass actually runs before feature extraction.
-    Non-PNG payloads yield NULL stats (kind discipline of
-    media_sample_features). Scale shape: one streaming Arrow batch per
-    task; per-image work is bounded by max_side^2."""
+    decode actual pixels through whichever codec the container declares
+    (PNG zlib scanlines, GIF LZW+palette, baseline JPEG — all three real
+    decoders), nearest-neighbor resample into the aspect-preserving
+    ``max_side`` fit (source index = floor(dst * src_side / dst_side),
+    the standard box-free NN mapping, all integer arithmetic), and reduce
+    the resampled RGB channels to (n, mean, peak). The geometry formula
+    is bit-identical to resize_image_meta's; the pixel transform is what
+    a training preprocessing pass actually runs before feature
+    extraction. Non-image payloads (and images whose decode fails) yield
+    NULL stats rather than fabricated numbers. Scale shape: one streaming
+    Arrow batch per task; per-image work is bounded by max_side^2."""
+    from clif_spark.multimodal.jpeg import jpeg_rgb_values
+
     _, png_values, _ = _sample_codecs()
+    _, _, _, _, gif_values = _gif_codecs()
     _, _, header = _media_codecs()
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         def one(payload: bytes):
-            vals = png_values(payload)
             meta = header(payload)
-            if vals is None or meta is None or meta[0] != "png":
+            if meta is None:
                 return (None,) * 7
-            _, w, h = meta
+            fmt, w, h = meta
+            vals = (png_values(payload) if fmt == "png"
+                    else gif_values(payload) if fmt == "gif"
+                    else jpeg_rgb_values(payload) if fmt == "jpeg"
+                    else None)
+            if vals is None or len(vals) != w * h * 3:
+                return (None,) * 7
             long_side = max(w, h)
             if long_side <= max_side:
                 rw, rh = w, h

@@ -623,3 +623,32 @@ def test_resample_audio_pcm_frame_grain_decimation(spark):
     assert r.mean_value == sum(flat) / len(flat)
     assert r.peak == max(abs(v) for v in flat)
     assert out[2].n_values is None
+
+
+def test_resize_image_pixels_handles_gif_and_jpeg(spark):
+    """The resize transform dispatches through ALL three real image
+    codecs: a GIF's palette-mapped channels and a JPEG's luma-replicated
+    channels resize with the same exact NN mapping as PNG."""
+    from clif_spark.multimodal import jpeg as J
+
+    pal = multimodal.gif_palette(64)
+    gif = multimodal.build_gif_rich(
+        32, 8, lambda x, y: (x + 2 * y) % 64)       # -> 16 x 4
+    jpg = J.jpeg_encode_gray(
+        24, 6, lambda x, y: (5 + 7 * (x // 8) + 11 * (y // 8)) % 256)
+    df = spark.createDataFrame([(1, gif), (2, jpg)], ["doc_id", "payload"])
+    out = {r.doc_id: r for r in
+           multimodal.resize_image_pixels(df, max_side=16).collect()}
+    g = out[1]
+    assert (g.width, g.height, g.out_width, g.out_height) == (32, 8, 16, 4)
+    exp_g = [c for y in range(4) for x in range(16)
+             for c in pal[((x * 32) // 16 + 2 * ((y * 8) // 4)) % 64]]
+    assert (g.n_values, g.peak) == (len(exp_g), max(exp_g))
+    assert g.mean_value == sum(exp_g) / len(exp_g)
+    j = out[2]
+    assert (j.width, j.height, j.out_width, j.out_height) == (24, 6, 16, 4)
+    exp_j = [(5 + 7 * (((x * 24) // 16) // 8)
+              + 11 * (((y * 6) // 4) // 8)) % 256
+             for y in range(4) for x in range(16) for _ in range(3)]
+    assert (j.n_values, j.peak) == (len(exp_j), max(exp_j))
+    assert j.mean_value == sum(exp_j) / len(exp_j)

@@ -394,3 +394,39 @@ def test_merge_with_deletes_is_single_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert out.count() == 960  # 40 of the 200 updated keys tombstoned
+
+
+def test_dsir_histogram_broadcasts_back(spark):
+    """curation_dsir_importance: the n_buckets-row histogram must come back
+    to the exploded features as a BROADCAST join (a shuffle join on a
+    128-row relation would add a full exchange of the feature table for
+    nothing), and no cartesian anywhere."""
+    plan = plan_of(spark, "curation_dsir_importance")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_prefix_filter_join_no_all_pairs(spark):
+    """dedup_prefix_filter_join: candidate generation must stay bucketed —
+    no cartesian/broadcast-NLJ anywhere in the plan (the whole point of
+    prefix filtering is to never materialize the all-pairs product)."""
+    plan = plan_of(spark, "dedup_prefix_filter_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmv_sketch_exchanges_are_sketch_sized(spark):
+    """a23: after the first distinct, everything that crosses an exchange
+    is sketch-sized; the final assembly of the 1-row aggregates may only
+    use broadcast-style joins (BroadcastNLJ over 1-row sides is the
+    crossJoin-of-bounds idiom), never a shuffled cartesian."""
+    plan = plan_of(spark, "a23_kmv_set_sketch")
+    assert "CartesianProduct" not in plan
+
+
+def test_chisq_margins_broadcast(spark):
+    """a24: the row/column margin relations are cells-sized — they must
+    broadcast back to the contingency cells."""
+    plan = plan_of(spark, "a24_chisq_association")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
