@@ -606,3 +606,30 @@ def test_kmv_sketch_estimator_properties(spark):
     rt = kmv_set_sketch(tiny, F.col("k"), F.col("g"), ("a", "b"),
                         k=64).first()
     assert (rt.est_a, rt.est_b, rt.est_union) == (10.0, 15.0, 20.0)
+
+
+@given(st.lists(st.lists(st.sampled_from("abcdefgh"), min_size=1,
+                         max_size=6), min_size=2, max_size=10),
+       st.sampled_from([0.34, 0.5, 0.75]))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_prefix_filter_completeness_fuzz(spark, token_lists, threshold):
+    """Property (the prefix-filter theorem, end to end): for ANY corpus
+    and threshold, prefix_filter_pairs equals brute-force all-pairs
+    Jaccard — the prefix cut may never lose a qualifying pair, and
+    bucketing may never invent one."""
+    from clif_spark import dedup
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {(r.a, r.b): r.jaccard for r in
+           dedup.prefix_filter_pairs(df, threshold=threshold).collect()}
+    sets = {i: set(toks) for i, toks in enumerate(token_lists)}
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            j = round(len(sets[a] & sets[b]) / len(sets[a] | sets[b]), 4)
+            if j >= threshold:
+                want[(a, b)] = j
+    assert got == want
