@@ -473,7 +473,7 @@ def doc_tokens(docs: DataFrame, id_col: str = "doc_id",
 
 def prefix_filter_pairs(docs: DataFrame, threshold: float = 0.6,
                         id_col: str = "doc_id", text_col: str = "text",
-                        max_bucket: int = 2000) -> DataFrame:
+                        max_bucket: int | None = None) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (the
     PPJoin/AllPairs family): all document pairs whose token-set Jaccard
     >= ``threshold``, with NO false negatives — the candidate-generation
@@ -489,23 +489,92 @@ def prefix_filter_pairs(docs: DataFrame, threshold: float = 0.6,
     Plan shape, scale-first: one groupBy(token) for global frequencies,
     one shuffle join to attach them, a per-document window (entity-
     bounded: state is one doc's token list) to rank + cut the prefix,
-    then the shared pairs_from_buckets bucket expansion and the exact
-    jaccard_verify join — every stage keyed, no driver traffic, no
-    all-pairs anywhere. ``max_bucket`` is the shared skew guard; prefix
-    tokens are the globally RAREST, so a bucket that overflows it means
-    the frequency join itself was wrong, not the data skewed.
+    then an equi self-JOIN on the prefix token for candidates and the
+    exact jaccard_verify join — every stage keyed, no driver traffic,
+    no all-pairs anywhere.
+
+    Candidate generation is a JOIN, deliberately NOT the capped
+    pairs_from_buckets expansion the approximate dedups share: dropping
+    an oversized bucket there trades recall for bounded state, which is
+    fine for LSH (approximate by contract) but would silently break THIS
+    operator's exactness — on a template-heavy corpus even a document's
+    rarest token can be shared by thousands of near-copies, and those
+    buckets are precisely where the true pairs live (measured: the
+    capped form lost 188k of 191k true pairs at 5k docs, BASELINE.md
+    round 7). The join form is exact at any bucket size; skew within a
+    hot prefix token is ordinary join-key skew — AQE skew-split
+    territory, plan-visible, never a silent answer change.
+
+    ``max_bucket`` (optional) restores the capped approximate mode for
+    callers that explicitly want LSH-style bounded state over exactness.
     """
-    toks = doc_tokens(docs, id_col, text_col)
+    # The token relation feeds FOUR distinct subplan occurrences (the
+    # frequency pass, the ranking join, and both sides of the verify
+    # arrays); Catalyst performs no common-subexpression elimination
+    # across them, so without materialization the tokenize+distinct
+    # recomputes per occurrence — measured 36 s -> 13 s at 5k docs just
+    # from this (BASELINE.md round 7). localCheckpoint is the repo's
+    # sanctioned reuse tool for data-sized intermediates in multi-pass
+    # operators (same discipline as connected_components / kmeans): one
+    # materialization, N reads, lineage truncated.
+    toks = doc_tokens(docs, id_col, text_col).localCheckpoint(eager=True)
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w_doc = Window.partitionBy("doc")
     ranked = (toks.join(freq, "tok")
                   .withColumn("rnk", F.row_number().over(
                       w_doc.orderBy(F.col("df").asc(), F.col("tok").asc())))
                   .withColumn("sz", F.count(F.lit(1)).over(w_doc)))
-    prefix = ranked.filter(
+    prefix = (ranked.filter(
         F.col("rnk") <= F.col("sz")
         - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1)
-    cands = pairs_from_buckets(prefix.select("tok", "doc"), ["tok"],
-                               "doc", max_bucket=max_bucket)
-    return jaccard_verify(cands, toks.withColumnRenamed("tok", "shingle"),
-                          threshold=threshold)
+        .select("tok", "doc", "sz")
+        .localCheckpoint(eager=True))  # read twice (pa/pb join sides)
+    if max_bucket is not None:
+        cands = pairs_from_buckets(prefix.select("tok", "doc"), ["tok"],
+                                   "doc", max_bucket=max_bucket)
+        return jaccard_verify(cands,
+                              toks.withColumnRenamed("tok", "shingle"),
+                              threshold=threshold)
+    # LENGTH filter at the candidate join (PPJoin's companion prune):
+    # J >= t forces max(|A|,|B|) <= min(|A|,|B|)/t, so wildly different
+    # sizes can never qualify — applied with a +-1 slack so float
+    # division can only keep a borderline pair, never lose one.
+    # Measured: cuts the template corpus's candidate set ~6x before the
+    # expensive stage (BASELINE.md round 7).
+    t = float(threshold)
+    pa = prefix.select(F.col("tok"), F.col("doc").alias("a"),
+                       F.col("sz").alias("sz_a"))
+    pb = prefix.select(F.col("tok"), F.col("doc").alias("b"),
+                       F.col("sz").alias("sz_b"))
+    cands = (pa.join(pb, "tok")
+             .filter((F.col("a") < F.col("b"))
+                     & (F.col("sz_b") >= F.ceil(F.lit(t) * F.col("sz_a"))
+                        - 1)
+                     & (F.col("sz_b") <= F.floor(F.col("sz_a") / F.lit(t))
+                        + 1))
+             .select("a", "b").distinct())
+    # Verify via per-doc sorted token ARRAYS joined to the pairs and an
+    # in-row array_intersect — candidate-count × small-array narrow work
+    # instead of jaccard_verify's candidate × doc-length token-level
+    # shuffle (measured 225M-row exchange on the template corpus; this
+    # shape replaces it with two joins against a docs-sized relation that
+    # Spark's statistics gate will broadcast whenever it fits — exactly
+    # the asymmetry a dedup join has at corpus scale, pairs >> docs).
+    arrs = (toks.groupBy("doc")
+                .agg(F.array_sort(F.collect_list("tok")).alias("ts"),
+                     F.count(F.lit(1)).alias("sz")))
+    scored = (cands
+              .join(arrs.select(F.col("doc").alias("a"),
+                                F.col("ts").alias("ts_a"),
+                                F.col("sz").alias("sz_a")), "a")
+              .join(arrs.select(F.col("doc").alias("b"),
+                                F.col("ts").alias("ts_b"),
+                                F.col("sz").alias("sz_b")), "b")
+              .select("a", "b",
+                      F.size(F.array_intersect("ts_a", "ts_b"))
+                       .alias("inter"), "sz_a", "sz_b")
+              .select("a", "b",
+                      F.round(F.col("inter")
+                              / (F.col("sz_a") + F.col("sz_b")
+                                 - F.col("inter")), 4).alias("jaccard")))
+    return scored.filter(F.col("jaccard") >= threshold)
