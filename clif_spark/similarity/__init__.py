@@ -537,7 +537,7 @@ def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
                    k: int = 8, max_iter: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    dim: int = 64,
-                   max_bucket: int = 2000) -> DataFrame:
+                   max_bucket: int | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the embedding space with k-means, generate candidate pairs only WITHIN
     clusters, verify with exact cosine >= ``threshold``, connect verified
@@ -554,19 +554,30 @@ def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
 
     Scale shape: k-means is the existing dimension-scale implementation
     (literal-centroid narrow assign, k×dim driver traffic only);
-    candidate generation is the shared bucketed pair expansion keyed by
-    cell (never all-pairs; ``max_bucket`` is the same skew guard as
-    MinHash/LSH); cosine verification joins only candidate pairs; the
+    candidate generation is an equi self-JOIN on the cell — exact within
+    every cluster at ANY cluster size (the capped bucket expansion the
+    approximate dedups share would silently DROP oversized cells' pairs,
+    the class of bug the r7 prefix-filter scale test caught — see
+    BASELINE.md round 7); within-cell quadratic cost is SemDeDup's own
+    documented trade, dialed by the cluster count k (cells ~ n/k).
+    ``max_bucket`` (optional) restores the capped approximate mode for
+    callers that explicitly prefer bounded state over within-cell
+    completeness. Cosine verification joins only candidate pairs; the
     component step is the existing edge-relation min-label propagation.
-    The cluster count k trades candidate completeness against bucket
-    size — SemDeDup's own dial.
     """
     from clif_spark.dedup import connected_components, pairs_from_buckets
 
     _, assign, _ = kmeans(vectors, k=k, max_iter=max_iter,
                           id_col=id_col, vec_col=vec_col)
-    cands = pairs_from_buckets(assign.select("cell", F.col(id_col)),
-                               ["cell"], id_col, max_bucket=max_bucket)
+    cells = assign.select("cell", F.col(id_col))
+    if max_bucket is not None:
+        cands = pairs_from_buckets(cells, ["cell"], id_col,
+                                   max_bucket=max_bucket)
+    else:
+        cands = (cells.withColumnRenamed(id_col, "a")
+                 .join(cells.withColumnRenamed(id_col, "b"), "cell")
+                 .filter(F.col("a") < F.col("b"))
+                 .select("a", "b").distinct())
     v = vectors.select(F.col(id_col), F.col(vec_col).alias("__v"))
     edges = (cands
              .join(v.select(F.col(id_col).alias("a"),
