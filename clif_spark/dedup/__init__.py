@@ -153,6 +153,15 @@ def pairs_from_buckets(df: DataFrame, group_cols: list[str], id_col: str,
     bucket self-join formulation (two exchanges on the same key). Per-group
     state is bounded by ``max_bucket`` (buckets larger than it are dropped —
     the skew guard), so the collect_list is safe at any corpus size.
+
+    CONTRACT WARNING: the drop makes this expansion suitable ONLY for
+    approximate-by-contract candidate generation (MinHash/SimHash/LSH
+    banding, where a lost bucket is a recall trade the operator already
+    documents). An operator whose contract is EXACTNESS must use an
+    uncapped equi self-join instead — on real corpora the biggest buckets
+    are exactly where the true pairs live, and the cap loses them
+    silently (the r7 prefix-filter bug: 98.6% recall loss at 5k docs
+    while the smaller gate scale stayed green — BASELINE.md round 7).
     """
     buckets = (df.groupBy(*group_cols)
                  .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))

@@ -374,3 +374,19 @@ def test_dsir_single_token_doc_has_no_bigram_artifacts(spark):
         docs, F.lit(False)).collect()}
     assert out[0].n_feats == 1       # 1 unigram, 0 bigrams
     assert out[1].n_feats == 3       # 2 unigrams + 1 bigram
+
+
+def test_prefix_filter_exact_through_mega_buckets(spark):
+    """Regression for the r7 silent-cap bug: a bucket far beyond any
+    per-bucket state cap (300 identical docs sharing every prefix token)
+    must still yield the complete C(300,2) answer — exactness is the
+    operator's contract at ANY bucket size."""
+    from clif_spark import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "same template text repeated verbatim") for i in range(300)]
+        + [(1000, "an entirely different document body")],
+        ["doc_id", "text"])
+    out = dedup.prefix_filter_pairs(docs, threshold=0.95)
+    assert out.count() == 300 * 299 // 2
+    assert out.filter("a = 1000 or b = 1000").count() == 0
