@@ -440,8 +440,13 @@ def dedup_prefix_filter_join(spark, sf_dir):
     at any threshold, while the bucket keys stay rare by construction
     (a document's prefix is its lowest-document-frequency tokens).
     Scale shape: groupBy(token) frequency pass, entity-bounded ranking
-    window, bucket pair expansion with the shared skew cap — no
-    all-pairs product at any stage (dedup.prefix_filter_pairs)."""
+    window, UNCAPPED candidate equi-join with the PPJoin length filter,
+    array-intersect verification — exact at any bucket size, no
+    all-pairs product at any stage (dedup.prefix_filter_pairs; the
+    capped expansion variant silently lost 98.6% of true pairs at 5k
+    docs — found, fixed and measured in BASELINE.md round 7: 1.22x vs
+    DuckDB's all-pairs form at 5k docs, completes 50k docs where the
+    all-pairs form does not)."""
     d = io.load_table(spark, sf_dir, "documents")
     base = d.select("doc_id", "text")
     planted = d.filter(F.col("doc_id") % 10 == 0).select(
