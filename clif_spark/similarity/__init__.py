@@ -534,7 +534,7 @@ def kmeans(vectors: DataFrame, k: int = 8, max_iter: int = 10,
 
 
 def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
-                   k: int = 8, max_iter: int = 5,
+                   k: int | None = None, max_iter: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    dim: int = 64,
                    max_bucket: int | None = None) -> DataFrame:
@@ -564,9 +564,19 @@ def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
     callers that explicitly prefer bounded state over within-cell
     completeness. Cosine verification joins only candidate pairs; the
     component step is the existing edge-relation min-label propagation.
+
+    ``k=None`` (default) sizes the cluster count to the corpus —
+    max(8, n/1500) capped at 4096 — so cells stay ~1500 vectors and the
+    within-cell quadratic stays bounded as the corpus grows (measured at
+    20k vectors: k=8 -> 446 s, k=16 -> 203 s, k=64 -> 82 s — the cost
+    halves as k doubles, exactly the n²/k law; BASELINE.md round 7).
+    The count() this needs is one columnless scan; pass an explicit k to
+    skip it.
     """
     from clif_spark.dedup import connected_components, pairs_from_buckets
 
+    if k is None:
+        k = min(max(8, vectors.count() // 1500), 4096)
     _, assign, _ = kmeans(vectors, k=k, max_iter=max_iter,
                           id_col=id_col, vec_col=vec_col)
     cells = assign.select("cell", F.col(id_col))
