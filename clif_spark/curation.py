@@ -582,12 +582,17 @@ def dsir_importance(docs: DataFrame, target: Column,
     the SUM over its distinct features, all BIGINT. One float division
     at the end (mean per feature) is deterministic.
 
-    Scale shape: tokenize narrow; ONE groupBy(bucket) pass builds both
-    the raw and target histograms (conditional count, no second scan);
-    the histogram is n_buckets rows — broadcast back to the exploded
-    features; per-doc aggregation is the only data-sized shuffle. The
-    target predicate rides along as a column, so the target sample never
-    materializes separately.
+    Scale shape (ZERO data-sized shuffles — the broadcast-corpus-stats
+    discipline BM25 uses, taken to its limit): tokenize, hash and
+    per-doc bucket-dedup are all NARROW array expressions (array_distinct
+    replaces a 13M-row post-explode DISTINCT exchange); the only exchange
+    in pass 1 is the map-side-combined n_buckets-row histogram; pass 2
+    folds each doc's bucket array against the histogram inlined as a
+    LITERAL n_buckets-int array (dimension-scale driver traffic, like
+    k-means centroids) — per-doc scoring needs no groupBy at all.
+    Measured at 50k docs: 62 s (explode + two data-sized shuffles) ->
+    narrow form, BASELINE.md round 7. The target predicate rides along
+    as a column, so the target sample never materializes separately.
     """
     w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     unigrams = F.filter(w, lambda t: t != "")
@@ -599,27 +604,38 @@ def dsir_importance(docs: DataFrame, target: Column,
             lambda i: F.concat_ws(" ", F.element_at(w, i + 1),
                                   F.element_at(w, i + 2)))
     ).otherwise(F.array().cast("array<string>"))
-    feats = (docs.select(F.col(id_col).alias("doc"),
-                         target.alias("is_target"),
-                         F.explode(F.array_distinct(
-                             F.concat(unigrams, bigrams))).alias("f"))
-                 .filter(F.col("f") != "")
-                 .withColumn("bucket",
-                             (F.conv(F.substring(
-                                 F.md5(F.concat(F.lit("dsir:"),
-                                                F.col("f"))), 1, 4),
-                                 16, 10).cast("long") % n_buckets))
-                 .select("doc", "is_target", "bucket").distinct())
-    hist = (feats.groupBy("bucket")
+    bucket_of = lambda f: (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), f)), 1, 4),
+               16, 10).cast("long") % n_buckets)
+    # localCheckpoint: the bucket-array relation feeds BOTH passes, and
+    # tokenize+hash is the dominant cost — recomputing it for the second
+    # pass measurably loses (A/B at 50k docs: recompute 107 s vs
+    # materialize-once; BASELINE.md round 7). The materialized form is
+    # doc-count rows of n_buckets-bounded int arrays — far smaller than
+    # the corpus text it replaces.
+    base = docs.select(
+        F.col(id_col).alias("doc"), target.alias("is_target"),
+        F.array_distinct(F.transform(
+            F.filter(F.array_distinct(F.concat(unigrams, bigrams)),
+                     lambda f: f != ""),
+            bucket_of)).alias("bks")).localCheckpoint(eager=True)
+    hist_rows = (base.select("is_target", F.explode("bks").alias("bucket"))
+                 .groupBy("bucket")
                  .agg(F.count(F.lit(1)).alias("n_raw"),
-                      F.count_if(F.col("is_target")).alias("n_tgt")))
-    scored = (feats.join(F.broadcast(hist), "bucket")
-                   .groupBy("doc")
-                   .agg(F.count(F.lit(1)).alias("n_feats"),
-                        F.sum(F.expr(
-                            "(n_tgt + 1) * 1000000 DIV (n_raw + 1)"))
-                         .alias("importance_micros")))
-    return scored.select(
-        F.col("doc").alias(id_col), "n_feats", "importance_micros",
+                      F.count_if(F.col("is_target")).alias("n_tgt"))
+                 .collect())
+    ratio = [1_000_000] * n_buckets  # empty bucket: (0+1)*1e6 DIV (0+1)
+    for r in hist_rows:
+        ratio[int(r["bucket"])] = (r["n_tgt"] + 1) * 1_000_000 \
+            // (r["n_raw"] + 1)
+    lit = "array(" + ",".join(f"{v}L" for v in ratio) + ")"
+    return base.select(
+        F.col("doc").alias(id_col),
+        F.size("bks").cast("long").alias("n_feats"),
+        F.expr(f"aggregate(bks, CAST(0 AS BIGINT), "
+               f"(acc, b) -> acc + element_at({lit}, CAST(b + 1 AS INT)))")
+         .alias("importance_micros"),
+    ).select(
+        id_col, "n_feats", "importance_micros",
         F.round(F.col("importance_micros")
                 / F.col("n_feats") / 1e6, 6).alias("mean_ratio"))

@@ -396,14 +396,18 @@ def test_merge_with_deletes_is_single_exchange(spark):
     assert out.count() == 960  # 40 of the 200 updated keys tombstoned
 
 
-def test_dsir_histogram_broadcasts_back(spark):
-    """curation_dsir_importance: the n_buckets-row histogram must come back
-    to the exploded features as a BROADCAST join (a shuffle join on a
-    128-row relation would add a full exchange of the feature table for
-    nothing), and no cartesian anywhere."""
+def test_dsir_scoring_pass_is_fully_narrow(spark):
+    """curation_dsir_importance: the scoring pass folds each doc's bucket
+    array against the histogram inlined as a LITERAL array — the
+    returned plan must contain NO join and NO exchange of any kind (the
+    histogram came back as a constant, not a relation; the first
+    histogram pass ran at build time against the materialized bucket
+    arrays). The literal is visible in the plan as the element_at
+    array."""
     plan = plan_of(spark, "curation_dsir_importance")
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "element_at" in plan
 
 
 def test_prefix_filter_join_no_all_pairs(spark):
