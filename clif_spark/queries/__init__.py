@@ -249,12 +249,12 @@ _VERIFY_FIRST = [
     "j1_vocab_broadcast_star", "j3_full_outer_join", "j6_fuzzy_vocab_match",
     "j9_salted_skew_join", "j10_levenshtein_vocab_match",
     "r2_pivot_wide", "r4_explode_top_tokens",
-    "u2_u3_distinct_dedup",
     # --- streams at the tail of the 50 (multi-second startup each):
     # the two r2-row session/state streams ceded from r6, then the two
     # r4-row streams ---
-    "stream_session_windows", "stream_stateful_user_stats",
-    "stream_dedup_bounded_state", "stream_static_enrich",
+    "stream_video_demux", "stream_session_windows",
+    "stream_stateful_user_stats", "stream_dedup_bounded_state",
+    "stream_static_enrich",
 ]
 # Exactly 50 head entries: 4 never-gated r7 registrations + all 19
 # r2-latest rows (17 batch + 2 streams) + 27 of the 50 r4-latest rows.
@@ -279,7 +279,9 @@ _VERIFY_FIRST = [
 # also inside the r5-green u5/u6/u7 rows; ceded for the a23 KMV slot),
 # and a12/a13 (HLL bound-contract machinery re-exercised by the
 # r5-green a21 + r6-green stream CMS rows; ceded for the a24/a25
-# slots), and a14 (GK percentile bound contract; its exact-percentile
+# slots), u2_u3_distinct_dedup (distinct machinery inside the fresher
+# dedup/minhash rows; ceded for the stream_video_demux slot), and a14
+# (GK percentile bound contract; its exact-percentile
 # counterpart machinery holds fresh rows via a17/a20/a25 — ceded for
 # the mm_resize_pixels slot), and a15_ordered_string_agg (ordered
 # collect_list machinery also in the r5-green pipeline rows; ceded for

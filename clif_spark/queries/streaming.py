@@ -495,3 +495,60 @@ def stream_countmin_merge(spark, sf_dir):
                .option("maxFilesPerTrigger", 1).parquet(scratch))
     settled = streaming.run_to_memory(stats._cms_sketch(ev))
     return stats._cms_probe_report(batch_ev, settled)
+
+
+@query(
+    "stream_video_demux",
+    oracle="""
+    -- The MP4 demux as a STREAMING transform: same closed form as
+    -- mm_video_frame_stats (every-second-frame stats of the synthesized
+    -- containers), but the Spark side computes it through readStream ->
+    -- mapInPandas micro-batches. A stateless 1->N extraction must be
+    -- replay-partition-invariant: the settled union over micro-batches
+    -- equals the batch answer row for row.
+    WITH vids AS (
+      SELECT doc_id AS d, 3 + doc_id % 6 AS n,
+             (doc_id % 15 = 0) AS uni
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    frames AS (
+      SELECT d, k.k AS frame_idx,
+             CASE WHEN uni THEN 16 ELSE 16 + (d + k.k) % 32 END AS sz
+      FROM vids, generate_series(0, 8) AS k(k)
+      WHERE k.k < n AND k.k % 2 = 0
+    ),
+    fbytes AS (
+      SELECT d, frame_idx, sz,
+             (7 * d + 13 * frame_idx + i.i) % 256 AS v
+      FROM frames, generate_series(0, 46) AS i(i) WHERE i.i < sz
+    )
+    SELECT d AS doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST((40 * frame_idx) // (1 + d % 3) AS BIGINT) AS pts_ms,
+           CAST(sz AS BIGINT) AS n_bytes,
+           CAST(SUM(v) AS BIGINT) AS byte_sum
+    FROM fbytes GROUP BY d, frame_idx, sz
+    """,
+)
+def stream_video_demux(spark, sf_dir):
+    """Multimodal × streaming composition: the real MP4 sample-table
+    demux (multimodal.extract_video_frames — stsz/stsc/stco/stts walk,
+    mdat slicing, stride sampling) runs INSIDE Structured Streaming as a
+    stateless mapInPandas over binary-payload micro-batches — the shape
+    of a production media-ingest pipeline (files land, frames fan out,
+    downstream featurizers consume). Append mode, no state: the settled
+    union over four replayed part-files must equal the batch demux
+    bit-for-bit, which is exactly what the shared mm_video_frame_stats
+    closed-form oracle checks."""
+    import tempfile
+
+    from clif_spark import multimodal
+
+    d = io.load_table(spark, sf_dir, "documents")
+    payload = multimodal.synth_video_payload(d)
+    scratch = tempfile.mkdtemp(prefix="clif_stream_vid_")
+    payload.repartition(4).write.mode("overwrite").parquet(scratch)
+    stream = (spark.readStream.schema(payload.schema)
+                   .option("maxFilesPerTrigger", 1).parquet(scratch))
+    frames = multimodal.extract_video_frames(stream, stride=2)
+    return streaming.run_to_memory(frames, output_mode="append",
+                                   state_partitions=None)
