@@ -226,7 +226,7 @@ _VERIFY_FIRST = [
     # driver row before any refresh does) — prepended as they land ---
     "mm_jpeg_pixel_stats", "mm_video_frame_stats",
     "dedup_prefix_filter_join", "curation_dsir_importance",
-    "dedup_semantic_contract", "dedup_semantic", "a23_kmv_set_sketch",
+    "dedup_semantic_contract", "dedup_semantic", "a22_kmv_set_sketch",
     "a24_chisq_association", "a25_equi_depth_histogram",
     "mm_resize_pixels", "mm_audio_resample",
     # --- r2-row refreshes ceded from the r6 rotation (code unchanged,
@@ -276,7 +276,7 @@ _VERIFY_FIRST = [
 # + w11_range_time_frame (ceded when the two r7 semantic-dedup rows
 # took their slots; their window machinery also runs inside the
 # r5-green w12-w15 rows), and u4_intersect_except (set-op machinery
-# also inside the r5-green u5/u6/u7 rows; ceded for the a23 KMV slot),
+# also inside the r5-green u5/u6/u7 rows; ceded for the a22 KMV slot),
 # and a12/a13 (HLL bound-contract machinery re-exercised by the
 # r5-green a21 + r6-green stream CMS rows; ceded for the a24/a25
 # slots), u2_u3_distinct_dedup (distinct machinery inside the fresher

@@ -431,7 +431,7 @@ def _hex12_sql(expr: str) -> str:
 
 
 @query(
-    "a23_kmv_set_sketch",
+    "a22_kmv_set_sketch",
     oracle=f"""
     -- KMV distinct sketch with set operations, recomputed IDENTICALLY:
     -- the sketch is deterministic (k smallest md5 digests), so the
@@ -490,7 +490,7 @@ def _hex12_sql(expr: str) -> str:
     FROM exu, est_u, exi, ninter
     """,
 )
-def a23_kmv_set_sketch(spark, sf_dir):
+def a22_kmv_set_sketch(spark, sf_dir):
     """KMV sketch set algebra over events: distinct floor(value*100)
     keys per event type, k = 64 minimum md5 digests per group, union
     sketch by re-ranking the merged members, intersection by

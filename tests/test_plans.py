@@ -420,11 +420,11 @@ def test_prefix_filter_join_no_all_pairs(spark):
 
 
 def test_kmv_sketch_exchanges_are_sketch_sized(spark):
-    """a23: after the first distinct, everything that crosses an exchange
+    """a22: after the first distinct, everything that crosses an exchange
     is sketch-sized; the final assembly of the 1-row aggregates may only
     use broadcast-style joins (BroadcastNLJ over 1-row sides is the
     crossJoin-of-bounds idiom), never a shuffled cartesian."""
-    plan = plan_of(spark, "a23_kmv_set_sketch")
+    plan = plan_of(spark, "a22_kmv_set_sketch")
     assert "CartesianProduct" not in plan
 
 
