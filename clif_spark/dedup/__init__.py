@@ -587,3 +587,55 @@ def prefix_filter_pairs(docs: DataFrame, threshold: float = 0.6,
                               / (F.col("sz_a") + F.col("sz_b")
                                  - F.col("inter")), 4).alias("jaccard")))
     return scored.filter(F.col("jaccard") >= threshold)
+
+
+def incremental_near_dups(corpus: DataFrame, batch: DataFrame,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          threshold: float = 0.5,
+                          max_bucket: int = 200) -> DataFrame:
+    """Ingestion-time near-dup screening: which documents of an incoming
+    BATCH duplicate the EXISTING corpus — the production shape of
+    MinHash dedup (a pipeline rarely re-deduplicates the whole corpus;
+    it screens each new crawl/delivery against what it already has).
+    Same banded signatures, bucket cap and exact-Jaccard verification as
+    minhash_near_dups, with candidates restricted to CROSS-side pairs —
+    intra-corpus and intra-batch duplicates are deliberately ignored
+    (the corpus was already deduplicated; the batch dedupes against
+    itself with the ordinary operators after admission).
+
+    Output: (old_id, new_id, jaccard) — sides are normalized by the
+    tag, not by id order (id ranges must be disjoint — the caller's
+    ingest ids always are). Scale shape: band keys and buckets are
+    computed over
+    the UNION (one pipeline, no special-casing), the cross-side filter
+    is two joins against the doc→side map, and only the batch's shingles
+    expand new verification work — the steady-state cost of screening a
+    delivery is proportional to the delivery, not the corpus (corpus
+    signatures are recomputed here for self-containment; a production
+    deployment persists them — the CDC snapshot format is the natural
+    home)."""
+    tagged = (corpus.select(F.col(id_col), F.col(text_col))
+              .withColumn("__side", F.lit("old"))
+              .unionByName(
+                  batch.select(F.col(id_col), F.col(text_col))
+                  .withColumn("__side", F.lit("new"))))
+    sh = doc_shingles(tagged, id_col, text_col)
+    keys = minhash_band_keys(sh)
+    pairs = lsh_candidate_pairs(keys, max_bucket=max_bucket)
+    sides = tagged.select(F.col(id_col).alias("__doc"), "__side")
+    cross = (pairs
+             .join(sides.select(F.col("__doc").alias("a"),
+                                F.col("__side").alias("__sa")), "a")
+             .join(sides.select(F.col("__doc").alias("b"),
+                                F.col("__side").alias("__sb")), "b")
+             .filter(F.col("__sa") != F.col("__sb"))
+             .select("a", "b", "__sa"))
+    verified = jaccard_verify(cross.select("a", "b"), sh,
+                              threshold=threshold)
+    return (verified.join(cross, ["a", "b"])
+            .select(
+                F.when(F.col("__sa") == "old", F.col("a"))
+                 .otherwise(F.col("b")).alias("old_id"),
+                F.when(F.col("__sa") == "old", F.col("b"))
+                 .otherwise(F.col("a")).alias("new_id"),
+                "jaccard"))

@@ -228,7 +228,7 @@ _VERIFY_FIRST = [
     "dedup_prefix_filter_join", "curation_dsir_importance",
     "dedup_semantic_contract", "dedup_semantic", "a22_kmv_set_sketch",
     "a24_chisq_association", "a25_equi_depth_histogram",
-    "mm_resize_pixels", "mm_audio_resample",
+    "mm_resize_pixels", "mm_audio_resample", "dedup_incremental_minhash",
     # --- r2-row refreshes ceded from the r6 rotation (code unchanged,
     # machinery re-exercised by fresher green rows, now due): projection
     # trio, rollup/profile trio, window quartet + session pair, struct
@@ -243,7 +243,7 @@ _VERIFY_FIRST = [
     # variants, reshape quartet, approx-sketch trio, then the profile /
     # scalar rows whose machinery also runs inside fresher green rows ---
     "q7_nation_volume", "q8_market_share", "q10_returned_items",
-    "q13_order_count_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q13_order_count_distribution", "q15_top_supplier",
     "q17_small_qty_revenue", "q18_large_volume_customer",
     "q19_disjunctive_filter", "q22_global_sales_opportunity",
     "j1_vocab_broadcast_star", "j3_full_outer_join", "j6_fuzzy_vocab_match",
@@ -256,8 +256,8 @@ _VERIFY_FIRST = [
     "stream_stateful_user_stats", "stream_dedup_bounded_state",
     "stream_static_enrich",
 ]
-# Exactly 50 head entries: 4 never-gated r7 registrations + all 19
-# r2-latest rows (17 batch + 2 streams) + 27 of the 50 r4-latest rows.
+# Exactly 50 head entries: 13 never-gated r7 registrations + all 19
+# r2-latest rows (17 batch + 2 streams) + 18 of the 50 r4-latest rows.
 # Ceded to round 8 (r4-green rows whose machinery is also re-exercised
 # inside r5/r6-green rows): a1-a8 (group/profile machinery inside the
 # r6-green a16-a21 and pipeline rows), f1_f2/f3_f4_f5/f7_f10/f8/f11/f12
@@ -279,7 +279,9 @@ _VERIFY_FIRST = [
 # also inside the r5-green u5/u6/u7 rows; ceded for the a22 KMV slot),
 # and a12/a13 (HLL bound-contract machinery re-exercised by the
 # r5-green a21 + r6-green stream CMS rows; ceded for the a24/a25
-# slots), u2_u3_distinct_dedup (distinct machinery inside the fresher
+# slots), q14_promo_revenue (broadcast-dim conditional-ratio machinery
+# also in the r4-green q19/q8 rows that stay in head; ceded for
+# dedup_incremental_minhash), u2_u3_distinct_dedup (distinct machinery inside the fresher
 # dedup/minhash rows; ceded for the stream_video_demux slot), and a14
 # (GK percentile bound contract; its exact-percentile
 # counterpart machinery holds fresh rows via a17/a20/a25 — ceded for

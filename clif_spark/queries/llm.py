@@ -653,6 +653,50 @@ def mm_audio_resample(spark, sf_dir):
     return multimodal.resample_audio_pcm(payload, stride=3)
 
 
+_INCR_DOCS2 = """
+      SELECT doc_id AS doc, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000, text || ' extra trailing token'
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 200000,
+             'novel content block ' || doc_id || ' stands entirely alone'
+      FROM documents WHERE doc_id % 10 = 5
+    """
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=(f"WITH {_minhash_pair_ctes(_INCR_DOCS2)}\n"
+            "    SELECT a AS old_id, b AS new_id, jaccard FROM scored\n"
+            "    WHERE jaccard >= 0.5 AND a < 200000 AND b >= 200000"),
+)
+def dedup_incremental_minhash(spark, sf_dir):
+    """Ingestion-time dedup (dedup.incremental_near_dups): an incoming
+    batch — half near-copies of existing docs (one appended token), half
+    genuinely novel — screens against the EXISTING corpus with the same
+    banded MinHash machinery as dedup_minhash_lsh, candidates restricted
+    to cross-side pairs. The oracle reuses the shared minhash CTE chain
+    over the union and takes the cross-side slice, so banding, bucket
+    cap and verification all face the same mirror. The production point
+    this query pins: screening a delivery costs work proportional to
+    the delivery (cross pairs only), not a corpus-wide re-dedup."""
+    d = io.load_table(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text")
+    batch = (d.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat("text", F.lit(" extra trailing token"))
+                 .alias("text"))
+             .unionByName(
+                 d.filter(F.col("doc_id") % 10 == 5).select(
+                     (F.col("doc_id") + 200000).alias("doc_id"),
+                     F.concat(F.lit("novel content block "),
+                              F.col("doc_id").cast("string"),
+                              F.lit(" stands entirely alone"))
+                      .alias("text"))))
+    return dedup.incremental_near_dups(corpus, batch, threshold=0.5)
+
+
 def _simhash_sig_ctes(docs_src: str) -> str:
     """DuckDB CTE chain computing dedup.simhash64 term for term: md5 hex
     nibbles (strpos mirror of Spark's conv), 64 frequency-weighted bit

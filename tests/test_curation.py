@@ -390,3 +390,26 @@ def test_prefix_filter_exact_through_mega_buckets(spark):
     out = dedup.prefix_filter_pairs(docs, threshold=0.95)
     assert out.count() == 300 * 299 // 2
     assert out.filter("a = 1000 or b = 1000").count() == 0
+
+
+def test_incremental_near_dups_sides_and_normalization(spark):
+    """Cross-side screening: planted batch copies surface as
+    (old_id, new_id) regardless of id ordering; intra-corpus and
+    intra-batch duplicates are excluded by construction."""
+    from clif_spark import dedup
+
+    corpus = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),
+         (11, "alpha beta gamma delta epsilon zeta"),   # intra-corpus dup
+         (12, "totally different corpus text body here")],
+        ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta"),  # id SMALLER than corpus
+         (2, "novel unseen content entirely fresh words")],
+        ["doc_id", "text"])
+    rows = dedup.incremental_near_dups(corpus, batch,
+                                       threshold=0.5).collect()
+    got = {(r.old_id, r.new_id) for r in rows}
+    assert (10, 1) in got and (11, 1) in got  # normalized despite 1 < 10
+    assert all(n in (1, 2) for _, n in got)   # new side is always batch
+    assert (10, 11) not in got and (11, 10) not in got  # intra-corpus excluded

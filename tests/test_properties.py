@@ -633,3 +633,23 @@ def test_prefix_filter_completeness_fuzz(spark, token_lists, threshold):
             if j >= threshold:
                 want[(a, b)] = j
     assert got == want
+
+
+@given(st.binary(min_size=0, max_size=300),
+       st.integers(min_value=0, max_value=90))
+@settings(max_examples=60, deadline=None)
+def test_mp4_extractor_never_crashes_on_garbage(blob, cut):
+    """Robustness parity with the GIF/JPEG fuzz: the MP4 sample extractor
+    must return a (timescale, samples) tuple or None on ANY byte string —
+    raw garbage, garbage wearing the ftyp magic, and truncated prefixes
+    of a valid container — never raise, never slice out of bounds."""
+    from clif_spark.multimodal import _mp4_sample_codecs
+
+    build, extract = _mp4_sample_codecs()
+    for payload in (blob, blob[:4] + b"ftyp" + blob[8:] if len(blob) >= 8
+                    else b"\x00\x00\x00\x08ftyp"):
+        got = extract(payload)
+        assert got is None or (isinstance(got, tuple) and len(got) == 2)
+    valid = build(1000, 40, [b"abc", b"defgh", b"ij"])
+    got = extract(valid[:min(cut, len(valid))])
+    assert got is None  # any strict prefix lacks a complete table
