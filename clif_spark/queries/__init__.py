@@ -229,6 +229,7 @@ _VERIFY_FIRST = [
     "dedup_semantic_contract", "dedup_semantic", "a22_kmv_set_sketch",
     "a24_chisq_association", "a25_equi_depth_histogram",
     "mm_resize_pixels", "mm_audio_resample", "dedup_incremental_minhash",
+    "text_sentence_chunks",
     # --- r2-row refreshes ceded from the r6 rotation (code unchanged,
     # machinery re-exercised by fresher green rows, now due): projection
     # trio, rollup/profile trio, window quartet + session pair, struct
@@ -243,7 +244,7 @@ _VERIFY_FIRST = [
     # variants, reshape quartet, approx-sketch trio, then the profile /
     # scalar rows whose machinery also runs inside fresher green rows ---
     "q7_nation_volume", "q8_market_share", "q10_returned_items",
-    "q13_order_count_distribution", "q15_top_supplier",
+    "q15_top_supplier",
     "q17_small_qty_revenue", "q18_large_volume_customer",
     "q19_disjunctive_filter", "q22_global_sales_opportunity",
     "j1_vocab_broadcast_star", "j3_full_outer_join", "j6_fuzzy_vocab_match",
@@ -279,7 +280,9 @@ _VERIFY_FIRST = [
 # also inside the r5-green u5/u6/u7 rows; ceded for the a22 KMV slot),
 # and a12/a13 (HLL bound-contract machinery re-exercised by the
 # r5-green a21 + r6-green stream CMS rows; ceded for the a24/a25
-# slots), q14_promo_revenue (broadcast-dim conditional-ratio machinery
+# slots), q13_order_count_distribution (left-join + count-distribution
+# machinery also inside r4-green q18/q22 and the pipeline rows; ceded
+# for text_sentence_chunks), q14_promo_revenue (broadcast-dim conditional-ratio machinery
 # also in the r4-green q19/q8 rows that stay in head; ceded for
 # dedup_incremental_minhash), u2_u3_distinct_dedup (distinct machinery inside the fresher
 # dedup/minhash rows; ceded for the stream_video_demux slot), and a14

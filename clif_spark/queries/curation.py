@@ -845,3 +845,74 @@ def curation_dsir_importance(spark, sf_dir):
     target domain."""
     d = io.load_table(spark, sf_dir, "documents")
     return curation.dsir_importance(d, F.col("doc_id") % 5 == 0)
+
+
+
+@query(
+    "text_sentence_chunks",
+    oracle=r"""
+    -- Sentence-boundary chunking: the retrieval-indexing grain between
+    -- whole documents and fixed token windows. The splitter is the
+    -- lookbehind-free pattern [^.!?]+[.!?]* (Java regex and RE2 agree on
+    -- it; lookbehind would be Spark-only), sentences are trimmed and
+    -- empties dropped, ordinality preserved.
+    WITH docs2 AS (
+      -- the synthetic corpus has no sentence enders, so the fixture
+      -- plants them: every doc gains a three-sentence tail with mixed
+      -- terminators and surrounding whitespace
+      SELECT doc_id, text || '. Planted second sentence no ' || doc_id
+             || '!  Third one?   Tail without terminator' AS text
+      FROM documents WHERE text IS NOT NULL
+    ),
+    arrs AS (
+      SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*') AS arr
+      FROM docs2
+    ),
+    sent AS (
+      SELECT doc_id, g.i - 1 AS raw_idx, trim(arr[g.i]) AS sentence
+      FROM arrs, unnest(range(1, greatest(len(arr), 0) + 1)) AS g(i)
+    ),
+    kept AS (
+      SELECT doc_id, sentence,
+             row_number() OVER (PARTITION BY doc_id ORDER BY raw_idx) - 1
+               AS sent_idx
+      FROM sent WHERE sentence <> ''
+    )
+    SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, sentence,
+           CAST(len(regexp_split_to_array(sentence, '\s+')) AS BIGINT)
+             AS n_tokens
+    FROM kept
+    """,
+)
+def text_sentence_chunks(spark, sf_dir):
+    """Sentence-grain chunking for retrieval indexing — the boundary-
+    aware complement to text_chunk_windows' fixed token windows (a RAG
+    pipeline typically chunks at sentence groups so embeddings don't
+    straddle thoughts). Pure narrow Catalyst: regexp_extract_all with a
+    lookbehind-free pattern both engines implement identically,
+    posexplode for ordinality, trim + empty-drop, re-rank to a dense
+    sentence index. Zero shuffles at any corpus size."""
+    d = io.load_table(spark, sf_dir, "documents")
+    planted = (d.filter(F.col("text").isNotNull())
+               .select("doc_id",
+                       F.concat(F.col("text"),
+                                F.lit(". Planted second sentence no "),
+                                F.col("doc_id").cast("string"),
+                                F.lit("!  Third one?   "
+                                      "Tail without terminator"))
+                        .alias("text")))
+    sent = planted.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            "regexp_extract_all(text, '[^.!?]+[.!?]*', 0)"))
+         .alias("raw_idx", "raw"))
+    kept = (sent.select("doc_id", "raw_idx",
+                        F.trim(F.col("raw")).alias("sentence"))
+            .filter(F.col("sentence") != ""))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy("raw_idx")
+    return kept.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("long").alias("sent_idx"),
+        "sentence",
+        F.size(F.split("sentence", r"\s+")).cast("long").alias("n_tokens"))
