@@ -413,3 +413,44 @@ def test_incremental_near_dups_sides_and_normalization(spark):
     assert (10, 1) in got and (11, 1) in got  # normalized despite 1 < 10
     assert all(n in (1, 2) for _, n in got)   # new side is always batch
     assert (10, 11) not in got and (11, 10) not in got  # intra-corpus excluded
+
+
+def test_equi_depth_histogram_buckets_balance(spark):
+    """a25's operator on a skewed column: every bucket holds n/k +- 1
+    rows (the equal-depth guarantee uniform-width binning cannot give on
+    zipfian data), boundaries are actual data values, and buckets tile
+    the domain in order."""
+    from clif_spark.operators.profile import equi_depth_histogram
+    from pyspark.sql import functions as F
+
+    # zipf-ish: value v appears ~ 1000/v times
+    rows = [(i, v) for i, v in enumerate(
+        v for v in range(1, 60) for _ in range(1000 // v))]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    n = len(rows)
+    out = sorted(equi_depth_histogram(df, "v", n_buckets=8,
+                                      tiebreakers=("id",)).collect(),
+                 key=lambda r: r.bucket)
+    assert len(out) == 8
+    assert all(abs(r.n_rows - n / 8) <= 1 for r in out)
+    for prev, cur in zip(out, out[1:]):
+        assert prev.hi <= cur.lo
+        assert prev.lo <= prev.hi
+
+
+def test_chisq_association_detects_dependence(spark):
+    """a24's operator: a perfectly dependent pair yields a large chi2
+    (~n * (k-1)), an independent pair yields ~0, and degrees of freedom
+    come out (r-1)(c-1)."""
+    from clif_spark.operators.profile import chisq_association
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 4}", i % 4, (i // 4) % 2) for i in range(4000)],
+        ["id", "a", "dep", "ind"])
+    r_dep = chisq_association(df, "a", "dep").first()
+    assert r_dep.n == 4000 and r_dep.df_degrees == 9
+    assert r_dep.chi2 > 4000 * 2  # perfect association: chi2 = n*(k-1)
+    r_ind = chisq_association(df, "a", "ind").first()
+    assert r_ind.df_degrees == 3
+    assert r_ind.chi2 < 1e-6  # exactly balanced: observed == expected

@@ -653,3 +653,24 @@ def test_mp4_extractor_never_crashes_on_garbage(blob, cut):
     valid = build(1000, 40, [b"abc", b"defgh", b"ij"])
     got = extract(valid[:min(cut, len(valid))])
     assert got is None  # any strict prefix lacks a complete table
+
+
+@given(st.binary(min_size=0, max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_sample_codec_chain_never_crashes(blob):
+    """The full dispatch chain (wav -> png -> gif -> jpeg) over arbitrary
+    bytes, including blobs wearing each codec's magic: every decoder
+    returns values or None — no exceptions, no cross-codec
+    misdispatch crashes."""
+    from clif_spark import multimodal
+    from clif_spark.multimodal.jpeg import jpeg_gray_values
+
+    _, png_values, wav_values = multimodal._sample_codecs()
+    magics = [b"", b"RIFF" + blob[:4] + b"WAVE", b"\x89PNG\r\n\x1a\n",
+              b"GIF87a", b"\xff\xd8"]
+    for magic in magics:
+        payload = magic + blob
+        for fn in (wav_values, png_values,
+                   multimodal.gif_pixel_values, jpeg_gray_values):
+            got = fn(payload)
+            assert got is None or isinstance(got, list)
