@@ -309,6 +309,13 @@ def _encode_block(samples: list[int], qt: list[int], pred: int,
             run -= 16
         s = _category(zz[k])
         if s > 10:
+            # T.81 baseline allows AC magnitude categories 1..10 ONLY.
+            # For legal 8-bit input this is UNREACHABLE even at unit
+            # quant: each |F(u,v)| <= 0.125 * (32*128 + 32*127) = 1020 <
+            # 1024 (the extremal sign-aligned (4,4) pattern; pinned in
+            # tests). The guard stays as a defensive invariant for
+            # out-of-contract inputs rather than silently emitting a
+            # symbol the table cannot code.
             raise ValueError("jpeg encode: AC coefficient category > 10 "
                              "(raise the quant step)")
         la, ca = _ENC_AC_MAP[(run << 4) | s]

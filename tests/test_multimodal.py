@@ -652,3 +652,31 @@ def test_resize_image_pixels_handles_gif_and_jpeg(spark):
              for y in range(4) for x in range(16) for _ in range(3)]
     assert (j.n_values, j.peak) == (len(exp_j), max(exp_j))
     assert j.mean_value == sum(exp_j) / len(exp_j)
+
+
+def test_jpeg_ac_magnitude_extremal_bound():
+    """The baseline AC category cap (10) is safe for ALL legal 8-bit
+    content: the extremal block — signs aligned with the (4,4) basis,
+    full amplitude — achieves |AC| = 1020, the mathematical maximum
+    0.125*(32*128 + 32*127), which is category 10. It must encode and
+    roundtrip EXACTLY (every coefficient of this pattern lands on the
+    DC/(4,4)-harmonic lattice); the category-11 guard is a defensive
+    invariant, not a reachable path."""
+    import math
+
+    from clif_spark.multimodal import jpeg as J
+
+    def sign4(i):
+        return 1 if math.cos((2 * i + 1) * 4 * math.pi / 16) > 0 else -1
+
+    def px(x, y):
+        return 255 if sign4(x) * sign4(y) > 0 else 0
+
+    blk = [float(px(x, y) - 128) for y in range(8) for x in range(8)]
+    coef = J._fdct2d(blk)
+    peak = max(abs(c) for c in coef[1:])
+    assert round(peak) == 1020  # the extremal bound, category 10
+    data = J.jpeg_encode_gray(16, 16, px)
+    _, _, planes = J.jpeg_decode(data)
+    assert all(planes[0][y * 16 + x] == px(x, y)
+               for y in range(16) for x in range(16))
