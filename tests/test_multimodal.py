@@ -680,3 +680,42 @@ def test_jpeg_ac_magnitude_extremal_bound():
     _, _, planes = J.jpeg_decode(data)
     assert all(planes[0][y * 16 + x] == px(x, y)
                for y in range(16) for x in range(16))
+
+
+def test_jpeg_422_subsampling_decodes(spark=None):
+    """The decoder's claimed 4:2:2 surface (h=2, v=1 luma sampling),
+    which the public encoder helpers never emit: build the component
+    planes directly — full-res Y, horizontally-halved Cb/Cr — and decode.
+    On a horizontally-constant color image the horizontal chroma
+    replication is exact, so every channel must come back within the
+    YCbCr rounding budget."""
+    from clif_spark.multimodal import jpeg as J
+
+    w, h = 20, 12
+
+    def rgb(x, y):
+        # varies only with y: horizontal chroma halving loses nothing
+        return ((30 + 15 * y) % 256, (200 - 9 * y) % 256, (60 + 11 * y) % 256)
+
+    ys, cbs, crs = [], [], []
+    for yy in range(h):
+        for xx in range(w):
+            r, g, b = rgb(xx, yy)
+            ys.append(max(0, min(255, round(0.299*r + 0.587*g + 0.114*b))))
+            cbs.append(max(0, min(255, round(128 - 0.168736*r - 0.331264*g + 0.5*b))))
+            crs.append(max(0, min(255, round(128 + 0.5*r - 0.418688*g - 0.081312*b))))
+    cw = (w + 1) // 2
+    half = lambda p: [p[yy * w + 2 * xx] for yy in range(h) for xx in range(cw)]
+    data = J._encode_planes(
+        w, h, [(ys, w, h, 2, 1), (half(cbs), cw, h, 1, 1),
+               (half(crs), cw, h, 1, 1)],
+        quality=None, restart_interval=0)
+    rgbv = J.jpeg_rgb_values(data)
+    assert rgbv is not None and len(rgbv) == w * h * 3
+    maxerr = 0
+    for yy in range(h):
+        for xx in range(w):
+            want = rgb(xx, yy)
+            got = rgbv[3 * (yy * w + xx):3 * (yy * w + xx) + 3]
+            maxerr = max(maxerr, *(abs(a - b) for a, b in zip(got, want)))
+    assert maxerr <= 3, maxerr
