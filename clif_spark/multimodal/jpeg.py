@@ -487,6 +487,14 @@ def jpeg_decode(data: bytes):
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg: expected marker")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker code — skip to the last 0xFF so the byte after it is the
+        # actual code (a second 0xFF read as the code would misparse a
+        # spec-legal file into a bogus segment length).
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(data):
+            raise ValueError("jpeg: truncated after fill bytes")
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -539,7 +547,15 @@ def jpeg_decode(data: bytes):
             scan = []
             for si in range(ns):
                 cs, tt = body[1 + 2 * si], body[2 + 2 * si]
-                (cid, hf, vf, tq) = next(c for c in comps if c[0] == cs)
+                match = [c for c in comps if c[0] == cs]
+                if not match:
+                    raise ValueError("jpeg: scan references unknown "
+                                     "component id")
+                (cid, hf, vf, tq) = match[0]
+                if (tq not in qts or (tt >> 4) not in dc_tabs
+                        or (tt & 0x0F) not in ac_tabs):
+                    raise ValueError("jpeg: scan references an undefined "
+                                     "quant/Huffman table")
                 scan.append((cid, hf, vf, qts[tq],
                              dc_tabs[tt >> 4], ac_tabs[tt & 0x0F]))
             return _decode_scan(data, pos, width, height, scan,
@@ -632,7 +648,7 @@ def jpeg_gray_values(data: bytes) -> list[int] | None:
     png_pixel_values / gif_pixel_values / wav_pcm_values)."""
     try:
         decoded = jpeg_decode(data)
-    except (ValueError, IndexError, struct.error):
+    except (ValueError, IndexError, KeyError, StopIteration, struct.error):
         # real JPEG magic but outside the baseline surface, or truncated
         return None
     if decoded is None:
@@ -646,7 +662,7 @@ def jpeg_rgb_values(data: bytes) -> list[int] | None:
     grayscale replicated to three channels for 1-component payloads."""
     try:
         decoded = jpeg_decode(data)
-    except (ValueError, IndexError, struct.error):
+    except (ValueError, IndexError, KeyError, StopIteration, struct.error):
         return None
     if decoded is None:
         return None

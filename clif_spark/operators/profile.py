@@ -342,12 +342,17 @@ def kmv_set_sketch(df: DataFrame, key, group, pair: tuple[str, str],
                   F.lit(a).alias("type_a"), F.lit(b).alias("type_b"),
                   "exact_a", "est_a", "exact_b", "est_b",
                   "exact_union", "est_union", "exact_inter",
-                  F.round(F.col("n_inter") / F.lit(float(k))
+                  # Jaccard scaling by the ACTUAL union-sketch size (__un),
+                  # not the nominal k: when the union holds fewer than k
+                  # distinct keys the sketch IS the union, est_union == __un,
+                  # and n_inter/__un * __un == n_inter — the exact
+                  # intersection. Dividing by k in that regime biases low
+                  # (10 shared keys, k=64: 10·10/64 ≈ 1.6, not 10).
+                  F.round(F.col("n_inter") / F.col("__un")
                           * F.col("est_union"), 4).alias("est_inter")))
 
 
-def chisq_association(df: DataFrame, a: str, b, n_b_buckets: int = 0
-                      ) -> DataFrame:
+def chisq_association(df: DataFrame, a: str, b) -> DataFrame:
     """Chi-square test of association between two categorical columns —
     the profiling step that answers "is this dimension informative about
     that one" before a pipeline conditions on it. ``b`` may be a Column

@@ -486,8 +486,11 @@ def _hex12_sql(expr: str) -> str:
            (SELECT exact FROM ex WHERE g = 'view') AS exact_b,
            (SELECT est FROM est_g WHERE g = 'view') AS est_b,
            exu.exact_union, est_u.est_union, exi.exact_inter,
-           ROUND(ninter.n_inter / 64.0 * est_u.est_union, 4) AS est_inter
-    FROM exu, est_u, exi, ninter
+           -- Jaccard scale by the ACTUAL union-sketch size, not k:
+           -- exact in the small regime where the sketch IS the union
+           ROUND(ninter.n_inter / CAST(uagg.n AS DOUBLE)
+                 * est_u.est_union, 4) AS est_inter
+    FROM exu, est_u, exi, ninter, uagg
     """,
 )
 def a22_kmv_set_sketch(spark, sf_dir):

@@ -473,6 +473,41 @@ def test_jpeg_rejects_non_baseline_and_malformed():
     assert J.jpeg_gray_values(good[:40]) is None  # truncated mid-header
 
 
+def test_jpeg_fill_bytes_and_corrupt_table_ids():
+    """T.81 B.1.1.2 fill bytes (extra 0xFF before a marker code) must
+    decode identically — the padding is spec-legal, not corruption. A
+    scan referencing an undefined quant/Huffman table or an unknown
+    component id must raise a clean ValueError inside jpeg_decode (not
+    KeyError/StopIteration escaping the helper's never-raise contract
+    and killing a whole mapInPandas task)."""
+    import pytest
+
+    from clif_spark.multimodal import jpeg as J
+
+    good = J.jpeg_encode_gray(10, 9, lambda x, y: (x * y) % 256)
+    base = J.jpeg_gray_values(good)
+    assert base is not None
+    # insert a fill byte before the DQT marker: decode must be identical
+    padded = good.replace(b"\xff\xdb", b"\xff\xff\xdb", 1)
+    assert padded != good
+    assert J.jpeg_gray_values(padded) == base
+    # and a run of several fill bytes
+    padded3 = good.replace(b"\xff\xdb", b"\xff\xff\xff\xff\xdb", 1)
+    assert J.jpeg_gray_values(padded3) == base
+
+    sos = good.index(b"\xff\xda")
+    # SOS layout: FF DA | len(2) | ns | (cs, tt)... — grayscale ns=1
+    cs_pos, tt_pos = sos + 5, sos + 6
+    bad_table = good[:tt_pos] + b"\x33" + good[tt_pos + 1:]
+    with pytest.raises(ValueError, match="undefined"):
+        J.jpeg_decode(bad_table)
+    assert J.jpeg_gray_values(bad_table) is None
+    bad_comp = good[:cs_pos] + b"\x99" + good[cs_pos + 1:]
+    with pytest.raises(ValueError, match="unknown component"):
+        J.jpeg_decode(bad_comp)
+    assert J.jpeg_rgb_values(bad_comp) is None
+
+
 def test_jpeg_payload_query_matches_duckdb_oracle(spark):
     """mm_jpeg_pixel_stats end-to-end at sf0.001 against its closed-form
     DuckDB oracle through the SAME pandas materialization the driver

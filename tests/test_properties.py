@@ -606,6 +606,9 @@ def test_kmv_sketch_estimator_properties(spark):
     rt = kmv_set_sketch(tiny, F.col("k"), F.col("g"), ("a", "b"),
                         k=64).first()
     assert (rt.est_a, rt.est_b, rt.est_union) == (10.0, 15.0, 20.0)
+    # intersection Jaccard-scales by the ACTUAL union-sketch size, so in
+    # the small regime it is exact too (5 shared keys, not 5·20/64)
+    assert rt.est_inter == 5.0
 
 
 @given(st.lists(st.lists(st.sampled_from("abcdefgh"), min_size=1,
