@@ -639,3 +639,125 @@ def incremental_near_dups(corpus: DataFrame, batch: DataFrame,
                 F.when(F.col("__sa") == "old", F.col("b"))
                  .otherwise(F.col("a")).alias("new_id"),
                 "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# Persisted-signature incremental dedup (the production form of
+# incremental_near_dups: corpus signatures live in a CDC-format snapshot
+# table and are NEVER recomputed from text — screening a delivery reads
+# signature-sized parquet, not the corpus)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature_rows(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           bands: int = DEFAULT_BANDS,
+                           rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+                           n: int = 3) -> DataFrame:
+    """One signature row per document — everything incremental screening
+    ever needs, so the TEXT never has to be read again:
+
+      (doc_id, band_keys array<string>, shingle_hashes array<string>, sz)
+
+    - ``band_keys``: the LSH band keys ('band_{b}|h..|h..', same md5
+      slicing as minhash_band_keys) — candidate generation is an
+      equi-join on the exploded array.
+    - ``shingle_hashes``: the SORTED distinct md5('m:' || shingle)
+      digests — exact-Jaccard verification runs on hash sets
+      (J(hashes) == J(shingles) up to md5 collisions, the standard
+      store-compaction trade: fixed 32-byte entries instead of raw
+      n-gram text, and the md5 is the SAME one the band mins slice, so
+      each shingle is hashed exactly once).
+    - ``sz``: the distinct-shingle count (array size, carried so the
+      verify join needs no size() recompute per candidate).
+
+    Documents with fewer than ``n`` words have no shingles and no row —
+    they can never near-dup under this measure.
+    """
+    w = _minhash_slice_width(bands * rows_per_band)
+    sh = doc_shingles(docs, id_col, text_col, n=n)
+    h = F.md5(F.concat(F.lit("m:"), F.col("shingle")))
+    hashed = sh.select("doc", h.alias("h"))
+    band_aggs = []
+    for b in range(bands):
+        parts = [
+            F.min(F.substring("h", w * (b * rows_per_band + r) + 1, w))
+            for r in range(rows_per_band)
+        ]
+        band_aggs.append(
+            F.concat_ws("|", F.lit(f"band_{b}"), *parts).alias(f"_bk{b}"))
+    sigs = hashed.groupBy("doc").agg(
+        *band_aggs,
+        F.array_sort(F.collect_list("h")).alias("shingle_hashes"),
+        F.count(F.lit(1)).alias("sz"))
+    return sigs.select(
+        F.col("doc").alias(id_col),
+        F.array(*[F.col(f"_bk{b}") for b in range(bands)])
+         .alias("band_keys"),
+        "shingle_hashes", "sz")
+
+
+def signature_store_admit(sigs: DataFrame, root: str,
+                          version: int) -> str:
+    """Fold a batch of signature rows into the persisted store at
+    ``root`` (CDC snapshot format: immutable version dirs + atomic
+    pointer — streaming.upsert_cdc_snapshot), keyed by doc_id with
+    ``version`` as the keep-latest order (the caller's delivery ordinal;
+    re-admitting a delivery is an idempotent no-op). Returns the new
+    version dir. The store IS the corpus as far as dedup is concerned:
+    admitting is an O(delivery) write, and nothing ever re-shingles
+    admitted text."""
+    from clif_spark.streaming import upsert_cdc_snapshot
+
+    rows = (sigs.withColumn("is_delete", F.lit(False))
+                .withColumn("__v", F.lit(version)))
+    return upsert_cdc_snapshot(rows, root, keys=["doc_id"],
+                               order=["__v", "doc_id"],
+                               lineage="minhash-sigs")
+
+
+def signature_store_screen(spark, sigs: DataFrame, root: str,
+                           threshold: float = 0.5) -> DataFrame:
+    """Screen a delivery's signature rows against the persisted store:
+    (old_id, new_id, jaccard) for every store document the delivery
+    near-duplicates. THE point of the persisted form: this plan reads
+    the signature store's parquet and the delivery signatures — never
+    the corpus text (test_plans asserts the scan set).
+
+    Shape: explode both sides' band_keys, equi-join on the key
+    (UNCAPPED — cross joins are linear in matches, not quadratic in
+    bucket size, so the exactness-vs-cap rule of pairs_from_buckets
+    doesn't bite; a pathological boilerplate key is AQE skew-join
+    territory, never an answer change), distinct the candidate pairs,
+    then verify with one narrow array_intersect over the STORED hash
+    sets. The delivery side is broadcast: a delivery is by contract
+    small relative to the corpus, so candidate generation costs one
+    corpus-signature scan with no shuffle (drop the hint if a delivery
+    ever rivals the corpus).
+    """
+    from clif_spark.streaming import read_cdc_snapshot
+
+    store = read_cdc_snapshot(spark, root).select(
+        "doc_id", "band_keys", "shingle_hashes", "sz")
+    old_k = store.select(F.col("doc_id").alias("old_id"),
+                         F.explode("band_keys").alias("bk"))
+    new_k = sigs.select(F.col("doc_id").alias("new_id"),
+                        F.explode("band_keys").alias("bk"))
+    cands = (old_k.join(F.broadcast(new_k), "bk")
+                  .select("old_id", "new_id").distinct())
+    scored = (cands
+              .join(store.select(F.col("doc_id").alias("old_id"),
+                                 F.col("shingle_hashes").alias("sh_a"),
+                                 F.col("sz").alias("sz_a")), "old_id")
+              .join(F.broadcast(
+                        sigs.select(F.col("doc_id").alias("new_id"),
+                                    F.col("shingle_hashes").alias("sh_b"),
+                                    F.col("sz").alias("sz_b"))), "new_id")
+              .select("old_id", "new_id",
+                      F.size(F.array_intersect("sh_a", "sh_b"))
+                       .alias("inter"), "sz_a", "sz_b")
+              .select("old_id", "new_id",
+                      F.round(F.col("inter")
+                              / (F.col("sz_a") + F.col("sz_b")
+                                 - F.col("inter")), 4).alias("jaccard")))
+    return scored.filter(F.col("jaccard") >= threshold)

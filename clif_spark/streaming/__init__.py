@@ -384,6 +384,55 @@ def apply_cdc_stream(cdc_stream: DataFrame, root: str,
     return q
 
 
+def upsert_cdc_snapshot(batch_df: DataFrame, root: str,
+                        keys: list[str], order: list[str],
+                        tombstone_col: str = "is_delete",
+                        lineage: str = "batch") -> str:
+    """BATCH twin of ``apply_cdc_stream``'s sink: fold ONE DataFrame into
+    a snapshot table under ``root`` using the identical on-disk format
+    (immutable ``v{id}_{lineage}`` version dirs + the atomic ``_LATEST``
+    pointer), so ``read_cdc_snapshot`` / ``compact_cdc_snapshot`` / time
+    travel all work unchanged on tables maintained this way. The callers
+    that want this shape have periodic DELIVERIES rather than a CDC
+    stream — e.g. the persisted-signature dedup store
+    (dedup.signature_store_*), where each admitted delivery is one batch
+    upsert.
+
+    Version ids are allocated monotonically within the lineage
+    (pointer batch_id + 1; 0 for a fresh table or a new lineage), and the
+    fold is keep-latest-by-``order`` — idempotent under re-application of
+    an identical batch, same as the streaming sink. Returns the new
+    version directory path.
+
+    Copy-on-write matters here beyond crash safety: a lazy DataFrame
+    bound to the PREVIOUS version (read_cdc_snapshot resolves the pointer
+    eagerly) keeps reading that immutable dir after the upsert — the
+    screen-then-admit pattern depends on exactly this isolation.
+    """
+    import hashlib
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    ckpt_id = hashlib.md5(f"batch:{lineage}".encode()).hexdigest()[:16]
+    spark = batch_df.sparkSession
+    meta = _cdc_pointer_read(root)
+    stamped = batch_df.withColumn(
+        tombstone_col, F.coalesce(F.col(tombstone_col), F.lit(False)))
+    if meta is not None and meta[2] == ckpt_id:
+        batch_id = meta[0] + 1
+        base = spark.read.parquet(meta[1])
+    else:
+        batch_id = 0
+        base = stamped.limit(0)
+    from clif_spark.operators import core as _core
+
+    merged = _core.upsert_keep_latest(base, stamped, keys, order)
+    vdir = os.path.join(root, f"v{batch_id}_{ckpt_id[:6]}")
+    merged.write.mode("overwrite").parquet(vdir)
+    _cdc_pointer_write(root, batch_id, vdir, ckpt_id)
+    return vdir
+
+
 def read_cdc_snapshot(spark: SparkSession, root: str,
                       tombstone_col: str = "is_delete",
                       version: int | None = None) -> DataFrame:

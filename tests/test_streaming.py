@@ -252,3 +252,46 @@ def test_cdc_compaction_rerun_completes_crashed_sweep(spark):
     live = {r.k: (r.version, r.val) for r in
             streaming.read_cdc_snapshot(spark, root).collect()}
     assert live == {1: (1, "a")}
+
+
+def test_upsert_cdc_snapshot_batch_interop(spark):
+    """upsert_cdc_snapshot (the batch twin of apply_cdc_stream's sink)
+    produces the same on-disk format: version ids allocate monotonically,
+    keep-latest-by-order folds updates, tombstones suppress at read time,
+    time travel resolves batch versions, compaction works, and
+    re-applying an identical batch is idempotent."""
+    import tempfile
+
+    from clif_spark import streaming
+
+    root = tempfile.mkdtemp(prefix="cdc_batch_tbl_")
+    b0 = spark.createDataFrame(
+        [(1, 1, "a", False), (2, 1, "b", False)],
+        "k long, version long, val string, is_delete boolean")
+    v0 = streaming.upsert_cdc_snapshot(b0, root, ["k"], ["version"])
+    assert v0.split("/")[-1].startswith("v0_")
+    b1 = spark.createDataFrame(
+        [(1, 2, "a2", False), (2, 2, None, True), (3, 2, "c", False)],
+        "k long, version long, val string, is_delete boolean")
+    v1 = streaming.upsert_cdc_snapshot(b1, root, ["k"], ["version"])
+    assert v1.split("/")[-1].startswith("v1_")
+
+    live = {r.k: (r.version, r.val) for r in
+            streaming.read_cdc_snapshot(spark, root).collect()}
+    assert live == {1: (2, "a2"), 3: (2, "c")}  # key 2 tombstoned
+    # time travel: version=0 predates b1, so it is exactly the b0 merge
+    asof0 = {r.k: r.val for r in
+             streaming.read_cdc_snapshot(spark, root, version=0).collect()}
+    assert asof0 == {1: "a", 2: "b"}
+
+    # idempotence: re-folding the same batch changes nothing visible
+    streaming.upsert_cdc_snapshot(b1, root, ["k"], ["version"])
+    live2 = {r.k: (r.version, r.val) for r in
+             streaming.read_cdc_snapshot(spark, root).collect()}
+    assert live2 == live
+
+    removed = streaming.compact_cdc_snapshot(spark, root)
+    assert removed == 1  # key 2's retained tombstone
+    live3 = {r.k: (r.version, r.val) for r in
+             streaming.read_cdc_snapshot(spark, root).collect()}
+    assert live3 == live
