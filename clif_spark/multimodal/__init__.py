@@ -1352,6 +1352,139 @@ def extract_video_frames(df: DataFrame, stride: int = 1,
         run, VIDEO_FRAME_SCHEMA)
 
 
+#: demux -> JPEG decode contract: per-frame geometry + decoded luma stats.
+VIDEO_PIXEL_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.LongType()),
+    T.StructField("pts_ms", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("n_pixels", T.LongType()),
+    T.StructField("mean_value", T.DoubleType()),
+    T.StructField("peak", T.LongType()),
+])
+
+
+def synth_mjpeg_payload(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        out_col: str = "payload") -> DataFrame:
+    """MJPEG-in-MP4: doc_id % 3 == 0 becomes a real ISO BMFF container
+    whose mdat samples are REAL baseline JPEG frames (the
+    synth_video_payload container around synth_jpeg_payload content) —
+    the composition that makes the video story end-to-end decodable
+    without hand-rolling H.264. Frame k of doc id is block-constant
+    grayscale, value(x, y) = (3·id + 5·k + 7·(x div 8) + 11·(y div 8))
+    % 256 over (9 + (id+5k)%20) × (7 + (id+3k)%14), all-ones quant
+    tables (bit-exact decode regime), rotating restart intervals;
+    n = 3 + id%4 frames, timescale 1000·(1 + id%3), delta 40 ticks.
+    Other doc_ids stay raw utf-8 text."""
+    from clif_spark.multimodal import jpeg as _jpeg
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField(out_col, T.BinaryType()),
+    ])
+    build_mp4_samples, _ = _mp4_sample_codecs()
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def build(doc_id: int, text: str) -> bytes:
+            if doc_id % 3 == 0:
+                frames = [
+                    _jpeg.jpeg_encode_gray(
+                        9 + (doc_id + 5 * k) % 20,
+                        7 + (doc_id + 3 * k) % 14,
+                        lambda x, y, k=k:
+                            (3 * doc_id + 5 * k + 7 * (x // 8)
+                             + 11 * (y // 8)) % 256,
+                        restart_interval=(doc_id // 3 + k) % 3)
+                    for k in range(3 + doc_id % 4)]
+                return build_mp4_samples(
+                    1000 * (1 + doc_id % 3), 40, frames)
+            return (text or "").encode("utf-8")
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                out_col: [build(int(i), t)
+                          for i, t in zip(pdf[id_col], pdf[text_col])],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def video_frame_pixel_stats(df: DataFrame, stride: int = 1,
+                            id_col: str = "doc_id",
+                            payload_col: str = "payload") -> DataFrame:
+    """demux -> DECODE, closed loop: walk the MP4 sample table
+    (extract_video_frames machinery), slice every ``stride``-th frame,
+    decode it as baseline JPEG (multimodal/jpeg.py — MJPEG, the one
+    video codec whose frames the engine can honestly decode), and emit
+    per-frame geometry + luma statistics. Frames that are not decodable
+    JPEGs are SKIPPED (same no-fabrication stance as the demuxer:
+    H.264 payloads et al. stay opaque — extract_video_frames serves
+    those at byte grain), as are non-MP4 payloads.
+
+    Scale shape: one streaming Arrow batch per task; per-frame work is
+    bounded by frame pixel count; exact integer folds (sum/peak), mean
+    as one double divide — nothing driver-side, nothing accumulates
+    across batches."""
+    from clif_spark.multimodal import jpeg as _jpeg
+
+    _, mp4_extract_samples = _mp4_sample_codecs()
+
+    def run(batches: Iterator) -> Iterator:
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_idx", "pts_ms",
+                                   "width", "height", "n_pixels",
+                                   "mean_value", "peak")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                got = mp4_extract_samples(
+                    payload if payload is not None else b"")
+                if got is None:
+                    continue
+                timescale, samples = got
+                for k in range(0, len(samples), stride):
+                    frame, pts = samples[k]
+                    try:
+                        decoded = _jpeg.jpeg_decode(bytes(frame))
+                    except (ValueError, IndexError, KeyError,
+                            StopIteration, struct.error):
+                        decoded = None  # not a decodable JPEG frame
+                    if decoded is None:
+                        continue
+                    w, h, planes = decoded
+                    luma = planes[0]
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(k)
+                    out["pts_ms"].append(pts * 1000 // timescale
+                                         if timescale else 0)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_pixels"].append(len(luma))
+                    out["mean_value"].append(sum(luma) / len(luma))
+                    out["peak"].append(max(luma))
+            yield pd.DataFrame({
+                "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                "frame_idx": pd.array(out["frame_idx"], dtype="int64"),
+                "pts_ms": pd.array(out["pts_ms"], dtype="int64"),
+                "width": pd.array(out["width"], dtype="int64"),
+                "height": pd.array(out["height"], dtype="int64"),
+                "n_pixels": pd.array(out["n_pixels"], dtype="int64"),
+                "mean_value": pd.array(out["mean_value"],
+                                       dtype="float64"),
+                "peak": pd.array(out["peak"], dtype="int64"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, VIDEO_PIXEL_SCHEMA)
+
+
 #: Real-resize contract: geometry + decoded-resample statistics per doc.
 RESIZE_PIXELS_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),

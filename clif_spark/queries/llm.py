@@ -697,6 +697,155 @@ def dedup_incremental_minhash(spark, sf_dir):
     return dedup.incremental_near_dups(corpus, batch, threshold=0.5)
 
 
+def _persisted_incr_oracle() -> str:
+    """Oracle for the persisted-signature incremental dedup: plant a
+    corpus (side 0) and two successive deliveries (sides 1, 2), compute
+    the shared minhash band keys over ALL docs, and take the cross-side
+    candidate pairs where the OLD side predates the delivery being
+    screened (sl.side < sr.side) — exactly what two successive
+    screen-then-admit calls see. UNCAPPED candidates (the Spark path is
+    a cross equi-join, linear in matches — no bucket-cap recall trade to
+    mirror), exact Jaccard verify."""
+    bands = dedup.DEFAULT_BANDS
+    rpb = dedup.DEFAULT_ROWS_PER_BAND
+    w = dedup._minhash_slice_width(bands * rpb)
+    minhs = ",\n        ".join(
+        f"min(substr(md5('m:' || shingle),"
+        f" {w * i + 1}, {w})) AS h{i}" for i in range(bands * rpb))
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc, 'band_{b}' AS band,"
+        f" h{2*b} || '|' || h{2*b+1} AS band_key FROM sig"
+        for b in range(bands))
+    return rf"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    docs2 AS (
+      SELECT doc_id AS doc, text, 0 AS side FROM base
+      UNION ALL
+      SELECT doc_id + 200000, text || ' extra trailing token', 1
+      FROM base WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 200000,
+             'novel content block ' || doc_id || ' stands entirely alone',
+             1
+      FROM base WHERE doc_id % 10 = 5
+      UNION ALL
+      SELECT doc_id + 300000, text || ' extra trailing token', 2
+      FROM base WHERE doc_id % 10 = 1
+      UNION ALL
+      SELECT doc_id + 400000, text || ' extra trailing token', 2
+      FROM base WHERE doc_id % 10 = 0
+    ),
+    words AS (
+      SELECT doc, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM docs2
+    ),
+    sh AS (
+      SELECT DISTINCT doc, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM words, unnest(range(1, greatest(len(w) - 1, 1))) t(i)
+    ),
+    sig AS (
+      SELECT doc,
+        {minhs}
+      FROM sh GROUP BY doc
+    ),
+    bands AS (
+      {band_rows}
+    ),
+    sides AS (SELECT doc, side FROM docs2),
+    cand AS (
+      SELECT DISTINCT l.doc AS old_id, r.doc AS new_id,
+             CAST(sr.side AS BIGINT) AS delivery
+      FROM bands l
+      JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+      JOIN sides sl ON sl.doc = l.doc
+      JOIN sides sr ON sr.doc = r.doc
+      WHERE sl.side < sr.side
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+    inter AS (
+      SELECT c.delivery, c.old_id, c.new_id, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc = c.old_id
+      JOIN sh sb ON sb.doc = c.new_id AND sb.shingle = sa.shingle
+      GROUP BY 1, 2, 3
+    )
+    SELECT i.delivery, i.old_id, i.new_id,
+           ROUND(CAST(i.n_inter AS DOUBLE)
+                 / (za.sz + zb.sz - i.n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc = i.old_id
+    JOIN sizes zb ON zb.doc = i.new_id
+    WHERE ROUND(CAST(i.n_inter AS DOUBLE)
+                / (za.sz + zb.sz - i.n_inter), 4) >= 0.5
+    """
+
+
+@query("dedup_incremental_persisted", oracle=_persisted_incr_oracle())
+def dedup_incremental_persisted(spark, sf_dir):
+    """Persisted-signature incremental dedup — the PRODUCTION form of
+    dedup_incremental_minhash, closing its documented gap (corpus
+    signatures recomputed per call): the corpus's MinHash band keys and
+    shingle-hash sets are admitted ONCE into a CDC-format snapshot store
+    (dedup.signature_store_admit -> streaming.upsert_cdc_snapshot:
+    immutable version dirs + atomic pointer, so read/compact/time-travel
+    all apply), and each delivery (1) screens against the store —
+    reading signature-sized parquet, never corpus text (test_plans
+    asserts the scan set) — then (2) admits its own signatures for the
+    next delivery to screen against.
+
+    Two successive deliveries are planted: delivery 1 = near-copies of
+    corpus docs (%10==0, one appended token) + genuinely novel docs
+    (%10==5); delivery 2 = near-copies of other corpus docs (%10==1)
+    PLUS exact copies of delivery 1's near-copies (+400000) — which must
+    surface as duplicates of BOTH the original corpus doc and the
+    admitted delivery-1 doc, proving the store actually grew. Output:
+    (delivery, old_id, new_id, jaccard).
+
+    Scale: screening is O(delivery × matched buckets) with the delivery
+    side broadcast (one corpus-signature scan, no shuffle); admission is
+    O(delivery) writes; corpus text is read exactly once, ever. The
+    copy-on-write store lets the lazy screen plan stay bound to its
+    pre-admission version."""
+    import tempfile
+
+    d = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d1 = (d.filter(F.col("doc_id") % 10 == 0).select(
+              (F.col("doc_id") + 200000).alias("doc_id"),
+              F.concat("text", F.lit(" extra trailing token"))
+               .alias("text"))
+          .unionByName(
+              d.filter(F.col("doc_id") % 10 == 5).select(
+                  (F.col("doc_id") + 200000).alias("doc_id"),
+                  F.concat(F.lit("novel content block "),
+                           F.col("doc_id").cast("string"),
+                           F.lit(" stands entirely alone")).alias("text"))))
+    d2 = (d.filter(F.col("doc_id") % 10 == 1).select(
+              (F.col("doc_id") + 300000).alias("doc_id"),
+              F.concat("text", F.lit(" extra trailing token"))
+               .alias("text"))
+          .unionByName(
+              d.filter(F.col("doc_id") % 10 == 0).select(
+                  (F.col("doc_id") + 400000).alias("doc_id"),
+                  F.concat("text", F.lit(" extra trailing token"))
+                   .alias("text"))))
+    root = tempfile.mkdtemp(prefix="clif_sigstore_")
+    dedup.signature_store_admit(
+        dedup.minhash_signature_rows(d), root, version=0)
+    # localCheckpoint: the delivery's signatures are computed ONCE and
+    # shared by screen + admit (Catalyst does no cross-subplan CSE), and
+    # the screen plan's lineage to the documents table is cut — the scan
+    # set below is the signature store + checkpointed rows, nothing else.
+    s1 = dedup.minhash_signature_rows(d1).localCheckpoint()
+    r1 = (dedup.signature_store_screen(spark, s1, root, threshold=0.5)
+          .withColumn("delivery", F.lit(1).cast("long")))
+    dedup.signature_store_admit(s1, root, version=1)
+    s2 = dedup.minhash_signature_rows(d2).localCheckpoint()
+    r2 = (dedup.signature_store_screen(spark, s2, root, threshold=0.5)
+          .withColumn("delivery", F.lit(2).cast("long")))
+    return (r1.unionByName(r2)
+              .select("delivery", "old_id", "new_id", "jaccard"))
+
+
 def _simhash_sig_ctes(docs_src: str) -> str:
     """DuckDB CTE chain computing dedup.simhash64 term for term: md5 hex
     nibbles (strpos mirror of Spark's conv), 64 frequency-weighted bit
@@ -1915,6 +2064,63 @@ def mm_video_frame_stats(spark, sf_dir):
     d = io.load_table(spark, sf_dir, "documents")
     payload = multimodal.synth_video_payload(d)
     return multimodal.extract_video_frames(payload, stride=2)
+
+
+@query(
+    "mm_video_pixel_stats",
+    oracle="""
+    -- MJPEG-in-MP4, demux -> DECODE closed loop: doc_id % 3 == 0 docs
+    -- are ISO BMFF containers whose mdat samples are REAL baseline
+    -- JPEGs; frame k is block-constant with value(x,y) =
+    -- (3d + 5k + 7*(x//8) + 11*(y//8)) % 256 over
+    -- (9 + (d+5k)%20) x (7 + (d+3k)%14), all-ones quant tables (the
+    -- bit-exact regime). The engine must walk stsz/stsc/stco/stts,
+    -- slice every SECOND frame, then Huffman-decode + dequantize +
+    -- IDCT + crop it to reproduce these per-frame luma statistics.
+    WITH vids AS (
+      SELECT doc_id AS d, 3 + doc_id % 4 AS n
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    frames AS (
+      SELECT d, k.k AS frame_idx,
+             9 + (d + 5 * k.k) % 20 AS w,
+             7 + (d + 3 * k.k) % 14 AS h
+      FROM vids, generate_series(0, 5) AS k(k)
+      WHERE k.k < n AND k.k % 2 = 0
+    ),
+    px AS (
+      SELECT d, frame_idx, w, h,
+             (3 * d + 5 * frame_idx + 7 * (x.x // 8)
+              + 11 * (y.y // 8)) % 256 AS v
+      FROM frames, generate_series(0, 27) AS x(x),
+           generate_series(0, 19) AS y(y)
+      WHERE x.x < w AND y.y < h
+    )
+    SELECT d AS doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST((40 * frame_idx) // (1 + d % 3) AS BIGINT) AS pts_ms,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_value,
+           CAST(MAX(v) AS BIGINT) AS peak
+    FROM px GROUP BY d, frame_idx, w, h
+    """,
+)
+def mm_video_pixel_stats(spark, sf_dir):
+    """The composition mm_video_frame_stats stops short of: video frames
+    DECODED, not just demuxed. synth_mjpeg_payload packs real baseline
+    JPEGs into real MP4 sample tables (MJPEG — the one video codec whose
+    frames this engine honestly decodes; H.264 remains the documented
+    boundary), and video_frame_pixel_stats walks the sample table,
+    stride-samples every second frame, and runs each through the full
+    JPEG pipeline (markers, DHT canonical codes, DC-predicted Huffman,
+    restart intervals, dequantize, IDCT, crop) to per-frame luma stats —
+    all closed-form-predicted by the oracle because the frames are
+    block-constant under all-ones quant (the r7 fixture regime). Scale
+    shape: Arrow-batched mapInPandas, per-frame bounded work, exact
+    integer folds; nothing accumulates per task."""
+    d = io.load_table(spark, sf_dir, "documents")
+    payload = multimodal.synth_mjpeg_payload(d)
+    return multimodal.video_frame_pixel_stats(payload, stride=2)
 
 
 @query("ann_ivf_trained_topk")  # rows-only: iterative training step

@@ -754,3 +754,27 @@ def test_jpeg_422_subsampling_decodes(spark=None):
             got = rgbv[3 * (yy * w + xx):3 * (yy * w + xx) + 3]
             maxerr = max(maxerr, *(abs(a - b) for a, b in zip(got, want)))
     assert maxerr <= 3, maxerr
+
+
+def test_video_pixel_stats_decodes_mjpeg_and_skips_opaque(spark):
+    """video_frame_pixel_stats closes the demux->decode loop: MJPEG
+    frames come back with exact block-constant luma stats; a frame that
+    is NOT a decodable JPEG (e.g. an H.264-like opaque payload) is
+    skipped rather than fabricated; non-MP4 payloads yield no rows."""
+    from clif_spark import multimodal as M
+    from clif_spark.multimodal import jpeg as J
+
+    build_mp4, _ = M._mp4_sample_codecs()
+    jf = J.jpeg_encode_gray(16, 8, lambda x, y: 50 + 7 * (x // 8))
+    mixed = build_mp4(1000, 40, [jf, b"\x00\x01opaque-h264-ish", jf])
+    rows = spark.createDataFrame(
+        [(1, bytearray(mixed)), (2, bytearray(b"not a video"))],
+        "doc_id long, payload binary")
+    got = {(r.doc_id, r.frame_idx): r
+           for r in M.video_frame_pixel_stats(rows, stride=1).collect()}
+    assert set(got) == {(1, 0), (1, 2)}  # frame 1 skipped, doc 2 absent
+    r0 = got[(1, 0)]
+    assert (r0.width, r0.height, r0.n_pixels) == (16, 8, 128)
+    assert r0.mean_value == (50 + 57) / 2  # two blocks: 50 and 57
+    assert r0.peak == 57
+    assert got[(1, 2)].pts_ms == 80
