@@ -933,6 +933,44 @@ def synth_jpeg_payload(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, text_col).mapInPandas(run, schema)
 
 
+def synth_jpeg_progressive_payload(df: DataFrame, id_col: str = "doc_id",
+                                   text_col: str = "text",
+                                   out_col: str = "payload") -> DataFrame:
+    """Progressive twin of synth_jpeg_payload: even doc_ids become real
+    PROGRESSIVE JPEGs (SOF2, six scans — coarse DC, two spectral AC
+    bands, then DC + AC successive-approximation refinements with
+    cross-block EOBRUN), block-constant with value(x, y) =
+    (5·doc_id + 7·(x div 8) + 13·(y div 8)) % 256 over a
+    (9 + id%37) × (7 + id%25) frame, all-ones quant tables (bit-exact
+    regime, closed-form oracle). Odd doc_ids stay raw utf-8 text."""
+    from clif_spark.multimodal import jpeg as _jpeg
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField(out_col, T.BinaryType()),
+    ])
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def build(doc_id: int, text: str) -> bytes:
+            if doc_id % 2 == 0:
+                return _jpeg.jpeg_encode_gray_progressive(
+                    9 + doc_id % 37, 7 + doc_id % 25,
+                    lambda x, y:
+                        (5 * doc_id + 7 * (x // 8) + 13 * (y // 8)) % 256)
+            return (text or "").encode("utf-8")
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                out_col: [build(int(i), t)
+                          for i, t in zip(pdf[id_col], pdf[text_col])],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
 def synth_rich_media_payload(df: DataFrame, id_col: str = "doc_id",
                              text_col: str = "text",
                              out_col: str = "payload") -> DataFrame:
@@ -1009,9 +1047,10 @@ def media_sample_features(df: DataFrame, id_col: str = "doc_id",
     (n_values, mean, rms, peak) — the normalization statistics an
     image/audio training pipeline computes in its preprocessing pass.
     GIF payloads decode for real too (LZW + palette, _gif_codecs), and
-    baseline JPEG decodes through the full Huffman + IDCT pipeline
-    (multimodal.jpeg — luma channel values). Payloads without a
-    stdlib-decodable sample body (MP4, text, progressive JPEG) yield
+    JPEG — baseline sequential AND progressive (SOF2 spectral selection +
+    successive approximation) — decodes through the full Huffman + IDCT
+    pipeline (multimodal.jpeg — luma channel values). Payloads without a
+    stdlib-decodable sample body (MP4, text, arithmetic-coded JPEG) yield
     kind='other' with NULL stats rather than fabricated numbers.
 
     Determinism contract: stats accumulate in exact integer arithmetic

@@ -8,12 +8,16 @@ library required — so here it is: a spec-shaped encoder/decoder pair over
 ``bytes``, used by the multimodal layer's Arrow-batched ``mapInPandas``
 feature extractors (clif_spark.multimodal.media_sample_features).
 
-Supported surface (decode): baseline SOF0, 8-bit precision, 1 or 3
-components, sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0), interleaved
-scan, restart intervals (DRI + RSTn), byte stuffing, APPn/COM skip,
-Huffman tables parsed from DHT (canonical construction — any spec-valid
-table decodes, not just ours). Progressive (SOF2), arithmetic coding and
-12-bit precision raise loudly instead of decoding garbage.
+Supported surface (decode): sequential SOF0/1 AND progressive SOF2
+(spectral selection + successive approximation, T.81 G.2 — EOBRUN /
+refinement-bit semantics per the spec's figure G.7 flow), 8-bit
+precision, 1 or 3 components, sampling factors 1-2 (4:4:4 / 4:2:2 /
+4:2:0 sequential; progressive exercised at 4:4:4), interleaved and
+per-component scans, restart intervals (DRI + RSTn), byte stuffing,
+APPn/COM skip, Huffman tables parsed from DHT (canonical construction —
+any spec-valid table decodes, not just ours). Arithmetic coding,
+lossless/hierarchical SOFs and 12-bit precision raise loudly instead of
+decoding garbage.
 
 Encode writes what decode reads: grayscale or YCbCr 4:4:4 / 4:2:0, with
 caller-chosen quant tables. The Huffman tables it EMITS are deliberately
@@ -150,6 +154,16 @@ _ENC_AC_VALS = (
     + [(run << 4) | size for run in range(16) for size in range(1, 11)]
 )
 
+# Progressive AC table: the sequential table plus the EOBn symbols
+# (r<<4 | 0 for r = 1..14) that successive-approximation scans emit for
+# end-of-band runs longer than one block. 176 symbols at 8 bits
+# (Kraft 176/256) — still canonical, still deliberately non-Annex-K.
+_ENC_ACP_BITS = [0] * 7 + [176] + [0] * 8
+_ENC_ACP_VALS = (
+    [r << 4 for r in range(15)] + [0xF0]
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+)
+
 
 def _enc_code_map(bits: list[int], vals: list[int]) -> dict:
     return {sym: (length, code)
@@ -158,6 +172,7 @@ def _enc_code_map(bits: list[int], vals: list[int]) -> dict:
 
 _ENC_DC_MAP = _enc_code_map(_ENC_DC_BITS, _ENC_DC_VALS)
 _ENC_AC_MAP = _enc_code_map(_ENC_AC_BITS, _ENC_AC_VALS)
+_ENC_ACP_MAP = _enc_code_map(_ENC_ACP_BITS, _ENC_ACP_VALS)
 
 
 # ---------------------------------------------------------------------------
@@ -463,18 +478,312 @@ def _encode_planes(width: int, height: int, planes: list,
     return bytes(out)
 
 
+def jpeg_encode_gray_progressive(width: int, height: int, pixel, *,
+                                 quality: int | None = None) -> bytes:
+    """Progressive (SOF2) grayscale encoder — the two-sided test partner
+    of the progressive decoder, spec-faithful rather than minimal: the
+    scan script exercises BOTH progressive mechanisms.
+
+      1. DC first      (Ss=0 Se=0  Ah=0 Al=1)   coarse DC, point-shifted
+      2. AC first 1-5  (Ss=1 Se=5  Ah=0 Al=1)   low band, coarse
+      3. AC first 6-63 (Ss=6 Se=63 Ah=0 Al=1)   high band, coarse
+      4. DC refine     (Ss=0 Se=0  Ah=1 Al=0)   one raw bit per block
+      5. AC refine 1-5 (Ss=1 Se=5  Ah=1 Al=0)   correction bits + EOBRUN
+      6. AC refine 6-63(Ss=6 Se=63 Ah=1 Al=0)
+
+    AC scans use the progressive Huffman table (_ENC_ACP_*: sequential
+    symbols + EOBn run codes) and real end-of-band runs spanning blocks,
+    with the refinement scans' buffered correction bits — so the decoder
+    faces genuine EOBRUN>1 streams, not a degenerate per-block EOB form.
+    Same exactness contract as the sequential encoder: block-constant
+    content under all-ones quant roundtrips bit-exactly (the point
+    transform only touches DC, whose refinement restores every bit)."""
+    plane = [pixel(x, y) & 0xFF for y in range(height) for x in range(width)]
+    return _encode_progressive_planes(
+        width, height, [(plane, width, height)], quality=quality)
+
+
+def jpeg_encode_rgb_progressive(width: int, height: int, pixel, *,
+                                quality: int | None = None) -> bytes:
+    """Progressive color (YCbCr 4:4:4) — same scan script as grayscale,
+    with the DC scan interleaved over all three components and the six
+    AC scans issued per component (18 AC scans total). Subsampled
+    progressive stays out of scope (documented boundary; the sequential
+    path covers 4:2:0/4:2:2)."""
+    ys, cbs, crs = [], [], []
+    for yy in range(height):
+        for xx in range(width):
+            r, g, b = pixel(xx, yy)
+            ys.append(max(0, min(255, int(round(
+                0.299 * r + 0.587 * g + 0.114 * b)))))
+            cbs.append(max(0, min(255, int(round(
+                128 - 0.168736 * r - 0.331264 * g + 0.5 * b)))))
+            crs.append(max(0, min(255, int(round(
+                128 + 0.5 * r - 0.418688 * g - 0.081312 * b)))))
+    return _encode_progressive_planes(
+        width, height,
+        [(ys, width, height), (cbs, width, height), (crs, width, height)],
+        quality=quality)
+
+
+def _encode_progressive_planes(width: int, height: int, planes: list,
+                               *, quality: int | None) -> bytes:
+    """Shared progressive writer; ``planes`` = [(raster, pw, ph)] with
+    hf = vf = 1 throughout (grayscale or 4:4:4)."""
+    lq, cq = _quant_tables(quality)
+    ncomp = len(planes)
+    bwn = (width + 7) // 8
+    bhn = (height + 7) // 8
+    # quantized zigzag coefficients for every block of every component
+    zz_all: list[list[list[int]]] = []
+    for ci, (plane, pw, ph) in enumerate(planes):
+        qt = lq if ci == 0 else cq
+        blocks = []
+        for by in range(bhn):
+            for bx in range(bwn):
+                blk = _plane_block(plane, pw, ph, bx, by)
+                coef = _fdct2d([float(s - 128) for s in blk])
+                q = [int(round(coef[i] / qt[i])) for i in range(64)]
+                blocks.append([q[ZIGZAG[k]] for k in range(64)])
+        zz_all.append(blocks)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, b"\x00" + bytes(lq[ZIGZAG[k]] for k in range(64)))
+    if ncomp == 3:
+        out += _seg(0xDB, b"\x01" + bytes(cq[ZIGZAG[k]] for k in range(64)))
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += _seg(0xC2, sof)  # SOF2: progressive
+    out += _dht_seg(0x00, _ENC_DC_BITS, _ENC_DC_VALS)
+    out += _dht_seg(0x10, _ENC_ACP_BITS, _ENC_ACP_VALS)
+    if ncomp == 3:
+        out += _dht_seg(0x01, _ENC_DC_BITS, _ENC_DC_VALS)
+        out += _dht_seg(0x11, _ENC_ACP_BITS, _ENC_ACP_VALS)
+
+    def sos_hdr(comps_tabs: list, Ss: int, Se: int, Ah: int,
+                Al: int) -> bytes:
+        body = bytes([len(comps_tabs)])
+        for (cid, tt) in comps_tabs:
+            body += bytes([cid, tt])
+        return _seg(0xDA, body + bytes([Ss, Se, (Ah << 4) | Al]))
+
+    # --- scan 1: DC first, interleaved, Al=1 ---
+    out += sos_hdr([(ci + 1, 0x00 if ci == 0 else 0x11)
+                    for ci in range(ncomp)], 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for bi in range(bwn * bhn):
+        for ci in range(ncomp):
+            v = zz_all[ci][bi][0] >> 1  # arithmetic shift: DC point xform
+            diff = v - preds[ci]
+            preds[ci] = v
+            size = _category(diff)
+            length, code = _ENC_DC_MAP[size]
+            bw.put(code, length)
+            if size:
+                bw.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+    bw.align_ones()
+    out += bw.out
+
+    def ac_first_scan(ci: int, Ss: int, Se: int, Al: int) -> bytes:
+        bw = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if not eobrun:
+                return
+            r = eobrun.bit_length() - 1
+            length, code = _ENC_ACP_MAP[r << 4]
+            bw.put(code, length)
+            if r:
+                bw.put(eobrun - (1 << r), r)
+            eobrun = 0
+
+        for blk in zz_all[ci]:
+            vals = []
+            for k in range(Ss, Se + 1):
+                a = abs(blk[k]) >> Al
+                vals.append(a if blk[k] >= 0 else -a)
+            last_nz = max((i for i, v in enumerate(vals) if v),
+                          default=-1)
+            if last_nz < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for i in range(last_nz + 1):
+                v = vals[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    lz, cz = _ENC_ACP_MAP[0xF0]
+                    bw.put(cz, lz)
+                    run -= 16
+                s = _category(v)
+                la, ca = _ENC_ACP_MAP[(run << 4) | s]
+                bw.put(ca, la)
+                bw.put(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < Se - Ss:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        bw.align_ones()
+        return bytes(bw.out)
+
+    def ac_refine_scan(ci: int, Ss: int, Se: int, Al: int) -> bytes:
+        # T.81 G.1.2.3 successive-approximation refinement with real
+        # cross-block EOB runs: correction bits for blocks covered by a
+        # pending run are buffered and emitted right after the EOBn
+        # symbol, exactly where the decoder reads them.
+        bw = _BitWriter()
+        eobrun = 0
+        br_bits: list[int] = []
+
+        def flush_eob():
+            nonlocal eobrun
+            if not eobrun:
+                return
+            r = eobrun.bit_length() - 1
+            length, code = _ENC_ACP_MAP[r << 4]
+            bw.put(code, length)
+            if r:
+                bw.put(eobrun - (1 << r), r)
+            eobrun = 0
+            for b in br_bits:
+                bw.put(b, 1)
+            br_bits.clear()
+
+        for blk in zz_all[ci]:
+            # at this scan: temp = |coef| >> Al; temp == 1 <=> newly
+            # nonzero (history = |coef| >> (Al+1) was zero), temp > 1
+            # <=> history-nonzero needing a correction bit
+            temps = [abs(blk[k]) >> Al for k in range(Ss, Se + 1)]
+            signs = [blk[k] >= 0 for k in range(Ss, Se + 1)]
+            last_new = max((i for i, t in enumerate(temps) if t == 1),
+                           default=-1)
+            run = 0
+            pending: list[int] = []
+            for i, t in enumerate(temps):
+                if i > last_new:
+                    break
+                if t == 0:
+                    run += 1
+                    continue
+                # ZRL emission happens at the FIRST nonzero after >15
+                # zero-history skips — whether it is a correction-only
+                # coefficient or a newly-nonzero one — so the buffered
+                # bits drain in exactly the positional order the
+                # decoder's skip-walk reads them
+                while run > 15:
+                    flush_eob()
+                    lz, cz = _ENC_ACP_MAP[0xF0]
+                    bw.put(cz, lz)
+                    run -= 16
+                    for b in pending:
+                        bw.put(b, 1)
+                    pending.clear()
+                if t > 1:  # history-nonzero: one correction bit, r intact
+                    pending.append(t & 1)
+                    continue
+                # newly nonzero (t == 1)
+                flush_eob()
+                la, ca = _ENC_ACP_MAP[(run << 4) | 1]
+                bw.put(ca, la)
+                bw.put(1 if signs[i] else 0, 1)
+                for b in pending:
+                    bw.put(b, 1)
+                pending.clear()
+                run = 0
+            # tail: positions after the last newly-nonzero join the EOB
+            # run; their history-nonzero correction bits ride the buffer.
+            # A block whose band is COMPLETE at the last newly-nonzero
+            # (nothing after it) needs no EOB at all — the decoder's k
+            # walks past Se and never looks for one.
+            if last_new < len(temps) - 1:
+                br_bits.extend(temps[i] & 1
+                               for i in range(last_new + 1, len(temps))
+                               if temps[i] > 1)
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        bw.align_ones()
+        return bytes(bw.out)
+
+    for (Ss, Se) in ((1, 5), (6, 63)):
+        for ci in range(ncomp):
+            out += sos_hdr([(ci + 1, 0x10 if ci == 0 else 0x11)],
+                           Ss, Se, 0, 1)
+            out += ac_first_scan(ci, Ss, Se, 1)
+
+    # --- DC refinement: one raw bit per block, interleaved ---
+    out += sos_hdr([(ci + 1, 0x00) for ci in range(ncomp)], 0, 0, 1, 0)
+    bw = _BitWriter()
+    for bi in range(bwn * bhn):
+        for ci in range(ncomp):
+            bw.put(zz_all[ci][bi][0] & 1, 1)
+    bw.align_ones()
+    out += bw.out
+
+    for (Ss, Se) in ((1, 5), (6, 63)):
+        for ci in range(ncomp):
+            out += sos_hdr([(ci + 1, 0x10 if ci == 0 else 0x11)],
+                           Ss, Se, 1, 0)
+            out += ac_refine_scan(ci, Ss, Se, 0)
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
 
 
+def _parse_dqt(body: bytes, qts: dict) -> None:
+    """DQT segment body -> raster-order tables into ``qts`` (several
+    tables may share one segment)."""
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 0x0F
+        if pq != 0:
+            raise ValueError("jpeg: 16-bit quant tables unsupported")
+        zz = list(body[i + 1:i + 65])
+        t = [0] * 64
+        for k in range(64):
+            t[ZIGZAG[k]] = zz[k]
+        qts[tq] = t
+        i += 65
+
+
+def _parse_dht(body: bytes, dc_tabs: dict, ac_tabs: dict) -> None:
+    """DHT segment body -> canonical decode tables."""
+    i = 0
+    while i < len(body):
+        tc, th = body[i] >> 4, body[i] & 0x0F
+        bits = list(body[i + 1:i + 17])
+        n = sum(bits)
+        vals = list(body[i + 17:i + 17 + n])
+        (ac_tabs if tc else dc_tabs)[th] = _canonical_codes(bits, vals)
+        i += 17 + n
+
+
 def jpeg_decode(data: bytes):
-    """Decode a baseline JPEG. Returns (width, height, planes) where
-    ``planes`` is a list of per-component w*h rasters of 0..255 ints —
-    one plane for grayscale, (Y, Cb, Cr) upsampled to full resolution for
-    color. Returns None when the payload is not a JPEG at all; raises
-    ValueError on JPEG features outside the baseline surface (progressive,
-    12-bit, arithmetic coding) rather than decoding garbage."""
+    """Decode a JPEG — baseline sequential (SOF0/1) or progressive
+    (SOF2, spectral selection + successive approximation). Returns
+    (width, height, planes) where ``planes`` is a list of per-component
+    w*h rasters of 0..255 ints — one plane for grayscale, (Y, Cb, Cr)
+    upsampled to full resolution for color. Returns None when the
+    payload is not a JPEG at all; raises ValueError on features outside
+    this surface (arithmetic coding, lossless/hierarchical SOFs, 12-bit)
+    rather than decoding garbage."""
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         return None
     pos = 2
@@ -484,6 +793,7 @@ def jpeg_decode(data: bytes):
     comps = None  # [(id, hf, vf, tq)]
     width = height = 0
     restart_interval = 0
+    progressive = False
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg: expected marker")
@@ -502,27 +812,11 @@ def jpeg_decode(data: bytes):
         body = data[pos + 4:pos + 2 + seglen]
         pos += 2 + seglen
         if marker == 0xDB:  # DQT (possibly several tables per segment)
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0x0F
-                if pq != 0:
-                    raise ValueError("jpeg: 16-bit quant tables unsupported")
-                zz = list(body[i + 1:i + 65])
-                t = [0] * 64
-                for k in range(64):
-                    t[ZIGZAG[k]] = zz[k]
-                qts[tq] = t
-                i += 65
+            _parse_dqt(body, qts)
         elif marker == 0xC4:  # DHT
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 0x0F
-                bits = list(body[i + 1:i + 17])
-                n = sum(bits)
-                vals = list(body[i + 17:i + 17 + n])
-                (ac_tabs if tc else dc_tabs)[th] = _canonical_codes(bits, vals)
-                i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (both baseline-ish)
+            _parse_dht(body, dc_tabs, ac_tabs)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
+            progressive = marker == 0xC2
             prec, height, width, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
@@ -534,15 +828,19 @@ def jpeg_decode(data: bytes):
                     raise ValueError("jpeg: sampling factors beyond 2 "
                                      "unsupported")
                 comps.append((cid, hf, vf, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("jpeg: non-baseline SOF (progressive/"
-                             "arithmetic/lossless) unsupported")
+            raise ValueError("jpeg: unsupported SOF (arithmetic/"
+                             "lossless/hierarchical)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             if comps is None:
                 raise ValueError("jpeg: SOS before SOF")
+            if progressive:
+                return _decode_progressive(data, pos, body, comps, qts,
+                                           dc_tabs, ac_tabs, width,
+                                           height, restart_interval)
             ns = body[0]
             scan = []
             for si in range(ns):
@@ -632,6 +930,298 @@ def _decode_scan(data: bytes, pos: int, width: int, height: int,
         pw = mcux * hf * 8
         sx, sy = hmax // hf, vmax // vf  # 1 or 2 (nearest replication)
         plane = planes[ci]
+        full = [0] * (width * height)
+        for y in range(height):
+            src_row = (y // sy) * pw
+            frow = y * width
+            for x in range(width):
+                full[frow + x] = plane[src_row + x // sx]
+        out.append(full)
+    return (width, height, out)
+
+
+def _decode_progressive(data: bytes, pos: int, sos_body: bytes, comps,
+                        qts: dict, dc_tabs: dict, ac_tabs: dict,
+                        width: int, height: int, restart_interval: int):
+    """Progressive (SOF2) decode: T.81 G.2 spectral selection +
+    successive approximation, the algorithm of every mainstream decoder
+    (run/EOBRUN semantics per the widely-documented libjpeg phuff
+    formulation — re-derived here from the spec text, not copied code).
+
+    Coefficients accumulate across scans in per-component block grids;
+    dequantize + IDCT + upsample happen once, after the last scan. DC
+    scans may be interleaved; AC scans are per-component by spec. DHT /
+    DQT / DRI segments between scans update the live tables. Restart
+    markers reset DC predictors and the end-of-band run."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    grids = {}
+    for (cid, hf, vf, tq) in comps:
+        bw, bh = mcux * hf, mcuy * vf
+        compw = -(-width * hf // hmax)
+        comph = -(-height * vf // vmax)
+        grids[cid] = {
+            "hf": hf, "vf": vf, "tq": tq, "bw": bw,
+            "bw_real": -(-compw // 8), "bh_real": -(-comph // 8),
+            "coefs": [[0] * 64 for _ in range(bw * bh)],
+        }
+
+    def need(table: dict, idx: int, kind: str) -> dict:
+        if idx not in table:
+            raise ValueError(f"jpeg: scan references an undefined "
+                             f"{kind} table")
+        return table[idx]
+
+    def dc_first(br, tabs, Al, order):
+        # order: per restart unit, the (scan_ci, block) pairs it covers
+        preds = [0] * len(tabs)
+        unit = 0
+        for step in order:
+            if restart_interval and unit and unit % restart_interval == 0:
+                br.restart()
+                preds = [0] * len(preds)
+            for (ci, coef) in step:
+                dct = tabs[ci]
+                size = _huff_decode(br, dct)
+                if size is None:
+                    raise ValueError("jpeg: truncated entropy data")
+                bits = br.bits(size) if size else 0
+                if bits is None:
+                    raise ValueError("jpeg: truncated entropy data")
+                preds[ci] += _extend(bits, size)
+                coef[0] = preds[ci] << Al
+            unit += 1
+
+    def dc_refine(br, Al, order):
+        unit = 0
+        for step in order:
+            if restart_interval and unit and unit % restart_interval == 0:
+                br.restart()
+            for (_, coef) in step:
+                b = br.bit()
+                if b is None:
+                    raise ValueError("jpeg: truncated entropy data")
+                if b:
+                    coef[0] |= 1 << Al
+            unit += 1
+
+    def ac_first(br, act, Ss, Se, Al, blocks):
+        eobrun = 0
+        unit = 0
+        for coef in blocks:
+            if restart_interval and unit and unit % restart_interval == 0:
+                br.restart()
+                eobrun = 0
+            unit += 1
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = Ss
+            while k <= Se:
+                rs = _huff_decode(br, act)
+                if rs is None:
+                    raise ValueError("jpeg: truncated entropy data")
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = 1 << r
+                    if r:
+                        ext = br.bits(r)
+                        if ext is None:
+                            raise ValueError("jpeg: truncated entropy "
+                                             "data")
+                        eobrun += ext
+                    eobrun -= 1  # current block is part of the run
+                    break
+                k += r
+                if k > Se:
+                    raise ValueError("jpeg: AC band index overflow")
+                bits = br.bits(s)
+                if bits is None:
+                    raise ValueError("jpeg: truncated entropy data")
+                coef[ZIGZAG[k]] = _extend(bits, s) << Al
+                k += 1
+
+    def ac_refine(br, act, Ss, Se, Al, blocks):
+        p1, m1 = 1 << Al, -(1 << Al)
+
+        def correct(coef, z):
+            b = br.bit()
+            if b is None:
+                raise ValueError("jpeg: truncated entropy data")
+            if b and not (coef[z] & p1):
+                coef[z] += p1 if coef[z] >= 0 else m1
+
+        eobrun = 0
+        unit = 0
+        for coef in blocks:
+            if restart_interval and unit and unit % restart_interval == 0:
+                br.restart()
+                eobrun = 0
+            unit += 1
+            k = Ss
+            if eobrun == 0:
+                while k <= Se:
+                    rs = _huff_decode(br, act)
+                    if rs is None:
+                        raise ValueError("jpeg: truncated entropy data")
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r != 15:  # EOBn: run covers this block too
+                            eobrun = 1 << r
+                            if r:
+                                ext = br.bits(r)
+                                if ext is None:
+                                    raise ValueError("jpeg: truncated "
+                                                     "entropy data")
+                                eobrun += ext
+                            break
+                        val = 0  # ZRL: skip 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError("jpeg: refinement scan size "
+                                             "must be 1")
+                        b = br.bit()
+                        if b is None:
+                            raise ValueError("jpeg: truncated entropy "
+                                             "data")
+                        val = p1 if b else m1
+                    while k <= Se:
+                        z = ZIGZAG[k]
+                        if coef[z] != 0:
+                            correct(coef, z)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= Se:
+                        coef[ZIGZAG[k]] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= Se:
+                    z = ZIGZAG[k]
+                    if coef[z] != 0:
+                        correct(coef, z)
+                    k += 1
+                eobrun -= 1
+
+    while True:
+        # ---- one scan ----
+        ns = sos_body[0]
+        sc = []
+        for si in range(ns):
+            cs, tt = sos_body[1 + 2 * si], sos_body[2 + 2 * si]
+            if cs not in grids:
+                raise ValueError("jpeg: scan references unknown "
+                                 "component id")
+            sc.append((cs, tt >> 4, tt & 0x0F))
+        off = 1 + 2 * ns
+        Ss, Se = sos_body[off], sos_body[off + 1]
+        Ah, Al = sos_body[off + 2] >> 4, sos_body[off + 2] & 0x0F
+        br = _BitReader(data, pos)
+        if Ss == 0:  # DC scan
+            if Se != 0:
+                raise ValueError("jpeg: DC scan must have Se=0")
+            if ns > 1:  # interleaved: MCU order
+                order = []
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        step = []
+                        for ci, (cid, _, _) in enumerate(sc):
+                            g = grids[cid]
+                            for by in range(g["vf"]):
+                                for bx in range(g["hf"]):
+                                    idx = ((my * g["vf"] + by) * g["bw"]
+                                           + mx * g["hf"] + bx)
+                                    step.append((ci, g["coefs"][idx]))
+                        order.append(step)
+            else:  # non-interleaved: the component's real grid
+                cid = sc[0][0]
+                g = grids[cid]
+                order = [[(0, g["coefs"][by * g["bw"] + bx])]
+                         for by in range(g["bh_real"])
+                         for bx in range(g["bw_real"])]
+            if Ah == 0:
+                tabs = [need(dc_tabs, td, "DC Huffman")
+                        for (_, td, _) in sc]
+                dc_first(br, tabs, Al, order)
+            else:
+                dc_refine(br, Al, order)
+        else:  # AC scan: single component by spec
+            if ns != 1:
+                raise ValueError("jpeg: AC scans must be non-interleaved")
+            if Se > 63 or Ss > Se:
+                raise ValueError("jpeg: bad spectral band")
+            cid, _, ta = sc[0]
+            g = grids[cid]
+            act = need(ac_tabs, ta, "AC Huffman")
+            blocks = [g["coefs"][by * g["bw"] + bx]
+                      for by in range(g["bh_real"])
+                      for bx in range(g["bw_real"])]
+            if Ah == 0:
+                ac_first(br, act, Ss, Se, Al, blocks)
+            else:
+                ac_refine(br, act, Ss, Se, Al, blocks)
+        # ---- resume the marker walk after this scan's entropy data ----
+        p = br.pos
+        while p + 1 < len(data) and not (
+                data[p] == 0xFF and data[p + 1] != 0x00
+                and not (0xD0 <= data[p + 1] <= 0xD7)):
+            p += 1
+        sos_body = None
+        pos = p
+        while pos + 2 <= len(data):
+            if data[pos] != 0xFF:
+                raise ValueError("jpeg: expected marker between scans")
+            while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 2 > len(data):
+                break
+            marker = data[pos + 1]
+            if marker == 0xD9:  # EOI: done
+                pos = len(data)
+                break
+            if pos + 4 > len(data):
+                break
+            (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+            body = data[pos + 4:pos + 2 + seglen]
+            pos += 2 + seglen
+            if marker == 0xDB:
+                _parse_dqt(body, qts)
+            elif marker == 0xC4:
+                _parse_dht(body, dc_tabs, ac_tabs)
+            elif marker == 0xDD:
+                (restart_interval,) = struct.unpack(">H", body[:2])
+            elif marker == 0xDA:
+                sos_body = body
+                break
+            # APPn / COM: skipped
+        if sos_body is None:
+            break  # EOI or end of data: finalize
+
+    # ---- dequantize + IDCT + assemble ----
+    out = []
+    for (cid, hf, vf, tq) in comps:
+        g = grids[cid]
+        qt = need(qts, tq, "quant")
+        pw = g["bw"] * 8
+        plane = [0] * (pw * mcuy * vf * 8)
+        for by in range(g["bh_real"]):
+            for bx in range(g["bw_real"]):
+                coef = g["coefs"][by * g["bw"] + bx]
+                deq = [coef[i] * qt[i] for i in range(64)]
+                samples = _idct2d(deq)
+                ox, oy = bx * 8, by * 8
+                for yy in range(8):
+                    row = oy + yy
+                    plane[row * pw + ox:row * pw + ox + 8] = \
+                        samples[yy * 8:yy * 8 + 8]
+        sx, sy = hmax // hf, vmax // vf
         full = [0] * (width * height)
         for y in range(height):
             src_row = (y // sy) * pw

@@ -91,22 +91,47 @@ def _digit_round(micros: Column, scale: int) -> Column:
             / F.lit(float(10 ** scale))).cast("double")
 
 
-def dsum(col: Column | str, scale: int = 2) -> Column:
+def dsum(col: Column | str, scale: int = 2,
+         checked: bool = False) -> Column:
     """Order-independent sum of a double column via integer-micros fixed
     point; see module comment for determinism + domain-bound rationale.
 
-    Loss characteristics (both deliberate, neither checked at runtime):
+    Loss characteristics (both deliberate; the second is checkable):
     - values are quantized to 1e-6 per ROW before summing — a value with
       |x| < 0.5e-6 contributes exactly zero (acceptable for money/measure
       domains; not for accumulating physical micro-quantities);
     - the accumulator is a plain BIGINT: per-group Σ|x| beyond ~9.2e12
       wraps silently under Spark's non-ANSI SUM (DuckDB's promotes to
-      HUGEINT, so the oracle gate catches it in tested domains — production
-      users beyond the bound should use dsum_exact, or ANSI/try_sum for a
-      loud failure instead of a wrong answer). tests/test_properties.py
-      pins dsum == dsum_exact at the largest shipped SF."""
+      HUGEINT, so the oracle gate catches it in tested domains).
+      tests/test_properties.py pins dsum == dsum_exact at the largest
+      shipped SF.
+
+    ``checked=True`` is the LIBRARY-CALLER mode: the micros accumulate in
+    DECIMAL(38,0) (exact at any realistic cardinality) and an
+    ``assert_true`` guard raises a loud runtime error if the total
+    exceeds the BIGINT range the unchecked path would silently wrap in —
+    a wrong answer becomes a failed job. Identical results to the
+    unchecked path inside the domain (same per-row quantization, same
+    rounding); ~dsum_exact's cost outside codegen'd long arithmetic.
+    Oracle-gated queries keep the unchecked fast path (their domains are
+    property-pinned; the gate's HUGEINT promotion covers them)."""
     col = F.col(col) if isinstance(col, str) else col
-    return _digit_round(_micros_sum(col), scale)
+    if not checked:
+        return _digit_round(_micros_sum(col), scale)
+    micros_dec = F.sum(
+        F.floor(col * F.lit(float(_MICROS)) + F.lit(0.5))
+         .cast("decimal(38,0)"))
+    bound = F.lit(2 ** 63 - 1).cast("decimal(38,0)")
+    guard = F.assert_true(
+        micros_dec.isNull() | (F.abs(micros_dec) <= bound),
+        F.lit("dsum(checked=True): |sum of integer micros| exceeds the "
+              "BIGINT accumulator range (~9.2e12 in value terms); the "
+              "unchecked path would wrap silently — use dsum_exact for "
+              "this domain"))
+    # when() forces the guard's evaluation before the cast is served;
+    # guard is NULL whenever the assertion passes
+    return _digit_round(
+        F.when(guard.isNull(), micros_dec.cast("long")), scale)
 
 
 def dmean(col: Column | str, scale: int = 6) -> Column:

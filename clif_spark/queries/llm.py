@@ -293,6 +293,70 @@ def dedup_minhash_lsh(spark, sf_dir):
     """)
 
 
+@query(
+    "dedup_minhash_recall_bound",
+    oracle=f"""
+    WITH {_minhash_pair_ctes(_MINHASH_DOCS2)},
+    found AS (SELECT DISTINCT a, b FROM scored WHERE jaccard >= 0.5),
+    tinter AS (
+      SELECT sa.doc AS a, sb.doc AS b, COUNT(*) AS n_inter
+      FROM sh sa JOIN sh sb ON sb.shingle = sa.shingle AND sa.doc < sb.doc
+      GROUP BY 1, 2
+    ),
+    tpairs AS (
+      SELECT i.a, i.b FROM tinter i
+      JOIN sizes za ON za.doc = i.a
+      JOIN sizes zb ON zb.doc = i.b
+      WHERE ROUND(CAST(i.n_inter AS DOUBLE)
+                  / (za.sz + zb.sz - i.n_inter), 4) >= 0.5
+    ),
+    m AS (SELECT (SELECT COUNT(*) FROM tpairs) AS n_true,
+                 (SELECT COUNT(*) FROM found) AS n_found)
+    SELECT CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_found AS BIGINT) AS n_found,
+           ROUND(CAST(n_found AS DOUBLE) / n_true, 4) AS recall,
+           CAST(n_found AS DOUBLE) / n_true >= 0.7 AS recall_floor_met
+    FROM m
+    """,
+)
+def dedup_minhash_recall_bound(spark, sf_dir):
+    """The bucket-cap recall trade of dedup_minhash_lsh, made
+    DRIVER-VISIBLE instead of prose (the a12-a14 / ivf_recall_bound
+    contract pattern): run the capped, banded LSH path AND the exact
+    ground truth — every (a < b) pair sharing at least one shingle,
+    Jaccard-verified >= 0.5 (a shuffle-keyed shingle self-join, never
+    all-pairs; verified pairs are by construction a superset of
+    anything LSH can find, since LSH verification is the same exact
+    Jaccard) — and emit ONE row: true pair count, found pair count,
+    measured recall, and the >= 0.7 floor boolean. Banding is
+    deterministic md5, so the ORACLE recomputes the capped path too and
+    the recall value itself is hash-gated, not just the floor. A recall
+    regression (band-slicing bug, cap squeezing real buckets, verify
+    drift) flips the row."""
+    d = io.load_table(spark, sf_dir, "documents")
+    planted = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" extra trailing token")).alias("text"))
+    docs2 = d.select("doc_id", "text").unionByName(planted)
+    found = (dedup.minhash_near_dups(docs2, threshold=0.5)
+             .select("a", "b").distinct())
+    sh = dedup.doc_shingles(docs2)
+    sharing = (sh.select(F.col("doc").alias("a"), "shingle")
+               .join(sh.select(F.col("doc").alias("b"), "shingle"),
+                     "shingle")
+               .filter(F.col("a") < F.col("b"))
+               .select("a", "b").distinct())
+    tpairs = dedup.jaccard_verify(sharing, sh, threshold=0.5)
+    m = (tpairs.agg(F.count(F.lit(1)).alias("n_true"))
+         .crossJoin(found.agg(F.count(F.lit(1)).alias("n_found"))))
+    return m.select(
+        "n_true", "n_found",
+        F.round(F.col("n_found").cast("double") / F.col("n_true"), 4)
+         .alias("recall"),
+        (F.col("n_found").cast("double") / F.col("n_true") >= 0.7)
+         .alias("recall_floor_met"))
+
+
 _CLUSTER_DOCS2 = _MINHASH_DOCS2 + """
       UNION ALL
       SELECT doc_id + 200000, text || ' extra trailing token two'
@@ -2012,6 +2076,60 @@ def mm_jpeg_pixel_stats(spark, sf_dir):
     driver-side."""
     d = io.load_table(spark, sf_dir, "documents")
     payload = multimodal.synth_jpeg_payload(d)
+    return multimodal.media_sample_features(payload)
+
+
+@query(
+    "mm_jpeg_progressive_pixel_stats",
+    oracle="""
+    -- PROGRESSIVE JPEG pixel decode: even docs are real SOF2 streams —
+    -- six scans (coarse DC with Al=1 point transform, two spectral AC
+    -- bands, DC refinement bits, two AC refinements with cross-block
+    -- EOBRUN + buffered correction bits) — block-constant with
+    -- value(x,y) = (5*doc_id + 7*(x//8) + 13*(y//8)) % 256, all-ones
+    -- quant (bit-exact regime). The decoder must accumulate
+    -- coefficients ACROSS scans and reconstruct these closed-form luma
+    -- statistics; r7's boundary row ("progressive unsupported") is now
+    -- a decode row.
+    WITH jpg AS (
+      SELECT doc_id, 9 + doc_id % 37 AS w, 7 + doc_id % 25 AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    px AS (
+      SELECT j.doc_id,
+             (5 * j.doc_id + 7 * (tx.x // 8) + 13 * (ty.y // 8)) % 256 AS v
+      FROM jpg j, generate_series(0, 45) AS tx(x),
+           generate_series(0, 31) AS ty(y)
+      WHERE tx.x < j.w AND ty.y < j.h
+    )
+    SELECT doc_id, 'jpeg_pixels' AS kind,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_value,
+           SQRT(CAST(SUM(CAST(v AS BIGINT) * v) AS DOUBLE) / COUNT(*))
+             AS rms,
+           CAST(MAX(v) AS BIGINT) AS peak
+    FROM px GROUP BY doc_id
+    UNION ALL
+    SELECT doc_id, 'other', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def mm_jpeg_progressive_pixel_stats(spark, sf_dir):
+    """Progressive JPEG joins the real-decode set, closing the r7
+    boundary: even documents become genuine SOF2 streams via the
+    progressive encoder (spectral selection + successive approximation —
+    the scan machinery of every web-optimized JPEG), and
+    media_sample_features decodes them through the multi-scan
+    coefficient-accumulation path (multimodal/jpeg.py
+    _decode_progressive): DC point-transform + refinement, per-band AC
+    scans, EOBRUN runs spanning blocks, buffered correction bits. The
+    fixtures are block-constant under all-ones quant — bit-exact, hence
+    closed-form oracle-checkable; the general path is pinned by
+    progressive==sequential roundtrip equality in
+    tests/test_multimodal.py. Odd documents stay text -> 'other'."""
+    d = io.load_table(spark, sf_dir, "documents")
+    payload = multimodal.synth_jpeg_progressive_payload(d)
     return multimodal.media_sample_features(payload)
 
 

@@ -451,9 +451,10 @@ def test_jpeg_color_roundtrip_within_ycbcr_budget():
 
 def test_jpeg_rejects_non_baseline_and_malformed():
     """Contract edges: non-JPEG payloads -> None from the chain helper;
-    progressive SOF2 raises (not garbage) and the helper maps it to None;
-    truncated entropy data -> None; the other codecs' magics are not
-    claimed by the JPEG path."""
+    genuinely unsupported SOFs (lossless SOF3, arithmetic SOF9) raise
+    (not garbage) and the helper maps them to None; truncated entropy
+    data -> None; the other codecs' magics are not claimed by the JPEG
+    path."""
     import pytest
 
     from clif_spark.multimodal import jpeg as J
@@ -464,13 +465,66 @@ def test_jpeg_rejects_non_baseline_and_malformed():
     assert J.jpeg_gray_values(b"RIFF....WAVE") is None
     good = J.jpeg_encode_gray(10, 9, lambda x, y: (x * y) % 256)
     assert J.jpeg_gray_values(good) is not None
-    # flip SOF0 -> SOF2 (progressive): decode must raise, helper -> None
     sof = good.index(b"\xff\xc0")
+    for bad in (b"\xff\xc3", b"\xff\xc9"):  # lossless / arithmetic
+        flipped = good[:sof] + bad + good[sof + 2:]
+        with pytest.raises(ValueError, match="unsupported SOF"):
+            J.jpeg_decode(flipped)
+        assert J.jpeg_gray_values(flipped) is None
+    # SOF2 alone no longer rejects (progressive is supported) — but a
+    # baseline stream relabeled SOF2 has a spectrally-invalid SOS
+    # (Ss=0, Se=63) and must still fail CLEANLY, not decode garbage
     prog = good[:sof] + b"\xff\xc2" + good[sof + 2:]
-    with pytest.raises(ValueError, match="non-baseline"):
+    with pytest.raises(ValueError, match="DC scan"):
         J.jpeg_decode(prog)
     assert J.jpeg_gray_values(prog) is None
     assert J.jpeg_gray_values(good[:40]) is None  # truncated mid-header
+
+
+def test_jpeg_progressive_roundtrip_matches_sequential():
+    """Progressive (SOF2) decode, two-sided: the progressive encoder's
+    six-scan script (DC first Al=1, two AC bands Al=1, DC refine, two AC
+    refines with cross-block EOBRUN + buffered correction bits) must
+    reconstruct EXACTLY what the sequential codec produces for the same
+    content and quant step — same quantized coefficients, so refinement
+    must restore every bit. Covers gray + color 4:4:4, partial blocks,
+    flat-quant lossy steps."""
+    import random
+
+    from clif_spark.multimodal import jpeg as J
+
+    rng = random.Random(42)
+    for (w, h, q) in [(9, 7, None), (17, 13, None), (32, 24, 2),
+                      (24, 18, 5), (41, 15, 9)]:
+        vals = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        px = lambda x, y: vals[y][x]
+        seq = J.jpeg_decode(J.jpeg_encode_gray(w, h, px, quality=q))
+        pro = J.jpeg_decode(
+            J.jpeg_encode_gray_progressive(w, h, px, quality=q))
+        assert pro == seq, (w, h, q)
+    for (w, h, q) in [(12, 10, None), (20, 15, 3)]:
+        vals = [[(rng.randrange(256), rng.randrange(256),
+                  rng.randrange(256)) for _ in range(w)]
+                for _ in range(h)]
+        px = lambda x, y: vals[y][x]
+        seq = J.jpeg_decode(J.jpeg_encode_rgb(w, h, px, quality=q))
+        pro = J.jpeg_decode(
+            J.jpeg_encode_rgb_progressive(w, h, px, quality=q))
+        assert pro == seq, (w, h, q)
+
+
+def test_jpeg_progressive_block_constant_is_exact():
+    """The oracle contract regime extends to progressive: block-constant
+    content under all-ones quant is bit-exact through the six-scan
+    stream (DC point transform + refinement restores every DC bit; AC
+    scans are pure EOBRUN streams)."""
+    from clif_spark.multimodal import jpeg as J
+
+    for (w, h) in [(9, 7), (16, 8), (23, 17), (40, 26)]:
+        px = lambda x, y: (3 + 7 * (x // 8) + 11 * (y // 8)) % 256
+        want = [px(x, y) for y in range(h) for x in range(w)]
+        got = J.jpeg_gray_values(J.jpeg_encode_gray_progressive(w, h, px))
+        assert got == want, (w, h)
 
 
 def test_jpeg_fill_bytes_and_corrupt_table_ids():

@@ -201,6 +201,33 @@ def test_dsum_matches_exact_at_largest_sf(spark):
         assert abs(r.c - r.d) < 1e-9, r
 
 
+def test_dsum_checked_mode_fails_loud_past_the_bound(spark):
+    """dsum(checked=True): identical to the unchecked path inside the
+    BIGINT-micros domain, and a LOUD runtime failure — not a silent
+    wrap — when a group's Σ|micros| exceeds it (the production guard
+    VERDICT r7 asked for)."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from clif_spark.queries import dsum
+
+    ok = spark.createDataFrame(
+        [(1, 2.5), (1, -0.75), (2, 1e9)], ["g", "x"])
+    rows = {r.g: (r.a, r.b) for r in
+            ok.groupBy("g").agg(dsum("x").alias("a"),
+                                dsum("x", checked=True).alias("b"))
+              .collect()}
+    assert rows[1] == (1.75, 1.75) and rows[2] == (1e9, 1e9)
+
+    # two values of 5e12 -> Σmicros = 1e19 > 2^63-1: the unchecked path
+    # wraps to a wrong answer; the checked path must raise
+    hot = spark.createDataFrame([(1, 5e12), (1, 5e12)], ["g", "x"])
+    wrapped = hot.groupBy("g").agg(dsum("x").alias("s")).first().s
+    assert wrapped != 1e13  # the silent wrong answer checked mode closes
+    with pytest.raises(PySparkException, match="exceeds the BIGINT"):
+        hot.groupBy("g").agg(dsum("x", checked=True).alias("s")).collect()
+
+
 def test_connected_components_chain_and_star(spark):
     """Min-label propagation finds multi-hop components: a 4-chain, a star,
     and an isolated pair; labels are the component minimum."""
