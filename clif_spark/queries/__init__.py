@@ -247,79 +247,59 @@ def us(col: Column | str) -> Column:
 # Cheap batch checks lead; multi-second stream-startup queries trail their
 # block so they never starve cheap checks.
 _VERIFY_FIRST = [
-    # --- never driver-gated: registered in round 7 (new operators get a
-    # driver row before any refresh does) — prepended as they land ---
-    "mm_jpeg_pixel_stats", "mm_video_frame_stats",
-    "dedup_prefix_filter_join", "curation_dsir_importance",
-    "dedup_semantic_contract", "dedup_semantic", "a22_kmv_set_sketch",
-    "a24_chisq_association", "a25_equi_depth_histogram",
-    "mm_resize_pixels", "mm_audio_resample", "dedup_incremental_minhash",
-    "text_sentence_chunks",
-    # --- r2-row refreshes ceded from the r6 rotation (code unchanged,
-    # machinery re-exercised by fresher green rows, now due): projection
-    # trio, rollup/profile trio, window quartet + session pair, struct
-    # parse, split assignment, composite curation, exact dedup, simhash64 ---
-    "p1_p3_project_rename", "p2_p4_drop_positional", "p5_p6_null_handling",
-    "a9_grouping_sets", "a10_moment_corr", "a11_exact_percentiles",
-    "w4_rank_lag", "w5_moving_avg", "w8_tumbling_window",
-    "w9_ntile_percent_rank", "w6_sessionize_gap", "w7_session_window_native",
-    "f14_from_json_typed", "sample_split_assign", "corpus_curation",
-    "dedup_exact", "dedup_simhash64",
-    # --- r4-row backlog, oldest-unique-machinery first: TPC-H set, join
-    # variants, reshape quartet, approx-sketch trio, then the profile /
-    # scalar rows whose machinery also runs inside fresher green rows ---
-    "q7_nation_volume", "q8_market_share", "q10_returned_items",
-    "q15_top_supplier",
-    "q17_small_qty_revenue", "q18_large_volume_customer",
-    "q19_disjunctive_filter", "q22_global_sales_opportunity",
-    "j1_vocab_broadcast_star", "j3_full_outer_join", "j6_fuzzy_vocab_match",
-    "j9_salted_skew_join", "j10_levenshtein_vocab_match",
-    "r2_pivot_wide", "r4_explode_top_tokens",
-    # --- streams at the tail of the 50 (multi-second startup each):
-    # the two r2-row session/state streams ceded from r6, then the two
-    # r4-row streams ---
-    "stream_video_demux", "stream_session_windows",
-    "stream_stateful_user_stats", "stream_dedup_bounded_state",
-    "stream_static_enrich",
+    # --- never driver-gated: registered in round 8 (new operators get a
+    # driver row before any refresh does) ---
+    "dedup_incremental_persisted", "dedup_minhash_recall_bound",
+    "mm_video_pixel_stats", "mm_jpeg_progressive_pixel_stats",
+    # --- changed this round, green row invalidated: a22's intersection
+    # estimate now Jaccard-scales by the actual union-sketch size (both
+    # the operator and the oracle) — its r7 row verified the OLD formula ---
+    "a22_kmv_set_sketch",
+    # --- the full r4-latest backlog (all 33 rows whose newest green row
+    # is round 4 — the rotation debt VERDICT r7 called out; clearing it
+    # in one round leaves no registry row older than r5) ---
+    "a1_group_count_histogram", "a2_multi_key_tally",
+    "a3_missingness_profile", "a4_duplicate_profile", "a5_summary_stats",
+    "a6_distinct_dim_extract", "a7_rollup_revenue", "a8_cube_counts",
+    "a12_approx_distinct_bound", "a13_sketch_merge_distinct",
+    "a14_approx_percentile_bound", "a15_ordered_string_agg",
+    "f1_f2_classify_regex", "f3_f4_f5_dose_parse", "f7_f10_time_functions",
+    "f8_parse_roundtrip", "f11_cast_clamp", "f12_hash_pseudonymize",
+    "q13_order_count_distribution", "q14_promo_revenue",
+    "r1_unpivot_measures", "r3_split_column",
+    "u1_union_missing_cols", "u2_u3_distinct_dedup", "u4_intersect_except",
+    "o1_o2_topk", "p11_castability_extract",
+    "w10_funnel_conversion", "w11_range_time_frame",
+    "mm_resize_meta", "emb_label_centroids",
+    "gopher_repetition_filter", "sample_stratified_rebalance",
+    # --- r5-latest refreshes filling the remaining slots, oldest-unique-
+    # machinery first: the multimodal meta/codec trio, the minhash
+    # headline, two §3 pipelines, as-of join, BPE, keep-latest upsert
+    # (the machinery the new CDC batch upsert rides), grouped top-k,
+    # min-max scaling ---
+    "mm_decode_meta", "mm_media_meta", "mm_sample_stats",
+    "dedup_minhash_lsh", "pipeline_dialysis", "pipeline_vitals",
+    "j11_asof_forward_tolerance", "text_bpe_tokenize",
+    "u5_upsert_keep_latest", "o3_topk_per_group", "f15_minmax_normalize",
+    # --- one stream at the tail (multi-second startup; the other r5
+    # stream, stream_countmin_merge, cedes to round 9 — its CMS merge
+    # machinery also holds a fresher row via the r6-green CDC/state
+    # streams) ---
+    "stream_vitals_hourly",
 ]
-# Exactly 50 head entries: 13 never-gated r7 registrations + all 19
-# r2-latest rows (17 batch + 2 streams) + 18 of the 50 r4-latest rows.
-# Ceded to round 8 (r4-green rows whose machinery is also re-exercised
-# inside r5/r6-green rows): a1-a8 (group/profile machinery inside the
-# r6-green a16-a21 and pipeline rows), f1_f2/f3_f4_f5/f7_f10/f8/f11/f12
-# (scalar machinery inside the ten r5-green pipelines),
-# emb_label_centroids (centroid machinery inside r6-green
-# ann_ivf_trained_recall_bound), gopher_repetition_filter +
-# sample_stratified_rebalance (r5-green curation siblings),
-# mm_resize_meta (decode plumbing re-exercised by the r6-green
-# mm_gif_pixel_stats row), r1_unpivot_measures + r3_split_column
-# (unpivot/split fire inside the r5-green pipeline_vitals BP reshape),
-# u1_union_missing_cols (allowMissingColumns union inside r5-green
-# pipeline_dialysis), o1_o2_topk (sort/top-k inside r5-green
-# o3_topk_per_group and the bounded-domain sorts), and
-# p11_castability_extract (castability parse inside the r5-green
-# pipeline_med_admin_continuous dose parse), and w10_funnel_conversion
-# + w11_range_time_frame (ceded when the two r7 semantic-dedup rows
-# took their slots; their window machinery also runs inside the
-# r5-green w12-w15 rows), and u4_intersect_except (set-op machinery
-# also inside the r5-green u5/u6/u7 rows; ceded for the a22 KMV slot),
-# and a12/a13 (HLL bound-contract machinery re-exercised by the
-# r5-green a21 + r6-green stream CMS rows; ceded for the a24/a25
-# slots), q13_order_count_distribution (left-join + count-distribution
-# machinery also inside r4-green q18/q22 and the pipeline rows; ceded
-# for text_sentence_chunks), q14_promo_revenue (broadcast-dim conditional-ratio machinery
-# also in the r4-green q19/q8 rows that stay in head; ceded for
-# dedup_incremental_minhash), u2_u3_distinct_dedup (distinct machinery inside the fresher
-# dedup/minhash rows; ceded for the stream_video_demux slot), and a14
-# (GK percentile bound contract; its exact-percentile
-# counterpart machinery holds fresh rows via a17/a20/a25 — ceded for
-# the mm_resize_pixels slot), and a15_ordered_string_agg (ordered
-# collect_list machinery also in the r5-green pipeline rows; ceded for
-# mm_audio_resample). Those lead round 8 behind any new registrations.
+# Exactly 50 head entries: 4 never-gated r8 registrations + 1
+# changed-formula re-gate (a22) + ALL 33 r4-latest rows + 11 r5-latest
+# batch refreshes + 1 r5 stream. After this round's gate, no registry
+# row's latest green is older than r5, and the r9 lead list is the
+# remaining 34 r5-latest rows (the ten §3 pipelines beyond
+# dialysis/vitals, the ann_* family, a16/a19-a21, curation/c4/chunk/
+# span rows, f16, o4, sample_mix/reservoir/temperature, text bm25/
+# chunk/rare-bigram, u6, w12/w14/w15, mm stubs not covered here,
+# stream_countmin_merge) — they fit in one head-50 with room for new
+# registrations, so the two-round staleness bound holds.
 
 _VERIFY_LAST = [
-    # (empty this round: the two heavy r2-row streams are due for their
-    # refresh, so they sit at the tail of the head-50 instead)
+    # (empty: the single due stream sits at the tail of the head-50)
 ]
 
 
