@@ -280,20 +280,23 @@ _VERIFY_FIRST = [
     "mm_decode_meta", "mm_media_meta", "mm_sample_stats",
     "dedup_minhash_lsh", "pipeline_dialysis", "pipeline_vitals",
     "j11_asof_forward_tolerance", "text_bpe_tokenize",
-    "u5_upsert_keep_latest", "o3_topk_per_group", "f15_minmax_normalize",
-    # --- one stream at the tail (multi-second startup; the other r5
-    # stream, stream_countmin_merge, cedes to round 9 — its CMS merge
-    # machinery also holds a fresher row via the r6-green CDC/state
-    # streams) ---
-    "stream_vitals_hourly",
+    "u5_upsert_keep_latest", "f15_minmax_normalize",
+    # --- streams at the tail (multi-second startup each): the new r8
+    # stream composition + one r5 stream refresh. The other r5 stream,
+    # stream_countmin_merge, cedes to round 9 — its CMS merge machinery
+    # also holds a fresher row via the r6-green CDC/state streams ---
+    "stream_incremental_dedup", "stream_vitals_hourly",
 ]
-# Exactly 50 head entries: 4 never-gated r8 registrations + 1
-# changed-formula re-gate (a22) + ALL 33 r4-latest rows + 11 r5-latest
-# batch refreshes + 1 r5 stream. After this round's gate, no registry
-# row's latest green is older than r5, and the r9 lead list is the
-# remaining 34 r5-latest rows (the ten §3 pipelines beyond
+# Exactly 50 head entries: 5 never-gated r8 registrations (4 batch + the
+# stream_incremental_dedup composition at the stream tail) + 1
+# changed-formula re-gate (a22) + ALL 33 r4-latest rows + 10 r5-latest
+# batch refreshes + 1 r5 stream. o3_topk_per_group ceded its slot to the
+# new stream: its sort/top-k machinery is re-gated this round via the
+# in-head o1_o2_topk and w4_rank_lag rows. After this round's gate, no
+# registry row's latest green is older than r5, and the r9 lead list is
+# the remaining 35 r5-latest rows (the ten §3 pipelines beyond
 # dialysis/vitals, the ann_* family, a16/a19-a21, curation/c4/chunk/
-# span rows, f16, o4, sample_mix/reservoir/temperature, text bm25/
+# span rows, f16, o3, o4, sample_mix/reservoir/temperature, text bm25/
 # chunk/rare-bigram, u6, w12/w14/w15, mm stubs not covered here,
 # stream_countmin_merge) — they fit in one head-50 with room for new
 # registrations, so the two-round staleness bound holds.

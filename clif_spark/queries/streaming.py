@@ -552,3 +552,103 @@ def stream_video_demux(spark, sf_dir):
     frames = multimodal.extract_video_frames(stream, stride=2)
     return streaming.run_to_memory(frames, output_mode="append",
                                    state_partitions=None)
+
+
+def _stream_incr_oracle() -> str:
+    from clif_spark.queries import llm as _llm
+
+    return _llm._persisted_incr_oracle()
+
+
+@query("stream_incremental_dedup", oracle=_stream_incr_oracle())
+def stream_incremental_dedup(spark, sf_dir):
+    """Ingest-time dedup as a STREAM — the production composition of the
+    round-8 persisted-signature store: deliveries ARRIVE as files on a
+    watched directory; each micro-batch (availableNow +
+    maxFilesPerTrigger=1, one delivery per file with mtimes pinned so
+    the file source replays them in delivery order) runs the
+    screen-then-admit cycle inside foreachBatch — signatures computed
+    once per delivery (localCheckpoint), screened against the store's
+    CURRENT version (signature-sized scan, never corpus text), results
+    appended to a parquet sink, then admitted as a new store version
+    (upsert_cdc_snapshot copy-on-write). The settled sink must equal the
+    batch twin dedup_incremental_persisted bit-for-bit — ONE shared
+    oracle — which pins the whole incremental contract: per-delivery
+    cost, store growth between deliveries (delivery 2's matches against
+    admitted delivery-1 docs), and replay convergence."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from clif_spark import dedup
+
+    d = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    deliveries = []
+    d1 = (d.filter(F.col("doc_id") % 10 == 0).select(
+              (F.col("doc_id") + 200000).alias("doc_id"),
+              F.concat("text", F.lit(" extra trailing token"))
+               .alias("text"))
+          .unionByName(
+              d.filter(F.col("doc_id") % 10 == 5).select(
+                  (F.col("doc_id") + 200000).alias("doc_id"),
+                  F.concat(F.lit("novel content block "),
+                           F.col("doc_id").cast("string"),
+                           F.lit(" stands entirely alone")).alias("text"))))
+    d2 = (d.filter(F.col("doc_id") % 10 == 1).select(
+              (F.col("doc_id") + 300000).alias("doc_id"),
+              F.concat("text", F.lit(" extra trailing token"))
+               .alias("text"))
+          .unionByName(
+              d.filter(F.col("doc_id") % 10 == 0).select(
+                  (F.col("doc_id") + 400000).alias("doc_id"),
+                  F.concat("text", F.lit(" extra trailing token"))
+                   .alias("text"))))
+    deliveries = [(1, d1), (2, d2)]
+
+    root = tempfile.mkdtemp(prefix="clif_sigstore_stream_")
+    dedup.signature_store_admit(
+        dedup.minhash_signature_rows(d), root, version=0)
+
+    # one FILE per delivery, mtimes pinned a minute apart: Spark's file
+    # source replays oldest-first, so delivery order is deterministic
+    # (the incremental result genuinely depends on it — delivery 2 must
+    # screen against an already-grown store)
+    scratch = tempfile.mkdtemp(prefix="clif_stream_incr_src_")
+    now = time.time()
+    schema = None
+    for tag, df in deliveries:
+        tmp = tempfile.mkdtemp(prefix="clif_incr_part_")
+        tagged = df.withColumn("delivery", F.lit(tag).cast("long"))
+        schema = tagged.schema
+        tagged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp)
+                    if f.startswith("part-") and f.endswith(".parquet"))
+        dst = os.path.join(scratch, f"delivery{tag}.parquet")
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (now - 600 + 60 * tag, now - 600 + 60 * tag))
+
+    out_dir = tempfile.mkdtemp(prefix="clif_stream_incr_out_")
+    ckpt = tempfile.mkdtemp(prefix="clif_stream_incr_ckpt_")
+
+    def sink(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tag = int(batch_df.agg(F.max("delivery")).first()[0])
+        sigs = (dedup.minhash_signature_rows(
+                    batch_df.select("doc_id", "text"))
+                .localCheckpoint())
+        bspark = batch_df.sparkSession
+        (dedup.signature_store_screen(bspark, sigs, root, threshold=0.5)
+              .withColumn("delivery", F.lit(tag).cast("long"))
+              .select("delivery", "old_id", "new_id", "jaccard")
+              .write.mode("append").parquet(out_dir))
+        dedup.signature_store_admit(sigs, root, version=tag)
+
+    stream = (spark.readStream.schema(schema)
+                   .option("maxFilesPerTrigger", 1).parquet(scratch))
+    q = (stream.writeStream.foreachBatch(sink)
+               .option("checkpointLocation", ckpt)
+               .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
