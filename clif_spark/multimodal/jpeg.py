@@ -479,7 +479,8 @@ def _encode_planes(width: int, height: int, planes: list,
 
 
 def jpeg_encode_gray_progressive(width: int, height: int, pixel, *,
-                                 quality: int | None = None) -> bytes:
+                                 quality: int | None = None,
+                                 restart_interval: int = 0) -> bytes:
     """Progressive (SOF2) grayscale encoder — the two-sided test partner
     of the progressive decoder, spec-faithful rather than minimal: the
     scan script exercises BOTH progressive mechanisms.
@@ -497,14 +498,18 @@ def jpeg_encode_gray_progressive(width: int, height: int, pixel, *,
     faces genuine EOBRUN>1 streams, not a degenerate per-block EOB form.
     Same exactness contract as the sequential encoder: block-constant
     content under all-ones quant roundtrips bit-exactly (the point
-    transform only touches DC, whose refinement restores every bit)."""
+    transform only touches DC, whose refinement restores every bit).
+    A nonzero ``restart_interval`` emits DRI + RSTn in every scan (DC
+    predictors reset, EOB runs flushed at each boundary)."""
     plane = [pixel(x, y) & 0xFF for y in range(height) for x in range(width)]
     return _encode_progressive_planes(
-        width, height, [(plane, width, height)], quality=quality)
+        width, height, [(plane, width, height)], quality=quality,
+        restart_interval=restart_interval)
 
 
 def jpeg_encode_rgb_progressive(width: int, height: int, pixel, *,
-                                quality: int | None = None) -> bytes:
+                                quality: int | None = None,
+                                restart_interval: int = 0) -> bytes:
     """Progressive color (YCbCr 4:4:4) — same scan script as grayscale,
     with the DC scan interleaved over all three components and the six
     AC scans issued per component (18 AC scans total). Subsampled
@@ -523,13 +528,19 @@ def jpeg_encode_rgb_progressive(width: int, height: int, pixel, *,
     return _encode_progressive_planes(
         width, height,
         [(ys, width, height), (cbs, width, height), (crs, width, height)],
-        quality=quality)
+        quality=quality, restart_interval=restart_interval)
 
 
 def _encode_progressive_planes(width: int, height: int, planes: list,
-                               *, quality: int | None) -> bytes:
+                               *, quality: int | None,
+                               restart_interval: int = 0) -> bytes:
     """Shared progressive writer; ``planes`` = [(raster, pw, ph)] with
-    hf = vf = 1 throughout (grayscale or 4:4:4)."""
+    hf = vf = 1 throughout (grayscale or 4:4:4). A nonzero
+    ``restart_interval`` (in data units — MCUs for the interleaved DC
+    scans, blocks for the per-component AC scans) emits DRI + RSTn in
+    EVERY entropy scan, resetting DC predictors and flushing any open
+    EOB run at each boundary — the progressive restart path the decoder
+    implements is therefore two-sided-tested, not dead code."""
     lq, cq = _quant_tables(quality)
     ncomp = len(planes)
     bwn = (width + 7) // 8
@@ -560,6 +571,27 @@ def _encode_progressive_planes(width: int, height: int, planes: list,
     if ncomp == 3:
         out += _dht_seg(0x01, _ENC_DC_BITS, _ENC_DC_VALS)
         out += _dht_seg(0x11, _ENC_ACP_BITS, _ENC_ACP_VALS)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+
+    class _Rst:
+        """Per-scan restart emitter: byte-align, write RSTn, cycle n."""
+
+        def __init__(self, bw, on_boundary=None) -> None:
+            self.bw, self.n, self.unit = bw, 0, 0
+            self.on_boundary = on_boundary
+
+        def step(self) -> bool:
+            self.unit += 1
+            if (restart_interval and self.unit % restart_interval == 0
+                    and self.unit < self.total):
+                if self.on_boundary:
+                    self.on_boundary()
+                self.bw.align_ones()
+                self.bw.out += bytes([0xFF, 0xD0 + self.n])
+                self.n = (self.n + 1) % 8
+                return True
+            return False
 
     def sos_hdr(comps_tabs: list, Ss: int, Se: int, Ah: int,
                 Al: int) -> bytes:
@@ -572,6 +604,8 @@ def _encode_progressive_planes(width: int, height: int, planes: list,
     out += sos_hdr([(ci + 1, 0x00 if ci == 0 else 0x11)
                     for ci in range(ncomp)], 0, 0, 0, 1)
     bw = _BitWriter()
+    rst = _Rst(bw)
+    rst.total = bwn * bhn
     preds = [0] * ncomp
     for bi in range(bwn * bhn):
         for ci in range(ncomp):
@@ -583,6 +617,8 @@ def _encode_progressive_planes(width: int, height: int, planes: list,
             bw.put(code, length)
             if size:
                 bw.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+        if rst.step():
+            preds = [0] * ncomp
     bw.align_ones()
     out += bw.out
 
@@ -601,6 +637,8 @@ def _encode_progressive_planes(width: int, height: int, planes: list,
                 bw.put(eobrun - (1 << r), r)
             eobrun = 0
 
+        rst = _Rst(bw, on_boundary=flush_eob)
+        rst.total = len(zz_all[ci])
         for blk in zz_all[ci]:
             vals = []
             for k in range(Ss, Se + 1):
@@ -612,27 +650,28 @@ def _encode_progressive_planes(width: int, height: int, planes: list,
                 eobrun += 1
                 if eobrun == 0x7FFF:
                     flush_eob()
-                continue
-            flush_eob()
-            run = 0
-            for i in range(last_nz + 1):
-                v = vals[i]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    lz, cz = _ENC_ACP_MAP[0xF0]
-                    bw.put(cz, lz)
-                    run -= 16
-                s = _category(v)
-                la, ca = _ENC_ACP_MAP[(run << 4) | s]
-                bw.put(ca, la)
-                bw.put(v if v > 0 else v + (1 << s) - 1, s)
+            else:
+                flush_eob()
                 run = 0
-            if last_nz < Se - Ss:
-                eobrun += 1
-                if eobrun == 0x7FFF:
-                    flush_eob()
+                for i in range(last_nz + 1):
+                    v = vals[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        lz, cz = _ENC_ACP_MAP[0xF0]
+                        bw.put(cz, lz)
+                        run -= 16
+                    s = _category(v)
+                    la, ca = _ENC_ACP_MAP[(run << 4) | s]
+                    bw.put(ca, la)
+                    bw.put(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last_nz < Se - Ss:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+            rst.step()  # EOB runs may not span a restart: flushed first
         flush_eob()
         bw.align_ones()
         return bytes(bw.out)
@@ -660,6 +699,8 @@ def _encode_progressive_planes(width: int, height: int, planes: list,
                 bw.put(b, 1)
             br_bits.clear()
 
+        rst = _Rst(bw, on_boundary=flush_eob)
+        rst.total = len(zz_all[ci])
         for blk in zz_all[ci]:
             # at this scan: temp = |coef| >> Al; temp == 1 <=> newly
             # nonzero (history = |coef| >> (Al+1) was zero), temp > 1
@@ -713,6 +754,7 @@ def _encode_progressive_planes(width: int, height: int, planes: list,
                 eobrun += 1
                 if eobrun == 0x7FFF:
                     flush_eob()
+            rst.step()  # EOB runs may not span a restart: flushed first
         flush_eob()
         bw.align_ones()
         return bytes(bw.out)
@@ -726,9 +768,12 @@ def _encode_progressive_planes(width: int, height: int, planes: list,
     # --- DC refinement: one raw bit per block, interleaved ---
     out += sos_hdr([(ci + 1, 0x00) for ci in range(ncomp)], 0, 0, 1, 0)
     bw = _BitWriter()
+    rst = _Rst(bw)
+    rst.total = bwn * bhn
     for bi in range(bwn * bhn):
         for ci in range(ncomp):
             bw.put(zz_all[ci][bi][0] & 1, 1)
+        rst.step()
     bw.align_ones()
     out += bw.out
 

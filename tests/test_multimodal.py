@@ -832,3 +832,33 @@ def test_video_pixel_stats_decodes_mjpeg_and_skips_opaque(spark):
     assert r0.mean_value == (50 + 57) / 2  # two blocks: 50 and 57
     assert r0.peak == 57
     assert got[(1, 2)].pts_ms == 80
+
+
+def test_jpeg_progressive_restart_intervals_two_sided():
+    """DRI/RSTn inside progressive scans, both directions: the encoder
+    emits restart markers in every scan (DC predictors reset, EOB runs
+    flushed at each boundary) and the decoder's progressive restart path
+    reconstructs exactly what the unrestarted stream does."""
+    import random
+
+    from clif_spark.multimodal import jpeg as J
+
+    rng = random.Random(11)
+    for (w, h, q, ri) in [(24, 16, None, 1), (33, 25, 2, 2),
+                          (17, 41, 5, 3)]:
+        vals = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        px = lambda x, y: vals[y][x]
+        plain = J.jpeg_decode(
+            J.jpeg_encode_gray_progressive(w, h, px, quality=q))
+        restarted_stream = J.jpeg_encode_gray_progressive(
+            w, h, px, quality=q, restart_interval=ri)
+        assert b"\xff\xd0" in restarted_stream  # markers genuinely emitted
+        assert J.jpeg_decode(restarted_stream) == plain, (w, h, q, ri)
+    # color with restarts
+    vals = [[(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+             for _ in range(14)] for _ in range(12)]
+    px = lambda x, y: vals[y][x]
+    a = J.jpeg_decode(J.jpeg_encode_rgb_progressive(14, 12, px))
+    b = J.jpeg_decode(
+        J.jpeg_encode_rgb_progressive(14, 12, px, restart_interval=1))
+    assert a == b
