@@ -12,8 +12,8 @@ Supported surface (decode): sequential SOF0/1 AND progressive SOF2
 (spectral selection + successive approximation, T.81 G.2 — EOBRUN /
 refinement-bit semantics per the spec's figure G.7 flow), 8-bit
 precision, 1 or 3 components, sampling factors 1-2 (4:4:4 / 4:2:2 /
-4:2:0 sequential; progressive exercised at 4:4:4), interleaved and
-per-component scans, restart intervals (DRI + RSTn), byte stuffing,
+4:2:0; progressive two-sided-tested at 4:4:4 AND 4:2:0), interleaved
+and per-component scans, restart intervals (DRI + RSTn), byte stuffing,
 APPn/COM skip, Huffman tables parsed from DHT (canonical construction —
 any spec-valid table decodes, not just ours). Arithmetic coding,
 lossless/hierarchical SOFs and 12-bit precision raise loudly instead of
@@ -351,6 +351,24 @@ def _dht_seg(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
     return _seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
 
 
+def _shrink2x2(p: list[int], width: int, height: int):
+    """2x2 box-average chroma downsample (4:2:0 prep), half-up rounding;
+    returns (plane, cw, ch)."""
+    cw, ch = (width + 1) // 2, (height + 1) // 2
+    out = []
+    for y in range(ch):
+        for x in range(cw):
+            acc = n = 0
+            for dy in range(2):
+                for dx in range(2):
+                    sy, sx = 2 * y + dy, 2 * x + dx
+                    if sy < height and sx < width:
+                        acc += p[sy * width + sx]
+                        n += 1
+            out.append((acc + n // 2) // n)
+    return out, cw, ch
+
+
 def _plane_block(plane: list[int], pw: int, ph: int, bx: int,
                  by: int) -> list[int]:
     """Extract the 8x8 block at block coords (bx, by) from a w*h raster
@@ -396,22 +414,10 @@ def jpeg_encode_rgb(width: int, height: int, pixel, *,
             crs.append(max(0, min(255, int(round(
                 128 + 0.5 * r - 0.418688 * g - 0.081312 * b)))))
     if subsample:
-        cw, ch = (width + 1) // 2, (height + 1) // 2
-        def shrink(p):
-            out = []
-            for y in range(ch):
-                for x in range(cw):
-                    acc = n = 0
-                    for dy in range(2):
-                        for dx in range(2):
-                            sy, sx = 2 * y + dy, 2 * x + dx
-                            if sy < height and sx < width:
-                                acc += p[sy * width + sx]
-                                n += 1
-                    out.append((acc + n // 2) // n)
-            return out
+        cb2, cw, ch = _shrink2x2(cbs, width, height)
+        cr2, _, _ = _shrink2x2(crs, width, height)
         planes = [(ys, width, height, 2, 2),
-                  (shrink(cbs), cw, ch, 1, 1), (shrink(crs), cw, ch, 1, 1)]
+                  (cb2, cw, ch, 1, 1), (cr2, cw, ch, 1, 1)]
     else:
         planes = [(ys, width, height, 1, 1), (cbs, width, height, 1, 1),
                   (crs, width, height, 1, 1)]
@@ -503,18 +509,20 @@ def jpeg_encode_gray_progressive(width: int, height: int, pixel, *,
     predictors reset, EOB runs flushed at each boundary)."""
     plane = [pixel(x, y) & 0xFF for y in range(height) for x in range(width)]
     return _encode_progressive_planes(
-        width, height, [(plane, width, height)], quality=quality,
+        width, height, [(plane, width, height, 1, 1)], quality=quality,
         restart_interval=restart_interval)
 
 
 def jpeg_encode_rgb_progressive(width: int, height: int, pixel, *,
                                 quality: int | None = None,
+                                subsample: bool = False,
                                 restart_interval: int = 0) -> bytes:
-    """Progressive color (YCbCr 4:4:4) — same scan script as grayscale,
-    with the DC scan interleaved over all three components and the six
-    AC scans issued per component (18 AC scans total). Subsampled
-    progressive stays out of scope (documented boundary; the sequential
-    path covers 4:2:0/4:2:2)."""
+    """Progressive color — YCbCr 4:4:4, or 4:2:0 when ``subsample`` —
+    same scan script as grayscale, with the DC scans interleaved over
+    all three components (each contributing its hf x vf MCU blocks) and
+    the six AC scans issued per component over its REAL block grid (the
+    non-interleaved dims T.81 prescribes — smaller than the padded MCU
+    grid exactly when subsampled)."""
     ys, cbs, crs = [], [], []
     for yy in range(height):
         for xx in range(width):
@@ -525,33 +533,52 @@ def jpeg_encode_rgb_progressive(width: int, height: int, pixel, *,
                 128 - 0.168736 * r - 0.331264 * g + 0.5 * b)))))
             crs.append(max(0, min(255, int(round(
                 128 + 0.5 * r - 0.418688 * g - 0.081312 * b)))))
+    if subsample:
+        cb2, cw, ch = _shrink2x2(cbs, width, height)
+        cr2, _, _ = _shrink2x2(crs, width, height)
+        planes = [(ys, width, height, 2, 2),
+                  (cb2, cw, ch, 1, 1), (cr2, cw, ch, 1, 1)]
+    else:
+        planes = [(ys, width, height, 1, 1), (cbs, width, height, 1, 1),
+                  (crs, width, height, 1, 1)]
     return _encode_progressive_planes(
-        width, height,
-        [(ys, width, height), (cbs, width, height), (crs, width, height)],
+        width, height, planes,
         quality=quality, restart_interval=restart_interval)
 
 
 def _encode_progressive_planes(width: int, height: int, planes: list,
                                *, quality: int | None,
                                restart_interval: int = 0) -> bytes:
-    """Shared progressive writer; ``planes`` = [(raster, pw, ph)] with
-    hf = vf = 1 throughout (grayscale or 4:4:4). A nonzero
+    """Shared progressive writer; ``planes`` = [(raster, pw, ph, hf,
+    vf)] — grayscale, 4:4:4, or subsampled 4:2:0. A nonzero
     ``restart_interval`` (in data units — MCUs for the interleaved DC
     scans, blocks for the per-component AC scans) emits DRI + RSTn in
     EVERY entropy scan, resetting DC predictors and flushing any open
     EOB run at each boundary — the progressive restart path the decoder
-    implements is therefore two-sided-tested, not dead code."""
+    implements is therefore two-sided-tested, not dead code.
+
+    Grid note: the interleaved DC scans cover the MCU-PADDED block
+    grid (edge-replicated blocks past a component's real extent — the
+    decoder allocates and decodes them too), while the per-component AC
+    scans cover only the REAL ceil(pw/8) x ceil(ph/8) grid, exactly the
+    non-interleaved dimensions T.81 A.2.4 prescribes."""
     lq, cq = _quant_tables(quality)
     ncomp = len(planes)
-    bwn = (width + 7) // 8
-    bhn = (height + 7) // 8
-    # quantized zigzag coefficients for every block of every component
+    hmax = max(p[3] for p in planes)
+    vmax = max(p[4] for p in planes)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    # quantized zigzag coefficients over each component's PADDED grid,
+    # plus its real-grid dims for the AC scans
     zz_all: list[list[list[int]]] = []
-    for ci, (plane, pw, ph) in enumerate(planes):
+    grids: list[tuple[int, int, int, int]] = []  # (bw, bh, bw_real, bh_real)
+    for ci, (plane, pw, ph, hf, vf) in enumerate(planes):
         qt = lq if ci == 0 else cq
+        bw, bh = mcux * hf, mcuy * vf
+        grids.append((bw, bh, -(-pw // 8), -(-ph // 8)))
         blocks = []
-        for by in range(bhn):
-            for bx in range(bwn):
+        for by in range(bh):
+            for bx in range(bw):
                 blk = _plane_block(plane, pw, ph, bx, by)
                 coef = _fdct2d([float(s - 128) for s in blk])
                 q = [int(round(coef[i] / qt[i])) for i in range(64)]
@@ -563,8 +590,8 @@ def _encode_progressive_planes(width: int, height: int, planes: list,
     if ncomp == 3:
         out += _seg(0xDB, b"\x01" + bytes(cq[ZIGZAG[k]] for k in range(64)))
     sof = struct.pack(">BHHB", 8, height, width, ncomp)
-    for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    for ci, (_, _, _, hf, vf) in enumerate(planes):
+        sof += bytes([ci + 1, (hf << 4) | vf, 0 if ci == 0 else 1])
     out += _seg(0xC2, sof)  # SOF2: progressive
     out += _dht_seg(0x00, _ENC_DC_BITS, _ENC_DC_VALS)
     out += _dht_seg(0x10, _ENC_ACP_BITS, _ENC_ACP_VALS)
@@ -600,15 +627,29 @@ def _encode_progressive_planes(width: int, height: int, planes: list,
             body += bytes([cid, tt])
         return _seg(0xDA, body + bytes([Ss, Se, (Ah << 4) | Al]))
 
+    # MCU walk shared by both interleaved DC scans: per MCU, each
+    # component contributes its hf x vf blocks from the padded grid
+    mcu_steps = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            step = []
+            for ci, (_, _, _, hf, vf) in enumerate(planes):
+                gbw = grids[ci][0]
+                for by in range(vf):
+                    for bx in range(hf):
+                        step.append(
+                            (ci, (my * vf + by) * gbw + mx * hf + bx))
+            mcu_steps.append(step)
+
     # --- scan 1: DC first, interleaved, Al=1 ---
     out += sos_hdr([(ci + 1, 0x00 if ci == 0 else 0x11)
                     for ci in range(ncomp)], 0, 0, 0, 1)
     bw = _BitWriter()
     rst = _Rst(bw)
-    rst.total = bwn * bhn
+    rst.total = len(mcu_steps)
     preds = [0] * ncomp
-    for bi in range(bwn * bhn):
-        for ci in range(ncomp):
+    for step in mcu_steps:
+        for (ci, bi) in step:
             v = zz_all[ci][bi][0] >> 1  # arithmetic shift: DC point xform
             diff = v - preds[ci]
             preds[ci] = v
@@ -621,6 +662,11 @@ def _encode_progressive_planes(width: int, height: int, planes: list,
             preds = [0] * ncomp
     bw.align_ones()
     out += bw.out
+
+    def real_blocks(ci: int) -> list:
+        gbw, _, bwr, bhr = grids[ci]
+        return [zz_all[ci][by * gbw + bx]
+                for by in range(bhr) for bx in range(bwr)]
 
     def ac_first_scan(ci: int, Ss: int, Se: int, Al: int) -> bytes:
         bw = _BitWriter()
@@ -637,9 +683,10 @@ def _encode_progressive_planes(width: int, height: int, planes: list,
                 bw.put(eobrun - (1 << r), r)
             eobrun = 0
 
+        blocks = real_blocks(ci)
         rst = _Rst(bw, on_boundary=flush_eob)
-        rst.total = len(zz_all[ci])
-        for blk in zz_all[ci]:
+        rst.total = len(blocks)
+        for blk in blocks:
             vals = []
             for k in range(Ss, Se + 1):
                 a = abs(blk[k]) >> Al
@@ -699,9 +746,10 @@ def _encode_progressive_planes(width: int, height: int, planes: list,
                 bw.put(b, 1)
             br_bits.clear()
 
+        blocks = real_blocks(ci)
         rst = _Rst(bw, on_boundary=flush_eob)
-        rst.total = len(zz_all[ci])
-        for blk in zz_all[ci]:
+        rst.total = len(blocks)
+        for blk in blocks:
             # at this scan: temp = |coef| >> Al; temp == 1 <=> newly
             # nonzero (history = |coef| >> (Al+1) was zero), temp > 1
             # <=> history-nonzero needing a correction bit
@@ -769,9 +817,9 @@ def _encode_progressive_planes(width: int, height: int, planes: list,
     out += sos_hdr([(ci + 1, 0x00) for ci in range(ncomp)], 0, 0, 1, 0)
     bw = _BitWriter()
     rst = _Rst(bw)
-    rst.total = bwn * bhn
-    for bi in range(bwn * bhn):
-        for ci in range(ncomp):
+    rst.total = len(mcu_steps)
+    for step in mcu_steps:
+        for (ci, bi) in step:
             bw.put(zz_all[ci][bi][0] & 1, 1)
         rst.step()
     bw.align_ones()

@@ -862,3 +862,27 @@ def test_jpeg_progressive_restart_intervals_two_sided():
     b = J.jpeg_decode(
         J.jpeg_encode_rgb_progressive(14, 12, px, restart_interval=1))
     assert a == b
+
+
+def test_jpeg_progressive_420_subsampled_matches_sequential():
+    """Subsampled progressive, two-sided: the 4:2:0 progressive stream
+    (interleaved DC scans covering the luma component's 2x2 MCU blocks
+    + the padded chroma grid, per-component AC scans over each REAL
+    block grid) must reconstruct exactly what the 4:2:0 sequential
+    codec produces — including with restart markers."""
+    import random
+
+    from clif_spark.multimodal import jpeg as J
+
+    rng = random.Random(17)
+    for (w, h, q, ri) in [(18, 14, None, 0), (25, 33, 2, 1),
+                          (16, 16, 5, 2), (9, 21, None, 3)]:
+        vals = [[(rng.randrange(256), rng.randrange(256),
+                  rng.randrange(256)) for _ in range(w)]
+                for _ in range(h)]
+        px = lambda x, y: vals[y][x]
+        seq = J.jpeg_decode(
+            J.jpeg_encode_rgb(w, h, px, quality=q, subsample=True))
+        pro = J.jpeg_decode(J.jpeg_encode_rgb_progressive(
+            w, h, px, quality=q, subsample=True, restart_interval=ri))
+        assert pro == seq, (w, h, q, ri)
