@@ -251,6 +251,7 @@ _VERIFY_FIRST = [
     # driver row before any refresh does) ---
     "dedup_incremental_persisted", "dedup_minhash_recall_bound",
     "mm_video_pixel_stats", "mm_jpeg_progressive_pixel_stats",
+    "dedup_semantic_incremental",
     # --- changed this round, green row invalidated: a22's intersection
     # estimate now Jaccard-scales by the actual union-sketch size (both
     # the operator and the oracle) — its r7 row verified the OLD formula ---
@@ -277,7 +278,7 @@ _VERIFY_FIRST = [
     # headline, two §3 pipelines, as-of join, BPE, keep-latest upsert
     # (the machinery the new CDC batch upsert rides), grouped top-k,
     # min-max scaling ---
-    "mm_decode_meta", "mm_media_meta", "mm_sample_stats",
+    "mm_decode_meta", "mm_media_meta",
     "dedup_minhash_lsh", "pipeline_dialysis", "pipeline_vitals",
     "j11_asof_forward_tolerance", "text_bpe_tokenize",
     "u5_upsert_keep_latest", "f15_minmax_normalize",
@@ -287,17 +288,19 @@ _VERIFY_FIRST = [
     # also holds a fresher row via the r6-green CDC/state streams ---
     "stream_incremental_dedup", "stream_vitals_hourly",
 ]
-# Exactly 50 head entries: 5 never-gated r8 registrations (4 batch + the
+# Exactly 50 head entries: 6 never-gated r8 registrations (5 batch + the
 # stream_incremental_dedup composition at the stream tail) + 1
-# changed-formula re-gate (a22) + ALL 33 r4-latest rows + 10 r5-latest
-# batch refreshes + 1 r5 stream. o3_topk_per_group ceded its slot to the
-# new stream: its sort/top-k machinery is re-gated this round via the
-# in-head o1_o2_topk and w4_rank_lag rows. After this round's gate, no
-# registry row's latest green is older than r5, and the r9 lead list is
-# the remaining 35 r5-latest rows (the ten §3 pipelines beyond
-# dialysis/vitals, the ann_* family, a16/a19-a21, curation/c4/chunk/
-# span rows, f16, o3, o4, sample_mix/reservoir/temperature, text bm25/
-# chunk/rare-bigram, u6, w12/w14/w15, mm stubs not covered here,
+# changed-formula re-gate (a22) + ALL 33 r4-latest rows + 9 r5-latest
+# batch refreshes + 1 r5 stream. Ceded for the new registrations:
+# o3_topk_per_group (sort/top-k machinery re-gated this round via the
+# in-head o1_o2_topk and w4_rank_lag rows) and mm_sample_stats (the
+# media_sample_features codec chain runs inside the in-head
+# mm_jpeg_progressive_pixel_stats row this round). After this round's
+# gate, no registry row's latest green is older than r5, and the r9
+# lead list is the remaining 36 r5-latest rows (the ten §3 pipelines
+# beyond dialysis/vitals, the ann_* family, a16/a19-a21, curation/c4/
+# chunk/span rows, f16, o3, o4, mm_sample_stats, sample_mix/reservoir/
+# temperature, text bm25/chunk/rare-bigram, u6, w12/w14/w15,
 # stream_countmin_merge) — they fit in one head-50 with room for new
 # registrations, so the two-round staleness bound holds.
 

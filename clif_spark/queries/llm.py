@@ -607,6 +607,73 @@ def dedup_semantic_contract(spark, sf_dir):
 
 
 @query(
+    "dedup_semantic_incremental",
+    oracle="""
+    -- Contract for the persisted semantic store (the embedding twin of
+    -- dedup_incremental_persisted): delivery 1 plants EXACT copies of
+    -- corpus vectors (+100000); each must screen to its source with
+    -- cosine 1.0 — an identical vector always assigns to its source's
+    -- frozen cell, so 'found' is a certainty the implementation must
+    -- deliver, not a probabilistic hope. Delivery 2 plants copies of
+    -- DELIVERY 1's vectors (+200000) and must match the ADMITTED
+    -- delivery-1 ids — proving the store grew without retraining.
+    SELECT CAST(1 AS BIGINT) AS delivery, vec_id + 100000 AS new_id,
+           vec_id AS expected_src, TRUE AS found, TRUE AS cos_exact
+    FROM embeddings WHERE vec_id % 10 = 0
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), vec_id + 200000, vec_id + 100000,
+           TRUE, TRUE
+    FROM embeddings WHERE vec_id % 10 = 0
+    """,
+)
+def dedup_semantic_incremental(spark, sf_dir):
+    """Incremental SEMANTIC dedup over a persisted store
+    (similarity.semantic_store_build/screen/admit): k-means trains ONCE
+    at build; centroids persist as a k×dim parquet and memberships
+    (id, cell, embedding) in the CDC snapshot format; screening a
+    delivery assigns to the FROZEN cells (narrow literal-centroid
+    expression) and exact-cosine-verifies against stored members of
+    those cells only — no per-delivery k-means, no corpus re-scan
+    (test_plans asserts the screen scan set). The k-means step keeps
+    the relation non-SQL-expressible, so like dedup_semantic this rows
+    a CONTRACT: planted exact copies must be found with cosine 1.0
+    regardless of where the centroids landed, across two successive
+    deliveries."""
+    import tempfile
+
+    e = (io.load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", "embedding"))
+    root = tempfile.mkdtemp(prefix="clif_semstore_")
+    similarity.semantic_store_build(e, root, k=8, max_iter=3)
+
+    def planted(offset: int):
+        return (e.filter(F.col("vec_id") % 10 == 0)
+                 .select((F.col("vec_id") + offset).alias("vec_id"),
+                         "embedding"))
+
+    def contract(delivery, screen, tag: int):
+        hits = (screen
+                .filter(F.col("old_id") == F.col("new_id") - 100000)
+                .groupBy("new_id")
+                .agg(F.max(F.col("cos") == 1.0).alias("__exact")))
+        return (delivery.select(F.col("vec_id").alias("new_id"))
+                .join(hits, "new_id", "left")
+                .select(F.lit(tag).cast("long").alias("delivery"),
+                        "new_id",
+                        (F.col("new_id") - 100000).alias("expected_src"),
+                        F.col("__exact").isNotNull().alias("found"),
+                        F.coalesce("__exact", F.lit(False))
+                         .alias("cos_exact")))
+
+    d1 = planted(100000).localCheckpoint()
+    r1 = contract(d1, similarity.semantic_store_screen(spark, d1, root), 1)
+    similarity.semantic_store_admit(spark, d1, root, version=1)
+    d2 = planted(200000).localCheckpoint()
+    r2 = contract(d2, similarity.semantic_store_screen(spark, d2, root), 2)
+    return r1.unionByName(r2)
+
+
+@query(
     "mm_resize_pixels",
     oracle="""
     -- REAL resize: even docs are RGB PNGs with value(x,y,c) =

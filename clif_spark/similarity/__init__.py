@@ -612,3 +612,105 @@ def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
                  .alias("status"),
                 F.when(F.col("cluster_id") != F.col(id_col),
                        F.col("cluster_id")).alias("dup_of")))
+
+
+# ---------------------------------------------------------------------------
+# Persisted semantic-dedup store (the embedding-space twin of
+# dedup.signature_store_*: train the cell structure ONCE, screen every
+# delivery against stored cells — no per-delivery k-means, no corpus
+# embedding re-scan)
+# ---------------------------------------------------------------------------
+
+
+def semantic_store_build(vectors: DataFrame, root: str,
+                         k: int | None = None, max_iter: int = 5,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> list[list[float]]:
+    """Train k-means once and persist BOTH halves of the semantic-dedup
+    state: the centroids (a k×dim parquet under ``root/centroids`` —
+    dimension-table scale) and the per-vector (id, cell, embedding)
+    membership rows in the CDC snapshot format (immutable versions +
+    atomic pointer, shared machinery with the MinHash signature store).
+    Returns the centroids for callers that want them in-process.
+
+    The cell structure is FROZEN at build time: admitted deliveries are
+    assigned to the existing cells without retraining (an identical
+    vector always lands in its source's cell — the screen contract the
+    gated row pins; drifted corpora retrain by rebuilding, the
+    compaction analog). Scale: one k-means over the corpus, ever."""
+    from clif_spark.streaming import upsert_cdc_snapshot
+
+    spark = vectors.sparkSession
+    if k is None:
+        k = min(max(8, vectors.count() // 1500), 4096)
+    cents, assign, _ = kmeans(vectors, k=k, max_iter=max_iter,
+                              id_col=id_col, vec_col=vec_col)
+    rows = (assign.join(vectors.select(
+                F.col(id_col),
+                F.col(vec_col).cast("array<double>").alias("embedding")),
+                id_col)
+            .select(id_col, "cell", "embedding")
+            .withColumn("is_delete", F.lit(False))
+            .withColumn("__v", F.lit(0)))
+    upsert_cdc_snapshot(rows, root, keys=[id_col],
+                        order=["__v", id_col], lineage="semantic-cells")
+    spark.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/centroids")
+    return cents
+
+
+def _semantic_store_centroids(spark, root: str) -> list[list[float]]:
+    rows = spark.read.parquet(f"{root}/centroids").collect()
+    return [list(r.centroid) for r in sorted(rows, key=lambda r: r.cell)]
+
+
+def semantic_store_screen(spark, delivery: DataFrame, root: str,
+                          threshold: float = 0.95,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Screen a delivery of embeddings against the persisted store:
+    assign each delivery vector to its nearest STORED centroid (narrow
+    literal-centroid expression — no shuffle), join the store's members
+    of exactly those cells, exact cosine >= ``threshold``. Output:
+    (old_id, new_id, cos). The plan reads the store's parquet and the
+    delivery — never the original corpus embeddings, and never a
+    k-means iteration (test_plans asserts the scan set)."""
+    from clif_spark.streaming import read_cdc_snapshot
+
+    cents = _semantic_store_centroids(spark, root)
+    store = read_cdc_snapshot(spark, root).select(
+        F.col(id_col).alias("old_id"), "cell",
+        F.col("embedding").alias("__va"))
+    d = delivery.select(
+        F.col(id_col).alias("new_id"),
+        F.col(vec_col).cast("array<double>").alias("__vb"))
+    d = d.withColumn("cell", _cell_ranks(F.col("__vb"), cents)[0]["c"])
+    scored = (store.join(F.broadcast(d), "cell")
+              .select("old_id", "new_id",
+                      F.round(cosine(F.col("__va"), F.col("__vb")), 4)
+                       .alias("cos")))
+    return scored.filter(F.col("cos") >= threshold)
+
+
+def semantic_store_admit(spark, delivery: DataFrame, root: str,
+                         version: int, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> str:
+    """Fold a delivery into the store: assign to the FROZEN cells and
+    upsert (O(delivery) work + one copy-on-write version). Subsequent
+    screens see these vectors — the store grows without retraining."""
+    from clif_spark.streaming import upsert_cdc_snapshot
+
+    cents = _semantic_store_centroids(spark, root)
+    rows = (delivery.select(
+                F.col(id_col),
+                F.col(vec_col).cast("array<double>").alias("embedding"))
+            .withColumn("cell",
+                        _cell_ranks(F.col("embedding"), cents)[0]["c"])
+            .select(id_col, "cell", "embedding")
+            .withColumn("is_delete", F.lit(False))
+            .withColumn("__v", F.lit(version)))
+    return upsert_cdc_snapshot(rows, root, keys=[id_col],
+                               order=["__v", id_col],
+                               lineage="semantic-cells")

@@ -472,3 +472,34 @@ def test_persisted_screen_never_rereads_corpus_text(spark):
     # new version dir, old one still resolvable by the lazy plan)
     dedup.signature_store_admit(sigs, root, version=1)
     assert screened.count() >= 0  # still executable against v0
+
+
+def test_semantic_screen_never_retrains_or_rescans_corpus(spark):
+    """dedup_semantic_incremental's production claim: once the store is
+    built, SCREENING a delivery scans the membership store's parquet
+    only — never the corpus embeddings, and no k-means iteration (the
+    centroid assignment is a narrow literal expression over the
+    delivery side). Same discipline as the MinHash signature store."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clif_spark import io, similarity
+
+    e = (io.load_table(spark, SF_DIR, "embeddings")
+           .select("vec_id", "embedding"))
+    root = tempfile.mkdtemp(prefix="clif_semstore_plan_")
+    similarity.semantic_store_build(e, root, k=4, max_iter=2)
+    delivery = (e.limit(20)
+                 .select((F.col("vec_id") + 100000).alias("vec_id"),
+                         "embedding")
+                 .localCheckpoint())
+    screened = similarity.semantic_store_screen(spark, delivery, root)
+    plan = screened._jdf.queryExecution().executedPlan().toString()
+    assert "embeddings.parquet" not in plan
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scans and all(root in ln for ln in scans)
+    # the store after an admit serves the NEXT screen (copy-on-write)
+    similarity.semantic_store_admit(spark, delivery, root, version=1)
+    again = similarity.semantic_store_screen(spark, delivery, root)
+    assert again.filter("old_id >= 100000").count() == 20  # sees itself
