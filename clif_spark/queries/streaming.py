@@ -639,10 +639,22 @@ def stream_incremental_dedup(spark, sf_dir):
                     batch_df.select("doc_id", "text"))
                 .localCheckpoint())
         bspark = batch_df.sparkSession
+        # Replay-safe sink (the idempotent_parquet_sink recipe): each
+        # batch OWNS a __batch_id partition and dynamic overwrite
+        # replaces exactly that partition on redelivery — a micro-batch
+        # retried after a crash between this write and the checkpoint
+        # commit lands identically instead of duplicating rows (the
+        # store admit below is already idempotent keep-latest; the sink
+        # must match it for the settled output to equal the batch twin
+        # bit-for-bit under replay).
         (dedup.signature_store_screen(bspark, sigs, root, threshold=0.5)
               .withColumn("delivery", F.lit(tag).cast("long"))
               .select("delivery", "old_id", "new_id", "jaccard")
-              .write.mode("append").parquet(out_dir))
+              .withColumn("__batch_id", F.lit(batch_id))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("__batch_id")
+              .parquet(out_dir))
         dedup.signature_store_admit(sigs, root, version=tag)
 
     stream = (spark.readStream.schema(schema)
@@ -651,4 +663,5 @@ def stream_incremental_dedup(spark, sf_dir):
                .option("checkpointLocation", ckpt)
                .trigger(availableNow=True).start())
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    return (spark.read.parquet(out_dir)
+            .select("delivery", "old_id", "new_id", "jaccard"))

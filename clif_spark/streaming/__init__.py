@@ -399,10 +399,20 @@ def upsert_cdc_snapshot(batch_df: DataFrame, root: str,
     upsert.
 
     Version ids are allocated monotonically within the lineage
-    (pointer batch_id + 1; 0 for a fresh table or a new lineage), and the
-    fold is keep-latest-by-``order`` — idempotent under re-application of
-    an identical batch, same as the streaming sink. Returns the new
+    (pointer batch_id + 1; 0 for a new lineage), and the fold is
+    keep-latest-by-``order`` — idempotent under re-application of an
+    identical batch, same as the streaming sink. Returns the new
     version directory path.
+
+    Lineage change does NOT reset the table: whenever a pointer exists,
+    the CURRENT snapshot is the merge base — only the batch-id counter
+    restarts at 0 for the new lineage (exactly ``apply_cdc_stream``'s
+    sink, whose ``base = read(meta[1]) if meta`` is unconditional).
+    Getting this wrong silently drops every live row the moment a batch
+    delivery folds into a stream-maintained store or an admit switches
+    lineage strings — the checkpoint identity exists to scope
+    REDELIVERY detection (batch ids are only monotone within one
+    lineage), never to partition the data.
 
     Copy-on-write matters here beyond crash safety: a lazy DataFrame
     bound to the PREVIOUS version (read_cdc_snapshot resolves the pointer
@@ -418,8 +428,12 @@ def upsert_cdc_snapshot(batch_df: DataFrame, root: str,
     meta = _cdc_pointer_read(root)
     stamped = batch_df.withColumn(
         tombstone_col, F.coalesce(F.col(tombstone_col), F.lit(False)))
-    if meta is not None and meta[2] == ckpt_id:
-        batch_id = meta[0] + 1
+    if meta is not None:
+        # Existing table: ALWAYS merge onto the current snapshot. The
+        # lineage id only scopes the version counter — a new lineage
+        # restarts at 0 (its ids aren't comparable to the old ones),
+        # it does not orphan the live rows.
+        batch_id = meta[0] + 1 if meta[2] == ckpt_id else 0
         base = spark.read.parquet(meta[1])
     else:
         batch_id = 0

@@ -295,3 +295,39 @@ def test_upsert_cdc_snapshot_batch_interop(spark):
     live3 = {r.k: (r.version, r.val) for r in
              streaming.read_cdc_snapshot(spark, root).collect()}
     assert live3 == live
+
+
+def test_upsert_cdc_snapshot_lineage_change_keeps_live_rows(spark):
+    """Folding a batch under a DIFFERENT lineage string merges onto the
+    existing snapshot — the live table must never silently vanish on a
+    lineage switch (the checkpoint identity scopes redelivery detection,
+    not the data). Only the version counter restarts at 0."""
+    import tempfile
+
+    from clif_spark import streaming
+
+    root = tempfile.mkdtemp(prefix="cdc_lineage_tbl_")
+    b0 = spark.createDataFrame(
+        [(1, 1, "a", False), (2, 1, "b", False)],
+        "k long, version long, val string, is_delete boolean")
+    streaming.upsert_cdc_snapshot(b0, root, ["k"], ["version"],
+                                  lineage="feed-A")
+    b1 = spark.createDataFrame(
+        [(2, 2, "b2", False), (3, 2, "c", False)],
+        "k long, version long, val string, is_delete boolean")
+    vdir = streaming.upsert_cdc_snapshot(b1, root, ["k"], ["version"],
+                                         lineage="feed-B")
+    # new lineage restarts the counter at 0 with its own suffix
+    assert vdir.split("/")[-1].startswith("v0_")
+    live = {r.k: (r.version, r.val) for r in
+            streaming.read_cdc_snapshot(spark, root).collect()}
+    # feed-A's untouched row survives; feed-B's update and insert land
+    assert live == {1: (1, "a"), 2: (2, "b2"), 3: (2, "c")}
+    # and the next feed-B batch allocates v1 within its lineage
+    b2 = spark.createDataFrame(
+        [(4, 3, "d", False)],
+        "k long, version long, val string, is_delete boolean")
+    v1 = streaming.upsert_cdc_snapshot(b2, root, ["k"], ["version"],
+                                       lineage="feed-B")
+    assert v1.split("/")[-1].startswith("v1_")
+    assert streaming.read_cdc_snapshot(spark, root).count() == 4
