@@ -486,10 +486,13 @@ def _encode_planes(width: int, height: int, planes: list,
 
 def jpeg_encode_gray_progressive(width: int, height: int, pixel, *,
                                  quality: int | None = None,
-                                 restart_interval: int = 0) -> bytes:
+                                 restart_interval: int = 0,
+                                 levels: int = 1,
+                                 ac_bands: tuple = ((1, 5), (6, 63))) -> bytes:
     """Progressive (SOF2) grayscale encoder — the two-sided test partner
     of the progressive decoder, spec-faithful rather than minimal: the
-    scan script exercises BOTH progressive mechanisms.
+    scan script exercises BOTH progressive mechanisms. The default
+    script (``levels=1``, two AC bands):
 
       1. DC first      (Ss=0 Se=0  Ah=0 Al=1)   coarse DC, point-shifted
       2. AC first 1-5  (Ss=1 Se=5  Ah=0 Al=1)   low band, coarse
@@ -497,6 +500,18 @@ def jpeg_encode_gray_progressive(width: int, height: int, pixel, *,
       4. DC refine     (Ss=0 Se=0  Ah=1 Al=0)   one raw bit per block
       5. AC refine 1-5 (Ss=1 Se=5  Ah=1 Al=0)   correction bits + EOBRUN
       6. AC refine 6-63(Ss=6 Se=63 Ah=1 Al=0)
+
+    ``levels`` deepens the successive-approximation chain the way
+    mainstream encoders do: the first scans use Al=levels and each band
+    then refines one bit plane at a time (Ah=a+1 -> Al=a for
+    a = levels-1 .. 0) — levels=2 produces the Al=2 -> 1 -> 0 chains
+    libjpeg's default progressive script emits for DC. ``ac_bands``
+    selects the spectral split: ``((1, 63),)`` is the
+    DC-then-full-band script, finer tuples mirror libjpeg's
+    low/high-frequency staging. Decoder paths only multi-level streams
+    reach (repeated refinement of the same band, EOBRUN over
+    partially-built coefficients) are therefore two-sided-tested, not
+    dead code.
 
     AC scans use the progressive Huffman table (_ENC_ACP_*: sequential
     symbols + EOBn run codes) and real end-of-band runs spanning blocks,
@@ -510,13 +525,15 @@ def jpeg_encode_gray_progressive(width: int, height: int, pixel, *,
     plane = [pixel(x, y) & 0xFF for y in range(height) for x in range(width)]
     return _encode_progressive_planes(
         width, height, [(plane, width, height, 1, 1)], quality=quality,
-        restart_interval=restart_interval)
+        restart_interval=restart_interval, levels=levels, ac_bands=ac_bands)
 
 
 def jpeg_encode_rgb_progressive(width: int, height: int, pixel, *,
                                 quality: int | None = None,
                                 subsample: bool = False,
-                                restart_interval: int = 0) -> bytes:
+                                restart_interval: int = 0,
+                                levels: int = 1,
+                                ac_bands: tuple = ((1, 5), (6, 63))) -> bytes:
     """Progressive color — YCbCr 4:4:4, or 4:2:0 when ``subsample`` —
     same scan script as grayscale, with the DC scans interleaved over
     all three components (each contributing its hf x vf MCU blocks) and
@@ -543,12 +560,15 @@ def jpeg_encode_rgb_progressive(width: int, height: int, pixel, *,
                   (crs, width, height, 1, 1)]
     return _encode_progressive_planes(
         width, height, planes,
-        quality=quality, restart_interval=restart_interval)
+        quality=quality, restart_interval=restart_interval,
+        levels=levels, ac_bands=ac_bands)
 
 
 def _encode_progressive_planes(width: int, height: int, planes: list,
                                *, quality: int | None,
-                               restart_interval: int = 0) -> bytes:
+                               restart_interval: int = 0,
+                               levels: int = 1,
+                               ac_bands: tuple = ((1, 5), (6, 63))) -> bytes:
     """Shared progressive writer; ``planes`` = [(raster, pw, ph, hf,
     vf)] — grayscale, 4:4:4, or subsampled 4:2:0. A nonzero
     ``restart_interval`` (in data units — MCUs for the interleaved DC
@@ -641,16 +661,17 @@ def _encode_progressive_planes(width: int, height: int, planes: list,
                             (ci, (my * vf + by) * gbw + mx * hf + bx))
             mcu_steps.append(step)
 
-    # --- scan 1: DC first, interleaved, Al=1 ---
+    # --- scan 1: DC first, interleaved, Al=levels ---
     out += sos_hdr([(ci + 1, 0x00 if ci == 0 else 0x11)
-                    for ci in range(ncomp)], 0, 0, 0, 1)
+                    for ci in range(ncomp)], 0, 0, 0, levels)
     bw = _BitWriter()
     rst = _Rst(bw)
     rst.total = len(mcu_steps)
     preds = [0] * ncomp
     for step in mcu_steps:
         for (ci, bi) in step:
-            v = zz_all[ci][bi][0] >> 1  # arithmetic shift: DC point xform
+            # arithmetic shift: the DC point transform (T.81 G.1.2.1)
+            v = zz_all[ci][bi][0] >> levels
             diff = v - preds[ci]
             preds[ci] = v
             size = _category(diff)
@@ -807,29 +828,38 @@ def _encode_progressive_planes(width: int, height: int, planes: list,
         bw.align_ones()
         return bytes(bw.out)
 
-    for (Ss, Se) in ((1, 5), (6, 63)):
+    for (Ss, Se) in ac_bands:
         for ci in range(ncomp):
             out += sos_hdr([(ci + 1, 0x10 if ci == 0 else 0x11)],
-                           Ss, Se, 0, 1)
-            out += ac_first_scan(ci, Ss, Se, 1)
+                           Ss, Se, 0, levels)
+            out += ac_first_scan(ci, Ss, Se, levels)
 
-    # --- DC refinement: one raw bit per block, interleaved ---
-    out += sos_hdr([(ci + 1, 0x00) for ci in range(ncomp)], 0, 0, 1, 0)
-    bw = _BitWriter()
-    rst = _Rst(bw)
-    rst.total = len(mcu_steps)
-    for step in mcu_steps:
-        for (ci, bi) in step:
-            bw.put(zz_all[ci][bi][0] & 1, 1)
-        rst.step()
-    bw.align_ones()
-    out += bw.out
+    # --- refinement chain: one bit plane per pass, Ah=a+1 -> Al=a, until
+    # every coefficient's low bit has landed (a=0). levels=1 is the
+    # classic single-refinement script; levels>=2 produces the repeated
+    # same-band refinements mainstream progressive scripts emit. ---
+    for a in range(levels - 1, -1, -1):
+        # DC refinement: one raw bit (plane a) per block, interleaved.
+        # (v >> a) & 1 is the correct bit for negatives too: Python's
+        # arithmetic shift + the decoder's |= reconstruct two's
+        # complement exactly.
+        out += sos_hdr([(ci + 1, 0x00) for ci in range(ncomp)],
+                       0, 0, a + 1, a)
+        bw = _BitWriter()
+        rst = _Rst(bw)
+        rst.total = len(mcu_steps)
+        for step in mcu_steps:
+            for (ci, bi) in step:
+                bw.put((zz_all[ci][bi][0] >> a) & 1, 1)
+            rst.step()
+        bw.align_ones()
+        out += bw.out
 
-    for (Ss, Se) in ((1, 5), (6, 63)):
-        for ci in range(ncomp):
-            out += sos_hdr([(ci + 1, 0x10 if ci == 0 else 0x11)],
-                           Ss, Se, 1, 0)
-            out += ac_refine_scan(ci, Ss, Se, 0)
+        for (Ss, Se) in ac_bands:
+            for ci in range(ncomp):
+                out += sos_hdr([(ci + 1, 0x10 if ci == 0 else 0x11)],
+                               Ss, Se, a + 1, a)
+                out += ac_refine_scan(ci, Ss, Se, a)
 
     out += b"\xff\xd9"
     return bytes(out)

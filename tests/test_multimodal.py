@@ -513,6 +513,53 @@ def test_jpeg_progressive_roundtrip_matches_sequential():
         assert pro == seq, (w, h, q)
 
 
+def test_jpeg_progressive_multilevel_al_and_band_splits():
+    """Scan scripts mainstream encoders emit but the default six-scan
+    script never reaches: multi-level successive approximation (Al=2->
+    1->0 and Al=3->2->1->0 refinement CHAINS — repeated refinement of
+    the same band over partially-built coefficients) and different
+    spectral splits (DC-then-full-band ``(1,63)``; a three-way libjpeg
+    -style staging). Every combination must reconstruct exactly the
+    sequential codec's output — same quantized coefficients, so the
+    chain must restore every bit plane. Covers gray, color 4:4:4,
+    4:2:0 subsampled, and restart markers inside multi-level scans."""
+    import random
+
+    from clif_spark.multimodal import jpeg as J
+
+    rng = random.Random(7)
+    splits = (((1, 5), (6, 63)), ((1, 63),), ((1, 2), (3, 10), (11, 63)))
+    for (w, h, q) in [(9, 7, None), (17, 13, None), (32, 24, 2),
+                      (24, 18, 5)]:
+        vals = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        px = lambda x, y: vals[y][x]
+        seq = J.jpeg_decode(J.jpeg_encode_gray(w, h, px, quality=q))
+        for levels in (2, 3):
+            for bands in splits:
+                pro = J.jpeg_decode(J.jpeg_encode_gray_progressive(
+                    w, h, px, quality=q, levels=levels, ac_bands=bands))
+                assert pro == seq, (w, h, q, levels, bands)
+    vals = [[(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+             for _ in range(20)] for _ in range(15)]
+    px = lambda x, y: vals[y][x]
+    seq = J.jpeg_decode(J.jpeg_encode_rgb(20, 15, px, quality=3))
+    pro = J.jpeg_decode(J.jpeg_encode_rgb_progressive(
+        20, 15, px, quality=3, levels=2, ac_bands=((1, 63),)))
+    assert pro == seq
+    seq420 = J.jpeg_decode(J.jpeg_encode_rgb(20, 15, px, quality=3,
+                                             subsample=True))
+    pro420 = J.jpeg_decode(J.jpeg_encode_rgb_progressive(
+        20, 15, px, quality=3, subsample=True, levels=3))
+    assert pro420 == seq420
+    # restart markers inside every multi-level scan change nothing
+    px2 = lambda x, y: (x * 7 + y * 13) % 256
+    with_rst = J.jpeg_decode(J.jpeg_encode_gray_progressive(
+        24, 18, px2, levels=2, restart_interval=2))
+    without = J.jpeg_decode(J.jpeg_encode_gray_progressive(
+        24, 18, px2, levels=2))
+    assert with_rst == without
+
+
 def test_jpeg_progressive_block_constant_is_exact():
     """The oracle contract regime extends to progressive: block-constant
     content under all-ones quant is bit-exact through the six-scan
