@@ -716,6 +716,36 @@ def signature_store_admit(sigs: DataFrame, root: str,
                                lineage="minhash-sigs")
 
 
+def signature_store_delete(spark, doc_ids: DataFrame, root: str,
+                           version: int) -> str:
+    """Takedown path: tombstone documents OUT of the persisted store
+    (right-to-be-forgotten / licensing removal — the lifecycle every
+    production corpus store needs beyond append). Folds one tombstone
+    row per doc_id (is_delete=True, nulls for the signature payload)
+    at ``version`` — keep-latest makes it beat the admitted row, and
+    ``read_cdc_snapshot``'s read-time filter removes the doc from every
+    subsequent screen. The record itself is RETAINED until
+    ``streaming.compact_cdc_snapshot`` physically drops it (same
+    retained-tombstone rationale as the CDC sink: a late re-admit at a
+    LOWER version must still lose). O(|doc_ids|) + one copy-on-write
+    version; never touches signature payloads or corpus text."""
+    from pyspark.sql import types as T
+
+    from clif_spark.streaming import upsert_cdc_snapshot
+
+    rows = doc_ids.select(
+        "doc_id",
+        F.lit(None).cast(T.ArrayType(T.StringType())).alias("band_keys"),
+        F.lit(None).cast(T.ArrayType(T.StringType()))
+         .alias("shingle_hashes"),
+        F.lit(None).cast("long").alias("sz"),
+        F.lit(True).alias("is_delete"),
+        F.lit(version).alias("__v"))
+    return upsert_cdc_snapshot(rows, root, keys=["doc_id"],
+                               order=["__v", "doc_id"],
+                               lineage="minhash-sigs")
+
+
 def signature_store_screen(spark, sigs: DataFrame, root: str,
                            threshold: float = 0.5) -> DataFrame:
     """Screen a delivery's signature rows against the persisted store:

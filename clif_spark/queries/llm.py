@@ -977,6 +977,214 @@ def dedup_incremental_persisted(spark, sf_dir):
               .select("delivery", "old_id", "new_id", "jaccard"))
 
 
+@query(
+    "semantic_store_drift_recall",
+    oracle="""
+    -- Staleness contract for the FROZEN-cell semantic store (pattern:
+    -- ann_ivf_trained_recall_bound): the oracle recomputes the brute
+    -- -force ground truth for a distribution-SHIFTED delivery (+0.02
+    -- bias on every dimension — enough that some vectors migrate out
+    -- of their source's cell); the Spark side must measure screen
+    -- recall against that truth and clear the 0.8 floor. A drifted
+    -- corpus that drops below the floor flips the flag — 'retrain by
+    -- rebuilding' now has a machine-checked trigger condition.
+    WITH d AS (
+      SELECT vec_id + 500000 AS new_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> x + 0.02) AS v
+      FROM embeddings WHERE vec_id % 5 = 2),
+    s AS (SELECT vec_id AS old_id, CAST(embedding AS DOUBLE[]) AS w
+          FROM embeddings),
+    truth AS (
+      SELECT old_id, new_id FROM s, d
+      WHERE ROUND(list_cosine_similarity(w, v), 4) >= 0.95)
+    SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+           TRUE AS recall_floor_met
+    FROM truth GROUP BY new_id
+    """,
+)
+def semantic_store_drift_recall(spark, sf_dir):
+    """Measured screen recall of the frozen-cell semantic store on a
+    distribution-shifted delivery, hash-gated against a brute-force
+    witness — the machine-checked form of semantic_store_build's
+    'drifted corpora retrain by rebuilding' prose.
+
+    The store is built once (k=8 frozen cells over the corpus); the
+    delivery is every %5==2 vector shifted by +0.02 per dimension (a
+    systematic bias, the drift shape an embedding-model update or a
+    domain shift produces — self-cosine stays ~0.987, so ground truth
+    at threshold 0.95 is well-defined, while the bias moves a few
+    vectors across cell boundaries). Truth = brute-force cosine >= 0.95
+    over delivery x corpus (bounded: the delivery is small and
+    broadcast — never corpus all-pairs). Found = the store screen
+    (nearest FROZEN centroid only). Output per delivery vector: the
+    truth count plus one global boolean — overall recall >= 0.8
+    (measured 0.95-0.98 here; global, not per-vector, because a single
+    vector CAN legitimately land in another cell — that is exactly the
+    staleness being measured, and the floor bounds how much of it the
+    frozen structure is allowed before a rebuild is due)."""
+    import tempfile
+
+    e = io.load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="clif_semstore_drift_")
+    similarity.semantic_store_build(e, root, k=8, max_iter=5)
+    delivery = (e.filter(F.col("vec_id") % 5 == 2).select(
+        (F.col("vec_id") + 500000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x: x.cast("double") + F.lit(0.02))
+         .alias("embedding")))
+    truth = (io.load_table(spark, sf_dir, "embeddings")
+             .select(F.col("vec_id").alias("old_id"),
+                     F.col("embedding").alias("__w"))
+             .join(F.broadcast(delivery.select(
+                       F.col("vec_id").alias("new_id"),
+                       F.col("embedding").alias("__v"))),
+                   F.round(similarity.cosine(F.col("__w"), F.col("__v")),
+                           4) >= 0.95)
+             .select("old_id", "new_id"))
+    found = similarity.semantic_store_screen(spark, delivery, root,
+                                             threshold=0.95).select(
+        "old_id", "new_id")
+    hits = truth.join(found, ["old_id", "new_id"], "left_semi")
+    per_q = truth.groupBy("new_id").agg(
+        F.count(F.lit(1)).alias("n_true"))
+    totals = (per_q.agg(F.sum("n_true").alias("total_true"))
+              .crossJoin(hits.agg(F.count(F.lit(1)).alias("total_hits"))))
+    return (per_q.crossJoin(F.broadcast(totals))
+            .select("new_id", "n_true",
+                    (F.col("total_hits") >= 0.8 * F.col("total_true"))
+                     .alias("recall_floor_met")))
+
+
+def _takedown_oracle() -> str:
+    """Oracle for the store takedown lifecycle: corpus (side 0) + one
+    delivery (side 1) through the shared minhash-band candidate CTEs;
+    matches = cross-side pairs with exact Jaccard >= 0.5. Phase
+    'pre_delete' sees every match; 'post_delete' and 'post_compact'
+    exclude matches whose OLD doc was tombstoned (corpus %10 == 0) and
+    must be IDENTICAL — compaction changes storage, never answers."""
+    bands = dedup.DEFAULT_BANDS
+    rpb = dedup.DEFAULT_ROWS_PER_BAND
+    w = dedup._minhash_slice_width(bands * rpb)
+    minhs = ",\n        ".join(
+        f"min(substr(md5('m:' || shingle),"
+        f" {w * i + 1}, {w})) AS h{i}" for i in range(bands * rpb))
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc, 'band_{b}' AS band,"
+        f" h{2*b} || '|' || h{2*b+1} AS band_key FROM sig"
+        for b in range(bands))
+    return rf"""
+    WITH docs2 AS (
+      SELECT doc_id AS doc, text, 0 AS side FROM documents
+      UNION ALL
+      SELECT doc_id + 200000, text || ' extra trailing token', 1
+      FROM documents WHERE doc_id % 10 IN (0, 1)
+    ),
+    words AS (
+      SELECT doc, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM docs2
+    ),
+    sh AS (
+      SELECT DISTINCT doc, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM words, unnest(range(1, greatest(len(w) - 1, 1))) t(i)
+    ),
+    sig AS (
+      SELECT doc,
+        {minhs}
+      FROM sh GROUP BY doc
+    ),
+    bands AS (
+      {band_rows}
+    ),
+    sides AS (SELECT doc, side FROM docs2),
+    cand AS (
+      SELECT DISTINCT l.doc AS old_id, r.doc AS new_id
+      FROM bands l
+      JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+      JOIN sides sl ON sl.doc = l.doc
+      JOIN sides sr ON sr.doc = r.doc
+      WHERE sl.side = 0 AND sr.side = 1
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+    inter AS (
+      SELECT c.old_id, c.new_id, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc = c.old_id
+      JOIN sh sb ON sb.doc = c.new_id AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    matches AS (
+      SELECT i.old_id, i.new_id,
+             ROUND(CAST(i.n_inter AS DOUBLE)
+                   / (za.sz + zb.sz - i.n_inter), 4) AS jaccard
+      FROM inter i
+      JOIN sizes za ON za.doc = i.old_id
+      JOIN sizes zb ON zb.doc = i.new_id
+      WHERE ROUND(CAST(i.n_inter AS DOUBLE)
+                  / (za.sz + zb.sz - i.n_inter), 4) >= 0.5
+    )
+    SELECT 'pre_delete' AS phase, old_id, new_id, jaccard FROM matches
+    UNION ALL
+    SELECT 'post_delete', old_id, new_id, jaccard FROM matches
+    WHERE old_id % 10 <> 0
+    UNION ALL
+    SELECT 'post_compact', old_id, new_id, jaccard FROM matches
+    WHERE old_id % 10 <> 0
+    """
+
+
+@query("dedup_store_takedown", oracle=_takedown_oracle())
+def dedup_store_takedown(spark, sf_dir):
+    """The dedup-store DELETE/COMPACTION lifecycle — takedown
+    (right-to-be-forgotten, licensing removal) composed from the store
+    primitives and gated end-to-end:
+
+      admit corpus -> screen (pre_delete: matches %10==0 and %10==1
+      originals) -> tombstone every %10==0 doc
+      (dedup.signature_store_delete: keep-latest tombstones, read-time
+      suppression) -> screen (post_delete: the removed docs no longer
+      match ANYTHING) -> compact_cdc_snapshot (tombstones physically
+      dropped, history expired) -> screen (post_compact: bit-identical
+      to post_delete — compaction is a storage operation, never an
+      answer change).
+
+    The one delivery near-dups both cohorts, so the delete's effect is
+    observable as row loss between phases, not vacuous. Each screen
+    re-resolves the store pointer (read_cdc_snapshot is eager on the
+    pointer), so the three phases genuinely read three store versions.
+    Scale: the tombstone fold is O(|takedown list|) + one copy-on-write
+    version; compaction is the standing one-scan rewrite. Output:
+    (phase, old_id, new_id, jaccard)."""
+    import tempfile
+
+    from clif_spark import streaming as STR
+
+    d = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    delivery = (d.filter((F.col("doc_id") % 10).isin(0, 1)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" extra trailing token")).alias("text")))
+    root = tempfile.mkdtemp(prefix="clif_sigstore_takedown_")
+    dedup.signature_store_admit(
+        dedup.minhash_signature_rows(d), root, version=0)
+    sigs = dedup.minhash_signature_rows(delivery).localCheckpoint()
+
+    def screen(phase: str):
+        return (dedup.signature_store_screen(spark, sigs, root,
+                                             threshold=0.5)
+                .withColumn("phase", F.lit(phase))
+                .select("phase", "old_id", "new_id", "jaccard")
+                .localCheckpoint())  # pin THIS store version's answer
+
+    pre = screen("pre_delete")
+    takedown = d.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    dedup.signature_store_delete(spark, takedown, root, version=1)
+    post = screen("post_delete")
+    STR.compact_cdc_snapshot(spark, root)
+    post_c = screen("post_compact")
+    return pre.unionByName(post).unionByName(post_c)
+
+
 def _simhash_sig_ctes(docs_src: str) -> str:
     """DuckDB CTE chain computing dedup.simhash64 term for term: md5 hex
     nibbles (strpos mirror of Spark's conv), 64 frequency-weighted bit
