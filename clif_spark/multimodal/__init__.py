@@ -1524,6 +1524,185 @@ def video_frame_pixel_stats(df: DataFrame, stride: int = 1,
         run, VIDEO_PIXEL_SCHEMA)
 
 
+#: Surface-probe contract: metadata grain always served; pixel grain is
+#: decoded / cleanly-rejected / not-a-JPEG, never a crashed task.
+JPEG_PROBE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("meta_kind", T.StringType()),
+    T.StructField("meta_width", T.LongType()),
+    T.StructField("meta_height", T.LongType()),
+    T.StructField("decode_status", T.StringType()),
+    T.StructField("n_pixels", T.LongType()),
+])
+
+
+def synth_mixed_codec_payload(df: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              out_col: str = "payload") -> DataFrame:
+    """Payloads straddling the documented codec boundary: doc_id%3==0 is
+    a real decodable baseline JPEG (block-constant, all-ones quant —
+    the synth_jpeg_payload regime); doc_id%3==1 is a syntactically
+    well-formed JPEG whose frame header is SOF9 (0xC9, arithmetic
+    coding — T.81's patent-era entropy coder, the decoder's documented
+    honest boundary): real SOI/DQT/SOF9/SOS/EOI marker stream with
+    plausible dimensions, so metadata-grain readers see a JPEG while
+    the pixel decoder must REJECT rather than decode garbage;
+    doc_id%3==2 stays raw utf-8 text."""
+    import struct as _struct
+
+    from clif_spark.multimodal import jpeg as _jpeg
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField(out_col, T.BinaryType()),
+    ])
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def build(doc_id: int, text: str) -> bytes:
+            if doc_id % 3 == 0:
+                return _jpeg.jpeg_encode_gray(
+                    9 + doc_id % 16, 7 + doc_id % 12,
+                    lambda x, y:
+                        (3 * doc_id + 7 * (x // 8) + 11 * (y // 8)) % 256)
+            if doc_id % 3 == 1:
+                w, h = 16 + doc_id % 32, 12 + doc_id % 24
+                sof9 = (_struct.pack(">BHHB", 8, h, w, 1)
+                        + bytes([1, 0x11, 0]))
+                # entropy bytes are opaque to a parser that stops at SOF9
+                return (b"\xff\xd8" + _jpeg._seg(0xC9, sof9)
+                        + _jpeg._seg(0xDA, bytes([1, 1, 0, 0, 63, 0]))
+                        + bytes((doc_id * 13 + i * 7) % 251
+                                for i in range(16))
+                        + b"\xff\xd9")
+            return (text or "").encode("utf-8")
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                out_col: [build(int(i), t)
+                          for i, t in zip(pdf[id_col], pdf[text_col])],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def probe_jpeg_surface(df: DataFrame, id_col: str = "doc_id",
+                       payload_col: str = "payload") -> DataFrame:
+    """Machine-checked codec boundary: run BOTH grains over arbitrary
+    payloads and report what each one did. Metadata grain
+    (``_header_decode``) serves any structurally-valid JPEG including
+    out-of-surface codings; pixel grain (``jpeg.jpeg_decode``) returns
+    'decoded' (+ pixel count), 'rejected_unsupported' (the clean
+    ValueError for arithmetic/lossless/hierarchical/12-bit SOFs — the
+    task survives, the payload is classified, nothing decodes to
+    garbage), or 'not_jpeg'. One Arrow batch per task; per-payload
+    exceptions are the CONTRACT here, caught at payload grain."""
+    from clif_spark.multimodal import jpeg as _jpeg
+
+    _, _, header_decode = _media_codecs()  # by-value closure discipline
+
+    def run(batches: Iterator) -> Iterator:
+        import struct as _struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "meta_kind", "meta_width",
+                                   "meta_height", "decode_status",
+                                   "n_pixels")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(payload) if payload is not None else b""
+                meta = header_decode(p)
+                out["doc_id"].append(int(doc_id))
+                out["meta_kind"].append(meta[0] if meta else None)
+                out["meta_width"].append(meta[1] if meta else None)
+                out["meta_height"].append(meta[2] if meta else None)
+                try:
+                    decoded = _jpeg.jpeg_decode(p)
+                    if decoded is None:
+                        out["decode_status"].append("not_jpeg")
+                        out["n_pixels"].append(None)
+                    else:
+                        w, h, _planes = decoded
+                        out["decode_status"].append("decoded")
+                        out["n_pixels"].append(w * h)
+                except (ValueError, IndexError, KeyError,
+                        _struct.error):
+                    out["decode_status"].append("rejected_unsupported")
+                    out["n_pixels"].append(None)
+            yield pd.DataFrame({
+                "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                "meta_kind": out["meta_kind"],
+                "meta_width": pd.array(out["meta_width"], dtype="Int64"),
+                "meta_height": pd.array(out["meta_height"],
+                                        dtype="Int64"),
+                "decode_status": out["decode_status"],
+                "n_pixels": pd.array(out["n_pixels"], dtype="Int64"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, JPEG_PROBE_SCHEMA)
+
+
+def synth_mixed_codec_mp4(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          out_col: str = "payload") -> DataFrame:
+    """MP4s whose sample table mixes codecs — the shape real video
+    corpora have: doc_id%3==0 becomes an ISO BMFF container where EVEN
+    sample indices are real baseline JPEG frames (MJPEG, decodable) and
+    ODD indices are H.264 Annex-B byte streams (start codes + SPS/IDR
+    NAL headers + deterministic payload bytes — undecodable here by
+    documented boundary). n = 3 + id%4 samples, timescale 1000, delta
+    40. Other doc_ids stay raw text. The demuxer must serve ALL frames
+    at byte grain; the pixel path must decode exactly the JPEG half and
+    SKIP the H.264 half without failing the task."""
+    from clif_spark.multimodal import jpeg as _jpeg
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField(out_col, T.BinaryType()),
+    ])
+    build_mp4_samples, _ = _mp4_sample_codecs()
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def h264_frame(doc_id: int, k: int) -> bytes:
+            # Annex-B: start code + SPS (NAL type 7), then IDR (type 5)
+            sps = b"\x00\x00\x00\x01\x67\x42\x00\x1e"
+            idr = (b"\x00\x00\x00\x01\x65"
+                   + bytes((doc_id * 17 + k * 5 + i * 3) % 256
+                           for i in range(24 + (doc_id + k) % 16)))
+            return sps + idr
+
+        def build(doc_id: int, text: str) -> bytes:
+            if doc_id % 3 == 0:
+                frames = []
+                for k in range(3 + doc_id % 4):
+                    if k % 2 == 0:
+                        frames.append(_jpeg.jpeg_encode_gray(
+                            9 + (doc_id + 5 * k) % 20,
+                            7 + (doc_id + 3 * k) % 14,
+                            lambda x, y, k=k:
+                                (3 * doc_id + 5 * k + 7 * (x // 8)
+                                 + 11 * (y // 8)) % 256))
+                    else:
+                        frames.append(h264_frame(doc_id, k))
+                return build_mp4_samples(1000, 40, frames)
+            return (text or "").encode("utf-8")
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                out_col: [build(int(i), t)
+                          for i, t in zip(pdf[id_col], pdf[text_col])],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
 #: Real-resize contract: geometry + decoded-resample statistics per doc.
 RESIZE_PIXELS_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),

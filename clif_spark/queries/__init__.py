@@ -247,62 +247,62 @@ def us(col: Column | str) -> Column:
 # Cheap batch checks lead; multi-second stream-startup queries trail their
 # block so they never starve cheap checks.
 _VERIFY_FIRST = [
-    # --- never driver-gated: registered in round 8 (new operators get a
-    # driver row before any refresh does) ---
-    "dedup_incremental_persisted", "dedup_minhash_recall_bound",
-    "mm_video_pixel_stats", "mm_jpeg_progressive_pixel_stats",
-    "dedup_semantic_incremental",
-    # --- changed this round, green row invalidated: a22's intersection
-    # estimate now Jaccard-scales by the actual union-sketch size (both
-    # the operator and the oracle) — its r7 row verified the OLD formula ---
-    "a22_kmv_set_sketch",
-    # --- the full r4-latest backlog (all 33 rows whose newest green row
-    # is round 4 — the rotation debt VERDICT r7 called out; clearing it
-    # in one round leaves no registry row older than r5) ---
-    "a1_group_count_histogram", "a2_multi_key_tally",
-    "a3_missingness_profile", "a4_duplicate_profile", "a5_summary_stats",
-    "a6_distinct_dim_extract", "a7_rollup_revenue", "a8_cube_counts",
-    "a12_approx_distinct_bound", "a13_sketch_merge_distinct",
-    "a14_approx_percentile_bound", "a15_ordered_string_agg",
-    "f1_f2_classify_regex", "f3_f4_f5_dose_parse", "f7_f10_time_functions",
-    "f8_parse_roundtrip", "f11_cast_clamp", "f12_hash_pseudonymize",
-    "q13_order_count_distribution", "q14_promo_revenue",
-    "r1_unpivot_measures", "r3_split_column",
-    "u1_union_missing_cols", "u2_u3_distinct_dedup", "u4_intersect_except",
-    "o1_o2_topk", "p11_castability_extract",
-    "w10_funnel_conversion", "w11_range_time_frame",
-    "mm_resize_meta", "emb_label_centroids",
-    "gopher_repetition_filter", "sample_stratified_rebalance",
-    # --- r5-latest refreshes filling the remaining slots, oldest-unique-
-    # machinery first: the multimodal meta/codec trio, the minhash
-    # headline, two §3 pipelines, as-of join, BPE, keep-latest upsert
-    # (the machinery the new CDC batch upsert rides), grouped top-k,
-    # min-max scaling ---
-    "mm_decode_meta", "mm_media_meta",
-    "dedup_minhash_lsh", "pipeline_dialysis", "pipeline_vitals",
-    "j11_asof_forward_tolerance", "text_bpe_tokenize",
-    "u5_upsert_keep_latest", "f15_minmax_normalize",
-    # --- streams at the tail (multi-second startup each): the new r8
-    # stream composition + one r5 stream refresh. The other r5 stream,
-    # stream_countmin_merge, cedes to round 9 — its CMS merge machinery
-    # also holds a fresher row via the r6-green CDC/state streams ---
-    "stream_incremental_dedup", "stream_vitals_hourly",
+    # --- never driver-gated: registered in round 9 (new operators get a
+    # driver row before any refresh does): the dedup-store takedown
+    # lifecycle, the semantic-store drift-recall contract, the two
+    # machine-checked codec boundaries, and the checked-sum guard ---
+    "dedup_store_takedown", "semantic_store_drift_recall",
+    "mm_jpeg_arithmetic_reject", "mm_video_h264_skip",
+    "a26_checked_sum_guard",
+    # --- the full r5-latest backlog (all 33 rows whose newest green row
+    # is round 5 — the rotation debt VERDICT r8 item 1 scheduled; the
+    # one stream among them sits at the tail): after this round no
+    # registry row's latest green is older than r6 ---
+    "a16_numeric_histogram", "a19_cooccurrence_pairs",
+    "a20_winsorize_clamp", "a21_countmin_heavy",
+    "ann_ivf_pq_residual_topk", "ann_ivf_pq_topk", "ann_pq_adc_topk",
+    "emb_pq_encode",
+    "corpus_c4_line_filter", "dedup_chunk_paragraphs",
+    "dedup_remove_repeated_spans",
+    "f16_accent_fold", "mm_sample_stats", "o3_topk_per_group",
+    "o4_zorder_key",
+    "pipeline_admission_diagnosis", "pipeline_adt",
+    "pipeline_demographics", "pipeline_encounter_dispo",
+    "pipeline_labs", "pipeline_med_admin_continuous",
+    "pipeline_resp_support", "pipeline_scores",
+    "sample_mix_epochs", "sample_reservoir_per_key",
+    "sample_temperature_mix",
+    "text_bm25_topk", "text_chunk_windows", "text_rare_bigram_score",
+    "u6_snapshot_diff", "w12_rate_of_change", "w14_interpolate_linear",
+    # --- oldest-r6 refreshes filling the remaining batch slots: the
+    # four CONTRACT TWINS (per the r9 policy, twins rotate — their
+    # rows-only partners never enter the head; see the hygiene test in
+    # tests/test_oracle.py), the four bench headliners, and the two
+    # CDC/merge rows adjacent to this round's upsert-lineage fix ---
+    "ann_arrow_fold_equality", "ann_ivf_trained_recall_bound",
+    "text_bpe_roundtrip", "w16_ewma_agreement",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "text_quality_metrics",
+    "ann_cosine_topk", "u7_merge_with_deletes",
+    # --- streams at the tail (multi-second startup each): the changed
+    # incremental-dedup sink (now replay-idempotent — its r8 row
+    # verified the old append sink), the r5 CMS-merge stream, and the
+    # r6 CDC-apply stream whose batch twin's lineage handling changed
+    # this round ---
+    "stream_incremental_dedup", "stream_countmin_merge",
+    "stream_cdc_apply",
 ]
-# Exactly 50 head entries: 6 never-gated r8 registrations (5 batch + the
-# stream_incremental_dedup composition at the stream tail) + 1
-# changed-formula re-gate (a22) + ALL 33 r4-latest rows + 9 r5-latest
-# batch refreshes + 1 r5 stream. Ceded for the new registrations:
-# o3_topk_per_group (sort/top-k machinery re-gated this round via the
-# in-head o1_o2_topk and w4_rank_lag rows) and mm_sample_stats (the
-# media_sample_features codec chain runs inside the in-head
-# mm_jpeg_progressive_pixel_stats row this round). After this round's
-# gate, no registry row's latest green is older than r5, and the r9
-# lead list is the remaining 36 r5-latest rows (the ten §3 pipelines
-# beyond dialysis/vitals, the ann_* family, a16/a19-a21, curation/c4/
-# chunk/span rows, f16, o3, o4, mm_sample_stats, sample_mix/reservoir/
-# temperature, text bm25/chunk/rare-bigram, u6, w12/w14/w15,
-# stream_countmin_merge) — they fit in one head-50 with room for new
-# registrations, so the two-round staleness bound holds.
+# Exactly 50 head entries: 5 never-gated r9 registrations + 32 r5-latest
+# batch refreshes + 10 oldest-r6 batch refreshes + 3 streams at the tail
+# (1 changed-sink re-gate + the r5 stream + 1 r6 stream). Rows-only
+# queries (dedup_semantic, ann_ivf_trained_topk, ann_cosine_topk_arrow,
+# w15_ewma_smooth, text_bpe_tokenize) NEVER rotate into the head — the
+# driver gate can only say 'no_oracle' about them; their driver-hashed
+# contract twins are the gateable artifact and four of the five twins
+# are in this head (dedup_semantic_contract is r7-green, due r10).
+# After this round's gate the r10 lead list is the remaining 39
+# r6-latest rows + dedup_semantic_contract — they fit one head-50 with
+# room for new registrations, so the staleness bound holds.
 
 _VERIFY_LAST = [
     # (empty: the single due stream sits at the tail of the head-50)

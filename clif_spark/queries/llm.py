@@ -2516,6 +2516,82 @@ def mm_video_pixel_stats(spark, sf_dir):
     return multimodal.video_frame_pixel_stats(payload, stride=2)
 
 
+@query(
+    "mm_jpeg_arithmetic_reject",
+    oracle="""
+    -- The decoder's documented boundary, machine-checked: an
+    -- arithmetic-coded (SOF9) JPEG must be CLEANLY rejected at pixel
+    -- grain (classified, task alive) while metadata grain still serves
+    -- its header — and the boundary must not leak: in-surface JPEGs
+    -- keep decoding, text keeps classifying as not_jpeg.
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 IN (0, 1) THEN 'jpeg' END AS meta_kind,
+           CASE doc_id % 3 WHEN 0 THEN CAST(9 + doc_id % 16 AS BIGINT)
+                           WHEN 1 THEN CAST(16 + doc_id % 32 AS BIGINT)
+           END AS meta_width,
+           CASE doc_id % 3 WHEN 0 THEN CAST(7 + doc_id % 12 AS BIGINT)
+                           WHEN 1 THEN CAST(12 + doc_id % 24 AS BIGINT)
+           END AS meta_height,
+           CASE doc_id % 3 WHEN 0 THEN 'decoded'
+                           WHEN 1 THEN 'rejected_unsupported'
+                           ELSE 'not_jpeg' END AS decode_status,
+           CASE WHEN doc_id % 3 = 0
+                THEN CAST((9 + doc_id % 16) * (7 + doc_id % 12) AS BIGINT)
+           END AS n_pixels
+    FROM documents WHERE doc_id < 600
+    """,
+)
+def mm_jpeg_arithmetic_reject(spark, sf_dir):
+    """Codec-boundary row (VERDICT r8 item 6): a syntactically valid
+    arithmetic-coded JPEG (SOF9 — T.81's patent-era entropy coder, a
+    documented honest boundary of multimodal/jpeg.py) flows through the
+    real pixel-decode path and must come out 'rejected_unsupported' —
+    a per-payload ValueError caught at payload grain, never a crashed
+    task, never garbage pixels — while the metadata grain still serves
+    its dimensions and sibling in-surface payloads keep decoding. The
+    boundary stops being a docstring: a regression that starts
+    'decoding' SOF9 (or starts crashing on it) flips rows."""
+    d = (io.load_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 600).select("doc_id", "text"))
+    payload = multimodal.synth_mixed_codec_payload(d)
+    return multimodal.probe_jpeg_surface(payload)
+
+
+@query(
+    "mm_video_h264_skip",
+    oracle="""
+    -- H.264 boundary, machine-checked: mixed-codec MP4s (even sample
+    -- indices MJPEG, odd indices H.264 Annex-B) must demux completely
+    -- at byte grain while the pixel path decodes exactly the JPEG half
+    -- and SKIPS the H.264 half (undecodable-frame-skipped contract of
+    -- video_frame_pixel_stats) — n = 3 + id%4 frames, evens decode.
+    SELECT doc_id, CAST(3 + doc_id % 4 AS BIGINT) AS n_frames,
+           CAST((3 + doc_id % 4 + 1) // 2 AS BIGINT) AS n_decoded
+    FROM documents WHERE doc_id % 3 = 0 AND doc_id < 600
+    """,
+)
+def mm_video_h264_skip(spark, sf_dir):
+    """Codec-boundary row for video: real ISO BMFF containers whose
+    sample tables mix MJPEG frames with H.264 Annex-B streams. The
+    demuxer (extract_video_frames) serves every frame at byte grain —
+    container parsing owes nothing to the codec — while the decode loop
+    (video_frame_pixel_stats) decodes exactly the MJPEG half and skips
+    the H.264 half without failing the task. A decoder that starts
+    fabricating frames from NAL bytes, or a skip path that starts
+    throwing, both flip counts."""
+    d = (io.load_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 600).select("doc_id", "text"))
+    payload = (multimodal.synth_mixed_codec_mp4(d)
+               .localCheckpoint())  # build containers once, read twice
+    total = (multimodal.extract_video_frames(payload)
+             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames")))
+    dec = (multimodal.video_frame_pixel_stats(payload)
+           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_decoded")))
+    return (total.join(dec, "doc_id", "left")
+            .select("doc_id", "n_frames",
+                    F.coalesce("n_decoded", F.lit(0)).alias("n_decoded")))
+
+
 @query("ann_ivf_trained_topk")  # rows-only: iterative training step
 def ann_ivf_trained_topk(spark, sf_dir):
     """IVF ANN with a TRAINED coarse quantizer: distributed Lloyd's

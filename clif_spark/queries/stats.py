@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from clif_spark import io
 from clif_spark.operators import layout, profile
-from clif_spark.queries import pq, query
+from clif_spark.queries import pq, query, sql_dsum
 
 
 @query(
@@ -581,3 +581,53 @@ def a25_equi_depth_histogram(spark, sf_dir):
         tiebreakers=("event_id",))
     return out.select("event_type", F.col("bucket").cast("long"),
                       "lo", "hi", F.col("n_rows").cast("long"))
+
+
+@query(
+    "a26_checked_sum_guard",
+    oracle=f"""
+    -- dsum(checked=True) exercised through the full driver path at
+    -- HIGH magnitude: the planted x1000 scaling pushes per-group
+    -- integer-micros totals to ~1e18 — far past double's 2^53 exact
+    -- range (the final divide/floor stays bit-identical because both
+    -- engines run the same IEEE ops on the same integer), one order
+    -- below the BIGINT bound the guard enforces. DuckDB's HUGEINT
+    -- promotion makes the oracle's total exact; guard_fired mirrors
+    -- the in-query probe that drives a WRAPPING domain through the
+    -- checked path and must catch the loud assert_true failure.
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           {sql_dsum('l_extendedprice * 1000', 2)} AS checked_sum,
+           TRUE AS guard_fired
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a26_checked_sum_guard(spark, sf_dir):
+    """The checked fixed-point sum as a gated row (VERDICT r8 item 7):
+    the result columns run ``dsum(checked=True)`` — DECIMAL(38,0)
+    micros accumulation + assert_true bound guard — over a planted
+    high-magnitude domain (l_extendedprice x1000, per-group totals
+    within one order of the ~9.2e12 bound) and must equal the oracle's
+    HUGEINT-exact arithmetic bit for bit; ``guard_fired`` proves the
+    guard actually fires under the driver's session confs, not just in
+    a unit test: an eager probe sums two 5e12 values (Σ = 1e13, past
+    the bound the unchecked path would wrap silently) through the
+    checked path and records that the job failed LOUDLY. A build where
+    the guard rots (conf change, expression reorder, assert elision)
+    flips the flag; a build where checked arithmetic drifts flips the
+    sums."""
+    from clif_spark.queries import dsum as _dsum
+
+    # eager wrap-domain probe: MUST raise through the checked path
+    probe = spark.range(2).select(F.lit(5.0e12).alias("v"))
+    try:
+        probe.agg(_dsum("v", 2, checked=True).alias("s")).collect()
+        guard_fired = False  # silent success == the guard has rotted
+    except Exception:
+        guard_fired = True
+    li = io.load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 _dsum(F.col("l_extendedprice") * 1000, 2,
+                       checked=True).alias("checked_sum"))
+            .select("l_returnflag", "n_rows", "checked_sum",
+                    F.lit(guard_fired).alias("guard_fired")))

@@ -162,3 +162,26 @@ def test_q3_preagg_shape_matches_oracle(spark, duck, monkeypatch):
     assert sorted(spdf.columns) == sorted(dpdf.columns)
     assert len(spdf) == len(dpdf)
     assert _pdf_rowset(spdf) == _pdf_rowset(dpdf)
+
+
+def test_verify_head_hygiene():
+    """Rotation-policy regression gate (VERDICT r8 items 2 + 8): the
+    driver verifies the first ~50 registry entries per round, so the
+    head list must (a) be exactly 50 names, (b) reference only real
+    registry entries — an accounting typo would silently burn gate
+    slots, (c) contain no duplicates, and (d) contain NO rows-only
+    queries (oracle is None): the gate can only record 'err: no_oracle'
+    for those, wasting the slot; their driver-hashed contract twins are
+    the gateable artifact and rotate in their place."""
+    from clif_spark.queries import _VERIFY_FIRST, collect_registry
+
+    reg = collect_registry()
+    assert len(_VERIFY_FIRST) == 50
+    assert len(set(_VERIFY_FIRST)) == len(_VERIFY_FIRST)
+    missing = [n for n in _VERIFY_FIRST if n not in reg]
+    assert not missing, f"head names not in registry: {missing}"
+    rows_only = [n for n in _VERIFY_FIRST if reg[n].oracle is None]
+    assert not rows_only, f"rows-only queries in the gate head: {rows_only}"
+    # and the head genuinely leads the registry iteration order the
+    # driver consumes
+    assert list(reg)[:50] == _VERIFY_FIRST
