@@ -587,16 +587,17 @@ def a25_equi_depth_histogram(spark, sf_dir):
     "a26_checked_sum_guard",
     oracle=f"""
     -- dsum(checked=True) exercised through the full driver path at
-    -- HIGH magnitude: the planted x1000 scaling pushes per-group
-    -- integer-micros totals to ~1e18 — far past double's 2^53 exact
-    -- range (the final divide/floor stays bit-identical because both
-    -- engines run the same IEEE ops on the same integer), one order
-    -- below the BIGINT bound the guard enforces. DuckDB's HUGEINT
+    -- HIGH magnitude: the planted x100 scaling pushes per-group
+    -- integer-micros totals past double's 2^53 exact range (the final
+    -- divide/floor stays bit-identical because both engines run the
+    -- same IEEE ops on the same integer) while clearing the BIGINT
+    -- bound through sf0.1 (at sf1 this domain would trip the guard —
+    -- loudly, which is the guard's contract, not a wrong answer). DuckDB's HUGEINT
     -- promotion makes the oracle's total exact; guard_fired mirrors
     -- the in-query probe that drives a WRAPPING domain through the
     -- checked path and must catch the loud assert_true failure.
     SELECT l_returnflag, COUNT(*) AS n_rows,
-           {sql_dsum('l_extendedprice * 1000', 2)} AS checked_sum,
+           {sql_dsum('l_extendedprice * 100', 2)} AS checked_sum,
            TRUE AS guard_fired
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -605,8 +606,10 @@ def a26_checked_sum_guard(spark, sf_dir):
     """The checked fixed-point sum as a gated row (VERDICT r8 item 7):
     the result columns run ``dsum(checked=True)`` — DECIMAL(38,0)
     micros accumulation + assert_true bound guard — over a planted
-    high-magnitude domain (l_extendedprice x1000, per-group totals
-    within one order of the ~9.2e12 bound) and must equal the oracle's
+    high-magnitude domain (l_extendedprice x100: per-group totals
+    ~1e11 at sf0.1, within two orders of the ~9.2e12 bound and past
+    double's exact-integer range in micros; x1000 trips the guard at
+    sf0.1 — verified while sizing this plant) and must equal the oracle's
     HUGEINT-exact arithmetic bit for bit; ``guard_fired`` proves the
     guard actually fires under the driver's session confs, not just in
     a unit test: an eager probe sums two 5e12 values (Σ = 1e13, past
@@ -627,7 +630,7 @@ def a26_checked_sum_guard(spark, sf_dir):
     li = io.load_table(spark, sf_dir, "lineitem")
     return (li.groupBy("l_returnflag")
             .agg(F.count(F.lit(1)).alias("n_rows"),
-                 _dsum(F.col("l_extendedprice") * 1000, 2,
+                 _dsum(F.col("l_extendedprice") * 100, 2,
                        checked=True).alias("checked_sum"))
             .select("l_returnflag", "n_rows", "checked_sum",
                     F.lit(guard_fired).alias("guard_fired")))
