@@ -1057,6 +1057,74 @@ def semantic_store_drift_recall(spark, sf_dir):
                      .alias("recall_floor_met")))
 
 
+@query(
+    "semantic_store_takedown",
+    oracle="""
+    -- Embedding-space twin of dedup_store_takedown: the delivery
+    -- plants exact copies of two corpus cohorts (%5==0 and %5==1);
+    -- truth at threshold 0.9999 is the brute-force cosine join (exact
+    -- copies score 1.0; random corpus vectors never reach the bar).
+    -- pre_delete sees every match; post_delete and post_compact
+    -- exclude the tombstoned cohort and must be IDENTICAL.
+    WITH d AS (
+      SELECT vec_id + 500000 AS new_id,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % 5 IN (0, 1)),
+    s AS (SELECT vec_id AS old_id, CAST(embedding AS DOUBLE[]) AS w
+          FROM embeddings),
+    matches AS (
+      SELECT old_id, new_id,
+             ROUND(list_cosine_similarity(w, v), 4) AS cos
+      FROM s, d
+      WHERE ROUND(list_cosine_similarity(w, v), 4) >= 0.9999)
+    SELECT 'pre_delete' AS phase, old_id, new_id, cos FROM matches
+    UNION ALL
+    SELECT 'post_delete', old_id, new_id, cos FROM matches
+    WHERE old_id % 5 <> 0
+    UNION ALL
+    SELECT 'post_compact', old_id, new_id, cos FROM matches
+    WHERE old_id % 5 <> 0
+    """,
+)
+def semantic_store_takedown(spark, sf_dir):
+    """The DELETE/COMPACTION lifecycle on the SEMANTIC store
+    (similarity.semantic_store_delete — the embedding-space twin of the
+    signature-store takedown row): build the frozen-cell store, screen
+    a delivery of exact copies (pre_delete: both cohorts match at
+    cosine 1.0), tombstone every %5==0 vector, screen again
+    (post_delete: the removed vectors match NOTHING — read-time
+    suppression), compact (tombstones physically dropped), screen once
+    more (post_compact: bit-identical — compaction is storage, never
+    answers). Centroids stay frozen throughout: membership is the only
+    mutable state, which is what makes takedown O(|list|) instead of a
+    retrain. Output: (phase, old_id, new_id, cos)."""
+    import tempfile
+
+    from clif_spark import streaming as STR
+
+    e = io.load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="clif_semstore_takedown_")
+    similarity.semantic_store_build(e, root, k=8, max_iter=5)
+    delivery = (e.filter((F.col("vec_id") % 5).isin(0, 1)).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"))
+
+    def screen(phase: str):
+        return (similarity.semantic_store_screen(spark, delivery, root,
+                                                 threshold=0.9999)
+                .withColumn("phase", F.lit(phase))
+                .select("phase", "old_id", "new_id", "cos")
+                .localCheckpoint())  # pin THIS store version's answer
+
+    pre = screen("pre_delete")
+    takedown = e.filter(F.col("vec_id") % 5 == 0).select("vec_id")
+    similarity.semantic_store_delete(spark, takedown, root, version=1)
+    post = screen("post_delete")
+    STR.compact_cdc_snapshot(spark, root)
+    post_c = screen("post_compact")
+    return pre.unionByName(post).unionByName(post_c)
+
+
 def _takedown_oracle() -> str:
     """Oracle for the store takedown lifecycle: corpus (side 0) + one
     delivery (side 1) through the shared minhash-band candidate CTEs;

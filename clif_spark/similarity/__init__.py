@@ -694,6 +694,33 @@ def semantic_store_screen(spark, delivery: DataFrame, root: str,
     return scored.filter(F.col("cos") >= threshold)
 
 
+def semantic_store_delete(spark, vec_ids: DataFrame, root: str,
+                          version: int, id_col: str = "vec_id") -> str:
+    """Takedown path for the semantic store (embedding-space twin of
+    dedup.signature_store_delete): tombstone vectors OUT of the
+    persisted membership table — keep-latest makes the tombstone beat
+    the admitted row, read-time filtering removes the vector from every
+    subsequent screen, and compaction physically drops it. The FROZEN
+    centroids are untouched: cell structure is training state, not
+    membership state, so deletion never triggers a retrain (a corpus
+    shrunk far enough to drift the cells shows up in the
+    drift-recall contract instead). O(|vec_ids|) + one copy-on-write
+    version."""
+    from pyspark.sql import types as T
+
+    from clif_spark.streaming import upsert_cdc_snapshot
+
+    rows = vec_ids.select(
+        id_col,
+        F.lit(None).cast("int").alias("cell"),
+        F.lit(None).cast(T.ArrayType(T.DoubleType())).alias("embedding"),
+        F.lit(True).alias("is_delete"),
+        F.lit(version).alias("__v"))
+    return upsert_cdc_snapshot(rows, root, keys=[id_col],
+                               order=["__v", id_col],
+                               lineage="semantic-cells")
+
+
 def semantic_store_admit(spark, delivery: DataFrame, root: str,
                          version: int, id_col: str = "vec_id",
                          vec_col: str = "embedding") -> str:
