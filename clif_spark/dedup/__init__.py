@@ -791,3 +791,79 @@ def signature_store_screen(spark, sigs: DataFrame, root: str,
                               / (F.col("sz_a") + F.col("sz_b")
                                  - F.col("inter")), 4).alias("jaccard")))
     return scored.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Bounded-memory exact-dup membership screen (Bloom filter from Catalyst
+# primitives — the ingest-time complement of the signature store: the
+# signature store answers "NEAR-dup of what?", the Bloom screen answers
+# "exact fingerprint SEEN before?" in m bits instead of n×128-bit hashes)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(fp: F.Column, m_bits: int, k: int) -> F.Column:
+    """k deterministic bit positions for one fingerprint: xxhash64 under
+    k fixed seeds, pmod m. xxhash64 is a pure engine-stable function of
+    (value, seed) — same bits on every executor, every run, every
+    partitioning — which is what makes the filter reproducible and the
+    zero-false-negative contract testable."""
+    return F.array(*[
+        F.pmod(F.xxhash64(fp, F.lit(seed)), F.lit(m_bits))
+        for seed in range(k)])
+
+
+def bloom_build(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", m_bits: int | None = None,
+                k: int = 5) -> tuple[DataFrame, int]:
+    """Build a Bloom filter over the corpus's exact-text fingerprints as
+    a (word, bits) RELATION: bit positions pack into 64-bit words via a
+    map-side-combined ``bit_or`` aggregate, so the build is ONE narrow
+    pass + one word-grain exchange (m/64 rows — a few KB of shuffle for
+    a filter covering any corpus). Returns (bitmap_df, m_bits).
+
+    ``m_bits`` defaults to the next power of two >= 16 bits/doc (k=5 →
+    ~0.1% false positives by the standard (1-e^{-kn/m})^k estimate; the
+    count() this sizing needs is one columnless scan — pass m_bits to
+    skip it). Why a relation and not a driver-side bitset: the screen
+    joins it broadcast, so membership stays a JVM-side hash probe and
+    the filter never transits Python; and at 100 TB the SAME relation
+    bucket-joins if m outgrows the broadcast bar."""
+    if m_bits is None:
+        n = docs.count()
+        m_bits = 1 << max(10, (16 * max(n, 1) - 1).bit_length())
+    fp = docs.select(fingerprint(F.col(text_col)).alias("fp"))
+    pos = fp.select(F.explode(
+        _bloom_positions(F.col("fp"), m_bits, k)).alias("pos"))
+    bitmap = (pos.select((F.col("pos") / 64).cast("long").alias("word"),
+                         F.expr("shiftleft(1L, cast(pos % 64 as int))")
+                          .alias("mask"))
+              .groupBy("word").agg(F.bit_or("mask").alias("bits")))
+    return bitmap, m_bits
+
+
+def bloom_screen(delivery: DataFrame, bitmap: DataFrame, m_bits: int,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 k: int = 5) -> DataFrame:
+    """Screen a delivery against a built filter: a document is FLAGGED
+    iff all k of its fingerprint's bits are set — Bloom semantics, so
+    flagged ⊇ true duplicates (ZERO false negatives, the property the
+    gated contract pins) with a bounded false-positive rate in
+    exchange for m bits of state. Plan shape: explode k positions per
+    doc, broadcast-join the word relation, count hits per doc — no
+    corpus-sized anything. Output: (id, fp, flagged)."""
+    fp = delivery.select(F.col(id_col),
+                         fingerprint(F.col(text_col)).alias("fp"))
+    probes = fp.select(
+        id_col, "fp",
+        F.explode(_bloom_positions(F.col("fp"), m_bits, k)).alias("pos"))
+    hits = (probes
+            .withColumn("word", (F.col("pos") / 64).cast("long"))
+            .withColumn("mask",
+                        F.expr("shiftleft(1L, cast(pos % 64 as int))"))
+            .join(F.broadcast(bitmap), "word", "left")
+            .withColumn("hit", (F.col("bits").isNotNull()
+                                & (F.col("bits").bitwiseAND(F.col("mask")) != 0))
+                         .cast("int"))
+            .groupBy(id_col, "fp")
+            .agg((F.sum("hit") == F.lit(k)).alias("flagged")))
+    return hits

@@ -1058,6 +1058,88 @@ def semantic_store_drift_recall(spark, sf_dir):
 
 
 @query(
+    "dedup_bloom_screen",
+    oracle=r"""
+    -- Bound-contract row for the Bloom membership screen (the a12-a14
+    -- pattern: the filter's bit positions are xxhash64, which DuckDB
+    -- cannot mirror, but its CONTRACT can be stated exactly): the
+    -- oracle recomputes ground truth (is a delivery doc's normalized
+    -- fingerprint already in the corpus?) and asserts the two Bloom
+    -- guarantees — a true duplicate is NEVER missed (no_false_negative
+    -- per row) and false positives stay under 1% of the non-duplicates
+    -- (global; deterministic, so green once is green always).
+    WITH corpus AS (
+      SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ',
+                                                    'g')))) AS fp
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id + 200000 AS doc_id,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 200000,
+             md5(lower(trim(regexp_replace(
+                 'novel ' || doc_id || ' text block',
+                 '\s+', ' ', 'g'))))
+      FROM documents WHERE doc_id % 10 = 5
+    )
+    SELECT doc_id,
+           (fp IN (SELECT fp FROM corpus)) AS is_exact_dup,
+           TRUE AS no_false_negative,
+           TRUE AS fp_rate_ok
+    FROM d
+    """,
+)
+def dedup_bloom_screen(spark, sf_dir):
+    """Bounded-memory exact-dup INGEST screen: a Bloom filter over the
+    corpus's text fingerprints, built from Catalyst primitives
+    (xxhash64 k-position hashing, bit positions packed into 64-bit
+    words by a map-side-combined bit_or — dedup.bloom_build), screening
+    a delivery via a broadcast word-join (dedup.bloom_screen). The
+    100 TB rationale: m BITS of state instead of n×128-bit fingerprint
+    hashes (~1/16th the exact set's footprint at 16 bits/doc), built in
+    one narrow pass + a KB-scale exchange — the always-first membership
+    screen in front of the heavier near-dup stores.
+
+    Delivery plants exact copies (%10==0) and novel docs (%10==5); the
+    gated contract: flagged ⊇ duplicates (zero false negatives — the
+    Bloom guarantee, per row) and measured false positives ≤ 1% of
+    non-duplicates (m is sized 16 bits/doc, expected FP ~0.1%; the
+    filter is a deterministic function of the data, so the measured
+    outcome is stable across runs and engines)."""
+    d = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bitmap, m_bits = dedup.bloom_build(d)
+    delivery = (d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 10 == 5).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(F.lit("novel "),
+                         F.col("doc_id").cast("string"),
+                         F.lit(" text block")).alias("text"))))
+    screened = dedup.bloom_screen(delivery, bitmap, m_bits)
+    corpus_fp = d.select(TX.fingerprint(F.col("text")).alias("fp"))
+    truth = (screened.join(corpus_fp.distinct(), "fp", "left_semi")
+             .select(F.col("doc_id").alias("__dup_id")))
+    rows = (screened
+            .join(truth, screened.doc_id == F.col("__dup_id"), "left")
+            .select("doc_id", "flagged",
+                    F.col("__dup_id").isNotNull().alias("is_exact_dup")))
+    stats = rows.agg(
+        F.sum(F.when(F.col("flagged") & ~F.col("is_exact_dup"), 1)
+               .otherwise(0)).alias("n_fp"),
+        F.sum(F.when(~F.col("is_exact_dup"), 1).otherwise(0))
+         .alias("n_nondup"))
+    return (rows.crossJoin(F.broadcast(stats))
+            .select("doc_id", "is_exact_dup",
+                    (F.col("flagged") | ~F.col("is_exact_dup"))
+                     .alias("no_false_negative"),
+                    (F.col("n_fp") <= 0.01 * F.col("n_nondup"))
+                     .alias("fp_rate_ok")))
+
+
+@query(
     "semantic_store_takedown",
     oracle="""
     -- Embedding-space twin of dedup_store_takedown: the delivery

@@ -454,3 +454,39 @@ def test_chisq_association_detects_dependence(spark):
     r_ind = chisq_association(df, "a", "ind").first()
     assert r_ind.df_degrees == 3
     assert r_ind.chi2 < 1e-6  # exactly balanced: observed == expected
+
+
+def test_bloom_screen_zero_false_negatives_and_determinism(spark):
+    """The Bloom membership screen's two contracts: every true
+    duplicate is flagged (zero false negatives — guaranteed by
+    construction, pinned here against a planted mix), and the filter
+    is a deterministic function of the data (two independent builds
+    produce identical word relations, so a re-run can never flip a
+    verdict). Whitespace/case variants of a corpus text must also
+    flag (the screen keys on the NORMALIZED fingerprint)."""
+    from clif_spark.dedup import bloom_build, bloom_screen
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with body text {i * 7}")
+         for i in range(200)], "doc_id long, text string")
+    bm1, m1 = bloom_build(docs, m_bits=4096)
+    bm2, m2 = bloom_build(docs, m_bits=4096)
+    assert m1 == m2 == 4096
+    assert (sorted((r.word, r.bits) for r in bm1.collect())
+            == sorted((r.word, r.bits) for r in bm2.collect()))
+
+    delivery = spark.createDataFrame(
+        # exact copy, whitespace/case variant, two novel docs
+        [(1000, "document number 5 with body text 35"),
+         (1001, "  Document   NUMBER 7 with body TEXT 49 "),
+         (1002, "entirely new content alpha"),
+         (1003, "entirely new content beta")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.flagged for r in
+           bloom_screen(delivery, bm1, m1).collect()}
+    assert got[1000] is True   # exact dup: never missed
+    assert got[1001] is True   # normalized variant: same fingerprint
+    # novel docs: not guaranteed unflagged (Bloom FP), but at 4096 bits
+    # for 200 docs the deterministic outcome is no-FP; pin it so an
+    # accidental hash/packing change surfaces as a test diff
+    assert got[1002] is False and got[1003] is False
