@@ -665,3 +665,74 @@ def stream_incremental_dedup(spark, sf_dir):
     q.awaitTermination()
     return (spark.read.parquet(out_dir)
             .select("delivery", "old_id", "new_id", "jaccard"))
+
+
+def _agg_maintenance_oracle() -> str:
+    from clif_spark.queries import sql_dmean, sql_dsum
+
+    return f"""
+    SELECT event_type, COUNT(*) AS n_events,
+           {sql_dsum('value', 2)} AS sum_value,
+           MIN(value) AS min_value, MAX(value) AS max_value,
+           {sql_dmean('value', 6)} AS mean_value
+    FROM events GROUP BY event_type
+    """
+
+
+@query("u9_incremental_agg_maintenance", oracle=_agg_maintenance_oracle())
+def u9_incremental_agg_maintenance(spark, sf_dir):
+    """Materialized-view maintenance as a relation
+    (streaming.fold_agg_snapshot): the events table arrives as THREE
+    deliveries (event_id % 3); each delivery's per-key PARTIAL
+    aggregates (count, integer-micros sum, min, max — the decomposable
+    classes) fold additively into a persisted aggregate store holding
+    one row per key, and the final read must equal the batch GROUP BY
+    over all events bit-for-bit (sums and means in the dsum/dmean
+    fixed-point discipline, so no fold order can flip a digit).
+
+    Delivery 2 is deliberately RE-FOLDED at its own ordinal between
+    deliveries: an additive fold is not idempotent, so the skip guard
+    (pointer ordinal, apply_cdc_stream's redelivery rule) is what makes
+    replay safe — if it ever rots, delivery 2 double-counts and every
+    aggregate misses the oracle.
+
+    Scale: each fold costs O(delivery partials + store keys); the
+    recompute it replaces is O(all events ever). The store is the CDC
+    snapshot format, so time travel shows the aggregate as of any
+    delivery and compaction applies unchanged."""
+    import tempfile
+
+    from clif_spark.queries import _digit_round, _micros_sum
+
+    ev = io.load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="clif_aggstore_")
+
+    def partials(delivery_df):
+        return delivery_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _micros_sum(F.col("value")).alias("sum_micros"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"))
+
+    for k in range(3):
+        p = partials(ev.filter(F.col("event_id") % 3 == k))
+        streaming.fold_agg_snapshot(
+            p, root, keys=["event_type"], version=k,
+            add_cols=["n_events", "sum_micros"],
+            min_cols=["min_value"], max_cols=["max_value"],
+            lineage="events-agg")
+        if k == 1:  # redelivery of delivery 1: MUST be skipped
+            assert streaming.fold_agg_snapshot(
+                p, root, keys=["event_type"], version=k,
+                add_cols=["n_events", "sum_micros"],
+                min_cols=["min_value"], max_cols=["max_value"],
+                lineage="events-agg") is None
+    store = streaming.read_cdc_snapshot(spark, root)
+    mean_micros = F.floor(F.col("sum_micros") / F.col("n_events")
+                          + F.lit(0.5))
+    return store.select(
+        "event_type", "n_events",
+        _digit_round(F.col("sum_micros"), 2).alias("sum_value"),
+        "min_value", "max_value",
+        _digit_round(mean_micros, 6).alias("mean_value"))

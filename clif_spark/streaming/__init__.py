@@ -529,3 +529,60 @@ def compact_cdc_snapshot(spark: SparkSession, root: str,
     _cdc_pointer_write(root, last_bid, cdir, ckpt_id)
     _sweep(cdir)
     return n_tomb
+
+
+def fold_agg_snapshot(partials: DataFrame, root: str, keys: list[str],
+                      version: int,
+                      add_cols: list[str],
+                      min_cols: list[str] | None = None,
+                      max_cols: list[str] | None = None,
+                      lineage: str = "agg") -> str | None:
+    """Incremental AGGREGATE maintenance — the materialized-view fold:
+    merge one delivery's per-key partial aggregates into a persisted
+    aggregate table in the CDC snapshot format (immutable ``v{id}``
+    dirs + atomic pointer, so read/compact/time-travel apply
+    unchanged). ``add_cols`` merge by SUM (counts, integer-micros
+    sums), ``min_cols``/``max_cols`` by MIN/MAX — the decomposable
+    aggregate classes whose partials compose associatively; derived
+    metrics (mean = sum/n) belong at read time, never in the store.
+
+    UNLIKE the keep-latest upsert, an additive fold is NOT idempotent —
+    re-applying a delivery double-counts — so replay safety here is
+    the skip guard alone: ``version`` is the caller's strictly
+    increasing delivery ordinal, and a fold at or below the pointer's
+    last-applied ordinal (same lineage) is SKIPPED, returning None.
+    This is exactly apply_cdc_stream's redelivery rule with the
+    both-ways safety net removed, which is why the guard is mandatory
+    rather than advisory.
+
+    Scale: the store holds one row per KEY (not per event) — folding a
+    delivery costs O(delivery partials + store keys); the full-history
+    recompute this replaces costs O(all events ever). At 100 TB
+    partition the store on the key and rewrite only touched
+    partitions. Rows carry ``is_delete = false`` so the snapshot stays
+    compact/read compatible (a key can be retired with a tombstone via
+    upsert machinery if ever needed)."""
+    import hashlib
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    ckpt_id = hashlib.md5(f"agg:{lineage}".encode()).hexdigest()[:16]
+    spark = partials.sparkSession
+    meta = _cdc_pointer_read(root)
+    if meta is not None and meta[2] == ckpt_id and version <= meta[0]:
+        return None  # redelivered / out-of-order fold: already counted
+    incoming = partials.withColumn("is_delete", F.lit(False))
+    if meta is not None:
+        base = spark.read.parquet(meta[1])
+        merged_src = base.unionByName(incoming)
+    else:
+        merged_src = incoming
+    aggs = ([F.sum(c).alias(c) for c in add_cols]
+            + [F.min(c).alias(c) for c in (min_cols or [])]
+            + [F.max(c).alias(c) for c in (max_cols or [])]
+            + [F.first("is_delete").alias("is_delete")])
+    merged = merged_src.groupBy(*keys).agg(*aggs)
+    vdir = os.path.join(root, f"v{version}_{ckpt_id[:6]}")
+    merged.write.mode("overwrite").parquet(vdir)
+    _cdc_pointer_write(root, version, vdir, ckpt_id)
+    return vdir
