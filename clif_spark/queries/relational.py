@@ -1081,3 +1081,74 @@ def u6_snapshot_diff(spark, sf_dir):
                       .otherwise(F.col("value")).alias("value")))
     return (snapshot_diff(old, new, ["event_id"], ["value"])
             .select("event_id", "old_value", "new_value", "change"))
+
+
+@query(
+    "u10_store_schema_evolution",
+    oracle="""
+    -- Additive schema evolution on the CDC snapshot store: delivery 2
+    -- ADDS a column (existing rows read back NULL — the merge_schema
+    -- rule), while a drifted delivery MISSING a column is REJECTED
+    -- loudly under the strict default (keep-latest would otherwise
+    -- permanently NULL that column for every updated key — silent
+    -- data destruction). Evens carry the v2 update + the new column;
+    -- odds remain v1 with NULL extra; drift_rejected mirrors the
+    -- in-query strict-mode probe.
+    SELECT CAST(n_nationkey AS BIGINT) AS k,
+           CASE WHEN n_nationkey % 2 = 0 THEN CAST(2 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS version,
+           CASE WHEN n_nationkey % 2 = 0 THEN n_name || ' v2'
+                ELSE n_name END AS val,
+           CASE WHEN n_nationkey % 2 = 0
+                THEN CAST(n_regionkey AS VARCHAR) END AS extra,
+           TRUE AS drift_rejected
+    FROM nation
+    """,
+)
+def u10_store_schema_evolution(spark, sf_dir):
+    """Schema lifecycle of the persisted store (the gap between 'a
+    table format' and 'a directory of parquet'): delivery 1 seeds the
+    snapshot; delivery 2 arrives with a NEW column and folds via
+    ``upsert_cdc_snapshot(allow_missing_columns=True)`` — additive
+    evolution, old rows take NULL (parquet readers handle the mixed
+    footers via unionByName semantics at merge time, so the on-disk
+    versions stay immutable); delivery 3 arrives MISSING a data column
+    and the strict default must reject it loudly (an eager probe
+    catches the unionByName failure — the a26 guard-probe pattern),
+    because folding it would permanently NULL ``val`` for every key it
+    updates. Output: the evolved snapshot + the rejection flag."""
+    from clif_spark import streaming as STR
+
+    import tempfile
+
+    n = io.load_table(spark, sf_dir, "nation")
+    root = tempfile.mkdtemp(prefix="clif_schemaevo_")
+    d1 = n.select(F.col("n_nationkey").cast("long").alias("k"),
+                  F.lit(1).cast("long").alias("version"),
+                  F.col("n_name").alias("val"),
+                  F.lit(False).alias("is_delete"))
+    STR.upsert_cdc_snapshot(d1, root, ["k"], ["version"],
+                            lineage="schema-evo")
+    d2 = (n.filter(F.col("n_nationkey") % 2 == 0)
+          .select(F.col("n_nationkey").cast("long").alias("k"),
+                  F.lit(2).cast("long").alias("version"),
+                  F.concat("n_name", F.lit(" v2")).alias("val"),
+                  F.col("n_regionkey").cast("string").alias("extra"),
+                  F.lit(False).alias("is_delete")))
+    STR.upsert_cdc_snapshot(d2, root, ["k"], ["version"],
+                            lineage="schema-evo",
+                            allow_missing_columns=True)
+    # drifted delivery: val column MISSING — strict default must refuse
+    d3 = (n.limit(3)
+          .select(F.col("n_nationkey").cast("long").alias("k"),
+                  F.lit(3).cast("long").alias("version"),
+                  F.lit(False).alias("is_delete")))
+    try:
+        STR.upsert_cdc_snapshot(d3, root, ["k"], ["version"],
+                                lineage="schema-evo")
+        drift_rejected = False  # silent acceptance == destruction path
+    except Exception:
+        drift_rejected = True
+    out = STR.read_cdc_snapshot(spark, root)
+    return out.select("k", "version", "val", "extra",
+                      F.lit(drift_rejected).alias("drift_rejected"))

@@ -387,7 +387,8 @@ def apply_cdc_stream(cdc_stream: DataFrame, root: str,
 def upsert_cdc_snapshot(batch_df: DataFrame, root: str,
                         keys: list[str], order: list[str],
                         tombstone_col: str = "is_delete",
-                        lineage: str = "batch") -> str:
+                        lineage: str = "batch",
+                        allow_missing_columns: bool = False) -> str:
     """BATCH twin of ``apply_cdc_stream``'s sink: fold ONE DataFrame into
     a snapshot table under ``root`` using the identical on-disk format
     (immutable ``v{id}_{lineage}`` version dirs + the atomic ``_LATEST``
@@ -418,6 +419,13 @@ def upsert_cdc_snapshot(batch_df: DataFrame, root: str,
     bound to the PREVIOUS version (read_cdc_snapshot resolves the pointer
     eagerly) keeps reading that immutable dir after the upsert — the
     screen-then-admit pattern depends on exactly this isolation.
+
+    ``allow_missing_columns`` opts in to ADDITIVE schema evolution: a
+    batch carrying a NEW column folds in with the existing rows taking
+    NULL for it (upsert_keep_latest's rule). The default stays strict —
+    a batch MISSING a column fails loudly, because keep-latest would
+    otherwise permanently NULL that column for every updated key
+    (silent data destruction; see operators/core.py).
     """
     import hashlib
     import os
@@ -440,7 +448,9 @@ def upsert_cdc_snapshot(batch_df: DataFrame, root: str,
         base = stamped.limit(0)
     from clif_spark.operators import core as _core
 
-    merged = _core.upsert_keep_latest(base, stamped, keys, order)
+    merged = _core.upsert_keep_latest(
+        base, stamped, keys, order,
+        allow_missing_columns=allow_missing_columns)
     vdir = os.path.join(root, f"v{batch_id}_{ckpt_id[:6]}")
     merged.write.mode("overwrite").parquet(vdir)
     _cdc_pointer_write(root, batch_id, vdir, ckpt_id)
