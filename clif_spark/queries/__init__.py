@@ -254,6 +254,7 @@ _VERIFY_FIRST = [
     "dedup_store_takedown", "semantic_store_takedown",
     "semantic_store_drift_recall", "dedup_bloom_screen",
     "u9_incremental_agg_maintenance", "u10_store_schema_evolution",
+    "ann_matryoshka_topk",
     "mm_jpeg_arithmetic_reject", "mm_video_h264_skip",
     "a26_checked_sum_guard",
     # --- the full r5-latest backlog (all 33 rows whose newest green row
@@ -283,7 +284,6 @@ _VERIFY_FIRST = [
     # CDC/merge rows adjacent to this round's upsert-lineage fix ---
     "ann_arrow_fold_equality", "ann_ivf_trained_recall_bound",
     "text_bpe_roundtrip", "w16_ewma_agreement",
-    "text_quality_metrics",
     "u7_merge_with_deletes",
     # --- streams at the tail (multi-second startup each): the changed
     # incremental-dedup sink (now replay-idempotent — its r8 row
@@ -291,17 +291,20 @@ _VERIFY_FIRST = [
     # r6 CDC-apply stream whose batch twin's lineage handling changed
     # this round ---
     "stream_incremental_dedup", "stream_countmin_merge",
-    "stream_cdc_apply",
+    "stream_agg_maintenance",
 ]
-# Exactly 50 head entries: 9 never-gated r9 registrations + 32 r5-latest
-# batch refreshes + 6 oldest-r6 batch refreshes + 3 streams at the tail
-# (1 changed-sink re-gate + the r5 stream + 1 r6 stream). Four benched
-# headliners (ann_cosine_topk, q1_pricing_summary, q3_shipping_priority,
-# q5_local_supplier_volume — all r6-green, due r10, and re-executed by
-# every bench run regardless) ceded their refresh slots to the
-# semantic_store_takedown, dedup_bloom_screen,
-# u9_incremental_agg_maintenance, and u10_store_schema_evolution
-# registrations: new operators get a driver row before any refresh does. Rows-only
+# Exactly 50 head entries: 11 never-gated r9 registrations (10 batch +
+# the stream_agg_maintenance composition at the stream tail) + 32
+# r5-latest batch refreshes + 5 oldest-r6 batch refreshes (the four
+# contract twins + u7) + 2 stream slots (the changed-sink
+# stream_incremental_dedup re-gate + the r5 stream_countmin_merge).
+# Ceded to the new registrations, all r6-green and due r10: the five
+# benched headliners (ann_cosine_topk, q1_pricing_summary,
+# q3_shipping_priority, q5_local_supplier_volume, text_quality_metrics
+# — re-executed by every bench run regardless) and stream_cdc_apply
+# (its apply machinery is exercised by every store row via
+# upsert/read/compact): new operators get a driver row before any
+# refresh does. Rows-only
 # queries (dedup_semantic, ann_ivf_trained_topk, ann_cosine_topk_arrow,
 # w15_ewma_smooth, text_bpe_tokenize) NEVER rotate into the head — the
 # driver gate can only say 'no_oracle' about them; their driver-hashed

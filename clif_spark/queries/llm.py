@@ -2742,6 +2742,57 @@ def mm_video_h264_skip(spark, sf_dir):
                     F.coalesce("n_decoded", F.lit(0)).alias("n_decoded")))
 
 
+@query(
+    "ann_matryoshka_topk",
+    oracle="""
+    -- Two-stage Matryoshka funnel, recomputed stage for stage: coarse
+    -- rank by cosine over the 16-dim PREFIX (cosine needs no renorm),
+    -- keep 50 candidates per query, exact full-dim rerank to top-10.
+    -- Both stages round to 4dp before ranking and tie-break on
+    -- neighbor id, so the funnel is deterministic and the ANSWER is
+    -- gated — no recall contract needed.
+    WITH q AS (SELECT vec_id AS query_id,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    v AS (SELECT vec_id AS neighbor_id,
+                 CAST(embedding AS DOUBLE[]) AS vv
+          FROM embeddings),
+    coarse AS (
+      SELECT query_id, neighbor_id, qv, vv,
+             ROUND(list_cosine_similarity(qv[1:16], vv[1:16]), 4) AS cc
+      FROM q, v WHERE neighbor_id <> query_id),
+    cand AS (
+      SELECT query_id, neighbor_id, qv, vv FROM coarse
+      QUALIFY row_number() OVER
+        (PARTITION BY query_id ORDER BY cc DESC, neighbor_id) <= 50),
+    rerank AS (
+      SELECT query_id, neighbor_id,
+             ROUND(list_cosine_similarity(qv, vv), 4) AS cos
+      FROM cand)
+    SELECT query_id, neighbor_id, cos FROM rerank
+    QUALIFY row_number() OVER
+      (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10
+    """,
+)
+def ann_matryoshka_topk(spark, sf_dir):
+    """Matryoshka-embedding two-stage search (Kusupati et al. 2022 —
+    nested representations whose prefix is itself an embedding): a
+    cheap coarse pass over the first 16 of 64 dimensions bounds the
+    candidate set (50/query), then exact full-dimension cosine reranks
+    to top-10 (similarity.matryoshka_topk). Unlike the LSH/IVF rows,
+    the funnel is exactly recomputable — 4dp rounding + id tiebreak at
+    BOTH stages — so the DuckDB oracle mirrors the whole two-stage
+    plan and the gate checks the answer, not a bound. Scale: the
+    coarse pass does 1/4 of the multiply work (store the prefix as its
+    own column at 100 TB so the scan prunes to it); the rerank touches
+    candidates only."""
+    e = io.load_table(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return similarity.matryoshka_topk(e, q, k=10, coarse_dim=16,
+                                      candidates=50)
+
+
 @query("ann_ivf_trained_topk")  # rows-only: iterative training step
 def ann_ivf_trained_topk(spark, sf_dir):
     """IVF ANN with a TRAINED coarse quantizer: distributed Lloyd's

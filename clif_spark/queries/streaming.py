@@ -736,3 +736,75 @@ def u9_incremental_agg_maintenance(spark, sf_dir):
         _digit_round(F.col("sum_micros"), 2).alias("sum_value"),
         "min_value", "max_value",
         _digit_round(mean_micros, 6).alias("mean_value"))
+
+
+@query("stream_agg_maintenance", oracle=_agg_maintenance_oracle())
+def stream_agg_maintenance(spark, sf_dir):
+    """u9's fold as the PRODUCTION stream: deliveries arrive as files
+    (events split by event_id % 3, mtimes pinned for deterministic
+    replay order); each micro-batch computes its per-key PARTIAL
+    aggregates and folds them into the persisted aggregate store via
+    fold_agg_snapshot(version=batch_id) inside foreachBatch — the
+    batch_id-as-ordinal makes the additive fold replay-safe (a
+    redelivered micro-batch is skipped by the pointer guard, which is
+    mandatory because addition double-counts). The settled store read
+    must equal the batch GROUP BY over all events — ONE shared oracle
+    with u9, pinning that the stream composition preserves the fold's
+    exactness (dsum/dmean fixed-point discipline end to end)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    ev = io.load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    scratch = tempfile.mkdtemp(prefix="clif_aggstream_src_")
+    now = time.time()
+    schema = None
+    for k in range(3):
+        part_df = ev.filter(F.col("event_id") % 3 == k)
+        schema = part_df.schema
+        tmp = tempfile.mkdtemp(prefix="clif_aggstream_part_")
+        part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp)
+                    if f.startswith("part-") and f.endswith(".parquet"))
+        dst = os.path.join(scratch, f"delivery{k}.parquet")
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (now - 600 + 60 * k, now - 600 + 60 * k))
+
+    root = tempfile.mkdtemp(prefix="clif_aggstore_stream_")
+    ckpt = tempfile.mkdtemp(prefix="clif_aggstream_ckpt_")
+
+    from clif_spark.queries import _micros_sum
+
+    def sink(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        p = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _micros_sum(F.col("value")).alias("sum_micros"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"))
+        streaming.fold_agg_snapshot(
+            p, root, keys=["event_type"], version=batch_id,
+            add_cols=["n_events", "sum_micros"],
+            min_cols=["min_value"], max_cols=["max_value"],
+            lineage="events-agg-stream")
+
+    stream = (spark.readStream.schema(schema)
+                   .option("maxFilesPerTrigger", 1).parquet(scratch))
+    q = (stream.writeStream.foreachBatch(sink)
+               .option("checkpointLocation", ckpt)
+               .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    from clif_spark.queries import _digit_round
+
+    store = streaming.read_cdc_snapshot(spark, root)
+    mean_micros = F.floor(F.col("sum_micros") / F.col("n_events")
+                          + F.lit(0.5))
+    return store.select(
+        "event_type", "n_events",
+        _digit_round(F.col("sum_micros"), 2).alias("sum_value"),
+        "min_value", "max_value",
+        _digit_round(mean_micros, 6).alias("mean_value"))

@@ -741,3 +741,49 @@ def semantic_store_admit(spark, delivery: DataFrame, root: str,
     return upsert_cdc_snapshot(rows, root, keys=[id_col],
                                order=["__v", id_col],
                                lineage="semantic-cells")
+
+
+def matryoshka_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
+                    coarse_dim: int = 16, candidates: int = 50,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id_col: str = "query_id") -> DataFrame:
+    """Two-stage ANN over Matryoshka-style embeddings (Kusupati et al.
+    2022: nested representations whose PREFIX is itself a usable
+    embedding): stage 1 scores every vector by cosine over only the
+    first ``coarse_dim`` dimensions (slice — cosine needs no renorm,
+    it normalizes by construction) and keeps ``candidates`` per query;
+    stage 2 reranks exactly those candidates with FULL-dimension exact
+    cosine and emits top-``k``. Both stages are deterministic (4dp
+    rounding before ranking, neighbor-id tiebreak), so the whole
+    funnel is oracle-recomputable — no recall contract needed, the
+    ANSWER is gated.
+
+    Scale: stage 1 is the cheap pass — coarse_dim/dim of the multiply
+    work per vector; at 100 TB store the prefix as its OWN column so
+    the scan prunes to it (a nested array never prunes partially).
+    Stage 2 touches candidates × queries rows only. The candidate
+    count is the recall dial: prefix cosine approximates full cosine,
+    so a too-small C loses true neighbors — C >= 5k is the usual
+    operating point."""
+    v = ensure_parallelism(vectors).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v"),
+        F.slice(F.col(vec_col), 1, coarse_dim).alias("__vc"))
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__q"),
+        F.slice(F.col(vec_col), 1, coarse_dim).alias("__qc"))
+    coarse = (v.join(F.broadcast(q),
+                     F.col("neighbor_id") != F.col(query_id_col))
+              .select(query_id_col, "neighbor_id", "__v", "__q",
+                      F.round(cosine(F.col("__qc"), F.col("__vc")), 4)
+                       .alias("__cc")))
+    wc = Window.partitionBy(query_id_col).orderBy(
+        F.col("__cc").desc(), F.col("neighbor_id"))
+    cand = (coarse.withColumn("__rn", F.row_number().over(wc))
+                  .filter(F.col("__rn") <= candidates))
+    wf = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    return (cand.select(query_id_col, "neighbor_id",
+                        F.round(cosine(F.col("__q"), F.col("__v")), 4)
+                         .alias("cos"))
+                .withColumn("__rn", F.row_number().over(wf))
+                .filter(F.col("__rn") <= k).drop("__rn"))
