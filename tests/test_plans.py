@@ -503,3 +503,48 @@ def test_semantic_screen_never_retrains_or_rescans_corpus(spark):
     similarity.semantic_store_admit(spark, delivery, root, version=1)
     again = similarity.semantic_store_screen(spark, delivery, root)
     assert again.filter("old_id >= 100000").count() == 20  # sees itself
+
+
+def test_bloom_screen_plan_broadcasts_bitmap_no_corpus_join(spark):
+    """dedup_bloom_screen's scale claim: membership is a broadcast
+    word-join against the KB-scale bitmap relation — the screen plan
+    must contain a BroadcastHashJoin and no sort-merge join or
+    cartesian product (a corpus-sized join geometry would defeat the
+    m-bits-of-state point)."""
+    from pyspark.sql import functions as F
+
+    from clif_spark import dedup, io
+
+    d = (io.load_table(spark, SF_DIR, "documents")
+           .select("doc_id", "text"))
+    bitmap, m_bits = dedup.bloom_build(d, m_bits=8192)
+    delivery = d.select((F.col("doc_id") + 200000).alias("doc_id"),
+                        "text")
+    screened = dedup.bloom_screen(delivery, bitmap, m_bits)
+    plan = screened._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_matryoshka_funnel_single_vector_scan_broadcast_queries(spark):
+    """ann_matryoshka_topk's scale shape: ONE scan of the vectors table
+    (the coarse pass carries the full vector alongside the prefix, so
+    the rerank needs no second scan/join back) and the query side
+    broadcast — no shuffle of the corpus for candidate generation."""
+    from pyspark.sql import functions as F
+
+    from clif_spark import io, similarity
+
+    e = io.load_table(spark, SF_DIR, "embeddings")
+    q = (e.filter(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = similarity.matryoshka_topk(e, q, k=5, coarse_dim=16,
+                                     candidates=20)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines()
+             if "FileScan parquet" in ln and "embeddings" in ln]
+    # one corpus scan + one (broadcast) query-side scan at most
+    assert 1 <= len(scans) <= 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
