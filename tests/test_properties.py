@@ -704,3 +704,32 @@ def test_sample_codec_chain_never_crashes(blob):
                    multimodal.gif_pixel_values, jpeg_gray_values):
             got = fn(payload)
             assert got is None or isinstance(got, list)
+
+
+def test_bloom_screen_never_false_negative_property(spark):
+    """Property over arbitrary corpora (hypothesis): for ANY corpus and
+    any delivery containing exact (or whitespace/case-variant) copies,
+    the Bloom screen flags every true duplicate — the zero-FN guarantee
+    is structural (all k bits of an inserted fingerprint are set), so
+    no data shape may break it."""
+    from hypothesis import given, settings, strategies as st
+
+    from clif_spark.dedup import bloom_build, bloom_screen
+
+    texts = st.lists(
+        st.text(alphabet="abcdef ", min_size=1, max_size=30),
+        min_size=1, max_size=12, unique=True)
+
+    @settings(max_examples=8, deadline=None)
+    @given(texts)
+    def check(corpus_texts):
+        docs = spark.createDataFrame(
+            list(enumerate(corpus_texts)), "doc_id long, text string")
+        bm, m = bloom_build(docs, m_bits=1024, k=3)
+        delivery = spark.createDataFrame(
+            [(1000 + i, t.upper()) for i, t in enumerate(corpus_texts)],
+            "doc_id long, text string")
+        got = bloom_screen(delivery, bm, m, k=3).collect()
+        assert all(r.flagged for r in got), corpus_texts
+
+    check()
