@@ -331,3 +331,48 @@ def test_upsert_cdc_snapshot_lineage_change_keeps_live_rows(spark):
                                        lineage="feed-B")
     assert v1.split("/")[-1].startswith("v1_")
     assert streaming.read_cdc_snapshot(spark, root).count() == 4
+
+
+def test_fold_agg_snapshot_guard_and_time_travel(spark):
+    """The aggregate store's replay guard and history: an at-or-below
+    ordinal fold is skipped (additive folds double-count without it),
+    a fresh lineage restarts its counter but keeps folding onto the
+    standing aggregates, and time travel reads the aggregate as of any
+    delivery (CDC format underneath)."""
+    import tempfile
+
+    from clif_spark import streaming
+
+    root = tempfile.mkdtemp(prefix="agg_store_tbl_")
+
+    def partial(rows):
+        return spark.createDataFrame(rows, "k string, n long, s long")
+
+    assert streaming.fold_agg_snapshot(
+        partial([("a", 1, 10), ("b", 2, 20)]), root, ["k"], 0,
+        add_cols=["n", "s"]) is not None
+    assert streaming.fold_agg_snapshot(
+        partial([("a", 3, 30)]), root, ["k"], 1,
+        add_cols=["n", "s"]) is not None
+    # redelivery (same ordinal) and out-of-order (below) both skip
+    assert streaming.fold_agg_snapshot(
+        partial([("a", 99, 99)]), root, ["k"], 1,
+        add_cols=["n", "s"]) is None
+    assert streaming.fold_agg_snapshot(
+        partial([("a", 99, 99)]), root, ["k"], 0,
+        add_cols=["n", "s"]) is None
+    live = {r.k: (r.n, r.s) for r in
+            streaming.read_cdc_snapshot(spark, root).collect()}
+    assert live == {"a": (4, 40), "b": (2, 20)}
+    # time travel: the aggregate as of delivery 0
+    v0 = {r.k: (r.n, r.s) for r in
+          streaming.read_cdc_snapshot(spark, root, version=0).collect()}
+    assert v0 == {"a": (1, 10), "b": (2, 20)}
+    # a new lineage restarts its ordinal but folds onto the standing rows
+    vdir = streaming.fold_agg_snapshot(
+        partial([("b", 1, 1)]), root, ["k"], 0,
+        add_cols=["n", "s"], lineage="feed-B")
+    assert vdir is not None and vdir.split("/")[-1].startswith("v0_")
+    live2 = {r.k: (r.n, r.s) for r in
+             streaming.read_cdc_snapshot(spark, root).collect()}
+    assert live2 == {"a": (4, 40), "b": (3, 21)}
