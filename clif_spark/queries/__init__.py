@@ -254,7 +254,7 @@ _VERIFY_FIRST = [
     "dedup_store_takedown", "semantic_store_takedown",
     "semantic_store_drift_recall", "dedup_bloom_screen",
     "u9_incremental_agg_maintenance", "u10_store_schema_evolution",
-    "ann_matryoshka_topk",
+    "ann_matryoshka_topk", "semantic_store_rebuild_contract",
     "mm_jpeg_arithmetic_reject", "mm_video_h264_skip",
     "a26_checked_sum_guard",
     # --- the full r5-latest backlog (all 33 rows whose newest green row
@@ -284,7 +284,6 @@ _VERIFY_FIRST = [
     # CDC/merge rows adjacent to this round's upsert-lineage fix ---
     "ann_arrow_fold_equality", "ann_ivf_trained_recall_bound",
     "text_bpe_roundtrip", "w16_ewma_agreement",
-    "u7_merge_with_deletes",
     # --- streams at the tail (multi-second startup each): the changed
     # incremental-dedup sink (now replay-idempotent — its r8 row
     # verified the old append sink), the r5 CMS-merge stream, and the
@@ -293,18 +292,18 @@ _VERIFY_FIRST = [
     "stream_incremental_dedup", "stream_countmin_merge",
     "stream_agg_maintenance",
 ]
-# Exactly 50 head entries: 11 never-gated r9 registrations (10 batch +
+# Exactly 50 head entries: 12 never-gated r9 registrations (11 batch +
 # the stream_agg_maintenance composition at the stream tail) + 32
-# r5-latest batch refreshes + 5 oldest-r6 batch refreshes (the four
-# contract twins + u7) + 2 stream slots (the changed-sink
+# r5-latest batch refreshes + 4 oldest-r6 batch refreshes (the four
+# contract twins) + 2 stream slots (the changed-sink
 # stream_incremental_dedup re-gate + the r5 stream_countmin_merge).
 # Ceded to the new registrations, all r6-green and due r10: the five
 # benched headliners (ann_cosine_topk, q1_pricing_summary,
 # q3_shipping_priority, q5_local_supplier_volume, text_quality_metrics
-# — re-executed by every bench run regardless) and stream_cdc_apply
-# (its apply machinery is exercised by every store row via
-# upsert/read/compact): new operators get a driver row before any
-# refresh does. Rows-only
+# — re-executed by every bench run regardless), stream_cdc_apply, and
+# u7_merge_with_deletes (their CDC/merge machinery is exercised by
+# every store row via upsert/read/compact): new operators get a driver
+# row before any refresh does. Rows-only
 # queries (dedup_semantic, ann_ivf_trained_topk, ann_cosine_topk_arrow,
 # w15_ewma_smooth, text_bpe_tokenize) NEVER rotate into the head — the
 # driver gate can only say 'no_oracle' about them; their driver-hashed

@@ -1207,6 +1207,57 @@ def semantic_store_takedown(spark, sf_dir):
     return pre.unionByName(post).unionByName(post_c)
 
 
+@query(
+    "semantic_store_rebuild_contract",
+    oracle="""
+    -- Rebuild invariance: exact copies of stored vectors screen to
+    -- their sources at cosine 1.0 under ANY cell structure (identical
+    -- vectors assign to identical cells), so the screen result for an
+    -- exact-copy delivery must be IDENTICAL before and after the
+    -- retrain — rebuild moves recall/cost trade-offs, never
+    -- exact-match answers. Random corpus vectors never reach 0.9999.
+    WITH d AS (
+      SELECT vec_id AS old_id, vec_id + 500000 AS new_id
+      FROM embeddings WHERE vec_id % 5 = 3)
+    SELECT 'pre_rebuild' AS phase, old_id, new_id,
+           CAST(1.0 AS DOUBLE) AS cos FROM d
+    UNION ALL
+    SELECT 'post_rebuild', old_id, new_id, CAST(1.0 AS DOUBLE) FROM d
+    """,
+)
+def semantic_store_rebuild_contract(spark, sf_dir):
+    """The full drift lifecycle closes: build (k=8 frozen cells) ->
+    screen an exact-copy delivery -> REBUILD from the store's own live
+    rows with a different cell structure (k=16, no corpus re-read —
+    similarity.semantic_store_rebuild) -> screen again. The gated
+    invariant: both screens find exactly the self-pair set at cosine
+    1.0 — retraining the quantizer may change which NEAR neighbors
+    share a cell (that is the drift dial), but can never change an
+    exact match, because identical vectors land in identical cells
+    under any centroids. Output: (phase, old_id, new_id, cos)."""
+    import tempfile
+
+    e = io.load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="clif_semstore_rebuild_")
+    similarity.semantic_store_build(e, root, k=8, max_iter=5)
+    delivery = (e.filter(F.col("vec_id") % 5 == 3).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"))
+
+    def screen(phase: str):
+        return (similarity.semantic_store_screen(spark, delivery, root,
+                                                 threshold=0.9999)
+                .withColumn("phase", F.lit(phase))
+                .select("phase", "old_id", "new_id", "cos")
+                .localCheckpoint())
+
+    pre = screen("pre_rebuild")
+    similarity.semantic_store_rebuild(spark, root, version=1, k=16,
+                                      max_iter=5)
+    post = screen("post_rebuild")
+    return pre.unionByName(post)
+
+
 def _takedown_oracle() -> str:
     """Oracle for the store takedown lifecycle: corpus (side 0) + one
     delivery (side 1) through the shared minhash-band candidate CTEs;

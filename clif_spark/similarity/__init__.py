@@ -694,6 +694,45 @@ def semantic_store_screen(spark, delivery: DataFrame, root: str,
     return scored.filter(F.col("cos") >= threshold)
 
 
+def semantic_store_rebuild(spark, root: str, version: int,
+                           k: int | None = None, max_iter: int = 5,
+                           id_col: str = "vec_id") -> list[list[float]]:
+    """The drift RESPONSE the recall contract triggers
+    (semantic_store_drift_recall): retrain the frozen cell structure
+    from the store's OWN live membership rows — the store is
+    self-contained (it carries the embeddings), so a rebuild never
+    re-reads the original corpus. New k-means centroids replace
+    ``root/centroids``; every live vector is re-assigned and re-folded
+    at ``version`` (which must exceed all admitted versions so the new
+    cell assignments win keep-latest). Tombstoned ids are absent from
+    the live read and stay suppressed — takedown survives retraining.
+
+    Invariant the contract row pins: an exact copy of a stored vector
+    screens to its source at cosine 1.0 under ANY cell structure
+    (identical vectors assign identically), so rebuild changes
+    recall/cost trade-offs, never exact-match answers. Scale: one
+    k-means over the store + one O(store) reassignment fold — the
+    explicitly-invoked maintenance op, not a per-delivery cost."""
+    from clif_spark.streaming import read_cdc_snapshot, upsert_cdc_snapshot
+
+    live = read_cdc_snapshot(spark, root).select(id_col, "embedding")
+    if k is None:
+        k = min(max(8, live.count() // 1500), 4096)
+    cents, assign, _ = kmeans(live, k=k, max_iter=max_iter,
+                              id_col=id_col, vec_col="embedding")
+    rows = (assign.join(live, id_col)
+            .select(id_col, "cell", "embedding")
+            .withColumn("is_delete", F.lit(False))
+            .withColumn("__v", F.lit(version)))
+    upsert_cdc_snapshot(rows, root, keys=[id_col],
+                        order=["__v", id_col], lineage="semantic-cells")
+    spark.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/centroids")
+    return cents
+
+
 def semantic_store_delete(spark, vec_ids: DataFrame, root: str,
                           version: int, id_col: str = "vec_id") -> str:
     """Takedown path for the semantic store (embedding-space twin of
