@@ -50,6 +50,54 @@ def redact_pii(col: Column) -> Column:
         PII_PHONE_RE, "[PHONE]")
 
 
+#: html_to_text's regex passes, in order. Shared with the DuckDB oracle
+#: mirror (queries/web.py builds the identical regexp_replace chain), so
+#: the extraction rules live in exactly one place.
+HTML_STRIP_STEPS: list[tuple[str, str]] = [
+    (r"(?is)<script[^>]*>.*?</script>", " "),  # executable, never content
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),                  # comments (can nest tags)
+    (r"(?is)</?(p|br|div|h[1-6]|li|tr|td|th)\b[^>]*>", " "),
+    (r"<[^>]+>", ""),                          # inline tags join words
+]
+
+#: Entity decode pairs; ``&amp;`` is deliberately LAST so escaped escapes
+#: ("&amp;lt;") resolve to the literal "&lt;" and not to "<".
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+]
+
+
+def html_escape(col: Column) -> Column:
+    """Text -> HTML content escaping (&, <, > — the minimum a conformant
+    producer must escape). Inverse of the entity-decode half of
+    ``html_to_text``; used when synthesizing page bodies from text."""
+    out = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+    return F.replace(out, F.lit(">"), F.lit("&gt;"))
+
+
+def html_to_text(col: Column) -> Column:
+    """HTML -> visible text: the boilerplate-strip step between a crawl
+    archive (clif_spark.warc) and every text operator in this module.
+
+    All Catalyst regexp/replace — whole-stage codegen, zero Python, zero
+    shuffles, linear per doc; at 100 TB this runs fused into the same
+    stage as the WARC parse output it consumes. Rules (block-level tags
+    become spaces so words don't fuse; inline tags vanish; entities
+    decode after tag removal; whitespace collapses) are the standard
+    text-extraction core of C4/CC-Net-style pipelines — deliberately
+    rule-based: layout-aware readability extraction is a model, not an
+    engine primitive."""
+    out = col
+    for pat, repl in HTML_STRIP_STEPS:
+        out = F.regexp_replace(out, pat, repl)
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
 def tfidf_top_terms(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", k: int = 3) -> DataFrame:
     """Top-k salient terms per document by TF-IDF.

@@ -1,0 +1,69 @@
+"""URL canonicalization for web-corpus ingest: the normalize-before-dedup
+step every crawl pipeline runs between fetch and URL-level dedup (CC-Net
+keeps one document per canonical URL before any content dedup — it is
+the cheapest dedup signal in the stack, pure string work, no shuffle).
+
+All Catalyst regexp/array expressions — whole-stage codegen, linear per
+URL, fused into whatever stage produces the URLs. The DuckDB oracle
+mirror lives beside the gated query (queries/web.py) with the identical
+step list; keep the two in sync rule-for-rule.
+
+Canonical form (each rule is a deliberate, documented identity choice):
+- fragment dropped (never sent to the server);
+- scheme and host lowercased (case-insensitive by RFC 3986);
+- default ports ``:80``/``:443`` dropped; leading ``www.`` dropped
+  (an aliasing choice, standard in URL dedup — two hosts that differ
+  only by ``www.`` are almost always one site);
+- empty path becomes ``/``; trailing slashes trimmed off non-root paths;
+- tracking params (``utm_*``, ``fbclid``) removed, remaining params
+  sorted (param order is non-semantic for idempotent GETs), empty query
+  dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+
+
+def _no_fragment(url: Column) -> Column:
+    return F.regexp_replace(url, r"#.*$", "")
+
+
+def url_scheme(url: Column) -> Column:
+    return F.lower(F.regexp_extract(_no_fragment(url), _SCHEME_RE, 1))
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host with default port and leading ``www.`` stripped."""
+    auth = F.lower(F.regexp_extract(_no_fragment(url), _AUTH_RE, 1))
+    return F.regexp_replace(
+        F.regexp_replace(auth, r":(443|80)$", ""), r"^www\.", "")
+
+
+def url_path(url: Column) -> Column:
+    p = F.regexp_extract(_no_fragment(url), _PATH_RE, 1)
+    p = F.when(p == "", F.lit("/")).otherwise(p)
+    return F.regexp_replace(p, r"^(.+?)/+$", "$1")
+
+
+def url_query_canonical(url: Column) -> Column:
+    """Query string with tracking params removed and the rest sorted."""
+    q = F.regexp_extract(_no_fragment(url), r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(q, "&"),
+        lambda x: (x != "") & ~F.startswith(x, F.lit("utm_"))
+                  & (x != "fbclid"))
+    return F.array_join(F.array_sort(params), "&")
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Full canonical URL (see module docstring for the rule list)."""
+    qs = url_query_canonical(url)
+    return F.concat(
+        url_scheme(url), F.lit("://"), url_host(url), url_path(url),
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)))

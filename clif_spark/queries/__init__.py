@@ -277,13 +277,16 @@ _VERIFY_FIRST = [
     "sample_temperature_mix",
     "text_bm25_topk", "text_chunk_windows", "text_rare_bigram_score",
     "u6_snapshot_diff", "w12_rate_of_change", "w14_interpolate_linear",
-    # --- oldest-r6 refreshes filling the remaining batch slots: the
-    # four CONTRACT TWINS (per the r9 policy, twins rotate — their
-    # rows-only partners never enter the head; see the hygiene test in
-    # tests/test_oracle.py), the four bench headliners, and the two
-    # CDC/merge rows adjacent to this round's upsert-lineage fix ---
-    "ann_arrow_fold_equality", "ann_ivf_trained_recall_bound",
-    "text_bpe_roundtrip", "w16_ewma_agreement",
+    # --- the web-ingest surface, registered late in round 9 (WARC
+    # container roundtrip, HTML->text extraction, URL canonicalize +
+    # URL-level dedup, and the end-to-end crawl-ingest pipeline): new
+    # operators get a driver row before any refresh does, so these take
+    # the four slots previously earmarked for the oldest-r6 contract
+    # twins (ann_arrow_fold_equality, ann_ivf_trained_recall_bound,
+    # text_bpe_roundtrip, w16_ewma_agreement — all still r6-green,
+    # rotated to the r10 lead with the rest of the r6 cohort) ---
+    "io_warc_roundtrip", "text_html_extract",
+    "text_url_canonicalize", "pipeline_web_ingest",
     # --- streams at the tail (multi-second startup each): the changed
     # incremental-dedup sink (now replay-idempotent — its r8 row
     # verified the old append sink), the r5 CMS-merge stream, and the
@@ -292,26 +295,29 @@ _VERIFY_FIRST = [
     "stream_incremental_dedup", "stream_countmin_merge",
     "stream_agg_maintenance",
 ]
-# Exactly 50 head entries: 12 never-gated r9 registrations (11 batch +
+# Exactly 50 head entries: 16 never-gated r9 registrations (15 batch +
 # the stream_agg_maintenance composition at the stream tail) + 32
-# r5-latest batch refreshes + 4 oldest-r6 batch refreshes (the four
-# contract twins) + 2 stream slots (the changed-sink
+# r5-latest batch refreshes + 2 stream slots (the changed-sink
 # stream_incremental_dedup re-gate + the r5 stream_countmin_merge).
-# Ceded to the new registrations, all r6-green and due r10: the five
-# benched headliners (ann_cosine_topk, q1_pricing_summary,
-# q3_shipping_priority, q5_local_supplier_volume, text_quality_metrics
-# — re-executed by every bench run regardless), stream_cdc_apply, and
-# u7_merge_with_deletes (their CDC/merge machinery is exercised by
-# every store row via upsert/read/compact): new operators get a driver
-# row before any refresh does. Rows-only
+# Ceded to the new registrations, all r6-green and due r10: the four
+# contract twins (ann_arrow_fold_equality,
+# ann_ivf_trained_recall_bound, text_bpe_roundtrip,
+# w16_ewma_agreement), the five benched headliners (ann_cosine_topk,
+# q1_pricing_summary, q3_shipping_priority, q5_local_supplier_volume,
+# text_quality_metrics — re-executed by every bench run regardless),
+# stream_cdc_apply, and u7_merge_with_deletes (their CDC/merge
+# machinery is exercised by every store row via upsert/read/compact):
+# new operators get a driver row before any refresh does. Rows-only
 # queries (dedup_semantic, ann_ivf_trained_topk, ann_cosine_topk_arrow,
 # w15_ewma_smooth, text_bpe_tokenize) NEVER rotate into the head — the
 # driver gate can only say 'no_oracle' about them; their driver-hashed
-# contract twins are the gateable artifact and four of the five twins
-# are in this head (dedup_semantic_contract is r7-green, due r10).
-# After this round's gate the r10 lead list is the remaining 39
-# r6-latest rows + dedup_semantic_contract — they fit one head-50 with
-# room for new registrations, so the staleness bound holds.
+# contract twins are the gateable artifact and rotate in their place
+# (the four twins now lead the r10 list).
+# After this round's gate the r10 due list is the 50 r6-latest rows
+# (the four contract twins first) + dedup_semantic_contract (r7) — 51
+# rows for one head-50. The five benched headliners in that cohort are
+# re-executed by every bench run regardless, so they cede slots to
+# r10 registrations and the r7 row, exactly as they did this round.
 
 _VERIFY_LAST = [
     # (empty: the single due stream sits at the tail of the head-50)
@@ -332,6 +338,7 @@ def collect_registry() -> dict[str, QueryDef]:
         streaming,
         temporal,
         tpch,
+        web,
         windows,
     )
 

@@ -1,0 +1,383 @@
+"""Web-corpus ingest queries: the crawl-archive leg of the LLM data
+pipeline (north star: BASELINE.json) — WARC container roundtrip
+(clif_spark.warc), HTML -> text extraction (curation.html_to_text), URL
+canonicalization + URL-level dedup (functions.url), and the end-to-end
+web-ingest pipeline chaining them.
+
+Testdata carries no crawl archive, so the queries build one INSIDE the
+plan from the documents table (the planted-input pattern,
+queries/curation.py module docstring): page HTML and URLs are
+deterministic Catalyst expressions mirrored verbatim in the oracle, the
+WARC container is our own builder, and the gate verifies that the full
+build -> serialize -> parse -> extract chain inverts to exactly what the
+oracle computes straight off the documents table. The WARC leg has no
+DuckDB equivalent, so its fidelity is what the roundtrip gate (rows +
+schema + value hash over every doc) actually measures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clif_spark import curation, io, warc
+from clif_spark.functions import url as urlfn
+from clif_spark.queries import pq, query
+
+# --- shared planted inputs (Spark expression + DuckDB mirror) -----------
+
+_URL_PRE = "https://corpus.example/"
+
+
+def _doc_url_col():
+    return F.concat(F.lit(_URL_PRE), F.col("source"), F.lit("/"),
+                    F.col("doc_id").cast("string"))
+
+
+_DOC_URL_SQL = (f"'{_URL_PRE}' || source || '/' || "
+                "CAST(doc_id AS VARCHAR)")
+
+# Page template: a <style> block, an HTML comment, block + inline tags,
+# a <script> whose body contains < > && (tag-stripping alone would
+# corrupt it — the script rule must run first), and an entity probe
+# exercising decode order (&lt;b&gt; must become literal "<b>" AFTER tag
+# removal; &amp;amp; must single-pass to "&amp;").
+_PAGE_P1 = "<html><head><title>"
+_PAGE_P2 = ("</title><style>h1 {color: red}</style></head>"
+            "<body><!-- crawl ")
+_PAGE_P3 = " --><h1>Doc "
+_PAGE_P4 = ('</h1><p>entity probe: &lt;b&gt;&nbsp;&amp;amp; done</p><p>')
+_PAGE_P5 = ('</p><script type="text/javascript">'
+            "if (2<3 && 1>0) { var x = 1; }</script></body></html>")
+
+
+def _page_html_col():
+    return F.concat(
+        F.lit(_PAGE_P1), F.col("source"), F.lit(_PAGE_P2),
+        F.col("doc_id").cast("string"), F.lit(_PAGE_P3),
+        F.col("doc_id").cast("string"), F.lit(_PAGE_P4),
+        curation.html_escape(F.col("text")), F.lit(_PAGE_P5))
+
+
+def _page_html_sql() -> str:
+    esc = ("replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), "
+           "'>', '&gt;')")
+    return (f"'{_PAGE_P1}' || source || '{_PAGE_P2}' || "
+            f"CAST(doc_id AS VARCHAR) || '{_PAGE_P3}' || "
+            f"CAST(doc_id AS VARCHAR) || '{_PAGE_P4}' || {esc} || "
+            f"'{_PAGE_P5}'")
+
+
+def _sql_html_to_text(expr: str) -> str:
+    """DuckDB mirror of curation.html_to_text, built from the SAME step
+    tables (HTML_STRIP_STEPS / HTML_ENTITIES) so the rule lists cannot
+    drift. Dialect deltas only: DuckDB needs the explicit 'g' flag (Spark
+    regexp_replace is global by default). Both regex engines treat these
+    patterns identically (inline (?is), lazy quantifiers, \\b; ASCII
+    ``\\s`` — the one corpus-visible delta, Java's includes \\x0B, is
+    unreachable here because the collapse runs on entity-decoded HTML
+    whose whitespace is spaces/newlines)."""
+    out = expr
+    for pat, repl in curation.HTML_STRIP_STEPS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    for ent, ch in curation.HTML_ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{ch_sql}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+# --- S9: WARC container roundtrip ---------------------------------------
+
+
+@query(
+    "io_warc_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           {_DOC_URL_SQL} AS target_uri,
+           text,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def io_warc_roundtrip(spark, sf_dir):
+    """S9 (engine ext.): WARC write -> read inversion over the real
+    documents table. Records are built in pure Catalyst (plan-asserted:
+    tests/test_plans.py), assembled into 8 files in the MIXED layout
+    (even file_ids plain ``.warc``, odd per-record-gzip ``.warc.gz`` —
+    both reader paths sit under this one gate), parsed back by the
+    Arrow-batched mapInPandas reader, and compared doc-for-doc against
+    the oracle's direct view of the table: URI, payload text, and byte
+    length must all invert exactly, including empty-payload docs.
+
+    100 TB shape: parallelism = WARC file count (gzip members are not
+    split-table), exactly how Common Crawl shards (~64k files/crawl);
+    the parser is per-file streaming with no shuffle — the only
+    exchange here is the test harness's own 8-file assembly."""
+    docs = io.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", _doc_url_col().alias("url"),
+        (F.col("doc_id") % 8).alias("file_id"))
+    files = warc.assemble_warc_files(
+        warc.build_warc_records(docs), gzip_records="mixed")
+    parsed = warc.parse_warc(files)
+    return parsed.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long")
+         .alias("doc_id"),
+        F.col("target_uri"),
+        F.col("payload").cast("string").alias("text"),
+        F.octet_length("payload").cast("long").alias("n_bytes"))
+
+
+# --- F17: HTML -> text extraction ---------------------------------------
+
+
+def _html_extract_oracle() -> str:
+    """Shared by text_html_extract and its streaming twin
+    stream_web_ingest (the settled stream must equal the batch answer,
+    so one oracle text serves both — the stream_agg_maintenance/u9
+    pattern)."""
+    return f"""
+    WITH page AS (
+      SELECT doc_id, {_page_html_sql()} AS html FROM documents)
+    SELECT doc_id, {_sql_html_to_text('html')} AS extracted,
+           CAST(length({_sql_html_to_text('html')}) AS BIGINT) AS n_chars
+    FROM page
+    """
+
+
+@query("text_html_extract", oracle=_html_extract_oracle())
+def text_html_extract(spark, sf_dir):
+    """F17 (engine ext.): rule-based HTML -> visible-text extraction
+    (curation.html_to_text) over planted page markup wrapping each real
+    document: script/style/comment blocks dropped whole (the script body
+    here contains ``<``/``&&`` precisely so naive tag-stripping would
+    corrupt it), block tags become spaces, inline tags vanish, entities
+    decode after tag removal (the ``&lt;b&gt;`` probe must surface as
+    literal text), whitespace collapses.
+
+    Pure narrow Catalyst regexp chain — whole-stage codegen, zero
+    shuffles, zero Python at any corpus size; the oracle builds its
+    regex chain from the same step tables, so extraction rules are
+    pinned in one place (curation.HTML_STRIP_STEPS)."""
+    d = io.load_table(spark, sf_dir, "documents")
+    page = d.select("doc_id", _page_html_col().alias("html"))
+    ext = curation.html_to_text(F.col("html"))
+    return page.select(
+        "doc_id", ext.alias("extracted"),
+        F.length(ext).cast("long").alias("n_chars"))
+
+
+# --- D1: URL canonicalization + URL-level dedup -------------------------
+
+_RAW_URL_SQL = """
+         (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END)
+         || '://'
+         || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END)
+         || (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END)
+         || '.Example.COM'
+         || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+         || '/articles/' || CAST(doc_id % 40 AS VARCHAR)
+         || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 2 = 0
+             THEN '?utm_source=feed&id=' || CAST(doc_id % 40 AS VARCHAR)
+             ELSE '?id=' || CAST(doc_id % 40 AS VARCHAR)
+                  || '&utm_campaign=x' END)
+         || (CASE WHEN doc_id % 3 = 0 THEN '#sec1' ELSE '' END)
+"""
+
+
+def _raw_url_col():
+    did = F.col("doc_id")
+    return F.concat(
+        F.when(did % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(did % 5 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(did % 2 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".Example.COM"),
+        F.when(did % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/articles/"), (did % 40).cast("string"),
+        F.when(did % 6 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 2 == 0,
+               F.concat(F.lit("?utm_source=feed&id="),
+                        (did % 40).cast("string")))
+         .otherwise(F.concat(F.lit("?id="), (did % 40).cast("string"),
+                             F.lit("&utm_campaign=x"))),
+        F.when(did % 3 == 0, F.lit("#sec1")).otherwise(F.lit("")))
+
+
+@query(
+    "text_url_canonicalize",
+    oracle=rf"""
+    WITH raw AS (
+      SELECT doc_id, n_chars, {_RAW_URL_SQL} AS url FROM documents),
+    nofrag AS (
+      SELECT doc_id, n_chars,
+             regexp_replace(url, '#.*$', '') AS u FROM raw),
+    parts AS (
+      SELECT doc_id, n_chars,
+        lower(regexp_extract(u,
+          '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        regexp_replace(regexp_replace(lower(regexp_extract(u,
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+          ':(443|80)$', ''), '^www\.', '') AS host,
+        regexp_replace(CASE WHEN regexp_extract(u,
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+          THEN '/' ELSE regexp_extract(u,
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) END,
+          '^(.+?)/+$', '\1') AS path,
+        array_to_string(list_sort(list_filter(
+          string_split(regexp_extract(u, '\?([^#]*)', 1), '&'),
+          x -> x <> '' AND NOT starts_with(x, 'utm_')
+               AND x <> 'fbclid')), '&') AS qs
+      FROM nofrag),
+    canon AS (
+      SELECT doc_id, n_chars,
+             host,
+             scheme || '://' || host || path ||
+             (CASE WHEN qs = '' THEN '' ELSE '?' || qs END)
+               AS canonical_url
+      FROM parts)
+    SELECT canonical_url, host,
+           doc_id AS kept_doc_id,
+           CAST(COUNT(*) OVER (PARTITION BY canonical_url) AS BIGINT)
+             AS dup_count
+    FROM canon
+    QUALIFY row_number() OVER
+      (PARTITION BY canonical_url
+       ORDER BY n_chars DESC, doc_id) = 1
+    """,
+)
+def text_url_canonicalize(spark, sf_dir):
+    """D1 (engine ext.): URL canonicalization (functions.url — fragment/
+    default-port/``www.``/tracking-param removal, case folding, param
+    sort) followed by URL-level dedup keeping the best document per
+    canonical URL (longest text, doc_id tiebreak — CC-Net's
+    one-doc-per-URL pass, the cheapest dedup signal in the stack).
+
+    The planted raw URLs vary scheme/host case, ``WWW.``, ``:443``,
+    trailing slash, param order, tracking params, and fragments, and
+    collide on (source, doc_id % 40) once canonicalized — so the gate
+    verifies both the normalizer (every rule fires somewhere) and the
+    keep-best window. Shape: narrow regex projection + ONE shuffle on
+    canonical_url; URL-keyed skew is bounded (a canonical URL's dup
+    group is refetch-count sized, not corpus-sized)."""
+    d = io.load_table(spark, sf_dir, "documents")
+    raw = d.select("doc_id", "n_chars", _raw_url_col().alias("url"))
+    u = F.col("url")
+    canon = raw.select(
+        "doc_id", "n_chars",
+        urlfn.url_host(u).alias("host"),
+        urlfn.canonicalize_url(u).alias("canonical_url"))
+    w = Window.partitionBy("canonical_url")
+    return (canon
+            .withColumn("dup_count", F.count(F.lit(1)).over(w).cast("long"))
+            .withColumn("rn", F.row_number().over(
+                w.orderBy(F.col("n_chars").desc(), F.col("doc_id"))))
+            .filter(F.col("rn") == 1)
+            .select("canonical_url", "host",
+                    F.col("doc_id").alias("kept_doc_id"), "dup_count"))
+
+
+# --- §3+: the end-to-end web-ingest pipeline ----------------------------
+
+_KEEP_CHARS = 60
+
+
+@query(
+    "pipeline_web_ingest",
+    oracle=f"""
+    WITH page AS (
+      SELECT doc_id, source, {_page_html_sql()} AS html FROM documents),
+    ext AS (
+      SELECT doc_id, source,
+             {_sql_html_to_text('html')} AS t FROM page)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_fetched,
+           CAST(COUNT(CASE WHEN length(t) >= {_KEEP_CHARS} THEN 1 END)
+                AS BIGINT) AS n_kept,
+           CAST(COALESCE(SUM(CASE WHEN length(t) >= {_KEEP_CHARS}
+                THEN length(t) END), 0) AS BIGINT) AS sum_chars,
+           CAST(COALESCE(SUM(CASE WHEN length(t) >= {_KEEP_CHARS}
+                THEN len(string_split(t, ' ')) END), 0) AS BIGINT)
+             AS sum_tokens
+    FROM ext
+    GROUP BY source
+    """,
+)
+def pipeline_web_ingest(spark, sf_dir):
+    """The full crawl-ingest chain, end to end: page HTML (planted) ->
+    WARC records -> mixed plain/gzip files -> parse -> HTML->text
+    extraction -> length gate -> per-source corpus stats. This is the
+    composition a Common Crawl-scale pipeline runs before any dedup or
+    quality model, with every stage an operator this module already
+    gates in isolation; the row pins the CHAIN (payloads survive the
+    container bit-for-bit AND the extraction after it).
+
+    The oracle mirrors the post-parse chain straight off the documents
+    table — the WARC legs cancel exactly (that inversion is
+    io_warc_roundtrip's gate), so any container-introduced corruption
+    surfaces here as a hash mismatch. Integer aggregates only (counts,
+    char/token sums) — no float-sum ordering concerns."""
+    docs = io.load_table(spark, sf_dir, "documents").select(
+        "doc_id", _page_html_col().alias("page"),
+        _doc_url_col().alias("url"),
+        (F.col("doc_id") % 8).alias("file_id"))
+    files = warc.assemble_warc_files(
+        warc.build_warc_records(docs, payload_col="page"),
+        gzip_records="mixed")
+    parsed = warc.parse_warc(files)
+    t = curation.html_to_text(F.col("payload").cast("string"))
+    ext = parsed.select(
+        F.regexp_extract("target_uri",
+                         rf"{_URL_PRE}([^/]+)/", 1).alias("source"),
+        t.alias("t"))
+    kept = F.length("t") >= _KEEP_CHARS
+    return ext.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetched"),
+        F.count_if(kept).cast("long").alias("n_kept"),
+        F.coalesce(F.sum(F.when(kept, F.length("t"))), F.lit(0))
+         .cast("long").alias("sum_chars"),
+        F.coalesce(F.sum(F.when(kept, F.size(F.split("t", " ")))),
+                   F.lit(0)).cast("long").alias("sum_tokens"))
+
+
+# --- the ingest chain as a stream ---------------------------------------
+
+
+@query("stream_web_ingest", oracle=_html_extract_oracle())
+def stream_web_ingest(spark, sf_dir):
+    """The crawl-ingest chain as Structured Streaming: WARC shards land
+    as files, each micro-batch parses its shard and emits extracted
+    text rows downstream — the production shape of continuous crawl
+    ingestion (Common Crawl drops ~64k shards/crawl; a streaming job
+    drains them as they arrive instead of re-listing the lake).
+
+    Stateless 1->N transform (parse + extract are per-file/per-record),
+    so append mode with no watermark or state store; the settled union
+    over micro-batches must equal the batch extraction bit-for-bit,
+    which the SHARED text_html_extract oracle checks. The mixed
+    plain/gz layout rides along, so both reader paths are exercised
+    under replay too."""
+    import tempfile
+
+    from clif_spark import streaming
+
+    docs = io.load_table(spark, sf_dir, "documents").select(
+        "doc_id", _page_html_col().alias("page"),
+        _doc_url_col().alias("url"),
+        (F.col("doc_id") % 8).alias("file_id"))
+    files = warc.assemble_warc_files(
+        warc.build_warc_records(docs, payload_col="page"),
+        gzip_records="mixed")
+    scratch = tempfile.mkdtemp(prefix="clif_stream_warc_")
+    files.repartition(4).write.mode("overwrite").parquet(scratch)
+    stream = (spark.readStream.schema(files.schema)
+                   .option("maxFilesPerTrigger", 1).parquet(scratch))
+    parsed = warc.parse_warc(stream)
+    ext = curation.html_to_text(F.col("payload").cast("string"))
+    out = parsed.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long")
+         .alias("doc_id"),
+        ext.alias("extracted"),
+        F.length(ext).cast("long").alias("n_chars"))
+    return streaming.run_to_memory(out, output_mode="append",
+                                   state_partitions=None)

@@ -1,0 +1,268 @@
+"""WARC (ISO 28500) source & sink: the container format web-crawl corpora
+actually arrive in (Common Crawl ships ~100 TB/month of `.warc.gz`).
+
+The reference ingests flat CSV/parquet drops (SURVEY §2 S1/S6); a
+training-data pipeline at 100 TB starts one step earlier, at the crawl
+archive itself, so the engine grows a WARC leg:
+
+- **record build** (``build_warc_records``) is pure Catalyst — header
+  strings, HTTP envelope, and both Content-Length values are concat /
+  octet_length expressions, whole-stage-codegen'd, zero Python;
+- **file assembly** (``assemble_warc_files``) concatenates records into
+  per-file blobs with ``applyInPandas`` (``b"".join`` is linear; the
+  Catalyst alternative — ``aggregate`` over ``collect_list`` with binary
+  ``concat`` — re-copies the accumulator per element, O(n²) bytes per
+  file). Optionally emits each record as its own gzip member
+  (``mtime=0`` pinned so output bytes are deterministic), which is the
+  actual Common Crawl layout: per-record members make a `.warc.gz`
+  seekable to record boundaries without decompressing the whole file;
+- **parse** (``parse_warc``) is an Arrow-batched ``mapInPandas`` over
+  (file_id, content) blobs — one task per file, nothing touches the
+  driver, memory bounded by one decompressed file per task (crawl
+  shards are ~1 GB by convention; chunk at the storage layer, not in
+  the reader — io.read_binary_files scale note).
+
+Scale shape at 100 TB: `.warc.gz` is not split-table inside a file (gzip
+members are discoverable only by scanning), so parallelism = file count —
+exactly how Common Crawl is sharded (64k files/crawl). The parser is
+pure per-file streaming: no shuffle, no skew beyond file-size variance,
+and downstream ops see ordinary (uri, payload) rows.
+
+Malformed-record policy (io.read_delimited's row-granularity junk
+policy, applied to records): a record that fails the grammar emits one
+``warc_type='invalid'`` row carrying its byte offset, then the parser
+RESYNCS to the next ``WARC/`` magic and continues — one corrupt record
+in a 1 GB file must not discard the other ~50k records, and must not
+vanish silently either.
+"""
+
+from __future__ import annotations
+
+import gzip
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CRLF = "\r\n"
+
+#: Output schema of parse_warc — fixed so downstream plans are stable.
+PARSED_WARC_SCHEMA = T.StructType([
+    T.StructField("file_id", T.LongType()),
+    T.StructField("record_offset", T.LongType()),  # into decompressed bytes
+    T.StructField("warc_type", T.StringType()),
+    T.StructField("record_id", T.StringType()),
+    T.StructField("target_uri", T.StringType()),
+    T.StructField("warc_date", T.StringType()),
+    T.StructField("http_status", T.IntegerType()),
+    T.StructField("http_content_type", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def deterministic_record_id(url_col: Column) -> Column:
+    """``urn:uuid:`` record id derived from md5(url): WARC requires a
+    globally-unique id per record; a content-derived uuid keeps rebuilds
+    byte-identical (same reason gzip mtime is pinned to 0)."""
+    h = F.md5(url_col)
+    return F.concat(
+        F.lit("urn:uuid:"), F.substring(h, 1, 8), F.lit("-"),
+        F.substring(h, 9, 4), F.lit("-"), F.substring(h, 13, 4),
+        F.lit("-"), F.substring(h, 17, 4), F.lit("-"),
+        F.substring(h, 21, 12))
+
+
+def build_warc_records(
+    df: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "text",
+    warc_date: str = "2026-01-01T00:00:00Z",
+    http_content_type: str = "text/html; charset=utf-8",
+) -> DataFrame:
+    """Serialize each row as one WARC/1.1 ``response`` record (string
+    column ``record``; UTF-8 encode happens at file assembly).
+
+    Entirely Catalyst: the HTTP envelope and WARC header are ``concat``
+    chains; both Content-Length headers are ``octet_length`` of the
+    exact byte spans they describe (HTTP counts the payload, WARC counts
+    the full HTTP block), so the output passes a compliant reader's
+    length checks byte-for-byte. The WARC-Date is caller-pinned rather
+    than now(): record identity must not depend on wall clock
+    (determinism discipline, queries/__init__ module docstring)."""
+    url = F.col(url_col)
+    payload = F.col(payload_col)
+    http_head = F.concat(
+        F.lit("HTTP/1.1 200 OK" + CRLF),
+        F.lit(f"Content-Type: {http_content_type}" + CRLF),
+        F.lit("Content-Length: "), F.octet_length(payload).cast("string"),
+        F.lit(CRLF + CRLF))
+    http_block = F.concat(http_head, payload)
+    warc_head = F.concat(
+        F.lit("WARC/1.1" + CRLF),
+        F.lit("WARC-Type: response" + CRLF),
+        F.lit("WARC-Record-ID: <"), deterministic_record_id(url),
+        F.lit(">" + CRLF),
+        F.lit(f"WARC-Date: {warc_date}" + CRLF),
+        F.lit("WARC-Target-URI: "), url, F.lit(CRLF),
+        F.lit("Content-Type: application/http;msgtype=response" + CRLF),
+        F.lit("Content-Length: "),
+        F.octet_length(http_block).cast("string"),
+        F.lit(CRLF + CRLF))
+    return df.withColumn(
+        "record", F.concat(warc_head, http_block, F.lit(CRLF + CRLF)))
+
+
+def assemble_warc_files(
+    df: DataFrame,
+    file_id_col: str = "file_id",
+    order_col: str = "doc_id",
+    record_col: str = "record",
+    gzip_records: bool | str = False,
+) -> DataFrame:
+    """Concatenate records into per-file WARC blobs: (file_id, content).
+
+    ``gzip_records``: False → plain `.warc` bytes; True → each record is
+    its own gzip member (the Common Crawl `.warc.gz` layout; stdlib
+    ``gzip.decompress`` consumes the concatenation as one stream);
+    ``"mixed"`` → odd file_ids gzipped, even plain — the shape of a real
+    lake mid-migration, and the gated roundtrip uses it so BOTH reader
+    paths sit under the driver's oracle.
+
+    ``applyInPandas`` per file group: linear ``b"".join``; sort by
+    ``order_col`` inside the group so file bytes are deterministic
+    (SURVEY §7.4.1 tiebreaker discipline). Skew = file sizing: the
+    caller's file_id assignment is the shard-size policy knob."""
+    out_schema = T.StructType([
+        T.StructField("file_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+
+    def build(pdf) -> object:
+        import gzip as _gzip
+
+        import pandas as pd
+        pdf = pdf.sort_values(order_col)
+        fid = int(pdf[file_id_col].iloc[0])
+        raw = [r.encode("utf-8") for r in pdf[record_col]]
+        do_gz = gzip_records is True or (
+            gzip_records == "mixed" and fid % 2 == 1)
+        if do_gz:
+            raw = [_gzip.compress(r, mtime=0) for r in raw]
+        return pd.DataFrame({"file_id": [fid], "content": [b"".join(raw)]})
+
+    return (df.select(file_id_col, order_col, record_col)
+              .groupBy(file_id_col).applyInPandas(build, out_schema))
+
+
+# --- parser ------------------------------------------------------------
+
+
+def _parser_fns():
+    """Factory for the record parser. Nested functions are cloudpickled
+    BY VALUE into the mapInPandas closure, so executor workers need no
+    ``clif_spark`` import — the external driver loads ``__spark_entry__``
+    by file path from a foreign cwd, where a module-global reference
+    would raise ModuleNotFoundError worker-side (the
+    multimodal._media_codecs pattern, and caught by exactly that
+    foreign-cwd drive)."""
+
+    def parse_headers(block: bytes) -> tuple[str, dict[str, str]]:
+        """(first line, {lower-name: value}) from a CRLF header block.
+        Continuation lines (leading SP/HT — grammar'd in ISO 28500 §4,
+        rare but legal) fold into the previous value with one space."""
+        lines = block.split(b"\r\n")
+        first = lines[0].decode("latin-1")
+        headers: dict[str, str] = {}
+        last = None
+        for ln in lines[1:]:
+            if not ln:
+                continue
+            if ln[:1] in (b" ", b"\t") and last is not None:
+                headers[last] += " " + ln.strip().decode("latin-1")
+                continue
+            name, _, val = ln.partition(b":")
+            last = name.strip().decode("latin-1").lower()
+            headers[last] = val.strip().decode("latin-1")
+        return first, headers
+
+    def parse_records(buf: bytes, file_id: int) -> Iterator[tuple]:
+        """Yield PARSED_WARC_SCHEMA tuples from one decompressed blob."""
+        n, pos = len(buf), 0
+        while pos < n:
+            while buf[pos:pos + 2] == b"\r\n":
+                pos += 2
+            if pos >= n:
+                break
+            start = pos
+            try:
+                if not buf.startswith(b"WARC/", pos):
+                    raise ValueError("missing WARC/ magic")
+                hdr_end = buf.index(b"\r\n\r\n", pos)
+                _, headers = parse_headers(buf[pos:hdr_end])
+                length = int(headers["content-length"])
+                block_start = hdr_end + 4
+                block_end = block_start + length
+                if block_end > n:
+                    raise ValueError("truncated block")
+                block = buf[block_start:block_end]
+                pos = block_end
+                status, http_ct, payload = None, None, block
+                if (headers.get("warc-type") == "response"
+                        and block.startswith(b"HTTP/")):
+                    he = block.find(b"\r\n\r\n")
+                    if he >= 0:
+                        status_line, hh = parse_headers(block[:he])
+                        parts = status_line.split(None, 2)
+                        if len(parts) >= 2 and parts[1].isdigit():
+                            status = int(parts[1])
+                        http_ct = hh.get("content-type")
+                        payload = block[he + 4:]
+                yield (file_id, start, headers.get("warc-type"),
+                       headers.get("warc-record-id", "").strip("<>"),
+                       headers.get("warc-target-uri"),
+                       headers.get("warc-date"), status, http_ct, payload)
+            except (ValueError, KeyError, IndexError):
+                # one bad record -> one visible 'invalid' row, then
+                # resync to the next record magic; never discard the
+                # rest of the file
+                yield (file_id, start, "invalid", None, None, None,
+                       None, None, None)
+                nxt = buf.find(b"\r\nWARC/", start + 1)
+                pos = n if nxt < 0 else nxt + 2
+
+    return parse_records
+
+
+#: Module-level alias for unit tests and driver-side callers; the Spark
+#: path binds its own factory instance so nothing executor-side refers
+#: back to this module.
+parse_warc_bytes = _parser_fns()
+
+
+def parse_warc(df: DataFrame, file_id_col: str = "file_id",
+               content_col: str = "content") -> DataFrame:
+    """WARC blobs -> record rows (PARSED_WARC_SCHEMA) via Arrow-batched
+    ``mapInPandas``. Gzip is auto-detected per file by magic bytes;
+    multi-member streams (per-record members — the `.warc.gz` layout)
+    decompress as one buffer via stdlib gzip's member loop. One file =
+    one parse unit; batches stream out per Arrow block, so peak memory
+    per task is one decompressed file, independent of file count."""
+    parse_records = _parser_fns()  # bound by value, not module reference
+    cols = [f.name for f in PARSED_WARC_SCHEMA.fields]
+
+    def run(batches: Iterator) -> Iterator:
+        import gzip as _gzip
+
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for fid, content in zip(pdf[file_id_col], pdf[content_col]):
+                buf = bytes(content)
+                if buf[:2] == b"\x1f\x8b":
+                    buf = _gzip.decompress(buf)
+                rows.extend(parse_records(buf, int(fid)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(file_id_col, content_col) \
+             .mapInPandas(run, PARSED_WARC_SCHEMA)

@@ -548,3 +548,52 @@ def test_matryoshka_funnel_single_vector_scan_broadcast_queries(spark):
     assert 1 <= len(scans) <= 2
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_html_extract_fully_narrow(spark):
+    """text_html_extract: the page build + full extraction chain is one
+    narrow codegen'd projection — no exchange, no join, no Python
+    anywhere (HTML->text at 100 TB must fuse into the scan stage)."""
+    plan = plan_of(spark, "text_html_extract")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan
+
+
+def test_url_canonicalize_single_exchange_no_python(spark):
+    """text_url_canonicalize: all normalization rules are Catalyst
+    expressions fused below ONE exchange (the keep-best window's hash
+    partitioning on canonical_url) — a second exchange or any Python
+    node means a rule fell off the codegen path."""
+    plan = plan_of(spark, "text_url_canonicalize")
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln
+                 and "Reused" not in ln]
+    assert len(exchanges) == 1, exchanges
+    for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan
+
+
+def test_warc_python_confined_to_assembly_and_parse(spark):
+    """io_warc_roundtrip: record serialization is pure Catalyst — the
+    ONLY Python stages in the whole roundtrip are the two declared
+    format boundaries (applyInPandas file assembly, mapInPandas parse).
+    A third Python node means record building left the JVM."""
+    from clif_spark import warc
+
+    plan = plan_of(spark, "io_warc_roundtrip")
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+
+    # and the record builder alone compiles to a plain projection
+    rng = spark.range(3)
+    docs = rng.select(
+        rng.id.alias("doc_id"),
+        rng.id.cast("string").alias("text"),
+        rng.id.cast("string").alias("url"))
+    rec_plan = (warc.build_warc_records(docs)
+                ._jdf.queryExecution().executedPlan().toString())
+    for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+                 "FlatMapGroupsInPandas"):
+        assert node not in rec_plan
