@@ -52,13 +52,17 @@ def url_path(url: Column) -> Column:
 
 
 def url_query_canonical(url: Column) -> Column:
-    """Query string with tracking params removed and the rest sorted."""
+    """Query string with tracking params removed and the rest sorted.
+    Tracking match is on the param NAME (the token before ``=``), so
+    ``fbclid=abc`` drops and a legitimate ``id=fbclid`` survives."""
     q = F.regexp_extract(_no_fragment(url), r"\?([^#]*)", 1)
-    params = F.filter(
-        F.split(q, "&"),
-        lambda x: (x != "") & ~F.startswith(x, F.lit("utm_"))
-                  & (x != "fbclid"))
-    return F.array_join(F.array_sort(params), "&")
+
+    def keep(x: Column) -> Column:
+        name = F.split_part(x, F.lit("="), F.lit(1))
+        return ((x != "") & ~F.startswith(name, F.lit("utm_"))
+                & (name != "fbclid"))
+
+    return F.array_join(F.array_sort(F.filter(F.split(q, "&"), keep)), "&")
 
 
 def canonicalize_url(url: Column) -> Column:

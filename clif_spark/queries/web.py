@@ -226,8 +226,9 @@ def _raw_url_col():
           '^(.+?)/+$', '\1') AS path,
         array_to_string(list_sort(list_filter(
           string_split(regexp_extract(u, '\?([^#]*)', 1), '&'),
-          x -> x <> '' AND NOT starts_with(x, 'utm_')
-               AND x <> 'fbclid')), '&') AS qs
+          x -> x <> ''
+               AND NOT starts_with(split_part(x, '=', 1), 'utm_')
+               AND split_part(x, '=', 1) <> 'fbclid')), '&') AS qs
       FROM nofrag),
     canon AS (
       SELECT doc_id, n_chars,

@@ -58,6 +58,9 @@ PARSED_WARC_SCHEMA = T.StructType([
     T.StructField("http_status", T.IntegerType()),
     T.StructField("http_content_type", T.StringType()),
     T.StructField("payload", T.BinaryType()),
+    # charset-aware decode of `payload` (see decode_text in the parser
+    # factory); NULL for non-text content types
+    T.StructField("payload_text", T.StringType()),
 ])
 
 
@@ -186,6 +189,29 @@ def _parser_fns():
             headers[last] = val.strip().decode("latin-1")
         return first, headers
 
+    def decode_text(payload: bytes, content_type: str | None):
+        """Charset-aware text view of a payload, or None for non-text
+        content. Real crawls are a charset zoo: the declared charset
+        (Content-Type's ``charset=`` param) is tried first, then UTF-8,
+        then latin-1 — which cannot fail, so one mislabeled page never
+        kills a shard task (the row-granularity junk policy again); the
+        binary payload rides alongside untouched for consumers that
+        need the exact bytes."""
+        ct = (content_type or "").lower()
+        if ct and not (ct.startswith("text/") or "html" in ct
+                       or "xml" in ct or "json" in ct
+                       or "javascript" in ct or "warc-fields" in ct):
+            return None
+        m = None
+        if "charset=" in ct:
+            m = ct.split("charset=", 1)[1].split(";")[0].strip(' "\'')
+        for enc in ([m] if m else []) + ["utf-8", "latin-1"]:
+            try:
+                return payload.decode(enc)
+            except (UnicodeDecodeError, LookupError):
+                continue
+        return None  # unreachable: latin-1 decodes any byte string
+
     def parse_records(buf: bytes, file_id: int) -> Iterator[tuple]:
         """Yield PARSED_WARC_SCHEMA tuples from one decompressed blob."""
         n, pos = len(buf), 0
@@ -221,13 +247,14 @@ def _parser_fns():
                 yield (file_id, start, headers.get("warc-type"),
                        headers.get("warc-record-id", "").strip("<>"),
                        headers.get("warc-target-uri"),
-                       headers.get("warc-date"), status, http_ct, payload)
+                       headers.get("warc-date"), status, http_ct, payload,
+                       decode_text(payload, http_ct))
             except (ValueError, KeyError, IndexError):
                 # one bad record -> one visible 'invalid' row, then
                 # resync to the next record magic; never discard the
                 # rest of the file
                 yield (file_id, start, "invalid", None, None, None,
-                       None, None, None)
+                       None, None, None, None)
                 nxt = buf.find(b"\r\nWARC/", start + 1)
                 pos = n if nxt < 0 else nxt + 2
 

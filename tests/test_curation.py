@@ -490,3 +490,27 @@ def test_bloom_screen_zero_false_negatives_and_determinism(spark):
     # for 200 docs the deterministic outcome is no-FP; pin it so an
     # accidental hash/packing change surfaces as a test diff
     assert got[1002] is False and got[1003] is False
+
+
+def test_url_canonicalize_edge_cases(spark):
+    """functions.url rule-by-rule edges the gated row's planted corpus
+    doesn't reach: non-default ports kept, utm params removed wherever
+    they sit, root path, already-canonical input is a fixed point."""
+    from clif_spark.functions import url as urlfn
+
+    cases = [
+        ("https://Site.com:8080/a?b=1", "https://site.com:8080/a?b=1"),
+        ("http://www.site.com:80/", "http://site.com/"),
+        ("https://site.com", "https://site.com/"),
+        ("https://site.com/a/b/?z=1&a=2&utm_medium=m#frag",
+         "https://site.com/a/b?a=2&z=1"),
+        ("HTTPS://SITE.COM/A?fbclid=x", "https://site.com/A"),
+        ("https://site.com/?utm_source=s", "https://site.com/"),
+        ("https://site.com/a?b=1", "https://site.com/a?b=1"),  # fixed point
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    from pyspark.sql import functions as F
+    out = [r["c"] for r in
+           df.select(urlfn.canonicalize_url(F.col("url")).alias("c"))
+             .collect()]
+    assert out == [e for _, e in cases]

@@ -183,3 +183,38 @@ def test_multibyte_payload_roundtrip(spark):
     out = {r["target_uri"]: bytes(r["payload"]).decode("utf-8")
            for r in warc.parse_warc(files).collect()}
     assert out == {u: t for _, t, u, _ in rows}
+
+
+def _http_resp(body: bytes, ctype: str) -> bytes:
+    return (f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+
+
+def test_charset_aware_payload_text():
+    """payload_text honors the declared charset, falls back utf-8 ->
+    latin-1 on lies, and is NULL for non-text content — one mislabeled
+    page never fails the task."""
+    cases = [
+        # (body bytes, declared content-type, expected text)
+        ("déjà vu".encode("latin-1"),
+         'text/html; charset="ISO-8859-1"', "déjà vu"),
+        ("日本語".encode("utf-8"), "text/html; charset=utf-8", "日本語"),
+        # declared utf-8 but actually latin-1: fallback decodes, keeps row
+        ("café".encode("latin-1"), "text/html; charset=utf-8", "café"),
+        # unknown charset name: fallback chain handles it
+        (b"plain", "text/plain; charset=x-bogus-enc", "plain"),
+        # no charset param at all: utf-8 first
+        ("ü".encode("utf-8"), "text/html", "ü"),
+        # binary content type: text view suppressed
+        (b"\x89PNG\r\n", "image/png", None),
+    ]
+    recs = []
+    for i, (body, ctype, _) in enumerate(cases):
+        http = _http_resp(body, ctype)
+        recs.append(_rec("response",
+                         {"WARC-Record-ID": f"<urn:uuid:{i}>",
+                          "WARC-Target-URI": f"https://e.x/{i}"}, http))
+    rows = list(warc.parse_warc_bytes(b"".join(recs), 0))
+    assert [r[9] for r in rows] == [exp for _, _, exp in cases]
+    # the exact bytes always ride alongside, decoded or not
+    assert [r[8] for r in rows] == [b for b, _, _ in cases]
