@@ -313,11 +313,14 @@ _VERIFY_FIRST = [
 # driver gate can only say 'no_oracle' about them; their driver-hashed
 # contract twins are the gateable artifact and rotate in their place
 # (the four twins now lead the r10 list).
-# After this round's gate the r10 due list is the 50 r6-latest rows
-# (the four contract twins first) + dedup_semantic_contract (r7) — 51
-# rows for one head-50. The five benched headliners in that cohort are
-# re-executed by every bench run regardless, so they cede slots to
-# r10 registrations and the r7 row, exactly as they did this round.
+# After this round's gate the r10 due list is: the rows registered
+# after this head filled (stream_web_ingest, web_host_stats,
+# io_orc_roundtrip — never driver-gated, they LEAD r10) + the 50
+# r6-latest rows (the four contract twins first) +
+# dedup_semantic_contract (r7) — 54 rows for one head-50. The five
+# benched headliners in that cohort are re-executed by every bench run
+# regardless, so they cede slots to the never-gated rows and r10
+# registrations, exactly as they did this round.
 
 _VERIFY_LAST = [
     # (empty: the single due stream sits at the tail of the head-50)

@@ -1152,3 +1152,34 @@ def u10_store_schema_evolution(spark, sf_dir):
     out = STR.read_cdc_snapshot(spark, root)
     return out.select("k", "version", "val", "extra",
                       F.lit(drift_rejected).alias("drift_rejected"))
+
+
+@query(
+    "io_orc_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def io_orc_roundtrip(spark, sf_dir):
+    """S10 (engine ext.): ORC write -> read inversion over the documents
+    table — the second columnar lake format Spark carries natively
+    (warehouses standardized on ORC coexist with parquet lakes; an
+    engine claiming "switch to this repo" must read both). Exercises
+    io.write_table's fmt dispatch plus the engine layout policy
+    (sortWithinPartitions, no global exchange) and proves the full
+    column set — strings, longs — survives the format boundary
+    bit-for-bit against the oracle's direct parquet view.
+
+    Scale note: ORC splits by stripe exactly as parquet splits by
+    row group, so every scan-parallelism property asserted elsewhere
+    (maxPartitionBytes sizing, predicate pushdown, column pruning)
+    carries over; nothing else in the engine needs to know the
+    format."""
+    import tempfile
+
+    d = io.load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="clif_orc_") + "/documents.orc"
+    io.write_table(d, out, fmt="orc",
+                   sort_within_partitions=["doc_id"])
+    return (spark.read.orc(out)
+            .select("doc_id", "text", "lang", "source", "n_chars"))

@@ -204,11 +204,12 @@ def _raw_url_col():
         F.when(did % 3 == 0, F.lit("#sec1")).otherwise(F.lit("")))
 
 
-@query(
-    "text_url_canonicalize",
-    oracle=rf"""
-    WITH raw AS (
-      SELECT doc_id, n_chars, {_RAW_URL_SQL} AS url FROM documents),
+# DuckDB mirror of functions.url's canonicalization, shared by the two
+# URL-keyed oracles (text_url_canonicalize, web_host_stats): CTE chain
+# ending in canon(doc_id, n_chars, host, canonical_url).
+_CANON_CTES = r"""
+    raw AS (
+      SELECT doc_id, n_chars, {raw_url} AS url FROM documents),
     nofrag AS (
       SELECT doc_id, n_chars,
              regexp_replace(url, '#.*$', '') AS u FROM raw),
@@ -237,6 +238,13 @@ def _raw_url_col():
              (CASE WHEN qs = '' THEN '' ELSE '?' || qs END)
                AS canonical_url
       FROM parts)
+""".replace("{raw_url}", _RAW_URL_SQL)
+
+
+@query(
+    "text_url_canonicalize",
+    oracle=f"""
+    WITH {_CANON_CTES}
     SELECT canonical_url, host,
            doc_id AS kept_doc_id,
            CAST(COUNT(*) OVER (PARTITION BY canonical_url) AS BIGINT)
@@ -382,3 +390,50 @@ def stream_web_ingest(spark, sf_dir):
         F.length(ext).cast("long").alias("n_chars"))
     return streaming.run_to_memory(out, output_mode="append",
                                    state_partitions=None)
+
+
+# --- D2: host-level corpus governance -----------------------------------
+
+
+@query(
+    "web_host_stats",
+    oracle=f"""
+    WITH {_CANON_CTES}
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_urls,
+           CAST(COUNT(*) - COUNT(DISTINCT canonical_url) AS BIGINT)
+             AS n_dup_docs,
+           (COUNT(*) >= 2 * COUNT(DISTINCT canonical_url)) AS flagged
+    FROM canon
+    GROUP BY host
+    """,
+)
+def web_host_stats(spark, sf_dir):
+    """D2 (engine ext.): host-level corpus governance — the reputation
+    pass crawl pipelines run ABOVE URL dedup (CC-Net style host lists):
+    per canonical host, fetched docs vs distinct canonical URLs, the
+    refetch surplus, and a flag for hosts where duplicates are the
+    majority (candidates for blocklisting or crawl-rate cuts).
+
+    Shape: the canonicalization is the same narrow Catalyst projection
+    as text_url_canonicalize (shared oracle CTEs pin the two queries to
+    one rule set), then ONE hash aggregation keyed on host —
+    host-count-sized output, partial aggregation below the exchange.
+    Host skew is the real-world hazard (one host can be 1% of a crawl);
+    count-distinct over canonical_url shuffles (host, url) pairs, not
+    docs, so the hot host's state is its URL count, not its row
+    count."""
+    d = io.load_table(spark, sf_dir, "documents")
+    raw = d.select("doc_id", "n_chars", _raw_url_col().alias("url"))
+    u = F.col("url")
+    canon = raw.select(
+        urlfn.url_host(u).alias("host"),
+        urlfn.canonicalize_url(u).alias("canonical_url"))
+    n_docs = F.count(F.lit(1)).cast("long")
+    n_urls = F.count_distinct(F.col("canonical_url")).cast("long")
+    return canon.groupBy("host").agg(
+        n_docs.alias("n_docs"),
+        n_urls.alias("n_urls"),
+        (n_docs - n_urls).alias("n_dup_docs"),
+        (n_docs >= 2 * n_urls).alias("flagged"))

@@ -411,3 +411,43 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
                   num_partitions=1, properties=props)
     assert io.read_jdbc(spark, url, "t_round",
                         properties=props).count() == 105
+
+
+def test_jsonl_gzip_ingest(spark, tmp_path):
+    """Corpus dumps arrive as .jsonl.gz; Spark's text-source codec layer
+    decompresses transparently, so read_jsonl needs no gzip branch —
+    this pins that behavior (and the explicit-schema path) against
+    hand-written compressed shards, including one malformed line
+    quarantined via corrupt_col."""
+    import gzip as _gzip
+    import json
+
+    from pyspark.sql import types as T
+
+    rows = [{"doc_id": i, "text": f"doc {i}", "lang": "en"}
+            for i in range(10)]
+    shard1 = "\n".join(json.dumps(r) for r in rows[:6]) + "\n"
+    shard2 = "\n".join(json.dumps(r) for r in rows[6:]) + "\nnot json\n"
+    (tmp_path / "part-0.jsonl.gz").write_bytes(
+        _gzip.compress(shard1.encode(), mtime=0))
+    (tmp_path / "part-1.jsonl.gz").write_bytes(
+        _gzip.compress(shard2.encode(), mtime=0))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+    # cache() materializes all columns first: Spark disallows queries
+    # whose referenced columns reduce to ONLY the internal corrupt
+    # column (QUERY_ONLY_CORRUPT_RECORD_COLUMN), which the bad-row count
+    # below would otherwise prune down to
+    df = io.read_jsonl(spark, str(tmp_path), schema=schema,
+                       corrupt_col="_bad").cache()
+    try:
+        good = df.filter(df._bad.isNull())
+        assert good.count() == 10
+        assert df.filter(df._bad.isNotNull()).count() == 1
+        got = {r["doc_id"]: r["text"] for r in good.collect()}
+        assert got == {i: f"doc {i}" for i in range(10)}
+    finally:
+        df.unpersist()
