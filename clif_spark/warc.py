@@ -293,3 +293,37 @@ def parse_warc(df: DataFrame, file_id_col: str = "file_id",
 
     return df.select(file_id_col, content_col) \
              .mapInPandas(run, PARSED_WARC_SCHEMA)
+
+
+def write_warc_files(files_df: DataFrame, out_dir: str,
+                     file_id_col: str = "file_id",
+                     content_col: str = "content") -> None:
+    """Materialize (file_id, content) blobs as real ``.warc`` /
+    ``.warc.gz`` files under ``out_dir`` — the interchange sink (other
+    crawl tooling expects files, not blob rows; for lake-internal
+    storage keep the blobs in parquet and skip this).
+
+    Spark has no binary-file writer, so this is an executor-side
+    ``foreachPartition`` effect with the idempotence a side-effect sink
+    must carry: content goes to a tmp name and lands via ``os.replace``
+    (atomic on POSIX), names are a pure function of file_id, so a
+    retried task overwrites its own identical output — at-least-once
+    execution, exactly-once files. Extension follows the content's gzip
+    magic. Parallelism = blob partitioning; nothing aggregates on the
+    driver."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def sink(rows):
+        import os as _os
+        for row in rows:
+            content = bytes(row[content_col])
+            ext = ".warc.gz" if content[:2] == b"\x1f\x8b" else ".warc"
+            final = _os.path.join(out_dir, f"part-{row[file_id_col]:05d}{ext}")
+            tmp = final + ".inprogress"
+            with open(tmp, "wb") as f:
+                f.write(content)
+            _os.replace(tmp, final)
+
+    files_df.select(file_id_col, content_col).foreachPartition(sink)
