@@ -11,7 +11,10 @@ step list; keep the two in sync rule-for-rule.
 Canonical form (each rule is a deliberate, documented identity choice):
 - fragment dropped (never sent to the server);
 - scheme and host lowercased (case-insensitive by RFC 3986);
-- default ports ``:80``/``:443`` dropped; leading ``www.`` dropped
+- the scheme's OWN default port dropped (``:80`` for http, ``:443``
+  for https — and only then: ``http://host:443/x`` is a DIFFERENT
+  resource from ``http://host/x`` and keeps its port); leading
+  ``www.`` dropped
   (an aliasing choice, standard in URL dedup — two hosts that differ
   only by ``www.`` are almost always one site);
 - empty path becomes ``/``; trailing slashes trimmed off non-root paths;
@@ -39,10 +42,19 @@ def url_scheme(url: Column) -> Column:
 
 
 def url_host(url: Column) -> Column:
-    """Lowercased host with default port and leading ``www.`` stripped."""
+    """Lowercased host with the scheme's DEFAULT port and leading
+    ``www.`` stripped. Port stripping is scheme-aware: only http+``:80``
+    and https+``:443`` are identity-preserving removals — stripping
+    ``:443`` from an http URL would merge distinct resources (the
+    DuckDB oracle CTE in queries/web.py mirrors this rule in
+    lockstep)."""
     auth = F.lower(F.regexp_extract(_no_fragment(url), _AUTH_RE, 1))
-    return F.regexp_replace(
-        F.regexp_replace(auth, r":(443|80)$", ""), r"^www\.", "")
+    scheme = url_scheme(url)
+    stripped = (
+        F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
+         .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
+         .otherwise(auth))
+    return F.regexp_replace(stripped, r"^www\.", "")
 
 
 def url_path(url: Column) -> Column:

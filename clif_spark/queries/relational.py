@@ -1143,11 +1143,19 @@ def u10_store_schema_evolution(spark, sf_dir):
           .select(F.col("n_nationkey").cast("long").alias("k"),
                   F.lit(3).cast("long").alias("version"),
                   F.lit(False).alias("is_delete")))
+    # Match the EXPECTED failure specifically: strict unionByName raises
+    # AnalysisException naming the missing column. Anything else (conf,
+    # a broken store, an unrelated analysis error) re-raises — a rotted
+    # strict mode must not gate green by failing for the wrong reason.
+    from pyspark.errors import AnalysisException
+
     try:
         STR.upsert_cdc_snapshot(d3, root, ["k"], ["version"],
                                 lineage="schema-evo")
         drift_rejected = False  # silent acceptance == destruction path
-    except Exception:
+    except AnalysisException as exc:
+        if "val" not in str(exc):
+            raise
         drift_rejected = True
     out = STR.read_cdc_snapshot(spark, root)
     return out.select("k", "version", "val", "extra",

@@ -620,12 +620,20 @@ def a26_checked_sum_guard(spark, sf_dir):
     sums."""
     from clif_spark.queries import dsum as _dsum
 
-    # eager wrap-domain probe: MUST raise through the checked path
+    # eager wrap-domain probe: MUST raise through the checked path —
+    # and specifically THE GUARD's assert_true (SparkRuntimeException
+    # carrying dsum's own message). Any other failure (conf, OOM, an
+    # unrelated analysis error) re-raises: a rotted guard must not gate
+    # green by failing for the wrong reason.
+    from pyspark.errors import SparkRuntimeException
+
     probe = spark.range(2).select(F.lit(5.0e12).alias("v"))
     try:
         probe.agg(_dsum("v", 2, checked=True).alias("s")).collect()
         guard_fired = False  # silent success == the guard has rotted
-    except Exception:
+    except SparkRuntimeException as exc:
+        if "dsum(checked=True)" not in str(exc):
+            raise
         guard_fired = True
     li = io.load_table(spark, sf_dir, "lineitem")
     return (li.groupBy("l_returnflag")

@@ -214,12 +214,22 @@ _CANON_CTES = r"""
       SELECT doc_id, n_chars,
              regexp_replace(url, '#.*$', '') AS u FROM raw),
     parts AS (
+      -- port strip is SCHEME-AWARE, mirroring functions/url.py rule
+      -- for rule: only the scheme's own default port is an
+      -- identity-preserving removal (http:80, https:443)
       SELECT doc_id, n_chars,
         lower(regexp_extract(u,
           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        regexp_replace(regexp_replace(lower(regexp_extract(u,
-          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-          ':(443|80)$', ''), '^www\.', '') AS host,
+        regexp_replace(
+          CASE lower(regexp_extract(u,
+                 '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+            WHEN 'http' THEN regexp_replace(lower(regexp_extract(u,
+              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':80$', '')
+            WHEN 'https' THEN regexp_replace(lower(regexp_extract(u,
+              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':443$', '')
+            ELSE lower(regexp_extract(u,
+              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+          END, '^www\.', '') AS host,
         regexp_replace(CASE WHEN regexp_extract(u,
           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
           THEN '/' ELSE regexp_extract(u,

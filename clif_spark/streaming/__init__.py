@@ -281,9 +281,15 @@ def write_stream_parquet(stream_df: DataFrame, path: str, checkpoint: str,
 
 # --- streaming CDC apply (the u7 MERGE as a continuously maintained table) ---
 
-def _cdc_pointer_read(root: str) -> tuple[int, str, str] | None:
-    """(last applied batch_id, snapshot dir, checkpoint id) from
-    root/_LATEST, or None."""
+def _cdc_pointer_read(root: str) -> tuple[int, str, str, int] | None:
+    """(last applied batch_id, snapshot dir, checkpoint id, lineage epoch)
+    from root/_LATEST, or None. The epoch is a globally monotone counter
+    bumped on every LINEAGE SWITCH (pointer checkpoint id changes): batch
+    ids restart at 0 per lineage, so (batch_id, ckpt) alone is NOT a
+    unique version-dir key once a lineage is revisited (A->B->A would
+    reuse v0_<A>) — the epoch disambiguates without touching the
+    per-lineage ordinal that redelivery detection needs. Legacy 3-line
+    pointers read back as epoch 0."""
     import os
 
     ptr = os.path.join(root, "_LATEST")
@@ -293,24 +299,52 @@ def _cdc_pointer_read(root: str) -> tuple[int, str, str] | None:
         lines = fh.read().splitlines()
     bid, vdir = lines[0], lines[1]
     ckpt_id = lines[2] if len(lines) > 2 else ""
-    return int(bid), vdir, ckpt_id
+    epoch = int(lines[3]) if len(lines) > 3 else 0
+    return int(bid), vdir, ckpt_id, epoch
 
 
 def _cdc_pointer_write(root: str, batch_id: int, vdir: str,
-                       ckpt_id: str) -> None:
+                       ckpt_id: str, epoch: int = 0) -> None:
     """Atomic pointer update: write a temp file, then os.replace — readers
     always see a complete pointer (POSIX rename atomicity), never a torn
     one. The pointer is the ONLY mutable object in the format. It records
     the CHECKPOINT IDENTITY alongside the batch id because batch ids are
     only monotone within one checkpoint lineage — a fresh feed attached
     to an existing table restarts at 0 and must NOT be skipped as a
-    redelivery."""
+    redelivery — and the LINEAGE EPOCH so version-dir names stay unique
+    across lineage revisits (see _cdc_pointer_read)."""
     import os
 
     tmp = os.path.join(root, f"_LATEST.tmp.{batch_id}")
     with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(f"{batch_id}\n{vdir}\n{ckpt_id}\n")
+        fh.write(f"{batch_id}\n{vdir}\n{ckpt_id}\n{epoch}\n")
     os.replace(tmp, os.path.join(root, "_LATEST"))
+
+
+def _vdir_name(batch_id: int, ckpt_id: str, epoch: int) -> str:
+    """Version-dir name: ``v{batch_id}_{ckpt[:6]}`` for the table's first
+    lineage epoch (the historical layout — every pre-epoch dir remains
+    addressable), ``v{batch_id}_{ckpt[:6]}e{epoch}`` afterwards. The
+    epoch suffix is what makes the name globally unique when a lineage
+    is REVISITED after an interleaved one (A->B->A): without it the
+    second A epoch's v0 would mode('overwrite') the first A epoch's v0 —
+    clobbering a supposedly immutable historical dir out from under lazy
+    readers and time travel."""
+    sfx = ckpt_id[:6] if epoch == 0 else f"{ckpt_id[:6]}e{epoch}"
+    return f"v{batch_id}_{sfx}"
+
+
+def _next_version(meta: tuple[int, str, str, int] | None,
+                  ckpt_id: str) -> tuple[int, int]:
+    """(batch_id, epoch) for the next upsert under ``ckpt_id``: same
+    lineage continues its ordinal within its epoch; a lineage SWITCH
+    restarts the ordinal at 0 in a fresh (globally monotone) epoch; a
+    fresh table starts at (0, 0)."""
+    if meta is None:
+        return 0, 0
+    if meta[2] == ckpt_id:
+        return meta[0] + 1, meta[3]
+    return 0, meta[3] + 1
 
 
 def apply_cdc_stream(cdc_stream: DataFrame, root: str,
@@ -370,12 +404,17 @@ def apply_cdc_stream(cdc_stream: DataFrame, root: str,
                 else stamped.limit(0))
         merged = _core.upsert_keep_latest(base, stamped, keys, order)
         # EVERY version dir carries the lineage suffix (not just the
-        # first batch of a new lineage): (batch_id, lineage) is the only
-        # globally unique version key, so an unsuffixed v{id} from feed B
-        # would OVERWRITE feed A's immutable v{id} history.
-        vdir = os.path.join(root, f"v{batch_id}_{ckpt_id[:6]}")
+        # first batch of a new lineage) PLUS the lineage epoch: batch ids
+        # are stream-checkpoint ordinals, only monotone within one
+        # lineage, so an unsuffixed v{id} from feed B would OVERWRITE
+        # feed A's immutable v{id} history — and a REVISITED lineage
+        # (A->B->A, or a recreated checkpoint restarting at 0) would
+        # reuse its own old names without the epoch (_vdir_name).
+        epoch = (meta[3] if meta is not None and meta[2] == ckpt_id
+                 else (meta[3] + 1 if meta is not None else 0))
+        vdir = os.path.join(root, _vdir_name(batch_id, ckpt_id, epoch))
         merged.write.mode("overwrite").parquet(vdir)
-        _cdc_pointer_write(root, batch_id, vdir, ckpt_id)
+        _cdc_pointer_write(root, batch_id, vdir, ckpt_id, epoch)
 
     q = (cdc_stream.writeStream.foreachBatch(_sink)
          .option("checkpointLocation", ckpt)
@@ -436,24 +475,23 @@ def upsert_cdc_snapshot(batch_df: DataFrame, root: str,
     meta = _cdc_pointer_read(root)
     stamped = batch_df.withColumn(
         tombstone_col, F.coalesce(F.col(tombstone_col), F.lit(False)))
-    if meta is not None:
-        # Existing table: ALWAYS merge onto the current snapshot. The
-        # lineage id only scopes the version counter — a new lineage
-        # restarts at 0 (its ids aren't comparable to the old ones),
-        # it does not orphan the live rows.
-        batch_id = meta[0] + 1 if meta[2] == ckpt_id else 0
-        base = spark.read.parquet(meta[1])
-    else:
-        batch_id = 0
-        base = stamped.limit(0)
+    # Existing table: ALWAYS merge onto the current snapshot. The
+    # lineage id only scopes the version counter — a new lineage
+    # restarts its ordinal at 0 in a fresh epoch (_next_version; its
+    # ids aren't comparable to the old ones), it does not orphan the
+    # live rows — and the epoch keeps a revisited lineage from reusing
+    # its own historical version-dir names (_vdir_name).
+    batch_id, epoch = _next_version(meta, ckpt_id)
+    base = (spark.read.parquet(meta[1]) if meta is not None
+            else stamped.limit(0))
     from clif_spark.operators import core as _core
 
     merged = _core.upsert_keep_latest(
         base, stamped, keys, order,
         allow_missing_columns=allow_missing_columns)
-    vdir = os.path.join(root, f"v{batch_id}_{ckpt_id[:6]}")
+    vdir = os.path.join(root, _vdir_name(batch_id, ckpt_id, epoch))
     merged.write.mode("overwrite").parquet(vdir)
-    _cdc_pointer_write(root, batch_id, vdir, ckpt_id)
+    _cdc_pointer_write(root, batch_id, vdir, ckpt_id, epoch)
     return vdir
 
 
@@ -470,14 +508,16 @@ def read_cdc_snapshot(spark: SparkSession, root: str,
     if meta is None:
         raise FileNotFoundError(f"no CDC snapshot pointer under {root}")
     if version is not None:
-        # Versions resolve within the CURRENT lineage only (the pointer's
-        # checkpoint id) — serving another lineage's v{N} would silently
-        # time-travel a DIFFERENT history. Older lineages' dirs may still
-        # exist on disk but are not addressable here by design.
-        sfx = meta[2][:6]
-        vdir = os.path.join(root, f"v{version}_{sfx}")
+        # Versions resolve within the CURRENT lineage EPOCH only (the
+        # pointer's checkpoint id + epoch) — serving another lineage's
+        # v{N}, or the same lineage's v{N} from before an interleaved
+        # feed, would silently time-travel a DIFFERENT history. Older
+        # epochs' dirs may still exist on disk but are not addressable
+        # here by design.
+        name = _vdir_name(version, meta[2], meta[3])
+        vdir = os.path.join(root, name)
         if not os.path.exists(vdir):
-            vdir = os.path.join(root, f"v{version}_{sfx}_compacted")
+            vdir = os.path.join(root, f"{name}_compacted")
         if not os.path.exists(vdir):
             raise FileNotFoundError(
                 f"no version v{version} in the current lineage under "
@@ -521,7 +561,7 @@ def compact_cdc_snapshot(spark: SparkSession, root: str,
     meta = _cdc_pointer_read(root)
     if meta is None:
         raise FileNotFoundError(f"no CDC snapshot pointer under {root}")
-    last_bid, vdir, ckpt_id = meta
+    last_bid, vdir, ckpt_id, epoch = meta
     if vdir.endswith("_compacted"):
         # Idempotent: already compacted, no new batches since. Still run
         # the stale-dir sweep — a prior compaction that crashed after the
@@ -536,7 +576,7 @@ def compact_cdc_snapshot(spark: SparkSession, root: str,
     # footer-metadata jobs, not data reads).
     snap.filter(~F.col(tombstone_col)).write.mode("overwrite").parquet(cdir)
     n_tomb = snap.count() - spark.read.parquet(cdir).count()
-    _cdc_pointer_write(root, last_bid, cdir, ckpt_id)
+    _cdc_pointer_write(root, last_bid, cdir, ckpt_id, epoch)
     _sweep(cdir)
     return n_tomb
 
@@ -559,19 +599,31 @@ def fold_agg_snapshot(partials: DataFrame, root: str, keys: list[str],
     UNLIKE the keep-latest upsert, an additive fold is NOT idempotent —
     re-applying a delivery double-counts — so replay safety here is
     the skip guard alone: ``version`` is the caller's strictly
-    increasing delivery ordinal, and a fold at or below the pointer's
-    last-applied ordinal (same lineage) is SKIPPED, returning None.
-    This is exactly apply_cdc_stream's redelivery rule with the
-    both-ways safety net removed, which is why the guard is mandatory
-    rather than advisory.
+    increasing delivery ordinal; a fold AT the pointer's last-applied
+    ordinal (same lineage) is the crash-replay redelivery (sink ran,
+    caller's commit didn't) and is SKIPPED, returning None, while a
+    fold BELOW it RAISES — with only the last ordinal recorded, an
+    older version is indistinguishable between "redelivered long ago"
+    and "genuinely new, arrived out of order", and silently skipping
+    the latter is undetectable data loss on a caller ordinal bug.
+    This is apply_cdc_stream's redelivery rule with the both-ways
+    safety net removed, which is why the guard is mandatory rather
+    than advisory and why the ambiguous case must be loud.
+
+    Tombstoned keys (retired via the upsert machinery's is_delete
+    rows) are EXCLUDED from the fold two-sidedly: their stored row is
+    carried through untouched (never summed into an aggregate — a
+    tombstone's NULL/stale partials must not poison a live total) and
+    incoming partials for them are dropped (a retired key stays
+    retired until explicitly re-admitted). ``compact_cdc_snapshot``
+    physically removes them as usual.
 
     Scale: the store holds one row per KEY (not per event) — folding a
     delivery costs O(delivery partials + store keys); the full-history
     recompute this replaces costs O(all events ever). At 100 TB
     partition the store on the key and rewrite only touched
     partitions. Rows carry ``is_delete = false`` so the snapshot stays
-    compact/read compatible (a key can be retired with a tombstone via
-    upsert machinery if ever needed)."""
+    compact/read compatible."""
     import hashlib
     import os
 
@@ -579,20 +631,38 @@ def fold_agg_snapshot(partials: DataFrame, root: str, keys: list[str],
     ckpt_id = hashlib.md5(f"agg:{lineage}".encode()).hexdigest()[:16]
     spark = partials.sparkSession
     meta = _cdc_pointer_read(root)
-    if meta is not None and meta[2] == ckpt_id and version <= meta[0]:
-        return None  # redelivered / out-of-order fold: already counted
+    if meta is not None and meta[2] == ckpt_id:
+        if version == meta[0]:
+            return None  # redelivered last fold: already counted
+        if version < meta[0]:
+            raise ValueError(
+                f"fold_agg_snapshot: delivery ordinal {version} is below "
+                f"the last applied ordinal {meta[0]} for lineage "
+                f"'{lineage}' — either a deep redelivery (re-applying "
+                f"would double-count) or a genuinely new out-of-order "
+                f"delivery (skipping would lose it). The fold cannot "
+                f"tell; fix the caller's ordinal assignment.")
+        epoch = meta[3]
+    else:
+        epoch = meta[3] + 1 if meta is not None else 0
     incoming = partials.withColumn("is_delete", F.lit(False))
     if meta is not None:
         base = spark.read.parquet(meta[1])
-        merged_src = base.unionByName(incoming)
+        dead = base.filter(F.col("is_delete"))
+        live_src = (base.filter(~F.col("is_delete"))
+                        .unionByName(incoming.join(
+                            dead.select(*keys), list(keys), "left_anti")))
     else:
-        merged_src = incoming
+        dead = None
+        live_src = incoming
     aggs = ([F.sum(c).alias(c) for c in add_cols]
             + [F.min(c).alias(c) for c in (min_cols or [])]
-            + [F.max(c).alias(c) for c in (max_cols or [])]
-            + [F.first("is_delete").alias("is_delete")])
-    merged = merged_src.groupBy(*keys).agg(*aggs)
-    vdir = os.path.join(root, f"v{version}_{ckpt_id[:6]}")
+            + [F.max(c).alias(c) for c in (max_cols or [])])
+    merged = (live_src.groupBy(*keys).agg(*aggs)
+              .withColumn("is_delete", F.lit(False)))
+    if dead is not None:
+        merged = merged.unionByName(dead.select(*merged.columns))
+    vdir = os.path.join(root, _vdir_name(version, ckpt_id, epoch))
     merged.write.mode("overwrite").parquet(vdir)
-    _cdc_pointer_write(root, version, vdir, ckpt_id)
+    _cdc_pointer_write(root, version, vdir, ckpt_id, epoch)
     return vdir

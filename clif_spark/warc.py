@@ -41,6 +41,7 @@ from __future__ import annotations
 import gzip
 from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -100,6 +101,21 @@ def build_warc_records(
         F.lit(f"Content-Type: {http_content_type}" + CRLF),
         F.lit("Content-Length: "), F.octet_length(payload).cast("string"),
         F.lit(CRLF + CRLF))
+    # A NULL url or payload would null-propagate through every concat
+    # below, producing a NULL record that only surfaces later as an
+    # opaque AttributeError inside file assembly. The BUILDER's inputs
+    # are our own corpus (not foreign crawl bytes), so a NULL here is
+    # upstream corruption and the policy is fail-fast-with-a-message —
+    # the row-granularity junk policy applies to the PARSER of foreign
+    # data, never to serializing our own. (assert_true is NULL on pass;
+    # the when() forces its evaluation before the record is served.)
+    guard = F.assert_true(
+        url.isNotNull() & payload.isNotNull(),
+        F.concat(F.lit("build_warc_records: NULL "),
+                 F.when(url.isNull(), F.lit(f"url ({url_col})"))
+                  .otherwise(F.lit(f"payload ({payload_col})")),
+                 F.lit(" — a WARC record requires both a target URI and"
+                       " a payload; filter or coalesce upstream")))
     http_block = F.concat(http_head, payload)
     warc_head = F.concat(
         F.lit("WARC/1.1" + CRLF),
@@ -113,7 +129,9 @@ def build_warc_records(
         F.octet_length(http_block).cast("string"),
         F.lit(CRLF + CRLF))
     return df.withColumn(
-        "record", F.concat(warc_head, http_block, F.lit(CRLF + CRLF)))
+        "record",
+        F.when(guard.isNull(),
+               F.concat(warc_head, http_block, F.lit(CRLF + CRLF))))
 
 
 def assemble_warc_files(
@@ -141,7 +159,12 @@ def assemble_warc_files(
         T.StructField("content", T.BinaryType()),
     ])
 
-    def build(pdf) -> object:
+    # typed signature so applyInPandas infers the eval type from hints
+    # (an untyped closure emits a UserWarning per call site); pandas is
+    # still imported inside the body because the closure ships to
+    # executors by value — the module-level alias only serves hint
+    # resolution at definition time, driver-side.
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
         import gzip as _gzip
 
         import pandas as pd

@@ -507,6 +507,15 @@ def test_url_canonicalize_edge_cases(spark):
         ("HTTPS://SITE.COM/A?fbclid=x", "https://site.com/A"),
         ("https://site.com/?utm_source=s", "https://site.com/"),
         ("https://site.com/a?b=1", "https://site.com/a?b=1"),  # fixed point
+        # port stripping is SCHEME-AWARE: :443 on http and :80 on https
+        # are NOT default ports — they name different resources and must
+        # survive (stripping them would merge distinct URLs)
+        ("http://site.com:443/x", "http://site.com:443/x"),
+        ("https://site.com:80/x", "https://site.com:80/x"),
+        ("http://www.site.com:80/x", "http://site.com/x"),
+        ("https://site.com:443/x", "https://site.com/x"),
+        # unknown scheme: no default-port notion, port always kept
+        ("ftp://site.com:80/x", "ftp://site.com:80/x"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
     from pyspark.sql import functions as F

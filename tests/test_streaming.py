@@ -354,13 +354,21 @@ def test_fold_agg_snapshot_guard_and_time_travel(spark):
     assert streaming.fold_agg_snapshot(
         partial([("a", 3, 30)]), root, ["k"], 1,
         add_cols=["n", "s"]) is not None
-    # redelivery (same ordinal) and out-of-order (below) both skip
+    # redelivery of the LAST ordinal skips (the crash-replay case the
+    # guard exists for) ...
     assert streaming.fold_agg_snapshot(
         partial([("a", 99, 99)]), root, ["k"], 1,
         add_cols=["n", "s"]) is None
-    assert streaming.fold_agg_snapshot(
-        partial([("a", 99, 99)]), root, ["k"], 0,
-        add_cols=["n", "s"]) is None
+    # ... but an ordinal BELOW it raises: with only the last ordinal
+    # recorded, it's indistinguishable between deep redelivery and a
+    # genuinely new out-of-order delivery — silently dropping the
+    # latter is undetectable data loss on a caller ordinal bug
+    import pytest
+
+    with pytest.raises(ValueError, match="below the last applied"):
+        streaming.fold_agg_snapshot(
+            partial([("a", 99, 99)]), root, ["k"], 0,
+            add_cols=["n", "s"])
     live = {r.k: (r.n, r.s) for r in
             streaming.read_cdc_snapshot(spark, root).collect()}
     assert live == {"a": (4, 40), "b": (2, 20)}
@@ -376,3 +384,89 @@ def test_fold_agg_snapshot_guard_and_time_travel(spark):
     live2 = {r.k: (r.n, r.s) for r in
              streaming.read_cdc_snapshot(spark, root).collect()}
     assert live2 == {"a": (4, 40), "b": (3, 21)}
+
+
+def test_upsert_cdc_snapshot_lineage_revisit_never_clobbers_history(spark):
+    """A REVISITED lineage (A -> B -> A) restarts its ordinal at 0 — but
+    must not reuse its own historical version-dir names: v0 of the first
+    A epoch is immutable (lazy readers pinned to it, time travel), so the
+    second A epoch's v0 lands in a FRESH globally-unique dir. Also pins
+    that a lazy DataFrame bound to the clobber-candidate dir reads its
+    original content afterwards, and that time travel serves the CURRENT
+    epoch's v0."""
+    import os
+    import tempfile
+
+    from clif_spark import streaming
+
+    root = tempfile.mkdtemp(prefix="cdc_revisit_tbl_")
+    schema = "k long, version long, val string, is_delete boolean"
+    streaming.upsert_cdc_snapshot(
+        spark.createDataFrame([(1, 1, "a-epoch0", False)], schema),
+        root, ["k"], ["version"], lineage="feed-A")
+    first_a_v0 = streaming._cdc_pointer_read(root)[1]
+    pinned = spark.read.parquet(first_a_v0)  # lazy reader on epoch-0 v0
+    streaming.upsert_cdc_snapshot(
+        spark.createDataFrame([(2, 2, "b", False)], schema),
+        root, ["k"], ["version"], lineage="feed-B")
+    revisit_v0 = streaming.upsert_cdc_snapshot(
+        spark.createDataFrame([(1, 3, "a-epoch2", False)], schema),
+        root, ["k"], ["version"], lineage="feed-A")
+    # the revisit allocated a NEW dir; the historical one is untouched
+    assert os.path.realpath(revisit_v0) != os.path.realpath(first_a_v0)
+    assert sorted((r.k, r.val) for r in pinned.collect()) \
+        == [(1, "a-epoch0")]
+    # live view folded all three epochs
+    live = {r.k: r.val for r in
+            streaming.read_cdc_snapshot(spark, root).collect()}
+    assert live == {1: "a-epoch2", 2: "b"}
+    # time travel v0 resolves the CURRENT epoch's v0 (the revisit),
+    # not the historical epoch-0 dir
+    v0 = streaming.read_cdc_snapshot(spark, root, version=0)
+    assert {r.k: r.val for r in v0.collect()} == live
+    # three distinct version dirs exist on disk (one per epoch)
+    vdirs = [d for d in os.listdir(root) if d.startswith("v")]
+    assert len(vdirs) == 3, sorted(vdirs)
+
+
+def test_fold_agg_snapshot_tombstone_excluded_both_sides(spark):
+    """A key retired from the aggregate store (tombstone via the upsert
+    machinery) is excluded from subsequent folds two-sidedly: its stored
+    row is never summed into an aggregate (NULL/stale partials must not
+    poison live totals) and incoming partials for it are dropped — a
+    retired key stays retired. Live keys keep folding normally, and
+    compaction physically drops the tombstone."""
+    import tempfile
+
+    from clif_spark import streaming
+
+    root = tempfile.mkdtemp(prefix="agg_tomb_tbl_")
+
+    def partial(rows):
+        return spark.createDataFrame(rows, "k string, n long, s long")
+
+    streaming.fold_agg_snapshot(
+        partial([("a", 1, 10), ("b", 2, 20)]), root, ["k"], 0,
+        add_cols=["n", "s"])
+    # retire key 'a': tombstone row via the upsert machinery (order by n
+    # with a sentinel that beats the stored partial)
+    tomb = spark.createDataFrame(
+        [("a", 999, 0, True)], "k string, n long, s long, is_delete boolean")
+    streaming.upsert_cdc_snapshot(tomb, root, ["k"], ["n"],
+                                  lineage="retire")
+    # next delivery carries partials for BOTH keys; 'a' must stay retired
+    vdir = streaming.fold_agg_snapshot(
+        partial([("a", 5, 50), ("b", 1, 1)]), root, ["k"], 0,
+        add_cols=["n", "s"])
+    live = {r.k: (r.n, r.s) for r in
+            streaming.read_cdc_snapshot(spark, root).collect()}
+    assert live == {"b": (3, 21)}  # 'a' absent; 'b' folded normally
+    # the tombstone row rode through UNTOUCHED (not summed with the
+    # incoming a-partial) so the suppression record is intact
+    raw = {r.k: (r.n, r.is_delete) for r in
+           spark.read.parquet(vdir).collect()}
+    assert raw["a"] == (999, True)
+    # compaction physically drops it
+    assert streaming.compact_cdc_snapshot(spark, root) == 1
+    assert {r.k for r in
+            streaming.read_cdc_snapshot(spark, root).collect()} == {"b"}

@@ -248,3 +248,34 @@ def test_write_warc_files_sink(spark, tmp_path):
     orig = {f"https://e.x/{r['doc_id']}": r["text"]
             for r in docs.collect()}
     assert back == orig
+
+
+def test_build_records_rejects_null_inputs_loudly(spark):
+    """A NULL url or payload must fail the BUILD fast with a named
+    message — not null-propagate into a NULL record that crashes file
+    assembly later with an opaque AttributeError. (The row-granularity
+    junk policy covers the parser of foreign bytes; serializing our own
+    corpus with a NULL key is upstream corruption.)"""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    null_url = spark.createDataFrame(
+        [(0, "body", "https://e.x/0", 0), (1, "body", None, 0)],
+        "doc_id long, text string, url string, file_id long")
+    with pytest.raises(SparkRuntimeException,
+                       match=r"build_warc_records: NULL url"):
+        warc.assemble_warc_files(warc.build_warc_records(null_url)) \
+            .collect()
+    null_payload = spark.createDataFrame(
+        [(0, None, "https://e.x/0", 0)],
+        "doc_id long, text string, url string, file_id long")
+    with pytest.raises(SparkRuntimeException,
+                       match=r"build_warc_records: NULL payload"):
+        warc.build_warc_records(null_payload).select("record").collect()
+    # non-null inputs are untouched by the guard
+    ok = spark.createDataFrame(
+        [(0, "", "https://e.x/0", 0)],  # empty payload is legal
+        "doc_id long, text string, url string, file_id long")
+    rows = warc.parse_warc(
+        warc.assemble_warc_files(warc.build_warc_records(ok))).collect()
+    assert len(rows) == 1 and rows[0]["payload"] == b""
