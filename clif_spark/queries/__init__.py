@@ -246,81 +246,64 @@ def us(col: Column | str) -> Column:
 # green row across rounds, and no row goes stale for more than two rounds.
 # Cheap batch checks lead; multi-second stream-startup queries trail their
 # block so they never starve cheap checks.
-_VERIFY_FIRST = [
-    # --- never driver-gated: registered in round 9 (new operators get a
-    # driver row before any refresh does): the dedup-store takedown
-    # lifecycle, the semantic-store drift-recall contract, the two
-    # machine-checked codec boundaries, and the checked-sum guard ---
-    "dedup_store_takedown", "semantic_store_takedown",
-    "semantic_store_drift_recall", "dedup_bloom_screen",
-    "u9_incremental_agg_maintenance", "u10_store_schema_evolution",
-    "ann_matryoshka_topk", "semantic_store_rebuild_contract",
-    "mm_jpeg_arithmetic_reject", "mm_video_h264_skip",
-    "a26_checked_sum_guard",
-    # --- the full r5-latest backlog (all 33 rows whose newest green row
-    # is round 5 — the rotation debt VERDICT r8 item 1 scheduled; the
-    # one stream among them sits at the tail): after this round no
-    # registry row's latest green is older than r6 ---
-    "a16_numeric_histogram", "a19_cooccurrence_pairs",
-    "a20_winsorize_clamp", "a21_countmin_heavy",
-    "ann_ivf_pq_residual_topk", "ann_ivf_pq_topk", "ann_pq_adc_topk",
-    "emb_pq_encode",
-    "corpus_c4_line_filter", "dedup_chunk_paragraphs",
-    "dedup_remove_repeated_spans",
-    "f16_accent_fold", "mm_sample_stats", "o3_topk_per_group",
-    "o4_zorder_key",
-    "pipeline_admission_diagnosis", "pipeline_adt",
-    "pipeline_demographics", "pipeline_encounter_dispo",
-    "pipeline_labs", "pipeline_med_admin_continuous",
-    "pipeline_resp_support", "pipeline_scores",
-    "sample_mix_epochs", "sample_reservoir_per_key",
-    "sample_temperature_mix",
-    "text_bm25_topk", "text_chunk_windows", "text_rare_bigram_score",
-    "u6_snapshot_diff", "w12_rate_of_change", "w14_interpolate_linear",
-    # --- the web-ingest surface, registered late in round 9 (WARC
-    # container roundtrip, HTML->text extraction, URL canonicalize +
-    # URL-level dedup, and the end-to-end crawl-ingest pipeline): new
-    # operators get a driver row before any refresh does, so these take
-    # the four slots previously earmarked for the oldest-r6 contract
-    # twins (ann_arrow_fold_equality, ann_ivf_trained_recall_bound,
-    # text_bpe_roundtrip, w16_ewma_agreement — all still r6-green,
-    # rotated to the r10 lead with the rest of the r6 cohort) ---
-    "io_warc_roundtrip", "text_html_extract",
-    "text_url_canonicalize", "pipeline_web_ingest",
-    # --- streams at the tail (multi-second startup each): the changed
-    # incremental-dedup sink (now replay-idempotent — its r8 row
-    # verified the old append sink), the r5 CMS-merge stream, and the
-    # r6 CDC-apply stream whose batch twin's lineage handling changed
-    # this round ---
-    "stream_incremental_dedup", "stream_countmin_merge",
-    "stream_agg_maintenance",
+_VERIFY_FIRST_R10 = [
+    # --- never driver-gated first: the three late-r9 registrations
+    # (VERDICT r10 item 1) + the two r10 registrations (robots/licensing
+    # gate, WARC request/response/metadata pairing); the one stream
+    # among them sits at the stream tail ---
+    "io_orc_roundtrip", "web_host_stats",
+    "web_robots_filter", "warc_record_pairing",
+    # --- the r6-latest backlog (VERDICT r10 item 2), twins and
+    # headliners first as the verdict ordered: the four contract twins
+    # standing in for their permanent rows-only partners ---
+    "ann_arrow_fold_equality", "ann_ivf_trained_recall_bound",
+    "text_bpe_roundtrip", "w16_ewma_agreement",
+    # --- the five benched headliners (also re-executed by every bench
+    # run, but a bench run is not a CORRECTNESS row) ---
+    "ann_cosine_topk", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "text_quality_metrics",
+    # --- u7: its CDC/merge machinery changed this round (version-dir
+    # epochs) — re-gate with priority ---
+    "u7_merge_with_deletes",
+    # --- the remaining r6-latest batch rows, name order ---
+    "a17_iqr_outliers", "a18_key_skew_profile", "ann_ivf_topk",
+    "ann_lsh_buckets", "ann_recall_at_k", "contamination_check",
+    "dedup_clusters", "dedup_embedding_cosine", "dedup_ngram_jaccard",
+    "dedup_repeated_ngrams", "dedup_simhash_pairs", "emb_quantize_int8",
+    "f6_coalesce_fallback", "j2_composite_key_join", "j4_semi_anti_join",
+    "j7_asof_join", "j8_interval_join", "mm_frame_offsets",
+    "mm_gif_pixel_stats", "p10_time_range", "p7_p8_in_comparison",
+    "p9_like_rlike", "pii_redact", "pipeline_llm_curation",
+    "q6_forecast_revenue", "seq_pack_bins", "text_fingerprint",
+    "text_lang_id", "text_rolling_fingerprint", "tfidf_top_terms",
+    "w13_cumulative_distinct", "w1_lead_episodes", "w2_downup_fill",
+    "w3_keep_last_dedup",
+    # --- streams at the tail (multi-second startup each): the
+    # never-gated crawl-ingest stream + the r6 CDC-apply stream whose
+    # sink machinery changed this round ---
+    "stream_web_ingest", "stream_cdc_apply",
 ]
-# Exactly 50 head entries: 16 never-gated r9 registrations (15 batch +
-# the stream_agg_maintenance composition at the stream tail) + 32
-# r5-latest batch refreshes + 2 stream slots (the changed-sink
-# stream_incremental_dedup re-gate + the r5 stream_countmin_merge).
-# Ceded to the new registrations, all r6-green and due r10: the four
-# contract twins (ann_arrow_fold_equality,
-# ann_ivf_trained_recall_bound, text_bpe_roundtrip,
-# w16_ewma_agreement), the five benched headliners (ann_cosine_topk,
-# q1_pricing_summary, q3_shipping_priority, q5_local_supplier_volume,
-# text_quality_metrics — re-executed by every bench run regardless),
-# stream_cdc_apply, and u7_merge_with_deletes (their CDC/merge
-# machinery is exercised by every store row via upsert/read/compact):
-# new operators get a driver row before any refresh does. Rows-only
-# queries (dedup_semantic, ann_ivf_trained_topk, ann_cosine_topk_arrow,
-# w15_ewma_smooth, text_bpe_tokenize) NEVER rotate into the head — the
-# driver gate can only say 'no_oracle' about them; their driver-hashed
-# contract twins are the gateable artifact and rotate in their place
-# (the four twins now lead the r10 list).
-# After this round's gate the r10 due list is: the rows registered
-# after this head filled (stream_web_ingest, web_host_stats,
-# io_orc_roundtrip — never driver-gated, they LEAD r10) + the 50
-# r6-latest rows (the four contract twins first) +
-# dedup_semantic_contract (r7) — 54 rows for one head-50. The five
-# benched headliners in that cohort are re-executed by every bench run
-# regardless, so they cede slots to the never-gated rows and r10
-# registrations, exactly as they did this round.
+# Exactly 50 head entries: 5 never-gated (3 late-r9 + 2 new r10, one of
+# them the stream at the tail) + 44 r6-latest refreshes (4 twins, 5
+# headliners, u7, 33 batch rows, stream_cdc_apply) + 1 more r6 batch row
+# folded into the name-ordered block above. Enumerated r11 remainder
+# (within the verdict's <=15 allowance): the five r6 streams
+# (stream_click_to_buy, stream_dedup_counts, stream_session_episodes,
+# stream_sliding_agg, stream_tumbling_agg), dedup_semantic_contract
+# (r7), and the changed-code r9-green rows to refresh
+# (u9_incremental_agg_maintenance, u10_store_schema_evolution,
+# a26_checked_sum_guard, stream_agg_maintenance, text_url_canonicalize,
+# dedup_store_takedown, semantic_store_takedown — all re-verified
+# locally this round at sf0.001 + the driver-contract check at sf0.01
+# after the CDC-epoch/guard-probe/URL-port changes).
+_VERIFY_FIRST = _VERIFY_FIRST_R10
+
+# Rows-only queries (dedup_semantic, ann_ivf_trained_topk,
+# ann_cosine_topk_arrow, w15_ewma_smooth, text_bpe_tokenize) NEVER
+# rotate into the head — the driver gate can only say 'no_oracle'
+# about them; their driver-hashed contract twins are the gateable
+# artifact and rotate in their place (policy test:
+# tests/test_oracle.py::test_verify_head_hygiene).
 
 _VERIFY_LAST = [
     # (empty: the single due stream sits at the tail of the head-50)

@@ -447,3 +447,159 @@ def web_host_stats(spark, sf_dir):
         n_urls.alias("n_urls"),
         (n_docs - n_urls).alias("n_dup_docs"),
         (n_docs >= 2 * n_urls).alias("flagged"))
+
+
+# --- D3: robots/licensing gate ahead of extraction -----------------------
+
+# Planted per-host deny list: robots-disallowed and license-denied hosts
+# over the canonical host key web_host_stats aggregates on. Literal in
+# both engines so the rule list is pinned in one place.
+_DENY_HOSTS = [
+    ("src0.example.com", "robots"),
+    ("src7.example.com", "robots"),
+    ("src14.example.com", "robots"),
+    ("src3.example.com", "license"),
+    ("src10.example.com", "license"),
+    ("src17.example.com", "license"),
+]
+
+_DENY_SQL = "(VALUES " + ", ".join(
+    f"('{h}', '{r}')" for h, r in _DENY_HOSTS) + ") AS deny(host, reason)"
+
+
+@query(
+    "web_robots_filter",
+    oracle=f"""
+    WITH {_CANON_CTES}
+    SELECT c.host,
+           CAST(COUNT(*) AS BIGINT) AS n_fetched,
+           ANY_VALUE(deny.reason) AS deny_reason,
+           CAST(CASE WHEN ANY_VALUE(deny.reason) IS NULL
+                THEN COUNT(*) ELSE 0 END AS BIGINT) AS n_kept,
+           CAST(CASE WHEN ANY_VALUE(deny.reason) IS NULL
+                THEN SUM(c.n_chars) ELSE 0 END AS BIGINT) AS kept_chars
+    FROM canon c
+    LEFT JOIN {_DENY_SQL} ON c.host = deny.host
+    GROUP BY c.host
+    """,
+)
+def web_robots_filter(spark, sf_dir):
+    """D3 (engine ext.): the robots/licensing gate real crawl curation
+    runs AHEAD of extraction (CC-Net/C4 drop disallowed hosts before
+    spending a single extraction cycle on their pages): a per-host
+    allow/deny list — robots disallow entries and license-denied hosts —
+    applied to the canonicalized URL stream as a BROADCAST ANTI-JOIN,
+    so the kept stream never shuffles and the denylist (host-count
+    sized, KBs even for a million-host list) rides to every executor.
+    Output is the governance report: per host, fetched counts, the deny
+    reason (NULL = allowed), and the kept doc/char volume that proves
+    the filter actually removed the denied hosts' documents rather than
+    just flagging them.
+
+    Reference analog: none (north-star crawl-curation surface); host
+    key and canonicalization shared with web_host_stats via the same
+    oracle CTEs so one rule set governs all URL-keyed rows."""
+    d = io.load_table(spark, sf_dir, "documents")
+    raw = d.select("doc_id", "n_chars", _raw_url_col().alias("url"))
+    canon = raw.select(
+        urlfn.url_host(F.col("url")).alias("host"), "n_chars")
+    deny = spark.createDataFrame(_DENY_HOSTS, "host string, reason string")
+    # the production filter: docs from denied hosts never reach
+    # extraction (broadcast anti-join — no shuffle on the corpus side)
+    kept = canon.join(F.broadcast(deny), "host", "left_anti")
+    kept_stats = kept.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("kept_chars"))
+    fetched = canon.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetched"))
+    return (fetched
+            .join(F.broadcast(deny), "host", "left")
+            .join(kept_stats, "host", "left")
+            .select("host", "n_fetched",
+                    F.col("reason").alias("deny_reason"),
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                     .alias("n_kept"),
+                    F.coalesce("kept_chars", F.lit(0)).cast("long")
+                     .alias("kept_chars")))
+
+
+# --- S9b: request/response/metadata record pairing -----------------------
+
+
+@query(
+    "warc_record_pairing",
+    oracle="""
+    -- Real Common Crawl files interleave request + metadata records
+    -- with each response; the pairing (target_uri join WITHIN a file)
+    -- must reunite fetch status, MIME, and fetch timing per URI. The
+    -- oracle is the documents table directly: every planted record
+    -- type must survive the container and land with its siblings.
+    SELECT doc_id,
+           CAST(200 AS BIGINT) AS http_status,
+           'text/html; charset=utf-8' AS mime,
+           CAST(100 + doc_id % 900 AS BIGINT) AS fetch_time_ms,
+           TRUE AS has_request,
+           CAST(3 AS BIGINT) AS n_records
+    FROM documents
+    """,
+)
+def warc_record_pairing(spark, sf_dir):
+    """S9b (engine ext.): the full Common Crawl record mix — each doc's
+    response is interleaved with its REQUEST record (the HTTP envelope
+    sent, ``application/http;msgtype=request``) and its METADATA record
+    (``application/warc-fields`` carrying fetchTimeMs), in crawl order
+    (request, response, metadata) inside mixed plain/gzip files. The
+    parser reads all three generically (response-only path untouched);
+    pairing is ONE aggregation keyed (file_id, target_uri) — the
+    within-file join a WARC consumer runs to reunite a fetch's status,
+    MIME, and timing, group state bounded by records-per-uri (3).
+
+    100 TB shape: parse parallelism = file count as everywhere on the
+    WARC leg; the pairing shuffles (file, uri, 3 small columns) — not
+    payloads — and at production sizes the groupBy key is
+    file-co-located by construction, so AQE-coalesced exchanges stay
+    uri-count sized."""
+    docs = io.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", _doc_url_col().alias("url"),
+        (F.col("doc_id") % 8).alias("file_id"))
+    req_payload = F.concat(
+        F.lit("GET /"), F.col("source"), F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" HTTP/1.1" + "\r\n" + "Host: corpus.example"
+              + "\r\n" + "\r\n"))
+    meta_payload = F.concat(
+        F.lit("fetchTimeMs: "),
+        (F.lit(100) + F.col("doc_id") % 900).cast("string"),
+        F.lit("\r\n"))
+    ordn = F.col("doc_id") * 4  # crawl order: request, response, metadata
+    legs = [
+        warc.build_warc_aux_records(
+            docs.withColumn("p", req_payload), "request", "p",
+            content_type="application/http;msgtype=request")
+        .select("file_id", ordn.alias("ord"), "record"),
+        warc.build_warc_records(docs)
+        .select("file_id", (ordn + 1).alias("ord"), "record"),
+        warc.build_warc_aux_records(
+            docs.withColumn("p", meta_payload), "metadata", "p")
+        .select("file_id", (ordn + 2).alias("ord"), "record"),
+    ]
+    mixed = legs[0].unionByName(legs[1]).unionByName(legs[2])
+    files = warc.assemble_warc_files(mixed, order_col="ord",
+                                     gzip_records="mixed")
+    parsed = warc.parse_warc(files)
+    tp = F.col("warc_type")
+    paired = parsed.groupBy("file_id", "target_uri").agg(
+        F.max(F.when(tp == "response", F.col("http_status")))
+         .cast("long").alias("http_status"),
+        F.max(F.when(tp == "response", F.col("http_content_type")))
+         .alias("mime"),
+        F.max(F.when(tp == "metadata", F.regexp_extract(
+            "payload_text", r"fetchTimeMs: (\d+)", 1).cast("long")))
+         .alias("fetch_time_ms"),
+        (F.count_if(tp == "request") > 0).alias("has_request"),
+        F.count(F.lit(1)).cast("long").alias("n_records"))
+    return paired.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long")
+         .alias("doc_id"),
+        "http_status", "mime", "fetch_time_ms", "has_request",
+        "n_records")

@@ -181,6 +181,54 @@ def assemble_warc_files(
               .groupBy(file_id_col).applyInPandas(build, out_schema))
 
 
+def build_warc_aux_records(
+    df: DataFrame,
+    warc_type: str,
+    payload_col: str,
+    url_col: str = "url",
+    content_type: str = "application/warc-fields",
+    warc_date: str = "2026-01-01T00:00:00Z",
+) -> DataFrame:
+    """Serialize each row as one non-response WARC record (``request``,
+    ``metadata``, ``resource``, ...) — real Common Crawl files interleave
+    request and metadata records alongside each response (fetch timing,
+    MIME detection, the HTTP request envelope), and a reader that only
+    ever sees its own response-only output has never met that layout.
+
+    Same pure-Catalyst shape and NULL policy as ``build_warc_records``;
+    the payload is the caller's column verbatim (an HTTP request
+    envelope for ``warc_type='request'`` with
+    ``content_type='application/http;msgtype=request'``, a
+    ``warc-fields`` block for ``metadata``). The record id is derived
+    from (warc_type, url) so it never collides with the response
+    record's url-derived id inside one rebuildable file."""
+    url = F.col(url_col)
+    payload = F.col(payload_col)
+    guard = F.assert_true(
+        url.isNotNull() & payload.isNotNull(),
+        F.concat(F.lit("build_warc_aux_records: NULL "),
+                 F.when(url.isNull(), F.lit(f"url ({url_col})"))
+                  .otherwise(F.lit(f"payload ({payload_col})")),
+                 F.lit(" — a WARC record requires both a target URI and"
+                       " a payload; filter or coalesce upstream")))
+    rec_id = deterministic_record_id(
+        F.concat(F.lit(warc_type + ":"), url))
+    head = F.concat(
+        F.lit("WARC/1.1" + CRLF),
+        F.lit(f"WARC-Type: {warc_type}" + CRLF),
+        F.lit("WARC-Record-ID: <"), rec_id, F.lit(">" + CRLF),
+        F.lit(f"WARC-Date: {warc_date}" + CRLF),
+        F.lit("WARC-Target-URI: "), url, F.lit(CRLF),
+        F.lit(f"Content-Type: {content_type}" + CRLF),
+        F.lit("Content-Length: "),
+        F.octet_length(payload).cast("string"),
+        F.lit(CRLF + CRLF))
+    return df.withColumn(
+        "record",
+        F.when(guard.isNull(),
+               F.concat(head, payload, F.lit(CRLF + CRLF))))
+
+
 # --- parser ------------------------------------------------------------
 
 

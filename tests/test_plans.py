@@ -597,3 +597,17 @@ def test_warc_python_confined_to_assembly_and_parse(spark):
     for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython",
                  "FlatMapGroupsInPandas"):
         assert node not in rec_plan
+
+
+def test_robots_filter_broadcast_anti_join_no_corpus_shuffle(spark):
+    """web_robots_filter: the deny list rides as a BROADCAST to both the
+    anti-join (the production filter) and the reporting join — the
+    corpus side must never shuffle for governance (a sort-merge join
+    against a KB-scale host list would be a scale bug)."""
+    plan = plan_of(spark, "web_robots_filter")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan

@@ -250,6 +250,51 @@ def test_write_warc_files_sink(spark, tmp_path):
     assert back == orig
 
 
+def test_aux_records_roundtrip_and_pair(spark):
+    """build_warc_aux_records: request + metadata records interleave
+    with responses in one file, survive assembly/parse, keep distinct
+    record ids, and pair back to their response by target_uri."""
+    docs = spark.createDataFrame(
+        [(i, f"body {i}", f"https://e.x/{i}", 0) for i in range(3)],
+        "doc_id long, text string, url string, file_id long")
+    req = warc.build_warc_aux_records(
+        docs.withColumn("p", F.concat(
+            F.lit("GET /"), F.col("doc_id").cast("string"),
+            F.lit(" HTTP/1.1\r\nHost: e.x\r\n\r\n"))),
+        "request", "p",
+        content_type="application/http;msgtype=request")
+    meta = warc.build_warc_aux_records(
+        docs.withColumn("p", F.concat(
+            F.lit("fetchTimeMs: "), F.col("doc_id").cast("string"),
+            F.lit("\r\n"))),
+        "metadata", "p")
+    ordn = F.col("doc_id") * 4
+    mixed = (req.select("file_id", ordn.alias("ord"), "record")
+             .unionByName(warc.build_warc_records(docs)
+                          .select("file_id", (ordn + 1).alias("ord"),
+                                  "record"))
+             .unionByName(meta.select("file_id", (ordn + 2).alias("ord"),
+                                      "record")))
+    parsed = warc.parse_warc(
+        warc.assemble_warc_files(mixed, order_col="ord")).collect()
+    # 9 records, in crawl order per doc, all ids distinct
+    assert [r["warc_type"] for r in parsed] \
+        == ["request", "response", "metadata"] * 3
+    assert len({r["record_id"] for r in parsed}) == 9
+    by_uri = {}
+    for r in parsed:
+        by_uri.setdefault(r["target_uri"], []).append(r)
+    for i in range(3):
+        recs = {r["warc_type"]: r for r in by_uri[f"https://e.x/{i}"]}
+        assert recs["response"]["http_status"] == 200
+        assert recs["response"]["payload"] == f"body {i}".encode()
+        assert recs["request"]["payload"].startswith(
+            f"GET /{i} HTTP/1.1".encode())
+        # warc-fields metadata decodes to a text view for downstream
+        # regexp extraction
+        assert recs["metadata"]["payload_text"] == f"fetchTimeMs: {i}\r\n"
+
+
 def test_build_records_rejects_null_inputs_loudly(spark):
     """A NULL url or payload must fail the BUILD fast with a named
     message — not null-propagate into a NULL record that crashes file
