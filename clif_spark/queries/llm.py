@@ -977,6 +977,128 @@ def dedup_incremental_persisted(spark, sf_dir):
               .select("delivery", "old_id", "new_id", "jaccard"))
 
 
+def _screen_oracle() -> str:
+    """Oracle for the BENCHED store screen: the full recompute the
+    persisted store makes unnecessary — corpus (side 0) + one delivery
+    of near-copies (side 1), shared minhash band keys over all docs,
+    cross-side candidates, exact-Jaccard verify at 0.5. Deliberately
+    O(corpus): the Spark side screens against a PREBUILT signature
+    store in O(delivery), and the bench ratio between the two IS the
+    incremental-dedup claim, measured per round."""
+    bands = dedup.DEFAULT_BANDS
+    rpb = dedup.DEFAULT_ROWS_PER_BAND
+    w = dedup._minhash_slice_width(bands * rpb)
+    minhs = ",\n        ".join(
+        f"min(substr(md5('m:' || shingle),"
+        f" {w * i + 1}, {w})) AS h{i}" for i in range(bands * rpb))
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc, 'band_{b}' AS band,"
+        f" h{2*b} || '|' || h{2*b+1} AS band_key FROM sig"
+        for b in range(bands))
+    return rf"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    docs2 AS (
+      SELECT doc_id AS doc, text, 0 AS side FROM base
+      UNION ALL
+      SELECT doc_id + 200000, text || ' extra trailing token', 1
+      FROM base WHERE doc_id % 10 = 0
+    ),
+    words AS (
+      SELECT doc, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM docs2
+    ),
+    sh AS (
+      SELECT DISTINCT doc, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM words, unnest(range(1, greatest(len(w) - 1, 1))) t(i)
+    ),
+    sig AS (
+      SELECT doc,
+        {minhs}
+      FROM sh GROUP BY doc
+    ),
+    bands AS (
+      {band_rows}
+    ),
+    sides AS (SELECT doc, side FROM docs2),
+    cand AS (
+      SELECT DISTINCT l.doc AS old_id, r.doc AS new_id
+      FROM bands l
+      JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+      JOIN sides sl ON sl.doc = l.doc
+      JOIN sides sr ON sr.doc = r.doc
+      WHERE sl.side = 0 AND sr.side = 1
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+    inter AS (
+      SELECT c.old_id, c.new_id, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc = c.old_id
+      JOIN sh sb ON sb.doc = c.new_id AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.old_id, i.new_id,
+           ROUND(CAST(i.n_inter AS DOUBLE)
+                 / (za.sz + zb.sz - i.n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc = i.old_id
+    JOIN sizes zb ON zb.doc = i.new_id
+    WHERE ROUND(CAST(i.n_inter AS DOUBLE)
+                / (za.sz + zb.sz - i.n_inter), 4) >= 0.5
+    """
+
+
+#: Prebuilt signature stores for the benched screen, keyed by sf_dir:
+#: built on first call (bench's warm rounds absorb it), reused by every
+#: timed rep — so the measured work is the SCREEN alone, which is the
+#: O(delivery) claim under test.
+_SCREEN_STORE_ROOTS: dict[str, str] = {}
+
+
+def _screen_store_root(spark, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    key = sf_dir.rstrip("/")
+    root = _SCREEN_STORE_ROOTS.get(key)
+    if root is not None and os.path.exists(os.path.join(root, "_LATEST")):
+        return root
+    root = tempfile.mkdtemp(prefix="clif_sigstore_bench_")
+    d = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dedup.signature_store_admit(
+        dedup.minhash_signature_rows(d), root, version=0)
+    _SCREEN_STORE_ROOTS[key] = root
+    return root
+
+
+@query("dedup_screen_persisted", oracle=_screen_oracle(), headline=True)
+def dedup_screen_persisted(spark, sf_dir):
+    """BENCH headliner (VERDICT r9 item 3): screening one delivery
+    against the PREBUILT persisted signature store — the steady-state
+    operation of incremental dedup, timed per round so the O(delivery)
+    claim has a regression line instead of a one-off BASELINE.md table.
+
+    The store (corpus minhash signatures in the CDC snapshot format) is
+    built once per session per sf_dir and cached on disk; every timed
+    rep then pays ONLY delivery shingling + the broadcast band-key join
+    + candidates-only verify against signature-sized parquet — corpus
+    text is never re-read. The DuckDB oracle is, by necessity and by
+    design, the FULL recompute (shingle corpus + delivery, self-join):
+    the per-round ratio between the two sides is the measured
+    incremental-vs-recompute crossover (BASELINE.md r9: 9.1x at sf1).
+
+    Same near-copy plant as dedup_incremental_persisted's delivery 1
+    (%10==0 docs, one appended token), minus the novel docs — every
+    output row is a (store doc, delivery doc, jaccard) near-dup hit."""
+    root = _screen_store_root(spark, sf_dir)
+    d = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    delivery = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" extra trailing token")).alias("text"))
+    sigs = dedup.minhash_signature_rows(delivery)
+    return (dedup.signature_store_screen(spark, sigs, root, threshold=0.5)
+            .select("old_id", "new_id", "jaccard"))
+
+
 @query(
     "semantic_store_drift_recall",
     oracle="""
