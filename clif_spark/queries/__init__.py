@@ -252,7 +252,7 @@ _VERIFY_FIRST_R10 = [
     # gate, WARC request/response/metadata pairing); the one stream
     # among them sits at the stream tail ---
     "io_orc_roundtrip", "web_host_stats",
-    "web_robots_filter", "warc_record_pairing",
+    "web_robots_filter", "warc_record_pairing", "web_robots_parse",
     # --- the r6-latest backlog (VERDICT r10 item 2), twins and
     # headliners first as the verdict ordered: the four contract twins
     # standing in for their permanent rows-only partners ---
@@ -277,17 +277,18 @@ _VERIFY_FIRST_R10 = [
     "q6_forecast_revenue", "seq_pack_bins", "text_fingerprint",
     "text_lang_id", "text_rolling_fingerprint", "tfidf_top_terms",
     "w13_cumulative_distinct", "w1_lead_episodes", "w2_downup_fill",
-    "w3_keep_last_dedup",
     # --- streams at the tail (multi-second startup each): the
     # never-gated crawl-ingest stream + the r6 CDC-apply stream whose
     # sink machinery changed this round ---
     "stream_web_ingest", "stream_cdc_apply",
 ]
-# Exactly 50 head entries: 5 never-gated (3 late-r9 + 2 new r10, one of
-# them the stream at the tail) + 44 r6-latest refreshes (4 twins, 5
-# headliners, u7, 33 batch rows, stream_cdc_apply) + 1 more r6 batch row
-# folded into the name-ordered block above. Enumerated r11 remainder
-# (within the verdict's <=15 allowance): the five r6 streams
+# Exactly 50 head entries: 6 never-gated (3 late-r9 + 3 new r10 —
+# web_robots_filter, warc_record_pairing, web_robots_parse — one of the
+# six the stream at the tail) + 44 r6-latest refreshes (4 twins, 5
+# headliners, u7, 33 batch rows, stream_cdc_apply). Enumerated r11
+# remainder (within the verdict's <=15 allowance): w3_keep_last_dedup
+# (r6, ceded its slot to web_robots_parse — new operators get a driver
+# row before any refresh does), the five r6 streams
 # (stream_click_to_buy, stream_dedup_counts, stream_session_episodes,
 # stream_sliding_agg, stream_tumbling_agg), dedup_semantic_contract
 # (r7), and the changed-code r9-green rows to refresh

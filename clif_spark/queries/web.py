@@ -542,6 +542,144 @@ def web_robots_filter(spark, sf_dir):
                      .alias("kept_chars")))
 
 
+# --- D4: robots.txt PARSE -> rules -> prefix filter ----------------------
+
+# Planted robots.txt per host (Spark expression + DuckDB mirror): a
+# comment, a googlebot-only group that must be IGNORED (its Disallow: /
+# would block everything), and a wildcard group with two user-agent
+# lines (RFC 9309 multi-agent groups), one path-prefix disallow keyed to
+# the source's number, an Allow line (out of the Disallow-only scope),
+# and a disallow that matches nothing.
+_ROBOTS_K_SQL = ("CAST(CAST(regexp_extract(source, '(\\d+)', 1) AS INT)"
+                 " % 4 AS VARCHAR)")
+
+
+def _robots_txt_col():
+    k = (F.regexp_extract("source", r"(\d+)", 1).cast("int") % 4) \
+        .cast("string")
+    return F.concat(
+        F.lit("# robots for "), F.col("source"), F.lit(".example.com\n"),
+        F.lit("User-agent: googlebot\nDisallow: /\n\n"),
+        F.lit("User-agent: *\nUser-agent: ccbot\n"),
+        F.lit("Disallow: /articles/"), k, F.lit("\n"),
+        F.lit("Allow: /articles/99\n"),
+        F.lit("Disallow: /cgi-bin/"))
+
+
+_ROBOTS_TXT_SQL = (
+    "'# robots for ' || source || '.example.com' || chr(10) || "
+    "'User-agent: googlebot' || chr(10) || 'Disallow: /' || chr(10) "
+    "|| chr(10) || "
+    "'User-agent: *' || chr(10) || 'User-agent: ccbot' || chr(10) || "
+    f"'Disallow: /articles/' || {_ROBOTS_K_SQL} || chr(10) || "
+    "'Allow: /articles/99' || chr(10) || "
+    "'Disallow: /cgi-bin/'")
+
+
+@query(
+    "web_robots_parse",
+    oracle=f"""
+    WITH {_CANON_CTES},
+    srcs AS (SELECT DISTINCT source FROM documents),
+    robots AS (
+      SELECT source || '.example.com' AS host, {_ROBOTS_TXT_SQL} AS txt
+      FROM srcs),
+    rlines AS (
+      SELECT host, arr[i] AS line, i AS pos
+      FROM (SELECT host, string_split(txt, chr(10)) AS arr FROM robots),
+           unnest(range(1, len(arr) + 1)) t(i)),
+    rclean AS (
+      -- carriage returns dropped before trim, mirroring
+      -- functions/robots.py (CRLF bodies; trim strips spaces only)
+      SELECT host, pos,
+             lower(trim(regexp_replace(replace(line, chr(13), ''),
+                                       '#.*$', ''))) AS ln
+      FROM rlines),
+    rmarked AS (
+      SELECT host, pos, ln, starts_with(ln, 'user-agent:') AS is_ua,
+             CASE WHEN starts_with(ln, 'user-agent:')
+                  AND NOT coalesce(starts_with(
+                        lag(ln) OVER (PARTITION BY host ORDER BY pos),
+                        'user-agent:'), FALSE)
+                  THEN 1 ELSE 0 END AS grp_start
+      FROM rclean),
+    rgrouped AS (
+      SELECT host, pos, ln, is_ua,
+             SUM(grp_start) OVER (PARTITION BY host ORDER BY pos) AS grp
+      FROM rmarked),
+    rwild AS (
+      SELECT DISTINCT host, grp FROM rgrouped
+      WHERE is_ua AND trim(ln[12:]) = '*'),
+    rrules AS (
+      SELECT DISTINCT g.host, trim(g.ln[10:]) AS prefix
+      FROM rgrouped g
+      JOIN rwild w ON g.host = w.host AND g.grp = w.grp
+      WHERE starts_with(g.ln, 'disallow:') AND trim(g.ln[10:]) <> ''),
+    hostrules AS (
+      SELECT host, list(prefix) AS prefixes, COUNT(*) AS n_rules
+      FROM rrules GROUP BY host),
+    tag AS (
+      SELECT p.host, p.doc_id,
+             coalesce(len(list_filter(hr.prefixes,
+                      x -> starts_with(p.path, x))) > 0, FALSE) AS blocked,
+             coalesce(hr.n_rules, 0) AS n_rules
+      FROM parts p LEFT JOIN hostrules hr ON p.host = hr.host)
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN blocked THEN 1 END) AS BIGINT)
+             AS n_blocked,
+           CAST(COUNT(CASE WHEN NOT blocked THEN 1 END) AS BIGINT)
+             AS n_allowed,
+           CAST(ANY_VALUE(n_rules) AS BIGINT) AS n_rules
+    FROM tag GROUP BY host
+    """,
+)
+def web_robots_parse(spark, sf_dir):
+    """D4 (engine ext.): robots.txt PARSED, not handed in — the step
+    before web_robots_filter's allow/deny application: per-host
+    ``robots.txt`` bodies (planted, with a decoy googlebot-only group
+    whose ``Disallow: /`` must be IGNORED, a multi-agent wildcard group,
+    an Allow line outside the documented Disallow-only scope, and a
+    never-matching rule) parse into (host, disallow_prefix) rules via
+    ``functions.robots.robots_disallow_rules`` — posexplode + lag-window
+    group detection, pure Catalyst — and apply to the canonicalized URL
+    stream as a broadcast array-exists prefix match
+    (``apply_robots_rules``). Output per host: doc counts split
+    blocked/allowed plus the parsed rule count (2 everywhere — the
+    decoy group contributing would make it 3 and block everything, so
+    the group selection is what the hash actually pins).
+
+    Shape: robots parse is host-count sized (one body per host; the
+    window exchange moves KBs); the corpus side is ONE narrow
+    projection + one host-keyed aggregation — rules ride broadcast, no
+    per-rule row multiplication. Reference analog: none (north-star
+    crawl-governance surface, RFC 9309)."""
+    from clif_spark.functions import robots as robotsfn
+
+    d = io.load_table(spark, sf_dir, "documents")
+    raw = d.select("doc_id", "source", _raw_url_col().alias("url"))
+    urls = raw.select(
+        "doc_id",
+        urlfn.url_host(F.col("url")).alias("host"),
+        urlfn.url_path(F.col("url")).alias("path"))
+    robots = (d.select("source").distinct().select(
+        F.concat("source", F.lit(".example.com")).alias("host"),
+        _robots_txt_col().alias("robots_txt")))
+    rules = robotsfn.robots_disallow_rules(robots)
+    n_rules = (rules.groupBy("host")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_rules")))
+    tagged = robotsfn.apply_robots_rules(urls, rules)
+    blocked = F.col("robots_blocked")
+    return (tagged.groupBy("host")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.count_if(blocked).cast("long").alias("n_blocked"),
+                 F.count_if(~blocked).cast("long").alias("n_allowed"))
+            .join(n_rules, "host", "left")
+            .select("host", "n_docs", "n_blocked", "n_allowed",
+                    F.coalesce("n_rules", F.lit(0)).cast("long")
+                     .alias("n_rules")))
+
+
 # --- S9b: request/response/metadata record pairing -----------------------
 
 

@@ -523,3 +523,59 @@ def test_url_canonicalize_edge_cases(spark):
            df.select(urlfn.canonicalize_url(F.col("url")).alias("c"))
              .collect()]
     assert out == [e for _, e in cases]
+
+
+def test_robots_disallow_rules_grammar(spark):
+    """functions.robots: hand-written robots.txt bodies (not our own
+    planted builder) — CRLF line endings, comments, mixed case,
+    multi-agent groups, a specific-agent group that must be ignored for
+    '*', empty Disallow (allow-all marker, dropped), duplicate rules."""
+    from clif_spark.functions import robots as robotsfn
+
+    crlf_body = ("# site robots\r\n"
+                 "User-Agent: GoogleBot\r\n"
+                 "Disallow: /private\r\n"
+                 "\r\n"
+                 "User-agent: *\r\n"
+                 "user-agent: CCBot\r\n"
+                 "Disallow: /search   # inline comment\r\n"
+                 "Allow: /search/about\r\n"
+                 "DISALLOW: /tmp/\r\n"
+                 "Disallow: /tmp/\r\n")
+    allow_all = "User-agent: *\nDisallow:\n"   # empty = allow all
+    no_wild = "User-agent: bingbot\nDisallow: /\n"
+    df = spark.createDataFrame(
+        [("a.com", crlf_body), ("b.com", allow_all), ("c.com", no_wild)],
+        "host string, robots_txt string")
+    rules = {(r.host, r.disallow_prefix)
+             for r in robotsfn.robots_disallow_rules(df).collect()}
+    assert rules == {("a.com", "/search"), ("a.com", "/tmp/")}
+
+    # agent-specific extraction: googlebot sees ITS group, not '*'
+    g = {(r.host, r.disallow_prefix) for r in
+         robotsfn.robots_disallow_rules(df, agent="googlebot").collect()}
+    assert g == {("a.com", "/private")}
+
+
+def test_apply_robots_rules_prefix_match(spark):
+    """apply_robots_rules: literal path-prefix semantics, per host; a
+    host with no rules is never blocked."""
+    from pyspark.sql import functions as F
+
+    from clif_spark.functions import robots as robotsfn
+
+    urls = spark.createDataFrame(
+        [(1, "a.com", "/search/q"), (2, "a.com", "/searching"),
+         (3, "a.com", "/about"), (4, "b.com", "/search/q")],
+        "doc_id long, host string, path string")
+    rules = spark.createDataFrame(
+        [("a.com", "/search")], "host string, disallow_prefix string")
+    out = {r.doc_id: r.robots_blocked for r in
+           robotsfn.apply_robots_rules(urls, rules).collect()}
+    # prefix semantics: /searching matches /search (RFC 9309 literal
+    # prefix — that IS the spec's rule, not a bug)
+    assert out == {1: True, 2: True, 3: False, 4: False}
+    # the plan broadcasts the rules; no sort-merge join
+    plan = (robotsfn.apply_robots_rules(urls, rules)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
