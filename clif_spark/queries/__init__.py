@@ -253,6 +253,7 @@ _VERIFY_FIRST_R10 = [
     # among them sits at the stream tail ---
     "io_orc_roundtrip", "web_host_stats",
     "web_robots_filter", "warc_record_pairing", "web_robots_parse",
+    "u11_partitioned_upsert",
     # --- the r6-latest backlog (VERDICT r10 item 2), twins and
     # headliners first as the verdict ordered: the four contract twins
     # standing in for their permanent rows-only partners ---
@@ -276,19 +277,20 @@ _VERIFY_FIRST_R10 = [
     "p9_like_rlike", "pii_redact", "pipeline_llm_curation",
     "q6_forecast_revenue", "seq_pack_bins", "text_fingerprint",
     "text_lang_id", "text_rolling_fingerprint", "tfidf_top_terms",
-    "w13_cumulative_distinct", "w1_lead_episodes", "w2_downup_fill",
+    "w13_cumulative_distinct", "w1_lead_episodes",
     # --- streams at the tail (multi-second startup each): the
     # never-gated crawl-ingest stream + the r6 CDC-apply stream whose
     # sink machinery changed this round ---
     "stream_web_ingest", "stream_cdc_apply",
 ]
-# Exactly 50 head entries: 6 never-gated (3 late-r9 + 3 new r10 —
-# web_robots_filter, warc_record_pairing, web_robots_parse — one of the
-# six the stream at the tail) + 44 r6-latest refreshes (4 twins, 5
-# headliners, u7, 33 batch rows, stream_cdc_apply). Enumerated r11
-# remainder (within the verdict's <=15 allowance): w3_keep_last_dedup
-# (r6, ceded its slot to web_robots_parse — new operators get a driver
-# row before any refresh does), the five r6 streams
+# Exactly 50 head entries: 7 never-gated (3 late-r9 + 4 new r10 —
+# web_robots_filter, warc_record_pairing, web_robots_parse,
+# u11_partitioned_upsert — one of the seven the stream at the tail) +
+# 43 r6-latest refreshes (4 twins, 5 headliners, u7, 32 batch rows,
+# stream_cdc_apply). Enumerated r11 remainder (within the verdict's
+# <=15 allowance): w3_keep_last_dedup + w2_downup_fill (r6, ceded their
+# slots to web_robots_parse and u11_partitioned_upsert — new operators
+# get a driver row before any refresh does), the five r6 streams
 # (stream_click_to_buy, stream_dedup_counts, stream_session_episodes,
 # stream_sliding_agg, stream_tumbling_agg), dedup_semantic_contract
 # (r7), and the changed-code r9-green rows to refresh

@@ -1163,6 +1163,64 @@ def u10_store_schema_evolution(spark, sf_dir):
 
 
 @query(
+    "u11_partitioned_upsert",
+    oracle="""
+    -- O(touched partitions) MERGE: delivery 1 seeds every order;
+    -- delivery 2 touches TWO of five priority partitions (price x2 at
+    -- version 2, every tenth key tombstoned). Untouched partitions keep
+    -- their v1 rows — and keep their physical FILES byte-identical,
+    -- which the unit suite asserts; the oracle pins the relational
+    -- answer of the same MERGE.
+    SELECT CAST(o_orderkey AS BIGINT) AS k,
+           CAST(CASE WHEN o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+                THEN 2 ELSE 1 END AS BIGINT) AS version,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+                THEN o_totalprice * 2 ELSE o_totalprice END AS val,
+           o_orderpriority AS prio
+    FROM orders
+    WHERE NOT (o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+               AND o_orderkey % 10 = 0)
+    """,
+)
+def u11_partitioned_upsert(spark, sf_dir):
+    """U11 (engine ext.): the partitioned snapshot store — MERGE that
+    rewrites ONLY touched partitions (streaming.
+    upsert_partitioned_snapshot), the form every whole-table
+    copy-on-write docstring in the CDC family defers to at 100 TB.
+    Delivery 1 seeds all five o_orderpriority partitions; delivery 2
+    updates two of them (keep-latest by version) and tombstones every
+    tenth key there (retained in the stored rows, filtered at read —
+    the CDC suppression rule). The merge base is partition-pruned
+    (literal isin over the touched set; PartitionFilters plan-asserted
+    in the unit suite), the write is dynamic partition overwrite, and
+    the three untouched partitions' parquet files are asserted
+    byte-identical after delivery 2."""
+    import tempfile
+
+    from clif_spark import streaming as STR
+
+    o = io.load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="clif_partstore_") + "/store"
+    d1 = o.select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.lit(1).cast("long").alias("version"),
+        F.col("o_totalprice").alias("val"),
+        F.lit(False).alias("is_delete"),
+        F.col("o_orderpriority").alias("prio"))
+    STR.upsert_partitioned_snapshot(d1, root, ["k"], ["version"], "prio")
+    touched = ["1-URGENT", "3-MEDIUM"]
+    d2 = (o.filter(F.col("o_orderpriority").isin(touched))
+          .select(F.col("o_orderkey").cast("long").alias("k"),
+                  F.lit(2).cast("long").alias("version"),
+                  (F.col("o_totalprice") * 2).alias("val"),
+                  (F.col("o_orderkey") % 10 == 0).alias("is_delete"),
+                  F.col("o_orderpriority").alias("prio")))
+    STR.upsert_partitioned_snapshot(d2, root, ["k"], ["version"], "prio")
+    return (STR.read_partitioned_snapshot(spark, root)
+            .select("k", "version", "val", "prio"))
+
+
+@query(
     "io_orc_roundtrip",
     oracle="""
     SELECT doc_id, text, lang, source, n_chars FROM documents

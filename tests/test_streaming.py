@@ -470,3 +470,70 @@ def test_fold_agg_snapshot_tombstone_excluded_both_sides(spark):
     assert streaming.compact_cdc_snapshot(spark, root) == 1
     assert {r.k for r in
             streaming.read_cdc_snapshot(spark, root).collect()} == {"b"}
+
+
+def test_partitioned_upsert_rewrites_only_touched_partitions(spark):
+    """The partitioned store's physical contract: a delivery touching
+    one partition leaves every other partition's parquet FILES
+    byte-identical on disk (names, sizes, mtimes), the merge base scan
+    is partition-pruned, tombstones are retained-then-filtered, and a
+    later out-of-order lower-version update still loses to a retained
+    tombstone."""
+    import os
+    import tempfile
+
+    from clif_spark import streaming
+
+    root = tempfile.mkdtemp(prefix="part_store_") + "/t"
+    schema = "k long, version long, val string, is_delete boolean, p string"
+
+    def snap(part):
+        d = os.path.join(root, f"p={part}")
+        return {f: (os.path.getsize(os.path.join(d, f)),
+                    os.path.getmtime(os.path.join(d, f)))
+                for f in os.listdir(d) if f.endswith(".parquet")}
+
+    d1 = spark.createDataFrame(
+        [(1, 1, "a", False, "x"), (2, 1, "b", False, "y"),
+         (3, 1, "c", False, "z")], schema)
+    touched = streaming.upsert_partitioned_snapshot(
+        d1, root, ["k"], ["version"], "p")
+    assert sorted(touched) == ["x", "y", "z"]
+    before_y, before_z = snap("y"), snap("z")
+
+    # delivery 2: touches ONLY partition x — update k=1, tombstone k=4
+    d2 = spark.createDataFrame(
+        [(1, 3, "a2", False, "x"), (4, 3, None, True, "x")], schema)
+    assert streaming.upsert_partitioned_snapshot(
+        d2, root, ["k"], ["version"], "p") == ["x"]
+    # untouched partitions: files byte-identical (not rewritten)
+    assert snap("y") == before_y and snap("z") == before_z
+    live = {r.k: (r.version, r.val) for r in
+            streaming.read_partitioned_snapshot(spark, root).collect()}
+    assert live == {1: (3, "a2"), 2: (1, "b"), 3: (1, "c")}
+
+    # out-of-order update BELOW the retained tombstone's version: the
+    # tombstone must keep suppressing the key
+    d3 = spark.createDataFrame([(4, 2, "late", False, "x")], schema)
+    streaming.upsert_partitioned_snapshot(d3, root, ["k"], ["version"], "p")
+    assert 4 not in {r.k for r in
+                     streaming.read_partitioned_snapshot(spark, root)
+                     .collect()}
+
+    # the pinned-partition read prunes at planning time: the formatted
+    # explain's scan node carries the isin as a PartitionFilter
+    import contextlib
+    import io as _io
+
+    pinned = streaming.read_partitioned_snapshot(
+        spark, root, part_col="p", partitions=["x"])
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pinned.explain("formatted")
+    plan = buf.getvalue()
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    # single-value isin folds to equality — assert the partition column
+    # and the pinned value reached the scan's partition filter
+    assert pf_lines and any("p#" in ln and "x" in ln for ln in pf_lines), \
+        plan
+    assert {r.k for r in pinned.collect()} == {1}
