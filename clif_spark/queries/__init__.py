@@ -277,20 +277,22 @@ _VERIFY_FIRST_R10 = [
     "p9_like_rlike", "pii_redact", "pipeline_llm_curation",
     "q6_forecast_revenue", "seq_pack_bins", "text_fingerprint",
     "text_lang_id", "text_rolling_fingerprint", "tfidf_top_terms",
-    "w13_cumulative_distinct", "w1_lead_episodes",
+    "w13_cumulative_distinct",
     # --- streams at the tail (multi-second startup each): the
     # never-gated crawl-ingest stream + the r6 CDC-apply stream whose
     # sink machinery changed this round ---
     "stream_web_ingest", "stream_cdc_apply",
+    "stream_partitioned_upsert",
 ]
-# Exactly 50 head entries: 7 never-gated (3 late-r9 + 4 new r10 —
+# Exactly 50 head entries: 8 never-gated (3 late-r9 + 5 new r10 —
 # web_robots_filter, warc_record_pairing, web_robots_parse,
-# u11_partitioned_upsert — one of the seven the stream at the tail) +
-# 43 r6-latest refreshes (4 twins, 5 headliners, u7, 32 batch rows,
-# stream_cdc_apply). Enumerated r11 remainder (within the verdict's
-# <=15 allowance): w3_keep_last_dedup + w2_downup_fill (r6, ceded their
-# slots to web_robots_parse and u11_partitioned_upsert — new operators
-# get a driver row before any refresh does), the five r6 streams
+# u11_partitioned_upsert, stream_partitioned_upsert — two of the eight
+# streams at the tail) + 42 r6-latest refreshes (4 twins, 5 headliners,
+# u7, 31 batch rows, stream_cdc_apply). Enumerated r11 remainder
+# (within the verdict's <=15 allowance): w3_keep_last_dedup +
+# w2_downup_fill + w1_lead_episodes (r6, ceded their slots to the three
+# r10 batch/stream registrations above — new operators get a driver row
+# before any refresh does), the five r6 streams
 # (stream_click_to_buy, stream_dedup_counts, stream_session_episodes,
 # stream_sliding_agg, stream_tumbling_agg), dedup_semantic_contract
 # (r7), and the changed-code r9-green rows to refresh

@@ -1162,9 +1162,10 @@ def u10_store_schema_evolution(spark, sf_dir):
                       F.lit(drift_rejected).alias("drift_rejected"))
 
 
-@query(
-    "u11_partitioned_upsert",
-    oracle="""
+# Shared by u11_partitioned_upsert and its streaming twin
+# (stream_partitioned_upsert): the settled stream must equal the batch
+# MERGE, so one oracle text serves both (the stream_cdc_apply pattern).
+U11_PARTITIONED_MERGE_ORACLE = """
     -- O(touched partitions) MERGE: delivery 1 seeds every order;
     -- delivery 2 touches TWO of five priority partitions (price x2 at
     -- version 2, every tenth key tombstoned). Untouched partitions keep
@@ -1180,8 +1181,10 @@ def u10_store_schema_evolution(spark, sf_dir):
     FROM orders
     WHERE NOT (o_orderpriority IN ('1-URGENT', '3-MEDIUM')
                AND o_orderkey % 10 = 0)
-    """,
-)
+    """
+
+
+@query("u11_partitioned_upsert", oracle=U11_PARTITIONED_MERGE_ORACLE)
 def u11_partitioned_upsert(spark, sf_dir):
     """U11 (engine ext.): the partitioned snapshot store — MERGE that
     rewrites ONLY touched partitions (streaming.

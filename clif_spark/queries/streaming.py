@@ -808,3 +808,53 @@ def stream_agg_maintenance(spark, sf_dir):
         _digit_round(F.col("sum_micros"), 2).alias("sum_value"),
         "min_value", "max_value",
         _digit_round(mean_micros, 6).alias("mean_value"))
+
+
+@query("stream_partitioned_upsert",
+       oracle=_rel.U11_PARTITIONED_MERGE_ORACLE)
+def stream_partitioned_upsert(spark, sf_dir):
+    """u11's partitioned MERGE as a CONTINUOUSLY MAINTAINED TABLE: the
+    two deliveries land as parquet shards and drain as micro-batches
+    (availableNow + maxFilesPerTrigger=1), each folded by
+    ``streaming.upsert_partitioned_snapshot`` inside foreachBatch —
+    only the batch's touched partitions are merged and rewritten, the
+    production shape of a partitioned lake table fed by a delivery
+    stream. Keep-latest-by-version makes the fold idempotent AND
+    batch-order independent, so no replay ledger is needed (unlike the
+    additive agg fold) and the settled table equals the one-shot batch
+    MERGE via the SHARED u11 oracle regardless of which shard drains
+    first."""
+    import tempfile
+
+    o = io.load_table(spark, sf_dir, "orders")
+    d1 = o.select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.lit(1).cast("long").alias("version"),
+        F.col("o_totalprice").alias("val"),
+        F.lit(False).alias("is_delete"),
+        F.col("o_orderpriority").alias("prio"))
+    touched = ["1-URGENT", "3-MEDIUM"]
+    d2 = (o.filter(F.col("o_orderpriority").isin(touched))
+          .select(F.col("o_orderkey").cast("long").alias("k"),
+                  F.lit(2).cast("long").alias("version"),
+                  (F.col("o_totalprice") * 2).alias("val"),
+                  (F.col("o_orderkey") % 10 == 0).alias("is_delete"),
+                  F.col("o_orderpriority").alias("prio")))
+    scratch = tempfile.mkdtemp(prefix="clif_stream_part_src_")
+    d1.coalesce(1).write.mode("append").parquet(scratch)
+    d2.coalesce(1).write.mode("append").parquet(scratch)
+    root = tempfile.mkdtemp(prefix="clif_stream_part_tbl_") + "/store"
+    ckpt = tempfile.mkdtemp(prefix="clif_stream_part_ckpt_")
+
+    def sink(batch_df, batch_id):
+        streaming.upsert_partitioned_snapshot(
+            batch_df, root, ["k"], ["version"], "prio")
+
+    stream = (spark.readStream.schema(d1.schema)
+                   .option("maxFilesPerTrigger", 1).parquet(scratch))
+    q = (stream.writeStream.foreachBatch(sink)
+               .option("checkpointLocation", ckpt)
+               .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (streaming.read_partitioned_snapshot(spark, root)
+            .select("k", "version", "val", "prio"))
