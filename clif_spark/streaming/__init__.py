@@ -756,3 +756,53 @@ def read_partitioned_snapshot(spark: SparkSession, root: str,
             raise ValueError("partitions requires part_col")
         df = df.filter(F.col(part_col).isin(partitions))
     return df.filter(~F.col(tombstone_col)).drop(tombstone_col)
+
+
+def compact_partitioned_snapshot(spark: SparkSession, root: str,
+                                 part_col: str,
+                                 tombstone_col: str = "is_delete") -> int:
+    """Physically drop retained tombstones from a partitioned snapshot,
+    rewriting ONLY the partitions that contain one — the partitioned
+    twin of compact_cdc_snapshot, with the same caller contract (invoke
+    once the feed is known to have delivered everything up to the
+    dropped tombstones' versions; single-writer; no retention grace for
+    in-flight readers of the rewritten partitions). Returns the number
+    of tombstone rows removed.
+
+    Cost shape: finding dirty partitions is one scan under a pushed
+    ``tombstone = true`` filter (parquet stats skip clean row groups
+    wholesale), the rewrite touches dirty partitions only (dynamic
+    overwrite), and clean partitions' files stay byte-identical. A
+    partition whose rows are ALL tombstones vanishes from the rewrite
+    output — dynamic overwrite cannot replace a partition it does not
+    produce, so its directory is removed explicitly (hive %-escaped
+    names unescaped for the comparison)."""
+    import os
+    import shutil
+    import urllib.parse
+
+    snap = spark.read.parquet(root)
+    dirty = [r[0] for r in (snap.filter(F.col(tombstone_col))
+                            .select(part_col).distinct().collect())]
+    if not dirty:
+        return 0
+    sub = snap.filter(F.col(part_col).isin(dirty))
+    n_tomb = sub.filter(F.col(tombstone_col)).count()
+    cleaned = (sub.filter(~F.col(tombstone_col))
+               .localCheckpoint(eager=True))
+    survivors = {str(r[0]) for r in
+                 cleaned.select(part_col).distinct().collect()}
+    (cleaned.write
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(part_col)
+            .parquet(root))
+    gone = {str(v) for v in dirty} - survivors
+    if gone:
+        for name in os.listdir(root):
+            if not name.startswith(f"{part_col}="):
+                continue
+            val = urllib.parse.unquote(name.split("=", 1)[1])
+            if val in gone:
+                shutil.rmtree(os.path.join(root, name))
+    return n_tomb

@@ -537,3 +537,46 @@ def test_partitioned_upsert_rewrites_only_touched_partitions(spark):
     assert pf_lines and any("p#" in ln and "x" in ln for ln in pf_lines), \
         plan
     assert {r.k for r in pinned.collect()} == {1}
+
+
+def test_partitioned_compaction_rewrites_only_dirty_partitions(spark):
+    """Compaction of the partitioned store: tombstone-bearing partitions
+    are rewritten without their tombstones, an ALL-tombstone partition's
+    directory is removed outright, and clean partitions' files stay
+    byte-identical."""
+    import os
+    import tempfile
+
+    from clif_spark import streaming
+
+    root = tempfile.mkdtemp(prefix="part_compact_") + "/t"
+    schema = "k long, version long, val string, is_delete boolean, p string"
+
+    def snap(part):
+        d = os.path.join(root, f"p={part}")
+        return {f: (os.path.getsize(os.path.join(d, f)),
+                    os.path.getmtime(os.path.join(d, f)))
+                for f in os.listdir(d) if f.endswith(".parquet")}
+
+    d1 = spark.createDataFrame(
+        [(1, 1, "a", False, "x"), (2, 1, "b", False, "x"),
+         (3, 1, "c", False, "y"), (4, 1, "d", False, "z")], schema)
+    streaming.upsert_partitioned_snapshot(d1, root, ["k"], ["version"], "p")
+    # tombstone k=2 (x becomes mixed) and k=4 (z becomes all-tombstone)
+    d2 = spark.createDataFrame(
+        [(2, 2, None, True, "x"), (4, 2, None, True, "z")], schema)
+    streaming.upsert_partitioned_snapshot(d2, root, ["k"], ["version"], "p")
+    before_y = snap("y")
+
+    assert streaming.compact_partitioned_snapshot(spark, root, "p") == 2
+    # clean partition untouched; all-tombstone partition gone
+    assert snap("y") == before_y
+    assert not os.path.exists(os.path.join(root, "p=z"))
+    live = {r.k for r in
+            streaming.read_partitioned_snapshot(spark, root).collect()}
+    assert live == {1, 3}
+    # no tombstones remain anywhere in storage
+    raw = spark.read.parquet(root)
+    assert raw.filter("is_delete").count() == 0
+    # idempotent: nothing dirty -> no-op
+    assert streaming.compact_partitioned_snapshot(spark, root, "p") == 0
