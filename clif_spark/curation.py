@@ -687,3 +687,52 @@ def dsir_importance(docs: DataFrame, target: Column,
         id_col, "n_feats", "importance_micros",
         F.round(F.col("importance_micros")
                 / F.col("n_feats") / 1e6, 6).alias("mean_ratio"))
+
+
+def quality_classifier_logit(col: Column, dim: int = 1024,
+                             weights: list[float] | None = None,
+                             weight_of=None, bias: float = 0.0,
+                             salt: str = "qc") -> Column:
+    """Hashed-bag-of-words LINEAR quality scorer — the classifier-based
+    filtering stage (CC-Net / DataComp's fasttext quality model shape)
+    that sits between the rule heuristics (Gopher/C4) and an external
+    model: tokens hash into ``dim`` buckets (md5 slice, engine-portable
+    — the rolling_fingerprint convention), each bucket carries a learned
+    weight, and the document's logit is the mean bucket weight plus
+    ``bias``. Pure Catalyst: transform + left-fold aggregate fused into
+    the scan stage, no shuffle, no Python — scoring 100 TB costs one
+    narrow pass, exactly like the heuristics it complements.
+
+    Weights come either as ``weights`` (a trained vector, embedded as an
+    array literal and indexed per token — the production path) or as
+    ``weight_of`` (bucket-Column -> weight-Column, computed in-plan —
+    what the differential gate uses, since a planted integer-valued
+    weight function folds EXACTLY in double arithmetic: integer-valued
+    doubles sum exactly below 2^53, so the fold is order-independent
+    and bit-identical across engines with no dsum machinery).
+
+    The logit is the gateable output; squash with ``F.expr('1/(1+exp(-z
+    ))')`` for a probability when thresholding — exp() is libm-bound
+    and NOT bit-stable across engines, so keep sigmoid out of any
+    hash-compared result and threshold on the logit instead (same
+    decision boundary: sigmoid is monotone)."""
+    toks = F.split(F.trim(F.lower(col)), r"\s+")
+
+    def bucket(t: Column) -> Column:
+        h = F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), t)), 1, 8), 16, 10)
+        return F.pmod(h.cast("long"), F.lit(dim))
+
+    if weights is not None:
+        if len(weights) != dim:
+            raise ValueError(f"weights must have length dim={dim}")
+        arr = F.array(*[F.lit(float(w)) for w in weights])
+
+        def weight_of(b: Column) -> Column:  # noqa: F811 - intended
+            return F.element_at(arr, (b + 1).cast("int"))
+    elif weight_of is None:
+        raise ValueError("pass weights or weight_of")
+    summed = F.aggregate(
+        F.transform(toks, lambda t: weight_of(bucket(t))),
+        F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+    return summed / F.size(toks) + F.lit(float(bias))

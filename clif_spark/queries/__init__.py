@@ -253,7 +253,7 @@ _VERIFY_FIRST_R10 = [
     # among them sits at the stream tail ---
     "io_orc_roundtrip", "web_host_stats",
     "web_robots_filter", "warc_record_pairing", "web_robots_parse",
-    "u11_partitioned_upsert",
+    "u11_partitioned_upsert", "text_quality_classifier",
     # --- the r6-latest backlog (VERDICT r10 item 2), twins and
     # headliners first as the verdict ordered: the four contract twins
     # standing in for their permanent rows-only partners ---
@@ -277,22 +277,22 @@ _VERIFY_FIRST_R10 = [
     "p9_like_rlike", "pii_redact", "pipeline_llm_curation",
     "q6_forecast_revenue", "seq_pack_bins", "text_fingerprint",
     "text_lang_id", "text_rolling_fingerprint", "tfidf_top_terms",
-    "w13_cumulative_distinct",
     # --- streams at the tail (multi-second startup each): the
     # never-gated crawl-ingest stream + the r6 CDC-apply stream whose
     # sink machinery changed this round ---
     "stream_web_ingest", "stream_cdc_apply",
     "stream_partitioned_upsert",
 ]
-# Exactly 50 head entries: 8 never-gated (3 late-r9 + 5 new r10 —
+# Exactly 50 head entries: 9 never-gated (3 late-r9 + 6 new r10 —
 # web_robots_filter, warc_record_pairing, web_robots_parse,
-# u11_partitioned_upsert, stream_partitioned_upsert — two of the eight
-# streams at the tail) + 42 r6-latest refreshes (4 twins, 5 headliners,
-# u7, 31 batch rows, stream_cdc_apply). Enumerated r11 remainder
-# (within the verdict's <=15 allowance): w3_keep_last_dedup +
-# w2_downup_fill + w1_lead_episodes (r6, ceded their slots to the three
-# r10 batch/stream registrations above — new operators get a driver row
-# before any refresh does), the five r6 streams
+# u11_partitioned_upsert, text_quality_classifier,
+# stream_partitioned_upsert — two of the nine streams at the tail) +
+# 41 r6-latest refreshes (4 twins, 5 headliners, u7, 30 batch rows,
+# stream_cdc_apply). Enumerated r11 remainder (within the verdict's
+# <=15 allowance): w3_keep_last_dedup + w2_downup_fill +
+# w1_lead_episodes + w13_cumulative_distinct (r6, ceded their slots to
+# the four r10 batch/stream registrations above — new operators get a
+# driver row before any refresh does), the five r6 streams
 # (stream_click_to_buy, stream_dedup_counts, stream_session_episodes,
 # stream_sliding_agg, stream_tumbling_agg), dedup_semantic_contract
 # (r7), and the changed-code r9-green rows to refresh

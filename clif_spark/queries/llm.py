@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from clif_spark import dedup, io, multimodal, sampling, similarity
+from clif_spark import curation, dedup, io, multimodal, sampling, similarity
 from clif_spark.functions import text as TX
 from clif_spark.queries import narrow_width, pq, query
 
@@ -2289,6 +2289,56 @@ def text_rolling_fingerprint(spark, sf_dir):
     d = io.load_table(spark, sf_dir, "documents")
     return d.select("doc_id",
                     TX.rolling_fingerprint(F.col("text")).alias("rfp"))
+
+
+@query(
+    "text_quality_classifier",
+    oracle=r"""
+    -- Hashed-BoW linear quality scorer with a PLANTED integer weight
+    -- function (w(b) = (b * 2654435761) % 2001 - 1000, b = md5-slice
+    -- bucket % 1024): integer-valued doubles fold EXACTLY (below 2^53),
+    -- so the left-fold sum is order-independent and bit-identical
+    -- across engines without fixed-point machinery; the one divide per
+    -- doc is the same IEEE op both sides. Sigmoid stays OUT of the
+    -- gate (libm exp is not bit-stable cross-engine); thresholding on
+    -- the logit is the same decision boundary.
+    WITH scored AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(
+                   regexp_split_to_array(trim(lower(text)), '\s+'),
+                   t -> CAST((((('0x' || substr(md5('qc:' || t), 1, 8))
+                               ::BIGINT % 1024) * 2654435761) % 2001)
+                             - 1000 AS DOUBLE))),
+               (h, x) -> h + x)
+             / len(regexp_split_to_array(trim(lower(text)), '\s+'))
+             / 1000 AS logit
+      FROM documents)
+    SELECT doc_id, logit, logit > 0 AS kept FROM scored
+    """,
+)
+def text_quality_classifier(spark, sf_dir):
+    """Classifier-based quality filtering (the CC-Net/DataComp fasttext
+    stage, between rule heuristics and an external model): hashed
+    bag-of-words linear scorer (curation.quality_classifier_logit) with
+    a planted in-plan weight function so the differential gate covers
+    the FULL scoring path — tokenize, hash-bucket, weight lookup,
+    left-fold mean — bit-for-bit. The production path (a trained
+    weights vector embedded as an array literal) shares every operator
+    and is unit-pinned against a hand computation. One narrow pass,
+    no shuffle, no Python — the same 100 TB shape as the Gopher/C4
+    heuristics it complements."""
+    d = io.load_table(spark, sf_dir, "documents")
+
+    def w_of(b):
+        return (((b * F.lit(2654435761)) % F.lit(2001)) - F.lit(1000)) \
+            .cast("double")
+
+    logit = (curation.quality_classifier_logit(
+        F.col("text"), dim=1024, weight_of=w_of) / F.lit(1000))
+    return d.select("doc_id", logit.alias("logit"),
+                    (logit > 0).alias("kept"))
 
 
 # ---------------------------------------------------------------------------

@@ -579,3 +579,32 @@ def test_apply_robots_rules_prefix_match(spark):
     plan = (robotsfn.apply_robots_rules(urls, rules)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_quality_classifier_weights_path_matches_hand_computation(spark):
+    """The production path (trained weights vector as an array literal):
+    score equals the hand computation token for token, and the logit
+    threshold is monotone in sigmoid (the documented reason the gate
+    thresholds on the logit)."""
+    import hashlib
+
+    from clif_spark.curation import quality_classifier_logit
+
+    dim = 16
+    weights = [round((i * 7 % 11) / 10 - 0.5, 2) for i in range(dim)]
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(f"qc:{tok}".encode()).hexdigest()[:8],
+                   16) % dim
+
+    rows = [(1, "alpha beta gamma"), (2, "Beta  beta beta"), (3, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.logit for r in df.select(
+        "doc_id",
+        quality_classifier_logit(
+            F.col("text"), dim=dim, weights=weights, bias=0.25)
+        .alias("logit")).collect()}
+    for doc_id, text in rows:
+        toks = text.strip().lower().split()
+        expected = sum(weights[bucket(t)] for t in toks) / len(toks) + 0.25
+        assert abs(out[doc_id] - expected) < 1e-12, (doc_id, toks)
