@@ -83,3 +83,21 @@ def canonicalize_url(url: Column) -> Column:
     return F.concat(
         url_scheme(url), F.lit("://"), url_host(url), url_path(url),
         F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)))
+
+
+def resolve_href(href: Column, base_scheme: Column,
+                 base_host: Column) -> Column:
+    """Resolve an extracted ``href`` against its page's scheme/host —
+    the frontier-discovery step between link extraction and
+    canonicalization. Documented subset of RFC 3986 reference
+    resolution: absolute URLs pass through, root-relative (``/path``)
+    join scheme://host, everything else (relative paths, fragments,
+    mailto:, javascript:) resolves to NULL and is dropped upstream —
+    a crawl frontier loses little by skipping same-directory relative
+    links and gains a lot of parser simplicity (dot-segment collapse,
+    base-path splicing) it would otherwise carry."""
+    return (
+        F.when(href.rlike(_SCHEME_RE), href)
+         .when(F.startswith(href, F.lit("/")),
+               F.concat(base_scheme, F.lit("://"), base_host, href))
+         .otherwise(F.lit(None)))

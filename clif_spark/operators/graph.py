@@ -1,0 +1,80 @@
+"""Graph operators over edge relations — the iterative-algorithm class
+(host-graph centrality for crawl prioritization: a host's rank is a
+crawl-budget / quality prior signal, the production use of link graphs
+in web-corpus pipelines).
+
+Design decisions that make an ITERATIVE float algorithm driver-gateable:
+- **Fixed iteration count**, not convergence detection: the gate needs a
+  deterministic relation, and K iterations of a fixed-point map are one
+  (an unrolled K-stage SQL expresses it exactly — the oracle). Real
+  deployments pick K ~ 10-20; rank ORDERING stabilizes far earlier.
+- **Integer-micros arithmetic throughout** (the dsum discipline applied
+  to a fixed-point iteration): ranks are BIGINT micros, per-edge
+  contributions are floor divisions, the damping multiply is integer —
+  every operation is exact and order-independent, so parallel
+  aggregation cannot perturb a single bit and both engines agree without
+  tolerance bands. The deliberate cost: each floor division truncates
+  <1 micro; total mass shrinks by <(E + N) micros per iteration —
+  irrelevant for ranking, documented for mass-conservation readers.
+
+Scale shape: each iteration is one join edges->ranks (hash on src, or
+broadcast when ranks fit — host graphs are host-count sized, MILLIONS of
+rows for the whole web, so broadcast is realistic) plus one groupBy(dst)
+sum. K iterations = K such stages; lineage grows linearly, so the loop
+localCheckpoints every few iterations to keep plans bounded (real
+deployments checkpoint to storage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICROS = 1_000_000
+
+
+def pagerank_fixed(edges: DataFrame, iterations: int = 3,
+                   damping_pct: int = 85,
+                   src_col: str = "src", dst_col: str = "dst",
+                   checkpoint_every: int = 4) -> DataFrame:
+    """PageRank over a DISTINCT edge relation, ``iterations`` exact
+    integer-micros steps of
+
+        r'(u) = (100 - d)% * MICROS / N  +  d% * sum_{v->u} r(v) // out(v)
+
+    (all divisions floor; see module docstring for why). Returns
+    (node, rank_micros, rank) — rank = micros / 1e6 as double, one
+    exact divide. Nodes = union of both edge endpoints; a node with no
+    inbound links holds the teleport mass only."""
+    src, dst = F.col(src_col), F.col(dst_col)
+    e = edges.select(src.alias("src"), dst.alias("dst")).distinct()
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct())
+    # two scalars of driver state: node count and the teleport term —
+    # graph-metadata sized, not data sized
+    n = nodes.count()
+    teleport = ((100 - damping_pct) * MICROS // 100) // n
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    ranks = nodes.select("node",
+                         F.lit(MICROS // n).cast("long").alias("r"))
+    for i in range(iterations):
+        contrib = (e.join(ranks, e["src"] == ranks["node"])
+                    .join(outdeg, "src")
+                    .select(F.col("dst").alias("node"),
+                            F.floor(F.col("r") / F.col("od"))
+                             .cast("long").alias("c")))
+        s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (nodes.join(s, "node", "left")
+                 .select("node",
+                         (F.lit(teleport)
+                          + F.floor(F.lit(damping_pct)
+                                    * F.coalesce(F.col("s"), F.lit(0))
+                                    / F.lit(100)).cast("long"))
+                         .cast("long").alias("r")))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(F.col("node"),
+                        F.col("r").alias("rank_micros"),
+                        (F.col("r") / F.lit(float(MICROS)))
+                        .cast("double").alias("rank"))

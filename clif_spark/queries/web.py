@@ -763,3 +763,178 @@ def warc_record_pairing(spark, sf_dir):
          .alias("doc_id"),
         "http_status", "mime", "fetch_time_ms", "has_request",
         "n_records")
+
+
+# --- D5: link extraction -> host link graph -> PageRank ------------------
+
+# Planted link pages (separate from the shared extraction template so
+# the html-extract oracles stay untouched): every page links its host's
+# successor (absolute URL); every third source also self-links
+# root-relative — giving out-degrees of 1 or 2 and non-uniform
+# in-degrees, so PageRank has real structure to converge on. A relative
+# href and a mailto: are planted to exercise the resolver's documented
+# drop rules.
+_SRC_N = "CAST(regexp_extract(source, '(\\d+)', 1) AS INT)"
+
+_LINK_PAGE_SQL = (
+    "'<html><body><a href=\"https://src' || "
+    f"CAST(({_SRC_N} + 1) % 20 AS VARCHAR) || "
+    "'.example.com/p/' || CAST(doc_id % 40 AS VARCHAR) || '\">n</a>' || "
+    f"(CASE WHEN {_SRC_N} % 3 = 0 THEN "
+    "'<a href=\"/local/' || CAST(doc_id % 40 AS VARCHAR) || '\">s</a>' "
+    "ELSE '' END) || "
+    "'<a href=\"other.html\">r</a><a href=\"mailto:x@y\">m</a>'"
+    " || '</body></html>'")
+
+
+def _link_page_col():
+    n = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    return F.concat(
+        F.lit('<html><body><a href="https://src'),
+        ((n + 1) % 20).cast("string"),
+        F.lit(".example.com/p/"), (F.col("doc_id") % 40).cast("string"),
+        F.lit('">n</a>'),
+        F.when(n % 3 == 0,
+               F.concat(F.lit('<a href="/local/'),
+                        (F.col("doc_id") % 40).cast("string"),
+                        F.lit('">s</a>'))).otherwise(F.lit("")),
+        F.lit('<a href="other.html">r</a><a href="mailto:x@y">m</a>'),
+        F.lit("</body></html>"))
+
+
+_LINK_EDGES_CTES = f"""
+    pages AS (
+      SELECT doc_id, source || '.example.com' AS src_host,
+             {_LINK_PAGE_SQL} AS html
+      FROM documents),
+    hrefs AS (
+      SELECT doc_id, src_host, unnest(
+        regexp_extract_all(html, 'href="([^"]+)"', 1)) AS href
+      FROM pages),
+    resolved AS (
+      SELECT doc_id, src_host,
+             CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://')
+                  THEN href
+                  WHEN starts_with(href, '/')
+                  THEN 'https://' || src_host || href
+                  ELSE NULL END AS u
+      FROM hrefs),
+    linkedges AS (
+      SELECT src_host,
+             lower(regexp_extract(u,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS dst_host
+      FROM resolved WHERE u IS NOT NULL)
+"""
+
+
+@query(
+    "web_link_graph",
+    oracle=f"""
+    WITH {_LINK_EDGES_CTES}
+    SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+    FROM linkedges GROUP BY src_host, dst_host
+    """,
+)
+def web_link_graph(spark, sf_dir):
+    """D5a (engine ext.): link extraction + frontier resolution — the
+    crawl-loop closing step (extracted links are the next crawl's
+    frontier, and the aggregated host graph is the input to every
+    host-reputation signal): hrefs lift out of page HTML with one
+    regexp_extract_all, resolve against the page's scheme/host
+    (functions.url.resolve_href — absolute and root-relative only,
+    relative/mailto planted and dropped by the documented subset), and
+    aggregate to the (src_host, dst_host) edge relation with link
+    counts.
+
+    Shape: narrow extract + explode (link-count x corpus rows, the
+    unavoidable fan-out), ONE hash aggregation on the host pair —
+    edge-relation-sized output, host-pair state. No Python, no second
+    scan."""
+    d = io.load_table(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id",
+        F.concat("source", F.lit(".example.com")).alias("src_host"),
+        _link_page_col().alias("html"))
+    hrefs = pages.select(
+        "src_host",
+        F.explode(F.regexp_extract_all(
+            "html", F.lit(r'href="([^"]+)"'), F.lit(1))).alias("href"))
+    resolved = urlfn.resolve_href(
+        F.col("href"), F.lit("https"), F.col("src_host"))
+    return (hrefs.select("src_host", resolved.alias("u"))
+            .filter(F.col("u").isNotNull())
+            .select("src_host", urlfn.url_host(F.col("u"))
+                    .alias("dst_host"))
+            .groupBy("src_host", "dst_host")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_links")))
+
+
+def _pagerank_oracle(iterations: int = 3, damping: int = 85) -> str:
+    """Unrolled K-iteration integer-micros PageRank — the SQL form of
+    operators/graph.pagerank_fixed, generated from the same constants
+    so the two cannot drift."""
+    ctes = f"""
+    e AS (SELECT DISTINCT src_host AS src, dst_host AS dst
+          FROM linkedges),
+    nodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    nc AS (SELECT COUNT(*) AS n FROM nodes),
+    outd AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000 // n AS BIGINT) AS r
+           FROM nodes, nc)"""
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        ctes += f""",
+    s{i} AS (SELECT e.dst AS node, SUM({prev}.r // o.od) AS s
+             FROM e JOIN {prev} ON {prev}.node = e.src
+             JOIN outd o ON o.src = e.src
+             GROUP BY e.dst),
+    r{i} AS (SELECT nodes.node,
+                    CAST((150000 // nc.n)
+                         + ({damping} * COALESCE(s{i}.s, 0)) // 100
+                         AS BIGINT) AS r
+             FROM nodes LEFT JOIN s{i} ON s{i}.node = nodes.node, nc)"""
+        prev = f"r{i}"
+    return f"""
+    WITH {_LINK_EDGES_CTES},
+    {ctes}
+    SELECT node, r AS rank_micros,
+           CAST(r / 1000000.0 AS DOUBLE) AS rank
+    FROM {prev}
+    """
+
+
+@query("web_host_pagerank", oracle=_pagerank_oracle())
+def web_host_pagerank(spark, sf_dir):
+    """D5b (engine ext.): PageRank over the extracted host graph — the
+    ITERATIVE-algorithm class, driver-gated exactly (not a tolerance
+    band): 3 fixed iterations in integer-micros arithmetic
+    (operators/graph.pagerank_fixed), where every per-edge contribution
+    is a floor division and every sum is a BIGINT add — exact,
+    order-independent, bit-identical to the oracle's unrolled 3-stage
+    SQL generated from the same constants. The planted graph has
+    out-degrees of 1 or 2 and non-uniform in-degrees, so the ranks are
+    genuinely non-trivial (a uniform-preserving bug would not survive
+    the hash).
+
+    Shape: K stages of (edges join ranks -> groupBy dst); the rank
+    relation is HOST-count sized — at web scale it broadcasts, making
+    each iteration one edge-relation scan with no corpus shuffle."""
+    from clif_spark.operators import graph as G
+
+    d = io.load_table(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id",
+        F.concat("source", F.lit(".example.com")).alias("src_host"),
+        _link_page_col().alias("html"))
+    hrefs = pages.select(
+        "src_host",
+        F.explode(F.regexp_extract_all(
+            "html", F.lit(r'href="([^"]+)"'), F.lit(1))).alias("href"))
+    resolved = urlfn.resolve_href(
+        F.col("href"), F.lit("https"), F.col("src_host"))
+    edges = (hrefs.select("src_host", resolved.alias("u"))
+             .filter(F.col("u").isNotNull())
+             .select(F.col("src_host").alias("src"),
+                     urlfn.url_host(F.col("u")).alias("dst")))
+    return G.pagerank_fixed(edges, iterations=3)
