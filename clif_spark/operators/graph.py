@@ -36,7 +36,8 @@ MICROS = 1_000_000
 def pagerank_fixed(edges: DataFrame, iterations: int = 3,
                    damping_pct: int = 85,
                    src_col: str = "src", dst_col: str = "dst",
-                   checkpoint_every: int = 4) -> DataFrame:
+                   checkpoint_every: int = 4,
+                   init_ranks: DataFrame | None = None) -> DataFrame:
     """PageRank over a DISTINCT edge relation, ``iterations`` exact
     integer-micros steps of
 
@@ -45,7 +46,18 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 3,
     (all divisions floor; see module docstring for why). Returns
     (node, rank_micros, rank) — rank = micros / 1e6 as double, one
     exact divide. Nodes = union of both edge endpoints; a node with no
-    inbound links holds the teleport mass only."""
+    inbound links holds the teleport mass only.
+
+    ``init_ranks`` (node, rank_micros) WARM-STARTS the iteration from a
+    persisted rank table instead of the uniform vector — the
+    incremental form: because each step is a pure function of the
+    previous vector and the arithmetic is exact, K stored + K' warm
+    iterations equal K+K' from scratch BIT-FOR-BIT (the gated
+    web_pagerank_warm_start contract), so a standing rank table can be
+    advanced delivery by delivery without recomputing history. The
+    caller guarantees init covers the node set (ranks for vanished
+    nodes are dropped; nodes missing from init would iterate from
+    NULL — they are seeded with the uniform share instead)."""
     src, dst = F.col(src_col), F.col(dst_col)
     e = edges.select(src.alias("src"), dst.alias("dst")).distinct()
     nodes = (e.select(F.col("src").alias("node"))
@@ -56,8 +68,17 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 3,
     n = nodes.count()
     teleport = ((100 - damping_pct) * MICROS // 100) // n
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    ranks = nodes.select("node",
-                         F.lit(MICROS // n).cast("long").alias("r"))
+    if init_ranks is not None:
+        ranks = (nodes.join(
+            init_ranks.select(F.col("node"),
+                              F.col("rank_micros").alias("__init")),
+            "node", "left")
+            .select("node",
+                    F.coalesce("__init", F.lit(MICROS // n))
+                     .cast("long").alias("r")))
+    else:
+        ranks = nodes.select("node",
+                             F.lit(MICROS // n).cast("long").alias("r"))
     for i in range(iterations):
         contrib = (e.join(ranks, e["src"] == ranks["node"])
                     .join(outdeg, "src")
