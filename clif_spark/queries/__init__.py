@@ -255,6 +255,7 @@ _VERIFY_FIRST_R10 = [
     "web_robots_filter", "warc_record_pairing", "web_robots_parse",
     "u11_partitioned_upsert", "text_quality_classifier",
     "web_link_graph", "web_host_pagerank", "web_pagerank_warm_start",
+    "pipeline_crawl_corpus",
     # --- the r6-latest backlog (VERDICT r10 item 2), twins and
     # headliners first as the verdict ordered: the four contract twins
     # standing in for their permanent rows-only partners ---
@@ -276,25 +277,26 @@ _VERIFY_FIRST_R10 = [
     "j7_asof_join", "j8_interval_join", "mm_frame_offsets",
     "mm_gif_pixel_stats", "p10_time_range", "p7_p8_in_comparison",
     "p9_like_rlike", "pii_redact", "pipeline_llm_curation",
-    "q6_forecast_revenue", "seq_pack_bins", "text_fingerprint",
+    "q6_forecast_revenue", "seq_pack_bins",
     # --- streams at the tail (multi-second startup each): the
     # never-gated crawl-ingest stream + the r6 CDC-apply stream whose
     # sink machinery changed this round ---
     "stream_web_ingest", "stream_cdc_apply",
     "stream_partitioned_upsert",
 ]
-# Exactly 50 head entries: 12 never-gated (3 late-r9 + 9 new r10 —
+# Exactly 50 head entries: 13 never-gated (3 late-r9 + 10 new r10 —
 # web_robots_filter, warc_record_pairing, web_robots_parse,
 # u11_partitioned_upsert, text_quality_classifier, web_link_graph,
-# web_host_pagerank, web_pagerank_warm_start,
-# stream_partitioned_upsert — two of the twelve streams at the tail) +
-# 38 r6-latest refreshes (4 twins, 5 headliners, u7, 27 batch rows,
-# stream_cdc_apply). Enumerated r11 remainder (within the verdict's
-# <=15 allowance): w3_keep_last_dedup, w2_downup_fill,
+# web_host_pagerank, web_pagerank_warm_start, pipeline_crawl_corpus,
+# stream_partitioned_upsert — two of the thirteen streams at the
+# tail) + 37 r6-latest refreshes (4 twins, 5 headliners, u7, 26 batch
+# rows, stream_cdc_apply). Enumerated r11 remainder (within the
+# verdict's <=15 allowance): w3_keep_last_dedup, w2_downup_fill,
 # w1_lead_episodes, w13_cumulative_distinct, text_rolling_fingerprint,
-# tfidf_top_terms, text_lang_id (r6 — ceded their slots to the seven
-# r10 batch/stream registrations above; new operators get a driver row
-# before any refresh does), the five r6 streams
+# tfidf_top_terms, text_lang_id, text_fingerprint (r6 — ceded their
+# slots to the eight r10 batch/stream registrations above; new
+# operators get a driver row before any refresh does), the five r6
+# streams
 # (stream_click_to_buy, stream_dedup_counts, stream_session_episodes,
 # stream_sliding_agg, stream_tumbling_agg), dedup_semantic_contract
 # (r7), and the changed-code r9-green rows to refresh

@@ -578,10 +578,10 @@ _ROBOTS_TXT_SQL = (
     "'Disallow: /cgi-bin/'")
 
 
-@query(
-    "web_robots_parse",
-    oracle=f"""
-    WITH {_CANON_CTES},
+# Shared robots-rules CTE chain (srcs -> robots -> ... -> hostrules),
+# used by web_robots_parse and the pipeline_crawl_corpus funnel so one
+# rule set governs both.
+_ROBOTS_RULES_CTES = f"""
     srcs AS (SELECT DISTINCT source FROM documents),
     robots AS (
       SELECT source || '.example.com' AS host, {_ROBOTS_TXT_SQL} AS txt
@@ -619,7 +619,15 @@ _ROBOTS_TXT_SQL = (
       WHERE starts_with(g.ln, 'disallow:') AND trim(g.ln[10:]) <> ''),
     hostrules AS (
       SELECT host, list(prefix) AS prefixes, COUNT(*) AS n_rules
-      FROM rrules GROUP BY host),
+      FROM rrules GROUP BY host)
+"""
+
+
+@query(
+    "web_robots_parse",
+    oracle=f"""
+    WITH {_CANON_CTES},
+    {_ROBOTS_RULES_CTES},
     tag AS (
       SELECT p.host, p.doc_id,
              coalesce(len(list_filter(hr.prefixes,
@@ -987,3 +995,151 @@ def web_pagerank_warm_start(spark, sf_dir):
     stored = STR.read_cdc_snapshot(spark, root) \
                 .select("node", "rank_micros")
     return G.pagerank_fixed(edges, iterations=3, init_ranks=stored)
+
+
+# --- the full crawl-to-corpus funnel --------------------------------------
+
+
+def _quality_logit_sql(expr: str) -> str:
+    """DuckDB mirror of the planted-weight quality logit (the
+    text_quality_classifier arithmetic, parameterized over its input
+    expression so the funnel can score EXTRACTED text)."""
+    toks = f"regexp_split_to_array(trim(lower({expr})), '\\s+')"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform({toks}, "
+        f"t -> CAST((((('0x' || substr(md5('qc:' || t), 1, 8))"
+        f"::BIGINT % 1024) * 2654435761) % 2001) - 1000 AS DOUBLE))), "
+        f"(h, x) -> h + x) / len({toks}) / 1000")
+
+
+@query(
+    "pipeline_crawl_corpus",
+    oracle=f"""
+    WITH {_CANON_CTES},
+    {_ROBOTS_RULES_CTES},
+    page AS (
+      SELECT doc_id, source, {_page_html_sql()} AS html FROM documents),
+    ext AS (
+      SELECT doc_id, {_sql_html_to_text('html')} AS t FROM page),
+    doc AS (
+      SELECT p.doc_id, p.host, e.t, c.canonical_url,
+             coalesce(len(list_filter(hr.prefixes,
+                      x -> starts_with(p.path, x))) > 0, FALSE) AS blocked,
+             ({_quality_logit_sql('e.t')}) > 0 AS qpass
+      FROM parts p
+      JOIN ext e ON e.doc_id = p.doc_id
+      JOIN canon c ON c.doc_id = p.doc_id
+      LEFT JOIN hostrules hr ON hr.host = p.host),
+    kept AS (
+      SELECT host, t FROM doc
+      WHERE NOT blocked AND qpass
+      QUALIFY row_number() OVER (PARTITION BY canonical_url
+                                 ORDER BY length(t) DESC, doc_id) = 1),
+    kagg AS (
+      SELECT host, COUNT(*) AS nk, SUM(length(t)) AS chars
+      FROM kept GROUP BY host),
+    stage AS (
+      SELECT host,
+             COUNT(*) AS n_fetched,
+             COUNT(CASE WHEN blocked THEN 1 END) AS n_robots_blocked,
+             COUNT(CASE WHEN NOT blocked AND NOT qpass THEN 1 END)
+               AS n_quality_dropped,
+             COUNT(CASE WHEN NOT blocked AND qpass THEN 1 END)
+               AS n_eligible
+      FROM doc GROUP BY host)
+    SELECT s.host,
+           CAST(s.n_fetched AS BIGINT) AS n_fetched,
+           CAST(s.n_robots_blocked AS BIGINT) AS n_robots_blocked,
+           CAST(s.n_quality_dropped AS BIGINT) AS n_quality_dropped,
+           CAST(s.n_eligible - coalesce(k.nk, 0) AS BIGINT) AS n_url_dups,
+           CAST(coalesce(k.nk, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(k.chars, 0) AS BIGINT) AS kept_chars
+    FROM stage s LEFT JOIN kagg k ON k.host = s.host
+    """,
+)
+def pipeline_crawl_corpus(spark, sf_dir):
+    """The COMPLETE crawl-to-corpus funnel, every web-surface operator
+    chained in crawl order and gated as ONE relation: WARC container
+    (build -> mixed plain/gz shards -> parse; the legs cancel in the
+    oracle exactly as in pipeline_web_ingest) -> HTML->text extraction
+    -> robots.txt PARSED from bodies and applied as a prefix gate ->
+    classifier-based quality filtering on the EXTRACTED text -> URL
+    canonicalize + keep-best dedup -> per-host funnel report (fetched /
+    robots-blocked / quality-dropped / URL-dups / kept docs + chars).
+    Any single-stage drift — container corruption, an extraction rule,
+    a robots group boundary, one classifier weight, a canonicalization
+    rule, the keep-best tiebreak — flips the hash.
+
+    Shape at 100 TB: parse parallelism = shard count; extraction,
+    scoring, and canonicalization are ONE fused narrow pass over the
+    parsed rows; robots rules ride broadcast; the only corpus-keyed
+    exchanges are the URL-dedup window and the host aggregation — the
+    same two the standalone rows pay. Governance state (rules, ranks,
+    host stats) is host-count sized throughout."""
+    from clif_spark.functions import robots as robotsfn
+
+    d = io.load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", _page_html_col().alias("page"),
+        _doc_url_col().alias("url"),
+        (F.col("doc_id") % _shard_count(d)).alias("file_id"))
+    files = warc.assemble_warc_files(
+        warc.build_warc_records(docs, payload_col="page"),
+        gzip_records="mixed")
+    parsed = warc.parse_warc(files)
+    base = parsed.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long")
+         .alias("doc_id"),
+        F.regexp_extract("target_uri", rf"{_URL_PRE}([^/]+)/", 1)
+         .alias("source"),
+        curation.html_to_text(F.col("payload").cast("string"))
+         .alias("t"))
+    raw = _raw_url_col()
+    enriched = base.select(
+        "doc_id", "t",
+        urlfn.url_host(raw).alias("host"),
+        urlfn.url_path(raw).alias("path"),
+        urlfn.canonicalize_url(raw).alias("canonical_url"))
+    robots = (d.select("source").distinct().select(
+        F.concat("source", F.lit(".example.com")).alias("host"),
+        _robots_txt_col().alias("robots_txt")))
+    rules = robotsfn.robots_disallow_rules(robots)
+    tagged = robotsfn.apply_robots_rules(enriched, rules)
+
+    def w_of(b):
+        return (((b * F.lit(2654435761)) % F.lit(2001)) - F.lit(1000)) \
+            .cast("double")
+
+    qpass = (curation.quality_classifier_logit(
+        F.col("t"), dim=1024, weight_of=w_of) / F.lit(1000)) > 0
+    flagged = tagged.select(
+        "doc_id", "host", "canonical_url",
+        F.length("t").alias("tlen"),
+        F.col("robots_blocked").alias("blocked"),
+        qpass.alias("qpass"))
+    stage = flagged.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetched"),
+        F.count_if(F.col("blocked")).cast("long")
+         .alias("n_robots_blocked"),
+        F.count_if(~F.col("blocked") & ~F.col("qpass")).cast("long")
+         .alias("n_quality_dropped"),
+        F.count_if(~F.col("blocked") & F.col("qpass")).cast("long")
+         .alias("n_eligible"))
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.col("tlen").desc(), F.col("doc_id"))
+    kept = (flagged.filter(~F.col("blocked") & F.col("qpass"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    kagg = kept.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sum("tlen").cast("long").alias("chars"))
+    return (stage.join(kagg, "host", "left")
+            .select("host", "n_fetched", "n_robots_blocked",
+                    "n_quality_dropped",
+                    (F.col("n_eligible") - F.coalesce("nk", F.lit(0)))
+                    .cast("long").alias("n_url_dups"),
+                    F.coalesce("nk", F.lit(0)).cast("long")
+                     .alias("n_kept"),
+                    F.coalesce("chars", F.lit(0)).cast("long")
+                     .alias("kept_chars")))
