@@ -608,3 +608,66 @@ def test_quality_classifier_weights_path_matches_hand_computation(spark):
         toks = text.strip().lower().split()
         expected = sum(weights[bucket(t)] for t in toks) / len(toks) + 0.25
         assert abs(out[doc_id] - expected) < 1e-12, (doc_id, toks)
+
+
+def test_robots_parser_randomized_vs_reference(spark):
+    """Seeded randomized differential test: 40 generated robots.txt
+    bodies with random group structures (multi-agent groups, comments,
+    blank lines, CRLF/LF mix, empty disallows, Allow lines, random
+    casing) parsed by the Catalyst chain must match an independent
+    pure-Python reference implementation of the same documented subset
+    — one Spark job for all bodies, not one per example."""
+    import random
+
+    from clif_spark.functions import robots as robotsfn
+
+    rng = random.Random(20260815)
+
+    def ref_parse(body: str, agent: str = "*") -> set:
+        """Independent reference: group = run of consecutive user-agent
+        lines + following rules; Disallow-only; exact agent token."""
+        rules, agents, in_ua_run = set(), [], False
+        cur_agents: list = []
+        for line in body.split("\n"):
+            ln = line.replace("\r", "")
+            ln = ln.split("#", 1)[0].strip().lower()
+            if ln.startswith("user-agent:"):
+                if not in_ua_run:
+                    cur_agents = []
+                cur_agents.append(ln[len("user-agent:"):].strip())
+                in_ua_run = True
+                continue
+            in_ua_run = False
+            if ln.startswith("disallow:"):
+                pfx = ln[len("disallow:"):].strip()
+                if pfx and agent in cur_agents:
+                    rules.add(pfx)
+        return rules
+
+    agents_pool = ["*", "ccbot", "googlebot", "MyBot"]
+    paths = ["/", "/a", "/a/b", "/search", "/tmp/", "/cgi-bin/x", ""]
+    bodies = []
+    for i in range(40):
+        lines = []
+        for _ in range(rng.randint(1, 4)):  # groups
+            if rng.random() < 0.3:
+                lines.append("# comment %d" % rng.randint(0, 9))
+            for _ in range(rng.randint(1, 3)):  # agents per group
+                a = rng.choice(agents_pool)
+                key = rng.choice(["User-agent", "user-agent", "USER-AGENT"])
+                lines.append(f"{key}: {a}")
+            for _ in range(rng.randint(0, 4)):  # rules per group
+                kind = rng.choice(["Disallow", "disallow", "Allow"])
+                p = rng.choice(paths)
+                cmt = "  # inline" if rng.random() < 0.2 else ""
+                lines.append(f"{kind}: {p}{cmt}")
+            if rng.random() < 0.5:
+                lines.append("")
+        sep = "\r\n" if i % 3 == 0 else "\n"
+        bodies.append((f"h{i}.com", sep.join(lines)))
+    df = spark.createDataFrame(bodies, "host string, robots_txt string")
+    got: dict = {}
+    for r in robotsfn.robots_disallow_rules(df).collect():
+        got.setdefault(r.host, set()).add(r.disallow_prefix)
+    for host, body in bodies:
+        assert got.get(host, set()) == ref_parse(body), (host, body)
