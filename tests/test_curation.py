@@ -671,3 +671,65 @@ def test_robots_parser_randomized_vs_reference(spark):
         got.setdefault(r.host, set()).add(r.disallow_prefix)
     for host, body in bodies:
         assert got.get(host, set()) == ref_parse(body), (host, body)
+
+
+def test_url_canonicalize_randomized_vs_reference(spark):
+    """Seeded randomized differential: 120 generated URLs (random
+    scheme/case/port/www/path-slash/query-order/tracking-param/fragment
+    combinations) canonicalized by the Catalyst chain must match an
+    independent pure-Python reference of the documented rule list —
+    one Spark job for all of them."""
+    import random
+    import re
+
+    from pyspark.sql import functions as F
+
+    from clif_spark.functions import url as urlfn
+
+    def ref_canon(url: str) -> str:
+        u = re.sub(r"#.*$", "", url)
+        m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", u)
+        scheme = m.group(1).lower() if m else ""
+        am = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", u)
+        host = am.group(1).lower() if am else ""
+        if scheme == "http":
+            host = re.sub(r":80$", "", host)
+        elif scheme == "https":
+            host = re.sub(r":443$", "", host)
+        host = re.sub(r"^www\.", "", host)
+        pm = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", u)
+        path = pm.group(1) if pm else ""
+        path = path or "/"
+        path = re.sub(r"^(.+?)/+$", r"\1", path)
+        qm = re.search(r"\?([^#]*)", u)
+        q = qm.group(1) if qm else ""
+        keep = [x for x in q.split("&")
+                if x != ""
+                and not x.split("=", 1)[0].startswith("utm_")
+                and x.split("=", 1)[0] != "fbclid"]
+        qs = "&".join(sorted(keep))
+        return f"{scheme}://{host}{path}" + (f"?{qs}" if qs else "")
+
+    rng = random.Random(20260815)
+    schemes = ["http", "https", "HTTP", "HTTPS", "ftp"]
+    hosts = ["Example.com", "www.example.com", "SUB.site.ORG", "a.b.c"]
+    ports = ["", ":80", ":443", ":8080"]
+    path_parts = ["", "/", "/a", "/a/b", "/a/b/", "/x//", "/a%20b"]
+    params = ["id=1", "b=2", "a=3", "utm_source=x", "utm_campaign=y",
+              "fbclid=z", "id=fbclid", "utm", "", "k"]
+    frags = ["", "#top", "#sec/2"]
+    urls = []
+    for _ in range(120):
+        q = "&".join(rng.sample(params, rng.randint(0, 5)))
+        urls.append(
+            rng.choice(schemes) + "://" + rng.choice(hosts)
+            + rng.choice(ports) + rng.choice(path_parts)
+            + (f"?{q}" if q or rng.random() < 0.2 else "")
+            + rng.choice(frags))
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = [r.c for r in
+           df.select(urlfn.canonicalize_url(F.col("url")).alias("c"))
+             .collect()]
+    expected = [ref_canon(u) for u in urls]
+    mism = [(u, g, e) for u, g, e in zip(urls, got, expected) if g != e]
+    assert not mism, mism[:5]
