@@ -1,8 +1,8 @@
-"""robots.txt parsing as a relation: derive per-host Disallow rules from
-the crawl's own governance artifacts (RFC 9309 / the original 1994 REP) —
-the step BEFORE ``web_robots_filter``'s allow/deny application, so the
-denylist is computed from fetched ``robots.txt`` bodies instead of being
-handed in.
+"""robots.txt parsing as a relation: derive per-host Allow/Disallow rules
+from the crawl's own governance artifacts (RFC 9309 / the original 1994
+REP) — the step BEFORE ``web_robots_filter``'s allow/deny application, so
+the denylist is computed from fetched ``robots.txt`` bodies instead of
+being handed in.
 
 Pure Catalyst throughout: line split + posexplode, comment strip, a
 lag-window group-boundary detector (a group is one or more consecutive
@@ -12,18 +12,25 @@ the whole parse is window + projection work that fuses around one hash
 exchange on host (robots bodies are one row per host — host-count sized,
 KBs per row, trivially broadcastable downstream).
 
+Precedence (RFC 9309 §2.2.2): for a given path, the rule with the
+LONGEST matching prefix wins; when an Allow and a Disallow rule match
+with EQUAL length, the Allow is used ("If an allow rule and a disallow
+rule are equivalent, then the allow rule SHOULD be used"). This is what
+makes the single most common real-world idiom work: ``Disallow: /`` +
+``Allow: /public`` keeps the /public subtree crawlable. The match is
+evaluated host-side as one ``array_max`` over (prefix_len, allow)
+structs — Spark's struct ordering IS the RFC tiebreak.
+
 Scope (documented, conservative — the C4/CC-Net compliance subset):
-- ``Disallow:`` prefixes only; ``Allow:`` overrides and the
-  longest-match precedence rule are NOT evaluated (treating an
-  Allow-carved subtree as still disallowed never fetches more than the
-  site permits — fail-closed);
-- group selection by EXACT agent token match (default ``*``), no
-  most-specific-agent fallback chain;
+- group selection by agent token match (default ``*``), caller agent
+  lowercased to mirror the line normalization — ``CCBot`` and ``ccbot``
+  select the same group; no most-specific-agent fallback chain;
 - prefixes are literal string prefixes: ``$``/``*`` wildcards and
-  %-encoding normalization are not interpreted (rare in disallow lines;
-  a literal match on a wildcard pattern simply never fires — again
-  fail-closed is the wrong word here: it under-blocks, so callers with
-  strict compliance needs pre-expand wildcards upstream).
+  %-encoding normalization are not interpreted (rare in rule lines; a
+  literal match on a wildcard pattern simply never fires, so wildcard
+  disallows under-block — callers with strict compliance needs
+  pre-expand wildcards upstream; tests/test_functions.py pins this
+  in/out-of-scope boundary).
 """
 
 from __future__ import annotations
@@ -33,13 +40,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def robots_disallow_rules(robots: DataFrame, host_col: str = "host",
-                          txt_col: str = "robots_txt",
-                          agent: str = "*") -> DataFrame:
-    """(host, disallow_prefix) — one row per Disallow rule in any group
-    whose ``User-agent:`` tokens include ``agent`` (exact match after
-    lowercasing/trim). Empty ``Disallow:`` lines (allow-all markers) are
-    dropped; duplicate rules dedup.
+def robots_rules(robots: DataFrame, host_col: str = "host",
+                 txt_col: str = "robots_txt",
+                 agent: str = "*") -> DataFrame:
+    """(host, prefix, allow) — one row per Allow/Disallow rule in any
+    group whose ``User-agent:`` tokens include ``agent`` (matched after
+    lowercasing/trim on BOTH sides). Empty-value ``Disallow:`` /
+    ``Allow:`` lines (no-op markers per RFC 9309) are dropped; duplicate
+    (host, prefix, allow) rows dedup — a same-prefix Allow AND Disallow
+    pair survives as two rows (the §2.2.2 tie the applier resolves
+    toward Allow).
 
     Mirrored rule-for-rule by the DuckDB CTE in queries/web.py (the
     gated row) — keep the two in sync."""
@@ -65,33 +75,59 @@ def robots_disallow_rules(robots: DataFrame, host_col: str = "host",
     wild = (grouped
             .filter(F.col("is_ua")
                     & (F.trim(F.substring("ln", 12, 1 << 20))
-                       == F.lit(agent)))
+                       == F.lit(agent.lower())))
             .select("host", "grp").distinct())
-    prefix = F.trim(F.substring("ln", 10, 1 << 20))
+    is_dis = F.startswith(F.col("ln"), F.lit("disallow:"))
+    is_alw = F.startswith(F.col("ln"), F.lit("allow:"))
+    # 'disallow:' is 9 chars, 'allow:' is 6 — value starts at 10 / 7
+    prefix = F.trim(F.when(is_alw, F.substring("ln", 7, 1 << 20))
+                     .otherwise(F.substring("ln", 10, 1 << 20)))
     return (grouped
-            .filter(F.startswith(F.col("ln"), F.lit("disallow:")))
-            .select("host", "grp", prefix.alias("disallow_prefix"))
-            .filter(F.col("disallow_prefix") != "")
+            .filter(is_dis | is_alw)
+            .select("host", "grp", prefix.alias("prefix"),
+                    is_alw.alias("allow"))
+            .filter(F.col("prefix") != "")
             .join(wild, ["host", "grp"])
-            .select("host", "disallow_prefix")
+            .select("host", "prefix", "allow")
             .distinct())
+
+
+def robots_disallow_rules(robots: DataFrame, host_col: str = "host",
+                          txt_col: str = "robots_txt",
+                          agent: str = "*") -> DataFrame:
+    """(host, disallow_prefix) — the Disallow rows of ``robots_rules``,
+    kept for callers that want the deny-only view (no precedence)."""
+    return (robots_rules(robots, host_col, txt_col, agent)
+            .filter(~F.col("allow"))
+            .select("host", F.col("prefix").alias("disallow_prefix")))
 
 
 def apply_robots_rules(urls: DataFrame, rules: DataFrame,
                        host_col: str = "host",
                        path_col: str = "path") -> DataFrame:
-    """``urls`` plus a boolean ``robots_blocked``: TRUE when any of the
-    host's disallow prefixes literal-prefix-matches the URL path. Rules
-    are collapsed to one array row per host and BROADCAST (host-count
-    sized), so the corpus side takes one narrow ``exists()`` projection
-    — no shuffle, no per-rule row multiplication."""
+    """``urls`` plus a boolean ``robots_blocked``, evaluated with RFC
+    9309 §2.2.2 longest-match precedence: among the host's rules whose
+    prefix literal-prefix-matches the URL path, the longest prefix
+    decides (Disallow → blocked, Allow → kept); an equal-length
+    Allow/Disallow tie resolves to Allow; no matching rule → kept.
+
+    Rules are collapsed to one array-of-struct row per host and
+    BROADCAST (host-count sized), so the corpus side takes one narrow
+    ``filter`` + ``array_max`` projection — the struct ordering
+    (prefix_len, allow) IS the precedence rule, so the whole verdict is
+    a single fused expression: no shuffle, no per-rule row
+    multiplication."""
     per_host = (rules.groupBy("host")
-                .agg(F.collect_list("disallow_prefix").alias("__prefixes")))
+                .agg(F.collect_list(
+                    F.struct(F.col("prefix"), F.col("allow")))
+                    .alias("__rules")))
     joined = urls.join(
         F.broadcast(per_host),
         urls[host_col] == per_host["host"], "left").drop(per_host["host"])
-    blocked = F.coalesce(
-        F.exists("__prefixes",
-                 lambda p: F.startswith(F.col(path_col), p)),
-        F.lit(False))
-    return joined.withColumn("robots_blocked", blocked).drop("__prefixes")
+    best = F.array_max(F.transform(
+        F.filter("__rules",
+                 lambda r: F.startswith(F.col(path_col), r["prefix"])),
+        lambda r: F.struct(F.length(r["prefix"]).alias("l"),
+                           r["allow"].alias("a"))))
+    blocked = F.coalesce(~best["a"], F.lit(False))
+    return joined.withColumn("robots_blocked", blocked).drop("__rules")

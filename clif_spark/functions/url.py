@@ -85,19 +85,68 @@ def canonicalize_url(url: Column) -> Column:
         F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)))
 
 
-def resolve_href(href: Column, base_scheme: Column,
-                 base_host: Column) -> Column:
-    """Resolve an extracted ``href`` against its page's scheme/host —
-    the frontier-discovery step between link extraction and
-    canonicalization. Documented subset of RFC 3986 reference
-    resolution: absolute URLs pass through, root-relative (``/path``)
-    join scheme://host, everything else (relative paths, fragments,
-    mailto:, javascript:) resolves to NULL and is dropped upstream —
-    a crawl frontier loses little by skipping same-directory relative
-    links and gains a lot of parser simplicity (dot-segment collapse,
-    base-path splicing) it would otherwise carry."""
+def collapse_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 remove_dot_segments over an absolute path, as a
+    single Catalyst ``aggregate`` (left fold) over the ``/``-split
+    segments with a STRING accumulator: ``.`` and empty segments are
+    no-ops, ``..`` pops the last appended segment (a ``..`` at root
+    stays at root, per spec), anything else appends. Deliberate
+    normalizations folded in (both identical to what
+    ``canonicalize_url`` does next): empty segments collapse
+    (``a//b`` -> ``/a/b``) and a trailing ``/``/``.``/``..`` loses its
+    directory-form trailing slash. The DuckDB oracle mirror
+    (queries/web.py _LINK_EDGES_CTES) is the same fold via
+    list_reduce — keep the two in sync."""
+    segs = F.split(path, "/")
+    folded = F.aggregate(
+        segs, F.lit(""),
+        lambda acc, s: (
+            F.when((s == "") | (s == "."), acc)
+             .when(s == "..", F.regexp_replace(acc, "/[^/]*$", ""))
+             .otherwise(F.concat(acc, F.lit("/"), s))))
+    return F.when(folded == "", F.lit("/")).otherwise(folded)
+
+
+def resolve_href(href: Column, base_scheme: Column, base_host: Column,
+                 base_path: Column | None = None) -> Column:
+    """Resolve an extracted ``href`` against its page's
+    scheme/host/path — the frontier-discovery step between link
+    extraction and canonicalization. RFC 3986 §5 reference resolution
+    over the hierarchical cases:
+
+    - absolute (``scheme://...``) passes through;
+    - protocol-relative (``//authority/path``) takes the base scheme;
+    - root-relative (``/path``) joins scheme://host, dot-segments
+      collapsed;
+    - relative paths (``sub/page``, ``../x``, ``./same``) splice onto
+      the base path's directory (base path's last segment dropped, RFC
+      3986 §5.3 merge) then collapse dot-segments — requires
+      ``base_path``; with the default ``base_path=None`` they resolve
+      to NULL (the pre-round-11 subset, kept for callers without a
+      page path);
+    - non-hierarchical refs (``mailto:``, ``javascript:``, ``#frag``,
+      ``?query``, empty) resolve to NULL and are dropped upstream.
+
+    Fragments are stripped first (never sent to the server); a
+    relative ref's own query string survives the splice."""
+    href = F.regexp_replace(href, r"#.*$", "")
+    rel_path = F.regexp_extract(href, r"^([^?#]*)", 1)
+    rel_qs = F.regexp_extract(href, r"(\?[^#]*)", 1)
+    root = F.concat(base_scheme, F.lit("://"), base_host)
+    resolved_abs = F.concat(root, collapse_dot_segments(rel_path), rel_qs)
+    if base_path is None:
+        rel = F.lit(None).cast("string")
+    else:
+        base_dir = F.regexp_replace(base_path, r"[^/]*$", "")
+        rel = F.concat(root,
+                       collapse_dot_segments(
+                           F.concat(base_dir, rel_path)), rel_qs)
     return (
-        F.when(href.rlike(_SCHEME_RE), href)
-         .when(F.startswith(href, F.lit("/")),
-               F.concat(base_scheme, F.lit("://"), base_host, href))
-         .otherwise(F.lit(None)))
+        F.when(href == "", F.lit(None))
+         .when(href.rlike(_SCHEME_RE), href)
+         .when(F.startswith(href, F.lit("//")),
+               F.concat(base_scheme, F.lit(":"), href))
+         .when(F.startswith(href, F.lit("/")), resolved_abs)
+         .when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+               | F.startswith(href, F.lit("?")), F.lit(None))
+         .otherwise(rel))

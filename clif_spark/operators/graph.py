@@ -80,18 +80,22 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 3,
         ranks = nodes.select("node",
                              F.lit(MICROS // n).cast("long").alias("r"))
     for i in range(iterations):
+        # TRUE integer division (`div`), not floor(double): floor(r/od)
+        # agrees with r // od only while r is small enough that the
+        # double rounding error stays under 1/od — guaranteed at micros
+        # scale but NOT for arbitrary caller-supplied init_ranks. `div`
+        # keeps the bit-for-bit warm-start contract over the full long
+        # domain (regression: tests/test_graph.py).
         contrib = (e.join(ranks, e["src"] == ranks["node"])
                     .join(outdeg, "src")
                     .select(F.col("dst").alias("node"),
-                            F.floor(F.col("r") / F.col("od"))
-                             .cast("long").alias("c")))
+                            F.expr("r div od").alias("c")))
         s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         ranks = (nodes.join(s, "node", "left")
                  .select("node",
-                         (F.lit(teleport)
-                          + F.floor(F.lit(damping_pct)
-                                    * F.coalesce(F.col("s"), F.lit(0))
-                                    / F.lit(100)).cast("long"))
+                         F.expr(f"CAST({teleport} AS BIGINT) + "
+                                f"(({damping_pct} * coalesce(s, "
+                                f"CAST(0 AS BIGINT))) div 100)")
                          .cast("long").alias("r")))
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)

@@ -549,9 +549,18 @@ def web_robots_filter(spark, sf_dir):
 # Planted robots.txt per host (Spark expression + DuckDB mirror): a
 # comment, a googlebot-only group that must be IGNORED (its Disallow: /
 # would block everything), and a wildcard group with two user-agent
-# lines (RFC 9309 multi-agent groups), one path-prefix disallow keyed to
-# the source's number, an Allow line (out of the Disallow-only scope),
-# and a disallow that matches nothing.
+# lines (RFC 9309 multi-agent groups) whose rules exercise every §2.2.2
+# precedence behavior observably (paths are /articles/0..39, k = source
+# number % 4):
+#   Disallow: /articles/{k}   blocks {k} and {k}0..{k}9
+#   Allow: /articles/{k}5     LONGER allow flips {k}5 back to kept
+#   Disallow: /articles/25    longer disallow beats Allow:/articles/2
+#   Allow: /articles/2        for k=2 hosts this is an exact-length TIE
+#                             with Disallow:/articles/2 -> allow wins,
+#                             so k=2 hosts block nothing (25 ties too,
+#                             against Allow:/articles/25)
+#   Disallow: /cgi-bin/       matches no path
+#   Disallow:                 empty value = no-op marker, dropped
 _ROBOTS_K_SQL = ("CAST(CAST(regexp_extract(source, '(\\d+)', 1) AS INT)"
                  " % 4 AS VARCHAR)")
 
@@ -564,8 +573,11 @@ def _robots_txt_col():
         F.lit("User-agent: googlebot\nDisallow: /\n\n"),
         F.lit("User-agent: *\nUser-agent: ccbot\n"),
         F.lit("Disallow: /articles/"), k, F.lit("\n"),
-        F.lit("Allow: /articles/99\n"),
-        F.lit("Disallow: /cgi-bin/"))
+        F.lit("Allow: /articles/"), k, F.lit("5\n"),
+        F.lit("Disallow: /articles/25\n"),
+        F.lit("Allow: /articles/2\n"),
+        F.lit("Disallow: /cgi-bin/\n"),
+        F.lit("Disallow:"))
 
 
 _ROBOTS_TXT_SQL = (
@@ -574,8 +586,11 @@ _ROBOTS_TXT_SQL = (
     "|| chr(10) || "
     "'User-agent: *' || chr(10) || 'User-agent: ccbot' || chr(10) || "
     f"'Disallow: /articles/' || {_ROBOTS_K_SQL} || chr(10) || "
-    "'Allow: /articles/99' || chr(10) || "
-    "'Disallow: /cgi-bin/'")
+    f"'Allow: /articles/' || {_ROBOTS_K_SQL} || '5' || chr(10) || "
+    "'Disallow: /articles/25' || chr(10) || "
+    "'Allow: /articles/2' || chr(10) || "
+    "'Disallow: /cgi-bin/' || chr(10) || "
+    "'Disallow:'")
 
 
 # Shared robots-rules CTE chain (srcs -> robots -> ... -> hostrules),
@@ -613,13 +628,40 @@ _ROBOTS_RULES_CTES = f"""
       SELECT DISTINCT host, grp FROM rgrouped
       WHERE is_ua AND trim(ln[12:]) = '*'),
     rrules AS (
-      SELECT DISTINCT g.host, trim(g.ln[10:]) AS prefix
+      -- 'disallow:' is 9 chars, 'allow:' is 6 -> values at 10: / 7:
+      SELECT DISTINCT g.host,
+             CASE WHEN starts_with(g.ln, 'allow:')
+                  THEN trim(g.ln[7:]) ELSE trim(g.ln[10:]) END AS prefix,
+             starts_with(g.ln, 'allow:') AS allow
       FROM rgrouped g
       JOIN rwild w ON g.host = w.host AND g.grp = w.grp
-      WHERE starts_with(g.ln, 'disallow:') AND trim(g.ln[10:]) <> ''),
+      WHERE (starts_with(g.ln, 'disallow:') AND trim(g.ln[10:]) <> '')
+         OR (starts_with(g.ln, 'allow:') AND trim(g.ln[7:]) <> '')),
     hostrules AS (
-      SELECT host, list(prefix) AS prefixes, COUNT(*) AS n_rules
+      SELECT host,
+             COUNT(CASE WHEN NOT allow THEN 1 END) AS n_disallow,
+             COUNT(CASE WHEN allow THEN 1 END) AS n_allow
       FROM rrules GROUP BY host)
+"""
+
+# RFC 9309 §2.2.2 longest-match verdict over ``parts(doc_id, host,
+# path)`` (from _CANON_CTES) x ``rrules``: the longest matching prefix
+# decides; an equal-length Allow/Disallow tie resolves to Allow; no
+# matching rule -> kept (callers coalesce rbest.blocked to FALSE).
+# Mirrors functions/robots.py::apply_robots_rules' (prefix_len, allow)
+# struct-max expression relationally.
+_ROBOTS_VERDICT_CTES = """
+    rmatch AS (
+      SELECT p.doc_id, r.allow, length(r.prefix) AS plen
+      FROM parts p JOIN rrules r
+        ON p.host = r.host AND starts_with(p.path, r.prefix)),
+    rbest AS (
+      SELECT doc_id,
+             NOT bool_or(allow AND plen = maxplen) AS blocked
+      FROM (SELECT doc_id, allow, plen,
+                   max(plen) OVER (PARTITION BY doc_id) AS maxplen
+            FROM rmatch)
+      GROUP BY doc_id)
 """
 
 
@@ -628,36 +670,45 @@ _ROBOTS_RULES_CTES = f"""
     oracle=f"""
     WITH {_CANON_CTES},
     {_ROBOTS_RULES_CTES},
+    {_ROBOTS_VERDICT_CTES},
     tag AS (
-      SELECT p.host, p.doc_id,
-             coalesce(len(list_filter(hr.prefixes,
-                      x -> starts_with(p.path, x))) > 0, FALSE) AS blocked,
-             coalesce(hr.n_rules, 0) AS n_rules
-      FROM parts p LEFT JOIN hostrules hr ON p.host = hr.host)
-    SELECT host,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(COUNT(CASE WHEN blocked THEN 1 END) AS BIGINT)
-             AS n_blocked,
-           CAST(COUNT(CASE WHEN NOT blocked THEN 1 END) AS BIGINT)
-             AS n_allowed,
-           CAST(ANY_VALUE(n_rules) AS BIGINT) AS n_rules
-    FROM tag GROUP BY host
+      SELECT p.host, p.doc_id, coalesce(rb.blocked, FALSE) AS blocked
+      FROM parts p LEFT JOIN rbest rb ON rb.doc_id = p.doc_id),
+    agg AS (
+      SELECT host, COUNT(*) AS n_docs,
+             COUNT(CASE WHEN blocked THEN 1 END) AS n_blocked,
+             COUNT(CASE WHEN NOT blocked THEN 1 END) AS n_allowed
+      FROM tag GROUP BY host)
+    SELECT a.host,
+           CAST(a.n_docs AS BIGINT) AS n_docs,
+           CAST(a.n_blocked AS BIGINT) AS n_blocked,
+           CAST(a.n_allowed AS BIGINT) AS n_allowed,
+           CAST(coalesce(hr.n_disallow, 0) AS BIGINT) AS n_disallow,
+           CAST(coalesce(hr.n_allow, 0) AS BIGINT) AS n_allow
+    FROM agg a LEFT JOIN hostrules hr ON hr.host = a.host
     """,
 )
 def web_robots_parse(spark, sf_dir):
     """D4 (engine ext.): robots.txt PARSED, not handed in — the step
     before web_robots_filter's allow/deny application: per-host
     ``robots.txt`` bodies (planted, with a decoy googlebot-only group
-    whose ``Disallow: /`` must be IGNORED, a multi-agent wildcard group,
-    an Allow line outside the documented Disallow-only scope, and a
-    never-matching rule) parse into (host, disallow_prefix) rules via
-    ``functions.robots.robots_disallow_rules`` — posexplode + lag-window
-    group detection, pure Catalyst — and apply to the canonicalized URL
-    stream as a broadcast array-exists prefix match
-    (``apply_robots_rules``). Output per host: doc counts split
-    blocked/allowed plus the parsed rule count (2 everywhere — the
-    decoy group contributing would make it 3 and block everything, so
-    the group selection is what the hash actually pins).
+    whose ``Disallow: /`` must be IGNORED, a multi-agent wildcard
+    group, and rules exercising every RFC 9309 §2.2.2 precedence
+    behavior — see the fixture comment above _robots_txt_col) parse
+    into (host, prefix, allow) rules via
+    ``functions.robots.robots_rules`` — posexplode + lag-window group
+    detection, pure Catalyst — and apply to the canonicalized URL
+    stream with LONGEST-MATCH precedence as a broadcast
+    filter+array_max over (prefix_len, allow) structs
+    (``apply_robots_rules``). The hash pins all three precedence
+    outcomes: a longer Allow flips /articles/{{k}}5 back to kept, a
+    longer Disallow re-blocks /articles/25 under Allow:/articles/2,
+    and k=2 hosts' exact-length ties all resolve to Allow (they block
+    nothing). Output per host: doc counts split blocked/allowed plus
+    parsed rule counts by kind (3 disallow + 2 allow everywhere — the
+    decoy group contributing would block everything, so group
+    selection is pinned too; the empty ``Disallow:`` no-op marker must
+    be dropped to hit 3).
 
     Shape: robots parse is host-count sized (one body per host; the
     window exchange moves KBs); the corpus side is ONE narrow
@@ -675,19 +726,22 @@ def web_robots_parse(spark, sf_dir):
     robots = (d.select("source").distinct().select(
         F.concat("source", F.lit(".example.com")).alias("host"),
         _robots_txt_col().alias("robots_txt")))
-    rules = robotsfn.robots_disallow_rules(robots)
-    n_rules = (rules.groupBy("host")
-               .agg(F.count(F.lit(1)).cast("long").alias("n_rules")))
+    rules = robotsfn.robots_rules(robots)
+    counts = (rules.groupBy("host").agg(
+        F.count_if(~F.col("allow")).cast("long").alias("n_disallow"),
+        F.count_if(F.col("allow")).cast("long").alias("n_allow")))
     tagged = robotsfn.apply_robots_rules(urls, rules)
     blocked = F.col("robots_blocked")
     return (tagged.groupBy("host")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                  F.count_if(blocked).cast("long").alias("n_blocked"),
                  F.count_if(~blocked).cast("long").alias("n_allowed"))
-            .join(n_rules, "host", "left")
+            .join(counts, "host", "left")
             .select("host", "n_docs", "n_blocked", "n_allowed",
-                    F.coalesce("n_rules", F.lit(0)).cast("long")
-                     .alias("n_rules")))
+                    F.coalesce("n_disallow", F.lit(0)).cast("long")
+                     .alias("n_disallow"),
+                    F.coalesce("n_allow", F.lit(0)).cast("long")
+                     .alias("n_allow")))
 
 
 # --- S9b: request/response/metadata record pairing -----------------------
@@ -776,70 +830,167 @@ def warc_record_pairing(spark, sf_dir):
 # --- D5: link extraction -> host link graph -> PageRank ------------------
 
 # Planted link pages (separate from the shared extraction template so
-# the html-extract oracles stay untouched): every page links its host's
-# successor (absolute URL); every third source also self-links
-# root-relative — giving out-degrees of 1 or 2 and non-uniform
-# in-degrees, so PageRank has real structure to converge on. A relative
-# href and a mailto: are planted to exercise the resolver's documented
-# drop rules.
+# the html-extract oracles stay untouched): every page lives at base
+# path /a/{m}/page (m = doc_id % 40) and links its host's successor
+# (absolute URL); every third source also self-links root-relative.
+# The round-11 resolver upgrade (RFC 3986 §5 reference resolution,
+# functions/url.py) gets its own fixtures, each observable in the
+# (dst_host, n_links, n_urls) hash:
+#   ../up/{m}            relative with dot-dot -> /a/up/{m} (self edge)
+#   /a/{m}/../up/{m}     (every n%3==1 source) root-relative WITH dot
+#                        segments -> collapses to the SAME /a/up/{m} —
+#                        the n_urls distinct-URL count pins the
+#                        collapse (a non-popping `..` would double it)
+#   ./sub/{m}?id={m}     dot-segment + directory splice, query kept
+#   //cdn{n%5}.example.com/x   protocol-relative -> base scheme
+#   mailto: / ?q=1       non-hierarchical -> dropped
+# Out-degrees land at 3-5 with cdn hosts as dangling sinks — real
+# structure for PageRank to converge on.
 _SRC_N = "CAST(regexp_extract(source, '(\\d+)', 1) AS INT)"
+_M_SQL = "CAST(doc_id % 40 AS VARCHAR)"
 
 _LINK_PAGE_SQL = (
     "'<html><body><a href=\"https://src' || "
     f"CAST(({_SRC_N} + 1) % 20 AS VARCHAR) || "
-    "'.example.com/p/' || CAST(doc_id % 40 AS VARCHAR) || '\">n</a>' || "
+    f"'.example.com/p/' || {_M_SQL} || '\">n</a>' || "
     f"(CASE WHEN {_SRC_N} % 3 = 0 THEN "
-    "'<a href=\"/local/' || CAST(doc_id % 40 AS VARCHAR) || '\">s</a>' "
+    f"'<a href=\"/local/' || {_M_SQL} || '\">s</a>' "
     "ELSE '' END) || "
-    "'<a href=\"other.html\">r</a><a href=\"mailto:x@y\">m</a>'"
+    f"'<a href=\"../up/' || {_M_SQL} || '\">u</a>' || "
+    f"(CASE WHEN {_SRC_N} % 3 = 1 THEN "
+    f"'<a href=\"/a/' || {_M_SQL} || '/../up/' || {_M_SQL} || '\">v</a>' "
+    "ELSE '' END) || "
+    f"'<a href=\"./sub/' || {_M_SQL} || '?id=' || {_M_SQL} || '\">w</a>' || "
+    f"'<a href=\"//cdn' || CAST({_SRC_N} % 5 AS VARCHAR) || "
+    "'.example.com/x\">c</a>' || "
+    "'<a href=\"mailto:x@y\">m</a><a href=\"?q=1\">q</a>'"
     " || '</body></html>'")
 
 
 def _link_page_col():
     n = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    m = (F.col("doc_id") % 40).cast("string")
     return F.concat(
         F.lit('<html><body><a href="https://src'),
         ((n + 1) % 20).cast("string"),
-        F.lit(".example.com/p/"), (F.col("doc_id") % 40).cast("string"),
-        F.lit('">n</a>'),
+        F.lit(".example.com/p/"), m, F.lit('">n</a>'),
         F.when(n % 3 == 0,
-               F.concat(F.lit('<a href="/local/'),
-                        (F.col("doc_id") % 40).cast("string"),
-                        F.lit('">s</a>'))).otherwise(F.lit("")),
-        F.lit('<a href="other.html">r</a><a href="mailto:x@y">m</a>'),
+               F.concat(F.lit('<a href="/local/'), m, F.lit('">s</a>')))
+         .otherwise(F.lit("")),
+        F.lit('<a href="../up/'), m, F.lit('">u</a>'),
+        F.when(n % 3 == 1,
+               F.concat(F.lit('<a href="/a/'), m, F.lit("/../up/"), m,
+                        F.lit('">v</a>'))).otherwise(F.lit("")),
+        F.lit('<a href="./sub/'), m, F.lit("?id="), m, F.lit('">w</a>'),
+        F.lit('<a href="//cdn'), (n % 5).cast("string"),
+        F.lit('.example.com/x">c</a>'),
+        F.lit('<a href="mailto:x@y">m</a><a href="?q=1">q</a>'),
         F.lit("</body></html>"))
 
 
+def _link_base_path_col():
+    return F.concat(F.lit("/a/"), (F.col("doc_id") % 40).cast("string"),
+                    F.lit("/page"))
+
+
+_LINK_BASE_PATH_SQL = f"'/a/' || {_M_SQL} || '/page'"
+
+
+def _sql_collapse(expr: str) -> str:
+    """DuckDB mirror of functions/url.py::collapse_dot_segments — the
+    same string-accumulator left fold (list_reduce with a prepended ''
+    initial), kept in sync rule for rule."""
+    folded = (f"list_reduce(list_prepend('', string_split({expr}, '/')), "
+              "(acc, s) -> CASE WHEN s = '' OR s = '.' THEN acc "
+              "WHEN s = '..' THEN regexp_replace(acc, '/[^/]*$', '') "
+              "ELSE acc || '/' || s END)")
+    return f"(CASE WHEN {folded} = '' THEN '/' ELSE {folded} END)"
+
+
+# resolved.u mirrors functions/url.py::resolve_href case for case
+# (fragment strip, scheme passthrough, protocol-relative, root-relative
+# + collapse, non-hierarchical NULL, relative splice + collapse).
 _LINK_EDGES_CTES = f"""
     pages AS (
       SELECT doc_id, source || '.example.com' AS src_host,
+             {_LINK_BASE_PATH_SQL} AS base_path,
              {_LINK_PAGE_SQL} AS html
       FROM documents),
     hrefs AS (
-      SELECT doc_id, src_host, unnest(
+      SELECT doc_id, src_host, base_path, unnest(
         regexp_extract_all(html, 'href="([^"]+)"', 1)) AS href
       FROM pages),
+    hclean AS (
+      SELECT doc_id, src_host, base_path,
+             regexp_replace(href, '#.*$', '') AS h
+      FROM hrefs),
+    hparts AS (
+      SELECT doc_id, src_host, base_path, h,
+             regexp_extract(h, '^([^?#]*)', 1) AS rel_path,
+             regexp_extract(h, '(\\?[^#]*)', 1) AS rel_qs,
+             regexp_replace(base_path, '[^/]*$', '') AS base_dir
+      FROM hclean),
     resolved AS (
       SELECT doc_id, src_host,
-             CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://')
-                  THEN href
-                  WHEN starts_with(href, '/')
-                  THEN 'https://' || src_host || href
-                  ELSE NULL END AS u
-      FROM hrefs),
+             CASE
+               WHEN h = '' THEN NULL
+               WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*://')
+                 THEN h
+               WHEN starts_with(h, '//') THEN 'https:' || h
+               WHEN starts_with(h, '/')
+                 THEN 'https://' || src_host
+                      || {_sql_collapse('rel_path')} || rel_qs
+               WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*:')
+                    OR starts_with(h, '?') THEN NULL
+               ELSE 'https://' || src_host
+                    || {_sql_collapse('base_dir || rel_path')} || rel_qs
+             END AS u
+      FROM hparts),
     linkedges AS (
       SELECT src_host,
              lower(regexp_extract(u,
-               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS dst_host
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS dst_host,
+             u
       FROM resolved WHERE u IS NOT NULL)
 """
+
+
+def _link_urls(spark, sf_dir):
+    """Shared (src_host, u) resolved-link relation for the D5 rows:
+    pages -> href explode -> full RFC 3986 reference resolution against
+    the page's scheme/host/base-path (functions.url.resolve_href)."""
+    d = io.load_table(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id",
+        F.concat("source", F.lit(".example.com")).alias("src_host"),
+        _link_base_path_col().alias("base_path"),
+        _link_page_col().alias("html"))
+    hrefs = pages.select(
+        "src_host", "base_path",
+        F.explode(F.regexp_extract_all(
+            "html", F.lit(r'href="([^"]+)"'), F.lit(1))).alias("href"))
+    resolved = urlfn.resolve_href(
+        F.col("href"), F.lit("https"), F.col("src_host"),
+        base_path=F.col("base_path"))
+    return (hrefs.select("src_host", resolved.alias("u"))
+            .filter(F.col("u").isNotNull()))
+
+
+def _link_edges(spark, sf_dir):
+    """(src, dst) host edge relation off _link_urls — the PageRank
+    input."""
+    return _link_urls(spark, sf_dir).select(
+        F.col("src_host").alias("src"),
+        urlfn.url_host(F.col("u")).alias("dst"))
 
 
 @query(
     "web_link_graph",
     oracle=f"""
     WITH {_LINK_EDGES_CTES}
-    SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+    SELECT src_host, dst_host,
+           CAST(COUNT(*) AS BIGINT) AS n_links,
+           CAST(COUNT(DISTINCT u) AS BIGINT) AS n_urls
     FROM linkedges GROUP BY src_host, dst_host
     """,
 )
@@ -848,33 +999,27 @@ def web_link_graph(spark, sf_dir):
     crawl-loop closing step (extracted links are the next crawl's
     frontier, and the aggregated host graph is the input to every
     host-reputation signal): hrefs lift out of page HTML with one
-    regexp_extract_all, resolve against the page's scheme/host
-    (functions.url.resolve_href — absolute and root-relative only,
-    relative/mailto planted and dropped by the documented subset), and
-    aggregate to the (src_host, dst_host) edge relation with link
-    counts.
+    regexp_extract_all, resolve against the page's scheme/host/path
+    (functions.url.resolve_href — full RFC 3986 §5 reference
+    resolution since round 11: absolute, protocol-relative,
+    root-relative, and relative-path refs all resolve with §5.2.4
+    dot-segment collapse; mailto:/query-only planted and dropped), and
+    aggregate to the (src_host, dst_host) edge relation with link and
+    DISTINCT-resolved-URL counts — n_urls is what pins the collapse:
+    the planted ``../up/{{m}}`` and ``/a/{{m}}/../up/{{m}}`` pair must
+    land on one URL (see the fixture comment above _LINK_PAGE_SQL).
 
     Shape: narrow extract + explode (link-count x corpus rows, the
     unavoidable fan-out), ONE hash aggregation on the host pair —
     edge-relation-sized output, host-pair state. No Python, no second
     scan."""
-    d = io.load_table(spark, sf_dir, "documents")
-    pages = d.select(
-        "doc_id",
-        F.concat("source", F.lit(".example.com")).alias("src_host"),
-        _link_page_col().alias("html"))
-    hrefs = pages.select(
-        "src_host",
-        F.explode(F.regexp_extract_all(
-            "html", F.lit(r'href="([^"]+)"'), F.lit(1))).alias("href"))
-    resolved = urlfn.resolve_href(
-        F.col("href"), F.lit("https"), F.col("src_host"))
-    return (hrefs.select("src_host", resolved.alias("u"))
-            .filter(F.col("u").isNotNull())
-            .select("src_host", urlfn.url_host(F.col("u"))
-                    .alias("dst_host"))
+    return (_link_urls(spark, sf_dir)
+            .select("src_host", "u",
+                    urlfn.url_host(F.col("u")).alias("dst_host"))
             .groupBy("src_host", "dst_host")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_links")))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_links"),
+                 F.count_distinct(F.col("u")).cast("long")
+                  .alias("n_urls")))
 
 
 def _pagerank_oracle(iterations: int = 3, damping: int = 85) -> str:
@@ -891,6 +1036,10 @@ def _pagerank_oracle(iterations: int = 3, damping: int = 85) -> str:
     r0 AS (SELECT node, CAST(1000000 // n AS BIGINT) AS r
            FROM nodes, nc)"""
     prev = "r0"
+    # teleport numerator DERIVED from the damping parameter (not a
+    # hardcoded 150000), so a caller passing damping != 85 gets an
+    # oracle consistent with pagerank_fixed's (100-d)% * MICROS // 100
+    teleport_num = (100 - damping) * 1_000_000 // 100
     for i in range(1, iterations + 1):
         ctes += f""",
     s{i} AS (SELECT e.dst AS node, SUM({prev}.r // o.od) AS s
@@ -898,7 +1047,7 @@ def _pagerank_oracle(iterations: int = 3, damping: int = 85) -> str:
              JOIN outd o ON o.src = e.src
              GROUP BY e.dst),
     r{i} AS (SELECT nodes.node,
-                    CAST((150000 // nc.n)
+                    CAST(({teleport_num} // nc.n)
                          + ({damping} * COALESCE(s{i}.s, 0)) // 100
                          AS BIGINT) AS r
              FROM nodes LEFT JOIN s{i} ON s{i}.node = nodes.node, nc)"""
@@ -930,22 +1079,7 @@ def web_host_pagerank(spark, sf_dir):
     each iteration one edge-relation scan with no corpus shuffle."""
     from clif_spark.operators import graph as G
 
-    d = io.load_table(spark, sf_dir, "documents")
-    pages = d.select(
-        "doc_id",
-        F.concat("source", F.lit(".example.com")).alias("src_host"),
-        _link_page_col().alias("html"))
-    hrefs = pages.select(
-        "src_host",
-        F.explode(F.regexp_extract_all(
-            "html", F.lit(r'href="([^"]+)"'), F.lit(1))).alias("href"))
-    resolved = urlfn.resolve_href(
-        F.col("href"), F.lit("https"), F.col("src_host"))
-    edges = (hrefs.select("src_host", resolved.alias("u"))
-             .filter(F.col("u").isNotNull())
-             .select(F.col("src_host").alias("src"),
-                     urlfn.url_host(F.col("u")).alias("dst")))
-    return G.pagerank_fixed(edges, iterations=3)
+    return G.pagerank_fixed(_link_edges(spark, sf_dir), iterations=3)
 
 
 @query("web_pagerank_warm_start", oracle=_pagerank_oracle(iterations=6))
@@ -970,21 +1104,7 @@ def web_pagerank_warm_start(spark, sf_dir):
 
     import tempfile
 
-    d = io.load_table(spark, sf_dir, "documents")
-    pages = d.select(
-        "doc_id",
-        F.concat("source", F.lit(".example.com")).alias("src_host"),
-        _link_page_col().alias("html"))
-    hrefs = pages.select(
-        "src_host",
-        F.explode(F.regexp_extract_all(
-            "html", F.lit(r'href="([^"]+)"'), F.lit(1))).alias("href"))
-    resolved = urlfn.resolve_href(
-        F.col("href"), F.lit("https"), F.col("src_host"))
-    edges = (hrefs.select("src_host", resolved.alias("u"))
-             .filter(F.col("u").isNotNull())
-             .select(F.col("src_host").alias("src"),
-                     urlfn.url_host(F.col("u")).alias("dst")))
+    edges = _link_edges(spark, sf_dir)
     r3 = G.pagerank_fixed(edges, iterations=3)
     root = tempfile.mkdtemp(prefix="clif_rank_store_")
     STR.upsert_cdc_snapshot(
@@ -1018,19 +1138,19 @@ def _quality_logit_sql(expr: str) -> str:
     oracle=f"""
     WITH {_CANON_CTES},
     {_ROBOTS_RULES_CTES},
+    {_ROBOTS_VERDICT_CTES},
     page AS (
       SELECT doc_id, source, {_page_html_sql()} AS html FROM documents),
     ext AS (
       SELECT doc_id, {_sql_html_to_text('html')} AS t FROM page),
     doc AS (
       SELECT p.doc_id, p.host, e.t, c.canonical_url,
-             coalesce(len(list_filter(hr.prefixes,
-                      x -> starts_with(p.path, x))) > 0, FALSE) AS blocked,
+             coalesce(rb.blocked, FALSE) AS blocked,
              ({_quality_logit_sql('e.t')}) > 0 AS qpass
       FROM parts p
       JOIN ext e ON e.doc_id = p.doc_id
       JOIN canon c ON c.doc_id = p.doc_id
-      LEFT JOIN hostrules hr ON hr.host = p.host),
+      LEFT JOIN rbest rb ON rb.doc_id = p.doc_id),
     kept AS (
       SELECT host, t FROM doc
       WHERE NOT blocked AND qpass
@@ -1104,7 +1224,7 @@ def pipeline_crawl_corpus(spark, sf_dir):
     robots = (d.select("source").distinct().select(
         F.concat("source", F.lit(".example.com")).alias("host"),
         _robots_txt_col().alias("robots_txt")))
-    rules = robotsfn.robots_disallow_rules(robots)
+    rules = robotsfn.robots_rules(robots)
     tagged = robotsfn.apply_robots_rules(enriched, rules)
 
     def w_of(b):

@@ -723,7 +723,13 @@ def upsert_partitioned_snapshot(batch_df: DataFrame, root: str,
                stamped.select(part_col).distinct().collect()]
     if os.path.exists(root) and any(
             n.startswith(f"{part_col}=") for n in os.listdir(root)):
-        base = (spark.read.parquet(root)
+        # read the merge base under the DELIVERY's schema: partition
+        # values come off directory names, and Spark's type inference
+        # does not cover every partition type (a boolean round-trips as
+        # string) — applying the user schema parses them back to the
+        # delivery's type, so the isin prune and the merge union
+        # typecheck on every delivery, not just the first
+        base = (spark.read.schema(stamped.schema).parquet(root)
                 .filter(F.col(part_col).isin(touched))
                 .select(*stamped.columns))
     else:
@@ -782,22 +788,31 @@ def compact_partitioned_snapshot(spark: SparkSession, root: str,
     import urllib.parse
 
     snap = spark.read.parquet(root)
-    dirty = [r[0] for r in (snap.filter(F.col(tombstone_col))
-                            .select(part_col).distinct().collect())]
-    if not dirty:
+    # collect each partition value TWICE — typed (for the isin prune)
+    # and as Spark's own string rendering (cast to string matches the
+    # hive directory name for bool/date/numeric partition columns,
+    # where Python's str() does not: True vs 'true') — so the dead-dir
+    # comparison below uses the engine's rendering, not Python's.
+    dirty_rows = (snap.filter(F.col(tombstone_col))
+                  .select(F.col(part_col).alias("__v"),
+                          F.col(part_col).cast("string").alias("__s"))
+                  .distinct().collect())
+    if not dirty_rows:
         return 0
+    dirty = [r["__v"] for r in dirty_rows]
     sub = snap.filter(F.col(part_col).isin(dirty))
     n_tomb = sub.filter(F.col(tombstone_col)).count()
     cleaned = (sub.filter(~F.col(tombstone_col))
                .localCheckpoint(eager=True))
-    survivors = {str(r[0]) for r in
-                 cleaned.select(part_col).distinct().collect()}
+    survivors = {r[0] for r in
+                 cleaned.select(F.col(part_col).cast("string"))
+                 .distinct().collect()}
     (cleaned.write
             .mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(part_col)
             .parquet(root))
-    gone = {str(v) for v in dirty} - survivors
+    gone = {r["__s"] for r in dirty_rows} - survivors
     if gone:
         for name in os.listdir(root):
             if not name.startswith(f"{part_col}="):

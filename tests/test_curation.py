@@ -525,6 +525,58 @@ def test_url_canonicalize_edge_cases(spark):
     assert out == [e for _, e in cases]
 
 
+def test_resolve_href_reference_resolution(spark):
+    """functions.url.resolve_href: RFC 3986 §5 reference resolution —
+    absolute passthrough, protocol-relative, root-relative, relative
+    splice against the base path's directory, §5.2.4 dot-segment
+    collapse (`..` at root stays at root), fragment strip, query
+    survival, and NULL for non-hierarchical refs. Deliberate
+    normalizations pinned: empty segments collapse and a trailing
+    directory-form slash is dropped (both identical to what
+    canonicalize_url does next)."""
+    from pyspark.sql import functions as F
+
+    from clif_spark.functions import url as urlfn
+
+    base = ("https", "h.com", "/a/b/page")
+    cases = [
+        # absolute passes through (fragment stripped)
+        ("http://x.com/p#frag", "http://x.com/p"),
+        # protocol-relative takes the base scheme
+        ("//cdn.com/asset", "https://cdn.com/asset"),
+        # root-relative joins scheme://host, dot segments collapse
+        ("/top/x", "https://h.com/top/x"),
+        ("/a/./x/../y", "https://h.com/a/y"),
+        # relative splices onto the base DIRECTORY (/a/b/)
+        ("sub/doc", "https://h.com/a/b/sub/doc"),
+        ("./same", "https://h.com/a/b/same"),
+        ("../up", "https://h.com/a/up"),
+        ("../../../root", "https://h.com/root"),  # .. at root stays
+        ("x/y/../z?q=1", "https://h.com/a/b/x/z?q=1"),  # query kept
+        ("a//b", "https://h.com/a/b/a/b"),  # empty segment collapses
+        # non-hierarchical -> NULL
+        ("mailto:x@y", None),
+        ("javascript:void(0)", None),
+        ("#frag-only", None),
+        ("?q=only", None),
+        ("", None),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], ["href"])
+    out = [r["u"] for r in df.select(urlfn.resolve_href(
+        F.col("href"), F.lit(base[0]), F.lit(base[1]),
+        base_path=F.lit(base[2])).alias("u")).collect()]
+    assert out == [e for _, e in cases]
+    # without a base_path, relative refs fall back to NULL (the
+    # pre-round-11 documented subset)
+    out2 = [r["u"] for r in df.select(urlfn.resolve_href(
+        F.col("href"), F.lit(base[0]), F.lit(base[1])).alias("u"))
+        .collect()]
+    expect2 = [e if (h.startswith(("/", "//"))
+                     or "://" in h) and e else None
+               for h, e in cases]
+    assert out2 == expect2
+
+
 def test_robots_disallow_rules_grammar(spark):
     """functions.robots: hand-written robots.txt bodies (not our own
     planted builder) — CRLF line endings, comments, mixed case,
@@ -569,7 +621,8 @@ def test_apply_robots_rules_prefix_match(spark):
          (3, "a.com", "/about"), (4, "b.com", "/search/q")],
         "doc_id long, host string, path string")
     rules = spark.createDataFrame(
-        [("a.com", "/search")], "host string, disallow_prefix string")
+        [("a.com", "/search", False)],
+        "host string, prefix string, allow boolean")
     out = {r.doc_id: r.robots_blocked for r in
            robotsfn.apply_robots_rules(urls, rules).collect()}
     # prefix semantics: /searching matches /search (RFC 9309 literal
@@ -579,6 +632,67 @@ def test_apply_robots_rules_prefix_match(spark):
     plan = (robotsfn.apply_robots_rules(urls, rules)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_apply_robots_rules_longest_match_precedence(spark):
+    """RFC 9309 §2.2.2: the longest matching prefix decides; an
+    equal-length Allow/Disallow pair resolves to Allow; the classic
+    ``Disallow: /`` + ``Allow: /public`` idiom keeps the carved
+    subtree crawlable."""
+    from clif_spark.functions import robots as robotsfn
+
+    urls = spark.createDataFrame(
+        [(1, "a.com", "/private/x"),     # blocked by Disallow: /
+         (2, "a.com", "/public/doc"),    # Allow: /public (longer) wins
+         (3, "a.com", "/public/tmp/z"),  # Disallow: /public/tmp re-blocks
+         (4, "a.com", "/tie/x"),         # equal-length tie -> Allow
+         (5, "b.com", "/private/x")],    # no rules -> kept
+        "doc_id long, host string, path string")
+    rules = spark.createDataFrame(
+        [("a.com", "/", False),
+         ("a.com", "/public", True),
+         ("a.com", "/public/tmp", False),
+         ("a.com", "/tie", True),
+         ("a.com", "/tie", False)],
+        "host string, prefix string, allow boolean")
+    out = {r.doc_id: r.robots_blocked for r in
+           robotsfn.apply_robots_rules(urls, rules).collect()}
+    assert out == {1: True, 2: False, 3: True, 4: False, 5: False}
+
+
+def test_robots_rules_allow_parse_and_agent_case(spark):
+    """robots_rules keeps Allow rows (with the allow flag), drops
+    empty-value no-op markers, and matches the caller's agent token
+    case-insensitively (``CCBot`` selects the same group as ``ccbot``
+    — the r10 ADVICE under-block). Wildcard metacharacters in rule
+    values are OUT of the documented scope: they parse as literal
+    prefixes, so ``/*.php`` never matches a real path (pinned here, to
+    make the in/out-of-scope boundary machine-checked)."""
+    from clif_spark.functions import robots as robotsfn
+
+    body = ("User-agent: CCBot\n"
+            "Disallow: /deny\n"
+            "Allow: /deny/ok\n"
+            "Allow:\n"             # empty Allow: no-op, dropped
+            "Disallow: /*.php\n")  # wildcard: literal prefix, never fires
+    df = spark.createDataFrame([("a.com", body)],
+                               "host string, robots_txt string")
+    got = {(r.prefix, r.allow)
+           for r in robotsfn.robots_rules(df, agent="CCBot").collect()}
+    assert got == {("/deny", False), ("/deny/ok", True),
+                   ("/*.php", False)}
+    # lowercase caller agent selects the same group
+    low = {(r.prefix, r.allow)
+           for r in robotsfn.robots_rules(df, agent="ccbot").collect()}
+    assert low == got
+    # the literal wildcard prefix never matches a real .php path
+    urls = spark.createDataFrame(
+        [(1, "a.com", "/index.php"), (2, "a.com", "/deny/x"),
+         (3, "a.com", "/deny/ok/x")],
+        "doc_id long, host string, path string")
+    out = {r.doc_id: r.robots_blocked for r in robotsfn.apply_robots_rules(
+        urls, robotsfn.robots_rules(df, agent="CCBot")).collect()}
+    assert out == {1: False, 2: True, 3: False}
 
 
 def test_quality_classifier_weights_path_matches_hand_computation(spark):
@@ -671,6 +785,74 @@ def test_robots_parser_randomized_vs_reference(spark):
         got.setdefault(r.host, set()).add(r.disallow_prefix)
     for host, body in bodies:
         assert got.get(host, set()) == ref_parse(body), (host, body)
+
+
+def test_robots_precedence_randomized_vs_reference(spark):
+    """Seeded randomized differential for the FULL RFC 9309 chain:
+    parse (Allow + Disallow) and longest-match application. 30
+    generated bodies x 8 probe paths each; the Catalyst verdict must
+    match an independent pure-Python reference of §2.2.2 (longest
+    matching prefix decides, equal-length tie -> Allow, no match ->
+    kept) — one Spark job for all probes."""
+    import random
+
+    from clif_spark.functions import robots as robotsfn
+
+    rng = random.Random(20260816)
+
+    def ref_rules(body: str, agent: str = "*") -> set:
+        rules, in_ua_run, cur_agents = set(), False, []
+        for line in body.split("\n"):
+            ln = line.replace("\r", "").split("#", 1)[0].strip().lower()
+            if ln.startswith("user-agent:"):
+                if not in_ua_run:
+                    cur_agents = []
+                cur_agents.append(ln[len("user-agent:"):].strip())
+                in_ua_run = True
+                continue
+            in_ua_run = False
+            for kw, allow in (("allow:", True), ("disallow:", False)):
+                if ln.startswith(kw):
+                    pfx = ln[len(kw):].strip()
+                    if pfx and agent in cur_agents:
+                        rules.add((pfx, allow))
+        return rules
+
+    def ref_blocked(rules: set, path: str) -> bool:
+        hits = [(len(p), a) for p, a in rules if path.startswith(p)]
+        if not hits:
+            return False
+        best_len = max(h[0] for h in hits)
+        return not any(a for plen, a in hits if plen == best_len)
+
+    paths_pool = ["/", "/a", "/a/b", "/a/b/c", "/search", "/search/x",
+                  "/tmp/", "/pub", "/pub/ok", "/pub/ok/deep"]
+    bodies, probes = [], []
+    for i in range(30):
+        lines = []
+        for _ in range(rng.randint(1, 3)):
+            for _ in range(rng.randint(1, 2)):
+                lines.append("User-agent: "
+                             + rng.choice(["*", "ccbot", "googlebot"]))
+            for _ in range(rng.randint(0, 5)):
+                kind = rng.choice(["Disallow", "Allow"])
+                lines.append(f"{kind}: {rng.choice(paths_pool + [''])}")
+            if rng.random() < 0.5:
+                lines.append("")
+        host = f"h{i}.com"
+        bodies.append((host, "\n".join(lines)))
+        for j, p in enumerate(rng.sample(paths_pool, 8)):
+            probes.append((i * 100 + j, host, p))
+    df = spark.createDataFrame(bodies, "host string, robots_txt string")
+    urls = spark.createDataFrame(probes,
+                                 "doc_id long, host string, path string")
+    rules = robotsfn.robots_rules(df)
+    got = {r.doc_id: r.robots_blocked for r in
+           robotsfn.apply_robots_rules(urls, rules).collect()}
+    ref = {host: ref_rules(body) for host, body in bodies}
+    for doc_id, host, path in probes:
+        assert got[doc_id] == ref_blocked(ref[host], path), \
+            (host, path, sorted(ref[host]))
 
 
 def test_url_canonicalize_randomized_vs_reference(spark):

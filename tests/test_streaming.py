@@ -580,3 +580,32 @@ def test_partitioned_compaction_rewrites_only_dirty_partitions(spark):
     assert raw.filter("is_delete").count() == 0
     # idempotent: nothing dirty -> no-op
     assert streaming.compact_partitioned_snapshot(spark, root, "p") == 0
+
+
+def test_partitioned_compaction_non_string_partition_dir_removal(spark):
+    """r10 ADVICE regression: the dead-directory comparison must use
+    Spark's own partition rendering, not Python str() — for a BOOLEAN
+    partition column, hive writes ``p=true`` while str(True) is
+    ``True``, so the all-tombstone directory was never removed and the
+    partition re-reported dirty on every compaction."""
+    import os
+    import tempfile
+
+    from clif_spark import streaming
+
+    root = tempfile.mkdtemp(prefix="part_compact_bool_") + "/t"
+    schema = "k long, version long, is_delete boolean, p boolean"
+    d1 = spark.createDataFrame(
+        [(1, 1, False, False), (2, 1, False, True)], schema)
+    streaming.upsert_partitioned_snapshot(d1, root, ["k"], ["version"], "p")
+    # tombstone everything in p=true -> all-tombstone partition
+    d2 = spark.createDataFrame([(2, 2, True, True)], schema)
+    streaming.upsert_partitioned_snapshot(d2, root, ["k"], ["version"], "p")
+    assert streaming.compact_partitioned_snapshot(spark, root, "p") == 1
+    assert not os.path.exists(os.path.join(root, "p=true"))
+    assert os.path.exists(os.path.join(root, "p=false"))
+    # truly clean now: a second compaction is a no-op, not a re-count
+    assert streaming.compact_partitioned_snapshot(spark, root, "p") == 0
+    live = {r.k for r in
+            streaming.read_partitioned_snapshot(spark, root).collect()}
+    assert live == {1}
