@@ -290,22 +290,59 @@ _VERIFY_FIRST_R10 = [
 # web_host_pagerank, web_pagerank_warm_start, pipeline_crawl_corpus,
 # stream_partitioned_upsert — two of the thirteen streams at the
 # tail) + 37 r6-latest refreshes (4 twins, 5 headliners, u7, 26 batch
-# rows, stream_cdc_apply). Enumerated r11 remainder (within the
-# verdict's <=15 allowance): w3_keep_last_dedup, w2_downup_fill,
-# w1_lead_episodes, w13_cumulative_distinct, text_rolling_fingerprint,
-# tfidf_top_terms, text_lang_id, text_fingerprint (r6 — ceded their
-# slots to the eight r10 batch/stream registrations above; new
-# operators get a driver row before any refresh does), the five r6
-# streams
-# (stream_click_to_buy, stream_dedup_counts, stream_session_episodes,
-# stream_sliding_agg, stream_tumbling_agg), dedup_semantic_contract
-# (r7), and the changed-code r9-green rows to refresh
-# (u9_incremental_agg_maintenance, u10_store_schema_evolution,
-# a26_checked_sum_guard, stream_agg_maintenance, text_url_canonicalize,
-# dedup_store_takedown, semantic_store_takedown — all re-verified
-# locally this round at sf0.001 + the driver-contract check at sf0.01
-# after the CDC-epoch/guard-probe/URL-port changes).
-_VERIFY_FIRST = _VERIFY_FIRST_R10
+# rows, stream_cdc_apply).
+
+_VERIFY_FIRST_R11 = [
+    # --- the ONE never-driver-gated registry row leads (VERDICT r10
+    # item 1): the persisted-signature dedup screen, a bench headliner
+    # since r10 whose oracle had only ever run inside bench.py ---
+    "dedup_screen_persisted",
+    # --- changed-code r11 rows: robots Allow/longest-match precedence
+    # + RFC 3986 href resolution rewrote these relations' fixtures and
+    # oracles (queries/web.py); the partitioned store's merge-base read
+    # and compaction rendering changed (streaming/__init__.py); the
+    # PageRank inner loop moved to true integer division
+    # (operators/graph.py); functions/url.py gained the resolver.
+    # All re-gate before any refresh does. ---
+    "web_robots_parse", "web_link_graph", "web_host_pagerank",
+    "web_pagerank_warm_start", "pipeline_crawl_corpus",
+    "u11_partitioned_upsert", "text_url_canonicalize",
+    # --- the r6-latest stale remainder (VERDICT r10 item 2): the
+    # reference's three landmark window operators + the text-analysis
+    # batch, enumerated for this round since r10 ---
+    "w1_lead_episodes", "w2_downup_fill", "w3_keep_last_dedup",
+    "w13_cumulative_distinct", "text_fingerprint", "text_lang_id",
+    "text_rolling_fingerprint", "tfidf_top_terms",
+    # --- the one r7 contract twin from the stale list ---
+    "dedup_semantic_contract",
+    # --- r7-latest refreshes (oldest remaining green), name order;
+    # the 21 r7 rows left over (q18/q19/q22/q7/q8, r2/r4,
+    # sample_split_assign, text_sentence_chunks, w4-w9, and the five
+    # r7 streams) are the enumerated r12 due list ---
+    "a10_moment_corr", "a11_exact_percentiles", "a24_chisq_association",
+    "a25_equi_depth_histogram", "a9_grouping_sets", "corpus_curation",
+    "curation_dsir_importance", "dedup_exact",
+    "dedup_incremental_minhash", "dedup_prefix_filter_join",
+    "dedup_simhash64", "f14_from_json_typed",
+    "j10_levenshtein_vocab_match", "j1_vocab_broadcast_star",
+    "j3_full_outer_join", "j6_fuzzy_vocab_match", "j9_salted_skew_join",
+    "mm_audio_resample", "mm_jpeg_pixel_stats", "mm_resize_pixels",
+    "mm_video_frame_stats", "p1_p3_project_rename",
+    "p2_p4_drop_positional", "p5_p6_null_handling", "q10_returned_items",
+    "q15_top_supplier", "q17_small_qty_revenue",
+    # --- streams at the tail (multi-second startup each): the five
+    # r6-stale streams + the partitioned-upsert stream whose store
+    # machinery changed this round ---
+    "stream_click_to_buy", "stream_dedup_counts",
+    "stream_session_episodes", "stream_sliding_agg",
+    "stream_tumbling_agg", "stream_partitioned_upsert",
+]
+# Exactly 50: 1 never-gated + 7 changed-code re-gates + 14 stale
+# (8 r6 batch + 5 r6 streams + dedup_semantic_contract@r7) + 27 r7
+# refreshes + stream_partitioned_upsert (changed code, stream tail).
+# After this gate no oracle row's latest green predates r7, closing
+# the r10 verdict's rotation-debt item in full.
+_VERIFY_FIRST = _VERIFY_FIRST_R11
 
 # Rows-only queries (dedup_semantic, ann_ivf_trained_topk,
 # ann_cosine_topk_arrow, w15_ewma_smooth, text_bpe_tokenize) NEVER
