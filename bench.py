@@ -128,15 +128,20 @@ def main() -> None:
                     path = os.path.join(path, "*.parquet")
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                             f"read_parquet('{path}')")
-        oracled = [q for q in headliners if q.oracle]
-        for q in oracled:
-            con.execute(q.oracle).fetchall()
-        duck = {q.name: float("inf") for q in oracled}
+        # reference SQL: the gate oracle, or (for a rows-only headliner
+        # whose correctness artifact is a contract twin) the explicit
+        # like-for-like bench_ref_sql — e.g. the Arrow ANN path races
+        # the same DuckDB query its fold twin is gated on
+        ref_sql = {q.name: (q.oracle or q.bench_ref_sql)
+                   for q in headliners if q.oracle or q.bench_ref_sql}
+        for sql in ref_sql.values():
+            con.execute(sql).fetchall()
+        duck = {name: float("inf") for name in ref_sql}
         for _ in range(3):
-            for q in oracled:
+            for name, sql in ref_sql.items():
                 t0 = time.perf_counter()
-                con.execute(q.oracle).fetchall()
-                duck[q.name] = min(duck[q.name], time.perf_counter() - t0)
+                con.execute(sql).fetchall()
+                duck[name] = min(duck[name], time.perf_counter() - t0)
         duck = {name: round(v, 3) for name, v in duck.items()}
     except Exception as exc:  # reference side must never fail the bench
         print(f"duckdb reference side skipped: {exc}", file=sys.stderr)

@@ -32,12 +32,18 @@ class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     headline: bool = False  # included in bench.py
+    # DuckDB SQL bench.py times as the reference side when ``oracle`` is
+    # None — for a headliner whose CORRECTNESS artifact is a contract
+    # twin (rows-only path) but whose logical query still has a
+    # like-for-like SQL formulation to race. Never used by the gate.
+    bench_ref_sql: str | None = None
 
 
 REGISTRY: dict[str, QueryDef] = {}
 
 
-def query(name: str, oracle: str | None = None, headline: bool = False):
+def query(name: str, oracle: str | None = None, headline: bool = False,
+          bench_ref_sql: str | None = None):
     """Register an engine query. ``oracle`` is ANSI SQL for DuckDB over the
     driver-registered views; None marks a rows-only check (non-SQL ops)."""
 
@@ -48,7 +54,8 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
-        REGISTRY[name] = QueryDef(name, wrapped, oracle, headline)
+        REGISTRY[name] = QueryDef(name, wrapped, oracle, headline,
+                                  bench_ref_sql)
         return wrapped
 
     return deco

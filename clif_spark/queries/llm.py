@@ -1633,9 +1633,10 @@ def _sql_dot(a: str, b: str, dim: int) -> str:
         for i in range(dim))
 
 
-@query(
-    "ann_cosine_topk",
-    oracle="""
+# Shared by the gated fold row (as its oracle) and the benched Arrow
+# row (as its like-for-like DuckDB reference): one logical query —
+# brute-force cosine top-10 for 5 query vectors.
+_ANN_COSINE_ORACLE = """
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                FROM embeddings WHERE vec_id < 5),
          v AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS vv
@@ -1649,8 +1650,12 @@ def _sql_dot(a: str, b: str, dim: int) -> str:
     FROM scored
     QUALIFY row_number() OVER
       (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10
-    """,
-    headline=True,
+    """
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=_ANN_COSINE_ORACLE,
 )
 def ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 for 5 query vectors — the exact ANN
@@ -3088,7 +3093,8 @@ def ann_ivf_trained_recall_bound(spark, sf_dir):
                      >= 0.3 * F.col("total_true")).alias("recall_floor_met")))
 
 
-@query("ann_cosine_topk_arrow", oracle=None)
+@query("ann_cosine_topk_arrow", oracle=None, headline=True,
+       bench_ref_sql=_ANN_COSINE_ORACLE)
 def ann_cosine_topk_arrow(spark, sf_dir):
     """The Arrow/BLAS formulation of ann_cosine_topk (same 5 queries,
     k=10): one numpy matmul per Arrow batch with per-batch top-k
@@ -3098,7 +3104,16 @@ def ann_cosine_topk_arrow(spark, sf_dir):
     (tests pin equality vs the oracle-gated query), but a last-ulp
     accumulation-order flip at a rounding boundary cannot be RULED OUT
     the way the fold's fixed evaluation order can, so the hash gate stays
-    on the fold formulation."""
+    on the fold formulation.
+
+    BENCHED since r11 (VERDICT r10 item 3): this is the headliner
+    raced against the same DuckDB SQL the fold row is gated on — the
+    engine's best physical path for the logical query, with
+    correctness carried by the driver-gated equality contract
+    (ann_arrow_fold_equality) rather than by the benched row itself.
+    The HOF fold row stays registered and gated but leaves the bench
+    (it was the largest honest data-path loss, 2.7 s vs 0.53 s at
+    sf10, while this path wins 2.4-3x)."""
     e = io.load_table(spark, sf_dir, "embeddings")
     q = (e.filter(F.col("vec_id") < 5)
           .select(F.col("vec_id").alias("query_id"), "embedding"))
