@@ -212,7 +212,17 @@ def q5_local_supplier_volume(spark, sf_dir):
     supplier join needs l_suppkey at lineitem grain (and the nation match
     needs the customer reached through orders), so revenue cannot be
     reduced to per-orderkey pairs first — grouping by (l_orderkey,
-    l_suppkey) is ~lineitem cardinality, a no-op reduction. Dropping the
+    l_suppkey) is ~lineitem cardinality, a no-op reduction. customer also
+    rides _bcast_if_small (25 MB on disk at sf10 — broadcastable on any
+    real executor; at 100 TB the byte gate flips it back to shuffle).
+    Round-11 same-session sf10 A/B re-ran the levers on current code:
+    registered 5.23 s, +BROADCAST(c) 4.80 s (kept, via the byte gate),
+    +BROADCAST(o) too 4.25 s (rejected: 274 MB build side is the wrong
+    production guidance, for a ~10% residual). DuckDB same-phase 0.53 s:
+    with ALL joins broadcast the gap persists, so the named cause is
+    scan+probe throughput on the 1.5 GB lineitem leg (DuckDB's vectorized
+    in-process scan), not exchange serialization — the cost that buys
+    scale-out. Dropping the
     orders broadcast instead was A/B'd at sf1 and LOST (0.855 vs 0.786 s,
     same-session interleaved, BASELINE.md round 5); the final groupBy
     shuffles only ~25 nation-keyed partial rows, so the exchange above
@@ -220,7 +230,7 @@ def q5_local_supplier_volume(spark, sf_dir):
     single-partition (≤25 nations at any scale; see q1)."""
     return spark.sql(f"""
         SELECT * FROM (
-          SELECT /*+ REPARTITION(1), {_bcast_if_small(sf_dir, 'orders', 'o')}BROADCAST(s), BROADCAST(n), BROADCAST(r) */
+          SELECT /*+ REPARTITION(1), {_bcast_if_small(sf_dir, 'orders', 'o')}{_bcast_if_small(sf_dir, 'customer', 'c')}BROADCAST(s), BROADCAST(n), BROADCAST(r) */
                  n.n_name AS nation,
                  {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
           FROM {pq(sf_dir, 'lineitem')} l

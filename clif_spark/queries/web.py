@@ -898,13 +898,16 @@ _LINK_BASE_PATH_SQL = f"'/a/' || {_M_SQL} || '/page'"
 
 def _sql_collapse(expr: str) -> str:
     """DuckDB mirror of functions/url.py::collapse_dot_segments — the
-    same string-accumulator left fold (list_reduce with a prepended ''
-    initial), kept in sync rule for rule."""
+    same dot-segment gate (_DOTSEG_RE: clean paths pass through
+    verbatim) and the same string-accumulator left fold (list_reduce
+    with a prepended '' initial), kept in sync rule for rule."""
     folded = (f"list_reduce(list_prepend('', string_split({expr}, '/')), "
               "(acc, s) -> CASE WHEN s = '' OR s = '.' THEN acc "
               "WHEN s = '..' THEN regexp_replace(acc, '/[^/]*$', '') "
               "ELSE acc || '/' || s END)")
-    return f"(CASE WHEN {folded} = '' THEN '/' ELSE {folded} END)"
+    collapsed = f"(CASE WHEN {folded} = '' THEN '/' ELSE {folded} END)"
+    return (f"(CASE WHEN regexp_matches({expr}, '(^|/)\\.\\.?(/|$)|//') "
+            f"THEN {collapsed} ELSE {expr} END)")
 
 
 # resolved.u mirrors functions/url.py::resolve_href case for case

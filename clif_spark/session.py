@@ -43,6 +43,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for the (rare, documented) pandas-UDF paths — multimodal decode.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Bigger Arrow batches for the mapInArrow/mapInPandas paths: the
+    # per-batch framing + Python dispatch overhead is fixed, and the
+    # payload-heavy consumers (ANN matmul, WARC parse) do one vectorized
+    # pass per batch — 64k rows x a 64-float embedding is ~33 MB, well
+    # inside worker memory (measured ~10% off the sf10 ANN row vs the
+    # 10k default).
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
 }
 
 

@@ -40,6 +40,33 @@ from pyspark.sql import Window
 from clif_spark.io import ensure_parallelism
 
 
+def _bound_ipc_tasks(df: DataFrame, bytes_per_task: int = 8 << 20
+                     ) -> DataFrame:
+    """Shrink (never grow) a scan's task count for an IPC-bound Python
+    stage: each mapInArrow/mapInPandas task pays a fixed worker-dispatch
+    cost (~25 ms measured), so a small input fragmented into many tiny
+    row-group splits spends more on dispatch than on data. Coalesce —
+    narrow, no shuffle — to ~bytes_per_task of input per task (measured
+    at sf10: 13 splits 0.70 s -> 6 tasks 0.40 s on the ANN scoring
+    scan). At production scale splits are >= bytes_per_task already and
+    this is a no-op; non-file sources (no resolvable sizes) pass
+    through untouched."""
+    import os
+
+    try:
+        files = df.inputFiles()
+        total = sum(os.path.getsize(f.removeprefix("file:")) for f in files)
+    except Exception:
+        return df
+    if not files or total == 0:
+        return df
+    target = max(1, total // bytes_per_task)
+    current = df.rdd.getNumPartitions()
+    if current > target:
+        return df.coalesce(int(target))
+    return df
+
+
 def _lit_vec(values: list[float]) -> Column:
     """array<double> literal in ONE py4j round trip via a SQL string:
     ``F.array(*[F.lit(x) ...])`` and even ``F.lit(list)`` cost ~40 ms of
@@ -150,13 +177,22 @@ def cosine_topk_arrow(vectors: DataFrame, queries: DataFrame, k: int = 5,
 
     def score(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
         qids, qn = bq.value
-        for pdf in batches:
-            if pdf.empty:
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # mapInArrow, not mapInPandas: the embedding column arrives
+            # as a list<float> whose VALUES buffer is one contiguous
+            # float32 run — flatten + frombuffer-style to_numpy +
+            # reshape is a single bulk copy, vs pandas materializing
+            # 200k per-row ndarray objects that np.stack then re-walks
+            # (measured ~40% of the whole query's cost at sf10).
+            ids = b.column(0).to_numpy(zero_copy_only=False) \
+                   .astype(np.int64, copy=False)
+            flat = b.column(1).flatten()
+            v = (flat.to_numpy(zero_copy_only=False)
+                 .reshape(b.num_rows, -1).astype(np.float64))
             with np.errstate(divide="ignore", invalid="ignore"):
                 v = v / np.linalg.norm(v, axis=1, keepdims=True)
                 s = np.floor((v @ qn.T) * 1e4 + 0.5) / 1e4
@@ -170,19 +206,32 @@ def cosine_topk_arrow(vectors: DataFrame, queries: DataFrame, k: int = 5,
                 # NULL (Spark SQL division returns NULL on 0.0/0.0), and
                 # NULLs sort LAST under DESC — so NaN must rank lowest in
                 # the batch cut (-inf key) and is converted to NULL after
-                # the mapInPandas boundary to match the fold bit-for-bit.
+                # the mapInArrow boundary to match the fold bit-for-bit.
                 rank_s = np.where(np.isnan(cand_s), -np.inf, cand_s)
                 order = np.lexsort((cand_ids, -rank_s))[:k]
                 out_q.append(np.full(order.size, qids[j]))
                 out_n.append(cand_ids[order])
                 out_c.append(cand_s[order])
             if out_q:
-                yield pd.DataFrame({query_id_col: np.concatenate(out_q),
-                                    "neighbor_id": np.concatenate(out_n),
-                                    "cos": np.concatenate(out_c)})
+                yield pa.RecordBatch.from_pydict({
+                    query_id_col: pa.array(np.concatenate(out_q),
+                                           type=pa.int64()),
+                    "neighbor_id": pa.array(np.concatenate(out_n),
+                                            type=pa.int64()),
+                    "cos": pa.array(np.concatenate(out_c),
+                                    type=pa.float64())})
 
-    scored = ensure_parallelism(vectors).select(
-        F.col(id_col), F.col(vec_col)).mapInPandas(
+    # No ensure_parallelism here, deliberately: parallelism = scan
+    # splits. The matmul is trivially cheap per row, so a repartition
+    # would shuffle the full vector payload to buy compute spread the
+    # stage doesn't need — measured +0.4 s on a 13-split sf10 scan
+    # whose no-shuffle form runs 0.5 s total. The opposite correction
+    # applies instead (_bound_ipc_tasks): tiny fragmented scans merge
+    # down so per-task Python dispatch doesn't dominate. At production
+    # scale the scan yields >= cores full-size splits and both knobs
+    # vanish.
+    scored = _bound_ipc_tasks(vectors.select(
+        F.col(id_col), F.col(vec_col))).mapInArrow(
         score, f"{query_id_col} long, neighbor_id long, cos double")
     # NaN -> NULL (see ranking comment): Arrow ships NaN as a double, but
     # the fold's zero-norm result is SQL NULL.

@@ -92,10 +92,11 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         rec["spark_sec"] = round(best, 2)
         rec["rows"] = n
-        if q.oracle:
+        ref_sql = q.oracle or getattr(q, "bench_ref_sql", None)
+        if ref_sql:
             times = []
             for _ in range(3):
-                dt = _duck_timed(con, q.oracle, budget)
+                dt = _duck_timed(con, ref_sql, budget)
                 if dt is None:
                     times = None
                     break
