@@ -336,16 +336,22 @@ _VERIFY_FIRST_R11 = [
     "mm_audio_resample", "mm_jpeg_pixel_stats", "mm_resize_pixels",
     "mm_video_frame_stats", "p1_p3_project_rename",
     "p2_p4_drop_positional", "p5_p6_null_handling", "q10_returned_items",
-    "q15_top_supplier", "q17_small_qty_revenue",
-    # --- streams at the tail (multi-second startup each): the five
-    # r6-stale streams + the partitioned-upsert stream whose store
-    # machinery changed this round ---
+    "q15_top_supplier",
+    # --- streams at the tail (multi-second startup each): the NEW
+    # never-gated streaming funnel (registered this round — it takes
+    # the 27th refresh slot from q17_small_qty_revenue, which moves to
+    # the r12 due list: new operators get a driver row before any
+    # refresh does), the five r6-stale streams, and the
+    # partitioned-upsert stream whose store machinery changed this
+    # round ---
+    "stream_crawl_corpus",
     "stream_click_to_buy", "stream_dedup_counts",
     "stream_session_episodes", "stream_sliding_agg",
     "stream_tumbling_agg", "stream_partitioned_upsert",
 ]
-# Exactly 50: 1 never-gated + 7 changed-code re-gates + 14 stale
-# (8 r6 batch + 5 r6 streams + dedup_semantic_contract@r7) + 27 r7
+# Exactly 50: 2 never-gated (dedup_screen_persisted +
+# stream_crawl_corpus) + 7 changed-code re-gates + 14 stale
+# (8 r6 batch + 5 r6 streams + dedup_semantic_contract@r7) + 26 r7
 # refreshes + stream_partitioned_upsert (changed code, stream tail).
 # After this gate no oracle row's latest green predates r7, closing
 # the r10 verdict's rotation-debt item in full.

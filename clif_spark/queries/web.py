@@ -1136,9 +1136,9 @@ def _quality_logit_sql(expr: str) -> str:
         f"(h, x) -> h + x) / len({toks}) / 1000")
 
 
-@query(
-    "pipeline_crawl_corpus",
-    oracle=f"""
+# Shared by the batch funnel and its streaming twin (settled stream
+# must equal the batch relation — the stream_web_ingest/u9 pattern).
+_CRAWL_FUNNEL_ORACLE = f"""
     WITH {_CANON_CTES},
     {_ROBOTS_RULES_CTES},
     {_ROBOTS_VERDICT_CTES},
@@ -1179,8 +1179,10 @@ def _quality_logit_sql(expr: str) -> str:
            CAST(coalesce(k.nk, 0) AS BIGINT) AS n_kept,
            CAST(coalesce(k.chars, 0) AS BIGINT) AS kept_chars
     FROM stage s LEFT JOIN kagg k ON k.host = s.host
-    """,
-)
+    """
+
+
+@query("pipeline_crawl_corpus", oracle=_CRAWL_FUNNEL_ORACLE)
 def pipeline_crawl_corpus(spark, sf_dir):
     """The COMPLETE crawl-to-corpus funnel, every web-surface operator
     chained in crawl order and gated as ONE relation: WARC container
@@ -1258,6 +1260,131 @@ def pipeline_crawl_corpus(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("nk"),
         F.sum("tlen").cast("long").alias("chars"))
     return (stage.join(kagg, "host", "left")
+            .select("host", "n_fetched", "n_robots_blocked",
+                    "n_quality_dropped",
+                    (F.col("n_eligible") - F.coalesce("nk", F.lit(0)))
+                    .cast("long").alias("n_url_dups"),
+                    F.coalesce("nk", F.lit(0)).cast("long")
+                     .alias("n_kept"),
+                    F.coalesce("chars", F.lit(0)).cast("long")
+                     .alias("kept_chars")))
+
+
+@query("stream_crawl_corpus", oracle=_CRAWL_FUNNEL_ORACLE)
+def stream_crawl_corpus(spark, sf_dir):
+    """The crawl-to-corpus funnel as a CONTINUOUSLY MAINTAINED corpus:
+    WARC shards land as files and drain as micro-batches (availableNow
+    + maxFilesPerTrigger=1); each batch runs the full per-doc chain
+    (parse -> extract -> robots longest-match verdict -> quality logit
+    -> canonicalize) and folds into TWO standing stores inside
+    foreachBatch:
+
+    - per-host funnel COUNTERS via the additive aggregate fold
+      (fold_agg_snapshot, batch_id as the replay-safe ordinal — a
+      redelivered shard is skipped by the pointer guard, mandatory
+      because addition double-counts);
+    - the kept corpus via the CDC snapshot upsert keyed on
+      canonical_url with order (tlen, -doc_id): keep-BEST-by-length
+      with the id tiebreak, the same total order as the batch funnel's
+      row_number window — and, being keep-max, idempotent under replay
+      and batch-order independent with no ledger.
+
+    The settled report (counters joined to the kept store's per-host
+    rollup) must equal the one-shot batch funnel via the SHARED
+    pipeline_crawl_corpus oracle — the settled-equals-batch contract
+    every other maintained store in the engine carries.
+
+    Production shape: each delivery costs O(shard) extraction plus
+    O(touched keys) store maintenance — a crawl's corpus advances
+    delivery by delivery with no recompute of history; the kept store
+    is the URL-deduped corpus itself, readable at any version (time
+    travel) while the stream runs."""
+    import tempfile
+
+    from clif_spark import streaming
+    from clif_spark.functions import robots as robotsfn
+
+    d = io.load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", _page_html_col().alias("page"),
+        _doc_url_col().alias("url"),
+        (F.col("doc_id") % _shard_count(d)).alias("file_id"))
+    files = warc.assemble_warc_files(
+        warc.build_warc_records(docs, payload_col="page"),
+        gzip_records="mixed")
+    scratch = tempfile.mkdtemp(prefix="clif_stream_funnel_src_")
+    files.repartition(4).write.mode("overwrite").parquet(scratch)
+    robots = (d.select("source").distinct().select(
+        F.concat("source", F.lit(".example.com")).alias("host"),
+        _robots_txt_col().alias("robots_txt")))
+    rules = robotsfn.robots_rules(robots).localCheckpoint(eager=True)
+    counters_root = tempfile.mkdtemp(prefix="clif_funnel_counters_")
+    kept_root = tempfile.mkdtemp(prefix="clif_funnel_kept_")
+    ckpt = tempfile.mkdtemp(prefix="clif_stream_funnel_ckpt_")
+
+    def w_of(b):
+        return (((b * F.lit(2654435761)) % F.lit(2001)) - F.lit(1000)) \
+            .cast("double")
+
+    def sink(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        parsed = warc.parse_warc(batch_df)
+        base = parsed.select(
+            F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long")
+             .alias("doc_id"),
+            F.regexp_extract("target_uri", rf"{_URL_PRE}([^/]+)/", 1)
+             .alias("source"),
+            curation.html_to_text(F.col("payload").cast("string"))
+             .alias("t"))
+        raw = _raw_url_col()
+        enriched = base.select(
+            "doc_id", "t",
+            urlfn.url_host(raw).alias("host"),
+            urlfn.url_path(raw).alias("path"),
+            urlfn.canonicalize_url(raw).alias("canonical_url"))
+        tagged = robotsfn.apply_robots_rules(enriched, rules)
+        qpass = (curation.quality_classifier_logit(
+            F.col("t"), dim=1024, weight_of=w_of) / F.lit(1000)) > 0
+        flagged = tagged.select(
+            "doc_id", "host", "canonical_url",
+            F.length("t").alias("tlen"),
+            F.col("robots_blocked").alias("blocked"),
+            qpass.alias("qpass")).localCheckpoint(eager=True)
+        counters = flagged.groupBy("host").agg(
+            F.count(F.lit(1)).cast("long").alias("n_fetched"),
+            F.count_if(F.col("blocked")).cast("long")
+             .alias("n_robots_blocked"),
+            F.count_if(~F.col("blocked") & ~F.col("qpass")).cast("long")
+             .alias("n_quality_dropped"),
+            F.count_if(~F.col("blocked") & F.col("qpass")).cast("long")
+             .alias("n_eligible"))
+        streaming.fold_agg_snapshot(
+            counters, counters_root, keys=["host"], version=batch_id,
+            add_cols=["n_fetched", "n_robots_blocked",
+                      "n_quality_dropped", "n_eligible"],
+            lineage="crawl-funnel-counters")
+        eligible = (flagged.filter(~F.col("blocked") & F.col("qpass"))
+                    .select("canonical_url", "host", "doc_id", "tlen",
+                            (-F.col("doc_id")).alias("__negdoc"),
+                            F.lit(False).alias("is_delete")))
+        streaming.upsert_cdc_snapshot(
+            eligible, kept_root, keys=["canonical_url"],
+            order=["tlen", "__negdoc"], lineage="crawl-funnel-kept")
+
+    stream = (spark.readStream.schema(files.schema)
+                   .option("maxFilesPerTrigger", 1).parquet(scratch))
+    q = (stream.writeStream.foreachBatch(sink)
+               .option("checkpointLocation", ckpt)
+               .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    counters = streaming.read_cdc_snapshot(spark, counters_root)
+    kept = streaming.read_cdc_snapshot(spark, kept_root)
+    kagg = kept.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sum("tlen").cast("long").alias("chars"))
+    return (counters.join(kagg, "host", "left")
             .select("host", "n_fetched", "n_robots_blocked",
                     "n_quality_dropped",
                     (F.col("n_eligible") - F.coalesce("nk", F.lit(0)))
