@@ -22,9 +22,12 @@ evaluated host-side as one ``array_max`` over (prefix_len, allow)
 structs — Spark's struct ordering IS the RFC tiebreak.
 
 Scope (documented, conservative — the C4/CC-Net compliance subset):
-- group selection by agent token match (default ``*``), caller agent
-  lowercased to mirror the line normalization — ``CCBot`` and ``ccbot``
-  select the same group; no most-specific-agent fallback chain;
+- group selection per RFC 9309 §2.2.1: groups naming the agent's
+  product token exactly (case-insensitive — ``CCBot`` and ``ccbot``
+  select the same group), FALLING BACK to the ``*`` groups when the
+  host has no specific section; substring/version matching of product
+  tokens (``FooBot/1.2`` vs a ``foobot`` group) is not performed —
+  callers pass the bare product token;
 - prefixes are literal string prefixes: ``$``/``*`` wildcards and
   %-encoding normalization are not interpreted (rare in rule lines; a
   literal match on a wildcard pattern simply never fires, so wildcard
@@ -40,19 +43,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def robots_rules(robots: DataFrame, host_col: str = "host",
-                 txt_col: str = "robots_txt",
-                 agent: str = "*") -> DataFrame:
-    """(host, prefix, allow) — one row per Allow/Disallow rule in any
-    group whose ``User-agent:`` tokens include ``agent`` (matched after
-    lowercasing/trim on BOTH sides). Empty-value ``Disallow:`` /
-    ``Allow:`` lines (no-op markers per RFC 9309) are dropped; duplicate
-    (host, prefix, allow) rows dedup — a same-prefix Allow AND Disallow
-    pair survives as two rows (the §2.2.2 tie the applier resolves
-    toward Allow).
-
-    Mirrored rule-for-rule by the DuckDB CTE in queries/web.py (the
-    gated row) — keep the two in sync."""
+def _grouped_lines(robots: DataFrame, host_col: str,
+                   txt_col: str) -> DataFrame:
+    """(host, pos, ln, is_ua, grp) — the shared parse front end: lines
+    split + normalized, group boundaries detected, running-sum group
+    ids."""
     host = F.col(host_col)
     w = Window.partitionBy("host").orderBy("pos")
     lines = robots.select(
@@ -71,12 +66,49 @@ def robots_rules(robots: DataFrame, host_col: str = "host",
     marked = clean.select(
         "host", "pos", "ln", is_ua.alias("is_ua"),
         (is_ua & ~prev_is_ua).cast("int").alias("grp_start"))
-    grouped = marked.withColumn("grp", F.sum("grp_start").over(w))
-    wild = (grouped
-            .filter(F.col("is_ua")
-                    & (F.trim(F.substring("ln", 12, 1 << 20))
-                       == F.lit(agent.lower())))
+    return marked.withColumn("grp", F.sum("grp_start").over(w)) \
+                 .drop("grp_start")
+
+
+def _selected_groups(grouped: DataFrame, agent: str) -> DataFrame:
+    """(host, grp) — RFC 9309 §2.2.1 group selection with the wildcard
+    FALLBACK: groups naming the agent's product token exactly are the
+    match; a host with NO such group falls back to its ``*`` groups (a
+    crawler without its own section obeys the generic one — the
+    pre-round-11 exact-token rule silently under-blocked it to zero
+    rules). Matching is case-insensitive both sides. For agent='*' the
+    two tiers coincide and this reduces to the wildcard selection.
+    Host-count-sized throughout (one extra host-keyed max)."""
+    agent_l = agent.lower()
+    tok = F.trim(F.substring("ln", 12, 1 << 20))
+    matched = (grouped
+               .filter(F.col("is_ua") & tok.isin(agent_l, "*"))
+               .select("host", "grp",
+                       (tok == F.lit(agent_l)).alias("specific"))
+               .distinct())
+    has_specific = (matched.groupBy("host")
+                    .agg(F.max("specific").alias("has_specific")))
+    return (matched.join(has_specific, "host")
+            .filter(F.col("specific") == F.col("has_specific"))
             .select("host", "grp").distinct())
+
+
+def robots_rules(robots: DataFrame, host_col: str = "host",
+                 txt_col: str = "robots_txt",
+                 agent: str = "*") -> DataFrame:
+    """(host, prefix, allow) — one row per Allow/Disallow rule in the
+    groups ``_selected_groups`` picks for ``agent`` (exact product
+    token, falling back to the ``*`` groups when the host has no
+    specific section — RFC 9309 §2.2.1). Empty-value ``Disallow:`` /
+    ``Allow:`` lines (no-op markers per RFC 9309) are dropped; duplicate
+    (host, prefix, allow) rows dedup — a same-prefix Allow AND Disallow
+    pair survives as two rows (the §2.2.2 tie the applier resolves
+    toward Allow).
+
+    Mirrored rule-for-rule by the DuckDB CTE in queries/web.py (the
+    gated row) — keep the two in sync."""
+    grouped = _grouped_lines(robots, host_col, txt_col)
+    wild = _selected_groups(grouped, agent)
     is_dis = F.startswith(F.col("ln"), F.lit("disallow:"))
     is_alw = F.startswith(F.col("ln"), F.lit("allow:"))
     # 'disallow:' is 9 chars, 'allow:' is 6 — value starts at 10 / 7
@@ -90,6 +122,30 @@ def robots_rules(robots: DataFrame, host_col: str = "host",
             .join(wild, ["host", "grp"])
             .select("host", "prefix", "allow")
             .distinct())
+
+
+def robots_crawl_delay(robots: DataFrame, host_col: str = "host",
+                       txt_col: str = "robots_txt",
+                       agent: str = "*") -> DataFrame:
+    """(host, crawl_delay_s) — the ``Crawl-delay:`` directive of the
+    agent's selected groups (same §2.2.1 selection + fallback as
+    robots_rules), the de-facto politeness knob crawl schedulers turn
+    into per-host fetch budgets. Non-numeric values parse to NULL and
+    are dropped; multiple directives per host keep the MAX (the politest
+    reading — a scheduler honoring the larger delay can never violate
+    the smaller). Hosts without a directive are absent — callers decide
+    their own default rate."""
+    grouped = _grouped_lines(robots, host_col, txt_col)
+    wild = _selected_groups(grouped, agent)
+    # 'crawl-delay:' is 12 chars — value starts at 13
+    val = F.trim(F.substring("ln", 13, 1 << 20)).cast("long")
+    return (grouped
+            .filter(F.startswith(F.col("ln"), F.lit("crawl-delay:")))
+            .select("host", "grp", val.alias("crawl_delay_s"))
+            .filter(F.col("crawl_delay_s").isNotNull())
+            .join(wild, ["host", "grp"])
+            .groupBy("host")
+            .agg(F.max("crawl_delay_s").alias("crawl_delay_s")))
 
 
 def robots_disallow_rules(robots: DataFrame, host_col: str = "host",

@@ -300,10 +300,13 @@ _VERIFY_FIRST_R10 = [
 # rows, stream_cdc_apply).
 
 _VERIFY_FIRST_R11 = [
-    # --- the ONE never-driver-gated registry row leads (VERDICT r10
-    # item 1): the persisted-signature dedup screen, a bench headliner
-    # since r10 whose oracle had only ever run inside bench.py ---
+    # --- never-driver-gated rows lead (VERDICT r10 item 1 + this
+    # round's registrations): the persisted-signature dedup screen (a
+    # bench headliner since r10 whose oracle had only ever run inside
+    # bench.py), then the two new robots-governance rows (RFC 9309
+    # §2.2.1 agent-fallback selection, Crawl-delay crawl budgets) ---
     "dedup_screen_persisted",
+    "web_robots_agent_fallback", "web_robots_crawl_delay",
     # --- changed-code r11 rows: robots Allow/longest-match precedence
     # + RFC 3986 href resolution rewrote these relations' fixtures and
     # oracles (queries/web.py); the partitioned store's merge-base read
@@ -335,26 +338,29 @@ _VERIFY_FIRST_R11 = [
     "j3_full_outer_join", "j6_fuzzy_vocab_match", "j9_salted_skew_join",
     "mm_audio_resample", "mm_jpeg_pixel_stats", "mm_resize_pixels",
     "mm_video_frame_stats", "p1_p3_project_rename",
-    "p2_p4_drop_positional", "p5_p6_null_handling", "q10_returned_items",
-    "q15_top_supplier",
+    "p2_p4_drop_positional", "p5_p6_null_handling",
     # --- streams at the tail (multi-second startup each): the NEW
-    # never-gated streaming funnel (registered this round — it takes
-    # the 27th refresh slot from q17_small_qty_revenue, which moves to
-    # the r12 due list: new operators get a driver row before any
-    # refresh does), the five r6-stale streams, and the
-    # partitioned-upsert stream whose store machinery changed this
-    # round ---
+    # never-gated streaming funnel (registered this round), the five
+    # r6-stale streams, and the partitioned-upsert stream whose store
+    # machinery changed this round ---
     "stream_crawl_corpus",
     "stream_click_to_buy", "stream_dedup_counts",
     "stream_session_episodes", "stream_sliding_agg",
     "stream_tumbling_agg", "stream_partitioned_upsert",
 ]
-# Exactly 50: 2 never-gated (dedup_screen_persisted +
-# stream_crawl_corpus) + 7 changed-code re-gates + 14 stale
-# (8 r6 batch + 5 r6 streams + dedup_semantic_contract@r7) + 26 r7
+# Exactly 50: 4 never-gated (dedup_screen_persisted,
+# web_robots_agent_fallback, web_robots_crawl_delay,
+# stream_crawl_corpus) + 7 changed-code re-gates + 14 stale (8 r6
+# batch + 5 r6 streams + dedup_semantic_contract@r7) + 24 r7
 # refreshes + stream_partitioned_upsert (changed code, stream tail).
-# After this gate no oracle row's latest green predates r7, closing
-# the r10 verdict's rotation-debt item in full.
+# The four r11 registrations took their slots from the last four r7
+# refreshes in name order (q10_returned_items, q15_top_supplier,
+# q17_small_qty_revenue were pre-empted along with one stream slot):
+# new operators get a driver row before any refresh does. r12 due
+# list = those pre-empted rows + the 18 remaining r7 rows
+# (q18/q19/q22/q7/q8, r2/r4, sample_split_assign,
+# text_sentence_chunks, w4-w9, the five r7 streams). After this gate
+# no oracle row's latest green predates r7.
 _VERIFY_FIRST = _VERIFY_FIRST_R11
 
 # Rows-only queries (dedup_semantic, ann_ivf_trained_topk,

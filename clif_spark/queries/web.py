@@ -561,19 +561,23 @@ def web_robots_filter(spark, sf_dir):
 #                             against Allow:/articles/25)
 #   Disallow: /cgi-bin/       matches no path
 #   Disallow:                 empty value = no-op marker, dropped
+# plus Crawl-delay directives: 99 in the decoy googlebot group (must be
+# ignored for '*') and k+1 in the wildcard group (the gated
+# web_robots_crawl_delay value — rule parsing must skip these lines).
 _ROBOTS_K_SQL = ("CAST(CAST(regexp_extract(source, '(\\d+)', 1) AS INT)"
                  " % 4 AS VARCHAR)")
 
 
 def _robots_txt_col():
-    k = (F.regexp_extract("source", r"(\d+)", 1).cast("int") % 4) \
-        .cast("string")
+    k = F.regexp_extract("source", r"(\d+)", 1).cast("int") % 4
+    ks = k.cast("string")
     return F.concat(
         F.lit("# robots for "), F.col("source"), F.lit(".example.com\n"),
-        F.lit("User-agent: googlebot\nDisallow: /\n\n"),
+        F.lit("User-agent: googlebot\nDisallow: /\nCrawl-delay: 99\n\n"),
         F.lit("User-agent: *\nUser-agent: ccbot\n"),
-        F.lit("Disallow: /articles/"), k, F.lit("\n"),
-        F.lit("Allow: /articles/"), k, F.lit("5\n"),
+        F.lit("Crawl-delay: "), (k + 1).cast("string"), F.lit("\n"),
+        F.lit("Disallow: /articles/"), ks, F.lit("\n"),
+        F.lit("Allow: /articles/"), ks, F.lit("5\n"),
         F.lit("Disallow: /articles/25\n"),
         F.lit("Allow: /articles/2\n"),
         F.lit("Disallow: /cgi-bin/\n"),
@@ -582,9 +586,12 @@ def _robots_txt_col():
 
 _ROBOTS_TXT_SQL = (
     "'# robots for ' || source || '.example.com' || chr(10) || "
-    "'User-agent: googlebot' || chr(10) || 'Disallow: /' || chr(10) "
+    "'User-agent: googlebot' || chr(10) || 'Disallow: /' || chr(10) || "
+    "'Crawl-delay: 99' || chr(10) "
     "|| chr(10) || "
     "'User-agent: *' || chr(10) || 'User-agent: ccbot' || chr(10) || "
+    f"'Crawl-delay: ' || CAST(CAST({_ROBOTS_K_SQL} AS INT) + 1 AS VARCHAR)"
+    " || chr(10) || "
     f"'Disallow: /articles/' || {_ROBOTS_K_SQL} || chr(10) || "
     f"'Allow: /articles/' || {_ROBOTS_K_SQL} || '5' || chr(10) || "
     "'Disallow: /articles/25' || chr(10) || "
@@ -742,6 +749,170 @@ def web_robots_parse(spark, sf_dir):
                      .alias("n_disallow"),
                     F.coalesce("n_allow", F.lit(0)).cast("long")
                      .alias("n_allow")))
+
+
+# --- D4c: agent-specific group selection with wildcard fallback ----------
+
+
+def _sql_agent_verdict(agent: str, tag: str) -> str:
+    """RFC 9309 §2.2.1 selection + §2.2.2 longest-match verdict mirror,
+    parameterized over the agent token: groups naming the token exactly
+    are the match; hosts with no such group fall back to their ``*``
+    groups. Assumes ``rgrouped`` and ``parts``; ends in
+    ``rb_{tag}(doc_id, blocked)`` — mirrors
+    functions/robots.py::_selected_groups + apply_robots_rules."""
+    return f"""
+    rmatch_{tag} AS (
+      SELECT DISTINCT host, grp,
+             (trim(ln[12:]) = '{agent}') AS specific
+      FROM rgrouped
+      WHERE is_ua AND trim(ln[12:]) IN ('{agent}', '*')),
+    rsel_{tag} AS (
+      SELECT m.host, m.grp
+      FROM rmatch_{tag} m
+      JOIN (SELECT host, max(specific) AS hs
+            FROM rmatch_{tag} GROUP BY host) f ON f.host = m.host
+      WHERE m.specific = f.hs),
+    rules_{tag} AS (
+      SELECT DISTINCT g.host,
+             CASE WHEN starts_with(g.ln, 'allow:')
+                  THEN trim(g.ln[7:]) ELSE trim(g.ln[10:]) END AS prefix,
+             starts_with(g.ln, 'allow:') AS allow
+      FROM rgrouped g
+      JOIN rsel_{tag} w ON g.host = w.host AND g.grp = w.grp
+      WHERE (starts_with(g.ln, 'disallow:') AND trim(g.ln[10:]) <> '')
+         OR (starts_with(g.ln, 'allow:') AND trim(g.ln[7:]) <> '')),
+    rmt_{tag} AS (
+      SELECT p.doc_id, r.allow, length(r.prefix) AS plen
+      FROM parts p JOIN rules_{tag} r
+        ON p.host = r.host AND starts_with(p.path, r.prefix)),
+    rb_{tag} AS (
+      SELECT doc_id,
+             NOT bool_or(allow AND plen = maxplen) AS blocked
+      FROM (SELECT doc_id, allow, plen,
+                   max(plen) OVER (PARTITION BY doc_id) AS maxplen
+            FROM rmt_{tag})
+      GROUP BY doc_id)"""
+
+
+@query(
+    "web_robots_agent_fallback",
+    oracle=f"""
+    WITH {_CANON_CTES},
+    {_ROBOTS_RULES_CTES},
+    {_sql_agent_verdict('googlebot', 'g')},
+    {_sql_agent_verdict('newsbot', 'n')},
+    {_sql_agent_verdict('ccbot', 'c')}
+    SELECT p.host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN coalesce(g.blocked, FALSE) THEN 1 END)
+                AS BIGINT) AS blocked_googlebot,
+           CAST(COUNT(CASE WHEN coalesce(n.blocked, FALSE) THEN 1 END)
+                AS BIGINT) AS blocked_newsbot,
+           CAST(COUNT(CASE WHEN coalesce(c.blocked, FALSE) THEN 1 END)
+                AS BIGINT) AS blocked_ccbot
+    FROM parts p
+    LEFT JOIN rb_g g ON g.doc_id = p.doc_id
+    LEFT JOIN rb_n n ON n.doc_id = p.doc_id
+    LEFT JOIN rb_c c ON c.doc_id = p.doc_id
+    GROUP BY p.host
+    """,
+)
+def web_robots_agent_fallback(spark, sf_dir):
+    """D4c (engine ext.): RFC 9309 §2.2.1 group SELECTION, gated from
+    three perspectives over the same planted bodies:
+
+    - ``googlebot`` has its own section → the specific group governs
+      (its ``Disallow: /`` blocks every doc — the wildcard group's
+      rules must NOT leak in);
+    - ``newsbot`` has no section → FALLS BACK to the ``*`` groups (the
+      pre-round-11 exact-token rule selected zero groups here and
+      silently under-blocked to nothing — this column pins the
+      fallback);
+    - ``ccbot`` is named inside the multi-agent wildcard group → it is
+      a SPECIFIC match of that same group (same verdicts as the
+      fallback column; the extra ``*`` line in the group must not
+      change anything).
+
+    Shape: three broadcast verdict applications over one narrow URL
+    projection — selection work is host-count sized (one extra
+    host-keyed max per agent)."""
+    from clif_spark.functions import robots as robotsfn
+
+    d = io.load_table(spark, sf_dir, "documents")
+    raw = d.select("doc_id", "source", _raw_url_col().alias("url"))
+    urls = raw.select(
+        "doc_id",
+        urlfn.url_host(F.col("url")).alias("host"),
+        urlfn.url_path(F.col("url")).alias("path"))
+    robots = (d.select("source").distinct().select(
+        F.concat("source", F.lit(".example.com")).alias("host"),
+        _robots_txt_col().alias("robots_txt")))
+    df = urls
+    for agent in ("googlebot", "newsbot", "ccbot"):
+        rules = robotsfn.robots_rules(robots, agent=agent)
+        df = (robotsfn.apply_robots_rules(df, rules)
+              .withColumnRenamed("robots_blocked", f"b_{agent}"))
+    return df.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_if(F.col("b_googlebot")).cast("long")
+         .alias("blocked_googlebot"),
+        F.count_if(F.col("b_newsbot")).cast("long")
+         .alias("blocked_newsbot"),
+        F.count_if(F.col("b_ccbot")).cast("long")
+         .alias("blocked_ccbot"))
+
+
+@query(
+    "web_robots_crawl_delay",
+    oracle=f"""
+    WITH {_CANON_CTES},
+    {_ROBOTS_RULES_CTES},
+    rdelay AS (
+      SELECT g.host,
+             MAX(TRY_CAST(trim(g.ln[13:]) AS BIGINT)) AS crawl_delay_s
+      FROM rgrouped g JOIN rwild w ON g.host = w.host AND g.grp = w.grp
+      WHERE starts_with(g.ln, 'crawl-delay:')
+        AND TRY_CAST(trim(g.ln[13:]) AS BIGINT) IS NOT NULL
+      GROUP BY g.host),
+    hd AS (SELECT host, COUNT(*) AS n_docs FROM parts GROUP BY host)
+    SELECT h.host,
+           CAST(h.n_docs AS BIGINT) AS n_docs,
+           CAST(d.crawl_delay_s AS BIGINT) AS crawl_delay_s,
+           CAST((h.n_docs * d.crawl_delay_s + 3599) // 3600 AS BIGINT)
+             AS est_crawl_hours
+    FROM hd h JOIN rdelay d ON d.host = h.host
+    """,
+)
+def web_robots_crawl_delay(spark, sf_dir):
+    """D4d (engine ext.): the ``Crawl-delay:`` directive parsed from the
+    agent's selected groups (functions.robots.robots_crawl_delay — same
+    §2.2.1 selection + fallback as the rule parser; the decoy
+    googlebot group's delay of 99 must be ignored for ``*``) and turned
+    into the crawl-planning relation schedulers actually need: per
+    host, the delay, the known doc count, and the serial fetch-time
+    estimate in whole hours (exact integer ceiling division — both
+    engines compute it in BIGINT).
+
+    Shape: directive parse is host-count sized; the doc count is one
+    host-keyed aggregation; the join is host-to-host."""
+    from clif_spark.functions import robots as robotsfn
+
+    d = io.load_table(spark, sf_dir, "documents")
+    raw = d.select("doc_id", "source", _raw_url_col().alias("url"))
+    hd = (raw.select(urlfn.url_host(F.col("url")).alias("host"))
+          .groupBy("host")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    robots = (d.select("source").distinct().select(
+        F.concat("source", F.lit(".example.com")).alias("host"),
+        _robots_txt_col().alias("robots_txt")))
+    delays = robotsfn.robots_crawl_delay(robots)
+    return (hd.join(delays, "host")
+            .select("host", "n_docs",
+                    F.col("crawl_delay_s").cast("long")
+                     .alias("crawl_delay_s"),
+                    F.expr("(n_docs * crawl_delay_s + 3599) div 3600")
+                     .cast("long").alias("est_crawl_hours")))
 
 
 # --- S9b: request/response/metadata record pairing -----------------------

@@ -695,6 +695,29 @@ def test_robots_rules_allow_parse_and_agent_case(spark):
     assert out == {1: False, 2: True, 3: False}
 
 
+def test_robots_crawl_delay_parse_and_fallback(spark):
+    """robots_crawl_delay: directive from the SELECTED groups (specific
+    token, else '*' fallback), non-numeric values dropped, MAX kept
+    when a host states several."""
+    from clif_spark.functions import robots as robotsfn
+
+    body_a = ("User-agent: googlebot\nCrawl-delay: 99\n\n"
+              "User-agent: *\nCrawl-delay: 5\nDisallow: /x\n"
+              "Crawl-delay: 2\n")        # two directives -> max 5
+    body_b = "User-agent: *\nCrawl-delay: fast\n"   # junk -> dropped
+    body_c = "User-agent: mybot\nCrawl-delay: 7\n"
+    df = spark.createDataFrame(
+        [("a.com", body_a), ("b.com", body_b), ("c.com", body_c)],
+        "host string, robots_txt string")
+    star = {r.host: r.crawl_delay_s
+            for r in robotsfn.robots_crawl_delay(df).collect()}
+    assert star == {"a.com": 5}  # 99 is googlebot-only; junk dropped
+    # specific agent sees its own section; elsewhere falls back to '*'
+    my = {r.host: r.crawl_delay_s
+          for r in robotsfn.robots_crawl_delay(df, agent="mybot").collect()}
+    assert my == {"a.com": 5, "c.com": 7}
+
+
 def test_quality_classifier_weights_path_matches_hand_computation(spark):
     """The production path (trained weights vector as an array literal):
     score equals the hand computation token for token, and the logit
@@ -800,23 +823,36 @@ def test_robots_precedence_randomized_vs_reference(spark):
 
     rng = random.Random(20260816)
 
-    def ref_rules(body: str, agent: str = "*") -> set:
-        rules, in_ua_run, cur_agents = set(), False, []
+    def ref_groups(body: str) -> list:
+        """[(agents, rules)] — group structure, shared by both refs."""
+        groups, in_ua_run, cur = [], False, None
         for line in body.split("\n"):
             ln = line.replace("\r", "").split("#", 1)[0].strip().lower()
             if ln.startswith("user-agent:"):
                 if not in_ua_run:
-                    cur_agents = []
-                cur_agents.append(ln[len("user-agent:"):].strip())
+                    cur = (set(), [])
+                    groups.append(cur)
+                cur[0].add(ln[len("user-agent:"):].strip())
                 in_ua_run = True
                 continue
             in_ua_run = False
+            if cur is None:
+                continue
             for kw, allow in (("allow:", True), ("disallow:", False)):
                 if ln.startswith(kw):
                     pfx = ln[len(kw):].strip()
-                    if pfx and agent in cur_agents:
-                        rules.add((pfx, allow))
-        return rules
+                    if pfx:
+                        cur[1].append((pfx, allow))
+        return groups
+
+    def ref_rules(body: str, agent: str = "*") -> set:
+        """RFC 9309 §2.2.1 selection incl. the wildcard fallback: exact
+        product-token groups if any exist, else the '*' groups."""
+        groups = ref_groups(body)
+        specific = [g for g in groups if agent in g[0]]
+        chosen = specific or ([g for g in groups if "*" in g[0]]
+                              if agent != "*" else [])
+        return {r for g in chosen for r in g[1]}
 
     def ref_blocked(rules: set, path: str) -> bool:
         hits = [(len(p), a) for p, a in rules if path.startswith(p)]
@@ -846,13 +882,17 @@ def test_robots_precedence_randomized_vs_reference(spark):
     df = spark.createDataFrame(bodies, "host string, robots_txt string")
     urls = spark.createDataFrame(probes,
                                  "doc_id long, host string, path string")
-    rules = robotsfn.robots_rules(df)
-    got = {r.doc_id: r.robots_blocked for r in
-           robotsfn.apply_robots_rules(urls, rules).collect()}
-    ref = {host: ref_rules(body) for host, body in bodies}
-    for doc_id, host, path in probes:
-        assert got[doc_id] == ref_blocked(ref[host], path), \
-            (host, path, sorted(ref[host]))
+    # three agent perspectives over the same bodies: the wildcard
+    # crawler, an agent some bodies name (specific-group selection),
+    # and an agent no body names (pure wildcard fallback)
+    for agent in ("*", "ccbot", "unnamedbot"):
+        rules = robotsfn.robots_rules(df, agent=agent)
+        got = {r.doc_id: r.robots_blocked for r in
+               robotsfn.apply_robots_rules(urls, rules).collect()}
+        ref = {host: ref_rules(body, agent) for host, body in bodies}
+        for doc_id, host, path in probes:
+            assert got[doc_id] == ref_blocked(ref[host], path), \
+                (agent, host, path, sorted(ref[host]))
 
 
 def test_url_canonicalize_randomized_vs_reference(spark):
