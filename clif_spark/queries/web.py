@@ -1196,10 +1196,11 @@ def web_link_graph(spark, sf_dir):
                   .alias("n_urls")))
 
 
-def _pagerank_oracle(iterations: int = 3, damping: int = 85) -> str:
-    """Unrolled K-iteration integer-micros PageRank — the SQL form of
-    operators/graph.pagerank_fixed, generated from the same constants
-    so the two cannot drift."""
+def _pagerank_ctes(iterations: int = 3, damping: int = 85
+                   ) -> tuple[str, str]:
+    """(ctes, final_relation) — the unrolled K-iteration integer-micros
+    PageRank CTE chain over ``linkedges``, shared by the pagerank
+    oracles and the frontier oracle (one generator, zero drift)."""
     ctes = f"""
     e AS (SELECT DISTINCT src_host AS src, dst_host AS dst
           FROM linkedges),
@@ -1226,6 +1227,14 @@ def _pagerank_oracle(iterations: int = 3, damping: int = 85) -> str:
                          AS BIGINT) AS r
              FROM nodes LEFT JOIN s{i} ON s{i}.node = nodes.node, nc)"""
         prev = f"r{i}"
+    return ctes, prev
+
+
+def _pagerank_oracle(iterations: int = 3, damping: int = 85) -> str:
+    """Unrolled K-iteration integer-micros PageRank — the SQL form of
+    operators/graph.pagerank_fixed, generated from the same constants
+    so the two cannot drift."""
+    ctes, prev = _pagerank_ctes(iterations, damping)
     return f"""
     WITH {_LINK_EDGES_CTES},
     {ctes}
@@ -1289,6 +1298,146 @@ def web_pagerank_warm_start(spark, sf_dir):
     stored = STR.read_cdc_snapshot(spark, root) \
                 .select("node", "rank_micros")
     return G.pagerank_fixed(edges, iterations=3, init_ranks=stored)
+
+
+# --- D6: the prioritized crawl frontier ------------------------------------
+
+
+def _sql_canon_of(u: str) -> dict[str, str]:
+    """scheme/host/path/canon SQL expressions for an arbitrary
+    fragment-stripped URL expression — mirrors functions/url.py (and
+    the documents-bound _CANON_CTES) expression for expression, for
+    oracles whose URL column is not the documents fixture."""
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    auth = (f"lower(regexp_extract({u}, "
+            f"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))")
+    host = (f"regexp_replace(CASE {scheme} "
+            f"WHEN 'http' THEN regexp_replace({auth}, ':80$', '') "
+            f"WHEN 'https' THEN regexp_replace({auth}, ':443$', '') "
+            f"ELSE {auth} END, '^www\\.', '')")
+    rawp = (f"regexp_extract({u}, "
+            f"'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)")
+    path = (f"regexp_replace(CASE WHEN {rawp} = '' THEN '/' "
+            f"ELSE {rawp} END, '^(.+?)/+$', '\\1')")
+    # coalesce: DuckDB's array_to_string of an EMPTY list is NULL where
+    # Spark's array_join is '' — a query-less URL would otherwise NULL
+    # the whole concat (the documents-bound _CANON_CTES never hits this
+    # because every planted doc URL carries a query)
+    qs = (f"coalesce(array_to_string(list_sort(list_filter(string_split("
+          f"regexp_extract({u}, '\\?([^#]*)', 1), '&'), "
+          f"x -> x <> '' AND NOT starts_with(split_part(x, '=', 1), "
+          f"'utm_') AND split_part(x, '=', 1) <> 'fbclid')), '&'), '')")
+    canon = (f"{scheme} || '://' || {host} || {path} || "
+             f"(CASE WHEN {qs} = '' THEN '' ELSE '?' || {qs} END)")
+    return {"scheme": scheme, "host": host, "path": path, "canon": canon}
+
+
+_FRONTIER_PR = _pagerank_ctes(iterations=3)
+_FRONTIER_U = _sql_canon_of("u")
+
+
+@query(
+    "web_crawl_frontier",
+    oracle=f"""
+    WITH {_LINK_EDGES_CTES},
+    {_ROBOTS_RULES_CTES},
+    {_FRONTIER_PR[0]},
+    fcanon AS (
+      SELECT {_FRONTIER_U['canon']} AS url,
+             {_FRONTIER_U['host']} AS fhost,
+             {_FRONTIER_U['path']} AS fpath
+      FROM linkedges),
+    frontier AS (
+      SELECT url, fhost, fpath, CAST(COUNT(*) AS BIGINT) AS n_referrers
+      FROM fcanon GROUP BY url, fhost, fpath),
+    fmt AS (
+      SELECT f.url, r.allow, length(r.prefix) AS plen
+      FROM frontier f JOIN rrules r
+        ON f.fhost = r.host AND starts_with(f.fpath, r.prefix)),
+    fb AS (
+      SELECT url, NOT bool_or(allow AND plen = maxplen) AS blocked
+      FROM (SELECT url, allow, plen,
+                   max(plen) OVER (PARTITION BY url) AS maxplen
+            FROM fmt)
+      GROUP BY url),
+    rdelay AS (
+      SELECT g.host,
+             MAX(TRY_CAST(trim(g.ln[13:]) AS BIGINT)) AS crawl_delay_s
+      FROM rgrouped g JOIN rwild w ON g.host = w.host AND g.grp = w.grp
+      WHERE starts_with(g.ln, 'crawl-delay:')
+        AND TRY_CAST(trim(g.ln[13:]) AS BIGINT) IS NOT NULL
+      GROUP BY g.host),
+    sched AS (
+      SELECT f.fhost AS host, f.url, f.n_referrers,
+             CAST(pr.r AS BIGINT) AS rank_micros,
+             coalesce(d.crawl_delay_s, 1) AS delay
+      FROM frontier f
+      JOIN {_FRONTIER_PR[1]} pr ON pr.node = f.fhost
+      LEFT JOIN fb ON fb.url = f.url
+      LEFT JOIN rdelay d ON d.host = f.fhost
+      WHERE NOT coalesce(fb.blocked, FALSE))
+    SELECT host, url, n_referrers, rank_micros,
+           CAST(row_number() OVER w AS BIGINT) AS fetch_slot,
+           CAST((row_number() OVER w - 1) * delay AS BIGINT) AS eta_s
+    FROM sched
+    WINDOW w AS (PARTITION BY host
+                 ORDER BY n_referrers DESC, rank_micros DESC, url)
+    """,
+)
+def web_crawl_frontier(spark, sf_dir):
+    """D6 (engine ext.): the PRIORITIZED CRAWL FRONTIER — the round's
+    governance artifacts composed into the relation a crawl scheduler
+    actually consumes. Discovered out-links (full RFC 3986 resolution)
+    canonicalize and dedup into frontier URLs with referrer counts;
+    each URL carries its host's PageRank (3 exact integer-micros
+    iterations over the same link graph); robots longest-match verdicts
+    EXCLUDE blocked URLs outright; Crawl-delay budgets turn per-host
+    fetch slots (ordered by referrer count, rank, then URL — a
+    deterministic total order) into integer ETA seconds. Every
+    upstream operator — resolver, canonicalizer, rule parser,
+    precedence verdict, PageRank, delay parse — feeds one hash-gated
+    answer: the next crawl's schedule.
+
+    Shape at 100 TB: frontier extraction is the link-graph pass (one
+    fan-out + one URL-keyed aggregation); ranks, rules, and delays are
+    all HOST-count sized and ride broadcast joins; the only other
+    exchange is the per-host scheduling window, keyed by host —
+    frontier-sized, like the URL dedup every crawler runs anyway."""
+    from clif_spark.functions import robots as robotsfn
+    from clif_spark.operators import graph as G
+
+    links = _link_urls(spark, sf_dir)
+    frontier = (links.select(
+        urlfn.canonicalize_url(F.col("u")).alias("url"),
+        urlfn.url_host(F.col("u")).alias("host"),
+        urlfn.url_path(F.col("u")).alias("path"))
+        .groupBy("url", "host", "path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_referrers")))
+    edges = links.select(F.col("src_host").alias("src"),
+                         urlfn.url_host(F.col("u")).alias("dst"))
+    ranks = (G.pagerank_fixed(edges, iterations=3)
+             .select(F.col("node").alias("host"), "rank_micros"))
+    d = io.load_table(spark, sf_dir, "documents")
+    robots = (d.select("source").distinct().select(
+        F.concat("source", F.lit(".example.com")).alias("host"),
+        _robots_txt_col().alias("robots_txt")))
+    rules = robotsfn.robots_rules(robots)
+    delays = robotsfn.robots_crawl_delay(robots)
+    tagged = robotsfn.apply_robots_rules(frontier, rules)
+    sched = (tagged.filter(~F.col("robots_blocked"))
+             .join(ranks, "host")
+             .join(F.broadcast(delays), "host", "left")
+             .select("host", "url", "n_referrers", "rank_micros",
+                     F.coalesce("crawl_delay_s", F.lit(1))
+                      .cast("long").alias("delay")))
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_referrers").desc(), F.col("rank_micros").desc(),
+        F.col("url"))
+    rn = F.row_number().over(w)
+    return sched.select(
+        "host", "url", "n_referrers", "rank_micros",
+        rn.cast("long").alias("fetch_slot"),
+        ((rn - 1) * F.col("delay")).cast("long").alias("eta_s"))
 
 
 # --- the full crawl-to-corpus funnel --------------------------------------
