@@ -730,9 +730,14 @@ def web_robots_parse(spark, sf_dir):
         "doc_id",
         urlfn.url_host(F.col("url")).alias("host"),
         urlfn.url_path(F.col("url")).alias("path"))
+    # materialized ONCE (host-count sized): every rules/delay
+    # derivation references this relation — without the checkpoint each
+    # reference re-executes the distinct over the corpus (plan-asserted
+    # scan bound in tests/test_plans.py)
     robots = (d.select("source").distinct().select(
         F.concat("source", F.lit(".example.com")).alias("host"),
-        _robots_txt_col().alias("robots_txt")))
+        _robots_txt_col().alias("robots_txt"))
+        .localCheckpoint(eager=True))
     rules = robotsfn.robots_rules(robots)
     counts = (rules.groupBy("host").agg(
         F.count_if(~F.col("allow")).cast("long").alias("n_disallow"),
@@ -845,9 +850,14 @@ def web_robots_agent_fallback(spark, sf_dir):
         "doc_id",
         urlfn.url_host(F.col("url")).alias("host"),
         urlfn.url_path(F.col("url")).alias("path"))
+    # materialized ONCE (host-count sized): every rules/delay
+    # derivation references this relation — without the checkpoint each
+    # reference re-executes the distinct over the corpus (plan-asserted
+    # scan bound in tests/test_plans.py)
     robots = (d.select("source").distinct().select(
         F.concat("source", F.lit(".example.com")).alias("host"),
-        _robots_txt_col().alias("robots_txt")))
+        _robots_txt_col().alias("robots_txt"))
+        .localCheckpoint(eager=True))
     df = urls
     for agent in ("googlebot", "newsbot", "ccbot"):
         rules = robotsfn.robots_rules(robots, agent=agent)
@@ -903,9 +913,14 @@ def web_robots_crawl_delay(spark, sf_dir):
     hd = (raw.select(urlfn.url_host(F.col("url")).alias("host"))
           .groupBy("host")
           .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    # materialized ONCE (host-count sized): every rules/delay
+    # derivation references this relation — without the checkpoint each
+    # reference re-executes the distinct over the corpus (plan-asserted
+    # scan bound in tests/test_plans.py)
     robots = (d.select("source").distinct().select(
         F.concat("source", F.lit(".example.com")).alias("host"),
-        _robots_txt_col().alias("robots_txt")))
+        _robots_txt_col().alias("robots_txt"))
+        .localCheckpoint(eager=True))
     delays = robotsfn.robots_crawl_delay(robots)
     return (hd.join(delays, "host")
             .select("host", "n_docs",
@@ -1418,9 +1433,14 @@ def web_crawl_frontier(spark, sf_dir):
     ranks = (G.pagerank_fixed(edges, iterations=3)
              .select(F.col("node").alias("host"), "rank_micros"))
     d = io.load_table(spark, sf_dir, "documents")
+    # materialized ONCE (host-count sized): every rules/delay
+    # derivation references this relation — without the checkpoint each
+    # reference re-executes the distinct over the corpus (plan-asserted
+    # scan bound in tests/test_plans.py)
     robots = (d.select("source").distinct().select(
         F.concat("source", F.lit(".example.com")).alias("host"),
-        _robots_txt_col().alias("robots_txt")))
+        _robots_txt_col().alias("robots_txt"))
+        .localCheckpoint(eager=True))
     rules = robotsfn.robots_rules(robots)
     delays = robotsfn.robots_crawl_delay(robots)
     tagged = robotsfn.apply_robots_rules(frontier, rules)
@@ -1546,9 +1566,14 @@ def pipeline_crawl_corpus(spark, sf_dir):
         urlfn.url_host(raw).alias("host"),
         urlfn.url_path(raw).alias("path"),
         urlfn.canonicalize_url(raw).alias("canonical_url"))
+    # materialized ONCE (host-count sized): every rules/delay
+    # derivation references this relation — without the checkpoint each
+    # reference re-executes the distinct over the corpus (plan-asserted
+    # scan bound in tests/test_plans.py)
     robots = (d.select("source").distinct().select(
         F.concat("source", F.lit(".example.com")).alias("host"),
-        _robots_txt_col().alias("robots_txt")))
+        _robots_txt_col().alias("robots_txt"))
+        .localCheckpoint(eager=True))
     rules = robotsfn.robots_rules(robots)
     tagged = robotsfn.apply_robots_rules(enriched, rules)
 
@@ -1634,9 +1659,14 @@ def stream_crawl_corpus(spark, sf_dir):
         gzip_records="mixed")
     scratch = tempfile.mkdtemp(prefix="clif_stream_funnel_src_")
     files.repartition(4).write.mode("overwrite").parquet(scratch)
+    # materialized ONCE (host-count sized): every rules/delay
+    # derivation references this relation — without the checkpoint each
+    # reference re-executes the distinct over the corpus (plan-asserted
+    # scan bound in tests/test_plans.py)
     robots = (d.select("source").distinct().select(
         F.concat("source", F.lit(".example.com")).alias("host"),
-        _robots_txt_col().alias("robots_txt")))
+        _robots_txt_col().alias("robots_txt"))
+        .localCheckpoint(eager=True))
     rules = robotsfn.robots_rules(robots).localCheckpoint(eager=True)
     counters_root = tempfile.mkdtemp(prefix="clif_funnel_counters_")
     kept_root = tempfile.mkdtemp(prefix="clif_funnel_kept_")

@@ -620,3 +620,37 @@ def test_robots_filter_single_pass_broadcast_no_corpus_shuffle(spark):
     scans = [ln for ln in plan.splitlines()
              if "FileScan parquet" in ln and "documents" in ln]
     assert len(scans) == 1, scans
+
+
+def test_frontier_governance_rides_broadcast(spark):
+    """web_crawl_frontier: ranks, robots rules, and crawl-delay budgets
+    are all HOST-count-sized relations and must ride broadcast joins —
+    a sort-merge join or cartesian against any of them would shuffle
+    the frontier against KB-scale governance state. No Python nodes:
+    the whole composition (resolve + canonicalize + verdict + schedule)
+    is Catalyst."""
+    plan = plan_of(spark, "web_crawl_frontier")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+                 "SortMergeJoin"):
+        assert node not in plan
+
+
+def test_agent_fallback_three_verdicts_no_corpus_blowup(spark):
+    """web_robots_agent_fallback: three per-agent verdict applications
+    are three BROADCAST joins over ONE narrow URL projection — one
+    documents scan on the corpus side, no sort-merge, no Python."""
+    plan = plan_of(spark, "web_robots_agent_fallback")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan
+    # bounded documents scans: one (doc_id, source) corpus scan plus up
+    # to one source-only scan per agent's rules derivation — all
+    # column-pruned; a per-RULE or per-VERDICT corpus re-scan would
+    # blow past this
+    scans = [ln for ln in plan.splitlines()
+             if "FileScan parquet" in ln and "documents" in ln]
+    assert 1 <= len(scans) <= 4, scans
