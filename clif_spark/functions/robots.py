@@ -28,12 +28,12 @@ Scope (documented, conservative — the C4/CC-Net compliance subset):
   host has no specific section; substring/version matching of product
   tokens (``FooBot/1.2`` vs a ``foobot`` group) is not performed —
   callers pass the bare product token;
-- prefixes are literal string prefixes: ``$``/``*`` wildcards and
-  %-encoding normalization are not interpreted (rare in rule lines; a
-  literal match on a wildcard pattern simply never fires, so wildcard
-  disallows under-block — callers with strict compliance needs
-  pre-expand wildcards upstream; tests/test_functions.py pins this
-  in/out-of-scope boundary).
+- rule values support the §2.2.3 special characters: ``*`` matches any
+  character run and a TRAILING ``$`` anchors the end (both translated
+  to an anchored regex host-side, ``pattern_regex``; wildcard-free
+  values keep the literal startswith fast path; specificity is the raw
+  rule-value length for both kinds). %-encoding normalization remains
+  out of scope (paths are compared as extracted).
 """
 
 from __future__ import annotations
@@ -158,6 +158,25 @@ def robots_disallow_rules(robots: DataFrame, host_col: str = "host",
             .select("host", F.col("prefix").alias("disallow_prefix")))
 
 
+def pattern_regex(prefix: Column) -> Column:
+    """Translate an RFC 9309 rule value into an anchored Java/RE2 regex
+    (both engines agree on this subset): a TRAILING ``$`` anchors the
+    end (§2.2.3), ``*`` matches any character run, every other regex
+    metacharacter is escaped to a literal (``Disallow: /a/1.`` must not
+    block ``/a/15``). Mid-pattern ``$`` is literal per spec. Returns
+    NULL for wildcard-free values — the applier keeps those on the
+    cheaper literal startswith path."""
+    anchored = F.endswith(prefix, F.lit("$"))
+    body = F.when(anchored,
+                  F.substr(prefix, F.lit(1), F.length(prefix) - 1)) \
+            .otherwise(prefix)
+    esc = F.regexp_replace(body, r"([.\[\]{}()+?^$|\\])", "\\\\$1")
+    star = F.regexp_replace(esc, r"\*", ".*")
+    rx = F.concat(F.lit("^"), star,
+                  F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+    return F.when(prefix.rlike(r"[*]") | anchored, rx)
+
+
 def apply_robots_rules(urls: DataFrame, rules: DataFrame,
                        host_col: str = "host",
                        path_col: str = "path") -> DataFrame:
@@ -167,6 +186,11 @@ def apply_robots_rules(urls: DataFrame, rules: DataFrame,
     decides (Disallow → blocked, Allow → kept); an equal-length
     Allow/Disallow tie resolves to Allow; no matching rule → kept.
 
+    Wildcard rules (``*`` / trailing ``$``, §2.2.3) match through their
+    translated anchored regex (``pattern_regex``); wildcard-free rules
+    keep the cheaper literal startswith. Specificity for BOTH kinds is
+    the RAW rule-value length (the RFC's most-specific measure).
+
     Rules are collapsed to one array-of-struct row per host and
     BROADCAST (host-count sized), so the corpus side takes one narrow
     ``filter`` + ``array_max`` projection — the struct ordering
@@ -175,14 +199,20 @@ def apply_robots_rules(urls: DataFrame, rules: DataFrame,
     multiplication."""
     per_host = (rules.groupBy("host")
                 .agg(F.collect_list(
-                    F.struct(F.col("prefix"), F.col("allow")))
+                    F.struct(F.col("prefix"), F.col("allow"),
+                             pattern_regex(F.col("prefix")).alias("rx")))
                     .alias("__rules")))
     joined = urls.join(
         F.broadcast(per_host),
         urls[host_col] == per_host["host"], "left").drop(per_host["host"])
+    path = F.col(path_col)
+
+    def matches(r):
+        return (F.when(r["rx"].isNull(), F.startswith(path, r["prefix"]))
+                 .otherwise(F.regexp_like(path, r["rx"])))
+
     best = F.array_max(F.transform(
-        F.filter("__rules",
-                 lambda r: F.startswith(F.col(path_col), r["prefix"])),
+        F.filter("__rules", matches),
         lambda r: F.struct(F.length(r["prefix"]).alias("l"),
                            r["allow"].alias("a"))))
     blocked = F.coalesce(~best["a"], F.lit(False))

@@ -601,12 +601,15 @@ _ROBOTS_TXT_SQL = (
 
 
 # Shared robots-rules CTE chain (srcs -> robots -> ... -> hostrules),
-# used by web_robots_parse and the pipeline_crawl_corpus funnel so one
-# rule set governs both.
-_ROBOTS_RULES_CTES = f"""
+# parameterized over the planted body so web_robots_parse / the funnel
+# (the precedence fixture) and web_robots_wildcards (the §2.2.3
+# fixture) each derive one rule set from their own bodies with ONE
+# parse mirror.
+def _robots_rules_ctes(txt_sql: str) -> str:
+    return f"""
     srcs AS (SELECT DISTINCT source FROM documents),
     robots AS (
-      SELECT source || '.example.com' AS host, {_ROBOTS_TXT_SQL} AS txt
+      SELECT source || '.example.com' AS host, {txt_sql} AS txt
       FROM srcs),
     rlines AS (
       SELECT host, arr[i] AS line, i AS pos
@@ -650,6 +653,9 @@ _ROBOTS_RULES_CTES = f"""
              COUNT(CASE WHEN allow THEN 1 END) AS n_allow
       FROM rrules GROUP BY host)
 """
+
+
+_ROBOTS_RULES_CTES = _robots_rules_ctes(_ROBOTS_TXT_SQL)
 
 # RFC 9309 §2.2.2 longest-match verdict over ``parts(doc_id, host,
 # path)`` (from _CANON_CTES) x ``rrules``: the longest matching prefix
@@ -754,6 +760,124 @@ def web_robots_parse(spark, sf_dir):
                      .alias("n_disallow"),
                     F.coalesce("n_allow", F.lit(0)).cast("long")
                      .alias("n_allow")))
+
+
+# --- D4e: §2.2.3 wildcard patterns ----------------------------------------
+
+# Planted wildcard bodies (own fixture so the precedence row's hashes
+# stay independent): the decoy group again, then for paths
+# /articles/0..39 (k = source % 4):
+#   Disallow: /articles/*{k}$  (len 14) -> blocks paths ENDING in digit
+#                              k: {k, 10+k, 20+k, 30+k}
+#   Allow: /articles/3*        (len 12) -> matches 3,30..39 but LOSES to
+#                              the longer disallow on 3/13/23/33-type
+#                              hits (raw-length specificity for
+#                              wildcard rules pinned)
+#   Disallow: /articles/*.     (len 12) -> the ESCAPE pin: '.' must be
+#                              literal (matches no dotless path); an
+#                              unescaped '.' would block everything
+#   Disallow: /x*y$            matches nothing
+_WILD_TXT_SQL = (
+    "'User-agent: googlebot' || chr(10) || 'Disallow: /' || chr(10) "
+    "|| chr(10) || "
+    "'User-agent: *' || chr(10) || "
+    f"'Disallow: /articles/*' || {_ROBOTS_K_SQL} || '$' || chr(10) || "
+    "'Allow: /articles/3*' || chr(10) || "
+    "'Disallow: /articles/*.' || chr(10) || "
+    "'Disallow: /x*y$'")
+
+
+def _wild_txt_col():
+    k = (F.regexp_extract("source", r"(\d+)", 1).cast("int") % 4) \
+        .cast("string")
+    return F.concat(
+        F.lit("User-agent: googlebot\nDisallow: /\n\n"),
+        F.lit("User-agent: *\n"),
+        F.lit("Disallow: /articles/*"), k, F.lit("$\n"),
+        F.lit("Allow: /articles/3*\n"),
+        F.lit("Disallow: /articles/*.\n"),
+        F.lit("Disallow: /x*y$"))
+
+
+# DuckDB mirror of functions/robots.py::pattern_regex — NULL for
+# wildcard-free values (literal startswith path), else the anchored
+# escaped regex.
+def _sql_pattern_rx(p: str) -> str:
+    body = (f"CASE WHEN suffix({p}, '$') "
+            f"THEN substr({p}, 1, length({p})-1) ELSE {p} END")
+    esc = (f"regexp_replace({body}, "
+           "'([.\\[\\]{}()+?^$|\\\\])', '\\\\\\1', 'g')")
+    return (f"CASE WHEN regexp_matches({p}, '\\*') OR suffix({p}, '$') "
+            f"THEN '^' || replace({esc}, '*', '.*') || "
+            f"CASE WHEN suffix({p}, '$') THEN '$' ELSE '' END END")
+
+
+@query(
+    "web_robots_wildcards",
+    oracle=f"""
+    WITH {_CANON_CTES},
+    {_robots_rules_ctes(_WILD_TXT_SQL)},
+    rrx AS (
+      SELECT host, prefix, allow, length(prefix) AS plen,
+             {_sql_pattern_rx('prefix')} AS rx
+      FROM rrules),
+    rmt AS (
+      SELECT p.doc_id, r.allow, r.plen
+      FROM parts p JOIN rrx r ON p.host = r.host
+       AND (CASE WHEN r.rx IS NULL THEN starts_with(p.path, r.prefix)
+                 ELSE regexp_matches(p.path, r.rx) END)),
+    rb AS (
+      SELECT doc_id, NOT bool_or(allow AND plen = maxplen) AS blocked
+      FROM (SELECT doc_id, allow, plen,
+                   max(plen) OVER (PARTITION BY doc_id) AS maxplen
+            FROM rmt)
+      GROUP BY doc_id)
+    SELECT p.host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN coalesce(rb.blocked, FALSE) THEN 1 END)
+                AS BIGINT) AS n_blocked,
+           CAST(COUNT(CASE WHEN NOT coalesce(rb.blocked, FALSE) THEN 1
+                END) AS BIGINT) AS n_allowed
+    FROM parts p LEFT JOIN rb ON rb.doc_id = p.doc_id
+    GROUP BY p.host
+    """,
+)
+def web_robots_wildcards(spark, sf_dir):
+    """D4e (engine ext.): RFC 9309 §2.2.3 special characters gated
+    end-to-end — ``*`` spans character runs, a trailing ``$`` anchors
+    the end, regex metacharacters in rule values stay literal
+    (pattern_regex escapes them: the planted ``/articles/*.`` must
+    match NO dotless path, while an unescaped dot would block every
+    document and flip the hash), and specificity stays the RAW
+    rule-value length for wildcard and literal rules alike (the
+    longer wildcard disallow beats the shorter wildcard allow on
+    their overlap). Wildcard-free rules keep the literal startswith
+    fast path — this row's bodies are all-wildcard precisely so the
+    regex leg carries the hash.
+
+    Shape: identical to web_robots_parse — host-sized parse +
+    translation, broadcast rules, one narrow corpus projection + one
+    host aggregation; the regex evaluation multiplies per-rule
+    constant work into the fused projection, never rows."""
+    from clif_spark.functions import robots as robotsfn
+
+    d = io.load_table(spark, sf_dir, "documents")
+    raw = d.select("doc_id", "source", _raw_url_col().alias("url"))
+    urls = raw.select(
+        "doc_id",
+        urlfn.url_host(F.col("url")).alias("host"),
+        urlfn.url_path(F.col("url")).alias("path"))
+    robots = (d.select("source").distinct().select(
+        F.concat("source", F.lit(".example.com")).alias("host"),
+        _wild_txt_col().alias("robots_txt"))
+        .localCheckpoint(eager=True))
+    rules = robotsfn.robots_rules(robots)
+    tagged = robotsfn.apply_robots_rules(urls, rules)
+    blocked = F.col("robots_blocked")
+    return (tagged.groupBy("host")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.count_if(blocked).cast("long").alias("n_blocked"),
+                 F.count_if(~blocked).cast("long").alias("n_allowed")))
 
 
 # --- D4c: agent-specific group selection with wildcard fallback ----------

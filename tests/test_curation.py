@@ -664,17 +664,15 @@ def test_robots_rules_allow_parse_and_agent_case(spark):
     """robots_rules keeps Allow rows (with the allow flag), drops
     empty-value no-op markers, and matches the caller's agent token
     case-insensitively (``CCBot`` selects the same group as ``ccbot``
-    — the r10 ADVICE under-block). Wildcard metacharacters in rule
-    values are OUT of the documented scope: they parse as literal
-    prefixes, so ``/*.php`` never matches a real path (pinned here, to
-    make the in/out-of-scope boundary machine-checked)."""
+    — the r10 ADVICE under-block). A ``*`` wildcard rule is evaluated
+    as a pattern (RFC 9309 §2.2.3, in scope since round 11)."""
     from clif_spark.functions import robots as robotsfn
 
     body = ("User-agent: CCBot\n"
             "Disallow: /deny\n"
             "Allow: /deny/ok\n"
             "Allow:\n"             # empty Allow: no-op, dropped
-            "Disallow: /*.php\n")  # wildcard: literal prefix, never fires
+            "Disallow: /*.php\n")  # wildcard pattern (§2.2.3)
     df = spark.createDataFrame([("a.com", body)],
                                "host string, robots_txt string")
     got = {(r.prefix, r.allow)
@@ -685,14 +683,46 @@ def test_robots_rules_allow_parse_and_agent_case(spark):
     low = {(r.prefix, r.allow)
            for r in robotsfn.robots_rules(df, agent="ccbot").collect()}
     assert low == got
-    # the literal wildcard prefix never matches a real .php path
+    # the wildcard pattern fires on any .php path; the '.' is escaped
+    # so '/indexXphp' survives
     urls = spark.createDataFrame(
         [(1, "a.com", "/index.php"), (2, "a.com", "/deny/x"),
-         (3, "a.com", "/deny/ok/x")],
+         (3, "a.com", "/deny/ok/x"), (4, "a.com", "/indexXphp")],
         "doc_id long, host string, path string")
     out = {r.doc_id: r.robots_blocked for r in robotsfn.apply_robots_rules(
         urls, robotsfn.robots_rules(df, agent="CCBot")).collect()}
-    assert out == {1: False, 2: True, 3: False}
+    assert out == {1: True, 2: True, 3: False, 4: False}
+
+
+def test_robots_wildcard_patterns(spark):
+    """§2.2.3 special characters: ``*`` spans character runs, a
+    trailing ``$`` anchors the end, mid-pattern ``$`` is literal,
+    regex metacharacters in rule values are escaped, and specificity
+    is the RAW rule-value length for wildcard and literal rules
+    alike."""
+    from clif_spark.functions import robots as robotsfn
+
+    rules = spark.createDataFrame(
+        [("a.com", "/a/*/sec", False),   # * spans a segment
+         ("a.com", "/b$", False),        # $ anchors: /b only, not /bb
+         ("a.com", "/c$d", False),       # mid-pattern $ is literal
+         ("a.com", "/d/*.png$", False),  # escape + star + anchor
+         ("a.com", "/a/", True)],        # shorter allow loses to /a/*/sec
+        "host string, prefix string, allow boolean")
+    urls = spark.createDataFrame(
+        [(1, "a.com", "/a/x/sec"), (2, "a.com", "/a/x/y/sec"),
+         (3, "a.com", "/a/open"),
+         (4, "a.com", "/b"), (5, "a.com", "/bb"),
+         (6, "a.com", "/c$d"), (7, "a.com", "/cXd"),
+         (8, "a.com", "/d/i.png"), (9, "a.com", "/d/i.png.txt"),
+         (10, "a.com", "/d/iXpng")],
+        "doc_id long, host string, path string")
+    out = {r.doc_id: r.robots_blocked for r in
+           robotsfn.apply_robots_rules(urls, rules).collect()}
+    assert out == {1: True, 2: True, 3: False,
+                   4: True, 5: False,
+                   6: True, 7: False,
+                   8: True, 9: False, 10: False}
 
 
 def test_robots_crawl_delay_parse_and_fallback(spark):
@@ -854,15 +884,30 @@ def test_robots_precedence_randomized_vs_reference(spark):
                               if agent != "*" else [])
         return {r for g in chosen for r in g[1]}
 
+    def ref_matches(rule: str, path: str) -> bool:
+        """Independent §2.2.3 reference: trailing $ anchors, * spans,
+        everything else literal — via re with escaped segments."""
+        import re as _re
+        if "*" not in rule and not rule.endswith("$"):
+            return path.startswith(rule)
+        anchored = rule.endswith("$")
+        body = rule[:-1] if anchored else rule
+        rx = ("^" + ".*".join(_re.escape(seg) for seg in body.split("*"))
+              + ("$" if anchored else ""))
+        return _re.search(rx, path) is not None
+
     def ref_blocked(rules: set, path: str) -> bool:
-        hits = [(len(p), a) for p, a in rules if path.startswith(p)]
+        hits = [(len(p), a) for p, a in rules if ref_matches(p, path)]
         if not hits:
             return False
         best_len = max(h[0] for h in hits)
         return not any(a for plen, a in hits if plen == best_len)
 
     paths_pool = ["/", "/a", "/a/b", "/a/b/c", "/search", "/search/x",
-                  "/tmp/", "/pub", "/pub/ok", "/pub/ok/deep"]
+                  "/tmp/", "/pub", "/pub/ok", "/pub/ok/deep",
+                  "/img/x.png", "/img/xypng",
+                  # wildcard rule values mixed into the RULE pool below
+                  "/a/*", "/*.png$", "/a*b", "/pub/*/deep", "/a/b$"]
     bodies, probes = [], []
     for i in range(30):
         lines = []
