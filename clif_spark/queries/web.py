@@ -880,6 +880,182 @@ def web_robots_wildcards(spark, sf_dir):
                  F.count_if(~blocked).cast("long").alias("n_allowed")))
 
 
+def _sql_canon_of(u: str) -> dict[str, str]:
+    """scheme/host/path/canon SQL expressions for an arbitrary
+    fragment-stripped URL expression — mirrors functions/url.py (and
+    the documents-bound _CANON_CTES) expression for expression, for
+    oracles whose URL column is not the documents fixture."""
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    auth = (f"lower(regexp_extract({u}, "
+            f"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))")
+    host = (f"regexp_replace(CASE {scheme} "
+            f"WHEN 'http' THEN regexp_replace({auth}, ':80$', '') "
+            f"WHEN 'https' THEN regexp_replace({auth}, ':443$', '') "
+            f"ELSE {auth} END, '^www\\.', '')")
+    rawp = (f"regexp_extract({u}, "
+            f"'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)")
+    path = (f"regexp_replace(CASE WHEN {rawp} = '' THEN '/' "
+            f"ELSE {rawp} END, '^(.+?)/+$', '\\1')")
+    # coalesce: DuckDB's array_to_string of an EMPTY list is NULL where
+    # Spark's array_join is '' — a query-less URL would otherwise NULL
+    # the whole concat (the documents-bound _CANON_CTES never hits this
+    # because every planted doc URL carries a query)
+    qs = (f"coalesce(array_to_string(list_sort(list_filter(string_split("
+          f"regexp_extract({u}, '\\?([^#]*)', 1), '&'), "
+          f"x -> x <> '' AND NOT starts_with(split_part(x, '=', 1), "
+          f"'utm_') AND split_part(x, '=', 1) <> 'fbclid')), '&'), '')")
+    canon = (f"{scheme} || '://' || {host} || {path} || "
+             f"(CASE WHEN {qs} = '' THEN '' ELSE '?' || {qs} END)")
+    return {"scheme": scheme, "host": host, "path": path, "canon": canon}
+
+
+# --- D7: sitemap parsing -> robots-gated crawl seeds ----------------------
+
+# Planted sitemap.xml per host (k = source % 4): four <url> entries —
+# one full entry (lastmod + priority 0.{k+1}), one without a priority
+# (must default to 0.5), one robots-blocked by the /cgi-bin/ rule, and
+# one with WHITESPACE + newlines around <loc> (must trim; it also hits
+# the /articles/25 precedence split: blocked everywhere except k=2
+# hosts, whose equal-length Allow wins). Entries span lines, so the
+# block extraction needs dotall — both regex engines take (?s).
+_SITEMAP_SQL = (
+    "'<?xml version=\"1.0\" encoding=\"UTF-8\"?>' || chr(10) || "
+    "'<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">'"
+    " || chr(10) || "
+    "'<url><loc>https://' || source || '.example.com/articles/' || "
+    f"{_ROBOTS_K_SQL} || '</loc>' || "
+    f"'<lastmod>2026-0' || CAST(CAST({_ROBOTS_K_SQL} AS INT) + 1 "
+    "AS VARCHAR) || '-15</lastmod>' || "
+    f"'<priority>0.' || CAST(CAST({_ROBOTS_K_SQL} AS INT) + 1 "
+    "AS VARCHAR) || '</priority></url>' || chr(10) || "
+    "'<url><loc>https://' || source || '.example.com/articles/1' || "
+    f"{_ROBOTS_K_SQL} || '</loc></url>' || chr(10) || "
+    "'<url><loc>https://' || source || "
+    "'.example.com/cgi-bin/tool</loc><priority>1.0</priority></url>'"
+    " || chr(10) || "
+    "'<url>' || chr(10) || '  <loc> https://' || source || "
+    "'.example.com/articles/25 </loc>' || chr(10) || '</url>' || "
+    "chr(10) || '</urlset>'")
+
+
+def _sitemap_col():
+    k = F.regexp_extract("source", r"(\d+)", 1).cast("int") % 4
+    ks = k.cast("string")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    return F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>\n'),
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/'
+              'sitemap/0.9">\n'),
+        F.lit("<url><loc>https://"), host, F.lit("/articles/"), ks,
+        F.lit("</loc><lastmod>2026-0"), (k + 1).cast("string"),
+        F.lit("-15</lastmod><priority>0."), (k + 1).cast("string"),
+        F.lit("</priority></url>\n"),
+        F.lit("<url><loc>https://"), host, F.lit("/articles/1"), ks,
+        F.lit("</loc></url>\n"),
+        F.lit("<url><loc>https://"), host,
+        F.lit("/cgi-bin/tool</loc><priority>1.0</priority></url>\n"),
+        F.lit("<url>\n  <loc> https://"), host,
+        F.lit("/articles/25 </loc>\n</url>\n</urlset>"))
+
+
+@query(
+    "web_sitemap_parse",
+    oracle=f"""
+    WITH {_ROBOTS_RULES_CTES},
+    smsrc AS (SELECT DISTINCT source FROM documents),
+    smaps AS (
+      SELECT source || '.example.com' AS host, {_SITEMAP_SQL} AS xml
+      FROM smsrc),
+    blocks AS (
+      SELECT host, unnest(
+        regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)) AS b
+      FROM smaps),
+    entries AS (
+      SELECT host,
+             trim(regexp_extract(b, '(?s)<loc>(.*?)</loc>', 1)) AS loc,
+             nullif(regexp_extract(b,
+               '(?s)<lastmod>(.*?)</lastmod>', 1), '') AS lastmod,
+             CAST(CAST(coalesce(nullif(regexp_extract(b,
+               '(?s)<priority>(.*?)</priority>', 1), ''), '0.5')
+               AS DECIMAL(7,6)) * 1000000 AS BIGINT) AS priority_micros
+      FROM blocks),
+    seeds AS (
+      SELECT host, loc,
+             {_sql_canon_of('loc')['path']} AS path,
+             lastmod, priority_micros
+      FROM entries),
+    smt AS (
+      SELECT s.loc, s.host, r.allow, length(r.prefix) AS plen
+      FROM seeds s JOIN rrules r
+        ON s.host = r.host AND starts_with(s.path, r.prefix)),
+    sb AS (
+      SELECT loc, host,
+             NOT bool_or(allow AND plen = maxplen) AS blocked
+      FROM (SELECT loc, host, allow, plen,
+                   max(plen) OVER (PARTITION BY host, loc) AS maxplen
+            FROM smt)
+      GROUP BY loc, host)
+    SELECT s.host, s.loc, s.lastmod,
+           s.priority_micros,
+           coalesce(sb.blocked, FALSE) AS robots_blocked
+    FROM seeds s
+    LEFT JOIN sb ON sb.host = s.host AND sb.loc = s.loc
+    """,
+)
+def web_sitemap_parse(spark, sf_dir):
+    """D7 (engine ext.): sitemap.xml parsing — the crawl-SEEDING side
+    of discovery (sitemaps feed the frontier alongside extracted
+    links; sitemaps.org protocol): per-host XML bodies parse into seed
+    entries via one dotall block extraction + per-field regexps (pure
+    Catalyst — no XML library in the hot path, exactly like the
+    HTML→text rule set), with protocol semantics pinned observably:
+    whitespace-padded ``<loc>`` trims, a missing ``<priority>``
+    defaults to 0.5, and priorities land in EXACT integer micros
+    (decimal cast, not double — ``0.3`` must be 300000, not 299999).
+    Each seed then carries the robots longest-match verdict from the
+    SAME rule set the corpus rows use — the planted /cgi-bin/ seed is
+    blocked everywhere, and the /articles/25 seed flips allowed on
+    exactly the k=2 hosts whose equal-length Allow wins the tie.
+
+    Shape: sitemaps are host-count sized end to end (one body per
+    host; parse, verdict, and output all host-scale — the ONLY
+    corpus-touching work is the source distinct feeding the planted
+    bodies, checkpointed once). Reference analog: none (north-star
+    crawl-governance surface)."""
+    from clif_spark.functions import robots as robotsfn
+
+    d = io.load_table(spark, sf_dir, "documents")
+    smaps = (d.select("source").distinct().select(
+        F.concat("source", F.lit(".example.com")).alias("host"),
+        _sitemap_col().alias("xml"))
+        .localCheckpoint(eager=True))
+    blocks = smaps.select(
+        "host",
+        F.explode(F.regexp_extract_all(
+            "xml", F.lit(r"(?s)<url>(.*?)</url>"), F.lit(1))).alias("b"))
+    prio = F.coalesce(
+        F.nullif(F.regexp_extract(
+            "b", r"(?s)<priority>(.*?)</priority>", 1), F.lit("")),
+        F.lit("0.5"))
+    entries = blocks.select(
+        "host",
+        F.trim(F.regexp_extract("b", r"(?s)<loc>(.*?)</loc>", 1))
+         .alias("loc"),
+        F.nullif(F.regexp_extract("b", r"(?s)<lastmod>(.*?)</lastmod>",
+                                  1), F.lit("")).alias("lastmod"),
+        (prio.cast("decimal(7,6)") * 1000000).cast("long")
+         .alias("priority_micros"))
+    seeds = entries.withColumn("path", urlfn.url_path(F.col("loc")))
+    robots = (d.select("source").distinct().select(
+        F.concat("source", F.lit(".example.com")).alias("host"),
+        _robots_txt_col().alias("robots_txt"))
+        .localCheckpoint(eager=True))
+    rules = robotsfn.robots_rules(robots)
+    return (robotsfn.apply_robots_rules(seeds, rules)
+            .select("host", "loc", "lastmod", "priority_micros",
+                    "robots_blocked"))
+
+
 # --- D4c: agent-specific group selection with wildcard fallback ----------
 
 
@@ -1440,35 +1616,6 @@ def web_pagerank_warm_start(spark, sf_dir):
 
 
 # --- D6: the prioritized crawl frontier ------------------------------------
-
-
-def _sql_canon_of(u: str) -> dict[str, str]:
-    """scheme/host/path/canon SQL expressions for an arbitrary
-    fragment-stripped URL expression — mirrors functions/url.py (and
-    the documents-bound _CANON_CTES) expression for expression, for
-    oracles whose URL column is not the documents fixture."""
-    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
-    auth = (f"lower(regexp_extract({u}, "
-            f"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))")
-    host = (f"regexp_replace(CASE {scheme} "
-            f"WHEN 'http' THEN regexp_replace({auth}, ':80$', '') "
-            f"WHEN 'https' THEN regexp_replace({auth}, ':443$', '') "
-            f"ELSE {auth} END, '^www\\.', '')")
-    rawp = (f"regexp_extract({u}, "
-            f"'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)")
-    path = (f"regexp_replace(CASE WHEN {rawp} = '' THEN '/' "
-            f"ELSE {rawp} END, '^(.+?)/+$', '\\1')")
-    # coalesce: DuckDB's array_to_string of an EMPTY list is NULL where
-    # Spark's array_join is '' — a query-less URL would otherwise NULL
-    # the whole concat (the documents-bound _CANON_CTES never hits this
-    # because every planted doc URL carries a query)
-    qs = (f"coalesce(array_to_string(list_sort(list_filter(string_split("
-          f"regexp_extract({u}, '\\?([^#]*)', 1), '&'), "
-          f"x -> x <> '' AND NOT starts_with(split_part(x, '=', 1), "
-          f"'utm_') AND split_part(x, '=', 1) <> 'fbclid')), '&'), '')")
-    canon = (f"{scheme} || '://' || {host} || {path} || "
-             f"(CASE WHEN {qs} = '' THEN '' ELSE '?' || {qs} END)")
-    return {"scheme": scheme, "host": host, "path": path, "canon": canon}
 
 
 _FRONTIER_PR = _pagerank_ctes(iterations=3)
