@@ -130,15 +130,20 @@ def robots_crawl_delay(robots: DataFrame, host_col: str = "host",
     """(host, crawl_delay_s) — the ``Crawl-delay:`` directive of the
     agent's selected groups (same §2.2.1 selection + fallback as
     robots_rules), the de-facto politeness knob crawl schedulers turn
-    into per-host fetch budgets. Non-numeric values parse to NULL and
-    are dropped; multiple directives per host keep the MAX (the politest
-    reading — a scheduler honoring the larger delay can never violate
-    the smaller). Hosts without a directive are absent — callers decide
-    their own default rate."""
+    into per-host fetch budgets. Values parse as decimals and take
+    their CEILING in whole seconds (fractional delays like ``0.5`` are
+    common in the wild; ceiling is the politest integer reading, and —
+    deliberately — NOT a bare string->long cast, whose rounding
+    direction differs between engines: Spark truncates '10.5' to 10
+    where DuckDB rounds to 11). Non-numeric values parse to NULL and
+    are dropped; multiple directives per host keep the MAX. Hosts
+    without a directive are absent — callers decide their own default
+    rate."""
     grouped = _grouped_lines(robots, host_col, txt_col)
     wild = _selected_groups(grouped, agent)
     # 'crawl-delay:' is 12 chars — value starts at 13
-    val = F.trim(F.substring("ln", 13, 1 << 20)).cast("long")
+    val = F.ceil(F.trim(F.substring("ln", 13, 1 << 20))
+                 .cast("decimal(18,6)")).cast("long")
     return (grouped
             .filter(F.startswith(F.col("ln"), F.lit("crawl-delay:")))
             .select("host", "grp", val.alias("crawl_delay_s"))

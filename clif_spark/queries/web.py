@@ -1179,11 +1179,15 @@ def web_robots_agent_fallback(spark, sf_dir):
     WITH {_CANON_CTES},
     {_ROBOTS_RULES_CTES},
     rdelay AS (
+      -- CEILING of the decimal value, mirroring
+      -- functions/robots.py::robots_crawl_delay (a bare string->BIGINT
+      -- cast rounds differently across engines on fractional delays)
       SELECT g.host,
-             MAX(TRY_CAST(trim(g.ln[13:]) AS BIGINT)) AS crawl_delay_s
+             MAX(CAST(ceil(TRY_CAST(trim(g.ln[13:]) AS DECIMAL(18,6)))
+                 AS BIGINT)) AS crawl_delay_s
       FROM rgrouped g JOIN rwild w ON g.host = w.host AND g.grp = w.grp
       WHERE starts_with(g.ln, 'crawl-delay:')
-        AND TRY_CAST(trim(g.ln[13:]) AS BIGINT) IS NOT NULL
+        AND TRY_CAST(trim(g.ln[13:]) AS DECIMAL(18,6)) IS NOT NULL
       GROUP BY g.host),
     hd AS (SELECT host, COUNT(*) AS n_docs FROM parts GROUP BY host)
     SELECT h.host,
@@ -1647,11 +1651,15 @@ _FRONTIER_U = _sql_canon_of("u")
             FROM fmt)
       GROUP BY url),
     rdelay AS (
+      -- CEILING of the decimal value, mirroring
+      -- functions/robots.py::robots_crawl_delay (a bare string->BIGINT
+      -- cast rounds differently across engines on fractional delays)
       SELECT g.host,
-             MAX(TRY_CAST(trim(g.ln[13:]) AS BIGINT)) AS crawl_delay_s
+             MAX(CAST(ceil(TRY_CAST(trim(g.ln[13:]) AS DECIMAL(18,6)))
+                 AS BIGINT)) AS crawl_delay_s
       FROM rgrouped g JOIN rwild w ON g.host = w.host AND g.grp = w.grp
       WHERE starts_with(g.ln, 'crawl-delay:')
-        AND TRY_CAST(trim(g.ln[13:]) AS BIGINT) IS NOT NULL
+        AND TRY_CAST(trim(g.ln[13:]) AS DECIMAL(18,6)) IS NOT NULL
       GROUP BY g.host),
     sched AS (
       SELECT f.fhost AS host, f.url, f.n_referrers,

@@ -736,16 +736,20 @@ def test_robots_crawl_delay_parse_and_fallback(spark):
               "Crawl-delay: 2\n")        # two directives -> max 5
     body_b = "User-agent: *\nCrawl-delay: fast\n"   # junk -> dropped
     body_c = "User-agent: mybot\nCrawl-delay: 7\n"
+    body_d = "User-agent: *\nCrawl-delay: 0.5\n"    # fractional -> ceil 1
     df = spark.createDataFrame(
-        [("a.com", body_a), ("b.com", body_b), ("c.com", body_c)],
+        [("a.com", body_a), ("b.com", body_b), ("c.com", body_c),
+         ("d.com", body_d)],
         "host string, robots_txt string")
     star = {r.host: r.crawl_delay_s
             for r in robotsfn.robots_crawl_delay(df).collect()}
-    assert star == {"a.com": 5}  # 99 is googlebot-only; junk dropped
+    # 99 is googlebot-only; junk dropped; 0.5 ceils to 1 (the politest
+    # integer reading — NOT a truncating cast)
+    assert star == {"a.com": 5, "d.com": 1}
     # specific agent sees its own section; elsewhere falls back to '*'
     my = {r.host: r.crawl_delay_s
           for r in robotsfn.robots_crawl_delay(df, agent="mybot").collect()}
-    assert my == {"a.com": 5, "c.com": 7}
+    assert my == {"a.com": 5, "c.com": 7, "d.com": 1}
 
 
 def test_quality_classifier_weights_path_matches_hand_computation(spark):
