@@ -1724,7 +1724,7 @@ def web_crawl_frontier(spark, sf_dir):
     delays = robotsfn.robots_crawl_delay(robots)
     tagged = robotsfn.apply_robots_rules(frontier, rules)
     sched = (tagged.filter(~F.col("robots_blocked"))
-             .join(ranks, "host")
+             .join(F.broadcast(ranks), "host")
              .join(F.broadcast(delays), "host", "left")
              .select("host", "url", "n_referrers", "rank_micros",
                      F.coalesce("crawl_delay_s", F.lit(1))

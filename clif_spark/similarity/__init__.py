@@ -61,7 +61,9 @@ def _bound_ipc_tasks(df: DataFrame, bytes_per_task: int = 8 << 20
     if not files or total == 0:
         return df
     target = max(1, total // bytes_per_task)
-    current = df.rdd.getNumPartitions()
+    # JVM-side probe (no Python RDD machinery — io.ensure_parallelism
+    # rationale)
+    current = df._jdf.rdd().getNumPartitions()
     if current > target:
         return df.coalesce(int(target))
     return df
