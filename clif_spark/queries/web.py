@@ -2022,3 +2022,70 @@ def stream_crawl_corpus(spark, sf_dir):
                      .alias("n_kept"),
                     F.coalesce("chars", F.lit(0)).cast("long")
                      .alias("kept_chars")))
+
+
+# --- S9c: WET export (conversion records) ---------------------------------
+
+
+@query(
+    "pipeline_wet_export",
+    oracle=f"""
+    WITH page AS (
+      SELECT doc_id, {_page_html_sql()} AS html FROM documents)
+    SELECT doc_id,
+           {_sql_html_to_text('html')} AS extracted,
+           CAST(length({_sql_html_to_text('html')}) AS BIGINT) AS n_chars,
+           'conversion' AS warc_type
+    FROM page
+    """,
+)
+def pipeline_wet_export(spark, sf_dir):
+    """S9c (engine ext.): WET EXPORT — the extracted-text archive
+    Common Crawl publishes alongside every WARC (``.warc.wet``:
+    ``conversion`` records whose payload is the visible text of the
+    corresponding response capture). The full derivation chain is
+    gated as one inversion: page HTML -> response WARC shards (mixed
+    plain/gz) -> parse -> HTML->text extraction -> build
+    ``conversion`` records (text/plain payloads, URIs carried from
+    the captures) -> assemble WET shards -> parse THOSE back — the
+    final parsed WET records must equal the direct extraction off the
+    documents table doc for doc, with the record type pinned. Both
+    container legs must cancel exactly; a corruption in either
+    serialize/parse pass, or any extraction-rule drift, flips the
+    hash.
+
+    100 TB shape: both legs are per-file streaming parses with
+    parallelism = shard count (how Common Crawl actually ships WET);
+    extraction is the fused narrow pass between them. No shuffle
+    anywhere — the only exchanges are the two file assemblies the
+    harness itself plants."""
+    d = io.load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", _page_html_col().alias("page"),
+        _doc_url_col().alias("url"),
+        (F.col("doc_id") % _shard_count(d)).alias("file_id"))
+    warc_files = warc.assemble_warc_files(
+        warc.build_warc_records(docs, payload_col="page"),
+        gzip_records="mixed")
+    captures = warc.parse_warc(warc_files)
+    wet_doc_id = F.regexp_extract("target_uri", r"/(\d+)$", 1) \
+                  .cast("long")
+    wet_rows = captures.select(
+        F.col("target_uri").alias("url"),
+        curation.html_to_text(F.col("payload").cast("string"))
+         .alias("wet_text"),
+        wet_doc_id.alias("doc_id"),
+        (wet_doc_id % _shard_count(d)).alias("file_id"))
+    wet_files = warc.assemble_warc_files(
+        warc.build_warc_aux_records(
+            wet_rows, "conversion", "wet_text",
+            content_type="text/plain"),
+        gzip_records="mixed")
+    wet = warc.parse_warc(wet_files)
+    return wet.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long")
+         .alias("doc_id"),
+        F.col("payload").cast("string").alias("extracted"),
+        F.length(F.col("payload").cast("string")).cast("long")
+         .alias("n_chars"),
+        F.col("warc_type"))
