@@ -308,7 +308,7 @@ _VERIFY_FIRST_R11 = [
     "dedup_screen_persisted",
     "web_robots_agent_fallback", "web_robots_crawl_delay",
     "web_crawl_frontier", "web_robots_wildcards", "web_sitemap_parse",
-    "pipeline_wet_export",
+    "pipeline_wet_export", "pipeline_wat_export",
     # --- changed-code r11 rows: robots Allow/longest-match precedence
     # + RFC 3986 href resolution rewrote these relations' fixtures and
     # oracles (queries/web.py); the partitioned store's merge-base read
@@ -338,7 +338,7 @@ _VERIFY_FIRST_R11 = [
     "dedup_simhash64", "f14_from_json_typed",
     "j10_levenshtein_vocab_match", "j1_vocab_broadcast_star",
     "j3_full_outer_join", "j6_fuzzy_vocab_match", "j9_salted_skew_join",
-    "mm_audio_resample", "mm_jpeg_pixel_stats", "mm_resize_pixels",
+    "mm_audio_resample", "mm_jpeg_pixel_stats",
     # --- streams at the tail (multi-second startup each): the NEW
     # never-gated streaming funnel (registered this round), the five
     # r6-stale streams, and the partitioned-upsert stream whose store
@@ -348,21 +348,22 @@ _VERIFY_FIRST_R11 = [
     "stream_session_episodes", "stream_sliding_agg",
     "stream_tumbling_agg", "stream_partitioned_upsert",
 ]
-# Exactly 50: 8 never-gated (dedup_screen_persisted,
+# Exactly 50: 9 never-gated (dedup_screen_persisted,
 # web_robots_agent_fallback, web_robots_crawl_delay,
 # web_crawl_frontier, web_robots_wildcards, web_sitemap_parse,
-# pipeline_wet_export, stream_crawl_corpus) + 7 changed-code re-gates
-# + 14 stale (8 r6 batch + 5 r6 streams + dedup_semantic_contract@r7)
-# + 20 r7 refreshes + stream_partitioned_upsert (changed code, stream
-# tail). The eight r11 registrations took their slots from the last
-# r7 refreshes in name order (q10_returned_items, q15_top_supplier,
-# q17_small_qty_revenue, p5_p6_null_handling, p2_p4_drop_positional,
-# p1_p3_project_rename, mm_video_frame_stats pre-empted): new
-# operators get a driver row before any refresh does. r12 due list =
-# those pre-empted rows + the 17 remaining r7 rows (q18/q19/q22/q7/
-# q8, r2/r4, sample_split_assign, text_sentence_chunks, w4-w9, the
-# five r7 streams). After this gate no oracle row's latest green
-# predates r7.
+# pipeline_wet_export, pipeline_wat_export, stream_crawl_corpus) + 7
+# changed-code re-gates + 14 stale (8 r6 batch + 5 r6 streams +
+# dedup_semantic_contract@r7) + 19 r7 refreshes +
+# stream_partitioned_upsert (changed code, stream tail). The nine r11
+# registrations took their slots from the last r7 refreshes in name
+# order (q10_returned_items, q15_top_supplier, q17_small_qty_revenue,
+# p5_p6_null_handling, p2_p4_drop_positional, p1_p3_project_rename,
+# mm_video_frame_stats, mm_resize_pixels pre-empted): new operators
+# get a driver row before any refresh does. r12 due list = those
+# pre-empted rows + the 17 remaining r7 rows (q18/q19/q22/q7/q8,
+# r2/r4, sample_split_assign, text_sentence_chunks, w4-w9, the five
+# r7 streams). After this gate no oracle row's latest green predates
+# r7.
 _VERIFY_FIRST = _VERIFY_FIRST_R11
 
 # Rows-only queries (dedup_semantic, ann_ivf_trained_topk,

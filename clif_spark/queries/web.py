@@ -2089,3 +2089,85 @@ def pipeline_wet_export(spark, sf_dir):
         F.length(F.col("payload").cast("string")).cast("long")
          .alias("n_chars"),
         F.col("warc_type"))
+
+
+# --- S9d: WAT export (metadata JSON records) -------------------------------
+
+
+@query(
+    "pipeline_wat_export",
+    oracle=f"""
+    WITH page AS (
+      SELECT doc_id, source || '.example.com' AS src_host,
+             {_LINK_PAGE_SQL} AS html,
+             {_DOC_URL_SQL} AS uri
+      FROM documents)
+    SELECT doc_id,
+           uri,
+           CAST(strlen(html) AS BIGINT) AS content_length,
+           CAST(len(regexp_extract_all(html, 'href="')) AS BIGINT)
+             AS n_links,
+           'metadata' AS warc_type
+    FROM page
+    """,
+)
+def pipeline_wat_export(spark, sf_dir):
+    """S9d (engine ext.): WAT EXPORT — the per-capture metadata archive
+    Common Crawl publishes alongside WARC/WET (``.warc.wat``:
+    ``metadata`` records whose JSON payload describes each response:
+    target URI, content length, outlink count). Gated as one
+    inversion: link pages -> response WARC shards -> parse -> per-
+    capture JSON build (pure concat — our own format, mirrored
+    byte-for-byte) -> ``metadata`` records -> WAT shards -> parse back
+    -> ``from_json`` TYPED extraction of the described fields, which
+    must equal the direct computation off the documents table. The
+    from_json leg also pins JSON WELL-FORMEDNESS: a malformed payload
+    parses to NULLs and flips the hash. Completes the crawl-artifact
+    trio (io_warc_roundtrip / pipeline_wet_export / this).
+
+    100 TB shape: identical to the WET leg — per-file streaming
+    parses at shard-count parallelism, one fused narrow JSON-build
+    pass between them, zero shuffles."""
+    d = io.load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", _link_page_col().alias("page"),
+        _doc_url_col().alias("url"),
+        (F.col("doc_id") % _shard_count(d)).alias("file_id"))
+    warc_files = warc.assemble_warc_files(
+        warc.build_warc_records(docs, payload_col="page"),
+        gzip_records="mixed")
+    captures = warc.parse_warc(warc_files)
+    body = F.col("payload").cast("string")
+    wat_json = F.concat(
+        F.lit('{"uri":"'), F.col("target_uri"),
+        F.lit('","content_length":'),
+        F.octet_length("payload").cast("string"),
+        F.lit(',"n_links":'),
+        F.coalesce(F.size(F.regexp_extract_all(
+            body, F.lit('(href=")'), F.lit(1))), F.lit(0))
+         .cast("string"),
+        F.lit("}"))
+    cap_doc_id = F.regexp_extract("target_uri", r"/(\d+)$", 1) \
+                  .cast("long")
+    wat_rows = captures.select(
+        F.col("target_uri").alias("url"),
+        wat_json.alias("wat_json"),
+        cap_doc_id.alias("doc_id"),
+        (cap_doc_id % _shard_count(d)).alias("file_id"))
+    wat_files = warc.assemble_warc_files(
+        warc.build_warc_aux_records(
+            wat_rows, "metadata", "wat_json",
+            content_type="application/json"),
+        gzip_records="mixed")
+    wat = warc.parse_warc(wat_files)
+    parsed = wat.withColumn(
+        "j", F.from_json(
+            F.col("payload").cast("string"),
+            "uri STRING, content_length BIGINT, n_links BIGINT"))
+    return parsed.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long")
+         .alias("doc_id"),
+        F.col("j.uri").alias("uri"),
+        F.col("j.content_length").alias("content_length"),
+        F.col("j.n_links").alias("n_links"),
+        F.col("warc_type"))
