@@ -1066,6 +1066,9 @@ def _sql_agent_verdict(agent: str, tag: str) -> str:
     groups. Assumes ``rgrouped`` and ``parts``; ends in
     ``rb_{tag}(doc_id, blocked)`` — mirrors
     functions/robots.py::_selected_groups + apply_robots_rules."""
+    # the token lands inside SQL string literals — keep it to the safe
+    # product-token alphabet (fixture tokens only; not user input)
+    assert agent.replace("-", "").replace("_", "").isalnum(), agent
     return f"""
     rmatch_{tag} AS (
       SELECT DISTINCT host, grp,
