@@ -154,6 +154,41 @@ def test_cosine_topk_arrow_matches_hof_fold(spark):
     assert arrow == hof
 
 
+def test_bound_ipc_tasks_coalesces_fragmented_scans_only(spark):
+    """_bound_ipc_tasks: a small file scan fragmented into many splits
+    coalesces to ~bytes_per_task of input per task (never grows, never
+    shuffles — the plan stays Coalesce, not Exchange); a non-file
+    source (no resolvable input sizes) passes through untouched."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clif_spark.similarity import _bound_ipc_tasks
+
+    d = tempfile.mkdtemp(prefix="ipc_bound_")
+    spark.range(10000).repartition(16).write.mode("overwrite").parquet(d)
+    total = sum(os.path.getsize(os.path.join(d, f))
+                for f in os.listdir(d) if f.endswith(".parquet"))
+    df = spark.read.parquet(d)
+    current = df._jdf.rdd().getNumPartitions()
+    # precondition: the scan is fragmented (Spark bin-packs the 16 tiny
+    # part-files by openCost, but still yields several splits)
+    assert current > 1
+    bounded = _bound_ipc_tasks(df, bytes_per_task=total)  # -> 1 task
+    assert bounded._jdf.rdd().getNumPartitions() == 1
+    plan = bounded._jdf.queryExecution().executedPlan().toString()
+    assert "Coalesce" in plan and "Exchange" not in plan
+    # rows intact
+    assert bounded.count() == 10000
+    # target above current -> no-op (never grows)
+    same = _bound_ipc_tasks(df, bytes_per_task=1)
+    assert same._jdf.rdd().getNumPartitions() == current
+    # non-file source passes through
+    mem = spark.range(100).select(F.col("id"))
+    assert _bound_ipc_tasks(mem, bytes_per_task=1) is mem
+
+
 def test_pq_encode_recovers_codebook_vectors(spark):
     """A vector built FROM codebook entries must encode to exactly those
     codes with zero reconstruction error (micros quantization is exact on
