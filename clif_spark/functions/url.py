@@ -126,16 +126,21 @@ def resolve_href(href: Column, base_scheme: Column, base_host: Column,
     extraction and canonicalization. RFC 3986 §5 reference resolution
     over the hierarchical cases:
 
-    - absolute (``scheme://...``) passes through;
-    - protocol-relative (``//authority/path``) takes the base scheme;
+    - absolute (``scheme://...``) keeps its own scheme/authority, path
+      dot-segments collapsed (§5.2.2 applies remove_dot_segments to
+      every hierarchical branch, including this one — ADVICE r11);
+    - protocol-relative (``//authority/path``) takes the base scheme,
+      path dot-segments collapsed;
     - root-relative (``/path``) joins scheme://host, dot-segments
       collapsed;
     - relative paths (``sub/page``, ``../x``, ``./same``) splice onto
       the base path's directory (base path's last segment dropped, RFC
-      3986 §5.3 merge) then collapse dot-segments — requires
-      ``base_path``; with the default ``base_path=None`` they resolve
-      to NULL (the pre-round-11 subset, kept for callers without a
-      page path);
+      3986 §5.3 merge; an EMPTY or slash-less base path merges as
+      ``/`` + ref per §5.3, so ``https://h.com`` + ``sub`` is
+      ``https://h.com/sub``, never ``https://h.comsub`` — ADVICE r11)
+      then collapse dot-segments — requires ``base_path``; with the
+      default ``base_path=None`` they resolve to NULL (the
+      pre-round-11 subset, kept for callers without a page path);
     - non-hierarchical refs (``mailto:``, ``javascript:``, ``#frag``,
       ``?query``, empty) resolve to NULL and are dropped upstream.
 
@@ -146,18 +151,33 @@ def resolve_href(href: Column, base_scheme: Column, base_host: Column,
     rel_qs = F.regexp_extract(href, r"(\?[^#]*)", 1)
     root = F.concat(base_scheme, F.lit("://"), base_host)
     resolved_abs = F.concat(root, collapse_dot_segments(rel_path), rel_qs)
+    # absolute: rebuild as prefix + collapsed path + query. For a clean
+    # path the collapse gate passes it through verbatim and the rebuild
+    # is byte-identical to the fragment-stripped href.
+    abs_pre = F.regexp_extract(href, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)",
+                               1)
+    abs_path = F.regexp_extract(href, _PATH_RE, 1)
+    resolved_scheme = F.concat(abs_pre, collapse_dot_segments(abs_path),
+                               rel_qs)
+    # protocol-relative: base scheme + ref authority + collapsed path.
+    pr_auth = F.regexp_extract(href, r"^//([^/?#]*)", 1)
+    pr_path = F.regexp_extract(href, r"^//[^/?#]*([^?#]*)", 1)
+    resolved_pr = F.concat(base_scheme, F.lit("://"), pr_auth,
+                           collapse_dot_segments(pr_path), rel_qs)
     if base_path is None:
         rel = F.lit(None).cast("string")
     else:
         base_dir = F.regexp_replace(base_path, r"[^/]*$", "")
-        rel = F.concat(root,
-                       collapse_dot_segments(
-                           F.concat(base_dir, rel_path)), rel_qs)
+        merged = F.concat(base_dir, rel_path)
+        # §5.3: with an authority present and an empty (or slash-less,
+        # hence directory-less) base path, the merge is '/' + ref.
+        merged = F.when(F.startswith(merged, F.lit("/")), merged) \
+                  .otherwise(F.concat(F.lit("/"), merged))
+        rel = F.concat(root, collapse_dot_segments(merged), rel_qs)
     return (
         F.when(href == "", F.lit(None))
-         .when(href.rlike(_SCHEME_RE), href)
-         .when(F.startswith(href, F.lit("//")),
-               F.concat(base_scheme, F.lit(":"), href))
+         .when(href.rlike(_SCHEME_RE), resolved_scheme)
+         .when(F.startswith(href, F.lit("//")), resolved_pr)
          .when(F.startswith(href, F.lit("/")), resolved_abs)
          .when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
                | F.startswith(href, F.lit("?")), F.lit(None))

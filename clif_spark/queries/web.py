@@ -1067,8 +1067,11 @@ def _sql_agent_verdict(agent: str, tag: str) -> str:
     ``rb_{tag}(doc_id, blocked)`` — mirrors
     functions/robots.py::_selected_groups + apply_robots_rules."""
     # the token lands inside SQL string literals — keep it to the safe
-    # product-token alphabet (fixture tokens only; not user input)
-    assert agent.replace("-", "").replace("_", "").isalnum(), agent
+    # product-token alphabet (fixture tokens only; not user input).
+    # A real raise, not `assert`: asserts are compiled out under -O and
+    # this is the injection boundary (ADVICE r11).
+    if not agent.replace("-", "").replace("_", "").isalnum():
+        raise ValueError(f"unsafe agent token for SQL splice: {agent!r}")
     return f"""
     rmatch_{tag} AS (
       SELECT DISTINCT host, grp,
@@ -1324,18 +1327,28 @@ def warc_record_pairing(spark, sf_dir):
 
 # Planted link pages (separate from the shared extraction template so
 # the html-extract oracles stay untouched): every page lives at base
-# path /a/{m}/page (m = doc_id % 40) and links its host's successor
-# (absolute URL); every third source also self-links root-relative.
-# The round-11 resolver upgrade (RFC 3986 §5 reference resolution,
-# functions/url.py) gets its own fixtures, each observable in the
-# (dst_host, n_links, n_urls) hash:
-#   ../up/{m}            relative with dot-dot -> /a/up/{m} (self edge)
+# path /a/{m}/page (m = doc_id % 40) — EXCEPT every seventh doc, whose
+# base path is EMPTY (the page URL is just scheme://host, ADVICE r11's
+# §5.3 empty-base case) — and links its host's successor (absolute
+# URL); every third source also self-links root-relative.
+# The resolver fixtures (RFC 3986 §5 reference resolution,
+# functions/url.py), each observable in the (dst_host, n_links,
+# n_urls) hash:
+#   https://src{..}/dot/../p/{m}  absolute WITH dot segments — §5.2.2
+#                        applies to the absolute branch too (r12): must
+#                        collapse to /p/{m}; a passthrough keeps
+#                        /dot/../ and flips n_urls
+#   ../up/{m}            relative with dot-dot -> /a/up/{m} (self
+#                        edge); on empty-base docs the §5.3 merge makes
+#                        it /up/{m} (a bare concat would yield a
+#                        malformed hostless path)
 #   /a/{m}/../up/{m}     (every n%3==1 source) root-relative WITH dot
 #                        segments -> collapses to the SAME /a/up/{m} —
 #                        the n_urls distinct-URL count pins the
 #                        collapse (a non-popping `..` would double it)
 #   ./sub/{m}?id={m}     dot-segment + directory splice, query kept
-#   //cdn{n%5}.example.com/x   protocol-relative -> base scheme
+#   //cdn{n%5}.example.com/dl/../x   protocol-relative -> base scheme,
+#                        dot segments collapsed (-> /x)
 #   mailto: / ?q=1       non-hierarchical -> dropped
 # Out-degrees land at 3-5 with cdn hosts as dangling sinks — real
 # structure for PageRank to converge on.
@@ -1345,7 +1358,7 @@ _M_SQL = "CAST(doc_id % 40 AS VARCHAR)"
 _LINK_PAGE_SQL = (
     "'<html><body><a href=\"https://src' || "
     f"CAST(({_SRC_N} + 1) % 20 AS VARCHAR) || "
-    f"'.example.com/p/' || {_M_SQL} || '\">n</a>' || "
+    f"'.example.com/dot/../p/' || {_M_SQL} || '\">n</a>' || "
     f"(CASE WHEN {_SRC_N} % 3 = 0 THEN "
     f"'<a href=\"/local/' || {_M_SQL} || '\">s</a>' "
     "ELSE '' END) || "
@@ -1355,7 +1368,7 @@ _LINK_PAGE_SQL = (
     "ELSE '' END) || "
     f"'<a href=\"./sub/' || {_M_SQL} || '?id=' || {_M_SQL} || '\">w</a>' || "
     f"'<a href=\"//cdn' || CAST({_SRC_N} % 5 AS VARCHAR) || "
-    "'.example.com/x\">c</a>' || "
+    "'.example.com/dl/../x\">c</a>' || "
     "'<a href=\"mailto:x@y\">m</a><a href=\"?q=1\">q</a>'"
     " || '</body></html>'")
 
@@ -1366,7 +1379,7 @@ def _link_page_col():
     return F.concat(
         F.lit('<html><body><a href="https://src'),
         ((n + 1) % 20).cast("string"),
-        F.lit(".example.com/p/"), m, F.lit('">n</a>'),
+        F.lit(".example.com/dot/../p/"), m, F.lit('">n</a>'),
         F.when(n % 3 == 0,
                F.concat(F.lit('<a href="/local/'), m, F.lit('">s</a>')))
          .otherwise(F.lit("")),
@@ -1376,17 +1389,22 @@ def _link_page_col():
                         F.lit('">v</a>'))).otherwise(F.lit("")),
         F.lit('<a href="./sub/'), m, F.lit("?id="), m, F.lit('">w</a>'),
         F.lit('<a href="//cdn'), (n % 5).cast("string"),
-        F.lit('.example.com/x">c</a>'),
+        F.lit('.example.com/dl/../x">c</a>'),
         F.lit('<a href="mailto:x@y">m</a><a href="?q=1">q</a>'),
         F.lit("</body></html>"))
 
 
 def _link_base_path_col():
-    return F.concat(F.lit("/a/"), (F.col("doc_id") % 40).cast("string"),
-                    F.lit("/page"))
+    # every seventh doc has the EMPTY base path (page URL is bare
+    # scheme://host): its relative hrefs exercise the RFC 3986 §5.3
+    # empty-base merge ('/' + ref), ADVICE r11
+    return F.when(F.col("doc_id") % 7 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("/a/"), (F.col("doc_id") % 40).cast("string"),
+                 F.lit("/page")))
 
 
-_LINK_BASE_PATH_SQL = f"'/a/' || {_M_SQL} || '/page'"
+_LINK_BASE_PATH_SQL = (f"(CASE WHEN doc_id % 7 = 0 THEN '' "
+                       f"ELSE '/a/' || {_M_SQL} || '/page' END)")
 
 
 def _sql_collapse(expr: str) -> str:
@@ -1404,8 +1422,10 @@ def _sql_collapse(expr: str) -> str:
 
 
 # resolved.u mirrors functions/url.py::resolve_href case for case
-# (fragment strip, scheme passthrough, protocol-relative, root-relative
-# + collapse, non-hierarchical NULL, relative splice + collapse).
+# (fragment strip; absolute rebuilt with its path collapsed;
+# protocol-relative rebuilt on the base scheme with its path collapsed;
+# root-relative + collapse; non-hierarchical NULL; relative §5.3 merge
+# — leading-slash guard for empty base dirs — + collapse).
 _LINK_EDGES_CTES = f"""
     pages AS (
       SELECT doc_id, source || '.example.com' AS src_host,
@@ -1424,24 +1444,40 @@ _LINK_EDGES_CTES = f"""
       SELECT doc_id, src_host, base_path, h,
              regexp_extract(h, '^([^?#]*)', 1) AS rel_path,
              regexp_extract(h, '(\\?[^#]*)', 1) AS rel_qs,
-             regexp_replace(base_path, '[^/]*$', '') AS base_dir
+             regexp_replace(base_path, '[^/]*$', '') AS base_dir,
+             regexp_extract(h,
+               '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS abs_pre,
+             regexp_extract(h,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+               AS abs_path,
+             regexp_extract(h, '^//([^/?#]*)', 1) AS pr_auth,
+             regexp_extract(h, '^//[^/?#]*([^?#]*)', 1) AS pr_path
       FROM hclean),
+    hmerged AS (
+      -- RFC 3986 section-5.3 merge: empty/slash-less base dir merges
+      -- as '/' + ref (mirrors resolve_href's leading-slash guard)
+      SELECT *, (CASE WHEN starts_with(base_dir || rel_path, '/')
+                      THEN base_dir || rel_path
+                      ELSE '/' || base_dir || rel_path END) AS merged
+      FROM hparts),
     resolved AS (
       SELECT doc_id, src_host,
              CASE
                WHEN h = '' THEN NULL
                WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*://')
-                 THEN h
-               WHEN starts_with(h, '//') THEN 'https:' || h
+                 THEN abs_pre || {_sql_collapse('abs_path')} || rel_qs
+               WHEN starts_with(h, '//')
+                 THEN 'https://' || pr_auth
+                      || {_sql_collapse('pr_path')} || rel_qs
                WHEN starts_with(h, '/')
                  THEN 'https://' || src_host
                       || {_sql_collapse('rel_path')} || rel_qs
                WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*:')
                     OR starts_with(h, '?') THEN NULL
                ELSE 'https://' || src_host
-                    || {_sql_collapse('base_dir || rel_path')} || rel_qs
+                    || {_sql_collapse('merged')} || rel_qs
              END AS u
-      FROM hparts),
+      FROM hmerged),
     linkedges AS (
       SELECT src_host,
              lower(regexp_extract(u,

@@ -542,8 +542,13 @@ def test_resolve_href_reference_resolution(spark):
     cases = [
         # absolute passes through (fragment stripped)
         ("http://x.com/p#frag", "http://x.com/p"),
+        # absolute with dot segments: §5.2.2 collapses this branch too
+        # (ADVICE r11 — was a verbatim passthrough)
+        ("http://x.com/a/../b?q=2#f", "http://x.com/b?q=2"),
+        ("https://x.com", "https://x.com"),  # empty path untouched
         # protocol-relative takes the base scheme
         ("//cdn.com/asset", "https://cdn.com/asset"),
+        ("//cdn.com/dl/../x", "https://cdn.com/x"),
         # root-relative joins scheme://host, dot segments collapse
         ("/top/x", "https://h.com/top/x"),
         ("/a/./x/../y", "https://h.com/a/y"),
@@ -575,6 +580,17 @@ def test_resolve_href_reference_resolution(spark):
                      or "://" in h) and e else None
                for h, e in cases]
     assert out2 == expect2
+    # §5.3 empty-base merge (ADVICE r11): an empty or slash-less base
+    # path merges as '/' + ref — never a bare host/ref concat
+    rel_cases = [("sub/doc", "https://h.com/sub/doc"),
+                 ("./same", "https://h.com/same"),
+                 ("../up", "https://h.com/up")]
+    rdf = spark.createDataFrame([(h,) for h, _ in rel_cases], ["href"])
+    for empty_base in ("", "page"):
+        out3 = [r["u"] for r in rdf.select(urlfn.resolve_href(
+            F.col("href"), F.lit("https"), F.lit("h.com"),
+            base_path=F.lit(empty_base)).alias("u")).collect()]
+        assert out3 == [e for _, e in rel_cases], empty_base
 
 
 def test_robots_disallow_rules_grammar(spark):
