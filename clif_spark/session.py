@@ -50,6 +50,14 @@ RUNTIME_CONFS: dict[str, str] = {
     # inside worker memory (measured ~10% off the sf10 ANN row vs the
     # 10k default).
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    # ...but the record cap alone is payload-blind (ADVICE r11): 64k
+    # rows of multi-MB WARC/JPEG blobs would make one multi-GB batch.
+    # The byte cap closes a batch when EITHER condition is met (Spark
+    # reads both), so embedding-shaped rows still ride 64k-row batches
+    # (~33 MB < cap) while blob-heavy mapInArrow/mapInPandas stages are
+    # bounded at ~64 MiB regardless of row count. Pinned by
+    # tests/test_plans.py::test_arrow_batch_byte_cap.
+    "spark.sql.execution.arrow.maxBytesPerBatch": str(64 << 20),
 }
 
 

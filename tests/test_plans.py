@@ -654,3 +654,42 @@ def test_agent_fallback_three_verdicts_no_corpus_blowup(spark):
     scans = [ln for ln in plan.splitlines()
              if "FileScan parquet" in ln and "documents" in ln]
     assert 1 <= len(scans) <= 4, scans
+
+
+def test_arrow_batch_byte_cap(spark):
+    """session.RUNTIME_CONFS pins BOTH Arrow batch caps (ADVICE r11):
+    the 64k record cap buys back per-batch dispatch overhead on
+    embedding-shaped rows, and the 64 MiB byte cap bounds blob-heavy
+    mapInArrow/mapInPandas stages the record cap is blind to (64k
+    multi-MB WARC/JPEG payloads would otherwise form one multi-GB
+    batch). Spark closes a batch when EITHER cap is hit — observed
+    here from inside mapInArrow over 1 MiB payload rows: every
+    incoming batch must stay near the byte cap, never near the
+    record cap."""
+    from clif_spark.session import RUNTIME_CONFS
+
+    cap = 64 << 20
+    assert RUNTIME_CONFS[
+        "spark.sql.execution.arrow.maxBytesPerBatch"] == str(cap)
+    assert RUNTIME_CONFS[
+        "spark.sql.execution.arrow.maxRecordsPerBatch"] == "65536"
+    assert (spark.conf.get("spark.sql.execution.arrow.maxBytesPerBatch")
+            == str(cap))
+
+    import pyarrow as pa
+
+    def probe(it):
+        for b in it:
+            yield pa.RecordBatch.from_pydict(
+                {"rows": [b.num_rows], "nbytes": [b.nbytes]})
+
+    blob_mb = 1 << 20
+    df = (spark.range(0, 200, 1, 1)
+          .selectExpr("id", f"repeat('x', {blob_mb}) AS blob"))
+    out = df.mapInArrow(probe, "rows long, nbytes long").collect()
+    assert out, "no batches observed"
+    # one row overshoots past the cap before the batch closes; allow
+    # that single-row slack, nothing more
+    for r in out:
+        assert r.nbytes <= cap + 2 * blob_mb, (r.rows, r.nbytes)
+    assert max(r.rows for r in out) <= (cap // blob_mb) + 1
