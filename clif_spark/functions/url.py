@@ -18,9 +18,13 @@ Canonical form (each rule is a deliberate, documented identity choice):
   (an aliasing choice, standard in URL dedup — two hosts that differ
   only by ``www.`` are almost always one site);
 - empty path becomes ``/``; trailing slashes trimmed off non-root paths;
-- tracking params (``utm_*``, ``fbclid``) removed, remaining params
-  sorted (param order is non-semantic for idempotent GETs), empty query
-  dropped.
+- percent-encoding normalized in path and query params (RFC 3986
+  §6.2.2: unreserved octets decoded, remaining escapes' hex
+  uppercased — see ``pct_normalize``);
+- tracking params (``utm_*``, ``fbclid``) removed — after
+  percent-normalization, so a ``%75tm_``-disguised name still drops —
+  remaining params sorted (param order is non-semantic for idempotent
+  GETs), empty query dropped.
 """
 
 from __future__ import annotations
@@ -57,16 +61,59 @@ def url_host(url: Column) -> Column:
     return F.regexp_replace(stripped, r"^www\.", "")
 
 
+# RFC 3986 §2.3 unreserved octets as UPPERCASE hex pairs: ALPHA
+# (41-5A, 61-7A), DIGIT (30-39), '-' 2D, '.' 2E, '_' 5F, '~' 7E.
+# Enumerated as a hex-pair regex so the decode branch is provably
+# ASCII-safe in BOTH engines (no charset decode of arbitrary bytes —
+# DuckDB's decode() errors on invalid UTF-8, Spark's substitutes;
+# gating on the pair sidesteps the divergence entirely).
+_UNRESERVED_HEX_RE = r"^(4[1-9A-F]|5[0-9A]|5F|6[1-9A-F]|7[0-9A]|7E|3[0-9]|2[DE])$"
+
+
+def pct_normalize(s: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization over one URL
+    component: §6.2.2.2 decodes percent-encodings of UNRESERVED
+    characters (``%69`` -> ``i``, two URLs differing only there are the
+    same resource), §6.2.2.1 uppercases the hex digits of every other
+    encoding (``%2f`` -> ``%2F``; reserved octets stay encoded — a
+    decoded ``/`` or ``&`` would CHANGE the component structure).
+    Malformed escapes (``%`` not followed by two hex digits) pass
+    through verbatim. Gated on ``%`` presence: clean components (the
+    overwhelming majority) pass through byte-identical with one
+    ``contains`` check. Pure Catalyst: split on ``%``, one
+    higher-order transform over the tail pieces. DuckDB mirror:
+    queries/web.py::_sql_pct — keep rule-for-rule in sync."""
+    parts = F.split(s, "%")
+
+    def piece(x: Column) -> Column:
+        hexd = F.upper(F.substring(x, 1, 2))
+        rest = F.substring(x, 3, 2147483647)
+        return (
+            F.when(~hexd.rlike(r"^[0-9A-F]{2}$"), F.concat(F.lit("%"), x))
+             .when(hexd.rlike(_UNRESERVED_HEX_RE),
+                   F.concat(F.decode(F.unhex(hexd), "UTF-8"), rest))
+             .otherwise(F.concat(F.lit("%"), hexd, rest)))
+
+    head = F.element_at(parts, 1)
+    tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+    normalized = F.concat(head, F.array_join(F.transform(tail, piece), ""))
+    return F.when(s.contains("%"), normalized).otherwise(s)
+
+
 def url_path(url: Column) -> Column:
     p = F.regexp_extract(_no_fragment(url), _PATH_RE, 1)
     p = F.when(p == "", F.lit("/")).otherwise(p)
-    return F.regexp_replace(p, r"^(.+?)/+$", "$1")
+    return pct_normalize(F.regexp_replace(p, r"^(.+?)/+$", "$1"))
 
 
 def url_query_canonical(url: Column) -> Column:
-    """Query string with tracking params removed and the rest sorted.
-    Tracking match is on the param NAME (the token before ``=``), so
-    ``fbclid=abc`` drops and a legitimate ``id=fbclid`` survives."""
+    """Query string with each param percent-normalized (RFC 3986
+    §6.2.2 — see ``pct_normalize``), tracking params removed, and the
+    rest sorted. Normalization runs FIRST: a percent-disguised
+    ``%75tm_source`` is still a tracking param, and the sort is
+    canonical over the decoded forms. Tracking match is on the param
+    NAME (the token before ``=``), so ``fbclid=abc`` drops and a
+    legitimate ``id=fbclid`` survives."""
     q = F.regexp_extract(_no_fragment(url), r"\?([^#]*)", 1)
 
     def keep(x: Column) -> Column:
@@ -74,7 +121,9 @@ def url_query_canonical(url: Column) -> Column:
         return ((x != "") & ~F.startswith(name, F.lit("utm_"))
                 & (name != "fbclid"))
 
-    return F.array_join(F.array_sort(F.filter(F.split(q, "&"), keep)), "&")
+    return F.array_join(
+        F.array_sort(F.filter(F.transform(F.split(q, "&"), pct_normalize),
+                              keep)), "&")
 
 
 def canonicalize_url(url: Column) -> Column:

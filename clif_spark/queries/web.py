@@ -192,17 +192,26 @@ _RAW_URL_SQL = """
          || (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END)
          || '.Example.COM'
          || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
-         || '/articles/' || CAST(doc_id % 40 AS VARCHAR)
+         || (CASE WHEN doc_id % 8 = 0 THEN '/art%69cles/'
+             ELSE '/articles/' END) || CAST(doc_id % 40 AS VARCHAR)
          || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
          || (CASE WHEN doc_id % 2 = 0
-             THEN '?utm_source=feed&id=' || CAST(doc_id % 40 AS VARCHAR)
+             THEN '?' || (CASE WHEN doc_id % 16 = 0
+                          THEN '%75tm_source' ELSE 'utm_source' END)
+                  || '=feed&id=' || CAST(doc_id % 40 AS VARCHAR)
              ELSE '?id=' || CAST(doc_id % 40 AS VARCHAR)
                   || '&utm_campaign=x' END)
+         || (CASE WHEN doc_id % 9 = 0 THEN '&ref=a%2fb' ELSE '' END)
          || (CASE WHEN doc_id % 3 = 0 THEN '#sec1' ELSE '' END)
 """
 
 
 def _raw_url_col():
+    # percent-encoding decoys (mirrored in _RAW_URL_SQL), each
+    # observable in the canonical hash: %69 (unreserved -> must decode
+    # back into the shared 'articles' collision group), %75tm_source
+    # (the tracking filter must fire on the DECODED name), %2f
+    # (reserved -> must stay encoded with UPPERCASE hex)
     did = F.col("doc_id")
     return F.concat(
         F.when(did % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
@@ -211,15 +220,58 @@ def _raw_url_col():
         F.when(did % 2 == 0, F.upper("source")).otherwise(F.col("source")),
         F.lit(".Example.COM"),
         F.when(did % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
-        F.lit("/articles/"), (did % 40).cast("string"),
+        F.when(did % 8 == 0, F.lit("/art%69cles/"))
+         .otherwise(F.lit("/articles/")), (did % 40).cast("string"),
         F.when(did % 6 == 0, F.lit("/")).otherwise(F.lit("")),
         F.when(did % 2 == 0,
-               F.concat(F.lit("?utm_source=feed&id="),
-                        (did % 40).cast("string")))
+               F.concat(F.lit("?"),
+                        F.when(did % 16 == 0, F.lit("%75tm_source"))
+                         .otherwise(F.lit("utm_source")),
+                        F.lit("=feed&id="), (did % 40).cast("string")))
          .otherwise(F.concat(F.lit("?id="), (did % 40).cast("string"),
                              F.lit("&utm_campaign=x"))),
+        F.when(did % 9 == 0, F.lit("&ref=a%2fb")).otherwise(F.lit("")),
         F.when(did % 3 == 0, F.lit("#sec1")).otherwise(F.lit("")))
 
+
+def _sql_pct(e: str) -> str:
+    """DuckDB mirror of functions/url.py::pct_normalize — RFC 3986
+    §6.2.2 percent-normalization of one URL component, kept
+    rule-for-rule in sync: gate on ``%`` presence, split on ``%``,
+    head verbatim, each tail piece either re-escaped verbatim
+    (malformed pair), decoded (unreserved octet — the hex-pair regex
+    makes the decode provably ASCII-safe; DuckDB's decode() errors on
+    invalid UTF-8, so the gate is load-bearing), or hex-uppercased."""
+    parts = f"string_split({e}, '%')"
+    # lambda var 'pnx', not 'x': callers nest this inside their own
+    # x-bound list lambdas (the query-param transform)
+    piece = (
+        "CASE WHEN NOT regexp_matches(upper(pnx[1:2]), '^[0-9A-F]{2}$') "
+        "THEN '%' || pnx "
+        "WHEN regexp_matches(upper(pnx[1:2]), "
+        "'^(4[1-9A-F]|5[0-9A]|5F|6[1-9A-F]|7[0-9A]|7E|3[0-9]|2[DE])$') "
+        "THEN decode(unhex(upper(pnx[1:2]))) || pnx[3:] "
+        "ELSE '%' || upper(pnx[1:2]) || pnx[3:] END")
+    return (f"(CASE WHEN strpos({e}, '%') = 0 THEN {e} "
+            f"ELSE {parts}[1] || coalesce(array_to_string("
+            f"list_transform({parts}[2:], pnx -> {piece}), ''), '') END)")
+
+
+# Shared canonical path / query-string expressions over a
+# fragment-stripped URL expression ``u`` — percent-normalization
+# (_sql_pct) runs on the trimmed path and on every query param BEFORE
+# the tracking filter + sort, mirroring functions/url.py.
+_SQL_RAWP = ("regexp_extract(u, "
+             "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)")
+_SQL_PATH = _sql_pct(
+    f"regexp_replace(CASE WHEN {_SQL_RAWP} = '' THEN '/' "
+    f"ELSE {_SQL_RAWP} END, '^(.+?)/+$', '\\1')")
+_SQL_QS = (
+    "array_to_string(list_sort(list_filter(list_transform("
+    "string_split(regexp_extract(u, '\\?([^#]*)', 1), '&'), "
+    f"x -> {_sql_pct('x')}), "
+    "x -> x <> '' AND NOT starts_with(split_part(x, '=', 1), 'utm_') "
+    "AND split_part(x, '=', 1) <> 'fbclid')), '&')")
 
 # DuckDB mirror of functions.url's canonicalization, shared by the two
 # URL-keyed oracles (text_url_canonicalize, web_host_stats): CTE chain
@@ -247,16 +299,8 @@ _CANON_CTES = r"""
             ELSE lower(regexp_extract(u,
               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
           END, '^www\.', '') AS host,
-        regexp_replace(CASE WHEN regexp_extract(u,
-          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
-          THEN '/' ELSE regexp_extract(u,
-          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) END,
-          '^(.+?)/+$', '\1') AS path,
-        array_to_string(list_sort(list_filter(
-          string_split(regexp_extract(u, '\?([^#]*)', 1), '&'),
-          x -> x <> ''
-               AND NOT starts_with(split_part(x, '=', 1), 'utm_')
-               AND split_part(x, '=', 1) <> 'fbclid')), '&') AS qs
+        {pct_path} AS path,
+        {pct_qs} AS qs
       FROM nofrag),
     canon AS (
       SELECT doc_id, n_chars,
@@ -265,7 +309,8 @@ _CANON_CTES = r"""
              (CASE WHEN qs = '' THEN '' ELSE '?' || qs END)
                AS canonical_url
       FROM parts)
-""".replace("{raw_url}", _RAW_URL_SQL)
+""".replace("{raw_url}", _RAW_URL_SQL) \
+   .replace("{pct_path}", _SQL_PATH).replace("{pct_qs}", _SQL_QS)
 
 
 @query(
@@ -894,14 +939,17 @@ def _sql_canon_of(u: str) -> dict[str, str]:
             f"ELSE {auth} END, '^www\\.', '')")
     rawp = (f"regexp_extract({u}, "
             f"'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)")
-    path = (f"regexp_replace(CASE WHEN {rawp} = '' THEN '/' "
-            f"ELSE {rawp} END, '^(.+?)/+$', '\\1')")
+    path = _sql_pct(f"regexp_replace(CASE WHEN {rawp} = '' THEN '/' "
+                    f"ELSE {rawp} END, '^(.+?)/+$', '\\1')")
     # coalesce: DuckDB's array_to_string of an EMPTY list is NULL where
     # Spark's array_join is '' — a query-less URL would otherwise NULL
     # the whole concat (the documents-bound _CANON_CTES never hits this
-    # because every planted doc URL carries a query)
-    qs = (f"coalesce(array_to_string(list_sort(list_filter(string_split("
+    # because every planted doc URL carries a query). Params are
+    # percent-normalized BEFORE the tracking filter + sort (§6.2.2).
+    qs = (f"coalesce(array_to_string(list_sort(list_filter("
+          f"list_transform(string_split("
           f"regexp_extract({u}, '\\?([^#]*)', 1), '&'), "
+          f"x -> {_sql_pct('x')}), "
           f"x -> x <> '' AND NOT starts_with(split_part(x, '=', 1), "
           f"'utm_') AND split_part(x, '=', 1) <> 'fbclid')), '&'), '')")
     canon = (f"{scheme} || '://' || {host} || {path} || "

@@ -516,6 +516,16 @@ def test_url_canonicalize_edge_cases(spark):
         ("https://site.com:443/x", "https://site.com/x"),
         # unknown scheme: no default-port notion, port always kept
         ("ftp://site.com:80/x", "ftp://site.com:80/x"),
+        # RFC 3986 §6.2.2 percent-normalization (r12): unreserved
+        # decodes, reserved keeps UPPERCASE hex, malformed passes
+        # through, disguised tracking name still drops
+        ("https://site.com/art%69cles/5?i%64=3",
+         "https://site.com/articles/5?id=3"),
+        ("https://site.com/a%2fb?x=%7ey", "https://site.com/a%2Fb?x=~y"),
+        ("https://site.com/p%G1?a=1", "https://site.com/p%G1?a=1"),
+        ("https://site.com/p%", "https://site.com/p%"),
+        ("https://site.com/p?%75tm_source=s&id=9",
+         "https://site.com/p?id=9"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
     from pyspark.sql import functions as F
@@ -973,6 +983,26 @@ def test_url_canonicalize_randomized_vs_reference(spark):
 
     from clif_spark.functions import url as urlfn
 
+    unreserved = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                  "abcdefghijklmnopqrstuvwxyz0123456789-._~")
+
+    def ref_pct(s: str) -> str:
+        # RFC 3986 §6.2.2: decode unreserved escapes, uppercase the
+        # hex of the rest, malformed escapes verbatim
+        if "%" not in s:
+            return s
+        parts = s.split("%")
+        out = [parts[0]]
+        for p in parts[1:]:
+            h = p[:2].upper()
+            if not re.match(r"^[0-9A-F]{2}$", h):
+                out.append("%" + p)
+            elif chr(int(h, 16)) in unreserved:
+                out.append(chr(int(h, 16)) + p[2:])
+            else:
+                out.append("%" + h + p[2:])
+        return "".join(out)
+
     def ref_canon(url: str) -> str:
         u = re.sub(r"#.*$", "", url)
         m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", u)
@@ -987,10 +1017,10 @@ def test_url_canonicalize_randomized_vs_reference(spark):
         pm = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", u)
         path = pm.group(1) if pm else ""
         path = path or "/"
-        path = re.sub(r"^(.+?)/+$", r"\1", path)
+        path = ref_pct(re.sub(r"^(.+?)/+$", r"\1", path))
         qm = re.search(r"\?([^#]*)", u)
         q = qm.group(1) if qm else ""
-        keep = [x for x in q.split("&")
+        keep = [x for x in (ref_pct(p) for p in q.split("&"))
                 if x != ""
                 and not x.split("=", 1)[0].startswith("utm_")
                 and x.split("=", 1)[0] != "fbclid"]
@@ -1001,9 +1031,11 @@ def test_url_canonicalize_randomized_vs_reference(spark):
     schemes = ["http", "https", "HTTP", "HTTPS", "ftp"]
     hosts = ["Example.com", "www.example.com", "SUB.site.ORG", "a.b.c"]
     ports = ["", ":80", ":443", ":8080"]
-    path_parts = ["", "/", "/a", "/a/b", "/a/b/", "/x//", "/a%20b"]
+    path_parts = ["", "/", "/a", "/a/b", "/a/b/", "/x//", "/a%20b",
+                  "/art%69cles", "/a%2fb", "/p%", "/p%g1", "/%7e%2E%2f"]
     params = ["id=1", "b=2", "a=3", "utm_source=x", "utm_campaign=y",
-              "fbclid=z", "id=fbclid", "utm", "", "k"]
+              "fbclid=z", "id=fbclid", "utm", "", "k",
+              "k=%7ex", "%75tm_source=x", "r=a%2fb", "m=%", "n=%zz"]
     frags = ["", "#top", "#sec/2"]
     urls = []
     for _ in range(120):
