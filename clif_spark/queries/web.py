@@ -17,6 +17,7 @@ schema + value hash over every doc) actually measures.
 
 from __future__ import annotations
 
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1102,6 +1103,191 @@ def web_sitemap_parse(spark, sf_dir):
     return (robotsfn.apply_robots_rules(seeds, rules)
             .select("host", "loc", "lastmod", "priority_micros",
                     "robots_blocked"))
+
+
+# --- D7b: two-level sitemap INDEX files ----------------------------------
+
+# Planted sitemapindex per host (k = source % 4): an index listing the
+# host's child sitemaps — articles.xml (with an index-level lastmod),
+# news.xml (whitespace-padded <loc>, no lastmod -> NULL), and on even-k
+# hosts a third child extra.xml. Child bodies are keyed by (host,
+# child name): articles carries two entries (one with a priority, one
+# defaulting to 0.5), news one entry with its own lastmod, extra one
+# entry. The "fetch" of a child is a deterministic body derivation
+# from its loc — the protocol plumbing (two chained dotall
+# block-parses, index provenance carried onto every leaf entry) is the
+# real artifact, exactly like the WARC fixtures.
+_SMIDX_SQL = (
+    "'<?xml version=\"1.0\"?>' || chr(10) || '<sitemapindex>' || "
+    "chr(10) || "
+    "'<sitemap><loc>https://' || source || "
+    "'.example.com/sm/articles.xml</loc>' || "
+    f"'<lastmod>2026-05-0' || CAST(CAST({_ROBOTS_K_SQL} AS INT) + 1 "
+    "AS VARCHAR) || '</lastmod></sitemap>' || chr(10) || "
+    "'<sitemap>' || chr(10) || '  <loc> https://' || source || "
+    "'.example.com/sm/news.xml </loc>' || chr(10) || '</sitemap>' || "
+    "chr(10) || "
+    f"(CASE WHEN CAST({_ROBOTS_K_SQL} AS INT) % 2 = 0 THEN "
+    "'<sitemap><loc>https://' || source || "
+    "'.example.com/sm/extra.xml</loc></sitemap>' || chr(10) "
+    "ELSE '' END) || '</sitemapindex>'")
+
+_SMCHILD_SQL = (
+    "(CASE cname "
+    "WHEN 'articles' THEN "
+    "'<urlset><url><loc>https://' || host || '/articles/' || ck || "
+    "'</loc><priority>0.' || CAST(CAST(ck AS INT) + 1 AS VARCHAR) || "
+    "'</priority></url>' || chr(10) || "
+    "'<url><loc>https://' || host || '/articles/9' || ck || "
+    "'</loc></url></urlset>' "
+    "WHEN 'news' THEN "
+    "'<urlset><url><loc>https://' || host || '/news/' || ck || "
+    "'</loc><lastmod>2026-06-2' || ck || '</lastmod></url></urlset>' "
+    "ELSE '<urlset><url><loc>https://' || host || "
+    "'/extra/0</loc></url></urlset>' END)")
+
+
+def _smidx_col():
+    k = F.regexp_extract("source", r"(\d+)", 1).cast("int") % 4
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    return F.concat(
+        F.lit('<?xml version="1.0"?>\n<sitemapindex>\n'),
+        F.lit("<sitemap><loc>https://"), host,
+        F.lit("/sm/articles.xml</loc><lastmod>2026-05-0"),
+        (k + 1).cast("string"), F.lit("</lastmod></sitemap>\n"),
+        F.lit("<sitemap>\n  <loc> https://"), host,
+        F.lit("/sm/news.xml </loc>\n</sitemap>\n"),
+        F.when(k % 2 == 0,
+               F.concat(F.lit("<sitemap><loc>https://"), host,
+                        F.lit("/sm/extra.xml</loc></sitemap>\n")))
+         .otherwise(F.lit("")),
+        F.lit("</sitemapindex>"))
+
+
+def _smchild_body() -> Column:
+    ck = F.col("ck")
+    host = F.col("host")
+    return (
+        F.when(F.col("cname") == "articles", F.concat(
+            F.lit("<urlset><url><loc>https://"), host,
+            F.lit("/articles/"), ck, F.lit("</loc><priority>0."),
+            (ck.cast("int") + 1).cast("string"),
+            F.lit("</priority></url>\n<url><loc>https://"), host,
+            F.lit("/articles/9"), ck, F.lit("</loc></url></urlset>")))
+         .when(F.col("cname") == "news", F.concat(
+            F.lit("<urlset><url><loc>https://"), host, F.lit("/news/"),
+            ck, F.lit("</loc><lastmod>2026-06-2"), ck,
+            F.lit("</lastmod></url></urlset>")))
+         .otherwise(F.concat(
+            F.lit("<urlset><url><loc>https://"), host,
+            F.lit("/extra/0</loc></url></urlset>"))))
+
+
+@query(
+    "web_sitemap_index",
+    oracle=f"""
+    WITH smsrc AS (SELECT DISTINCT source FROM documents),
+    idx AS (
+      SELECT source, source || '.example.com' AS host,
+             {_SMIDX_SQL} AS xml,
+             {_ROBOTS_K_SQL} AS ck
+      FROM smsrc),
+    smblocks AS (
+      SELECT host, ck, unnest(regexp_extract_all(xml,
+        '(?s)<sitemap>(.*?)</sitemap>', 1)) AS b
+      FROM idx),
+    children AS (
+      SELECT host, ck,
+             trim(regexp_extract(b, '(?s)<loc>(.*?)</loc>', 1))
+               AS sitemap_loc,
+             nullif(regexp_extract(b,
+               '(?s)<lastmod>(.*?)</lastmod>', 1), '') AS index_lastmod
+      FROM smblocks),
+    fetched AS (
+      SELECT host, sitemap_loc, index_lastmod,
+             regexp_extract(sitemap_loc, '/sm/([a-z]+)\\.xml$', 1)
+               AS cname, ck
+      FROM children),
+    bodies AS (
+      SELECT host, sitemap_loc, index_lastmod,
+             {_SMCHILD_SQL} AS body
+      FROM fetched),
+    leaf AS (
+      SELECT host, sitemap_loc, index_lastmod, unnest(
+        regexp_extract_all(body, '(?s)<url>(.*?)</url>', 1)) AS ub
+      FROM bodies)
+    SELECT host, sitemap_loc,
+           trim(regexp_extract(ub, '(?s)<loc>(.*?)</loc>', 1)) AS loc,
+           nullif(regexp_extract(ub,
+             '(?s)<lastmod>(.*?)</lastmod>', 1), '') AS lastmod,
+           CAST(CAST(coalesce(nullif(regexp_extract(ub,
+             '(?s)<priority>(.*?)</priority>', 1), ''), '0.5')
+             AS DECIMAL(7,6)) * 1000000 AS BIGINT) AS priority_micros,
+           index_lastmod
+    FROM leaf
+    """,
+)
+def web_sitemap_index(spark, sf_dir):
+    """D7b (engine ext.): two-level sitemap INDEX resolution — large
+    sites publish a ``<sitemapindex>`` of child sitemap files (the
+    sitemaps.org protocol caps one file at 50k URLs / 50 MB, so any
+    big host indexes): index parse -> child-sitemap discovery (trimmed
+    ``<loc>``, optional per-child ``<lastmod>`` -> NULL when absent)
+    -> child fetch (planted deterministic bodies keyed off the child
+    loc, like every fixture 'fetch') -> child urlset parse, with the
+    index provenance (which child file, its index lastmod) carried
+    onto every leaf entry — what an incremental recrawler keys on to
+    skip unchanged child files. Priorities in exact integer micros
+    (decimal cast), missing priority defaults 0.5, exactly like the
+    single-level row.
+
+    Shape: host-count sized end to end — one corpus source-distinct,
+    then two chained narrow dotall block-parses (index -> children ->
+    entries); zero corpus-keyed exchanges, no XML library, no Python.
+    At 100 TB the child-count fan-out is bounded by the protocol's
+    50k-per-file cap, and a real fetch step would slot in as a
+    per-child source read at child-file-count parallelism."""
+    d = io.load_table(spark, sf_dir, "documents")
+    k = F.regexp_extract("source", r"(\d+)", 1).cast("int") % 4
+    idx = d.select("source").distinct().select(
+        F.concat("source", F.lit(".example.com")).alias("host"),
+        _smidx_col().alias("xml"),
+        k.cast("string").alias("ck"))
+    blocks = idx.select(
+        "host", "ck",
+        F.explode(F.regexp_extract_all(
+            "xml", F.lit(r"(?s)<sitemap>(.*?)</sitemap>"),
+            F.lit(1))).alias("b"))
+    children = blocks.select(
+        "host", "ck",
+        F.trim(F.regexp_extract("b", r"(?s)<loc>(.*?)</loc>", 1))
+         .alias("sitemap_loc"),
+        F.nullif(F.regexp_extract("b", r"(?s)<lastmod>(.*?)</lastmod>",
+                                  1), F.lit("")).alias("index_lastmod"))
+    fetched = children.withColumn(
+        "cname",
+        F.regexp_extract("sitemap_loc", r"/sm/([a-z]+)\.xml$", 1))
+    bodies = fetched.select(
+        "host", "sitemap_loc", "index_lastmod",
+        _smchild_body().alias("body"))
+    leaf = bodies.select(
+        "host", "sitemap_loc", "index_lastmod",
+        F.explode(F.regexp_extract_all(
+            "body", F.lit(r"(?s)<url>(.*?)</url>"), F.lit(1)))
+         .alias("ub"))
+    prio = F.coalesce(
+        F.nullif(F.regexp_extract(
+            "ub", r"(?s)<priority>(.*?)</priority>", 1), F.lit("")),
+        F.lit("0.5"))
+    return leaf.select(
+        "host", "sitemap_loc",
+        F.trim(F.regexp_extract("ub", r"(?s)<loc>(.*?)</loc>", 1))
+         .alias("loc"),
+        F.nullif(F.regexp_extract("ub", r"(?s)<lastmod>(.*?)</lastmod>",
+                                  1), F.lit("")).alias("lastmod"),
+        (prio.cast("decimal(7,6)") * 1000000).cast("long")
+         .alias("priority_micros"),
+        "index_lastmod")
 
 
 # --- D4c: agent-specific group selection with wildcard fallback ----------

@@ -693,3 +693,19 @@ def test_arrow_batch_byte_cap(spark):
     for r in out:
         assert r.nbytes <= cap + 2 * blob_mb, (r.rows, r.nbytes)
     assert max(r.rows for r in out) <= (cap // blob_mb) + 1
+
+
+def test_sitemap_index_host_sized_no_python(spark):
+    """web_sitemap_index: two chained block-parses are pure Catalyst
+    projections over a HOST-count-sized relation — the only corpus
+    work is the column-pruned source distinct; no Python nodes, no
+    joins at all (the child 'fetch' is a derivation, not a shuffle)."""
+    plan = plan_of(spark, "web_sitemap_index")
+    for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+                 "SortMergeJoin", "CartesianProduct",
+                 "BroadcastHashJoin"):
+        assert node not in plan
+    scans = [ln for ln in plan.splitlines()
+             if "FileScan parquet" in ln and "documents" in ln]
+    assert len(scans) == 1, scans
+    assert "ReadSchema: struct<source:string>" in plan
