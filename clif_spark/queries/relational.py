@@ -1223,6 +1223,112 @@ def u11_partitioned_upsert(spark, sf_dir):
             .select("k", "version", "val", "prio"))
 
 
+# Shared by u12_lsm_keep_best and its streaming twin
+# (stream_lsm_keep_best): four deliveries into the LSM segment store;
+# the read is keep-best per key by (score, best_doc, delivery ordinal)
+# with the tombstoned keys suppressed. The tombstone set EXCLUDES keys
+# delivery 4 touches — the fixtures respect compact_lsm's caller
+# contract (a post-compaction delivery must not re-admit a dropped
+# tombstone's key), so one global keep-best SQL describes both the
+# compacted and uncompacted store.
+U12_LSM_KEEP_BEST_ORACLE = """
+    WITH v4keys AS (
+      SELECT DISTINCT doc_id % 97 AS k FROM documents
+      WHERE doc_id % 3 = 0 AND doc_id % 7 = 0),
+    deliveries AS (
+      SELECT doc_id % 97 AS k, doc_id AS best_doc,
+             CAST(n_chars AS BIGINT) AS score,
+             FALSE AS dead, (doc_id % 3) + 1 AS seg
+      FROM documents
+      UNION ALL
+      SELECT DISTINCT doc_id % 97, CAST(-1 AS BIGINT),
+             CAST(2000000000 AS BIGINT), TRUE, 3
+      FROM documents
+      WHERE doc_id % 3 = 2 AND doc_id % 5 = 0
+        AND doc_id % 97 NOT IN (SELECT k FROM v4keys)
+      UNION ALL
+      SELECT doc_id % 97, doc_id, CAST(n_chars + 1000 AS BIGINT),
+             FALSE, 4
+      FROM documents WHERE doc_id % 3 = 0 AND doc_id % 7 = 0),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY k
+        ORDER BY score DESC, best_doc DESC, seg DESC) AS rn
+      FROM deliveries)
+    SELECT CAST(k AS BIGINT) AS k, CAST(best_doc AS BIGINT) AS best_doc,
+           score
+    FROM best WHERE rn = 1 AND NOT dead
+    """
+
+
+def _u12_deliveries(spark, sf_dir):
+    """The four planted LSM deliveries off the documents table: v1-v3
+    split the corpus by doc_id % 3 (keep-best churn: ~every key sees
+    rows from several deliveries), v3 also retires a key subset via
+    max-order tombstones, v4 re-scores a v1 subset upward. Tombstoned
+    keys exclude v4's keys (compact_lsm caller contract)."""
+    d = io.load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = d.select(
+        (did % 97).alias("k"), did.alias("best_doc"),
+        F.col("n_chars").cast("long").alias("score"),
+        F.lit(False).alias("is_delete"), (did % 3).alias("m"))
+    v = {i: base.filter(F.col("m") == i).drop("m") for i in range(3)}
+    v4keys = (d.filter((did % 3 == 0) & (did % 7 == 0))
+              .select((did % 97).alias("k")).distinct())
+    tomb = (d.filter((did % 3 == 2) & (did % 5 == 0))
+            .select((did % 97).alias("k")).distinct()
+            .join(v4keys, ["k"], "left_anti")
+            .select("k", F.lit(-1).cast("long").alias("best_doc"),
+                    F.lit(2000000000).cast("long").alias("score"),
+                    F.lit(True).alias("is_delete")))
+    d4 = (d.filter((did % 3 == 0) & (did % 7 == 0))
+          .select((did % 97).alias("k"), did.alias("best_doc"),
+                  (F.col("n_chars") + 1000).cast("long").alias("score"),
+                  F.lit(False).alias("is_delete")))
+    return {1: v[0], 2: v[1], 3: v[2].unionByName(tomb), 4: d4}
+
+
+@query("u12_lsm_keep_best", oracle=U12_LSM_KEEP_BEST_ORACLE)
+def u12_lsm_keep_best(spark, sf_dir):
+    """U12 (engine ext.): the LSM segment store — O(delivery) appends
+    for HIGH-CHURN keep-best maintenance (streaming.append_lsm_segment
+    / read_lsm / compact_lsm). When every delivery's keys spray across
+    the whole key space (keep-best-document-per-URL under continuous
+    recrawl), the CoW snapshot rewrites O(store) and even the
+    partitioned store rewrites ~every partition; the LSM form appends
+    one immutable segment per delivery and pays the keep-best reduce
+    at read, with compaction bounding the segment count.
+
+    The gated sequence exercises the whole contract: deliveries 1 and
+    3 land, then 2 arrives OUT of order (merge is by order, not apply
+    order), a full compaction folds the three segments into one base
+    (tombstones dropped — all deliveries at or below the fold are in),
+    a redelivery of 3 is skipped off the folded ledger, and delivery 4
+    lands post-compaction (its order ties resolve against the base's
+    preserved __seg stamps). The read must equal ONE global keep-best
+    SQL over all four deliveries — compaction invariance is the
+    oracle, not just a unit pin.
+
+    100 TB: each append writes delivery-sized parquet, nothing else;
+    the read is segment-parallel scan + one hash exchange on the key
+    (the same shuffle any keep-best pays); compaction is one merged
+    pass scheduled by segment count."""
+    import tempfile
+
+    from clif_spark import streaming as STR
+
+    dv = _u12_deliveries(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="clif_lsm_store_") + "/store"
+    order = ["score", "best_doc"]
+    STR.append_lsm_segment(dv[1], root, 1)
+    STR.append_lsm_segment(dv[3], root, 3)
+    STR.append_lsm_segment(dv[2], root, 2)
+    STR.compact_lsm(spark, root, ["k"], order)
+    STR.append_lsm_segment(dv[3], root, 3)  # folded redelivery: skip
+    STR.append_lsm_segment(dv[4], root, 4)
+    return STR.read_lsm(spark, root, ["k"], order)
+
+
 @query(
     "io_orc_roundtrip",
     oracle="""

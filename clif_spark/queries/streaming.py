@@ -858,3 +858,49 @@ def stream_partitioned_upsert(spark, sf_dir):
     q.awaitTermination()
     return (streaming.read_partitioned_snapshot(spark, root)
             .select("k", "version", "val", "prio"))
+
+
+@query("stream_lsm_keep_best", oracle=_rel.U12_LSM_KEEP_BEST_ORACLE)
+def stream_lsm_keep_best(spark, sf_dir):
+    """u12's LSM store fed by a DELIVERY STREAM: the four deliveries
+    land as parquet shards and drain as micro-batches (availableNow +
+    maxFilesPerTrigger=1), each appended as one immutable segment by
+    ``streaming.append_lsm_segment`` inside foreachBatch — O(delivery)
+    disk work per micro-batch, the write-optimized shape a continuous
+    recrawl feed needs. The delivery ordinal rides IN the shard
+    (``__v`` column, one value per shard), not on Spark's batch_id —
+    redelivery of a shard after a checkpoint reset must map to the
+    same segment, and batch ids do not survive that. After the stream
+    settles, a full compaction folds the segments; the read must equal
+    the SHARED one-shot keep-best oracle (settled-equals-batch, and
+    compaction invariance rides the same gate)."""
+    import tempfile
+
+    dv = _rel._u12_deliveries(spark, sf_dir)
+    scratch = tempfile.mkdtemp(prefix="clif_stream_lsm_src_")
+    for ver in (1, 2, 3, 4):
+        (dv[ver].withColumn("__v", F.lit(ver).cast("long"))
+         .coalesce(1).write.mode("append").parquet(scratch))
+    root = tempfile.mkdtemp(prefix="clif_stream_lsm_tbl_") + "/store"
+    ckpt = tempfile.mkdtemp(prefix="clif_stream_lsm_ckpt_")
+    schema = dv[1].withColumn("__v", F.lit(1).cast("long")).schema
+    order = ["score", "best_doc"]
+
+    def sink(batch_df, batch_id):
+        # one shard per micro-batch -> exactly one ordinal; tiny
+        # driver-side read (a single long), not a hot-path collect
+        vers = [r[0] for r in
+                batch_df.select("__v").distinct().collect()]
+        for ver in sorted(vers):
+            streaming.append_lsm_segment(
+                batch_df.filter(F.col("__v") == ver).drop("__v"),
+                root, int(ver))
+
+    stream = (spark.readStream.schema(schema)
+                   .option("maxFilesPerTrigger", 1).parquet(scratch))
+    q = (stream.writeStream.foreachBatch(sink)
+               .option("checkpointLocation", ckpt)
+               .trigger(availableNow=True).start())
+    q.awaitTermination()
+    streaming.compact_lsm(spark, root, ["k"], order)
+    return streaming.read_lsm(spark, root, ["k"], order)

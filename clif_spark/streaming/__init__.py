@@ -821,3 +821,179 @@ def compact_partitioned_snapshot(spark: SparkSession, root: str,
             if val in gone:
                 shutil.rmtree(os.path.join(root, name))
     return n_tomb
+
+
+# --- LSM-style segment store (O(delivery) writes for high-churn
+# keep-best maintenance) --------------------------------------------------
+
+# The copy-on-write CDC snapshot rewrites O(store) per delivery; the
+# partitioned store rewrites O(touched partitions) — both degrade to a
+# full rewrite when every delivery's keys spray across the whole key
+# space (the high-churn keep-best-document-per-URL shape: each crawl
+# delivery updates URLs everywhere). The LSM form inverts the trade:
+# appends cost O(delivery) — one immutable segment directory per
+# delivery, nothing rewritten — reads merge the segments with a
+# keep-best reduce (read amplification = segment count), and compaction
+# periodically folds all segments into one base to bound it. This is
+# the standard log-structured trade (write-optimized vs the CoW family's
+# read-optimized), stated per function below.
+
+
+def _lsm_ckpt(lineage: str) -> str:
+    import hashlib
+
+    return hashlib.md5(f"lsm:{lineage}".encode()).hexdigest()[:12]
+
+
+def _lsm_meta_path(root: str) -> str:
+    import os
+
+    return os.path.join(root, "_lsm_meta.json")
+
+
+def _lsm_meta_read(root: str) -> dict:
+    import json
+    import os
+
+    p = _lsm_meta_path(root)
+    if not os.path.exists(p):
+        return {"ckpt": None, "folded": []}
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _lsm_segments(root: str, ckpt: str) -> list[str]:
+    import os
+
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        os.path.join(root, n) for n in os.listdir(root)
+        if (n.startswith(f"seg-") or n.startswith("base-"))
+        and n.endswith(f"-{ckpt}")
+        and os.path.exists(os.path.join(root, n, "_SUCCESS")))
+
+
+def append_lsm_segment(batch_df: DataFrame, root: str, version: int,
+                       tombstone_col: str = "is_delete",
+                       lineage: str = "lsm") -> str | None:
+    """Append one delivery as an immutable LSM segment — O(delivery)
+    disk work, NOTHING rewritten (the whole point of the form). Rows
+    are stamped with ``__seg`` = the delivery ordinal so the read-side
+    keep-best can break order ties toward the later DELIVERY (without
+    it, two equal-order rows for one key from different deliveries
+    would tie nondeterministically).
+
+    Replay safety, mirroring the family's rules:
+    - redelivery of a version whose segment directory still exists is
+      SKIPPED (returns None) — the segment IS the applied record;
+    - a version already folded away by compaction is recognized from
+      the store meta's folded list and skipped the same way;
+    - an UNKNOWN version at or below the compaction horizon RAISES:
+      compaction dropped tombstones under the "everything delivered up
+      to the dropped versions" contract, so a genuinely new old
+      delivery arriving now could resurrect tombstoned keys — loud
+      beats silent corruption (fold_agg_snapshot's reasoning).
+    Out-of-order versions ABOVE the horizon are fine — the merge is by
+    ``order`` at read time, not by apply order (unlike the additive
+    fold, which is why that one needs the strict ordinal guard and
+    this one does not)."""
+    import os
+
+    ckpt = _lsm_ckpt(lineage)
+    os.makedirs(root, exist_ok=True)
+    seg = os.path.join(root, f"seg-{version:08d}-{ckpt}")
+    if os.path.exists(os.path.join(seg, "_SUCCESS")):
+        return None
+    meta = _lsm_meta_read(root)
+    if meta["ckpt"] == ckpt:
+        if version in meta["folded"]:
+            return None
+        if meta["folded"] and version <= max(meta["folded"]):
+            raise ValueError(
+                f"append_lsm_segment: version {version} is at or below "
+                f"the compaction horizon {max(meta['folded'])} for "
+                f"lineage '{lineage}' but was never applied — "
+                f"compaction already dropped tombstones up to that "
+                f"horizon, so appending it now could resurrect "
+                f"tombstoned keys. Fix the caller's ordinal "
+                f"assignment or compact later.")
+    stamped = (batch_df
+               .withColumn(tombstone_col,
+                           F.coalesce(F.col(tombstone_col), F.lit(False)))
+               .withColumn("__seg", F.lit(version).cast("long")))
+    stamped.write.mode("overwrite").parquet(seg)
+    return seg
+
+
+def read_lsm(spark: SparkSession, root: str, keys: list[str],
+             order: list[str], tombstone_col: str = "is_delete",
+             lineage: str = "lsm") -> DataFrame:
+    """Live rows of an LSM store: union every segment, keep per key the
+    row sorting LAST by (``order``, ``__seg``) — the delivery-ordinal
+    tie-break — then filter tombstones. Read amplification is the
+    segment count (each segment is one scan leg of the union);
+    compact_lsm bounds it. One hash exchange on the key, exactly
+    upsert_keep_latest's shape — at 100 TB the union legs scan in
+    parallel and the reduce is the same shuffle a one-table keep-best
+    pays anyway."""
+    from clif_spark.operators import windows as _w
+
+    segs = _lsm_segments(root, _lsm_ckpt(lineage))
+    if not segs:
+        raise ValueError(f"read_lsm: no segments under {root}")
+    merged = spark.read.parquet(*segs)
+    best = _w.dedup_keep_last(merged, keys, list(order) + ["__seg"])
+    return best.filter(~F.col(tombstone_col)) \
+               .drop(tombstone_col, "__seg")
+
+
+def compact_lsm(spark: SparkSession, root: str, keys: list[str],
+                order: list[str], tombstone_col: str = "is_delete",
+                lineage: str = "lsm") -> int:
+    """Fold every segment into one base segment, dropping masked rows
+    AND tombstones — after a full fold no older segment remains for a
+    tombstone to mask, so retaining it would only cost reads. Caller
+    contract (same as compact_cdc_snapshot): invoke once the feed has
+    delivered everything at or below the folded versions; the folded
+    list is recorded in the store meta so a late redelivery of a
+    folded version is skipped and an unknown below-horizon version
+    fails loud (append_lsm_segment). Winning rows KEEP their original
+    ``__seg`` stamps, so post-compaction ties against new segments
+    resolve exactly as they would have uncompacted — compaction is
+    invariant to the read (unit-pinned). Returns the number of
+    segments folded (0 = nothing to do; single-writer, like the whole
+    family).
+
+    Cost: one merged read + one O(live keys) write, amortized over the
+    many O(delivery) appends it enables — the classic LSM schedule
+    (run it on segment-count or bytes thresholds; the threshold policy
+    belongs to the caller's scheduler, not the store)."""
+    import json
+    import os
+    import shutil
+
+    ckpt = _lsm_ckpt(lineage)
+    segs = _lsm_segments(root, ckpt)
+    if not any(os.path.basename(s).startswith("seg-") for s in segs):
+        return 0  # empty store, or already just a base
+    meta = _lsm_meta_read(root)
+    versions = [int(os.path.basename(s).split("-")[1]) for s in segs]
+    from clif_spark.operators import windows as _w
+
+    merged = spark.read.parquet(*segs)
+    best = (_w.dedup_keep_last(merged, keys, list(order) + ["__seg"])
+            .filter(~F.col(tombstone_col)))
+    base = os.path.join(root, f"base-{max(versions):08d}-{ckpt}")
+    # one pass: write the fold to a sibling tmp dir, THEN retire the
+    # source segments and publish via rename — readers never observe a
+    # half-folded store and the fold itself never re-reads its output
+    tmp = base + ".tmp"
+    best.write.mode("overwrite").parquet(tmp)
+    for s in segs:
+        shutil.rmtree(s)
+    os.rename(tmp, base)
+    folded = sorted(set(meta["folded"]) | set(versions))
+    with open(_lsm_meta_path(root), "w") as fh:
+        json.dump({"ckpt": ckpt, "folded": folded}, fh)
+    return len(segs)

@@ -609,3 +609,85 @@ def test_partitioned_compaction_non_string_partition_dir_removal(spark):
     live = {r.k for r in
             streaming.read_partitioned_snapshot(spark, root).collect()}
     assert live == {1}
+
+
+# --- LSM segment store ---------------------------------------------------
+
+
+def _lsm_rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, score long, payload string, is_delete boolean")
+
+
+def _lsm_read_set(spark, root):
+    return {tuple(r) for r in streaming.read_lsm(
+        spark, root, ["k"], ["score"]).collect()}
+
+
+def test_lsm_append_read_out_of_order_and_tiebreak(spark):
+    """O(delivery) appends; read = keep-best by (order, __seg).
+    Versions applied OUT of order must not matter (merge is by order,
+    not apply order), and an order TIE between deliveries resolves to
+    the later delivery ordinal."""
+    root = tempfile.mkdtemp(prefix="clif_lsm_") + "/store"
+    streaming.append_lsm_segment(
+        _lsm_rows(spark, [(1, 10, "a1", False), (2, 5, "b1", False)]),
+        root, 1)
+    streaming.append_lsm_segment(
+        _lsm_rows(spark, [(1, 30, "a3", False), (3, 7, "c3", False),
+                          (4, 9, "tie-v3", False)]), root, 3)
+    # v2 arrives AFTER v3: higher score for k=2, lower for k=1,
+    # and an exact score tie for k=4 (must lose to v3's stamp)
+    streaming.append_lsm_segment(
+        _lsm_rows(spark, [(1, 20, "a2", False), (2, 8, "b2", False),
+                          (4, 9, "tie-v2", False)]), root, 2)
+    assert _lsm_read_set(spark, root) == {
+        (1, 30, "a3"), (2, 8, "b2"), (3, 7, "c3"), (4, 9, "tie-v3")}
+    # redelivery of an existing segment: skipped, store unchanged
+    assert streaming.append_lsm_segment(
+        _lsm_rows(spark, [(1, 99, "dup", False)]), root, 2) is None
+    assert _lsm_read_set(spark, root) == {
+        (1, 30, "a3"), (2, 8, "b2"), (3, 7, "c3"), (4, 9, "tie-v3")}
+
+
+def test_lsm_tombstone_masks_and_compaction_invariance(spark):
+    """A tombstone winning the order masks every older row at read; a
+    full compaction folds segments to one base, drops tombstones, and
+    is INVARIANT to the read; folded versions redeliver as skips; an
+    unknown below-horizon version fails loud; post-compaction ties
+    against the base still resolve by original __seg stamps."""
+    import pytest
+
+    root = tempfile.mkdtemp(prefix="clif_lsm_") + "/store"
+    streaming.append_lsm_segment(
+        _lsm_rows(spark, [(1, 10, "a", False), (2, 5, "b", False),
+                          (4, 9, "t2", False)]), root, 2)
+    streaming.append_lsm_segment(
+        _lsm_rows(spark, [(1, 100, None, True),  # tombstone wins k=1
+                          (3, 7, "c", False)]), root, 3)
+    before = _lsm_read_set(spark, root)
+    assert before == {(2, 5, "b"), (3, 7, "c"), (4, 9, "t2")}
+    n = streaming.compact_lsm(spark, root, ["k"], ["score"])
+    assert n == 2
+    assert _lsm_read_set(spark, root) == before
+    names = sorted(os.listdir(os.path.dirname(root) + "/store"))
+    assert sum(x.startswith("base-") for x in names) == 1
+    assert not any(x.startswith("seg-") for x in names)
+    # folded redelivery: skip; unknown below-horizon: loud
+    assert streaming.append_lsm_segment(
+        _lsm_rows(spark, [(9, 1, "z", False)]), root, 3) is None
+    with pytest.raises(ValueError, match="compaction horizon"):
+        streaming.append_lsm_segment(
+            _lsm_rows(spark, [(9, 1, "z", False)]), root, 1)
+    # tombstone is GONE after compaction: a fresh lower-order row for
+    # k=1 now wins (the documented caller contract), and an order TIE
+    # against a base row keeps resolving by the original seg stamp
+    streaming.append_lsm_segment(
+        _lsm_rows(spark, [(1, 6, "re", False), (4, 9, "t4", False)]),
+        root, 4)
+    assert _lsm_read_set(spark, root) == {
+        (1, 6, "re"), (2, 5, "b"), (3, 7, "c"), (4, 9, "t4")}
+    # second compaction folds base + the new segment
+    assert streaming.compact_lsm(spark, root, ["k"], ["score"]) == 2
+    assert _lsm_read_set(spark, root) == {
+        (1, 6, "re"), (2, 5, "b"), (3, 7, "c"), (4, 9, "t4")}
