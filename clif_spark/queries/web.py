@@ -2444,3 +2444,121 @@ def pipeline_wat_export(spark, sf_dir):
         F.col("j.content_length").alias("content_length"),
         F.col("j.n_links").alias("n_links"),
         F.col("warc_type"))
+
+
+# --- S9e: CDX capture index over WARC shards -----------------------------
+
+_CRLF_SQL = "chr(13) || chr(10)"
+
+
+@query(
+    "web_cdx_index",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text, {_DOC_URL_SQL} AS uri,
+             doc_id % GREATEST(8, (SELECT COUNT(*) FROM documents)
+                                  // 8192) AS file_id
+      FROM documents),
+    hb AS (
+      SELECT *, 'HTTP/1.1 200 OK' || {_CRLF_SQL} ||
+        'Content-Type: text/html; charset=utf-8' || {_CRLF_SQL} ||
+        'Content-Length: ' || CAST(strlen(text) AS VARCHAR) ||
+        {_CRLF_SQL} || {_CRLF_SQL} || text AS http_block
+      FROM docs),
+    rec AS (
+      -- the builder's record template, rebuilt independently: the
+      -- parser-reported offset must equal this arithmetic byte for
+      -- byte (warc.py::build_warc_records is the engine side)
+      SELECT *, strlen(
+        'WARC/1.1' || {_CRLF_SQL} ||
+        'WARC-Type: response' || {_CRLF_SQL} ||
+        'WARC-Record-ID: <urn:uuid:' ||
+        substr(md5(uri), 1, 8) || '-' || substr(md5(uri), 9, 4) || '-' ||
+        substr(md5(uri), 13, 4) || '-' || substr(md5(uri), 17, 4) ||
+        '-' || substr(md5(uri), 21, 12) || '>' || {_CRLF_SQL} ||
+        'WARC-Date: 2026-01-01T00:00:00Z' || {_CRLF_SQL} ||
+        'WARC-Target-URI: ' || uri || {_CRLF_SQL} ||
+        'Content-Type: application/http;msgtype=response' ||
+        {_CRLF_SQL} ||
+        'Content-Length: ' || CAST(strlen(http_block) AS VARCHAR)
+        || {_CRLF_SQL} || {_CRLF_SQL} || http_block
+        || {_CRLF_SQL} || {_CRLF_SQL}) AS rec_len
+      FROM hb),
+    off AS (
+      SELECT *, CAST(SUM(rec_len) OVER (PARTITION BY file_id
+        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        CURRENT ROW) - rec_len AS BIGINT) AS record_offset
+      FROM rec),
+    surted AS (
+      SELECT *,
+        array_to_string(list_reverse(string_split(regexp_extract(uri,
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '.')), ',')
+        || ')' || regexp_extract(uri,
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS surt_key
+      FROM off)
+    SELECT surt_key, '2026-01-01T00:00:00Z' AS ts, uri,
+           md5(text) AS digest,
+           CAST(strlen(text) AS BIGINT) AS resp_len,
+           CAST(file_id AS BIGINT) AS file_id, record_offset,
+           regexp_extract(surt_key, '\\)/([^/]+)', 1) AS cdx_shard,
+           CAST(row_number() OVER (PARTITION BY
+             regexp_extract(surt_key, '\\)/([^/]+)', 1)
+             ORDER BY surt_key) AS BIGINT) AS shard_rank
+    FROM surted
+    """,
+)
+def web_cdx_index(spark, sf_dir):
+    """S9e (engine ext.): CDX capture index — the lookup artifact
+    Common Crawl publishes beside its WARC shards (cdx-*.gz: one line
+    per capture, SURT-sorted, pointing at the shard file + byte offset
+    of the record) and the thing that makes 100 TB of WARC randomly
+    accessible: find a URL's captures by binary-searching the index,
+    then range-read ONE record from ONE shard.
+
+    Gated as a full inversion: documents -> WARC shards (mixed
+    plain/gzip layout) -> parse -> per-capture index rows keyed by the
+    SURT form of the URI (authority reversed comma-joined + ')' +
+    path, so one host's captures are contiguous under lexicographic
+    order), each carrying the shard file id and the PARSER-reported
+    record offset — which must equal the oracle's independent
+    byte-arithmetic rebuild of the record template (a one-byte drift
+    in builder, parser, or gzip-member accounting flips the hash; the
+    gzip legs pin that offsets are into DECOMPRESSED bytes). Captures
+    are blocked by their SURT's first path segment with an in-block
+    rank — the deterministic stand-in for the range-partitioned
+    cdx-NNNNN sharding a real deployment gets from
+    repartitionByRange over sampled key quantiles.
+
+    100 TB shape: the index build is the WARC parse (file-count
+    parallel, no shuffle) plus ONE exchange on the block key for the
+    in-block sort — the same shape as writing any range-partitioned
+    sorted artifact; md5 digests are the dedup-across-crawls hook
+    (CDX's revisit detection). Digest is md5 hex, not CDX's
+    SHA1-base32 — same role, no SHA1 in either engine (documented
+    deviation)."""
+    d = io.load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", "text", _doc_url_col().alias("url"),
+        (F.col("doc_id") % _shard_count(d)).alias("file_id"))
+    files = warc.assemble_warc_files(
+        warc.build_warc_records(docs), gzip_records="mixed")
+    parsed = warc.parse_warc(files)
+    auth = F.regexp_extract(
+        "target_uri", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    path = F.regexp_extract(
+        "target_uri", r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(auth, r"\.")), ","),
+        F.lit(")"), path)
+    idx = parsed.select(
+        surt.alias("surt_key"),
+        F.col("warc_date").alias("ts"),
+        F.col("target_uri").alias("uri"),
+        F.md5("payload_text").alias("digest"),
+        F.octet_length("payload").cast("long").alias("resp_len"),
+        F.col("file_id").cast("long").alias("file_id"),
+        F.col("record_offset"),
+        F.regexp_extract(surt, r"\)/([^/]+)", 1).alias("cdx_shard"))
+    w = Window.partitionBy("cdx_shard").orderBy("surt_key")
+    return idx.withColumn(
+        "shard_rank", F.row_number().over(w).cast("long"))
