@@ -364,7 +364,54 @@ _VERIFY_FIRST_R11 = [
 # r2/r4, sample_split_assign, text_sentence_chunks, w4-w9, the five
 # r7 streams). After this gate no oracle row's latest green predates
 # r7.
-_VERIFY_FIRST = _VERIFY_FIRST_R11
+
+_VERIFY_FIRST_R12 = [
+    # --- never-driver-gated first (this round's registrations): the
+    # CDX capture index, the two-level sitemap index, and the LSM
+    # keep-best store (its stream twin sits at the stream tail) ---
+    "web_cdx_index", "web_sitemap_index", "u12_lsm_keep_best",
+    # --- changed-code re-gates: the RFC 3986 resolver fixes (§5.3
+    # empty-base merge + collapse on absolute/protocol-relative
+    # branches) rewrote the link fixtures feeding the D5 rows and the
+    # WAT export; percent-encoding normalization (pct_normalize +
+    # _sql_pct + the %-decoys planted in _RAW_URL_SQL) changed every
+    # _CANON_CTES/_sql_canon_of consumer; _sql_agent_verdict's guard
+    # became a raise. All re-gate before any refresh does. ---
+    "web_link_graph", "web_host_pagerank", "web_pagerank_warm_start",
+    "web_crawl_frontier", "pipeline_wat_export",
+    "text_url_canonicalize", "web_host_stats", "web_robots_filter",
+    "web_robots_parse", "web_robots_wildcards",
+    "web_robots_agent_fallback", "web_robots_crawl_delay",
+    "web_sitemap_parse", "pipeline_crawl_corpus",
+    # --- the enumerated r11 due list: every remaining r7-latest batch
+    # row (the r11 pre-emptions + the r7 remainder), name order ---
+    "mm_resize_pixels", "mm_video_frame_stats", "p1_p3_project_rename",
+    "p2_p4_drop_positional", "p5_p6_null_handling",
+    "q10_returned_items", "q15_top_supplier", "q17_small_qty_revenue",
+    "q18_large_volume_customer", "q19_disjunctive_filter",
+    "q22_global_sales_opportunity", "q7_nation_volume",
+    "q8_market_share", "r2_pivot_wide", "r4_explode_top_tokens",
+    "sample_split_assign", "text_sentence_chunks", "w4_rank_lag",
+    "w5_moving_avg", "w6_sessionize_gap", "w7_session_window_native",
+    "w8_tumbling_window", "w9_ntile_percent_rank",
+    # --- oldest refreshes (r8-latest), name order, filling to 50 ---
+    "a12_approx_distinct_bound", "a13_sketch_merge_distinct",
+    "a14_approx_percentile_bound",
+    # --- streams at the tail (multi-second startup each): the new LSM
+    # stream twin, the pct-changed funnel stream, and the five
+    # r7-latest streams from the due list ---
+    "stream_lsm_keep_best", "stream_crawl_corpus",
+    "stream_dedup_bounded_state", "stream_session_windows",
+    "stream_stateful_user_stats", "stream_static_enrich",
+    "stream_video_demux",
+]
+# Exactly 50: 4 never-gated (web_cdx_index, web_sitemap_index,
+# u12_lsm_keep_best, stream_lsm_keep_best) + 15 changed-code re-gates
+# (14 batch + stream_crawl_corpus) + 28 due (23 batch + 5 r7 streams)
+# + 3 r8 refreshes. After this gate no oracle row's latest green
+# predates r8; the r13 due list = the remaining 45 r8-latest rows
+# (a15..w11 in the round-8 cohort), oldest-first.
+_VERIFY_FIRST = _VERIFY_FIRST_R12
 
 # Rows-only queries (dedup_semantic, ann_ivf_trained_topk,
 # ann_cosine_topk_arrow, w15_ewma_smooth, text_bpe_tokenize) NEVER
