@@ -2450,25 +2450,23 @@ def pipeline_wat_export(spark, sf_dir):
 
 _CRLF_SQL = "chr(13) || chr(10)"
 
-
-@query(
-    "web_cdx_index",
-    oracle=f"""
-    WITH docs AS (
+# Shared by web_cdx_index and web_cdx_point_lookup: the oracle's
+# INDEPENDENT rebuild of the WARC record template's byte arithmetic
+# (warc.py::build_warc_records is the engine side) ending in
+# surted(doc_id, text, uri, file_id, record_offset, surt_key).
+_CDX_CTES = f"""
+    cdxdocs AS (
       SELECT doc_id, text, {_DOC_URL_SQL} AS uri,
              doc_id % GREATEST(8, (SELECT COUNT(*) FROM documents)
                                   // 8192) AS file_id
       FROM documents),
-    hb AS (
+    cdxhb AS (
       SELECT *, 'HTTP/1.1 200 OK' || {_CRLF_SQL} ||
         'Content-Type: text/html; charset=utf-8' || {_CRLF_SQL} ||
         'Content-Length: ' || CAST(strlen(text) AS VARCHAR) ||
         {_CRLF_SQL} || {_CRLF_SQL} || text AS http_block
-      FROM docs),
-    rec AS (
-      -- the builder's record template, rebuilt independently: the
-      -- parser-reported offset must equal this arithmetic byte for
-      -- byte (warc.py::build_warc_records is the engine side)
+      FROM cdxdocs),
+    cdxrec AS (
       SELECT *, strlen(
         'WARC/1.1' || {_CRLF_SQL} ||
         'WARC-Type: response' || {_CRLF_SQL} ||
@@ -2483,19 +2481,22 @@ _CRLF_SQL = "chr(13) || chr(10)"
         'Content-Length: ' || CAST(strlen(http_block) AS VARCHAR)
         || {_CRLF_SQL} || {_CRLF_SQL} || http_block
         || {_CRLF_SQL} || {_CRLF_SQL}) AS rec_len
-      FROM hb),
-    off AS (
+      FROM cdxhb),
+    cdxoff AS (
       SELECT *, CAST(SUM(rec_len) OVER (PARTITION BY file_id
         ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
         CURRENT ROW) - rec_len AS BIGINT) AS record_offset
-      FROM rec),
+      FROM cdxrec),
     surted AS (
       SELECT *,
         array_to_string(list_reverse(string_split(regexp_extract(uri,
           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '.')), ',')
         || ')' || regexp_extract(uri,
           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS surt_key
-      FROM off)
+      FROM cdxoff)
+"""
+
+_CDX_SELECT = """
     SELECT surt_key, '2026-01-01T00:00:00Z' AS ts, uri,
            md5(text) AS digest,
            CAST(strlen(text) AS BIGINT) AS resp_len,
@@ -2505,8 +2506,42 @@ _CRLF_SQL = "chr(13) || chr(10)"
              regexp_extract(surt_key, '\\)/([^/]+)', 1)
              ORDER BY surt_key) AS BIGINT) AS shard_rank
     FROM surted
-    """,
-)
+"""
+
+
+def _cdx_files_and_index(spark, sf_dir):
+    """(shard blobs, CDX index rows) — the shared build for the two
+    gated S9e rows: documents -> WARC shards (mixed layout) -> parse ->
+    SURT-keyed index rows with the parser-reported record offset."""
+    d = io.load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", "text", _doc_url_col().alias("url"),
+        (F.col("doc_id") % _shard_count(d)).alias("file_id"))
+    files = warc.assemble_warc_files(
+        warc.build_warc_records(docs), gzip_records="mixed")
+    parsed = warc.parse_warc(files)
+    auth = F.regexp_extract(
+        "target_uri", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    path = F.regexp_extract(
+        "target_uri", r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(auth, r"\.")), ","),
+        F.lit(")"), path)
+    idx = parsed.select(
+        surt.alias("surt_key"),
+        F.col("warc_date").alias("ts"),
+        F.col("target_uri").alias("uri"),
+        F.md5("payload_text").alias("digest"),
+        F.octet_length("payload").cast("long").alias("resp_len"),
+        F.col("file_id").cast("long").alias("file_id"),
+        F.col("record_offset"),
+        F.regexp_extract(surt, r"\)/([^/]+)", 1).alias("cdx_shard"))
+    w = Window.partitionBy("cdx_shard").orderBy("surt_key")
+    return files, idx.withColumn(
+        "shard_rank", F.row_number().over(w).cast("long"))
+
+
+@query("web_cdx_index", oracle=f"WITH {_CDX_CTES} {_CDX_SELECT}")
 def web_cdx_index(spark, sf_dir):
     """S9e (engine ext.): CDX capture index — the lookup artifact
     Common Crawl publishes beside its WARC shards (cdx-*.gz: one line
@@ -2536,29 +2571,51 @@ def web_cdx_index(spark, sf_dir):
     (CDX's revisit detection). Digest is md5 hex, not CDX's
     SHA1-base32 — same role, no SHA1 in either engine (documented
     deviation)."""
-    d = io.load_table(spark, sf_dir, "documents")
-    docs = d.select(
-        "doc_id", "text", _doc_url_col().alias("url"),
-        (F.col("doc_id") % _shard_count(d)).alias("file_id"))
-    files = warc.assemble_warc_files(
-        warc.build_warc_records(docs), gzip_records="mixed")
-    parsed = warc.parse_warc(files)
-    auth = F.regexp_extract(
-        "target_uri", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    path = F.regexp_extract(
-        "target_uri", r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    surt = F.concat(
-        F.array_join(F.reverse(F.split(auth, r"\.")), ","),
-        F.lit(")"), path)
-    idx = parsed.select(
-        surt.alias("surt_key"),
-        F.col("warc_date").alias("ts"),
-        F.col("target_uri").alias("uri"),
-        F.md5("payload_text").alias("digest"),
-        F.octet_length("payload").cast("long").alias("resp_len"),
+    _, idx = _cdx_files_and_index(spark, sf_dir)
+    return idx
+
+
+@query(
+    "web_cdx_point_lookup",
+    oracle=f"""
+    WITH {_CDX_CTES},
+    cdx AS ({_CDX_SELECT})
+    SELECT CAST(regexp_extract(c.uri, '/(\\d+)$', 1) AS BIGINT)
+             AS doc_id,
+           c.uri AS target_uri, d.text,
+           c.file_id, c.record_offset
+    FROM cdx c
+    JOIN documents d
+      ON d.doc_id = CAST(regexp_extract(c.uri, '/(\\d+)$', 1) AS BIGINT)
+    WHERE c.shard_rank % 17 = 0
+    """,
+)
+def web_cdx_point_lookup(spark, sf_dir):
+    """S9e-read (engine ext.): the index actually USED — a lookup set
+    (every 17th capture per CDX block) resolves through the index to
+    (shard, offset) pairs, and ``warc.read_records_at`` fetches
+    EXACTLY those records: lookups group per shard, inner-join onto
+    the blobs (shards with no lookups are never read — the pruning the
+    index exists to buy), plain shards slice at the offset directly,
+    gzip shards stream-decompress then slice (offsets are into
+    decompressed bytes; the compressed-member-offset variant that
+    avoids even this is documented in read_records_at). Each fetched
+    record's URI and payload must round-trip to the documents table —
+    an off-by-one anywhere in the offset chain surfaces as a parse
+    failure or the wrong document's text, both hash-visible.
+
+    100 TB shape: cost scales with the LOOKUP set (touched shards x
+    decompress + per-hit parse), not the corpus — the random-access
+    contract; the only exchanges are the lookup-set groupBy and the
+    broadcast-sized join of grouped lookups onto shard blobs."""
+    files, idx = _cdx_files_and_index(spark, sf_dir)
+    picks = (idx.filter(F.col("shard_rank") % 17 == 0)
+                .select("file_id", "record_offset"))
+    recs = warc.read_records_at(files, picks)
+    return recs.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long")
+         .alias("doc_id"),
+        "target_uri",
+        F.col("payload").cast("string").alias("text"),
         F.col("file_id").cast("long").alias("file_id"),
-        F.col("record_offset"),
-        F.regexp_extract(surt, r"\)/([^/]+)", 1).alias("cdx_shard"))
-    w = Window.partitionBy("cdx_shard").orderBy("surt_key")
-    return idx.withColumn(
-        "shard_rank", F.row_number().over(w).cast("long"))
+        "record_offset")

@@ -324,3 +324,49 @@ def test_build_records_rejects_null_inputs_loudly(spark):
     rows = warc.parse_warc(
         warc.assemble_warc_files(warc.build_warc_records(ok))).collect()
     assert len(rows) == 1 and rows[0]["payload"] == b""
+
+
+def test_read_records_at_random_access(spark):
+    """warc.read_records_at: fetches EXACTLY the requested
+    (file_id, offset) records — plain shards by direct slice, gzip
+    shards through the decompressed-offset convention — a bogus offset
+    lands one visible 'invalid' row (junk policy, never a task
+    failure), and a shard with no lookups is pruned by the inner join
+    before its bytes are ever parsed."""
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    from clif_spark import warc
+
+    plain = _fixture_file()
+    # offsets of the four records in the fixture, in order
+    offs, pos = [], 0
+    while pos < len(plain):
+        offs.append(pos)
+        hdr_end = plain.index(b"\r\n\r\n", pos)
+        ln = int([h for h in plain[pos:hdr_end].split(b"\r\n")
+                  if h.lower().startswith(b"content-length:")][0]
+                 .split(b":")[1])
+        pos = hdr_end + 4 + ln + 4
+    gz = b"".join(gzip.compress(plain[offs[i]:(offs + [len(plain)])[i + 1]],
+                                mtime=0) for i in range(len(offs)))
+    files = spark.createDataFrame(
+        [(0, bytearray(plain)), (1, bytearray(gz)),
+         (2, bytearray(plain))],
+        "file_id long, content binary")
+    lookups = spark.createDataFrame(
+        [(0, offs[2]), (1, offs[2]), (0, 7)],  # 7 = mid-record junk
+        "file_id long, record_offset long")
+    out = warc.read_records_at(files, lookups).collect()
+    by = {(r.file_id, r.record_offset): r for r in out}
+    assert len(out) == 3
+    assert by[(0, offs[2])].warc_type == "response"
+    assert by[(0, offs[2])].payload_text == "hello <b>world</b>"
+    # same record through the gzip shard: offsets are into the
+    # DECOMPRESSED stream, so the plain-file offset addresses it
+    assert by[(1, offs[2])].warc_type == "response"
+    assert by[(1, offs[2])].target_uri == "https://example.org/a"
+    assert by[(0, 7)].warc_type == "invalid"
+    # file 2 had no lookups -> pruned before parse (inner join)
+    assert not [r for r in out if r.file_id == 2]
