@@ -80,16 +80,22 @@ def main() -> None:
     spark.range(100).selectExpr(
         "explode(sequence(1, 10)) AS e").distinct().collect()
 
-    # Steady-state protocol: four untimed warm rounds over the FULL
+    # Steady-state protocol: EIGHT untimed warm rounds over the FULL
     # headliner set — C2 keeps compiling shared operator code across the
-    # whole suite, and the measured warm-curve (per-round suite totals in
-    # a fresh JVM: 14.4, 5.5, 5.6, 5.9, 4.6, 4.7, 5.2, 4.5 s) only
-    # plateaus around round 4 — then per query time three fresh executions
-    # of freshly built plans — no DataFrame reuse, so planning, shuffles
-    # and scans all re-run — and report the min (the standard
-    # noise-rejecting estimator; this host's CPU is visibly bimodal ±40%
-    # under virtualization).
-    for _ in range(4):
+    # whole suite. Four rounds sufficed for the r6-era suite (per-round
+    # totals in a fresh JVM: 14.4, 5.5, 5.6, 5.9, 4.6 s), but q1's
+    # seven-aggregate fused codegen loop measured a LONGER plateau on
+    # the r11 suite (solo warm-curve min-of-30: 0.857 -> 0.296 s,
+    # plateauing near rep ~20; the r10/r11 q1 'regression' flagged in
+    # VERDICT was exactly this warm-phase shortfall, not a plan change —
+    # same floor re-measured on unchanged tpch.py code in a SLOW calib
+    # phase). Eight suite rounds x 11 queries lands every headliner past
+    # its plateau. Then per query time three fresh executions of freshly
+    # built plans — no DataFrame reuse, so planning, shuffles and scans
+    # all re-run — and report the min (the standard noise-rejecting
+    # estimator; this host's CPU is visibly bimodal ±40% under
+    # virtualization).
+    for _ in range(8):
         for q in headliners:
             q.fn(spark, sf_dir).collect()
     # Timed reps are INTERLEAVED (3 full passes over the suite, min per
