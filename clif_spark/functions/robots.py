@@ -222,3 +222,39 @@ def apply_robots_rules(urls: DataFrame, rules: DataFrame,
                            r["allow"].alias("a"))))
     blocked = F.coalesce(~best["a"], F.lit(False))
     return joined.withColumn("robots_blocked", blocked).drop("__rules")
+
+
+def robots_sitemaps(robots: DataFrame, host_col: str = "host",
+                    txt_col: str = "robots_txt") -> DataFrame:
+    """(host, sitemap_loc, cross_host) — the ``Sitemap:`` discovery
+    directive (sitemaps.org; the robots.txt line that tells a crawler
+    where the host's sitemaps live, closing the robots -> sitemap ->
+    seeds chain). Group-INDEPENDENT per the protocol: valid anywhere
+    in the file, applying to every agent, so this parser deliberately
+    does NOT go through ``_grouped_lines`` — and must not, because
+    that front end lowercases whole lines for directive matching,
+    which would corrupt the case-SENSITIVE URL value. Here only the
+    directive match is case-insensitive (``SITEMAP:`` works); the URL
+    survives byte-for-byte. Cross-host declarations are legal (a CDN
+    hosting a shared sitemap) and flagged rather than dropped —
+    whether to trust them is crawl policy, not parsing.
+
+    Same shape as the rules parse: host-count sized, one line explode
+    + narrow projection, no Python. DuckDB mirror beside the gated row
+    (queries/web.py web_robots_sitemap_discovery) — keep in sync."""
+    host = F.col(host_col)
+    lines = robots.select(
+        host.alias("host"),
+        F.explode(F.split(F.col(txt_col), "\n")).alias("line"))
+    raw = F.trim(F.regexp_replace(
+        F.regexp_replace(F.col("line"), r"\r", ""), r"#.*$", ""))
+    loc = F.trim(F.substring(raw, 9, 1 << 20))
+    auth = F.lower(F.regexp_extract(
+        loc, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    return (lines
+            .select("host", loc.alias("sitemap_loc"),
+                    F.startswith(F.lower(raw), F.lit("sitemap:"))
+                     .alias("__is"),
+                    (auth != F.col("host")).alias("cross_host"))
+            .filter(F.col("__is") & (F.col("sitemap_loc") != ""))
+            .drop("__is"))

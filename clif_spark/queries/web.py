@@ -627,7 +627,18 @@ def _robots_txt_col():
         F.lit("Disallow: /articles/25\n"),
         F.lit("Allow: /articles/2\n"),
         F.lit("Disallow: /cgi-bin/\n"),
-        F.lit("Disallow:"))
+        F.lit("Disallow:\n"),
+        # Sitemap: discovery lines (group-INDEPENDENT per sitemaps.org;
+        # the rules/delay parsers must keep ignoring them — any leak
+        # into a prefix rule flips those rows' hashes). The second line
+        # pins case-insensitive directive matching AND the cross-host
+        # flag; same-k cdn hosts mirror the link-graph fixture.
+        F.lit("Sitemap: https://"), F.col("source"),
+        F.lit(".example.com/sm/articles.xml\n"),
+        F.when(k % 2 == 0,
+               F.concat(F.lit("SITEMAP: https://cdn"), ks,
+                        F.lit(".example.com/shared/Sitemap.xml")))
+         .otherwise(F.lit("")))
 
 
 _ROBOTS_TXT_SQL = (
@@ -643,7 +654,12 @@ _ROBOTS_TXT_SQL = (
     "'Disallow: /articles/25' || chr(10) || "
     "'Allow: /articles/2' || chr(10) || "
     "'Disallow: /cgi-bin/' || chr(10) || "
-    "'Disallow:'")
+    "'Disallow:' || chr(10) || "
+    "'Sitemap: https://' || source || '.example.com/sm/articles.xml'"
+    " || chr(10) || "
+    f"(CASE WHEN CAST({_ROBOTS_K_SQL} AS INT) % 2 = 0 THEN "
+    f"'SITEMAP: https://cdn' || {_ROBOTS_K_SQL} || "
+    "'.example.com/shared/Sitemap.xml' ELSE '' END)")
 
 
 # Shared robots-rules CTE chain (srcs -> robots -> ... -> hostrules),
@@ -2619,3 +2635,57 @@ def web_cdx_point_lookup(spark, sf_dir):
         F.col("payload").cast("string").alias("text"),
         F.col("file_id").cast("long").alias("file_id"),
         "record_offset")
+
+
+# --- D7c: Sitemap: discovery from robots.txt ------------------------------
+
+
+@query(
+    "web_robots_sitemap_discovery",
+    oracle=f"""
+    WITH smsrcs AS (SELECT DISTINCT source FROM documents),
+    smrobots AS (
+      SELECT source || '.example.com' AS host, {_ROBOTS_TXT_SQL} AS txt
+      FROM smsrcs),
+    smlines AS (
+      SELECT host, trim(regexp_replace(regexp_replace(
+        unnest(string_split(txt, chr(10))), chr(13), ''),
+        '#.*$', '')) AS raw
+      FROM smrobots),
+    smfound AS (
+      SELECT host, trim(raw[9:]) AS sitemap_loc
+      FROM smlines
+      WHERE starts_with(lower(raw), 'sitemap:')
+        AND trim(raw[9:]) <> '')
+    SELECT host, sitemap_loc,
+           lower(regexp_extract(sitemap_loc,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) <> host
+             AS cross_host
+    FROM smfound
+    """,
+)
+def web_robots_sitemap_discovery(spark, sf_dir):
+    """D7c (engine ext.): ``Sitemap:`` discovery — the robots.txt
+    directive that closes the governance chain into seeding
+    (robots.txt names the sitemaps; the sitemap/index rows parse them;
+    the frontier schedules the seeds). Group-independent per
+    sitemaps.org, so the parse is deliberately OUTSIDE the
+    agent-group machinery — and outside its line-lowercasing, which
+    would corrupt the case-sensitive URL (the planted
+    ``/shared/Sitemap.xml`` pins the case survival; the uppercase
+    ``SITEMAP:`` line pins case-insensitive directive matching; the
+    cdn-hosted line pins the cross-host FLAG — legal per protocol,
+    policy decides trust). The rules/delay parsers must keep IGNORING
+    these lines — a leak into a prefix rule flips the precedence rows'
+    hashes, which re-gate beside this row.
+
+    Shape: host-count sized (one body per host), line explode + narrow
+    projection, zero Python, zero corpus-keyed exchanges beyond the
+    source distinct."""
+    from clif_spark.functions import robots as robotsfn
+
+    d = io.load_table(spark, sf_dir, "documents")
+    robots = d.select("source").distinct().select(
+        F.concat("source", F.lit(".example.com")).alias("host"),
+        _robots_txt_col().alias("robots_txt"))
+    return robotsfn.robots_sitemaps(robots)
