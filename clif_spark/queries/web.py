@@ -1584,10 +1584,13 @@ def warc_record_pairing(spark, sf_dir):
 # The resolver fixtures (RFC 3986 §5 reference resolution,
 # functions/url.py), each observable in the (dst_host, n_links,
 # n_urls) hash:
-#   https://src{..}/dot/../p/{m}  absolute WITH dot segments — §5.2.2
-#                        applies to the absolute branch too (r12): must
-#                        collapse to /p/{m}; a passthrough keeps
-#                        /dot/../ and flips n_urls
+#   https://src{..}/dot/../p/{m}  (every n%4==0 source) absolute WITH
+#                        dot segments — §5.2.2 applies to the absolute
+#                        branch too (r12): must collapse to /p/{m}; a
+#                        passthrough keeps /dot/../ and flips n_urls.
+#                        Subset-planted so the fixture keeps a
+#                        clean-href majority (the collapse fast-path
+#                        gate stays representative at measured scale)
 #   ../up/{m}            relative with dot-dot -> /a/up/{m} (self
 #                        edge); on empty-base docs the §5.3 merge makes
 #                        it /up/{m} (a bare concat would yield a
@@ -1597,8 +1600,11 @@ def warc_record_pairing(spark, sf_dir):
 #                        the n_urls distinct-URL count pins the
 #                        collapse (a non-popping `..` would double it)
 #   ./sub/{m}?id={m}     dot-segment + directory splice, query kept
-#   //cdn{n%5}.example.com/dl/../x   protocol-relative -> base scheme,
-#                        dot segments collapsed (-> /x)
+#   //cdn{n%5}.example.com/dl/../x   (every n%2==0 source)
+#                        protocol-relative -> base scheme, dot
+#                        segments collapsed (-> /x; odd sources link
+#                        /x directly — same URL either way iff the
+#                        collapse works)
 #   mailto: / ?q=1       non-hierarchical -> dropped
 # Out-degrees land at 3-5 with cdn hosts as dangling sinks — real
 # structure for PageRank to converge on.
@@ -1608,7 +1614,8 @@ _M_SQL = "CAST(doc_id % 40 AS VARCHAR)"
 _LINK_PAGE_SQL = (
     "'<html><body><a href=\"https://src' || "
     f"CAST(({_SRC_N} + 1) % 20 AS VARCHAR) || "
-    f"'.example.com/dot/../p/' || {_M_SQL} || '\">n</a>' || "
+    f"'.example.com' || (CASE WHEN {_SRC_N} % 4 = 0 THEN '/dot/..' "
+    f"ELSE '' END) || '/p/' || {_M_SQL} || '\">n</a>' || "
     f"(CASE WHEN {_SRC_N} % 3 = 0 THEN "
     f"'<a href=\"/local/' || {_M_SQL} || '\">s</a>' "
     "ELSE '' END) || "
@@ -1618,7 +1625,8 @@ _LINK_PAGE_SQL = (
     "ELSE '' END) || "
     f"'<a href=\"./sub/' || {_M_SQL} || '?id=' || {_M_SQL} || '\">w</a>' || "
     f"'<a href=\"//cdn' || CAST({_SRC_N} % 5 AS VARCHAR) || "
-    "'.example.com/dl/../x\">c</a>' || "
+    f"'.example.com' || (CASE WHEN {_SRC_N} % 2 = 0 THEN '/dl/..' "
+    "ELSE '' END) || '/x\">c</a>' || "
     "'<a href=\"mailto:x@y\">m</a><a href=\"?q=1\">q</a>'"
     " || '</body></html>'")
 
@@ -1629,7 +1637,9 @@ def _link_page_col():
     return F.concat(
         F.lit('<html><body><a href="https://src'),
         ((n + 1) % 20).cast("string"),
-        F.lit(".example.com/dot/../p/"), m, F.lit('">n</a>'),
+        F.lit(".example.com"),
+        F.when(n % 4 == 0, F.lit("/dot/..")).otherwise(F.lit("")),
+        F.lit("/p/"), m, F.lit('">n</a>'),
         F.when(n % 3 == 0,
                F.concat(F.lit('<a href="/local/'), m, F.lit('">s</a>')))
          .otherwise(F.lit("")),
@@ -1639,7 +1649,9 @@ def _link_page_col():
                         F.lit('">v</a>'))).otherwise(F.lit("")),
         F.lit('<a href="./sub/'), m, F.lit("?id="), m, F.lit('">w</a>'),
         F.lit('<a href="//cdn'), (n % 5).cast("string"),
-        F.lit('.example.com/dl/../x">c</a>'),
+        F.lit(".example.com"),
+        F.when(n % 2 == 0, F.lit("/dl/..")).otherwise(F.lit("")),
+        F.lit('/x">c</a>'),
         F.lit('<a href="mailto:x@y">m</a><a href="?q=1">q</a>'),
         F.lit("</body></html>"))
 
