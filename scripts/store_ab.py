@@ -1,0 +1,146 @@
+"""Write-amplification A/B across the engine's three store forms — the
+measurement behind the LSM store's existence claim (BASELINE.md r12):
+apply the SAME K keys-spray-everywhere deliveries through
+
+  - the copy-on-write CDC snapshot   (upsert_cdc_snapshot: O(store)/delivery)
+  - the partitioned snapshot store   (upsert_partitioned_snapshot:
+    O(touched partitions)/delivery — degrades to O(store) when every
+    delivery touches every partition, the high-churn shape)
+  - the LSM segment store            (append_lsm_segment: O(delivery))
+
+and report per-form: seconds for the delivery sequence, total bytes
+written to disk across the sequence (the write amplification), and the
+final read time. Deliveries are doc-count sized with keys uniformly
+spread (doc_id % 9973), i.e. the keep-best-document-per-URL churn shape
+every recrawl feed has.
+
+The sequence is one SEEDING delivery (every key — the standing store)
+followed by n small spray deliveries (~1% of keys each, uniformly
+spread across the key space and hence across every partition): the
+recrawl shape where the store is large and each delivery is small but
+touches everything. Partition column is a pure function of the key
+(k % 8) — the table-format constraint all three forms share.
+
+Usage: python scripts/store_ab.py <sf_dir> [n_spray_deliveries]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from clif_spark import io, streaming as STR  # noqa: E402
+from clif_spark.session import build_session  # noqa: E402
+
+
+def file_map(root: str) -> dict[str, int]:
+    out: dict[str, int] = {}
+    if not os.path.exists(root):
+        return out
+    for dp, _, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dp, f)
+            try:
+                out[p] = os.path.getsize(p)
+            except OSError:
+                pass
+    return out
+
+
+def new_bytes(before: dict[str, int], root: str) -> int:
+    """Bytes of files CREATED since ``before`` — the physical write
+    cost. Growth alone under-counts dynamic partition overwrite (it
+    replaces files in place); Spark part-files carry fresh job UUIDs
+    per write, so new-name bytes = bytes written."""
+    return sum(sz for p, sz in file_map(root).items() if p not in before)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    k_deliveries = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    spark = build_session(master=f"local[{os.cpu_count()}]")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    d = io.load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def delivery(i: int):
+        # i=0 seeds EVERY key; i>=1 sprays ~1% of keys uniformly
+        base = d if i == 0 else d.filter(did % 97 == i)
+        return (base.select(did.alias("k"),
+                            did.alias("best_doc"),
+                            (F.col("n_chars") + i).cast("long")
+                             .alias("score"),
+                            F.lit(False).alias("is_delete"),
+                            (did % 8).cast("long").alias("part")))
+
+    import tempfile
+
+    results = {}
+
+    # --- CoW CDC snapshot ---
+    root = tempfile.mkdtemp(prefix="ab_cow_") + "/s"
+    t0 = time.perf_counter()
+    written = 0
+    for i in range(k_deliveries + 1):
+        before = file_map(root)
+        STR.upsert_cdc_snapshot(delivery(i), root, ["k"],
+                                ["score", "best_doc"])
+        written += new_bytes(before, root)
+    t_apply = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n = STR.read_cdc_snapshot(spark, root).count()
+    results["cow_snapshot"] = {"apply_s": round(t_apply, 2),
+                               "bytes_written": written,
+                               "read_s": round(time.perf_counter() - t0, 2),
+                               "rows": n}
+
+    # --- partitioned store (8 hash partitions; churn touches all) ---
+    root = tempfile.mkdtemp(prefix="ab_part_") + "/s"
+    t0 = time.perf_counter()
+    written = 0
+    for i in range(k_deliveries + 1):
+        before = file_map(root)
+        STR.upsert_partitioned_snapshot(delivery(i), root, ["k"],
+                                        ["score", "best_doc"], "part")
+        written += new_bytes(before, root)
+    t_apply = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n = STR.read_partitioned_snapshot(spark, root).count()
+    results["partitioned"] = {"apply_s": round(t_apply, 2),
+                              "bytes_written": written,
+                              "read_s": round(time.perf_counter() - t0, 2),
+                              "rows": n}
+
+    # --- LSM segment store ---
+    root = tempfile.mkdtemp(prefix="ab_lsm_") + "/s"
+    t0 = time.perf_counter()
+    written = 0
+    for i in range(k_deliveries + 1):
+        before = file_map(root)
+        STR.append_lsm_segment(delivery(i), root, i + 1)
+        written += new_bytes(before, root)
+    t_apply = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n = STR.read_lsm(spark, root, ["k"], ["score", "best_doc"]).count()
+    t_read = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    before = file_map(root)
+    STR.compact_lsm(spark, root, ["k"], ["score", "best_doc"])
+    results["lsm"] = {"apply_s": round(t_apply, 2),
+                      "bytes_written": written,
+                      "read_s": round(t_read, 2), "rows": n,
+                      "compact_s": round(time.perf_counter() - t0, 2),
+                      "compact_bytes": new_bytes(before, root)}
+
+    import json
+    print(json.dumps({"sf_dir": sf_dir, "deliveries": k_deliveries,
+                      **results}))
+
+
+if __name__ == "__main__":
+    main()
