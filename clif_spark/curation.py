@@ -98,6 +98,73 @@ def html_to_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(out, r"\s+", " "))
 
 
+#: Block-boundary tags for the main-content extractor: a page splits
+#: into candidate text blocks at these (the jusText/boilerpipe block
+#: grain). Shared with the DuckDB oracle mirror.
+MAIN_BLOCK_SPLIT_RE = (
+    r"(?is)</?(p|div|section|article|aside|nav|header|footer|ul|ol|li"
+    r"|h[1-6]|table|tr|td|th|br)\b[^>]*>")
+
+MAIN_MIN_BLOCK_CHARS = 30
+#: link_density above this marks a block as boilerplate (navigation,
+#: footers, related-links rails are anchor-dominated; body prose is not)
+MAIN_MAX_LINK_DENSITY_PCT = 33
+
+
+def _block_visible(x: Column) -> Column:
+    """Visible text of one block: script/style/comment removal happened
+    page-level before the split; here inline tags drop, entities decode,
+    whitespace collapses — html_to_text's tail, per block."""
+    out = F.regexp_replace(x, r"<[^>]+>", " ")
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def extract_main_content(col: Column) -> Column:
+    """HTML -> MAIN-content text by block link-density classification —
+    the boilerplate-removal step between raw extraction and quality
+    scoring (jusText / boilerpipe's core heuristic, rule-based like
+    everything in this module: navigation, footers, and related-links
+    rails are anchor-dominated; body prose is not). ``html_to_text``
+    keeps every visible character including nav/footer chrome; THIS
+    keeps only blocks that read like content:
+
+    1. script/style/comment content drops page-level (never text);
+    2. the page splits into candidate blocks at block-level tag
+       boundaries (MAIN_BLOCK_SPLIT_RE);
+    3. per block: visible text, anchor-enclosed visible text, and the
+       integer-percent link density len(anchor_text)*100/len(text);
+    4. blocks survive with >= MAIN_MIN_BLOCK_CHARS visible chars AND
+       link density <= MAIN_MAX_LINK_DENSITY_PCT; survivors join with
+       one space.
+
+    Density is INTEGER percent (floor division both engines) so the
+    gate is bit-exact — no float ratio crosses the oracle boundary.
+    Pure Catalyst: page-level regexp passes + one split + one
+    higher-order filter/transform; fused, shuffle-free, linear per
+    page. DuckDB mirror beside the gated row (queries/web.py
+    text_main_content) — keep rule-for-rule in sync."""
+    page = col
+    for pat, repl in HTML_STRIP_STEPS[:3]:  # script / style / comments
+        page = F.regexp_replace(page, pat, repl)
+    blocks = F.split(page, MAIN_BLOCK_SPLIT_RE)
+    kept = F.filter(blocks, _main_block_keeps)
+    return F.array_join(F.transform(kept, _block_visible), " ")
+
+
+def _main_block_keeps(x: Column) -> Column:
+    """The per-block survival predicate (module-level so gated rows can
+    count kept blocks with the identical rule)."""
+    vis = _block_visible(x)
+    atext = _block_visible(F.array_join(F.regexp_extract_all(
+        x, F.lit(r"(?is)<a\b[^>]*>(.*?)</a>"), F.lit(1)), " "))
+    density = F.floor(F.length(atext) * 100 /
+                      F.greatest(F.length(vis), F.lit(1)))
+    return ((F.length(vis) >= MAIN_MIN_BLOCK_CHARS)
+            & (density <= MAIN_MAX_LINK_DENSITY_PCT))
+
+
 def tfidf_top_terms(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", k: int = 3) -> DataFrame:
     """Top-k salient terms per document by TF-IDF.

@@ -370,7 +370,8 @@ _VERIFY_FIRST_R12 = [
     # CDX capture index, the two-level sitemap index, and the LSM
     # keep-best store (its stream twin sits at the stream tail) ---
     "web_cdx_index", "web_cdx_point_lookup", "web_sitemap_index",
-    "web_robots_sitemap_discovery", "u12_lsm_keep_best",
+    "web_robots_sitemap_discovery", "text_main_content",
+    "u12_lsm_keep_best",
     # --- changed-code re-gates: the RFC 3986 resolver fixes (§5.3
     # empty-base merge + collapse on absolute/protocol-relative
     # branches) rewrote the link fixtures feeding the D5 rows and the
@@ -395,8 +396,6 @@ _VERIFY_FIRST_R12 = [
     "sample_split_assign", "text_sentence_chunks", "w4_rank_lag",
     "w5_moving_avg", "w6_sessionize_gap", "w7_session_window_native",
     "w8_tumbling_window", "w9_ntile_percent_rank",
-    # --- oldest refreshes (r8-latest), name order, filling to 50 ---
-    "a12_approx_distinct_bound",
     # --- streams at the tail (multi-second startup each): the new LSM
     # stream twin, the pct-changed funnel stream, and the five
     # r7-latest streams from the due list ---
@@ -405,14 +404,15 @@ _VERIFY_FIRST_R12 = [
     "stream_stateful_user_stats", "stream_static_enrich",
     "stream_video_demux",
 ]
-# Exactly 50: 6 never-gated (web_cdx_index, web_cdx_point_lookup,
-# web_sitemap_index, web_robots_sitemap_discovery, u12_lsm_keep_best,
-# stream_lsm_keep_best) + 15 changed-code re-gates (14 batch +
-# stream_crawl_corpus) + 28 due (23 batch + 5 r7 streams) + 1 r8
-# refresh (a12; a13/a14 pre-empted by this round's registrations).
-# After this gate no oracle row's latest green predates r8; the r13
-# due list = a13 + a14 + the remaining 45 r8-latest rows,
-# oldest-first.
+# Exactly 50: 7 never-gated (web_cdx_index, web_cdx_point_lookup,
+# web_sitemap_index, web_robots_sitemap_discovery, text_main_content,
+# u12_lsm_keep_best, stream_lsm_keep_best) + 15 changed-code re-gates
+# (14 batch + stream_crawl_corpus) + 28 due (23 batch + 5 r7
+# streams). The three r8 refresh fills (a12/a13/a14) were all
+# pre-empted by this round's registrations (new operators get a
+# driver row before any refresh does) — they lead the r13 due list
+# with the remaining r8-latest cohort, oldest-first. After this gate
+# no oracle row's latest green predates r8.
 _VERIFY_FIRST = _VERIFY_FIRST_R12
 
 # Rows-only queries (dedup_semantic, ann_ivf_trained_topk,

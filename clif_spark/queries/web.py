@@ -2701,3 +2701,122 @@ def web_robots_sitemap_discovery(spark, sf_dir):
         F.concat("source", F.lit(".example.com")).alias("host"),
         _robots_txt_col().alias("robots_txt"))
     return robotsfn.robots_sitemaps(robots)
+
+
+# --- F17b: main-content extraction (block link-density boilerplate cut) ---
+
+
+def _sql_block_visible(e: str) -> str:
+    """DuckDB mirror of curation._block_visible: inline tags -> space,
+    entity decode (&amp; LAST), whitespace collapse + trim."""
+    out = f"regexp_replace({e}, '<[^>]+>', ' ', 'g')"
+    for ent, ch in curation.HTML_ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{ch_sql}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+_MAIN_PAGE_SQL = (
+    "'<html><head><style>nav{color:red}</style>"
+    "<script>var x = \"<a href=junk>decoy</a>\";</script></head><body>"
+    "<nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a> "
+    "<a href=\"/contact\">Contact page</a></nav>"
+    "<div class=\"ad\">Ad</div>"
+    "<p>' || substr(text, 1, 120) || ' article body paragraph number ' "
+    "|| CAST(doc_id % 40 AS VARCHAR) || "
+    "' with one inline <a href=\"/ref\">reference</a> citation "
+    "kept as content.</p>"
+    "<p>Second short but sufficient prose block for doc ' || "
+    "CAST(doc_id AS VARCHAR) || ' here.</p>"
+    "<footer><a href=\"/tos\">Terms of service</a> "
+    "<a href=\"/privacy\">Privacy policy</a> (c) corp</footer>"
+    "</body></html>'")
+
+
+def _main_page_col():
+    return F.concat(
+        F.lit('<html><head><style>nav{color:red}</style>'
+              '<script>var x = "<a href=junk>decoy</a>";</script>'
+              '</head><body>'
+              '<nav><a href="/">Home</a> <a href="/about">About us</a> '
+              '<a href="/contact">Contact page</a></nav>'
+              '<div class="ad">Ad</div><p>'),
+        F.substring(F.col("text"), 1, 120),
+        F.lit(" article body paragraph number "),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit(' with one inline <a href="/ref">reference</a> citation '
+              "kept as content.</p><p>Second short but sufficient prose "
+              "block for doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" here.</p>"
+              '<footer><a href="/tos">Terms of service</a> '
+              '<a href="/privacy">Privacy policy</a> (c) corp</footer>'
+              "</body></html>"))
+
+
+def _main_content_oracle() -> str:
+    vis = _sql_block_visible("b")
+    # coalesce: DuckDB's array_to_string of an EMPTY list is NULL
+    # (Spark's array_join is '') — an anchor-FREE block would
+    # NULL-propagate through the density and silently drop
+    atext_src = ("coalesce(array_to_string(regexp_extract_all(b, "
+                 "'(?is)<a\\b[^>]*>(.*?)</a>', 1), ' '), '')")
+    avis = _sql_block_visible(atext_src)
+    keep = (f"length({vis}) >= {curation.MAIN_MIN_BLOCK_CHARS} "
+            f"AND floor(length({avis}) * 100 / "
+            f"greatest(length({vis}), 1)) "
+            f"<= {curation.MAIN_MAX_LINK_DENSITY_PCT}")
+    return f"""
+    WITH mp AS (
+      SELECT doc_id, {_MAIN_PAGE_SQL} AS page FROM documents),
+    stripped AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(page,
+          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g') AS page
+      FROM mp),
+    blocks AS (
+      SELECT doc_id, list_filter(string_split_regex(page,
+        '{curation.MAIN_BLOCK_SPLIT_RE}'), b -> {keep}) AS kept
+      FROM stripped)
+    SELECT doc_id,
+           array_to_string(list_transform(kept,
+             b -> {vis}), ' ') AS main_text,
+           CAST(len(kept) AS BIGINT) AS n_blocks
+    FROM blocks
+    """
+
+
+@query("text_main_content", oracle=_main_content_oracle())
+def text_main_content(spark, sf_dir):
+    """F17b (engine ext.): MAIN-content extraction — block-level
+    boilerplate removal by link density (jusText/boilerpipe's core
+    heuristic), the step a real pretraining pipeline runs where
+    ``text_html_extract`` keeps every visible character: the planted
+    page's nav (anchor-only), footer (anchor-dominated), and
+    too-short ad div must all drop while both prose paragraphs —
+    including the INLINE reference link's text, which is content —
+    survive. Density is integer percent so the classification is
+    bit-exact across engines; the script decoy plants an ``<a>`` tag
+    inside executable content that page-level script-stripping must
+    remove BEFORE the block split (a leak shows up as a phantom
+    block).
+
+    Shape: page-level regexp passes + one split + one higher-order
+    filter/transform — fused, shuffle-free, linear per page; the
+    same zero-exchange class as text_html_extract."""
+    d = io.load_table(spark, sf_dir, "documents")
+    page = _main_page_col()
+    main = curation.extract_main_content(page)
+    blocks_kept = F.size(F.filter(
+        F.split(
+            F.regexp_replace(F.regexp_replace(F.regexp_replace(
+                page, curation.HTML_STRIP_STEPS[0][0], " "),
+                curation.HTML_STRIP_STEPS[1][0], " "),
+                curation.HTML_STRIP_STEPS[2][0], " "),
+            curation.MAIN_BLOCK_SPLIT_RE),
+        curation._main_block_keeps))
+    return d.select(
+        "doc_id", main.alias("main_text"),
+        blocks_kept.cast("long").alias("n_blocks"))

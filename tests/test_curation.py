@@ -1052,3 +1052,38 @@ def test_url_canonicalize_randomized_vs_reference(spark):
     expected = [ref_canon(u) for u in urls]
     mism = [(u, g, e) for u, g, e in zip(urls, got, expected) if g != e]
     assert not mism, mism[:5]
+
+
+def test_extract_main_content_block_classification(spark):
+    """curation.extract_main_content: nav/footer (anchor-dominated)
+    and short blocks drop; prose blocks keep, INCLUDING inline anchor
+    text (content, not chrome); a script-body <a> decoy must be
+    removed page-level before the block split; entities decode in the
+    kept text; density boundary is integer percent."""
+    from pyspark.sql import functions as F
+
+    from clif_spark import curation
+
+    prose = ("This is a long enough paragraph of body prose that "
+             "easily clears the minimum block length threshold.")
+    page = (
+        '<html><head><script>var x = "<a href=j>ghost</a>";</script>'
+        "</head><body>"
+        '<nav><a href="/">Home</a> <a href="/a">About page</a> '
+        '<a href="/c">Contact link</a></nav>'
+        "<div>tiny</div>"
+        f"<p>{prose} With an inline <a href=\"/r\">anchor text</a> "
+        "and an entity: a &amp; b.</p>"
+        '<footer><a href="/t">Terms of service text</a> '
+        '<a href="/p">Privacy policy text</a> (c)</footer>'
+        "</body></html>")
+    df = spark.createDataFrame([(page,)], ["html"])
+    out = df.select(curation.extract_main_content(
+        F.col("html")).alias("m")).collect()[0].m
+    assert prose in out
+    assert "anchor text" in out          # inline link text is content
+    assert "a & b." in out               # entity decoded
+    assert "ghost" not in out            # script decoy never a block
+    assert "Home" not in out             # nav dropped
+    assert "Privacy policy" not in out   # footer dropped
+    assert "tiny" not in out             # under min block chars
