@@ -858,6 +858,10 @@ def test_robots_parser_randomized_vs_reference(spark):
                 p = rng.choice(paths)
                 cmt = "  # inline" if rng.random() < 0.2 else ""
                 lines.append(f"{kind}: {p}{cmt}")
+            # Sitemap: discovery lines may appear ANYWHERE (r12) — the
+            # rules parser must ignore them wherever they land
+            if rng.random() < 0.3:
+                lines.append(f"Sitemap: https://cdn.example/s{_}.xml")
             if rng.random() < 0.5:
                 lines.append("")
         sep = "\r\n" if i % 3 == 0 else "\n"

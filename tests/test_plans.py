@@ -709,3 +709,39 @@ def test_sitemap_index_host_sized_no_python(spark):
              if "FileScan parquet" in ln and "documents" in ln]
     assert len(scans) == 1, scans
     assert "ReadSchema: struct<source:string>" in plan
+
+
+def test_lsm_read_single_exchange_no_python(spark):
+    """read_lsm: the segment union must collapse into parallel scan
+    legs feeding ONE hash exchange on the key (the same shuffle any
+    keep-best pays) — no Python nodes, no joins, no second exchange."""
+    import tempfile
+
+    from clif_spark import streaming
+
+    root = tempfile.mkdtemp(prefix="clif_lsm_plan_") + "/s"
+    for v in (1, 2, 3):
+        df = spark.createDataFrame(
+            [(v, v * 10, False)], "k long, score long, is_delete boolean")
+        streaming.append_lsm_segment(df, root, v)
+    plan = (streaming.read_lsm(spark, root, ["k"], ["score"])
+            ._jdf.queryExecution().executedPlan().toString())
+    for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+                 "SortMergeJoin", "BroadcastHashJoin",
+                 "CartesianProduct"):
+        assert node not in plan
+    # one shuffle for the keep-best window, nothing else
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_cdx_point_lookup_prunes_and_groups(spark):
+    """web_cdx_point_lookup: ONE corpus-side documents scan feeds the
+    shard build; the lookup set reaches the blobs through a grouped
+    join (collect_list aggregation), and the only Python nodes are the
+    WARC container boundary (assembly/parse/slice-read) — no
+    row-at-a-time eval nodes."""
+    plan = plan_of(spark, "web_cdx_point_lookup")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "collect_list" in plan  # lookups grouped per shard
