@@ -274,3 +274,76 @@ def with_audit(df: DataFrame, name: str, **metrics: Column):
     obs = Observation(name)
     exprs = [v.alias(k) for k, v in metrics.items()]
     return df.observe(obs, *exprs), obs
+
+
+def global_sorted_index(df: DataFrame, order: Sequence[str | Column],
+                        index_col: str = "global_rank",
+                        num_partitions: int | None = None) -> DataFrame:
+    """O5 (engine ext.): dense GLOBAL rank (0..N-1) by a total order —
+    the scalable form of ``row_number() OVER (ORDER BY ...)``, whose
+    naive window is a single-task global sort. This is the primitive
+    behind every fixed-size sorted artifact (real CDX shards are
+    "global sort, then cut every 3M lines"; TFRecord/shard manifests
+    are the same shape): block id = rank // block_size afterwards.
+
+    How it scales (and why each piece is there):
+    - ``repartitionByRange(order)`` + ``sortWithinPartitions``: the
+      one real exchange; partitions are contiguous, even-sized key
+      ranges (sampled boundaries);
+    - ``localCheckpoint(eager)``: MATERIALIZES the partitioning before
+      anything reads it twice — the offsets pass and the stamping pass
+      must see byte-identical partition assignment, and a re-executed
+      range exchange may RESAMPLE boundaries (correctness, not just
+      determinism: stale offsets would mis-rank silently). At scale
+      this is the write-then-index discipline — you were going to
+      materialize the sorted artifact anyway;
+    - per-partition counts: one partition-count-sized collect (the
+      offsets), broadcast back;
+    - one narrow Arrow pass stamps ``offset[pid] + arange(rows)`` —
+      vectorized, no shuffle, no per-row Python (the documented
+      mapInArrow boundary). The pure-Catalyst alternative (window over
+      spark_partition_id + broadcast-join offsets) pays a SECOND full
+      shuffle on pid; the arrow stamp is why this form wins at 100 TB.
+
+    The (row -> rank) mapping is partition-independent — a total order
+    (callers must include a unique tiebreaker, SURVEY §7.4.1) fully
+    determines every rank — so the result is exact and the oracle gate
+    can hash it."""
+    spark = df.sparkSession
+    n = num_partitions or max(
+        2, spark.sparkContext.defaultParallelism)
+    cols = [F.col(c) if isinstance(c, str) else c for c in order]
+    rp = (df.repartitionByRange(n, *cols)
+            .sortWithinPartitions(*cols)
+            .localCheckpoint(eager=True))
+    counts = (rp.select(F.spark_partition_id().alias("__pid"))
+                .groupBy("__pid").count().collect())
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[int(r["__pid"])] = acc
+        acc += int(r["count"])
+    boff = spark.sparkContext.broadcast(offsets)
+    # a COPY: StructType.add mutates in place, which would graft the
+    # index column onto the input DataFrame's own schema object
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(rp.schema.fields)
+        + [T.StructField(index_col, T.LongType())])
+
+    def stamp(batches):
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = boff.value.get(pid, 0)
+        seen = 0
+        for b in batches:
+            idx = pa.array(
+                range(base + seen, base + seen + b.num_rows),
+                type=pa.int64())
+            seen += b.num_rows
+            yield b.append_column(index_col, idx)
+
+    return rp.mapInArrow(stamp, out_schema)

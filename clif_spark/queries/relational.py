@@ -1358,3 +1358,36 @@ def io_orc_roundtrip(spark, sf_dir):
                    sort_within_partitions=["doc_id"])
     return (spark.read.orc(out)
             .select("doc_id", "text", "lang", "source", "n_chars"))
+
+
+@query(
+    "o5_global_sorted_index",
+    oracle="""
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1
+                AS BIGINT) AS global_rank,
+           CAST((row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1)
+                // 100 AS BIGINT) AS shard
+    FROM documents
+    """,
+)
+def o5_global_sorted_index(spark, sf_dir):
+    """O5 (engine ext.): dense global rank by a total order at scale —
+    ``core.global_sorted_index`` (range exchange + materialized
+    partitioning + offset collect + one narrow Arrow stamp) against
+    the naive single-task window the oracle runs. The fixed-size shard
+    cut (rank // 100) on top is the real-artifact shape: CDX files,
+    TFRecord shards, and every "global sort, cut every N lines"
+    manifest are exactly this. The (row -> rank) mapping is fully
+    determined by the total order (n_chars desc, doc_id tiebreak), so
+    the gate hashes it exactly — partitioning choices cannot leak into
+    the answer, only into the speed."""
+    from clif_spark.operators import core
+
+    d = io.load_table(spark, sf_dir, "documents")
+    idx = core.global_sorted_index(
+        d.select("doc_id", F.col("n_chars").cast("long").alias("n_chars")),
+        [F.col("n_chars").desc(), F.col("doc_id").asc()])
+    return idx.select(
+        "doc_id", "n_chars", "global_rank",
+        F.floor(F.col("global_rank") / 100).cast("long").alias("shard"))
