@@ -2788,7 +2788,8 @@ def _main_content_oracle() -> str:
     """
 
 
-@query("text_main_content", oracle=_main_content_oracle())
+@query("text_main_content", oracle=_main_content_oracle(),
+       headline=True)
 def text_main_content(spark, sf_dir):
     """F17b (engine ext.): MAIN-content extraction — block-level
     boilerplate removal by link density (jusText/boilerpipe's core
