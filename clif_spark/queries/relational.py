@@ -1300,14 +1300,17 @@ def u12_lsm_keep_best(spark, sf_dir):
     at read, with compaction bounding the segment count.
 
     The gated sequence exercises the whole contract: deliveries 1 and
-    3 land, then 2 arrives OUT of order (merge is by order, not apply
-    order), a full compaction folds the three segments into one base
-    (tombstones dropped — all deliveries at or below the fold are in),
-    a redelivery of 3 is skipped off the folded ledger, and delivery 4
+    3 land; a PARTIAL fold (keep_recent=1, contract-free — delivery 2
+    is still outstanding and tombstones are retained) folds the oldest
+    segment; then 2 arrives OUT of order BELOW the partial fold's max
+    folded version (legal — only a FULL fold's tombstone-drop horizon
+    gates appends); a full compaction folds everything into one base
+    (tombstones dropped — all deliveries at or below the fold are in);
+    a redelivery of 3 is skipped off the folded ledger; and delivery 4
     lands post-compaction (its order ties resolve against the base's
     preserved __seg stamps). The read must equal ONE global keep-best
-    SQL over all four deliveries — compaction invariance is the
-    oracle, not just a unit pin.
+    SQL over all four deliveries — BOTH compaction forms' invariance
+    is the oracle, not just a unit pin.
 
     100 TB: each append writes delivery-sized parquet, nothing else;
     the read is segment-parallel scan + one hash exchange on the key
@@ -1322,7 +1325,9 @@ def u12_lsm_keep_best(spark, sf_dir):
     order = ["score", "best_doc"]
     STR.append_lsm_segment(dv[1], root, 1)
     STR.append_lsm_segment(dv[3], root, 3)
-    STR.append_lsm_segment(dv[2], root, 2)
+    # contract-free partial fold with delivery 2 still outstanding
+    STR.compact_lsm(spark, root, ["k"], order, keep_recent=1)
+    STR.append_lsm_segment(dv[2], root, 2)  # below max(folded): legal
     STR.compact_lsm(spark, root, ["k"], order)
     STR.append_lsm_segment(dv[3], root, 3)  # folded redelivery: skip
     STR.append_lsm_segment(dv[4], root, 4)

@@ -889,12 +889,17 @@ def append_lsm_segment(batch_df: DataFrame, root: str, version: int,
       SKIPPED (returns None) — the segment IS the applied record;
     - a version already folded away by compaction is recognized from
       the store meta's folded list and skipped the same way;
-    - an UNKNOWN version at or below the compaction horizon RAISES:
-      compaction dropped tombstones under the "everything delivered up
-      to the dropped versions" contract, so a genuinely new old
+    - an UNKNOWN version at or below the TOMBSTONE-DROP horizon
+      (``dropped_through`` — advanced by FULL compactions only) RAISES:
+      the full fold dropped tombstones under the "everything delivered
+      up to the dropped versions" contract, so a genuinely new old
       delivery arriving now could resurrect tombstoned keys — loud
-      beats silent corruption (fold_agg_snapshot's reasoning).
-    Out-of-order versions ABOVE the horizon are fine — the merge is by
+      beats silent corruption (fold_agg_snapshot's reasoning). Below a
+      PARTIAL fold's horizon, unknown versions APPEND normally —
+      partial folds retain tombstones, so the order-based merge stays
+      correct for them (that is exactly why the partial form is
+      contract-free).
+    Out-of-order versions are otherwise fine — the merge is by
     ``order`` at read time, not by apply order (unlike the additive
     fold, which is why that one needs the strict ordinal guard and
     this one does not)."""
@@ -909,11 +914,12 @@ def append_lsm_segment(batch_df: DataFrame, root: str, version: int,
     if meta["ckpt"] == ckpt:
         if version in meta["folded"]:
             return None
-        if meta["folded"] and version <= max(meta["folded"]):
+        if version <= meta.get("dropped_through", 0):
             raise ValueError(
                 f"append_lsm_segment: version {version} is at or below "
-                f"the compaction horizon {max(meta['folded'])} for "
-                f"lineage '{lineage}' but was never applied — "
+                f"the tombstone-drop horizon "
+                f"{meta.get('dropped_through', 0)} for lineage "
+                f"'{lineage}' but was never applied — a full "
                 f"compaction already dropped tombstones up to that "
                 f"horizon, so appending it now could resurrect "
                 f"tombstoned keys. Fix the caller's ordinal "
@@ -950,50 +956,79 @@ def read_lsm(spark: SparkSession, root: str, keys: list[str],
 
 def compact_lsm(spark: SparkSession, root: str, keys: list[str],
                 order: list[str], tombstone_col: str = "is_delete",
-                lineage: str = "lsm") -> int:
-    """Fold every segment into one base segment, dropping masked rows
-    AND tombstones — after a full fold no older segment remains for a
-    tombstone to mask, so retaining it would only cost reads. Caller
-    contract (same as compact_cdc_snapshot): invoke once the feed has
-    delivered everything at or below the folded versions; the folded
-    list is recorded in the store meta so a late redelivery of a
-    folded version is skipped and an unknown below-horizon version
-    fails loud (append_lsm_segment). Winning rows KEEP their original
-    ``__seg`` stamps, so post-compaction ties against new segments
-    resolve exactly as they would have uncompacted — compaction is
-    invariant to the read (unit-pinned). Returns the number of
-    segments folded (0 = nothing to do; single-writer, like the whole
-    family).
+                lineage: str = "lsm", keep_recent: int = 0) -> int:
+    """Fold segments into one base segment, bounding read
+    amplification. Two forms, chosen by ``keep_recent``:
 
-    Cost: one merged read + one O(live keys) write, amortized over the
-    many O(delivery) appends it enables — the classic LSM schedule
-    (run it on segment-count or bytes thresholds; the threshold policy
-    belongs to the caller's scheduler, not the store)."""
+    - FULL (``keep_recent=0``, default): fold everything, dropping
+      masked rows AND tombstones — after a full fold no older segment
+      remains for a tombstone to mask, so retaining it would only cost
+      reads. Caller contract (same as compact_cdc_snapshot): invoke
+      once the feed has delivered everything at or below the folded
+      versions; the meta's ``dropped_through`` advances and
+      append_lsm_segment fails loud on unknown versions below it.
+    - PARTIAL (``keep_recent=K>0``): fold only the OLDEST segments,
+      leaving the K newest untouched; tombstone WINNERS are RETAINED
+      in the base (a still-unseen out-of-order delivery below the fold
+      must keep losing to them), so this form is CONTRACT-FREE — run
+      it on any schedule, with deliveries still in flight. This is the
+      leveled-compaction shape every production LSM runs between rare
+      full folds.
+
+    Both forms: winning rows KEEP their original ``__seg`` stamps, so
+    post-compaction ties against newer segments resolve exactly as
+    they would have uncompacted — compaction is invariant to the read
+    (unit-pinned, and the gated u12 row runs a mid-sequence partial
+    fold under the same global oracle). The folded version list is
+    recorded in the store meta so folded redeliveries skip. Returns
+    the number of segments folded (0 = nothing to fold; single-writer,
+    like the whole family).
+
+    Cost: one merged read over the folded set + one O(its live keys)
+    write, amortized over the many O(delivery) appends it enables —
+    the classic LSM schedule (thresholds belong to the caller's
+    scheduler, not the store)."""
     import json
     import os
     import shutil
 
     ckpt = _lsm_ckpt(lineage)
     segs = _lsm_segments(root, ckpt)
-    if not any(os.path.basename(s).startswith("seg-") for s in segs):
-        return 0  # empty store, or already just a base
+    seg_only = [s for s in segs
+                if os.path.basename(s).startswith("seg-")]
+    if keep_recent > 0:
+        # newest K seg- dirs stay; the existing base always folds
+        seg_only = sorted(
+            seg_only,
+            key=lambda s: int(os.path.basename(s).split("-")[1]))
+        keep = set(seg_only[len(seg_only) - keep_recent:]
+                   if keep_recent < len(seg_only) else seg_only)
+        fold = [s for s in segs if s not in keep]
+    else:
+        fold = segs
+    if not any(os.path.basename(s).startswith("seg-") for s in fold):
+        return 0  # nothing to fold (empty, just a base, or all kept)
     meta = _lsm_meta_read(root)
-    versions = [int(os.path.basename(s).split("-")[1]) for s in segs]
+    versions = [int(os.path.basename(s).split("-")[1]) for s in fold]
     from clif_spark.operators import windows as _w
 
-    merged = spark.read.parquet(*segs)
-    best = (_w.dedup_keep_last(merged, keys, list(order) + ["__seg"])
-            .filter(~F.col(tombstone_col)))
+    merged = spark.read.parquet(*fold)
+    best = _w.dedup_keep_last(merged, keys, list(order) + ["__seg"])
+    if keep_recent == 0:
+        best = best.filter(~F.col(tombstone_col))
     base = os.path.join(root, f"base-{max(versions):08d}-{ckpt}")
     # one pass: write the fold to a sibling tmp dir, THEN retire the
     # source segments and publish via rename — readers never observe a
     # half-folded store and the fold itself never re-reads its output
     tmp = base + ".tmp"
     best.write.mode("overwrite").parquet(tmp)
-    for s in segs:
+    for s in fold:
         shutil.rmtree(s)
     os.rename(tmp, base)
     folded = sorted(set(meta["folded"]) | set(versions))
+    dropped_through = (max(versions) if keep_recent == 0
+                       else meta.get("dropped_through", 0))
     with open(_lsm_meta_path(root), "w") as fh:
-        json.dump({"ckpt": ckpt, "folded": folded}, fh)
-    return len(segs)
+        json.dump({"ckpt": ckpt, "folded": folded,
+                   "dropped_through": dropped_through}, fh)
+    return len(fold)

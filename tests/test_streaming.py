@@ -673,10 +673,11 @@ def test_lsm_tombstone_masks_and_compaction_invariance(spark):
     names = sorted(os.listdir(os.path.dirname(root) + "/store"))
     assert sum(x.startswith("base-") for x in names) == 1
     assert not any(x.startswith("seg-") for x in names)
-    # folded redelivery: skip; unknown below-horizon: loud
+    # folded redelivery: skip; unknown below the FULL fold's
+    # tombstone-drop horizon: loud
     assert streaming.append_lsm_segment(
         _lsm_rows(spark, [(9, 1, "z", False)]), root, 3) is None
-    with pytest.raises(ValueError, match="compaction horizon"):
+    with pytest.raises(ValueError, match="tombstone-drop horizon"):
         streaming.append_lsm_segment(
             _lsm_rows(spark, [(9, 1, "z", False)]), root, 1)
     # tombstone is GONE after compaction: a fresh lower-order row for
@@ -691,3 +692,52 @@ def test_lsm_tombstone_masks_and_compaction_invariance(spark):
     assert streaming.compact_lsm(spark, root, ["k"], ["score"]) == 2
     assert _lsm_read_set(spark, root) == {
         (1, 6, "re"), (2, 5, "b"), (3, 7, "c"), (4, 9, "t4")}
+
+
+def test_lsm_partial_compaction_contract_free(spark):
+    """Partial compaction (keep_recent=K): folds only the oldest
+    segments, RETAINS tombstone winners (a below-fold out-of-order
+    delivery must still lose to them), never advances the
+    tombstone-drop horizon — so unknown below-fold versions APPEND
+    normally and the read stays invariant throughout. Only a FULL
+    fold advances the horizon, and a genuinely-unapplied version
+    below it fails loud (a FOLDED version below it just skips)."""
+    import pytest
+
+    root = tempfile.mkdtemp(prefix="clif_lsm_part_") + "/store"
+    streaming.append_lsm_segment(
+        _lsm_rows(spark, [(1, 10, "a1", False), (2, 5, "b1", False)]),
+        root, 2)
+    streaming.append_lsm_segment(
+        _lsm_rows(spark, [(1, 100, None, True),   # tombstone for k=1
+                          (3, 7, "c6", False)]), root, 6)
+    # partial fold: seg-2 folds, the newest (seg-6, with the
+    # tombstone) stays
+    assert streaming.compact_lsm(
+        spark, root, ["k"], ["score"], keep_recent=1) == 1
+    names = os.listdir(os.path.dirname(root) + "/store")
+    assert sum(x.startswith("base-") for x in names) == 1
+    assert sum(x.startswith("seg-") for x in names) == 1
+    assert _lsm_read_set(spark, root) == {(2, 5, "b1"), (3, 7, "c6")}
+    # below max(folded)... irrelevant — only dropped_through (still 0)
+    # gates appends, so the late v4 lands; its row for the tombstoned
+    # key must still LOSE to the retained tombstone
+    streaming.append_lsm_segment(
+        _lsm_rows(spark, [(1, 50, "late", False),
+                          (4, 9, "d4", False)]), root, 4)
+    assert _lsm_read_set(spark, root) == {
+        (2, 5, "b1"), (3, 7, "c6"), (4, 9, "d4")}
+    # second partial fold folds base + seg-4 (keeps seg-6): the
+    # tombstone is STILL in the kept segment -> read unchanged
+    assert streaming.compact_lsm(
+        spark, root, ["k"], ["score"], keep_recent=1) == 2
+    assert _lsm_read_set(spark, root) == {
+        (2, 5, "b1"), (3, 7, "c6"), (4, 9, "d4")}
+    # a FULL fold drops the tombstone and advances the horizon to 6:
+    # a folded version below it skips, an UNAPPLIED one fails loud
+    assert streaming.compact_lsm(spark, root, ["k"], ["score"]) == 2
+    assert streaming.append_lsm_segment(
+        _lsm_rows(spark, [(9, 1, "z", False)]), root, 4) is None
+    with pytest.raises(ValueError, match="tombstone-drop horizon"):
+        streaming.append_lsm_segment(
+            _lsm_rows(spark, [(9, 1, "z", False)]), root, 3)
