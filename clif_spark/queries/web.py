@@ -2615,16 +2615,18 @@ def web_cdx_index(spark, sf_dir):
     FROM cdx c
     JOIN documents d
       ON d.doc_id = CAST(regexp_extract(c.uri, '/(\\d+)$', 1) AS BIGINT)
-    WHERE c.shard_rank % 17 = 0
+    WHERE c.shard_rank % 17 = 0 AND c.file_id IN (0, 3)
     """,
 )
 def web_cdx_point_lookup(spark, sf_dir):
     """S9e-read (engine ext.): the index actually USED — a lookup set
     (every 17th capture per CDX block) resolves through the index to
-    (shard, offset) pairs, and ``warc.read_records_at`` fetches
+    (shard, offset) pairs — restricted to TWO of the shards, so most
+    blobs must go UNREAD — and ``warc.read_records_at`` fetches
     EXACTLY those records: lookups group per shard, inner-join onto
-    the blobs (shards with no lookups are never read — the pruning the
-    index exists to buy), plain shards slice at the offset directly,
+    the blobs (the untouched shards are pruned by the join — the
+    pruning the index exists to buy, exercised here, one plain shard
+    and one gzip shard), plain shards slice at the offset directly,
     gzip shards stream-decompress then slice (offsets are into
     decompressed bytes; the compressed-member-offset variant that
     avoids even this is documented in read_records_at). Each fetched
@@ -2637,7 +2639,11 @@ def web_cdx_point_lookup(spark, sf_dir):
     contract; the only exchanges are the lookup-set groupBy and the
     broadcast-sized join of grouped lookups onto shard blobs."""
     files, idx = _cdx_files_and_index(spark, sf_dir)
-    picks = (idx.filter(F.col("shard_rank") % 17 == 0)
+    # two shards only: the lookup set must leave most shards
+    # untouched so the inner-join pruning the operator exists for is
+    # exercised (and measurable) in the gated row itself
+    picks = (idx.filter((F.col("shard_rank") % 17 == 0)
+                        & F.col("file_id").isin(0, 3))
                 .select("file_id", "record_offset"))
     recs = warc.read_records_at(files, picks)
     return recs.select(
