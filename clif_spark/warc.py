@@ -423,10 +423,16 @@ def read_records_at(files_df: DataFrame, lookups_df: DataFrame,
                     buf = _gzip.GzipFile(fileobj=_io.BytesIO(buf)).read()
                 for off in sorted(int(o) for o in offs):
                     rec = next(parse_records(buf[off:], int(fid)), None)
-                    if rec is not None:
-                        # rebase the parser's slice-relative offset to
-                        # the requested absolute one
-                        rows.append((int(fid), off) + rec[2:])
+                    if rec is None:
+                        # beyond-EOF offset: same junk policy as an
+                        # in-file bad offset — one VISIBLE invalid row,
+                        # never a silent drop (a user debugging a stale
+                        # index needs to see the miss)
+                        rec = (int(fid), off, "invalid", None, None,
+                               None, None, None, None, None)
+                    # rebase the parser's slice-relative offset to the
+                    # requested absolute one
+                    rows.append((int(fid), off) + rec[2:])
             yield pd.DataFrame(rows, columns=cols)
 
     return joined.mapInPandas(run, PARSED_WARC_SCHEMA)

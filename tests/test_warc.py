@@ -356,11 +356,13 @@ def test_read_records_at_random_access(spark):
          (2, bytearray(plain))],
         "file_id long, content binary")
     lookups = spark.createDataFrame(
-        [(0, offs[2]), (1, offs[2]), (0, 7)],  # 7 = mid-record junk
+        [(0, offs[2]), (1, offs[2]), (0, 7),   # 7 = mid-record junk
+         (0, 10_000_000)],                     # beyond EOF
         "file_id long, record_offset long")
     out = warc.read_records_at(files, lookups).collect()
     by = {(r.file_id, r.record_offset): r for r in out}
-    assert len(out) == 3
+    assert len(out) == 4
+    assert by[(0, 10_000_000)].warc_type == "invalid"
     assert by[(0, offs[2])].warc_type == "response"
     assert by[(0, offs[2])].payload_text == "hello <b>world</b>"
     # same record through the gzip shard: offsets are into the
