@@ -2827,3 +2827,100 @@ def text_main_content(spark, sf_dir):
     return d.select(
         "doc_id", main.alias("main_text"),
         blocks_kept.cast("long").alias("n_blocks"))
+
+
+# --- S9f: cross-crawl revisit / mirror classification ---------------------
+
+
+@query(
+    "web_cdx_revisit",
+    oracle=f"""
+    WITH cur AS (
+      SELECT doc_id, {_DOC_URL_SQL} AS uri, md5(text) AS digest
+      FROM documents),
+    prev AS (
+      -- last crawl's index: 3/4 of URIs were seen before; every fifth
+      -- of those changed content since (digest differs)
+      SELECT {_DOC_URL_SQL} AS uri,
+             CASE WHEN doc_id % 5 = 0 THEN md5(text || '-v0')
+                  ELSE md5(text) END AS digest
+      FROM documents WHERE doc_id % 4 <> 3),
+    mirrors AS (
+      SELECT 'https://mirror.example/' || source || '/' ||
+             CAST(doc_id AS VARCHAR) AS uri, md5(text) AS digest
+      FROM documents WHERE doc_id % 13 = 0),
+    prev_all AS (SELECT * FROM prev UNION ALL SELECT * FROM mirrors),
+    by_digest AS (
+      SELECT digest, COUNT(DISTINCT uri) AS n_uris,
+             MIN(uri) AS one_uri
+      FROM prev_all GROUP BY digest),
+    by_uri AS (SELECT uri, MIN(digest) AS prev_digest
+               FROM prev_all GROUP BY uri)
+    SELECT c.doc_id, c.uri, c.digest,
+           CASE
+             WHEN u.prev_digest = c.digest THEN 'revisit_unchanged'
+             WHEN u.prev_digest IS NOT NULL THEN 'refetch_changed'
+             WHEN d.n_uris > 1 OR (d.n_uris = 1 AND d.one_uri <> c.uri)
+               THEN 'mirror_dup'
+             ELSE 'new'
+           END AS verdict
+    FROM cur c
+    LEFT JOIN by_uri u ON u.uri = c.uri
+    LEFT JOIN by_digest d ON d.digest = c.digest
+    """,
+)
+def web_cdx_revisit(spark, sf_dir):
+    """S9f (engine ext.): cross-crawl REVISIT/MIRROR classification —
+    the decision the CDX digest column exists for (Common Crawl's
+    revisit records; CC-Net's crawl-over-crawl dedup): each capture of
+    the new crawl checks the standing index and classifies as
+    ``revisit_unchanged`` (same URI, same digest — the fetch a
+    conditional GET would have skipped; wins over everything),
+    ``refetch_changed`` (same URI, new digest — content moved on),
+    ``mirror_dup`` (digest already indexed under a DIFFERENT URI — a
+    CDN/mirror copy, route to URL-level dedup), or ``new``. Fixtures
+    plant all four observably: 3/4 of URIs were crawled before, every
+    fifth of those changed content, every thirteenth doc also exists
+    at a mirror host (for already-revisited URIs the uri-level verdict
+    must WIN the precedence — pinned by construction).
+
+    100 TB shape: ONE digest-keyed aggregation over the standing index
+    (index-sized, not corpus-sized output) and two keyed joins (uri,
+    digest) — exactly the shuffles any cross-crawl dedup pays; no
+    Python, no window. The standing index side is what
+    ``web_cdx_index`` persists crawl over crawl."""
+    d = io.load_table(spark, sf_dir, "documents")
+    cur = d.select("doc_id", _doc_url_col().alias("uri"),
+                   F.md5("text").alias("digest"))
+    prev = (d.filter(F.col("doc_id") % 4 != 3)
+            .select(_doc_url_col().alias("uri"),
+                    F.when(F.col("doc_id") % 5 == 0,
+                           F.md5(F.concat("text", F.lit("-v0"))))
+                     .otherwise(F.md5("text")).alias("digest")))
+    mirrors = (d.filter(F.col("doc_id") % 13 == 0)
+               .select(F.concat(F.lit("https://mirror.example/"),
+                                F.col("source"), F.lit("/"),
+                                F.col("doc_id").cast("string"))
+                        .alias("uri"),
+                       F.md5("text").alias("digest")))
+    prev_all = prev.unionByName(mirrors)
+    by_uri = (prev_all.groupBy("uri")
+              .agg(F.min("digest").alias("prev_digest")))
+    by_digest = (prev_all.groupBy("digest")
+                 .agg(F.countDistinct("uri").cast("long").alias("n_uris"),
+                      F.min("uri").alias("one_uri")))
+    joined = (cur
+              .join(by_uri, ["uri"], "left")
+              .join(by_digest, ["digest"], "left"))
+    verdict = (
+        F.when(F.col("prev_digest") == F.col("digest"),
+               F.lit("revisit_unchanged"))
+         .when(F.col("prev_digest").isNotNull(),
+               F.lit("refetch_changed"))
+         .when((F.col("n_uris") > 1)
+               | ((F.col("n_uris") == 1)
+                  & (F.col("one_uri") != F.col("uri"))),
+               F.lit("mirror_dup"))
+         .otherwise(F.lit("new")))
+    return joined.select("doc_id", "uri", "digest",
+                         verdict.alias("verdict"))
