@@ -2924,3 +2924,110 @@ def web_cdx_revisit(spark, sf_dir):
          .otherwise(F.lit("new")))
     return joined.select("doc_id", "uri", "digest",
                          verdict.alias("verdict"))
+
+
+# --- D7d: incremental recrawl plan (sitemap lastmod x standing index) -----
+
+
+@query(
+    "web_recrawl_plan",
+    oracle=f"""
+    WITH rpsrc AS (SELECT DISTINCT source FROM documents),
+    rpmaps AS (
+      SELECT source || '.example.com' AS host, {_SITEMAP_SQL} AS xml,
+             CAST({_ROBOTS_K_SQL} AS INT) AS k
+      FROM rpsrc),
+    rpblocks AS (
+      SELECT host, k, unnest(
+        regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)) AS b
+      FROM rpmaps),
+    rpentries AS (
+      SELECT host, k,
+             trim(regexp_extract(b, '(?s)<loc>(.*?)</loc>', 1)) AS loc,
+             nullif(regexp_extract(b,
+               '(?s)<lastmod>(.*?)</lastmod>', 1), '') AS lastmod,
+             CAST(CAST(coalesce(nullif(regexp_extract(b,
+               '(?s)<priority>(.*?)</priority>', 1), ''), '0.5')
+               AS DECIMAL(7,6)) * 1000000 AS BIGINT) AS priority_micros
+      FROM rpblocks),
+    standing AS (
+      -- last crawl's index: even-k hosts had their first two sitemap
+      -- entries indexed on 2026-03-01
+      SELECT host,
+             'https://' || host || '/articles/' || CAST(k AS VARCHAR)
+               AS uri, '2026-03-01' AS indexed_at
+      FROM rpmaps WHERE k % 2 = 0
+      UNION ALL
+      SELECT host,
+             'https://' || host || '/articles/1' || CAST(k AS VARCHAR),
+             '2026-03-01'
+      FROM rpmaps WHERE k % 2 = 0)
+    SELECT e.host, e.loc, e.lastmod, e.priority_micros,
+           CASE
+             WHEN s.indexed_at IS NULL THEN 'fetch_new'
+             WHEN e.lastmod IS NULL THEN 'revalidate'
+             WHEN e.lastmod <= s.indexed_at THEN 'skip'
+             ELSE 'refetch'
+           END AS verdict
+    FROM rpentries e
+    LEFT JOIN standing s ON s.uri = e.loc
+    """,
+)
+def web_recrawl_plan(spark, sf_dir):
+    """D7d (engine ext.): the incremental RECRAWL PLAN — where the
+    sitemap machinery pays off: each seed's ``lastmod`` checks against
+    the standing index's indexed-at date and classifies ``skip``
+    (lastmod at or before our index date — the fetch the protocol
+    exists to save), ``refetch`` (changed since), ``revalidate`` (no
+    lastmod — schedule a conditional GET; web_cdx_revisit is the
+    digest-side fallback when even that is unavailable), or
+    ``fetch_new`` (never indexed). Dates compare as ISO-8601 strings —
+    identical lexicographic and chronological order, no timestamp
+    parsing crosses the oracle. The planted lastmods split the indexed
+    hosts observably: k=0 hosts' first entry (2026-01-15) skips, k=2
+    hosts' (2026-03-15) refetches, the lastmod-less second entry
+    revalidates where indexed, and everything else is fetch_new.
+
+    100 TB shape: seeds and the index join on URI — frontier-sized,
+    the dedup exchange a crawler pays anyway; sitemap parse stays
+    host-count sized (the web_sitemap_parse plan)."""
+    d = io.load_table(spark, sf_dir, "documents")
+    k = F.regexp_extract("source", r"(\d+)", 1).cast("int") % 4
+    smaps = d.select("source").distinct().select(
+        F.concat("source", F.lit(".example.com")).alias("host"),
+        _sitemap_col().alias("xml"), k.alias("k")).localCheckpoint(
+            eager=True)
+    blocks = smaps.select(
+        "host", "k",
+        F.explode(F.regexp_extract_all(
+            "xml", F.lit(r"(?s)<url>(.*?)</url>"), F.lit(1))).alias("b"))
+    prio = F.coalesce(
+        F.nullif(F.regexp_extract(
+            "b", r"(?s)<priority>(.*?)</priority>", 1), F.lit("")),
+        F.lit("0.5"))
+    entries = blocks.select(
+        "host",
+        F.trim(F.regexp_extract("b", r"(?s)<loc>(.*?)</loc>", 1))
+         .alias("loc"),
+        F.nullif(F.regexp_extract("b", r"(?s)<lastmod>(.*?)</lastmod>",
+                                  1), F.lit("")).alias("lastmod"),
+        (prio.cast("decimal(7,6)") * 1000000).cast("long")
+         .alias("priority_micros"))
+    ks = F.col("k").cast("string")
+    standing = (smaps.filter(F.col("k") % 2 == 0).select(
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/articles/"),
+                 ks).alias("uri"),
+        F.lit("2026-03-01").alias("indexed_at"))
+        .unionByName(smaps.filter(F.col("k") % 2 == 0).select(
+            F.concat(F.lit("https://"), F.col("host"),
+                     F.lit("/articles/1"), ks).alias("uri"),
+            F.lit("2026-03-01").alias("indexed_at"))))
+    joined = entries.join(
+        standing, entries["loc"] == standing["uri"], "left")
+    verdict = (
+        F.when(F.col("indexed_at").isNull(), F.lit("fetch_new"))
+         .when(F.col("lastmod").isNull(), F.lit("revalidate"))
+         .when(F.col("lastmod") <= F.col("indexed_at"), F.lit("skip"))
+         .otherwise(F.lit("refetch")))
+    return joined.select("host", "loc", "lastmod", "priority_micros",
+                         verdict.alias("verdict"))
