@@ -745,3 +745,26 @@ def test_cdx_point_lookup_prunes_and_groups(spark):
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "collect_list" in plan  # lookups grouped per shard
+
+
+def test_cdx_revisit_joins_no_python(spark):
+    """web_cdx_revisit: two keyed joins + one digest agg, all JVM —
+    no Python nodes, no cartesian; the standing-index aggregation and
+    both join keys are exactly the exchanges cross-crawl dedup pays."""
+    plan = plan_of(spark, "web_cdx_revisit")
+    for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+                 "CartesianProduct"):
+        assert node not in plan
+
+
+def test_recrawl_plan_host_sized_parse(spark):
+    """web_recrawl_plan: the sitemap parse side stays host-count sized
+    (one column-pruned source distinct, checkpointed once); the only
+    join is seeds x standing index; no Python nodes."""
+    plan = plan_of(spark, "web_recrawl_plan")
+    for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+                 "CartesianProduct"):
+        assert node not in plan
+    scans = [ln for ln in plan.splitlines()
+             if "FileScan parquet" in ln and "documents" in ln]
+    assert len(scans) <= 1, scans
