@@ -768,3 +768,26 @@ def test_recrawl_plan_host_sized_parse(spark):
     scans = [ln for ln in plan.splitlines()
              if "FileScan parquet" in ln and "documents" in ln]
     assert len(scans) <= 1, scans
+
+
+def test_global_sorted_index_dense_and_partition_proof(spark):
+    """core.global_sorted_index: ranks are dense 0..N-1 and equal the
+    single-task window's answer regardless of partition count —
+    including MORE partitions than the data fills (empty range
+    partitions must not shift offsets) and a handful (heavy skew per
+    partition)."""
+    from pyspark.sql import functions as F
+
+    from clif_spark.operators import core
+
+    df = spark.range(0, 1013).selectExpr(
+        "id", "CAST(id % 7 AS LONG) AS k")
+    expect = [(r.k, r.id) for r in
+              df.orderBy(F.col("k").desc(), F.col("id")).collect()]
+    for n in (2, 64):  # fewer and (far) more partitions than natural
+        out = core.global_sorted_index(
+            df, [F.col("k").desc(), F.col("id").asc()],
+            num_partitions=n).collect()
+        by_rank = sorted(out, key=lambda r: r.global_rank)
+        assert [r.global_rank for r in by_rank] == list(range(1013))
+        assert [(r.k, r.id) for r in by_rank] == expect, n
