@@ -1920,6 +1920,110 @@ def web_pagerank_warm_start(spark, sf_dir):
     return G.pagerank_fixed(edges, iterations=3, init_ranks=stored)
 
 
+@query(
+    "web_host_components",
+    oracle=f"""
+    WITH RECURSIVE {_LINK_EDGES_CTES},
+    e2 AS (SELECT DISTINCT src_host AS src, dst_host AS dst
+           FROM linkedges
+           WHERE dst_host LIKE 'src%' AND src_host <> dst_host
+             AND CAST(regexp_extract(src_host, '(\\d+)', 1) AS INT)
+                 % 4 <> 0),
+    ue AS (SELECT src, dst FROM e2 UNION SELECT dst, src FROM e2),
+    n2 AS (SELECT DISTINCT src AS node FROM ue),
+    reach(node, lab) AS (
+      SELECT node, node FROM n2
+      UNION
+      SELECT ue.dst, reach.lab FROM reach JOIN ue ON ue.src = reach.node),
+    comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+    SELECT node AS host, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+             AS component_size
+    FROM comp
+    """,
+)
+def web_host_components(spark, sf_dir):
+    """D5d (engine ext.): connected components over the host graph —
+    the ITERATIVE-FIXPOINT class (pagerank is fixed-K; this converges
+    and PROVES it): min-label propagation until a round changes
+    nothing (operators/graph.connected_components), gated exactly
+    against a recursive-CTE transitive closure + MIN. Production use:
+    host-cluster discovery (site families / mirror farms share a
+    component; crawl budgets and dedup scopes are assigned per
+    cluster, not per host).
+
+    The gated subgraph keeps only host-to-host cycle edges and drops
+    every 4th one (src_n with n % 4 == 0), partitioning the planted
+    20-host ring into FIVE 4-host chains — so the result is genuinely
+    multi-component and transitive (labels must travel 3 hops), and
+    one component's minimum is 'src10' (< 'src9' LEXICOGRAPHICALLY),
+    which a numeric-min or single-hop bug would both flip.
+
+    Shape: O(diameter) rounds of edge-join + node-min-agg over a
+    host-count-sized label relation (broadcastable at web scale),
+    per-round localCheckpoint, loud failure past max_iters."""
+    from clif_spark.operators import graph as G
+    from pyspark.sql import Window
+
+    edges = (_link_edges(spark, sf_dir)
+             .filter(F.col("dst").startswith("src"))
+             .filter(F.col("src") != F.col("dst"))
+             .filter(F.regexp_extract("src", r"(\d+)", 1)
+                     .cast("int") % 4 != 0))
+    comp = G.connected_components(edges)
+    return comp.select(
+        F.col("node").alias("host"), "component",
+        F.count(F.lit(1)).over(Window.partitionBy("component"))
+         .cast("long").alias("component_size"))
+
+
+@query(
+    "web_crawl_depth",
+    oracle=f"""
+    WITH RECURSIVE {_LINK_EDGES_CTES},
+    e3 AS (SELECT DISTINCT src_host AS src, dst_host AS dst
+           FROM linkedges),
+    reach(node, d) AS (
+      SELECT node, 0 FROM (
+        SELECT MIN(src_host) AS node FROM linkedges
+        UNION
+        SELECT MAX(src_host) FROM linkedges) s
+      UNION
+      SELECT e3.dst, reach.d + 1 FROM reach JOIN e3 ON e3.src = reach.node
+      WHERE reach.d < 30)
+    SELECT node AS host, CAST(MIN(d) AS BIGINT) AS depth
+    FROM reach GROUP BY node
+    """,
+)
+def web_crawl_depth(spark, sf_dir):
+    """D5e (engine ext.): minimum link-hop depth of every host from
+    the crawl's seed list — the frontier-scheduling prior (depth caps
+    are how real crawls bound politeness cost and trap exposure; a
+    host's seed distance is a budget input alongside its rank).
+    Iterative min-relaxation to fixpoint (operators/graph.bfs_depths)
+    over the DIRECTED host graph; gated exactly against a
+    depth-bounded recursive closure + MIN. The two seeds are DERIVED
+    from the edge relation (lexicographic min and max source host —
+    deterministic, mirrored in SQL, and present at every scale factor;
+    a planted literal would vanish under the scale generator's
+    differently-spelled host names). Unreachable hosts are absent by
+    contract (the crawler never sees them); on the shipped ring the
+    seeds sit at src0/src9, depths run 0-10, and the cdn hosts land at
+    min-over-referrers + 1 — a genuinely non-uniform surface.
+
+    Shape: O(max shortest path) rounds, each one edge join + min-agg
+    with a broadcastable depth relation; self-loops planted by the
+    fixture are harmless (d+1 never relaxes d)."""
+    from clif_spark.operators import graph as G
+
+    edges = _link_edges(spark, sf_dir)
+    m = edges.agg(F.min("src").alias("lo"), F.max("src").alias("hi"))
+    seeds = (m.select(F.explode(F.array("lo", "hi")).alias("node"))
+             .distinct())
+    return G.bfs_depths(edges, seeds).select(
+        F.col("node").alias("host"), F.col("depth"))
+
+
 # --- D6: the prioritized crawl frontier ------------------------------------
 
 

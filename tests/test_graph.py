@@ -39,3 +39,63 @@ def test_pagerank_integer_division_exact_beyond_double_precision(spark):
     # and the divergence is real: the double path would differ on b/c
     double_contrib = int(float(big) / 2)
     assert double_contrib != contrib
+
+
+def test_connected_components_transitive_and_lexicographic(spark):
+    """Labels must cross multiple hops (a 3-edge chain collapses to one
+    label) and the component id is the LEXICOGRAPHIC min ('n10' < 'n9'
+    as strings — a numeric-min shortcut would pick 'n9'). Edges are
+    given in ONE direction only; the operator must undirect them."""
+    from clif_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [("n9", "n10"), ("n11", "n10"), ("n12", "n11"),  # one chain
+         ("b", "a")],                                    # separate pair
+        "src string, dst string")
+    got = {r.node: r.component
+           for r in G.connected_components(edges).collect()}
+    assert got == {"n9": "n10", "n10": "n10", "n11": "n10",
+                   "n12": "n10", "a": "a", "b": "a"}
+
+
+def test_connected_components_raises_without_convergence(spark):
+    """A chain needing >1 round with max_iters=1 must raise, never
+    return a half-converged labeling."""
+    import pytest
+
+    from clif_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string")
+    with pytest.raises(RuntimeError, match="converge"):
+        G.connected_components(edges, max_iters=1)
+
+
+def test_bfs_depths_min_path_and_unreachable_absent(spark):
+    """Shortest of two paths wins (s->x->t vs s->a->b->t gives t=2);
+    a node with edges only INTO the seed side stays absent
+    (directed semantics); self-loops never relax a depth."""
+    from clif_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [("s", "x"), ("x", "t"),
+         ("s", "a"), ("a", "b"), ("b", "t"),
+         ("t", "t"),            # self-loop
+         ("z", "s")],           # z reaches s but nothing reaches z
+        "src string, dst string")
+    seeds = spark.createDataFrame([("s",)], "node string")
+    got = {r.node: r.depth for r in G.bfs_depths(edges, seeds).collect()}
+    assert got == {"s": 0, "x": 1, "a": 1, "t": 2, "b": 2}
+
+
+def test_bfs_depths_raises_without_convergence(spark):
+    import pytest
+
+    from clif_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    with pytest.raises(RuntimeError, match="converge"):
+        G.bfs_depths(edges, seeds, max_iters=1)
