@@ -1334,6 +1334,52 @@ def u12_lsm_keep_best(spark, sf_dir):
     return STR.read_lsm(spark, root, ["k"], order)
 
 
+@query("u13_lsm_size_tiered", oracle=U12_LSM_KEEP_BEST_ORACLE)
+def u13_lsm_size_tiered(spark, sf_dir):
+    """U13 (engine ext.): SIZE-TIERED compaction scheduling on the LSM
+    store (streaming.maintain_lsm) — the store-owned policy between
+    rare full folds: whenever a tier accumulates ``fanout`` members
+    its oldest ``fanout`` fold into one next-tier run, cascading.
+    Tier folds are contract-free (tombstones retained, horizon
+    unmoved, ``__seg`` stamps preserved), so reads must be invariant
+    to WHEN the scheduler ran — which is exactly what gating this
+    lifecycle against the SAME global keep-best oracle as
+    u12_lsm_keep_best proves.
+
+    The sequence: deliveries 1 and 3 land and maintain(fanout=2)
+    folds them into a tier-1 run; delivery 2 arrives OUT of order
+    below that run's max version (legal — no full fold has moved the
+    horizon); delivery 4 lands and maintain cascades (2+4 -> second
+    tier-1 run; two tier-1 runs -> one tier-2 run); a redelivery of 3
+    — whose segment dir now lives inside a run — must skip off the
+    folded ledger. The lifecycle fails LOUD if the cascade or the
+    skip didn't happen (a scheduler that silently never folds would
+    otherwise pass on read-invariance alone).
+
+    100 TB: each delivery's rows are rewritten once per tier they
+    pass through — O(log_fanout deliveries) write amplification —
+    while live dirs stay under fanout per tier, so read legs are
+    O(fanout * log_fanout deliveries) instead of O(deliveries)."""
+    import tempfile
+
+    from clif_spark import streaming as STR
+
+    dv = _u12_deliveries(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="clif_lsm_tier_") + "/store"
+    order = ["score", "best_doc"]
+    STR.append_lsm_segment(dv[1], root, 1)
+    STR.append_lsm_segment(dv[3], root, 3)
+    if STR.maintain_lsm(spark, root, ["k"], order, fanout=2) != 1:
+        raise RuntimeError("expected one tier fold after (1,3)")
+    STR.append_lsm_segment(dv[2], root, 2)  # out of order: legal
+    STR.append_lsm_segment(dv[4], root, 4)
+    if STR.maintain_lsm(spark, root, ["k"], order, fanout=2) != 2:
+        raise RuntimeError("expected cascade: tier-0 fold then tier-1")
+    if STR.append_lsm_segment(dv[3], root, 3) is not None:
+        raise RuntimeError("redelivery of a run-folded version must skip")
+    return STR.read_lsm(spark, root, ["k"], order)
+
+
 @query(
     "io_orc_roundtrip",
     oracle="""

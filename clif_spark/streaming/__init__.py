@@ -869,9 +869,35 @@ def _lsm_segments(root: str, ckpt: str) -> list[str]:
         return []
     return sorted(
         os.path.join(root, n) for n in os.listdir(root)
-        if (n.startswith(f"seg-") or n.startswith("base-"))
+        if (n.startswith("seg-") or n.startswith("base-")
+            or n.startswith("run-"))
         and n.endswith(f"-{ckpt}")
         and os.path.exists(os.path.join(root, n, "_SUCCESS")))
+
+
+def _lsm_dir_version(path: str) -> int:
+    """Max delivery version covered by a store dir: seg-<v> and
+    base-<v> carry it second; tiered run-<tier>-<maxv> carries it
+    third (the tier folds preserve the max so full compaction can
+    advance the tombstone-drop horizon correctly over runs)."""
+    import os
+
+    parts = os.path.basename(path).split("-")
+    return int(parts[2] if parts[0] == "run" else parts[1])
+
+
+def _lsm_dir_tier(path: str) -> int:
+    """Size-tier of a store dir: fresh segments are tier 0, a
+    run-<tier>- dir carries its tier, the base never tier-folds
+    (returned as -1 so schedulers skip it)."""
+    import os
+
+    parts = os.path.basename(path).split("-")
+    if parts[0] == "seg":
+        return 0
+    if parts[0] == "run":
+        return int(parts[1])
+    return -1
 
 
 def append_lsm_segment(batch_df: DataFrame, root: str, version: int,
@@ -997,19 +1023,18 @@ def compact_lsm(spark: SparkSession, root: str, keys: list[str],
     seg_only = [s for s in segs
                 if os.path.basename(s).startswith("seg-")]
     if keep_recent > 0:
-        # newest K seg- dirs stay; the existing base always folds
-        seg_only = sorted(
-            seg_only,
-            key=lambda s: int(os.path.basename(s).split("-")[1]))
+        # newest K seg- dirs stay; existing base and tier runs always fold
+        seg_only = sorted(seg_only, key=_lsm_dir_version)
         keep = set(seg_only[len(seg_only) - keep_recent:]
                    if keep_recent < len(seg_only) else seg_only)
         fold = [s for s in segs if s not in keep]
     else:
         fold = segs
-    if not any(os.path.basename(s).startswith("seg-") for s in fold):
+    if not any(os.path.basename(s).startswith(("seg-", "run-"))
+               for s in fold):
         return 0  # nothing to fold (empty, just a base, or all kept)
     meta = _lsm_meta_read(root)
-    versions = [int(os.path.basename(s).split("-")[1]) for s in fold]
+    versions = [_lsm_dir_version(s) for s in fold]
     from clif_spark.operators import windows as _w
 
     merged = spark.read.parquet(*fold)
@@ -1032,3 +1057,74 @@ def compact_lsm(spark: SparkSession, root: str, keys: list[str],
         json.dump({"ckpt": ckpt, "folded": folded,
                    "dropped_through": dropped_through}, fh)
     return len(fold)
+
+
+def maintain_lsm(spark: SparkSession, root: str, keys: list[str],
+                 order: list[str], tombstone_col: str = "is_delete",
+                 lineage: str = "lsm", fanout: int = 4) -> int:
+    """SIZE-TIERED compaction scheduling — the policy production LSMs
+    run between rare full folds, here as a store-owned scheduler
+    instead of caller-picked ``keep_recent`` values: whenever a tier
+    accumulates ``fanout`` members, its OLDEST ``fanout`` fold into
+    one next-tier run (``run-<tier>-<maxv>``), cascading while any
+    tier is full. Invariants:
+
+    - tier folds are CONTRACT-FREE, exactly like compact_lsm's partial
+      form: tombstone winners are RETAINED (a still-unseen
+      out-of-order delivery below the fold must keep losing to them),
+      the tombstone-drop horizon never moves, and winners keep their
+      ``__seg`` stamps so reads are fold-invariant;
+    - folded delivery versions join the store meta's folded ledger, so
+      a redelivery of a version whose segment now lives inside a run
+      is skipped exactly as if the segment dir still existed;
+    - the base (a FULL fold's artifact) never tier-folds — full
+      compaction already subsumes it.
+
+    Why this beats both naive schedules: folding everything each
+    delivery rewrites O(store) per delivery (the CoW trap the LSM form
+    exists to escape); never folding grows read amplification
+    linearly. Size-tiering bounds live dirs at < fanout per tier,
+    O(fanout * log_fanout(deliveries)) read legs total, while each
+    delivery's rows are rewritten only once per tier they pass through
+    — O(log_fanout(deliveries)) total write amplification, the classic
+    LSM trade. Returns the number of tier folds performed (0 = every
+    tier below fanout)."""
+    import json
+    import os
+    import shutil
+
+    from clif_spark.operators import windows as _w
+
+    ckpt = _lsm_ckpt(lineage)
+    folds = 0
+    while True:
+        by_tier: dict[int, list[str]] = {}
+        for s in _lsm_segments(root, ckpt):
+            t = _lsm_dir_tier(s)
+            if t >= 0:
+                by_tier.setdefault(t, []).append(s)
+        full = [t for t, ds in by_tier.items() if len(ds) >= fanout]
+        if not full:
+            return folds
+        t = min(full)
+        members = sorted(by_tier[t], key=_lsm_dir_version)[:fanout]
+        merged = spark.read.parquet(*members)
+        best = _w.dedup_keep_last(merged, keys, list(order) + ["__seg"])
+        maxv = max(_lsm_dir_version(s) for s in members)
+        out = os.path.join(root, f"run-{t + 1:02d}-{maxv:08d}-{ckpt}")
+        tmp = out + ".tmp"
+        best.write.mode("overwrite").parquet(tmp)
+        for s in members:
+            shutil.rmtree(s)
+        if os.path.exists(out):
+            shutil.rmtree(out)  # crash-replay leftover: single-writer
+        os.rename(tmp, out)
+        meta = _lsm_meta_read(root)
+        folded = sorted(set(meta["folded"])
+                        | {_lsm_dir_version(s) for s in members
+                           if os.path.basename(s).startswith("seg-")})
+        with open(_lsm_meta_path(root), "w") as fh:
+            json.dump({"ckpt": ckpt, "folded": folded,
+                       "dropped_through": meta.get("dropped_through", 0)},
+                      fh)
+        folds += 1

@@ -694,6 +694,72 @@ def test_lsm_tombstone_masks_and_compaction_invariance(spark):
         (1, 6, "re"), (2, 5, "b"), (3, 7, "c"), (4, 9, "t4")}
 
 
+def test_lsm_size_tiered_bound_and_invariance(spark):
+    """maintain_lsm(fanout=2): every tier stays under fanout after
+    maintenance, folds cascade up tiers, reads are invariant to the
+    schedule (maintained store == never-maintained twin), and a
+    redelivery of a version whose segment now lives inside a run
+    skips off the folded ledger."""
+    root = tempfile.mkdtemp(prefix="clif_lsm_tier_") + "/store"
+    twin = tempfile.mkdtemp(prefix="clif_lsm_twin_") + "/store"
+    deliveries = {
+        1: [(1, 10, "a1", False), (2, 5, "b1", False)],
+        2: [(1, 30, "a2", False)],
+        3: [(3, 7, "c3", False)],
+        4: [(2, 50, "b4", False), (4, 9, "d4", False)],
+        5: [(5, 2, "e5", False)],
+    }
+    for v, rows in deliveries.items():
+        streaming.append_lsm_segment(_lsm_rows(spark, rows), root, v)
+        streaming.append_lsm_segment(_lsm_rows(spark, rows), twin, v)
+        streaming.maintain_lsm(spark, root, ["k"], ["score"], fanout=2)
+        names = os.listdir(os.path.dirname(root) + "/store")
+        tiers = {}
+        for n in names:
+            if n.startswith(("seg-", "run-")):
+                t = streaming._lsm_dir_tier(n)
+                tiers[t] = tiers.get(t, 0) + 1
+        assert all(c < 2 for c in tiers.values()), (v, tiers)
+        assert _lsm_read_set(spark, root) == _lsm_read_set(spark, twin)
+    # 5 deliveries, fanout 2: 1+2 -> run1, 3+4 -> run1, runs -> run2,
+    # seg-5 pending; redelivery of run-buried version 1 must skip
+    names = os.listdir(os.path.dirname(root) + "/store")
+    assert sum(n.startswith("run-02-") for n in names) == 1
+    assert streaming.append_lsm_segment(
+        _lsm_rows(spark, [(9, 1, "z", False)]), root, 1) is None
+
+
+def test_lsm_tier_fold_retains_tombstones_and_full_fold_horizon(spark):
+    """A tombstone folded into a tier run still masks a LATER-arriving
+    lower-order row for its key (tier folds are contract-free), and a
+    subsequent FULL compaction folds runs into the base advancing the
+    horizon to the max version the runs COVER (run-<tier>-<maxv>
+    carries it), so unapplied below-horizon versions fail loud."""
+    import pytest
+
+    root = tempfile.mkdtemp(prefix="clif_lsm_tmb_") + "/store"
+    streaming.append_lsm_segment(
+        _lsm_rows(spark, [(1, 10, "a1", False)]), root, 2)
+    streaming.append_lsm_segment(
+        _lsm_rows(spark, [(1, 100, None, True),   # tombstone k=1
+                          (3, 7, "c", False)]), root, 6)
+    assert streaming.maintain_lsm(
+        spark, root, ["k"], ["score"], fanout=2) == 1
+    # out-of-order v4 offers a LOWER-order row for k=1: the tombstone
+    # retained inside the run must still win
+    streaming.append_lsm_segment(
+        _lsm_rows(spark, [(1, 50, "late", False)]), root, 4)
+    assert _lsm_read_set(spark, root) == {(3, 7, "c")}
+    # full fold: run (covering up to v6) + seg-4 -> base, horizon 6
+    assert streaming.compact_lsm(spark, root, ["k"], ["score"]) == 2
+    assert streaming.append_lsm_segment(
+        _lsm_rows(spark, [(9, 1, "z", False)]), root, 6) is None
+    with pytest.raises(ValueError, match="tombstone-drop horizon"):
+        streaming.append_lsm_segment(
+            _lsm_rows(spark, [(9, 1, "z", False)]), root, 5)
+    assert _lsm_read_set(spark, root) == {(3, 7, "c")}
+
+
 def test_lsm_partial_compaction_contract_free(spark):
     """Partial compaction (keep_recent=K): folds only the oldest
     segments, RETAINS tombstone winners (a below-fold out-of-order
