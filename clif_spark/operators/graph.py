@@ -111,8 +111,12 @@ def bfs_depths(edges: DataFrame, seeds: DataFrame,
     s, d = F.col(src_col), F.col(dst_col)
     e = (edges.select(s.alias("src"), d.alias("dst")).distinct()
          .localCheckpoint(eager=True))
-    depths = seeds.select(F.col(seeds.columns[0]).alias("node"),
-                          F.lit(0).cast("long").alias("depth"))
+    # seed-sized checkpoint: the caller's seed lineage may itself be a
+    # corpus-scan aggregate, and the loop's first round references it
+    # three times (candidate join, merge, convergence probe)
+    depths = (seeds.select(F.col(seeds.columns[0]).alias("node"),
+                           F.lit(0).cast("long").alias("depth"))
+              .localCheckpoint(eager=True))
     for _ in range(max_iters):
         cand = (e.join(depths, e["src"] == depths["node"])
                  .select(F.col("dst").alias("node"),

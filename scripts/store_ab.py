@@ -137,6 +137,30 @@ def main() -> None:
                       "compact_s": round(time.perf_counter() - t0, 2),
                       "compact_bytes": new_bytes(before, root)}
 
+    # --- LSM + size-tiered scheduler (maintain_lsm after each append):
+    # bytes_written here INCLUDES the tier folds — the amortized write
+    # amplification the fanout policy trades for bounded read legs ---
+    root = tempfile.mkdtemp(prefix="ab_lsmt_") + "/s"
+    t0 = time.perf_counter()
+    written = 0
+    folds = 0
+    for i in range(k_deliveries + 1):
+        before = file_map(root)
+        STR.append_lsm_segment(delivery(i), root, i + 1)
+        folds += STR.maintain_lsm(spark, root, ["k"],
+                                  ["score", "best_doc"], fanout=3)
+        written += new_bytes(before, root)
+    t_apply = time.perf_counter() - t0
+    live_dirs = sum(
+        1 for nm in os.listdir(root) if nm.startswith(("seg-", "run-")))
+    t0 = time.perf_counter()
+    n = STR.read_lsm(spark, root, ["k"], ["score", "best_doc"]).count()
+    results["lsm_tiered"] = {"apply_s": round(t_apply, 2),
+                             "bytes_written": written,
+                             "read_s": round(time.perf_counter() - t0, 2),
+                             "rows": n, "tier_folds": folds,
+                             "live_dirs": live_dirs}
+
     import json
     print(json.dumps({"sf_dir": sf_dir, "deliveries": k_deliveries,
                       **results}))
