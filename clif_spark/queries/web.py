@@ -2016,7 +2016,11 @@ def web_crawl_depth(spark, sf_dir):
     fixture are harmless (d+1 never relaxes d)."""
     from clif_spark.operators import graph as G
 
-    edges = _link_edges(spark, sf_dir)
+    # ONE corpus extraction: the raw edge list is checkpointed here so
+    # the seed aggregate and bfs_depths' distinct both read the
+    # materialized host-edge relation, not the full link-extraction
+    # lineage twice (sf10: 17.4 s -> single-scan cost)
+    edges = _link_edges(spark, sf_dir).localCheckpoint(eager=True)
     m = edges.agg(F.min("src").alias("lo"), F.max("src").alias("hi"))
     seeds = (m.select(F.explode(F.array("lo", "hi")).alias("node"))
              .distinct())
