@@ -89,6 +89,27 @@ def test_bfs_depths_min_path_and_unreachable_absent(spark):
     assert got == {"s": 0, "x": 1, "a": 1, "t": 2, "b": 2}
 
 
+def test_fixpoint_results_partition_invariant(spark):
+    """The fixpoint relations are pure functions of the graph: min is
+    associative/commutative, so neither labels nor depths may depend
+    on how the edge relation is partitioned (the property the driver
+    gate relies on — it hashes exact values)."""
+    from clif_spark.operators import graph as G
+
+    rows = [(f"n{i}", f"n{i + 1}") for i in range(12)] + [("z1", "z2")]
+    for parts in (1, 7):
+        edges = spark.createDataFrame(
+            rows, "src string, dst string").repartition(parts)
+        seeds = spark.createDataFrame([("n0",)], "node string")
+        cc = {tuple(r) for r in G.connected_components(edges).collect()}
+        bf = {tuple(r) for r in G.bfs_depths(edges, seeds).collect()}
+        if parts == 1:
+            cc1, bf1 = cc, bf
+    assert cc == cc1 and bf == bf1
+    assert ("z1", "z1") in cc1 and ("n5", "n0") in cc1
+    assert dict(bf1)["n12"] == 12
+
+
 def test_bfs_depths_raises_without_convergence(spark):
     import pytest
 
