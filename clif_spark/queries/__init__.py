@@ -373,7 +373,7 @@ _VERIFY_FIRST_R12 = [
     "web_robots_sitemap_discovery", "text_main_content",
     "o5_global_sorted_index", "web_cdx_revisit", "web_recrawl_plan",
     "u12_lsm_keep_best", "web_host_components", "web_crawl_depth",
-    "u13_lsm_size_tiered",
+    "u13_lsm_size_tiered", "web_mirror_sets",
     # --- changed-code re-gates: the RFC 3986 resolver fixes (§5.3
     # empty-base merge + collapse on absolute/protocol-relative
     # branches) rewrote the link fixtures feeding the D5 rows and the
@@ -395,7 +395,7 @@ _VERIFY_FIRST_R12 = [
     "q18_large_volume_customer", "q19_disjunctive_filter",
     "q22_global_sales_opportunity", "q7_nation_volume",
     "q8_market_share", "r2_pivot_wide", "r4_explode_top_tokens",
-    "sample_split_assign", "text_sentence_chunks",
+    "sample_split_assign",
     # --- streams at the tail (multi-second startup each): the new LSM
     # stream twin, the pct-changed funnel stream, and the five
     # r7-latest streams from the due list ---
@@ -404,22 +404,23 @@ _VERIFY_FIRST_R12 = [
     "stream_stateful_user_stats", "stream_static_enrich",
     "stream_video_demux",
 ]
-# Exactly 50: 13 never-gated (web_cdx_index, web_cdx_point_lookup,
+# Exactly 50: 14 never-gated (web_cdx_index, web_cdx_point_lookup,
 # web_sitemap_index, web_robots_sitemap_discovery, text_main_content,
 # o5_global_sorted_index, web_cdx_revisit, web_recrawl_plan,
 # u12_lsm_keep_best, web_host_components, web_crawl_depth,
-# u13_lsm_size_tiered, stream_lsm_keep_best) + 15 changed-code
-# re-gates (14 batch + stream_crawl_corpus; u12/stream_lsm also cover
-# this round's compact_lsm/_lsm_segments changes) + 22 due (17 batch
-# + 5 r7 streams). The three r8 refresh fills (a12/a13/a14) and the
-# due-tail rows in name order (w4_rank_lag, w5_moving_avg,
+# u13_lsm_size_tiered, web_mirror_sets, stream_lsm_keep_best) + 15
+# changed-code re-gates (14 batch + stream_crawl_corpus; u12/
+# stream_lsm also cover this round's compact_lsm/_lsm_segments
+# changes) + 21 due (16 batch + 5 r7 streams). The three r8 refresh
+# fills (a12/a13/a14) and the due-tail rows in name order
+# (text_sentence_chunks, w4_rank_lag, w5_moving_avg,
 # w6_sessionize_gap, w7_session_window_native, w8_tumbling_window,
 # w9_ntile_percent_rank) were pre-empted by this round's
 # registrations (new operators get a driver row before any refresh
 # does; r11 set the same precedent on its due tail). r13 due list =
-# w4..w9 + a12/a13/a14 + the remaining r8-latest cohort,
-# oldest-first. After this gate no oracle row's latest green predates
-# r8 except the six pre-empted w4..w9 rows (r7).
+# text_sentence_chunks + w4..w9 + a12/a13/a14 + the remaining
+# r8-latest cohort, oldest-first. After this gate no oracle row's
+# latest green predates r8 except the seven pre-empted rows (r7).
 _VERIFY_FIRST = _VERIFY_FIRST_R12
 
 # Rows-only queries (dedup_semantic, ann_ivf_trained_topk,

@@ -3034,6 +3034,90 @@ def web_cdx_revisit(spark, sf_dir):
                          verdict.alias("verdict"))
 
 
+@query(
+    "web_mirror_sets",
+    oracle=f"""
+    WITH RECURSIVE
+    mcaps AS (
+      SELECT {_DOC_URL_SQL} AS uri, md5(text) AS digest FROM documents
+      UNION ALL
+      SELECT {_DOC_URL_SQL},
+             CASE WHEN doc_id % 5 = 0 THEN md5(text || '-v0')
+                  ELSE md5(text) END
+      FROM documents WHERE doc_id % 4 <> 3
+      UNION ALL
+      SELECT 'https://mirror.example/' || source || '/' ||
+             CAST(doc_id AS VARCHAR), md5(text)
+      FROM documents WHERE doc_id % 13 = 0),
+    medges AS (SELECT DISTINCT uri AS src, digest AS dst FROM mcaps),
+    mue AS (SELECT src, dst FROM medges
+            UNION SELECT dst, src FROM medges),
+    mn AS (SELECT DISTINCT src AS node FROM mue),
+    mreach(node, lab) AS (
+      SELECT node, node FROM mn
+      UNION
+      SELECT mue.dst, mreach.lab
+      FROM mreach JOIN mue ON mue.src = mreach.node),
+    mcomp AS (SELECT node, MIN(lab) AS component
+              FROM mreach GROUP BY node),
+    muris AS (SELECT node, component FROM mcomp
+              WHERE node LIKE 'https://%'),
+    msets AS (SELECT component, MIN(node) AS canonical_uri,
+                     CAST(COUNT(*) AS BIGINT) AS n_uris
+              FROM muris GROUP BY component)
+    SELECT u.node AS uri, s.canonical_uri, s.n_uris
+    FROM muris u JOIN msets s ON s.component = u.component
+    """,
+)
+def web_mirror_sets(spark, sf_dir):
+    """S9g (engine ext.): TRANSITIVE mirror-set closure — the step
+    after web_cdx_revisit's pairwise verdicts: URLs that served the
+    same content at ANY capture, connected transitively through
+    shared digests across both crawls, form one mirror set with one
+    canonical URL (lexicographic min — CC-Net/Common-Crawl-style
+    URL-level dedup picks exactly one member to keep). Pairwise
+    digest grouping cannot do this: a URI whose content CHANGED
+    between crawls bridges its two digests, so a mirror of the OLD
+    content and a mirror of the NEW content belong to the same set
+    only through a 3-hop path (mirror—old_digest—uri—new_digest) —
+    which is what operators/graph.connected_components resolves and
+    the recursive-CTE oracle checks exactly. Exact-duplicate texts
+    (the planted dedup groups) widen sets the same way.
+
+    Shape: the bipartite (uri, digest) edge relation is CAPTURE-INDEX
+    sized, never corpus sized (one md5 per capture row); the closure
+    is O(component diameter) rounds of index-sized join + min-agg —
+    mirror chains are shallow in practice, and the label relation
+    broadcasts at web scale."""
+    from clif_spark.operators import graph as G
+
+    d = io.load_table(spark, sf_dir, "documents")
+    cur = d.select(_doc_url_col().alias("uri"),
+                   F.md5("text").alias("digest"))
+    prev = (d.filter(F.col("doc_id") % 4 != 3)
+            .select(_doc_url_col().alias("uri"),
+                    F.when(F.col("doc_id") % 5 == 0,
+                           F.md5(F.concat("text", F.lit("-v0"))))
+                     .otherwise(F.md5("text")).alias("digest")))
+    mirrors = (d.filter(F.col("doc_id") % 13 == 0)
+               .select(F.concat(F.lit("https://mirror.example/"),
+                                F.col("source"), F.lit("/"),
+                                F.col("doc_id").cast("string"))
+                        .alias("uri"),
+                       F.md5("text").alias("digest")))
+    caps = cur.unionByName(prev).unionByName(mirrors)
+    comp = G.connected_components(
+        caps.select(F.col("uri").alias("src"),
+                    F.col("digest").alias("dst")))
+    uris = comp.filter(F.col("node").startswith("https://"))
+    sets = (uris.groupBy("component")
+            .agg(F.min("node").alias("canonical_uri"),
+                 F.count(F.lit(1)).cast("long").alias("n_uris")))
+    return (uris.join(sets, "component")
+            .select(F.col("node").alias("uri"), "canonical_uri",
+                    "n_uris"))
+
+
 # --- D7d: incremental recrawl plan (sitemap lastmod x standing index) -----
 
 
