@@ -32,10 +32,17 @@ from pyspark.sql import functions as F
 
 MICROS = 1_000_000
 
+#: Default fixpoint-round budget shared by the iterative operators AND
+#: the recursive-CTE oracles that gate them: an oracle recursion bound
+#: lower than the engine's round budget would silently truncate the
+#: closure on a deep-enough fixture and flag a CORRECT engine result as
+#: a mismatch (ADVICE r12) — so both sides read this one name.
+FIXPOINT_MAX_ITERS = 50
+
 
 def connected_components(edges: DataFrame, src_col: str = "src",
                          dst_col: str = "dst",
-                         max_iters: int = 50) -> DataFrame:
+                         max_iters: int = FIXPOINT_MAX_ITERS) -> DataFrame:
     """Connected components over an UNDIRECTED view of the edge
     relation via min-label propagation to FIXPOINT: every node starts
     labeled with itself, each round replaces a node's label by the
@@ -92,7 +99,7 @@ def connected_components(edges: DataFrame, src_col: str = "src",
 
 def bfs_depths(edges: DataFrame, seeds: DataFrame,
                src_col: str = "src", dst_col: str = "dst",
-               max_iters: int = 50) -> DataFrame:
+               max_iters: int = FIXPOINT_MAX_ITERS) -> DataFrame:
     """Minimum-hop depth from a seed set over the DIRECTED edge
     relation — the crawl-depth question (how many link hops from the
     seed list does each host sit?). Iterative relaxation to FIXPOINT:

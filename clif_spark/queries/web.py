@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 
 from clif_spark import curation, io, warc
 from clif_spark.functions import url as urlfn
+from clif_spark.operators.graph import FIXPOINT_MAX_ITERS
 from clif_spark.queries import pq, query
 
 # --- shared planted inputs (Spark expression + DuckDB mirror) -----------
@@ -1610,6 +1611,11 @@ def warc_record_pairing(spark, sf_dir):
 # structure for PageRank to converge on.
 _SRC_N = "CAST(regexp_extract(source, '(\\d+)', 1) AS INT)"
 _M_SQL = "CAST(doc_id % 40 AS VARCHAR)"
+# The % 20 ring modulus below caps the host-graph diameter well under
+# FIXPOINT_MAX_ITERS; the recursive oracles bound their recursion at
+# that SAME constant, so growing the ring past the budget fails both
+# sides loudly (engine RuntimeError) instead of silently truncating
+# the oracle's closure (ADVICE r12).
 
 _LINK_PAGE_SQL = (
     "'<html><body><a href=\"https://src' || "
@@ -1990,7 +1996,7 @@ def web_host_components(spark, sf_dir):
         SELECT MAX(src_host) FROM linkedges) s
       UNION
       SELECT e3.dst, reach.d + 1 FROM reach JOIN e3 ON e3.src = reach.node
-      WHERE reach.d < 30)
+      WHERE reach.d < {FIXPOINT_MAX_ITERS})
     SELECT node AS host, CAST(MIN(d) AS BIGINT) AS depth
     FROM reach GROUP BY node
     """,

@@ -859,7 +859,33 @@ def _lsm_meta_read(root: str) -> dict:
     if not os.path.exists(p):
         return {"ckpt": None, "folded": []}
     with open(p) as fh:
-        return json.load(fh)
+        try:
+            return json.load(fh)
+        except json.JSONDecodeError as exc:
+            raise ValueError(
+                f"LSM store meta at {p} is corrupt ({exc}). The meta is "
+                f"the folded/dropped_through ledger; without it replayed "
+                f"deliveries could resurrect tombstoned keys, so the "
+                f"store fails loud rather than guess. Writes go through "
+                f"os.replace, so this indicates external damage — "
+                f"restore the file or rebuild the store.") from exc
+
+
+def _lsm_meta_write(root: str, meta: dict) -> None:
+    """Atomically publish the store meta: write a sibling tmp file and
+    ``os.replace`` it over ``_lsm_meta.json`` (atomic on POSIX). A
+    truncate-in-place rewrite could be caught mid-write by a crash,
+    corrupting the folded/dropped_through ledger and silently
+    re-opening the tombstone-resurrection window append_lsm_segment
+    exists to guard (ADVICE r12)."""
+    import json
+    import os
+
+    p = _lsm_meta_path(root)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, p)
 
 
 def _lsm_segments(root: str, ckpt: str) -> list[str]:
@@ -1014,7 +1040,6 @@ def compact_lsm(spark: SparkSession, root: str, keys: list[str],
     write, amortized over the many O(delivery) appends it enables —
     the classic LSM schedule (thresholds belong to the caller's
     scheduler, not the store)."""
-    import json
     import os
     import shutil
 
@@ -1042,20 +1067,37 @@ def compact_lsm(spark: SparkSession, root: str, keys: list[str],
     if keep_recent == 0:
         best = best.filter(~F.col(tombstone_col))
     base = os.path.join(root, f"base-{max(versions):08d}-{ckpt}")
-    # one pass: write the fold to a sibling tmp dir, THEN retire the
-    # source segments and publish via rename — readers never observe a
-    # half-folded store and the fold itself never re-reads its output
+    gen = 0
+    while os.path.exists(base):
+        # the natural target name can collide with the CURRENT base
+        # (folding it forward when no newer version exists, or a
+        # crash-replay of this very fold) — and that base is one of the
+        # fold's SOURCES, which must stay visible until the fold is
+        # published. Uniquify with an extra dash field instead of
+        # deleting: _lsm_dir_version reads the second field either way.
+        gen += 1
+        base = os.path.join(root,
+                            f"base-{max(versions):08d}-{gen:02d}-{ckpt}")
     tmp = base + ".tmp"
     best.write.mode("overwrite").parquet(tmp)
-    for s in fold:
-        shutil.rmtree(s)
+    # publish FIRST, retire after (ADVICE r12): a crash between the
+    # rename and the rmtrees leaves both the fold and its sources
+    # visible, which the keep-best merge reads correctly (winners keep
+    # their __seg stamps, so duplicated rows tie to the same winner;
+    # tombstone winners dropped from a FULL fold's base still mask
+    # from the surviving source segment until it is retired). The old
+    # delete-then-rename order lost every folded row if the process
+    # died in between — the .tmp dir is invisible to _lsm_segments.
     os.rename(tmp, base)
     folded = sorted(set(meta["folded"]) | set(versions))
     dropped_through = (max(versions) if keep_recent == 0
                        else meta.get("dropped_through", 0))
-    with open(_lsm_meta_path(root), "w") as fh:
-        json.dump({"ckpt": ckpt, "folded": folded,
-                   "dropped_through": dropped_through}, fh)
+    # ledger before retirement too: once the meta lists the folded
+    # versions, a redelivery skips even if a crash strands a source dir
+    _lsm_meta_write(root, {"ckpt": ckpt, "folded": folded,
+                           "dropped_through": dropped_through})
+    for s in fold:
+        shutil.rmtree(s)
     return len(fold)
 
 
@@ -1089,12 +1131,17 @@ def maintain_lsm(spark: SparkSession, root: str, keys: list[str],
     — O(log_fanout(deliveries)) total write amplification, the classic
     LSM trade. Returns the number of tier folds performed (0 = every
     tier below fanout)."""
-    import json
     import os
     import shutil
 
     from clif_spark.operators import windows as _w
 
+    if fanout < 2:
+        raise ValueError(
+            f"maintain_lsm: fanout must be >= 2, got {fanout} — with "
+            f"fanout=1 every tier containing a single run satisfies "
+            f"the fold threshold, so the scheduler would refold one "
+            f"run into ever-higher tiers forever (ADVICE r12).")
     ckpt = _lsm_ckpt(lineage)
     folds = 0
     while True:
@@ -1114,17 +1161,25 @@ def maintain_lsm(spark: SparkSession, root: str, keys: list[str],
         out = os.path.join(root, f"run-{t + 1:02d}-{maxv:08d}-{ckpt}")
         tmp = out + ".tmp"
         best.write.mode("overwrite").parquet(tmp)
-        for s in members:
-            shutil.rmtree(s)
         if os.path.exists(out):
-            shutil.rmtree(out)  # crash-replay leftover: single-writer
+            # crash-replay leftover from a fold that published but died
+            # before retiring its members: the members are all still
+            # present (single-writer), so the leftover run's rows are a
+            # subset of the fresh fold in tmp — safe to clear for the
+            # rename
+            shutil.rmtree(out)
+        # publish FIRST, retire after (ADVICE r12, same reasoning as
+        # compact_lsm): a crash between rename and the member rmtrees
+        # leaves run + members visible, which the keep-best merge reads
+        # correctly; the old order lost every folded row
         os.rename(tmp, out)
         meta = _lsm_meta_read(root)
         folded = sorted(set(meta["folded"])
                         | {_lsm_dir_version(s) for s in members
                            if os.path.basename(s).startswith("seg-")})
-        with open(_lsm_meta_path(root), "w") as fh:
-            json.dump({"ckpt": ckpt, "folded": folded,
-                       "dropped_through": meta.get("dropped_through", 0)},
-                      fh)
+        _lsm_meta_write(root, {"ckpt": ckpt, "folded": folded,
+                               "dropped_through":
+                                   meta.get("dropped_through", 0)})
+        for s in members:
+            shutil.rmtree(s)
         folds += 1

@@ -390,17 +390,26 @@ def read_records_at(files_df: DataFrame, lookups_df: DataFrame,
     at all (the join prunes them), which is the whole point. For plain
     ``.warc`` shards the offset is a direct byte slice; for
     ``.warc.gz``, offsets are into DECOMPRESSED bytes (the parser's
-    reporting convention), so the shard prefix up to the highest
-    requested offset must be decompressed first — linear, streamed via
-    GzipFile. Common Crawl's CDX avoids even that by indexing
-    COMPRESSED member offsets; that variant requires recording member
-    byte spans at assembly time and cannot be byte-arithmetic-gated
-    (member sizes depend on deflate output), so the engine keeps the
-    decompressed-offset form and documents the trade.
+    reporting convention), so decompression is BOUNDED: the stream is
+    read up to the highest requested offset plus a 1 MiB tail, then
+    grown only while a requested record is still incomplete (records
+    have no a-priori size bound, so a fixed tail alone could truncate
+    the last record) — never the whole shard (ADVICE r12). Common
+    Crawl's CDX avoids even the prefix cost by indexing COMPRESSED
+    member offsets; that variant requires recording member byte spans
+    at assembly time and cannot be byte-arithmetic-gated (member sizes
+    depend on deflate output), so the decompressed-offset form keeps
+    the oracle and the member-offset form is the scale path.
 
-    Each requested offset yields its record in PARSED_WARC_SCHEMA (the
-    slice re-parses under the same junk policy — a bad offset lands an
-    ``invalid`` row, never a task failure)."""
+    Each requested offset yields its record in PARSED_WARC_SCHEMA under
+    the junk policy: a bad offset lands an ``invalid`` row, never a
+    task failure. A VALID offset by the index's own convention always
+    points at a record's ``WARC/`` version magic (the parser reports
+    record starts after its CRLF resync), so any offset NOT on the
+    magic — including one landing on the inter-record CRLF boundary —
+    is invalid outright; without that check the parser's leading-CRLF
+    skip would silently return the NEXT record rebased to the stale
+    offset (ADVICE r12)."""
     parse_records = _parser_fns()  # bound by value, not module reference
     cols = [f.name for f in PARSED_WARC_SCHEMA.fields]
 
@@ -414,20 +423,44 @@ def read_records_at(files_df: DataFrame, lookups_df: DataFrame,
         import io as _io
 
         import pandas as pd
+        grow = 1 << 20
         for pdf in batches:
             rows = []
             for fid, content, offs in zip(
                     pdf[file_id_col], pdf[content_col], pdf["__offsets"]):
-                buf = bytes(content)
-                if buf[:2] == b"\x1f\x8b":
-                    buf = _gzip.GzipFile(fileobj=_io.BytesIO(buf)).read()
-                for off in sorted(int(o) for o in offs):
-                    rec = next(parse_records(buf[off:], int(fid)), None)
+                raw = bytes(content)
+                wanted = sorted(int(o) for o in offs)
+                stream = None
+                if raw[:2] == b"\x1f\x8b":
+                    stream = _gzip.GzipFile(fileobj=_io.BytesIO(raw))
+                    buf = stream.read(wanted[-1] + grow)
+                else:
+                    buf = raw
+                for off in wanted:
+                    rec = None
+                    if buf[off:off + 5] == b"WARC/":
+                        while True:
+                            rec = next(parse_records(buf[off:],
+                                                     int(fid)), None)
+                            if rec is not None and rec[2] != "invalid":
+                                break
+                            # 'invalid' may just mean the bounded
+                            # prefix cut the record short — grow and
+                            # retry until the stream is exhausted,
+                            # then the verdict is real (geometric so a
+                            # genuinely corrupt record costs O(log)
+                            # retries, not O(shard/chunk))
+                            more = (stream.read(max(grow, len(buf)))
+                                    if stream is not None else b"")
+                            if not more:
+                                break
+                            buf += more
                     if rec is None:
-                        # beyond-EOF offset: same junk policy as an
-                        # in-file bad offset — one VISIBLE invalid row,
-                        # never a silent drop (a user debugging a stale
-                        # index needs to see the miss)
+                        # beyond-EOF or off-magic offset: same junk
+                        # policy as an in-file bad offset — one VISIBLE
+                        # invalid row, never a silent drop (a user
+                        # debugging a stale index needs to see the
+                        # miss)
                         rec = (int(fid), off, "invalid", None, None,
                                None, None, None, None, None)
                     # rebase the parser's slice-relative offset to the

@@ -807,3 +807,111 @@ def test_lsm_partial_compaction_contract_free(spark):
     with pytest.raises(ValueError, match="tombstone-drop horizon"):
         streaming.append_lsm_segment(
             _lsm_rows(spark, [(9, 1, "z", False)]), root, 3)
+
+
+def test_lsm_fold_publishes_before_retiring_sources(spark, monkeypatch):
+    """ADVICE r12 crash-safety pin: compact_lsm must publish the folded
+    base BEFORE deleting its sources. The crash window (fold visible,
+    sources not yet retired) is frozen at its widest by making rmtree a
+    no-op — reads must be unchanged (keep-best is idempotent over the
+    duplicated rows, and a tombstone dropped from the base still masks
+    from its surviving source segment). A later fold (the crash replay)
+    then retires the strays, uniquifying the base name instead of
+    deleting the old base it is folding."""
+    import shutil
+
+    root = tempfile.mkdtemp(prefix="clif_lsm_") + "/store"
+    streaming.append_lsm_segment(
+        _lsm_rows(spark, [(1, 10, "a", False), (2, 5, "b", False)]),
+        root, 1)
+    streaming.append_lsm_segment(
+        _lsm_rows(spark, [(1, 100, None, True),  # tombstone wins k=1
+                          (3, 7, "c", False)]), root, 2)
+    before = _lsm_read_set(spark, root)
+    assert before == {(2, 5, "b"), (3, 7, "c")}
+    monkeypatch.setattr(shutil, "rmtree", lambda *a, **k: None)
+    assert streaming.compact_lsm(spark, root, ["k"], ["score"]) == 2
+    names = sorted(os.listdir(root))
+    assert sum(x.startswith("base-") for x in names) == 1
+    assert sum(x.startswith("seg-") for x in names) == 2  # strays
+    assert _lsm_read_set(spark, root) == before  # the crash window
+    monkeypatch.undo()
+    # crash replay: folds base + strays; target name collides with the
+    # live base (same max version), so it must uniquify, not delete
+    assert streaming.compact_lsm(spark, root, ["k"], ["score"]) == 3
+    names = sorted(os.listdir(root))
+    assert sum(x.startswith("base-") for x in names) == 1
+    assert not any(x.startswith("seg-") for x in names)
+    assert _lsm_read_set(spark, root) == before
+    # the replayed full fold's horizon still guards resurrections:
+    # versions 1-2 are in the folded ledger (skip), version 0 below the
+    # horizon was never applied -> loud
+    import pytest
+    assert streaming.append_lsm_segment(
+        _lsm_rows(spark, [(9, 1, "z", False)]), root, 1) is None
+    with pytest.raises(ValueError, match="tombstone-drop horizon"):
+        streaming.append_lsm_segment(
+            _lsm_rows(spark, [(9, 1, "z", False)]), root, 0)
+
+
+def test_maintain_lsm_crash_window_and_fanout_guard(spark, monkeypatch):
+    """maintain_lsm publishes tier runs before retiring members (same
+    crash window pin as the full fold), replays cleanly over the
+    leftover run, and rejects fanout < 2 at entry (a single run would
+    satisfy a 1-fanout tier forever — infinite refold)."""
+    import shutil
+
+    import pytest
+
+    root = tempfile.mkdtemp(prefix="clif_lsm_") + "/store"
+    with pytest.raises(ValueError, match="fanout"):
+        streaming.maintain_lsm(spark, root, ["k"], ["score"], fanout=1)
+    streaming.append_lsm_segment(
+        _lsm_rows(spark, [(1, 10, "a1", False)]), root, 1)
+    streaming.append_lsm_segment(
+        _lsm_rows(spark, [(1, 20, "a2", False), (2, 5, "b2", False)]),
+        root, 2)
+    before = _lsm_read_set(spark, root)
+
+    def boom(*a, **k):  # die on the FIRST retirement after publish
+        raise RuntimeError("simulated crash")
+
+    monkeypatch.setattr(shutil, "rmtree", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        streaming.maintain_lsm(spark, root, ["k"], ["score"], fanout=2)
+    names = sorted(os.listdir(root))
+    assert sum(x.startswith("run-") for x in names) == 1
+    assert sum(x.startswith("seg-") for x in names) == 2  # strays
+    assert _lsm_read_set(spark, root) == before  # the crash window
+    monkeypatch.undo()
+    # replay: the stray members refold into the SAME run name (leftover
+    # cleared before publish — its rows are a subset of the fresh fold)
+    assert streaming.maintain_lsm(spark, root, ["k"], ["score"],
+                                  fanout=2) == 1
+    names = sorted(os.listdir(root))
+    assert sum(x.startswith("run-") for x in names) == 1
+    assert not any(x.startswith("seg-") for x in names)
+    assert _lsm_read_set(spark, root) == before
+    # folded ledger survived the replay: redelivery of a folded
+    # version skips even though its segment dir is gone
+    assert streaming.append_lsm_segment(
+        _lsm_rows(spark, [(1, 99, "dup", False)]), root, 2) is None
+    assert _lsm_read_set(spark, root) == before
+
+
+def test_lsm_meta_corruption_fails_loud(spark):
+    """ADVICE r12: the meta is written via os.replace (atomic), so a
+    corrupt ledger can only mean external damage — every store
+    operation must fail with the store-specific message rather than
+    guess at the tombstone-resurrection rules."""
+    import pytest
+
+    root = tempfile.mkdtemp(prefix="clif_lsm_") + "/store"
+    streaming.append_lsm_segment(
+        _lsm_rows(spark, [(1, 10, "a", False)]), root, 1)
+    assert streaming.compact_lsm(spark, root, ["k"], ["score"]) == 1
+    with open(os.path.join(root, "_lsm_meta.json"), "w") as fh:
+        fh.write('{"ckpt": "tru')  # torn write
+    with pytest.raises(ValueError, match="corrupt"):
+        streaming.append_lsm_segment(
+            _lsm_rows(spark, [(2, 5, "b", False)]), root, 2)

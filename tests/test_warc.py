@@ -372,3 +372,39 @@ def test_read_records_at_random_access(spark):
     assert by[(0, 7)].warc_type == "invalid"
     # file 2 had no lookups -> pruned before parse (inner join)
     assert not [r for r in out if r.file_id == 2]
+
+
+def test_read_records_at_boundary_offset_and_bounded_growth(spark):
+    """ADVICE r12 pins: (1) a stale offset landing on the inter-record
+    CRLF boundary is an 'invalid' row — the parser's leading-CRLF skip
+    must NOT return the next record rebased to the stale offset; (2) gz
+    decompression is bounded to the highest offset plus a tail, with a
+    growth loop for records longer than the tail (here a 2.5 MiB
+    payload against the 1 MiB initial tail)."""
+    big = (b"0123456789abcdef" * (160 * 1024)) + b"!"  # 2.5 MiB + 1
+    r0 = _rec("resource",
+              {"WARC-Record-ID": "<urn:uuid:eee>",
+               "WARC-Target-URI": "https://example.org/small"},
+              b"tiny")
+    r1 = _rec("resource",
+              {"WARC-Record-ID": "<urn:uuid:fff>",
+               "WARC-Target-URI": "https://example.org/big"},
+              big)
+    plain = r0 + r1
+    files = spark.createDataFrame(
+        [(0, bytearray(gzip.compress(plain, mtime=0)))],
+        "file_id long, content binary")
+    lookups = spark.createDataFrame(
+        [(0, 0), (0, len(r0)), (0, len(r0) - 2)],  # -2 = CRLF boundary
+        "file_id long, record_offset long")
+    out = {r.record_offset: r
+           for r in warc.read_records_at(files, lookups).collect()}
+    assert out[0].warc_type == "resource"
+    assert out[0].payload == bytearray(b"tiny")
+    # the big record's block ends past offset + 1 MiB: only the growth
+    # loop can complete it
+    assert out[len(r0)].warc_type == "resource"
+    assert bytes(out[len(r0)].payload) == big
+    # boundary offset: invalid, NOT r1 rebased two bytes early
+    assert out[len(r0) - 2].warc_type == "invalid"
+    assert out[len(r0) - 2].target_uri is None
