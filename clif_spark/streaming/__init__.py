@@ -984,9 +984,44 @@ def append_lsm_segment(batch_df: DataFrame, root: str, version: int,
     return seg
 
 
+def _lsm_segment_stats(seg: str, col: str):
+    """(min, max) of ``col`` over one segment dir, read from the
+    parquet FOOTER statistics — no Spark job, no data pages touched
+    (at 100 TB this is a handful of footer GETs per segment, the same
+    metadata a production LSM keeps in its manifest). Returns None
+    when any file lacks usable stats for the column — the caller must
+    then keep the segment (pruning may only ever be a no-op, never
+    wrong). Parquet string stats may be stored truncated, but the
+    format requires truncation to widen the bounds, so intersection
+    tests against them stay conservative."""
+    import glob
+    import os
+
+    import pyarrow.parquet as papq
+
+    files = glob.glob(os.path.join(seg, "*.parquet"))
+    if not files:
+        return None
+    lo = hi = None
+    for f in files:
+        md = papq.ParquetFile(f).metadata
+        try:
+            idx = md.schema.names.index(col)
+        except ValueError:
+            return None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else (lo, hi)
+
+
 def read_lsm(spark: SparkSession, root: str, keys: list[str],
              order: list[str], tombstone_col: str = "is_delete",
-             lineage: str = "lsm") -> DataFrame:
+             lineage: str = "lsm",
+             key_range: tuple | None = None) -> DataFrame:
     """Live rows of an LSM store: union every segment, keep per key the
     row sorting LAST by (``order``, ``__seg``) — the delivery-ordinal
     tie-break — then filter tombstones. Read amplification is the
@@ -994,13 +1029,46 @@ def read_lsm(spark: SparkSession, root: str, keys: list[str],
     compact_lsm bounds it. One hash exchange on the key, exactly
     upsert_keep_latest's shape — at 100 TB the union legs scan in
     parallel and the reduce is the same shuffle a one-table keep-best
-    pays anyway."""
+    pays anyway.
+
+    ``key_range=(lo, hi)`` is SEGMENT SKIPPING on the leading key
+    (inclusive bounds): segments whose parquet-footer min/max on
+    ``keys[0]`` cannot intersect the range are dropped from the union
+    BEFORE any data page is read — the manifest-style prune that cuts
+    the between-compactions read penalty without waiting for a fold.
+    Bit-identical to the unpruned read filtered to the range: a key in
+    range appears in a segment only if that segment's stats straddle
+    it, so every row (including tombstones) that the keep-best merge
+    for an in-range key needs survives the prune; a segment without
+    usable stats is conservatively kept."""
     from clif_spark.operators import windows as _w
 
     segs = _lsm_segments(root, _lsm_ckpt(lineage))
     if not segs:
         raise ValueError(f"read_lsm: no segments under {root}")
+    if key_range is not None:
+        lo, hi = key_range
+        kept = []
+        for s in segs:
+            stats = _lsm_segment_stats(s, keys[0])
+            if stats is None or not (stats[1] < lo or stats[0] > hi):
+                kept.append(s)
+        segs = kept
+        if not segs:
+            # nothing can intersect: an empty relation with the read
+            # schema (derive it from one footer-pruned segment is
+            # impossible — read the store schema from any segment dir)
+            all_segs = _lsm_segments(root, _lsm_ckpt(lineage))
+            empty = spark.read.parquet(*all_segs).limit(0)
+            best = _w.dedup_keep_last(empty, keys,
+                                      list(order) + ["__seg"])
+            return best.filter(~F.col(tombstone_col)) \
+                       .drop(tombstone_col, "__seg")
     merged = spark.read.parquet(*segs)
+    if key_range is not None:
+        merged = merged.filter(
+            F.col(keys[0]).between(F.lit(key_range[0]),
+                                   F.lit(key_range[1])))
     best = _w.dedup_keep_last(merged, keys, list(order) + ["__seg"])
     return best.filter(~F.col(tombstone_col)) \
                .drop(tombstone_col, "__seg")

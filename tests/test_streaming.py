@@ -915,3 +915,50 @@ def test_lsm_meta_corruption_fails_loud(spark):
     with pytest.raises(ValueError, match="corrupt"):
         streaming.append_lsm_segment(
             _lsm_rows(spark, [(2, 5, "b", False)]), root, 2)
+
+
+def test_lsm_segment_skipping_key_range(spark):
+    """read_lsm(key_range=...): segments whose footer min/max on the
+    leading key cannot intersect the range are dropped from the union
+    before any data page is read (asserted via inputFiles — the scan
+    set, not the result), and the pruned read is bit-identical to the
+    unpruned read filtered to the range, tombstones included."""
+    root = tempfile.mkdtemp(prefix="clif_lsm_") + "/store"
+    streaming.append_lsm_segment(
+        _lsm_rows(spark, [(2, 10, "x2", False), (3, 11, "x3", False)]),
+        root, 1)
+    streaming.append_lsm_segment(
+        _lsm_rows(spark, [(100, 5, "y0", False), (103, 6, "y3", False)]),
+        root, 2)
+    streaming.append_lsm_segment(
+        _lsm_rows(spark, [(2, 99, None, True),      # tombstone for k=2
+                          (101, 7, "y1", False)]), root, 3)
+    pruned = streaming.read_lsm(spark, root, ["k"], ["score"],
+                                key_range=(2, 3))
+    assert {tuple(r) for r in pruned.collect()} == {(3, 11, "x3")}
+    # scan set: seg 2 (keys 100-103) is out; segs 1 and 3 are in
+    scanned = {f.split("/")[-2] for f in pruned.inputFiles()}
+    assert any(d.startswith("seg-00000001") for d in scanned)
+    assert any(d.startswith("seg-00000003") for d in scanned)
+    assert not any(d.startswith("seg-00000002") for d in scanned)
+    # bit-identity vs the unpruned read filtered to the range
+    from pyspark.sql import functions as F
+    full = streaming.read_lsm(spark, root, ["k"], ["score"]) \
+                    .filter(F.col("k").between(2, 3))
+    assert ({tuple(r) for r in pruned.collect()}
+            == {tuple(r) for r in full.collect()})
+    # a range intersecting nothing: empty result, schema preserved,
+    # zero scan legs
+    none = streaming.read_lsm(spark, root, ["k"], ["score"],
+                              key_range=(500, 600))
+    assert none.count() == 0
+    assert none.columns == ["k", "score", "payload"]
+    # pruning composes with compaction: after a partial fold the base
+    # straddles both ranges and is kept, the surviving segment prunes
+    # as before
+    assert streaming.compact_lsm(spark, root, ["k"], ["score"],
+                                 keep_recent=1) == 2
+    pruned2 = streaming.read_lsm(spark, root, ["k"], ["score"],
+                                 key_range=(100, 103))
+    assert {tuple(r) for r in pruned2.collect()} == {
+        (100, 5, "y0"), (101, 7, "y1"), (103, 6, "y3")}
