@@ -1822,6 +1822,154 @@ def web_link_graph(spark, sf_dir):
                   .alias("n_urls")))
 
 
+# --- D5b: anchor-text aggregation onto the link graph ----------------------
+
+# The anchor fixture extends the shared link page with ONE extra
+# element (never touching _LINK_PAGE_SQL, whose byte-exact shape gates
+# the whole D family): every n%3==0 source re-links its /local/{m}
+# URL — already linked with text 's' — with NESTED-TAG text
+# '<b>hot</b> link', so the aggregation sees the same resolved URL
+# under two different texts and the tag-strip rule is load-bearing.
+# The n%3==1 sources already link ONE resolved URL (/a/up/{m}) twice
+# with texts 'u' and 'v' via the dot-segment collapse pair.
+_ANCHOR_EXTRA_SQL = (f"(CASE WHEN {_SRC_N} % 3 = 0 THEN "
+                     f"'<a href=\"/local/' || {_M_SQL} || "
+                     "'\"><b>hot</b> link</a>' ELSE '' END)")
+_ANCHOR_PAT = '<a href="([^"]+)">(.*?)</a>'
+
+# DuckDB parallel unnest zips POSITIONALLY (two unnests in one SELECT
+# advance together), which is exactly the href<->text pairing the
+# Spark side gets from arrays_zip — the wrinkle this oracle exists to
+# pin. atext normalization = html_to_text's tag rule (tags -> space,
+# whitespace collapsed, trimmed).
+_ANCHOR_CTES = f"""
+    apages AS (
+      SELECT doc_id, source || '.example.com' AS src_host,
+             {_LINK_BASE_PATH_SQL} AS base_path,
+             {_LINK_PAGE_SQL} || {_ANCHOR_EXTRA_SQL} AS html
+      FROM documents),
+    araw AS (
+      SELECT doc_id, src_host, base_path,
+        unnest(regexp_extract_all(html, '{_ANCHOR_PAT}', 1)) AS href,
+        unnest(regexp_extract_all(html, '{_ANCHOR_PAT}', 2)) AS rawtext
+      FROM apages),
+    aclean AS (
+      SELECT doc_id, src_host, base_path,
+             regexp_replace(href, '#.*$', '') AS h,
+             trim(regexp_replace(regexp_replace(
+               rawtext, '<[^>]*>', ' ', 'g'),
+               '[ \\t]+', ' ', 'g')) AS atext
+      FROM araw),
+    aparts AS (
+      SELECT doc_id, src_host, base_path, h, atext,
+             regexp_extract(h, '^([^?#]*)', 1) AS rel_path,
+             regexp_extract(h, '(\\?[^#]*)', 1) AS rel_qs,
+             regexp_replace(base_path, '[^/]*$', '') AS base_dir,
+             regexp_extract(h,
+               '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS abs_pre,
+             regexp_extract(h,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+               AS abs_path,
+             regexp_extract(h, '^//([^/?#]*)', 1) AS pr_auth,
+             regexp_extract(h, '^//[^/?#]*([^?#]*)', 1) AS pr_path
+      FROM aclean),
+    amerged AS (
+      SELECT *, (CASE WHEN starts_with(base_dir || rel_path, '/')
+                      THEN base_dir || rel_path
+                      ELSE '/' || base_dir || rel_path END) AS merged
+      FROM aparts),
+    aresolved AS (
+      SELECT src_host, atext,
+             CASE
+               WHEN h = '' THEN NULL
+               WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*://')
+                 THEN abs_pre || {_sql_collapse('abs_path')} || rel_qs
+               WHEN starts_with(h, '//')
+                 THEN 'https://' || pr_auth
+                      || {_sql_collapse('pr_path')} || rel_qs
+               WHEN starts_with(h, '/')
+                 THEN 'https://' || src_host
+                      || {_sql_collapse('rel_path')} || rel_qs
+               WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*:')
+                    OR starts_with(h, '?') THEN NULL
+               ELSE 'https://' || src_host
+                    || {_sql_collapse('merged')} || rel_qs
+             END AS u
+      FROM amerged)
+"""
+
+
+@query(
+    "web_anchor_text",
+    oracle=f"""
+    WITH {_ANCHOR_CTES}
+    SELECT src_host, u AS dst_url,
+           CAST(COUNT(*) AS BIGINT) AS n_anchors,
+           CAST(COUNT(DISTINCT atext) AS BIGINT) AS n_texts,
+           string_agg(DISTINCT atext, '|' ORDER BY atext)
+             AS anchor_texts
+    FROM aresolved WHERE u IS NOT NULL
+    GROUP BY src_host, u
+    """,
+)
+def web_anchor_text(spark, sf_dir):
+    """D5b (engine ext.): anchor-text aggregation onto the link graph
+    — per (source host, resolved destination URL), the set of texts
+    pages link it with. THE classic relevance/quality signal of web
+    corpora: anchor text is independent evidence of what a page is
+    about (search engines rank on it; corpus curation uses it as a
+    target-side quality prior; BM25-over-anchors is a standard
+    retrieval field). One zipped two-group extraction: href and inner
+    text lift out of the SAME anchor-element match (arrays_zip keeps
+    the pairing; the oracle's parallel unnest zips positionally —
+    drifting the pairing by one flips every text), hrefs resolve
+    through the full RFC 3986 resolver, nested markup strips under the
+    html_to_text tag rule, and one hash aggregation lands
+    (n_anchors, n_texts, sorted-distinct texts) per edge. The planted
+    multi-text URLs: /local/{{m}} carries 's' AND 'hot link' (nested
+    <b> stripped) for n%3==0 sources; the dot-segment pair 'u'/'v'
+    share their collapsed URL for n%3==1.
+
+    Shape: narrow per-page extract + explode, ONE exchange on
+    (src_host, dst_url) — (edge x texts)-sized state, no second corpus
+    scan, no Python. At 100 TB anchor aggregation is the same shuffle
+    the link graph itself pays, just keyed one level finer."""
+    d = io.load_table(spark, sf_dir, "documents")
+    n = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    m = (F.col("doc_id") % 40).cast("string")
+    extra = F.when(
+        n % 3 == 0,
+        F.concat(F.lit('<a href="/local/'), m,
+                 F.lit('"><b>hot</b> link</a>'))).otherwise(F.lit(""))
+    pages = d.select(
+        F.concat("source", F.lit(".example.com")).alias("src_host"),
+        _link_base_path_col().alias("base_path"),
+        F.concat(_link_page_col(), extra).alias("html"))
+    pairs = pages.select(
+        "src_host", "base_path",
+        F.regexp_extract_all("html", F.lit(_ANCHOR_PAT), F.lit(1))
+         .alias("hrefs"),
+        F.regexp_extract_all("html", F.lit(_ANCHOR_PAT), F.lit(2))
+         .alias("rawtexts"))
+    z = pairs.select(
+        "src_host", "base_path",
+        F.explode(F.arrays_zip("hrefs", "rawtexts")).alias("a"))
+    resolved = urlfn.resolve_href(
+        F.col("a.hrefs"), F.lit("https"), F.col("src_host"),
+        base_path=F.col("base_path"))
+    atext = F.trim(F.regexp_replace(F.regexp_replace(
+        F.col("a.rawtexts"), F.lit("<[^>]*>"), F.lit(" ")),
+        F.lit("[ \\t]+"), F.lit(" ")))
+    return (z.select("src_host", resolved.alias("dst_url"),
+                     atext.alias("atext"))
+            .filter(F.col("dst_url").isNotNull())
+            .groupBy("src_host", "dst_url")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_anchors"),
+                 F.count_distinct("atext").cast("long").alias("n_texts"),
+                 F.array_join(F.array_sort(F.collect_set("atext")), "|")
+                  .alias("anchor_texts")))
+
+
 def _pagerank_ctes(iterations: int = 3, damping: int = 85
                    ) -> tuple[str, str]:
     """(ctes, final_relation) — the unrolled K-iteration integer-micros
@@ -2651,17 +2799,22 @@ _CDX_SELECT = """
 """
 
 
-def _cdx_files_and_index(spark, sf_dir):
-    """(shard blobs, CDX index rows) — the shared build for the two
-    gated S9e rows: documents -> WARC shards (mixed layout) -> parse ->
-    SURT-keyed index rows with the parser-reported record offset."""
+def _cdx_files_and_index(spark, sf_dir, members: bool = False):
+    """(shard blobs, CDX index rows) — the shared build for the gated
+    S9e rows: documents -> WARC shards (mixed layout) -> parse ->
+    SURT-keyed index rows with the parser-reported record offset.
+    ``members=True`` parses through ``warc.parse_warc_members`` and
+    carries each capture's COMPRESSED member span (member_offset,
+    member_length) alongside — the Common Crawl CDX convention whose
+    range reads skip prefix decompression entirely."""
     d = io.load_table(spark, sf_dir, "documents")
     docs = d.select(
         "doc_id", "text", _doc_url_col().alias("url"),
         (F.col("doc_id") % _shard_count(d)).alias("file_id"))
     files = warc.assemble_warc_files(
         warc.build_warc_records(docs), gzip_records="mixed")
-    parsed = warc.parse_warc(files)
+    parsed = (warc.parse_warc_members(files) if members
+              else warc.parse_warc(files))
     auth = F.regexp_extract(
         "target_uri", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     path = F.regexp_extract(
@@ -2669,6 +2822,8 @@ def _cdx_files_and_index(spark, sf_dir):
     surt = F.concat(
         F.array_join(F.reverse(F.split(auth, r"\.")), ","),
         F.lit(")"), path)
+    span_cols = ([F.col("member_offset"), F.col("member_length")]
+                 if members else [])
     idx = parsed.select(
         surt.alias("surt_key"),
         F.col("warc_date").alias("ts"),
@@ -2677,7 +2832,8 @@ def _cdx_files_and_index(spark, sf_dir):
         F.octet_length("payload").cast("long").alias("resp_len"),
         F.col("file_id").cast("long").alias("file_id"),
         F.col("record_offset"),
-        F.regexp_extract(surt, r"\)/([^/]+)", 1).alias("cdx_shard"))
+        F.regexp_extract(surt, r"\)/([^/]+)", 1).alias("cdx_shard"),
+        *span_cols)
     w = Window.partitionBy("cdx_shard").orderBy("surt_key")
     return files, idx.withColumn(
         "shard_rank", F.row_number().over(w).cast("long"))
@@ -2767,6 +2923,96 @@ def web_cdx_point_lookup(spark, sf_dir):
         F.col("payload").cast("string").alias("text"),
         F.col("file_id").cast("long").alias("file_id"),
         "record_offset")
+
+
+def _cdx_member_picks(spark, sf_dir):
+    """(shard blobs, lookup picks WITH member spans) — the shared
+    lookup set of the member-offset rows: every 17th capture per CDX
+    block restricted to two shards, exactly web_cdx_point_lookup's
+    pick rule, so the three read-path rows stay comparable."""
+    files, idx = _cdx_files_and_index(spark, sf_dir, members=True)
+    picks = idx.filter((F.col("shard_rank") % 17 == 0)
+                       & F.col("file_id").isin(0, 3))
+    return files, picks
+
+
+@query("web_cdx_member_lookup", oracle=None)
+def web_cdx_member_lookup(spark, sf_dir):
+    """S9h (engine ext., rows-only): point lookup by COMPRESSED member
+    span — the Common Crawl CDX convention (cdx files carry the
+    member's stored offset+length, not a decompressed offset), and the
+    O(record) cold-lookup path: slice exactly (member_offset,
+    member_length) bytes out of the shard, inflate that ONE gzip
+    member (or parse the plain slice directly), done. No prefix
+    decompression ever happens, so lookup cost is independent of where
+    in a multi-GB shard the record sits — at 100 TB this is a ranged
+    GET per hit, the difference between a lookup service and a batch
+    job (read_records_at's decompressed-offset form pays the prefix).
+
+    Registered ROWS-ONLY: member spans depend on deflate output, which
+    no SQL mirror can reproduce — the hash-gateable artifact is the
+    equality contract (web_cdx_member_contract) pinning this path's
+    fetched records byte-for-byte against the decompressed-offset path
+    under the oracle-verified pick set."""
+    files, picks = _cdx_member_picks(spark, sf_dir)
+    recs = warc.read_records_at_members(
+        files, picks.select("file_id", "member_offset", "member_length"))
+    return recs.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long")
+         .alias("doc_id"),
+        "target_uri",
+        F.col("payload").cast("string").alias("text"),
+        F.col("file_id").cast("long").alias("file_id"),
+        "member_offset", "member_length")
+
+
+@query(
+    "web_cdx_member_contract",
+    oracle=f"""
+    WITH {_CDX_CTES},
+    cdx AS ({_CDX_SELECT})
+    SELECT CAST(regexp_extract(c.uri, '/(\\d+)$', 1) AS BIGINT)
+             AS doc_id,
+           c.uri AS target_uri, TRUE AS paths_agree
+    FROM cdx c
+    WHERE c.shard_rank % 17 = 0 AND c.file_id IN (0, 3)
+    """,
+)
+def web_cdx_member_contract(spark, sf_dir):
+    """S9h's driver-gated contract twin (the rows-only pattern): fetch
+    the SAME oracle-verified lookup set through BOTH random-access
+    paths — member-span range read (read_records_at_members) and
+    decompressed-offset read (read_records_at) — join per capture, and
+    emit ``paths_agree`` = record type, URI, payload bytes, and text
+    decode all equal null-safely. The oracle re-derives the pick set
+    by byte arithmetic and asserts TRUE, so a one-byte drift in member
+    boundary accounting (walker, builder, or gzip framing) flips a
+    value the hash gate sees; a member path returning an invalid row
+    drops the join row and flips the row count instead."""
+    files, picks = _cdx_member_picks(spark, sf_dir)
+    via_member = warc.read_records_at_members(
+        files, picks.select("file_id", "member_offset", "member_length"))
+    via_offset = warc.read_records_at(
+        files, picks.select("file_id", "record_offset"))
+    m = via_member.select(
+        F.col("target_uri"),
+        F.col("warc_type").alias("m_type"),
+        F.col("payload").alias("m_payload"),
+        F.col("payload_text").alias("m_text"))
+    o = via_offset.select(
+        F.col("target_uri"),
+        F.col("warc_type").alias("o_type"),
+        F.col("payload").alias("o_payload"),
+        F.col("payload_text").alias("o_text"))
+    agree = (F.col("m_type").eqNullSafe(F.col("o_type"))
+             & F.col("m_payload").eqNullSafe(F.col("o_payload"))
+             & F.col("m_text").eqNullSafe(F.col("o_text")))
+    return (m.join(o, ["target_uri"], "inner")
+             .select(
+                 F.regexp_extract("target_uri", r"/(\d+)$", 1)
+                  .cast("long").alias("doc_id"),
+                 "target_uri",
+                 agree.alias("paths_agree")))
 
 
 # --- D7c: Sitemap: discovery from robots.txt ------------------------------

@@ -65,6 +65,20 @@ PARSED_WARC_SCHEMA = T.StructType([
 ])
 
 
+#: PARSED_WARC_SCHEMA plus the COMPRESSED member span of each record —
+#: the Common Crawl CDX convention: (member_offset, member_length) are
+#: byte positions in the shard file AS STORED, so a range read fetches
+#: exactly one gzip member (or, on a plain shard, exactly the record's
+#: bytes) with no prefix decompression. Built as a fresh StructType:
+#: StructType.add MUTATES in place, so extending PARSED_WARC_SCHEMA
+#: directly would corrupt every other consumer's schema.
+MEMBER_WARC_SCHEMA = T.StructType(
+    list(PARSED_WARC_SCHEMA.fields) + [
+        T.StructField("member_offset", T.LongType()),
+        T.StructField("member_length", T.LongType()),
+    ])
+
+
 def deterministic_record_id(url_col: Column) -> Column:
     """``urn:uuid:`` record id derived from md5(url): WARC requires a
     globally-unique id per record; a content-derived uuid keeps rebuilds
@@ -469,6 +483,157 @@ def read_records_at(files_df: DataFrame, lookups_df: DataFrame,
             yield pd.DataFrame(rows, columns=cols)
 
     return joined.mapInPandas(run, PARSED_WARC_SCHEMA)
+
+
+def _member_walk_fn():
+    """Factory for the gzip member walker (by-value pickling, same
+    reasoning as _parser_fns). Yields (member_offset, member_length,
+    decompressed_bytes) per gzip member of a compressed shard — the
+    boundary accounting a CDX generator needs to index COMPRESSED
+    member spans. Linear: the input rides a memoryview (O(1) slices)
+    and is fed in bounded chunks, so ``unused_data`` never exceeds one
+    chunk (gzip.decompress's per-member unused_data re-slice is the
+    known quadratic trap on per-record-member shards)."""
+
+    def walk_members(raw: bytes):
+        import zlib
+
+        mv = memoryview(raw)
+        n, pos, chunk = len(raw), 0, 1 << 20
+        while pos < n:
+            d = zlib.decompressobj(31)  # 31 = gzip wrapper
+            out = []
+            feed_end = pos
+            while not d.eof:
+                if feed_end >= n:
+                    raise ValueError(
+                        f"truncated gzip member at offset {pos}")
+                nxt = min(feed_end + chunk, n)
+                out.append(d.decompress(mv[feed_end:nxt]))
+                feed_end = nxt
+            end = feed_end - len(d.unused_data)
+            yield pos, end - pos, b"".join(out)
+            pos = end
+
+    return walk_members
+
+
+def parse_warc_members(df: DataFrame, file_id_col: str = "file_id",
+                       content_col: str = "content") -> DataFrame:
+    """``parse_warc`` with COMPRESSED member spans: every record row
+    additionally carries (member_offset, member_length) — the byte
+    span in the shard AS STORED that a range read must fetch to get
+    this record. On ``.warc.gz`` shards that is the record's gzip
+    member (walked member-by-member, so boundaries come from the
+    stream itself — no assembly-time bookkeeping to trust); on plain
+    shards it is the record's own byte span. ``record_offset`` keeps
+    the decompressed-stream convention byte-for-byte, so this is a
+    strict superset of ``parse_warc``'s output and the two can be
+    equality-gated against each other.
+
+    This is the index-build side of the Common Crawl CDX layout: with
+    member spans in the index, a cold lookup is one ranged GET of one
+    member — O(record) — instead of decompressing the shard prefix up
+    to the offset, which at 100 TB is the difference between a lookup
+    service and a batch job."""
+    parse_records = _parser_fns()
+    walk_members = _member_walk_fn()
+    cols = [f.name for f in MEMBER_WARC_SCHEMA.fields]
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for fid, content in zip(pdf[file_id_col], pdf[content_col]):
+                raw = bytes(content)
+                fid = int(fid)
+                if raw[:2] == b"\x1f\x8b":
+                    base = 0  # decompressed-stream offset of the member
+                    for moff, mlen, data in walk_members(raw):
+                        for rec in parse_records(data, fid):
+                            # rebase the member-relative record offset
+                            # to the decompressed-stream convention
+                            rows.append((fid, base + rec[1]) + rec[2:]
+                                        + (moff, mlen))
+                        base += len(data)
+                else:
+                    recs = list(parse_records(raw, fid))
+                    for i, rec in enumerate(recs):
+                        start = rec[1]
+                        end = (recs[i + 1][1] if i + 1 < len(recs)
+                               else len(raw))
+                        rows.append(rec + (start, end - start))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(file_id_col, content_col) \
+             .mapInPandas(run, MEMBER_WARC_SCHEMA)
+
+
+def read_records_at_members(files_df: DataFrame, lookups_df: DataFrame,
+                            file_id_col: str = "file_id",
+                            offset_col: str = "member_offset",
+                            length_col: str = "member_length",
+                            content_col: str = "content") -> DataFrame:
+    """RANDOM ACCESS by COMPRESSED member span — the read side of the
+    Common Crawl CDX convention and the O(record) complement to
+    ``read_records_at``'s decompressed-offset form: each lookup names
+    (file_id, member_offset, member_length), the shard is sliced at
+    exactly those STORED bytes, and only that slice is decompressed
+    (one gzip member) or parsed directly (plain shard). Nothing before
+    the member is ever touched, so a cold lookup costs one ranged read
+    + one member inflate regardless of where in a multi-GB shard the
+    record sits.
+
+    Junk policy as everywhere: a span that is not a gzip member or a
+    record start, or whose member decodes to something unparseable,
+    lands one visible 'invalid' row keyed by the requested span. The
+    result's ``record_offset`` is the span's ``member_offset`` (the
+    caller's addressing convention — decompressed offsets are not
+    knowable from a member-ranged read, by design), plus the span
+    columns verbatim."""
+    parse_records = _parser_fns()
+    cols = [f.name for f in MEMBER_WARC_SCHEMA.fields]
+
+    grouped = lookups_df.groupBy(file_id_col).agg(
+        F.collect_list(F.struct(
+            F.col(offset_col).cast("long").alias("o"),
+            F.col(length_col).cast("long").alias("l"))).alias("__spans"))
+    joined = files_df.select(file_id_col, content_col) \
+                     .join(grouped, [file_id_col], "inner")
+
+    def run(batches: Iterator) -> Iterator:
+        import gzip as _gzip
+
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for fid, content, spans in zip(
+                    pdf[file_id_col], pdf[content_col], pdf["__spans"]):
+                raw = bytes(content)
+                fid = int(fid)
+                for sp in sorted((int(s["o"]), int(s["l"]))
+                                 for s in spans):
+                    off, ln = sp
+                    chunk = raw[off:off + ln]
+                    rec = None
+                    try:
+                        if chunk[:2] == b"\x1f\x8b":
+                            data = _gzip.decompress(chunk)
+                        else:
+                            data = chunk
+                        if data[:5] == b"WARC/":
+                            rec = next(parse_records(data, fid), None)
+                            if rec is not None and rec[2] == "invalid":
+                                rec = None
+                    except Exception:
+                        rec = None  # torn span / corrupt member
+                    if rec is None:
+                        rec = (fid, off, "invalid", None, None,
+                               None, None, None, None, None)
+                    rows.append((fid, off) + rec[2:] + (off, ln))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return joined.mapInPandas(run, MEMBER_WARC_SCHEMA)
 
 
 def write_warc_files(files_df: DataFrame, out_dir: str,

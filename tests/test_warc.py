@@ -408,3 +408,64 @@ def test_read_records_at_boundary_offset_and_bounded_growth(spark):
     # boundary offset: invalid, NOT r1 rebased two bytes early
     assert out[len(r0) - 2].warc_type == "invalid"
     assert out[len(r0) - 2].target_uri is None
+
+
+def test_member_spans_index_and_ranged_read(spark):
+    """Compressed-member CDX convention: parse_warc_members reports
+    each record's STORED byte span (gzip member on .warc.gz, record
+    bytes on plain), its first 10 columns byte-match parse_warc, and
+    read_records_at_members fetches a record from the span alone —
+    slicing raw bytes, decompressing one member, never the prefix. A
+    torn span lands an invalid row."""
+    plain = _fixture_file()
+    # per-record gzip members (the Common Crawl layout)
+    offs, pos = [], 0
+    while pos < len(plain):
+        offs.append(pos)
+        hdr_end = plain.index(b"\r\n\r\n", pos)
+        ln = int([h for h in plain[pos:hdr_end].split(b"\r\n")
+                  if h.lower().startswith(b"content-length:")][0]
+                 .split(b":")[1])
+        pos = hdr_end + 4 + ln + 4
+    bounds = offs + [len(plain)]
+    gz = b"".join(gzip.compress(plain[bounds[i]:bounds[i + 1]], mtime=0)
+                  for i in range(len(offs)))
+    files = spark.createDataFrame(
+        [(0, bytearray(plain)), (1, bytearray(gz))],
+        "file_id long, content binary")
+
+    members = warc.parse_warc_members(files).collect()
+    base = {(r.file_id, r.record_offset): r
+            for r in warc.parse_warc(files).collect()}
+    assert len(members) == 2 * len(offs)
+    for r in members:
+        b = base[(r.file_id, r.record_offset)]
+        assert (r.warc_type, r.record_id, r.target_uri, r.payload) == \
+               (b.warc_type, b.record_id, b.target_uri, b.payload)
+    # gz spans decompress to exactly one record's bytes; plain spans
+    # ARE the record's bytes
+    for r in members:
+        raw = gz if r.file_id == 1 else plain
+        chunk = bytes(raw[r.member_offset:
+                          r.member_offset + r.member_length])
+        data = gzip.decompress(chunk) if r.file_id == 1 else chunk
+        assert data.startswith(b"WARC/")
+    # decompressed record_offset convention matches parse_warc on the
+    # gz shard too (the equality above keyed on it already); now the
+    # ranged READ: fetch the response record from both shards plus one
+    # torn span
+    resp = [r for r in members if r.warc_type == "response"]
+    lookups = spark.createDataFrame(
+        [(r.file_id, r.member_offset, r.member_length) for r in resp]
+        + [(1, 3, 11)],  # torn span: mid-member slice
+        "file_id long, member_offset long, member_length long")
+    got = {(r.file_id, r.member_offset): r
+           for r in warc.read_records_at_members(files, lookups)
+                         .collect()}
+    for r in resp:
+        g = got[(r.file_id, r.member_offset)]
+        assert g.warc_type == "response"
+        assert g.payload == r.payload
+        assert g.target_uri == "https://example.org/a"
+        assert g.member_length == r.member_length
+    assert got[(1, 3)].warc_type == "invalid"
