@@ -142,6 +142,94 @@ def bfs_depths(edges: DataFrame, seeds: DataFrame,
     raise RuntimeError(f"bfs_depths did not converge in {max_iters} rounds")
 
 
+def connected_components_star(edges: DataFrame, src_col: str = "src",
+                              dst_col: str = "dst",
+                              max_iters: int = FIXPOINT_MAX_ITERS,
+                              return_rounds: bool = False):
+    """Connected components via ALTERNATING LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", 2014) — the high-diameter alternative to min-label
+    propagation: label propagation pays O(diameter) rounds (a
+    100-hop mirror chain = 100 edge-relation scans), star contraction
+    provably converges in O(log^2 n) rounds regardless of diameter,
+    because each round rewires nodes directly toward their current
+    component minimum instead of moving labels one hop.
+
+    One round = two passes over the shrinking edge relation:
+    - LARGE-STAR at node u: every strictly-LARGER neighbor rewires to
+      m = min(neighborhood ∪ {u});
+    - SMALL-STAR at node u: every smaller-or-equal neighbor (and u)
+      rewires to the minimum of the small side.
+    Both preserve connectivity; at fixpoint the edge set IS the star
+    (node -> component minimum), so the result equals min-label
+    propagation's labeling EXACTLY — gated under the same
+    recursive-closure oracle. Fixpoint test: exact set equality of the
+    edge relation between rounds (exceptAll both ways), a pure integer
+    certificate like the siblings'.
+
+    Same discipline as the siblings: per-round localCheckpoint (the
+    pagerank lineage lesson), loud failure past ``max_iters``. Cost
+    per round: two groupBy-min + joins on a node-sized relation —
+    same exchange shape as one label round, so the O(log^2 n) vs
+    O(diameter) round count is the whole comparison.
+
+    Returns (node, component); with ``return_rounds=True`` returns
+    (labels, rounds) for round-count instrumentation."""
+    s, d = F.col(src_col), F.col(dst_col)
+    e = (edges.select(s.alias("u"), d.alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .distinct()
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("u").alias("node"))
+             .unionByName(e.select(F.col("v").alias("node")))
+             .distinct()
+             .localCheckpoint(eager=True))
+
+    def _sym(rel):
+        return (rel.unionByName(rel.select(F.col("v").alias("u"),
+                                           F.col("u").alias("v")))
+                .distinct())
+
+    for rounds in range(1, max_iters + 1):
+        nbrs = _sym(e)
+        # LARGE-STAR: m(u) = min over the FULL neighborhood and u
+        mins = (nbrs.groupBy("u")
+                .agg(F.min("v").alias("__mn"))
+                .select("u", F.least(F.col("__mn"), F.col("u"))
+                        .alias("__m")))
+        e_large = (nbrs.join(mins, "u")
+                   .filter(F.col("v") > F.col("u"))
+                   .select(F.col("v").alias("u"),
+                           F.col("__m").alias("v"))
+                   .distinct()
+                   .localCheckpoint(eager=True))
+        # SMALL-STAR: m(u) = min over the SMALLER neighbors (all < u),
+        # to which the smaller neighbors AND u itself rewire
+        nbrs2 = _sym(e_large).filter(F.col("v") < F.col("u"))
+        mins2 = nbrs2.groupBy("u").agg(F.min("v").alias("__m"))
+        nxt = (nbrs2.join(mins2, "u")
+               .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+               .unionByName(mins2.select("u", F.col("__m").alias("v")))
+               .filter(F.col("u") != F.col("v"))
+               .distinct()
+               .localCheckpoint(eager=True))
+        changed = (nxt.exceptAll(e).count()
+                   + e.exceptAll(nxt).count())
+        e = nxt
+        if changed == 0:
+            # fixpoint: e is the star node -> component min; roots
+            # (and nothing else) are absent from the child side
+            labels = (nodes.join(
+                e.select(F.col("u").alias("node"),
+                         F.col("v").alias("__c")), "node", "left")
+                .select("node", F.coalesce("__c", "node")
+                        .alias("component")))
+            return (labels, rounds) if return_rounds else labels
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iters} "
+        f"rounds")
+
+
 def pagerank_fixed(edges: DataFrame, iterations: int = 3,
                    damping_pct: int = 85,
                    src_col: str = "src", dst_col: str = "dst",

@@ -2074,9 +2074,12 @@ def web_pagerank_warm_start(spark, sf_dir):
     return G.pagerank_fixed(edges, iterations=3, init_ranks=stored)
 
 
-@query(
-    "web_host_components",
-    oracle=f"""
+# ONE oracle for BOTH component implementations (min-label propagation
+# and large-star/small-star contraction): the fixpoint labeling is a
+# pure function of the graph, so the two gated rows must hash-equal
+# under the identical recursive-CTE closure — any divergence between
+# the round structures is a bug in one of them.
+_HOST_COMPONENTS_ORACLE = f"""
     WITH RECURSIVE {_LINK_EDGES_CTES},
     e2 AS (SELECT DISTINCT src_host AS src, dst_host AS dst
            FROM linkedges
@@ -2094,8 +2097,22 @@ def web_pagerank_warm_start(spark, sf_dir):
            CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
              AS component_size
     FROM comp
-    """,
-)
+    """
+
+
+def _host_component_edges(spark, sf_dir):
+    """The shared gated subgraph of the two component rows: host-to-
+    host cycle edges with every 4th dropped — five 4-host chains (see
+    web_host_components's docstring for why that shape is the fixture
+    that catches single-hop and numeric-min bugs)."""
+    return (_link_edges(spark, sf_dir)
+            .filter(F.col("dst").startswith("src"))
+            .filter(F.col("src") != F.col("dst"))
+            .filter(F.regexp_extract("src", r"(\d+)", 1)
+                    .cast("int") % 4 != 0))
+
+
+@query("web_host_components", oracle=_HOST_COMPONENTS_ORACLE)
 def web_host_components(spark, sf_dir):
     """D5d (engine ext.): connected components over the host graph —
     the ITERATIVE-FIXPOINT class (pagerank is fixed-K; this converges
@@ -2119,12 +2136,32 @@ def web_host_components(spark, sf_dir):
     from clif_spark.operators import graph as G
     from pyspark.sql import Window
 
-    edges = (_link_edges(spark, sf_dir)
-             .filter(F.col("dst").startswith("src"))
-             .filter(F.col("src") != F.col("dst"))
-             .filter(F.regexp_extract("src", r"(\d+)", 1)
-                     .cast("int") % 4 != 0))
-    comp = G.connected_components(edges)
+    comp = G.connected_components(_host_component_edges(spark, sf_dir))
+    return comp.select(
+        F.col("node").alias("host"), "component",
+        F.count(F.lit(1)).over(Window.partitionBy("component"))
+         .cast("long").alias("component_size"))
+
+
+@query("web_host_components_star", oracle=_HOST_COMPONENTS_ORACLE)
+def web_host_components_star(spark, sf_dir):
+    """D5d-star (engine ext.): the SAME components question answered
+    by the alternating large-star/small-star contraction
+    (operators/graph.connected_components_star, Kiveris et al. 2014)
+    — gated under the IDENTICAL recursive-CTE oracle as
+    web_host_components, so the two round structures must agree
+    hash-for-hash on the shared fixture. The variant exists for
+    HIGH-DIAMETER graphs: min-label propagation pays O(diameter)
+    edge-relation rounds, which web_mirror_sets' capture graphs can
+    hit when changed-URI bridge chains deepen (the documented risk in
+    that row); star contraction converges in O(log^2 n) rounds at the
+    same per-round exchange shape (unit-pinned: a 119-hop chain in
+    <=12 rounds where label propagation exhausts a 30-round budget)."""
+    from clif_spark.operators import graph as G
+    from pyspark.sql import Window
+
+    comp = G.connected_components_star(
+        _host_component_edges(spark, sf_dir))
     return comp.select(
         F.col("node").alias("host"), "component",
         F.count(F.lit(1)).over(Window.partitionBy("component"))

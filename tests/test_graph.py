@@ -120,3 +120,45 @@ def test_bfs_depths_raises_without_convergence(spark):
     seeds = spark.createDataFrame([("a",)], "node string")
     with pytest.raises(RuntimeError, match="converge"):
         G.bfs_depths(edges, seeds, max_iters=1)
+
+
+def test_star_components_match_label_propagation(spark):
+    """connected_components_star must produce EXACTLY min-label
+    propagation's labeling (same fixpoint, different round structure):
+    multi-hop transitivity, lexicographic minimum, undirected
+    handling — the same fixture the label version pins."""
+    from clif_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [("n9", "n10"), ("n11", "n10"), ("n12", "n11"),
+         ("b", "a")],
+        "src string, dst string")
+    star = {r.node: r.component
+            for r in G.connected_components_star(edges).collect()}
+    label = {r.node: r.component
+             for r in G.connected_components(edges).collect()}
+    assert star == label == {"n9": "n10", "n10": "n10", "n11": "n10",
+                             "n12": "n10", "a": "a", "b": "a"}
+
+
+def test_star_components_deep_chain_beats_diameter(spark):
+    """The reason the star variant exists: on a DEEP CHAIN (diameter
+    119) min-label propagation needs O(diameter) rounds — more than
+    the shared budget — while star contraction converges in O(log^2 n)
+    rounds and labels every node with the chain minimum."""
+    import pytest
+
+    from clif_spark.operators import graph as G
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], "src long, dst long")
+    labels, rounds = G.connected_components_star(chain,
+                                                 return_rounds=True)
+    got = {r.node: r.component for r in labels.collect()}
+    assert got == {i: 0 for i in range(120)}
+    assert rounds <= 12, rounds  # log-ish, nowhere near the diameter
+    # min-label propagation on the same graph pays one round per hop:
+    # a 30-round budget (over half the shared FIXPOINT budget) is not
+    # enough for a 119-hop chain
+    with pytest.raises(RuntimeError, match="converge"):
+        G.connected_components(chain, max_iters=30)
