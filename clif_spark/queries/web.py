@@ -2852,6 +2852,16 @@ def _cdx_files_and_index(spark, sf_dir, members: bool = False):
         warc.build_warc_records(docs), gzip_records="mixed")
     parsed = (warc.parse_warc_members(files) if members
               else warc.parse_warc(files))
+    return files, _cdx_rank(_cdx_rows(parsed, members))
+
+
+def _cdx_rows(parsed, members: bool = False):
+    """Parsed WARC records -> unranked CDX index rows (SURT key,
+    capture metadata, shard pointer) — factored so the one-shot build
+    and the STREAMING maintenance fold (stream_cdx_maintain) derive
+    rows through one code path: per-delivery rows fold into the
+    standing store; the in-block rank is a property of the whole index
+    and is attached at read time by _cdx_rank, never stored."""
     auth = F.regexp_extract(
         "target_uri", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     path = F.regexp_extract(
@@ -2861,7 +2871,7 @@ def _cdx_files_and_index(spark, sf_dir, members: bool = False):
         F.lit(")"), path)
     span_cols = ([F.col("member_offset"), F.col("member_length")]
                  if members else [])
-    idx = parsed.select(
+    return parsed.select(
         surt.alias("surt_key"),
         F.col("warc_date").alias("ts"),
         F.col("target_uri").alias("uri"),
@@ -2871,12 +2881,20 @@ def _cdx_files_and_index(spark, sf_dir, members: bool = False):
         F.col("record_offset"),
         F.regexp_extract(surt, r"\)/([^/]+)", 1).alias("cdx_shard"),
         *span_cols)
+
+
+def _cdx_rank(idx):
     w = Window.partitionBy("cdx_shard").orderBy("surt_key")
-    return files, idx.withColumn(
-        "shard_rank", F.row_number().over(w).cast("long"))
+    return idx.withColumn("shard_rank",
+                          F.row_number().over(w).cast("long"))
 
 
-@query("web_cdx_index", oracle=f"WITH {_CDX_CTES} {_CDX_SELECT}")
+#: One oracle for the one-shot index build AND its streaming
+#: maintenance twin (settled store must equal the batch build).
+CDX_INDEX_ORACLE = f"WITH {_CDX_CTES} {_CDX_SELECT}"
+
+
+@query("web_cdx_index", oracle=CDX_INDEX_ORACLE)
 def web_cdx_index(spark, sf_dir):
     """S9e (engine ext.): CDX capture index — the lookup artifact
     Common Crawl publishes beside its WARC shards (cdx-*.gz: one line
