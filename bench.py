@@ -140,18 +140,44 @@ def main() -> None:
         # the same DuckDB query its fold twin is gated on
         ref_sql = {q.name: (q.oracle or q.bench_ref_sql)
                    for q in headliners if q.oracle or q.bench_ref_sql}
-        for sql in ref_sql.values():
-            con.execute(sql).fetchall()
-        duck = {name: float("inf") for name in ref_sql}
+
+        # WATCHDOG: the iterative-fixpoint headliner's reference is a
+        # recursive CTE that DNFs at scale (web_host_components: DuckDB
+        # loses 14-17x at sf1 and never returns at sf10) — a reference
+        # query gets this budget, then is interrupted and recorded in
+        # duckdb_dnf instead of hanging the whole bench.
+        import threading
+
+        def timed_ref(sql, budget_s=60.0):
+            timer = threading.Timer(budget_s, con.interrupt)
+            timer.start()
+            t0 = time.perf_counter()
+            try:
+                con.execute(sql).fetchall()
+                return time.perf_counter() - t0
+            except Exception:  # duckdb.InterruptException on timeout
+                return None
+            finally:
+                timer.cancel()
+
+        dnf = [name for name, sql in ref_sql.items()
+               if timed_ref(sql) is None]  # warm pass doubles as probe
+        duck = {name: float("inf") for name in ref_sql
+                if name not in dnf}
         for _ in range(3):
             for name, sql in ref_sql.items():
-                t0 = time.perf_counter()
-                con.execute(sql).fetchall()
-                duck[name] = min(duck[name], time.perf_counter() - t0)
+                if name in dnf:
+                    continue
+                t = timed_ref(sql)
+                if t is None:
+                    dnf.append(name)
+                    duck.pop(name, None)
+                else:
+                    duck[name] = min(duck[name], t)
         duck = {name: round(v, 3) for name, v in duck.items()}
     except Exception as exc:  # reference side must never fail the bench
         print(f"duckdb reference side skipped: {exc}", file=sys.stderr)
-        duck = {}
+        duck, dnf = {}, []
     duckdb_total = round(sum(duck.values()), 3) if duck else None
 
     # Host-state calibration: a fixed pure-CPU loop (200k chained md5).
@@ -182,8 +208,14 @@ def main() -> None:
     if duckdb_total is not None:
         out["duckdb_total"] = duckdb_total
         out["duckdb_queries"] = duck
+        if dnf:
+            # reference queries that blew the 60 s watchdog budget
+            # (e.g. the recursive-CTE race at scale) — excluded from
+            # BOTH sides of the ratio so it stays like-for-like
+            out["duckdb_dnf"] = sorted(dnf)
         if duckdb_total > 0:  # sub-ms oracles can round to 0.0 at tiny SFs
-            out["ratio_vs_duckdb"] = round(total / duckdb_total, 2)
+            comparable = round(sum(timings[n] for n in duck), 3)
+            out["ratio_vs_duckdb"] = round(comparable / duckdb_total, 2)
     print(json.dumps(out))
     spark.stop()
 

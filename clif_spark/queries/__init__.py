@@ -421,14 +421,74 @@ _VERIFY_FIRST_R12 = [
 # text_sentence_chunks + w4..w9 + a12/a13/a14 + the remaining
 # r8-latest cohort, oldest-first. After this gate no oracle row's
 # latest green predates r8 except the seven pre-empted rows (r7).
-_VERIFY_FIRST = _VERIFY_FIRST_R12
+
+_VERIFY_FIRST_R13 = [
+    # --- never-driver-gated first (this round's registrations): the
+    # compressed-member CDX contract twin (its rows-only sibling
+    # web_cdx_member_lookup never rotates in, per the rows-only
+    # policy), anchor-text aggregation, and the star-contraction
+    # components row gated under web_host_components' exact oracle
+    # (the streaming CDX maintenance fold sits at the stream tail) ---
+    "web_cdx_member_contract", "web_anchor_text",
+    "web_host_components_star",
+    # --- changed-code re-gates: the LSM crash-safety rework
+    # (publish-first folds, atomic meta, fanout guard) + footer-stats
+    # segment skipping touch every LSM read/fold path; the bounded
+    # decompress + WARC/-magic stale-offset policy rewrote
+    # read_records_at; _cdx_files_and_index was factored into
+    # _cdx_rows/_cdx_rank for the streaming fold; web_crawl_depth's
+    # oracle bound now shares FIXPOINT_MAX_ITERS with the engine; and
+    # web_host_components' edge builder was factored for the star
+    # twin. ---
+    "u12_lsm_keep_best", "u13_lsm_size_tiered", "web_cdx_index",
+    "web_cdx_point_lookup", "web_crawl_depth", "web_host_components",
+    # --- the enumerated r13 due list, part 1: the seven r7 rows (the
+    # r12 pre-emptions — the ONLY rows whose latest green predates
+    # r8), name order ---
+    "text_sentence_chunks", "w4_rank_lag", "w5_moving_avg",
+    "w6_sessionize_gap", "w7_session_window_native",
+    "w8_tumbling_window", "w9_ntile_percent_rank",
+    # --- due list part 2: the r8 refresh fills (a12/a13/a14 first —
+    # twice pre-empted), then the r8-latest cohort in name order; the
+    # 16 rows left over (o1_o2_topk, p11_castability_extract,
+    # pipeline_dialysis, pipeline_vitals, q13, q14, r1, r3,
+    # sample_stratified_rebalance, stream_vitals_hourly, u1, u2_u3,
+    # u4, u5, w10, w11) are the r14 due list ---
+    "a12_approx_distinct_bound", "a13_sketch_merge_distinct",
+    "a14_approx_percentile_bound", "a15_ordered_string_agg",
+    "a1_group_count_histogram", "a22_kmv_set_sketch",
+    "a2_multi_key_tally", "a3_missingness_profile",
+    "a4_duplicate_profile", "a5_summary_stats",
+    "a6_distinct_dim_extract", "a7_rollup_revenue", "a8_cube_counts",
+    "dedup_incremental_persisted", "dedup_minhash_lsh",
+    "dedup_minhash_recall_bound", "dedup_semantic_incremental",
+    "emb_label_centroids", "f11_cast_clamp", "f12_hash_pseudonymize",
+    "f15_minmax_normalize", "f1_f2_classify_regex",
+    "f3_f4_f5_dose_parse", "f7_f10_time_functions",
+    "f8_parse_roundtrip", "gopher_repetition_filter",
+    "j11_asof_forward_tolerance", "mm_decode_meta",
+    "mm_jpeg_progressive_pixel_stats", "mm_media_meta",
+    "mm_resize_meta", "mm_video_pixel_stats",
+    # --- streams at the tail (multi-second startup each): the new
+    # CDX maintenance fold and the LSM stream twin whose store code
+    # changed this round ---
+    "stream_cdx_maintain", "stream_lsm_keep_best",
+]
+# Exactly 50: 4 never-gated (web_cdx_member_contract, web_anchor_text,
+# web_host_components_star, stream_cdx_maintain) + 7 changed-code
+# re-gates (6 batch + stream_lsm_keep_best) + 7 r7 due rows + 32 r8
+# rows (a12/a13/a14 + the cohort in name order through
+# mm_video_pixel_stats). r14 due list = the 16 remaining r8 rows
+# enumerated above. After this gate no oracle row's latest green
+# predates r8.
+_VERIFY_FIRST = _VERIFY_FIRST_R13
 
 # Rows-only queries (dedup_semantic, ann_ivf_trained_topk,
-# ann_cosine_topk_arrow, w15_ewma_smooth, text_bpe_tokenize) NEVER
-# rotate into the head — the driver gate can only say 'no_oracle'
-# about them; their driver-hashed contract twins are the gateable
-# artifact and rotate in their place (policy test:
-# tests/test_oracle.py::test_verify_head_hygiene).
+# ann_cosine_topk_arrow, w15_ewma_smooth, text_bpe_tokenize,
+# web_cdx_member_lookup) NEVER rotate into the head — the driver gate
+# can only say 'no_oracle' about them; their driver-hashed contract
+# twins are the gateable artifact and rotate in their place (policy
+# test: tests/test_oracle.py::test_verify_head_hygiene).
 
 _VERIFY_LAST = [
     # (empty: the single due stream sits at the tail of the head-50)

@@ -2112,7 +2112,8 @@ def _host_component_edges(spark, sf_dir):
                     .cast("int") % 4 != 0))
 
 
-@query("web_host_components", oracle=_HOST_COMPONENTS_ORACLE)
+@query("web_host_components", oracle=_HOST_COMPONENTS_ORACLE,
+       headline=True)
 def web_host_components(spark, sf_dir):
     """D5d (engine ext.): connected components over the host graph —
     the ITERATIVE-FIXPOINT class (pagerank is fixed-K; this converges
