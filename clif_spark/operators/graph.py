@@ -42,7 +42,8 @@ FIXPOINT_MAX_ITERS = 50
 
 def connected_components(edges: DataFrame, src_col: str = "src",
                          dst_col: str = "dst",
-                         max_iters: int = FIXPOINT_MAX_ITERS) -> DataFrame:
+                         max_iters: int = FIXPOINT_MAX_ITERS,
+                         return_rounds: bool = False):
     """Connected components over an UNDIRECTED view of the edge
     relation via min-label propagation to FIXPOINT: every node starts
     labeled with itself, each round replaces a node's label by the
@@ -76,7 +77,7 @@ def connected_components(edges: DataFrame, src_col: str = "src",
           .localCheckpoint(eager=True))
     labels = (ue.select(F.col("src").alias("node")).distinct()
               .select("node", F.col("node").alias("component")))
-    for _ in range(max_iters):
+    for rounds in range(1, max_iters + 1):
         cand = (ue.join(labels, ue["src"] == labels["node"])
                   .select(F.col("dst").alias("node"),
                           F.col("component").alias("cand")))
@@ -92,7 +93,7 @@ def connected_components(edges: DataFrame, src_col: str = "src",
                    .filter(F.col("component") != F.col("old")).count())
         labels = nxt
         if changed == 0:
-            return labels
+            return (labels, rounds) if return_rounds else labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds")
 

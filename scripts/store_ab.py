@@ -161,6 +161,36 @@ def main() -> None:
                              "rows": n, "tier_folds": folds,
                              "live_dirs": live_dirs}
 
+    # --- LSM segment skipping (r13): RANGE-SHARDED deliveries (each
+    # covers one disjoint key band — the time-keyed / range-sharded
+    # feed shape, e.g. per-crawl CDX shards) read back with a narrow
+    # key_range. Footer-stats pruning should cut the scan to ~1 band's
+    # segment vs the full union; the SPRAY stores above are the honest
+    # non-prunable counterexample (uniform keys make every segment's
+    # min/max straddle every range). ---
+    total_keys = d.agg(F.max(did)).first()[0] + 1
+    band = max(1, total_keys // 8)
+    root = tempfile.mkdtemp(prefix="ab_lsmr_") + "/s"
+    for i in range(8):
+        dv = (d.filter((did >= i * band) & (did < (i + 1) * band))
+              .select(did.alias("k"), did.alias("best_doc"),
+                      F.col("n_chars").cast("long").alias("score"),
+                      F.lit(False).alias("is_delete")))
+        STR.append_lsm_segment(dv, root, i + 1)
+    lo, hi = 2 * band, 2 * band + band // 2  # inside band 2
+    t0 = time.perf_counter()
+    n_pruned = STR.read_lsm(spark, root, ["k"], ["score", "best_doc"],
+                            key_range=(lo, hi)).count()
+    t_pruned = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_full = (STR.read_lsm(spark, root, ["k"], ["score", "best_doc"])
+              .filter(F.col("k").between(lo, hi)).count())
+    t_full = time.perf_counter() - t0
+    assert n_pruned == n_full
+    results["lsm_range_read"] = {"pruned_s": round(t_pruned, 2),
+                                 "full_union_s": round(t_full, 2),
+                                 "rows": n_pruned}
+
     import json
     print(json.dumps({"sf_dir": sf_dir, "deliveries": k_deliveries,
                       **results}))
