@@ -52,6 +52,18 @@ def main() -> None:
         "spark.broadcast.compress": "false",
         "spark.locality.wait": "0",
     }
+    # Scan-split sizing (r13 A/B): the biggest scan should saturate the
+    # cores. With the 128 MiB default a 1.5 GB lineitem leg scans as
+    # ~12 tasks on 32 cores — measured 13% off q5 (6.19 -> 5.36 s) and
+    # q3 (3.42 -> 2.97 s) at sf10, no harm at sf0.1. Sized by the
+    # largest table / cores, clamped to [16 MiB, 128 MiB]; production
+    # keeps the 128 MiB default (a 1000-executor cluster has the
+    # parallelism without smaller splits).
+    biggest = max(
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir) if f.endswith(".parquet"))
+    local_io_confs["spark.sql.files.maxPartitionBytes"] = str(
+        min(128 << 20, max(16 << 20, biggest // cpus)))
     spark = build_session(app_name="clif-spark-bench",
                           shuffle_partitions=parts,
                           extra_confs=local_io_confs)

@@ -38,7 +38,12 @@ def main() -> None:
     from clif_spark.queries import web as _web
 
     d = io.load_table(spark, sf_dir, "documents")
-    nshards = _web._shard_count(d)
+    # optional shard-count override: the prefix-vs-member gap scales
+    # with SHARD size (Common Crawl shards are ~1 GB; the gated
+    # harness's ~8k-doc shards are a few MB), so the A/B wants fewer,
+    # bigger shards to show the production-shaped cost
+    nshards = (int(sys.argv[3]) if len(sys.argv) > 3
+               else _web._shard_count(d))
     docs = d.select(
         "doc_id", "text", _web._doc_url_col().alias("url"),
         (F.col("doc_id") % nshards).alias("file_id"))

@@ -178,18 +178,35 @@ def main() -> None:
                       F.lit(False).alias("is_delete")))
         STR.append_lsm_segment(dv, root, i + 1)
     lo, hi = 2 * band, 2 * band + band // 2  # inside band 2
-    t0 = time.perf_counter()
-    n_pruned = STR.read_lsm(spark, root, ["k"], ["score", "best_doc"],
-                            key_range=(lo, hi)).count()
-    t_pruned = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    n_full = (STR.read_lsm(spark, root, ["k"], ["score", "best_doc"])
-              .filter(F.col("k").between(lo, hi)).count())
-    t_full = time.perf_counter() - t0
-    assert n_pruned == n_full
-    results["lsm_range_read"] = {"pruned_s": round(t_pruned, 2),
-                                 "full_union_s": round(t_full, 2),
-                                 "rows": n_pruned}
+    legs = {
+        "pruned_s": lambda: STR.read_lsm(
+            spark, root, ["k"], ["score", "best_doc"],
+            key_range=(lo, hi)).count(),
+        "full_union_s": lambda: (
+            STR.read_lsm(spark, root, ["k"], ["score", "best_doc"])
+            .filter(F.col("k").between(lo, hi)).count()),
+    }
+    counts = {name: fn() for name, fn in legs.items()}  # warm + check
+    assert counts["pruned_s"] == counts["full_union_s"]
+    best = {name: float("inf") for name in legs}
+    for _ in range(3):
+        for name, fn in legs.items():  # interleaved, same-phase
+            t0 = time.perf_counter()
+            fn()
+            best[name] = min(best[name], time.perf_counter() - t0)
+    # the structural metric: scan legs touched (wall time at local-toy
+    # scale is floor-dominated; at 1000 segments x GBs the leg count
+    # IS the cost)
+    n_pruned_files = len(STR.read_lsm(
+        spark, root, ["k"], ["score", "best_doc"],
+        key_range=(lo, hi)).inputFiles())
+    n_full_files = len(STR.read_lsm(
+        spark, root, ["k"], ["score", "best_doc"]).inputFiles())
+    results["lsm_range_read"] = {
+        **{k: round(v, 3) for k, v in best.items()},
+        "rows": counts["pruned_s"],
+        "files_scanned": n_pruned_files,
+        "files_full": n_full_files}
 
     import json
     print(json.dumps({"sf_dir": sf_dir, "deliveries": k_deliveries,
