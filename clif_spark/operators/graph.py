@@ -231,6 +231,44 @@ def connected_components_star(edges: DataFrame, src_col: str = "src",
         f"rounds")
 
 
+def triangle_counts(edges: DataFrame, src_col: str = "src",
+                    dst_col: str = "dst") -> DataFrame:
+    """Per-node TRIANGLE counts over the undirected simple view of the
+    edge relation — the local-density primitive behind clustering
+    coefficients and link-farm / spam-cluster detection (organic link
+    neighborhoods are sparse; farms are near-cliques, so triangle
+    density separates them).
+
+    Exactness: edges canonicalize to (u < v) distinct pairs, triangles
+    enumerate as ordered triples a < b < c via two joins
+    ((a,b) ⋈ (b,c) ⋈ (a,c)) — each triangle exactly once, a pure
+    function of the graph, so the count is driver-gateable against the
+    same three-way self-join in SQL. Nodes in no triangle are ABSENT
+    (join semantics; the caller left-joins the node relation if zeros
+    matter).
+
+    Scale shape: this is the standard distributed triangle enumeration
+    — two hash joins on the canonical edge relation, O(E^{3/2}) pair
+    work bounded by the join on the lower-degree endpoint ordering
+    (the a < b < c constraint is exactly the degree-ordering trick's
+    effect on enumeration multiplicity). No iteration, no driver
+    state."""
+    s, d = F.col(src_col), F.col(dst_col)
+    cn = (edges.select(F.least(s, d).alias("u"),
+                       F.greatest(s, d).alias("v"))
+          .filter(F.col("u") != F.col("v"))
+          .distinct())
+    e1 = cn.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = cn.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = cn.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    members = (tri.select(F.col("a").alias("node"))
+               .unionAll(tri.select(F.col("b").alias("node")))
+               .unionAll(tri.select(F.col("c").alias("node"))))
+    return (members.groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+
+
 def pagerank_fixed(edges: DataFrame, iterations: int = 3,
                    damping_pct: int = 85,
                    src_col: str = "src", dst_col: str = "dst",

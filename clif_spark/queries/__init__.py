@@ -430,7 +430,7 @@ _VERIFY_FIRST_R13 = [
     # components row gated under web_host_components' exact oracle
     # (the streaming CDX maintenance fold sits at the stream tail) ---
     "web_cdx_member_contract", "web_anchor_text",
-    "web_host_components_star",
+    "web_host_components_star", "web_cocitation_triangles",
     # --- changed-code re-gates: the LSM crash-safety rework
     # (publish-first folds, atomic meta, fanout guard) + footer-stats
     # segment skipping touch every LSM read/fold path; the bounded
@@ -442,6 +442,7 @@ _VERIFY_FIRST_R13 = [
     # twin. ---
     "u12_lsm_keep_best", "u13_lsm_size_tiered", "web_cdx_index",
     "web_cdx_point_lookup", "web_crawl_depth", "web_host_components",
+    "web_mirror_sets",
     # --- the enumerated r13 due list, part 1: the seven r7 rows (the
     # r12 pre-emptions — the ONLY rows whose latest green predates
     # r8), name order ---
@@ -450,10 +451,12 @@ _VERIFY_FIRST_R13 = [
     "w8_tumbling_window", "w9_ntile_percent_rank",
     # --- due list part 2: the r8 refresh fills (a12/a13/a14 first —
     # twice pre-empted), then the r8-latest cohort in name order; the
-    # 16 rows left over (o1_o2_topk, p11_castability_extract,
-    # pipeline_dialysis, pipeline_vitals, q13, q14, r1, r3,
-    # sample_stratified_rebalance, stream_vitals_hourly, u1, u2_u3,
-    # u4, u5, w10, w11) are the r14 due list ---
+    # 18 rows left over (mm_resize_meta, mm_video_pixel_stats — the
+    # two pre-empted by this round's late registrations — plus
+    # o1_o2_topk, p11_castability_extract, pipeline_dialysis,
+    # pipeline_vitals, q13, q14, r1, r3, sample_stratified_rebalance,
+    # stream_vitals_hourly, u1, u2_u3, u4, u5, w10, w11) are the r14
+    # due list ---
     "a12_approx_distinct_bound", "a13_sketch_merge_distinct",
     "a14_approx_percentile_bound", "a15_ordered_string_agg",
     "a1_group_count_histogram", "a22_kmv_set_sketch",
@@ -468,19 +471,20 @@ _VERIFY_FIRST_R13 = [
     "f8_parse_roundtrip", "gopher_repetition_filter",
     "j11_asof_forward_tolerance", "mm_decode_meta",
     "mm_jpeg_progressive_pixel_stats", "mm_media_meta",
-    "mm_resize_meta", "mm_video_pixel_stats",
     # --- streams at the tail (multi-second startup each): the new
     # CDX maintenance fold and the LSM stream twin whose store code
     # changed this round ---
     "stream_cdx_maintain", "stream_lsm_keep_best",
 ]
-# Exactly 50: 4 never-gated (web_cdx_member_contract, web_anchor_text,
-# web_host_components_star, stream_cdx_maintain) + 7 changed-code
-# re-gates (6 batch + stream_lsm_keep_best) + 7 r7 due rows + 32 r8
-# rows (a12/a13/a14 + the cohort in name order through
-# mm_video_pixel_stats). r14 due list = the 16 remaining r8 rows
-# enumerated above. After this gate no oracle row's latest green
-# predates r8.
+# Exactly 50: 5 never-gated (web_cdx_member_contract, web_anchor_text,
+# web_host_components_star, web_cocitation_triangles,
+# stream_cdx_maintain) + 8 changed-code re-gates (7 batch incl.
+# web_mirror_sets, which switched to the star-contraction closure +
+# stream_lsm_keep_best) + 7 r7 due rows + 30 r8 rows (a12/a13/a14 +
+# the cohort in name order through mm_media_meta; mm_resize_meta and
+# mm_video_pixel_stats were pre-empted by the late registrations).
+# r14 due list = the 18 remaining r8 rows enumerated above. After
+# this gate no oracle row's latest green predates r8.
 _VERIFY_FIRST = _VERIFY_FIRST_R13
 
 # Rows-only queries (dedup_semantic, ann_ivf_trained_topk,

@@ -1970,6 +1970,60 @@ def web_anchor_text(spark, sf_dir):
                   .alias("anchor_texts")))
 
 
+@query(
+    "web_cocitation_triangles",
+    oracle=f"""
+    WITH {_LINK_EDGES_CTES},
+    cocite AS (
+      SELECT DISTINCT a.dst_host AS u, b.dst_host AS v
+      FROM linkedges a JOIN linkedges b ON a.src_host = b.src_host
+      WHERE a.dst_host < b.dst_host),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM cocite e1
+      JOIN cocite e2 ON e2.u = e1.v
+      JOIN cocite e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT host, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT a AS host FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+    GROUP BY host
+    """,
+)
+def web_cocitation_triangles(spark, sf_dir):
+    """D5f (engine ext.): co-citation graph + per-host TRIANGLE counts
+    — the local-density signal behind link-farm / spam-cluster
+    detection (HITS-family co-citation: two hosts a page links
+    together are topically coupled; organic co-citation neighborhoods
+    are sparse, farms are near-cliques, and triangle density is the
+    classic separator). Two stages, both exactly SQL-mirrorable:
+    (1) co-citation edges = DISTINCT unordered host pairs sharing a
+    referring host (one self-join on src_host); (2) triangle
+    enumeration as ordered triples a < b < c via
+    operators/graph.triangle_counts — each triangle exactly once, no
+    tolerance band. The fixture plants one co-citation triad
+    {{self, ring-next, cdn}} per source host, with shared cdn hubs
+    overlapping the triads across hosts — non-uniform counts a
+    single-join or double-counting bug both flip.
+
+    Shape: one exchange for the co-citation self-join (keyed on
+    src_host — page-link-fanout^2 pairs per host before DISTINCT),
+    then the standard two-hash-join triangle enumeration on the
+    host-pair-sized relation; hosts in no triangle absent by join
+    semantics (mirrored in SQL). No iteration, no Python."""
+    from clif_spark.operators import graph as G
+
+    e = _link_edges(spark, sf_dir)
+    a = e.select(F.col("src").alias("s"), F.col("dst").alias("u"))
+    b = e.select(F.col("src").alias("s"), F.col("dst").alias("v"))
+    cocite = (a.join(b, "s")
+              .filter(F.col("u") < F.col("v"))
+              .select("u", "v")
+              .distinct())
+    return (G.triangle_counts(cocite, src_col="u", dst_col="v")
+            .select(F.col("node").alias("host"), "n_triangles"))
+
+
 def _pagerank_ctes(iterations: int = 3, damping: int = 85
                    ) -> tuple[str, str]:
     """(ctes, final_relation) — the unrolled K-iteration integer-micros
@@ -3388,15 +3442,19 @@ def web_mirror_sets(spark, sf_dir):
     between crawls bridges its two digests, so a mirror of the OLD
     content and a mirror of the NEW content belong to the same set
     only through a 3-hop path (mirror—old_digest—uri—new_digest) —
-    which is what operators/graph.connected_components resolves and
-    the recursive-CTE oracle checks exactly. Exact-duplicate texts
-    (the planted dedup groups) widen sets the same way.
+    a connected-components fixpoint, checked exactly by the
+    recursive-CTE oracle. Exact-duplicate texts (the planted dedup
+    groups) widen sets the same way.
 
     Shape: the bipartite (uri, digest) edge relation is CAPTURE-INDEX
-    sized, never corpus sized (one md5 per capture row); the closure
-    is O(component diameter) rounds of index-sized join + min-agg —
-    mirror chains are shallow in practice, and the label relation
-    broadcasts at web scale."""
+    sized, never corpus sized (one md5 per capture row). Since r13 the
+    closure runs on the STAR-CONTRACTION variant
+    (connected_components_star): mirror-chain diameter is
+    data-dependent (chains of changed-URI bridges grow with crawl
+    count), which was this row's documented risk under O(diameter)
+    min-label propagation — star contraction converges in O(log^2 n)
+    rounds regardless, for the same labeling (both implementations
+    are gated hash-equal under the shared host-components oracle)."""
     from clif_spark.operators import graph as G
 
     d = io.load_table(spark, sf_dir, "documents")
@@ -3414,7 +3472,7 @@ def web_mirror_sets(spark, sf_dir):
                         .alias("uri"),
                        F.md5("text").alias("digest")))
     caps = cur.unionByName(prev).unionByName(mirrors)
-    comp = G.connected_components(
+    comp = G.connected_components_star(
         caps.select(F.col("uri").alias("src"),
                     F.col("digest").alias("dst")))
     uris = comp.filter(F.col("node").startswith("https://"))

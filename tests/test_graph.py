@@ -162,3 +162,22 @@ def test_star_components_deep_chain_beats_diameter(spark):
     # enough for a 119-hop chain
     with pytest.raises(RuntimeError, match="converge"):
         G.connected_components(chain, max_iters=30)
+
+
+def test_triangle_counts_clique_and_pendant(spark):
+    """triangle_counts: a 4-clique holds C(4,3)=4 triangles with every
+    member in 3; a separate triangle gives each member 1; a pendant
+    edge's nodes are absent; duplicate and reversed input edges must
+    not double-count (canonicalized internally)."""
+    from clif_spark.operators import graph as G
+
+    clique = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    edges = spark.createDataFrame(
+        clique + [("b", "a")]              # reversed duplicate
+        + [("x", "y"), ("y", "z"), ("z", "x")]  # one triangle
+        + [("p", "q")],                    # pendant: no triangle
+        "src string, dst string")
+    got = {r.node: r.n_triangles
+           for r in G.triangle_counts(edges).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3,
+                   "x": 1, "y": 1, "z": 1}
