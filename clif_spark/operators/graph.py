@@ -254,10 +254,15 @@ def triangle_counts(edges: DataFrame, src_col: str = "src",
     effect on enumeration multiplicity). No iteration, no driver
     state."""
     s, d = F.col(src_col), F.col(dst_col)
+    # edge-relation-sized checkpoint: the enumeration scans cn THREE
+    # times (e1/e2/e3) — without it each leg re-executes the caller's
+    # full upstream lineage (the pagerank lesson; for a crawl-derived
+    # graph that is the whole link extraction, three times)
     cn = (edges.select(F.least(s, d).alias("u"),
                        F.greatest(s, d).alias("v"))
           .filter(F.col("u") != F.col("v"))
-          .distinct())
+          .distinct()
+          .localCheckpoint(eager=True))
     e1 = cn.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = cn.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = cn.select(F.col("u").alias("a"), F.col("v").alias("c"))

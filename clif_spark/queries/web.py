@@ -1974,9 +1974,10 @@ def web_anchor_text(spark, sf_dir):
     "web_cocitation_triangles",
     oracle=f"""
     WITH {_LINK_EDGES_CTES},
+    hedges AS (SELECT DISTINCT src_host, dst_host FROM linkedges),
     cocite AS (
       SELECT DISTINCT a.dst_host AS u, b.dst_host AS v
-      FROM linkedges a JOIN linkedges b ON a.src_host = b.src_host
+      FROM hedges a JOIN hedges b ON a.src_host = b.src_host
       WHERE a.dst_host < b.dst_host),
     tri AS (
       SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -2006,14 +2007,21 @@ def web_cocitation_triangles(spark, sf_dir):
     overlapping the triads across hosts — non-uniform counts a
     single-join or double-counting bug both flip.
 
-    Shape: one exchange for the co-citation self-join (keyed on
-    src_host — page-link-fanout^2 pairs per host before DISTINCT),
-    then the standard two-hash-join triangle enumeration on the
-    host-pair-sized relation; hosts in no triangle absent by join
+    Shape: the per-link relation DEDUPLICATES to distinct
+    (src_host, dst_host) pairs BEFORE the self-join — the join key has
+    host-count cardinality, so self-joining per-link rows would square
+    the per-host link count (2.25e10 pairs per host at sf10); on the
+    deduped relation it squares the per-host out-DEGREE (single
+    digits). Then the standard two-hash-join triangle enumeration on
+    the host-pair-sized relation; hosts in no triangle absent by join
     semantics (mirrored in SQL). No iteration, no Python."""
     from clif_spark.operators import graph as G
 
-    e = _link_edges(spark, sf_dir)
+    # host-pair-sized checkpoint: the self-join references the deduped
+    # relation twice — without it the corpus link extraction runs once
+    # per leg (the pagerank lesson applied before it bites)
+    e = (_link_edges(spark, sf_dir).distinct()
+         .localCheckpoint(eager=True))
     a = e.select(F.col("src").alias("s"), F.col("dst").alias("u"))
     b = e.select(F.col("src").alias("s"), F.col("dst").alias("v"))
     cocite = (a.join(b, "s")
