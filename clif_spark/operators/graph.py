@@ -231,6 +231,81 @@ def connected_components_star(edges: DataFrame, src_col: str = "src",
         f"rounds")
 
 
+def hits_fixed(edges: DataFrame, iterations: int = 3,
+               src_col: str = "src", dst_col: str = "dst",
+               checkpoint_every: int = 4) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) over a DISTINCT edge
+    relation — the co-citation-family complement to PageRank: an
+    AUTHORITY is a node good hubs point at, a HUB is a node that
+    points at good authorities; crawl pipelines use authority as a
+    fetch-priority / quality prior alongside rank, and the hub side
+    flags directory/aggregator hosts.
+
+    ``iterations`` exact integer-micros steps of
+
+        a'(v) = L1-normalize( sum_{u->v} h(u) )
+        h'(u) = L1-normalize( sum_{u->v} a'(v) )      (the NEW a)
+
+    where L1-normalize rescales the vector to total mass MICROS via
+    one exact integer division (x * MICROS div total). Classic HITS
+    normalizes by the L2 norm — a sqrt, i.e. libm, which the gate
+    bans; L1 normalization keeps the same fixed-point DIRECTION class
+    (normalization only rescales between iterations) with every
+    operation exact integer arithmetic, so both engines agree
+    bit-for-bit (the pagerank_fixed discipline; documented deviation).
+    Each truncating division loses <1 micro per node per step —
+    irrelevant for ranking, stated for mass-conservation readers.
+
+    Returns (node, hub_micros, auth_micros) for every edge endpoint;
+    nodes with no outbound edges hold hub 0, no inbound edges
+    authority 0. Scale shape: per iteration two edge-relation joins +
+    two node-keyed sums + two single-row total aggregates (broadcast
+    back — graph-metadata sized, never collected to the driver);
+    node-sized vectors broadcast at host-graph scale. Overflow bound:
+    s * MICROS needs s < 2^63/1e6 ≈ 9.2e12 — safe while max in-degree
+    x MICROS stays under it (any realistic host graph)."""
+    src, dst = F.col(src_col), F.col(dst_col)
+    e = (edges.select(src.alias("src"), dst.alias("dst")).distinct()
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct())
+    n = nodes.count()
+    h = nodes.select("node", F.lit(MICROS // n).cast("long").alias("r"))
+
+    def _norm(raw):
+        """(node, s) -> all nodes with s * MICROS div total (exact)."""
+        filled = (nodes.join(raw, "node", "left")
+                  .select("node", F.coalesce("s", F.lit(0))
+                          .cast("long").alias("s")))
+        total = filled.agg(F.sum("s").alias("t"))
+        return (filled.crossJoin(F.broadcast(total))
+                .select("node", F.expr(f"(s * CAST({MICROS} AS BIGINT))"
+                                       f" div t").cast("long").alias("r")))
+
+    a = None
+    for i in range(iterations):
+        a_raw = (e.join(h.withColumnRenamed("node", "src"), "src")
+                 .groupBy("dst").agg(F.sum("r").alias("s"))
+                 .withColumnRenamed("dst", "node"))
+        a = _norm(a_raw)
+        h_raw = (e.join(a.withColumnRenamed("node", "dst"), "dst")
+                 .groupBy("src").agg(F.sum("r").alias("s"))
+                 .withColumnRenamed("src", "node"))
+        h = _norm(h_raw)
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            h = h.localCheckpoint(eager=True)
+            a = a.localCheckpoint(eager=True)
+    return (nodes
+            .join(h.withColumnRenamed("r", "hub_micros"), "node", "left")
+            .join(a.withColumnRenamed("r", "auth_micros"), "node", "left")
+            .select("node",
+                    F.coalesce("hub_micros", F.lit(0)).cast("long")
+                     .alias("hub_micros"),
+                    F.coalesce("auth_micros", F.lit(0)).cast("long")
+                     .alias("auth_micros")))
+
+
 def triangle_counts(edges: DataFrame, src_col: str = "src",
                     dst_col: str = "dst") -> DataFrame:
     """Per-node TRIANGLE counts over the undirected simple view of the

@@ -1901,6 +1901,7 @@ _ANCHOR_CTES = f"""
 
 @query(
     "web_anchor_text",
+    headline=True,
     oracle=f"""
     WITH {_ANCHOR_CTES}
     SELECT src_host, u AS dst_url,
@@ -2064,6 +2065,80 @@ def _pagerank_ctes(iterations: int = 3, damping: int = 85
              FROM nodes LEFT JOIN s{i} ON s{i}.node = nodes.node, nc)"""
         prev = f"r{i}"
     return ctes, prev
+
+
+def _hits_oracle(iterations: int = 3) -> str:
+    """Unrolled K-iteration integer-micros L1-HITS — the SQL form of
+    operators/graph.hits_fixed, generated from the same constants so
+    the two cannot drift: a = normalize(A^T h), h = normalize(A a),
+    normalize = x * MICROS // total (exact integer floor division on
+    non-negative values, matching Spark's `div`)."""
+    ctes = """
+    he AS (SELECT DISTINCT src_host AS src, dst_host AS dst
+           FROM linkedges),
+    hnodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM he UNION ALL SELECT dst FROM he)),
+    hnc AS (SELECT COUNT(*) AS n FROM hnodes),
+    h0 AS (SELECT node, CAST(1000000 // n AS BIGINT) AS r
+           FROM hnodes, hnc)"""
+    prev_h = "h0"
+    for i in range(1, iterations + 1):
+        ctes += f""",
+    ar{i} AS (SELECT he.dst AS node, SUM({prev_h}.r) AS s
+              FROM he JOIN {prev_h} ON {prev_h}.node = he.src
+              GROUP BY he.dst),
+    af{i} AS (SELECT hnodes.node,
+                     CAST(COALESCE(ar{i}.s, 0) AS BIGINT) AS s
+              FROM hnodes LEFT JOIN ar{i} ON ar{i}.node = hnodes.node),
+    at{i} AS (SELECT SUM(s) AS t FROM af{i}),
+    a{i} AS (SELECT node, CAST((s * 1000000) // t AS BIGINT) AS r
+             FROM af{i}, at{i}),
+    hr{i} AS (SELECT he.src AS node, SUM(a{i}.r) AS s
+              FROM he JOIN a{i} ON a{i}.node = he.dst
+              GROUP BY he.src),
+    hf{i} AS (SELECT hnodes.node,
+                     CAST(COALESCE(hr{i}.s, 0) AS BIGINT) AS s
+              FROM hnodes LEFT JOIN hr{i} ON hr{i}.node = hnodes.node),
+    ht{i} AS (SELECT SUM(s) AS t FROM hf{i}),
+    h{i} AS (SELECT node, CAST((s * 1000000) // t AS BIGINT) AS r
+             FROM hf{i}, ht{i})"""
+        prev_h = f"h{i}"
+    return f"""
+    WITH {_LINK_EDGES_CTES},
+    {ctes}
+    SELECT h{iterations}.node AS host,
+           h{iterations}.r AS hub_micros,
+           a{iterations}.r AS auth_micros
+    FROM h{iterations} JOIN a{iterations}
+      ON a{iterations}.node = h{iterations}.node
+    """
+
+
+@query("web_host_hits", oracle=_hits_oracle(iterations=3))
+def web_host_hits(spark, sf_dir):
+    """D5g (engine ext.): HITS hubs & authorities over the host graph
+    — the co-citation-family complement to PageRank (authority = a
+    fetch-priority / quality prior from who LINKS you, hub = the
+    directory/aggregator signal from who you link), 3 exact
+    integer-micros iterations with L1 normalization (classic HITS' L2
+    norm is a sqrt — libm, which the gate bans; L1 keeps every
+    operation exact integer division so both engines agree
+    bit-for-bit; documented deviation). Gated against the unrolled
+    3-iteration CTE chain generated from the SAME constants. On the
+    fixture the cdn hosts (pure sinks, 4 referrers each) land maximal
+    authority with zero hub mass, ring hosts split hub mass by
+    out-neighbor authority — a non-uniform surface where a
+    transposed-join or normalization-order bug flips values.
+
+    Shape: per iteration two edge joins + two node-keyed sums + two
+    single-row totals broadcast back (never collected); node-sized
+    vectors broadcast at host-graph scale — the pagerank_fixed
+    shape doubled."""
+    from clif_spark.operators import graph as G
+
+    edges = _link_edges(spark, sf_dir)
+    return G.hits_fixed(edges, iterations=3).select(
+        F.col("node").alias("host"), "hub_micros", "auth_micros")
 
 
 def _pagerank_oracle(iterations: int = 3, damping: int = 85) -> str:

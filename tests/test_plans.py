@@ -791,3 +791,51 @@ def test_global_sorted_index_dense_and_partition_proof(spark):
         by_rank = sorted(out, key=lambda r: r.global_rank)
         assert [r.global_rank for r in by_rank] == list(range(1013))
         assert [(r.k, r.id) for r in by_rank] == expect, n
+
+
+def test_anchor_text_single_aggregation_no_python(spark):
+    """web_anchor_text's promised shape: a narrow per-page extract +
+    explode feeding ONE hash aggregation on (src_host, dst_url) — no
+    Python eval anywhere (the zip/extract/resolve chain is pure
+    Catalyst), and exactly one aggregate pair (partial + final) in the
+    plan, not a second corpus pass."""
+    plan = plan_of(spark, "web_anchor_text")
+    assert "MapInPandas" not in plan and "EvalPython" not in plan
+    assert "Generate" in plan  # the explode of zipped anchor pairs
+    # one logical aggregation: count_distinct + collect_set plan as
+    # the standard distinct-agg rewrite (partial/merge over
+    # (keys, atext), then distinct-count fold) — at most TWO exchanges
+    # (one on (keys, atext), one on keys), never a second corpus scan
+    assert plan.count("Exchange") <= 2, plan
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_cocitation_triangles_join_shape(spark):
+    """web_cocitation_triangles: the enumeration must be hash joins
+    over the deduped host-pair relation — never a cartesian product or
+    nested loop (the skew trap the distinct-before-self-join exists to
+    prevent)."""
+    plan = plan_of(spark, "web_cocitation_triangles")
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan
+
+
+def test_lsm_pruned_read_scans_only_intersecting_segments(spark):
+    """read_lsm(key_range=...) at the PLAN level: the union's file
+    sources must contain only segments whose footer stats intersect
+    the range (the scan-set reduction is the operator's whole point —
+    asserted here on inputFiles, the same surface the store A/B
+    measures)."""
+    import tempfile
+
+    from clif_spark import streaming
+
+    root = tempfile.mkdtemp(prefix="clif_plan_lsm_") + "/s"
+    for i, lo in enumerate((0, 1000, 2000)):
+        seg = spark.range(lo, lo + 100).selectExpr(
+            "id AS k", "id AS score", "CAST(false AS BOOLEAN) AS is_delete")
+        streaming.append_lsm_segment(seg, root, i + 1)
+    pruned = streaming.read_lsm(spark, root, ["k"], ["score"],
+                                key_range=(1010, 1020))
+    dirs = {f.split("/")[-2] for f in pruned.inputFiles()}
+    assert len(dirs) == 1 and next(iter(dirs)).startswith("seg-00000002")
