@@ -3570,6 +3570,115 @@ def web_mirror_sets(spark, sf_dir):
                     "n_uris"))
 
 
+@query(
+    "web_mirror_sets_incremental",
+    oracle=f"""
+    WITH RECURSIVE
+    icaps AS (
+      SELECT {_DOC_URL_SQL} AS uri, md5(text) AS digest FROM documents
+      UNION ALL
+      SELECT {_DOC_URL_SQL},
+             CASE WHEN doc_id % 5 = 0 THEN md5(text || '-v0')
+                  ELSE md5(text) END
+      FROM documents WHERE doc_id % 4 <> 3
+      UNION ALL
+      SELECT 'https://mirror.example/' || source || '/' ||
+             CAST(doc_id AS VARCHAR), md5(text)
+      FROM documents WHERE doc_id % 13 = 0
+      UNION ALL
+      SELECT u1.uri, md5(d2.text)
+      FROM (SELECT doc_id, {_DOC_URL_SQL} AS uri FROM documents
+            WHERE doc_id % 6 = 0) u1
+      JOIN documents d2 ON d2.doc_id = u1.doc_id + 1),
+    iedges AS (SELECT DISTINCT uri AS src, digest AS dst FROM icaps),
+    iue AS (SELECT src, dst FROM iedges
+            UNION SELECT dst, src FROM iedges),
+    inodes AS (SELECT DISTINCT src AS node FROM iue),
+    ireach(node, lab) AS (
+      SELECT node, node FROM inodes
+      UNION
+      SELECT iue.dst, ireach.lab
+      FROM ireach JOIN iue ON iue.src = ireach.node),
+    icomp AS (SELECT node, MIN(lab) AS component
+              FROM ireach GROUP BY node),
+    iuris AS (SELECT node, component FROM icomp
+              WHERE node LIKE 'https://%'),
+    isets AS (SELECT component, MIN(node) AS canonical_uri,
+                     CAST(COUNT(*) AS BIGINT) AS n_uris
+              FROM iuris GROUP BY component)
+    SELECT u.node AS uri, s.canonical_uri, s.n_uris
+    FROM iuris u JOIN isets s ON s.component = u.component
+    """,
+)
+def web_mirror_sets_incremental(spark, sf_dir):
+    """S9g-incremental (engine ext.): mirror-set maintenance WITHOUT
+    re-scanning old crawls — the standing component labeling IS the
+    compressed state. The star edges (node -> component minimum) that
+    a components run leaves behind preserve the partition of every
+    previously-seen node EXACTLY (each old component is one star), so
+    when a new crawl's capture edges arrive, components over
+    (standing star edges UNION delta edges) equal components over ALL
+    capture edges ever seen — the classic incremental-CC identity,
+    here gated against the full three-crawl recompute (the oracle
+    re-derives everything; the engine touches crawls 1-2 only through
+    their node-count-sized star relation).
+
+    The delta is the HARD case: crawl 3 captures every 6th URL now
+    serving its SUCCESSOR document's payload (a site reorganization —
+    content moved between URLs), so the new edge BRIDGES two
+    previously-disjoint mirror sets; a maintenance scheme that only
+    attaches new nodes to existing sets (instead of re-closing over
+    the union) cannot merge them and flips the hash.
+
+    100 TB story: state carried between crawls is one row per
+    previously-seen node (the labeling), delta cost is
+    O(star + new captures) — crawl N's maintenance never re-reads
+    crawls 1..N-1; capture-graph components stay shallow so the
+    min-label closure converges in a handful of index-sized rounds."""
+    from clif_spark.operators import graph as G
+
+    d = io.load_table(spark, sf_dir, "documents")
+    cur = d.select(_doc_url_col().alias("uri"),
+                   F.md5("text").alias("digest"))
+    prev = (d.filter(F.col("doc_id") % 4 != 3)
+            .select(_doc_url_col().alias("uri"),
+                    F.when(F.col("doc_id") % 5 == 0,
+                           F.md5(F.concat("text", F.lit("-v0"))))
+                     .otherwise(F.md5("text")).alias("digest")))
+    mirrors = (d.filter(F.col("doc_id") % 13 == 0)
+               .select(F.concat(F.lit("https://mirror.example/"),
+                                F.col("source"), F.lit("/"),
+                                F.col("doc_id").cast("string"))
+                        .alias("uri"),
+                       F.md5("text").alias("digest")))
+    caps12 = cur.unionByName(prev).unionByName(mirrors)
+    # the standing state: components over crawls 1-2, kept as star
+    # edges (node -> component min; roots carry no edge — their
+    # component is recovered from any member)
+    comp12 = G.connected_components(
+        caps12.select(F.col("uri").alias("src"),
+                      F.col("digest").alias("dst")))
+    star = (comp12.filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias("src"),
+                    F.col("component").alias("dst")))
+    # crawl 3 delta: every 6th URL now serves its successor's payload
+    moved = (d.filter(F.col("doc_id") % 6 == 0)
+             .select((F.col("doc_id") + 1).alias("nid"),
+                     _doc_url_col().alias("uri")))
+    caps3 = (moved.join(d.select(F.col("doc_id").alias("nid"), "text"),
+                        "nid")
+             .select(F.col("uri").alias("src"),
+                     F.md5("text").alias("dst")))
+    merged = G.connected_components(star.unionByName(caps3))
+    uris = merged.filter(F.col("node").startswith("https://"))
+    sets = (uris.groupBy("component")
+            .agg(F.min("node").alias("canonical_uri"),
+                 F.count(F.lit(1)).cast("long").alias("n_uris")))
+    return (uris.join(sets, "component")
+            .select(F.col("node").alias("uri"), "canonical_uri",
+                    "n_uris"))
+
+
 # --- D7d: incremental recrawl plan (sitemap lastmod x standing index) -----
 
 
