@@ -233,7 +233,8 @@ def connected_components_star(edges: DataFrame, src_col: str = "src",
 
 def hits_fixed(edges: DataFrame, iterations: int = 3,
                src_col: str = "src", dst_col: str = "dst",
-               checkpoint_every: int = 4) -> DataFrame:
+               checkpoint_every: int = 4,
+               init_hub: DataFrame | None = None) -> DataFrame:
     """HITS hubs & authorities (Kleinberg) over a DISTINCT edge
     relation — the co-citation-family complement to PageRank: an
     AUTHORITY is a node good hubs point at, a HUB is a node that
@@ -263,7 +264,15 @@ def hits_fixed(edges: DataFrame, iterations: int = 3,
     back — graph-metadata sized, never collected to the driver);
     node-sized vectors broadcast at host-graph scale. Overflow bound:
     s * MICROS needs s < 2^63/1e6 ≈ 9.2e12 — safe while max in-degree
-    x MICROS stays under it (any realistic host graph)."""
+    x MICROS stays under it (any realistic host graph).
+
+    ``init_hub`` (node, hub_micros) WARM-STARTS from a persisted hub
+    vector: the hub vector is the iteration's ONLY carried state (each
+    authority vector is recomputed from the current hubs), and every
+    operation is exact, so K stored + K' warm iterations equal K+K'
+    from scratch BIT-FOR-BIT — the pagerank_fixed warm-start contract
+    on the HITS pair. Nodes missing from init seed with the uniform
+    share; ranks for vanished nodes drop."""
     src, dst = F.col(src_col), F.col(dst_col)
     e = (edges.select(src.alias("src"), dst.alias("dst")).distinct()
          .localCheckpoint(eager=True))
@@ -271,7 +280,16 @@ def hits_fixed(edges: DataFrame, iterations: int = 3,
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct())
     n = nodes.count()
-    h = nodes.select("node", F.lit(MICROS // n).cast("long").alias("r"))
+    if init_hub is not None:
+        h = (nodes.join(
+            init_hub.select("node",
+                            F.col("hub_micros").alias("__init")),
+            "node", "left")
+            .select("node", F.coalesce("__init", F.lit(MICROS // n))
+                    .cast("long").alias("r")))
+    else:
+        h = nodes.select("node",
+                         F.lit(MICROS // n).cast("long").alias("r"))
 
     def _norm(raw):
         """(node, s) -> all nodes with s * MICROS div total (exact).

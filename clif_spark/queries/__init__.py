@@ -432,6 +432,7 @@ _VERIFY_FIRST_R13 = [
     "web_cdx_member_contract", "web_anchor_text",
     "web_host_components_star", "web_cocitation_triangles",
     "web_host_hits", "web_mirror_sets_incremental",
+    "web_hits_warm_start",
     # --- changed-code re-gates: the LSM crash-safety rework
     # (publish-first folds, atomic meta, fanout guard) + footer-stats
     # segment skipping touch every LSM read/fold path; the bounded
@@ -452,13 +453,13 @@ _VERIFY_FIRST_R13 = [
     "w8_tumbling_window", "w9_ntile_percent_rank",
     # --- due list part 2: the r8 refresh fills (a12/a13/a14 first —
     # twice pre-empted), then the r8-latest cohort in name order; the
-    # 20 rows left over (mm_jpeg_progressive_pixel_stats,
-    # mm_media_meta, mm_resize_meta, mm_video_pixel_stats — the four
-    # pre-empted by this round's late registrations — plus o1_o2_topk,
-    # p11_castability_extract, pipeline_dialysis, pipeline_vitals,
-    # q13, q14, r1, r3, sample_stratified_rebalance,
-    # stream_vitals_hourly, u1, u2_u3, u4, u5, w10, w11) are the r14
-    # due list ---
+    # 21 rows left over (mm_decode_meta,
+    # mm_jpeg_progressive_pixel_stats, mm_media_meta, mm_resize_meta,
+    # mm_video_pixel_stats — the five pre-empted by this round's late
+    # registrations — plus o1_o2_topk, p11_castability_extract,
+    # pipeline_dialysis, pipeline_vitals, q13, q14, r1, r3,
+    # sample_stratified_rebalance, stream_vitals_hourly, u1, u2_u3,
+    # u4, u5, w10, w11) are the r14 due list ---
     "a12_approx_distinct_bound", "a13_sketch_merge_distinct",
     "a14_approx_percentile_bound", "a15_ordered_string_agg",
     "a1_group_count_histogram", "a22_kmv_set_sketch",
@@ -471,20 +472,21 @@ _VERIFY_FIRST_R13 = [
     "f15_minmax_normalize", "f1_f2_classify_regex",
     "f3_f4_f5_dose_parse", "f7_f10_time_functions",
     "f8_parse_roundtrip", "gopher_repetition_filter",
-    "j11_asof_forward_tolerance", "mm_decode_meta",
+    "j11_asof_forward_tolerance",
     # --- streams at the tail (multi-second startup each): the new
     # CDX maintenance fold and the LSM stream twin whose store code
     # changed this round ---
     "stream_cdx_maintain", "stream_lsm_keep_best",
 ]
-# Exactly 50: 7 never-gated (web_cdx_member_contract, web_anchor_text,
+# Exactly 50: 8 never-gated (web_cdx_member_contract, web_anchor_text,
 # web_host_components_star, web_cocitation_triangles, web_host_hits,
-# web_mirror_sets_incremental, stream_cdx_maintain) + 8 changed-code
-# re-gates (7 batch incl. web_mirror_sets, whose closure choice was
-# A/B'd against the star variant this round + stream_lsm_keep_best) +
-# 7 r7 due rows + 28 r8 rows (a12/a13/a14 + the cohort in name order
-# through mm_decode_meta; the four mm_* rows named above were
-# pre-empted by the late registrations). r14 due list = the 20
+# web_mirror_sets_incremental, web_hits_warm_start,
+# stream_cdx_maintain) + 8 changed-code re-gates (7 batch incl.
+# web_mirror_sets, whose closure choice was A/B'd against the star
+# variant this round + stream_lsm_keep_best) + 7 r7 due rows + 27 r8
+# rows (a12/a13/a14 + the cohort in name order through
+# j11_asof_forward_tolerance; the five mm_* rows named above were
+# pre-empted by the late registrations). r14 due list = the 21
 # remaining r8 rows enumerated above. After this gate no oracle row's
 # latest green predates r8.
 _VERIFY_FIRST = _VERIFY_FIRST_R13

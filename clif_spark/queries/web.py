@@ -2141,6 +2141,41 @@ def web_host_hits(spark, sf_dir):
         F.col("node").alias("host"), "hub_micros", "auth_micros")
 
 
+@query("web_hits_warm_start", oracle=_hits_oracle(iterations=3))
+def web_hits_warm_start(spark, sf_dir):
+    """D5g-incremental: HITS maintenance from a persisted hub vector —
+    1 iteration is computed, the HUB vector (the iteration's only
+    carried state; authorities are recomputed from hubs each step)
+    folds into the CDC snapshot store, reads back, and 2 MORE
+    iterations warm-start from it. Every operation is exact integer
+    arithmetic, so stored-1 + warm-2 must equal 3-from-scratch
+    BIT-FOR-BIT — checked by the SAME unrolled 3-iteration oracle as
+    web_host_hits; one micro of drift anywhere (store roundtrip, init
+    seeding, normalization order) flips the hash.
+
+    Production shape: each crawl delivery advances the standing
+    authority table a few iterations from stored state —
+    O(iterations x edges) per delivery, never O(history)."""
+    import tempfile
+
+    from clif_spark import streaming as STR
+    from clif_spark.operators import graph as G
+
+    edges = _link_edges(spark, sf_dir).localCheckpoint(eager=True)
+    h1 = G.hits_fixed(edges, iterations=1)
+    root = tempfile.mkdtemp(prefix="clif_hits_store_")
+    STR.upsert_cdc_snapshot(
+        h1.select("node", "hub_micros",
+                  F.lit(1).cast("long").alias("__v"),
+                  F.lit(False).alias("is_delete")),
+        root, keys=["node"], order=["__v", "node"],
+        lineage="host-hits")
+    stored = STR.read_cdc_snapshot(spark, root) \
+                .select("node", "hub_micros")
+    return G.hits_fixed(edges, iterations=2, init_hub=stored).select(
+        F.col("node").alias("host"), "hub_micros", "auth_micros")
+
+
 def _pagerank_oracle(iterations: int = 3, damping: int = 85) -> str:
     """Unrolled K-iteration integer-micros PageRank — the SQL form of
     operators/graph.pagerank_fixed, generated from the same constants
