@@ -548,14 +548,31 @@ def parse_warc_members(df: DataFrame, file_id_col: str = "file_id",
                 raw = bytes(content)
                 fid = int(fid)
                 if raw[:2] == b"\x1f\x8b":
+                    import zlib as _zlib
+
                     base = 0  # decompressed-stream offset of the member
-                    for moff, mlen, data in walk_members(raw):
-                        for rec in parse_records(data, fid):
-                            # rebase the member-relative record offset
-                            # to the decompressed-stream convention
-                            rows.append((fid, base + rec[1]) + rec[2:]
-                                        + (moff, mlen))
-                        base += len(data)
+                    cpos = 0  # compressed bytes consumed so far
+                    try:
+                        for moff, mlen, data in walk_members(raw):
+                            for rec in parse_records(data, fid):
+                                # rebase the member-relative record
+                                # offset to the decompressed-stream
+                                # convention
+                                rows.append((fid, base + rec[1])
+                                            + rec[2:] + (moff, mlen))
+                            base += len(data)
+                            cpos = moff + mlen
+                    except (_zlib.error, ValueError):
+                        # torn/corrupt member: the row-granularity junk
+                        # policy — every member before the damage
+                        # parsed normally; the unreadable REMAINDER
+                        # lands one visible invalid row spanning it
+                        # (a member walk cannot resync past a corrupt
+                        # deflate stream — there is no record magic to
+                        # scan for inside one), never a task failure
+                        rows.append((fid, base, "invalid", None, None,
+                                     None, None, None, None, None,
+                                     cpos, len(raw) - cpos))
                 else:
                     recs = list(parse_records(raw, fid))
                     for i, rec in enumerate(recs):

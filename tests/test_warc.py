@@ -469,3 +469,32 @@ def test_member_spans_index_and_ranged_read(spark):
         assert g.target_uri == "https://example.org/a"
         assert g.member_length == r.member_length
     assert got[(1, 3)].warc_type == "invalid"
+
+
+def test_member_parse_corrupt_tail_junk_policy(spark):
+    """A shard whose gzip stream is torn mid-member must not kill the
+    task: every member before the damage parses normally and the
+    unreadable remainder lands ONE visible invalid row spanning its
+    compressed bytes (a member walk cannot resync past a corrupt
+    deflate stream)."""
+    plain = _fixture_file()
+    # split at the first record boundary -> two members, then tear the
+    # second member's bytes
+    hdr_end = plain.index(b"\r\n\r\n")
+    ln = int([h for h in plain[:hdr_end].split(b"\r\n")
+              if h.lower().startswith(b"content-length:")][0]
+             .split(b":")[1])
+    cut = hdr_end + 4 + ln + 4
+    m1 = gzip.compress(plain[:cut], mtime=0)
+    m2 = bytearray(gzip.compress(plain[cut:], mtime=0))
+    m2[12:20] = b"\x00" * 8  # corrupt the deflate body
+    files = spark.createDataFrame(
+        [(0, bytearray(m1) + m2)], "file_id long, content binary")
+    rows = warc.parse_warc_members(files).collect()
+    ok = [r for r in rows if r.warc_type != "invalid"]
+    bad = [r for r in rows if r.warc_type == "invalid"]
+    assert len(ok) == 1 and ok[0].warc_type == "warcinfo"
+    assert ok[0].member_offset == 0 and ok[0].member_length == len(m1)
+    assert len(bad) == 1
+    assert bad[0].member_offset == len(m1)
+    assert bad[0].member_length == len(m2)
