@@ -733,3 +733,54 @@ def test_bloom_screen_never_false_negative_property(spark):
         assert all(r.flagged for r in got), corpus_texts
 
     check()
+
+
+# random edge lists over a small node universe: self-loops, duplicate
+# and reversed edges, multiple components, chains and cliques all arise
+edges_strategy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=11),
+              st.integers(min_value=0, max_value=11)),
+    min_size=1, max_size=30)
+
+
+@PROP
+@given(edges_strategy)
+def test_cc_implementations_agree_on_random_graphs(spark, edge_pairs):
+    """Min-label propagation and large-star/small-star contraction are
+    two round structures for the SAME pure function of the graph —
+    on any random edge list (self-loops, duplicates, reversed pairs,
+    multi-component) both must produce the identical (node ->
+    component-min) labeling, and every label must be a reference
+    union-find's answer."""
+    from clif_spark.operators import graph as G
+
+    edges = spark.createDataFrame(edge_pairs, "src long, dst long")
+    clean = [(a, b) for a, b in edge_pairs if a != b]
+    label = {r.node: r.component
+             for r in G.connected_components(edges).collect()} \
+        if clean else {}
+    star = {r.node: r.component
+            for r in G.connected_components_star(edges).collect()} \
+        if clean else {}
+    # driver-side union-find reference
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in clean:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # normalize: component id must be the MIN member
+    mins: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        mins[r] = min(mins.get(r, n), n)
+    expect = {n: mins[find(n)] for n in parent}
+    assert label == expect
+    assert star == expect
