@@ -103,9 +103,18 @@ def test_fixpoint_results_partition_invariant(spark):
         seeds = spark.createDataFrame([("n0",)], "node string")
         cc = {tuple(r) for r in G.connected_components(edges).collect()}
         bf = {tuple(r) for r in G.bfs_depths(edges, seeds).collect()}
+        ccs = {tuple(r) for r in
+               G.connected_components_star(edges).collect()}
+        tr = {tuple(r) for r in G.triangle_counts(
+            edges.unionByName(spark.createDataFrame(
+                [("n0", "n2")], "src string, dst string"))).collect()}
+        hi = {tuple(r) for r in G.hits_fixed(edges).collect()}
         if parts == 1:
-            cc1, bf1 = cc, bf
+            cc1, bf1, ccs1, tr1, hi1 = cc, bf, ccs, tr, hi
     assert cc == cc1 and bf == bf1
+    assert ccs == ccs1 == cc1  # star == label, both partition-invariant
+    assert tr == tr1 == {("n0", 1), ("n1", 1), ("n2", 1)}
+    assert hi == hi1
     assert ("z1", "z1") in cc1 and ("n5", "n0") in cc1
     assert dict(bf1)["n12"] == 12
 
