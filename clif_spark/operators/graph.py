@@ -231,6 +231,114 @@ def connected_components_star(edges: DataFrame, src_col: str = "src",
         f"rounds")
 
 
+def _directed_min_labels(e: DataFrame, nodes: DataFrame,
+                         max_iters: int) -> DataFrame:
+    """Min-label propagation ALONG the directed edge relation to
+    fixpoint: label(v) = MIN(node id over {v} ∪ {u : u reaches v}).
+    The directed sibling of connected_components' inner loop — same
+    exact integer convergence probe (a label only moves DOWN), same
+    per-round localCheckpoint, same loud failure. ``e`` and ``nodes``
+    must already be materialized (the callers checkpoint them once and
+    run this twice, forward and reversed)."""
+    labels = nodes.select("node", F.col("node").alias("lab"))
+    for _ in range(max_iters):
+        cand = (e.join(labels, e["src"] == labels["node"])
+                 .select(F.col("dst").alias("node"),
+                         F.col("lab").alias("cand")))
+        nxt = (labels.unionByName(cand.withColumnRenamed("cand", "lab"))
+               .groupBy("node")
+               .agg(F.min("lab").alias("lab"))
+               .localCheckpoint(eager=True))
+        changed = (nxt.join(labels.withColumnRenamed("lab", "old"),
+                            "node")
+                   .filter(F.col("lab") != F.col("old")).count())
+        labels = nxt
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"_directed_min_labels did not converge in {max_iters} rounds")
+
+
+def strongly_connected_components(edges: DataFrame,
+                                  src_col: str = "src",
+                                  dst_col: str = "dst",
+                                  max_iters: int = FIXPOINT_MAX_ITERS,
+                                  return_rounds: bool = False):
+    """Strongly connected components over the DIRECTED edge relation
+    via iterative FORWARD/BACKWARD min-label coloring (the classic
+    distributed SCC scheme — Orzan's coloring / the FW-BW family): per
+    outer round compute over the REMAINING subgraph
+
+        fwdmin(v) = MIN(node id over {v} ∪ {w : v reaches w})
+        bwdmin(v) = MIN(node id over {v} ∪ {u : u reaches v})
+
+    (each one directed min-label propagation to fixpoint), then settle
+    every node with fwdmin(v) == bwdmin(v) == c at component c. Why
+    that is exact: fwdmin(v) = c implies v reaches c AND fwdmin(c) = c
+    (anything below c reachable from c would also be reachable from
+    v); symmetrically bwdmin(v) = c implies c reaches v — so the
+    settled set for c is mutually reachable with c, and conversely
+    every w in SCC(c) shares c's reachability sets, hence settles with
+    it. At fixpoint component(v) = MIN(node id over v's SCC) — a pure
+    function of the graph, independent of partitioning and iteration
+    order, which is what makes an iterative algorithm driver-gateable
+    without a tolerance band (oracle: recursive closure self-joined on
+    MUTUAL reachability + MIN).
+
+    Settled nodes and their edges are removed and the round repeats;
+    the remaining-global-min node always satisfies both equalities, so
+    every round settles at least one SCC and the loop terminates.
+    Worst case O(n) outer rounds (a directed path peels one node per
+    round — the same adversary that degrades every pivot-based SCC
+    scheme); real host graphs settle in a handful because each round
+    clears EVERY locally-minimal SCC at once, not one pivot.
+
+    Returns (node, component) for every edge endpoint. Raises past
+    ``max_iters`` outer rounds (and each inner propagation carries its
+    own ``max_iters`` bound) — fail loud, never a half-converged
+    labeling.
+
+    Scale shape per outer round: two directed min-label fixpoints
+    (edge-join + node-min-agg with broadcastable node-sized labels,
+    per-round localCheckpoint) + one node anti-join + one edge
+    semi-join, each over a relation that only ever SHRINKS."""
+    s, d = F.col(src_col), F.col(dst_col)
+    e = (edges.select(s.alias("src"), d.alias("dst"))
+         .filter(F.col("src") != F.col("dst"))
+         .distinct()
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    settled: DataFrame | None = None
+    for rounds in range(1, max_iters + 1):
+        rev = e.select(F.col("dst").alias("src"),
+                       F.col("src").alias("dst"))
+        fwd = _directed_min_labels(rev, nodes, max_iters) \
+            .withColumnRenamed("lab", "__f")
+        bwd = _directed_min_labels(e, nodes, max_iters) \
+            .withColumnRenamed("lab", "__b")
+        now = (fwd.join(bwd, "node")
+               .filter(F.col("__f") == F.col("__b"))
+               .select("node", F.col("__f").alias("component")))
+        settled = (now if settled is None
+                   else settled.unionByName(now)).localCheckpoint(
+                       eager=True)
+        nodes = (nodes.join(now, "node", "left_anti")
+                 .localCheckpoint(eager=True))
+        if nodes.isEmpty():
+            return (settled, rounds) if return_rounds else settled
+        live = nodes.withColumnRenamed("node", "src")
+        e = (e.join(live, "src", "semi")
+             .join(nodes.withColumnRenamed("node", "dst"), "dst", "semi")
+             .select("src", "dst")
+             .localCheckpoint(eager=True))
+    raise RuntimeError(
+        f"strongly_connected_components did not converge in "
+        f"{max_iters} rounds")
+
+
 def hits_fixed(edges: DataFrame, iterations: int = 3,
                src_col: str = "src", dst_col: str = "dst",
                checkpoint_every: int = 4,

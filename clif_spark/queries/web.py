@@ -2341,6 +2341,216 @@ def web_host_components_star(spark, sf_dir):
          .cast("long").alias("component_size"))
 
 
+# SCC oracle: the recursive reachability closure self-joined on MUTUAL
+# reachability — reach(v, w) AND reach(w, v) — then MIN(w) per v. The
+# gated subgraph is the component rows' five 4-host chains PLUS
+# reversed copies of the edges whose source number is even or ≡3 mod 4,
+# turning the middle+tail of every chain into a directed 3-cycle: five
+# 3-host SCCs ({2,3,4}, {6,7,8}, {10,11,12}, {14,15,16}, {18,19,0})
+# and five singletons (1, 5, 9, 13, 17). Mutual reachability inside a
+# cycle needs TWO hops through the intermediate (2→3→4 and 4→3→2), so
+# a single-hop-symmetry bug dies here; '{src10,src11,src12}' labels as
+# 'src10...' (< 'src11' numerically-adjacent but also the LEX min) and
+# '{src18,src19,src0}' as 'src0...' — a weakly-connected-components
+# shortcut would merge whole chains and flip both.
+_HOST_SCC_ORACLE = f"""
+    WITH RECURSIVE {_LINK_EDGES_CTES},
+    e2 AS (SELECT DISTINCT src_host AS src, dst_host AS dst
+           FROM linkedges
+           WHERE dst_host LIKE 'src%' AND src_host <> dst_host
+             AND CAST(regexp_extract(src_host, '(\\d+)', 1) AS INT)
+                 % 4 <> 0),
+    eall AS (
+      SELECT src, dst FROM e2
+      UNION
+      SELECT dst, src FROM e2
+      WHERE CAST(regexp_extract(src, '(\\d+)', 1) AS INT) % 2 = 0
+         OR CAST(regexp_extract(src, '(\\d+)', 1) AS INT) % 4 = 3),
+    n2 AS (SELECT src AS node FROM eall
+           UNION SELECT dst FROM eall),
+    reach(src, dst) AS (
+      SELECT node, node FROM n2
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN eall e ON e.src = r.dst),
+    scc AS (
+      SELECT r1.src AS node, MIN(r1.dst) AS component
+      FROM reach r1
+      JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src
+      GROUP BY r1.src)
+    SELECT node AS host, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+             AS component_size
+    FROM scc
+    """
+
+
+def _host_scc_edges(spark, sf_dir):
+    """The SCC rows' gated subgraph: the component fixture's five
+    directed chains plus reversed copies where the source number is
+    even or ≡3 mod 4 — five 3-host directed cycles with the chain
+    heads left as one-way tails (see _HOST_SCC_ORACLE's comment for
+    the expected partition)."""
+    base = _host_component_edges(spark, sf_dir)
+    n = F.regexp_extract("src", r"(\d+)", 1).cast("int")
+    rev = (base.filter((n % 2 == 0) | (n % 4 == 3))
+           .select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return base.unionByName(rev)
+
+
+@query("web_host_scc", oracle=_HOST_SCC_ORACLE)
+def web_host_scc(spark, sf_dir):
+    """D5f (engine ext.): STRONGLY connected components over the host
+    graph — the directed refinement of web_host_components, and the
+    primitive under web-graph structure analysis (Broder et al.'s
+    bowtie: the giant SCC is the web's core; crawl schedulers treat
+    SCC membership as a reachability-equivalence class — any member
+    reaches every other, so per-SCC budgets subsume per-host ones on
+    mutually-linked site families, while one-way mirror tails stay
+    separate components that weak connectivity would wrongly merge).
+
+    Iterative forward/backward min-label coloring to fixpoint
+    (operators/graph.strongly_connected_components), gated EXACTLY
+    against a recursive closure self-joined on mutual reachability —
+    component(v) = MIN(node over v's SCC) is a pure function of the
+    graph, so no tolerance band. The fixture partitions twenty hosts
+    into five 3-cycles + five one-way tails (see the oracle comment):
+    weak-vs-strong, multi-hop mutuality, and the 'src10' < 'src9'
+    lexicographic trap are all load-bearing.
+
+    Shape: O(settle rounds) x two directed min-label fixpoints, each
+    round one edge-join + node-min-agg over broadcastable node-sized
+    labels on a shrinking subgraph; per-round localCheckpoint; loud
+    failure past the shared FIXPOINT budget."""
+    from pyspark.sql import Window
+
+    from clif_spark.operators import graph as G
+
+    scc = G.strongly_connected_components(_host_scc_edges(spark, sf_dir))
+    return scc.select(
+        F.col("node").alias("host"), "component",
+        F.count(F.lit(1)).over(Window.partitionBy("component"))
+         .cast("long").alias("component_size"))
+
+
+# Bowtie oracle: same recursive closure, SCC labeling, then the Broder
+# decomposition relative to the LARGEST SCC (tie-break: min component
+# label): core = the giant SCC, in = reaches core, out = reached from
+# core, other = neither. The gated subgraph is the full 20-host ring
+# minus the edges out of src4 and src19 (breaking the cycle into one
+# long path) plus reversed copies where 8 <= n <= 14 — core {8..15}
+# (labeled 'src10...', the lex-min trap a third time), IN {5,6,7}
+# (one-way path into src8), OUT {16..19} (one-way path out of src15),
+# OTHER {0..4} (the orphaned head: 19->0 and 4->5 are the cut edges,
+# so it neither reaches nor is reached). A node classified both ways
+# would have to be IN the core (mutual reachability), so the CASE
+# order is safe, not load-bearing.
+_BOWTIE_ORACLE = f"""
+    WITH RECURSIVE {_LINK_EDGES_CTES},
+    ring AS (SELECT DISTINCT src_host AS src, dst_host AS dst
+             FROM linkedges
+             WHERE dst_host LIKE 'src%' AND src_host <> dst_host
+               AND CAST(regexp_extract(src_host, '(\\d+)', 1) AS INT)
+                   NOT IN (4, 19)),
+    eall AS (
+      SELECT src, dst FROM ring
+      UNION
+      SELECT dst, src FROM ring
+      WHERE CAST(regexp_extract(src, '(\\d+)', 1) AS INT)
+            BETWEEN 8 AND 14),
+    n2 AS (SELECT src AS node FROM eall
+           UNION SELECT dst FROM eall),
+    reach(src, dst) AS (
+      SELECT node, node FROM n2
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN eall e ON e.src = r.dst),
+    scc AS (
+      SELECT r1.src AS node, MIN(r1.dst) AS component
+      FROM reach r1
+      JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src
+      GROUP BY r1.src),
+    core AS (
+      SELECT component FROM (
+        SELECT component, COUNT(*) AS c FROM scc GROUP BY component)
+      ORDER BY c DESC, component LIMIT 1),
+    corenodes AS (
+      SELECT node FROM scc
+      WHERE component = (SELECT component FROM core))
+    SELECT s.node AS host,
+           CASE WHEN s.component = (SELECT component FROM core)
+                  THEN 'core'
+                WHEN EXISTS (SELECT 1 FROM reach r JOIN corenodes c
+                             ON r.dst = c.node WHERE r.src = s.node)
+                  THEN 'in'
+                WHEN EXISTS (SELECT 1 FROM reach r JOIN corenodes c
+                             ON r.src = c.node WHERE r.dst = s.node)
+                  THEN 'out'
+                ELSE 'other' END AS bowtie_class
+    FROM scc s
+    """
+
+
+@query("web_bowtie_classes", oracle=_BOWTIE_ORACLE)
+def web_bowtie_classes(spark, sf_dir):
+    """D5g (engine ext.): the Broder BOWTIE decomposition of the host
+    graph ("Graph structure in the Web", Broder et al. 2000) — the
+    macro-structure report every serious crawl operation reads: the
+    giant SCC is the CORE the crawler lives in, IN hosts feed it
+    (reachable-from there but one-way — where new seeds pay off), OUT
+    hosts are sinks (reached but never leading back — where depth caps
+    bind), and OTHER is unreachable tendril/island mass (frontier
+    coverage gaps). Composed ENTIRELY from the gated fixpoint
+    primitives: strongly_connected_components for the core (largest
+    SCC, min-label tie-break), bfs_depths over the reversed relation
+    for IN (nodes that reach the core), bfs_depths forward for OUT —
+    no new iterative code, which is the point of having the class.
+
+    Exactness: each primitive is a pure function of the graph and the
+    tie-break is deterministic, so the class labeling is exactly
+    SQL-mirrorable (recursive closure + EXISTS). The fixture's four
+    regions are all non-empty (see the oracle comment) — a
+    weak-components shortcut, a direction flip in either BFS, or a
+    wrong tie-break each flips a whole region.
+
+    Shape: the SCC rounds dominate (shrinking subgraph fixpoints);
+    the two BFS legs are O(path length) rounds over broadcastable
+    depth relations; the classifier itself is three node-sized left
+    joins — no corpus shuffle anywhere past the link extraction."""
+    from clif_spark.operators import graph as G
+
+    ring = (_link_edges(spark, sf_dir)
+            .filter(F.col("dst").startswith("src"))
+            .filter(F.col("src") != F.col("dst")))
+    n = F.regexp_extract("src", r"(\d+)", 1).cast("int")
+    e = ring.filter(~n.isin(4, 19))
+    rev = (e.filter((n >= 8) & (n <= 14))
+           .select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # one materialization: the SCC pass and both BFS legs re-read it
+    edges = e.unionByName(rev).distinct().localCheckpoint(eager=True)
+
+    scc = G.strongly_connected_components(edges).localCheckpoint(
+        eager=True)
+    sizes = scc.groupBy("component").agg(F.count(F.lit(1)).alias("__c"))
+    core_lab = (sizes.orderBy(F.desc("__c"), F.asc("component"))
+                .limit(1).select("component"))
+    core = (scc.join(F.broadcast(core_lab), "component", "semi")
+            .select("node").localCheckpoint(eager=True))
+    rev_edges = edges.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst"))
+    reaches_core = G.bfs_depths(rev_edges, core).select("node")
+    reached_from = G.bfs_depths(edges, core).select("node")
+    return (scc
+            .join(core.withColumn("__core", F.lit(1)), "node", "left")
+            .join(reaches_core.withColumn("__in", F.lit(1)),
+                  "node", "left")
+            .join(reached_from.withColumn("__out", F.lit(1)),
+                  "node", "left")
+            .select(F.col("node").alias("host"),
+                    F.when(F.col("__core") == 1, F.lit("core"))
+                     .when(F.col("__in") == 1, F.lit("in"))
+                     .when(F.col("__out") == 1, F.lit("out"))
+                     .otherwise(F.lit("other")).alias("bowtie_class")))
+
+
 @query(
     "web_crawl_depth",
     oracle=f"""

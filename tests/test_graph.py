@@ -190,3 +190,72 @@ def test_triangle_counts_clique_and_pendant(spark):
            for r in G.triangle_counts(edges).collect()}
     assert got == {"a": 3, "b": 3, "c": 3, "d": 3,
                    "x": 1, "y": 1, "z": 1}
+
+
+def test_scc_cycle_membership_and_lexicographic(spark):
+    """strongly_connected_components: a directed 3-cycle is one SCC
+    labeled by its LEXICOGRAPHIC min ('n10' < 'n9' as strings — the
+    numeric-min shortcut trap); nodes on one-way edges are singleton
+    SCCs even when weakly connected to the cycle; labels must cross
+    multiple hops (c sits two hops from a around the cycle)."""
+    from clif_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [("n9", "n10"), ("n10", "n11"), ("n11", "n9"),  # 3-cycle
+         ("n11", "d"),                                   # one-way out
+         ("e", "n9")],                                   # one-way in
+        "src string, dst string")
+    got = {r.node: r.component
+           for r in G.strongly_connected_components(edges).collect()}
+    assert got == {"n9": "n10", "n10": "n10", "n11": "n10",
+                   "d": "d", "e": "e"}
+
+
+def test_scc_directed_path_peels_to_singletons(spark):
+    """A DAG has only trivial SCCs: every node on a directed path is
+    its own component (the adversary fixture — a path peels a bounded
+    prefix per outer round, the documented worst case)."""
+    from clif_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(f"v{i}", f"v{i + 1}") for i in range(6)],
+        "src string, dst string")
+    labels, rounds = G.strongly_connected_components(
+        edges, return_rounds=True)
+    got = {r.node: r.component for r in labels.collect()}
+    assert got == {f"v{i}": f"v{i}" for i in range(7)}
+    assert 1 <= rounds <= 7
+
+
+def test_scc_raises_without_convergence(spark):
+    import pytest
+
+    from clif_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
+    with pytest.raises(RuntimeError, match="converge"):
+        G.strongly_connected_components(edges, max_iters=1)
+
+
+def test_scc_partition_invariant(spark):
+    """SCC labels are a pure function of the graph — the driver-gate
+    property: identical exact values under different edge
+    partitionings (two mutually-bridged cycles merge into ONE SCC;
+    the bridge nodes' labels must travel through both cycles)."""
+    from clif_spark.operators import graph as G
+
+    # cycle A: a0->a1->a2->a0; cycle B: b0->b1->b2->b0;
+    # bridges a1->b1 and b2->a2 make the union one SCC (min 'a0')
+    rows = [("a0", "a1"), ("a1", "a2"), ("a2", "a0"),
+            ("b0", "b1"), ("b1", "b2"), ("b2", "b0"),
+            ("a1", "b1"), ("b2", "a2"),
+            ("z", "a0")]  # one-way: z stays a singleton
+    expected = {n: "a0" for n in
+                ("a0", "a1", "a2", "b0", "b1", "b2")} | {"z": "z"}
+    for parts in (1, 7):
+        edges = spark.createDataFrame(
+            rows, "src string, dst string").repartition(parts)
+        got = {r.node: r.component
+               for r in G.strongly_connected_components(edges).collect()}
+        assert got == expected
