@@ -1380,6 +1380,85 @@ def u13_lsm_size_tiered(spark, sf_dir):
     return STR.read_lsm(spark, root, ["k"], order)
 
 
+# Snapshot oracle: the SAME keep-best as u12 restricted to deliveries
+# 1-3 (the ``WHERE seg <= 3`` world) — delivery 4's re-scores must be
+# INVISIBLE even though its segment is on disk, the v3 tombstones must
+# still suppress their keys, and the keys delivery 4 re-scored fall
+# back to their best among 1-3.
+U14_LSM_SNAPSHOT_ORACLE = """
+    WITH v4keys AS (
+      SELECT DISTINCT doc_id % 97 AS k FROM documents
+      WHERE doc_id % 3 = 0 AND doc_id % 7 = 0),
+    deliveries AS (
+      SELECT doc_id % 97 AS k, doc_id AS best_doc,
+             CAST(n_chars AS BIGINT) AS score,
+             FALSE AS dead, (doc_id % 3) + 1 AS seg
+      FROM documents
+      UNION ALL
+      SELECT DISTINCT doc_id % 97, CAST(-1 AS BIGINT),
+             CAST(2000000000 AS BIGINT), TRUE, 3
+      FROM documents
+      WHERE doc_id % 3 = 2 AND doc_id % 5 = 0
+        AND doc_id % 97 NOT IN (SELECT k FROM v4keys)),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY k
+        ORDER BY score DESC, best_doc DESC, seg DESC) AS rn
+      FROM deliveries WHERE seg <= 3)
+    SELECT CAST(k AS BIGINT) AS k, CAST(best_doc AS BIGINT) AS best_doc,
+           score
+    FROM best WHERE rn = 1 AND NOT dead
+    """
+
+
+@query("u14_lsm_snapshot_read", oracle=U14_LSM_SNAPSHOT_ORACLE)
+def u14_lsm_snapshot_read(spark, sf_dir):
+    """U14 (engine ext.): SNAPSHOT (time-travel) reads on the LSM
+    store — ``read_lsm(as_of=N)`` returns the live rows exactly as
+    they stood after delivery N, long after later deliveries landed.
+    Segment immutability makes this free (history is appended, never
+    rewritten): the read prunes seg- dirs above N and bounds every
+    surviving row by ``__seg`` <= N before the keep-best — the
+    Iceberg/Delta time-travel semantic on the store form that gets it
+    without a table format. What expires snapshots is COMPACTION: a
+    fold keeps only cross-segment winners, so states below the max
+    folded version are unrecoverable and the read RAISES (pinned
+    in-row below, and in the unit suite).
+
+    The gated sequence: deliveries 1 and 3 land, a contract-free
+    partial fold rewrites delivery 1 alone (intra-segment keep-best —
+    snapshot-invariant, which the gate proves), delivery 2 arrives out
+    of order, delivery 4 re-scores a key subset upward — then the
+    read at ``as_of=3`` must equal the global keep-best over
+    deliveries 1-3 ONLY: delivery 4's segment sits on disk and must
+    not leak a row, the v3 tombstones still suppress their keys, and
+    a read below the fold horizon fails loud.
+
+    100 TB: a snapshot read costs exactly a normal read minus the
+    pruned segments — no copy, no undo log; retention policy is the
+    compaction schedule itself (fold less often where time-travel
+    depth matters)."""
+    import tempfile
+
+    from clif_spark import streaming as STR
+
+    dv = _u12_deliveries(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="clif_lsm_snap_") + "/store"
+    order = ["score", "best_doc"]
+    STR.append_lsm_segment(dv[1], root, 1)
+    STR.append_lsm_segment(dv[3], root, 3)
+    # partial fold of delivery 1 alone: moves the snapshot horizon to 1
+    STR.compact_lsm(spark, root, ["k"], order, keep_recent=1)
+    STR.append_lsm_segment(dv[2], root, 2)
+    STR.append_lsm_segment(dv[4], root, 4)
+    try:
+        STR.read_lsm(spark, root, ["k"], order, as_of=0)
+        raise RuntimeError(
+            "a snapshot below the fold horizon must raise (expired)")
+    except ValueError:
+        pass
+    return STR.read_lsm(spark, root, ["k"], order, as_of=3)
+
+
 @query(
     "io_orc_roundtrip",
     oracle="""

@@ -1021,7 +1021,8 @@ def _lsm_segment_stats(seg: str, col: str):
 def read_lsm(spark: SparkSession, root: str, keys: list[str],
              order: list[str], tombstone_col: str = "is_delete",
              lineage: str = "lsm",
-             key_range: tuple | None = None) -> DataFrame:
+             key_range: tuple | None = None,
+             as_of: int | None = None) -> DataFrame:
     """Live rows of an LSM store: union every segment, keep per key the
     row sorting LAST by (``order``, ``__seg``) — the delivery-ordinal
     tie-break — then filter tombstones. Read amplification is the
@@ -1040,12 +1041,48 @@ def read_lsm(spark: SparkSession, root: str, keys: list[str],
     range appears in a segment only if that segment's stats straddle
     it, so every row (including tombstones) that the keep-best merge
     for an in-range key needs survives the prune; a segment without
-    usable stats is conservatively kept."""
+    usable stats is conservatively kept.
+
+    ``as_of=N`` is a SNAPSHOT (time-travel) read: the live rows as
+    they stood after delivery N — only rows with ``__seg`` <= N enter
+    the keep-best, and seg- dirs for later deliveries are pruned from
+    the union without touching their data (segment immutability is
+    what makes snapshots free: history is never rewritten, only
+    folded). Validity horizon: COMPACTION EXPIRES OLD SNAPSHOTS — a
+    fold keeps only the rows that win across its folded set, so a
+    version masked by a later folded delivery is gone; reads at
+    ``as_of`` below the max folded version therefore RAISE (snapshot
+    expired) rather than return a silently incomplete state — the
+    same expiry contract Iceberg/Delta attach to snapshot removal. At
+    or above the horizon the snapshot is exact for every store form
+    (folds preserve ``__seg`` stamps and only drop rows masked by
+    versions at or below the horizon)."""
     from clif_spark.operators import windows as _w
 
-    segs = _lsm_segments(root, _lsm_ckpt(lineage))
+    ckpt = _lsm_ckpt(lineage)
+    segs = _lsm_segments(root, ckpt)
     if not segs:
         raise ValueError(f"read_lsm: no segments under {root}")
+    if as_of is not None:
+        import os
+
+        meta = _lsm_meta_read(root)
+        horizon = (max(meta["folded"])
+                   if meta["ckpt"] == ckpt and meta["folded"] else 0)
+        if as_of < horizon:
+            raise ValueError(
+                f"read_lsm: snapshot as_of={as_of} is below the fold "
+                f"horizon {horizon} for lineage '{lineage}' — "
+                f"compaction keeps only the rows that win across the "
+                f"folded set, so states older than the horizon are "
+                f"unrecoverable (expired snapshot). Read at or above "
+                f"the horizon, or schedule compaction to retain the "
+                f"history you need.")
+        segs = [s for s in segs
+                if not os.path.basename(s).startswith("seg-")
+                or _lsm_dir_version(s) <= as_of]
+        # fold artifacts survive the dir prune (they may hold rows at
+        # or below as_of); the row filter below bounds their content
     if key_range is not None:
         lo, hi = key_range
         kept = []
@@ -1054,21 +1091,23 @@ def read_lsm(spark: SparkSession, root: str, keys: list[str],
             if stats is None or not (stats[1] < lo or stats[0] > hi):
                 kept.append(s)
         segs = kept
-        if not segs:
-            # nothing can intersect: an empty relation with the read
-            # schema (derive it from one footer-pruned segment is
-            # impossible — read the store schema from any segment dir)
-            all_segs = _lsm_segments(root, _lsm_ckpt(lineage))
-            empty = spark.read.parquet(*all_segs).limit(0)
-            best = _w.dedup_keep_last(empty, keys,
-                                      list(order) + ["__seg"])
-            return best.filter(~F.col(tombstone_col)) \
-                       .drop(tombstone_col, "__seg")
+    if not segs:
+        # every dir pruned (no key can intersect, or the snapshot
+        # predates the first delivery): an empty relation with the
+        # read schema — read the store schema from any segment dir
+        all_segs = _lsm_segments(root, ckpt)
+        empty = spark.read.parquet(*all_segs).limit(0)
+        best = _w.dedup_keep_last(empty, keys,
+                                  list(order) + ["__seg"])
+        return best.filter(~F.col(tombstone_col)) \
+                   .drop(tombstone_col, "__seg")
     merged = spark.read.parquet(*segs)
     if key_range is not None:
         merged = merged.filter(
             F.col(keys[0]).between(F.lit(key_range[0]),
                                    F.lit(key_range[1])))
+    if as_of is not None:
+        merged = merged.filter(F.col("__seg") <= F.lit(as_of))
     best = _w.dedup_keep_last(merged, keys, list(order) + ["__seg"])
     return best.filter(~F.col(tombstone_col)) \
                .drop(tombstone_col, "__seg")

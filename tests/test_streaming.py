@@ -962,3 +962,63 @@ def test_lsm_segment_skipping_key_range(spark):
                                  key_range=(100, 103))
     assert {tuple(r) for r in pruned2.collect()} == {
         (100, 5, "y0"), (101, 7, "y1"), (103, 6, "y3")}
+
+
+def test_lsm_snapshot_read_time_travel(spark):
+    """read_lsm(as_of=N): the live rows exactly as they stood after
+    delivery N — later segments on disk must not leak a row; a
+    tombstone applied at N+1 is invisible at N and masking at N+1; a
+    snapshot before the first delivery is EMPTY (no fold yet, nothing
+    to expire); as_of composes with key_range pruning."""
+
+    def snap(root, n, **kw):
+        return {tuple(r) for r in streaming.read_lsm(
+            spark, root, ["k"], ["score"], as_of=n, **kw).collect()}
+
+    root = tempfile.mkdtemp(prefix="clif_lsm_") + "/store"
+    streaming.append_lsm_segment(
+        _lsm_rows(spark, [(1, 10, "a1", False), (2, 5, "b1", False)]),
+        root, 1)
+    streaming.append_lsm_segment(
+        _lsm_rows(spark, [(1, 20, "a2", False),
+                          (2, 999, None, True)]), root, 2)
+    streaming.append_lsm_segment(
+        _lsm_rows(spark, [(3, 7, "c3", False)]), root, 3)
+    assert snap(root, 1) == {(1, 10, "a1"), (2, 5, "b1")}
+    assert snap(root, 2) == {(1, 20, "a2")}
+    assert snap(root, 3) == _lsm_read_set(spark, root)
+    assert snap(root, 0) == set()
+    assert snap(root, 3, key_range=(3, 9)) == {(3, 7, "c3")}
+
+
+def test_lsm_snapshot_expires_at_fold_horizon(spark):
+    """Compaction expires snapshots: a fold keeps only cross-segment
+    winners, so as_of below max(folded) RAISES (partial and full
+    forms both move the horizon); at the horizon the snapshot stays
+    exact across the fold (fold-invariance of time travel)."""
+    import pytest
+
+    root = tempfile.mkdtemp(prefix="clif_lsm_") + "/store"
+    streaming.append_lsm_segment(
+        _lsm_rows(spark, [(1, 10, "a1", False)]), root, 1)
+    streaming.append_lsm_segment(
+        _lsm_rows(spark, [(1, 20, "a2", False), (2, 5, "b2", False)]),
+        root, 2)
+    streaming.append_lsm_segment(
+        _lsm_rows(spark, [(2, 9, "b3", False)]), root, 3)
+    at2_before = {tuple(r) for r in streaming.read_lsm(
+        spark, root, ["k"], ["score"], as_of=2).collect()}
+    # partial fold of {1,2} (keep the newest segment): horizon -> 2
+    assert streaming.compact_lsm(spark, root, ["k"], ["score"],
+                                 keep_recent=1) == 2
+    with pytest.raises(ValueError, match="expired|horizon"):
+        streaming.read_lsm(spark, root, ["k"], ["score"], as_of=1)
+    assert {tuple(r) for r in streaming.read_lsm(
+        spark, root, ["k"], ["score"], as_of=2).collect()} == at2_before
+    # full fold: horizon -> 3; as_of=2 now expired, as_of=3 still live
+    streaming.compact_lsm(spark, root, ["k"], ["score"])
+    with pytest.raises(ValueError, match="expired|horizon"):
+        streaming.read_lsm(spark, root, ["k"], ["score"], as_of=2)
+    assert {tuple(r) for r in streaming.read_lsm(
+        spark, root, ["k"], ["score"], as_of=3).collect()} \
+        == _lsm_read_set(spark, root)
