@@ -1935,6 +1935,21 @@ def web_anchor_text(spark, sf_dir):
     (src_host, dst_url) — (edge x texts)-sized state, no second corpus
     scan, no Python. At 100 TB anchor aggregation is the same shuffle
     the link graph itself pays, just keyed one level finer."""
+    return (_anchor_rows(spark, sf_dir)
+            .groupBy("src_host", "dst_url")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_anchors"),
+                 F.count_distinct("atext").cast("long").alias("n_texts"),
+                 F.array_join(F.array_sort(F.collect_set("atext")), "|")
+                  .alias("anchor_texts")))
+
+
+def _anchor_rows(spark, sf_dir):
+    """Shared unaggregated anchor relation (src_host, dst_url, atext):
+    href and inner text lifted out of the SAME anchor-element match
+    (arrays_zip pairing), hrefs resolved through the full RFC 3986
+    resolver, nested markup stripped under the html_to_text tag rule.
+    web_anchor_text aggregates it per edge; web_host_bm25f tokenizes
+    it as the anchor FIELD of the target host."""
     d = io.load_table(spark, sf_dir, "documents")
     n = F.regexp_extract("source", r"(\d+)", 1).cast("int")
     m = (F.col("doc_id") % 40).cast("string")
@@ -1963,12 +1978,174 @@ def web_anchor_text(spark, sf_dir):
         F.lit("[ \\t]+"), F.lit(" ")))
     return (z.select("src_host", resolved.alias("dst_url"),
                      atext.alias("atext"))
-            .filter(F.col("dst_url").isNotNull())
-            .groupBy("src_host", "dst_url")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_anchors"),
-                 F.count_distinct("atext").cast("long").alias("n_texts"),
-                 F.array_join(F.array_sort(F.collect_set("atext")), "|")
-                  .alias("anchor_texts")))
+            .filter(F.col("dst_url").isNotNull()))
+
+
+# BM25F oracle: the fielded scorer unrolled in SQL off the SAME anchor
+# CTEs. Field separation is total in the fixture: 'link'/'hot' exist
+# ONLY in anchor text (the documents vocabulary is a closed word set
+# without them) and 'spark'/'window' only in body text — so a scorer
+# that ignores either field zeroes half the query and reorders the
+# top-k. The pseudo-frequency is materialized as one named DOUBLE so
+# both engines evaluate the identical IEEE op sequence; contributions
+# round to integer micros and sum as BIGINT (the bm25_rational_topk
+# discipline).
+_HOST_BM25F_TERMS = "('link', 'hot', 'spark', 'window')"
+_HOST_BM25F_ORACLE = f"""
+    WITH {_ANCHOR_CTES},
+    hosts AS (SELECT DISTINCT source || '.example.com' AS host
+              FROM documents),
+    nh AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM hosts),
+    btoks AS (SELECT source || '.example.com' AS host,
+                     unnest(string_split(lower(text), ' ')) AS term
+              FROM documents),
+    blen AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS len_b
+             FROM btoks GROUP BY host),
+    btot AS (SELECT CAST(SUM(len_b) AS DOUBLE) AS tot_b FROM blen),
+    atoks AS (SELECT lower(regexp_extract(u,
+                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+                     unnest(string_split(lower(atext), ' ')) AS term
+              FROM aresolved
+              WHERE u IS NOT NULL AND atext <> ''
+                AND lower(regexp_extract(u,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+                    IN (SELECT host FROM hosts)),
+    alen AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS len_a
+             FROM atoks GROUP BY host),
+    atot AS (SELECT CAST(SUM(len_a) AS DOUBLE) AS tot_a FROM alen),
+    qb AS (SELECT host, term, CAST(COUNT(*) AS BIGINT) AS tf_b
+           FROM btoks WHERE term IN {_HOST_BM25F_TERMS}
+           GROUP BY host, term),
+    qa AS (SELECT host, term, CAST(COUNT(*) AS BIGINT) AS tf_a
+           FROM atoks WHERE term IN {_HOST_BM25F_TERMS}
+           GROUP BY host, term),
+    tfs AS (SELECT host, term,
+                   COALESCE(tf_b, CAST(0 AS BIGINT)) AS tf_b,
+                   COALESCE(tf_a, CAST(0 AS BIGINT)) AS tf_a
+            FROM qb FULL JOIN qa USING (host, term)),
+    dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tfs GROUP BY term),
+    pseudo AS (
+      SELECT t.host, t.term,
+             (t.tf_b / (0.25 + 0.75 * bl.len_b * n.n / bt.tot_b)
+              + 2.0 * t.tf_a
+                / (0.5 + 0.5 * COALESCE(al.len_a, CAST(0 AS BIGINT))
+                   * n.n / at.tot_a)) AS tft
+      FROM tfs t
+      JOIN blen bl ON bl.host = t.host
+      LEFT JOIN alen al ON al.host = t.host,
+      nh n, btot bt, atot at),
+    scored AS (
+      SELECT p.host,
+             FLOOR((((n.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                    * p.tft / (1.2 + p.tft)) * 1000000.0 + 0.5)
+               AS c_micros
+      FROM pseudo p JOIN dfs d USING (term), nh n),
+    per_host AS (SELECT host,
+                        CAST(SUM(CAST(c_micros AS BIGINT)) AS BIGINT)
+                          AS score_micros
+                 FROM scored GROUP BY host)
+    SELECT host, score_micros, rank FROM (
+      SELECT host, score_micros,
+             row_number() OVER (ORDER BY score_micros DESC, host)
+               AS rank
+      FROM per_host)
+    WHERE rank <= 10
+    """
+
+
+@query("web_host_bm25f", oracle=_HOST_BM25F_ORACLE)
+def web_host_bm25f(spark, sf_dir):
+    """D5b-f (engine ext.): BM25F FIELDED retrieval over hosts — the
+    scorer web search actually ran (Robertson & Zaragoza's BM25F):
+    a host is described by TWO fields of different reliability, its
+    own BODY text and the ANCHOR text other pages link it with, and
+    per term the field frequencies combine into one length-normalized
+    pseudo-frequency BEFORE saturation:
+
+        tft = tf_body/B_body + 2.0 * tf_anchor/B_anchor
+        B_f = (1 - b_f) + b_f * len_f * N / total_f
+        contrib = idf * tft / (k1 + tft)
+
+    (b_body 0.75, b_anchor 0.5, anchors weighted 2x — the classic
+    setup: anchor text is independent third-party evidence, so it
+    saturates jointly with the body rather than being a second score
+    summed after saturation, which is precisely what distinguishes
+    BM25F from naive per-field BM25 addition). Exactness follows
+    bm25_rational_topk: log-free rational idf, the pseudo-frequency
+    materialized once as a named double (one IEEE op sequence both
+    engines share), contributions rounded to integer micros and
+    summed as BIGINT. The query {{link, hot, spark, window}} splits
+    cleanly across the fields (see the oracle comment), so both field
+    pipelines are load-bearing in the gate.
+
+    Shape: two tokenize+count passes (one per field, query-term
+    pruned before any join), host-sized length/df/corpus stats all
+    broadcast, one keyed micros sum, one bounded top-k window. At
+    100 TB the anchor field costs the anchor extraction the link
+    graph already pays; scoring adds host-sized state only."""
+    from pyspark.sql import Window
+
+    d = io.load_table(spark, sf_dir, "documents")
+    host = F.concat("source", F.lit(".example.com")).alias("host")
+    hosts = d.select(host).distinct()
+    nh = hosts.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    btoks = d.select(
+        host, F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    blen = btoks.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("len_b"))
+    btot = blen.agg(F.sum("len_b").cast("double").alias("tot_b"))
+    atoks = (_anchor_rows(spark, sf_dir)
+             .select(urlfn.url_host(F.col("dst_url")).alias("host"),
+                     "atext")
+             .filter(F.col("atext") != "")
+             .join(hosts, "host", "semi")
+             .select("host", F.explode(F.split(F.lower("atext"), " "))
+                     .alias("term")))
+    alen = atoks.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("len_a"))
+    atot = alen.agg(F.sum("len_a").cast("double").alias("tot_a"))
+    terms = ["link", "hot", "spark", "window"]
+    qb = (btoks.filter(F.col("term").isin(terms))
+          .groupBy("host", "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf_b")))
+    qa = (atoks.filter(F.col("term").isin(terms))
+          .groupBy("host", "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf_a")))
+    zero = F.lit(0).cast("long")
+    tfs = (qb.join(qa, ["host", "term"], "full")
+           .select("host", "term",
+                   F.coalesce("tf_b", zero).alias("tf_b"),
+                   F.coalesce("tf_a", zero).alias("tf_a")))
+    dfs = tfs.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    tft = (F.col("tf_b")
+           / (F.lit(0.25) + F.lit(0.75) * F.col("len_b") * F.col("n")
+              / F.col("tot_b"))
+           + F.lit(2.0) * F.col("tf_a")
+           / (F.lit(0.5) + F.lit(0.5) * F.coalesce("len_a", zero)
+              * F.col("n") / F.col("tot_a")))
+    pseudo = (tfs.join(blen, "host")
+              .join(alen, "host", "left")
+              .crossJoin(F.broadcast(nh))
+              .crossJoin(F.broadcast(btot))
+              .crossJoin(F.broadcast(atot))
+              .select("host", "term", tft.alias("tft"), "n"))
+    idf = ((F.col("n") - F.col("df") + F.lit(0.5))
+           / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
+    scored = (pseudo.join(F.broadcast(dfs), "term")
+              .select("host",
+                      F.floor((idf * F.col("tft")
+                               / (F.lit(1.2) + F.col("tft")))
+                              * F.lit(1000000.0) + F.lit(0.5))
+                       .cast("long").alias("c")))
+    per_host = scored.groupBy("host").agg(
+        F.sum("c").alias("score_micros"))
+    w = Window.orderBy(F.col("score_micros").desc(), F.col("host"))
+    return (per_host
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 10)
+            .select("host", "score_micros", "rank"))
 
 
 @query(
