@@ -433,6 +433,14 @@ _VERIFY_FIRST_R13 = [
     "web_host_components_star", "web_cocitation_triangles",
     "web_host_hits", "web_mirror_sets_incremental",
     "web_hits_warm_start",
+    # --- continuation registrations (still never-gated, still lead):
+    # strongly connected components + the bowtie decomposition (the
+    # directed refinement of the components rows), LSM snapshot reads
+    # (read_lsm grew as_of — u12/u13 below also re-cover that path),
+    # and BM25F fielded retrieval (which refactored web_anchor_text's
+    # extraction into _anchor_rows; that row re-gates above) ---
+    "web_host_scc", "web_bowtie_classes", "u14_lsm_snapshot_read",
+    "web_host_bm25f",
     # --- changed-code re-gates: the LSM crash-safety rework
     # (publish-first folds, atomic meta, fanout guard) + footer-stats
     # segment skipping touch every LSM read/fold path; the bounded
@@ -470,25 +478,25 @@ _VERIFY_FIRST_R13 = [
     "dedup_minhash_recall_bound", "dedup_semantic_incremental",
     "emb_label_centroids", "f11_cast_clamp", "f12_hash_pseudonymize",
     "f15_minmax_normalize", "f1_f2_classify_regex",
-    "f3_f4_f5_dose_parse", "f7_f10_time_functions",
-    "f8_parse_roundtrip", "gopher_repetition_filter",
-    "j11_asof_forward_tolerance",
+    "f3_f4_f5_dose_parse",
     # --- streams at the tail (multi-second startup each): the new
     # CDX maintenance fold and the LSM stream twin whose store code
     # changed this round ---
     "stream_cdx_maintain", "stream_lsm_keep_best",
 ]
-# Exactly 50: 8 never-gated (web_cdx_member_contract, web_anchor_text,
-# web_host_components_star, web_cocitation_triangles, web_host_hits,
-# web_mirror_sets_incremental, web_hits_warm_start,
-# stream_cdx_maintain) + 8 changed-code re-gates (7 batch incl.
-# web_mirror_sets, whose closure choice was A/B'd against the star
-# variant this round + stream_lsm_keep_best) + 7 r7 due rows + 27 r8
-# rows (a12/a13/a14 + the cohort in name order through
-# j11_asof_forward_tolerance; the five mm_* rows named above were
-# pre-empted by the late registrations). r14 due list = the 21
-# remaining r8 rows enumerated above. After this gate no oracle row's
-# latest green predates r8.
+# Exactly 50: 12 never-gated (web_cdx_member_contract,
+# web_anchor_text, web_host_components_star, web_cocitation_triangles,
+# web_host_hits, web_mirror_sets_incremental, web_hits_warm_start,
+# web_host_scc, web_bowtie_classes, u14_lsm_snapshot_read,
+# web_host_bm25f, stream_cdx_maintain) + 8 changed-code re-gates
+# (7 batch incl. web_mirror_sets, whose closure choice was A/B'd
+# against the star variant this round + stream_lsm_keep_best) + 7 r7
+# due rows + 23 r8 rows (a12/a13/a14 + the cohort in name order
+# through f3_f4_f5_dose_parse). r14 due list = the 25 remaining r8
+# rows: the 21 enumerated above plus the four the continuation
+# registrations pre-empted (f7_f10_time_functions, f8_parse_roundtrip,
+# gopher_repetition_filter, j11_asof_forward_tolerance). After this
+# gate no oracle row's latest green predates r8.
 _VERIFY_FIRST = _VERIFY_FIRST_R13
 
 # Rows-only queries (dedup_semantic, ann_ivf_trained_topk,
