@@ -439,6 +439,67 @@ def hits_fixed(edges: DataFrame, iterations: int = 3,
                      .alias("auth_micros")))
 
 
+def k_core(edges: DataFrame, k: int, src_col: str = "src",
+           dst_col: str = "dst", max_iters: int = FIXPOINT_MAX_ITERS,
+           return_rounds: bool = False):
+    """The k-CORE of the undirected simple view of the edge relation —
+    the maximal subgraph in which every node has degree >= k, computed
+    by iterative PEELING: drop every node whose current degree is
+    below k, recompute degrees over the survivors, repeat to fixpoint.
+    The k-core is UNIQUE (the union of all subgraphs with min degree
+    >= k), i.e. a pure function of the graph — peel order cannot
+    change it — which makes the peeling loop driver-gateable exactly
+    (oracle: the same rounds unrolled in SQL). Production use:
+    link-farm / spam-cluster cores (organic link neighborhoods shed
+    under peeling, near-cliques survive), influencer-core extraction,
+    and graph densification before expensive per-node analysis.
+
+    Returns (node, core_degree) for the SURVIVORS ONLY (nodes outside
+    the core are absent — membership is the signal), core_degree =
+    the node's degree within the core. With ``return_rounds=True``
+    returns (core, rounds).
+
+    Convergence certificate: the alive set only ever SHRINKS, so two
+    consecutive equal counts — one exact integer per round — prove
+    the fixpoint. Loud failure past ``max_iters`` (a path graph peels
+    one layer from each end per round, O(n/2) rounds — the documented
+    adversary; host graphs peel in a handful).
+
+    Scale shape per round: two semi-joins filtering the (shrinking)
+    edge relation to alive endpoints + one node-keyed count — the
+    alive relation is node-sized (broadcastable at host-graph scale),
+    per-round localCheckpoint keeps lineage flat."""
+    s, d = F.col(src_col), F.col(dst_col)
+    cn = (edges.select(F.least(s, d).alias("u"),
+                       F.greatest(s, d).alias("v"))
+          .filter(F.col("u") != F.col("v"))
+          .distinct()
+          .localCheckpoint(eager=True))
+    sym = (cn.select(F.col("u").alias("node"), F.col("v").alias("other"))
+           .unionByName(cn.select(F.col("v").alias("node"),
+                                  F.col("u").alias("other")))
+           .localCheckpoint(eager=True))
+    alive = sym.select("node").distinct().localCheckpoint(eager=True)
+    n_alive = alive.count()
+    for rounds in range(1, max_iters + 1):
+        deg = (sym.join(alive, "node", "semi")
+               .join(alive.withColumnRenamed("node", "other"),
+                     "other", "semi")
+               .groupBy("node")
+               .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+               .localCheckpoint(eager=True))
+        nxt = deg.filter(F.col("core_degree") >= k)
+        n_nxt = nxt.count()
+        if n_nxt == n_alive:
+            # fixpoint: deg was computed over this exact alive set, so
+            # the surviving rows carry the final core degrees
+            core = nxt.select("node", "core_degree")
+            return (core, rounds) if return_rounds else core
+        alive = nxt.select("node").localCheckpoint(eager=True)
+        n_alive = n_nxt
+    raise RuntimeError(f"k_core did not converge in {max_iters} rounds")
+
+
 def triangle_counts(edges: DataFrame, src_col: str = "src",
                     dst_col: str = "dst") -> DataFrame:
     """Per-node TRIANGLE counts over the undirected simple view of the

@@ -2609,6 +2609,102 @@ def web_host_scc(spark, sf_dir):
          .cast("long").alias("component_size"))
 
 
+def _kcore_ctes(k: int, rounds: int) -> str:
+    """Unrolled k-core peeling rounds in SQL — the oracle form of
+    operators/graph.k_core, generated from the same k so the two
+    cannot drift. Peeling is idempotent at fixpoint, so unrolling
+    MORE rounds than the fixture needs is harmless (extra rounds are
+    no-ops); only too FEW would truncate — ``rounds`` is sized at
+    2x the fixture's longest chain (the peel-depth bound: a chain of
+    E edges dissolves in ceil(E/2) rounds), vs the measured 3-round
+    convergence.
+
+    Every peel CTE is MATERIALIZED: each round references its
+    predecessor twice and the chain is ``rounds`` deep, so inlined
+    CTEs re-evaluate the whole upstream chain exponentially —
+    measured 210 s inlined vs 0.4 s materialized at sf0.001, same
+    7 rows (the SQL mirror of the engine's own per-round
+    localCheckpoint lesson)."""
+    parts = []
+    prev = "ka0"
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+    kd{i} AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM
+        (SELECT u AS node, v AS other FROM ke0
+         UNION ALL SELECT v, u FROM ke0) s{i}
+      WHERE node IN (SELECT node FROM {prev})
+        AND other IN (SELECT node FROM {prev})
+      GROUP BY node),
+    ka{i} AS MATERIALIZED (SELECT node FROM kd{i} WHERE d >= {k})""")
+        prev = f"ka{i}"
+    return ",".join(parts), prev.replace("ka", "kd")
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 8
+_KCORE_CHORDS = [("src3.example.com", "src1.example.com"),
+                 ("src12.example.com", "src9.example.com")]
+_KCORE_BODY, _KCORE_LAST = _kcore_ctes(_KCORE_K, _KCORE_ROUNDS)
+
+# k-core oracle: the component fixture's five 4-host chains (trees —
+# NO 2-core at all) plus two planted chords closing a triangle
+# (1-2-3) and a 4-cycle (9-10-11-12). Peeling must CASCADE: chain
+# ends drop in round 1, their newly-exposed neighbors in round 2 —
+# a one-pass degree filter would leave the chain middles in. The
+# chord literals are part of the query definition (like BM25F's
+# query terms), mirrored VALUES-for-createDataFrame.
+_HOST_KCORE_ORACLE = f"""
+    WITH {_LINK_EDGES_CTES},
+    e2 AS (SELECT DISTINCT src_host AS src, dst_host AS dst
+           FROM linkedges
+           WHERE dst_host LIKE 'src%' AND src_host <> dst_host
+             AND CAST(regexp_extract(src_host, '(\\d+)', 1) AS INT)
+                 % 4 <> 0),
+    kraw AS (
+      SELECT src, dst FROM e2
+      UNION ALL
+      SELECT * FROM (VALUES {", ".join(f"('{a}', '{b}')" for a, b in _KCORE_CHORDS)}) ch(src, dst)),
+    ke0 AS (SELECT DISTINCT LEAST(src, dst) AS u,
+                            GREATEST(src, dst) AS v
+            FROM kraw WHERE src <> dst),
+    ka0 AS (SELECT u AS node FROM ke0 UNION SELECT v FROM ke0),
+    {_KCORE_BODY}
+    SELECT node AS host, CAST(d AS BIGINT) AS core_degree
+    FROM {_KCORE_LAST} WHERE d >= {_KCORE_K}
+    """
+
+
+@query("web_host_kcore", oracle=_HOST_KCORE_ORACLE)
+def web_host_kcore(spark, sf_dir):
+    """D5h (engine ext.): the 2-CORE of the host graph — iterative
+    degree PEELING to fixpoint (operators/graph.k_core): drop every
+    host whose degree among survivors is below k, recompute, repeat.
+    The k-core is unique (peel order cannot change it), so the loop
+    gates exactly against its own rounds unrolled in SQL. Production
+    use: link-farm cores (organic neighborhoods shed under peeling,
+    near-cliques survive — the k-core is THE standard spam-density
+    cut) and densification before per-node analysis.
+
+    The fixture makes the CASCADE load-bearing: the five directed
+    chains are trees (no 2-core — they must dissolve COMPLETELY, ends
+    first, middles in later rounds; a one-pass degree filter leaves
+    the middles in), and two planted chords close a triangle
+    {{src1,src2,src3}} and a 4-cycle {{src9..src12}} — the only
+    survivors, each at core degree exactly 2.
+
+    Shape: O(peel depth) rounds, each two semi-joins + one node-keyed
+    count over node-sized broadcastable relations; exact shrinking-
+    count certificate; loud failure past the shared FIXPOINT budget."""
+    from clif_spark.operators import graph as G
+
+    chords = spark.createDataFrame(_KCORE_CHORDS,
+                                   "src string, dst string")
+    edges = (_host_component_edges(spark, sf_dir)
+             .unionByName(chords))
+    return G.k_core(edges, _KCORE_K).select(
+        F.col("node").alias("host"), "core_degree")
+
+
 # Bowtie oracle: same recursive closure, SCC labeling, then the Broder
 # decomposition relative to the LARGEST SCC (tie-break: min component
 # label): core = the giant SCC, in = reaches core, out = reached from

@@ -259,3 +259,40 @@ def test_scc_partition_invariant(spark):
         got = {r.node: r.component
                for r in G.strongly_connected_components(edges).collect()}
         assert got == expected
+
+
+def test_k_core_peeling_cascade_and_membership(spark):
+    """k_core: a triangle with a 2-edge tail (t0-t1-t2-a) — the tail
+    must peel over TWO cascading rounds (t0 first, then t1, then t2);
+    survivors are exactly the triangle at degree 2. Duplicate and
+    reversed input edges must not inflate degrees; for k=3 the only
+    survivor set is the 4-clique, the attached triangle sheds."""
+    from clif_spark.operators import graph as G
+
+    tri = [("a", "b"), ("b", "c"), ("c", "a"), ("b", "a")]  # + reversed dup
+    tail = [("t0", "t1"), ("t1", "t2"), ("t2", "a")]
+    got = {(r.node, r.core_degree) for r in
+           G.k_core(spark.createDataFrame(
+               tri + tail, "src string, dst string"), 2).collect()}
+    assert got == {("a", 2), ("b", 2), ("c", 2)}
+
+    clique = [(x, y) for x in "wxyz" for y in "wxyz" if x < y]
+    extra = [("w", "p"), ("p", "q"), ("q", "w")]  # triangle off the clique
+    core3 = {(r.node, r.core_degree) for r in
+             G.k_core(spark.createDataFrame(
+                 clique + extra, "src string, dst string"), 3).collect()}
+    assert core3 == {("w", 3), ("x", 3), ("y", 3), ("z", 3)}
+
+
+def test_k_core_path_dissolves_and_rounds_bound(spark):
+    """A path has NO 2-core (trees dissolve completely), peeling one
+    layer from each end per round; the empty result must come back
+    clean, and the round count stays within the O(n/2) bound."""
+    from clif_spark.operators import graph as G
+
+    path = [(f"p{i}", f"p{i + 1}") for i in range(9)]
+    core, rounds = G.k_core(
+        spark.createDataFrame(path, "src string, dst string"), 2,
+        return_rounds=True)
+    assert core.count() == 0
+    assert rounds <= 6
