@@ -2079,21 +2079,36 @@ def web_host_bm25f(spark, sf_dir):
     cleanly across the fields (see the oracle comment), so both field
     pipelines are load-bearing in the gate.
 
-    Shape: two tokenize+count passes (one per field, query-term
-    pruned before any join), host-sized length/df/corpus stats all
+    Shape: ONE tokenize pass per field into checkpointed (host, term)
+    posting counts — the inverted-index relation every downstream
+    stat (field lengths, totals, query tfs) derives from without
+    rescanning the corpus; host-sized length/df/corpus stats all
     broadcast, one keyed micros sum, one bounded top-k window. At
     100 TB the anchor field costs the anchor extraction the link
-    graph already pays; scoring adds host-sized state only."""
+    graph already pays; the posting aggregate is the one corpus-sized
+    exchange, scoring adds host-sized state only."""
     from pyspark.sql import Window
 
     d = io.load_table(spark, sf_dir, "documents")
     host = F.concat("source", F.lit(".example.com")).alias("host")
-    hosts = d.select(host).distinct()
-    nh = hosts.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # ONE tokenize pass per field: the (host, term) posting counts are
+    # the inverted-index relation, and every downstream stat (field
+    # lengths, totals, query tfs) derives from the CHECKPOINTED counts
+    # — without this the lengths, totals and tf legs each re-ran the
+    # corpus scan / anchor regex extraction (3 scans per field, the
+    # pagerank multi-reference lesson in aggregate form)
     btoks = d.select(
         host, F.explode(F.split(F.lower("text"), " ")).alias("term"))
-    blen = btoks.groupBy("host").agg(
-        F.count(F.lit(1)).cast("long").alias("len_b"))
+    bcounts = (btoks.groupBy("host", "term")
+               .agg(F.count(F.lit(1)).cast("long").alias("c"))
+               .localCheckpoint(eager=True))
+    # hosts with >= 1 body token == distinct source hosts (split('')
+    # yields one empty token in both engines, so no host drops out)
+    hosts = bcounts.select("host").distinct().localCheckpoint(
+        eager=True)
+    nh = hosts.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    blen = bcounts.groupBy("host").agg(
+        F.sum("c").cast("long").alias("len_b"))
     btot = blen.agg(F.sum("len_b").cast("double").alias("tot_b"))
     atoks = (_anchor_rows(spark, sf_dir)
              .select(urlfn.url_host(F.col("dst_url")).alias("host"),
@@ -2102,16 +2117,17 @@ def web_host_bm25f(spark, sf_dir):
              .join(hosts, "host", "semi")
              .select("host", F.explode(F.split(F.lower("atext"), " "))
                      .alias("term")))
-    alen = atoks.groupBy("host").agg(
-        F.count(F.lit(1)).cast("long").alias("len_a"))
+    acounts = (atoks.groupBy("host", "term")
+               .agg(F.count(F.lit(1)).cast("long").alias("c"))
+               .localCheckpoint(eager=True))
+    alen = acounts.groupBy("host").agg(
+        F.sum("c").cast("long").alias("len_a"))
     atot = alen.agg(F.sum("len_a").cast("double").alias("tot_a"))
     terms = ["link", "hot", "spark", "window"]
-    qb = (btoks.filter(F.col("term").isin(terms))
-          .groupBy("host", "term")
-          .agg(F.count(F.lit(1)).cast("long").alias("tf_b")))
-    qa = (atoks.filter(F.col("term").isin(terms))
-          .groupBy("host", "term")
-          .agg(F.count(F.lit(1)).cast("long").alias("tf_a")))
+    qb = (bcounts.filter(F.col("term").isin(terms))
+          .select("host", "term", F.col("c").alias("tf_b")))
+    qa = (acounts.filter(F.col("term").isin(terms))
+          .select("host", "term", F.col("c").alias("tf_a")))
     zero = F.lit(0).cast("long")
     tfs = (qb.join(qa, ["host", "term"], "full")
            .select("host", "term",
