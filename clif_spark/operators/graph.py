@@ -543,6 +543,82 @@ def triangle_counts(edges: DataFrame, src_col: str = "src",
             .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
 
 
+def pagerank_personalized(edges: DataFrame, seeds: DataFrame,
+                          iterations: int = 3, damping_pct: int = 85,
+                          src_col: str = "src", dst_col: str = "dst",
+                          checkpoint_every: int = 4) -> DataFrame:
+    """PERSONALIZED PageRank (random surfer restarting at a SEED set
+    instead of uniformly — Haveliwala's topic-sensitive form): the
+    teleport mass (100 - d)% * MICROS // 100 splits over the seed
+    nodes only, and the iteration starts from the uniform-over-seeds
+    vector, so rank measures proximity to the seed list under the
+    link structure — the crawl-budget prior for topic- or
+    site-focused crawling (hosts near the seeds rank high even when
+    globally obscure; spam farms far from the seeds get nothing).
+
+    Same exactness discipline as pagerank_fixed (which this mirrors
+    rather than parameterizes — the uniform path stays bit-frozen for
+    its gated rows): integer-micros arithmetic throughout, true `div`
+    floor divisions, fixed iteration count, so the result is exactly
+    SQL-mirrorable. Nodes unreachable from the seeds hold rank 0 and
+    REMAIN in the output (the caller reads zero as "outside the
+    neighborhood", the useful signal).
+
+    Caller contract: ``seeds``' first column holds node ids that
+    appear in the edge relation (seed rows absent from the graph get
+    teleport mass but no inbound flow — harmless); the per-seed share
+    (100-d)% * MICROS // 100 // n_seeds must be >= 1 micro, i.e.
+    n_seeds <= ~150k at the default damping — any larger personal
+    set needs a bigger mass unit, and the function fails loud.
+
+    Scale shape: identical to pagerank_fixed — K stages of edge-join
+    + node-keyed sum with a broadcastable node-sized rank relation;
+    the seed relation is one extra node-sized left join folded into
+    the checkpointed teleport base."""
+    src, dst = F.col(src_col), F.col(dst_col)
+    e = (edges.select(src.alias("src"), dst.alias("dst")).distinct()
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct())
+    sd = (seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+          .localCheckpoint(eager=True))
+    k = sd.count()
+    tnum = (100 - damping_pct) * MICROS // 100
+    if k == 0 or tnum // k == 0:
+        raise ValueError(
+            f"pagerank_personalized: {k} seeds cannot each carry a "
+            f">= 1 micro teleport share of {tnum} — shrink the seed "
+            f"set or raise the mass unit")
+    base = (nodes.join(sd.withColumn("__s", F.lit(1)), "node", "left")
+            .select("node",
+                    F.when(F.col("__s") == 1, F.lit(tnum // k))
+                     .otherwise(F.lit(0)).cast("long").alias("tele"))
+            .localCheckpoint(eager=True))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    ranks = base.select(
+        "node", F.when(F.col("tele") > 0, F.lit(MICROS // k))
+                 .otherwise(F.lit(0)).cast("long").alias("r"))
+    for i in range(iterations):
+        contrib = (e.join(ranks, e["src"] == ranks["node"])
+                    .join(outdeg, "src")
+                    .select(F.col("dst").alias("node"),
+                            F.expr("r div od").alias("c")))
+        s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (base.join(s, "node", "left")
+                 .select("node",
+                         (F.col("tele")
+                          + F.expr(f"({damping_pct} * coalesce(s, "
+                                   f"CAST(0 AS BIGINT))) div 100"))
+                         .cast("long").alias("r")))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(F.col("node"),
+                        F.col("r").alias("rank_micros"),
+                        (F.col("r") / F.lit(float(MICROS)))
+                        .cast("double").alias("rank"))
+
+
 def pagerank_fixed(edges: DataFrame, iterations: int = 3,
                    damping_pct: int = 85,
                    src_col: str = "src", dst_col: str = "dst",

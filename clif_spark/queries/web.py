@@ -2404,6 +2404,86 @@ def web_host_pagerank(spark, sf_dir):
     return G.pagerank_fixed(_link_edges(spark, sf_dir), iterations=3)
 
 
+def _ppr_ctes(iterations: int = 3, damping: int = 85) -> str:
+    """Unrolled K-iteration PERSONALIZED PageRank — the SQL form of
+    operators/graph.pagerank_personalized with the same seed
+    derivation as web_crawl_depth (lexicographic min and max source
+    host: deterministic, present at every scale factor), generated
+    from the same constants so the two cannot drift."""
+    tnum = (100 - damping) * 1_000_000 // 100
+    ctes = f"""
+    e AS (SELECT DISTINCT src_host AS src, dst_host AS dst
+          FROM linkedges),
+    nodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    pseeds AS (SELECT MIN(src_host) AS node FROM linkedges
+               UNION
+               SELECT MAX(src_host) FROM linkedges),
+    sn AS (SELECT COUNT(*) AS k FROM pseeds),
+    outd AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+    pbase AS (SELECT nodes.node,
+                     CAST(CASE WHEN nodes.node IN
+                            (SELECT node FROM pseeds)
+                          THEN {tnum} // sn.k ELSE 0 END AS BIGINT)
+                       AS tele
+              FROM nodes, sn),
+    p0 AS (SELECT node,
+                  CAST(CASE WHEN tele > 0
+                       THEN 1000000 // (SELECT k FROM sn)
+                       ELSE 0 END AS BIGINT) AS r
+           FROM pbase)"""
+    prev = "p0"
+    for i in range(1, iterations + 1):
+        ctes += f""",
+    ps{i} AS (SELECT e.dst AS node, SUM({prev}.r // o.od) AS s
+              FROM e JOIN {prev} ON {prev}.node = e.src
+              JOIN outd o ON o.src = e.src
+              GROUP BY e.dst),
+    p{i} AS (SELECT pbase.node,
+                    CAST(pbase.tele
+                         + ({damping} * COALESCE(ps{i}.s, 0)) // 100
+                         AS BIGINT) AS r
+             FROM pbase LEFT JOIN ps{i} ON ps{i}.node = pbase.node)"""
+        prev = f"p{i}"
+    return f"""
+    WITH {_LINK_EDGES_CTES},
+    {ctes}
+    SELECT node, r AS rank_micros,
+           CAST(r / 1000000.0 AS DOUBLE) AS rank
+    FROM {prev}
+    """
+
+
+@query("web_pagerank_personalized", oracle=_ppr_ctes())
+def web_pagerank_personalized(spark, sf_dir):
+    """D5c-p (engine ext.): PERSONALIZED PageRank over the host graph
+    (Haveliwala's topic-sensitive form) — the random surfer restarts
+    at the SEED LIST instead of uniformly, so rank measures link
+    proximity to the seeds: the crawl-budget prior for topic- or
+    site-focused crawling, and the "related hosts" primitive (rank a
+    neighborhood around a site family without a global recompute).
+    Seeds derive as in web_crawl_depth (lexicographic min/max source
+    host — deterministic, mirrored in SQL, present at every SF); on
+    the planted ring the mass decays hop-by-hop around the cycle from
+    each seed, giving a genuinely non-uniform surface where hosts far
+    from both seeds hold rank 0 yet REMAIN in the output (zero is the
+    "outside the neighborhood" signal, and the cdn leaf hosts collect
+    pure flow-through mass with no teleport).
+
+    Exactness: integer-micros arithmetic, true `div` floors, fixed K
+    (operators/graph.pagerank_personalized) — bit-identical to the
+    unrolled oracle generated from the same constants. Shape: K
+    stages of edge-join + node-keyed sum; the teleport base is one
+    checkpointed node-sized relation."""
+    from clif_spark.operators import graph as G
+
+    edges = _link_edges(spark, sf_dir).localCheckpoint(eager=True)
+    m = edges.agg(F.min("src").alias("lo"), F.max("src").alias("hi"))
+    seeds = (m.select(F.explode(F.array("lo", "hi")).alias("node"))
+             .distinct())
+    return G.pagerank_personalized(edges, seeds, iterations=3)
+
+
 @query("web_pagerank_warm_start", oracle=_pagerank_oracle(iterations=6))
 def web_pagerank_warm_start(spark, sf_dir):
     """D5c (engine ext.): INCREMENTAL rank maintenance — the contract

@@ -296,3 +296,43 @@ def test_k_core_path_dissolves_and_rounds_bound(spark):
         return_rounds=True)
     assert core.count() == 0
     assert rounds <= 6
+
+
+def test_personalized_pagerank_seed_locality_and_identity(spark):
+    """pagerank_personalized: teleport mass lands ONLY on the seeds
+    (a node with no path from them holds rank 0 but stays in the
+    output), and with seeds = ALL nodes the personalized form equals
+    classic pagerank_fixed BIT-FOR-BIT (same teleport share tnum//n,
+    same uniform init — the degenerate-personalization identity)."""
+    from clif_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [("s", "a"), ("a", "b"),       # seed-reachable chain
+         ("x", "y")],                  # island: no path from s
+        "src string, dst string")
+    seeds = spark.createDataFrame([("s",)], "node string")
+    got = {r.node: r.rank_micros for r in
+           G.pagerank_personalized(edges, seeds, iterations=2)
+            .collect()}
+    assert got["x"] == 0 and got["y"] == 0          # outside, present
+    assert got["s"] == 150000                        # teleport only
+    assert got["a"] > 0 and got["b"] > 0             # flow from seed
+    # mirror the exact integer recurrence by hand for two iterations
+    tele_s, d = 150000, 85
+    r = {"s": 1000000, "a": 0, "b": 0, "x": 0, "y": 0}
+    for _ in range(2):
+        r = {"s": tele_s,
+             "a": (d * (r["s"] // 1)) // 100,
+             "b": (d * (r["a"] // 1)) // 100,
+             "x": 0, "y": 0}
+    assert got == {"s": r["s"], "a": r["a"], "b": r["b"],
+                   "x": 0, "y": 0}
+
+    all_nodes = spark.createDataFrame(
+        [(n,) for n in "sabxy"], "node string")
+    ppr = {tuple(r) for r in
+           G.pagerank_personalized(edges, all_nodes, iterations=3)
+            .collect()}
+    classic = {tuple(r) for r in
+               G.pagerank_fixed(edges, iterations=3).collect()}
+    assert ppr == classic
