@@ -675,6 +675,55 @@ def bm25_rational_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
                            "score_micros", "rank"))
 
 
+def unigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Per-document UNIGRAM-LM cross-entropy in WHOLE BITS — the
+    CCNet/KenLM perplexity-filtering idea (Wenzek et al. 2020: score
+    each document under a language model, keep the middle band —
+    too-predictable is boilerplate, too-surprising is noise) made
+    engine-exact: a token's surprisal under the corpus unigram model
+    is -log2(c/N) = log2(N/c) bits, and its WHOLE-BIT floor is
+    computed with pure integer arithmetic as
+
+        floor(log2(N / c)) = length(bin(N // c)) - 1
+
+    (exact: for x >= 1, floor(log2(floor(x))) == floor(log2(x)) — no
+    power of two lies strictly between floor(x) and x). Both engines
+    share the identity, so per-token bits are BIGINTs and a
+    document's total is an order-independent integer sum — the dsum
+    discipline applied to an information measure; no libm, no
+    tolerance band. The deliberate granularity cost: whole bits
+    quantize surprisal (a 3.9-bit token counts 3) — fine for the
+    band-pass filtering use; a production LM filter plugs its own
+    scores into the same groupBy.
+
+    Returns (id, n_tokens, total_bits, mean_bits) — mean_bits =
+    total/count, one deterministic float division.
+
+    Scale shape: one tokenize pass -> vocabulary-sized count relation
+    (BROADCAST back to the exploded tokens — the corpus-stats join is
+    map-side), one keyed sum per doc. N is a single-row aggregate
+    broadcast, never collected."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"))
+    counts = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    total = counts.agg(F.sum("c").cast("long").alias("ntot"))
+    bits = (F.length(F.bin(F.expr("ntot div c"))) - F.lit(1)) \
+        .cast("long")
+    per_doc = (toks.join(F.broadcast(counts), "term")
+               .crossJoin(F.broadcast(total))
+               .select("doc", bits.alias("b"))
+               .groupBy("doc")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                    F.sum("b").cast("long").alias("total_bits")))
+    return per_doc.select(
+        F.col("doc").alias(id_col), "n_tokens", "total_bits",
+        (F.col("total_bits") / F.col("n_tokens")).cast("double")
+         .alias("mean_bits"))
+
+
 def dsir_importance(docs: DataFrame, target: Column,
                     id_col: str = "doc_id", text_col: str = "text",
                     n_buckets: int = 128) -> DataFrame:

@@ -781,6 +781,41 @@ def text_bm25_topk(spark, sf_dir):
     return curation.bm25_rational_topk(d, ["spark", "join", "window"], k=10)
 
 
+@query(
+    "text_unigram_surprisal",
+    oracle="""
+    WITH utoks AS (SELECT doc_id AS doc,
+                          unnest(string_split(lower(text), ' ')) AS term
+                   FROM documents),
+    ucounts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+                FROM utoks GROUP BY term),
+    utotal AS (SELECT CAST(SUM(c) AS BIGINT) AS ntot FROM ucounts),
+    ubits AS (SELECT doc,
+                     CAST(length(bin(ntot // c)) - 1 AS BIGINT) AS b
+              FROM utoks JOIN ucounts USING (term), utotal),
+    uper AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                    CAST(SUM(b) AS BIGINT) AS total_bits
+             FROM ubits GROUP BY doc)
+    SELECT doc AS doc_id, n_tokens, total_bits,
+           CAST(total_bits / n_tokens AS DOUBLE) AS mean_bits
+    FROM uper
+    """,
+)
+def text_unigram_surprisal(spark, sf_dir):
+    """Unigram-LM cross-entropy per document in WHOLE BITS — the
+    CCNet-style perplexity-filtering signal (curation.
+    unigram_surprisal): token surprisal floor(log2(N/c)) computed as
+    length(bin(N // c)) - 1, pure integer arithmetic on both engines
+    (the exact-floor identity is proved on the operator), per-doc
+    totals as order-independent BIGINT sums. Corpus curation reads
+    mean_bits as the band-pass axis: boilerplate scores low,
+    noise/garble scores high, the keep band sits between. Shape: one
+    tokenize pass, vocabulary-sized counts broadcast back map-side,
+    one keyed sum — no second corpus scan, no libm."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return curation.unigram_surprisal(d)
+
+
 def _dsir_bucket_sql(expr: str, n_buckets: int) -> str:
     """DuckDB mirror of the Spark-side feature hash: integer value of the
     first 4 hex chars of md5('dsir:' || f), mod n_buckets (strpos nibbles
