@@ -724,6 +724,80 @@ def unigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
          .alias("mean_bits"))
 
 
+def pmi_collocations(docs: DataFrame, k: int = 20,
+                     min_pair_count: int = 5,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Top-k word COLLOCATIONS by positive pointwise mutual
+    information in WHOLE BITS — the classic corpus-analysis signal
+    (Church & Hanks 1990) for multiword-expression discovery,
+    tokenizer-merge candidates, and boilerplate phrase detection:
+    PMI(x,y) = log2(p(xy) / (p(x)p(y))) measures how much more often
+    the bigram occurs than independence predicts. The whole-bit floor
+    is exact integer arithmetic via the unigram_surprisal identity:
+
+        floor(log2((c_xy * N_uni) / (c_x * c_y)))
+          = length(bin((c_xy * N_uni) div (c_x * c_y))) - 1
+
+    computed only where the ratio floors to >= 1 (POSITIVE PMI — the
+    standard PPMI cut; sub-independence pairs carry no collocation
+    signal), with ``min_pair_count`` pruning the unstable low-count
+    tail exactly as practitioners do. Overflow bound: c_xy * N_uni
+    needs < 2^63 — safe while pair count x corpus tokens stays under
+    9.2e18 (any realistic shard; partition the corpus first beyond
+    that).
+
+    Note the deliberate estimator simplification: p(xy) uses the
+    UNIGRAM total N as denominator rather than the bigram total
+    (N - n_docs) — a constant factor inside the log that shifts every
+    PMI equally, irrelevant for ranking and stated for readers.
+
+    Returns (bigram, n_pair, pmi_bits, rank), rank 1..k by
+    (pmi_bits DESC, n_pair DESC, bigram) — fully deterministic.
+
+    Scale shape: one tokenize pass producing adjacent pairs via
+    word-array self-zip (no corpus self-join), vocabulary- and
+    pair-vocabulary-sized count relations, unigram counts BROADCAST
+    onto the pair counts twice (left and right word), one bounded
+    top-k window."""
+    words = docs.select(
+        F.split(F.lower(F.col(text_col)), " ").alias("w"))
+    uni = (words.select(F.explode("w").alias("term"))
+           .groupBy("term").agg(F.count(F.lit(1)).cast("long")
+                                .alias("c")))
+    total = uni.agg(F.sum("c").cast("long").alias("ntot"))
+    heads = words.select(
+        F.slice("w", 1, F.greatest(F.size("w") - 1, F.lit(0)))
+         .alias("xs"),
+        F.slice("w", 2, F.greatest(F.size("w") - 1, F.lit(0)))
+         .alias("ys"))
+    pairs = (heads.select(F.explode(F.arrays_zip("xs", "ys"))
+                          .alias("p"))
+             .select(F.col("p.xs").alias("x"), F.col("p.ys").alias("y"))
+             .groupBy("x", "y")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+             .filter(F.col("n_pair") >= min_pair_count))
+    cx = uni.select(F.col("term").alias("x"),
+                    F.col("c").alias("c_x"))
+    cy = uni.select(F.col("term").alias("y"),
+                    F.col("c").alias("c_y"))
+    ratio = F.expr("(n_pair * ntot) div (c_x * c_y)")
+    scored = (pairs.join(F.broadcast(cx), "x")
+              .join(F.broadcast(cy), "y")
+              .crossJoin(F.broadcast(total))
+              .withColumn("__r", ratio)
+              .filter(F.col("__r") >= 1)
+              .select(F.concat_ws(" ", "x", "y").alias("bigram"),
+                      "n_pair",
+                      (F.length(F.bin(F.col("__r"))) - F.lit(1))
+                      .cast("long").alias("pmi_bits")))
+    w = Window.orderBy(F.col("pmi_bits").desc(),
+                       F.col("n_pair").desc(), F.col("bigram"))
+    return (scored
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k))
+
+
 def dsir_importance(docs: DataFrame, target: Column,
                     id_col: str = "doc_id", text_col: str = "text",
                     n_buckets: int = 128) -> DataFrame:

@@ -816,6 +816,77 @@ def text_unigram_surprisal(spark, sf_dir):
     return curation.unigram_surprisal(d)
 
 
+# The planted-collocation fixture: the base corpus is word-i.i.d. (no
+# organic collocations — every independent pair floors to 0 bits), so
+# the PMI surface is made load-bearing by appending phrases of
+# DIFFERENT strengths to deterministic doc subsets: 'deep learning'
+# once per 7th doc (~8 bits), 'gradient descent' TWICE per 13th doc
+# (~8 bits forward, ~7 bits for the weaker reversed 'descent gradient'
+# — asymmetry a direction bug would flip), and the docs divisible by
+# 91 chain both phrases, making the cross-phrase 'learning gradient'
+# pair clear the min-count cut at a distinct ~4-bit level. Organic
+# 0-bit pairs fill the remaining top-k by (n_pair, bigram) order, so
+# both regimes sit in the gate.
+_PMI_EXTRA_SQL = ("(CASE WHEN doc_id % 7 = 0 THEN ' deep learning' "
+                  "ELSE '' END || CASE WHEN doc_id % 13 = 0 THEN "
+                  "' gradient descent gradient descent' ELSE '' END)")
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH pw AS (SELECT string_split(lower(text || {_PMI_EXTRA_SQL}),
+                                    ' ') AS w
+                FROM documents),
+    puni AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+             FROM (SELECT unnest(w) AS term FROM pw) s
+             GROUP BY term),
+    ptot AS (SELECT CAST(SUM(c) AS BIGINT) AS ntot FROM puni),
+    ppairs AS (SELECT w[i] AS x, w[i + 1] AS y
+               FROM pw, unnest(range(1, greatest(len(w), 1))) t(i)),
+    pcnt AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_pair
+             FROM ppairs GROUP BY x, y HAVING COUNT(*) >= 5),
+    ps AS (SELECT x || ' ' || y AS bigram, n_pair,
+                  (n_pair * ntot) // (ux.c * uy.c) AS r
+           FROM pcnt
+           JOIN puni ux ON ux.term = pcnt.x
+           JOIN puni uy ON uy.term = pcnt.y, ptot)
+    SELECT bigram, n_pair, pmi_bits, rank FROM (
+      SELECT bigram, n_pair,
+             CAST(length(bin(r)) - 1 AS BIGINT) AS pmi_bits,
+             row_number() OVER (
+               ORDER BY CAST(length(bin(r)) - 1 AS BIGINT) DESC,
+                        n_pair DESC, bigram) AS rank
+      FROM ps WHERE r >= 1)
+    WHERE rank <= 20
+    """,
+)
+def text_pmi_collocations(spark, sf_dir):
+    """Top-k collocations by positive PMI in whole bits (curation.
+    pmi_collocations, Church & Hanks 1990) — multiword-expression
+    discovery / tokenizer-merge candidates / boilerplate phrase
+    detection over the corpus, engine-exact via the bin-length log2
+    identity (no libm, BIGINT throughout, one deterministic top-k
+    order). The planted phrases grade the surface: see the fixture
+    comment above — strong forward pairs, a weaker reversed pair
+    (direction-sensitive), a cross-phrase pair at its own level, and
+    organic independent pairs flooring to 0 bits below them.
+
+    Shape: one tokenize pass, adjacent pairs via word-array self-zip
+    (never a corpus self-join), vocabulary-sized unigram counts
+    broadcast onto pair counts, bounded top-k window."""
+    d = io.load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    extra = F.concat(
+        F.when(did % 7 == 0, F.lit(" deep learning"))
+         .otherwise(F.lit("")),
+        F.when(did % 13 == 0,
+               F.lit(" gradient descent gradient descent"))
+         .otherwise(F.lit("")))
+    docs2 = d.select("doc_id", F.concat("text", extra).alias("text"))
+    return curation.pmi_collocations(docs2)
+
+
 def _dsir_bucket_sql(expr: str, n_buckets: int) -> str:
     """DuckDB mirror of the Spark-side feature hash: integer value of the
     first 4 hex chars of md5('dsir:' || f), mod n_buckets (strpos nibbles
