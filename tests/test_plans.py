@@ -839,3 +839,25 @@ def test_lsm_pruned_read_scans_only_intersecting_segments(spark):
                                 key_range=(1010, 1020))
     dirs = {f.split("/")[-2] for f in pruned.inputFiles()}
     assert len(dirs) == 1 and next(iter(dirs)).startswith("seg-00000002")
+
+
+def test_lsm_snapshot_read_prunes_later_segments(spark):
+    """read_lsm(as_of=N) at the PLAN level: seg- dirs for deliveries
+    above N must be absent from the union's file sources (snapshots
+    cost a normal read minus the pruned legs — asserted on
+    inputFiles, the same surface the key-range pin uses), while fold
+    artifacts stay (their rows are bounded by the __seg filter)."""
+    import tempfile
+
+    from clif_spark import streaming
+
+    root = tempfile.mkdtemp(prefix="clif_plan_snap_") + "/s"
+    for i in (1, 2, 3):
+        seg = spark.range(i * 10, i * 10 + 5).selectExpr(
+            "id AS k", "id AS score", "CAST(false AS BOOLEAN) AS is_delete")
+        streaming.append_lsm_segment(seg, root, i)
+    snap = streaming.read_lsm(spark, root, ["k"], ["score"], as_of=2)
+    dirs = {f.split("/")[-2] for f in snap.inputFiles()}
+    assert dirs == {d for d in dirs
+                    if d.startswith(("seg-00000001", "seg-00000002"))}
+    assert len(dirs) == 2
