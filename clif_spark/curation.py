@@ -676,7 +676,8 @@ def bm25_rational_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
 
 
 def unigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      counts: DataFrame | None = None) -> DataFrame:
     """Per-document UNIGRAM-LM cross-entropy in WHOLE BITS — the
     CCNet/KenLM perplexity-filtering idea (Wenzek et al. 2020: score
     each document under a language model, keep the middle band —
@@ -700,6 +701,18 @@ def unigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
     Returns (id, n_tokens, total_bits, mean_bits) — mean_bits =
     total/count, one deterministic float division.
 
+    ``counts`` (term, c) substitutes a PRECOMPUTED vocabulary
+    histogram for the in-query aggregation — the incremental-
+    maintenance hook: a standing histogram kept by additive folds
+    (streaming.fold_agg_snapshot) scores each new delivery at
+    O(delivery + vocab) instead of re-tokenizing the whole corpus,
+    and because counts merge by exact integer SUM the standing
+    histogram equals the batch recompute bit-for-bit (gated by
+    text_surprisal_incremental). The caller owns the contract that
+    ``counts`` covers every token of ``docs`` (an inner join drops
+    unseen terms — scoring docs outside the histogram's corpus needs
+    a fold first).
+
     Scale shape: one tokenize pass -> vocabulary-sized count relation
     (BROADCAST back to the exploded tokens — the corpus-stats join is
     map-side), one keyed sum per doc. N is a single-row aggregate
@@ -707,8 +720,11 @@ def unigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
     toks = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"))
-    counts = toks.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("c"))
+    if counts is None:
+        counts = toks.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("c"))
+    else:
+        counts = counts.select("term", F.col("c").cast("long"))
     total = counts.agg(F.sum("c").cast("long").alias("ntot"))
     bits = (F.length(F.bin(F.expr("ntot div c"))) - F.lit(1)) \
         .cast("long")

@@ -816,6 +816,72 @@ def text_unigram_surprisal(spark, sf_dir):
     return curation.unigram_surprisal(d)
 
 
+@query(
+    "text_surprisal_incremental",
+    oracle="""
+    WITH utoks AS (SELECT doc_id AS doc,
+                          unnest(string_split(lower(text), ' ')) AS term
+                   FROM documents),
+    ucounts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+                FROM utoks GROUP BY term),
+    utotal AS (SELECT CAST(SUM(c) AS BIGINT) AS ntot FROM ucounts),
+    ubits AS (SELECT doc,
+                     CAST(length(bin(ntot // c)) - 1 AS BIGINT) AS b
+              FROM utoks JOIN ucounts USING (term), utotal),
+    uper AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                    CAST(SUM(b) AS BIGINT) AS total_bits
+             FROM ubits GROUP BY doc)
+    SELECT doc AS doc_id, n_tokens, total_bits,
+           CAST(total_bits / n_tokens AS DOUBLE) AS mean_bits
+    FROM uper
+    """,
+)
+def text_surprisal_incremental(spark, sf_dir):
+    """INCREMENTAL LM-filter maintenance: the vocabulary histogram the
+    surprisal scorer needs is kept as a STANDING aggregate store
+    (streaming.fold_agg_snapshot — additive per-term count folds, one
+    row per vocab term) instead of being re-tokenized from the whole
+    corpus each delivery. The corpus arrives as two deliveries (doc
+    parity); each folds its per-term partial counts in at O(delivery
+    + vocab), a redelivery of delivery 1 at its own ordinal must SKIP
+    (the additive-fold replay guard — if it rots, every count
+    double-counts and the hash flips), and the final scoring pass
+    reads the standing histogram. Because counts merge by exact
+    integer SUM, the standing histogram equals the batch recompute
+    BIT-FOR-BIT — the oracle is literally text_unigram_surprisal's
+    whole-corpus SQL, which is the gate's point.
+
+    Production shape: per delivery O(delivery tokens + vocab) fold +
+    O(delivery) scoring, never O(corpus); the store is the CDC
+    snapshot format, so compaction/time-travel apply unchanged."""
+    import tempfile
+
+    from clif_spark import streaming as STR
+
+    d = io.load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="clif_vocab_store_")
+    did = F.col("doc_id")
+    for v in (0, 1):
+        part = d.filter(did % 2 == v)
+        partial = (part.select(F.explode(F.split(F.lower("text"), " "))
+                               .alias("term"))
+                   .groupBy("term")
+                   .agg(F.count(F.lit(1)).cast("long").alias("c")))
+        STR.fold_agg_snapshot(partial, root, keys=["term"], version=v,
+                              add_cols=["c"], lineage="vocab")
+    # replay-guard probe: refolding delivery 1 at its ordinal must skip
+    redo = (d.filter(did % 2 == 1)
+            .select(F.explode(F.split(F.lower("text"), " "))
+                    .alias("term"))
+            .groupBy("term").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("c")))
+    if STR.fold_agg_snapshot(redo, root, keys=["term"], version=1,
+                             add_cols=["c"], lineage="vocab") is not None:
+        raise RuntimeError("additive-fold redelivery must skip")
+    stored = STR.read_cdc_snapshot(spark, root).select("term", "c")
+    return curation.unigram_surprisal(d, counts=stored)
+
+
 # The planted-collocation fixture: the base corpus is word-i.i.d. (no
 # organic collocations — every independent pair floors to 0 bits), so
 # the PMI surface is made load-bearing by appending phrases of
