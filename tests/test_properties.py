@@ -784,3 +784,76 @@ def test_cc_implementations_agree_on_random_graphs(spark, edge_pairs):
     expect = {n: mins[find(n)] for n in parent}
     assert label == expect
     assert star == expect
+
+
+@PROP
+@given(edges_strategy)
+def test_scc_agrees_with_closure_reference_on_random_digraphs(
+        spark, edge_pairs):
+    """strongly_connected_components on any random DIRECTED edge list
+    must equal the definitionally-correct reference: boolean
+    transitive closure (Warshall) self-intersected on mutual
+    reachability, label = min of the SCC. Self-loops, duplicates,
+    2-cycles from reversed pairs, and multi-component DAG debris all
+    arise from the generator."""
+    from clif_spark.operators import graph as G
+
+    clean = [(a, b) for a, b in edge_pairs if a != b]
+    if not clean:
+        return
+    edges = spark.createDataFrame(clean, "src long, dst long")
+    got = {r.node: r.component
+           for r in G.strongly_connected_components(edges).collect()}
+    nodes = sorted({x for e in clean for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    reach = [[False] * n for _ in range(n)]
+    for i in range(n):
+        reach[i][i] = True
+    for a, b in clean:
+        reach[idx[a]][idx[b]] = True
+    for k in range(n):
+        rk = reach[k]
+        for i in range(n):
+            if reach[i][k]:
+                ri = reach[i]
+                for j in range(n):
+                    if rk[j]:
+                        ri[j] = True
+    expect = {
+        u: min(v for v in nodes
+               if reach[idx[u]][idx[v]] and reach[idx[v]][idx[u]])
+        for u in nodes}
+    assert got == expect
+
+
+@PROP
+@given(edges_strategy, st.integers(min_value=1, max_value=4))
+def test_k_core_agrees_with_peeling_reference(spark, edge_pairs, k):
+    """k_core on any random edge list must equal the obvious
+    sequential peeling over the undirected simple graph: repeatedly
+    delete nodes of degree < k until stable; survivors labeled with
+    their in-core degree. Peel ORDER cannot matter (the k-core is
+    unique) — the distributed rounds and the sequential loop must
+    agree exactly."""
+    from clif_spark.operators import graph as G
+
+    clean = {(min(a, b), max(a, b)) for a, b in edge_pairs if a != b}
+    if not clean:
+        return
+    edges = spark.createDataFrame(sorted(clean), "src long, dst long")
+    got = {(r.node, r.core_degree)
+           for r in G.k_core(edges, k).collect()}
+    adj: dict[int, set[int]] = {}
+    for a, b in clean:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {u for u in alive
+                if len(adj[u] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    expect = {(u, len(adj[u] & alive)) for u in alive}
+    assert got == expect
