@@ -861,3 +861,21 @@ def test_lsm_snapshot_read_prunes_later_segments(spark):
     assert dirs == {d for d in dirs
                     if d.startswith(("seg-00000001", "seg-00000002"))}
     assert len(dirs) == 2
+
+
+def test_registered_domains_suffix_join_is_hash_not_nested_loop(spark):
+    """registered_domains' claim is the join SHAPE: the suffix-chain
+    explode turns longest-suffix matching into a broadcast HASH
+    equi-join — an endswith-against-rules predicate would plan a
+    BroadcastNestedLoopJoin (host rows x rules comparisons), the
+    thing this operator exists to avoid."""
+    from clif_spark.functions import url as U
+
+    hosts = spark.createDataFrame(
+        [("a.b.co.uk",), ("x.example.com",)], "host string")
+    sfx = spark.createDataFrame(
+        [("co.uk",), ("com",), ("example.com",)], "suffix string")
+    plan = (U.registered_domains(hosts, sfx)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
