@@ -443,6 +443,7 @@ _VERIFY_FIRST_R13 = [
     "web_host_bm25f", "web_host_kcore", "web_pagerank_personalized",
     "text_unigram_surprisal", "text_pmi_collocations",
     "text_surprisal_incremental", "web_registered_domain",
+    "dedup_entity_clusters",
     # --- changed-code re-gates: the LSM crash-safety rework
     # (publish-first folds, atomic meta, fanout guard) + footer-stats
     # segment skipping touch every LSM read/fold path; the bounded
@@ -477,28 +478,29 @@ _VERIFY_FIRST_R13 = [
     "a4_duplicate_profile", "a5_summary_stats",
     "a6_distinct_dim_extract", "a7_rollup_revenue", "a8_cube_counts",
     "dedup_incremental_persisted", "dedup_minhash_lsh",
-    "dedup_minhash_recall_bound", "dedup_semantic_incremental",
+    "dedup_minhash_recall_bound",
     # --- streams at the tail (multi-second startup each): the new
     # CDX maintenance fold and the LSM stream twin whose store code
     # changed this round ---
     "stream_cdx_maintain", "stream_lsm_keep_best",
 ]
-# Exactly 50: 18 never-gated (web_cdx_member_contract,
+# Exactly 50: 19 never-gated (web_cdx_member_contract,
 # web_anchor_text, web_host_components_star, web_cocitation_triangles,
 # web_host_hits, web_mirror_sets_incremental, web_hits_warm_start,
 # web_host_scc, web_bowtie_classes, u14_lsm_snapshot_read,
 # web_host_bm25f, web_host_kcore, web_pagerank_personalized,
 # text_unigram_surprisal, text_pmi_collocations,
 # text_surprisal_incremental, web_registered_domain,
-# stream_cdx_maintain) + 8 changed-code re-gates (7 batch incl.
-# web_mirror_sets, whose closure choice was A/B'd against the star
-# variant this round + stream_lsm_keep_best) + 7 r7 due rows + 17 r8
-# rows (a12/a13/a14 + the cohort in name order through
-# dedup_semantic_incremental). r14 due list = the 31 remaining r8
-# rows: the 21 enumerated above plus the ten the continuation
-# registrations pre-empted (emb_label_centroids, f11_cast_clamp,
-# f12_hash_pseudonymize, f15_minmax_normalize, f1_f2_classify_regex,
-# f3_f4_f5_dose_parse, f7_f10_time_functions, f8_parse_roundtrip,
+# dedup_entity_clusters, stream_cdx_maintain) + 8 changed-code
+# re-gates (7 batch incl. web_mirror_sets, whose closure choice was
+# A/B'd against the star variant this round + stream_lsm_keep_best)
+# + 7 r7 due rows + 16 r8 rows (a12/a13/a14 + the cohort in name
+# order through dedup_minhash_recall_bound). r14 due list = the 32
+# remaining r8 rows: the 21 enumerated above plus the eleven the
+# continuation registrations pre-empted (dedup_semantic_incremental,
+# emb_label_centroids, f11_cast_clamp, f12_hash_pseudonymize,
+# f15_minmax_normalize, f1_f2_classify_regex, f3_f4_f5_dose_parse,
+# f7_f10_time_functions, f8_parse_roundtrip,
 # gopher_repetition_filter, j11_asof_forward_tolerance). After this
 # gate no oracle row's latest green predates r8.
 _VERIFY_FIRST = _VERIFY_FIRST_R13

@@ -746,6 +746,110 @@ def j10_levenshtein_vocab_match(spark, sf_dir):
                      F.min("d").cast("long").alias("best_d")))
 
 
+# Entity-resolution oracle: same planted variants, same blocked
+# edit-distance pairing, then an undirected recursive closure + MIN
+# for the transitive clusters. The 3-record chains are the point:
+# lev(base, v2) = 2 exceeds the pairing threshold, so base and v2
+# join one cluster ONLY through v1 — a pairwise-grouping shortcut
+# (or any non-transitive dedup) leaves them apart and flips the hash.
+DEDUP_ENTITY_ORACLE = """
+    WITH RECURSIVE recs AS (
+      SELECT CAST(c_custkey AS BIGINT) AS rid, c_name AS name
+      FROM customer
+      UNION ALL
+      SELECT CAST(c_custkey + 1000000 AS BIGINT),
+             substr(c_name, 1, 3) || substr(c_name, 5)
+      FROM customer WHERE c_custkey % 50 = 0
+      UNION ALL
+      SELECT CAST(c_custkey + 2000000 AS BIGINT),
+             substr(c_name, 1, 3) || substr(c_name, 6)
+      FROM customer WHERE c_custkey % 100 = 0),
+    eedges AS (
+      SELECT a.rid AS src, b.rid AS dst
+      FROM recs a JOIN recs b
+        ON right(a.name, 7) = right(b.name, 7)
+       AND a.rid < b.rid
+       AND levenshtein(a.name, b.name) <= 1),
+    ue AS (SELECT src, dst FROM eedges
+           UNION SELECT dst, src FROM eedges),
+    reach(node, lab) AS (
+      SELECT src, src FROM ue
+      UNION
+      SELECT ue.dst, reach.lab FROM reach
+      JOIN ue ON ue.src = reach.node),
+    comp AS (SELECT node, MIN(lab) AS component
+             FROM reach GROUP BY node)
+    SELECT rid, cluster,
+           CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT)
+             AS cluster_size,
+           MIN(name) OVER (PARTITION BY cluster) AS canonical_name
+    FROM (SELECT r.rid, r.name,
+                 COALESCE(c.component, r.rid) AS cluster
+          FROM recs r LEFT JOIN comp c ON c.node = r.rid)
+    """
+
+
+@query("dedup_entity_clusters", oracle=DEDUP_ENTITY_ORACLE)
+def dedup_entity_clusters(spark, sf_dir):
+    """Entity resolution as a composed relation — the blocking-then-
+    verify-then-cluster chain every MDM / record-linkage pipeline
+    runs, built ENTIRELY from gated primitives: a BLOCKING key
+    (last-7 name suffix — deletion-stable, key-unique to 10M
+    customers) turns the all-pairs edit-distance comparison into an
+    equi-join + per-block verify (realizing exactly the scale note on
+    j10_levenshtein_vocab_match), levenshtein <= 1 pairs become the
+    match graph, connected_components resolves TRANSITIVE identity,
+    and every record lands in a cluster with its size and canonical
+    (min) name. Planted variants: every 50th customer gains a
+    one-deletion alias; every 100th ALSO gains a two-deletion alias
+    reachable only through the first — so the 3-record chains force
+    transitivity (see the oracle comment), singletons keep their own
+    rid, and cluster id = min rid is a pure function of the data.
+
+    Shape: one equi-join keyed on the block (never an all-pairs NLJ),
+    integer edit distances, then the fixpoint component rounds over a
+    match-graph-sized edge relation — the same geometry at 100 TB
+    with the block key sized so block cardinality stays bounded."""
+    from pyspark.sql import Window
+
+    from clif_spark.operators import graph as G
+
+    cust = io.load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    base = cust.select(key.cast("long").alias("rid"),
+                       F.col("c_name").alias("name"))
+    v1 = (cust.filter(key % 50 == 0)
+          .select((key + 1000000).cast("long").alias("rid"),
+                  F.concat(F.substring("c_name", 1, 3),
+                           F.expr("substr(c_name, 5)")).alias("name")))
+    v2 = (cust.filter(key % 100 == 0)
+          .select((key + 2000000).cast("long").alias("rid"),
+                  F.concat(F.substring("c_name", 1, 3),
+                           F.expr("substr(c_name, 6)")).alias("name")))
+    recs = base.unionByName(v1).unionByName(v2) \
+        .withColumn("bk", F.expr("right(name, 7)")) \
+        .localCheckpoint(eager=True)
+    a = recs.select(F.col("rid").alias("arid"),
+                    F.col("name").alias("aname"), "bk")
+    b = recs.select(F.col("rid").alias("brid"),
+                    F.col("name").alias("bname"), "bk")
+    edges = (a.join(b, "bk")
+             .filter((F.col("arid") < F.col("brid"))
+                     & (F.levenshtein("aname", "bname") <= 1))
+             .select(F.col("arid").alias("src"),
+                     F.col("brid").alias("dst")))
+    comp = G.connected_components(edges)
+    out = (recs.join(comp.withColumnRenamed("node", "rid"),
+                     "rid", "left")
+           .select("rid", "name",
+                   F.coalesce("component", "rid").alias("cluster")))
+    w = Window.partitionBy("cluster")
+    return out.select(
+        "rid", "cluster",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        F.min("name").over(w).alias("canonical_name"))
+
+
 @query(
     "u4_intersect_except",
     oracle="""
