@@ -105,16 +105,22 @@ def test_fixpoint_results_partition_invariant(spark):
         bf = {tuple(r) for r in G.bfs_depths(edges, seeds).collect()}
         ccs = {tuple(r) for r in
                G.connected_components_star(edges).collect()}
-        tr = {tuple(r) for r in G.triangle_counts(
-            edges.unionByName(spark.createDataFrame(
-                [("n0", "n2")], "src string, dst string"))).collect()}
+        tri_edges = edges.unionByName(spark.createDataFrame(
+            [("n0", "n2")], "src string, dst string"))
+        tr = {tuple(r) for r in G.triangle_counts(tri_edges).collect()}
         hi = {tuple(r) for r in G.hits_fixed(edges).collect()}
+        kc = {tuple(r) for r in G.k_core(tri_edges, 2).collect()}
+        pp = {tuple(r) for r in G.pagerank_personalized(
+            edges, seeds).collect()}
         if parts == 1:
-            cc1, bf1, ccs1, tr1, hi1 = cc, bf, ccs, tr, hi
+            cc1, bf1, ccs1, tr1, hi1, kc1, pp1 = \
+                cc, bf, ccs, tr, hi, kc, pp
     assert cc == cc1 and bf == bf1
     assert ccs == ccs1 == cc1  # star == label, both partition-invariant
     assert tr == tr1 == {("n0", 1), ("n1", 1), ("n2", 1)}
     assert hi == hi1
+    assert kc == kc1 == {("n0", 2), ("n1", 2), ("n2", 2)}
+    assert pp == pp1
     assert ("z1", "z1") in cc1 and ("n5", "n0") in cc1
     assert dict(bf1)["n12"] == 12
 
