@@ -795,12 +795,21 @@ def dedup_entity_clusters(spark, sf_dir):
     verify-then-cluster chain every MDM / record-linkage pipeline
     runs, built ENTIRELY from gated primitives: a BLOCKING key
     (last-7 name suffix — deletion-stable, key-unique to 10M
-    customers) turns the all-pairs edit-distance comparison into an
-    equi-join + per-block verify (realizing exactly the scale note on
-    j10_levenshtein_vocab_match), levenshtein <= 1 pairs become the
-    match graph, connected_components resolves TRANSITIVE identity,
-    and every record lands in a cluster with its size and canonical
-    (min) name. Planted variants: every 50th customer gains a
+    customers) scopes the edit-distance comparison to an equi-join +
+    per-block verify (the scale geometry j10_levenshtein_vocab_match
+    documents), levenshtein <= 1 pairs become the match graph,
+    connected_components resolves TRANSITIVE identity, and every
+    record lands in a cluster with its size and canonical (min) name.
+
+    Blocking is part of the MATCH DEFINITION, not just a plan
+    optimization — measured and kept deliberately: an unrestricted
+    levenshtein <= 1 pairing also matches DIFFERENT customers whose
+    key digits differ by one ('...001' vs '...002'), so the blocked
+    and unblocked matchers disagree semantically; the key is chosen
+    so every true alias (front-of-name edits) provably shares its
+    block while distinct keys never do. This is exactly why real ER
+    systems treat blocking-key design as a recall/precision decision
+    rather than an optimizer hint. Planted variants: every 50th customer gains a
     one-deletion alias; every 100th ALSO gains a two-deletion alias
     reachable only through the first — so the 3-record chains force
     transitivity (see the oracle comment), singletons keep their own
