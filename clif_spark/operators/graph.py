@@ -293,26 +293,70 @@ def strongly_connected_components(edges: DataFrame,
     scheme); real host graphs settle in a handful because each round
     clears EVERY locally-minimal SCC at once, not one pivot.
 
-    Returns (node, component) for every edge endpoint. Raises past
-    ``max_iters`` outer rounds (and each inner propagation carries its
-    own ``max_iters`` bound) — fail loud, never a half-converged
-    labeling.
+    Each outer round starts with TRIM (the standard FW-BW accelerant):
+    a live node with no inbound or no outbound live edge cannot sit on
+    a cycle, so it is its own SCC — settle it as a singleton and
+    repeat until no such node remains (removals expose new trivial
+    nodes, so one-way tails and whole DAG regions peel in the trim
+    loop at two-distinct-plus-semi-join cost per layer, never paying
+    the two full inner min-label fixpoints coloring costs). Trim
+    preserves SCCs exactly: settled SCCs leave the live subgraph only
+    as complete components, so the live subgraph's SCCs are always a
+    subset of the original graph's. A pure directed path now settles
+    ENTIRELY inside round 1's trim loop (the former O(n)-outer-round
+    adversary), and tail-heavy web graphs skip the coloring fixpoints
+    for their acyclic mass.
 
-    Scale shape per outer round: two directed min-label fixpoints
-    (edge-join + node-min-agg with broadcastable node-sized labels,
-    per-round localCheckpoint) + one node anti-join + one edge
+    Returns (node, component) for every edge endpoint — including a
+    node whose only edges are self-loops, which is a valid singleton
+    SCC (self-loop edges drop from the traversal relation, but the
+    node universe derives from the UNFILTERED endpoints; ADVICE r13).
+    Raises past ``max_iters`` outer rounds (and each inner propagation
+    carries its own ``max_iters`` bound) — fail loud, never a
+    half-converged labeling.
+
+    Scale shape per outer round: the trim loop (two node-sized
+    distincts + semi-joins per layer) + two directed min-label
+    fixpoints (edge-join + node-min-agg with broadcastable node-sized
+    labels, per-round localCheckpoint) + one node anti-join + one edge
     semi-join, each over a relation that only ever SHRINKS."""
     s, d = F.col(src_col), F.col(dst_col)
-    e = (edges.select(s.alias("src"), d.alias("dst"))
-         .filter(F.col("src") != F.col("dst"))
+    allp = edges.select(s.alias("src"), d.alias("dst"))
+    e = (allp.filter(F.col("src") != F.col("dst"))
          .distinct()
          .localCheckpoint(eager=True))
-    nodes = (e.select(F.col("src").alias("node"))
-             .unionByName(e.select(F.col("dst").alias("node")))
+    nodes = (allp.select(F.col("src").alias("node"))
+             .unionByName(allp.select(F.col("dst").alias("node")))
              .distinct()
              .localCheckpoint(eager=True))
-    settled: DataFrame | None = None
+    settled = (nodes.select("node", F.col("node").alias("component"))
+               .limit(0))
     for rounds in range(1, max_iters + 1):
+        # TRIM to fixpoint: any live node missing an inbound or an
+        # outbound live edge is a singleton SCC. Each layer's removal
+        # can expose the next (a tail peels layer by layer), and every
+        # trimmed node's component is itself.
+        while True:
+            has_out = e.select(F.col("src").alias("node")).distinct()
+            has_in = e.select(F.col("dst").alias("node")).distinct()
+            core = (has_out.join(has_in, "node", "semi")
+                    .localCheckpoint(eager=True))
+            triv = (nodes.join(core, "node", "left_anti")
+                    .localCheckpoint(eager=True))
+            if triv.isEmpty():
+                break
+            now = triv.select("node", F.col("node").alias("component"))
+            settled = settled.unionByName(now).localCheckpoint(
+                eager=True)
+            nodes = core
+            live = nodes.withColumnRenamed("node", "src")
+            e = (e.join(live, "src", "semi")
+                 .join(nodes.withColumnRenamed("node", "dst"),
+                       "dst", "semi")
+                 .select("src", "dst")
+                 .localCheckpoint(eager=True))
+        if nodes.isEmpty():
+            return (settled, rounds) if return_rounds else settled
         rev = e.select(F.col("dst").alias("src"),
                        F.col("src").alias("dst"))
         fwd = _directed_min_labels(rev, nodes, max_iters) \
@@ -322,9 +366,7 @@ def strongly_connected_components(edges: DataFrame,
         now = (fwd.join(bwd, "node")
                .filter(F.col("__f") == F.col("__b"))
                .select("node", F.col("__f").alias("component")))
-        settled = (now if settled is None
-                   else settled.unionByName(now)).localCheckpoint(
-                       eager=True)
+        settled = settled.unionByName(now).localCheckpoint(eager=True)
         nodes = (nodes.join(now, "node", "left_anti")
                  .localCheckpoint(eager=True))
         if nodes.isEmpty():
@@ -564,12 +606,18 @@ def pagerank_personalized(edges: DataFrame, seeds: DataFrame,
     REMAIN in the output (the caller reads zero as "outside the
     neighborhood", the useful signal).
 
-    Caller contract: ``seeds``' first column holds node ids that
-    appear in the edge relation (seed rows absent from the graph get
-    teleport mass but no inbound flow — harmless); the per-seed share
-    (100-d)% * MICROS // 100 // n_seeds must be >= 1 micro, i.e.
-    n_seeds <= ~150k at the default damping — any larger personal
-    set needs a bigger mass unit, and the function fails loud.
+    Caller contract: ``seeds``' first column holds node ids; the node
+    universe is the edge endpoints UNION the seed set, so a seed
+    absent from the edge relation still gets its row — it holds its
+    teleport share but receives no inbound flow and (having no
+    out-edges) contributes none, exactly the isolated-node semantics.
+    (ADVICE r13: the previous left-join built the universe from edge
+    endpoints only, silently dropping off-graph seeds while still
+    counting them in k — the teleport mass summed below (100-d)% of
+    MICROS.) The per-seed share (100-d)% * MICROS // 100 // n_seeds
+    must be >= 1 micro, i.e. n_seeds <= ~150k at the default damping
+    — any larger personal set needs a bigger mass unit, and the
+    function fails loud.
 
     Scale shape: identical to pagerank_fixed — K stages of edge-join
     + node-keyed sum with a broadcastable node-sized rank relation;
@@ -583,6 +631,7 @@ def pagerank_personalized(edges: DataFrame, seeds: DataFrame,
              .distinct())
     sd = (seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
           .localCheckpoint(eager=True))
+    nodes = nodes.unionByName(sd).distinct()
     k = sd.count()
     tnum = (100 - damping_pct) * MICROS // 100
     if k == 0 or tnum // k == 0:

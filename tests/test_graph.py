@@ -234,12 +234,19 @@ def test_scc_directed_path_peels_to_singletons(spark):
 
 
 def test_scc_raises_without_convergence(spark):
+    """Loud failure past the round budget. A plain path no longer
+    works as the fixture (the trim loop settles any DAG inside round
+    1), so chain two 2-cycles: nothing trims (every node has live
+    in+out edges), and either the inner min-label fixpoint or the
+    outer settle loop must exceed a budget of 1."""
     import pytest
 
     from clif_spark.operators import graph as G
 
     edges = spark.createDataFrame(
-        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
+        [("a1", "a2"), ("a2", "a1"),
+         ("a2", "b1"),
+         ("b1", "b2"), ("b2", "b1")], "src string, dst string")
     with pytest.raises(RuntimeError, match="converge"):
         G.strongly_connected_components(edges, max_iters=1)
 
@@ -342,3 +349,80 @@ def test_personalized_pagerank_seed_locality_and_identity(spark):
     classic = {tuple(r) for r in
                G.pagerank_fixed(edges, iterations=3).collect()}
     assert ppr == classic
+
+
+def test_scc_self_loop_only_node_is_singleton(spark):
+    """ADVICE r13: a node whose only edges are self-loops is a valid
+    singleton SCC and must appear in the output (the node universe
+    derives from the UNFILTERED endpoints; only the traversal relation
+    drops loops)."""
+    from clif_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [("loop", "loop"),               # self-loop-only node
+         ("a", "b"), ("b", "a"),         # a 2-cycle
+         ("a", "a")],                    # loop on a cycle member: no-op
+        "src string, dst string")
+    got = {r.node: r.component
+           for r in G.strongly_connected_components(edges).collect()}
+    assert got == {"loop": "loop", "a": "a", "b": "a"}
+
+
+def test_scc_trim_settles_dag_in_one_round(spark):
+    """The trim accelerant: a pure directed path (the former O(n)
+    outer-round adversary) settles ENTIRELY inside round 1's trim loop
+    — every node lacks an inbound or outbound live edge at some trim
+    layer, so no coloring fixpoint ever runs."""
+    from clif_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(f"v{i}", f"v{i + 1}") for i in range(6)],
+        "src string, dst string")
+    labels, rounds = G.strongly_connected_components(
+        edges, return_rounds=True)
+    got = {r.node: r.component for r in labels.collect()}
+    assert got == {f"v{i}": f"v{i}" for i in range(7)}
+    assert rounds == 1
+
+    # trim + coloring together: a 3-cycle with a 3-node inbound tail
+    # and a 2-node outbound tail — tails trim in round 1, the cycle
+    # settles in round 1's coloring; total one outer round
+    edges2 = spark.createDataFrame(
+        [("t0", "t1"), ("t1", "t2"), ("t2", "c0"),
+         ("c0", "c1"), ("c1", "c2"), ("c2", "c0"),
+         ("c1", "o0"), ("o0", "o1")],
+        "src string, dst string")
+    labels2, rounds2 = G.strongly_connected_components(
+        edges2, return_rounds=True)
+    got2 = {r.node: r.component for r in labels2.collect()}
+    assert got2 == {"t0": "t0", "t1": "t1", "t2": "t2",
+                    "c0": "c0", "c1": "c0", "c2": "c0",
+                    "o0": "o0", "o1": "o1"}
+    assert rounds2 == 1
+
+
+def test_personalized_pagerank_off_graph_seed_keeps_row(spark):
+    """ADVICE r13 (medium): a seed absent from the edge relation gets
+    its teleport row (universe = endpoints UNION seeds) instead of
+    silently vanishing while deflating every present seed's share.
+    With seeds {s, ghost}: k = 2, each seed's teleport = 75000, ghost
+    holds teleport only (no inbound flow), and total teleport mass is
+    the full (100-d)% * MICROS."""
+    from clif_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [("s", "a"), ("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([("s",), ("ghost",)], "node string")
+    got = {r.node: r.rank_micros for r in
+           G.pagerank_personalized(edges, seeds, iterations=2)
+            .collect()}
+    assert set(got) == {"s", "a", "b", "ghost"}
+    tele, d = 75000, 85
+    # hand-mirror: init = MICROS//2 on each seed; ghost never receives
+    r = {"s": 500000, "a": 0, "b": 0, "ghost": 500000}
+    for _ in range(2):
+        r = {"s": tele,
+             "a": tele * 0 + (d * r["s"]) // 100,
+             "b": (d * r["a"]) // 100,
+             "ghost": tele}
+    assert got == r
