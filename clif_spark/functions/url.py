@@ -234,52 +234,93 @@ def resolve_href(href: Column, base_scheme: Column, base_host: Column,
 
 
 def registered_domains(hosts, suffixes, host_col: str = "host"):
-    """Registered domain (eTLD+1) extraction by LONGEST-SUFFIX match
-    against a public-suffix dimension — the grouping key real crawl
-    governance budgets on ('a.cdn.shop.co.uk' and 'www.shop.co.uk'
-    are one SITE, 'shop.co.uk'; per-host budgets over-fragment it,
-    per-TLD budgets collapse unrelated sites). Matching follows the
-    Public Suffix List's core algorithm: the public suffix is the
-    LONGEST listed rule matching the host label-wise from the right,
-    an unlisted tail falls back to the single rightmost label (the
-    PSL default '*' rule), and the registered domain is the public
-    suffix plus one more label — NULL when the host IS a public
-    suffix (nothing registrable). Wildcard/exception rules are out of
-    scope (documented boundary; the listed+default subset covers the
-    overwhelming mass of real hosts).
+    """Registered domain (eTLD+1) extraction by PSL rule match against
+    a public-suffix dimension — the grouping key real crawl governance
+    budgets on ('a.cdn.shop.co.uk' and 'www.shop.co.uk' are one SITE,
+    'shop.co.uk'; per-host budgets over-fragment it, per-TLD budgets
+    collapse unrelated sites). Matching implements the Public Suffix
+    List algorithm over ALL THREE rule classes:
+
+    - a PLAIN rule ('co.uk') matches the host's last len(rule) labels;
+      the public suffix is the rule itself;
+    - a WILDCARD rule ('*.ck') consumes ONE EXTRA host label beyond
+      its literal tail — 'bar.ck' and 'foo.bar.ck' both match, with
+      public suffix 'bar.ck' (so the host needs at least rule-length
+      labels: bare 'ck' does NOT match '*.ck');
+    - an EXCEPTION rule ('!www.ck') matches like a plain rule but
+      PREVAILS over every other match, and the public suffix is the
+      rule MINUS its leftmost label ('ck') — making 'www.ck' a
+      registrable domain inside the '*.ck' wildcard family.
+
+    Prevailing rule: the matching exception if any, else the match
+    with the most rule labels (longest match); an unlisted tail falls
+    back to the single rightmost label (the PSL default '*' rule).
+    The registered domain is the public suffix plus one more label —
+    NULL when the host IS a public suffix (nothing registrable).
+    PSL matching is case-insensitive: hosts are lowercased for label
+    matching (ADVICE r13 — a mixed-case 'Shop.CO.UK' previously
+    missed its listed suffix) and the OUTPUT host keeps the caller's
+    original bytes while public_suffix/reg_domain come out lowercase
+    (the PSL-canonical form).
 
     The scale trick is the join SHAPE: a naive endswith test against
     the suffix dim is a broadcast NESTED-LOOP join (every host row x
     every rule); instead each host explodes into its own suffix CHAIN
     (<= label-count candidates, label counts are tiny) which
-    EQUI-joins the broadcast dim hash-side — O(hosts x labels) probe
-    work, no nested loop, and the longest match is a MAX over the
-    matched chain. Returns (host, public_suffix, reg_domain),
-    distinct per host.
+    EQUI-joins the broadcast dim hash-side — wildcard rules join on
+    their literal tail with the extra label expressed as one
+    predicate (k < n), exceptions as a priority column — O(hosts x
+    labels) probe work, no nested loop, and the prevailing rule is
+    one MAX over the matched chain. Returns
+    (host, public_suffix, reg_domain), distinct per host.
 
     ``hosts``: DataFrame with ``host_col``; ``suffixes``: single-
-    column DataFrame of listed rules (lowercase, no leading dot)."""
+    column DataFrame of PSL rules ('co.uk', '*.ck', '!www.ck' — no
+    leading dot; rules are lowercased defensively)."""
     from pyspark.sql import DataFrame  # noqa: F401  (doc typing only)
 
     h = hosts.select(F.col(host_col).alias("host")).distinct()
-    labels = F.split(F.col("host"), r"\.")
+    labels = F.split(F.lower(F.col("host")), r"\.")
     base = h.select("host", labels.alias("ls"),
                     F.size(labels).alias("n"))
     cands = (base.select(
-        "host",
+        "host", "n",
         F.explode(F.expr(
             "transform(sequence(1, n), i -> struct(n - i + 1 AS k, "
             "array_join(slice(ls, i, n - i + 1), '.') AS cand))"))
         .alias("c"))
-        .select("host", F.col("c.k").alias("k"),
+        .select("host", "n", F.col("c.k").alias("k"),
                 F.col("c.cand").alias("cand")))
-    sfx = (suffixes.select(F.col(suffixes.columns[0]).alias("cand"))
-           .distinct())
-    matched = (cands.join(F.broadcast(sfx), "cand")
-               .groupBy("host").agg(F.max("k").alias("k")))
+    rules = (suffixes.select(
+        F.lower(F.col(suffixes.columns[0])).alias("rule"))
+        .distinct()
+        .withColumn("is_exc", F.col("rule").startswith("!"))
+        .withColumn("body", F.when(F.col("is_exc"),
+                                   F.expr("substring(rule, 2)"))
+                    .otherwise(F.col("rule")))
+        .withColumn("wild", F.col("body").startswith("*."))
+        .select(F.when(F.col("wild"), F.expr("substring(body, 3)"))
+                .otherwise(F.col("body")).alias("cand"),
+                "is_exc", "wild"))
+    # prevailing-rule priority in ONE integer: exceptions live above
+    # 1000 (they beat any label count — real PSL rules are < 10
+    # labels), otherwise the value IS the rule's public-suffix label
+    # count (k for plain, k+1 for wildcard — both equal the rule's
+    # label count, the PSL longest-match ordering; for an exception
+    # the suffix is the rule minus its leftmost label, k-1)
+    prio = (F.when(F.col("is_exc"), F.lit(1000) + F.col("k") - 1)
+            .when(F.col("wild"), F.col("k") + 1)
+            .otherwise(F.col("k")))
+    matched = (cands.join(F.broadcast(rules), "cand")
+               .filter(~F.col("wild") | (F.col("k") < F.col("n")))
+               .groupBy("host").agg(F.max(prio).alias("prio")))
     out = (base.join(matched, "host", "left")
            .select("host", "ls", "n",
-                   F.coalesce("k", F.lit(1)).alias("k")))
+                   F.coalesce(
+                       F.when(F.col("prio") >= 1000,
+                              F.col("prio") - 1000)
+                        .otherwise(F.col("prio")),
+                       F.lit(1)).alias("k")))
     pub = F.expr("array_join(slice(ls, n - k + 1, k), '.')")
     reg = F.when(F.col("n") > F.col("k"),
                  F.expr("array_join(slice(ls, n - k, k + 1), '.')"))

@@ -2712,13 +2712,22 @@ def web_host_scc(spark, sf_dir):
 # are planted for the other branches — a deep co.uk subdomain (multi-
 # label suffix), a host that IS a listed suffix (NULL reg_domain), an
 # unlisted TLD (the PSL default last-label rule), a single-label
-# listed host, and an exactly-suffix+1 host. Literals are part of the
-# query definition, mirrored VALUES-for-createDataFrame (the kcore
-# chord pattern).
-_REGDOM_SUFFIXES = ["com", "co.uk", "example.com", "localhost"]
+# listed host, an exactly-suffix+1 host, and (r14) the full wildcard/
+# exception family: '*.ck' makes 'bar.ck' a public suffix (reg NULL)
+# and 'foo.bar.ck' registrable, bare 'ck' falls through the wildcard
+# to the default rule, '!www.ck' overrides the wildcard so 'www.ck'
+# registers (and 'sub.www.ck' registers to 'www.ck'), and a
+# mixed-case host exercises the case-insensitive matching with the
+# original bytes preserved in the output (ADVICE r13). Literals are
+# part of the query definition, mirrored VALUES-for-createDataFrame
+# (the kcore chord pattern).
+_REGDOM_SUFFIXES = ["com", "co.uk", "example.com", "localhost",
+                    "*.ck", "!www.ck"]
 _REGDOM_EXTRA_HOSTS = ["deep.sub.shop.megacorp.co.uk", "co.uk",
                        "tracker.weird.zz", "localhost",
-                       "megacorp.co.uk"]
+                       "megacorp.co.uk", "foo.bar.ck", "bar.ck",
+                       "www.ck", "sub.www.ck", "ck",
+                       "Shop.MegaCorp.CO.UK"]
 _HOST_REGDOM_ORACLE = f"""
     WITH {_LINK_EDGES_CTES},
     rhosts AS (
@@ -2726,16 +2735,32 @@ _HOST_REGDOM_ORACLE = f"""
         SELECT src_host AS host FROM linkedges
         UNION SELECT dst_host FROM linkedges
         UNION SELECT * FROM (VALUES {", ".join(f"('{h}')" for h in _REGDOM_EXTRA_HOSTS)}) x(host))),
-    rbase AS (SELECT host, string_split(host, '.') AS ls,
-                     len(string_split(host, '.')) AS n
+    rbase AS (SELECT host, string_split(lower(host), '.') AS ls,
+                     len(string_split(lower(host), '.')) AS n
               FROM rhosts),
-    rcands AS (SELECT host, n - i + 1 AS k,
+    rcands AS (SELECT host, n, n - i + 1 AS k,
                       array_to_string(ls[i:n], '.') AS cand
                FROM rbase, unnest(range(1, n + 1)) t(i)),
-    rsfx AS (SELECT * FROM (VALUES {", ".join(f"('{s}')" for s in _REGDOM_SUFFIXES)}) s(cand)),
-    rmatch AS (SELECT host, MAX(k) AS k
-               FROM rcands JOIN rsfx USING (cand) GROUP BY host),
-    rout AS (SELECT b.host, b.ls, b.n, COALESCE(m.k, 1) AS k
+    rraw AS (SELECT * FROM (VALUES {", ".join(f"('{s}')" for s in _REGDOM_SUFFIXES)}) s(rule)),
+    rsfx AS (
+      SELECT CASE WHEN body LIKE '*.%' THEN substr(body, 3)
+                  ELSE body END AS cand,
+             is_exc, body LIKE '*.%' AS wild
+      FROM (SELECT rule LIKE '!%' AS is_exc,
+                   CASE WHEN rule LIKE '!%' THEN substr(rule, 2)
+                        ELSE rule END AS body
+            FROM rraw)),
+    rmatch AS (SELECT host,
+                      MAX(CASE WHEN is_exc THEN 1000 + k - 1
+                               WHEN wild THEN k + 1
+                               ELSE k END) AS prio
+               FROM rcands JOIN rsfx USING (cand)
+               WHERE NOT wild OR k < n
+               GROUP BY host),
+    rout AS (SELECT b.host, b.ls, b.n,
+                    COALESCE(CASE WHEN m.prio >= 1000
+                                  THEN m.prio - 1000
+                                  ELSE m.prio END, 1) AS k
              FROM rbase b LEFT JOIN rmatch m ON m.host = b.host)
     SELECT host,
            array_to_string(ls[n - k + 1 : n], '.') AS public_suffix,
@@ -2750,19 +2775,27 @@ _HOST_REGDOM_ORACLE = f"""
 def web_registered_domain(spark, sf_dir):
     """D7b (engine ext.): registered-domain (eTLD+1) extraction over
     the crawl's host universe — the SITE grouping key governance
-    budgets actually use (functions/url.registered_domains): public
-    suffix = longest listed rule matching label-wise from the right,
-    unlisted tails fall back to the rightmost label (the PSL default
-    rule), registered domain = suffix + one label, NULL when the host
-    IS a suffix. All five branches are planted (see the fixture
-    comment), and the dual 'com'/'example.com' listing makes
-    longest-match itself load-bearing for every corpus host.
+    budgets actually use (functions/url.registered_domains), now over
+    the COMPLETE PSL rule algebra: public suffix = the prevailing
+    rule (matching exception first, else longest match) with plain,
+    WILDCARD ('*.ck' consumes one extra label) and EXCEPTION
+    ('!www.ck' carves a registrable island out of the wildcard)
+    rules; unlisted tails fall back to the rightmost label (the PSL
+    default rule); registered domain = suffix + one label, NULL when
+    the host IS a suffix; matching is case-insensitive with the
+    original host bytes preserved. All branches are planted (see the
+    fixture comment): the dual 'com'/'example.com' listing makes
+    longest-match load-bearing for every corpus host, and the ck
+    family makes each wildcard/exception/default interaction flip a
+    distinct row.
 
     Scale shape (the reason this is an operator, not a UDF): each
     host explodes into its own suffix chain and EQUI-joins the
-    broadcast suffix dim — a hash probe per (host x label), never
-    the broadcast nested-loop an endswith-against-rules predicate
-    would plan; longest match is one MAX per host."""
+    broadcast rule dim — a hash probe per (host x label), never the
+    broadcast nested-loop an endswith-against-rules predicate would
+    plan (wildcards join on their literal tail; the extra label is
+    one predicate, exceptions one priority column); the prevailing
+    rule is one MAX per host."""
     edges = _link_edges(spark, sf_dir)
     hosts = (edges.select(F.col("src").alias("host"))
              .unionByName(edges.select(F.col("dst").alias("host")))

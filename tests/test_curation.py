@@ -1091,3 +1091,32 @@ def test_extract_main_content_block_classification(spark):
     assert "Home" not in out             # nav dropped
     assert "Privacy policy" not in out   # footer dropped
     assert "tiny" not in out             # under min block chars
+
+
+def test_registered_domains_psl_wildcard_exception_and_case(spark):
+    """The full PSL rule algebra (r14): '*.ck' makes any direct
+    subdomain a public suffix (one extra label consumed; bare 'ck'
+    falls through to the default rule), '!www.ck' overrides the
+    wildcard making www.ck registrable (and deeper hosts register to
+    it), exceptions beat longer wildcard matches, and matching is
+    case-insensitive with original host bytes preserved."""
+    from clif_spark.functions import url as U
+
+    hosts = spark.createDataFrame(
+        [("foo.bar.ck",), ("bar.ck",), ("www.ck",), ("sub.www.ck",),
+         ("ck",), ("Shop.MegaCorp.CO.UK",), ("plain.zz",)],
+        "host string")
+    rules = spark.createDataFrame(
+        [("co.uk",), ("*.ck",), ("!www.ck",)], "rule string")
+    got = {r.host: (r.public_suffix, r.reg_domain)
+           for r in U.registered_domains(hosts, rules).collect()}
+    assert got == {
+        "foo.bar.ck": ("bar.ck", "foo.bar.ck"),   # wildcard +1 label
+        "bar.ck": ("bar.ck", None),               # host IS wild suffix
+        "www.ck": ("ck", "www.ck"),               # exception wins
+        "sub.www.ck": ("ck", "www.ck"),           # registers to www.ck
+        "ck": ("ck", None),                       # wildcard needs +1
+        "Shop.MegaCorp.CO.UK":                    # case-insensitive,
+            ("co.uk", "megacorp.co.uk"),          # lowercase outputs
+        "plain.zz": ("zz", "plain.zz"),           # default rule
+    }
