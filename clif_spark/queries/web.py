@@ -1824,17 +1824,30 @@ def web_link_graph(spark, sf_dir):
 
 # --- D5b: anchor-text aggregation onto the link graph ----------------------
 
-# The anchor fixture extends the shared link page with ONE extra
-# element (never touching _LINK_PAGE_SQL, whose byte-exact shape gates
+# The anchor fixture extends the shared link page with per-class extra
+# elements (never touching _LINK_PAGE_SQL, whose byte-exact shape gates
 # the whole D family): every n%3==0 source re-links its /local/{m}
 # URL — already linked with text 's' — with NESTED-TAG text
 # '<b>hot</b> link', so the aggregation sees the same resolved URL
 # under two different texts and the tag-strip rule is load-bearing.
 # The n%3==1 sources already link ONE resolved URL (/a/up/{m}) twice
-# with texts 'u' and 'v' via the dot-segment collapse pair.
+# with texts 'u' and 'v' via the dot-segment collapse pair. Every
+# n%3==2 source (r14) self-links through an absolute href carrying a
+# 'www.' prefix AND an explicit ':443' default port — the resolved
+# dst_url keeps those bytes verbatim (resolution never rewrites the
+# authority), but any HOST-keyed consumer must normalize through the
+# url_host rule (lowercase, default-port strip, www strip) or the
+# anchor silently detaches from its host: the BM25F anchor field's
+# load-bearing plant (ADVICE r13 — engine and oracle previously
+# agreed only because no anchor emitted www/port forms).
 _ANCHOR_EXTRA_SQL = (f"(CASE WHEN {_SRC_N} % 3 = 0 THEN "
                      f"'<a href=\"/local/' || {_M_SQL} || "
-                     "'\"><b>hot</b> link</a>' ELSE '' END)")
+                     "'\"><b>hot</b> link</a>' "
+                     f"WHEN {_SRC_N} % 3 = 2 THEN "
+                     "'<a href=\"https://www.src' || "
+                     f"CAST({_SRC_N} AS VARCHAR) || "
+                     f"'.example.com:443/w' || {_M_SQL} || "
+                     "'\">hot www</a>' ELSE '' END)")
 _ANCHOR_PAT = '<a href="([^"]+)">(.*?)</a>'
 
 # DuckDB parallel unnest zips POSITIONALLY (two unnests in one SELECT
@@ -1956,7 +1969,13 @@ def _anchor_rows(spark, sf_dir):
     extra = F.when(
         n % 3 == 0,
         F.concat(F.lit('<a href="/local/'), m,
-                 F.lit('"><b>hot</b> link</a>'))).otherwise(F.lit(""))
+                 F.lit('"><b>hot</b> link</a>'))
+    ).when(
+        n % 3 == 2,
+        F.concat(F.lit('<a href="https://www.src'), n.cast("string"),
+                 F.lit(".example.com:443/w"), m,
+                 F.lit('">hot www</a>'))
+    ).otherwise(F.lit(""))
     pages = d.select(
         F.concat("source", F.lit(".example.com")).alias("src_host"),
         _link_base_path_col().alias("base_path"),
@@ -2002,14 +2021,28 @@ _HOST_BM25F_ORACLE = f"""
     blen AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS len_b
              FROM btoks GROUP BY host),
     btot AS (SELECT CAST(SUM(len_b) AS DOUBLE) AS tot_b FROM blen),
-    atoks AS (SELECT lower(regexp_extract(u,
-                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+    ahost AS (
+      -- the url_host rule in lockstep with functions/url.py (ADVICE
+      -- r13: a bare lowercased authority detaches www./port anchors
+      -- from their host — the n%3==2 plant now forces this)
+      SELECT regexp_replace(
+               CASE lower(regexp_extract(u,
+                      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                 WHEN 'http' THEN regexp_replace(lower(regexp_extract(u,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                   ':80$', '')
+                 WHEN 'https' THEN regexp_replace(lower(regexp_extract(u,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                   ':443$', '')
+                 ELSE lower(regexp_extract(u,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+               END, '^www\\.', '') AS host,
+             atext
+      FROM aresolved WHERE u IS NOT NULL AND atext <> ''),
+    atoks AS (SELECT host,
                      unnest(string_split(lower(atext), ' ')) AS term
-              FROM aresolved
-              WHERE u IS NOT NULL AND atext <> ''
-                AND lower(regexp_extract(u,
-                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
-                    IN (SELECT host FROM hosts)),
+              FROM ahost
+              WHERE host IN (SELECT host FROM hosts)),
     alen AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS len_a
              FROM atoks GROUP BY host),
     atot AS (SELECT CAST(SUM(len_a) AS DOUBLE) AS tot_a FROM alen),
