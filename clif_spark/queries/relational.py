@@ -746,12 +746,16 @@ def j10_levenshtein_vocab_match(spark, sf_dir):
                      F.min("d").cast("long").alias("best_d")))
 
 
-# Entity-resolution oracle: same planted variants, same blocked
-# edit-distance pairing, then an undirected recursive closure + MIN
-# for the transitive clusters. The 3-record chains are the point:
-# lev(base, v2) = 2 exceeds the pairing threshold, so base and v2
-# join one cluster ONLY through v1 — a pairwise-grouping shortcut
+# Entity-resolution oracle: same planted variants, same two-pass
+# blocked edit-distance pairing, then an undirected recursive closure
+# + MIN for the transitive clusters. The 3-record chains are the
+# point: lev(base, v2) = 2 exceeds the pairing threshold, so base and
+# v2 join one cluster ONLY through v1 — a pairwise-grouping shortcut
 # (or any non-transitive dedup) leaves them apart and flips the hash.
+# The v3 trailing-junk alias (r14) is the multi-pass point: its edit
+# sits INSIDE the last-7 suffix, so the suffix key provably misses it
+# (right(v3, 7) ends in 'x', no base suffix does) and only the
+# prefix-16 pass pairs it with its base.
 DEDUP_ENTITY_ORACLE = """
     WITH RECURSIVE recs AS (
       SELECT CAST(c_custkey AS BIGINT) AS rid, c_name AS name
@@ -763,12 +767,22 @@ DEDUP_ENTITY_ORACLE = """
       UNION ALL
       SELECT CAST(c_custkey + 2000000 AS BIGINT),
              substr(c_name, 1, 3) || substr(c_name, 6)
-      FROM customer WHERE c_custkey % 100 = 0),
+      FROM customer WHERE c_custkey % 100 = 0
+      UNION ALL
+      SELECT CAST(c_custkey + 3000000 AS BIGINT), c_name || 'x'
+      FROM customer WHERE c_custkey % 150 = 0),
     eedges AS (
       SELECT a.rid AS src, b.rid AS dst
       FROM recs a JOIN recs b
         ON right(a.name, 7) = right(b.name, 7)
        AND a.rid < b.rid
+       AND levenshtein(a.name, b.name) <= 1
+      UNION
+      SELECT a.rid, b.rid
+      FROM recs a JOIN recs b
+        ON substr(a.name, 1, 16) = substr(b.name, 1, 16)
+       AND a.rid < b.rid
+       AND len(a.name) <> len(b.name)
        AND levenshtein(a.name, b.name) <= 1),
     ue AS (SELECT src, dst FROM eedges
            UNION SELECT dst, src FROM eedges),
@@ -793,32 +807,53 @@ DEDUP_ENTITY_ORACLE = """
 def dedup_entity_clusters(spark, sf_dir):
     """Entity resolution as a composed relation — the blocking-then-
     verify-then-cluster chain every MDM / record-linkage pipeline
-    runs, built ENTIRELY from gated primitives: a BLOCKING key
-    (last-7 name suffix — deletion-stable, key-unique to 10M
-    customers) scopes the edit-distance comparison to an equi-join +
-    per-block verify (the scale geometry j10_levenshtein_vocab_match
-    documents), levenshtein <= 1 pairs become the match graph,
-    connected_components resolves TRANSITIVE identity, and every
-    record lands in a cluster with its size and canonical (min) name.
+    runs, built ENTIRELY from gated primitives: MULTI-PASS blocking
+    keys scope the edit-distance comparison to equi-joins + per-block
+    verify (the scale geometry j10_levenshtein_vocab_match
+    documents), the passes' levenshtein <= 1 pairs UNION into one
+    match graph, connected_components resolves TRANSITIVE identity,
+    and every record lands in a cluster with its size and canonical
+    (min) name.
 
-    Blocking is part of the MATCH DEFINITION, not just a plan
-    optimization — measured and kept deliberately: an unrestricted
-    levenshtein <= 1 pairing also matches DIFFERENT customers whose
-    key digits differ by one ('...001' vs '...002'), so the blocked
-    and unblocked matchers disagree semantically; the key is chosen
-    so every true alias (front-of-name edits) provably shares its
-    block while distinct keys never do. This is exactly why real ER
-    systems treat blocking-key design as a recall/precision decision
-    rather than an optimizer hint. Planted variants: every 50th customer gains a
-    one-deletion alias; every 100th ALSO gains a two-deletion alias
-    reachable only through the first — so the 3-record chains force
-    transitivity (see the oracle comment), singletons keep their own
-    rid, and cluster id = min rid is a pure function of the data.
+    Two blocking passes, each a (key, verify-rule) pair — blocking is
+    part of the MATCH DEFINITION, not just a plan optimization, and
+    so is each pass's verify rule:
+    - PASS 1 (suffix key, right(name, 7)): catches front-of-name
+      edits — deletion-stable over the head, key-unique to 10M
+      customers, verify = lev <= 1. An unrestricted lev <= 1 pairing
+      would also match DIFFERENT customers whose key digits differ by
+      one ('...001' vs '...002'); the suffix key provably never
+      co-blocks distinct keys.
+    - PASS 2 (prefix key, substr(name, 1, 16)): catches edits INSIDE
+      the suffix the first key misses (r13 VERDICT: single-pass
+      blocking is a recall hole). Distinct customers DO share prefix
+      blocks (a block spans 100 consecutive keys), so this pass's
+      verify rule is sharpened to insertion/deletion-only matches
+      (lev <= 1 AND length differs): the alias family is edits, and
+      an equal-length lev-1 pair inside a prefix block is precisely
+      the '...001'-vs-'...002' substitution class that is NOT an
+      alias. The prefix length is the block-granularity knob (16 ->
+      blocks of 100 keys; production tunes it to bound block size).
+    Multi-pass recall composes by UNION: a true pair needs to survive
+    ANY one pass; the union dedups before clustering.
 
-    Shape: one equi-join keyed on the block (never an all-pairs NLJ),
-    integer edit distances, then the fixpoint component rounds over a
-    match-graph-sized edge relation — the same geometry at 100 TB
-    with the block key sized so block cardinality stays bounded."""
+    Planted variants: every 50th customer gains a one-deletion alias;
+    every 100th ALSO gains a two-deletion alias reachable only
+    through the first — the 3-record chains force transitivity (see
+    the oracle comment) — and every 150th gains a TRAILING-JUNK alias
+    (name || 'x') whose edit sits inside the last-7 suffix: pass 1
+    provably misses it (its suffix ends in 'x'; no other record's
+    does), so its cluster membership is pass 2's contribution, while
+    'x' being outside the digit alphabet keeps it unambiguous (a
+    19-char alias is deletion-1 from its own base ONLY). Singletons
+    keep their own rid; cluster id = min rid is a pure function of
+    the data.
+
+    Shape: two equi-joins keyed on the blocks (never an all-pairs
+    NLJ), integer edit distances, one union-dedup exchange of
+    match-graph-sized edges, then the fixpoint component rounds —
+    the same geometry at 100 TB with each key sized so block
+    cardinality stays bounded."""
     from pyspark.sql import Window
 
     from clif_spark.operators import graph as G
@@ -835,18 +870,29 @@ def dedup_entity_clusters(spark, sf_dir):
           .select((key + 2000000).cast("long").alias("rid"),
                   F.concat(F.substring("c_name", 1, 3),
                            F.expr("substr(c_name, 6)")).alias("name")))
-    recs = base.unionByName(v1).unionByName(v2) \
-        .withColumn("bk", F.expr("right(name, 7)")) \
+    v3 = (cust.filter(key % 150 == 0)
+          .select((key + 3000000).cast("long").alias("rid"),
+                  F.concat(F.col("c_name"), F.lit("x")).alias("name")))
+    recs = base.unionByName(v1).unionByName(v2).unionByName(v3) \
         .localCheckpoint(eager=True)
-    a = recs.select(F.col("rid").alias("arid"),
-                    F.col("name").alias("aname"), "bk")
-    b = recs.select(F.col("rid").alias("brid"),
-                    F.col("name").alias("bname"), "bk")
-    edges = (a.join(b, "bk")
-             .filter((F.col("arid") < F.col("brid"))
-                     & (F.levenshtein("aname", "bname") <= 1))
-             .select(F.col("arid").alias("src"),
-                     F.col("brid").alias("dst")))
+
+    def _pair_pass(bk, extra_rule=None):
+        a = recs.select(F.col("rid").alias("arid"),
+                        F.col("name").alias("aname"), bk.alias("bk"))
+        b = recs.select(F.col("rid").alias("brid"),
+                        F.col("name").alias("bname"), bk.alias("bk"))
+        cond = ((F.col("arid") < F.col("brid"))
+                & (F.levenshtein("aname", "bname") <= 1))
+        if extra_rule is not None:
+            cond = cond & extra_rule
+        return (a.join(b, "bk").filter(cond)
+                .select(F.col("arid").alias("src"),
+                        F.col("brid").alias("dst")))
+
+    e1 = _pair_pass(F.expr("right(name, 7)"))
+    e2 = _pair_pass(F.substring("name", 1, 16),
+                    F.length("aname") != F.length("bname"))
+    edges = e1.unionByName(e2).distinct()
     comp = G.connected_components(edges)
     out = (recs.join(comp.withColumnRenamed("node", "rid"),
                      "rid", "left")
