@@ -1963,7 +1963,14 @@ def _anchor_rows(spark, sf_dir):
     resolver, nested markup stripped under the html_to_text tag rule.
     web_anchor_text aggregates it per edge; web_host_bm25f tokenizes
     it as the anchor FIELD of the target host."""
-    d = io.load_table(spark, sf_dir, "documents")
+    return _anchor_rows_from(io.load_table(spark, sf_dir, "documents"))
+
+
+def _anchor_rows_from(d):
+    """_anchor_rows over an explicit documents relation — the
+    delivery-scoped form web_bm25f_incremental folds per delivery
+    (anchors belong to the page that CARRIES them, so splitting the
+    corpus splits the anchor relation exactly)."""
     n = F.regexp_extract("source", r"(\d+)", 1).cast("int")
     m = (F.col("doc_id") % 40).cast("string")
     extra = F.when(
@@ -2120,21 +2127,53 @@ def web_host_bm25f(spark, sf_dir):
     100 TB the anchor field costs the anchor extraction the link
     graph already pays; the posting aggregate is the one corpus-sized
     exchange, scoring adds host-sized state only."""
-    from pyspark.sql import Window
+    bcounts, acounts = _bm25f_counts(
+        io.load_table(spark, sf_dir, "documents"))
+    return _bm25f_score(bcounts, acounts)
 
-    d = io.load_table(spark, sf_dir, "documents")
+
+def _bm25f_counts(d):
+    """The BM25F posting-count leg over an explicit documents
+    relation: ONE tokenize pass per field into (host, term, c) counts
+    — the inverted-index relation every downstream stat derives from.
+    Split out so web_bm25f_incremental can fold PER-DELIVERY partials
+    into a standing store (counts are additive: each page lives in
+    exactly one delivery, so per-delivery counts SUM to the batch
+    counts bit-for-bit). Anchor counts here are UNFILTERED by target
+    host — the known-host cut happens at scoring time against the
+    standing body store, so an anchor can arrive before its target's
+    body does (the crawl-order reality an incremental index lives
+    with)."""
     host = F.concat("source", F.lit(".example.com")).alias("host")
-    # ONE tokenize pass per field: the (host, term) posting counts are
-    # the inverted-index relation, and every downstream stat (field
-    # lengths, totals, query tfs) derives from the CHECKPOINTED counts
-    # — without this the lengths, totals and tf legs each re-ran the
-    # corpus scan / anchor regex extraction (3 scans per field, the
-    # pagerank multi-reference lesson in aggregate form)
     btoks = d.select(
         host, F.explode(F.split(F.lower("text"), " ")).alias("term"))
     bcounts = (btoks.groupBy("host", "term")
-               .agg(F.count(F.lit(1)).cast("long").alias("c"))
-               .localCheckpoint(eager=True))
+               .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    atoks = (_anchor_rows_from(d)
+             .select(urlfn.url_host(F.col("dst_url")).alias("host"),
+                     "atext")
+             .filter(F.col("atext") != "")
+             .select("host", F.explode(F.split(F.lower("atext"), " "))
+                     .alias("term")))
+    acounts = (atoks.groupBy("host", "term")
+               .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    return bcounts, acounts
+
+
+def _bm25f_score(bcounts, acounts):
+    """The BM25F scoring leg over (host, term, c) posting counts —
+    identical arithmetic whether the counts come from a batch
+    tokenize (web_host_bm25f) or a standing fold store
+    (web_bm25f_incremental); both gate under the same whole-corpus
+    oracle, which is what makes the store's bit-equality claim
+    checkable. Counts are CHECKPOINTED here: every downstream stat
+    (field lengths, totals, query tfs) re-references them — without
+    this the lengths, totals and tf legs each re-ran the corpus scan
+    / anchor regex extraction (3 scans per field, the pagerank
+    multi-reference lesson in aggregate form)."""
+    from pyspark.sql import Window
+
+    bcounts = bcounts.localCheckpoint(eager=True)
     # hosts with >= 1 body token == distinct source hosts (split('')
     # yields one empty token in both engines, so no host drops out)
     hosts = bcounts.select("host").distinct().localCheckpoint(
@@ -2143,15 +2182,7 @@ def web_host_bm25f(spark, sf_dir):
     blen = bcounts.groupBy("host").agg(
         F.sum("c").cast("long").alias("len_b"))
     btot = blen.agg(F.sum("len_b").cast("double").alias("tot_b"))
-    atoks = (_anchor_rows(spark, sf_dir)
-             .select(urlfn.url_host(F.col("dst_url")).alias("host"),
-                     "atext")
-             .filter(F.col("atext") != "")
-             .join(hosts, "host", "semi")
-             .select("host", F.explode(F.split(F.lower("atext"), " "))
-                     .alias("term")))
-    acounts = (atoks.groupBy("host", "term")
-               .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    acounts = (acounts.join(hosts, "host", "semi")
                .localCheckpoint(eager=True))
     alen = acounts.groupBy("host").agg(
         F.sum("c").cast("long").alias("len_a"))
@@ -2195,6 +2226,66 @@ def web_host_bm25f(spark, sf_dir):
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= 10)
             .select("host", "score_micros", "rank"))
+
+
+@query("web_bm25f_incremental", oracle=_HOST_BM25F_ORACLE)
+def web_bm25f_incremental(spark, sf_dir):
+    """D5b-f-inc (engine ext.): INCREMENTAL posting/index maintenance
+    for fielded retrieval — the (host, term, field) posting counts
+    BM25F scores from are kept as a STANDING aggregate store
+    (streaming.fold_agg_snapshot — additive integer folds) instead of
+    being re-tokenized from the whole corpus each crawl delivery,
+    closing crawl -> index -> retrieve as a live loop the way
+    CDX/mirror-sets/PageRank already are. The corpus arrives as two
+    deliveries (doc parity); each folds its per-delivery body AND
+    anchor partial counts at O(delivery tokens + touched postings), a
+    redelivery of delivery 1 at its own ordinal must SKIP (the
+    additive-fold replay guard, probed in-row — if it rots, every
+    count double-counts and the hash flips), and scoring reads the
+    standing store through the IDENTICAL _bm25f_score leg the batch
+    row uses. Because posting counts merge by exact integer SUM and
+    every page lives in exactly one delivery, the standing store
+    equals the batch tokenize BIT-FOR-BIT — the oracle is literally
+    web_host_bm25f's whole-corpus SQL, which is the gate's point.
+    Anchor partials fold UNFILTERED by target host (an anchor can
+    arrive before its target's body — the crawl-order reality); the
+    known-host cut happens at scoring time against the standing body
+    field.
+
+    Production shape: per delivery one tokenize + one
+    posting-relation-sized fold exchange, never O(corpus history);
+    the store is the CDC snapshot format, so compaction/time-travel
+    apply unchanged."""
+    import tempfile
+
+    from clif_spark import streaming as STR
+
+    d = io.load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="clif_bm25f_store_")
+    did = F.col("doc_id")
+    for v in (0, 1):
+        part = d.filter(did % 2 == v)
+        bc, ac = _bm25f_counts(part)
+        partial = (bc.withColumn("field", F.lit("body"))
+                   .unionByName(ac.withColumn("field", F.lit("anchor"))))
+        STR.fold_agg_snapshot(partial, root,
+                              keys=["host", "term", "field"], version=v,
+                              add_cols=["c"], lineage="bm25f-postings")
+    # replay-guard probe: refolding delivery 1 at its ordinal must skip
+    rb, ra = _bm25f_counts(d.filter(did % 2 == 1))
+    redo = (rb.withColumn("field", F.lit("body"))
+            .unionByName(ra.withColumn("field", F.lit("anchor"))))
+    if STR.fold_agg_snapshot(redo, root,
+                             keys=["host", "term", "field"], version=1,
+                             add_cols=["c"],
+                             lineage="bm25f-postings") is not None:
+        raise RuntimeError("additive-fold redelivery must skip")
+    stored = STR.read_cdc_snapshot(spark, root)
+    return _bm25f_score(
+        stored.filter(F.col("field") == "body")
+              .select("host", "term", "c"),
+        stored.filter(F.col("field") == "anchor")
+              .select("host", "term", "c"))
 
 
 @query(
