@@ -4320,6 +4320,115 @@ def web_cdx_revisit(spark, sf_dir):
 
 
 @query(
+    "web_warc_revisit_roundtrip",
+    oracle=f"""
+    SELECT {_DOC_URL_SQL} AS uri,
+           CASE WHEN doc_id % 4 <> 3 AND doc_id % 5 <> 0
+                THEN 'revisit' ELSE 'response' END AS warc_type,
+           md5(text) AS resolved_digest,
+           CAST(CASE WHEN doc_id % 4 <> 3 AND doc_id % 5 <> 0
+                     THEN 0 ELSE strlen(text) END AS BIGINT)
+             AS stored_bytes
+    FROM documents
+    """,
+)
+def web_warc_revisit_roundtrip(spark, sf_dir):
+    """S9f write side (engine ext.): revisit-record EMISSION — the
+    storage half of crawl-over-crawl dedup web_cdx_revisit only
+    classified. Crawl 1 (the web_cdx_revisit prev fixture: 3/4 of
+    URIs, every fifth with since-changed content) is built, sharded
+    and parsed into a standing CDX-style index (uri, digest, file_id,
+    record_offset, record_id). Crawl 2 refetches EVERYTHING; each
+    capture whose digest matches its own URI's indexed digest is
+    written as a WARC ``revisit`` record (identical-payload-digest
+    profile — NO payload stored, just the digest + refers-to headers,
+    warc.build_warc_revisit_records), everything else as a full
+    response. The crawl-2 shards are then read back COLD: response
+    rows resolve from their own payload; revisit rows carry zero
+    payload bytes and resolve through the INDEX — (uri, digest)
+    pairs back to the referred capture's (file_id, record_offset) and
+    read_records_at fetches the original bytes from the crawl-1
+    shards. The gate checks the full loop: every capture's resolved
+    digest must equal md5 of its true text, and stored_bytes must be
+    0 exactly on the revisit class (the measured storage saving — at
+    typical unchanged-rates most of a recrawl stores as pointers).
+
+    100 TB shape: the index is capture-count sized (never corpus
+    sized); emission is one uri-keyed join against it; resolution is
+    the same O(record) point-read path the CDX rows gate. No new
+    exchange class — the write side reuses the read side's index."""
+    d = io.load_table(spark, sf_dir, "documents")
+    nshards = _shard_count(d)
+    # --- crawl 1: build, shard, index ---
+    prev_pay = (F.when(F.col("doc_id") % 5 == 0,
+                       F.concat("text", F.lit("-v0")))
+                .otherwise(F.col("text")))
+    prev_docs = (d.filter(F.col("doc_id") % 4 != 3)
+                 .select("doc_id", _doc_url_col().alias("url"),
+                         prev_pay.alias("ptext"),
+                         (F.col("doc_id") % nshards).alias("file_id")))
+    prev_files = warc.assemble_warc_files(
+        warc.build_warc_records(prev_docs, payload_col="ptext"),
+        gzip_records="mixed").localCheckpoint(eager=True)
+    cdx_prev = (warc.parse_warc(prev_files)
+                .filter(F.col("warc_type") == "response")
+                .select(F.col("target_uri").alias("url"),
+                        F.md5(F.col("payload_text")).alias("pdigest"),
+                        F.col("record_id").alias("prev_id"),
+                        "file_id", "record_offset")
+                .localCheckpoint(eager=True))
+    # --- crawl 2: emit revisit where the indexed digest matches ---
+    cur = (d.select("doc_id", _doc_url_col().alias("url"), "text",
+                    F.md5("text").alias("digest"),
+                    (F.col("doc_id") % nshards).alias("file_id"))
+           .join(cdx_prev.select("url", "pdigest", "prev_id"),
+                 "url", "left"))
+    is_rev = F.coalesce(F.col("pdigest") == F.col("digest"),
+                        F.lit(False))
+    resp_recs = warc.build_warc_records(cur.filter(~is_rev))
+    rev_recs = warc.build_warc_revisit_records(
+        cur.filter(is_rev), refers_to_id_col="prev_id",
+        warc_date="2026-02-01T00:00:00Z")
+    cur_files = warc.assemble_warc_files(
+        resp_recs.select("doc_id", "file_id", "record")
+        .unionByName(rev_recs.select("doc_id", "file_id", "record")),
+        gzip_records="mixed").localCheckpoint(eager=True)
+    # --- cold read-back + resolution ---
+    parsed = warc.parse_warc(cur_files).localCheckpoint(eager=True)
+    resp_out = (parsed.filter(F.col("warc_type") == "response")
+                .select(F.col("target_uri").alias("uri"),
+                        F.lit("response").alias("warc_type"),
+                        F.md5(F.col("payload_text"))
+                         .alias("resolved_digest"),
+                        F.octet_length("payload").cast("long")
+                         .alias("stored_bytes")))
+    rev_rows = (parsed.filter(F.col("warc_type") == "revisit")
+                .select(F.col("refers_to_uri").alias("url"),
+                        F.regexp_replace("payload_digest", "^md5:", "")
+                         .alias("rdigest"),
+                        F.octet_length("payload").cast("long")
+                         .alias("stored_bytes")))
+    # digest pairing THROUGH the index: (uri, digest) -> referred span
+    pairs = (rev_rows.join(
+        cdx_prev,
+        (rev_rows["url"] == cdx_prev["url"])
+        & (rev_rows["rdigest"] == cdx_prev["pdigest"]))
+        .select(rev_rows["url"].alias("url"), "stored_bytes",
+                "file_id", "record_offset")
+        .localCheckpoint(eager=True))
+    fetched = (warc.read_records_at(
+        prev_files, pairs.select("file_id", "record_offset"))
+        .filter(F.col("warc_type") == "response")
+        .select(F.col("target_uri").alias("url"),
+                F.md5(F.col("payload_text")).alias("resolved_digest")))
+    rev_out = (pairs.join(fetched, "url")
+               .select(F.col("url").alias("uri"),
+                       F.lit("revisit").alias("warc_type"),
+                       "resolved_digest", "stored_bytes"))
+    return resp_out.unionByName(rev_out)
+
+
+@query(
     "web_mirror_sets",
     oracle=f"""
     WITH RECURSIVE

@@ -62,6 +62,12 @@ PARSED_WARC_SCHEMA = T.StructType([
     # charset-aware decode of `payload` (see decode_text in the parser
     # factory); NULL for non-text content types
     T.StructField("payload_text", T.StringType()),
+    # revisit-pairing headers (ISO 28500 §6.7 / Common Crawl practice):
+    # WARC-Payload-Digest labels the content a revisit record points at
+    # without storing it, WARC-Refers-To-Target-URI names the referred
+    # capture — both NULL on records that don't carry them
+    T.StructField("payload_digest", T.StringType()),
+    T.StructField("refers_to_uri", T.StringType()),
 ])
 
 
@@ -243,6 +249,68 @@ def build_warc_aux_records(
                F.concat(head, payload, F.lit(CRLF + CRLF))))
 
 
+def build_warc_revisit_records(
+    df: DataFrame,
+    url_col: str = "url",
+    digest_col: str = "digest",
+    refers_to_id_col: str | None = None,
+    refers_to_date: str = "2026-01-01T00:00:00Z",
+    warc_date: str = "2026-01-01T00:00:00Z",
+) -> DataFrame:
+    """Serialize each row as one WARC/1.1 ``revisit`` record
+    (identical-payload-digest profile, ISO 28500 §6.7.2) — the write
+    side of crawl-over-crawl dedup: when a refetch's payload digest
+    matches a capture the standing index already holds, Common Crawl
+    STORES A POINTER instead of the payload (a revisit record carries
+    no content block), and readers resolve the bytes through the CDX
+    index via (WARC-Refers-To-Target-URI, WARC-Payload-Digest). At
+    100 TB and typical unchanged-rates this is the difference between
+    re-storing most of the web every crawl and storing deltas.
+
+    Per row: ``url_col`` is the refetched URI (also the referred
+    capture's URI — the identical-payload-digest profile's usual
+    shape), ``digest_col`` the bare md5 hex of the payload NOT stored
+    (emitted as ``WARC-Payload-Digest: md5:<hex>``), and optional
+    ``refers_to_id_col`` the referred record's WARC-Record-ID (bare
+    urn, no angle brackets — e.g. straight from a parsed prev-crawl
+    row). Record ids derive from 'revisit:' + url so they never
+    collide with the response record's url-derived id. Same
+    pure-Catalyst shape and fail-fast NULL policy as
+    ``build_warc_records``; Content-Length is 0 by construction."""
+    url = F.col(url_col)
+    digest = F.col(digest_col)
+    guard = F.assert_true(
+        url.isNotNull() & digest.isNotNull(),
+        F.concat(F.lit("build_warc_revisit_records: NULL "),
+                 F.when(url.isNull(), F.lit(f"url ({url_col})"))
+                  .otherwise(F.lit(f"digest ({digest_col})")),
+                 F.lit(" — a revisit record requires both a target URI"
+                       " and the payload digest it points at")))
+    profile = ("http://netpreserve.org/warc/1.1/revisit/"
+               "identical-payload-digest")
+    refers_id = (
+        F.concat(F.lit("WARC-Refers-To: <"), F.col(refers_to_id_col),
+                 F.lit(">" + CRLF))
+        if refers_to_id_col is not None else F.lit(""))
+    head = F.concat(
+        F.lit("WARC/1.1" + CRLF),
+        F.lit("WARC-Type: revisit" + CRLF),
+        F.lit("WARC-Record-ID: <"),
+        deterministic_record_id(F.concat(F.lit("revisit:"), url)),
+        F.lit(">" + CRLF),
+        F.lit(f"WARC-Date: {warc_date}" + CRLF),
+        F.lit("WARC-Target-URI: "), url, F.lit(CRLF),
+        F.lit(f"WARC-Profile: {profile}" + CRLF),
+        F.lit("WARC-Payload-Digest: md5:"), digest, F.lit(CRLF),
+        refers_id,
+        F.lit("WARC-Refers-To-Target-URI: "), url, F.lit(CRLF),
+        F.lit(f"WARC-Refers-To-Date: {refers_to_date}" + CRLF),
+        F.lit("Content-Length: 0" + CRLF + CRLF))
+    return df.withColumn(
+        "record",
+        F.when(guard.isNull(), F.concat(head, F.lit(CRLF + CRLF))))
+
+
 # --- parser ------------------------------------------------------------
 
 
@@ -333,13 +401,15 @@ def _parser_fns():
                        headers.get("warc-record-id", "").strip("<>"),
                        headers.get("warc-target-uri"),
                        headers.get("warc-date"), status, http_ct, payload,
-                       decode_text(payload, http_ct))
+                       decode_text(payload, http_ct),
+                       headers.get("warc-payload-digest"),
+                       headers.get("warc-refers-to-target-uri"))
             except (ValueError, KeyError, IndexError):
                 # one bad record -> one visible 'invalid' row, then
                 # resync to the next record magic; never discard the
                 # rest of the file
                 yield (file_id, start, "invalid", None, None, None,
-                       None, None, None, None)
+                       None, None, None, None, None, None)
                 nxt = buf.find(b"\r\nWARC/", start + 1)
                 pos = n if nxt < 0 else nxt + 2
 
@@ -476,7 +546,7 @@ def read_records_at(files_df: DataFrame, lookups_df: DataFrame,
                         # debugging a stale index needs to see the
                         # miss)
                         rec = (int(fid), off, "invalid", None, None,
-                               None, None, None, None, None)
+                               None, None, None, None, None, None, None)
                     # rebase the parser's slice-relative offset to the
                     # requested absolute one
                     rows.append((int(fid), off) + rec[2:])
@@ -572,7 +642,7 @@ def parse_warc_members(df: DataFrame, file_id_col: str = "file_id",
                         # scan for inside one), never a task failure
                         rows.append((fid, base, "invalid", None, None,
                                      None, None, None, None, None,
-                                     cpos, len(raw) - cpos))
+                                     None, None, cpos, len(raw) - cpos))
                 else:
                     recs = list(parse_records(raw, fid))
                     for i, rec in enumerate(recs):
@@ -646,7 +716,7 @@ def read_records_at_members(files_df: DataFrame, lookups_df: DataFrame,
                         rec = None  # torn span / corrupt member
                     if rec is None:
                         rec = (fid, off, "invalid", None, None,
-                               None, None, None, None, None)
+                               None, None, None, None, None, None, None)
                     rows.append((fid, off) + rec[2:] + (off, ln))
             yield pd.DataFrame(rows, columns=cols)
 

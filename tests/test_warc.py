@@ -498,3 +498,50 @@ def test_member_parse_corrupt_tail_junk_policy(spark):
     assert len(bad) == 1
     assert bad[0].member_offset == len(m1)
     assert bad[0].member_length == len(m2)
+
+
+def test_revisit_record_roundtrip_carries_pairing_headers(spark):
+    """build_warc_revisit_records emits a spec-shaped revisit record —
+    no content block, identical-payload-digest profile, the pairing
+    headers (WARC-Payload-Digest, WARC-Refers-To-Target-URI) — and the
+    parser surfaces both headers as columns so a reader can resolve
+    the referred capture through the CDX index without the payload."""
+    from clif_spark import warc
+
+    rows = spark.createDataFrame(
+        [(1, "https://a.example/x", "d41d8cd98f00b204e9800998ecf8427e",
+          "urn:uuid:12345678-1234-1234-1234-123456789abc")],
+        "doc_id long, url string, digest string, prev_id string")
+    recs = warc.build_warc_revisit_records(
+        rows, refers_to_id_col="prev_id",
+        warc_date="2026-02-01T00:00:00Z")
+    files = warc.assemble_warc_files(
+        recs.withColumn("file_id", F.lit(0).cast("long")))
+    got = warc.parse_warc(files).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.warc_type == "revisit"
+    assert r.target_uri == "https://a.example/x"
+    assert r.payload == b""                       # no stored payload
+    assert r.payload_digest == \
+        "md5:d41d8cd98f00b204e9800998ecf8427e"
+    assert r.refers_to_uri == "https://a.example/x"
+    # the raw bytes carry the profile and the referred record id
+    raw = files.collect()[0].content
+    assert b"WARC-Profile: http://netpreserve.org/warc/1.1/revisit/" \
+           b"identical-payload-digest" in raw
+    assert b"WARC-Refers-To: <urn:uuid:12345678-1234-1234-1234-" \
+           b"123456789abc>" in raw
+    assert b"Content-Length: 0" in raw
+    # a response record in the same shard still parses with NULL
+    # pairing columns
+    resp = warc.build_warc_records(
+        spark.createDataFrame([(2, "https://b.example/y", "hi")],
+                              "doc_id long, url string, text string"))
+    both = warc.assemble_warc_files(
+        recs.select("doc_id", "record")
+            .unionByName(resp.select("doc_id", "record"))
+            .withColumn("file_id", F.lit(0).cast("long")))
+    by = {r.warc_type: r for r in warc.parse_warc(both).collect()}
+    assert by["response"].payload_digest is None
+    assert by["response"].refers_to_uri is None
