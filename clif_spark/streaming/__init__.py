@@ -928,7 +928,8 @@ def _lsm_dir_tier(path: str) -> int:
 
 def append_lsm_segment(batch_df: DataFrame, root: str, version: int,
                        tombstone_col: str = "is_delete",
-                       lineage: str = "lsm") -> str | None:
+                       lineage: str = "lsm",
+                       bloom_key: str | None = None) -> str | None:
     """Append one delivery as an immutable LSM segment — O(delivery)
     disk work, NOTHING rewritten (the whole point of the form). Rows
     are stamped with ``__seg`` = the delivery ordinal so the read-side
@@ -954,7 +955,14 @@ def append_lsm_segment(batch_df: DataFrame, root: str, version: int,
     Out-of-order versions are otherwise fine — the merge is by
     ``order`` at read time, not by apply order (unlike the additive
     fold, which is why that one needs the strict ordinal guard and
-    this one does not)."""
+    this one does not).
+
+    ``bloom_key=col`` additionally records a per-segment Bloom bitmap
+    over the delivery's ``col`` values in the store meta (one
+    O(delivery) aggregate) — the manifest entry ``read_lsm(key_eq=)``
+    point lookups prune segments with; folds carry it forward. Opt-in
+    per store: pass it consistently (the leading read key) or not at
+    all; bloom-less segments are conservatively kept by every read."""
     import os
 
     ckpt = _lsm_ckpt(lineage)
@@ -981,6 +989,11 @@ def append_lsm_segment(batch_df: DataFrame, root: str, version: int,
                            F.coalesce(F.col(tombstone_col), F.lit(False)))
                .withColumn("__seg", F.lit(version).cast("long")))
     stamped.write.mode("overwrite").parquet(seg)
+    if bloom_key is not None:
+        meta = _lsm_meta_read(root)
+        meta.setdefault("blooms", {})[os.path.basename(seg)] = \
+            _lsm_bloom_build(stamped, bloom_key)
+        _lsm_meta_write(root, meta)
     return seg
 
 
@@ -1018,10 +1031,102 @@ def _lsm_segment_stats(seg: str, col: str):
     return None if lo is None else (lo, hi)
 
 
+#: Bloom hash count shared by the build and probe sides (and with the
+#: dedup bloom machinery's default — the same filter math).
+_LSM_BLOOM_K = 5
+
+
+def _lsm_bloom_build(df: DataFrame, key_col: str,
+                     m_bits: int | None = None) -> dict:
+    """Per-segment Bloom bitmap over ``key_col`` — the manifest entry
+    that lets point lookups skip segments whose RANGE covers the key
+    but which never stored it (high-churn stores: every segment's
+    min/max straddles most keys, so footer stats alone prune nothing).
+    Reuses the dedup bloom machinery: xxhash64 under k fixed seeds mod
+    m, one map-side-combined ``bit_or`` aggregate. Keys hash through
+    CAST AS STRING so the probe literal can never type-drift from the
+    stored column (int vs bigint hash differently under xxhash64).
+
+    Sizing: next power of two >= 16 bits/key (k=5 -> ~0.1% false
+    positives), floored at 1024 and capped at 2^20 bits (128 KiB of
+    words — beyond that the FP rate degrades gracefully and pruning
+    only ever degrades to a no-op, never to a wrong read). The words
+    land in ``_lsm_meta.json`` as a sparse {word: bits} map — segment
+    metadata, not data; a production store would keep them as sidecar
+    manifest entries exactly like the footer stats.
+
+    The ``collect()`` here is BOUNDED by construction: m/64 <= 16384
+    rows of two longs."""
+    from clif_spark.dedup import _bloom_positions
+
+    if m_bits is None:
+        n = df.select(key_col).distinct().count()
+        m_bits = 1 << max(10, min(20, (16 * max(n, 1) - 1).bit_length()))
+    fp = df.select(F.col(key_col).cast("string").alias("fp"))
+    pos = fp.select(F.explode(
+        _bloom_positions(F.col("fp"), m_bits, _LSM_BLOOM_K)).alias("pos"))
+    words = (pos.select((F.col("pos") / 64).cast("long").alias("word"),
+                        F.expr("shiftleft(1L, cast(pos % 64 as int))")
+                         .alias("mask"))
+             .groupBy("word").agg(F.bit_or("mask").alias("bits"))
+             .collect())
+    return {"m": m_bits, "k": _LSM_BLOOM_K,
+            "words": {str(r["word"]): r["bits"] for r in words}}
+
+
+def _lsm_bloom_positions_of(spark: SparkSession, value, m_bits: int,
+                            k: int) -> list[int]:
+    """The probe value's k bit positions, computed by the ENGINE's own
+    xxhash64 (one single-row job) — build and probe share one hash
+    implementation, so they can never drift (reimplementing xxhash64
+    driver-side would be a second source of truth)."""
+    from clif_spark.dedup import _bloom_positions
+
+    row = spark.range(1).select(
+        _bloom_positions(F.lit(value).cast("string"), m_bits, k)
+        .alias("p")).first()
+    return [int(p) for p in row["p"]]
+
+
+def _lsm_bloom_excludes(bloom: dict, positions: list[int]) -> bool:
+    """True iff the bitmap PROVES absence (some probed bit unset) —
+    the only direction a Bloom filter may assert. Word values are the
+    engine's signed 64-bit longs; Python's arithmetic shift reads
+    their two's-complement bits correctly for indices 0..63."""
+    words = bloom["words"]
+    for pos in positions:
+        bits = words.get(str(pos // 64), 0)
+        if not (int(bits) >> (pos % 64)) & 1:
+            return True
+    return False
+
+
+def _lsm_blooms_after_fold(spark: SparkSession, meta: dict,
+                           retired: list[str], out_dir: str,
+                           key_col: str) -> dict:
+    """The meta's bloom map after a fold: retired segments' entries
+    drop, and — iff any retired source carried a bloom (i.e. the
+    caller opted into blooms for this store) — the fold artifact gets
+    a fresh bitmap built from its own written rows (exact: masked
+    rows dropped by the fold leave the new filter too)."""
+    import os
+
+    blooms = dict(meta.get("blooms", {}))
+    names = {os.path.basename(s) for s in retired}
+    had = any(n in blooms for n in names)
+    for n in names:
+        blooms.pop(n, None)
+    if had:
+        blooms[os.path.basename(out_dir)] = _lsm_bloom_build(
+            spark.read.parquet(out_dir), key_col)
+    return blooms
+
+
 def read_lsm(spark: SparkSession, root: str, keys: list[str],
              order: list[str], tombstone_col: str = "is_delete",
              lineage: str = "lsm",
              key_range: tuple | None = None,
+             key_eq=None,
              as_of: int | None = None) -> DataFrame:
     """Live rows of an LSM store: union every segment, keep per key the
     row sorting LAST by (``order``, ``__seg``) — the delivery-ordinal
@@ -1043,6 +1148,20 @@ def read_lsm(spark: SparkSession, root: str, keys: list[str],
     for an in-range key needs survives the prune; a segment without
     usable stats is conservatively kept.
 
+    ``key_eq=v`` is a POINT LOOKUP on the leading key: segments whose
+    per-segment Bloom bitmap (recorded at append/fold time via
+    ``append_lsm_segment(bloom_key=...)``) PROVES the key absent are
+    skipped before any data page is read, then the footer-stats prune
+    and the row filter apply as for ``key_range=(v, v)``. This is the
+    high-churn complement to the stats prune: when every segment's
+    min/max straddles most keys (spray workloads), ranges prune
+    nothing while blooms still cut the scan set to the segments that
+    ever STORED the key. Bit-identical to the unpruned read filtered
+    to equality — a bloom may only prove absence (zero false
+    negatives, the dedup_bloom_screen contract), and a segment
+    without a recorded bloom is conservatively kept. Mutually
+    exclusive with ``key_range``.
+
     ``as_of=N`` is a SNAPSHOT (time-travel) read: the live rows as
     they stood after delivery N — only rows with ``__seg`` <= N enter
     the keep-best, and seg- dirs for later deliveries are pruned from
@@ -1059,6 +1178,10 @@ def read_lsm(spark: SparkSession, root: str, keys: list[str],
     versions at or below the horizon)."""
     from clif_spark.operators import windows as _w
 
+    if key_eq is not None and key_range is not None:
+        raise ValueError("read_lsm: key_eq and key_range are mutually "
+                         "exclusive — a point lookup IS the degenerate "
+                         "range; pass one")
     ckpt = _lsm_ckpt(lineage)
     segs = _lsm_segments(root, ckpt)
     if not segs:
@@ -1083,6 +1206,24 @@ def read_lsm(spark: SparkSession, root: str, keys: list[str],
                 or _lsm_dir_version(s) <= as_of]
         # fold artifacts survive the dir prune (they may hold rows at
         # or below as_of); the row filter below bounds their content
+    if key_eq is not None:
+        import os
+
+        blooms = _lsm_meta_read(root).get("blooms", {})
+        pos_cache: dict[tuple, list[int]] = {}
+        kept = []
+        for s in segs:
+            b = blooms.get(os.path.basename(s))
+            if b is not None:
+                mk = (b["m"], b["k"])
+                if mk not in pos_cache:
+                    pos_cache[mk] = _lsm_bloom_positions_of(
+                        spark, key_eq, b["m"], b["k"])
+                if _lsm_bloom_excludes(b, pos_cache[mk]):
+                    continue
+            kept.append(s)
+        segs = kept
+        key_range = (key_eq, key_eq)  # stats prune + row filter below
     if key_range is not None:
         lo, hi = key_range
         kept = []
@@ -1202,7 +1343,9 @@ def compact_lsm(spark: SparkSession, root: str, keys: list[str],
     # ledger before retirement too: once the meta lists the folded
     # versions, a redelivery skips even if a crash strands a source dir
     _lsm_meta_write(root, {"ckpt": ckpt, "folded": folded,
-                           "dropped_through": dropped_through})
+                           "dropped_through": dropped_through,
+                           "blooms": _lsm_blooms_after_fold(
+                               spark, meta, fold, base, keys[0])})
     for s in fold:
         shutil.rmtree(s)
     return len(fold)
@@ -1286,7 +1429,9 @@ def maintain_lsm(spark: SparkSession, root: str, keys: list[str],
                            if os.path.basename(s).startswith("seg-")})
         _lsm_meta_write(root, {"ckpt": ckpt, "folded": folded,
                                "dropped_through":
-                                   meta.get("dropped_through", 0)})
+                                   meta.get("dropped_through", 0),
+                               "blooms": _lsm_blooms_after_fold(
+                                   spark, meta, members, out, keys[0])})
         for s in members:
             shutil.rmtree(s)
         folds += 1

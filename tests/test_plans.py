@@ -879,3 +879,55 @@ def test_registered_domains_suffix_join_is_hash_not_nested_loop(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsm_point_lookup_bloom_prunes_segments(spark, tmp_path):
+    """read_lsm(key_eq=): a segment whose footer min/max STRADDLES the
+    key but whose bloom proves it absent is pruned from the scan set
+    (the high-churn case where range stats prune nothing); the result
+    is bit-identical to the unpruned read filtered to equality, folds
+    carry the bloom onto their artifact, and bloom-less stores stay
+    conservatively unpruned."""
+    import json
+    import os
+
+    from clif_spark import streaming as STR
+
+    root = str(tmp_path / "store")
+    lin = "bloomtest"
+    rows = {
+        1: [("a", 1, False), ("z", 1, False)],   # range a..z covers 'm'
+        2: [("m", 2, False)],                    # the only holder of 'm'
+        3: [("b", 3, False), ("y", 3, False)],   # range b..y covers 'm'
+    }
+    for v, data in rows.items():
+        STR.append_lsm_segment(
+            spark.createDataFrame(
+                data, "k string, v long, is_delete boolean"),
+            root, v, lineage=lin, bloom_key="k")
+    got = STR.read_lsm(spark, root, ["k"], ["v"], lineage=lin,
+                       key_eq="m")
+    dirs = {f.split("/")[-2] for f in got.inputFiles()}
+    # footer stats alone keep all three segments; the bloom cuts to one
+    assert dirs == {d for d in dirs if d.startswith("seg-00000002")}
+    assert len(dirs) == 1
+    assert [(r.k, r.v) for r in got.collect()] == [("m", 2)]
+    # a never-stored key: every segment bloom-pruned, clean empty read
+    assert STR.read_lsm(spark, root, ["k"], ["v"], lineage=lin,
+                        key_eq="absent").count() == 0
+    # key_eq and key_range are mutually exclusive
+    import pytest
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        STR.read_lsm(spark, root, ["k"], ["v"], lineage=lin,
+                     key_eq="m", key_range=("a", "z"))
+    # a full fold retires the segment blooms and records one exact
+    # bitmap for the base; lookups through it stay correct
+    STR.compact_lsm(spark, root, ["k"], ["v"], lineage=lin)
+    with open(os.path.join(root, "_lsm_meta.json")) as fh:
+        blooms = json.load(fh)["blooms"]
+    assert len(blooms) == 1 and next(iter(blooms)).startswith("base-")
+    after = STR.read_lsm(spark, root, ["k"], ["v"], lineage=lin,
+                         key_eq="m")
+    assert [(r.k, r.v) for r in after.collect()] == [("m", 2)]
+    assert STR.read_lsm(spark, root, ["k"], ["v"], lineage=lin,
+                        key_eq="absent").count() == 0
