@@ -503,7 +503,65 @@ _VERIFY_FIRST_R13 = [
 # f7_f10_time_functions, f8_parse_roundtrip,
 # gopher_repetition_filter, j11_asof_forward_tolerance). After this
 # gate no oracle row's latest green predates r8.
-_VERIFY_FIRST = _VERIFY_FIRST_R13
+
+_VERIFY_FIRST_R14 = [
+    # --- never-driver-gated first (this round's registrations):
+    # incremental BM25F posting maintenance (standing fold store,
+    # gated bit-equal under the batch oracle) and WARC revisit-record
+    # emission (the S9f write side: zero-payload pointers resolved
+    # back through the CDX index) ---
+    "web_bm25f_incremental", "web_warc_revisit_roundtrip",
+    # --- changed-code re-gates (15 batch + stream_lsm at the tail):
+    # pagerank_personalized's node universe grew seeds (ADVICE) and
+    # strongly_connected_components gained the trim accelerant +
+    # self-loop singletons — scc/bowtie/personalized re-gate;
+    # registered_domains now implements the full PSL algebra
+    # (wildcard/exception/case); the anchor fixture planted the
+    # www/:443 element and the BM25F oracle adopted the url_host
+    # mirror — anchor_text/bm25f re-gate; dedup_entity_clusters went
+    # multi-pass; the WARC parser schema grew the revisit-pairing
+    # columns (every parse path widened) — io_warc_roundtrip, the CDX
+    # trio and pipeline_wet_export re-gate for it (the full suite's
+    # registry-wide sf0.001 parameterization covers the remaining
+    # WARC consumers); the LSM store grew per-segment blooms +
+    # key_eq point lookups — u12/u13/u14 re-gate ---
+    "web_pagerank_personalized", "web_host_scc", "web_bowtie_classes",
+    "web_registered_domain", "web_anchor_text", "web_host_bm25f",
+    "dedup_entity_clusters", "io_warc_roundtrip", "web_cdx_index",
+    "web_cdx_point_lookup", "web_cdx_member_contract",
+    "pipeline_wet_export", "u12_lsm_keep_best", "u13_lsm_size_tiered",
+    "u14_lsm_snapshot_read",
+    # --- the enumerated r14 due list: the full 32-row r8-latest
+    # cohort (the ONLY rows whose latest green predates r9), name
+    # order, stream at the tail ---
+    "dedup_semantic_incremental", "emb_label_centroids",
+    "f11_cast_clamp", "f12_hash_pseudonymize", "f15_minmax_normalize",
+    "f1_f2_classify_regex", "f3_f4_f5_dose_parse",
+    "f7_f10_time_functions", "f8_parse_roundtrip",
+    "gopher_repetition_filter", "j11_asof_forward_tolerance",
+    "mm_decode_meta", "mm_jpeg_progressive_pixel_stats",
+    "mm_media_meta", "mm_resize_meta", "mm_video_pixel_stats",
+    "o1_o2_topk", "p11_castability_extract", "pipeline_dialysis",
+    "pipeline_vitals", "q13_order_count_distribution",
+    "q14_promo_revenue", "r1_unpivot_measures", "r3_split_column",
+    "sample_stratified_rebalance", "u1_union_missing_cols",
+    "u2_u3_distinct_dedup", "u4_intersect_except",
+    "u5_upsert_keep_latest", "w10_funnel_conversion",
+    "w11_range_time_frame",
+    # --- streams at the tail (multi-second startup each): the due
+    # vitals stream and the LSM stream twin whose store code changed
+    # this round ---
+    "stream_vitals_hourly", "stream_lsm_keep_best",
+]
+# Exactly 50: 2 never-gated (web_bm25f_incremental,
+# web_warc_revisit_roundtrip) + 16 changed-code re-gates (15 batch +
+# stream_lsm_keep_best) + 32 due rows (31 batch in name order +
+# stream_vitals_hourly at the stream tail). The due list IS the
+# complete r8-latest cohort VERDICT r13 enumerated — after this gate
+# no oracle row's latest green predates r9 except this round's own
+# registrations. r15 due list = whatever r9-latest rows remain after
+# this round's pre-emptions (none were pre-empted: the cohort fit).
+_VERIFY_FIRST = _VERIFY_FIRST_R14
 
 # Rows-only queries (dedup_semantic, ann_ivf_trained_topk,
 # ann_cosine_topk_arrow, w15_ewma_smooth, text_bpe_tokenize,

@@ -2794,7 +2794,7 @@ def _host_scc_edges(spark, sf_dir):
     return base.unionByName(rev)
 
 
-@query("web_host_scc", oracle=_HOST_SCC_ORACLE)
+@query("web_host_scc", oracle=_HOST_SCC_ORACLE, headline=True)
 def web_host_scc(spark, sf_dir):
     """D5f (engine ext.): STRONGLY connected components over the host
     graph — the directed refinement of web_host_components, and the
