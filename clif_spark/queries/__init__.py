@@ -511,7 +511,8 @@ _VERIFY_FIRST_R14 = [
     # emission (the S9f write side: zero-payload pointers resolved
     # back through the CDX index) ---
     "web_bm25f_incremental", "web_warc_revisit_roundtrip",
-    # --- changed-code re-gates (15 batch + stream_lsm at the tail):
+    "u12b_lsm_point_lookup",
+    # --- changed-code re-gates (14 batch + stream_lsm at the tail):
     # pagerank_personalized's node universe grew seeds (ADVICE) and
     # strongly_connected_components gained the trim accelerant +
     # self-loop singletons — scc/bowtie/personalized re-gate;
@@ -529,7 +530,7 @@ _VERIFY_FIRST_R14 = [
     "web_registered_domain", "web_anchor_text", "web_host_bm25f",
     "dedup_entity_clusters", "io_warc_roundtrip", "web_cdx_index",
     "web_cdx_point_lookup", "web_cdx_member_contract",
-    "pipeline_wet_export", "u12_lsm_keep_best", "u13_lsm_size_tiered",
+    "u12_lsm_keep_best", "u13_lsm_size_tiered",
     "u14_lsm_snapshot_read",
     # --- the enumerated r14 due list: the full 32-row r8-latest
     # cohort (the ONLY rows whose latest green predates r9), name
@@ -553,14 +554,17 @@ _VERIFY_FIRST_R14 = [
     # this round ---
     "stream_vitals_hourly", "stream_lsm_keep_best",
 ]
-# Exactly 50: 2 never-gated (web_bm25f_incremental,
-# web_warc_revisit_roundtrip) + 16 changed-code re-gates (15 batch +
-# stream_lsm_keep_best) + 32 due rows (31 batch in name order +
-# stream_vitals_hourly at the stream tail). The due list IS the
-# complete r8-latest cohort VERDICT r13 enumerated — after this gate
-# no oracle row's latest green predates r9 except this round's own
-# registrations. r15 due list = whatever r9-latest rows remain after
-# this round's pre-emptions (none were pre-empted: the cohort fit).
+# Exactly 50: 3 never-gated (web_bm25f_incremental,
+# web_warc_revisit_roundtrip, u12b_lsm_point_lookup) + 15 changed-code
+# re-gates (14 batch + stream_lsm_keep_best; u12b's registration
+# pre-empted pipeline_wet_export's parser-schema re-gate — the CDX
+# trio + io_warc_roundtrip still cover the widened parser, and the
+# full suite's registry-wide sf0.001 parameterization gates the rest)
+# + 32 due rows (31 batch in name order + stream_vitals_hourly at the
+# stream tail). The due list IS the complete r8-latest cohort VERDICT
+# r13 enumerated — after this gate no oracle row's latest green
+# predates r9 except this round's own registrations. r15 due list =
+# the oldest r9-latest rows plus pipeline_wet_export.
 _VERIFY_FIRST = _VERIFY_FIRST_R14
 
 # Rows-only queries (dedup_semantic, ann_ivf_trained_topk,

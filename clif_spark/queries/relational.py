@@ -1493,6 +1493,52 @@ def u12_lsm_keep_best(spark, sf_dir):
     return STR.read_lsm(spark, root, ["k"], order)
 
 
+@query("u12b_lsm_point_lookup",
+       oracle=U12_LSM_KEEP_BEST_ORACLE.rstrip() + " AND k = 42\n")
+def u12b_lsm_point_lookup(spark, sf_dir):
+    """U12b (engine ext.): POINT LOOKUP on the LSM store through the
+    per-segment Bloom manifest (streaming.read_lsm(key_eq=) — r14):
+    the u12 lifecycle re-run with ``bloom_key='k'`` on every append
+    (compactions carry the bitmaps onto their fold artifacts), then
+    one equality lookup of a planted key. The oracle is the SAME
+    global keep-best SQL as u12 restricted to the key — bloom pruning
+    may only ever drop segments that provably never stored it, so the
+    lookup must be bit-identical to the full read filtered to
+    equality, across partial fold, out-of-order append, full fold,
+    folded redelivery and post-compaction delivery.
+
+    In-row probe: a never-stored key must come back EMPTY through the
+    definite-absence path (every segment bloom-pruned — zero false
+    negatives is the Bloom contract, and an FP only costs a wasted
+    scan leg, never a wrong row). The scan-set cut itself is
+    plan-asserted in tests/test_plans.py (straddling segments prune
+    to the single holder on a planted lookup).
+
+    100 TB: this is the read that makes a signature/URL store usable
+    as a LOOKUP SERVICE between compactions — O(segments-that-hold-
+    the-key) legs instead of O(segments-whose-range-covers-it), which
+    on spray workloads is the difference between one leg and all of
+    them."""
+    import tempfile
+
+    from clif_spark import streaming as STR
+
+    dv = _u12_deliveries(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="clif_lsm_pt_") + "/store"
+    order = ["score", "best_doc"]
+    STR.append_lsm_segment(dv[1], root, 1, bloom_key="k")
+    STR.append_lsm_segment(dv[3], root, 3, bloom_key="k")
+    STR.compact_lsm(spark, root, ["k"], order, keep_recent=1)
+    STR.append_lsm_segment(dv[2], root, 2, bloom_key="k")
+    STR.compact_lsm(spark, root, ["k"], order)
+    STR.append_lsm_segment(dv[4], root, 4, bloom_key="k")
+    # definite-absence probe: a key no delivery ever stored
+    if STR.read_lsm(spark, root, ["k"], order, key_eq=-5).count() != 0:
+        raise RuntimeError("bloom point lookup of a never-stored key "
+                           "must return no rows")
+    return STR.read_lsm(spark, root, ["k"], order, key_eq=42)
+
+
 @query("u13_lsm_size_tiered", oracle=U12_LSM_KEEP_BEST_ORACLE)
 def u13_lsm_size_tiered(spark, sf_dir):
     """U13 (engine ext.): SIZE-TIERED compaction scheduling on the LSM
