@@ -858,6 +858,14 @@ def dedup_entity_clusters(spark, sf_dir):
 
     from clif_spark.operators import graph as G
 
+    recs = _entity_recs(spark, sf_dir)
+    comp = G.connected_components(_entity_match_edges(recs, recs))
+    return _entity_cluster_report(recs, comp)
+
+
+def _entity_recs(spark, sf_dir):
+    """The ER fixture's standing record set: every customer plus the
+    three planted alias families (see dedup_entity_clusters)."""
     cust = io.load_table(spark, sf_dir, "customer")
     key = F.col("c_custkey")
     base = cust.select(key.cast("long").alias("rid"),
@@ -873,27 +881,45 @@ def dedup_entity_clusters(spark, sf_dir):
     v3 = (cust.filter(key % 150 == 0)
           .select((key + 3000000).cast("long").alias("rid"),
                   F.concat(F.col("c_name"), F.lit("x")).alias("name")))
-    recs = base.unionByName(v1).unionByName(v2).unionByName(v3) \
-        .localCheckpoint(eager=True)
+    return (base.unionByName(v1).unionByName(v2).unionByName(v3)
+            .localCheckpoint(eager=True))
 
+
+def _entity_match_edges(a, b):
+    """The two-pass blocked verify between record sets ``a`` and ``b``
+    (each (rid, name)) — the ER match definition factored so the batch
+    row runs it all-vs-all and the incremental row runs it
+    DELTA-vs-all (old-old pairs never re-verified): pass 1 = suffix-7
+    key + lev <= 1; pass 2 = prefix-16 key + lev <= 1 AND length
+    differs (insertion/deletion only — see dedup_entity_clusters for
+    why each pass carries its own verify rule). Pairs canonicalize to
+    (min rid, max rid) and the passes union-dedup, so an asymmetric
+    (delta, all) call yields each pair exactly once."""
     def _pair_pass(bk, extra_rule=None):
-        a = recs.select(F.col("rid").alias("arid"),
-                        F.col("name").alias("aname"), bk.alias("bk"))
-        b = recs.select(F.col("rid").alias("brid"),
-                        F.col("name").alias("bname"), bk.alias("bk"))
-        cond = ((F.col("arid") < F.col("brid"))
+        aa = a.select(F.col("rid").alias("arid"),
+                      F.col("name").alias("aname"), bk.alias("bk"))
+        bb = b.select(F.col("rid").alias("brid"),
+                      F.col("name").alias("bname"), bk.alias("bk"))
+        cond = ((F.col("arid") != F.col("brid"))
                 & (F.levenshtein("aname", "bname") <= 1))
         if extra_rule is not None:
             cond = cond & extra_rule
-        return (a.join(b, "bk").filter(cond)
-                .select(F.col("arid").alias("src"),
-                        F.col("brid").alias("dst")))
+        return (aa.join(bb, "bk").filter(cond)
+                .select(F.least("arid", "brid").alias("src"),
+                        F.greatest("arid", "brid").alias("dst")))
 
     e1 = _pair_pass(F.expr("right(name, 7)"))
     e2 = _pair_pass(F.substring("name", 1, 16),
                     F.length("aname") != F.length("bname"))
-    edges = e1.unionByName(e2).distinct()
-    comp = G.connected_components(edges)
+    return e1.unionByName(e2).distinct()
+
+
+def _entity_cluster_report(recs, comp):
+    """(rid, cluster, cluster_size, canonical_name) from a record set
+    and a components labeling — unmatched records are their own
+    cluster."""
+    from pyspark.sql import Window
+
     out = (recs.join(comp.withColumnRenamed("node", "rid"),
                      "rid", "left")
            .select("rid", "name",
@@ -903,6 +929,141 @@ def dedup_entity_clusters(spark, sf_dir):
         "rid", "cluster",
         F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
         F.min("name").over(w).alias("canonical_name"))
+
+
+# Incremental-ER oracle: the FULL recompute over standing records plus
+# the delivery's three delta families, same two-pass eedges, same
+# closure — what the engine must equal while touching old records only
+# through (a) the node-count-sized star labeling and (b) the blocks the
+# delta's keys actually hit. The truncated record is the hard case: a
+# dirty 17-char record (last digit dropped) is insertion-1 from every
+# base that restores EITHER missing digit position — its decade
+# (..50x) AND the x0 keys of its hundred-block (..5x0) via the
+# prefix-16 pass, plus the suffix-7 pass's shifted-digit family — so
+# ONE delta row must MERGE dozens of standing clusters (48 records at
+# sf0.01, verified member-by-member) — attach-only maintenance cannot
+# merge and flips the hash.
+DEDUP_ENTITY_INC_ORACLE = """
+    WITH RECURSIVE recs AS (
+      SELECT CAST(c_custkey AS BIGINT) AS rid, c_name AS name
+      FROM customer
+      UNION ALL
+      SELECT CAST(c_custkey + 1000000 AS BIGINT),
+             substr(c_name, 1, 3) || substr(c_name, 5)
+      FROM customer WHERE c_custkey % 50 = 0
+      UNION ALL
+      SELECT CAST(c_custkey + 2000000 AS BIGINT),
+             substr(c_name, 1, 3) || substr(c_name, 6)
+      FROM customer WHERE c_custkey % 100 = 0
+      UNION ALL
+      SELECT CAST(c_custkey + 3000000 AS BIGINT), c_name || 'x'
+      FROM customer WHERE c_custkey % 150 = 0
+      UNION ALL
+      SELECT CAST(c_custkey + 4000000 AS BIGINT),
+             substr(c_name, 1, 2) || substr(c_name, 4)
+      FROM customer WHERE c_custkey % 200 = 0
+      UNION ALL
+      SELECT CAST(c_custkey + 5000000 AS BIGINT),
+             substr(c_name, 1, 17)
+      FROM customer WHERE c_custkey % 500 = 0
+      UNION ALL
+      SELECT CAST(c_custkey + 6000000 AS BIGINT),
+             'Account#' || substr(c_name, 10)
+      FROM customer WHERE c_custkey % 300 = 0),
+    eedges AS (
+      SELECT LEAST(a.rid, b.rid) AS src, GREATEST(a.rid, b.rid) AS dst
+      FROM recs a JOIN recs b
+        ON right(a.name, 7) = right(b.name, 7) AND a.rid < b.rid
+       AND levenshtein(a.name, b.name) <= 1
+      UNION
+      SELECT LEAST(a.rid, b.rid), GREATEST(a.rid, b.rid)
+      FROM recs a JOIN recs b
+        ON substr(a.name, 1, 16) = substr(b.name, 1, 16)
+       AND a.rid < b.rid
+       AND len(a.name) <> len(b.name)
+       AND levenshtein(a.name, b.name) <= 1),
+    ue AS (SELECT src, dst FROM eedges
+           UNION SELECT dst, src FROM eedges),
+    reach(node, lab) AS (
+      SELECT src, src FROM ue
+      UNION
+      SELECT ue.dst, reach.lab FROM reach
+      JOIN ue ON ue.src = reach.node),
+    comp AS (SELECT node, MIN(lab) AS component
+             FROM reach GROUP BY node)
+    SELECT rid, cluster,
+           CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT)
+             AS cluster_size,
+           MIN(name) OVER (PARTITION BY cluster) AS canonical_name
+    FROM (SELECT r.rid, r.name,
+                 COALESCE(c.component, r.rid) AS cluster
+          FROM recs r LEFT JOIN comp c ON c.node = r.rid)
+    """
+
+
+@query("dedup_entity_incremental", oracle=DEDUP_ENTITY_INC_ORACLE)
+def dedup_entity_incremental(spark, sf_dir):
+    """J12-inc (engine ext.): INCREMENTAL entity resolution — a new
+    delivery of records joins the standing clusters WITHOUT
+    re-verifying old-old pairs, the maintenance shape every production
+    MDM runs (records arrive continuously; nobody re-resolves the
+    universe per delivery). Two pieces of standing state do the work:
+    the component labeling kept as STAR EDGES (rid -> cluster min; the
+    incremental-CC identity web_mirror_sets_incremental gated — each
+    old cluster is one star, so closure over star UNION new-match
+    edges equals the full recompute) and the record store itself,
+    which the delta probes ONLY through its blocking keys (the
+    equi-join touches just the blocks the delta's keys hit — at 100 TB
+    that is O(delta x block) work, never O(standing^2), and the
+    standing side would be the u12b point-lookup path against a
+    key-bucketed store).
+
+    The delivery plants three delta classes:
+    - every 200th customer gains a NEW front-deletion alias -> pass 1
+      attaches it to the standing cluster (the common case);
+    - every 500th contributes a TRUNCATED dirty record (last digit
+      dropped) that is insertion-1 from every base restoring either
+      missing digit position — its decade AND its hundred-block's x0
+      keys AND a suffix-shifted family -> one delta row MERGES dozens
+      of standing clusters (48 records in one cluster at sf0.01; the
+      hard case: attach-only maintenance cannot merge and flips the
+      hash — web_mirror_sets_incremental's bridge lesson in ER form,
+      and exactly how one dirty record poisons a real MDM);
+    - every 300th contributes an 'Account#...' record sharing its
+      customer's suffix BLOCK but failing verify (lev >> 1) -> a
+      blocked-but-rejected singleton, pinning that blocking alone
+      never matches.
+    The oracle is the full recompute over everything ever seen; the
+    engine reads old records only via the star relation and the
+    delta-hit blocks, which is the entire point."""
+    from clif_spark.operators import graph as G
+
+    recs = _entity_recs(spark, sf_dir)
+    # standing state: one ER run's labeling, compressed to star edges
+    comp0 = G.connected_components(_entity_match_edges(recs, recs))
+    star = (comp0.filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias("src"),
+                    F.col("component").alias("dst")))
+    cust = io.load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    v4 = (cust.filter(key % 200 == 0)
+          .select((key + 4000000).cast("long").alias("rid"),
+                  F.concat(F.substring("c_name", 1, 2),
+                           F.expr("substr(c_name, 4)")).alias("name")))
+    trunc = (cust.filter(key % 500 == 0)
+             .select((key + 5000000).cast("long").alias("rid"),
+                     F.substring("c_name", 1, 17).alias("name")))
+    fresh = (cust.filter(key % 300 == 0)
+             .select((key + 6000000).cast("long").alias("rid"),
+                     F.concat(F.lit("Account#"),
+                              F.expr("substr(c_name, 10)"))
+                      .alias("name")))
+    delta = (v4.unionByName(trunc).unionByName(fresh)
+             .localCheckpoint(eager=True))
+    # delta-vs-all verify: old-old pairs never recomputed
+    new_edges = _entity_match_edges(delta, recs.unionByName(delta))
+    merged = G.connected_components(star.unionByName(new_edges))
+    return _entity_cluster_report(recs.unionByName(delta), merged)
 
 
 @query(
