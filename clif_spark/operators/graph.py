@@ -335,26 +335,57 @@ def strongly_connected_components(edges: DataFrame,
         # TRIM to fixpoint: any live node missing an inbound or an
         # outbound live edge is a singleton SCC. Each layer's removal
         # can expose the next (a tail peels layer by layer), and every
-        # trimmed node's component is itself.
+        # trimmed node's component is itself. Layer cost discipline: a
+        # long path peels O(n) layers (two nodes per layer), so each
+        # layer is ONE endpoint-flag aggregation + the bookkeeping
+        # joins, with lineage checkpointed on an INTERVAL rather than
+        # eagerly per relation per layer — the first cut paid 4 eager
+        # checkpoints per layer and measured 427 s on a 2000-node
+        # path; interval checkpointing keeps plans bounded at a
+        # fraction of that job count.
+        layer = 0
         while True:
-            has_out = e.select(F.col("src").alias("node")).distinct()
-            has_in = e.select(F.col("dst").alias("node")).distinct()
-            core = (has_out.join(has_in, "node", "semi")
-                    .localCheckpoint(eager=True))
-            triv = (nodes.join(core, "node", "left_anti")
-                    .localCheckpoint(eager=True))
-            if triv.isEmpty():
+            layer += 1
+            # one pass over the CHECKPOINTED e: which endpoints have
+            # both an inbound AND an outbound live edge
+            # (cycle-eligible core). core stays un-checkpointed — its
+            # three references below each re-run one tiny agg over the
+            # flat e leaf, which beats a per-layer materialization job
+            # AND avoids the exponential-plan trap (every relation
+            # here must derive from a checkpointed leaf, never from
+            # another un-checkpointed derivation: the first cut of
+            # this loop chained nodes_k -> e_{k-1} -> nodes_{k-1} ...
+            # and OOM'd the driver on plan stringification alone).
+            flags = (e.select(F.col("src").alias("node"),
+                              F.lit(1).alias("o"), F.lit(0).alias("i"))
+                     .unionByName(
+                         e.select(F.col("dst").alias("node"),
+                                  F.lit(0).alias("o"),
+                                  F.lit(1).alias("i")))
+                     .groupBy("node")
+                     .agg(F.max("o").alias("o"), F.max("i").alias("i")))
+            core = (flags.filter((F.col("o") == 1) & (F.col("i") == 1))
+                    .select("node"))
+            now = (nodes.join(core, "node", "left_anti")
+                   .select("node", F.col("node").alias("component"))
+                   .localCheckpoint(eager=True))
+            if now.isEmpty():
                 break
-            now = triv.select("node", F.col("node").alias("component"))
-            settled = settled.unionByName(now).localCheckpoint(
-                eager=True)
+            settled = settled.unionByName(now)
             nodes = core
-            live = nodes.withColumnRenamed("node", "src")
-            e = (e.join(live, "src", "semi")
-                 .join(nodes.withColumnRenamed("node", "dst"),
+            e = (e.join(core.withColumnRenamed("node", "src"),
+                        "src", "semi")
+                 .join(core.withColumnRenamed("node", "dst"),
                        "dst", "semi")
                  .select("src", "dst")
                  .localCheckpoint(eager=True))
+            if layer % 64 == 0:
+                # settled is a union of checkpointed leaves (linear
+                # plan), but thousands of union nodes still slow the
+                # analyzer — fold it down on an interval
+                settled = settled.localCheckpoint(eager=True)
+        settled = settled.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=True)
         if nodes.isEmpty():
             return (settled, rounds) if return_rounds else settled
         rev = e.select(F.col("dst").alias("src"),
