@@ -1887,3 +1887,70 @@ def o5_global_sorted_index(spark, sf_dir):
     return idx.select(
         "doc_id", "n_chars", "global_rank",
         F.floor(F.col("global_rank") / 100).cast("long").alias("shard"))
+
+
+@query(
+    "o6_bucketed_colocated_join",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY segment
+    """,
+)
+def o6_bucketed_colocated_join(spark, sf_dir):
+    """O6 (engine ext.): BUCKETED CO-LOCATED JOIN — the publish-side
+    layout that makes the biggest fact-to-entity join at 100 TB
+    exchange-free (io.write_bucketed_table): orders and customer are
+    written bucketed by the join key into the same bucket count, so
+    the join consumes both scans' existing hash distribution — no
+    Exchange on EITHER side, the one shuffle class you cannot
+    broadcast away when neither side is dim-sized. The row PROBES the
+    plan in-flight (fail loud if an Exchange appears below the join,
+    or if the planner fell off the SortMergeJoin path — broadcast is
+    disabled for the probe exactly because at the target scale neither
+    side broadcasts), then gates the joined aggregate against the
+    plain-SQL join: the layout is a pure physical choice, so the
+    values must be bit-identical to the unbucketed plan's.
+
+    Table names are run-unique (bucketing metadata lives in the
+    metastore, so this is the one row that writes THROUGH saveAsTable
+    rather than a path — the interop surface a warehouse deployment
+    actually uses); the session conf is restored before returning."""
+    import uuid
+
+    o = io.load_table(spark, sf_dir, "orders")
+    c = io.load_table(spark, sf_dir, "customer")
+    sfx = uuid.uuid4().hex[:8]
+    t_o, t_c = f"o6_orders_{sfx}", f"o6_customer_{sfx}"
+    io.write_bucketed_table(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        t_o, "o_custkey", buckets=8)
+    io.write_bucketed_table(
+        c.select("c_custkey", "c_mktsegment"),
+        t_c, "c_custkey", buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table(t_o).join(
+            spark.table(t_c),
+            F.col("o_custkey") == F.col("c_custkey"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            raise RuntimeError(
+                "bucketed co-located join planned an Exchange — the "
+                "layout's entire point is that it must not:\n" + plan)
+        if "SortMergeJoin" not in plan:
+            raise RuntimeError(
+                "bucketed join probe expected the SortMergeJoin path:\n"
+                + plan)
+        return spark.sql(f"""
+            SELECT c.c_mktsegment AS segment,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   {sql_dsum('o.o_totalprice')} AS revenue
+            FROM {t_o} o JOIN {t_c} c ON o.o_custkey = c.c_custkey
+            GROUP BY segment
+        """)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
