@@ -859,7 +859,8 @@ def dedup_entity_clusters(spark, sf_dir):
     from clif_spark.operators import graph as G
 
     recs = _entity_recs(spark, sf_dir)
-    comp = G.connected_components(_entity_match_edges(recs, recs))
+    comp = G.connected_components(
+        _entity_match_edges(recs, recs, symmetric=True))
     return _entity_cluster_report(recs, comp)
 
 
@@ -885,7 +886,7 @@ def _entity_recs(spark, sf_dir):
             .localCheckpoint(eager=True))
 
 
-def _entity_match_edges(a, b):
+def _entity_match_edges(a, b, symmetric: bool = False):
     """The two-pass blocked verify between record sets ``a`` and ``b``
     (each (rid, name)) — the ER match definition factored so the batch
     row runs it all-vs-all and the incremental row runs it
@@ -893,17 +894,37 @@ def _entity_match_edges(a, b):
     key + lev <= 1; pass 2 = prefix-16 key + lev <= 1 AND length
     differs (insertion/deletion only — see dedup_entity_clusters for
     why each pass carries its own verify rule). Pairs canonicalize to
-    (min rid, max rid) and the passes union-dedup, so an asymmetric
-    (delta, all) call yields each pair exactly once."""
+    (min rid, max rid) and the passes union-dedup.
+
+    ``symmetric=True`` when ``a`` IS ``b`` (the all-vs-all case):
+    every unordered pair then appears in both join orders, so the
+    verify predicate keeps only ``arid < brid`` — HALF the levenshtein
+    evaluations and join output of the general form (measured: the
+    general form at sf1 doubled the batch row's wall). The asymmetric
+    (delta, all) call cannot use that cut — a delta-old pair appears
+    in one order only, whichever side the rids happen to fall —
+    so it pays != + least/greatest, over delta-sized input."""
     def _pair_pass(bk, extra_rule=None):
         aa = a.select(F.col("rid").alias("arid"),
                       F.col("name").alias("aname"), bk.alias("bk"))
         bb = b.select(F.col("rid").alias("brid"),
                       F.col("name").alias("bname"), bk.alias("bk"))
-        cond = ((F.col("arid") != F.col("brid"))
-                & (F.levenshtein("aname", "bname") <= 1))
+        if symmetric:
+            cond = F.col("arid") < F.col("brid")
+        else:
+            cond = F.col("arid") != F.col("brid")
+        # predicate ORDER is the hot-path lever (And short-circuits
+        # left to right in codegen): the O(len^2) levenshtein runs
+        # LAST, behind the integer rid cut, the |len diff| <= 1 bound
+        # every lev<=1 pair must satisfy (which alone skips the
+        # equal-vs-equal-length mass of each prefix block), and the
+        # pass's own rule. Measured at sf1: edge build 28.8 s with lev
+        # second -> 7.4 s with this ordering, identical edges.
+        cond = cond & (F.abs(F.length("aname") - F.length("bname"))
+                       <= 1)
         if extra_rule is not None:
             cond = cond & extra_rule
+        cond = cond & (F.levenshtein("aname", "bname") <= 1)
         return (aa.join(bb, "bk").filter(cond)
                 .select(F.least("arid", "brid").alias("src"),
                         F.greatest("arid", "brid").alias("dst")))
@@ -1040,7 +1061,8 @@ def dedup_entity_incremental(spark, sf_dir):
 
     recs = _entity_recs(spark, sf_dir)
     # standing state: one ER run's labeling, compressed to star edges
-    comp0 = G.connected_components(_entity_match_edges(recs, recs))
+    comp0 = G.connected_components(
+        _entity_match_edges(recs, recs, symmetric=True))
     star = (comp0.filter(F.col("node") != F.col("component"))
             .select(F.col("node").alias("src"),
                     F.col("component").alias("dst")))
