@@ -857,3 +857,151 @@ def test_k_core_agrees_with_peeling_reference(spark, edge_pairs, k):
         alive -= drop
     expect = {(u, len(adj[u] & alive)) for u in alive}
     assert got == expect
+
+
+def _psl_reference(host: str, rules: list[str]):
+    """Pure-Python PSL-subset reference (plain + leftmost-'*.' wildcard
+    + '!' exception, case-insensitive, default last-label rule) — the
+    independent mirror of functions/url.registered_domains' documented
+    semantics."""
+    labels = host.lower().split(".")
+    n = len(labels)
+    best = None  # (is_exc_int, pub_len)
+    for rule in rules:
+        rule = rule.lower()
+        is_exc = rule.startswith("!")
+        body = rule[1:] if is_exc else rule
+        wild = body.startswith("*.")
+        tail = body[2:].split(".") if wild else body.split(".")
+        k = len(tail)
+        if k > n or labels[n - k:] != tail:
+            continue
+        if wild:
+            if k + 1 > n:
+                continue  # the '*' must consume a real label
+            pub = k + 1
+        elif is_exc:
+            pub = k - 1
+        else:
+            pub = k
+        cand = (1 if is_exc else 0, pub)
+        if best is None or cand > best:
+            best = cand
+    k = best[1] if best is not None else 1
+    pub = ".".join(labels[n - k:])
+    reg = ".".join(labels[n - k - 1:]) if n > k else None
+    return pub, reg
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.lists(st.sampled_from(["a", "b", "c", "Xy"]),
+                      min_size=1, max_size=4).map(".".join),
+             min_size=1, max_size=12, unique=True),
+    st.lists(st.tuples(
+        st.sampled_from(["", "*.", "!"]),
+        st.lists(st.sampled_from(["a", "b", "c"]),
+                 min_size=1, max_size=2).map(".".join)),
+        min_size=0, max_size=8).map(
+            lambda rs: list({p + b for p, b in rs
+                             if not (p == "!" and "." not in b)})),
+)
+def test_registered_domains_agrees_with_psl_reference(spark, hosts,
+                                                      rules):
+    """registered_domains vs an independent pure-Python PSL-subset
+    evaluator on random hosts (mixed case included) and random rule
+    sets mixing plain, wildcard and exception forms — the r14 rule
+    algebra checked beyond the planted fixture. Single-label
+    exceptions are excluded by construction (a '!x' rule has no
+    suffix left after dropping its leftmost label; real PSL
+    exceptions always carve out of a multi-label wildcard)."""
+    from clif_spark.functions import url as U
+
+    if not rules:
+        rules = ["zz"]  # matches nothing: pure default-rule run
+    hdf = spark.createDataFrame([(h,) for h in hosts], "host string")
+    rdf = spark.createDataFrame([(r,) for r in rules], "rule string")
+    got = {r.host: (r.public_suffix, r.reg_domain)
+           for r in U.registered_domains(hdf, rdf).collect()}
+    want = {h: _psl_reference(h, rules) for h in hosts}
+    assert got == want
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(alphabet="abX#0123", min_size=1, max_size=20),
+                min_size=2, max_size=14, unique=True))
+def test_entity_match_edges_agrees_with_bruteforce(spark, names):
+    """_entity_match_edges (both passes, symmetric form) vs an
+    all-pairs brute force of the documented match definition on
+    random short names — blocked-and-verified must equal 'shares
+    either key AND passes that pass's rule', with the right()/
+    substring() short-string semantics included."""
+    from clif_spark.queries.relational import _entity_match_edges
+
+    recs = [(i, nm) for i, nm in enumerate(names)]
+    df = spark.createDataFrame(recs, "rid long, name string")
+    got = {(r.src, r.dst) for r in
+           _entity_match_edges(df, df, symmetric=True).collect()}
+    want = set()
+    for i, a in recs:
+        for j, b in recs:
+            if i >= j:
+                continue
+            p1 = a[-7:] == b[-7:] and _lev(a, b) <= 1
+            p2 = (a[:16] == b[:16] and len(a) != len(b)
+                  and _lev(a, b) <= 1)
+            if p1 or p2:
+                want.add((i, j))
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.lists(st.sampled_from(list("abcdefgh")),
+                      min_size=1, max_size=6, unique=True),
+             min_size=1, max_size=3),
+    st.lists(st.sampled_from(list("abcdefghXY")), min_size=1,
+             max_size=4, unique=True),
+)
+def test_lsm_point_lookup_equals_filtered_full_read(spark, segs,
+                                                    probes):
+    """read_lsm(key_eq=k) on a bloom-manifested store equals the full
+    read filtered to equality for EVERY probe key (present or absent)
+    — the zero-false-negative contract under random segment contents,
+    including keys the blooms prune everywhere."""
+    import tempfile
+    import uuid
+
+    from clif_spark import streaming as STR
+
+    root = tempfile.mkdtemp(prefix="clif_prop_bloom_") + "/store"
+    lin = "prop-" + uuid.uuid4().hex[:8]
+    for v, keys in enumerate(segs, start=1):
+        df = spark.createDataFrame(
+            [(k, v * 10 + i, False) for i, k in enumerate(keys)],
+            "k string, score long, is_delete boolean")
+        STR.append_lsm_segment(df, root, v, lineage=lin, bloom_key="k")
+    full = {(r.k, r.score) for r in
+            STR.read_lsm(spark, root, ["k"], ["score"],
+                         lineage=lin).collect()}
+    for k in probes:
+        got = {(r.k, r.score) for r in
+               STR.read_lsm(spark, root, ["k"], ["score"], lineage=lin,
+                            key_eq=k).collect()}
+        assert got == {row for row in full if row[0] == k}
