@@ -291,17 +291,33 @@ def registered_domains(hosts, suffixes, host_col: str = "host"):
         .alias("c"))
         .select("host", "n", F.col("c.k").alias("k"),
                 F.col("c.cand").alias("cand")))
-    rules = (suffixes.select(
+    parsed = (suffixes.select(
         F.lower(F.col(suffixes.columns[0])).alias("rule"))
         .distinct()
         .withColumn("is_exc", F.col("rule").startswith("!"))
         .withColumn("body", F.when(F.col("is_exc"),
                                    F.expr("substring(rule, 2)"))
                     .otherwise(F.col("rule")))
-        .withColumn("wild", F.col("body").startswith("*."))
-        .select(F.when(F.col("wild"), F.expr("substring(body, 3)"))
-                .otherwise(F.col("body")).alias("cand"),
-                "is_exc", "wild"))
+        .withColumn("wild", F.col("body").startswith("*.")))
+    # fail-loud contract check (one tiny action over the rule dim): a
+    # single-label exception ('!ck') has NO suffix left after dropping
+    # its leftmost label — its 'public suffix' would be the empty
+    # string, structurally invalid output produced silently otherwise.
+    # Real PSL exceptions always carve a registrable island out of a
+    # multi-label wildcard family.
+    bad = (parsed.filter(F.col("is_exc")
+                         & ~F.col("body").contains("."))
+           .select("rule").limit(4).collect())
+    if bad:
+        raise ValueError(
+            f"registered_domains: single-label exception rule(s) "
+            f"{[r['rule'] for r in bad]} — an exception's public "
+            f"suffix is the rule minus its leftmost label, which "
+            f"leaves nothing here; fix the rule table")
+    rules = parsed.select(
+        F.when(F.col("wild"), F.expr("substring(body, 3)"))
+        .otherwise(F.col("body")).alias("cand"),
+        "is_exc", "wild")
     # prevailing-rule priority in ONE integer: exceptions live above
     # 1000 (they beat any label count — real PSL rules are < 10
     # labels), otherwise the value IS the rule's public-suffix label

@@ -854,8 +854,6 @@ def dedup_entity_clusters(spark, sf_dir):
     match-graph-sized edges, then the fixpoint component rounds —
     the same geometry at 100 TB with each key sized so block
     cardinality stays bounded."""
-    from pyspark.sql import Window
-
     from clif_spark.operators import graph as G
 
     recs = _entity_recs(spark, sf_dir)
@@ -1936,16 +1934,34 @@ def o6_bucketed_colocated_join(spark, sf_dir):
     plain-SQL join: the layout is a pure physical choice, so the
     values must be bit-identical to the unbucketed plan's.
 
-    Table names are run-unique (bucketing metadata lives in the
-    metastore, so this is the one row that writes THROUGH saveAsTable
-    rather than a path — the interop surface a warehouse deployment
-    actually uses); the session conf is restored before returning."""
-    import uuid
+    Bucketing metadata lives in the metastore, so this is the one row
+    that writes THROUGH saveAsTable rather than a path — the interop
+    surface a warehouse deployment actually uses. Table names are
+    FIXED with mode=overwrite (each run replaces the previous run's
+    files instead of leaking uuid-suffixed copies into the warehouse
+    forever — the r14 review catch), under the same single-writer
+    contract every store in the engine carries: two sessions running
+    this row concurrently against one warehouse dir would race the
+    overwrite. The session conf is restored before returning."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
 
     o = io.load_table(spark, sf_dir, "orders")
     c = io.load_table(spark, sf_dir, "customer")
-    sfx = uuid.uuid4().hex[:8]
-    t_o, t_c = f"o6_orders_{sfx}", f"o6_customer_{sfx}"
+    t_o, t_c = "o6_orders", "o6_customer"
+    # reclaim ORPHANED locations: the in-memory catalog forgets tables
+    # across sessions while their warehouse dirs persist, and
+    # saveAsTable(overwrite) refuses a location the catalog doesn't
+    # own (LOCATION_ALREADY_EXISTS) — under the row's single-writer
+    # contract a catalog-unknown leftover dir is always a previous
+    # session's garbage
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path \
+        or spark.conf.get("spark.sql.warehouse.dir")
+    for t in (t_o, t_c):
+        loc = os.path.join(wh, t)
+        if not spark.catalog.tableExists(t) and os.path.exists(loc):
+            shutil.rmtree(loc)
     io.write_bucketed_table(
         o.select("o_orderkey", "o_custkey", "o_totalprice"),
         t_o, "o_custkey", buckets=8)

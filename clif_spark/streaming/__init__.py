@@ -990,9 +990,15 @@ def append_lsm_segment(batch_df: DataFrame, root: str, version: int,
                .withColumn("__seg", F.lit(version).cast("long")))
     stamped.write.mode("overwrite").parquet(seg)
     if bloom_key is not None:
+        # hash the WRITTEN files, not the input lineage: a
+        # non-deterministic input (sample/rand upstream) re-evaluated
+        # for the bloom could disagree with the rows the write
+        # persisted, turning the filter's proof-of-absence into a
+        # false negative (the fold paths already read their artifact)
+        spark = stamped.sparkSession
         meta = _lsm_meta_read(root)
         meta.setdefault("blooms", {})[os.path.basename(seg)] = \
-            _lsm_bloom_build(stamped, bloom_key)
+            _lsm_bloom_build(spark.read.parquet(seg), bloom_key)
         _lsm_meta_write(root, meta)
     return seg
 
@@ -1075,15 +1081,20 @@ def _lsm_bloom_build(df: DataFrame, key_col: str,
 
 
 def _lsm_bloom_positions_of(spark: SparkSession, value, m_bits: int,
-                            k: int) -> list[int]:
+                            k: int, key_type) -> list[int]:
     """The probe value's k bit positions, computed by the ENGINE's own
     xxhash64 (one single-row job) — build and probe share one hash
     implementation, so they can never drift (reimplementing xxhash64
-    driver-side would be a second source of truth)."""
+    driver-side would be a second source of truth). The literal is
+    cast to the STORED key column's type BEFORE the string cast,
+    mirroring the build side's CAST(col AS STRING) exactly — without
+    it an int probe against a double key hashes '42' while the store
+    hashed '42.0' and the holding segment is silently pruned."""
     from clif_spark.dedup import _bloom_positions
 
     row = spark.range(1).select(
-        _bloom_positions(F.lit(value).cast("string"), m_bits, k)
+        _bloom_positions(
+            F.lit(value).cast(key_type).cast("string"), m_bits, k)
         .alias("p")).first()
     return [int(p) for p in row["p"]]
 
@@ -1126,8 +1137,8 @@ def read_lsm(spark: SparkSession, root: str, keys: list[str],
              order: list[str], tombstone_col: str = "is_delete",
              lineage: str = "lsm",
              key_range: tuple | None = None,
-             key_eq=None,
-             as_of: int | None = None) -> DataFrame:
+             as_of: int | None = None,
+             key_eq=None) -> DataFrame:
     """Live rows of an LSM store: union every segment, keep per key the
     row sorting LAST by (``order``, ``__seg``) — the delivery-ordinal
     tie-break — then filter tombstones. Read amplification is the
@@ -1210,6 +1221,10 @@ def read_lsm(spark: SparkSession, root: str, keys: list[str],
         import os
 
         blooms = _lsm_meta_read(root).get("blooms", {})
+        # the stored key column's type, from parquet footers only (no
+        # data pages): probe literals cast through it so their string
+        # form can never drift from the build side's
+        ktype = spark.read.parquet(*segs).schema[keys[0]].dataType
         pos_cache: dict[tuple, list[int]] = {}
         kept = []
         for s in segs:
@@ -1218,7 +1233,7 @@ def read_lsm(spark: SparkSession, root: str, keys: list[str],
                 mk = (b["m"], b["k"])
                 if mk not in pos_cache:
                     pos_cache[mk] = _lsm_bloom_positions_of(
-                        spark, key_eq, b["m"], b["k"])
+                        spark, key_eq, b["m"], b["k"], ktype)
                 if _lsm_bloom_excludes(b, pos_cache[mk]):
                     continue
             kept.append(s)

@@ -1120,3 +1120,17 @@ def test_registered_domains_psl_wildcard_exception_and_case(spark):
             ("co.uk", "megacorp.co.uk"),          # lowercase outputs
         "plain.zz": ("zz", "plain.zz"),           # default rule
     }
+
+
+def test_registered_domains_rejects_single_label_exception(spark):
+    """r14 review catch: a '!ck' exception has no suffix left after
+    dropping its leftmost label — fail loud instead of emitting an
+    empty public_suffix."""
+    import pytest
+
+    from clif_spark.functions import url as U
+
+    hosts = spark.createDataFrame([("foo.ck",)], "host string")
+    rules = spark.createDataFrame([("*.ck",), ("!ck",)], "rule string")
+    with pytest.raises(ValueError, match="single-label exception"):
+        U.registered_domains(hosts, rules)

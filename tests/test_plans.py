@@ -931,3 +931,22 @@ def test_lsm_point_lookup_bloom_prunes_segments(spark, tmp_path):
     assert [(r.k, r.v) for r in after.collect()] == [("m", 2)]
     assert STR.read_lsm(spark, root, ["k"], ["v"], lineage=lin,
                         key_eq="absent").count() == 0
+
+
+def test_lsm_point_lookup_probe_casts_to_stored_key_type(spark,
+                                                         tmp_path):
+    """r14 review catch: the bloom probe literal must cast through the
+    STORED key column's type before the string hash — an int probe
+    against a double key otherwise hashes '42' while the store hashed
+    '42.0', 'proving' absence of a present key."""
+    from clif_spark import streaming as STR
+
+    root = str(tmp_path / "store")
+    lin = "bloomtype"
+    df = spark.createDataFrame(
+        [(42.0, 1, False), (7.5, 2, False)],
+        "k double, v long, is_delete boolean")
+    STR.append_lsm_segment(df, root, 1, lineage=lin, bloom_key="k")
+    got = STR.read_lsm(spark, root, ["k"], ["v"], lineage=lin,
+                       key_eq=42)  # int probe, double key
+    assert [(r.k, r.v) for r in got.collect()] == [(42.0, 1)]
