@@ -512,8 +512,8 @@ _VERIFY_FIRST_R14 = [
     # back through the CDX index) ---
     "web_bm25f_incremental", "web_warc_revisit_roundtrip",
     "u12b_lsm_point_lookup", "dedup_entity_incremental",
-    "o6_bucketed_colocated_join",
-    # --- changed-code re-gates (12 batch + stream_lsm at the tail):
+    "o6_bucketed_colocated_join", "web_bm25f_takedown",
+    # --- changed-code re-gates (11 batch + stream_lsm at the tail):
     # pagerank_personalized's node universe grew seeds (ADVICE) and
     # strongly_connected_components gained the trim accelerant +
     # self-loop singletons — scc/bowtie/personalized re-gate;
@@ -528,7 +528,7 @@ _VERIFY_FIRST_R14 = [
     # WARC consumers); the LSM store grew per-segment blooms +
     # key_eq point lookups — u12/u13/u14 re-gate ---
     "web_pagerank_personalized", "web_host_scc", "web_bowtie_classes",
-    "web_registered_domain", "web_anchor_text", "web_host_bm25f",
+    "web_registered_domain", "web_anchor_text",
     "dedup_entity_clusters", "io_warc_roundtrip",
     "web_cdx_member_contract",
     "u12_lsm_keep_best", "u13_lsm_size_tiered",
@@ -555,22 +555,25 @@ _VERIFY_FIRST_R14 = [
     # this round ---
     "stream_vitals_hourly", "stream_lsm_keep_best",
 ]
-# Exactly 50: 5 never-gated (web_bm25f_incremental,
+# Exactly 50: 6 never-gated (web_bm25f_incremental,
 # web_warc_revisit_roundtrip, u12b_lsm_point_lookup,
-# dedup_entity_incremental, o6_bucketed_colocated_join) + 13
-# changed-code re-gates (12 batch + stream_lsm_keep_best; the new
-# registrations pre-empted pipeline_wet_export's, web_cdx_point_
-# lookup's and web_cdx_index's parser-schema re-gates —
-# io_warc_roundtrip still covers parse_warc, web_warc_revisit_
-# roundtrip itself drives parse_warc AND read_records_at,
-# web_cdx_member_contract covers the member paths, and the full
-# suite's registry-wide sf0.001 parameterization gates the rest) + 32
-# due rows (31 batch in name order + stream_vitals_hourly at the
-# stream tail). The due list IS the complete r8-latest cohort VERDICT
-# r13 enumerated — after this gate no oracle row's latest green
-# predates r9 except this round's own registrations. r15 due list =
-# the oldest r9-latest rows plus pipeline_wet_export,
-# web_cdx_point_lookup and web_cdx_index.
+# dedup_entity_incremental, o6_bucketed_colocated_join,
+# web_bm25f_takedown) + 12 changed-code re-gates (11 batch +
+# stream_lsm_keep_best; the new registrations pre-empted
+# pipeline_wet_export's, web_cdx_point_lookup's and web_cdx_index's
+# parser-schema re-gates — io_warc_roundtrip still covers parse_warc,
+# web_warc_revisit_roundtrip itself drives parse_warc AND
+# read_records_at, web_cdx_member_contract covers the member paths —
+# and web_host_bm25f's fixture/oracle re-gate, whose EXACT oracle
+# web_bm25f_incremental gates through the identical scoring leg while
+# web_anchor_text covers the fixture change; the full suite's
+# registry-wide sf0.001 parameterization gates the rest) + 32 due
+# rows (31 batch in name order + stream_vitals_hourly at the stream
+# tail). The due list IS the complete r8-latest cohort VERDICT r13
+# enumerated — after this gate no oracle row's latest green predates
+# r9 except this round's own registrations. r15 due list = the oldest
+# r9-latest rows plus pipeline_wet_export, web_cdx_point_lookup,
+# web_cdx_index and web_host_bm25f.
 _VERIFY_FIRST = _VERIFY_FIRST_R14
 
 # Rows-only queries (dedup_semantic, ann_ivf_trained_topk,

@@ -2288,6 +2288,89 @@ def web_bm25f_incremental(spark, sf_dir):
               .select("host", "term", "c"))
 
 
+# Takedown oracle: the batch BM25F recompute over the corpus MINUS the
+# taken-down docs — one textual substitution (documents -> kept_docs)
+# over the shared oracle, so the scorer arithmetic cannot drift between
+# the standing-store row and its batch mirror. All three corpus reads
+# (anchor pages, hosts, body tokens) must move together: a page's
+# takedown removes BOTH its body postings and the anchors it CARRIES.
+_BM25F_TAKEDOWN_ORACLE = (
+    "    WITH kept_docs AS (SELECT * FROM documents "
+    "WHERE doc_id % 9 <> 0),\n"
+    + _HOST_BM25F_ORACLE.lstrip()[len("WITH "):].replace(
+        "FROM documents", "FROM kept_docs"))
+
+
+@query("web_bm25f_takedown", oracle=_BM25F_TAKEDOWN_ORACLE)
+def web_bm25f_takedown(spark, sf_dir):
+    """D5b-f-td (engine ext.): TAKEDOWN over the standing retrieval
+    index — the right-to-be-forgotten operation a production index
+    must support without a full rebuild: because the posting store's
+    counts merge by exact integer ADDITION, removing a document is
+    folding its posting counts NEGATED (one O(doc tokens) fold), and
+    exactness guarantees every touched posting lands on precisely the
+    count it would have had in a from-scratch build — a full takedown
+    of a doc's contribution zeroes its postings EXACTLY, never
+    drifting negative or residual-positive. Zeroed postings drop at
+    read time (c > 0: a term the corpus no longer contains must not
+    hold a candidate row, or a host whose whole body was taken down
+    would still surface on anchor mass with a zero-length body field).
+
+    The row folds the corpus in two deliveries, then folds the
+    NEGATED counts of every 9th document (body postings AND the
+    anchors those pages carry — takedown removes the page's outbound
+    evidence too) as delivery 2 with a redelivery-skip probe, and
+    scores through the identical batch leg. The oracle is the batch
+    BM25F over the corpus minus the taken-down docs (the shared SQL
+    with one substitution), so the standing store after takedown must
+    equal a world where the docs never existed — BIT-FOR-BIT.
+
+    Production shape: takedown cost is O(removed docs' tokens +
+    touched postings), never O(corpus); the store never rebuilds."""
+    import tempfile
+
+    from clif_spark import streaming as STR
+
+    d = io.load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="clif_bm25f_td_store_")
+    did = F.col("doc_id")
+
+    def fold(docs, version):
+        bc, ac = _bm25f_counts(docs)
+        partial = (bc.withColumn("field", F.lit("body"))
+                   .unionByName(ac.withColumn("field",
+                                              F.lit("anchor"))))
+        return STR.fold_agg_snapshot(
+            partial, root, keys=["host", "term", "field"],
+            version=version, add_cols=["c"],
+            lineage="bm25f-td-postings")
+
+    for v in (0, 1):
+        fold(d.filter(did % 2 == v), v)
+    # the takedown delivery: NEGATED posting counts of the removed docs
+    tb, ta = _bm25f_counts(d.filter(did % 9 == 0))
+    td = (tb.withColumn("field", F.lit("body"))
+          .unionByName(ta.withColumn("field", F.lit("anchor")))
+          .withColumn("c", -F.col("c")))
+    if STR.fold_agg_snapshot(td, root, keys=["host", "term", "field"],
+                             version=2, add_cols=["c"],
+                             lineage="bm25f-td-postings") is None:
+        raise RuntimeError("takedown fold unexpectedly skipped")
+    # replay guard: redelivering the takedown must skip, or every
+    # count double-subtracts
+    if STR.fold_agg_snapshot(td, root, keys=["host", "term", "field"],
+                             version=2, add_cols=["c"],
+                             lineage="bm25f-td-postings") is not None:
+        raise RuntimeError("takedown redelivery must skip")
+    stored = (STR.read_cdc_snapshot(spark, root)
+              .filter(F.col("c") > 0))
+    return _bm25f_score(
+        stored.filter(F.col("field") == "body")
+              .select("host", "term", "c"),
+        stored.filter(F.col("field") == "anchor")
+              .select("host", "term", "c"))
+
+
 @query(
     "web_cocitation_triangles",
     oracle=f"""
