@@ -1223,8 +1223,13 @@ def read_lsm(spark: SparkSession, root: str, keys: list[str],
         blooms = _lsm_meta_read(root).get("blooms", {})
         # the stored key column's type, from parquet footers only (no
         # data pages): probe literals cast through it so their string
-        # form can never drift from the build side's
-        ktype = spark.read.parquet(*segs).schema[keys[0]].dataType
+        # form can never drift from the build side's. Read it from the
+        # UNPRUNED segment list — an as_of prune may have emptied
+        # `segs` (snapshot below every delivery, no fold artifacts
+        # yet), and that case must fall through to the empty-relation
+        # branch below, not die here on a path-less read
+        ktype = (spark.read.parquet(*_lsm_segments(root, ckpt))
+                 .schema[keys[0]].dataType)
         pos_cache: dict[tuple, list[int]] = {}
         kept = []
         for s in segs:

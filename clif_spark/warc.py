@@ -47,6 +47,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 CRLF = "\r\n"
+# header-injection guard: any value interpolated into a WARC header
+# LINE (url, digest, refers-to id — never the length-framed payload)
+# must be free of CR/LF, or one bad row breaks framing for the whole
+# shard downstream of it
+_CTL = "[\r\n]"
 
 #: Output schema of parse_warc — fixed so downstream plans are stable.
 PARSED_WARC_SCHEMA = T.StructType([
@@ -130,12 +135,17 @@ def build_warc_records(
     # data, never to serializing our own. (assert_true is NULL on pass;
     # the when() forces its evaluation before the record is served.)
     guard = F.assert_true(
-        url.isNotNull() & payload.isNotNull(),
-        F.concat(F.lit("build_warc_records: NULL "),
-                 F.when(url.isNull(), F.lit(f"url ({url_col})"))
-                  .otherwise(F.lit(f"payload ({payload_col})")),
+        url.isNotNull() & payload.isNotNull() & ~url.rlike(_CTL),
+        F.concat(F.lit("build_warc_records: "),
+                 F.when(url.isNull(), F.lit(f"NULL url ({url_col})"))
+                  .when(payload.isNull(),
+                        F.lit(f"NULL payload ({payload_col})"))
+                  .otherwise(F.lit(f"CR/LF in url ({url_col})")),
                  F.lit(" — a WARC record requires both a target URI and"
-                       " a payload; filter or coalesce upstream")))
+                       " a payload, and header-interpolated values must"
+                       " be line-break-free (a control byte injects"
+                       " headers and breaks record framing for the"
+                       " whole shard); filter or sanitize upstream")))
     http_block = F.concat(http_head, payload)
     warc_head = F.concat(
         F.lit("WARC/1.1" + CRLF),
@@ -225,12 +235,16 @@ def build_warc_aux_records(
     url = F.col(url_col)
     payload = F.col(payload_col)
     guard = F.assert_true(
-        url.isNotNull() & payload.isNotNull(),
-        F.concat(F.lit("build_warc_aux_records: NULL "),
-                 F.when(url.isNull(), F.lit(f"url ({url_col})"))
-                  .otherwise(F.lit(f"payload ({payload_col})")),
+        url.isNotNull() & payload.isNotNull() & ~url.rlike(_CTL),
+        F.concat(F.lit("build_warc_aux_records: "),
+                 F.when(url.isNull(), F.lit(f"NULL url ({url_col})"))
+                  .when(payload.isNull(),
+                        F.lit(f"NULL payload ({payload_col})"))
+                  .otherwise(F.lit(f"CR/LF in url ({url_col})")),
                  F.lit(" — a WARC record requires both a target URI and"
-                       " a payload; filter or coalesce upstream")))
+                       " a payload, and header-interpolated values must"
+                       " be line-break-free; filter or sanitize"
+                       " upstream")))
     rec_id = deterministic_record_id(
         F.concat(F.lit(warc_type + ":"), url))
     head = F.concat(
@@ -279,13 +293,36 @@ def build_warc_revisit_records(
     ``build_warc_records``; Content-Length is 0 by construction."""
     url = F.col(url_col)
     digest = F.col(digest_col)
+    # this builder interpolates THREE column values into header lines
+    # (url, digest, optional refers-to id) and has no length-framed
+    # payload at all — every input is injection-exposed, so the whole
+    # set sits under one fail-loud guard
+    clean = ~url.rlike(_CTL) & ~digest.rlike(_CTL)
+    if refers_to_id_col is not None:
+        # asking for WARC-Refers-To and handing a NULL id is the same
+        # corruption class — without this the NULL would silently
+        # null-propagate through the concat into a NULL record
+        rid = F.col(refers_to_id_col)
+        clean = clean & rid.isNotNull() & ~rid.rlike(_CTL)
     guard = F.assert_true(
-        url.isNotNull() & digest.isNotNull(),
-        F.concat(F.lit("build_warc_revisit_records: NULL "),
-                 F.when(url.isNull(), F.lit(f"url ({url_col})"))
-                  .otherwise(F.lit(f"digest ({digest_col})")),
-                 F.lit(" — a revisit record requires both a target URI"
-                       " and the payload digest it points at")))
+        url.isNotNull() & digest.isNotNull() & clean,
+        F.concat(F.lit("build_warc_revisit_records: "),
+                 F.when(url.isNull(), F.lit(f"NULL url ({url_col})"))
+                  .when(digest.isNull(),
+                        F.lit(f"NULL digest ({digest_col})"))
+                  .when(url.rlike(_CTL),
+                        F.lit(f"CR/LF in url ({url_col})"))
+                  .when(digest.rlike(_CTL),
+                        F.lit(f"CR/LF in digest ({digest_col})"))
+                  .otherwise(
+                      F.lit(f"NULL or CR/LF refers-to id"
+                            f" ({refers_to_id_col})")),
+                 F.lit(" — a revisit record requires a target URI and"
+                       " the payload digest it points at, and every"
+                       " header-interpolated value must be"
+                       " line-break-free (a control byte injects"
+                       " headers and breaks record framing for the"
+                       " whole shard); filter or sanitize upstream")))
     profile = ("http://netpreserve.org/warc/1.1/revisit/"
                "identical-payload-digest")
     refers_id = (

@@ -1022,3 +1022,25 @@ def test_lsm_snapshot_expires_at_fold_horizon(spark):
     assert {tuple(r) for r in streaming.read_lsm(
         spark, root, ["k"], ["score"], as_of=3).collect()} \
         == _lsm_read_set(spark, root)
+
+
+def test_lsm_point_lookup_snapshot_before_first_delivery(spark):
+    """read_lsm(key_eq=, as_of=0) on a store whose every delivery is
+    above the snapshot (and no fold artifact exists yet) must reach
+    the same empty-relation-with-store-schema branch the plain
+    key_range/as_of reads get — not die on a path-less parquet read
+    while fetching the key column's type (ADVICE r15: the type read
+    sat after the as_of prune, which can empty the segment list)."""
+    root = tempfile.mkdtemp(prefix="clif_lsm_") + "/store"
+    streaming.append_lsm_segment(
+        _lsm_rows(spark, [(1, 10, "a1", False)]), root, 1)
+    got = streaming.read_lsm(spark, root, ["k"], ["score"],
+                             key_eq=1, as_of=0)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == \
+        ["k", "score", "payload"]
+    # and at as_of=1 the same lookup sees the row (the fix must not
+    # have disturbed the live path)
+    assert {tuple(r) for r in streaming.read_lsm(
+        spark, root, ["k"], ["score"], key_eq=1, as_of=1).collect()} \
+        == {(1, 10, "a1")}

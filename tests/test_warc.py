@@ -545,3 +545,48 @@ def test_revisit_record_roundtrip_carries_pairing_headers(spark):
     by = {r.warc_type: r for r in warc.parse_warc(both).collect()}
     assert by["response"].payload_digest is None
     assert by["response"].refers_to_uri is None
+
+
+def test_build_records_reject_header_injection_bytes(spark):
+    """Every value a builder interpolates into a WARC header LINE
+    (url in all three builders; digest and refers-to id in the
+    revisit builder) must be CR/LF-free — a line break in one row
+    injects headers and breaks record framing for the whole shard,
+    so the family fails loud at build (ADVICE r15), same policy as
+    the NULL guards. Length-framed payloads keep their right to
+    carry any bytes."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    bad_url = spark.createDataFrame(
+        [(0, "body", "https://e.x/0\r\nWARC-Type: evil", 0)],
+        "doc_id long, text string, url string, file_id long")
+    with pytest.raises(SparkRuntimeException,
+                       match=r"build_warc_records: CR/LF in url"):
+        warc.build_warc_records(bad_url).select("record").collect()
+    with pytest.raises(SparkRuntimeException,
+                       match=r"build_warc_aux_records: CR/LF in url"):
+        warc.build_warc_aux_records(
+            bad_url, "metadata", "text").select("record").collect()
+    rev = "doc_id long, url string, digest string, prev_id string"
+    with pytest.raises(
+            SparkRuntimeException,
+            match=r"build_warc_revisit_records: CR/LF in digest"):
+        warc.build_warc_revisit_records(spark.createDataFrame(
+            [(1, "https://a.example/x", "abc\ndef", "urn:x")], rev),
+            refers_to_id_col="prev_id").select("record").collect()
+    with pytest.raises(
+            SparkRuntimeException,
+            match=r"build_warc_revisit_records: NULL or CR/LF "
+                  r"refers-to id"):
+        warc.build_warc_revisit_records(spark.createDataFrame(
+            [(1, "https://a.example/x", "abcdef", None)], rev),
+            refers_to_id_col="prev_id").select("record").collect()
+    # payloads are length-framed: CR/LF bytes inside them are legal
+    # and roundtrip exactly
+    ok = spark.createDataFrame(
+        [(0, "line1\r\nline2\nline3", "https://e.x/0", 0)],
+        "doc_id long, text string, url string, file_id long")
+    got = warc.parse_warc(
+        warc.assemble_warc_files(warc.build_warc_records(ok))).collect()
+    assert got[0].payload == b"line1\r\nline2\nline3"
