@@ -2726,6 +2726,87 @@ def web_pagerank_warm_start(spark, sf_dir):
     return G.pagerank_fixed(edges, iterations=3, init_ranks=stored)
 
 
+def _weighted_pagerank_oracle(iterations: int = 3,
+                              damping: int = 85) -> str:
+    """Unrolled K-iteration WEIGHTED integer-micros PageRank — the SQL
+    form of operators/graph.pagerank_weighted over the host graph with
+    the link extraction's DISTINCT-URL multiplicity (``n_urls``) as
+    the edge weight, generated from the same constants so the two
+    cannot drift: each iteration is
+
+        s(u) = sum_{v->u} w(v,u) * (r(v) // W(v)),   W(v) = sum out-w
+        r'(u) = teleport + d% * s(u) // 100
+    """
+    tnum = (100 - damping) * 1_000_000 // 100
+    ctes = """
+    we AS (SELECT src_host AS src, dst_host AS dst,
+                  CAST(COUNT(DISTINCT u) AS BIGINT) AS w
+           FROM linkedges GROUP BY src_host, dst_host),
+    wnodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM we UNION ALL SELECT dst FROM we)),
+    wnc AS (SELECT COUNT(*) AS n FROM wnodes),
+    outw AS (SELECT src, SUM(w) AS tw FROM we GROUP BY src),
+    wr0 AS (SELECT node, CAST(1000000 // n AS BIGINT) AS r
+            FROM wnodes, wnc)"""
+    prev = "wr0"
+    for i in range(1, iterations + 1):
+        ctes += f""",
+    ws{i} AS (SELECT we.dst AS node,
+                     SUM(we.w * ({prev}.r // o.tw)) AS s
+              FROM we JOIN {prev} ON {prev}.node = we.src
+              JOIN outw o ON o.src = we.src
+              GROUP BY we.dst),
+    wr{i} AS (SELECT wnodes.node,
+                     CAST(({tnum} // wnc.n)
+                          + ({damping} * COALESCE(ws{i}.s, 0)) // 100
+                          AS BIGINT) AS r
+              FROM wnodes LEFT JOIN ws{i} ON ws{i}.node = wnodes.node,
+                   wnc)"""
+        prev = f"wr{i}"
+    return f"""
+    WITH {_LINK_EDGES_CTES},
+    {ctes}
+    SELECT node, r AS rank_micros,
+           CAST(r / 1000000.0 AS DOUBLE) AS rank
+    FROM {prev}
+    """
+
+
+@query("web_pagerank_weighted", oracle=_weighted_pagerank_oracle())
+def web_pagerank_weighted(spark, sf_dir):
+    """D5c-w (engine ext.): WEIGHTED PageRank over the host graph —
+    rank driven by link MULTIPLICITY, the form real crawl priors use:
+    the link extraction already aggregates per-host-pair evidence
+    (web_link_graph's ``n_urls`` — DISTINCT resolved URLs linking
+    src→dst), and flattening that to 0/1 throws it away; here an edge
+    of weight w contributes exactly w floor-divided shares
+    ``r div W(v)`` of its source's rank, W(v) = total outbound weight.
+    On the fixture the weights are genuinely non-uniform (every ring
+    host links its cdn with multiple distinct URLs but its ring
+    successor with fewer), so the ranks separate from the unweighted
+    row's — a weight-ignoring regression cannot survive the hash; the
+    all-weights-1 degenerate identity against pagerank_fixed is
+    pinned bit-for-bit in tests/test_graph.py.
+
+    Exactness: integer-micros, true `div` floors, BIGINT sums
+    (operators/graph.pagerank_weighted) — bit-identical to the
+    unrolled oracle generated from the same constants. Shape: K
+    stages of (weighted edges join ranks → groupBy dst sum); the
+    weighted edge relation is host-pair sized and checkpointed once;
+    rank vectors are host-count sized (broadcastable at web scale)."""
+    from clif_spark.operators import graph as G
+
+    edges = (_link_urls(spark, sf_dir)
+             .select("src_host", "u",
+                     urlfn.url_host(F.col("u")).alias("dst_host"))
+             .groupBy("src_host", "dst_host")
+             .agg(F.count_distinct(F.col("u")).cast("long")
+                  .alias("n_urls")))
+    return G.pagerank_weighted(
+        edges, iterations=3, src_col="src_host", dst_col="dst_host",
+        weight_col="n_urls")
+
+
 # ONE oracle for BOTH component implementations (min-label propagation
 # and large-star/small-star contraction): the fixpoint labeling is a
 # pure function of the graph, so the two gated rows must hash-equal

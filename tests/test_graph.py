@@ -426,3 +426,56 @@ def test_personalized_pagerank_off_graph_seed_keeps_row(spark):
              "b": (d * r["a"]) // 100,
              "ghost": tele}
     assert got == r
+
+
+def test_pagerank_weighted_identity_and_multiplicity(spark):
+    """pagerank_weighted: (1) DEGENERATE IDENTITY — all weights 1 makes
+    W(v) the out-degree and w * (r div W) = r div od, so the result
+    must equal pagerank_fixed BIT-FOR-BIT (the contract that lets the
+    weighted form claim the same exact-arithmetic class); (2) weights
+    actually steer mass — doubling one edge's weight moves rank toward
+    its target and away from its sibling; (3) parallel (src,dst) rows
+    sum their weights (multigraph collapse: two w=1 rows == one w=2);
+    (4) a non-positive weight fails loud."""
+    import pytest
+
+    from clif_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")],
+        "src string, dst string")
+    ones = edges.withColumn("weight", F.lit(1).cast("long"))
+    fixed = {tuple(r) for r in
+             G.pagerank_fixed(edges, iterations=3).collect()}
+    weighted = {tuple(r) for r in
+                G.pagerank_weighted(ones, iterations=3).collect()}
+    assert weighted == fixed
+
+    # weight 3 on a->b: b gains vs the uniform run, c loses
+    w3 = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1), ("b", "c", 1), ("c", "a", 1)],
+        "src string, dst string, weight long")
+    got = {r.node: r.rank_micros for r in
+           G.pagerank_weighted(w3, iterations=3).collect()}
+    uni = {r.node: r.rank_micros for r in
+           G.pagerank_fixed(edges, iterations=3).collect()}
+    assert got["b"] > uni["b"] and got["c"] < uni["c"]
+
+    # multigraph collapse: two parallel w=1 rows == one w=2 row
+    par = spark.createDataFrame(
+        [("a", "b", 1), ("a", "b", 1), ("a", "c", 1),
+         ("b", "c", 1), ("c", "a", 1)],
+        "src string, dst string, weight long")
+    merged = spark.createDataFrame(
+        [("a", "b", 2), ("a", "c", 1), ("b", "c", 1), ("c", "a", 1)],
+        "src string, dst string, weight long")
+    assert {tuple(r) for r in
+            G.pagerank_weighted(par, iterations=2).collect()} == \
+           {tuple(r) for r in
+            G.pagerank_weighted(merged, iterations=2).collect()}
+
+    # fail-loud weight guard
+    z = spark.createDataFrame([("a", "b", 0)],
+                              "src string, dst string, weight long")
+    with pytest.raises(ValueError, match="non-positive total weight"):
+        G.pagerank_weighted(z, iterations=1)
