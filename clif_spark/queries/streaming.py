@@ -975,3 +975,104 @@ def stream_cdx_maintain(spark, sf_dir):
     return _web._cdx_rank(idx).select(
         "surt_key", "ts", "uri", "digest", "resp_len", "file_id",
         "record_offset", "cdx_shard", "shard_rank")
+
+
+@query("stream_bm25f_maintain", oracle=_web._HOST_BM25F_ORACLE)
+def stream_bm25f_maintain(spark, sf_dir):
+    """web_bm25f_incremental's posting maintenance as the PRODUCTION
+    stream — the crawl -> index -> retrieve live loop running the way
+    CDX/funnel/dedup maintenance already do: crawl deliveries land as
+    parquet files (documents split by doc parity, mtimes pinned for
+    deterministic drain order) and drain as micro-batches
+    (availableNow + maxFilesPerTrigger=1); each batch tokenizes ONLY
+    its own pages through the SAME partial-count derivation as the
+    batch row (web._bm25f_counts — body and anchor fields, anchors
+    unfiltered by target host) and folds into the standing posting
+    store via fold_agg_snapshot inside foreachBatch. The delivery
+    ordinal rides IN the data (a ``__v`` column pinned at file
+    creation, the stream_lsm_keep_best rule) — Spark batch_ids do not
+    survive a checkpoint reset, and an ADDITIVE store double-counts
+    on any replay bug — and the sink consults the store's
+    delivered-through pointer (streaming.agg_delivered_through) to
+    skip every already-applied ordinal: the feed is monotone by
+    construction, which is exactly the caller-side knowledge that
+    resolves the fold's deliberate below-pointer ambiguity. REPLAY
+    IDEMPOTENCE is pinned in-row: after the stream settles, a second
+    stream with a FRESH CHECKPOINT redelivers every file — every
+    ordinal must skip on the pointer (the sink raises if one folds).
+    The settled store scores through the IDENTICAL _bm25f_score leg
+    under the SHARED whole-corpus batch oracle — settled-equals-batch,
+    bit-for-bit.
+
+    100 TB shape: per delivery one tokenize of the delivery + one
+    posting-relation-sized fold exchange, never O(corpus history);
+    the store is the CDC snapshot format (compaction/time-travel
+    unchanged)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    d = io.load_table(spark, sf_dir, "documents")
+    scratch = tempfile.mkdtemp(prefix="clif_bm25f_stream_src_")
+    now = time.time()
+    schema = None
+    for k in (0, 1):
+        part_df = (d.filter(F.col("doc_id") % 2 == k)
+                   .withColumn("__v", F.lit(k).cast("long")))
+        schema = part_df.schema
+        tmp = tempfile.mkdtemp(prefix="clif_bm25f_stream_part_")
+        part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp)
+                    if f.startswith("part-") and f.endswith(".parquet"))
+        dst = os.path.join(scratch, f"delivery{k}.parquet")
+        shutil.copy(os.path.join(tmp, part), dst)
+        # mtimes pinned: the file source drains in mtime order, so the
+        # monotone-feed contract the pointer-skip relies on holds
+        os.utime(dst, (now - 600 + 60 * k, now - 600 + 60 * k))
+
+    root = tempfile.mkdtemp(prefix="clif_bm25f_stream_store_")
+    lin = "bm25f-postings-stream"
+    replay = {"on": False}
+
+    def sink(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # one file per micro-batch -> one ordinal; tiny driver-side
+        # read (a single long), not a hot-path collect
+        vers = sorted(r[0] for r in
+                      batch_df.select("__v").distinct().collect())
+        for ver in vers:
+            done = streaming.agg_delivered_through(root, lin)
+            if done is not None and ver <= done:
+                continue  # redelivery after checkpoint reset
+            if replay["on"]:
+                raise RuntimeError(
+                    "stream_bm25f_maintain: fresh-checkpoint "
+                    "redelivery folded instead of skipping — the "
+                    "additive store would double-count")
+            part = batch_df.filter(F.col("__v") == ver).drop("__v")
+            bc, ac = _web._bm25f_counts(part)
+            partial = (bc.withColumn("field", F.lit("body"))
+                       .unionByName(ac.withColumn("field",
+                                                  F.lit("anchor"))))
+            streaming.fold_agg_snapshot(
+                partial, root, keys=["host", "term", "field"],
+                version=int(ver), add_cols=["c"], lineage=lin)
+
+    for run in range(2):  # second run = full redelivery, fresh ckpt
+        replay["on"] = run == 1
+        ckpt = tempfile.mkdtemp(prefix="clif_bm25f_stream_ckpt_")
+        stream = (spark.readStream.schema(schema)
+                       .option("maxFilesPerTrigger", 1).parquet(scratch))
+        q = (stream.writeStream.foreachBatch(sink)
+                   .option("checkpointLocation", ckpt)
+                   .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    stored = streaming.read_cdc_snapshot(spark, root)
+    return _web._bm25f_score(
+        stored.filter(F.col("field") == "body")
+              .select("host", "term", "c"),
+        stored.filter(F.col("field") == "anchor")
+              .select("host", "term", "c"))

@@ -668,6 +668,29 @@ def fold_agg_snapshot(partials: DataFrame, root: str, keys: list[str],
     return vdir
 
 
+def agg_delivered_through(root: str, lineage: str = "agg") -> int | None:
+    """The fold store's last-applied delivery ordinal for ``lineage``
+    (None before the first fold, or if the standing pointer belongs to
+    a different lineage) — the RESTART primitive for maintenance jobs:
+    after a streaming-checkpoint reset the whole feed redelivers, and
+    a caller whose ordinals ride IN the data and arrive MONOTONE (new
+    deliveries only ever append higher ordinals) can resolve
+    fold_agg_snapshot's deliberate below-pointer ambiguity — under
+    that feed contract every ordinal <= the pointer has been applied,
+    so the job skips it and folds only the rest. fold_agg_snapshot
+    itself must keep RAISING there (it cannot know the feed is
+    monotone, and silently skipping a genuinely new out-of-order
+    ordinal is undetectable data loss); the caller that OWNS the
+    ordinal assignment can, and this is how it asks."""
+    import hashlib
+
+    meta = _cdc_pointer_read(root)
+    ckpt_id = hashlib.md5(f"agg:{lineage}".encode()).hexdigest()[:16]
+    if meta is None or meta[2] != ckpt_id:
+        return None
+    return meta[0]
+
+
 # --- partitioned snapshot store (the "rewrite only touched partitions"
 # form the CDC snapshot docstrings promise at 100 TB) ---------------------
 

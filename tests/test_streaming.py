@@ -1044,3 +1044,22 @@ def test_lsm_point_lookup_snapshot_before_first_delivery(spark):
     assert {tuple(r) for r in streaming.read_lsm(
         spark, root, ["k"], ["score"], key_eq=1, as_of=1).collect()} \
         == {(1, 10, "a1")}
+
+
+def test_agg_delivered_through_pointer(spark):
+    """agg_delivered_through: None before the first fold and for a
+    foreign lineage; tracks the last-applied ordinal after folds —
+    the restart primitive that lets a monotone-ordinal maintenance
+    job skip already-applied deliveries after a checkpoint reset
+    (fold_agg_snapshot itself keeps raising on below-pointer
+    ordinals; the skip decision belongs to the ordinal's owner)."""
+    root = tempfile.mkdtemp(prefix="clif_aggptr_") + "/store"
+    assert streaming.agg_delivered_through(root, "x") is None
+    p = spark.createDataFrame([("a", 1)], "k string, c long")
+    streaming.fold_agg_snapshot(p, root, keys=["k"], version=0,
+                                add_cols=["c"], lineage="x")
+    assert streaming.agg_delivered_through(root, "x") == 0
+    assert streaming.agg_delivered_through(root, "other") is None
+    streaming.fold_agg_snapshot(p, root, keys=["k"], version=3,
+                                add_cols=["c"], lineage="x")
+    assert streaming.agg_delivered_through(root, "x") == 3
