@@ -2371,6 +2371,107 @@ def web_bm25f_takedown(spark, sf_dir):
               .select("host", "term", "c"))
 
 
+# Compaction oracle: the kept world is the corpus minus EVERY page of
+# one whole host (lexicographic min source) — a full-host takedown is
+# the fixture that GUARANTEES exactly-zeroed postings at every SF (each
+# of the host's body postings is contributed only by its own pages),
+# unlike the %9 doc sample whose terms may all survive in kept docs.
+# Same one-substitution construction as the takedown oracle; the inner
+# MIN(source) subquery sits in the prefix, outside the substitution.
+_BM25F_COMPACTED_ORACLE = (
+    "    WITH kept_docs AS (SELECT * FROM documents "
+    "WHERE source <> (SELECT MIN(source) FROM documents)),\n"
+    + _HOST_BM25F_ORACLE.lstrip()[len("WITH "):].replace(
+        "FROM documents", "FROM kept_docs"))
+
+
+@query("web_bm25f_compacted", oracle=_BM25F_COMPACTED_ORACLE)
+def web_bm25f_compacted(spark, sf_dir):
+    """D5b-f-cmp (engine ext.): ZERO-POSTING COMPACTION of the standing
+    retrieval index — the storage-reclaim step takedown makes
+    necessary: a negated-count fold zeroes postings EXACTLY but leaves
+    them physically in the parquet, readers filter them (``c > 0``),
+    and repeated takedowns accumulate dead rows without bound. This
+    row takes down an ENTIRE host (every page of the lexicographic min
+    source — zeroing its whole body posting set by construction, at
+    every SF), compacts with ``drop_zero_cols=['c']``
+    (streaming.compact_cdc_snapshot — same delivered-through contract
+    as the tombstone drop; a zeroed key is re-admittable by any fresh
+    positive fold, so unlike a tombstone it has no suppression role to
+    preserve), asserts the dead rows are GONE from the store
+    (row-count arithmetic in-row: removed == pre-compaction zeros,
+    post-count == pre - removed, and zeros existed at all), and then
+    scores through the identical batch leg WITHOUT the read-side
+    ``c > 0`` filter — physical removal must be semantically complete,
+    so one surviving zero row resurfaces a phantom candidate and flips
+    the hash. Oracle = the batch BM25F over the corpus minus the
+    host's pages (the shared SQL, one substitution): the compacted
+    store must equal a world where the host never existed,
+    bit-for-bit. History expiry documented on the compactor: time
+    travel before the compaction point is gone — the log-compaction
+    retention trade.
+
+    Production shape: compaction is one store-sized rewrite (store =
+    one row per posting KEY, never corpus-sized), amortized across
+    takedowns; the read path sheds its zero filter between
+    compactions only if the store is known compacted — keeping the
+    filter is the safe default, dropping it here is the proof."""
+    import tempfile
+
+    from clif_spark import streaming as STR
+
+    d = io.load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="clif_bm25f_cmp_store_")
+    did = F.col("doc_id")
+
+    def fold(partial, version):
+        return STR.fold_agg_snapshot(
+            partial, root, keys=["host", "term", "field"],
+            version=version, add_cols=["c"],
+            lineage="bm25f-cmp-postings")
+
+    def counts(docs):
+        bc, ac = _bm25f_counts(docs)
+        return (bc.withColumn("field", F.lit("body"))
+                .unionByName(ac.withColumn("field", F.lit("anchor"))))
+
+    for v in (0, 1):
+        fold(counts(d.filter(did % 2 == v)), v)
+    # full-host takedown: every page of the min source, negated — body
+    # postings AND the anchors those pages carry (the victim relation
+    # is one broadcast row; no driver-side collect)
+    victim = d.groupBy().agg(F.min("source").alias("source"))
+    removed = d.join(F.broadcast(victim), "source", "semi")
+    if fold(counts(removed).withColumn("c", -F.col("c")), 2) is None:
+        raise RuntimeError("takedown fold unexpectedly skipped")
+    store = STR.read_cdc_snapshot(spark, root)
+    pre = store.count()
+    n_zero = store.filter(F.col("c") == 0).count()
+    if n_zero == 0:
+        raise RuntimeError(
+            "web_bm25f_compacted: full-host takedown produced no "
+            "zeroed postings — the fixture's whole point; the "
+            "negated fold or the counts leg has drifted")
+    n_dead = STR.compact_cdc_snapshot(spark, root,
+                                      drop_zero_cols=["c"])
+    if n_dead != n_zero:
+        raise RuntimeError(
+            f"web_bm25f_compacted: compaction removed {n_dead} rows, "
+            f"expected exactly the {n_zero} zeroed postings")
+    compacted = STR.read_cdc_snapshot(spark, root)
+    if compacted.count() != pre - n_zero:
+        raise RuntimeError(
+            "web_bm25f_compacted: post-compaction row count does not "
+            "equal pre-compaction minus zeroed — dead rows survived "
+            "in the parquet")
+    # deliberately NO c > 0 filter: the compacted store must be clean
+    return _bm25f_score(
+        compacted.filter(F.col("field") == "body")
+                 .select("host", "term", "c"),
+        compacted.filter(F.col("field") == "anchor")
+                 .select("host", "term", "c"))
+
+
 @query(
     "web_cocitation_triangles",
     oracle=f"""

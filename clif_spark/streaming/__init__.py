@@ -530,7 +530,8 @@ def read_cdc_snapshot(spark: SparkSession, root: str,
 
 
 def compact_cdc_snapshot(spark: SparkSession, root: str,
-                         tombstone_col: str = "is_delete") -> int:
+                         tombstone_col: str = "is_delete",
+                         drop_zero_cols: list[str] | None = None) -> int:
     """Drop retained tombstones and expire history: rewrite the CURRENT
     version with its tombstone rows physically removed (they have served
     their suppression purpose once the feed is known to have delivered
@@ -540,14 +541,24 @@ def compact_cdc_snapshot(spark: SparkSession, root: str,
     older version directories. Time travel before the compaction point is
     gone afterwards — the storage-reclaim trade every table format makes.
 
-    Returns the number of tombstone rows removed. CAUTIONS (documented,
-    not enforced): compacting while the CDC feed can still deliver a
-    record OLDER than a dropped tombstone's version re-opens the
-    resurrection window that retained tombstones exist to close; and the
-    pre-compaction version dir is removed with NO retention grace, so an
-    in-flight reader holding a lazy DataFrame bound to it will fail on
-    collect — single-writer, re-resolve-before-read discipline (a real
-    table format keeps a retention window for exactly this).
+    ``drop_zero_cols``: ALSO physically remove live rows whose listed
+    columns are ALL zero — the fold-store complement: an additive store
+    that supports TAKEDOWN (negated-count folds) accumulates exactly-
+    zeroed keys that readers must filter (``c > 0``) but that never
+    leave the parquet; repeated takedowns grow dead rows without bound.
+    A zeroed key is re-admittable at any time (a fresh positive fold
+    recreates it — unlike a tombstone there is no suppression role to
+    preserve), so dropping it is safe under the same delivered-through
+    contract as the tombstone drop. Pass the store's ``add_cols``.
+
+    Returns the number of rows removed (tombstones + zeroed). CAUTIONS
+    (documented, not enforced): compacting while the CDC feed can still
+    deliver a record OLDER than a dropped tombstone's version re-opens
+    the resurrection window that retained tombstones exist to close; and
+    the pre-compaction version dir is removed with NO retention grace,
+    so an in-flight reader holding a lazy DataFrame bound to it will
+    fail on collect — single-writer, re-resolve-before-read discipline
+    (a real table format keeps a retention window for exactly this).
     """
     import os
     import shutil
@@ -562,23 +573,39 @@ def compact_cdc_snapshot(spark: SparkSession, root: str,
     if meta is None:
         raise FileNotFoundError(f"no CDC snapshot pointer under {root}")
     last_bid, vdir, ckpt_id, epoch = meta
-    if vdir.endswith("_compacted"):
+    already = "_compacted" in os.path.basename(vdir)
+    dead_pred = F.col(tombstone_col)
+    if drop_zero_cols:
+        import functools
+        import operator
+
+        # dead = tombstoned OR every listed aggregate exactly zero
+        dead_pred = dead_pred | functools.reduce(
+            operator.and_, [F.col(c) == 0 for c in drop_zero_cols])
+    if already:
         # Idempotent: already compacted, no new batches since. Still run
         # the stale-dir sweep — a prior compaction that crashed after the
         # pointer flip but before deletion would otherwise leak its old
         # version dirs forever; re-invocation completes the cleanup.
-        _sweep(vdir)
-        return 0
+        # Zeroed rows can only survive here if THAT compaction ran
+        # without drop_zero_cols (a fold in between writes a fresh
+        # uncompacted dir) — one footer-cheap count decides.
+        if not drop_zero_cols or \
+                spark.read.parquet(vdir).filter(dead_pred).count() == 0:
+            _sweep(vdir)
+            return 0
     snap = spark.read.parquet(vdir)
-    cdir = f"{vdir}_compacted"
+    # suffix stays unique per rewrite even when re-compacting an
+    # already-compacted dir (the drop-zero-after-plain-compaction case)
+    cdir = f"{vdir}_z" if already else f"{vdir}_compacted"
     # ONE full scan: write the filtered output first, then derive the
-    # tombstone count from the two row counts (parquet counts are
+    # removed count from the two row counts (parquet counts are
     # footer-metadata jobs, not data reads).
-    snap.filter(~F.col(tombstone_col)).write.mode("overwrite").parquet(cdir)
-    n_tomb = snap.count() - spark.read.parquet(cdir).count()
+    snap.filter(~dead_pred).write.mode("overwrite").parquet(cdir)
+    n_dead = snap.count() - spark.read.parquet(cdir).count()
     _cdc_pointer_write(root, last_bid, cdir, ckpt_id, epoch)
     _sweep(cdir)
-    return n_tomb
+    return n_dead
 
 
 def fold_agg_snapshot(partials: DataFrame, root: str, keys: list[str],

@@ -1063,3 +1063,42 @@ def test_agg_delivered_through_pointer(spark):
     streaming.fold_agg_snapshot(p, root, keys=["k"], version=3,
                                 add_cols=["c"], lineage="x")
     assert streaming.agg_delivered_through(root, "x") == 3
+
+
+def test_compact_drop_zero_cols(spark):
+    """compact_cdc_snapshot(drop_zero_cols=...): physically removes
+    live rows whose listed aggregates are ALL zero (the takedown
+    residue), leaves partially-zero rows (multi-col ALL rule), stays
+    idempotent when re-invoked, handles the drop-zero-AFTER-plain-
+    compaction case (unique _z suffix, zeros actually go), and a
+    fresh positive fold re-admits a dropped key."""
+    root = tempfile.mkdtemp(prefix="clif_zcmp_") + "/store"
+
+    def fold(rows, v):
+        p = spark.createDataFrame(rows, "k string, a long, b long")
+        return streaming.fold_agg_snapshot(
+            p, root, keys=["k"], version=v, add_cols=["a", "b"],
+            lineage="z")
+
+    fold([("x", 2, 1), ("y", 3, 3), ("w", 5, 0)], 0)
+    fold([("x", -2, -1)], 1)          # zeroes x on BOTH aggregates
+    snap = streaming.read_cdc_snapshot(spark, root)
+    assert snap.count() == 3
+    # plain compaction first: zeros survive (tombstone-only contract)
+    assert streaming.compact_cdc_snapshot(spark, root) == 0
+    assert streaming.read_cdc_snapshot(spark, root).count() == 3
+    # drop-zero over the already-compacted dir: x goes (both zero),
+    # w stays (b zero but a nonzero — ALL rule)
+    assert streaming.compact_cdc_snapshot(
+        spark, root, drop_zero_cols=["a", "b"]) == 1
+    got = {r.k for r in
+           streaming.read_cdc_snapshot(spark, root).collect()}
+    assert got == {"y", "w"}
+    # idempotent re-invocation: nothing left to drop
+    assert streaming.compact_cdc_snapshot(
+        spark, root, drop_zero_cols=["a", "b"]) == 0
+    # re-admission: a fresh positive fold recreates the dropped key
+    fold([("x", 7, 7)], 2)
+    rows = {(r.k, r.a, r.b) for r in
+            streaming.read_cdc_snapshot(spark, root).collect()}
+    assert ("x", 7, 7) in rows
