@@ -1020,6 +1020,150 @@ DEDUP_ENTITY_INC_ORACLE = """
     """
 
 
+def _entity_delta_families(spark, sf_dir):
+    """(v4, trunc, fresh) — the three delta record families the
+    incremental/persisted ER rows deliver (see
+    dedup_entity_incremental's docstring for what each one probes);
+    ONE construction shared by every consumer so the Spark side and
+    the SQL oracles cannot drift."""
+    cust = io.load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    v4 = (cust.filter(key % 200 == 0)
+          .select((key + 4000000).cast("long").alias("rid"),
+                  F.concat(F.substring("c_name", 1, 2),
+                           F.expr("substr(c_name, 4)")).alias("name")))
+    trunc = (cust.filter(key % 500 == 0)
+             .select((key + 5000000).cast("long").alias("rid"),
+                     F.substring("c_name", 1, 17).alias("name")))
+    fresh = (cust.filter(key % 300 == 0)
+             .select((key + 6000000).cast("long").alias("rid"),
+                     F.concat(F.lit("Account#"),
+                              F.expr("substr(c_name, 10)"))
+                      .alias("name")))
+    return v4, trunc, fresh
+
+
+# --- persisted ER store: the signature-store lifecycle for entity
+# resolution — standing records + cluster labels live in the CDC
+# snapshot format; deliveries screen against the STORE (records-seen
+# never re-read from the source), takedowns tombstone + re-resolve
+# only the clusters they touch. The correctness backbone is the
+# cluster-closure invariant: the standing labeling is the full closure
+# of the match relation, so match edges NEVER cross cluster
+# boundaries — which is what makes cluster-LOCAL takedown recompute
+# exact and delivery-time old-old re-verification unnecessary. -------
+
+
+def _er_store_admit(rows, root, version):
+    """Upsert (rid, name, cluster) rows into the standing ER store —
+    keep-latest CDC semantics (idempotent under redelivery), one store
+    for records AND labels so a screen needs exactly one parquet
+    relation."""
+    from clif_spark import streaming as STR
+
+    STR.upsert_cdc_snapshot(
+        rows.select("rid", "name", "cluster",
+                    F.lit(version).cast("long").alias("__v"),
+                    F.lit(False).alias("is_delete")),
+        root, keys=["rid"], order=["__v", "rid"], lineage="er-store")
+
+
+def _er_store_delivery(spark, delta, root, version):
+    """Apply one delivery of (rid, name) records to the standing ER
+    store: screen the delta against store records via the blocked
+    two-pass verify (delta-vs-all — old-old pairs never re-verified),
+    merge labels through the star-edge closure (standing clusters ride
+    as rid -> label edges, node-count sized), and upsert the delta
+    plus ONLY the standing rows whose label changed — delta-sized in
+    the attach case, merge-sized when a dirty record bridges standing
+    clusters. The store parquet is the only standing input
+    (plan-pinned in tests/test_plans.py)."""
+    from clif_spark import streaming as STR
+    from clif_spark.operators import graph as G
+
+    store = (STR.read_cdc_snapshot(spark, root)
+             .select("rid", "name", "cluster")
+             .localCheckpoint(eager=True))
+    delta = delta.localCheckpoint(eager=True)
+    star = (store.filter(F.col("cluster") != F.col("rid"))
+            .select(F.col("rid").alias("src"),
+                    F.col("cluster").alias("dst")))
+    new_edges = _entity_match_edges(
+        delta, store.select("rid", "name").unionByName(delta))
+    comp = (G.connected_components(star.unionByName(new_edges))
+            .withColumnRenamed("node", "rid")
+            .localCheckpoint(eager=True))
+    delta_rows = (delta.join(comp, "rid", "left")
+                  .select("rid", "name",
+                          F.coalesce("component", F.col("rid"))
+                           .alias("cluster")))
+    changed = (store.join(comp, "rid")
+               .filter(F.col("component") != F.col("cluster"))
+               .select("rid", "name",
+                       F.col("component").alias("cluster")))
+    _er_store_admit(delta_rows.unionByName(changed), root, version)
+
+
+def _er_store_takedown(spark, removed, root, version):
+    """Remove records from the standing ER store: tombstone the
+    removed rids AND re-resolve ONLY the clusters they inhabit — a
+    removed record may be the BRIDGE holding a merged cluster
+    together, so its cluster must be re-verified member-by-member and
+    may SPLIT back apart (labels recompute as each sub-component's min
+    rid). Clusters the removal does not touch are never re-verified:
+    the standing labeling is closed under the match relation, so no
+    edge can cross from an affected member to an unaffected cluster
+    (it would have merged them already). Cost: O(affected clusters'
+    members²) through the same blocked verify, never O(store)."""
+    from clif_spark import streaming as STR
+    from clif_spark.operators import graph as G
+
+    store = (STR.read_cdc_snapshot(spark, root)
+             .select("rid", "name", "cluster")
+             .localCheckpoint(eager=True))
+    removed = removed.select("rid").localCheckpoint(eager=True)
+    hit = (store.join(removed, "rid", "semi")
+           .select("cluster").distinct())
+    members = (store.join(F.broadcast(hit), "cluster", "semi")
+               .join(removed, "rid", "left_anti")
+               .select("rid", "name")
+               .localCheckpoint(eager=True))
+    comp = (G.connected_components(
+                _entity_match_edges(members, members, symmetric=True))
+            .withColumnRenamed("node", "rid"))
+    relabeled = (members.join(comp, "rid", "left")
+                 .select("rid", "name",
+                         F.coalesce("component", F.col("rid"))
+                          .alias("cluster")))
+    changed = (relabeled.join(
+        store.select("rid", F.col("cluster").alias("__old")), "rid")
+        .filter(F.col("cluster") != F.col("__old"))
+        .select("rid", "name", "cluster")
+        .withColumn("is_delete", F.lit(False)))
+    tombs = (store.join(removed, "rid", "semi")
+             .select("rid", "name", "cluster")
+             .withColumn("is_delete", F.lit(True)))
+    STR.upsert_cdc_snapshot(
+        changed.unionByName(tombs)
+               .withColumn("__v", F.lit(version).cast("long")),
+        root, keys=["rid"], order=["__v", "rid"], lineage="er-store")
+
+
+def _er_store_report(spark, root):
+    """The cluster report straight off the standing store — labels are
+    stored state, so the report is one window pass, no resolution."""
+    from pyspark.sql import Window
+
+    from clif_spark import streaming as STR
+
+    store = STR.read_cdc_snapshot(spark, root)
+    w = Window.partitionBy("cluster")
+    return store.select(
+        "rid", "cluster",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        F.min("name").over(w).alias("canonical_name"))
+
+
 @query("dedup_entity_incremental", oracle=DEDUP_ENTITY_INC_ORACLE)
 def dedup_entity_incremental(spark, sf_dir):
     """J12-inc (engine ext.): INCREMENTAL entity resolution — a new
@@ -1064,26 +1208,125 @@ def dedup_entity_incremental(spark, sf_dir):
     star = (comp0.filter(F.col("node") != F.col("component"))
             .select(F.col("node").alias("src"),
                     F.col("component").alias("dst")))
-    cust = io.load_table(spark, sf_dir, "customer")
-    key = F.col("c_custkey")
-    v4 = (cust.filter(key % 200 == 0)
-          .select((key + 4000000).cast("long").alias("rid"),
-                  F.concat(F.substring("c_name", 1, 2),
-                           F.expr("substr(c_name, 4)")).alias("name")))
-    trunc = (cust.filter(key % 500 == 0)
-             .select((key + 5000000).cast("long").alias("rid"),
-                     F.substring("c_name", 1, 17).alias("name")))
-    fresh = (cust.filter(key % 300 == 0)
-             .select((key + 6000000).cast("long").alias("rid"),
-                     F.concat(F.lit("Account#"),
-                              F.expr("substr(c_name, 10)"))
-                      .alias("name")))
+    v4, trunc, fresh = _entity_delta_families(spark, sf_dir)
     delta = (v4.unionByName(trunc).unionByName(fresh)
              .localCheckpoint(eager=True))
     # delta-vs-all verify: old-old pairs never recomputed
     new_edges = _entity_match_edges(delta, recs.unionByName(delta))
     merged = G.connected_components(star.unionByName(new_edges))
     return _entity_cluster_report(recs.unionByName(delta), merged)
+
+
+@query("dedup_entity_persisted", oracle=DEDUP_ENTITY_INC_ORACLE)
+def dedup_entity_persisted(spark, sf_dir):
+    """J12-store (engine ext.): the persisted ER lifecycle —
+    dedup_entity_incremental's standing state productionized as the
+    signature-store pattern: records AND their cluster labels live in
+    ONE CDC snapshot store (upsert_cdc_snapshot — keep-latest,
+    idempotent, compaction/time-travel unchanged), and each delivery
+    is screen -> merge -> admit against the STORE: the blocked
+    two-pass verify runs delta-vs-store (old-old pairs never
+    re-verified; records-seen never re-read from the source —
+    plan-pinned in tests/test_plans.py), labels merge through the
+    star-edge closure, and the upsert writes the delta plus ONLY the
+    standing rows whose label changed. TWO successive deliveries probe
+    the lifecycle where the one-shot incremental row cannot: delivery
+    1 (the %200 aliases) attaches to clusters admitted at version 0,
+    delivery 2 (the %500 truncated bridge + %300 rejects) must merge
+    clusters THROUGH the store-held labels — a store that dropped or
+    stalely-cached a label between deliveries flips the hash. The
+    report reads straight off the store (labels are stored state).
+    Oracle: the full recompute over everything ever delivered — the
+    same closure as dedup_entity_incremental, which is the identity
+    the two-delivery split must preserve.
+
+    100 TB shape: per delivery O(delta x hit blocks) verify +
+    delta/changed-sized upsert; the store is the CDC snapshot format,
+    partitionable by blocking key (the u12b point-lookup path)."""
+    import tempfile
+
+    from clif_spark.operators import graph as G
+
+    recs = _entity_recs(spark, sf_dir)
+    comp0 = (G.connected_components(
+                 _entity_match_edges(recs, recs, symmetric=True))
+             .withColumnRenamed("node", "rid"))
+    labeled = (recs.join(comp0, "rid", "left")
+               .select("rid", "name",
+                       F.coalesce("component", F.col("rid"))
+                        .alias("cluster")))
+    root = tempfile.mkdtemp(prefix="clif_er_store_")
+    _er_store_admit(labeled, root, 0)
+    v4, trunc, fresh = _entity_delta_families(spark, sf_dir)
+    _er_store_delivery(spark, v4, root, 1)
+    _er_store_delivery(spark, trunc.unionByName(fresh), root, 2)
+    return _er_store_report(spark, root)
+
+
+# Takedown oracle: the persisted-ER world where the %500 truncated
+# family NEVER EXISTED — the INC oracle with that one recs branch
+# removed (string surgery on the exact branch text, asserted present
+# so oracle drift fails loud at import, the _BM25F_TAKEDOWN_ORACLE
+# construction). The removed records are the BRIDGES that merged
+# dozens of standing clusters, so the takedown must SPLIT the
+# mega-cluster back apart — attach-only or label-only maintenance
+# cannot and flips the hash.
+_ER_TRUNC_BRANCH = """
+      UNION ALL
+      SELECT CAST(c_custkey + 5000000 AS BIGINT),
+             substr(c_name, 1, 17)
+      FROM customer WHERE c_custkey % 500 = 0"""
+assert _ER_TRUNC_BRANCH in DEDUP_ENTITY_INC_ORACLE, \
+    "persisted-ER takedown oracle: the truncated-family branch moved"
+DEDUP_ENTITY_TD_ORACLE = DEDUP_ENTITY_INC_ORACLE.replace(
+    _ER_TRUNC_BRANCH, "")
+
+
+@query("dedup_entity_store_takedown", oracle=DEDUP_ENTITY_TD_ORACLE)
+def dedup_entity_store_takedown(spark, sf_dir):
+    """J12-td (engine ext.): TAKEDOWN over the persisted ER store —
+    the right-to-be-forgotten operation for standing clusters, and the
+    one place label-state maintenance is genuinely harder than the
+    posting store's: a removed record may be the BRIDGE holding a
+    merged cluster together, so tombstoning it is not enough — its
+    clusters must be re-verified member-by-member and SPLIT back into
+    the components the remaining records actually support. The row
+    builds the full persisted lifecycle (batch admit + two
+    deliveries), then takes down the ENTIRE %500 truncated family —
+    exactly the dirty bridges whose delivery merged ~dozens of
+    standing clusters — and the store must afterwards equal a world
+    where those records never existed, BIT-FOR-BIT (the oracle is the
+    incremental oracle with that record family removed). The
+    recompute is cluster-LOCAL: only the clusters the removed rids
+    inhabit are re-verified (exact because the standing labeling is
+    closed under the match relation — no edge can cross from an
+    affected member to an unaffected cluster, it would already have
+    merged them); every other cluster's rows ride through the merge
+    unexamined (and under the partitioned-store form their partitions
+    go unrewritten — upsert_partitioned_snapshot's contract).
+
+    100 TB shape: O(affected clusters' members²) blocked verify +
+    changed-rows upsert, never O(store); tombstones drop physically
+    at the next compaction (the shared CDC contract)."""
+    import tempfile
+
+    from clif_spark.operators import graph as G
+
+    recs = _entity_recs(spark, sf_dir)
+    comp0 = (G.connected_components(
+                 _entity_match_edges(recs, recs, symmetric=True))
+             .withColumnRenamed("node", "rid"))
+    labeled = (recs.join(comp0, "rid", "left")
+               .select("rid", "name",
+                       F.coalesce("component", F.col("rid"))
+                        .alias("cluster")))
+    root = tempfile.mkdtemp(prefix="clif_er_td_store_")
+    _er_store_admit(labeled, root, 0)
+    v4, trunc, fresh = _entity_delta_families(spark, sf_dir)
+    _er_store_delivery(spark, v4, root, 1)
+    _er_store_delivery(spark, trunc.unionByName(fresh), root, 2)
+    _er_store_takedown(spark, trunc.select("rid"), root, 3)
+    return _er_store_report(spark, root)
 
 
 @query(

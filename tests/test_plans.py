@@ -950,3 +950,36 @@ def test_lsm_point_lookup_probe_casts_to_stored_key_type(spark,
     got = STR.read_lsm(spark, root, ["k"], ["v"], lineage=lin,
                        key_eq=42)  # int probe, double key
     assert [(r.k, r.v) for r in got.collect()] == [(42.0, 1)]
+
+
+def test_er_store_screen_reads_only_store_parquet(spark):
+    """dedup_entity_persisted's production claim, machine-checked: once
+    the standing records live in the ER store, SCREENING a delivery's
+    blocked verify scans the STORE's parquet (and the delivery's
+    checkpointed rows) — never the customer table the records
+    originally derived from; records-seen are never re-read from the
+    source. Every FileScan in the screen plan is a store scan."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clif_spark import io, streaming
+    from clif_spark.queries import relational as R
+
+    cust = io.load_table(spark, SF_DIR, "customer")
+    recs = cust.select(F.col("c_custkey").cast("long").alias("rid"),
+                       F.col("c_name").alias("name"))
+    root = tempfile.mkdtemp(prefix="clif_er_store_plan_")
+    R._er_store_admit(
+        recs.withColumn("cluster", F.col("rid")), root, 0)
+    delta = recs.select((F.col("rid") + 1000000).alias("rid"),
+                        F.concat("name", F.lit("x")).alias("name")) \
+                .localCheckpoint(eager=True)
+    store = (streaming.read_cdc_snapshot(spark, root)
+             .select("rid", "name"))
+    edges = R._entity_match_edges(delta, store.unionByName(delta))
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    assert "customer.parquet" not in plan
+    assert root in plan  # the ER store IS what gets scanned
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scans and all(root in ln for ln in scans)
