@@ -2228,7 +2228,11 @@ def _bm25f_score(bcounts, acounts):
             .select("host", "score_micros", "rank"))
 
 
-@query("web_bm25f_incremental", oracle=_HOST_BM25F_ORACLE)
+@query("web_bm25f_incremental", oracle=_HOST_BM25F_ORACLE,
+       headline=True)  # benched since r15: the round-14 flagship
+       # lifecycle (crawl -> standing index -> retrieve), wins
+       # 3.1x/3.6x at sf1/sf10 — per-round regression line like the
+       # screen/SCC rows
 def web_bm25f_incremental(spark, sf_dir):
     """D5b-f-inc (engine ext.): INCREMENTAL posting/index maintenance
     for fielded retrieval — the (host, term, field) posting counts
