@@ -574,7 +574,62 @@ _VERIFY_FIRST_R14 = [
 # r9 except this round's own registrations. r15 due list = the oldest
 # r9-latest rows plus pipeline_wet_export, web_cdx_point_lookup,
 # web_cdx_index and web_host_bm25f.
-_VERIFY_FIRST = _VERIFY_FIRST_R14
+_VERIFY_FIRST_R15 = [
+    # Ledger arithmetic (the ONE authoritative block): 50 slots =
+    # 4 never-gated r15 batch rows + 10 changed-code/pre-empted
+    # re-gates + 32 of the 48-row r9-latest due cohort (name order)
+    # + 4 streams at the tail (3 due + 1 new). The cohort's remaining
+    # 11 batch rows spill to lead r16: sample_temperature_mix,
+    # semantic_store_drift_recall, text_bm25_topk, text_chunk_windows,
+    # text_html_extract, text_rare_bigram_score,
+    # u10_store_schema_evolution, u6_snapshot_diff,
+    # u9_incremental_agg_maintenance, w12_rate_of_change,
+    # w14_interpolate_linear.
+    # --- never-driver-gated first (this round's registrations):
+    # weighted PageRank over link multiplicity; zero-posting
+    # compaction of the takedown'd BM25F store; the persisted ER
+    # store lifecycle and its cluster-split takedown ---
+    "web_pagerank_weighted", "web_bm25f_compacted",
+    "dedup_entity_persisted", "dedup_entity_store_takedown",
+    # --- changed-code re-gates: the WARC builders grew CR/LF
+    # header-injection guards (ADVICE r15) — io_warc_roundtrip +
+    # web_warc_revisit_roundtrip re-gate; read_lsm's key_eq branch
+    # moved its key-type read off the pruned segment list (ADVICE
+    # r15) — u12b re-gates; dedup_entity_incremental's delta
+    # families factored into the shared helper the persisted rows
+    # use; compact_cdc_snapshot grew drop_zero_cols — the two
+    # semantic-store rows that invoke compaction re-gate (they are
+    # also r9-due) ---
+    "io_warc_roundtrip", "web_warc_revisit_roundtrip",
+    "u12b_lsm_point_lookup", "dedup_entity_incremental",
+    "semantic_store_takedown", "semantic_store_rebuild_contract",
+    # --- the four re-gates r14 pre-empted (named by its ledger and
+    # VERDICT r14 next-round #1): the WARC-parser-schema consumers ---
+    "pipeline_wet_export", "web_cdx_index", "web_cdx_point_lookup",
+    "web_host_bm25f",
+    # --- the r9-latest due cohort, name order (first 32 of 46
+    # remaining batch rows after the two semantic-store rows moved
+    # up; streams at the tail) ---
+    "a16_numeric_histogram", "a19_cooccurrence_pairs",
+    "a20_winsorize_clamp", "a21_countmin_heavy",
+    "a26_checked_sum_guard", "ann_ivf_pq_residual_topk",
+    "ann_ivf_pq_topk", "ann_matryoshka_topk", "ann_pq_adc_topk",
+    "corpus_c4_line_filter", "dedup_bloom_screen",
+    "dedup_chunk_paragraphs", "dedup_remove_repeated_spans",
+    "dedup_store_takedown", "emb_pq_encode", "f16_accent_fold",
+    "mm_jpeg_arithmetic_reject", "mm_sample_stats",
+    "mm_video_h264_skip", "o3_topk_per_group", "o4_zorder_key",
+    "pipeline_admission_diagnosis", "pipeline_adt",
+    "pipeline_demographics", "pipeline_encounter_dispo",
+    "pipeline_labs", "pipeline_med_admin_continuous",
+    "pipeline_resp_support", "pipeline_scores", "pipeline_web_ingest",
+    "sample_mix_epochs", "sample_reservoir_per_key",
+    # --- streams at the tail (multi-second startup each): the three
+    # due streams plus this round's new posting-maintenance stream ---
+    "stream_agg_maintenance", "stream_countmin_merge",
+    "stream_incremental_dedup", "stream_bm25f_maintain",
+]
+_VERIFY_FIRST = _VERIFY_FIRST_R15
 
 # Rows-only queries (dedup_semantic, ann_ivf_trained_topk,
 # ann_cosine_topk_arrow, w15_ewma_smooth, text_bpe_tokenize,
