@@ -577,9 +577,11 @@ _VERIFY_FIRST_R14 = [
 _VERIFY_FIRST_R15 = [
     # Ledger arithmetic (the ONE authoritative block): 50 slots =
     # 4 never-gated r15 batch rows + 10 changed-code/pre-empted
-    # re-gates + 32 of the 48-row r9-latest due cohort (name order)
-    # + 4 streams at the tail (3 due + 1 new). The cohort's remaining
-    # 11 batch rows spill to lead r16: sample_temperature_mix,
+    # re-gates + 31 of the 48-row r9-latest due cohort (name order)
+    # + 5 streams at the tail (3 due + 2 new: the BM25F and ER
+    # maintenance streams). The cohort's remaining 12 batch rows
+    # spill to lead r16: sample_reservoir_per_key,
+    # sample_temperature_mix,
     # semantic_store_drift_recall, text_bm25_topk, text_chunk_windows,
     # text_html_extract, text_rare_bigram_score,
     # u10_store_schema_evolution, u6_snapshot_diff,
@@ -623,11 +625,13 @@ _VERIFY_FIRST_R15 = [
     "pipeline_demographics", "pipeline_encounter_dispo",
     "pipeline_labs", "pipeline_med_admin_continuous",
     "pipeline_resp_support", "pipeline_scores", "pipeline_web_ingest",
-    "sample_mix_epochs", "sample_reservoir_per_key",
+    "sample_mix_epochs",
     # --- streams at the tail (multi-second startup each): the three
-    # due streams plus this round's new posting-maintenance stream ---
+    # due streams plus this round's two new maintenance streams
+    # (BM25F postings, persisted-ER store) ---
     "stream_agg_maintenance", "stream_countmin_merge",
     "stream_incremental_dedup", "stream_bm25f_maintain",
+    "stream_er_maintain",
 ]
 _VERIFY_FIRST = _VERIFY_FIRST_R15
 
