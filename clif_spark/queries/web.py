@@ -2912,6 +2912,53 @@ def web_pagerank_weighted(spark, sf_dir):
         weight_col="n_urls")
 
 
+@query("web_pagerank_weighted_warm",
+       oracle=_weighted_pagerank_oracle(iterations=6))
+def web_pagerank_weighted_warm(spark, sf_dir):
+    """D5c-w-inc (engine ext.): INCREMENTAL maintenance of the
+    weighted rank table — the warm-start contract extended to the
+    weighted form: 3 weighted iterations fold into the CDC snapshot
+    store, read back, and 3 MORE iterations warm-start from the stored
+    vector; because every weighted step is a pure exact function of
+    the previous vector (integer-micros, true `div` floors — per-unit
+    weight shares), stored-3 + warm-3 must equal 6-from-scratch
+    BIT-FOR-BIT against the 6-iteration unrolled weighted oracle. A
+    standing multiplicity-aware rank table thus advances per crawl
+    delivery in O(iterations x weighted edges), never O(history) —
+    the production form: link evidence accumulates crawl over crawl
+    and the prior keeps pace without global recomputes."""
+    import tempfile
+
+    from clif_spark import streaming as STR
+    from clif_spark.operators import graph as G
+
+    edges = (_link_urls(spark, sf_dir)
+             .select("src_host", "u",
+                     urlfn.url_host(F.col("u")).alias("dst_host"))
+             .groupBy("src_host", "dst_host")
+             .agg(F.count_distinct(F.col("u")).cast("long")
+                  .alias("n_urls"))
+             .localCheckpoint(eager=True))
+
+    def ranks(iters, init=None):
+        return G.pagerank_weighted(
+            edges, iterations=iters, src_col="src_host",
+            dst_col="dst_host", weight_col="n_urls",
+            init_ranks=init)
+
+    r3 = ranks(3)
+    root = tempfile.mkdtemp(prefix="clif_wrank_store_")
+    STR.upsert_cdc_snapshot(
+        r3.select("node", "rank_micros",
+                  F.lit(3).cast("long").alias("__v"),
+                  F.lit(False).alias("is_delete")),
+        root, keys=["node"], order=["__v", "node"],
+        lineage="host-wranks")
+    stored = STR.read_cdc_snapshot(spark, root) \
+                .select("node", "rank_micros")
+    return ranks(3, init=stored)
+
+
 # ONE oracle for BOTH component implementations (min-label propagation
 # and large-star/small-star contraction): the fixpoint labeling is a
 # pure function of the graph, so the two gated rows must hash-equal
