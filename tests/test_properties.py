@@ -1005,3 +1005,92 @@ def test_lsm_point_lookup_equals_filtered_full_read(spark, segs,
                STR.read_lsm(spark, root, ["k"], ["score"], lineage=lin,
                             key_eq=k).collect()}
         assert got == {row for row in full if row[0] == k}
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(alphabet="abX#0123", min_size=1, max_size=20),
+                min_size=4, max_size=12, unique=True))
+def test_er_store_lifecycle_agrees_with_bruteforce(spark, names):
+    """The persisted ER store lifecycle (batch admit -> two deliveries
+    -> takedown of every 3rd record) vs a pure-Python union-find over
+    the documented match definition, on random short names: after the
+    deliveries the store's clusters must equal the brute-force
+    clustering of everything delivered, and after the takedown they
+    must equal the brute-force clustering of the SURVIVORS — including
+    the splits a removed bridge record forces (the cluster-closure
+    argument _er_store_takedown's exactness rests on, probed here on
+    graphs with no planted structure at all)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clif_spark.queries import relational as R
+
+    recs = [(i, nm) for i, nm in enumerate(names)]
+    base, d1, d2 = recs[: len(recs) // 2], recs[len(recs) // 2::2], \
+        recs[len(recs) // 2 + 1::2]
+
+    def match(a, b):
+        p1 = a[-7:] == b[-7:] and _lev(a, b) <= 1
+        p2 = (a[:16] == b[:16] and len(a) != len(b)
+              and _lev(a, b) <= 1)
+        return p1 or p2
+
+    def brute(rows):
+        parent = {i: i for i, _ in rows}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i, a in rows:
+            for j, b in rows:
+                if i < j and match(a, b):
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+        comp = {}
+        for i, _ in rows:
+            comp.setdefault(find(i), []).append(i)
+        out = set()
+        by_id = dict(rows)
+        for members in comp.values():
+            lab = min(members)
+            canon = min(by_id[m] for m in members)
+            for m in members:
+                out.add((m, lab, len(members), canon))
+        return out
+
+    def report(root):
+        return {tuple(r) for r in
+                R._er_store_report(spark, root).collect()}
+
+    from clif_spark.operators import graph as G
+
+    bdf = spark.createDataFrame(base, "rid long, name string")
+    comp0 = (G.connected_components(
+                 R._entity_match_edges(bdf, bdf, symmetric=True))
+             .withColumnRenamed("node", "rid"))
+    labeled = (bdf.join(comp0, "rid", "left")
+               .select("rid", "name",
+                       F.coalesce("component", F.col("rid"))
+                        .alias("cluster")))
+    root = tempfile.mkdtemp(prefix="clif_er_prop_") + "/store"
+    R._er_store_admit(labeled, root, 0)
+    for v, d in ((1, d1), (2, d2)):
+        if d:
+            R._er_store_delivery(
+                spark, spark.createDataFrame(d, "rid long, name string"),
+                root, v)
+    delivered = base + d1 + d2
+    assert report(root) == brute(delivered)
+    removed = delivered[::3]
+    R._er_store_takedown(
+        spark,
+        spark.createDataFrame(removed, "rid long, name string"),
+        root, 3)
+    survivors = [r for r in delivered if r not in set(removed)]
+    assert report(root) == brute(survivors)
