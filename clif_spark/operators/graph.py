@@ -821,18 +821,24 @@ def pagerank_weighted(edges: DataFrame, iterations: int = 3,
     + K' warm = K+K' from scratch bit-for-bit, because every step is
     a pure exact function of the previous vector."""
     src, dst = F.col(src_col), F.col(dst_col)
+    w = F.col(weight_col)
+    # the fail-loud guard runs on the RAW per-row weights, BEFORE the
+    # multigraph collapse: post-aggregation totals would let a NULL
+    # (skipped by SUM) or a negative row that nets positive with a
+    # parallel edge pass silently — exactly the corruption the guard's
+    # message promises to catch
+    bad = edges.filter(w.isNull() | (w < 1)).count()
+    if bad:
+        raise ValueError(
+            f"pagerank_weighted: {bad} edge row(s) with NULL or"
+            f" non-positive weight — weights must be positive"
+            f" integers (a zero/NULL-weight row silently alters every"
+            f" sibling edge's share); filter or fix upstream")
     e = (edges.groupBy(src.alias("src"), dst.alias("dst"))
-         .agg(F.sum(F.col(weight_col)).cast("long").alias("w")))
+         .agg(F.sum(w).cast("long").alias("w")))
     # edge-relation-sized checkpoint: referenced by every iteration
     # plus nodes/outw (the pagerank_fixed lesson)
     e = e.localCheckpoint(eager=True)
-    bad = e.filter(F.col("w").isNull() | (F.col("w") < 1)).count()
-    if bad:
-        raise ValueError(
-            f"pagerank_weighted: {bad} edge(s) with NULL or"
-            f" non-positive total weight — weights must be positive"
-            f" integers (a zero-weight edge silently alters every"
-            f" sibling edge's share); filter or fix upstream")
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct())

@@ -561,6 +561,36 @@ def _stream_incr_oracle() -> str:
     return _llm._persisted_incr_oracle()
 
 
+def _land_deliveries(deliveries, prefix: str):
+    """Write each (ordinal, DataFrame) delivery as ONE parquet file in
+    a fresh scratch dir, mtimes pinned a minute apart in ordinal order
+    — Spark's file source replays oldest-first, so the drain order
+    (which store lifecycles genuinely depend on: delivery 2 must
+    screen against an already-grown store) is deterministic. The ONE
+    landing helper for every maintenance stream in this module; the
+    drain-order pinning must not drift between them. Returns
+    (scratch_dir, schema) — deliveries must share a schema."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    scratch = tempfile.mkdtemp(prefix=prefix)
+    now = time.time()
+    schema = None
+    for ordinal, df in deliveries:
+        schema = df.schema
+        tmp = tempfile.mkdtemp(prefix=prefix + "part_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp)
+                    if f.startswith("part-") and f.endswith(".parquet"))
+        dst = os.path.join(scratch, f"delivery{ordinal}.parquet")
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst,
+                 (now - 600 + 60 * ordinal, now - 600 + 60 * ordinal))
+    return scratch, schema
+
+
 @query("stream_incremental_dedup", oracle=_stream_incr_oracle())
 def stream_incremental_dedup(spark, sf_dir):
     """Ingest-time dedup as a STREAM — the production composition of the
@@ -577,10 +607,7 @@ def stream_incremental_dedup(spark, sf_dir):
     oracle — which pins the whole incremental contract: per-delivery
     cost, store growth between deliveries (delivery 2's matches against
     admitted delivery-1 docs), and replay convergence."""
-    import os
-    import shutil
     import tempfile
-    import time
 
     from clif_spark import dedup
 
@@ -611,23 +638,10 @@ def stream_incremental_dedup(spark, sf_dir):
     dedup.signature_store_admit(
         dedup.minhash_signature_rows(d), root, version=0)
 
-    # one FILE per delivery, mtimes pinned a minute apart: Spark's file
-    # source replays oldest-first, so delivery order is deterministic
-    # (the incremental result genuinely depends on it — delivery 2 must
-    # screen against an already-grown store)
-    scratch = tempfile.mkdtemp(prefix="clif_stream_incr_src_")
-    now = time.time()
-    schema = None
-    for tag, df in deliveries:
-        tmp = tempfile.mkdtemp(prefix="clif_incr_part_")
-        tagged = df.withColumn("delivery", F.lit(tag).cast("long"))
-        schema = tagged.schema
-        tagged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(f for f in os.listdir(tmp)
-                    if f.startswith("part-") and f.endswith(".parquet"))
-        dst = os.path.join(scratch, f"delivery{tag}.parquet")
-        shutil.copy(os.path.join(tmp, part), dst)
-        os.utime(dst, (now - 600 + 60 * tag, now - 600 + 60 * tag))
+    scratch, schema = _land_deliveries(
+        [(tag, df.withColumn("delivery", F.lit(tag).cast("long")))
+         for tag, df in deliveries],
+        "clif_stream_incr_src_")
 
     out_dir = tempfile.mkdtemp(prefix="clif_stream_incr_out_")
     ckpt = tempfile.mkdtemp(prefix="clif_stream_incr_ckpt_")
@@ -752,26 +766,13 @@ def stream_agg_maintenance(spark, sf_dir):
     must equal the batch GROUP BY over all events — ONE shared oracle
     with u9, pinning that the stream composition preserves the fold's
     exactness (dsum/dmean fixed-point discipline end to end)."""
-    import os
-    import shutil
     import tempfile
-    import time
 
     ev = io.load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
-    scratch = tempfile.mkdtemp(prefix="clif_aggstream_src_")
-    now = time.time()
-    schema = None
-    for k in range(3):
-        part_df = ev.filter(F.col("event_id") % 3 == k)
-        schema = part_df.schema
-        tmp = tempfile.mkdtemp(prefix="clif_aggstream_part_")
-        part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(f for f in os.listdir(tmp)
-                    if f.startswith("part-") and f.endswith(".parquet"))
-        dst = os.path.join(scratch, f"delivery{k}.parquet")
-        shutil.copy(os.path.join(tmp, part), dst)
-        os.utime(dst, (now - 600 + 60 * k, now - 600 + 60 * k))
+    scratch, schema = _land_deliveries(
+        [(k, ev.filter(F.col("event_id") % 3 == k)) for k in range(3)],
+        "clif_aggstream_src_")
 
     root = tempfile.mkdtemp(prefix="clif_aggstore_stream_")
     ckpt = tempfile.mkdtemp(prefix="clif_aggstream_ckpt_")
@@ -1008,28 +1009,17 @@ def stream_bm25f_maintain(spark, sf_dir):
     posting-relation-sized fold exchange, never O(corpus history);
     the store is the CDC snapshot format (compaction/time-travel
     unchanged)."""
-    import os
-    import shutil
     import tempfile
-    import time
 
     d = io.load_table(spark, sf_dir, "documents")
-    scratch = tempfile.mkdtemp(prefix="clif_bm25f_stream_src_")
-    now = time.time()
-    schema = None
-    for k in (0, 1):
-        part_df = (d.filter(F.col("doc_id") % 2 == k)
-                   .withColumn("__v", F.lit(k).cast("long")))
-        schema = part_df.schema
-        tmp = tempfile.mkdtemp(prefix="clif_bm25f_stream_part_")
-        part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(f for f in os.listdir(tmp)
-                    if f.startswith("part-") and f.endswith(".parquet"))
-        dst = os.path.join(scratch, f"delivery{k}.parquet")
-        shutil.copy(os.path.join(tmp, part), dst)
-        # mtimes pinned: the file source drains in mtime order, so the
-        # monotone-feed contract the pointer-skip relies on holds
-        os.utime(dst, (now - 600 + 60 * k, now - 600 + 60 * k))
+    # mtimes pinned by the landing helper: the file source drains in
+    # mtime order, so the monotone-feed contract the pointer-skip
+    # relies on holds
+    scratch, schema = _land_deliveries(
+        [(k, d.filter(F.col("doc_id") % 2 == k)
+              .withColumn("__v", F.lit(k).cast("long")))
+         for k in (0, 1)],
+        "clif_bm25f_stream_src_")
 
     root = tempfile.mkdtemp(prefix="clif_bm25f_stream_store_")
     lin = "bm25f-postings-stream"
@@ -1104,10 +1094,7 @@ def stream_er_maintain(spark, sf_dir):
     100 TB shape: per micro-batch O(delta x hit blocks) verify +
     delta/changed-sized upsert against store parquet only — the
     screen never re-reads records-seen from the source."""
-    import os
-    import shutil
     import tempfile
-    import time
 
     from clif_spark.operators import graph as G
 
@@ -1123,20 +1110,10 @@ def stream_er_maintain(spark, sf_dir):
     _rel._er_store_admit(labeled, root, 0)
 
     v4, trunc, fresh = _rel._entity_delta_families(spark, sf_dir)
-    deliveries = {1: v4, 2: trunc.unionByName(fresh)}
-    scratch = tempfile.mkdtemp(prefix="clif_er_stream_src_")
-    now = time.time()
-    schema = None
-    for ver, part_df in deliveries.items():
-        part_df = part_df.withColumn("__v", F.lit(ver).cast("long"))
-        schema = part_df.schema
-        tmp = tempfile.mkdtemp(prefix="clif_er_stream_part_")
-        part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(f for f in os.listdir(tmp)
-                    if f.startswith("part-") and f.endswith(".parquet"))
-        dst = os.path.join(scratch, f"delivery{ver}.parquet")
-        shutil.copy(os.path.join(tmp, part), dst)
-        os.utime(dst, (now - 600 + 60 * ver, now - 600 + 60 * ver))
+    scratch, schema = _land_deliveries(
+        [(ver, df.withColumn("__v", F.lit(ver).cast("long")))
+         for ver, df in ((1, v4), (2, trunc.unionByName(fresh)))],
+        "clif_er_stream_src_")
 
     replay = {"on": False}
 

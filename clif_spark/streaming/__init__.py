@@ -514,15 +514,24 @@ def read_cdc_snapshot(spark: SparkSession, root: str,
         # feed, would silently time-travel a DIFFERENT history. Older
         # epochs' dirs may still exist on disk but are not addressable
         # here by design.
-        name = _vdir_name(version, meta[2], meta[3])
-        vdir = os.path.join(root, name)
-        if not os.path.exists(vdir):
-            vdir = os.path.join(root, f"{name}_compacted")
-        if not os.path.exists(vdir):
-            raise FileNotFoundError(
-                f"no version v{version} in the current lineage under "
-                f"{root} (compacted away, skipped as a redelivery, or "
-                f"written by an earlier feed lineage)")
+        if version == meta[0]:
+            # the CURRENT version is always addressable at exactly the
+            # path the pointer names — compaction may have rewritten
+            # it under any suffix (_compacted, the drop-zero _z), and
+            # probing name patterns here would have to track every
+            # suffix the compactor can mint
+            vdir = meta[1]
+        else:
+            name = _vdir_name(version, meta[2], meta[3])
+            vdir = os.path.join(root, name)
+            if not os.path.exists(vdir):
+                vdir = os.path.join(root, f"{name}_compacted")
+            if not os.path.exists(vdir):
+                raise FileNotFoundError(
+                    f"no version v{version} in the current lineage "
+                    f"under {root} (compacted away, skipped as a "
+                    f"redelivery, or written by an earlier feed "
+                    f"lineage)")
     else:
         vdir = meta[1]
     return (spark.read.parquet(vdir)
@@ -579,9 +588,13 @@ def compact_cdc_snapshot(spark: SparkSession, root: str,
         import functools
         import operator
 
-        # dead = tombstoned OR every listed aggregate exactly zero
+        # dead = tombstoned OR every listed aggregate exactly zero.
+        # NULL-safe equality: a NULL aggregate (e.g. a pre-evolution
+        # row under allow_missing_columns) is NOT zero — plain == would
+        # NULL-propagate through ~dead_pred and silently DELETE the row
         dead_pred = dead_pred | functools.reduce(
-            operator.and_, [F.col(c) == 0 for c in drop_zero_cols])
+            operator.and_,
+            [F.col(c).eqNullSafe(F.lit(0)) for c in drop_zero_cols])
     if already:
         # Idempotent: already compacted, no new batches since. Still run
         # the stale-dir sweep — a prior compaction that crashed after the
@@ -589,7 +602,9 @@ def compact_cdc_snapshot(spark: SparkSession, root: str,
         # version dirs forever; re-invocation completes the cleanup.
         # Zeroed rows can only survive here if THAT compaction ran
         # without drop_zero_cols (a fold in between writes a fresh
-        # uncompacted dir) — one footer-cheap count decides.
+        # uncompacted dir) — one store-sized count over the two
+        # predicate columns decides (the store is key-count sized,
+        # never corpus-sized; still a data read, not footer-only).
         if not drop_zero_cols or \
                 spark.read.parquet(vdir).filter(dead_pred).count() == 0:
             _sweep(vdir)

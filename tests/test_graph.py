@@ -477,5 +477,26 @@ def test_pagerank_weighted_identity_and_multiplicity(spark):
     # fail-loud weight guard
     z = spark.createDataFrame([("a", "b", 0)],
                               "src string, dst string, weight long")
-    with pytest.raises(ValueError, match="non-positive total weight"):
+    with pytest.raises(ValueError, match="NULL or non-positive"):
         G.pagerank_weighted(z, iterations=1)
+
+
+def test_pagerank_weighted_guard_catches_raw_row_corruption(spark):
+    """Round-15 review regression, pinned: the weight guard runs on
+    RAW edge rows, before the multigraph collapse — a negative row
+    that nets positive with a parallel edge, and a NULL row that SUM
+    would silently skip, must both fail loud."""
+    import pytest
+
+    from clif_spark.operators import graph as G
+
+    nets_positive = spark.createDataFrame(
+        [("a", "b", 5), ("a", "b", -3), ("b", "a", 1)],
+        "src string, dst string, weight long")
+    with pytest.raises(ValueError, match="NULL or non-positive"):
+        G.pagerank_weighted(nets_positive, iterations=1)
+    null_row = spark.createDataFrame(
+        [("a", "b", 1), ("a", "b", None), ("b", "a", 1)],
+        "src string, dst string, weight long")
+    with pytest.raises(ValueError, match="NULL or non-positive"):
+        G.pagerank_weighted(null_row, iterations=1)

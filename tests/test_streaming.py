@@ -1102,3 +1102,42 @@ def test_compact_drop_zero_cols(spark):
     rows = {(r.k, r.a, r.b) for r in
             streaming.read_cdc_snapshot(spark, root).collect()}
     assert ("x", 7, 7) in rows
+
+
+def test_compact_drop_zero_null_safe_and_current_version_addressable(
+        spark):
+    """Round-15 review regressions, pinned: (1) a live row whose
+    drop_zero_cols value is NULL (the allow_missing_columns schema-
+    evolution shape) is NOT zero and must SURVIVE a drop-zero
+    compaction — plain `== 0` would NULL-propagate through the keep
+    filter and silently delete it; (2) after a drop-zero RE-compaction
+    (the _z-suffixed rewrite of an already-compacted dir), the CURRENT
+    version must stay addressable through read_cdc_snapshot(version=)
+    — the pointer names the path, whatever suffix the compactor
+    minted."""
+    root = tempfile.mkdtemp(prefix="clif_zn_") + "/store"
+
+    def up(rows, schema, v, **kw):
+        streaming.upsert_cdc_snapshot(
+            spark.createDataFrame(rows, schema), root,
+            keys=["k"], order=["__v", "k"], lineage="zn", **kw)
+
+    up([("old", 5, 0, False)],
+       "k string, a long, __v long, is_delete boolean", 0)
+    # additive evolution: old row's b is NULL from here on
+    up([("new", 0, 7, 1, False), ("dead", 0, 0, 1, False)],
+       "k string, a long, b long, __v long, is_delete boolean", 1,
+       allow_missing_columns=True)
+    # plain compaction first, so the drop-zero pass exercises the
+    # already-compacted (_z-suffix) branch
+    assert streaming.compact_cdc_snapshot(spark, root) == 0
+    removed = streaming.compact_cdc_snapshot(
+        spark, root, drop_zero_cols=["a", "b"])
+    assert removed == 1  # ONLY the all-zero row; never the NULL-b row
+    got = {(r.k, r.a, r.b) for r in
+           streaming.read_cdc_snapshot(spark, root).collect()}
+    assert got == {("old", 5, None), ("new", 0, 7)}
+    # the current version resolves by explicit version= too
+    cur = streaming._cdc_pointer_read(root)[0]
+    assert streaming.read_cdc_snapshot(
+        spark, root, version=cur).count() == 2
