@@ -576,12 +576,12 @@ _VERIFY_FIRST_R14 = [
 # web_cdx_index and web_host_bm25f.
 _VERIFY_FIRST_R15 = [
     # Ledger arithmetic (the ONE authoritative block): 50 slots =
-    # 5 never-gated r15 batch rows + 10 changed-code/pre-empted
-    # re-gates + 30 of the 48-row r9-latest due cohort (name order)
+    # 6 never-gated r15 batch rows + 10 changed-code/pre-empted
+    # re-gates + 29 of the 48-row r9-latest due cohort (name order)
     # + 5 streams at the tail (3 due + 2 new: the BM25F and ER
-    # maintenance streams). The cohort's remaining 13 batch rows
-    # spill to lead r16: sample_mix_epochs, sample_reservoir_per_key,
-    # sample_temperature_mix,
+    # maintenance streams). The cohort's remaining 14 batch rows
+    # spill to lead r16: pipeline_web_ingest, sample_mix_epochs,
+    # sample_reservoir_per_key, sample_temperature_mix,
     # semantic_store_drift_recall, text_bm25_topk, text_chunk_windows,
     # text_html_extract, text_rare_bigram_score,
     # u10_store_schema_evolution, u6_snapshot_diff,
@@ -594,6 +594,7 @@ _VERIFY_FIRST_R15 = [
     "web_pagerank_weighted", "web_pagerank_weighted_warm",
     "web_bm25f_compacted",
     "dedup_entity_persisted", "dedup_entity_store_takedown",
+    "dedup_entity_store_compacted",
     # --- changed-code re-gates: the WARC builders grew CR/LF
     # header-injection guards (ADVICE r15) — io_warc_roundtrip +
     # web_warc_revisit_roundtrip re-gate; read_lsm's key_eq branch
@@ -625,7 +626,7 @@ _VERIFY_FIRST_R15 = [
     "pipeline_admission_diagnosis", "pipeline_adt",
     "pipeline_demographics", "pipeline_encounter_dispo",
     "pipeline_labs", "pipeline_med_admin_continuous",
-    "pipeline_resp_support", "pipeline_scores", "pipeline_web_ingest",
+    "pipeline_resp_support", "pipeline_scores",
     # --- streams at the tail (multi-second startup each): the three
     # due streams plus this round's two new maintenance streams
     # (BM25F postings, persisted-ER store) ---

@@ -1329,6 +1329,60 @@ def dedup_entity_store_takedown(spark, sf_dir):
     return _er_store_report(spark, root)
 
 
+@query("dedup_entity_store_compacted", oracle=DEDUP_ENTITY_TD_ORACLE)
+def dedup_entity_store_compacted(spark, sf_dir):
+    """J12-cmp (engine ext.): COMPACTION of the persisted ER store
+    after takedown — the storage-reclaim leg that completes the
+    lifecycle the way the signature/semantic/posting stores already
+    do: the takedown leaves the removed records as retained tombstones
+    (suppression against out-of-order redelivery, the shared CDC
+    contract), and compaction physically drops them and expires
+    history. The row runs the FULL lifecycle (batch admit + two
+    deliveries + the %500 bridge-family takedown), compacts, asserts
+    in-row that exactly the tombstoned rows left the parquet
+    (removed == takedown family size; live count unchanged), and
+    reports from the compacted store under the SAME oracle as the
+    takedown row — compaction is a pure physical choice, the report
+    must be bit-invariant across it.
+
+    100 TB shape: one store-sized rewrite (the store is record-count
+    sized), amortized across takedowns; under the partitioned-store
+    form only tombstone-bearing partitions rewrite."""
+    import tempfile
+
+    from clif_spark import streaming as STR
+    from clif_spark.operators import graph as G
+
+    recs = _entity_recs(spark, sf_dir)
+    comp0 = (G.connected_components(
+                 _entity_match_edges(recs, recs, symmetric=True))
+             .withColumnRenamed("node", "rid"))
+    labeled = (recs.join(comp0, "rid", "left")
+               .select("rid", "name",
+                       F.coalesce("component", F.col("rid"))
+                        .alias("cluster")))
+    root = tempfile.mkdtemp(prefix="clif_er_cmp_store_")
+    _er_store_admit(labeled, root, 0)
+    v4, trunc, fresh = _entity_delta_families(spark, sf_dir)
+    _er_store_delivery(spark, v4, root, 1)
+    _er_store_delivery(spark, trunc.unionByName(fresh), root, 2)
+    trunc = trunc.localCheckpoint(eager=True)
+    _er_store_takedown(spark, trunc.select("rid"), root, 3)
+    live_before = _er_store_report(spark, root).count()
+    n_removed = STR.compact_cdc_snapshot(spark, root)
+    n_trunc = trunc.count()
+    if n_removed != n_trunc:
+        raise RuntimeError(
+            f"dedup_entity_store_compacted: compaction removed "
+            f"{n_removed} rows, expected exactly the {n_trunc} "
+            f"takedown tombstones")
+    if _er_store_report(spark, root).count() != live_before:
+        raise RuntimeError(
+            "dedup_entity_store_compacted: live row count changed "
+            "across compaction — a physical choice altered semantics")
+    return _er_store_report(spark, root)
+
+
 @query(
     "u4_intersect_except",
     oracle="""
