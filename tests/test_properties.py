@@ -1094,3 +1094,41 @@ def test_er_store_lifecycle_agrees_with_bruteforce(spark, names):
         root, 3)
     survivors = [r for r in delivered if r not in set(removed)]
     assert report(root) == brute(survivors)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.sampled_from("abcd"),
+                          st.sampled_from("abcd"),
+                          st.integers(min_value=1, max_value=4)),
+                min_size=1, max_size=12))
+def test_pagerank_weighted_agrees_with_python_recurrence(spark, raw):
+    """pagerank_weighted on random small weighted multigraphs vs a
+    pure-Python mirror of the documented integer recurrence
+    (multigraph collapse by weight sum, per-unit share r // W(v),
+    teleport + 85% damping floor-divided) — two iterations, every
+    node and every micro must agree exactly (the hand-mirrored-
+    recurrence pin the personalized form has, extended to weights)."""
+    from clif_spark.operators import graph as G
+
+    df = spark.createDataFrame(raw, "src string, dst string, weight long")
+    got = {r.node: r.rank_micros for r in
+           G.pagerank_weighted(df, iterations=2).collect()}
+
+    # pure-Python mirror
+    w = {}
+    for s, d, x in raw:
+        w[(s, d)] = w.get((s, d), 0) + x
+    nodes = sorted({s for s, _ in w} | {d for _, d in w})
+    n = len(nodes)
+    teleport = ((100 - 85) * 1_000_000 // 100) // n
+    W = {}
+    for (s, _), x in w.items():
+        W[s] = W.get(s, 0) + x
+    r = {u: 1_000_000 // n for u in nodes}
+    for _ in range(2):
+        acc = {u: 0 for u in nodes}
+        for (s, d), x in w.items():
+            acc[d] += x * (r[s] // W[s])
+        r = {u: teleport + (85 * acc[u]) // 100 for u in nodes}
+    assert got == r
