@@ -611,7 +611,7 @@ _VERIFY_FIRST_R15 = [
     # VERDICT r14 next-round #1): the WARC-parser-schema consumers ---
     "pipeline_wet_export", "web_cdx_index", "web_cdx_point_lookup",
     "web_host_bm25f",
-    # --- the r9-latest due cohort, name order (first 30 of the 43
+    # --- the r9-latest due cohort, name order (first 29 of the 43
     # remaining batch rows after the two semantic-store rows moved
     # up; the 3 due streams sit at the tail) ---
     "a16_numeric_histogram", "a19_cooccurrence_pairs",

@@ -1164,6 +1164,32 @@ def _er_store_report(spark, root):
         F.min("name").over(w).alias("canonical_name"))
 
 
+def _er_store_build(spark, sf_dir, prefix):
+    """The shared persisted-ER lifecycle build (batch resolve + admit
+    at version 0, the two delta deliveries at 1 and 2) — ONE
+    construction for the persisted/takedown/compacted rows so the
+    lifecycle cannot drift between them. Returns (root, trunc) —
+    trunc is the %500 bridge family the takedown rows remove."""
+    import tempfile
+
+    from clif_spark.operators import graph as G
+
+    recs = _entity_recs(spark, sf_dir)
+    comp0 = (G.connected_components(
+                 _entity_match_edges(recs, recs, symmetric=True))
+             .withColumnRenamed("node", "rid"))
+    labeled = (recs.join(comp0, "rid", "left")
+               .select("rid", "name",
+                       F.coalesce("component", F.col("rid"))
+                        .alias("cluster")))
+    root = tempfile.mkdtemp(prefix=prefix)
+    _er_store_admit(labeled, root, 0)
+    v4, trunc, fresh = _entity_delta_families(spark, sf_dir)
+    _er_store_delivery(spark, v4, root, 1)
+    _er_store_delivery(spark, trunc.unionByName(fresh), root, 2)
+    return root, trunc
+
+
 @query("dedup_entity_incremental", oracle=DEDUP_ENTITY_INC_ORACLE)
 def dedup_entity_incremental(spark, sf_dir):
     """J12-inc (engine ext.): INCREMENTAL entity resolution — a new
@@ -1243,23 +1269,7 @@ def dedup_entity_persisted(spark, sf_dir):
     100 TB shape: per delivery O(delta x hit blocks) verify +
     delta/changed-sized upsert; the store is the CDC snapshot format,
     partitionable by blocking key (the u12b point-lookup path)."""
-    import tempfile
-
-    from clif_spark.operators import graph as G
-
-    recs = _entity_recs(spark, sf_dir)
-    comp0 = (G.connected_components(
-                 _entity_match_edges(recs, recs, symmetric=True))
-             .withColumnRenamed("node", "rid"))
-    labeled = (recs.join(comp0, "rid", "left")
-               .select("rid", "name",
-                       F.coalesce("component", F.col("rid"))
-                        .alias("cluster")))
-    root = tempfile.mkdtemp(prefix="clif_er_store_")
-    _er_store_admit(labeled, root, 0)
-    v4, trunc, fresh = _entity_delta_families(spark, sf_dir)
-    _er_store_delivery(spark, v4, root, 1)
-    _er_store_delivery(spark, trunc.unionByName(fresh), root, 2)
+    root, _ = _er_store_build(spark, sf_dir, "clif_er_store_")
     return _er_store_report(spark, root)
 
 
@@ -1308,23 +1318,7 @@ def dedup_entity_store_takedown(spark, sf_dir):
     100 TB shape: O(affected clusters' members²) blocked verify +
     changed-rows upsert, never O(store); tombstones drop physically
     at the next compaction (the shared CDC contract)."""
-    import tempfile
-
-    from clif_spark.operators import graph as G
-
-    recs = _entity_recs(spark, sf_dir)
-    comp0 = (G.connected_components(
-                 _entity_match_edges(recs, recs, symmetric=True))
-             .withColumnRenamed("node", "rid"))
-    labeled = (recs.join(comp0, "rid", "left")
-               .select("rid", "name",
-                       F.coalesce("component", F.col("rid"))
-                        .alias("cluster")))
-    root = tempfile.mkdtemp(prefix="clif_er_td_store_")
-    _er_store_admit(labeled, root, 0)
-    v4, trunc, fresh = _entity_delta_families(spark, sf_dir)
-    _er_store_delivery(spark, v4, root, 1)
-    _er_store_delivery(spark, trunc.unionByName(fresh), root, 2)
+    root, trunc = _er_store_build(spark, sf_dir, "clif_er_td_store_")
     _er_store_takedown(spark, trunc.select("rid"), root, 3)
     return _er_store_report(spark, root)
 
@@ -1348,27 +1342,14 @@ def dedup_entity_store_compacted(spark, sf_dir):
     100 TB shape: one store-sized rewrite (the store is record-count
     sized), amortized across takedowns; under the partitioned-store
     form only tombstone-bearing partitions rewrite."""
-    import tempfile
-
     from clif_spark import streaming as STR
-    from clif_spark.operators import graph as G
 
-    recs = _entity_recs(spark, sf_dir)
-    comp0 = (G.connected_components(
-                 _entity_match_edges(recs, recs, symmetric=True))
-             .withColumnRenamed("node", "rid"))
-    labeled = (recs.join(comp0, "rid", "left")
-               .select("rid", "name",
-                       F.coalesce("component", F.col("rid"))
-                        .alias("cluster")))
-    root = tempfile.mkdtemp(prefix="clif_er_cmp_store_")
-    _er_store_admit(labeled, root, 0)
-    v4, trunc, fresh = _entity_delta_families(spark, sf_dir)
-    _er_store_delivery(spark, v4, root, 1)
-    _er_store_delivery(spark, trunc.unionByName(fresh), root, 2)
+    root, trunc = _er_store_build(spark, sf_dir, "clif_er_cmp_store_")
     trunc = trunc.localCheckpoint(eager=True)
     _er_store_takedown(spark, trunc.select("rid"), root, 3)
-    live_before = _er_store_report(spark, root).count()
+    # plain-scan counts for the invariants — the windowed report adds
+    # an exchange a row count does not need
+    live_before = STR.read_cdc_snapshot(spark, root).count()
     n_removed = STR.compact_cdc_snapshot(spark, root)
     n_trunc = trunc.count()
     if n_removed != n_trunc:
@@ -1376,7 +1357,7 @@ def dedup_entity_store_compacted(spark, sf_dir):
             f"dedup_entity_store_compacted: compaction removed "
             f"{n_removed} rows, expected exactly the {n_trunc} "
             f"takedown tombstones")
-    if _er_store_report(spark, root).count() != live_before:
+    if STR.read_cdc_snapshot(spark, root).count() != live_before:
         raise RuntimeError(
             "dedup_entity_store_compacted: live row count changed "
             "across compaction — a physical choice altered semantics")

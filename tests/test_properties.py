@@ -1096,8 +1096,7 @@ def test_er_store_lifecycle_agrees_with_bruteforce(spark, names):
     assert report(root) == brute(survivors)
 
 
-@settings(max_examples=8, deadline=None,
-          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@PROP
 @given(st.lists(st.tuples(st.sampled_from("abcd"),
                           st.sampled_from("abcd"),
                           st.integers(min_value=1, max_value=4)),
