@@ -826,18 +826,33 @@ def pagerank_weighted(edges: DataFrame, iterations: int = 3,
     # multigraph collapse: post-aggregation totals would let a NULL
     # (skipped by SUM) or a negative row that nets positive with a
     # parallel edge pass silently — exactly the corruption the guard's
-    # message promises to catch
-    bad = edges.filter(w.isNull() | (w < 1)).count()
-    if bad:
-        raise ValueError(
-            f"pagerank_weighted: {bad} edge row(s) with NULL or"
-            f" non-positive weight — weights must be positive"
-            f" integers (a zero/NULL-weight row silently alters every"
-            f" sibling edge's share); filter or fix upstream")
-    e = (edges.groupBy(src.alias("src"), dst.alias("dst"))
-         .agg(F.sum(w).cast("long").alias("w")))
+    # message promises to catch. It rides IN the collapse aggregation
+    # (the dsum(checked=True) assert_true pattern) rather than as a
+    # separate eager count: the caller's upstream edge lineage — the
+    # whole corpus-sized link extraction for a crawl graph — executes
+    # exactly ONCE, in the eager checkpoint below, which is also the
+    # job that evaluates the guard for every group (ADVICE r16; the
+    # job-count parity with pagerank_fixed is regression-pinned).
+    agg = (edges.groupBy(src.alias("src"), dst.alias("dst"))
+           .agg(F.sum(w).cast("long").alias("__w"),
+                F.sum(F.when(w.isNull() | (w < 1), 1).otherwise(0))
+                 .alias("__bad")))
+    guard = F.assert_true(
+        F.col("__bad") == 0,
+        F.concat(
+            F.lit("pagerank_weighted: "),
+            F.col("__bad").cast("string"),
+            F.lit(" raw edge row(s) with NULL or non-positive weight"
+                  " on one (src,dst) pair — weights must be positive"
+                  " integers (a zero/NULL-weight row silently alters"
+                  " every sibling edge's share); filter or fix"
+                  " upstream")))
+    # when() forces the guard before w is served; guard is NULL on pass
+    e = agg.select("src", "dst",
+                   F.when(guard.isNull(), F.col("__w")).alias("w"))
     # edge-relation-sized checkpoint: referenced by every iteration
-    # plus nodes/outw (the pagerank_fixed lesson)
+    # plus nodes/outw (the pagerank_fixed lesson); materializing every
+    # group row here is what fires the guard at call time
     e = e.localCheckpoint(eager=True)
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))

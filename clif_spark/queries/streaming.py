@@ -1123,7 +1123,12 @@ def stream_er_maintain(spark, sf_dir):
         vers = sorted(r[0] for r in
                       batch_df.select("__v").distinct().collect())
         for ver in vers:
-            done = (streaming.read_cdc_snapshot(spark, root)
+            # applied-through watermark over RAW stored rows (ADVICE
+            # r16): a live-row max would not advance on a delivery that
+            # writes only tombstones and would re-apply it after a
+            # checkpoint reset
+            done = (streaming.read_cdc_snapshot(
+                        spark, root, include_tombstones=True)
                     .agg(F.max("__v")).first()[0])
             if done is not None and ver <= done:
                 continue  # redelivery after checkpoint reset

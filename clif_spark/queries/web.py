@@ -2298,6 +2298,15 @@ def web_bm25f_incremental(spark, sf_dir):
 # the standing-store row and its batch mirror. All three corpus reads
 # (anchor pages, hosts, body tokens) must move together: a page's
 # takedown removes BOTH its body postings and the anchors it CARRIES.
+# Both surgery anchors asserted present so a reformat of the shared
+# oracle's head or of the "FROM documents" spelling fails loud at
+# import instead of silently mangling the SQL (ADVICE r16; the
+# _ER_TRUNC_BRANCH discipline). Covers this construction and the
+# _BM25F_COMPACTED_ORACLE below, which use the same two anchors.
+assert _HOST_BM25F_ORACLE.lstrip().startswith("WITH "), \
+    "BM25F derived oracles: shared oracle no longer starts with WITH"
+assert "FROM documents" in _HOST_BM25F_ORACLE, \
+    "BM25F derived oracles: 'FROM documents' anchor moved"
 _BM25F_TAKEDOWN_ORACLE = (
     "    WITH kept_docs AS (SELECT * FROM documents "
     "WHERE doc_id % 9 <> 0),\n"
@@ -2382,6 +2391,7 @@ def web_bm25f_takedown(spark, sf_dir):
 # unlike the %9 doc sample whose terms may all survive in kept docs.
 # Same one-substitution construction as the takedown oracle; the inner
 # MIN(source) subquery sits in the prefix, outside the substitution.
+# (Surgery anchors asserted at the takedown construction above.)
 _BM25F_COMPACTED_ORACLE = (
     "    WITH kept_docs AS (SELECT * FROM documents "
     "WHERE source <> (SELECT MIN(source) FROM documents)),\n"

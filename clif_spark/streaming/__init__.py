@@ -497,11 +497,21 @@ def upsert_cdc_snapshot(batch_df: DataFrame, root: str,
 
 def read_cdc_snapshot(spark: SparkSession, root: str,
                       tombstone_col: str = "is_delete",
-                      version: int | None = None) -> DataFrame:
+                      version: int | None = None,
+                      include_tombstones: bool = False) -> DataFrame:
     """Live rows of an apply_cdc_stream table: resolve the atomic pointer
     (or a pinned ``version`` — TIME TRAVEL, since every applied batch
     leaves an immutable ``v{batch_id}`` directory until compaction), read
-    that version, filter out logical deletes."""
+    that version, filter out logical deletes.
+
+    ``include_tombstones=True`` returns the RAW stored rows (tombstone
+    column intact) — the read a maintenance job needs when deriving an
+    applied-through watermark from a version column carried in the
+    data: a delivery whose upsert writes ONLY tombstones would not
+    advance a live-row max and would re-apply after a checkpoint reset
+    (ADVICE r16; the keep-latest pointer tracks its own upsert counter,
+    not the caller's delivery ordinal, so the data is the only place
+    the ordinal lives)."""
     import os
 
     meta = _cdc_pointer_read(root)
@@ -534,8 +544,10 @@ def read_cdc_snapshot(spark: SparkSession, root: str,
                     f"lineage)")
     else:
         vdir = meta[1]
-    return (spark.read.parquet(vdir)
-            .filter(~F.col(tombstone_col)).drop(tombstone_col))
+    raw = spark.read.parquet(vdir)
+    if include_tombstones:
+        return raw
+    return raw.filter(~F.col(tombstone_col)).drop(tombstone_col)
 
 
 def compact_cdc_snapshot(spark: SparkSession, root: str,

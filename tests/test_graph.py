@@ -474,10 +474,13 @@ def test_pagerank_weighted_identity_and_multiplicity(spark):
            {tuple(r) for r in
             G.pagerank_weighted(merged, iterations=2).collect()}
 
-    # fail-loud weight guard
+    # fail-loud weight guard (in-plan assert_true since r16: fires at
+    # call time via the eager multigraph-collapse checkpoint)
+    from pyspark.errors import SparkRuntimeException
     z = spark.createDataFrame([("a", "b", 0)],
                               "src string, dst string, weight long")
-    with pytest.raises(ValueError, match="NULL or non-positive"):
+    with pytest.raises(SparkRuntimeException,
+                       match="NULL or non-positive"):
         G.pagerank_weighted(z, iterations=1)
 
 
@@ -485,18 +488,45 @@ def test_pagerank_weighted_guard_catches_raw_row_corruption(spark):
     """Round-15 review regression, pinned: the weight guard runs on
     RAW edge rows, before the multigraph collapse — a negative row
     that nets positive with a parallel edge, and a NULL row that SUM
-    would silently skip, must both fail loud."""
+    would silently skip, must both fail loud. Since r16 the guard
+    rides IN the collapse aggregation (assert_true), so it costs zero
+    extra jobs — construction job count must equal pagerank_fixed's
+    (ADVICE r16: the old eager filter().count() re-executed the
+    caller's full upstream lineage once per call)."""
     import pytest
+    from pyspark.errors import SparkRuntimeException
 
     from clif_spark.operators import graph as G
 
     nets_positive = spark.createDataFrame(
         [("a", "b", 5), ("a", "b", -3), ("b", "a", 1)],
         "src string, dst string, weight long")
-    with pytest.raises(ValueError, match="NULL or non-positive"):
+    with pytest.raises(SparkRuntimeException,
+                       match="NULL or non-positive"):
         G.pagerank_weighted(nets_positive, iterations=1)
     null_row = spark.createDataFrame(
         [("a", "b", 1), ("a", "b", None), ("b", "a", 1)],
         "src string, dst string, weight long")
-    with pytest.raises(ValueError, match="NULL or non-positive"):
+    with pytest.raises(SparkRuntimeException,
+                       match="NULL or non-positive"):
         G.pagerank_weighted(null_row, iterations=1)
+
+    # guard rides for free: constructing the weighted form runs exactly
+    # as many jobs as the unweighted form (checkpoint + node count) —
+    # the with_audit job-parity discipline
+    edges = spark.createDataFrame(
+        [("a", "b", 2), ("b", "c", 1), ("c", "a", 3)],
+        "src string, dst string, weight long")
+    sc = spark.sparkContext
+
+    def jobs_for(action):
+        before = max(sc.statusTracker().getJobIdsForGroup() or [-1])
+        action()
+        return max(sc.statusTracker().getJobIdsForGroup()
+                   or [-1]) - before
+
+    base_jobs = jobs_for(
+        lambda: G.pagerank_fixed(edges.drop("weight"), iterations=1))
+    weighted_jobs = jobs_for(
+        lambda: G.pagerank_weighted(edges, iterations=1))
+    assert weighted_jobs == base_jobs

@@ -1141,3 +1141,41 @@ def test_compact_drop_zero_null_safe_and_current_version_addressable(
     cur = streaming._cdc_pointer_read(root)[0]
     assert streaming.read_cdc_snapshot(
         spark, root, version=cur).count() == 2
+
+
+def test_read_cdc_snapshot_include_tombstones_watermark(spark):
+    """read_cdc_snapshot(include_tombstones=True): returns the RAW
+    stored rows (tombstone column intact) — ADVICE r16: a maintenance
+    job deriving its applied-through watermark from a data-carried
+    ordinal must see tombstoned rows, or a delivery that writes ONLY
+    tombstones never advances the watermark and re-applies after a
+    checkpoint reset. Pins both the raw read and the failure mode the
+    live-row projection would reintroduce."""
+    from pyspark.sql import functions as F
+
+    root = tempfile.mkdtemp(prefix="clif_rawread_") + "/store"
+
+    def up(rows, ver, dead=False):
+        df = (spark.createDataFrame(rows, "k string, c long")
+              .withColumn("__v", F.lit(ver).cast("long"))
+              .withColumn("is_delete", F.lit(dead)))
+        streaming.upsert_cdc_snapshot(
+            df, root, keys=["k"], order=["__v", "k"], lineage="raw")
+
+    up([("a", 1), ("b", 2)], 0)
+    up([("b", 0)], 1, dead=True)  # delivery 1 writes ONLY a tombstone
+
+    live_max = (streaming.read_cdc_snapshot(spark, root)
+                .agg(F.max("__v")).first()[0])
+    raw = streaming.read_cdc_snapshot(spark, root,
+                                      include_tombstones=True)
+    raw_max = raw.agg(F.max("__v")).first()[0]
+    assert live_max == 0      # the stale watermark the live read gives
+    assert raw_max == 1       # the correct applied-through ordinal
+    assert "is_delete" in raw.columns
+    assert raw.count() == 2 and raw.filter(F.col("is_delete")).count() == 1
+    # default read is unchanged: live rows only, tombstone col dropped
+    live = streaming.read_cdc_snapshot(spark, root)
+    assert "is_delete" not in live.columns
+    assert [tuple(r) for r in live.select("k", "c").collect()] == \
+        [("a", 1)]
