@@ -437,9 +437,25 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
     ``max_bucket`` is the usual skew guard. Output: (a, b, hamming).
     """
     sig = simhash64(docs, id_col, text_col)
+    return hamming_pairs_from_chunks(sig, max_hamming=max_hamming,
+                                     max_bucket=max_bucket)
+
+
+def hamming_pairs_from_chunks(sig: DataFrame, id_col: str = "doc",
+                              max_hamming: int = 10,
+                              max_bucket: int = 200) -> DataFrame:
+    """Hamming near-dup pairs over ANY 64-bit signature delivered as
+    4×16-bit chunks (``c0..c3``) — the banding + carry-verify leg of
+    ``simhash_pairs``, factored out so every 64-bit signature family
+    (text SimHash, image dHash) shares one pairing implementation:
+    candidates share at least one exact chunk (complete for
+    Hamming <= 3 by pigeonhole), verified with bit_count(XOR) summed
+    over chunks, ``max_bucket`` skew guard, never all-pairs. Output:
+    (a, b, hamming) with a < b under the id column's ordering."""
     chunks = [f"c{m}" for m in range(SIMHASH_CHUNKS)]
+    doc = F.col(id_col).alias("doc")
     keyed = sig.select(
-        "doc", *chunks,
+        doc, *chunks,
         F.explode(F.array(*[
             F.struct(F.lit(m).alias("band"), F.col(f"c{m}").alias("val"))
             for m in range(SIMHASH_CHUNKS)])).alias("bk")

@@ -1826,6 +1826,141 @@ def resize_image_pixels(df: DataFrame, max_side: int = 16,
         run, RESIZE_PIXELS_SCHEMA)
 
 
+#: Image dHash contract: 64-bit difference hash as 4×16-bit chunks
+#: (dedup.SIMHASH_CHUNKS layout, so dedup.hamming_pairs_from_chunks
+#: pairs them directly). NULL chunks = not an image / decode failed.
+IMAGE_DHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("c0", T.LongType()),
+    T.StructField("c1", T.LongType()),
+    T.StructField("c2", T.LongType()),
+    T.StructField("c3", T.LongType()),
+])
+
+
+def synth_scaled_png_payload(spec: DataFrame, id_col: str = "doc_id",
+                             src_col: str = "src_id",
+                             scale_col: str = "scale",
+                             out_col: str = "payload") -> DataFrame:
+    """PNG corpus for the image-dedup fixture: each spec row
+    (doc_id, src_id, scale) becomes a real RGB PNG (zlib scanlines,
+    filter rotation — the _sample_codecs builder) of a closed-form
+    SOURCE image nearest-neighbor UPSCALED by the integer ``scale``:
+
+        val(x, y, c) = (ka*(sx + 2*sy + 3) + kb*(sx*sy + 7)
+                        + 3*sx² + 5*sy² + 5*c) % 256,
+        sx = x // scale, sy = y // scale,
+        ka = src_id % 251, kb = src_id % 241,
+        frame = (12 + src_id % 9) × (10 + src_id % 7), times scale.
+
+    Two rows sharing src_id are the SAME image at different
+    resolutions — by the floor identity (2a div b) div 2 = a div b,
+    an NN downsample of the scaled copy lands on identical source
+    pixels, so its dHash equals the original's exactly (the planted
+    near-dup pair the image-dedup gate recovers). The quadratic +
+    dual-modulus form keeps per-doc gradient signs pseudo-random
+    (distinct docs never pair; prototyped: 6k docs, zero false
+    pairs, max band bucket 9) with every SQL intermediate < 2^17."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField(out_col, T.BinaryType()),
+    ])
+    build_png, _, _ = _sample_codecs()
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def build(src: int, scale: int) -> bytes:
+            ka, kb = src % 251, src % 241
+
+            def val(x: int, y: int, c: int) -> int:
+                sx, sy = x // scale, y // scale
+                return (ka * (sx + 2 * sy + 3) + kb * (sx * sy + 7)
+                        + 3 * sx * sx + 5 * sy * sy + 5 * c) % 256
+
+            return build_png((12 + src % 9) * scale,
+                             (10 + src % 7) * scale, val)
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                out_col: [build(int(s), int(k))
+                          for s, k in zip(pdf[src_col], pdf[scale_col])],
+            })
+
+    return spec.select(id_col, src_col, scale_col).mapInPandas(run, schema)
+
+
+def image_dhash(df: DataFrame, id_col: str = "doc_id",
+                payload_col: str = "payload") -> DataFrame:
+    """64-bit DIFFERENCE HASH (dHash) per image — the perceptual
+    fingerprint that makes near-duplicate IMAGES visible to the dedup
+    stack: decode real pixels through whichever codec the container
+    declares (PNG zlib scanlines, GIF LZW+palette, baseline JPEG — the
+    resize_image_pixels dispatch), integer grayscale (r+g+b)//3,
+    nearest-neighbor downsample to a 9×8 luminance grid (source index
+    = dst * src_side // dst_side, the shared NN mapping), one
+    horizontal gradient bit per adjacent cell pair (right strictly >
+    left), packed LSB-first: bit i = row(i//8) col(i%8), chunk m =
+    bits [16m, 16m+16) — 4×16-bit chunks so the SimHash banding
+    machinery (dedup.hamming_pairs_from_chunks) pairs image
+    signatures unchanged. All arithmetic integer-exact: a re-encode
+    or exact NN rescale of the same image hashes IDENTICALLY, and the
+    whole decode→hash pipeline is oracle-recomputable from closed-form
+    pixel fixtures. Non-image payloads (and failed decodes) yield
+    NULL chunks rather than fabricated bits. Scale shape: one
+    streaming Arrow batch per task, per-image work bounded by the
+    decode + 72 sampled cells; the output is one 4-long row per image
+    — band-joinable at any corpus size."""
+    from clif_spark.multimodal.jpeg import jpeg_rgb_values
+
+    _, png_values, _ = _sample_codecs()
+    _, _, _, _, gif_values = _gif_codecs()
+    _, _, header = _media_codecs()
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def one(payload: bytes):
+            meta = header(payload)
+            if meta is None:
+                return (None,) * 4
+            fmt, w, h = meta
+            vals = (png_values(payload) if fmt == "png"
+                    else gif_values(payload) if fmt == "gif"
+                    else jpeg_rgb_values(payload) if fmt == "jpeg"
+                    else None)
+            if vals is None or len(vals) != w * h * 3:
+                return (None,) * 4
+            gray = []
+            for cy in range(8):
+                sy = cy * h // 8
+                for cx in range(9):
+                    base = (sy * w + cx * w // 9) * 3
+                    gray.append(
+                        (vals[base] + vals[base + 1] + vals[base + 2])
+                        // 3)
+            bits = 0
+            for cy in range(8):
+                row = cy * 9
+                for cx in range(8):
+                    if gray[row + cx + 1] > gray[row + cx]:
+                        bits |= 1 << (cy * 8 + cx)
+            return tuple((bits >> (16 * m)) & 0xFFFF for m in range(4))
+
+        for pdf in batches:
+            rows = [one(b if b is not None else b"")
+                    for b in pdf[payload_col]]
+            out = {"doc_id": pdf[id_col].astype("int64")}
+            for m in range(4):
+                out[f"c{m}"] = pd.array([r[m] for r in rows],
+                                        dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, IMAGE_DHASH_SCHEMA)
+
+
 #: Audio decimation contract: geometry + decimated-sample statistics.
 AUDIO_RESAMPLE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),

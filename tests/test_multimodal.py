@@ -933,3 +933,75 @@ def test_jpeg_progressive_420_subsampled_matches_sequential():
         pro = J.jpeg_decode(J.jpeg_encode_rgb_progressive(
             w, h, px, quality=q, subsample=True, restart_interval=ri))
         assert pro == seq, (w, h, q, ri)
+
+
+def test_image_dhash_closed_form_and_scale_invariance(spark):
+    """image_dhash: (1) chunks equal an independently hand-computed
+    dHash (decode -> grayscale -> 9x8 NN grid -> gradient bits ->
+    LSB-first 16-bit chunks) for a closed-form PNG; (2) an exact 2x
+    nearest-neighbor upscale of the same image hashes IDENTICALLY
+    (the floor identity (2a div b) div 2 = a div b); (3) GIF and JPEG
+    payloads dispatch through their real codecs to non-NULL chunks;
+    (4) non-image payloads yield NULL chunks."""
+    from clif_spark.multimodal import jpeg as J
+
+    build_png, _, _ = multimodal._sample_codecs()
+
+    def pix(x, y, c):
+        return (37 * ((x % 7) * (y % 5)) + 11 * x * x + 23 * y + 5 * c) % 256
+
+    w, h = 14, 11
+
+    def hand_dhash(width, height, val):
+        gray = {}
+        for cy in range(8):
+            sy = cy * height // 8
+            for cx in range(9):
+                sx = cx * width // 9
+                gray[(cx, cy)] = sum(val(sx, sy, c) for c in range(3)) // 3
+        bits = 0
+        for cy in range(8):
+            for cx in range(8):
+                if gray[(cx + 1, cy)] > gray[(cx, cy)]:
+                    bits |= 1 << (cy * 8 + cx)
+        return tuple((bits >> (16 * m)) & 0xFFFF for m in range(4))
+
+    base = build_png(w, h, pix)
+    up2 = build_png(2 * w, 2 * h, lambda x, y, c: pix(x // 2, y // 2, c))
+    gif = multimodal.synth_gif_payload(
+        spark.createDataFrame([(0, "x")], ["doc_id", "text"]))
+    gif_payload = gif.collect()[0].payload
+    jpg = J.jpeg_encode_gray(16, 16, lambda x, y: (x * 16 + y * 7) % 256)
+    df = spark.createDataFrame(
+        [(1, base), (2, up2), (3, gif_payload), (4, jpg),
+         (5, b"plain text, not an image")],
+        ["doc_id", "payload"])
+    out = {r.doc_id: (r.c0, r.c1, r.c2, r.c3)
+           for r in multimodal.image_dhash(df).collect()}
+    assert out[1] == hand_dhash(w, h, pix)
+    assert out[2] == out[1]                      # 2x NN upscale invariant
+    assert all(v is not None for v in out[3])    # GIF decoded
+    assert all(v is not None for v in out[4])    # JPEG decoded
+    assert out[5] == (None, None, None, None)
+
+
+def test_image_phash_pairs_planted_recovery(spark):
+    """End-to-end image dedup pairing: a corpus of distinct
+    closed-form PNGs plus planted 2x copies — the shared Hamming
+    banding must recover exactly the planted pairs at distance 0,
+    with zero false pairs among distinct images."""
+    from clif_spark import dedup
+
+    ids = list(range(40))
+    base = spark.createDataFrame(
+        [(i, i, 1) for i in ids], ["doc_id", "src_id", "scale"])
+    copies = spark.createDataFrame(
+        [(i + 10000000, i, 2) for i in ids if i % 10 == 0],
+        ["doc_id", "src_id", "scale"])
+    payload = multimodal.synth_scaled_png_payload(
+        base.unionByName(copies))
+    sig = multimodal.image_dhash(payload)
+    got = {(r.a, r.b, r.hamming) for r in
+           dedup.hamming_pairs_from_chunks(
+               sig, id_col="doc_id", max_hamming=4).collect()}
+    assert got == {(i, i + 10000000, 0) for i in ids if i % 10 == 0}
