@@ -889,3 +889,98 @@ def pagerank_weighted(edges: DataFrame, iterations: int = 3,
                         F.col("r").alias("rank_micros"),
                         (F.col("r") / F.lit(float(MICROS)))
                         .cast("double").alias("rank"))
+
+
+def pagerank_weighted_personalized(edges: DataFrame, seeds: DataFrame,
+                                   iterations: int = 3,
+                                   damping_pct: int = 85,
+                                   src_col: str = "src",
+                                   dst_col: str = "dst",
+                                   weight_col: str = "weight",
+                                   checkpoint_every: int = 4) -> DataFrame:
+    """WEIGHTED PERSONALIZED PageRank — the composition of the two
+    gated forms (pagerank_personalized's seed-restart teleport,
+    pagerank_weighted's link-multiplicity shares): the random surfer
+    restarts at the SEED LIST and each (v,u) edge of weight w carries
+    exactly w floor-divided shares ``r(v) div W(v)`` — the actual
+    topic-focused crawl-budget prior, where rank measures
+    multiplicity-weighted link proximity to the seeds.
+
+    Mirrors rather than parameterizes its two parents (their gated
+    rows stay bit-frozen — the module's precedent). Degenerate
+    identities, both pinned bit-for-bit in tests/test_graph.py:
+    all weights 1 == pagerank_personalized (W(v) becomes out-degree);
+    seeds == all nodes == pagerank_weighted (per-seed teleport and
+    init collapse to the uniform shares).
+
+    Exactness: integer-micros, true `div` floors, BIGINT sums — the
+    module's driver-gateable class. Caller contract on seeds is
+    pagerank_personalized's (first column = node ids, universe =
+    endpoints UNION seeds, per-seed share must be >= 1 micro, fails
+    loud otherwise). Weights must be positive integers; the raw-row
+    guard rides the multigraph-collapse aggregation (the r16
+    pagerank_weighted pattern — zero extra jobs).
+
+    Scale shape: identical to pagerank_weighted — K stages of
+    host-pair-sized edge join + node-keyed sum over a checkpointed
+    collapsed relation; the seed relation is one node-sized left join
+    folded into the checkpointed teleport base."""
+    src, dst = F.col(src_col), F.col(dst_col)
+    w = F.col(weight_col)
+    agg = (edges.groupBy(src.alias("src"), dst.alias("dst"))
+           .agg(F.sum(w).cast("long").alias("__w"),
+                F.sum(F.when(w.isNull() | (w < 1), 1).otherwise(0))
+                 .alias("__bad")))
+    guard = F.assert_true(
+        F.col("__bad") == 0,
+        F.concat(
+            F.lit("pagerank_weighted_personalized: "),
+            F.col("__bad").cast("string"),
+            F.lit(" raw edge row(s) with NULL or non-positive weight"
+                  " on one (src,dst) pair — weights must be positive"
+                  " integers (a zero/NULL-weight row silently alters"
+                  " every sibling edge's share); filter or fix"
+                  " upstream")))
+    e = (agg.select("src", "dst",
+                    F.when(guard.isNull(), F.col("__w")).alias("w"))
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct())
+    sd = (seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+          .localCheckpoint(eager=True))
+    nodes = nodes.unionByName(sd).distinct()
+    k = sd.count()
+    tnum = (100 - damping_pct) * MICROS // 100
+    if k == 0 or tnum // k == 0:
+        raise ValueError(
+            f"pagerank_weighted_personalized: {k} seeds cannot each "
+            f"carry a >= 1 micro teleport share of {tnum} — shrink "
+            f"the seed set or raise the mass unit")
+    base = (nodes.join(sd.withColumn("__s", F.lit(1)), "node", "left")
+            .select("node",
+                    F.when(F.col("__s") == 1, F.lit(tnum // k))
+                     .otherwise(F.lit(0)).cast("long").alias("tele"))
+            .localCheckpoint(eager=True))
+    outw = e.groupBy("src").agg(F.sum("w").alias("tw"))
+    ranks = base.select(
+        "node", F.when(F.col("tele") > 0, F.lit(MICROS // k))
+                 .otherwise(F.lit(0)).cast("long").alias("r"))
+    for i in range(iterations):
+        contrib = (e.join(ranks, e["src"] == ranks["node"])
+                    .join(outw, "src")
+                    .select(F.col("dst").alias("node"),
+                            F.expr("w * (r div tw)").alias("c")))
+        s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (base.join(s, "node", "left")
+                 .select("node",
+                         (F.col("tele")
+                          + F.expr(f"({damping_pct} * coalesce(s, "
+                                   f"CAST(0 AS BIGINT))) div 100"))
+                         .cast("long").alias("r")))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(F.col("node"),
+                        F.col("r").alias("rank_micros"),
+                        (F.col("r") / F.lit(float(MICROS)))
+                        .cast("double").alias("rank"))

@@ -2969,6 +2969,105 @@ def web_pagerank_weighted_warm(spark, sf_dir):
     return ranks(3, init=stored)
 
 
+def _weighted_ppr_oracle(iterations: int = 3, damping: int = 85) -> str:
+    """Unrolled K-iteration WEIGHTED PERSONALIZED PageRank — the
+    composition of _ppr_ctes' seed teleport (lexicographic min/max
+    source host) and _weighted_pagerank_oracle's multiplicity shares,
+    generated from the same constants as the engine so the two cannot
+    drift: each iteration is
+
+        s(u) = sum_{v->u} w(v,u) * (r(v) // W(v)),  W(v) = sum out-w
+        r'(u) = tele(u) + d% * s(u) // 100,
+        tele(u) = (100-d)% * MICROS // k on seeds, 0 elsewhere.
+    """
+    tnum = (100 - damping) * 1_000_000 // 100
+    ctes = f"""
+    we AS (SELECT src_host AS src, dst_host AS dst,
+                  CAST(COUNT(DISTINCT u) AS BIGINT) AS w
+           FROM linkedges GROUP BY src_host, dst_host),
+    wnodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM we UNION ALL SELECT dst FROM we)),
+    pseeds AS (SELECT MIN(src_host) AS node FROM linkedges
+               UNION
+               SELECT MAX(src_host) FROM linkedges),
+    sn AS (SELECT COUNT(*) AS k FROM pseeds),
+    outw AS (SELECT src, SUM(w) AS tw FROM we GROUP BY src),
+    wpbase AS (SELECT wnodes.node,
+                      CAST(CASE WHEN wnodes.node IN
+                             (SELECT node FROM pseeds)
+                           THEN {tnum} // sn.k ELSE 0 END AS BIGINT)
+                        AS tele
+               FROM wnodes, sn),
+    wp0 AS (SELECT node,
+                   CAST(CASE WHEN tele > 0
+                        THEN 1000000 // (SELECT k FROM sn)
+                        ELSE 0 END AS BIGINT) AS r
+            FROM wpbase)"""
+    prev = "wp0"
+    for i in range(1, iterations + 1):
+        ctes += f""",
+    wps{i} AS (SELECT we.dst AS node,
+                      SUM(we.w * ({prev}.r // o.tw)) AS s
+               FROM we JOIN {prev} ON {prev}.node = we.src
+               JOIN outw o ON o.src = we.src
+               GROUP BY we.dst),
+    wp{i} AS (SELECT wpbase.node,
+                     CAST(wpbase.tele
+                          + ({damping} * COALESCE(wps{i}.s, 0)) // 100
+                          AS BIGINT) AS r
+              FROM wpbase LEFT JOIN wps{i} ON wps{i}.node = wpbase.node)"""
+        prev = f"wp{i}"
+    return f"""
+    WITH {_LINK_EDGES_CTES},
+    {ctes}
+    SELECT node, r AS rank_micros,
+           CAST(r / 1000000.0 AS DOUBLE) AS rank
+    FROM {prev}
+    """
+
+
+@query("web_pagerank_weighted_personalized",
+       oracle=_weighted_ppr_oracle())
+def web_pagerank_weighted_personalized(spark, sf_dir):
+    """D5c-wp (engine ext.): WEIGHTED PERSONALIZED PageRank over the
+    host graph — the composition of the two gated forms and the
+    actual topic-focused crawl-budget prior: the surfer restarts at
+    the seed hosts (web_crawl_depth's lexicographic min/max source —
+    deterministic, present at every SF) AND every host-pair edge
+    carries its link-multiplicity weight (``n_urls`` distinct
+    resolved URLs), so rank measures evidence-weighted link proximity
+    to the seed family. On the fixture both dimensions bite: hosts
+    far from the seeds hold rank 0 (outside the neighborhood), and
+    among reachable hosts the cdn-vs-ring weight asymmetry separates
+    the ranks from the unweighted personalized row's — a regression
+    in either composition leg flips the hash.
+
+    Exactness: integer-micros, true `div` floors
+    (operators/graph.pagerank_weighted_personalized) — bit-identical
+    to the unrolled seed-conditional weighted oracle generated from
+    the same constants. Both degenerate identities (all-weights-1 ==
+    personalized; seeds=all-nodes == weighted) are pinned bit-for-bit
+    in tests/test_graph.py. Shape: K stages of host-pair-sized edge
+    join + node-keyed sum; teleport base one checkpointed node-sized
+    relation."""
+    from clif_spark.operators import graph as G
+
+    urls = _link_urls(spark, sf_dir)
+    edges = (urls.select("src_host", "u",
+                         urlfn.url_host(F.col("u")).alias("dst_host"))
+             .groupBy("src_host", "dst_host")
+             .agg(F.count_distinct(F.col("u")).cast("long")
+                  .alias("n_urls"))
+             .localCheckpoint(eager=True))
+    m = edges.agg(F.min("src_host").alias("lo"),
+                  F.max("src_host").alias("hi"))
+    seeds = (m.select(F.explode(F.array("lo", "hi")).alias("node"))
+             .distinct())
+    return G.pagerank_weighted_personalized(
+        edges, seeds, iterations=3, src_col="src_host",
+        dst_col="dst_host", weight_col="n_urls")
+
+
 # ONE oracle for BOTH component implementations (min-label propagation
 # and large-star/small-star contraction): the fixpoint labeling is a
 # pure function of the graph, so the two gated rows must hash-equal

@@ -530,3 +530,61 @@ def test_pagerank_weighted_guard_catches_raw_row_corruption(spark):
     weighted_jobs = jobs_for(
         lambda: G.pagerank_weighted(edges, iterations=1))
     assert weighted_jobs == base_jobs
+
+
+def test_pagerank_weighted_personalized_identities(spark):
+    """pagerank_weighted_personalized degenerate identities, both
+    BIT-FOR-BIT (the contract that lets the composed form claim its
+    parents' exact-arithmetic class): (1) all weights 1 ==
+    pagerank_personalized on the distinct edge relation; (2) seeds =
+    all nodes == pagerank_weighted (per-seed teleport tnum//n and
+    init MICROS//n collapse to the uniform shares). Plus: the
+    composed form genuinely differs from BOTH parents on a fixture
+    where seeds exclude a node and weights are non-uniform, and the
+    in-plan weight guard fails loud."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from clif_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1), ("b", "c", 2), ("c", "a", 1),
+         ("c", "d", 4), ("d", "a", 1)],
+        "src string, dst string, weight long")
+    seeds = spark.createDataFrame([("a",), ("c",)], "node string")
+
+    # (1) all-weights-1 == unweighted personalized
+    ones = edges.withColumn("weight", F.lit(1).cast("long"))
+    got1 = {tuple(r) for r in G.pagerank_weighted_personalized(
+        ones, seeds, iterations=3).collect()}
+    exp1 = {tuple(r) for r in G.pagerank_personalized(
+        edges.drop("weight"), seeds, iterations=3).collect()}
+    assert got1 == exp1
+
+    # (2) seeds = all nodes == plain weighted
+    allnodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "node string")
+    got2 = {tuple(r) for r in G.pagerank_weighted_personalized(
+        edges, allnodes, iterations=3).collect()}
+    exp2 = {tuple(r) for r in G.pagerank_weighted(
+        edges, iterations=3).collect()}
+    assert got2 == exp2
+
+    # composed form differs from both parents on the asymmetric fixture
+    got3 = {r.node: r.rank_micros for r in
+            G.pagerank_weighted_personalized(
+                edges, seeds, iterations=3).collect()}
+    assert got3 != {r.node: r.rank_micros for r in
+                    G.pagerank_personalized(
+                        edges.drop("weight"), seeds,
+                        iterations=3).collect()}
+    assert got3 != {r.node: r.rank_micros for r in
+                    G.pagerank_weighted(edges, iterations=3).collect()}
+
+    # in-plan raw-row weight guard (the r16 pattern)
+    bad = spark.createDataFrame(
+        [("a", "b", 2), ("a", "b", None), ("b", "a", 1)],
+        "src string, dst string, weight long")
+    with pytest.raises(SparkRuntimeException,
+                       match="NULL or non-positive"):
+        G.pagerank_weighted_personalized(bad, seeds, iterations=1)
