@@ -606,17 +606,17 @@ def dedup_semantic_contract(spark, sf_dir):
                  | F.col("__hit").isNotNull()).alias("near_ok")))
 
 
-@query(
-    "dedup_semantic_incremental",
-    oracle="""
-    -- Contract for the persisted semantic store (the embedding twin of
-    -- dedup_incremental_persisted): delivery 1 plants EXACT copies of
-    -- corpus vectors (+100000); each must screen to its source with
-    -- cosine 1.0 — an identical vector always assigns to its source's
-    -- frozen cell, so 'found' is a certainty the implementation must
-    -- deliver, not a probabilistic hope. Delivery 2 plants copies of
-    -- DELIVERY 1's vectors (+200000) and must match the ADMITTED
-    -- delivery-1 ids — proving the store grew without retraining.
+# Contract for the persisted semantic store (the embedding twin of
+# dedup_incremental_persisted): delivery 1 plants EXACT copies of
+# corpus vectors (+100000); each must screen to its source with
+# cosine 1.0 — an identical vector always assigns to its source's
+# frozen cell, so 'found' is a certainty the implementation must
+# deliver, not a probabilistic hope. Delivery 2 plants copies of
+# DELIVERY 1's vectors (+200000) and must match the ADMITTED
+# delivery-1 ids — proving the store grew without retraining. SHARED
+# by the batch row and the streaming maintenance twin
+# (stream_semantic_maintain): settled-equals-batch for the store.
+SEMANTIC_INC_ORACLE = """
     SELECT CAST(1 AS BIGINT) AS delivery, vec_id + 100000 AS new_id,
            vec_id AS expected_src, TRUE AS found, TRUE AS cos_exact
     FROM embeddings WHERE vec_id % 10 = 0
@@ -624,7 +624,40 @@ def dedup_semantic_contract(spark, sf_dir):
     SELECT CAST(2 AS BIGINT), vec_id + 200000, vec_id + 100000,
            TRUE, TRUE
     FROM embeddings WHERE vec_id % 10 = 0
-    """,
+    """
+
+
+def _semantic_planted(e, offset: int):
+    """The %10 planted exact-copy delivery at ``offset`` — ONE
+    construction shared by the batch and streaming semantic-store
+    rows so the Spark side and the SQL oracle cannot drift."""
+    return (e.filter(F.col("vec_id") % 10 == 0)
+             .select((F.col("vec_id") + offset).alias("vec_id"),
+                     "embedding"))
+
+
+def _semantic_screen_contract(delivery, screen, tag: int):
+    """(delivery, new_id, expected_src, found, cos_exact) rows from a
+    screen result — the driver-hashable form of the semantic-store
+    screen contract, shared by dedup_semantic_incremental and
+    stream_semantic_maintain."""
+    hits = (screen
+            .filter(F.col("old_id") == F.col("new_id") - 100000)
+            .groupBy("new_id")
+            .agg(F.max(F.col("cos") == 1.0).alias("__exact")))
+    return (delivery.select(F.col("vec_id").alias("new_id"))
+            .join(hits, "new_id", "left")
+            .select(F.lit(tag).cast("long").alias("delivery"),
+                    "new_id",
+                    (F.col("new_id") - 100000).alias("expected_src"),
+                    F.col("__exact").isNotNull().alias("found"),
+                    F.coalesce("__exact", F.lit(False))
+                     .alias("cos_exact")))
+
+
+@query(
+    "dedup_semantic_incremental",
+    oracle=SEMANTIC_INC_ORACLE,
 )
 def dedup_semantic_incremental(spark, sf_dir):
     """Incremental SEMANTIC dedup over a persisted store
@@ -646,30 +679,13 @@ def dedup_semantic_incremental(spark, sf_dir):
     root = tempfile.mkdtemp(prefix="clif_semstore_")
     similarity.semantic_store_build(e, root, k=8, max_iter=3)
 
-    def planted(offset: int):
-        return (e.filter(F.col("vec_id") % 10 == 0)
-                 .select((F.col("vec_id") + offset).alias("vec_id"),
-                         "embedding"))
-
-    def contract(delivery, screen, tag: int):
-        hits = (screen
-                .filter(F.col("old_id") == F.col("new_id") - 100000)
-                .groupBy("new_id")
-                .agg(F.max(F.col("cos") == 1.0).alias("__exact")))
-        return (delivery.select(F.col("vec_id").alias("new_id"))
-                .join(hits, "new_id", "left")
-                .select(F.lit(tag).cast("long").alias("delivery"),
-                        "new_id",
-                        (F.col("new_id") - 100000).alias("expected_src"),
-                        F.col("__exact").isNotNull().alias("found"),
-                        F.coalesce("__exact", F.lit(False))
-                         .alias("cos_exact")))
-
-    d1 = planted(100000).localCheckpoint()
-    r1 = contract(d1, similarity.semantic_store_screen(spark, d1, root), 1)
+    d1 = _semantic_planted(e, 100000).localCheckpoint()
+    r1 = _semantic_screen_contract(
+        d1, similarity.semantic_store_screen(spark, d1, root), 1)
     similarity.semantic_store_admit(spark, d1, root, version=1)
-    d2 = planted(200000).localCheckpoint()
-    r2 = contract(d2, similarity.semantic_store_screen(spark, d2, root), 2)
+    d2 = _semantic_planted(e, 200000).localCheckpoint()
+    r2 = _semantic_screen_contract(
+        d2, similarity.semantic_store_screen(spark, d2, root), 2)
     return r1.unionByName(r2)
 
 

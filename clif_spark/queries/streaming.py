@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from clif_spark import io, streaming
 from clif_spark.queries import query, us
+from clif_spark.queries import llm as _llm
 from clif_spark.queries import relational as _rel
 from clif_spark.queries import stats
 from clif_spark.queries import web as _web
@@ -1152,3 +1153,108 @@ def stream_er_maintain(spark, sf_dir):
         q.awaitTermination()
 
     return _rel._er_store_report(spark, root)
+
+
+@query("stream_semantic_maintain", oracle=_llm.SEMANTIC_INC_ORACLE)
+def stream_semantic_maintain(spark, sf_dir):
+    """dedup_semantic_incremental's store maintenance as the PRODUCTION
+    stream — the last standing store without a foreachBatch twin
+    (MinHash, ER, BM25F, CDX, funnel and agg stores all have one):
+    embedding deliveries land as parquet files (the two planted-copy
+    deliveries, ordinals riding IN the data as ``__v``; mtimes pinned
+    for deterministic drain) and drain as micro-batches (availableNow
+    + maxFilesPerTrigger=1); each batch runs the SAME screen -> admit
+    leg as the batch row against the FROZEN cells
+    (similarity.semantic_store_screen/admit — no per-delivery k-means,
+    no corpus re-scan), with an in-sink pin that the screen actually
+    hit (every planted copy must find its source, so zero hits =
+    broken screen leg, raise). Replay safety: the upsert is
+    keep-latest (idempotent), but the sink still SKIPS already-applied
+    ordinals via the RAW-row ``max(__v)`` watermark
+    (read_cdc_snapshot(include_tombstones=True) — the ADVICE r16
+    primitive: a live-row max would miss tombstone-only deliveries),
+    and REPLAY IDEMPOTENCE is pinned in-row: a second stream from a
+    FRESH CHECKPOINT redelivers every file and every ordinal must
+    skip (the sink raises if one applies). The settled store must
+    satisfy the SHARED screen contract (both deliveries' copies screen
+    to their sources at cosine 1.0 — delivery 2's expected sources ARE
+    delivery 1's admitted rows, so a dropped admission flips the
+    hash), and the settled live count must equal corpus + both
+    deliveries exactly (pinned in-row — a lost or duplicated admission
+    raises before the driver ever hashes).
+
+    100 TB shape: per micro-batch O(delivery x hit-cell members)
+    screen + delivery-sized upsert; cell structure trains once at
+    build, never per delivery."""
+    import tempfile
+
+    from clif_spark import similarity
+
+    e = (io.load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", "embedding"))
+    root = tempfile.mkdtemp(prefix="clif_sem_stream_store_")
+    similarity.semantic_store_build(e, root, k=8, max_iter=3)
+
+    d1 = _llm._semantic_planted(e, 100000).localCheckpoint()
+    d2 = _llm._semantic_planted(e, 200000).localCheckpoint()
+    scratch, schema = _land_deliveries(
+        [(ver, df.withColumn("__v", F.lit(ver).cast("long")))
+         for ver, df in ((1, d1), (2, d2))],
+        "clif_sem_stream_src_")
+
+    replay = {"on": False}
+
+    def sink(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        vers = sorted(r[0] for r in
+                      batch_df.select("__v").distinct().collect())
+        for ver in vers:
+            # applied-through watermark over RAW stored rows (build
+            # admits at __v=0, deliveries at 1..): tombstone-only
+            # deliveries must still advance it
+            done = (streaming.read_cdc_snapshot(
+                        spark, root, include_tombstones=True)
+                    .agg(F.max("__v")).first()[0])
+            if done is not None and ver <= done:
+                continue  # redelivery after checkpoint reset
+            if replay["on"]:
+                raise RuntimeError(
+                    "stream_semantic_maintain: fresh-checkpoint "
+                    "redelivery re-applied instead of skipping")
+            delta = (batch_df.filter(F.col("__v") == ver).drop("__v")
+                     .localCheckpoint())
+            hits = similarity.semantic_store_screen(spark, delta, root)
+            if hits.limit(1).isEmpty():
+                raise RuntimeError(
+                    "stream_semantic_maintain: screen leg found no "
+                    "hits for a planted-copy delivery — the frozen-"
+                    "cell screen is broken")
+            similarity.semantic_store_admit(spark, delta, root,
+                                            version=int(ver))
+
+    for run in range(2):  # second run = full redelivery, fresh ckpt
+        replay["on"] = run == 1
+        ckpt = tempfile.mkdtemp(prefix="clif_sem_stream_ckpt_")
+        stream = (spark.readStream.schema(schema)
+                       .option("maxFilesPerTrigger", 1).parquet(scratch))
+        q = (stream.writeStream.foreachBatch(sink)
+                   .option("checkpointLocation", ckpt)
+                   .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # settled-count pin: corpus + exactly one row per planted copy —
+    # a lost or duplicated admission raises before the driver hashes
+    n_live = streaming.read_cdc_snapshot(spark, root).count()
+    n_expected = e.count() + d1.count() + d2.count()
+    if n_live != n_expected:
+        raise RuntimeError(
+            f"stream_semantic_maintain: settled store holds {n_live} "
+            f"live rows, expected {n_expected} (corpus + both "
+            f"deliveries) — an admission was lost or duplicated")
+
+    r1 = _llm._semantic_screen_contract(
+        d1, similarity.semantic_store_screen(spark, d1, root), 1)
+    r2 = _llm._semantic_screen_contract(
+        d2, similarity.semantic_store_screen(spark, d2, root), 2)
+    return r1.unionByName(r2)
