@@ -634,7 +634,64 @@ _VERIFY_FIRST_R15 = [
     "stream_incremental_dedup", "stream_bm25f_maintain",
     "stream_er_maintain",
 ]
-_VERIFY_FIRST = _VERIFY_FIRST_R15
+_VERIFY_FIRST_R16 = [
+    # Ledger arithmetic (the ONE authoritative block): 50 slots =
+    # 2 never-gated r16 batch rows + 7 changed-code batch re-gates
+    # (one of which, dedup_simhash_pairs, is ALSO r10-due — one slot
+    # covers both) + the complete 14-row r9-latest due cohort (name
+    # order) + the first 25 of the remaining 40-row r10-latest due
+    # cohort (name order, after dedup_simhash_pairs moved up) + 2
+    # streams at the tail (1 new: semantic maintenance; 1 re-gate:
+    # ER maintenance watermark). The r10 cohort's remaining 15 rows
+    # spill to lead r17: pii_redact, pipeline_llm_curation,
+    # q1_pricing_summary, q3_shipping_priority,
+    # q5_local_supplier_volume, q6_forecast_revenue, seq_pack_bins,
+    # stream_cdc_apply, stream_web_ingest, text_bpe_roundtrip,
+    # text_quality_classifier, text_quality_metrics,
+    # u7_merge_with_deletes, w16_ewma_agreement, warc_record_pairing.
+    # --- never-driver-gated first (this round's registrations):
+    # image perceptual-hash dedup (real pixel decode -> dHash ->
+    # shared Hamming banding) and the weighted personalized PageRank
+    # composition ---
+    "dedup_image_phash", "web_pagerank_weighted_personalized",
+    # --- changed-code re-gates: the weighted-PR weight guard moved
+    # in-plan (assert_true riding the multigraph collapse — ADVICE
+    # r16) — both weighted rows re-gate; _er_store_delivery grew the
+    # backend injection points for the r16 A/B — the three persisted
+    # ER rows re-gate; the semantic screen contract factored into
+    # shared helpers the new stream row uses; simhash_pairs' banding
+    # leg factored into hamming_pairs_from_chunks (also r10-due) ---
+    "web_pagerank_weighted", "web_pagerank_weighted_warm",
+    "dedup_entity_persisted", "dedup_entity_store_takedown",
+    "dedup_entity_store_compacted", "dedup_semantic_incremental",
+    "dedup_simhash_pairs",
+    # --- the complete 14-row r9-latest due cohort (VERDICT r15 #1),
+    # name order ---
+    "pipeline_web_ingest", "sample_mix_epochs",
+    "sample_reservoir_per_key", "sample_temperature_mix",
+    "semantic_store_drift_recall", "text_bm25_topk",
+    "text_chunk_windows", "text_html_extract",
+    "text_rare_bigram_score", "u10_store_schema_evolution",
+    "u6_snapshot_diff", "u9_incremental_agg_maintenance",
+    "w12_rate_of_change", "w14_interpolate_linear",
+    # --- the r10-latest due cohort, name order (first 25 of the 40
+    # remaining after dedup_simhash_pairs moved up) ---
+    "a17_iqr_outliers", "a18_key_skew_profile",
+    "ann_arrow_fold_equality", "ann_cosine_topk", "ann_ivf_topk",
+    "ann_ivf_trained_recall_bound", "ann_lsh_buckets",
+    "ann_recall_at_k", "contamination_check", "dedup_clusters",
+    "dedup_embedding_cosine", "dedup_ngram_jaccard",
+    "dedup_repeated_ngrams", "emb_quantize_int8",
+    "f6_coalesce_fallback", "io_orc_roundtrip",
+    "j2_composite_key_join", "j4_semi_anti_join", "j7_asof_join",
+    "j8_interval_join", "mm_frame_offsets", "mm_gif_pixel_stats",
+    "p10_time_range", "p7_p8_in_comparison", "p9_like_rlike",
+    # --- streams at the tail (multi-second startup each): the new
+    # semantic-store maintenance stream and the ER stream whose
+    # watermark read changed (ADVICE r16) ---
+    "stream_semantic_maintain", "stream_er_maintain",
+]
+_VERIFY_FIRST = _VERIFY_FIRST_R16
 
 # Rows-only queries (dedup_semantic, ann_ivf_trained_topk,
 # ann_cosine_topk_arrow, w15_ewma_smooth, text_bpe_tokenize,
