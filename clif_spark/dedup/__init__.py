@@ -483,6 +483,72 @@ def hamming_pairs_from_chunks(sig: DataFrame, id_col: str = "doc",
               .distinct())
 
 
+def chunk_sig_store_admit(sigs: DataFrame, root: str, version: int,
+                          id_col: str = "doc",
+                          lineage: str = "chunk-sigs") -> str:
+    """Fold 4×16-bit chunk signatures (``c0..c3`` — SimHash or image
+    dHash, any producer of the shared layout) into a persisted
+    signature store in the CDC snapshot format — the chunk-signature
+    twin of ``signature_store_admit`` (MinHash): keep-latest upsert
+    keyed on the doc id, idempotent under redelivery, one
+    O(delivery)-row fold + copy-on-write version per admission.
+    Subsequent screens see these signatures — the corpus itself is
+    HASHED ONCE EVER; only signatures persist."""
+    from clif_spark.streaming import upsert_cdc_snapshot
+
+    chunks = [f"c{m}" for m in range(SIMHASH_CHUNKS)]
+    rows = sigs.select(
+        F.col(id_col).alias("doc"), *chunks,
+        F.lit(version).cast("long").alias("__v"),
+        F.lit(False).alias("is_delete"))
+    return upsert_cdc_snapshot(rows, root, keys=["doc"],
+                               order=["__v", "doc"], lineage=lineage)
+
+
+def chunk_sig_store_screen(spark, sigs: DataFrame, root: str,
+                           id_col: str = "doc",
+                           max_hamming: int = 4) -> DataFrame:
+    """Screen a delivery of chunk signatures against the persisted
+    store: band on the four 16-bit chunks exactly as
+    ``hamming_pairs_from_chunks`` (candidates share one exact chunk —
+    complete for Hamming <= 3 by pigeonhole), verify with
+    bit_count(XOR) over the full signature. Output: (old_id, new_id,
+    hamming) for every stored near-match of a delivered signature.
+
+    Plan shape: the store is read ONCE (signature rows, never the
+    original payloads), exploded ×4 into band keys; the delivery side
+    is broadcast (deliveries are small against a standing corpus), so
+    the screen is one store-sized scan with no shuffle — at 100 TB the
+    signature relation is ~1e-4 of the corpus bytes and the screen
+    never touches an image."""
+    from clif_spark.streaming import read_cdc_snapshot
+
+    chunks = [f"c{m}" for m in range(SIMHASH_CHUNKS)]
+
+    def banded(df, idc: str, tag: str):
+        keyed = df.select(
+            F.col(idc).alias(tag),
+            *[F.col(c).alias(f"{c}{tag[0]}") for c in chunks],
+            F.explode(F.array(*[
+                F.struct(F.lit(m).alias("band"),
+                         F.col(f"c{m}").alias("val"))
+                for m in range(SIMHASH_CHUNKS)])).alias("bk"))
+        return keyed.select(tag, *[f"{c}{tag[0]}" for c in chunks],
+                            "bk.band", "bk.val")
+
+    store = banded(read_cdc_snapshot(spark, root), "doc", "old_id")
+    delivery = banded(sigs, id_col, "new_id")
+    joined = store.join(F.broadcast(delivery), ["band", "val"])
+    hamming = sum(
+        (F.bit_count(F.col(f"{c}o").bitwiseXOR(F.col(f"{c}n")))
+         for c in chunks),
+        F.lit(0).cast("long")).cast("long")
+    return (joined.select("old_id", "new_id",
+                          hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
+
+
 def doc_tokens(docs: DataFrame, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
     """Distinct word unigrams per document: (doc, tok). Whitespace-split

@@ -1841,6 +1841,7 @@ IMAGE_DHASH_SCHEMA = T.StructType([
 def synth_scaled_png_payload(spec: DataFrame, id_col: str = "doc_id",
                              src_col: str = "src_id",
                              scale_col: str = "scale",
+                             bump_col: str | None = None,
                              out_col: str = "payload") -> DataFrame:
     """PNG corpus for the image-dedup fixture: each spec row
     (doc_id, src_id, scale) becomes a real RGB PNG (zlib scanlines,
@@ -1860,35 +1861,51 @@ def synth_scaled_png_payload(spec: DataFrame, id_col: str = "doc_id",
     near-dup pair the image-dedup gate recovers). The quadratic +
     dual-modulus form keeps per-doc gradient signs pseudo-random
     (distinct docs never pair; prototyped: 6k docs, zero false
-    pairs, max band bucket 9) with every SQL intermediate < 2^17."""
+    pairs, max band bucket 9) with every SQL intermediate < 2^17.
+
+    ``bump_col`` (optional): an additive PERTURBATION applied to the
+    source pixel the 9×8 dHash grid samples at cell (3, 4) — i.e.
+    sx = 3*w0//9, sy = 4*h0//8 of the UNSCALED frame — val' =
+    (val + bump) % 256 on all three channels. A bumped row is the
+    near-miss copy (at most 2 gradient bits can flip: the two
+    comparisons adjacent to the cell), exercising nonzero-Hamming
+    pairing with an exactly-recomputable distance."""
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
         T.StructField(out_col, T.BinaryType()),
     ])
     build_png, _, _ = _sample_codecs()
+    cols = [id_col, src_col, scale_col] + ([bump_col] if bump_col else [])
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        def build(src: int, scale: int) -> bytes:
+        def build(src: int, scale: int, bump: int) -> bytes:
             ka, kb = src % 251, src % 241
+            w0, h0 = 12 + src % 9, 10 + src % 7
+            px, py = 3 * w0 // 9, 4 * h0 // 8
 
             def val(x: int, y: int, c: int) -> int:
                 sx, sy = x // scale, y // scale
-                return (ka * (sx + 2 * sy + 3) + kb * (sx * sy + 7)
-                        + 3 * sx * sx + 5 * sy * sy + 5 * c) % 256
+                v = (ka * (sx + 2 * sy + 3) + kb * (sx * sy + 7)
+                     + 3 * sx * sx + 5 * sy * sy + 5 * c)
+                if bump and sx == px and sy == py:
+                    v += bump
+                return v % 256
 
-            return build_png((12 + src % 9) * scale,
-                             (10 + src % 7) * scale, val)
+            return build_png(w0 * scale, h0 * scale, val)
 
         for pdf in batches:
+            bumps = (pdf[bump_col] if bump_col
+                     else [0] * len(pdf[id_col]))
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64"),
-                out_col: [build(int(s), int(k))
-                          for s, k in zip(pdf[src_col], pdf[scale_col])],
+                out_col: [build(int(s), int(k), int(b))
+                          for s, k, b in zip(pdf[src_col],
+                                             pdf[scale_col], bumps)],
             })
 
-    return spec.select(id_col, src_col, scale_col).mapInPandas(run, schema)
+    return spec.select(*cols).mapInPandas(run, schema)
 
 
 def image_dhash(df: DataFrame, id_col: str = "doc_id",

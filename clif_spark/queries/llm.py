@@ -1629,31 +1629,40 @@ def dedup_simhash_pairs(spark, sf_dir):
     return dedup.simhash_pairs(docs2)
 
 
-@query(
-    "dedup_image_phash",
-    oracle="""
-    -- Mirrors synth_scaled_png_payload's closed-form pixels + the dHash
-    -- definition (9x8 NN-downsampled grayscale, horizontal gradient
-    -- bits, 4x16-bit chunks) + the shared chunk banding — the Spark
-    -- side must recover the SAME bits THROUGH real PNG decode (zlib +
-    -- all five unfilters), so a codec, grayscale, downsample-mapping
-    -- or bit-packing bug flips pairs, not just metadata. The %10
-    -- planted copies are 2x NN upscales: (2a div b) div 2 = a div b
-    -- makes their sampled source pixels — hence hashes — IDENTICAL.
-    WITH imgs AS (
-      SELECT doc_id, doc_id AS src, 1 AS scale FROM documents
+# Closed-form image-signature CTEs, shared by the phash pair row and
+# the incremental store row: mirrors synth_scaled_png_payload's pixels
+# + the dHash definition (9x8 NN-downsampled grayscale, horizontal
+# gradient bits, 4x16-bit chunks). The Spark side must recover the
+# SAME bits THROUGH real PNG decode (zlib + all five unfilters), so a
+# codec, grayscale, downsample-mapping or bit-packing bug flips rows,
+# not just metadata. Families: every doc a base image; %10 docs a 2x
+# NN upscale under +10M ((2a div b) div 2 = a div b makes the sampled
+# source pixels — hence hashes — IDENTICAL); %20 docs a PERTURBED copy
+# under +20M (the one source pixel the grid samples at cell (3,4)
+# bumped +64 — at most the 2 adjacent gradient bits flip, an
+# exactly-recomputed Hamming in {0,1,2}; prototyped mix 147/110/43
+# across 0/1/2 at 6k docs, zero false pairs, max band bucket 10).
+_IMAGE_SIG_CTES = """
+    imgs AS (
+      SELECT doc_id, doc_id AS src, 1 AS scale, 0 AS bump
+      FROM documents
       UNION ALL
-      SELECT doc_id + 10000000, doc_id, 2 FROM documents
+      SELECT doc_id + 10000000, doc_id, 2, 0 FROM documents
       WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 20000000, doc_id, 1, 64 FROM documents
+      WHERE doc_id % 20 = 0
     ),
     geo AS (
       SELECT doc_id,
              (12 + src % 9) * scale AS w, (10 + src % 7) * scale AS h,
-             scale, src % 251 AS ka, src % 241 AS kb
+             scale, src % 251 AS ka, src % 241 AS kb, bump,
+             3 * (12 + src % 9) // 9 AS px,
+             4 * (10 + src % 7) // 8 AS py
       FROM imgs
     ),
     cells0 AS (
-      SELECT doc_id, gx.x AS cx, gy.y AS cy, ka, kb,
+      SELECT doc_id, gx.x AS cx, gy.y AS cy, ka, kb, bump, px, py,
              (gx.x * w // 9) // scale AS sx,
              (gy.y * h // 8) // scale AS sy
       FROM geo, generate_series(0, 8) AS gx(x),
@@ -1665,7 +1674,9 @@ def dedup_simhash_pairs(spark, sf_dir):
                // 3 AS gray
       FROM (SELECT doc_id, cx, cy,
                    ka * (sx + 2*sy + 3) + kb * (sx*sy + 7)
-                   + 3*sx*sx + 5*sy*sy AS base
+                   + 3*sx*sx + 5*sy*sy
+                   + CASE WHEN sx = px AND sy = py THEN bump
+                          ELSE 0 END AS base
             FROM cells0)
     ),
     bits AS (
@@ -1688,7 +1699,18 @@ def dedup_simhash_pairs(spark, sf_dir):
              CAST(SUM(CASE WHEN i >= 48 THEN bit * (1 << (i - 48))
                            ELSE 0 END) AS BIGINT) AS c3
       FROM bits GROUP BY doc_id
-    ),
+    )"""
+
+_IMAGE_SIG_HAMMING = (
+    "CAST(bit_count(xor(l.c0, r.c0)) + bit_count(xor(l.c1, r.c1))"
+    " + bit_count(xor(l.c2, r.c2)) + bit_count(xor(l.c3, r.c3))"
+    " AS BIGINT)")
+
+
+@query(
+    "dedup_image_phash",
+    oracle=f"""
+    WITH {_IMAGE_SIG_CTES},
     bands AS (
       SELECT doc, 0 AS band, c0 AS val, c0, c1, c2, c3 FROM sig
       UNION ALL SELECT doc, 1, c1, c0, c1, c2, c3 FROM sig
@@ -1701,9 +1723,7 @@ def dedup_simhash_pairs(spark, sf_dir):
     small AS (SELECT * FROM sized WHERE bn BETWEEN 2 AND 200),
     pairs AS (
       SELECT DISTINCT l.doc AS a, r.doc AS b,
-             CAST(bit_count(xor(l.c0, r.c0)) + bit_count(xor(l.c1, r.c1))
-                + bit_count(xor(l.c2, r.c2)) + bit_count(xor(l.c3, r.c3))
-               AS BIGINT) AS hamming
+             {_IMAGE_SIG_HAMMING} AS hamming
       FROM small l JOIN small r
         ON l.band = r.band AND l.val = r.val AND l.doc < r.doc
     )
@@ -1716,29 +1736,115 @@ def dedup_image_phash(spark, sf_dir):
     becomes a real RGB PNG of a per-doc closed-form pattern, every
     %10 doc ALSO lands as a 2x nearest-neighbor upscale under
     doc_id + 10M (the re-encoded/resized copy a crawl actually
-    yields), and the pipeline decode -> dHash (multimodal.image_dhash:
-    real zlib/unfilter pixel decode, integer grayscale, 9x8 NN grid,
+    yields), every %20 doc as a PERTURBED copy under doc_id + 20M
+    (one sampled source pixel bumped +64 — the touched-up near-miss,
+    pairing at an exactly-recomputed Hamming in {0,1,2}), and the
+    pipeline decode -> dHash (multimodal.image_dhash: real
+    zlib/unfilter pixel decode, integer grayscale, 9x8 NN grid,
     gradient bits) -> 16-bit-chunk banding -> bit_count(XOR) verify
     (dedup.hamming_pairs_from_chunks — the text SimHash leg, shared
-    verbatim) must surface exactly the planted (doc, copy) pairs at
-    Hamming 0, and nothing else: a false pair anywhere in the corpus
-    flips the hash. Never all-pairs — candidates share a 16-bit band
-    (prototyped at 6k docs: max bucket 9), max_bucket caps skew.
-    Scale shape: per-image Arrow-batch decode, one 4-long row per
-    image into the banding groupBy — the corpus is read once."""
-    d = io.load_table(spark, sf_dir, "documents")
-    base = d.select("doc_id", F.col("doc_id").alias("src_id"),
-                    F.lit(1).alias("scale"))
-    copies = (d.filter(F.col("doc_id") % 10 == 0)
-              .select((F.col("doc_id") + 10000000).alias("doc_id"),
-                      F.col("doc_id").alias("src_id"),
-                      F.lit(2).alias("scale")))
-    payload = multimodal.synth_scaled_png_payload(
-        base.unionByName(copies))
-    sig = multimodal.image_dhash(payload).filter(
-        F.col("c0").isNotNull())
+    verbatim) must surface exactly the planted (doc, copy) and
+    (copy, copy) pairs at their exact distances, and nothing else: a
+    false pair anywhere in the corpus flips the hash. Never
+    all-pairs — candidates share a 16-bit band (prototyped at 6k
+    docs: max bucket 10, 1200/1200 planted pairs, zero false),
+    max_bucket caps skew. Scale shape: per-image Arrow-batch decode,
+    one 4-long row per image into the banding groupBy — the corpus
+    is read once."""
+    base, copies, bumped = _image_families(spark, sf_dir)
+    sig = _image_sig(base.unionByName(copies).unionByName(bumped))
     return dedup.hamming_pairs_from_chunks(
         sig, id_col="doc_id", max_hamming=4)
+
+
+def _image_families(spark, sf_dir):
+    """(base, copies, bumped) image-spec relations — ONE construction
+    shared by every image-dedup row so the Spark side and the SQL
+    oracles (_IMAGE_SIG_CTES' imgs) cannot drift."""
+    d = io.load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = d.select("doc_id", did.alias("src_id"),
+                    F.lit(1).alias("scale"), F.lit(0).alias("bump"))
+    copies = (d.filter(did % 10 == 0)
+              .select((did + 10000000).alias("doc_id"),
+                      did.alias("src_id"), F.lit(2).alias("scale"),
+                      F.lit(0).alias("bump")))
+    bumped = (d.filter(did % 20 == 0)
+              .select((did + 20000000).alias("doc_id"),
+                      did.alias("src_id"), F.lit(1).alias("scale"),
+                      F.lit(64).alias("bump")))
+    return base, copies, bumped
+
+
+def _image_sig(spec):
+    """Build the PNGs and hash them — spec rows through the real
+    decode -> dHash pipeline, NULL-signature rows dropped."""
+    payload = multimodal.synth_scaled_png_payload(spec, bump_col="bump")
+    return multimodal.image_dhash(payload).filter(
+        F.col("c0").isNotNull())
+
+
+@query(
+    "dedup_image_phash_incremental",
+    oracle=f"""
+    -- Expected screen hits, recomputed from the closed form: delivery
+    -- 1 (the 2x upscales) must hit exactly its base source; delivery 2
+    -- (the perturbed copies) must hit BOTH its base source AND the
+    -- delivery-1 copy ADMITTED to the store between the screens —
+    -- proving the store grew — each at the exactly-recomputed Hamming.
+    WITH {_IMAGE_SIG_CTES}
+    SELECT CAST(1 AS BIGINT) AS delivery, l.doc AS new_id,
+           r.doc AS old_id, {_IMAGE_SIG_HAMMING} AS hamming
+    FROM sig l JOIN sig r ON l.doc = r.doc + 10000000
+    WHERE l.doc >= 10000000 AND l.doc < 20000000
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), l.doc, r.doc, {_IMAGE_SIG_HAMMING}
+    FROM sig l JOIN sig r
+      ON r.doc = l.doc - 20000000 OR r.doc = l.doc - 10000000
+    WHERE l.doc >= 20000000
+    """,
+)
+def dedup_image_phash_incremental(spark, sf_dir):
+    """INCREMENTAL image dedup over a persisted signature store — the
+    image twin of the MinHash signature-store lifecycle: the corpus is
+    decoded and dHashed ONCE EVER (dedup.chunk_sig_store_admit folds
+    the 4x16-bit signatures into the CDC snapshot; images never
+    persist), and each delivery is screened against STORED signatures
+    only (dedup.chunk_sig_store_screen: store exploded into band keys,
+    delivery broadcast, bit_count(XOR) verify — one store-sized scan,
+    no image ever re-read). Delivery 1 (the 2x upscale copies) must
+    screen to exactly its base sources at Hamming 0; it is then
+    ADMITTED, and delivery 2 (the perturbed copies) must screen to
+    BOTH its base source and the delivery-1 copy at the
+    exactly-recomputed distance — the store grew without re-hashing
+    anything. A missed hit, a phantom hit, or one wrong distance
+    anywhere flips the hash.
+
+    100 TB shape: signatures are ~1e-4 of corpus bytes; per delivery
+    one broadcast band-join against the signature relation + one
+    delivery-sized keep-latest fold — never O(corpus), never a second
+    decode of a stored image."""
+    import tempfile
+
+    base, copies, bumped = _image_families(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="clif_imgsig_")
+    dedup.chunk_sig_store_admit(
+        _image_sig(base), root, 0, id_col="doc_id")
+
+    d1 = _image_sig(copies).localCheckpoint()
+    s1 = (dedup.chunk_sig_store_screen(spark, d1, root,
+                                       id_col="doc_id")
+          .select(F.lit(1).cast("long").alias("delivery"),
+                  "new_id", "old_id", "hamming"))
+    out1 = s1.localCheckpoint()
+    dedup.chunk_sig_store_admit(d1, root, 1, id_col="doc_id")
+
+    d2 = _image_sig(bumped).localCheckpoint()
+    s2 = (dedup.chunk_sig_store_screen(spark, d2, root,
+                                       id_col="doc_id")
+          .select(F.lit(2).cast("long").alias("delivery"),
+                  "new_id", "old_id", "hamming"))
+    return out1.unionByName(s2)
 
 
 # ---------------------------------------------------------------------------

@@ -2923,7 +2923,9 @@ def web_pagerank_weighted(spark, sf_dir):
 
 
 @query("web_pagerank_weighted_warm",
-       oracle=_weighted_pagerank_oracle(iterations=6))
+       oracle=_weighted_pagerank_oracle(iterations=6),
+       headline=True)  # benched since r16 (VERDICT r15 #7): graph +
+       # CDC store + warm start in one row; sf10 DuckDB DNF at 300 s
 def web_pagerank_weighted_warm(spark, sf_dir):
     """D5c-w-inc (engine ext.): INCREMENTAL maintenance of the
     weighted rank table — the warm-start contract extended to the

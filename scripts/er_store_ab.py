@@ -19,6 +19,16 @@ written per step, final read seconds, and a cross-backend agreement
 hash over the settled (rid, name, cluster) rows — the three backends
 must agree bit-for-bit or the A/B itself is invalid.
 
+Fixture-scale caveat (found BY the agreement hash, r16): at sf10 the
+synthetic customer keys reach 1.5M, so the ER fixture's +1M/+2M/+3M
+alias-rid offsets COLLIDE with base rids (and +6M fresh with +5M
+trunc) — duplicate keys make every backend's keep-latest tie
+nondeterministic and the agreement hash meaningless. The gated SFs
+(<= sf0.1, keys <= 15k) never collide; this script deduplicates each
+input relation deterministically (keep MIN name per rid) so the
+cross-backend agreement stays exact at every SF. Throughput shape is
+unchanged (row counts within 0.3%).
+
 Usage: python scripts/er_store_ab.py <sf_dir> — one JSON line per
 backend. Results recorded in BASELINE.md (decision by data).
 """
@@ -66,7 +76,12 @@ def main() -> None:
     spark = build_session(master=f"local[{os.cpu_count()}]")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
 
-    recs = R._entity_recs(spark, sf_dir)
+    def dedup_rid(df):
+        # deterministic duplicate-rid resolution (keep MIN name) — see
+        # the fixture-scale caveat in the module docstring
+        return df.groupBy("rid").agg(F.min("name").alias("name"))
+
+    recs = dedup_rid(R._entity_recs(spark, sf_dir))
     comp0 = (G.connected_components(
                  R._entity_match_edges(recs, recs, symmetric=True))
              .withColumnRenamed("node", "rid"))
@@ -76,8 +91,10 @@ def main() -> None:
                         .alias("cluster"))
                .localCheckpoint(eager=True))
     v4, trunc, fresh = R._entity_delta_families(spark, sf_dir)
-    deltas = [(1, v4.localCheckpoint(eager=True)),
-              (2, trunc.unionByName(fresh).localCheckpoint(eager=True))]
+    deltas = [
+        (1, dedup_rid(v4).localCheckpoint(eager=True)),
+        (2, dedup_rid(trunc.unionByName(fresh))
+            .localCheckpoint(eager=True))]
 
     def decorate(rows, version):
         return rows.select(
