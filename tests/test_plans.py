@@ -983,3 +983,39 @@ def test_er_store_screen_reads_only_store_parquet(spark):
     assert root in plan  # the ER store IS what gets scanned
     scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
     assert scans and all(root in ln for ln in scans)
+
+
+def test_chunk_sig_screen_store_scan_only_and_broadcast(spark):
+    """dedup_image_phash_incremental's production claim: screening a
+    delivery of chunk signatures scans the SIGNATURE STORE's parquet
+    only (never a corpus table, never an image payload), and the
+    delivery side is broadcast — one store-sized scan, no shuffle
+    join geometry. Plus the store-growth contract: a screen after an
+    admit sees the admitted signatures."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clif_spark import dedup
+
+    sigs = spark.createDataFrame(
+        [(i, i % 7, (i * 3) % 11, (i * 5) % 13, (i * 9) % 17)
+         for i in range(40)],
+        "doc long, c0 long, c1 long, c2 long, c3 long")
+    root = tempfile.mkdtemp(prefix="clif_imgsig_plan_") + "/store"
+    dedup.chunk_sig_store_admit(sigs, root, 0)
+    delivery = sigs.limit(8).select(
+        (F.col("doc") + 1000).alias("doc"), "c0", "c1", "c2", "c3"
+    ).localCheckpoint()
+    screened = dedup.chunk_sig_store_screen(spark, delivery, root,
+                                            max_hamming=64)
+    plan = screened._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scans and all(root in ln for ln in scans)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # store growth: after admitting the delivery, a re-screen sees it
+    dedup.chunk_sig_store_admit(delivery, root, 1)
+    again = dedup.chunk_sig_store_screen(spark, delivery, root,
+                                         max_hamming=0)
+    assert again.filter("old_id = new_id").count() == 8
