@@ -505,6 +505,29 @@ def chunk_sig_store_admit(sigs: DataFrame, root: str, version: int,
                                order=["__v", "doc"], lineage=lineage)
 
 
+def chunk_sig_store_delete(spark, doc_ids: DataFrame, root: str,
+                           version: int, id_col: str = "doc",
+                           lineage: str = "chunk-sigs") -> str:
+    """Takedown for the chunk-signature store (the image twin of
+    ``signature_store_delete``): tombstone signatures OUT of the
+    persisted table — keep-latest makes the tombstone beat the
+    admitted row, read-time filtering removes the signature from
+    every subsequent screen, and ``compact_cdc_snapshot`` physically
+    drops it. O(|doc_ids|) + one copy-on-write version; the removed
+    image itself was never stored, so the signature tombstone IS the
+    complete forget."""
+    from clif_spark.streaming import upsert_cdc_snapshot
+
+    rows = doc_ids.select(
+        F.col(id_col).alias("doc"),
+        *[F.lit(None).cast("long").alias(f"c{m}")
+          for m in range(SIMHASH_CHUNKS)],
+        F.lit(version).cast("long").alias("__v"),
+        F.lit(True).alias("is_delete"))
+    return upsert_cdc_snapshot(rows, root, keys=["doc"],
+                               order=["__v", "doc"], lineage=lineage)
+
+
 def chunk_sig_store_screen(spark, sigs: DataFrame, root: str,
                            id_col: str = "doc",
                            max_hamming: int = 4) -> DataFrame:

@@ -282,7 +282,7 @@ _VERIFY_FIRST_R10 = [
     "dedup_repeated_ngrams", "dedup_simhash_pairs", "emb_quantize_int8",
     "f6_coalesce_fallback", "j2_composite_key_join", "j4_semi_anti_join",
     "j7_asof_join", "j8_interval_join", "mm_frame_offsets",
-    "mm_gif_pixel_stats", "p10_time_range", "p7_p8_in_comparison",
+    "mm_gif_pixel_stats", "p10_time_range",
     "p9_like_rlike", "pii_redact", "pipeline_llm_curation",
     "q6_forecast_revenue", "seq_pack_bins",
     # --- streams at the tail (multi-second startup each): the
@@ -636,14 +636,14 @@ _VERIFY_FIRST_R15 = [
 ]
 _VERIFY_FIRST_R16 = [
     # Ledger arithmetic (the ONE authoritative block): 50 slots =
-    # 3 never-gated r16 batch rows + 7 changed-code batch re-gates
+    # 4 never-gated r16 batch rows + 7 changed-code batch re-gates
     # (one of which, dedup_simhash_pairs, is ALSO r10-due — one slot
     # covers both) + the complete 14-row r9-latest due cohort (name
-    # order) + the first 24 of the remaining 40-row r10-latest due
+    # order) + the first 23 of the remaining 40-row r10-latest due
     # cohort (name order, after dedup_simhash_pairs moved up) + 2
     # streams at the tail (1 new: semantic maintenance; 1 re-gate:
-    # ER maintenance watermark). The r10 cohort's remaining 16 rows
-    # spill to lead r17: p9_like_rlike, pii_redact,
+    # ER maintenance watermark). The r10 cohort's remaining 17 rows
+    # spill to lead r17: p7_p8_in_comparison, p9_like_rlike, pii_redact,
     # pipeline_llm_curation, q1_pricing_summary, q3_shipping_priority,
     # q5_local_supplier_volume, q6_forecast_revenue, seq_pack_bins,
     # stream_cdc_apply, stream_web_ingest, text_bpe_roundtrip,
@@ -652,9 +652,10 @@ _VERIFY_FIRST_R16 = [
     # --- never-driver-gated first (this round's registrations):
     # image perceptual-hash dedup (real pixel decode -> dHash ->
     # shared Hamming banding), its persisted-signature-store
-    # incremental twin, and the weighted personalized PageRank
-    # composition ---
+    # incremental twin + takedown/compaction leg, and the weighted
+    # personalized PageRank composition ---
     "dedup_image_phash", "dedup_image_phash_incremental",
+    "dedup_image_store_takedown",
     "web_pagerank_weighted_personalized",
     # --- changed-code re-gates: the weighted-PR weight guard moved
     # in-plan (assert_true riding the multigraph collapse — ADVICE
@@ -687,7 +688,7 @@ _VERIFY_FIRST_R16 = [
     "f6_coalesce_fallback", "io_orc_roundtrip",
     "j2_composite_key_join", "j4_semi_anti_join", "j7_asof_join",
     "j8_interval_join", "mm_frame_offsets", "mm_gif_pixel_stats",
-    "p10_time_range", "p7_p8_in_comparison",
+    "p10_time_range",
     # --- streams at the tail (multi-second startup each): the new
     # semantic-store maintenance stream and the ER stream whose
     # watermark read changed (ADVICE r16) ---

@@ -1847,6 +1847,82 @@ def dedup_image_phash_incremental(spark, sf_dir):
     return out1.unionByName(s2)
 
 
+@query(
+    "dedup_image_store_takedown",
+    oracle=f"""
+    -- Post-takedown screen, recomputed from the closed form: with the
+    -- %20 base sources tombstoned out of the signature store, each
+    -- perturbed copy must hit ONLY the delivery-1 upscale copy (every
+    -- %20 doc is %10, so the copy exists at every SF) at the
+    -- exactly-recomputed Hamming — the removed source appearing in
+    -- any hit flips the hash.
+    WITH {_IMAGE_SIG_CTES}
+    SELECT l.doc AS new_id, r.doc AS old_id,
+           {_IMAGE_SIG_HAMMING} AS hamming
+    FROM sig l JOIN sig r ON r.doc = l.doc - 10000000
+    WHERE l.doc >= 20000000
+    """,
+)
+def dedup_image_store_takedown(spark, sf_dir):
+    """TAKEDOWN + COMPACTION over the persisted image-signature store
+    — the right-to-be-forgotten leg completing the image-dedup
+    lifecycle (build -> screen -> admit -> takedown -> compact, the
+    seven-verb shape every other store family has): the %20 base
+    sources are tombstoned (dedup.chunk_sig_store_delete — keep-latest
+    beats the admitted row, O(removed) + one copy-on-write version),
+    so screening the perturbed copies afterwards must hit ONLY the
+    admitted delivery-1 upscales, never a removed source — one
+    surviving tombstoned signature resurfaces a forgotten image and
+    flips the hash. Then ``compact_cdc_snapshot`` physically drops the
+    tombstones (pinned in-row: removed == takedown family size) and
+    the screen re-runs against the compacted store — the result must
+    be IDENTICAL (exceptAll both ways empty, pinned in-row before the
+    driver hashes): physical reclaim is semantically invisible.
+
+    100 TB shape: takedown is delivery-sized, compaction one
+    signature-relation rewrite (~1e-4 of corpus bytes); the screen
+    stays a broadcast band-join against store scans only."""
+    import tempfile
+
+    from clif_spark import streaming as STR
+
+    base, copies, bumped = _image_families(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="clif_imgsig_td_")
+    dedup.chunk_sig_store_admit(
+        _image_sig(base), root, 0, id_col="doc_id")
+    dedup.chunk_sig_store_admit(
+        _image_sig(copies), root, 1, id_col="doc_id")
+
+    removed = (io.load_table(spark, sf_dir, "documents")
+               .filter(F.col("doc_id") % 20 == 0)
+               .select("doc_id").localCheckpoint())
+    n_removed = removed.count()
+    dedup.chunk_sig_store_delete(spark, removed, root, 2,
+                                 id_col="doc_id")
+
+    d2 = _image_sig(bumped).localCheckpoint()
+    pre = (dedup.chunk_sig_store_screen(spark, d2, root,
+                                        id_col="doc_id")
+           .select("new_id", "old_id", "hamming").localCheckpoint())
+
+    dropped = STR.compact_cdc_snapshot(spark, root)
+    if dropped != n_removed:
+        raise RuntimeError(
+            f"image-store compaction dropped {dropped} rows, expected "
+            f"the {n_removed} takedown tombstones")
+    post = (dedup.chunk_sig_store_screen(spark, d2, root,
+                                         id_col="doc_id")
+            .select("new_id", "old_id", "hamming").localCheckpoint())
+    # physical reclaim must be semantically invisible (screen results
+    # are planted-family sized, so the two exceptAll probes are cheap)
+    if (pre.exceptAll(post).limit(1).count()
+            or post.exceptAll(pre).limit(1).count()):
+        raise RuntimeError(
+            "image-store screen changed across compaction — physical "
+            "tombstone drop must be semantically invisible")
+    return post
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
