@@ -639,11 +639,12 @@ _VERIFY_FIRST_R16 = [
     # 4 never-gated r16 batch rows + 7 changed-code batch re-gates
     # (one of which, dedup_simhash_pairs, is ALSO r10-due — one slot
     # covers both) + the complete 14-row r9-latest due cohort (name
-    # order) + the first 23 of the remaining 40-row r10-latest due
-    # cohort (name order, after dedup_simhash_pairs moved up) + 2
-    # streams at the tail (1 new: semantic maintenance; 1 re-gate:
-    # ER maintenance watermark). The r10 cohort's remaining 17 rows
-    # spill to lead r17: p7_p8_in_comparison, p9_like_rlike, pii_redact,
+    # order) + the first 22 of the remaining 40-row r10-latest due
+    # cohort (name order, after dedup_simhash_pairs moved up) + 3
+    # streams at the tail (2 new: semantic + image-signature
+    # maintenance; 1 re-gate: ER maintenance watermark). The r10
+    # cohort's remaining 18 rows spill to lead r17:
+    # p10_time_range, p7_p8_in_comparison, p9_like_rlike, pii_redact,
     # pipeline_llm_curation, q1_pricing_summary, q3_shipping_priority,
     # q5_local_supplier_volume, q6_forecast_revenue, seq_pack_bins,
     # stream_cdc_apply, stream_web_ingest, text_bpe_roundtrip,
@@ -688,11 +689,11 @@ _VERIFY_FIRST_R16 = [
     "f6_coalesce_fallback", "io_orc_roundtrip",
     "j2_composite_key_join", "j4_semi_anti_join", "j7_asof_join",
     "j8_interval_join", "mm_frame_offsets", "mm_gif_pixel_stats",
-    "p10_time_range",
     # --- streams at the tail (multi-second startup each): the new
     # semantic-store maintenance stream and the ER stream whose
     # watermark read changed (ADVICE r16) ---
-    "stream_semantic_maintain", "stream_er_maintain",
+    "stream_semantic_maintain", "stream_image_sig_maintain",
+    "stream_er_maintain",
 ]
 _VERIFY_FIRST = _VERIFY_FIRST_R16
 

@@ -1784,14 +1784,15 @@ def _image_sig(spec):
         F.col("c0").isNotNull())
 
 
-@query(
-    "dedup_image_phash_incremental",
-    oracle=f"""
-    -- Expected screen hits, recomputed from the closed form: delivery
-    -- 1 (the 2x upscales) must hit exactly its base source; delivery 2
-    -- (the perturbed copies) must hit BOTH its base source AND the
-    -- delivery-1 copy ADMITTED to the store between the screens —
-    -- proving the store grew — each at the exactly-recomputed Hamming.
+# Expected screen hits, recomputed from the closed form: delivery
+# 1 (the 2x upscales) must hit exactly its base source; delivery 2
+# (the perturbed copies) must hit BOTH its base source AND the
+# delivery-1 copy ADMITTED to the store between the screens —
+# proving the store grew — each at the exactly-recomputed Hamming.
+# SHARED by the batch row and the streaming maintenance twin
+# (stream_image_sig_maintain): settled-equals-batch for the
+# per-delivery verdict table.
+IMAGE_SIG_INC_ORACLE = f"""
     WITH {_IMAGE_SIG_CTES}
     SELECT CAST(1 AS BIGINT) AS delivery, l.doc AS new_id,
            r.doc AS old_id, {_IMAGE_SIG_HAMMING} AS hamming
@@ -1802,7 +1803,12 @@ def _image_sig(spec):
     FROM sig l JOIN sig r
       ON r.doc = l.doc - 20000000 OR r.doc = l.doc - 10000000
     WHERE l.doc >= 20000000
-    """,
+    """
+
+
+@query(
+    "dedup_image_phash_incremental",
+    oracle=IMAGE_SIG_INC_ORACLE,
 )
 def dedup_image_phash_incremental(spark, sf_dir):
     """INCREMENTAL image dedup over a persisted signature store — the

@@ -1258,3 +1258,94 @@ def stream_semantic_maintain(spark, sf_dir):
     r2 = _llm._semantic_screen_contract(
         d2, similarity.semantic_store_screen(spark, d2, root), 2)
     return r1.unionByName(r2)
+
+
+@query("stream_image_sig_maintain",
+       oracle=_llm.IMAGE_SIG_INC_ORACLE)
+def stream_image_sig_maintain(spark, sf_dir):
+    """dedup_image_phash_incremental's store maintenance as the
+    PRODUCTION stream, completing the image family's lifecycle verbs
+    (build/screen/admit/takedown/compact/stream — the shape every
+    other store family has): signature deliveries land as parquet
+    files (the upscale-copy and perturbed-copy families, ordinals
+    riding IN the data as ``__v``) and drain as micro-batches; each
+    batch runs the SAME screen -> admit leg as the batch row
+    (dedup.chunk_sig_store_screen/admit — broadcast band-join against
+    store scans only, images never re-read) inside foreachBatch.
+
+    The wrinkle this stream adds over its siblings: the screen
+    VERDICT is delivery-time state (after later admissions a
+    re-screen would also hit the delivery's own stored rows and the
+    later families), so the sink PERSISTS each delivery's screen
+    result into a results store (keyed on the hit triple, keep-latest
+    idempotent) — the production shape, where per-delivery dedup
+    verdicts are an output table, not a transient. Replay: raw-row
+    ``max(__v)`` watermark over the SIGNATURE store
+    (include_tombstones — the ADVICE r16 primitive), fresh-checkpoint
+    second stream must skip every ordinal (sink raises). The settled
+    RESULTS store must equal the batch row's two screens under the
+    SHARED oracle — settled-equals-batch for the verdict table.
+
+    100 TB shape: per micro-batch one broadcast band-join + two
+    delivery-sized folds; signatures ~1e-4 of corpus bytes."""
+    import tempfile
+
+    from clif_spark import dedup
+
+    base, copies, bumped = _llm._image_families(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="clif_imgsig_stream_")
+    dedup.chunk_sig_store_admit(
+        _llm._image_sig(base), root, 0, id_col="doc_id")
+    res_root = tempfile.mkdtemp(prefix="clif_imgsig_res_")
+
+    d1 = _llm._image_sig(copies).localCheckpoint()
+    d2 = _llm._image_sig(bumped).localCheckpoint()
+    scratch, schema = _land_deliveries(
+        [(ver, df.withColumn("__v", F.lit(ver).cast("long")))
+         for ver, df in ((1, d1), (2, d2))],
+        "clif_imgsig_stream_src_")
+
+    replay = {"on": False}
+
+    def sink(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        vers = sorted(r[0] for r in
+                      batch_df.select("__v").distinct().collect())
+        for ver in vers:
+            done = (streaming.read_cdc_snapshot(
+                        spark, root, include_tombstones=True)
+                    .agg(F.max("__v")).first()[0])
+            if done is not None and ver <= done:
+                continue  # redelivery after checkpoint reset
+            if replay["on"]:
+                raise RuntimeError(
+                    "stream_image_sig_maintain: fresh-checkpoint "
+                    "redelivery re-applied instead of skipping")
+            delta = (batch_df.filter(F.col("__v") == ver).drop("__v")
+                     .localCheckpoint())
+            hits = (dedup.chunk_sig_store_screen(spark, delta, root,
+                                                 id_col="doc_id")
+                    .select(F.lit(int(ver)).cast("long")
+                             .alias("delivery"),
+                            "new_id", "old_id", "hamming",
+                            F.lit(False).alias("is_delete")))
+            streaming.upsert_cdc_snapshot(
+                hits, res_root,
+                keys=["delivery", "new_id", "old_id"],
+                order=["hamming", "new_id"], lineage="imgsig-results")
+            dedup.chunk_sig_store_admit(delta, root, int(ver),
+                                        id_col="doc_id")
+
+    for run in range(2):  # second run = full redelivery, fresh ckpt
+        replay["on"] = run == 1
+        ckpt = tempfile.mkdtemp(prefix="clif_imgsig_stream_ckpt_")
+        stream = (spark.readStream.schema(schema)
+                       .option("maxFilesPerTrigger", 1).parquet(scratch))
+        q = (stream.writeStream.foreachBatch(sink)
+                   .option("checkpointLocation", ckpt)
+                   .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    return (streaming.read_cdc_snapshot(spark, res_root)
+            .select("delivery", "new_id", "old_id", "hamming"))
