@@ -2116,6 +2116,172 @@ def audio_dhash(df: DataFrame, id_col: str = "doc_id",
         run, IMAGE_DHASH_SCHEMA)
 
 
+def synth_scaled_mjpeg_payload(spec: DataFrame, id_col: str = "doc_id",
+                               src_col: str = "src_id",
+                               scale_col: str = "scale",
+                               bump_col: str | None = None,
+                               out_col: str = "payload") -> DataFrame:
+    """MJPEG-in-MP4 corpus for the video-dedup fixture — the video
+    leg of the synth_scaled_{png,wav}_payload family: each spec row
+    becomes a real ISO BMFF container (build_mp4_samples — actual
+    stsz/stsc/stco/stts tables) whose samples are real baseline JPEG
+    frames, frame-repeat UPSAMPLED by the integer ``scale`` (each
+    source frame appears ``scale`` times — the frame-rate-doubled
+    re-encode a crawl yields):
+
+        frame value v(sf) = ((ka * ((7·sf² + 3·sf + 11) % 1021)
+                              + kb * ((5·sf² + 13·sf + 7) % 1019)
+                              [+ bump if sf = pb]) % 256),
+        sf = k // scale,  ka = src % 251, kb = src % 241,
+        n0 = 64 + src % 32 source frames, timescale 1000·scale.
+
+    Frames are 8×8 CONSTANT-luma JPEGs (all-ones quant tables — the
+    DC-only regime where decode is bit-exact, the same exactness
+    contract mm_video_pixel_stats gates), so the decoded frame mean
+    IS the closed form. The quadratic-mod bases carry the same
+    avalanche rationale as the audio fixture (a 50k-doc banded scan
+    shows 3 false pairs / 377k candidates — the mod-256 birthday
+    floor; gate SFs are <= 500 docs). Constant frames are memoized
+    per (value, restart-free) — encode cost is <= 256 JPEGs per
+    worker, container assembly dominates.
+
+    ``bump_col``: additive perturbation (pre-modulus) on the one
+    SOURCE frame the 65-point grid samples at index 32 — pb =
+    32·n0 // 65 — at most the 2 adjacent temporal gradient bits
+    flip: Hamming in {0, 1, 2}, exactly recomputable."""
+    from clif_spark.multimodal import jpeg as _jpeg
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField(out_col, T.BinaryType()),
+    ])
+    build_mp4_samples, _ = _mp4_sample_codecs()
+    cols = [id_col, src_col, scale_col] + ([bump_col] if bump_col else [])
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        frame_cache: dict = {}
+
+        def frame_of(val: int) -> bytes:
+            got = frame_cache.get(val)
+            if got is None:
+                got = _jpeg.jpeg_encode_gray(8, 8, lambda x, y: val)
+                frame_cache[val] = got
+            return got
+
+        def build(src: int, scale: int, bump: int) -> bytes:
+            ka, kb = src % 251, src % 241
+            n0 = 64 + src % 32
+            pb = 32 * n0 // 65
+            frames = []
+            for k in range(n0 * scale):
+                sf = k // scale
+                v = (ka * ((7 * sf * sf + 3 * sf + 11) % 1021)
+                     + kb * ((5 * sf * sf + 13 * sf + 7) % 1019)
+                     + (bump if sf == pb else 0)) % 256
+                frames.append(frame_of(v))
+            return build_mp4_samples(1000 * scale, 40, frames)
+
+        for pdf in batches:
+            bumps = (pdf[bump_col] if bump_col
+                     else [0] * len(pdf[id_col]))
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                out_col: [build(int(s), int(k), int(b))
+                          for s, k, b in zip(pdf[src_col],
+                                             pdf[scale_col], bumps)],
+            })
+
+    return spec.select(*cols).mapInPandas(run, schema)
+
+
+def video_dhash(df: DataFrame, id_col: str = "doc_id",
+                payload_col: str = "payload") -> DataFrame:
+    """64-bit TEMPORAL difference fingerprint per VIDEO — the third
+    modality joins the dedup stack (image: spatial dHash; audio: PCM
+    gradient; video: luma-over-time gradient), through the engine's
+    real container + codec boundary: walk the MP4 sample table
+    (mp4_extract_samples — stsz/stsc/stco/stts expansion),
+    nearest-neighbor sample 65 frame positions (source index
+    = i * n_samples // 65, the shared NN mapping — an exact
+    frame-repeat upsample of the same video fingerprints IDENTICALLY
+    by the floor identity), decode each sampled frame as baseline
+    JPEG (MJPEG — the one video codec the engine honestly decodes),
+    reduce to its integer mean luma (sum // n — for the DC-only
+    bit-exact regime this IS the closed-form frame value), one
+    temporal gradient bit per adjacent sampled pair (right strictly
+    >), packed LSB-first into 4×16-bit chunks for the shared
+    dedup.hamming_pairs_from_chunks banding. Honest-boundary rules:
+    non-MP4 payloads, empty sample tables, and videos where ANY
+    sampled frame fails JPEG decode yield NULL chunks — a
+    fabricated frame mean would hash plausible garbage (H.264
+    payloads stay opaque, same stance as mm_video_h264_skip).
+    Sampled-frame decodes are memoized by frame BYTES within the
+    Arrow batch (identical sample -> identical mean; bounded cap),
+    so repeat-heavy containers decode each distinct frame once.
+    Scale shape: one streaming Arrow batch per task, per-video work
+    bounded by demux + <= 65 frame decodes; output one 4-long row
+    per video — band-joinable at any corpus size."""
+    import struct as _struct
+
+    from clif_spark.multimodal import jpeg as _jpeg
+
+    _, mp4_extract_samples = _mp4_sample_codecs()
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        mean_cache: dict = {}
+
+        def frame_mean(frame: bytes):
+            if frame in mean_cache:
+                return mean_cache[frame]
+            try:
+                decoded = _jpeg.jpeg_decode(frame)
+            except (ValueError, IndexError, KeyError, StopIteration,
+                    _struct.error):
+                decoded = None
+            if decoded is None:
+                m = None
+            else:
+                luma = decoded[2][0]
+                m = sum(luma) // len(luma) if luma else None
+            if len(frame) <= 4096 and len(mean_cache) < 4096:
+                mean_cache[frame] = m
+            return m
+
+        def one(payload: bytes):
+            got = mp4_extract_samples(payload)
+            if got is None or not got[1]:
+                return (None,) * 4
+            samples = got[1]
+            n = len(samples)
+            means = []
+            for i in range(65):
+                m = frame_mean(bytes(samples[i * n // 65][0]))
+                if m is None:
+                    return (None,) * 4
+                means.append(m)
+            bits = 0
+            for i in range(64):
+                if means[i + 1] > means[i]:
+                    bits |= 1 << i
+            return tuple((bits >> (16 * m)) & 0xFFFF for m in range(4))
+
+        for pdf in batches:
+            rows = [one(b if b is not None else b"")
+                    for b in pdf[payload_col]]
+            out = {"doc_id": pdf[id_col].astype("int64")}
+            for m in range(4):
+                out[f"c{m}"] = pd.array([r[m] for r in rows],
+                                        dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, IMAGE_DHASH_SCHEMA)
+
+
 #: Audio decimation contract: geometry + decimated-sample statistics.
 AUDIO_RESAMPLE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),

@@ -636,17 +636,17 @@ _VERIFY_FIRST_R15 = [
 ]
 _VERIFY_FIRST_R16 = [
     # Ledger arithmetic (the ONE authoritative block): 50 slots =
-    # 5 never-gated r16 batch rows + 7 changed-code batch re-gates
+    # 6 never-gated r16 batch rows + 7 changed-code batch re-gates
     # (one of which, dedup_simhash_pairs, is ALSO r10-due — one slot
     # covers both) + the complete 14-row r9-latest due cohort (name
-    # order) + the first 21 of the remaining 40-row r10-latest due
+    # order) + the first 20 of the remaining 40-row r10-latest due
     # cohort (name order, after dedup_simhash_pairs moved up) + 3
     # streams at the tail (2 new: semantic + image-signature
     # maintenance; 1 re-gate: ER maintenance watermark). The r10
-    # cohort's remaining 19 rows spill to lead r17:
-    # mm_gif_pixel_stats, p10_time_range, p7_p8_in_comparison,
-    # p9_like_rlike, pii_redact, pipeline_llm_curation,
-    # q1_pricing_summary, q3_shipping_priority,
+    # cohort's remaining 20 rows spill to lead r17:
+    # mm_frame_offsets, mm_gif_pixel_stats, p10_time_range,
+    # p7_p8_in_comparison, p9_like_rlike, pii_redact,
+    # pipeline_llm_curation, q1_pricing_summary, q3_shipping_priority,
     # q5_local_supplier_volume, q6_forecast_revenue, seq_pack_bins,
     # stream_cdc_apply, stream_web_ingest, text_bpe_roundtrip,
     # text_quality_classifier, text_quality_metrics,
@@ -656,9 +656,12 @@ _VERIFY_FIRST_R16 = [
     # shared Hamming banding), its persisted-signature-store
     # incremental twin + takedown/compaction leg, the audio
     # fingerprint twin (real PCM decode -> 65-point gradient hash),
-    # and the weighted personalized PageRank composition ---
+    # the video temporal-fingerprint twin (real MP4 demux ->
+    # sampled-frame JPEG decode), and the weighted personalized
+    # PageRank composition ---
     "dedup_image_phash", "dedup_image_phash_incremental",
     "dedup_image_store_takedown", "dedup_audio_fingerprint",
+    "dedup_video_phash",
     "web_pagerank_weighted_personalized",
     # --- changed-code re-gates: the weighted-PR weight guard moved
     # in-plan (assert_true riding the multigraph collapse — ADVICE
@@ -680,7 +683,7 @@ _VERIFY_FIRST_R16 = [
     "text_rare_bigram_score", "u10_store_schema_evolution",
     "u6_snapshot_diff", "u9_incremental_agg_maintenance",
     "w12_rate_of_change", "w14_interpolate_linear",
-    # --- the r10-latest due cohort, name order (first 21 of the 40
+    # --- the r10-latest due cohort, name order (first 20 of the 40
     # remaining after dedup_simhash_pairs moved up) ---
     "a17_iqr_outliers", "a18_key_skew_profile",
     "ann_arrow_fold_equality", "ann_cosine_topk", "ann_ivf_topk",
@@ -690,7 +693,7 @@ _VERIFY_FIRST_R16 = [
     "dedup_repeated_ngrams", "emb_quantize_int8",
     "f6_coalesce_fallback", "io_orc_roundtrip",
     "j2_composite_key_join", "j4_semi_anti_join", "j7_asof_join",
-    "j8_interval_join", "mm_frame_offsets",
+    "j8_interval_join",
     # --- streams at the tail (multi-second startup each): the new
     # semantic-store maintenance stream and the ER stream whose
     # watermark read changed (ADVICE r16) ---

@@ -2067,6 +2067,134 @@ def dedup_audio_fingerprint(spark, sf_dir):
         sig, id_col="doc_id", max_hamming=4)
 
 
+# Closed-form video-fingerprint CTEs — the VIDEO leg of the
+# _IMAGE/_AUDIO_SIG_CTES family: mirrors synth_scaled_mjpeg_payload's
+# per-frame constant luma + the video_dhash definition (65 NN-sampled
+# frame positions through the SCALED frame count — exercising the
+# floor identity — decoded frame mean, temporal gradient bits,
+# 4x16-bit chunks). The Spark side must recover the SAME bits through
+# real MP4 demux (stsz/stsc/stco expansion) + real baseline-JPEG
+# decode of every sampled frame, so a sample-table, codec, or
+# bit-packing bug flips rows. Families mirror the other modalities:
+# %10 docs a 2x frame-repeat upsample under +10M (identical
+# fingerprint), %20 docs a perturbed copy under +20M (the sampled
+# source frame at index 32 bumped +128 pre-modulus — Hamming in
+# {0,1,2}; prototyped mix 131/249/120 at 500 docs; banded false
+# pairs 3/377k candidates at 50k docs — the mod-256 birthday floor).
+_VIDEO_SIG_CTES = """
+    vids AS (
+      SELECT doc_id, doc_id AS src, 1 AS scale, 0 AS bump
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, doc_id, 2, 0 FROM documents
+      WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 20000000, doc_id, 1, 128 FROM documents
+      WHERE doc_id % 20 = 0
+    ),
+    vgeo AS (
+      SELECT doc_id, src % 251 AS ka, src % 241 AS kb,
+             64 + src % 32 AS n0, scale, bump,
+             32 * (64 + src % 32) // 65 AS pb
+      FROM vids
+    ),
+    vpos AS (
+      SELECT doc_id, i.i AS i,
+             (i.i * n0 * scale // 65) // scale AS sf,
+             ka, kb, bump, pb
+      FROM vgeo, generate_series(0, 64) AS i(i)
+    ),
+    vval AS (
+      SELECT doc_id, i,
+             (ka * ((7*sf*sf + 3*sf + 11) % 1021)
+              + kb * ((5*sf*sf + 13*sf + 7) % 1019)
+              + CASE WHEN sf = pb THEN bump ELSE 0 END) % 256 AS v
+      FROM vpos
+    ),
+    vbits AS (
+      SELECT l.doc_id, l.i AS i,
+             CASE WHEN r.v > l.v THEN 1 ELSE 0 END AS bit
+      FROM vval l JOIN vval r ON r.doc_id = l.doc_id AND r.i = l.i + 1
+      WHERE l.i < 64
+    ),
+    vsig AS (
+      SELECT doc_id AS doc,
+             CAST(SUM(CASE WHEN i < 16 THEN bit * (1 << i)
+                           ELSE 0 END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN i BETWEEN 16 AND 31
+                           THEN bit * (1 << (i - 16))
+                           ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN i BETWEEN 32 AND 47
+                           THEN bit * (1 << (i - 32))
+                           ELSE 0 END) AS BIGINT) AS c2,
+             CAST(SUM(CASE WHEN i >= 48 THEN bit * (1 << (i - 48))
+                           ELSE 0 END) AS BIGINT) AS c3
+      FROM vbits GROUP BY doc_id
+    )"""
+
+
+def _video_sig(spec):
+    """Build the MJPEG containers and fingerprint them — spec rows
+    through the real demux -> per-frame JPEG decode -> video_dhash
+    pipeline, NULL rows dropped."""
+    payload = multimodal.synth_scaled_mjpeg_payload(
+        spec, bump_col="bump")
+    return multimodal.video_dhash(payload).filter(
+        F.col("c0").isNotNull())
+
+
+@query(
+    "dedup_video_phash",
+    oracle=f"""
+    WITH {_VIDEO_SIG_CTES},
+    bands AS (
+      SELECT doc, 0 AS band, c0 AS val, c0, c1, c2, c3 FROM vsig
+      UNION ALL SELECT doc, 1, c1, c0, c1, c2, c3 FROM vsig
+      UNION ALL SELECT doc, 2, c2, c0, c1, c2, c3 FROM vsig
+      UNION ALL SELECT doc, 3, c3, c0, c1, c2, c3 FROM vsig
+    ),
+    sized AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY band, val) AS bn FROM bands
+    ),
+    small AS (SELECT * FROM sized WHERE bn BETWEEN 2 AND 200),
+    pairs AS (
+      SELECT DISTINCT l.doc AS a, r.doc AS b,
+             {_IMAGE_SIG_HAMMING} AS hamming
+      FROM small l JOIN small r
+        ON l.band = r.band AND l.val = r.val AND l.doc < r.doc
+    )
+    SELECT a, b, hamming FROM pairs WHERE hamming <= 4
+    """,
+)
+def dedup_video_phash(spark, sf_dir):
+    """VIDEO near-duplicate pairs by temporal perceptual fingerprint
+    — the modality triad closes (image dHash, audio gradient hash,
+    and now video): every document becomes a real MJPEG-in-MP4
+    container (actual ISO BMFF sample tables, real baseline-JPEG
+    frames in the bit-exact DC regime), every %10 doc ALSO lands as
+    a 2x frame-repeat upsample under doc_id + 10M (the
+    frame-rate-doubled re-encode — identical fingerprint by the
+    floor identity on NN frame sampling), every %20 doc as a
+    PERTURBED copy under doc_id + 20M (one sampled source frame's
+    luma bumped — Hamming in {{0,1,2}}, exactly recomputed), and the
+    pipeline demux -> sampled-frame JPEG decode -> temporal gradient
+    hash (multimodal.video_dhash) -> 16-bit-chunk banding ->
+    bit_count(XOR) verify (dedup.hamming_pairs_from_chunks, shared
+    verbatim with SimHash/image/audio) must surface the planted
+    pairs at their exact distances — plus the fixture's rare
+    deterministic birthday pairs (mod-256 luma means; 1 at 500 docs,
+    3/377k candidates at 50k), which the oracle recomputes
+    bit-identically. Never all-pairs;
+    max_bucket caps skew; candidates share a 16-bit band — i.e. a
+    16-frame-window luma trajectory. Scale shape: per-video work =
+    demux + <= 65 frame decodes, one 4-long row per video into the
+    banding groupBy — the corpus is read once."""
+    base, copies, bumped = _image_families(spark, sf_dir, bump=128)
+    sig = _video_sig(base.unionByName(copies).unionByName(bumped))
+    return dedup.hamming_pairs_from_chunks(
+        sig, id_col="doc_id", max_hamming=4)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -1074,3 +1074,68 @@ def test_audio_fingerprint_pairs_planted_recovery(spark):
            dedup.hamming_pairs_from_chunks(
                sig, id_col="doc_id", max_hamming=4).collect()}
     assert got == {(i, i + 10000000, 0) for i in ids if i % 10 == 0}
+
+
+def test_video_dhash_closed_form_and_invariants(spark):
+    """video_dhash: (1) chunks equal an independently hand-computed
+    temporal fingerprint (demux -> sampled-frame JPEG decode -> mean
+    luma -> gradient bits -> 16-bit chunks) for a closed-form MJPEG
+    container; (2) an exact 2x frame-repeat upsample fingerprints
+    IDENTICALLY (floor identity on NN frame sampling); (3) a non-MP4
+    payload and a container whose sampled frames are not decodable
+    JPEGs yield NULL chunks — no fabricated means."""
+    from clif_spark.multimodal import jpeg as J
+
+    build_mp4, _ = multimodal._mp4_sample_codecs()
+    n0 = 70
+
+    def val(sf):
+        return (19 * ((11 * sf * sf + 5 * sf + 3) % 509) + 7) % 256
+
+    def clip(scale):
+        frames = [J.jpeg_encode_gray(8, 8,
+                                     lambda x, y, k=k: val(k // scale))
+                  for k in range(n0 * scale)]
+        return build_mp4(1000 * scale, 40, frames)
+
+    def hand_fp():
+        means = [val(i * n0 // 65) for i in range(65)]
+        bits = 0
+        for i in range(64):
+            if means[i + 1] > means[i]:
+                bits |= 1 << i
+        return tuple((bits >> (16 * m)) & 0xFFFF for m in range(4))
+
+    opaque = build_mp4(1000, 40, [b"\x00\x00\x00\x01gNAL" * 4] * 70)
+    df = spark.createDataFrame(
+        [(1, clip(1)), (2, clip(2)),
+         (3, b"plain text, not a video"), (4, opaque)],
+        ["doc_id", "payload"])
+    out = {r.doc_id: (r.c0, r.c1, r.c2, r.c3)
+           for r in multimodal.video_dhash(df).collect()}
+    assert out[1] == hand_fp()
+    assert out[2] == out[1]                # 2x frame-repeat invariant
+    assert out[3] == (None, None, None, None)
+    assert out[4] == (None, None, None, None)
+
+
+def test_video_phash_pairs_planted_recovery(spark):
+    """End-to-end video dedup pairing: distinct closed-form MJPEG
+    containers plus planted 2x frame-repeat copies — the shared
+    Hamming banding must recover exactly the planted pairs at
+    distance 0, with zero false pairs among distinct videos."""
+    from clif_spark import dedup
+
+    ids = list(range(40))
+    base = spark.createDataFrame(
+        [(i, i, 1) for i in ids], ["doc_id", "src_id", "scale"])
+    copies = spark.createDataFrame(
+        [(i + 10000000, i, 2) for i in ids if i % 10 == 0],
+        ["doc_id", "src_id", "scale"])
+    payload = multimodal.synth_scaled_mjpeg_payload(
+        base.unionByName(copies))
+    sig = multimodal.video_dhash(payload)
+    got = {(r.a, r.b, r.hamming) for r in
+           dedup.hamming_pairs_from_chunks(
+               sig, id_col="doc_id", max_hamming=4).collect()}
+    assert got == {(i, i + 10000000, 0) for i in ids if i % 10 == 0}
