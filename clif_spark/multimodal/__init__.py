@@ -2029,7 +2029,7 @@ def synth_scaled_wav_payload(spec: DataFrame, id_col: str = "doc_id",
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        def build(doc: int, src: int, scale: int, bump: int) -> bytes:
+        def build(src: int, scale: int, bump: int) -> bytes:
             ka, kb = src % 251, src % 241
             nf0, ch = 100 + src % 50, 1 + src % 2
             pb = 32 * nf0 // 65
@@ -2050,10 +2050,9 @@ def synth_scaled_wav_payload(spec: DataFrame, id_col: str = "doc_id",
                      else [0] * len(pdf[id_col]))
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64"),
-                out_col: [build(int(d), int(s), int(k), int(b))
-                          for d, s, k, b in zip(pdf[id_col],
-                                                pdf[src_col],
-                                                pdf[scale_col], bumps)],
+                out_col: [build(int(s), int(k), int(b))
+                          for s, k, b in zip(pdf[src_col],
+                                             pdf[scale_col], bumps)],
             })
 
     return spec.select(*cols).mapInPandas(run, schema)

@@ -780,6 +780,43 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 3,
                         .cast("double").alias("rank"))
 
 
+def _collapse_weighted_edges(edges: DataFrame, src_col: str,
+                             dst_col: str, weight_col: str,
+                             fn_name: str) -> DataFrame:
+    """Multigraph collapse with the in-plan raw-weight guard, shared
+    by both weighted rank forms: parallel (src,dst) rows SUM their
+    weights, and the fail-loud guard runs on the RAW per-row weights,
+    BEFORE the collapse — post-aggregation totals would let a NULL
+    (skipped by SUM) or a negative row that nets positive with a
+    parallel edge pass silently, exactly the corruption the guard's
+    message promises to catch. It rides IN the collapse aggregation
+    (the dsum(checked=True) assert_true pattern) rather than as a
+    separate eager count: the caller's upstream edge lineage — the
+    whole corpus-sized link extraction for a crawl graph — executes
+    exactly ONCE, in the caller's eager checkpoint, which is also the
+    job that evaluates the guard for every group (ADVICE r16; the
+    job-count parity with pagerank_fixed is regression-pinned)."""
+    src, dst = F.col(src_col), F.col(dst_col)
+    w = F.col(weight_col)
+    agg = (edges.groupBy(src.alias("src"), dst.alias("dst"))
+           .agg(F.sum(w).cast("long").alias("__w"),
+                F.sum(F.when(w.isNull() | (w < 1), 1).otherwise(0))
+                 .alias("__bad")))
+    guard = F.assert_true(
+        F.col("__bad") == 0,
+        F.concat(
+            F.lit(f"{fn_name}: "),
+            F.col("__bad").cast("string"),
+            F.lit(" raw edge row(s) with NULL or non-positive weight"
+                  " on one (src,dst) pair — weights must be positive"
+                  " integers (a zero/NULL-weight row silently alters"
+                  " every sibling edge's share); filter or fix"
+                  " upstream")))
+    # when() forces the guard before w is served; guard is NULL on pass
+    return agg.select("src", "dst",
+                      F.when(guard.isNull(), F.col("__w")).alias("w"))
+
+
 def pagerank_weighted(edges: DataFrame, iterations: int = 3,
                       damping_pct: int = 85,
                       src_col: str = "src", dst_col: str = "dst",
@@ -820,36 +857,8 @@ def pagerank_weighted(edges: DataFrame, iterations: int = 3,
     ``init_ranks`` warm-starts exactly as in pagerank_fixed: K stored
     + K' warm = K+K' from scratch bit-for-bit, because every step is
     a pure exact function of the previous vector."""
-    src, dst = F.col(src_col), F.col(dst_col)
-    w = F.col(weight_col)
-    # the fail-loud guard runs on the RAW per-row weights, BEFORE the
-    # multigraph collapse: post-aggregation totals would let a NULL
-    # (skipped by SUM) or a negative row that nets positive with a
-    # parallel edge pass silently — exactly the corruption the guard's
-    # message promises to catch. It rides IN the collapse aggregation
-    # (the dsum(checked=True) assert_true pattern) rather than as a
-    # separate eager count: the caller's upstream edge lineage — the
-    # whole corpus-sized link extraction for a crawl graph — executes
-    # exactly ONCE, in the eager checkpoint below, which is also the
-    # job that evaluates the guard for every group (ADVICE r16; the
-    # job-count parity with pagerank_fixed is regression-pinned).
-    agg = (edges.groupBy(src.alias("src"), dst.alias("dst"))
-           .agg(F.sum(w).cast("long").alias("__w"),
-                F.sum(F.when(w.isNull() | (w < 1), 1).otherwise(0))
-                 .alias("__bad")))
-    guard = F.assert_true(
-        F.col("__bad") == 0,
-        F.concat(
-            F.lit("pagerank_weighted: "),
-            F.col("__bad").cast("string"),
-            F.lit(" raw edge row(s) with NULL or non-positive weight"
-                  " on one (src,dst) pair — weights must be positive"
-                  " integers (a zero/NULL-weight row silently alters"
-                  " every sibling edge's share); filter or fix"
-                  " upstream")))
-    # when() forces the guard before w is served; guard is NULL on pass
-    e = agg.select("src", "dst",
-                   F.when(guard.isNull(), F.col("__w")).alias("w"))
+    e = _collapse_weighted_edges(edges, src_col, dst_col, weight_col,
+                                 "pagerank_weighted")
     # edge-relation-sized checkpoint: referenced by every iteration
     # plus nodes/outw (the pagerank_fixed lesson); materializing every
     # group row here is what fires the guard at call time
@@ -925,24 +934,8 @@ def pagerank_weighted_personalized(edges: DataFrame, seeds: DataFrame,
     host-pair-sized edge join + node-keyed sum over a checkpointed
     collapsed relation; the seed relation is one node-sized left join
     folded into the checkpointed teleport base."""
-    src, dst = F.col(src_col), F.col(dst_col)
-    w = F.col(weight_col)
-    agg = (edges.groupBy(src.alias("src"), dst.alias("dst"))
-           .agg(F.sum(w).cast("long").alias("__w"),
-                F.sum(F.when(w.isNull() | (w < 1), 1).otherwise(0))
-                 .alias("__bad")))
-    guard = F.assert_true(
-        F.col("__bad") == 0,
-        F.concat(
-            F.lit("pagerank_weighted_personalized: "),
-            F.col("__bad").cast("string"),
-            F.lit(" raw edge row(s) with NULL or non-positive weight"
-                  " on one (src,dst) pair — weights must be positive"
-                  " integers (a zero/NULL-weight row silently alters"
-                  " every sibling edge's share); filter or fix"
-                  " upstream")))
-    e = (agg.select("src", "dst",
-                    F.when(guard.isNull(), F.col("__w")).alias("w"))
+    e = (_collapse_weighted_edges(edges, src_col, dst_col, weight_col,
+                                  "pagerank_weighted_personalized")
          .localCheckpoint(eager=True))
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))

@@ -282,7 +282,7 @@ _VERIFY_FIRST_R10 = [
     "dedup_repeated_ngrams", "dedup_simhash_pairs", "emb_quantize_int8",
     "f6_coalesce_fallback", "j2_composite_key_join", "j4_semi_anti_join",
     "j7_asof_join", "j8_interval_join", "mm_frame_offsets",
-    "mm_gif_pixel_stats", "p10_time_range",
+    "mm_gif_pixel_stats", "p10_time_range", "p7_p8_in_comparison",
     "p9_like_rlike", "pii_redact", "pipeline_llm_curation",
     "q6_forecast_revenue", "seq_pack_bins",
     # --- streams at the tail (multi-second startup each): the

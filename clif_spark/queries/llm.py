@@ -1707,15 +1707,18 @@ _IMAGE_SIG_HAMMING = (
     " AS BIGINT)")
 
 
-@query(
-    "dedup_image_phash",
-    oracle=f"""
-    WITH {_IMAGE_SIG_CTES},
+def _banded_pairs_sql(sig: str) -> str:
+    """The bands -> bucket-cap -> verified-pairs oracle tail shared by
+    all three modality fingerprint rows (image/audio/video) — one
+    definition so the banding contract (bucket bounds 2..200, the
+    Hamming <= 4 verify threshold) can never drift per modality.
+    ``sig`` names the 4x16-bit-chunk signature CTE to band over."""
+    return f"""
     bands AS (
-      SELECT doc, 0 AS band, c0 AS val, c0, c1, c2, c3 FROM sig
-      UNION ALL SELECT doc, 1, c1, c0, c1, c2, c3 FROM sig
-      UNION ALL SELECT doc, 2, c2, c0, c1, c2, c3 FROM sig
-      UNION ALL SELECT doc, 3, c3, c0, c1, c2, c3 FROM sig
+      SELECT doc, 0 AS band, c0 AS val, c0, c1, c2, c3 FROM {sig}
+      UNION ALL SELECT doc, 1, c1, c0, c1, c2, c3 FROM {sig}
+      UNION ALL SELECT doc, 2, c2, c0, c1, c2, c3 FROM {sig}
+      UNION ALL SELECT doc, 3, c3, c0, c1, c2, c3 FROM {sig}
     ),
     sized AS (
       SELECT *, COUNT(*) OVER (PARTITION BY band, val) AS bn FROM bands
@@ -1728,7 +1731,12 @@ _IMAGE_SIG_HAMMING = (
         ON l.band = r.band AND l.val = r.val AND l.doc < r.doc
     )
     SELECT a, b, hamming FROM pairs WHERE hamming <= 4
-    """,
+    """
+
+
+@query(
+    "dedup_image_phash",
+    oracle=f"WITH {_IMAGE_SIG_CTES},{_banded_pairs_sql('sig')}",
 )
 def dedup_image_phash(spark, sf_dir):
     """IMAGE near-duplicate pairs by perceptual hash — the missing
@@ -2018,26 +2026,7 @@ def _audio_sig(spec):
 
 @query(
     "dedup_audio_fingerprint",
-    oracle=f"""
-    WITH {_AUDIO_SIG_CTES},
-    bands AS (
-      SELECT doc, 0 AS band, c0 AS val, c0, c1, c2, c3 FROM asig
-      UNION ALL SELECT doc, 1, c1, c0, c1, c2, c3 FROM asig
-      UNION ALL SELECT doc, 2, c2, c0, c1, c2, c3 FROM asig
-      UNION ALL SELECT doc, 3, c3, c0, c1, c2, c3 FROM asig
-    ),
-    sized AS (
-      SELECT *, COUNT(*) OVER (PARTITION BY band, val) AS bn FROM bands
-    ),
-    small AS (SELECT * FROM sized WHERE bn BETWEEN 2 AND 200),
-    pairs AS (
-      SELECT DISTINCT l.doc AS a, r.doc AS b,
-             {_IMAGE_SIG_HAMMING} AS hamming
-      FROM small l JOIN small r
-        ON l.band = r.band AND l.val = r.val AND l.doc < r.doc
-    )
-    SELECT a, b, hamming FROM pairs WHERE hamming <= 4
-    """,
+    oracle=f"WITH {_AUDIO_SIG_CTES},{_banded_pairs_sql('asig')}",
 )
 def dedup_audio_fingerprint(spark, sf_dir):
     """AUDIO near-duplicate pairs by perceptual fingerprint — the
@@ -2145,26 +2134,7 @@ def _video_sig(spec):
 
 @query(
     "dedup_video_phash",
-    oracle=f"""
-    WITH {_VIDEO_SIG_CTES},
-    bands AS (
-      SELECT doc, 0 AS band, c0 AS val, c0, c1, c2, c3 FROM vsig
-      UNION ALL SELECT doc, 1, c1, c0, c1, c2, c3 FROM vsig
-      UNION ALL SELECT doc, 2, c2, c0, c1, c2, c3 FROM vsig
-      UNION ALL SELECT doc, 3, c3, c0, c1, c2, c3 FROM vsig
-    ),
-    sized AS (
-      SELECT *, COUNT(*) OVER (PARTITION BY band, val) AS bn FROM bands
-    ),
-    small AS (SELECT * FROM sized WHERE bn BETWEEN 2 AND 200),
-    pairs AS (
-      SELECT DISTINCT l.doc AS a, r.doc AS b,
-             {_IMAGE_SIG_HAMMING} AS hamming
-      FROM small l JOIN small r
-        ON l.band = r.band AND l.val = r.val AND l.doc < r.doc
-    )
-    SELECT a, b, hamming FROM pairs WHERE hamming <= 4
-    """,
+    oracle=f"WITH {_VIDEO_SIG_CTES},{_banded_pairs_sql('vsig')}",
 )
 def dedup_video_phash(spark, sf_dir):
     """VIDEO near-duplicate pairs by temporal perceptual fingerprint
