@@ -2182,15 +2182,32 @@ def synth_scaled_mjpeg_payload(spec: DataFrame, id_col: str = "doc_id",
                 frames.append(frame_of(v))
             return build_mp4_samples(1000 * scale, 40, frames)
 
+        # Containers run ~25-30 KB (64-192 frames + sample tables) —
+        # 3 orders of magnitude over the module's other payloads — so
+        # a records-count Arrow batch (65536 default) is a multi-GB
+        # buffer at warehouse partition sizes (measured: Arrow
+        # OutOfMemoryException at sf10, ~12k-row input batches).
+        # Yield BYTE-bounded output slices instead: each yielded
+        # frame becomes its own Arrow batch, bounding both this
+        # stage's output buffer and the fused consumer's input.
+        budget = 32 << 20
         for pdf in batches:
             bumps = (pdf[bump_col] if bump_col
                      else [0] * len(pdf[id_col]))
-            yield pd.DataFrame({
-                "doc_id": pdf[id_col].astype("int64"),
-                out_col: [build(int(s), int(k), int(b))
-                          for s, k, b in zip(pdf[src_col],
-                                             pdf[scale_col], bumps)],
-            })
+            ids, payloads, nbytes = [], [], 0
+            for d, s, k, b in zip(pdf[id_col], pdf[src_col],
+                                  pdf[scale_col], bumps):
+                p = build(int(s), int(k), int(b))
+                ids.append(int(d))
+                payloads.append(p)
+                nbytes += len(p)
+                if nbytes >= budget:
+                    yield pd.DataFrame({"doc_id": pd.array(
+                        ids, dtype="int64"), out_col: payloads})
+                    ids, payloads, nbytes = [], [], 0
+            if ids:
+                yield pd.DataFrame({"doc_id": pd.array(
+                    ids, dtype="int64"), out_col: payloads})
 
     return spec.select(*cols).mapInPandas(run, schema)
 
