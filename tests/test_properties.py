@@ -1131,3 +1131,81 @@ def test_pagerank_weighted_agrees_with_python_recurrence(spark, raw):
             acc[d] += x * (r[s] // W[s])
         r = {u: teleport + (85 * acc[u]) // 100 for u in nodes}
     assert got == r
+
+
+# Random PCM clips: channel counts and frame counts the closed-form
+# fixture never exercises (mono through 3-channel, clips SHORTER than
+# the 65-point grid where sampled positions repeat, all-equal
+# samples). audio_dhash must agree with a direct python rendering of
+# its documented definition on every one.
+audio_clips_strategy = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=3),      # channels
+              st.integers(min_value=1, max_value=130),    # frames
+              st.integers(min_value=0, max_value=2**31)), # sample seed
+    min_size=1, max_size=6)
+
+
+@PROP
+@given(audio_clips_strategy)
+def test_audio_dhash_agrees_with_python_reference(spark, clips):
+    import struct
+
+    from clif_spark import multimodal
+
+    rows = []
+    expected = {}
+    for doc, (ch, nf, seed) in enumerate(clips):
+        vals = [((seed + 37 * i * i + 11 * i) % 4093) - 2046
+                for i in range(nf * ch)]
+        payload = multimodal.build_wav_bytes(
+            8000, ch, nf, struct.pack(f"<{len(vals)}h", *vals))
+        rows.append((doc, payload))
+        s = [sum(vals[f * ch:(f + 1) * ch])
+             for f in (i * nf // 65 for i in range(65))]
+        bits = 0
+        for i in range(64):
+            if s[i + 1] > s[i]:
+                bits |= 1 << i
+        expected[doc] = tuple((bits >> (16 * m)) & 0xFFFF
+                              for m in range(4))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: (r.c0, r.c1, r.c2, r.c3)
+           for r in multimodal.audio_dhash(df).collect()}
+    assert got == expected
+
+
+# Random MJPEG containers: frame counts shorter/longer than the grid,
+# repeated frame values (decode memoization must not conflate docs),
+# and single-frame videos. video_dhash must agree with a direct
+# python rendering of its documented definition.
+video_clips_strategy = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=140),    # frames
+              st.integers(min_value=0, max_value=2**31)), # value seed
+    min_size=1, max_size=5)
+
+
+@PROP
+@given(video_clips_strategy)
+def test_video_dhash_agrees_with_python_reference(spark, clips):
+    from clif_spark import multimodal
+    from clif_spark.multimodal import jpeg as J
+
+    build_mp4, _ = multimodal._mp4_sample_codecs()
+    rows = []
+    expected = {}
+    for doc, (nf, seed) in enumerate(clips):
+        vals = [(seed + 53 * k * k + 19 * k) % 256 for k in range(nf)]
+        frames = [J.jpeg_encode_gray(8, 8, lambda x, y, v=v: v)
+                  for v in vals]
+        rows.append((doc, build_mp4(1000, 40, frames)))
+        means = [vals[i * nf // 65] for i in range(65)]
+        bits = 0
+        for i in range(64):
+            if means[i + 1] > means[i]:
+                bits |= 1 << i
+        expected[doc] = tuple((bits >> (16 * m)) & 0xFFFF
+                              for m in range(4))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: (r.c0, r.c1, r.c2, r.c3)
+           for r in multimodal.video_dhash(df).collect()}
+    assert got == expected
