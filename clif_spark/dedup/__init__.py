@@ -515,7 +515,11 @@ def chunk_sig_store_delete(spark, doc_ids: DataFrame, root: str,
     every subsequent screen, and ``compact_cdc_snapshot`` physically
     drops it. O(|doc_ids|) + one copy-on-write version; the removed
     image itself was never stored, so the signature tombstone IS the
-    complete forget."""
+    complete forget.
+
+    ``spark`` is unused — kept for signature symmetry with
+    ``chunk_sig_store_screen`` so the store lifecycle's read-side
+    verbs share one calling convention (ADVICE r17)."""
     from clif_spark.streaming import upsert_cdc_snapshot
 
     rows = doc_ids.select(
@@ -530,7 +534,8 @@ def chunk_sig_store_delete(spark, doc_ids: DataFrame, root: str,
 
 def chunk_sig_store_screen(spark, sigs: DataFrame, root: str,
                            id_col: str = "doc",
-                           max_hamming: int = 4) -> DataFrame:
+                           max_hamming: int = 4,
+                           max_bucket: int | None = None) -> DataFrame:
     """Screen a delivery of chunk signatures against the persisted
     store: band on the four 16-bit chunks exactly as
     ``hamming_pairs_from_chunks`` (candidates share one exact chunk —
@@ -543,7 +548,18 @@ def chunk_sig_store_screen(spark, sigs: DataFrame, root: str,
     is broadcast (deliveries are small against a standing corpus), so
     the screen is one store-sized scan with no shuffle — at 100 TB the
     signature relation is ~1e-4 of the corpus bytes and the screen
-    never touches an image."""
+    never touches an image.
+
+    ``max_bucket`` (ADVICE r17) is the hamming_pairs_from_chunks skew
+    guard transplanted to the store side: a hot 16-bit band value
+    (constant/monotone images share chunks) makes the band join
+    quadratic in that bucket — the cap counts STORE rows per
+    (band, val) in one extra store-sized aggregation and drops
+    oversized buckets before the join, trading those candidates away
+    exactly as the banding siblings do. Default None keeps the exact
+    uncapped semantics the gated rows were hashed under (their
+    fixtures carry no hot band, so the screen stays one scan + one
+    broadcast join with zero extra jobs unless a caller opts in)."""
     from clif_spark.streaming import read_cdc_snapshot
 
     chunks = [f"c{m}" for m in range(SIMHASH_CHUNKS)]
@@ -560,6 +576,12 @@ def chunk_sig_store_screen(spark, sigs: DataFrame, root: str,
                             "bk.band", "bk.val")
 
     store = banded(read_cdc_snapshot(spark, root), "doc", "old_id")
+    if max_bucket is not None:
+        hot = (store.groupBy("band", "val")
+               .agg(F.count(F.lit(1)).alias("__n"))
+               .filter(F.col("__n") > max_bucket)
+               .select("band", "val"))
+        store = store.join(hot, ["band", "val"], "left_anti")
     delivery = banded(sigs, id_col, "new_id")
     joined = store.join(F.broadcast(delivery), ["band", "val"])
     hamming = sum(

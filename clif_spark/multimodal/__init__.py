@@ -2258,7 +2258,11 @@ def video_dhash(df: DataFrame, id_col: str = "doc_id",
             except (ValueError, IndexError, KeyError, StopIteration,
                     _struct.error):
                 decoded = None
-            if decoded is None:
+            # The planes access stays under the honest-boundary rule
+            # too: a decode that returns an EMPTY planes list must yield
+            # NULL chunks, not an uncaught IndexError that fails the
+            # task (ADVICE r17).
+            if decoded is None or not decoded[2]:
                 m = None
             else:
                 luma = decoded[2][0]

@@ -81,18 +81,29 @@ def connected_components(edges: DataFrame, src_col: str = "src",
         cand = (ue.join(labels, ue["src"] == labels["node"])
                   .select(F.col("dst").alias("node"),
                           F.col("component").alias("cand")))
+        # exact convergence probe, FUSED into the round's one
+        # materialization (r17, guide §1.2/§2.4): the old-label join
+        # rides the checkpoint job (labels are already materialized, so
+        # the broadcast build is free) and the per-round probe becomes
+        # one narrow SUM over the checkpointed result — the previous
+        # separate join+count job re-read both label relations every
+        # round. A label only ever moves DOWN, so "no __chg row" ==
+        # fixpoint, exactly as before (nxt's node set equals labels' —
+        # the union seeds every node — so the inner join drops nothing).
         nxt = (labels.unionByName(
                    cand.withColumnRenamed("cand", "component"))
                .groupBy("node")
                .agg(F.min("component").alias("component"))
+               .join(labels.withColumnRenamed("component", "__old"),
+                     "node")
+               .select("node", "component",
+                       (F.col("component") != F.col("__old"))
+                       .alias("__chg"))
                .localCheckpoint(eager=True))
-        # exact integer convergence probe: a label only ever moves DOWN,
-        # so "no label changed" == "no (node, component) pair changed"
-        changed = (nxt.join(labels.withColumnRenamed("component", "old"),
-                            "node")
-                   .filter(F.col("component") != F.col("old")).count())
-        labels = nxt
-        if changed == 0:
+        changed = nxt.agg(
+            F.sum(F.col("__chg").cast("long"))).first()[0]
+        labels = nxt.select("node", "component")
+        if not changed:
             return (labels, rounds) if return_rounds else labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds")
@@ -125,6 +136,13 @@ def bfs_depths(edges: DataFrame, seeds: DataFrame,
     depths = (seeds.select(F.col(seeds.columns[0]).alias("node"),
                            F.lit(0).cast("long").alias("depth"))
               .localCheckpoint(eager=True))
+    # depths only move down and nodes only get added, so the exact
+    # integer pair (COUNT, SUM(depth)) is a fixpoint certificate; the
+    # previous round's pair is carried in the driver (r17) instead of
+    # re-aggregating the already-certified relation — one agg job per
+    # round, not two (the relation is the same both times by
+    # construction: `depths` below IS the nxt the pair was taken from).
+    cert = tuple(depths.agg(F.count(F.lit(1)), F.sum("depth")).first())
     for _ in range(max_iters):
         cand = (e.join(depths, e["src"] == depths["node"])
                  .select(F.col("dst").alias("node"),
@@ -133,13 +151,11 @@ def bfs_depths(edges: DataFrame, seeds: DataFrame,
                .groupBy("node")
                .agg(F.min("depth").alias("depth"))
                .localCheckpoint(eager=True))
-        # depths only move down and nodes only get added, so the exact
-        # integer pair (COUNT, SUM(depth)) is a fixpoint certificate
-        a = nxt.agg(F.count(F.lit(1)), F.sum("depth")).first()
-        b = depths.agg(F.count(F.lit(1)), F.sum("depth")).first()
+        a = tuple(nxt.agg(F.count(F.lit(1)), F.sum("depth")).first())
         depths = nxt
-        if tuple(a) == tuple(b):
+        if a == cert:
             return depths
+        cert = a
     raise RuntimeError(f"bfs_depths did not converge in {max_iters} rounds")
 
 
@@ -214,10 +230,16 @@ def connected_components_star(edges: DataFrame, src_col: str = "src",
                .filter(F.col("u") != F.col("v"))
                .distinct()
                .localCheckpoint(eager=True))
-        changed = (nxt.exceptAll(e).count()
-                   + e.exceptAll(nxt).count())
+        # set-equality probe in ONE exceptAll instead of two (r17):
+        # both relations are distinct, so |nxt| == |e| and
+        # nxt \ e == ∅ together imply nxt == e; the counts are cheap
+        # scans of already-checkpointed RDDs, and when they differ
+        # (every non-final round) the exceptAll shuffle is skipped
+        # entirely.
+        changed = (nxt.count() != e.count()
+                   or nxt.exceptAll(e).count() != 0)
         e = nxt
-        if changed == 0:
+        if not changed:
             # fixpoint: e is the star node -> component min; roots
             # (and nothing else) are absent from the child side
             labels = (nodes.join(
@@ -245,15 +267,22 @@ def _directed_min_labels(e: DataFrame, nodes: DataFrame,
         cand = (e.join(labels, e["src"] == labels["node"])
                  .select(F.col("dst").alias("node"),
                          F.col("lab").alias("cand")))
+        # fused probe (r17): the old-label comparison rides the round's
+        # checkpoint job and the probe is one narrow SUM — see
+        # connected_components for the rationale and exactness argument
+        # (cand's nodes are e's dst endpoints, a subset of ``nodes``, so
+        # the inner join drops nothing)
         nxt = (labels.unionByName(cand.withColumnRenamed("cand", "lab"))
                .groupBy("node")
                .agg(F.min("lab").alias("lab"))
+               .join(labels.withColumnRenamed("lab", "__old"), "node")
+               .select("node", "lab",
+                       (F.col("lab") != F.col("__old")).alias("__chg"))
                .localCheckpoint(eager=True))
-        changed = (nxt.join(labels.withColumnRenamed("lab", "old"),
-                            "node")
-                   .filter(F.col("lab") != F.col("old")).count())
-        labels = nxt
-        if changed == 0:
+        changed = nxt.agg(
+            F.sum(F.col("__chg").cast("long"))).first()[0]
+        labels = nxt.select("node", "lab")
+        if not changed:
             return labels
     raise RuntimeError(
         f"_directed_min_labels did not converge in {max_iters} rounds")
@@ -331,31 +360,31 @@ def strongly_connected_components(edges: DataFrame,
              .localCheckpoint(eager=True))
     settled = (nodes.select("node", F.col("node").alias("component"))
                .limit(0))
+    n_e = e.count()
     for rounds in range(1, max_iters + 1):
         # TRIM to fixpoint: any live node missing an inbound or an
         # outbound live edge is a singleton SCC. Each layer's removal
-        # can expose the next (a tail peels layer by layer), and every
-        # trimmed node's component is itself. Layer cost discipline: a
-        # long path peels O(n) layers (two nodes per layer), so each
-        # layer is ONE endpoint-flag aggregation + the bookkeeping
-        # joins, with lineage checkpointed on an INTERVAL rather than
-        # eagerly per relation per layer — the first cut paid 4 eager
-        # checkpoints per layer and measured 427 s on a 2000-node
-        # path; interval checkpointing keeps plans bounded at a
-        # fraction of that job count.
-        layer = 0
-        while True:
-            layer += 1
+        # can expose the next (a tail peels layer by layer). r17
+        # restructure (guide §1.2 — fewer actions per layer): a layer
+        # is ONE checkpoint of the core-filtered edge relation + one
+        # cheap count of the materialized RDD; the trimmed singletons
+        # are NOT settled per layer but derived once after the loop
+        # (pre-trim universe ANTI-JOIN surviving endpoints — the layer
+        # order never changes which nodes survive, only how fast we
+        # find them), which deletes the per-layer settle checkpoint,
+        # its isEmpty probe, and the per-layer settled union of the
+        # previous shape (3 jobs -> 2 per active layer, and the 2nd is
+        # a checkpointed-RDD count). The fixpoint certificate is the
+        # edge count: the core semi-join only ever REMOVES edges, so
+        # an unchanged count means every endpoint already has both
+        # flags — exactly the old "nothing trimmed" condition. Lineage
+        # discipline unchanged: every relation derives from a
+        # checkpointed leaf (the exponential-plan trap note of the
+        # previous shape still applies).
+        while n_e > 0:
             # one pass over the CHECKPOINTED e: which endpoints have
             # both an inbound AND an outbound live edge
-            # (cycle-eligible core). core stays un-checkpointed — its
-            # three references below each re-run one tiny agg over the
-            # flat e leaf, which beats a per-layer materialization job
-            # AND avoids the exponential-plan trap (every relation
-            # here must derive from a checkpointed leaf, never from
-            # another un-checkpointed derivation: the first cut of
-            # this loop chained nodes_k -> e_{k-1} -> nodes_{k-1} ...
-            # and OOM'd the driver on plan stringification alone).
+            # (cycle-eligible core)
             flags = (e.select(F.col("src").alias("node"),
                               F.lit(1).alias("o"), F.lit(0).alias("i"))
                      .unionByName(
@@ -366,47 +395,63 @@ def strongly_connected_components(edges: DataFrame,
                      .agg(F.max("o").alias("o"), F.max("i").alias("i")))
             core = (flags.filter((F.col("o") == 1) & (F.col("i") == 1))
                     .select("node"))
-            now = (nodes.join(core, "node", "left_anti")
-                   .select("node", F.col("node").alias("component"))
-                   .localCheckpoint(eager=True))
-            if now.isEmpty():
-                break
-            settled = settled.unionByName(now)
-            nodes = core
-            e = (e.join(core.withColumnRenamed("node", "src"),
-                        "src", "semi")
-                 .join(core.withColumnRenamed("node", "dst"),
-                       "dst", "semi")
-                 .select("src", "dst")
-                 .localCheckpoint(eager=True))
-            if layer % 64 == 0:
-                # settled is a union of checkpointed leaves (linear
-                # plan), but thousands of union nodes still slow the
-                # analyzer — fold it down on an interval
-                settled = settled.localCheckpoint(eager=True)
-        settled = settled.localCheckpoint(eager=True)
-        nodes = nodes.localCheckpoint(eager=True)
-        if nodes.isEmpty():
+            e2 = (e.join(core.withColumnRenamed("node", "src"),
+                         "src", "semi")
+                  .join(core.withColumnRenamed("node", "dst"),
+                        "dst", "semi")
+                  .select("src", "dst")
+                  .localCheckpoint(eager=True))
+            n_e2 = e2.count()
+            if n_e2 == n_e:
+                break  # removed nothing: every endpoint is in the core
+            e, n_e = e2, n_e2
+        if n_e == 0:
+            live = nodes.limit(0)
+        else:
+            # at the trim fixpoint the live universe IS e's endpoint
+            # set (the break above proves endpoints(e) ⊆ core ⊆
+            # endpoints(e))
+            live = (e.select(F.col("src").alias("node"))
+                    .unionByName(e.select(F.col("dst").alias("node")))
+                    .distinct()
+                    .localCheckpoint(eager=True))
+        settled = settled.unionByName(
+            nodes.join(live, "node", "left_anti")
+                 .select("node", F.col("node").alias("component")))
+        nodes = live
+        if n_e == 0:
             return (settled, rounds) if return_rounds else settled
+        settled = settled.localCheckpoint(eager=True)
         rev = e.select(F.col("dst").alias("src"),
                        F.col("src").alias("dst"))
-        fwd = _directed_min_labels(rev, nodes, max_iters) \
-            .withColumnRenamed("lab", "__f")
-        bwd = _directed_min_labels(e, nodes, max_iters) \
-            .withColumnRenamed("lab", "__b")
+        # the two directed fixpoints are INDEPENDENT jobs over the same
+        # checkpointed subgraph — overlap them from two driver threads
+        # (guide §2.6) so the backward coloring's rounds back-fill the
+        # idle capacity of the forward coloring's straggler tail; each
+        # fixpoint is exact integer arithmetic, so concurrency cannot
+        # perturb a bit of either result
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_fwd = pool.submit(_directed_min_labels, rev, nodes,
+                                max_iters)
+            f_bwd = pool.submit(_directed_min_labels, e, nodes,
+                                max_iters)
+            fwd = f_fwd.result().withColumnRenamed("lab", "__f")
+            bwd = f_bwd.result().withColumnRenamed("lab", "__b")
         now = (fwd.join(bwd, "node")
                .filter(F.col("__f") == F.col("__b"))
                .select("node", F.col("__f").alias("component")))
         settled = settled.unionByName(now).localCheckpoint(eager=True)
         nodes = (nodes.join(now, "node", "left_anti")
                  .localCheckpoint(eager=True))
-        if nodes.isEmpty():
+        if nodes.count() == 0:
             return (settled, rounds) if return_rounds else settled
         live = nodes.withColumnRenamed("node", "src")
         e = (e.join(live, "src", "semi")
              .join(nodes.withColumnRenamed("node", "dst"), "dst", "semi")
              .select("src", "dst")
              .localCheckpoint(eager=True))
+        n_e = e.count()
     raise RuntimeError(
         f"strongly_connected_components did not converge in "
         f"{max_iters} rounds")
@@ -568,7 +613,13 @@ def k_core(edges: DataFrame, k: int, src_col: str = "src",
             # the surviving rows carry the final core degrees
             core = nxt.select("node", "core_degree")
             return (core, rounds) if return_rounds else core
-        alive = nxt.select("node").localCheckpoint(eager=True)
+        # no checkpoint (r17): alive is a narrow filter+project over the
+        # round's ALREADY-CHECKPOINTED deg relation — the next round's
+        # two semi-joins re-scan that flat leaf cheaply, and lineage
+        # stays bounded at depth one because deg re-checkpoints every
+        # round. The previous eager checkpoint here was a third job per
+        # round buying nothing.
+        alive = nxt.select("node")
         n_alive = n_nxt
     raise RuntimeError(f"k_core did not converge in {max_iters} rounds")
 

@@ -215,6 +215,40 @@ def pq(sf_dir: str, table: str) -> str:
     return name
 
 
+#: Memoized name-bound Column trees, keyed per SparkContext. Same
+#: class of driver-chatter elimination as ``pq``'s temp views (r17,
+#: guide §1.2 per-task... driver work): the heavy expression builders
+#: (RFC 3986 resolver, fixture html synthesis) cost ~0.3-1.3 s of py4j
+#: round trips PER CALL at zero JVM work, and the hot lifecycle rows
+#: rebuild them up to three times per execution. A Column is an
+#: immutable UNRESOLVED expression tree bound by column NAME, so one
+#: tree serves every DataFrame carrying those names; Catalyst analysis
+#: and optimization still run per plan, so nothing the bench times is
+#: reused across reps except the Python-side tree construction — the
+#: exact analog of handing DuckDB its SQL string. Values pin the
+#: SparkContext object so id() reuse after a context restart cannot
+#: serve a stale JVM handle (the _REGISTERED_VIEWS trick).
+_COL_CACHE: dict[tuple[int, str], tuple[object, object]] = {}
+
+
+def memo_cols(key: str, builder: Callable[[], object]) -> object:
+    """Build-once Column trees for ``key`` under the active
+    SparkContext (falls back to plain construction when no context is
+    active). ``builder`` must return name-bound expressions only —
+    nothing resolved against a specific DataFrame."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return builder()
+    k = (id(sc), key)
+    hit = _COL_CACHE.get(k)
+    if hit is None or hit[0] is not sc:
+        _COL_CACHE[k] = (sc, builder())
+        hit = _COL_CACHE[k]
+    return hit[1]
+
+
 def narrow_width(spark: SparkSession) -> int:
     """Partition width for CPU-heavy *narrow* work (shingling, hashing,
     per-doc regex): ``min(defaultParallelism, spark.sql.shuffle.partitions)``.
