@@ -145,12 +145,23 @@ def extract_main_content(col: Column) -> Column:
     higher-order filter/transform; fused, shuffle-free, linear per
     page. DuckDB mirror beside the gated row (queries/web.py
     text_main_content) — keep rule-for-rule in sync."""
+    return F.array_join(
+        F.transform(main_content_blocks(col), _block_visible), " ")
+
+
+def main_content_blocks(col: Column) -> Column:
+    """The kept-blocks ARRAY under ``extract_main_content`` (steps 1-2
+    + the step-4 survival filter), exposed so a caller needing BOTH the
+    joined text and a block statistic can alias this array once in its
+    own Project and derive both from the shared value — spelling the
+    chain twice defeats codegen's subexpression elimination across
+    higher-order-function trees and re-runs every page-level regex
+    (r17; measured 2x at sf0.1 in text_main_content)."""
     page = col
     for pat, repl in HTML_STRIP_STEPS[:3]:  # script / style / comments
         page = F.regexp_replace(page, pat, repl)
     blocks = F.split(page, MAIN_BLOCK_SPLIT_RE)
-    kept = F.filter(blocks, _main_block_keeps)
-    return F.array_join(F.transform(kept, _block_visible), " ")
+    return F.filter(blocks, _main_block_keeps)
 
 
 def _main_block_keeps(x: Column) -> Column:

@@ -659,10 +659,27 @@ def triangle_counts(edges: DataFrame, src_col: str = "src",
     e1 = cn.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = cn.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = cn.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    # Size-gated broadcast (r17, guide §3.1): a checkpointed LogicalRDD
+    # INHERITS its upstream plan's size estimate — for relations built
+    # from regex/explode lineage that estimate is unknown (Long.Max),
+    # so the planner ran all three enumeration joins as SortMergeJoins
+    # with full exchanges even on a 20-row fixture relation (audit
+    # r17). The relation is already materialized, so decide from its
+    # TRUE row count: under the bound the two probe joins broadcast
+    # the right sides (~tens of MB at 1M host pairs) and e1 never
+    # shuffles; above it the honest SMJ stands (web-scale pair
+    # relations exceed any broadcast cap).
+    if cn.count() <= 1_000_000:
+        e2, e3 = F.broadcast(e2), F.broadcast(e3)
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    members = (tri.select(F.col("a").alias("node"))
-               .unionAll(tri.select(F.col("b").alias("node")))
-               .unionAll(tri.select(F.col("c").alias("node"))))
+    # ONE evaluation of the enumeration tree (r17, guide §2.4): the
+    # previous union of three projections re-executed the whole
+    # two-join subtree per branch (no exchange reuse across the
+    # aliased branches — 3x the join work in one job); exploding the
+    # member array emits the identical (a, b, c) multiset in a single
+    # pass.
+    members = tri.select(F.explode(F.array(
+        F.col("a"), F.col("b"), F.col("c"))).alias("node"))
     return (members.groupBy("node")
             .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
 

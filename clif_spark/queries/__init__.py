@@ -734,7 +734,55 @@ _VERIFY_FIRST_R16 = [
     "stream_semantic_maintain", "stream_image_sig_maintain",
     "stream_er_maintain",
 ]
-_VERIFY_FIRST = _VERIFY_FIRST_R16
+_VERIFY_FIRST_R17 = [
+    # Ledger arithmetic (the ONE authoritative block): 50 slots =
+    # 21 changed-code re-gates (r17 is OPTIMIZATION round 1 — no new
+    # registrations; every row whose EXECUTION PATH the optimization
+    # touched re-gates before any refresh: the fused-probe /
+    # trim-restructure graph operators and their consumers, the
+    # single-pass anchor extraction consumers, the shared-kept-array
+    # main-content row, the link-graph row riding the memoized
+    # resolver columns, and the video row with the empty-planes decode
+    # guard) + the complete 20-row r10-latest due cohort the r16
+    # ledger enumerates (18 batch + 2 streams at the tail) + 7 oldest
+    # r11-latest fills in name order + 2 changed-code streams at the
+    # tail. After this gate no oracle row's latest green predates r11;
+    # the r18 due list = the remaining r11-latest cohort in name
+    # order.
+    # --- changed-code batch re-gates: graph-operator consumers ---
+    "web_host_components", "web_host_components_star", "web_host_scc",
+    "web_bowtie_classes", "web_host_kcore", "web_crawl_depth",
+    "web_crawl_frontier", "web_cocitation_triangles",
+    "dedup_entity_clusters", "dedup_entity_incremental",
+    "dedup_entity_persisted", "dedup_entity_store_takedown",
+    "dedup_entity_store_compacted",
+    # --- changed-code batch re-gates: anchor extraction + shared
+    # kept-array + memoized resolver columns + video decode guard ---
+    "web_anchor_text", "web_host_bm25f", "web_bm25f_incremental",
+    "web_bm25f_takedown", "web_bm25f_compacted", "text_main_content",
+    "web_link_graph", "dedup_video_phash",
+    # --- the complete 20-row r10-latest due cohort (VERDICT r16 #1),
+    # name order, its 2 streams at the stream tail ---
+    "mm_frame_offsets", "mm_gif_pixel_stats", "p10_time_range",
+    "p7_p8_in_comparison", "p9_like_rlike", "pii_redact",
+    "pipeline_llm_curation", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "seq_pack_bins", "text_bpe_roundtrip",
+    "text_quality_classifier", "text_quality_metrics",
+    "u7_merge_with_deletes", "w16_ewma_agreement",
+    "warc_record_pairing",
+    # --- r11-latest refreshes (oldest remaining green), name order ---
+    "a10_moment_corr", "a11_exact_percentiles", "a24_chisq_association",
+    "a25_equi_depth_histogram", "a9_grouping_sets", "corpus_curation",
+    "curation_dsir_importance",
+    # --- streams at the tail (multi-second startup each): the two due
+    # r10 streams, then the two changed-code maintenance streams (ER
+    # labeling via connected_components; BM25F partials via the
+    # single-pass anchor extraction) ---
+    "stream_cdc_apply", "stream_web_ingest",
+    "stream_er_maintain", "stream_bm25f_maintain",
+]
+_VERIFY_FIRST = _VERIFY_FIRST_R17
 
 # Rows-only queries (dedup_semantic, ann_ivf_trained_topk,
 # ann_cosine_topk_arrow, w15_ewma_smooth, text_bpe_tokenize,

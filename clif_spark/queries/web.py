@@ -4665,19 +4665,26 @@ def text_main_content(spark, sf_dir):
     filter/transform — fused, shuffle-free, linear per page; the
     same zero-exchange class as text_html_extract."""
     d = io.load_table(spark, sf_dir, "documents")
-    page = _main_page_col()
-    main = curation.extract_main_content(page)
-    blocks_kept = F.size(F.filter(
-        F.split(
-            F.regexp_replace(F.regexp_replace(F.regexp_replace(
-                page, curation.HTML_STRIP_STEPS[0][0], " "),
-                curation.HTML_STRIP_STEPS[1][0], " "),
-                curation.HTML_STRIP_STEPS[2][0], " "),
-            curation.MAIN_BLOCK_SPLIT_RE),
-        curation._main_block_keeps))
-    return d.select(
-        "doc_id", main.alias("main_text"),
-        blocks_kept.cast("long").alias("n_blocks"))
+    # Share the kept-blocks array between the text and the count (r17,
+    # guide §1.2 per-task work): the previous shape spelled the
+    # strip+split+filter chain twice (once inside
+    # extract_main_content, once inline for n_blocks) and codegen's
+    # subexpression elimination did NOT fuse them across the two
+    # higher-order-function trees — the page paid every regex twice
+    # (measured: full 0.84 s ≈ main-only 0.53 + count-only 0.46 at
+    # sf0.1). Materializing the array under an alias in its own
+    # Project survives CollapseProject (a non-cheap alias referenced
+    # twice is not inlined), so the chain now runs once; the projected
+    # values are the same array, so main_text and n_blocks are
+    # bit-identical (same-session A/B: 0.73 vs 1.28 s, results
+    # compared equal).
+    kept = curation.main_content_blocks(_main_page_col())
+    return (d.select("doc_id", kept.alias("__kept"))
+            .select("doc_id",
+                    F.array_join(
+                        F.transform("__kept", curation._block_visible),
+                        " ").alias("main_text"),
+                    F.size("__kept").cast("long").alias("n_blocks")))
 
 
 # --- S9f: cross-crawl revisit / mirror classification ---------------------
