@@ -209,6 +209,17 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "calib_ms": calib_ms,
+        # Scaling observability (VERDICT r17 item 2): the honored core
+        # count and the DATA-sized shuffle parallelism actually chosen.
+        # At small SFs parts << cpus by design (parallelism follows the
+        # input, ~8 partitions for ~15 MB at sf0.1), so a c8-vs-c32
+        # comparison measures the same ~8-way work — these two keys let
+        # a reader see that rather than suspect the env var is ignored.
+        # Work exceeds 8-way parallelism only from ~sf1 up.
+        "cpus": cpus,
+        "shuffle_partitions": int(parts),
+        "max_partition_bytes": int(
+            local_io_confs["spark.sql.files.maxPartitionBytes"]),
         # Scale context for readers of a single-SF record: the same-phase
         # ratio falls with scale because the per-query scheduling floor is
         # fixed while useful work grows (BASELINE.md round 6: 3.7x at

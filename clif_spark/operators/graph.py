@@ -32,6 +32,37 @@ from pyspark.sql import functions as F
 
 MICROS = 1_000_000
 
+#: Session conf that switches every iterative operator in this module
+#: from ``localCheckpoint`` (executor-block storage — fast, but one
+#: executor loss kills the job at cluster scale) to RELIABLE
+#: checkpoints under the named directory (HDFS/object-store path in
+#: production). Unset (the default) keeps the exact r17 behavior; the
+#: bench never sets it. VERDICT r17 item 8.
+CHECKPOINT_DIR_CONF = "spark.clif.graph.checkpointDir"
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Eager lineage-cut for the iterative loops: reliable
+    ``checkpoint`` when ``spark.clif.graph.checkpointDir`` is set on
+    the session (cluster fault-tolerance posture — survives executor
+    loss), ``localCheckpoint`` otherwise (the single-box default; same
+    plan-truncation semantics, blocks live on executors). A checkpoint
+    dir already set on the SparkContext by the caller is respected."""
+    spark = df.sparkSession
+    cdir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
+    if cdir:
+        sc = spark.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            sc.setCheckpointDir(cdir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+#: Experimental A/B flag (r18): probe the SCC trim fixpoint with a
+#: narrow flags-agg before paying the e2 checkpoint. Mutated only by
+#: scripts/; the shipped default is the measured winner.
+_TRIM_PROBE = False
+
 #: Default fixpoint-round budget shared by the iterative operators AND
 #: the recursive-CTE oracles that gate them: an oracle recursion bound
 #: lower than the engine's round budget would silently truncate the
@@ -74,7 +105,7 @@ def connected_components(edges: DataFrame, src_col: str = "src",
           .unionByName(edges.select(d.alias("src"), s.alias("dst")))
           .filter(F.col("src") != F.col("dst"))
           .distinct()
-          .localCheckpoint(eager=True))
+          .transform(_ckpt))
     labels = (ue.select(F.col("src").alias("node")).distinct()
               .select("node", F.col("node").alias("component")))
     for rounds in range(1, max_iters + 1):
@@ -99,7 +130,7 @@ def connected_components(edges: DataFrame, src_col: str = "src",
                .select("node", "component",
                        (F.col("component") != F.col("__old"))
                        .alias("__chg"))
-               .localCheckpoint(eager=True))
+               .transform(_ckpt))
         changed = nxt.agg(
             F.sum(F.col("__chg").cast("long"))).first()[0]
         labels = nxt.select("node", "component")
@@ -129,13 +160,13 @@ def bfs_depths(edges: DataFrame, seeds: DataFrame,
     ``max_iters``."""
     s, d = F.col(src_col), F.col(dst_col)
     e = (edges.select(s.alias("src"), d.alias("dst")).distinct()
-         .localCheckpoint(eager=True))
+         .transform(_ckpt))
     # seed-sized checkpoint: the caller's seed lineage may itself be a
     # corpus-scan aggregate, and the loop's first round references it
     # three times (candidate join, merge, convergence probe)
     depths = (seeds.select(F.col(seeds.columns[0]).alias("node"),
                            F.lit(0).cast("long").alias("depth"))
-              .localCheckpoint(eager=True))
+              .transform(_ckpt))
     # depths only move down and nodes only get added, so the exact
     # integer pair (COUNT, SUM(depth)) is a fixpoint certificate; the
     # previous round's pair is carried in the driver (r17) instead of
@@ -150,7 +181,7 @@ def bfs_depths(edges: DataFrame, seeds: DataFrame,
         nxt = (depths.unionByName(cand)
                .groupBy("node")
                .agg(F.min("depth").alias("depth"))
-               .localCheckpoint(eager=True))
+               .transform(_ckpt))
         a = tuple(nxt.agg(F.count(F.lit(1)), F.sum("depth")).first())
         depths = nxt
         if a == cert:
@@ -196,11 +227,11 @@ def connected_components_star(edges: DataFrame, src_col: str = "src",
     e = (edges.select(s.alias("u"), d.alias("v"))
          .filter(F.col("u") != F.col("v"))
          .distinct()
-         .localCheckpoint(eager=True))
+         .transform(_ckpt))
     nodes = (e.select(F.col("u").alias("node"))
              .unionByName(e.select(F.col("v").alias("node")))
              .distinct()
-             .localCheckpoint(eager=True))
+             .transform(_ckpt))
 
     def _sym(rel):
         return (rel.unionByName(rel.select(F.col("v").alias("u"),
@@ -219,7 +250,7 @@ def connected_components_star(edges: DataFrame, src_col: str = "src",
                    .select(F.col("v").alias("u"),
                            F.col("__m").alias("v"))
                    .distinct()
-                   .localCheckpoint(eager=True))
+                   .transform(_ckpt))
         # SMALL-STAR: m(u) = min over the SMALLER neighbors (all < u),
         # to which the smaller neighbors AND u itself rewire
         nbrs2 = _sym(e_large).filter(F.col("v") < F.col("u"))
@@ -229,7 +260,7 @@ def connected_components_star(edges: DataFrame, src_col: str = "src",
                .unionByName(mins2.select("u", F.col("__m").alias("v")))
                .filter(F.col("u") != F.col("v"))
                .distinct()
-               .localCheckpoint(eager=True))
+               .transform(_ckpt))
         # set-equality probe in ONE exceptAll instead of two (r17):
         # both relations are distinct, so |nxt| == |e| and
         # nxt \ e == ∅ together imply nxt == e; the counts are cheap
@@ -254,16 +285,25 @@ def connected_components_star(edges: DataFrame, src_col: str = "src",
 
 
 def _directed_min_labels(e: DataFrame, nodes: DataFrame,
-                         max_iters: int) -> DataFrame:
+                         max_iters: int,
+                         cancel: object | None = None) -> DataFrame:
     """Min-label propagation ALONG the directed edge relation to
     fixpoint: label(v) = MIN(node id over {v} ∪ {u : u reaches v}).
     The directed sibling of connected_components' inner loop — same
     exact integer convergence probe (a label only moves DOWN), same
     per-round localCheckpoint, same loud failure. ``e`` and ``nodes``
     must already be materialized (the callers checkpoint them once and
-    run this twice, forward and reversed)."""
+    run this twice, forward and reversed). ``cancel`` (a
+    threading.Event) aborts between rounds — the SCC caller runs two
+    of these concurrently and sets it when one fails, so the sibling
+    stops within a round instead of running out its budget
+    (ADVICE r17)."""
     labels = nodes.select("node", F.col("node").alias("lab"))
     for _ in range(max_iters):
+        if cancel is not None and cancel.is_set():
+            raise RuntimeError(
+                "_directed_min_labels: cancelled — the sibling "
+                "coloring failed first")
         cand = (e.join(labels, e["src"] == labels["node"])
                  .select(F.col("dst").alias("node"),
                          F.col("lab").alias("cand")))
@@ -278,7 +318,7 @@ def _directed_min_labels(e: DataFrame, nodes: DataFrame,
                .join(labels.withColumnRenamed("lab", "__old"), "node")
                .select("node", "lab",
                        (F.col("lab") != F.col("__old")).alias("__chg"))
-               .localCheckpoint(eager=True))
+               .transform(_ckpt))
         changed = nxt.agg(
             F.sum(F.col("__chg").cast("long"))).first()[0]
         labels = nxt.select("node", "lab")
@@ -353,11 +393,11 @@ def strongly_connected_components(edges: DataFrame,
     allp = edges.select(s.alias("src"), d.alias("dst"))
     e = (allp.filter(F.col("src") != F.col("dst"))
          .distinct()
-         .localCheckpoint(eager=True))
+         .transform(_ckpt))
     nodes = (allp.select(F.col("src").alias("node"))
              .unionByName(allp.select(F.col("dst").alias("node")))
              .distinct()
-             .localCheckpoint(eager=True))
+             .transform(_ckpt))
     settled = (nodes.select("node", F.col("node").alias("component"))
                .limit(0))
     n_e = e.count()
@@ -393,6 +433,17 @@ def strongly_connected_components(edges: DataFrame,
                                   F.lit(1).alias("i")))
                      .groupBy("node")
                      .agg(F.max("o").alias("o"), F.max("i").alias("i")))
+            if _TRIM_PROBE:
+                # ADVICE r17 experimental probe: decide "nothing to
+                # trim" from one narrow agg over the flags instead of
+                # materializing an identical e2 — n_core == n_endpoints
+                # ⟺ e2 == e exactly (a non-core endpoint always owns
+                # >= 1 live edge, which the semi-join then removes)
+                n_nodes, n_core = flags.agg(
+                    F.count(F.lit(1)),
+                    F.sum(F.col("o") * F.col("i"))).first()
+                if n_core == n_nodes:
+                    break
             core = (flags.filter((F.col("o") == 1) & (F.col("i") == 1))
                     .select("node"))
             e2 = (e.join(core.withColumnRenamed("node", "src"),
@@ -400,7 +451,7 @@ def strongly_connected_components(edges: DataFrame,
                   .join(core.withColumnRenamed("node", "dst"),
                         "dst", "semi")
                   .select("src", "dst")
-                  .localCheckpoint(eager=True))
+                  .transform(_ckpt))
             n_e2 = e2.count()
             if n_e2 == n_e:
                 break  # removed nothing: every endpoint is in the core
@@ -414,14 +465,14 @@ def strongly_connected_components(edges: DataFrame,
             live = (e.select(F.col("src").alias("node"))
                     .unionByName(e.select(F.col("dst").alias("node")))
                     .distinct()
-                    .localCheckpoint(eager=True))
+                    .transform(_ckpt))
         settled = settled.unionByName(
             nodes.join(live, "node", "left_anti")
                  .select("node", F.col("node").alias("component")))
         nodes = live
         if n_e == 0:
             return (settled, rounds) if return_rounds else settled
-        settled = settled.localCheckpoint(eager=True)
+        settled = settled.transform(_ckpt)
         rev = e.select(F.col("dst").alias("src"),
                        F.col("src").alias("dst"))
         # the two directed fixpoints are INDEPENDENT jobs over the same
@@ -430,27 +481,41 @@ def strongly_connected_components(edges: DataFrame,
         # idle capacity of the forward coloring's straggler tail; each
         # fixpoint is exact integer arithmetic, so concurrency cannot
         # perturb a bit of either result
-        from concurrent.futures import ThreadPoolExecutor
+        import threading
+        from concurrent.futures import (FIRST_EXCEPTION,
+                                        ThreadPoolExecutor, wait)
+        cancel = threading.Event()
         with ThreadPoolExecutor(max_workers=2) as pool:
             f_fwd = pool.submit(_directed_min_labels, rev, nodes,
-                                max_iters)
+                                max_iters, cancel)
             f_bwd = pool.submit(_directed_min_labels, e, nodes,
-                                max_iters)
+                                max_iters, cancel)
+            # FIRST_EXCEPTION + the shared cancel flag: a failed
+            # coloring aborts its sibling at the next round boundary
+            # instead of letting it run out its full budget while the
+            # pool's shutdown blocks the error (ADVICE r17)
+            wait([f_fwd, f_bwd], return_when=FIRST_EXCEPTION)
+            failed = next((f for f in (f_fwd, f_bwd)
+                           if f.done() and f.exception() is not None),
+                          None)
+            if failed is not None:
+                cancel.set()
+                raise failed.exception()
             fwd = f_fwd.result().withColumnRenamed("lab", "__f")
             bwd = f_bwd.result().withColumnRenamed("lab", "__b")
         now = (fwd.join(bwd, "node")
                .filter(F.col("__f") == F.col("__b"))
                .select("node", F.col("__f").alias("component")))
-        settled = settled.unionByName(now).localCheckpoint(eager=True)
+        settled = settled.unionByName(now).transform(_ckpt)
         nodes = (nodes.join(now, "node", "left_anti")
-                 .localCheckpoint(eager=True))
+                 .transform(_ckpt))
         if nodes.count() == 0:
             return (settled, rounds) if return_rounds else settled
         live = nodes.withColumnRenamed("node", "src")
         e = (e.join(live, "src", "semi")
              .join(nodes.withColumnRenamed("node", "dst"), "dst", "semi")
              .select("src", "dst")
-             .localCheckpoint(eager=True))
+             .transform(_ckpt))
         n_e = e.count()
     raise RuntimeError(
         f"strongly_connected_components did not converge in "
@@ -501,7 +566,7 @@ def hits_fixed(edges: DataFrame, iterations: int = 3,
     share; ranks for vanished nodes drop."""
     src, dst = F.col(src_col), F.col(dst_col)
     e = (edges.select(src.alias("src"), dst.alias("dst")).distinct()
-         .localCheckpoint(eager=True))
+         .transform(_ckpt))
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct())
@@ -528,7 +593,7 @@ def hits_fixed(edges: DataFrame, iterations: int = 3,
         filled = (nodes.join(raw, "node", "left")
                   .select("node", F.coalesce("s", F.lit(0))
                           .cast("long").alias("s"))
-                  .localCheckpoint(eager=True))
+                  .transform(_ckpt))
         total = filled.agg(F.sum("s").alias("t"))
         return (filled.crossJoin(F.broadcast(total))
                 .select("node", F.expr(f"(s * CAST({MICROS} AS BIGINT))"
@@ -545,8 +610,8 @@ def hits_fixed(edges: DataFrame, iterations: int = 3,
                  .withColumnRenamed("src", "node"))
         h = _norm(h_raw)
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            h = h.localCheckpoint(eager=True)
-            a = a.localCheckpoint(eager=True)
+            h = h.transform(_ckpt)
+            a = a.transform(_ckpt)
     return (nodes
             .join(h.withColumnRenamed("r", "hub_micros"), "node", "left")
             .join(a.withColumnRenamed("r", "auth_micros"), "node", "left")
@@ -592,12 +657,12 @@ def k_core(edges: DataFrame, k: int, src_col: str = "src",
                        F.greatest(s, d).alias("v"))
           .filter(F.col("u") != F.col("v"))
           .distinct()
-          .localCheckpoint(eager=True))
+          .transform(_ckpt))
     sym = (cn.select(F.col("u").alias("node"), F.col("v").alias("other"))
            .unionByName(cn.select(F.col("v").alias("node"),
                                   F.col("u").alias("other")))
-           .localCheckpoint(eager=True))
-    alive = sym.select("node").distinct().localCheckpoint(eager=True)
+           .transform(_ckpt))
+    alive = sym.select("node").distinct().transform(_ckpt)
     n_alive = alive.count()
     for rounds in range(1, max_iters + 1):
         deg = (sym.join(alive, "node", "semi")
@@ -605,7 +670,7 @@ def k_core(edges: DataFrame, k: int, src_col: str = "src",
                      "other", "semi")
                .groupBy("node")
                .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
-               .localCheckpoint(eager=True))
+               .transform(_ckpt))
         nxt = deg.filter(F.col("core_degree") >= k)
         n_nxt = nxt.count()
         if n_nxt == n_alive:
@@ -655,7 +720,7 @@ def triangle_counts(edges: DataFrame, src_col: str = "src",
                        F.greatest(s, d).alias("v"))
           .filter(F.col("u") != F.col("v"))
           .distinct()
-          .localCheckpoint(eager=True))
+          .transform(_ckpt))
     e1 = cn.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = cn.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = cn.select(F.col("u").alias("a"), F.col("v").alias("c"))
@@ -665,11 +730,25 @@ def triangle_counts(edges: DataFrame, src_col: str = "src",
     # so the planner ran all three enumeration joins as SortMergeJoins
     # with full exchanges even on a 20-row fixture relation (audit
     # r17). The relation is already materialized, so decide from its
-    # TRUE row count: under the bound the two probe joins broadcast
-    # the right sides (~tens of MB at 1M host pairs) and e1 never
-    # shuffles; above it the honest SMJ stands (web-scale pair
-    # relations exceed any broadcast cap).
-    if cn.count() <= 1_000_000:
+    # TRUE row count AND its true key payload bytes (ADVICE r17: a
+    # row-count proxy alone can admit hundreds of MB of long string
+    # host keys into two broadcast relations) — one agg job over the
+    # checkpointed RDD, same cost as the previous bare count. Under
+    # both bounds the two probe joins broadcast the right sides and e1
+    # never shuffles; above either the honest SMJ stands (web-scale
+    # pair relations exceed any broadcast cap).
+    def _key_bytes(c: str):
+        dt = dict(cn.dtypes)[c]
+        return (F.octet_length(F.col(c)) if dt == "string"
+                else F.lit(8))
+
+    n_cn, key_bytes = cn.agg(
+        F.count(F.lit(1)),
+        F.sum(_key_bytes("u") + _key_bytes("v"))).first()
+    # 64 MiB of raw key payload per broadcast side: the built hash
+    # relation inflates ~2-4x over raw bytes, keeping the executors'
+    # copies well under broadcast-pressure territory
+    if n_cn <= 1_000_000 and (key_bytes or 0) <= (64 << 20):
         e2, e3 = F.broadcast(e2), F.broadcast(e3)
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
     # ONE evaluation of the enumeration tree (r17, guide §2.4): the
@@ -724,12 +803,12 @@ def pagerank_personalized(edges: DataFrame, seeds: DataFrame,
     the checkpointed teleport base."""
     src, dst = F.col(src_col), F.col(dst_col)
     e = (edges.select(src.alias("src"), dst.alias("dst")).distinct()
-         .localCheckpoint(eager=True))
+         .transform(_ckpt))
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct())
     sd = (seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
-          .localCheckpoint(eager=True))
+          .transform(_ckpt))
     nodes = nodes.unionByName(sd).distinct()
     k = sd.count()
     tnum = (100 - damping_pct) * MICROS // 100
@@ -742,7 +821,7 @@ def pagerank_personalized(edges: DataFrame, seeds: DataFrame,
             .select("node",
                     F.when(F.col("__s") == 1, F.lit(tnum // k))
                      .otherwise(F.lit(0)).cast("long").alias("tele"))
-            .localCheckpoint(eager=True))
+            .transform(_ckpt))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     ranks = base.select(
         "node", F.when(F.col("tele") > 0, F.lit(MICROS // k))
@@ -760,7 +839,7 @@ def pagerank_personalized(edges: DataFrame, seeds: DataFrame,
                                    f"CAST(0 AS BIGINT))) div 100"))
                          .cast("long").alias("r")))
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(_ckpt)
     return ranks.select(F.col("node"),
                         F.col("r").alias("rank_micros"),
                         (F.col("r") / F.lit(float(MICROS)))
@@ -802,7 +881,7 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 3,
     # K=10 at sf10 vs 3.5 s checkpointed). The checkpoint is
     # edge-relation sized — host-graph scale, KBs-to-GBs at web scale,
     # never corpus-sized.
-    e = e.localCheckpoint(eager=True)
+    e = e.transform(_ckpt)
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct())
@@ -841,7 +920,7 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 3,
                                 f"CAST(0 AS BIGINT))) div 100)")
                          .cast("long").alias("r")))
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(_ckpt)
     return ranks.select(F.col("node"),
                         F.col("r").alias("rank_micros"),
                         (F.col("r") / F.lit(float(MICROS)))
@@ -930,7 +1009,7 @@ def pagerank_weighted(edges: DataFrame, iterations: int = 3,
     # edge-relation-sized checkpoint: referenced by every iteration
     # plus nodes/outw (the pagerank_fixed lesson); materializing every
     # group row here is what fires the guard at call time
-    e = e.localCheckpoint(eager=True)
+    e = e.transform(_ckpt)
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct())
@@ -961,7 +1040,7 @@ def pagerank_weighted(edges: DataFrame, iterations: int = 3,
                                 f"CAST(0 AS BIGINT))) div 100)")
                          .cast("long").alias("r")))
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(_ckpt)
     return ranks.select(F.col("node"),
                         F.col("r").alias("rank_micros"),
                         (F.col("r") / F.lit(float(MICROS)))
@@ -1004,12 +1083,12 @@ def pagerank_weighted_personalized(edges: DataFrame, seeds: DataFrame,
     folded into the checkpointed teleport base."""
     e = (_collapse_weighted_edges(edges, src_col, dst_col, weight_col,
                                   "pagerank_weighted_personalized")
-         .localCheckpoint(eager=True))
+         .transform(_ckpt))
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct())
     sd = (seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
-          .localCheckpoint(eager=True))
+          .transform(_ckpt))
     nodes = nodes.unionByName(sd).distinct()
     k = sd.count()
     tnum = (100 - damping_pct) * MICROS // 100
@@ -1022,7 +1101,7 @@ def pagerank_weighted_personalized(edges: DataFrame, seeds: DataFrame,
             .select("node",
                     F.when(F.col("__s") == 1, F.lit(tnum // k))
                      .otherwise(F.lit(0)).cast("long").alias("tele"))
-            .localCheckpoint(eager=True))
+            .transform(_ckpt))
     outw = e.groupBy("src").agg(F.sum("w").alias("tw"))
     ranks = base.select(
         "node", F.when(F.col("tele") > 0, F.lit(MICROS // k))
@@ -1040,7 +1119,7 @@ def pagerank_weighted_personalized(edges: DataFrame, seeds: DataFrame,
                                    f"CAST(0 AS BIGINT))) div 100"))
                          .cast("long").alias("r")))
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(_ckpt)
     return ranks.select(F.col("node"),
                         F.col("r").alias("rank_micros"),
                         (F.col("r") / F.lit(float(MICROS)))

@@ -225,10 +225,15 @@ def pq(sf_dir: str, table: str) -> str:
 #: tree serves every DataFrame carrying those names; Catalyst analysis
 #: and optimization still run per plan, so nothing the bench times is
 #: reused across reps except the Python-side tree construction — the
-#: exact analog of handing DuckDB its SQL string. Values pin the
-#: SparkContext object so id() reuse after a context restart cannot
-#: serve a stale JVM handle (the _REGISTERED_VIEWS trick).
-_COL_CACHE: dict[tuple[int, str], tuple[object, object]] = {}
+#: exact analog of handing DuckDB its SQL string. The cache is scoped
+#: to ONE owning SparkContext (``_COL_CACHE_SC``): a context change
+#: clears every entry at once, so a long-lived process that restarts
+#: contexts cannot accumulate trees pinned to dead py4j handles
+#: (ADVICE r17 — the per-(id, key) form leaked entries keyed by dead
+#: contexts, and id() reuse could never be served because values are
+#: re-checked against the live object anyway).
+_COL_CACHE: dict[str, object] = {}
+_COL_CACHE_SC: object = None
 
 
 def memo_cols(key: str, builder: Callable[[], object]) -> object:
@@ -236,17 +241,19 @@ def memo_cols(key: str, builder: Callable[[], object]) -> object:
     SparkContext (falls back to plain construction when no context is
     active). ``builder`` must return name-bound expressions only —
     nothing resolved against a specific DataFrame."""
+    global _COL_CACHE_SC
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context
     if sc is None:
         return builder()
-    k = (id(sc), key)
-    hit = _COL_CACHE.get(k)
-    if hit is None or hit[0] is not sc:
-        _COL_CACHE[k] = (sc, builder())
-        hit = _COL_CACHE[k]
-    return hit[1]
+    if _COL_CACHE_SC is not sc:
+        _COL_CACHE.clear()
+        _COL_CACHE_SC = sc
+    hit = _COL_CACHE.get(key)
+    if hit is None:
+        hit = _COL_CACHE[key] = builder()
+    return hit
 
 
 def narrow_width(spark: SparkSession) -> int:

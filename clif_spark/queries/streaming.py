@@ -592,6 +592,39 @@ def _land_deliveries(deliveries, prefix: str):
     return scratch, schema
 
 
+def _drain_then_replay_probe(spark, schema, scratch, sink,
+                             ckpt_prefix: str,
+                             replay: dict | None = None) -> None:
+    """ONE stream execution + the fresh-checkpoint REDELIVERY PROBE in
+    batch form (r18, VERDICT r17 item 5): drain the landed deliveries
+    through foreachBatch exactly as before, then redeliver the ENTIRE
+    landing dir to the same sink as one batch read. Every maintenance
+    stream's replay pin lives in its SINK (the applied-through
+    watermark / delivered-through pointer consulted per ordinal, the
+    raise when ``replay['on']``), not in the streaming engine — a
+    fresh-checkpoint second stream exercised Spark's file source (which
+    redelivers unconditionally, not our code) plus the identical sink
+    path, at the cost of a full multi-second stream startup and one
+    micro-batch per file. The batch redelivery feeds the sink the same
+    rows (all ordinals present; the sink iterates ordinals in sorted
+    order, which the per-file micro-batches also guaranteed via pinned
+    mtimes), so the skip logic is pinned with the same strength at a
+    fraction of the cost. ``replay['on']`` is flipped before the probe
+    when the sink carries the explicit must-skip raise."""
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix=ckpt_prefix)
+    stream = (spark.readStream.schema(schema)
+                   .option("maxFilesPerTrigger", 1).parquet(scratch))
+    q = (stream.writeStream.foreachBatch(sink)
+               .option("checkpointLocation", ckpt)
+               .trigger(availableNow=True).start())
+    q.awaitTermination()
+    if replay is not None:
+        replay["on"] = True
+    sink(spark.read.schema(schema).parquet(scratch), -1)
+
+
 @query("stream_incremental_dedup", oracle=_stream_incr_oracle())
 def stream_incremental_dedup(spark, sf_dir):
     """Ingest-time dedup as a STREAM — the production composition of the
@@ -963,14 +996,12 @@ def stream_cdx_maintain(spark, sf_dir):
                 rows.withColumn("is_delete", F.lit(False)),
                 root, int(fid) + 1)
 
-    for _run in range(2):  # second run = full redelivery, fresh ckpt
-        ckpt = tempfile.mkdtemp(prefix="clif_stream_cdx_ckpt_")
-        stream = (spark.readStream.schema(schema)
-                       .option("maxFilesPerTrigger", 1).parquet(scratch))
-        q = (stream.writeStream.foreachBatch(sink)
-                   .option("checkpointLocation", ckpt)
-                   .trigger(availableNow=True).start())
-        q.awaitTermination()
+    # one stream execution + batch-form redelivery probe (r18): the
+    # idempotence pin is append_lsm_segment's skip on existing segment
+    # dirs + the shared oracle flagging any duplicate capture row —
+    # both exercised identically by the batch redelivery
+    _drain_then_replay_probe(spark, schema, scratch, sink,
+                             "clif_stream_cdx_ckpt_")
     idx = streaming.read_lsm(spark, root,
                              ["file_id", "record_offset"],
                              ["surt_key"])
@@ -1051,15 +1082,12 @@ def stream_bm25f_maintain(spark, sf_dir):
                 partial, root, keys=["host", "term", "field"],
                 version=int(ver), add_cols=["c"], lineage=lin)
 
-    for run in range(2):  # second run = full redelivery, fresh ckpt
-        replay["on"] = run == 1
-        ckpt = tempfile.mkdtemp(prefix="clif_bm25f_stream_ckpt_")
-        stream = (spark.readStream.schema(schema)
-                       .option("maxFilesPerTrigger", 1).parquet(scratch))
-        q = (stream.writeStream.foreachBatch(sink)
-                   .option("checkpointLocation", ckpt)
-                   .trigger(availableNow=True).start())
-        q.awaitTermination()
+    # one stream execution + batch-form redelivery probe (r18,
+    # VERDICT r17 item 5): the must-skip raise fires in the sink on any
+    # ordinal that applies during the probe — same pin, no second
+    # stream startup
+    _drain_then_replay_probe(spark, schema, scratch, sink,
+                             "clif_bm25f_stream_ckpt_", replay)
 
     stored = streaming.read_cdc_snapshot(spark, root)
     return _web._bm25f_score(
@@ -1142,15 +1170,12 @@ def stream_er_maintain(spark, sf_dir):
                 batch_df.filter(F.col("__v") == ver).drop("__v"),
                 root, int(ver))
 
-    for run in range(2):  # second run = full redelivery, fresh ckpt
-        replay["on"] = run == 1
-        ckpt = tempfile.mkdtemp(prefix="clif_er_stream_ckpt_")
-        stream = (spark.readStream.schema(schema)
-                       .option("maxFilesPerTrigger", 1).parquet(scratch))
-        q = (stream.writeStream.foreachBatch(sink)
-                   .option("checkpointLocation", ckpt)
-                   .trigger(availableNow=True).start())
-        q.awaitTermination()
+    # one stream execution + batch-form redelivery probe (r18,
+    # VERDICT r17 item 5): the must-skip raise fires in the sink on any
+    # ordinal that applies during the probe — same pin, no second
+    # stream startup
+    _drain_then_replay_probe(spark, schema, scratch, sink,
+                             "clif_er_stream_ckpt_", replay)
 
     return _rel._er_store_report(spark, root)
 
@@ -1233,15 +1258,12 @@ def stream_semantic_maintain(spark, sf_dir):
             similarity.semantic_store_admit(spark, delta, root,
                                             version=int(ver))
 
-    for run in range(2):  # second run = full redelivery, fresh ckpt
-        replay["on"] = run == 1
-        ckpt = tempfile.mkdtemp(prefix="clif_sem_stream_ckpt_")
-        stream = (spark.readStream.schema(schema)
-                       .option("maxFilesPerTrigger", 1).parquet(scratch))
-        q = (stream.writeStream.foreachBatch(sink)
-                   .option("checkpointLocation", ckpt)
-                   .trigger(availableNow=True).start())
-        q.awaitTermination()
+    # one stream execution + batch-form redelivery probe (r18,
+    # VERDICT r17 item 5): the must-skip raise fires in the sink on any
+    # ordinal that applies during the probe — same pin, no second
+    # stream startup
+    _drain_then_replay_probe(spark, schema, scratch, sink,
+                             "clif_sem_stream_ckpt_", replay)
 
     # settled-count pin: corpus + exactly one row per planted copy —
     # a lost or duplicated admission raises before the driver hashes
@@ -1337,15 +1359,12 @@ def stream_image_sig_maintain(spark, sf_dir):
             dedup.chunk_sig_store_admit(delta, root, int(ver),
                                         id_col="doc_id")
 
-    for run in range(2):  # second run = full redelivery, fresh ckpt
-        replay["on"] = run == 1
-        ckpt = tempfile.mkdtemp(prefix="clif_imgsig_stream_ckpt_")
-        stream = (spark.readStream.schema(schema)
-                       .option("maxFilesPerTrigger", 1).parquet(scratch))
-        q = (stream.writeStream.foreachBatch(sink)
-                   .option("checkpointLocation", ckpt)
-                   .trigger(availableNow=True).start())
-        q.awaitTermination()
+    # one stream execution + batch-form redelivery probe (r18,
+    # VERDICT r17 item 5): the must-skip raise fires in the sink on any
+    # ordinal that applies during the probe — same pin, no second
+    # stream startup
+    _drain_then_replay_probe(spark, schema, scratch, sink,
+                             "clif_imgsig_stream_ckpt_", replay)
 
     return (streaming.read_cdc_snapshot(spark, res_root)
             .select("delivery", "new_id", "old_id", "hamming"))

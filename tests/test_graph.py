@@ -588,3 +588,32 @@ def test_pagerank_weighted_personalized_identities(spark):
     with pytest.raises(SparkRuntimeException,
                        match="NULL or non-positive"):
         G.pagerank_weighted_personalized(bad, seeds, iterations=1)
+
+
+def test_reliable_checkpoint_option_writes_to_dir_and_matches(spark):
+    """VERDICT r17 item 8: with spark.clif.graph.checkpointDir set, the
+    iterative operators cut lineage through RELIABLE checkpoints under
+    that directory (cluster fault-tolerance posture) and produce the
+    identical labeling; unset (the default) keeps localCheckpoint —
+    nothing appears under the directory."""
+    import os
+    import tempfile
+
+    from clif_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "e")],
+        "src string, dst string")
+    base = sorted(map(tuple, G.connected_components(edges).collect()))
+
+    cdir = tempfile.mkdtemp(prefix="clif_graph_ckpt_")
+    assert os.listdir(cdir) == []
+    spark.conf.set(G.CHECKPOINT_DIR_CONF, cdir)
+    try:
+        got = sorted(map(tuple,
+                         G.connected_components(edges).collect()))
+        assert got == base
+        # reliable checkpoints physically landed under the conf'd dir
+        assert os.listdir(cdir), "no checkpoint data written"
+    finally:
+        spark.conf.unset(G.CHECKPOINT_DIR_CONF)
