@@ -21,8 +21,13 @@ Scale shape: each iteration is one join edges->ranks (hash on src, or
 broadcast when ranks fit — host graphs are host-count sized, MILLIONS of
 rows for the whole web, so broadcast is realistic) plus one groupBy(dst)
 sum. K iterations = K such stages; lineage grows linearly, so the loop
-localCheckpoints every few iterations to keep plans bounded (real
-deployments checkpoint to storage).
+checkpoints the rank vector each iteration to keep plans bounded
+(default checkpoint_every=1 since r18 — measured 7-10% faster than the
+chained K-plan at sf0.1/sf1, because every iteration then plans from a
+materialized node-sized relation with REAL size stats instead of
+K-compounded estimates, and the final action stops re-running broadcast
+sub-jobs over the whole chain; real deployments checkpoint to storage —
+see CHECKPOINT_DIR_CONF).
 """
 
 from __future__ import annotations
@@ -59,8 +64,12 @@ def _ckpt(df: DataFrame) -> DataFrame:
 
 
 #: Experimental A/B flag (r18): probe the SCC trim fixpoint with a
-#: narrow flags-agg before paying the e2 checkpoint. Mutated only by
-#: scripts/; the shipped default is the measured winner.
+#: narrow flags-agg before paying the e2 checkpoint (ADVICE r17).
+#: Measured and REJECTED on web_host_scc (scripts/graph_ab_r18.py):
+#: plain 6.59 s vs probe 7.28 s at sf0.1, 10.93 vs 11.56 at sf1 — the
+#: per-layer probe agg (a node-keyed shuffle every ACTIVE layer) costs
+#: more than the one e2 materialization it saves on the FINAL layer.
+#: The flag stays so the A/B is reproducible; False is the winner.
 _TRIM_PROBE = False
 
 #: Default fixpoint-round budget shared by the iterative operators AND
@@ -766,7 +775,7 @@ def triangle_counts(edges: DataFrame, src_col: str = "src",
 def pagerank_personalized(edges: DataFrame, seeds: DataFrame,
                           iterations: int = 3, damping_pct: int = 85,
                           src_col: str = "src", dst_col: str = "dst",
-                          checkpoint_every: int = 4) -> DataFrame:
+                          checkpoint_every: int = 1) -> DataFrame:
     """PERSONALIZED PageRank (random surfer restarting at a SEED set
     instead of uniformly — Haveliwala's topic-sensitive form): the
     teleport mass (100 - d)% * MICROS // 100 splits over the seed
@@ -849,7 +858,7 @@ def pagerank_personalized(edges: DataFrame, seeds: DataFrame,
 def pagerank_fixed(edges: DataFrame, iterations: int = 3,
                    damping_pct: int = 85,
                    src_col: str = "src", dst_col: str = "dst",
-                   checkpoint_every: int = 4,
+                   checkpoint_every: int = 1,
                    init_ranks: DataFrame | None = None) -> DataFrame:
     """PageRank over a DISTINCT edge relation, ``iterations`` exact
     integer-micros steps of
@@ -968,7 +977,7 @@ def pagerank_weighted(edges: DataFrame, iterations: int = 3,
                       damping_pct: int = 85,
                       src_col: str = "src", dst_col: str = "dst",
                       weight_col: str = "weight",
-                      checkpoint_every: int = 4,
+                      checkpoint_every: int = 1,
                       init_ranks: DataFrame | None = None) -> DataFrame:
     """PageRank over a WEIGHTED edge relation — ``iterations`` exact
     integer-micros steps of
@@ -1053,7 +1062,7 @@ def pagerank_weighted_personalized(edges: DataFrame, seeds: DataFrame,
                                    src_col: str = "src",
                                    dst_col: str = "dst",
                                    weight_col: str = "weight",
-                                   checkpoint_every: int = 4) -> DataFrame:
+                                   checkpoint_every: int = 1) -> DataFrame:
     """WEIGHTED PERSONALIZED PageRank — the composition of the two
     gated forms (pagerank_personalized's seed-restart teleport,
     pagerank_weighted's link-multiplicity shares): the random surfer

@@ -789,7 +789,64 @@ _VERIFY_FIRST_R17 = [
     "stream_cdc_apply", "stream_web_ingest",
     "stream_er_maintain", "stream_bm25f_maintain",
 ]
-_VERIFY_FIRST = _VERIFY_FIRST_R17
+_VERIFY_FIRST_R18 = [
+    # Ledger arithmetic (the ONE authoritative block): 50 slots =
+    # 32 changed-code re-gates (r18 is OPTIMIZATION round 2 — no new
+    # registrations; every row whose EXECUTION PATH or ORACLE TEXT
+    # this round touched re-gates before any refresh: the four
+    # MATERIALIZED-hint oracles, the pagerank family on the
+    # per-iteration checkpoint default, the BM25F family on the
+    # store-backed score leg, the _ckpt-wrapped graph fixpoint
+    # consumers, the byte-gated triangle row, and the five
+    # single-run maintenance streams at the tail) + 18 of the 29-row
+    # r11-latest due cohort in name order (16 batch + 2 streams).
+    # After this gate the r19 due list = the remaining 10 r11-latest
+    # rows (tfidf_top_terms, u11_partitioned_upsert,
+    # w13_cumulative_distinct, w1_lead_episodes, w2_downup_fill,
+    # w3_keep_last_dedup, stream_session_episodes, stream_sliding_agg,
+    # stream_tumbling_agg, stream_partitioned_upsert) then the
+    # r12-latest cohort.
+    # --- changed ORACLE text (AS MATERIALIZED physical hint): must
+    # re-gate first ---
+    "web_bowtie_classes", "web_host_hits", "web_hits_warm_start",
+    "web_crawl_depth",
+    # --- pagerank family: checkpoint_every default 4 -> 1 ---
+    "web_host_pagerank", "web_pagerank_personalized",
+    "web_pagerank_warm_start", "web_pagerank_weighted",
+    "web_pagerank_weighted_warm", "web_pagerank_weighted_personalized",
+    # --- BM25F family: store-backed score leg skips checkpoints
+    # (web_host_bm25f re-gates the unchanged default path of the
+    # changed signature) ---
+    "web_bm25f_incremental", "web_bm25f_takedown",
+    "web_bm25f_compacted", "web_host_bm25f",
+    # --- graph fixpoint consumers on the _ckpt wrapper (+ fused
+    # probe kept per the r18 A/B, bowtie broadcast, triangle byte
+    # gate, SCC sibling-abort path) ---
+    "web_cocitation_triangles", "web_host_components",
+    "web_host_components_star", "web_host_scc", "web_host_kcore",
+    "web_crawl_frontier", "web_mirror_sets",
+    "web_mirror_sets_incremental", "dedup_entity_clusters",
+    "dedup_entity_incremental", "dedup_entity_persisted",
+    "dedup_entity_store_takedown", "dedup_entity_store_compacted",
+    # --- r11-latest refreshes (oldest remaining green), name order;
+    # dedup_screen_persisted doubles as the VERDICT r17 item-9 watch
+    # row ---
+    "dedup_exact", "dedup_incremental_minhash",
+    "dedup_prefix_filter_join", "dedup_screen_persisted",
+    "dedup_semantic_contract", "f14_from_json_typed",
+    "j10_levenshtein_vocab_match", "j1_vocab_broadcast_star",
+    "j3_full_outer_join", "j6_fuzzy_vocab_match",
+    "j9_salted_skew_join", "mm_audio_resample", "mm_jpeg_pixel_stats",
+    "text_fingerprint", "text_lang_id", "text_rolling_fingerprint",
+    # --- streams at the tail (multi-second startup each): the five
+    # single-run + batch-replay-probe maintenance streams, then the
+    # two oldest r11-latest streams ---
+    "stream_cdx_maintain", "stream_bm25f_maintain",
+    "stream_er_maintain", "stream_semantic_maintain",
+    "stream_image_sig_maintain",
+    "stream_click_to_buy", "stream_dedup_counts",
+]
+_VERIFY_FIRST = _VERIFY_FIRST_R18
 
 # Rows-only queries (dedup_semantic, ann_ivf_trained_topk,
 # ann_cosine_topk_arrow, w15_ewma_smooth, text_bpe_tokenize,

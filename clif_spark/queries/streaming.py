@@ -1094,7 +1094,8 @@ def stream_bm25f_maintain(spark, sf_dir):
         stored.filter(F.col("field") == "body")
               .select("host", "term", "c"),
         stored.filter(F.col("field") == "anchor")
-              .select("host", "term", "c"))
+              .select("host", "term", "c"),
+        materialized=True)
 
 
 @query("stream_er_maintain", oracle=_rel.DEDUP_ENTITY_INC_ORACLE)

@@ -2188,30 +2188,40 @@ def _bm25f_counts(d):
     return bcounts, acounts
 
 
-def _bm25f_score(bcounts, acounts):
+def _bm25f_score(bcounts, acounts, materialized: bool = False):
     """The BM25F scoring leg over (host, term, c) posting counts —
     identical arithmetic whether the counts come from a batch
     tokenize (web_host_bm25f) or a standing fold store
     (web_bm25f_incremental); both gate under the same whole-corpus
     oracle, which is what makes the store's bit-equality claim
-    checkable. Counts are CHECKPOINTED here: every downstream stat
-    (field lengths, totals, query tfs) re-references them — without
-    this the lengths, totals and tf legs each re-ran the corpus scan
-    / anchor regex extraction (3 scans per field, the pagerank
-    multi-reference lesson in aggregate form)."""
+    checkable. Counts are CHECKPOINTED here by default: every
+    downstream stat (field lengths, totals, query tfs) re-references
+    them — without this the lengths, totals and tf legs each re-ran
+    the corpus scan / anchor regex extraction (3 scans per field, the
+    pagerank multi-reference lesson in aggregate form).
+
+    ``materialized=True`` (r18): the STORE-backed callers feed this
+    leg parquet scans with pushed filters and real stats — for those,
+    re-planning the scan per reference is cheaper than three eager
+    checkpoint jobs + block writes (A/B on the standing store at
+    sf0.1: 3.83 -> 2.92 s min, 12 -> 9 jobs —
+    scripts/bm25f_score_ab_r18.py; results bit-identical, asserted
+    there and oracle-gated in every caller). The batch-tokenize
+    callers keep the default."""
     from pyspark.sql import Window
 
-    bcounts = bcounts.localCheckpoint(eager=True)
+    def _cut(df):
+        return df if materialized else df.localCheckpoint(eager=True)
+
+    bcounts = _cut(bcounts)
     # hosts with >= 1 body token == distinct source hosts (split('')
     # yields one empty token in both engines, so no host drops out)
-    hosts = bcounts.select("host").distinct().localCheckpoint(
-        eager=True)
+    hosts = _cut(bcounts.select("host").distinct())
     nh = hosts.agg(F.count(F.lit(1)).cast("double").alias("n"))
     blen = bcounts.groupBy("host").agg(
         F.sum("c").cast("long").alias("len_b"))
     btot = blen.agg(F.sum("len_b").cast("double").alias("tot_b"))
-    acounts = (acounts.join(hosts, "host", "semi")
-               .localCheckpoint(eager=True))
+    acounts = _cut(acounts.join(hosts, "host", "semi"))
     alen = acounts.groupBy("host").agg(
         F.sum("c").cast("long").alias("len_a"))
     atot = alen.agg(F.sum("len_a").cast("double").alias("tot_a"))
@@ -2320,7 +2330,8 @@ def web_bm25f_incremental(spark, sf_dir):
         stored.filter(F.col("field") == "body")
               .select("host", "term", "c"),
         stored.filter(F.col("field") == "anchor")
-              .select("host", "term", "c"))
+              .select("host", "term", "c"),
+        materialized=True)
 
 
 # Takedown oracle: the batch BM25F recompute over the corpus MINUS the
@@ -2412,7 +2423,8 @@ def web_bm25f_takedown(spark, sf_dir):
         stored.filter(F.col("field") == "body")
               .select("host", "term", "c"),
         stored.filter(F.col("field") == "anchor")
-              .select("host", "term", "c"))
+              .select("host", "term", "c"),
+        materialized=True)
 
 
 # Compaction oracle: the kept world is the corpus minus EVERY page of
@@ -2514,7 +2526,8 @@ def web_bm25f_compacted(spark, sf_dir):
         compacted.filter(F.col("field") == "body")
                  .select("host", "term", "c"),
         compacted.filter(F.col("field") == "anchor")
-                 .select("host", "term", "c"))
+                 .select("host", "term", "c"),
+        materialized=True)
 
 
 @query(
@@ -2620,7 +2633,7 @@ def _hits_oracle(iterations: int = 3) -> str:
     normalize = x * MICROS // total (exact integer floor division on
     non-negative values, matching Spark's `div`)."""
     ctes = """
-    he AS (SELECT DISTINCT src_host AS src, dst_host AS dst
+    he AS MATERIALIZED (SELECT DISTINCT src_host AS src, dst_host AS dst
            FROM linkedges),
     hnodes AS (SELECT DISTINCT node FROM (
         SELECT src AS node FROM he UNION ALL SELECT dst FROM he)),
@@ -3499,7 +3512,7 @@ def web_host_kcore(spark, sf_dir):
 # order is safe, not load-bearing.
 _BOWTIE_ORACLE = f"""
     WITH RECURSIVE {_LINK_EDGES_CTES},
-    ring AS (SELECT DISTINCT src_host AS src, dst_host AS dst
+    ring AS MATERIALIZED (SELECT DISTINCT src_host AS src, dst_host AS dst
              FROM linkedges
              WHERE dst_host LIKE 'src%' AND src_host <> dst_host
                AND CAST(regexp_extract(src_host, '(\\d+)', 1) AS INT)
@@ -3591,6 +3604,24 @@ def web_bowtie_classes(spark, sf_dir):
                              F.col("src").alias("dst"))
     reaches_core = G.bfs_depths(rev_edges, core).select("node")
     reached_from = G.bfs_depths(edges, core).select("node")
+    # Count-gated broadcast on the three node-sized classifier joins
+    # (r18, guide §3.1 — the triangle_counts template): the fixpoint
+    # outputs are checkpointed LogicalRDDs whose inherited regex-
+    # lineage estimates are unknown (Long.Max), so the planner ran all
+    # three left joins as SortMergeJoins even on a 20-node fixture
+    # (r17 audit). scc is already materialized, so decide from its
+    # TRUE row count and key bytes (core/in/out are node subsets, so
+    # the scc bound covers all three sides): measured 0.178 -> 0.138 s
+    # at sf0.1 and 0.258 -> 0.186 s at sf1 on the isolated classifier
+    # (scripts/bowtie_bcast_ab_r18.py), plan 3 SMJ -> 3 BHJ. Above the
+    # bound the honest SMJ stands.
+    n_scc, scc_bytes = scc.agg(
+        F.count(F.lit(1)),
+        F.sum(F.octet_length("node"))).first()
+    if n_scc <= 1_000_000 and (scc_bytes or 0) <= (64 << 20):
+        core = F.broadcast(core)
+        reaches_core = F.broadcast(reaches_core)
+        reached_from = F.broadcast(reached_from)
     return (scc
             .join(core.withColumn("__core", F.lit(1)), "node", "left")
             .join(reaches_core.withColumn("__in", F.lit(1)),
@@ -3608,7 +3639,7 @@ def web_bowtie_classes(spark, sf_dir):
     "web_crawl_depth",
     oracle=f"""
     WITH RECURSIVE {_LINK_EDGES_CTES},
-    e3 AS (SELECT DISTINCT src_host AS src, dst_host AS dst
+    e3 AS MATERIALIZED (SELECT DISTINCT src_host AS src, dst_host AS dst
            FROM linkedges),
     reach(node, d) AS (
       SELECT node, 0 FROM (

@@ -1,6 +1,9 @@
-"""Shared test fixtures: one local SparkSession per test session."""
+"""Shared test fixtures: one local SparkSession per test session, and
+one shared registry-query build per session."""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
@@ -13,3 +16,27 @@ def spark():
                       shuffle_partitions=4)
     yield s
     s.stop()
+
+
+#: One DataFrame per registry query per session, shared by the oracle
+#: differential suite and the plan-regression suite (r18): building a
+#: lifecycle query EXECUTES its whole store/stream lifecycle eagerly,
+#: and the two registry-wide parameterizations paid that twice — once
+#: to compare results, once only to read the final plan string. The
+#: DataFrame (an immutable plan over store dirs that persist for the
+#: session) serves both. Keyed per session id so a session restart
+#: cannot serve plans bound to dead JVM handles.
+_QUERY_DF_CACHE: dict = {}
+
+
+def build_query_cached(spark, name: str):
+    """Build (or reuse) registry query ``name``'s DataFrame at the
+    suite's test SF. Failures are not cached — a broken build re-raises
+    in every consumer, same as two independent builds."""
+    import __spark_entry__ as entry_mod
+
+    sf_dir = os.environ.get("CLIF_TEST_SF_DIR", "/root/testdata/sf0.001")
+    key = (id(spark), name, sf_dir)
+    if key not in _QUERY_DF_CACHE:
+        _QUERY_DF_CACHE[key] = entry_mod.queries()[name](spark, sf_dir)
+    return _QUERY_DF_CACHE[key]

@@ -126,7 +126,12 @@ def test_no_hugeint_in_any_oracle_schema(duck):
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, duck, name):
-    sdf = QUERIES[name](spark, SF_DIR)
+    # shared session-wide build (conftest, r18): the plan-regression
+    # suite reads the SAME DataFrame's plan instead of re-executing
+    # every lifecycle query a second time
+    from conftest import build_query_cached
+
+    sdf = build_query_cached(spark, name)
     spdf = sdf.toPandas()
     scols = list(sdf.columns)
     if name not in ORACLES:
