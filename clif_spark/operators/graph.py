@@ -847,7 +847,7 @@ def pagerank_personalized(edges: DataFrame, seeds: DataFrame,
                           + F.expr(f"({damping_pct} * coalesce(s, "
                                    f"CAST(0 AS BIGINT))) div 100"))
                          .cast("long").alias("r")))
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+        if (i + 1) % checkpoint_every == 0:
             ranks = ranks.transform(_ckpt)
     return ranks.select(F.col("node"),
                         F.col("r").alias("rank_micros"),
@@ -928,7 +928,7 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 3,
                                 f"(({damping_pct} * coalesce(s, "
                                 f"CAST(0 AS BIGINT))) div 100)")
                          .cast("long").alias("r")))
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+        if (i + 1) % checkpoint_every == 0:
             ranks = ranks.transform(_ckpt)
     return ranks.select(F.col("node"),
                         F.col("r").alias("rank_micros"),
@@ -1048,7 +1048,7 @@ def pagerank_weighted(edges: DataFrame, iterations: int = 3,
                                 f"(({damping_pct} * coalesce(s, "
                                 f"CAST(0 AS BIGINT))) div 100)")
                          .cast("long").alias("r")))
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+        if (i + 1) % checkpoint_every == 0:
             ranks = ranks.transform(_ckpt)
     return ranks.select(F.col("node"),
                         F.col("r").alias("rank_micros"),
@@ -1127,7 +1127,7 @@ def pagerank_weighted_personalized(edges: DataFrame, seeds: DataFrame,
                           + F.expr(f"({damping_pct} * coalesce(s, "
                                    f"CAST(0 AS BIGINT))) div 100"))
                          .cast("long").alias("r")))
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+        if (i + 1) % checkpoint_every == 0:
             ranks = ranks.transform(_ckpt)
     return ranks.select(F.col("node"),
                         F.col("r").alias("rank_micros"),

@@ -33,10 +33,26 @@ def build_query_cached(spark, name: str):
     """Build (or reuse) registry query ``name``'s DataFrame at the
     suite's test SF. Failures are not cached — a broken build re-raises
     in every consumer, same as two independent builds."""
+    return _build_entry(spark, name)[0]
+
+
+def cached_plan_of(spark, name: str) -> str:
+    """The PRE-EXECUTION physical plan string of the cached build —
+    captured at build time, because once the oracle suite executes the
+    DataFrame, ``executedPlan().toString()`` renders the AQE
+    final+initial pair (every operator twice, runtime-replanned
+    joins), which is not the plan the regression assertions were
+    written against."""
+    return _build_entry(spark, name)[1]
+
+
+def _build_entry(spark, name: str):
     import __spark_entry__ as entry_mod
 
     sf_dir = os.environ.get("CLIF_TEST_SF_DIR", "/root/testdata/sf0.001")
     key = (id(spark), name, sf_dir)
     if key not in _QUERY_DF_CACHE:
-        _QUERY_DF_CACHE[key] = entry_mod.queries()[name](spark, sf_dir)
+        df = entry_mod.queries()[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        _QUERY_DF_CACHE[key] = (df, plan)
     return _QUERY_DF_CACHE[key]

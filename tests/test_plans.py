@@ -24,13 +24,12 @@ def plan_of(spark, name: str, fresh: bool = False) -> str:
     # twice per session. ``fresh=True`` bypasses the cache for tests
     # that mutate planner inputs (monkeypatched statistics, conf
     # overrides) and legitimately expect a DIFFERENT plan.
-    from conftest import build_query_cached
+    from conftest import cached_plan_of
 
     if fresh:
         df = QUERIES[name](spark, SF_DIR)
-    else:
-        df = build_query_cached(spark, name)
-    return df._jdf.queryExecution().executedPlan().toString()
+        return df._jdf.queryExecution().executedPlan().toString()
+    return cached_plan_of(spark, name)
 
 
 def test_q1_pushdown_pruning_partial_agg(spark):
